@@ -1,13 +1,196 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.core.Tables
+import graft.operators._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every operator is registered here as (name, query fn, optional DuckDB
+  * oracle SQL). Oracle SQL runs against bare table names (lineitem, orders,
+  * documents, embeddings, ...) bound by the driver to the same parquet files.
+  * Column names and value rounding are kept identical on both sides — the
+  * driver sorts columns by name and hashes values.
+  */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def entry(spark: SparkSession): DataFrame = {
+    val dir = "/root/testdata/sf0.001"
+    val emb = Tables.embeddings(spark, dir)
+    Knn.knnExact(emb, Knn.queriesFromPoints(emb, 5), k = 10)
+  }
+
+  /** name -> ((spark, sfDir) -> result). One per operator from SURVEY.md §2. */
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    registry.map { case (name, fn, _) => name -> fn }.toMap
+
+  /** DuckDB-equivalent SQL for each oracle-checkable query. */
+  def oracleSql: Map[String, String] =
+    registry.collect { case (name, _, Some(sql)) => name -> sql }.toMap
+
+  // ---------------------------------------------------------------------------
+
+  private type QFn = (SparkSession, String) => DataFrame
+
+  private def registry: Seq[(String, QFn, Option[String])] = Seq(
+    knnExactQ, medoidExactQ,
+    pricingQ, regionRevenueQ, topOrdersQ, orderPriorityQ, filteredRevenueQ,
+    partRollupQ, segmentSetOpsQ, eventsHourlyQ, userFunnelQ
+  )
+
+  // ---- vector surface (reference ops Q1/A1, oracle-checkable forms) ----------
+
+  private val knnExactQ: (String, QFn, Option[String]) = (
+    "knn_exact",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Knn.knnExact(emb, Knn.queriesFromPoints(emb, 10), k = 10)
+    },
+    Some("""
+      WITH q AS (SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < 10),
+      s AS (
+        SELECT q.query_id, e.vec_id AS id,
+               list_sum(list_transform(range(1, len(e.embedding)+1),
+                 i -> ((e.embedding[i]::DOUBLE)-(q.qvec[i]::DOUBLE))*((e.embedding[i]::DOUBLE)-(q.qvec[i]::DOUBLE)))) AS dist
+        FROM embeddings e CROSS JOIN q),
+      r AS (SELECT query_id, id, dist,
+                   row_number() OVER (PARTITION BY query_id ORDER BY dist ASC, id ASC) AS rank
+            FROM s)
+      SELECT query_id, rank, id, round(dist, 4) AS dist FROM r WHERE rank <= 10
+      ORDER BY query_id, rank
+    """.stripMargin.trim))
+
+  private val medoidExactQ: (String, QFn, Option[String]) = (
+    "medoid_exact",
+    (s, d) => Knn.medoidExact(Tables.embeddings(s, d)),
+    Some("""
+      WITH s AS (
+        SELECT a.vec_id AS id_a,
+               sum(list_sum(list_transform(range(1, len(a.embedding)+1),
+                 i -> ((a.embedding[i]::DOUBLE)-(b.embedding[i]::DOUBLE))*((a.embedding[i]::DOUBLE)-(b.embedding[i]::DOUBLE))))) AS total_dist
+        FROM embeddings a CROSS JOIN embeddings b
+        GROUP BY a.vec_id)
+      SELECT id_a AS medoid_id, round(total_dist, 2) AS total_dist
+      FROM s ORDER BY total_dist ASC, id_a ASC LIMIT 1
+    """.stripMargin.trim))
+
+  // ---- relational surface ----------------------------------------------------
+
+  private val pricingQ: (String, QFn, Option[String]) = (
+    "q1_pricing_summary",
+    (s, d) => Relational.pricingSummary(s, d),
+    Some("""
+      SELECT l_returnflag, l_linestatus,
+             round(sum(CAST(l_quantity AS DECIMAL(18,2))), 2)::DOUBLE AS sum_qty,
+             round(sum(CAST(l_extendedprice AS DECIMAL(18,2))), 2)::DOUBLE AS sum_base_price,
+             round(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2))), 2)::DOUBLE AS sum_disc_price,
+             count(*) AS count_order
+      FROM lineitem
+      WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+      GROUP BY l_returnflag, l_linestatus
+      ORDER BY l_returnflag, l_linestatus
+    """.stripMargin.trim))
+
+  private val regionRevenueQ: (String, QFn, Option[String]) = (
+    "q2_region_revenue",
+    (s, d) => Relational.regionRevenue(s, d),
+    Some("""
+      SELECT r_name, n_name,
+             round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2)::DOUBLE AS revenue,
+             count(*) AS n_orders
+      FROM orders
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      GROUP BY r_name, n_name
+      ORDER BY r_name, n_name
+    """.stripMargin.trim))
+
+  private val topOrdersQ: (String, QFn, Option[String]) = (
+    "q3_top_orders_per_customer",
+    (s, d) => Relational.topOrdersPerCustomer(s, d),
+    Some("""
+      SELECT o_custkey, rank, o_orderkey, o_totalprice
+      FROM (
+        SELECT o_custkey, o_orderkey,
+               round(CAST(o_totalprice AS DECIMAL(18,2)), 2)::DOUBLE AS o_totalprice,
+               row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS rank
+        FROM orders)
+      WHERE rank <= 3
+      ORDER BY o_custkey, rank
+    """.stripMargin.trim))
+
+  private val orderPriorityQ: (String, QFn, Option[String]) = (
+    "q4_order_priority",
+    (s, d) => Relational.orderPriority(s, d),
+    Some("""
+      SELECT o_orderpriority, count(*) AS order_count
+      FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+        AND EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey)
+      GROUP BY o_orderpriority
+      ORDER BY o_orderpriority
+    """.stripMargin.trim))
+
+  private val filteredRevenueQ: (String, QFn, Option[String]) = (
+    "q6_filtered_revenue",
+    (s, d) => Relational.filteredRevenue(s, d),
+    Some("""
+      SELECT round(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))), 2)::DOUBLE AS revenue,
+             count(*) AS n_rows
+      FROM lineitem
+      WHERE l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24
+    """.stripMargin.trim))
+
+  private val partRollupQ: (String, QFn, Option[String]) = (
+    "q7_part_rollup",
+    (s, d) => Relational.partBrandStats(s, d),
+    Some("""
+      SELECT p_brand, count(*) AS n_parts,
+             round(sum(CAST(p_retailprice AS DECIMAL(18,2))), 2)::DOUBLE AS sum_price,
+             min(p_size) AS min_size, max(p_size) AS max_size
+      FROM part
+      GROUP BY ROLLUP(p_brand)
+      ORDER BY p_brand NULLS FIRST
+    """.stripMargin.trim))
+
+  private val segmentSetOpsQ: (String, QFn, Option[String]) = (
+    "q8_customer_except",
+    (s, d) => Relational.segmentSetOps(s, d),
+    Some("""
+      SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+      EXCEPT
+      SELECT o_custkey AS c_custkey FROM orders WHERE o_orderstatus = 'F'
+      ORDER BY c_custkey
+    """.stripMargin.trim))
+
+  private val eventsHourlyQ: (String, QFn, Option[String]) = (
+    "q9_events_hourly",
+    (s, d) => Relational.eventsHourly(s, d),
+    Some("""
+      SELECT event_type, strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+             count(*) AS n_events,
+             round(sum(CAST(value AS DECIMAL(18,2))), 2)::DOUBLE AS sum_value,
+             CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
+      FROM events
+      GROUP BY 1, 2
+      ORDER BY event_type, hour
+    """.stripMargin.trim))
+
+  private val userFunnelQ: (String, QFn, Option[String]) = (
+    "q10_user_funnel",
+    (s, d) => Relational.userFunnel(s, d),
+    Some("""
+      SELECT user_id, count(*) AS n_events,
+             CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+             CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+             CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+             round(sum(CAST(value AS DECIMAL(18,2))), 2)::DOUBLE AS sum_value
+      FROM events
+      GROUP BY user_id
+      HAVING count(*) >= 10
+      ORDER BY user_id
+    """.stripMargin.trim))
 }

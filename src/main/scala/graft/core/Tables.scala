@@ -1,0 +1,41 @@
+package graft.core
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Loaders for the driver-generated parquet tables (TESTDATA.md).
+  *
+  * All operators take the scale-factor directory as a parameter so the same
+  * code runs at sf0.001 (smoke), sf0.01 (oracle) and sf0.1 (bench) — and, by
+  * design, at any path on a real cluster (s3://..., hdfs://...). Reads are
+  * plain `spark.read.parquet`, so Catalyst predicate pushdown / column
+  * pruning / partition pruning apply automatically downstream.
+  */
+object Tables {
+
+  /** The driver's pyarrow-generated files store timestamps as INT64
+    * TIMESTAMP(NANOS), which Spark's parquet reader rejects by default.
+    * We read nanos as LONG and rebuild microsecond timestamps (`x div 1000`,
+    * matching DuckDB's nano→micro truncation) for these known columns. */
+  private val nanoTimestampCols = Set("o_orderdate", "l_shipdate", "ts")
+
+  def table(spark: SparkSession, dir: String, name: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    df.schema.fields.foldLeft(df) { (acc, f) =>
+      if (nanoTimestampCols.contains(f.name) && f.dataType == org.apache.spark.sql.types.LongType)
+        acc.withColumn(f.name, org.apache.spark.sql.functions.expr(s"timestamp_micros(${f.name} div 1000)"))
+      else acc
+    }
+  }
+
+  def region(s: SparkSession, d: String): DataFrame    = table(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame    = table(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame  = table(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame  = table(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame      = table(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame    = table(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame  = table(s, d, "lineitem")
+  def events(s: SparkSession, d: String): DataFrame    = table(s, d, "events")
+  def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
+}

@@ -1,0 +1,101 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions._
+
+/** Exact brute-force kNN and medoid — the oracle-verifiable twins of the
+  * reference's `Search` (vamana.h:492-546) and `FindMedoid`
+  * (vamana.h:656-692), expressed as declarative Catalyst plans.
+  *
+  * Scale posture: the query side is broadcast (queries are always the small
+  * side — a batch of probes against a huge corpus), so the crossJoin is a
+  * BroadcastNestedLoopJoin: one pass over the points table, no shuffle of
+  * the corpus. The per-query top-k then shuffles only `numQueries × n` score
+  * rows hash-partitioned by query_id — at 100 TB the score rows are 3 columns
+  * wide regardless of corpus width, because we project before the join.
+  */
+object Knn {
+
+  /** Top-k nearest stored points for each query row, squared-L2 ascending.
+    *
+    * @param points  corpus with (idCol: LONG, vecCol: array<float>)
+    * @param queries probe set with (queryIdCol: LONG, queryVecCol: array<float>)
+    * @return (query_id, rank, id, dist) — dist rounded to 4 dp for stable
+    *         cross-engine hashing; rank ties broken by id (deterministic).
+    */
+  def knnExact(
+      points: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      queryIdCol: String = "query_id",
+      queryVecCol: String = "query_vec"): DataFrame = {
+    val p = points.select(col(idCol).as("id"), col(vecCol).as("vec"))
+    val q = queries.select(col(queryIdCol).as("query_id"), col(queryVecCol).as("qvec"))
+    val scored = p
+      .crossJoin(broadcast(q))
+      .select(col("query_id"), col("id"), l2sq(col("vec"), col("qvec")).as("dist"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("dist").asc, col("id").asc)
+    scored
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("id"), round(col("dist"), 4).as("dist"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** Medoid: argmin_i Σ_j l2sq(i, j) — the reference's exact O(n²·dim)
+    * aggregation (vamana.h:656-692). Kept exact for the oracle; the scalable
+    * path used inside the index build is [[centroidNearest]].
+    */
+  def medoidExact(points: DataFrame, idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val a = points.select(col(idCol).as("id_a"), col(vecCol).as("vec_a"))
+    val b = points.select(col(idCol).as("id_b"), col(vecCol).as("vec_b"))
+    a.crossJoin(b)
+      .groupBy(col("id_a"))
+      .agg(sum(l2sq(col("vec_a"), col("vec_b"))).as("total_dist"))
+      .orderBy(col("total_dist").asc, col("id_a").asc)
+      .limit(1)
+      .select(col("id_a").as("medoid_id"), round(col("total_dist"), 2).as("total_dist"))
+  }
+
+  /** Scalable medoid approximation: per-dimension mean (one pass, one small
+    * shuffle of dim×numPartitions partial sums) then nearest point to that
+    * centroid (one more pass). O(n·dim) vs the exact form's O(n²·dim). */
+  def centroidNearest(points: DataFrame, idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val centroidRow = points
+      .select(posexplode(col(vecCol)).as(Seq("pos", "v")))
+      .groupBy(col("pos"))
+      .agg(avg(col("v")).as("m"))
+      .orderBy(col("pos"))
+      .agg(collect_list(col("m")).as("centroid"))
+    points
+      .crossJoin(broadcast(centroidRow))
+      .select(col(idCol).as("medoid_id"), l2sq(col(vecCol), col("centroid")).as("dist_to_centroid"))
+      .orderBy(col("dist_to_centroid").asc, col("medoid_id").asc)
+      .limit(1)
+  }
+
+  /** Recall@k of `result` against ground `truth`, both shaped
+    * (query_id, id): |result ∩ truth| / k averaged over queries —
+    * the reference drivers' evaluation loop (main.go:107-121). */
+  def recallAt(k: Int, result: DataFrame, truth: DataFrame): Double = {
+    val hits = result.select(col("query_id"), col("id"))
+      .join(truth.select(col("query_id"), col("id")), Seq("query_id", "id"))
+      .groupBy(col("query_id")).agg(count("*").as("hits"))
+    val nQueries = truth.select(col("query_id")).distinct().count()
+    if (nQueries == 0) 0.0
+    else hits.agg(sum(col("hits"))).head().getLong(0).toDouble / (k.toDouble * nQueries)
+  }
+
+  /** Seeded deterministic query fixture: the first `n` corpus vectors by id,
+    * re-labelled query_id 0..n-1 (order-stable across engines). */
+  def queriesFromPoints(points: DataFrame, n: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    points
+      .where(col(idCol) < n)
+      .select(col(idCol).as("query_id"), col(vecCol).as("query_vec"))
+}

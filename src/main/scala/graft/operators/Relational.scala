@@ -1,0 +1,148 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+
+/** General-analytics surface on the TPC-H-ish tables: projection/filter,
+  * multi-way joins, aggregation, window top-k, semi-join, rollup, set ops,
+  * date/JSON functions. The reference has none of this (SURVEY.md §2b) —
+  * these demonstrate that the engine exposes Spark's full relational layer
+  * alongside the vector/pipeline operators.
+  *
+  * Cross-engine determinism: money aggregates are cast to DECIMAL(18,2)
+  * *before* summing — decimal addition is exact and order-independent, so
+  * Spark and DuckDB agree bit-for-bit regardless of partial-aggregation
+  * order. Averages are decimal-cast then rounded.
+  *
+  * Scale posture: every filter is a plain predicate on scanned columns
+  * (parquet pushdown), every projection is narrow (column pruning), small
+  * dimension tables (region/nation/supplier) are broadcast, and group-bys
+  * run with map-side partial aggregation — the plans survive a 1000-executor
+  * scale-up without modification.
+  */
+object Relational {
+
+  private def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(18,2)")
+  /** Exact decimal sum, emitted as a 2-dp double — matches the oracle's
+    * `round(sum(CAST(.. AS DECIMAL)),2)::DOUBLE` bit-for-bit. */
+  private def moneySum(c: org.apache.spark.sql.Column) =
+    round(sum(dec(c)), 2).cast("double")
+
+  /** TPC-H Q1-style pricing summary: full-scan aggregate with map-side
+    * combine; shuffle carries only (flag,status) partial sums. */
+  def pricingSummary(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .where(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        moneySum(col("l_quantity")).as("sum_qty"),
+        moneySum(col("l_extendedprice")).as("sum_base_price"),
+        round(sum(dec(col("l_extendedprice")) * dec(lit(1) - col("l_discount"))), 2).cast("double").as("sum_disc_price"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  /** Revenue per region/nation: orders ⋈ customer ⋈ nation ⋈ region.
+    * nation+region are tiny → broadcast; customer⋈orders shuffles on the
+    * join key only after both sides are projected to 2-3 columns. */
+  def regionRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.orders(spark, dir).select(col("o_custkey"), col("o_totalprice"))
+    val cust = Tables.customer(spark, dir).select(col("c_custkey"), col("c_nationkey"))
+    val nation = Tables.nation(spark, dir)
+    val region = Tables.region(spark, dir)
+    orders
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(moneySum(col("o_totalprice")).as("revenue"), count(lit(1)).as("n_orders"))
+      .orderBy(col("r_name"), col("n_name"))
+  }
+
+  /** Top-3 orders per customer by totalprice — per-group top-k via window,
+    * the relational analogue of the reference's bounded result heap
+    * (vamana.h:506-528). */
+  def topOrdersPerCustomer(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    Tables.orders(spark, dir)
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= 3)
+      .select(col("o_custkey"), col("rank").cast("long").as("rank"), col("o_orderkey"),
+        round(dec(col("o_totalprice")), 2).cast("double").as("o_totalprice"))
+      .orderBy(col("o_custkey"), col("rank"))
+  }
+
+  /** Order-priority check (TPC-H Q4 shape): semi-join orders→lineitem on a
+    * date window. Left-semi keeps the build side narrow; at scale the
+    * orderkey set shuffles once. */
+  def orderPriority(spark: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.orders(spark, dir)
+      .where(col("o_orderdate") >= lit("1995-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+    val li = Tables.lineitem(spark, dir).select(col("l_orderkey")).distinct()
+    orders
+      .join(li, col("o_orderkey") === col("l_orderkey"), "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  /** Forecast-revenue-change (TPC-H Q6 shape): pure scan-filter-aggregate —
+    * the predicate-pushdown showcase; no join, no wide shuffle. */
+  def filteredRevenue(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .where(col("l_discount") >= 0.05 && col("l_discount") <= 0.07 && col("l_quantity") < 24)
+      .agg(round(sum(dec(col("l_extendedprice")) * dec(col("l_discount"))), 2).cast("double").as("revenue"),
+        count(lit(1)).as("n_rows"))
+
+  /** Brand stats with ROLLUP grouping sets over part. */
+  def partBrandStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.part(spark, dir)
+      .rollup(col("p_brand"))
+      .agg(
+        count(lit(1)).as("n_parts"),
+        moneySum(col("p_retailprice")).as("sum_price"),
+        min(col("p_size")).as("min_size"),
+        max(col("p_size")).as("max_size"))
+      .orderBy(col("p_brand").asc_nulls_first)
+
+  /** Set-operation demo (EXCEPT): high-balance customers with no
+    * finished ('F') order. */
+  def segmentSetOps(spark: SparkSession, dir: String): DataFrame = {
+    val high = Tables.customer(spark, dir)
+      .where(col("c_acctbal") > 5000).select(col("c_custkey"))
+    val finished = Tables.orders(spark, dir)
+      .where(col("o_orderstatus") === "F")
+      .select(col("o_custkey").as("c_custkey"))
+    high.except(finished).orderBy(col("c_custkey"))
+  }
+
+  /** Hourly event aggregation + JSON extraction: date_trunc bucketing with
+    * get_json_object over the props payload. */
+  def eventsHourly(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("event_type"),
+        date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss").as("hour"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        moneySum(col("value")).as("sum_value"),
+        sum(get_json_object(col("props"), "$.k").cast("long")).as("sum_k"))
+      .orderBy(col("event_type"), col("hour"))
+
+  /** Per-user event funnel: conditional aggregation (pivot-style) — counts
+    * per event_type for the heaviest users, deterministic order. */
+  def userFunnel(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("user_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(when(col("event_type") === "view", 1).otherwise(0)).as("n_view"),
+        sum(when(col("event_type") === "click", 1).otherwise(0)).as("n_click"),
+        sum(when(col("event_type") === "purchase", 1).otherwise(0)).as("n_purchase"),
+        moneySum(col("value")).as("sum_value"))
+      .where(col("n_events") >= 10)
+      .orderBy(col("user_id"))
+}
