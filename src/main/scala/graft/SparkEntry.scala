@@ -35,10 +35,22 @@ object SparkEntry {
   private type QFn = (SparkSession, String) => DataFrame
 
   private def registry: Seq[(String, QFn, Option[String])] = Seq(
-    knnExactQ, medoidExactQ,
+    knnExactQ, medoidExactQ, vamanaSearchQ, vamanaRecallQ,
     pricingQ, regionRevenueQ, topOrdersQ, orderPriorityQ, filteredRevenueQ,
     partRollupQ, segmentSetOpsQ, eventsHourlyQ, userFunnelQ
   )
+
+  // ---- ANN surface (reference ops G4+Q1, graph-traversal — rows-only) --------
+
+  private val vamanaSearchQ: (String, QFn, Option[String]) = (
+    "vamana_search",
+    (s, d) => graft.vamana.VamanaOps.vamanaSearch(s, d),
+    None)
+
+  private val vamanaRecallQ: (String, QFn, Option[String]) = (
+    "vamana_recall",
+    (s, d) => graft.vamana.VamanaOps.recallReport(s, d),
+    None)
 
   // ---- vector surface (reference ops Q1/A1, oracle-checkable forms) ----------
 

@@ -1,0 +1,355 @@
+package graft.vamana
+
+import scala.collection.mutable
+import scala.util.Random
+
+/** Build/search parameters — the reference's constructor params
+  * (vamana.h:19-25): R = max out-degree, L = build/search beam width,
+  * alpha = prune slack, efSearch = result-pool bound at query time.
+  * Unlike the reference we carry an explicit seed: its build is
+  * nondeterministic (std::random_device, vamana.h:121), which makes results
+  * untestable; we diverge deliberately (SURVEY.md §5.4).
+  */
+final case class VamanaParams(
+    dim: Int,
+    maxDegree: Int = 32,
+    beamWidth: Int = 64,
+    alpha: Float = 1.2f,
+    efSearch: Int = 128,
+    seed: Long = 42L,
+    paperPrune: Boolean = false) {
+  require(dim > 0, "dim must be positive")
+  require(maxDegree > 0 && beamWidth > 0 && efSearch > 0, "R/L/ef must be positive")
+  require(alpha >= 1.0f, "alpha must be >= 1")
+}
+
+/** An in-memory Vamana graph over a point set — the serving-side twin of the
+  * reference's index state (points_/ids_/graph_/medoid_, vamana.h:26-38).
+  * Node identity is positional (internal id = array index); `ids` remaps to
+  * caller-assigned external ids exactly like vamana.h:542.
+  */
+final class LocalIndex(
+    val ids: Array[Long],
+    val points: Array[Array[Float]],
+    val graph: Array[Array[Int]],
+    val medoid: Int,
+    val params: VamanaParams) extends Serializable {
+  def size: Int = points.length
+}
+
+/** The sequential Vamana kernel: plain Scala, no Spark dependency, heavily
+  * unit-tested. The distributed build ([[VamanaIndexer]]) runs this per
+  * shard inside `mapPartitions`; the serving path broadcasts a [[LocalIndex]]
+  * and runs [[search]] per query.
+  *
+  * Algorithm follows the reference semantics (SURVEY.md §2a G1-G4, Q1):
+  * random R-regular init graph, two passes (alpha=1 then alpha=user) of
+  * greedy-search → robust-prune → bidirectional edge insertion. Differences
+  * (all deliberate, documented in SURVEY.md Appendix A): seeded RNG; medoid
+  * via centroid-nearest (O(n·dim)) instead of the O(n²·dim) exact scan; no
+  * O(n²) adjacency bit-matrix in init; the robustPrune empty-candidate bug
+  * (vamana.h:742 pushes -1) is not replicated.
+  */
+object VamanaKernel {
+
+  /** Squared L2, float accumulate — mirrors ComputeDistance (vamana.h:694-702). */
+  def l2sq(a: Array[Float], b: Array[Float]): Float = {
+    var s = 0.0f
+    var i = 0
+    val n = a.length
+    while (i < n) {
+      val d = a(i) - b(i)
+      s += d * d
+      i += 1
+    }
+    s
+  }
+
+  /** Nearest point to the per-dimension centroid — scalable medoid stand-in
+    * for FindMedoid (vamana.h:656-692). */
+  def centroidMedoid(points: Array[Array[Float]]): Int = {
+    val n = points.length
+    require(n > 0, "empty point set")
+    val dim = points(0).length
+    val c = new Array[Float](dim)
+    var i = 0
+    while (i < n) {
+      val p = points(i)
+      var j = 0
+      while (j < dim) { c(j) += p(j); j += 1 }
+      i += 1
+    }
+    var j = 0
+    while (j < dim) { c(j) /= n; j += 1 }
+    var best = 0
+    var bestD = Float.MaxValue
+    i = 0
+    while (i < n) {
+      val d = l2sq(points(i), c)
+      if (d < bestD) { bestD = d; best = i }
+      i += 1
+    }
+    best
+  }
+
+  /** Random init graph: up to R distinct random out-neighbors per node
+    * (G1, vamana.h:335-387 — minus the O(n²) bit matrix and in-degree cap,
+    * which are init heuristics immediately destroyed by pruning). */
+  def initGraph(n: Int, r: Int, rng: Random): Array[Array[Int]] = {
+    val g = new Array[Array[Int]](n)
+    var i = 0
+    while (i < n) {
+      val deg = math.min(r, n - 1)
+      val set = new mutable.HashSet[Int]
+      while (set.size < deg) {
+        val t = rng.nextInt(n)
+        if (t != i) set += t
+      }
+      g(i) = set.toArray
+      i += 1
+    }
+    g
+  }
+
+  /** Greedy beam search (G2, vamana.h:559-629): expand the nearest unvisited
+    * beam entry, add its neighbors, truncate the beam to `beamL`. Returns the
+    * visited candidate pool as parallel (ids, dists) arrays, unsorted.
+    */
+  def greedySearch(
+      points: Array[Array[Float]],
+      graph: Array[Array[Int]],
+      start: Int,
+      query: Array[Float],
+      beamL: Int): (Array[Int], Array[Float]) = {
+    val n = points.length
+    // beam: fixed-size sorted arrays of (dist, node), ascending by dist
+    val beamIds = new Array[Int](beamL + 1)
+    val beamDists = new Array[Float](beamL + 1)
+    var beamSize = 0
+    val inBeamVisited = new Array[Boolean](beamL + 1) // parallel to beam slots
+    val seen = new java.util.HashSet[Integer](beamL * 4)
+    val poolIds = new mutable.ArrayBuffer[Int](beamL * 4)
+    val poolDists = new mutable.ArrayBuffer[Float](beamL * 4)
+
+    def beamInsert(node: Int, dist: Float): Unit = {
+      if (beamSize == beamL && dist >= beamDists(beamSize - 1)) return
+      var lo = 0
+      var hi = beamSize
+      while (lo < hi) {
+        val mid = (lo + hi) >>> 1
+        if (beamDists(mid) < dist || (beamDists(mid) == dist && beamIds(mid) < node)) lo = mid + 1
+        else hi = mid
+      }
+      var k = math.min(beamSize, beamL - 1)
+      while (k > lo) {
+        beamIds(k) = beamIds(k - 1); beamDists(k) = beamDists(k - 1); inBeamVisited(k) = inBeamVisited(k - 1)
+        k -= 1
+      }
+      beamIds(lo) = node; beamDists(lo) = dist; inBeamVisited(lo) = false
+      if (beamSize < beamL) beamSize += 1
+    }
+
+    seen.add(start)
+    beamInsert(start, l2sq(points(start), query))
+    var done = false
+    while (!done) {
+      // nearest unvisited beam entry
+      var idx = -1
+      var i = 0
+      while (idx < 0 && i < beamSize) {
+        if (!inBeamVisited(i)) idx = i
+        i += 1
+      }
+      if (idx < 0) done = true
+      else {
+        inBeamVisited(idx) = true
+        val node = beamIds(idx)
+        poolIds += node
+        poolDists += beamDists(idx)
+        val nbrs = graph(node)
+        var j = 0
+        while (j < nbrs.length) {
+          val nb = nbrs(j)
+          if (nb >= 0 && nb < n && !seen.contains(nb)) {
+            seen.add(nb)
+            beamInsert(nb, l2sq(points(nb), query))
+          }
+          j += 1
+        }
+      }
+    }
+    (poolIds.toArray, poolDists.toArray)
+  }
+
+  /** Robust prune (G3, vamana.h:722-760). Candidates are (internal id, dist
+    * to p) for p itself excluded. Two rules:
+    *  - reference (default): fix p* = nearest candidate once; keep c while
+    *    `alpha·d(p*,c) >= d(p,c)`, cap R  (what produced the published 90.1%)
+    *  - paper (paperPrune=true): DiskANN iterative re-selection — add the
+    *    nearest remaining candidate, then drop every c with
+    *    `alpha·d(added,c) <= d(p,c)`.
+    */
+  def robustPrune(
+      points: Array[Array[Float]],
+      p: Int,
+      candIds: Array[Int],
+      candDists: Array[Float],
+      alpha: Float,
+      r: Int,
+      paperPrune: Boolean): Array[Int] = {
+    // dedup + drop self, sort by (dist, id)
+    val order = candIds.indices.toArray.sortBy(i => (candDists(i), candIds(i)))
+    val seen = new mutable.HashSet[Int]
+    val ids = new mutable.ArrayBuffer[Int](order.length)
+    val dists = new mutable.ArrayBuffer[Float](order.length)
+    for (i <- order) {
+      val c = candIds(i)
+      if (c != p && !seen.contains(c)) { seen += c; ids += c; dists += candDists(i) }
+    }
+    if (ids.isEmpty) return Array.empty
+    val out = new mutable.ArrayBuffer[Int](r)
+    if (!paperPrune) {
+      val pStar = ids(0)
+      out += pStar
+      val pStarVec = points(pStar)
+      var i = 1
+      while (i < ids.length && out.length < r) {
+        val c = ids(i)
+        if (alpha * l2sq(pStarVec, points(c)) >= dists(i)) out += c
+        i += 1
+      }
+    } else {
+      val alive = Array.fill(ids.length)(true)
+      var i = 0
+      while (i < ids.length && out.length < r) {
+        if (alive(i)) {
+          val added = ids(i)
+          out += added
+          val addedVec = points(added)
+          var j = i + 1
+          while (j < ids.length) {
+            if (alive(j) && alpha * l2sq(addedVec, points(ids(j))) <= dists(j)) alive(j) = false
+            j += 1
+          }
+        }
+        i += 1
+      }
+    }
+    out.toArray
+  }
+
+  /** [[robustPrune]] over external-id candidates with inline vectors — used
+    * by the distributed merge step, where the full point array isn't in
+    * scope (candidates arrive via a join). Same rules, same tie-breaking. */
+  def robustPruneVecs(
+      pVec: Array[Float],
+      candIds: Array[Long],
+      candVecs: Array[Array[Float]],
+      alpha: Float,
+      r: Int,
+      paperPrune: Boolean): Array[Long] = {
+    val dists = candVecs.map(l2sq(pVec, _))
+    val order = candIds.indices.toArray.sortBy(i => (dists(i), candIds(i)))
+    val seen = new mutable.HashSet[Long]
+    val keep = new mutable.ArrayBuffer[Int](order.length)
+    for (i <- order) if (seen.add(candIds(i))) keep += i
+    if (keep.isEmpty) return Array.empty
+    val out = new mutable.ArrayBuffer[Long](r)
+    if (!paperPrune) {
+      val pStarIdx = keep(0)
+      out += candIds(pStarIdx)
+      var i = 1
+      while (i < keep.length && out.length < r) {
+        val c = keep(i)
+        if (alpha * l2sq(candVecs(pStarIdx), candVecs(c)) >= dists(c)) out += candIds(c)
+        i += 1
+      }
+    } else {
+      val alive = Array.fill(keep.length)(true)
+      var i = 0
+      while (i < keep.length && out.length < r) {
+        if (alive(i)) {
+          val added = keep(i)
+          out += candIds(added)
+          var j = i + 1
+          while (j < keep.length) {
+            if (alive(j) && alpha * l2sq(candVecs(added), candVecs(keep(j))) <= dists(keep(j))) alive(j) = false
+            j += 1
+          }
+        }
+        i += 1
+      }
+    }
+    out.toArray
+  }
+
+  /** Full sequential build (G4, vamana.h:221-332): init graph → medoid →
+    * seeded permutation → two passes of greedy+prune+back-edges. */
+  def build(ids: Array[Long], points: Array[Array[Float]], params: VamanaParams): LocalIndex = {
+    val n = points.length
+    require(n > 0, "cannot build an index over zero points")
+    require(points.forall(_.length == params.dim), s"all points must have dim=${params.dim}")
+    val rng = new Random(params.seed)
+    val graph = initGraph(n, params.maxDegree, rng)
+    val medoid = centroidMedoid(points)
+
+    def pass(alpha: Float): Unit = {
+      val perm = rng.shuffle((0 until n).toVector)
+      for (node <- perm) {
+        val (poolIds, poolDists) = greedySearch(points, graph, medoid, points(node), params.beamWidth)
+        graph(node) = robustPrune(points, node, poolIds, poolDists, alpha, params.maxDegree, params.paperPrune)
+        // bidirectional back-edges with overflow re-prune (vamana.h:270-288)
+        for (nb <- graph(node)) {
+          val cur = graph(nb)
+          if (!cur.contains(node)) {
+            if (cur.length + 1 <= params.maxDegree) {
+              graph(nb) = cur :+ node
+            } else {
+              val cand = cur :+ node
+              val dists = cand.map(c => l2sq(points(nb), points(c)))
+              graph(nb) = robustPrune(points, nb, cand, dists, alpha, params.maxDegree, params.paperPrune)
+            }
+          }
+        }
+      }
+    }
+    pass(1.0f)
+    pass(params.alpha)
+    new LocalIndex(ids, points, graph, medoid, params)
+  }
+
+  /** Top-k query (Q1, vamana.h:492-546): greedy search from the medoid with
+    * beam width max(efSearch, k), then the k nearest of the visited pool.
+    * Returns (externalId, squared distance) ascending by (dist, id). */
+  def search(index: LocalIndex, query: Array[Float], k: Int): Array[(Long, Float)] =
+    searchFrom(index, index.medoid, query, k)
+
+  /** Q2 (vamana.h:426-489): as [[search]] but starting from the stored point
+    * nearest to `startVec` (linear scan resolve, vamana.h:441-449). */
+  def searchWithStartPoint(index: LocalIndex, startVec: Array[Float], query: Array[Float], k: Int): Array[(Long, Float)] = {
+    var best = 0
+    var bestD = Float.MaxValue
+    var i = 0
+    while (i < index.size) {
+      val d = l2sq(index.points(i), startVec)
+      if (d < bestD) { bestD = d; best = i }
+      i += 1
+    }
+    searchFrom(index, best, query, k)
+  }
+
+  private def searchFrom(index: LocalIndex, start: Int, query: Array[Float], k: Int): Array[(Long, Float)] = {
+    val kk = math.min(k, index.size)                    // clamp k<=n (vamana.h:498)
+    val beamL = math.max(index.params.efSearch, kk)     // ef>=k clamp (vamana.h:502-503)
+    val (poolIds, poolDists) = greedySearch(index.points, index.graph, start, query, beamL)
+    poolIds.indices.toArray
+      .sortBy(i => (poolDists(i), index.ids(poolIds(i))))
+      .take(kk)
+      .map(i => (index.ids(poolIds(i)), poolDists(i)))
+  }
+
+  /** Degree invariant over ALL nodes (fixes the reference's dead 10-node
+    * healthCheck, vamana.h:705-720). */
+  def healthCheck(index: LocalIndex): Boolean =
+    index.graph.forall(_.length <= index.params.maxDegree)
+}

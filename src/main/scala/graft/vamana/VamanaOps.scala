@@ -1,0 +1,46 @@
+package graft.vamana
+
+import scala.collection.concurrent.TrieMap
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.operators.Knn
+
+/** SparkEntry-facing ANN operators. The fitted model is cached per scale
+  * directory so Verify/Bench calls don't rebuild the graph per query. */
+object VamanaOps {
+
+  /** BASELINE.md's suggested params for the dim-64 embeddings table. */
+  val defaultParams: VamanaParams =
+    VamanaParams(dim = 64, maxDegree = 32, beamWidth = 64, alpha = 1.2f, efSearch = 128)
+
+  private val cache = TrieMap.empty[String, VamanaModel]
+
+  def model(spark: SparkSession, dir: String): VamanaModel =
+    cache.getOrElseUpdate(dir,
+      VamanaIndexer.fit(Tables.embeddings(spark, dir), defaultParams))
+
+  /** ANN top-10 for the first 10 stored vectors — same fixture as knn_exact,
+    * so the two results are directly comparable. Not SQL-expressible
+    * (graph traversal) → rows-only driver check; accuracy is covered by the
+    * recall gate in VamanaModelSpec and by [[recallReport]]. */
+  def vamanaSearch(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    model(spark, dir).search(Knn.queriesFromPoints(emb, 10), 10)
+  }
+
+  /** One-row report: recall@10 of the ANN search vs exact kNN over the first
+    * 50 stored vectors — the reference drivers' e2e metric (main.go:107-129)
+    * as an engine operator. */
+  def recallReport(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, dir)
+    val queries = Knn.queriesFromPoints(emb, 50).cache()
+    val truth = Knn.knnExact(emb, queries, 10)
+    val got = model(spark, dir).search(queries, 10)
+    val r = Knn.recallAt(10, got, truth)
+    Seq((10, math.rint(r * 1e4) / 1e4)).toDF("k", "recall")
+  }
+}

@@ -1,0 +1,117 @@
+package graft
+
+import scala.util.Random
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.vamana._
+
+/** Pure-kernel tests: no SparkSession. Mirrors the reference's only
+  * correctness gate — recall@k vs brute force (main.go:107-129) — plus the
+  * unit/property coverage the reference never had (SURVEY.md §5). */
+class VamanaKernelSpec extends AnyFunSuite {
+
+  private def randPoints(n: Int, dim: Int, seed: Long): Array[Array[Float]] = {
+    val rng = new Random(seed)
+    Array.fill(n)(Array.fill(dim)(rng.nextFloat() * 2 - 1))
+  }
+
+  private def bruteKnn(points: Array[Array[Float]], q: Array[Float], k: Int): Array[Int] =
+    points.indices.toArray.sortBy(i => (VamanaKernel.l2sq(points(i), q), i)).take(k)
+
+  test("l2sq matches naive definition (100 random pairs, dims 1..64)") {
+    val rng = new Random(1234)
+    for (_ <- 1 to 100) {
+      val dim = 1 + rng.nextInt(64)
+      val a = Array.fill(dim)(rng.nextFloat() * 16 - 8)
+      val b = Array.fill(dim)(rng.nextFloat() * 16 - 8)
+      val expected = a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+      val got = VamanaKernel.l2sq(a, b)
+      assert(math.abs(got - expected) <= 1e-3f * math.max(1f, math.abs(expected)))
+    }
+  }
+
+  test("robustPrune postconditions: <=R, keeps nearest, no self, no dups (both rules)") {
+    val points = randPoints(64, 4, seed = 7)
+    val rng = new Random(11)
+    for (paper <- Seq(false, true); _ <- 1 to 50) {
+      val p = rng.nextInt(points.length)
+      val cands = Array.fill(20)(rng.nextInt(points.length))
+      val dists = cands.map(c => VamanaKernel.l2sq(points(p), points(c)))
+      val out = VamanaKernel.robustPrune(points, p, cands, dists, 1.2f, 8, paper)
+      assert(out.length <= 8)
+      assert(!out.contains(p))
+      assert(out.distinct.length == out.length)
+      val nonSelf = cands.zip(dists).filter(_._1 != p)
+      if (nonSelf.nonEmpty) {
+        val nearest = nonSelf.minBy { case (c, d) => (d, c) }._1
+        assert(out.headOption.contains(nearest), "nearest candidate must always survive")
+      } else assert(out.isEmpty)
+    }
+  }
+
+  test("robustPruneVecs agrees with robustPrune on the same candidates") {
+    val points = randPoints(40, 4, seed = 21)
+    val rng = new Random(5)
+    for (paper <- Seq(false, true); _ <- 1 to 30) {
+      val p = rng.nextInt(points.length)
+      val cands = Array.fill(15)(rng.nextInt(points.length)).filter(_ != p)
+      val dists = cands.map(c => VamanaKernel.l2sq(points(p), points(c)))
+      val viaInternal = VamanaKernel.robustPrune(points, p, cands, dists, 1.2f, 6, paper).map(_.toLong)
+      val viaVecs = VamanaKernel.robustPruneVecs(
+        points(p), cands.map(_.toLong), cands.map(points(_)), 1.2f, 6, paper)
+      assert(viaInternal.toSeq == viaVecs.toSeq)
+    }
+  }
+
+  test("greedySearch on a hand-built 2-D chain reaches the nearest node") {
+    // points on a line; graph is a chain 0-1-2-...-9, start from 0
+    val points = (0 until 10).map(i => Array(i.toFloat, 0f)).toArray
+    val graph = points.indices.map { i =>
+      Seq(i - 1, i + 1).filter(j => j >= 0 && j < 10).toArray
+    }.toArray
+    val (poolIds, poolDists) = VamanaKernel.greedySearch(points, graph, 0, Array(7.2f, 0f), beamL = 3)
+    val best = poolIds.zip(poolDists).minBy(_._2)._1
+    assert(best == 7, s"expected node 7, got pool ${poolIds.toSeq}")
+  }
+
+  test("build: degree invariant, determinism, recall@10 >= 0.9 (n=300, dim=8)") {
+    val points = randPoints(300, 8, seed = 42)
+    val ids = Array.tabulate(300)(_.toLong)
+    val params = VamanaParams(dim = 8, maxDegree = 16, beamWidth = 32, alpha = 1.2f, efSearch = 64, seed = 1L)
+    val index = VamanaKernel.build(ids, points, params)
+    assert(VamanaKernel.healthCheck(index), "all out-degrees must be <= R")
+
+    val index2 = VamanaKernel.build(ids, points, params)
+    assert(index.graph.map(_.toSeq).toSeq == index2.graph.map(_.toSeq).toSeq, "seeded build must be deterministic")
+
+    val rng = new Random(99)
+    val queries = Array.fill(50)(Array.fill(8)(rng.nextFloat() * 2 - 1))
+    val recalls = queries.map { q =>
+      val truth = bruteKnn(points, q, 10).map(_.toLong).toSet
+      val got = VamanaKernel.search(index, q, 10).map(_._1).toSet
+      (got intersect truth).size / 10.0
+    }
+    val avg = recalls.sum / recalls.length
+    assert(avg >= 0.9, s"avg recall $avg below 0.9")
+  }
+
+  test("search clamps k to n and returns ascending (dist, id)") {
+    val points = randPoints(20, 4, seed = 3)
+    val ids = Array.tabulate(20)(i => (i * 10).toLong)
+    val index = VamanaKernel.build(ids, points, VamanaParams(dim = 4, maxDegree = 8, beamWidth = 16, efSearch = 32))
+    val res = VamanaKernel.search(index, points(0), k = 50)
+    assert(res.length == 20)
+    assert(res.sliding(2).forall { case Array((i1, d1), (i2, d2)) => d1 < d2 || (d1 == d2 && i1 < i2) })
+    assert(res.head._1 == 0L, "query == stored point 0 must return external id 0 first")
+  }
+
+  test("searchWithStartPoint resolves the start vector to the nearest stored point") {
+    val points = randPoints(100, 4, seed = 13)
+    val ids = Array.tabulate(100)(_.toLong)
+    val index = VamanaKernel.build(ids, points, VamanaParams(dim = 4, maxDegree = 8, beamWidth = 16, efSearch = 32))
+    val q = points(17)
+    val viaStart = VamanaKernel.searchWithStartPoint(index, points(55), q, 5)
+    assert(viaStart.head._1 == 17L)
+  }
+}

@@ -1,0 +1,83 @@
+package graft
+
+import scala.util.Random
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.Tables
+import graft.operators.Knn
+import graft.vamana._
+
+/** Spark-side Vamana: distributed fit, broadcast search, recall gate vs
+  * knnExact (the BASELINE.md contract: recall@10 >= 0.8 on embeddings with
+  * R=32, L=64, ef=128), and save/load roundtrip. */
+class VamanaModelSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.session.timeZone", "UTC")
+    .getOrCreate()
+
+  private val dir = "/root/testdata/sf0.001"
+  private val params = VamanaParams(dim = 64, maxDegree = 32, beamWidth = 64, alpha = 1.2f, efSearch = 128)
+
+  /** Stored vectors perturbed by seeded noise — non-trivial but answerable. */
+  private def perturbedQueries(n: Int): DataFrame = {
+    import spark.implicits._
+    val rng = new Random(4242)
+    val base = Tables.embeddings(spark, dir)
+      .select("vec_id", "embedding")
+      .as[(Long, Array[Float])].collect().sortBy(_._1).take(n)
+    base.map { case (id, vec) =>
+      (id, vec.map(v => v + (rng.nextFloat() - 0.5f) * 0.05f))
+    }.toSeq.toDF("query_id", "query_vec")
+  }
+
+  private def recall(model: VamanaModel, queries: DataFrame, k: Int): Double = {
+    val truth = Knn.knnExact(Tables.embeddings(spark, dir), queries, k)
+    Knn.recallAt(k, model.search(queries, k), truth)
+  }
+
+  test("single-shard fit reaches recall@10 >= 0.8 on embeddings (BASELINE gate)") {
+    spark.sparkContext.setLogLevel("WARN")
+    val model = VamanaIndexer.fit(Tables.embeddings(spark, dir), params)
+    assert(VamanaKernel.healthCheck(model.index))
+    val r = recall(model, perturbedQueries(30), 10)
+    assert(r >= 0.8, s"recall@10 = $r below the 0.8 gate")
+  }
+
+  test("multi-shard fit (3 shards) still reaches recall@10 >= 0.8") {
+    val model = VamanaIndexer.fit(Tables.embeddings(spark, dir), params, numShards = 3)
+    assert(VamanaKernel.healthCheck(model.index))
+    val r = recall(model, perturbedQueries(30), 10)
+    assert(r >= 0.8, s"multi-shard recall@10 = $r below the 0.8 gate")
+  }
+
+  test("save/load roundtrip preserves params and search results exactly") {
+    val model = VamanaIndexer.fit(Tables.embeddings(spark, dir), params)
+    val tmp = java.nio.file.Files.createTempDirectory("vamana_model").toString
+    model.save(spark, tmp)
+    val loaded = VamanaModel.load(spark, tmp)
+    assert(loaded.index.params == model.index.params, "ALL params must survive (reference bug A.1 fixed)")
+    assert(loaded.index.medoid == model.index.medoid)
+    val q = perturbedQueries(10)
+    val a = model.search(q, 10).collect().map(_.toSeq).toSeq
+    val b = loaded.search(q, 10).collect().map(_.toSeq).toSeq
+    assert(a == b, "loaded index must search identically")
+  }
+
+  test("searchWithStartPoint matches Q2 semantics (start vector resolved by scan)") {
+    import spark.implicits._
+    val model = VamanaIndexer.fit(Tables.embeddings(spark, dir), params)
+    val emb = Tables.embeddings(spark, dir)
+      .select("vec_id", "embedding").as[(Long, Array[Float])].collect().sortBy(_._1)
+    // query = stored vec 3, start = stored vec 250
+    val q = Seq((3L, emb(3)._2, emb(250)._2)).toDF("query_id", "query_vec", "start_vec")
+    val res = model.searchWithStartPoint(q, 5).collect()
+    assert(res.length == 5)
+    assert(res.head.getAs[Long]("id") == emb(3)._1, "exact-match query must rank its own id first")
+  }
+}
