@@ -1,0 +1,271 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.operators._
+
+/** Registry of the LLM-pipeline operators (dedup / text analysis /
+  * similarity / multimodal) with their DuckDB oracle SQL. Shared SQL
+  * fragments are built once so the Spark expression and its oracle twin
+  * cannot drift apart silently.
+  */
+object PipelineRegistry {
+
+  private type QFn = (SparkSession, String) => DataFrame
+
+  // ---- shared DuckDB fragments ----------------------------------------------
+
+  /** toks CTE: whitespace tokens of lowercased text. */
+  private val toksCte =
+    "SELECT doc_id, text, lang, string_split_regex(lower(text), '\\s+') AS toks FROM documents"
+
+  /** shingled CTE body: distinct word-3-gram shingles, docs with >=3 tokens. */
+  private val shingledCte =
+    s"""SELECT doc_id, list_distinct(list_transform(range(1, len(toks)-1),
+       |  i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+       |FROM ($toksCte) WHERE len(toks) >= 3""".stripMargin
+
+  private def dotSql(a: String, b: String): String =
+    s"list_sum(list_transform(range(1, len($a)+1), i -> ($a[i]::DOUBLE) * ($b[i]::DOUBLE)))"
+
+  private def l2Sql(a: String, b: String): String =
+    s"list_sum(list_transform(range(1, len($a)+1), i -> " +
+      s"(($a[i]::DOUBLE) - ($b[i]::DOUBLE)) * (($a[i]::DOUBLE) - ($b[i]::DOUBLE))))"
+
+  private val stopwordsList = TextAnalysis.StopwordsEn.map(w => s"'$w'").mkString("[", ",", "]")
+
+  // ---- registry -------------------------------------------------------------
+
+  def entries: Seq[(String, QFn, Option[String])] = Seq(
+    dedupExact, dedupNgram, dedupMinhash, dedupSimhash, dedupEmbedding,
+    textStats, langId, tokenCount, docFingerprint,
+    simCosineTopK, simJoinThreshold, lshCosinePairs, ivfSearch,
+    mmJoin, mmBinaryStats, mmMediaFeatures)
+
+  // ---- dedup ----------------------------------------------------------------
+
+  private val dedupExact: (String, QFn, Option[String]) = (
+    "dedup_exact",
+    (s, d) => Dedup.dedupExact(s, d),
+    Some("""
+      WITH n AS (SELECT doc_id, md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS content_hash
+                 FROM documents)
+      SELECT min(doc_id) AS doc_id, content_hash, count(*) AS n_copies
+      FROM n GROUP BY content_hash ORDER BY doc_id
+    """.trim))
+
+  private val dedupNgram: (String, QFn, Option[String]) = (
+    "dedup_ngram_jaccard",
+    (s, d) => Dedup.dedupNgramJaccard(s, d),
+    Some(s"""
+      WITH s AS ($shingledCte),
+      p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   len(list_intersect(a.sh, b.sh))::DOUBLE /
+                     (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jaccard
+            FROM s a JOIN s b ON a.doc_id < b.doc_id)
+      SELECT id_a, id_b, round(jaccard, 4) AS jaccard
+      FROM p WHERE jaccard >= 0.2 ORDER BY id_a, id_b
+    """.trim))
+
+  private val minhashSigSql: String = {
+    val mins = (0 until 16).map(i => s"min(md5('$i:' || s)) AS h$i").mkString(",\n        ")
+    val bands = (0 until 4).map { b =>
+      val hs = (b * 4 until b * 4 + 4).map(i => s"h$i").mkString(" || '|' || ")
+      s"SELECT doc_id, $b AS band, md5($hs) AS bsig FROM sig"
+    }.mkString("\n        UNION ALL ")
+    s"""ex AS (SELECT doc_id, unnest(sh) AS s FROM s),
+      sig AS (SELECT doc_id,
+        $mins
+        FROM ex GROUP BY doc_id),
+      bands AS ($bands)"""
+  }
+
+  private val dedupMinhash: (String, QFn, Option[String]) = (
+    "dedup_minhash",
+    (s, d) => Dedup.dedupMinhash(s, d),
+    Some(s"""
+      WITH s AS ($shingledCte),
+      $minhashSigSql,
+      cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+               FROM bands a JOIN bands b
+               ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id),
+      j AS (SELECT id_a, id_b,
+                   len(list_intersect(da.sh, db.sh))::DOUBLE /
+                     (len(da.sh) + len(db.sh) - len(list_intersect(da.sh, db.sh))) AS jaccard
+            FROM cand JOIN s da ON id_a = da.doc_id JOIN s db ON id_b = db.doc_id)
+      SELECT id_a, id_b, round(jaccard, 4) AS jaccard
+      FROM j WHERE jaccard >= 0.2 ORDER BY id_a, id_b
+    """.trim))
+
+  private val simhashSigSql: String = {
+    val sums = (0 until 16).map(i =>
+      s"sum(strpos('0123456789abcdef', substr(md5(s), ${i + 1}, 1)) * 2 - 17) AS b$i")
+      .mkString(",\n        ")
+    val fold = (0 until 16).foldLeft("0") { (acc, i) =>
+      s"($acc * 2 + CASE WHEN b$i > 0 THEN 1 ELSE 0 END)"
+    }
+    s"""ex AS (SELECT doc_id, unnest(sh) AS s FROM s),
+      sums AS (SELECT doc_id,
+        $sums
+        FROM ex GROUP BY doc_id),
+      sig AS (SELECT doc_id, ($fold)::INT AS sig FROM sums)"""
+  }
+
+  private val dedupSimhash: (String, QFn, Option[String]) = (
+    "dedup_simhash",
+    (s, d) => Dedup.dedupSimhash(s, d),
+    Some(s"""
+      WITH s AS ($shingledCte),
+      $simhashSigSql,
+      p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   bit_count(xor(a.sig, b.sig))::BIGINT AS hamming
+            FROM sig a JOIN sig b ON a.doc_id < b.doc_id)
+      SELECT id_a, id_b, hamming FROM p WHERE hamming <= 3 ORDER BY id_a, id_b
+    """.trim))
+
+  private val dedupEmbedding: (String, QFn, Option[String]) = (
+    "dedup_embedding_cosine",
+    (s, d) => Dedup.dedupEmbeddingCosine(s, d),
+    Some(s"""
+      WITH e AS (SELECT vec_id, embedding, sqrt(${dotSql("embedding", "embedding")}) AS nrm
+                 FROM embeddings),
+      p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   ${dotSql("a.embedding", "b.embedding")} / (a.nrm * b.nrm) AS cos
+            FROM e a JOIN e b ON a.vec_id < b.vec_id)
+      SELECT id_a, id_b, round(cos, 4) AS cos FROM p WHERE cos >= 0.4 ORDER BY id_a, id_b
+    """.trim))
+
+  // ---- text analysis --------------------------------------------------------
+
+  private val textStats: (String, QFn, Option[String]) = (
+    "text_stats",
+    (s, d) => TextAnalysis.textStats(s, d),
+    Some(s"""
+      WITH t AS ($toksCte),
+      m AS (SELECT doc_id,
+              len(toks)::BIGINT AS n_tokens,
+              list_sum(list_transform(toks, x -> len(x)))::DOUBLE / len(toks) AS avg_len,
+              (len(text) - len(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g')))::DOUBLE / len(text) AS punct_ratio,
+              len(list_filter(toks, x -> list_contains($stopwordsList, x)))::DOUBLE / len(toks) AS stop_ratio
+            FROM t)
+      SELECT doc_id, n_tokens,
+             round(avg_len, 4) AS avg_token_len,
+             round(punct_ratio, 4) AS punct_ratio,
+             round(stop_ratio, 4) AS stopword_ratio,
+             round(least(n_tokens::DOUBLE / 100.0, 1.0) * 0.6 +
+                   (1.0 - punct_ratio) * 0.2 +
+                   least(stop_ratio * 5.0, 1.0) * 0.2, 4) AS quality_score
+      FROM m ORDER BY doc_id
+    """.trim))
+
+  private val langId: (String, QFn, Option[String]) = (
+    "lang_id",
+    (s, d) => TextAnalysis.langId(s, d),
+    Some(s"""
+      WITH t AS ($toksCte),
+      sc AS (SELECT doc_id, lang,
+               len(list_filter(toks, x -> list_contains(['der','die','das','und','ist','ein'], x))) AS s_de,
+               len(list_filter(toks, x -> list_contains(['the','a','and','of','to','is'], x))) AS s_en,
+               len(list_filter(toks, x -> list_contains(['el','la','los','y','es','un'], x))) AS s_es,
+               len(list_filter(toks, x -> list_contains(['le','les','et','est','une','dans'], x))) AS s_fr
+             FROM t),
+      b1 AS (SELECT *, CASE WHEN s_en > s_de THEN s_en ELSE s_de END AS bs1,
+                       CASE WHEN s_en > s_de THEN 'en' ELSE 'de' END AS bl1 FROM sc),
+      b2 AS (SELECT *, CASE WHEN s_es > bs1 THEN s_es ELSE bs1 END AS bs2,
+                       CASE WHEN s_es > bs1 THEN 'es' ELSE bl1 END AS bl2 FROM b1),
+      b3 AS (SELECT *, CASE WHEN s_fr > bs2 THEN s_fr ELSE bs2 END AS bs3,
+                       CASE WHEN s_fr > bs2 THEN 'fr' ELSE bl2 END AS bl3 FROM b2)
+      SELECT doc_id,
+             CASE WHEN bs3 > 0 THEN bl3 ELSE 'und' END AS pred_lang,
+             lang AS label_lang,
+             CASE WHEN (CASE WHEN bs3 > 0 THEN bl3 ELSE 'und' END) = lang THEN 1 ELSE 0 END AS is_match
+      FROM b3 ORDER BY doc_id
+    """.trim))
+
+  private val tokenCount: (String, QFn, Option[String]) = (
+    "token_count",
+    (s, d) => TextAnalysis.tokenCount(s, d),
+    Some("""
+      SELECT doc_id,
+             len(string_split_regex(lower(text), '\s+'))::BIGINT AS ws_tokens,
+             len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]'))::BIGINT AS re_tokens,
+             len(text)::BIGINT AS n_chars
+      FROM documents ORDER BY doc_id
+    """.trim))
+
+  private val docFingerprint: (String, QFn, Option[String]) = (
+    "doc_fingerprint",
+    (s, d) => TextAnalysis.fingerprint(s, d),
+    Some(s"""
+      WITH s AS ($shingledCte)
+      SELECT doc_id,
+             array_to_string(list_sort(list_transform(sh, x -> md5(x)))[1:5], ',') AS fingerprint
+      FROM s ORDER BY doc_id
+    """.trim))
+
+  // ---- similarity -----------------------------------------------------------
+
+  private val simCosineTopK: (String, QFn, Option[String]) = (
+    "sim_cosine_topk",
+    (s, d) => Similarity.bruteCosineTopK(s, d),
+    Some(s"""
+      WITH e AS (SELECT vec_id, embedding, sqrt(${dotSql("embedding", "embedding")}) AS nrm
+                 FROM embeddings),
+      q AS (SELECT vec_id AS query_id, embedding AS qvec, nrm AS qn FROM e WHERE vec_id < 10),
+      sc AS (SELECT q.query_id, e.vec_id AS id,
+                    ${dotSql("e.embedding", "q.qvec")} / (e.nrm * q.qn) AS cos
+             FROM e CROSS JOIN q WHERE e.vec_id <> q.query_id),
+      r AS (SELECT query_id, id, cos,
+                   row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, id ASC) AS rank
+            FROM sc)
+      SELECT query_id, rank, id, round(cos, 4) AS cos FROM r WHERE rank <= 5
+      ORDER BY query_id, rank
+    """.trim))
+
+  private val simJoinThreshold: (String, QFn, Option[String]) = (
+    "sim_join_threshold",
+    (s, d) => Similarity.similarityJoinExact(s, d),
+    Some(s"""
+      WITH p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                        ${l2Sql("a.embedding", "b.embedding")} AS dist
+                 FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+      SELECT id_a, id_b, round(dist, 4) AS dist FROM p WHERE dist < 1.1 ORDER BY id_a, id_b
+    """.trim))
+
+  private val lshCosinePairs: (String, QFn, Option[String]) = (
+    "lsh_cosine_pairs",
+    (s, d) => Similarity.lshCosinePairs(s, d),
+    None)
+
+  private val ivfSearch: (String, QFn, Option[String]) = (
+    "ivf_search",
+    (s, d) => Similarity.ivfSearch(s, d),
+    None)
+
+  // ---- multimodal -----------------------------------------------------------
+
+  private val mmJoin: (String, QFn, Option[String]) = (
+    "mm_join",
+    (s, d) => Multimodal.multimodalJoin(s, d),
+    Some("""
+      SELECT lang, label, count(*) AS n_docs,
+             round(avg(n_chars), 4) AS avg_chars,
+             min(doc_id) AS min_doc_id
+      FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+      GROUP BY lang, label ORDER BY lang, label
+    """.trim))
+
+  private val mmBinaryStats: (String, QFn, Option[String]) = (
+    "mm_binary_stats",
+    (s, d) => Multimodal.binaryStats(s, d),
+    Some("""
+      SELECT doc_id, octet_length(encode(text))::BIGINT AS n_bytes,
+             md5(text) AS payload_md5, source
+      FROM documents ORDER BY doc_id
+    """.trim))
+
+  private val mmMediaFeatures: (String, QFn, Option[String]) = (
+    "mm_media_features",
+    (s, d) => Multimodal.mediaFeatures(s, d),
+    None)
+}

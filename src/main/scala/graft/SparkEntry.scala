@@ -38,7 +38,7 @@ object SparkEntry {
     knnExactQ, medoidExactQ, vamanaSearchQ, vamanaRecallQ,
     pricingQ, regionRevenueQ, topOrdersQ, orderPriorityQ, filteredRevenueQ,
     partRollupQ, segmentSetOpsQ, eventsHourlyQ, userFunnelQ
-  )
+  ) ++ PipelineRegistry.entries
 
   // ---- ANN surface (reference ops G4+Q1, graph-traversal — rows-only) --------
 

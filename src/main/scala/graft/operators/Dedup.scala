@@ -1,0 +1,172 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.functions.VectorFunctions._
+
+/** Deduplication operators over the `documents` (text) and `embeddings`
+  * (vector) tables — the north-star LLM-pipeline surface (SURVEY.md §2b).
+  *
+  * Scale posture: NONE of the text paths cross-join the corpus. Candidate
+  * generation is always an equi-join on a derived key — shared shingle
+  * (exact Jaccard: complete for any threshold > 0), shared LSH band
+  * (MinHash), shared signature chunk (SimHash, complete for the Hamming
+  * radius by pigeonhole) — so the shuffles are keyed and the pair set stays
+  * near-linear in the number of true duplicates, not quadratic in corpus
+  * size. Only the embedding near-dup path cross-joins, and only as the
+  * oracle-checkable exact form ([[graft.operators.Similarity]] carries the
+  * LSH-bucketed scale path).
+  *
+  * Every hash is md5-of-string — deterministic and bit-identical in DuckDB,
+  * which is what makes fuzzy dedup oracle-checkable at all.
+  */
+object Dedup {
+
+  /** Whitespace tokens of lowercased text. */
+  def tokens(text: Column): Column = split(lower(text), "\\s+")
+
+  /** Distinct word 3-gram shingles; callers must filter docs with >=3
+    * tokens (both engines agree on the guard). */
+  def shingles(toks: Column): Column =
+    array_distinct(transform(
+      sequence(lit(1), size(toks) - 2),
+      i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1), element_at(toks, i + 2))))
+
+  /** doc_id + distinct-shingle array for all docs with >=3 tokens. */
+  private def shingled(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .where(size(col("toks")) >= 3)
+      .select(col("doc_id"), shingles(col("toks")).as("sh"))
+
+  /** Exact dedup: normalize (lowercase, collapse whitespace, trim), keep the
+    * lowest doc_id per normalized text. Output = survivors with the content
+    * hash, so downstream joins can map dropped→kept. */
+  def dedupExact(spark: SparkSession, dir: String): DataFrame = {
+    val norm = trim(regexp_replace(lower(col("text")), "\\s+", " "))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), md5(norm).as("content_hash"))
+      .groupBy(col("content_hash"))
+      .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"))
+      .select(col("doc_id"), col("content_hash"), col("n_copies"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Exact n-gram Jaccard near-dup pairs, inverted-index form: explode
+    * shingles, equi-join on shingle to count the intersection per pair, then
+    * jaccard = c / (|A|+|B|-c). Complete vs the all-pairs form for any
+    * threshold > 0 (a pair with jaccard > 0 shares a shingle). */
+  def dedupNgramJaccard(spark: SparkSession, dir: String, threshold: Double = 0.2): DataFrame = {
+    val d = shingled(spark, dir)
+    val counts = d.select(col("doc_id"), size(col("sh")).as("n"))
+    val ex = d.select(col("doc_id"), explode(col("sh")).as("s"))
+    val inter = ex.as("a").join(ex.as("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .agg(count(lit(1)).as("c"))
+    inter
+      .join(counts.select(col("doc_id").as("id_a"), col("n").as("na")), "id_a")
+      .join(counts.select(col("doc_id").as("id_b"), col("n").as("nb")), "id_b")
+      .withColumn("jaccard", col("c").cast("double") / (col("na") + col("nb") - col("c")))
+      .where(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  private val NumHashes = 16
+  private val Bands = 4 // 4 bands x 4 rows
+
+  /** MinHash+LSH near-dup pairs: 16 portable min-hashes per doc
+    * (min over shingles of md5("i:"++shingle), i=0..15), banded 4x4; pairs
+    * sharing any band signature are candidates, then verified with true
+    * shingle Jaccard >= threshold. One groupBy for all 16 mins (single
+    * shuffle), one equi-join on (band, signature) — never all-pairs. */
+  def dedupMinhash(spark: SparkSession, dir: String, threshold: Double = 0.2): DataFrame = {
+    val d = shingled(spark, dir).cache()
+    val ex = d.select(col("doc_id"), explode(col("sh")).as("s"))
+    val sigCols = (0 until NumHashes).map(i => min(md5(concat(lit(s"$i:"), col("s")))).as(s"h$i"))
+    val sig = ex.groupBy(col("doc_id")).agg(sigCols.head, sigCols.tail: _*)
+    val rowsPerBand = NumHashes / Bands
+    val bandStructs = (0 until Bands).map { b =>
+      val hs = (b * rowsPerBand until (b + 1) * rowsPerBand).map(i => col(s"h$i"))
+      struct(lit(b).as("band"), md5(concat_ws("|", hs: _*)).as("bsig"))
+    }
+    val bands = sig.select(col("doc_id"), explode(array(bandStructs: _*)).as("bs"))
+      .select(col("doc_id"), col("bs.band").as("band"), col("bs.bsig").as("bsig"))
+    val cand = bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bsig") === col("b.bsig") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .distinct()
+    cand
+      .join(d.select(col("doc_id").as("id_a"), col("sh").as("sha")), "id_a")
+      .join(d.select(col("doc_id").as("id_b"), col("sh").as("shb")), "id_b")
+      .withColumn("c", size(array_intersect(col("sha"), col("shb"))).cast("double"))
+      .withColumn("jaccard", col("c") / (size(col("sha")) + size(col("shb")) - col("c")))
+      .where(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  private val SimBits = 16
+  private val SimChunks = 4
+  private val HammingMax = 3
+
+  /** 16-bit SimHash per doc: bit i is the sign of Σ over distinct shingles
+    * of (hexdigit_i(md5(shingle))·2 − 15). Portable: md5 + strpos exist
+    * identically in DuckDB. */
+  def simhashSignatures(spark: SparkSession, dir: String): DataFrame = {
+    val ex = shingled(spark, dir).select(col("doc_id"), explode(col("sh")).as("s"))
+    val bitSums = (0 until SimBits).map { i =>
+      sum(instr(lit("0123456789abcdef"), substring(md5(col("s")), i + 1, 1)) * 2 - 17).as(s"b$i")
+    }
+    // fold bits MSB-first into one int: acc*2 + (sum>0)
+    val sums = ex.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
+    val sigExpr = (0 until SimBits).foldLeft(lit(0): Column) { (acc, i) =>
+      acc * 2 + when(col(s"b$i") > 0, 1).otherwise(0)
+    }
+    sums.select(col("doc_id"), sigExpr.cast("int").as("sig"))
+  }
+
+  /** SimHash near-dup pairs: Hamming(sig_a, sig_b) <= 3 over the 16-bit
+    * signatures. Candidate generation is pigeonhole chunking — split the
+    * signature into 4 nibbles; <=3 differing bits guarantees one identical
+    * nibble, so an equi-join on (chunk, nibble) is complete. */
+  def dedupSimhash(spark: SparkSession, dir: String): DataFrame = {
+    val sig = simhashSignatures(spark, dir).cache()
+    val chunks = (0 until SimChunks).map { cIdx =>
+      struct(lit(cIdx).as("chunk"), shiftright(col("sig"), cIdx * 4).bitwiseAND(lit(15)).as("nib"))
+    }
+    val keyed = sig.select(col("doc_id"), col("sig"), explode(array(chunks: _*)).as("ck"))
+      .select(col("doc_id"), col("sig"), col("ck.chunk").as("chunk"), col("ck.nib").as("nib"))
+    keyed.as("a").join(keyed.as("b"),
+        col("a.chunk") === col("b.chunk") && col("a.nib") === col("b.nib") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        col("a.sig").as("sa"), col("b.sig").as("sb"))
+      .distinct()
+      .withColumn("hamming", bit_count(col("sa").bitwiseXOR(col("sb"))).cast("long"))
+      .where(col("hamming") <= HammingMax)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** Embedding-cosine near-dup pairs (exact all-pairs form — the oracle
+    * twin; the LSH-bucketed scale path lives in [[Similarity]]). Norms are
+    * precomputed per row BEFORE the join, so each pair pays one dot-product
+    * fold instead of three. */
+  def dedupEmbeddingCosine(spark: SparkSession, dir: String, threshold: Double = 0.4): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"))
+    val a = e.select(col("vec_id").as("id_a"), col("embedding").as("va"), col("nrm").as("na"))
+    val b = e.select(col("vec_id").as("id_b"), col("embedding").as("vb"), col("nrm").as("nb"))
+    a.crossJoin(b)
+      .where(col("id_a") < col("id_b"))
+      .withColumn("cos", dot(col("va"), col("vb")) / (col("na") * col("nb")))
+      .where(col("cos") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("cos"), 4).as("cos"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+}

@@ -1,0 +1,168 @@
+package graft.operators
+
+import scala.util.Random
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.functions.VectorFunctions._
+
+/** Similarity search / join over the embedding column (north-star surface).
+  * Exact forms are oracle-checkable; the LSH-bucketed form is the scale path
+  * (hyperplane signs → bucket equi-join instead of all-pairs). */
+object Similarity {
+
+  /** Brute-force cosine top-k per query — the baseline ANN answer and the
+    * ground truth for the bucketed variant. Same broadcast-queries posture
+    * as [[Knn.knnExact]]. */
+  def bruteCosineTopK(spark: SparkSession, dir: String, nQueries: Int = 10, k: Int = 5): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"))
+    val q = e.where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"), col("nrm").as("qn"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("id").asc)
+    e.select(col("vec_id").as("id"), col("embedding").as("vec"), col("nrm").as("vn"))
+      .crossJoin(broadcast(q))
+      .where(col("id") =!= col("query_id"))
+      .withColumn("cos", dot(col("vec"), col("qvec")) / (col("vn") * col("qn")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("id"), round(col("cos"), 4).as("cos"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** Exact threshold similarity join: all pairs with squared-L2 below the
+    * threshold (the oracle form; at scale this becomes the LSH path). */
+  def similarityJoinExact(spark: SparkSession, dir: String, maxL2Sq: Double = 1.1): DataFrame = {
+    val e = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    val a = e.select(col("vec_id").as("id_a"), col("embedding").as("va"))
+    val b = e.select(col("vec_id").as("id_b"), col("embedding").as("vb"))
+    a.crossJoin(b)
+      .where(col("id_a") < col("id_b"))
+      .withColumn("dist", l2sq(col("va"), col("vb")))
+      .where(col("dist") < maxL2Sq)
+      .select(col("id_a"), col("id_b"), round(col("dist"), 4).as("dist"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  private val NumPlanes = 12
+
+  /** Seeded random hyperplanes for sign-LSH (deterministic; the driver can
+    * re-derive them, but the bucketing itself is not SQL-expressible at
+    * reasonable cost → rows-only check; accuracy vs brute force is asserted
+    * in specs). */
+  private def hyperplanes(dim: Int, seed: Long): Array[Array[Double]] = {
+    val rng = new Random(seed)
+    Array.fill(NumPlanes)(Array.fill(dim)(rng.nextGaussian()))
+  }
+
+  /** LSH-bucketed cosine near-neighbor pairs — the scale path for
+    * [[Dedup.dedupEmbeddingCosine]]: 12 hyperplane sign bits, banded into 4
+    * disjoint 3-bit keys; candidates are pairs agreeing on any band,
+    * verified with exact cosine. Equi-join on (band, key) — never all-pairs.
+    * Banding math: P(bit agrees) = 1 − θ/π; at cos 0.4 that's ~0.63, so a
+    * 3-bit band matches with p³≈0.25 and 4 bands give ~68% recall (asserted
+    * ≥0.5 in specs). For genuine near-dup corpora (cos ≥ 0.9) the same
+    * operator with 8-bit × 6 bands gives >95% recall and far finer buckets —
+    * parameters, not code, change with the workload. */
+  def lshCosinePairs(spark: SparkSession, dir: String, threshold: Double = 0.4, seed: Long = 7L): DataFrame = {
+    import spark.implicits._
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding").cast("array<float>"))
+      .as[(Long, Array[Float])]
+    val dim = 64
+    val planes = hyperplanes(dim, seed)
+    val bc = spark.sparkContext.broadcast(planes)
+    // signature = sign bits of plane dot products
+    val sigs = e.map { case (id, vec) =>
+      var sig = 0
+      var p = 0
+      val ps = bc.value
+      while (p < ps.length) {
+        var d = 0.0
+        var i = 0
+        while (i < vec.length) { d += ps(p)(i) * vec(i); i += 1 }
+        if (d > 0) sig |= (1 << p)
+        p += 1
+      }
+      (id, sig)
+    }.toDF("vec_id", "sig")
+    // 4 disjoint 3-bit bands; candidate iff some band's bits all agree
+    val keyed = sigs.select(col("vec_id"),
+        explode(array((0 until 4).map { r =>
+          struct(lit(r).as("band"), shiftright(col("sig"), r * 3).bitwiseAND(lit(7)).as("bucket"))
+        }: _*)).as("rb"))
+      .select(col("vec_id"), col("rb.band").as("band"), col("rb.bucket").as("bucket"))
+    val cand = keyed.as("a").join(keyed.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
+      .distinct()
+    val emb = Tables.embeddings(spark, dir)
+    cand
+      .join(emb.select(col("vec_id").as("id_a"), col("embedding").as("va")), "id_a")
+      .join(emb.select(col("vec_id").as("id_b"), col("embedding").as("vb")), "id_b")
+      .withColumn("cos", cosine(col("va"), col("vb")))
+      .where(col("cos") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("cos"), 4).as("cos"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** IVF-style ANN search: k-means-lite coarse quantizer (seeded points as
+    * centroids, one refinement pass), probe the nProbe nearest cells per
+    * query, exact re-rank within probed cells. Rows-only check; recall vs
+    * brute force asserted in specs. */
+  def ivfSearch(spark: SparkSession, dir: String, nQueries: Int = 10, k: Int = 5,
+      nCells: Int = 8, nProbe: Int = 3): DataFrame = {
+    import spark.implicits._
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding").cast("array<float>"))
+      .as[(Long, Array[Float])]
+    // bounded driver-side sample for the coarse quantizer (never the full
+    // corpus — at scale the quantizer trains on a sample by construction)
+    val all = e.filter(_._1 < 4096).collect().sortBy(_._1)
+    // seeded init: evenly spaced points; one Lloyd pass for stability
+    val init = (0 until nCells).map(i => all((i * all.length) / nCells)._2).toArray
+    val centroids = lloydOnce(all.map(_._2), init)
+    val bcC = spark.sparkContext.broadcast(centroids)
+    val assigned = e.map { case (id, v) =>
+      (id, v, nearestCells(v, bcC.value, 1).head)
+    }.toDF("vec_id", "vec", "cell")
+    val queries = all.take(nQueries).map { case (id, v) =>
+      (id, v, nearestCells(v, centroids, nProbe))
+    }.toSeq.toDF("query_id", "qvec", "cells")
+    val w = Window.partitionBy(col("query_id")).orderBy(col("dist").asc, col("vec_id").asc)
+    assigned
+      .join(broadcast(queries.select(col("query_id"), col("qvec"), explode(col("cells")).as("cell"))), "cell")
+      .withColumn("dist", l2sq(col("vec"), col("qvec")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vec_id").as("id"), round(col("dist"), 4).as("dist"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  private def nearestCells(v: Array[Float], cs: Array[Array[Float]], n: Int): Seq[Int] =
+    cs.indices.sortBy { c =>
+      var d = 0.0; var i = 0
+      while (i < v.length) { val x = v(i) - cs(c)(i); d += x * x; i += 1 }
+      (d, c)
+    }.take(n)
+
+  private def lloydOnce(points: Array[Array[Float]], init: Array[Array[Float]]): Array[Array[Float]] = {
+    val dim = init(0).length
+    val sums = Array.fill(init.length)(new Array[Double](dim))
+    val counts = new Array[Long](init.length)
+    points.foreach { p =>
+      val c = nearestCells(p, init, 1).head
+      counts(c) += 1
+      var i = 0
+      while (i < dim) { sums(c)(i) += p(i); i += 1 }
+    }
+    init.indices.map { c =>
+      if (counts(c) == 0) init(c)
+      else sums(c).map(v => (v / counts(c)).toFloat)
+    }.toArray
+  }
+}

@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators._
+
+/** LLM-pipeline operator behavior beyond the oracle hash-match: recall of
+  * the approximate (LSH/IVF) paths vs their exact twins, containment of
+  * MinHash results in exact Jaccard results, stub-decoder plumbing. */
+class PipelineSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.session.timeZone", "UTC")
+    .getOrCreate()
+
+  private val dir = "/root/testdata/sf0.01"
+
+  private def pairSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+    df.select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("minhash pairs are a subset of exact ngram-jaccard pairs, recall >= 0.8") {
+    spark.sparkContext.setLogLevel("WARN")
+    val exact = pairSet(Dedup.dedupNgramJaccard(spark, dir))
+    val mh = pairSet(Dedup.dedupMinhash(spark, dir))
+    assert(exact.nonEmpty, "fixture must contain planted near-dups")
+    assert(mh.subsetOf(exact), "minhash verifies with the same jaccard threshold -> subset")
+    assert(mh.size.toDouble / exact.size >= 0.8, s"minhash recall ${mh.size}/${exact.size}")
+  }
+
+  test("lsh cosine pairs recall >= 0.5 vs exact all-pairs (threshold 0.4)") {
+    val exact = pairSet(Dedup.dedupEmbeddingCosine(spark, dir))
+    val lsh = pairSet(Similarity.lshCosinePairs(spark, dir))
+    assert(exact.nonEmpty)
+    assert(lsh.subsetOf(exact), "lsh verifies with exact cosine -> subset")
+    assert(lsh.size.toDouble / exact.size >= 0.5, s"lsh recall ${lsh.size}/${exact.size}")
+  }
+
+  test("ivf search recall@5 >= 0.6 vs exact L2 top-5") {
+    val ivf = Similarity.ivfSearch(spark, dir)
+      .select("query_id", "id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = {
+      import org.apache.spark.sql.functions._
+      val e = graft.core.Tables.embeddings(spark, dir)
+      operators.Knn.knnExact(e, operators.Knn.queriesFromPoints(e, 10), 5)
+        .select("query_id", "id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    }
+    val recall = (ivf intersect brute).size.toDouble / brute.size
+    assert(recall >= 0.6, s"ivf recall $recall")
+  }
+
+  test("simhash pairs include the highest-jaccard planted near-dups") {
+    val strong = Dedup.dedupNgramJaccard(spark, dir, threshold = 0.8)
+    val strongPairs = pairSet(strong)
+    val sim = pairSet(Dedup.dedupSimhash(spark, dir))
+    assert(strongPairs.nonEmpty, "fixture has pairs with jaccard >= 0.8")
+    val found = strongPairs.count(sim.contains).toDouble / strongPairs.size
+    assert(found >= 0.8, s"simhash found only $found of the strongest near-dups")
+  }
+
+  test("media feature stub pipeline: one row per doc, n_bytes == n_chars (ascii corpus)") {
+    val feats = Multimodal.mediaFeatures(spark, dir)
+    val docs = graft.core.Tables.documents(spark, dir)
+    assert(feats.count() == docs.count())
+    val joined = feats.join(docs, "doc_id")
+      .where(org.apache.spark.sql.functions.col("n_bytes") =!=
+        org.apache.spark.sql.functions.col("n_chars"))
+    assert(joined.count() == 0, "utf-8 byte count must equal char count on ascii text")
+  }
+
+  test("all registered queries execute and agree with declared column names at sf0.001") {
+    val smokeDir = "/root/testdata/sf0.001"
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val df = fn(spark, smokeDir)
+      val n = df.count()
+      assert(n >= 0, s"$name failed")
+      assert(df.columns.nonEmpty, s"$name has no columns")
+    }
+  }
+
+  test("flagship entry returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+}
