@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
-import graft.functions.VectorFunctions._
+import graft.functions.NativeVectorFunctions.{dotNative, normNative}
 
 /** Deduplication operators over the `documents` (text) and `embeddings`
   * (vector) tables — the north-star LLM-pipeline surface (SURVEY.md §2b).
@@ -159,12 +159,12 @@ object Dedup {
     * fold instead of three. */
   def dedupEmbeddingCosine(spark: SparkSession, dir: String, threshold: Double = 0.4): DataFrame = {
     val e = Tables.embeddings(spark, dir)
-      .select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"))
+      .select(col("vec_id"), col("embedding"), normNative(spark, col("embedding")).as("nrm"))
     val a = e.select(col("vec_id").as("id_a"), col("embedding").as("va"), col("nrm").as("na"))
     val b = e.select(col("vec_id").as("id_b"), col("embedding").as("vb"), col("nrm").as("nb"))
     a.crossJoin(b)
       .where(col("id_a") < col("id_b"))
-      .withColumn("cos", dot(col("va"), col("vb")) / (col("na") * col("nb")))
+      .withColumn("cos", dotNative(spark, col("va"), col("vb")) / (col("na") * col("nb")))
       .where(col("cos") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("cos"), 4).as("cos"))
       .orderBy(col("id_a"), col("id_b"))

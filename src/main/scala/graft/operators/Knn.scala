@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.functions.VectorFunctions._
+import graft.functions.NativeVectorFunctions.{l2sqNative => l2n}
 
 /** Exact brute-force kNN and medoid — the oracle-verifiable twins of the
   * reference's `Search` (vamana.h:492-546) and `FindMedoid`
@@ -34,11 +34,12 @@ object Knn {
       vecCol: String = "embedding",
       queryIdCol: String = "query_id",
       queryVecCol: String = "query_vec"): DataFrame = {
+    val spark = points.sparkSession
     val p = points.select(col(idCol).as("id"), col(vecCol).as("vec"))
     val q = queries.select(col(queryIdCol).as("query_id"), col(queryVecCol).as("qvec"))
     val scored = p
       .crossJoin(broadcast(q))
-      .select(col("query_id"), col("id"), l2sq(col("vec"), col("qvec")).as("dist"))
+      .select(col("query_id"), col("id"), l2n(spark, col("vec"), col("qvec")).as("dist"))
     val w = Window.partitionBy(col("query_id")).orderBy(col("dist").asc, col("id").asc)
     scored
       .withColumn("rank", row_number().over(w).cast("long"))
@@ -56,7 +57,7 @@ object Knn {
     val b = points.select(col(idCol).as("id_b"), col(vecCol).as("vec_b"))
     a.crossJoin(b)
       .groupBy(col("id_a"))
-      .agg(sum(l2sq(col("vec_a"), col("vec_b"))).as("total_dist"))
+      .agg(sum(l2n(points.sparkSession, col("vec_a"), col("vec_b"))).as("total_dist"))
       .orderBy(col("total_dist").asc, col("id_a").asc)
       .limit(1)
       .select(col("id_a").as("medoid_id"), round(col("total_dist"), 2).as("total_dist"))
@@ -74,7 +75,7 @@ object Knn {
       .agg(collect_list(col("m")).as("centroid"))
     points
       .crossJoin(broadcast(centroidRow))
-      .select(col(idCol).as("medoid_id"), l2sq(col(vecCol), col("centroid")).as("dist_to_centroid"))
+      .select(col(idCol).as("medoid_id"), l2n(points.sparkSession, col(vecCol), col("centroid")).as("dist_to_centroid"))
       .orderBy(col("dist_to_centroid").asc, col("medoid_id").asc)
       .limit(1)
   }

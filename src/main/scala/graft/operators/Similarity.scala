@@ -7,7 +7,8 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
-import graft.functions.VectorFunctions._
+import graft.functions.NativeVectorFunctions.{dotNative, l2sqNative, normNative}
+import graft.functions.VectorFunctions.cosine
 
 /** Similarity search / join over the embedding column (north-star surface).
   * Exact forms are oracle-checkable; the LSH-bucketed form is the scale path
@@ -19,14 +20,14 @@ object Similarity {
     * as [[Knn.knnExact]]. */
   def bruteCosineTopK(spark: SparkSession, dir: String, nQueries: Int = 10, k: Int = 5): DataFrame = {
     val e = Tables.embeddings(spark, dir)
-      .select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"))
+      .select(col("vec_id"), col("embedding"), normNative(spark, col("embedding")).as("nrm"))
     val q = e.where(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("qvec"), col("nrm").as("qn"))
     val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("id").asc)
     e.select(col("vec_id").as("id"), col("embedding").as("vec"), col("nrm").as("vn"))
       .crossJoin(broadcast(q))
       .where(col("id") =!= col("query_id"))
-      .withColumn("cos", dot(col("vec"), col("qvec")) / (col("vn") * col("qn")))
+      .withColumn("cos", dotNative(spark, col("vec"), col("qvec")) / (col("vn") * col("qn")))
       .withColumn("rank", row_number().over(w).cast("long"))
       .where(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("id"), round(col("cos"), 4).as("cos"))
@@ -41,7 +42,7 @@ object Similarity {
     val b = e.select(col("vec_id").as("id_b"), col("embedding").as("vb"))
     a.crossJoin(b)
       .where(col("id_a") < col("id_b"))
-      .withColumn("dist", l2sq(col("va"), col("vb")))
+      .withColumn("dist", l2sqNative(spark, col("va"), col("vb")))
       .where(col("dist") < maxL2Sq)
       .select(col("id_a"), col("id_b"), round(col("dist"), 4).as("dist"))
       .orderBy(col("id_a"), col("id_b"))
@@ -104,7 +105,8 @@ object Similarity {
     cand
       .join(emb.select(col("vec_id").as("id_a"), col("embedding").as("va")), "id_a")
       .join(emb.select(col("vec_id").as("id_b"), col("embedding").as("vb")), "id_b")
-      .withColumn("cos", cosine(col("va"), col("vb")))
+      .withColumn("na", normNative(spark, col("va"))).withColumn("nb", normNative(spark, col("vb")))
+      .withColumn("cos", dotNative(spark, col("va"), col("vb")) / (col("na") * col("nb")))
       .where(col("cos") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("cos"), 4).as("cos"))
       .orderBy(col("id_a"), col("id_b"))
@@ -136,7 +138,7 @@ object Similarity {
     val w = Window.partitionBy(col("query_id")).orderBy(col("dist").asc, col("vec_id").asc)
     assigned
       .join(broadcast(queries.select(col("query_id"), col("qvec"), explode(col("cells")).as("cell"))), "cell")
-      .withColumn("dist", l2sq(col("vec"), col("qvec")))
+      .withColumn("dist", l2sqNative(spark, col("vec"), col("qvec")))
       .withColumn("rank", row_number().over(w).cast("long"))
       .where(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("vec_id").as("id"), round(col("dist"), 4).as("dist"))

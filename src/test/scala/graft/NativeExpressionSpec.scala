@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.Tables
+import graft.functions.{NativeVectorFunctions, VectorFunctions}
+
+/** The codegen'd distance expressions must be BIT-IDENTICAL to the built-in
+  * higher-order-function composition (same promote/combine/sum order) —
+  * that contract is what keeps the DuckDB oracle valid after the swap-in. */
+class NativeExpressionSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("l2sq_native is bit-identical to the aggregate(zip_with) composition") {
+    spark.sparkContext.setLogLevel("WARN")
+    val e = Tables.embeddings(spark, dir)
+    val a = e.select(col("vec_id"), col("embedding").as("va"))
+    val b = e.select(col("vec_id") + 250 as "vec_id", col("embedding").as("vb"))
+    val joined = a.join(b, "vec_id")
+    val diff = joined.select(
+      VectorFunctions.l2sq(col("va"), col("vb")).as("composed"),
+      NativeVectorFunctions.l2sqNative(spark, col("va"), col("vb")).as("native"))
+      .where(col("composed") =!= col("native"))
+    assert(diff.count() == 0, "native l2sq diverged from composed form")
+  }
+
+  test("dot_native is bit-identical to the composition") {
+    val e = Tables.embeddings(spark, dir)
+    val a = e.select(col("vec_id"), col("embedding").as("va"))
+    val b = e.select(col("vec_id") + 100 as "vec_id", col("embedding").as("vb"))
+    val diff = a.join(b, "vec_id").select(
+      VectorFunctions.dot(col("va"), col("vb")).as("composed"),
+      NativeVectorFunctions.dotNative(spark, col("va"), col("vb")).as("native"))
+      .where(col("composed") =!= col("native"))
+    assert(diff.count() == 0)
+  }
+
+  test("native expression participates in whole-stage codegen") {
+    val e = Tables.embeddings(spark, dir)
+    val df = e.select(NativeVectorFunctions.l2sqNative(spark, col("embedding"), col("embedding")).as("d"))
+    val plan = df.queryExecution.executedPlan.toString
+    // WholeStageCodegen spans print as "*(n)" in the executed plan
+    assert(plan.contains("WholeStageCodegen") || plan.contains("*("),
+      s"expected codegen in plan:\n$plan")
+    // and the expression must NOT be a CodegenFallback
+    assert(!graft.functions.L2Squared(null, null).isInstanceOf[
+      org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback])
+  }
+}
