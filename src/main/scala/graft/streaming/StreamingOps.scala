@@ -1,0 +1,62 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** One event row (mirrors the `events` table schema). */
+case class Event(event_id: Long, ts: Timestamp, user_id: Long, event_type: String, value: Double)
+
+/** Closed user session emitted by the stateful sessionizer. */
+case class Session(user_id: Long, start_ts: Timestamp, end_ts: Timestamp, n_events: Long, sum_value: Double)
+
+private case class SessionState(start: Long, last: Long, n: Long, sum: Double)
+
+/** Structured Streaming surface (SURVEY.md §2b: absent in the reference,
+  * exposed here because a 100 TB ingestion pipeline is fed by streams).
+  * Transforms are defined on the streaming Dataset so the SAME code runs on
+  * `readStream` sources in production and on MemoryStream in specs.
+  */
+object StreamingOps {
+
+  /** Tumbling-window event aggregation with a watermark — the canonical
+    * `readStream -> withWatermark -> window -> agg` shape. Late data beyond
+    * 10 minutes is dropped; output mode Append emits finalized windows. */
+  def windowedCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "5 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+      .select(col("window.start").as("win_start"), col("event_type"),
+        col("n_events"), col("sum_value"))
+
+  /** Stateful sessionization via mapGroupsWithState: a session closes after
+    * `gapMinutes` of inactivity (event-time driven via processing-time
+    * timeout in this demo). Emits one row per closed session. */
+  def sessionize(events: Dataset[Event], gapMinutes: Int = 30): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    val gapMs = gapMinutes * 60L * 1000L
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, it: Iterator[Event], state: GroupState[SessionState]) =>
+          // order within the batch for deterministic session splits
+          val evs = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          var st = state.getOption.orNull
+          val closed = Seq.newBuilder[Session]
+          for (e <- evs) {
+            val t = e.ts.getTime
+            if (st == null) st = SessionState(t, t, 1, e.value)
+            else if (t - st.last > gapMs) {
+              closed += Session(userId, new Timestamp(st.start), new Timestamp(st.last), st.n, st.sum)
+              st = SessionState(t, t, 1, e.value)
+            } else st = st.copy(last = t, n = st.n + 1, sum = st.sum + e.value)
+          }
+          if (st != null) state.update(st) else state.remove()
+          closed.result().iterator
+      }
+  }
+}

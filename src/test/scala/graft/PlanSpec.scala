@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.Tables
+import graft.operators._
+
+/** Physical-plan shape assertions — the properties that make these operators
+  * survive a 1000-executor scale-up: predicate pushdown to parquet, column
+  * pruning, broadcast of the small join side. */
+class PlanSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.session.timeZone", "UTC")
+    .getOrCreate()
+
+  private val dir = "/root/testdata/sf0.01"
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("q6 filter predicates are pushed down to the parquet scan") {
+    spark.sparkContext.setLogLevel("WARN")
+    val p = plan(Relational.filteredRevenue(spark, dir))
+    assert(p.contains("PushedFilters: [") && p.contains("l_discount"),
+      s"expected l_discount pushdown in:\n$p")
+  }
+
+  test("q1 scan is pruned to the referenced lineitem columns") {
+    val p = plan(Relational.pricingSummary(spark, dir))
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("l_partkey") && !readSchema.contains("l_suppkey"),
+      s"scan reads unneeded columns: $readSchema")
+    assert(readSchema.contains("l_quantity"))
+  }
+
+  test("knnExact broadcasts the query side (no corpus shuffle before scoring)") {
+    val emb = Tables.embeddings(spark, dir)
+    val p = plan(Knn.knnExact(emb, Knn.queriesFromPoints(emb, 10), 10))
+    assert(p.contains("BroadcastNestedLoopJoin"), s"expected broadcast join in:\n$p")
+  }
+
+  test("region revenue broadcasts the dimension tables") {
+    val p = plan(Relational.regionRevenue(spark, dir))
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast hash join in:\n$p")
+  }
+
+  test("dedup ngram jaccard contains no cartesian/broadcast-nested-loop join") {
+    val p = plan(Dedup.dedupNgramJaccard(spark, dir))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"text dedup must never be all-pairs:\n$p")
+  }
+}

@@ -1,0 +1,73 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming._
+
+/** Streaming surface driven synchronously through MemoryStream — watermarked
+  * windowed aggregation and stateful sessionization. */
+class StreamingSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.session.timeZone", "UTC")
+    .getOrCreate()
+
+  private def ts(minute: Int): Timestamp = new Timestamp(minute * 60L * 1000L)
+
+  test("windowed counts aggregate 5-minute tumbling windows") {
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = StreamingOps.windowedCounts(input.toDF())
+      .writeStream.format("memory").queryName("win_out")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        Event(1, ts(1), 10, "click", 1.0),
+        Event(2, ts(2), 11, "click", 2.0),
+        Event(3, ts(7), 10, "view", 3.0),
+        // advance watermark far enough to finalize the earlier windows
+        Event(4, ts(60), 12, "click", 4.0))
+      q.processAllAvailable()
+      input.addData(Event(5, ts(120), 13, "view", 5.0))
+      q.processAllAvailable()
+      val rows = spark.table("win_out")
+        .select("win_start", "event_type", "n_events", "sum_value").collect()
+        .map(r => (r.getTimestamp(0).getTime / 60000, r.getString(1), r.getLong(2), r.getDouble(3)))
+        .toSet
+      assert(rows.contains((0L, "click", 2L, 3.0)), s"got $rows")
+      assert(rows.contains((5L, "view", 1L, 3.0)), s"got $rows")
+    } finally q.stop()
+  }
+
+  test("sessionize closes sessions after the inactivity gap and keeps state across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = StreamingOps.sessionize(input.toDS(), gapMinutes = 30)
+      .writeStream.format("memory").queryName("sess_out")
+      .outputMode("append").start()
+    try {
+      // batch 1: user 1 has two events 5 min apart (one open session)
+      input.addData(Event(1, ts(0), 1, "click", 1.0), Event(2, ts(5), 1, "view", 2.0))
+      q.processAllAvailable()
+      assert(spark.table("sess_out").count() == 0, "session still open")
+      // batch 2: a 90-minute gap closes the first session and opens another
+      input.addData(Event(3, ts(95), 1, "click", 4.0))
+      q.processAllAvailable()
+      val sessions = spark.table("sess_out").as[Session].collect()
+      assert(sessions.length == 1)
+      val s = sessions.head
+      assert(s.user_id == 1 && s.n_events == 2 && s.sum_value == 3.0)
+      assert(s.start_ts == ts(0) && s.end_ts == ts(5))
+    } finally q.stop()
+  }
+}
