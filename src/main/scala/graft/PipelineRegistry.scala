@@ -37,7 +37,7 @@ object PipelineRegistry {
   // ---- registry -------------------------------------------------------------
 
   def entries: Seq[(String, QFn, Option[String])] = Seq(
-    dedupExact, dedupNgram, dedupMinhash, dedupSimhash, dedupEmbedding,
+    dedupExact, dedupNgram, dedupMinhash, dedupSimhash, dedupEmbedding, dedupSurvivorsQ,
     textStats, langId, tokenCount, docFingerprint,
     simCosineTopK, simJoinThreshold, lshCosinePairs, ivfSearch,
     mmJoin, mmBinaryStats, mmMediaFeatures)
@@ -133,6 +133,29 @@ object PipelineRegistry {
                    ${dotSql("a.embedding", "b.embedding")} / (a.nrm * b.nrm) AS cos
             FROM e a JOIN e b ON a.vec_id < b.vec_id)
       SELECT id_a, id_b, round(cos, 4) AS cos FROM p WHERE cos >= 0.4 ORDER BY id_a, id_b
+    """.trim))
+
+  private val dedupSurvivorsQ: (String, QFn, Option[String]) = (
+    "dedup_survivors",
+    (s, d) => Dedup.dedupSurvivors(s, d),
+    Some(s"""
+      WITH RECURSIVE
+      s AS ($shingledCte),
+      pr AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                    len(list_intersect(a.sh, b.sh))::DOUBLE /
+                      (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jaccard
+             FROM s a JOIN s b ON a.doc_id < b.doc_id),
+      e AS (SELECT id_a AS a, id_b AS b FROM pr WHERE jaccard >= 0.2
+            UNION ALL
+            SELECT id_b AS a, id_a AS b FROM pr WHERE jaccard >= 0.2),
+      reach AS (
+        SELECT doc_id AS id, doc_id AS r FROM documents
+        UNION
+        SELECT e.b AS id, reach.r FROM reach JOIN e ON e.a = reach.id),
+      lab AS (SELECT id AS doc_id, min(r) AS canonical_id FROM reach GROUP BY id)
+      SELECT doc_id, canonical_id,
+             CASE WHEN doc_id = canonical_id THEN 1 ELSE 0 END AS is_survivor
+      FROM lab ORDER BY doc_id
     """.trim))
 
   // ---- text analysis --------------------------------------------------------

@@ -35,10 +35,57 @@ object SparkEntry {
   private type QFn = (SparkSession, String) => DataFrame
 
   private def registry: Seq[(String, QFn, Option[String])] = Seq(
-    knnExactQ, medoidExactQ, vamanaSearchQ, vamanaRecallQ,
-    pricingQ, regionRevenueQ, topOrdersQ, orderPriorityQ, filteredRevenueQ,
-    partRollupQ, segmentSetOpsQ, eventsHourlyQ, userFunnelQ
+    knnExactQ, medoidExactQ, argminNearestQ,
+    vamanaSearchQ, vamanaRecallQ, vamanaStartQ, vamanaDescribeQ, vamanaDegreeQ,
+    pricingQ, regionRevenueQ, topOrdersQ, orderPriorityQ, localSupplierQ,
+    filteredRevenueQ, partRollupQ, segmentSetOpsQ, eventsHourlyQ, userFunnelQ
   ) ++ PipelineRegistry.entries
+
+  private val argminNearestQ: (String, QFn, Option[String]) = (
+    "argmin_nearest",
+    (s, d) => Knn.argminNearest(Tables.embeddings(s, d), 0L),
+    Some("""
+      WITH q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0)
+      SELECT e.vec_id AS id,
+             round(list_sum(list_transform(range(1, len(e.embedding)+1),
+               i -> ((e.embedding[i]::DOUBLE)-(q.qvec[i]::DOUBLE))*((e.embedding[i]::DOUBLE)-(q.qvec[i]::DOUBLE)))), 4) AS dist
+      FROM embeddings e CROSS JOIN q
+      WHERE e.vec_id <> 0
+      ORDER BY list_sum(list_transform(range(1, len(e.embedding)+1),
+               i -> ((e.embedding[i]::DOUBLE)-(q.qvec[i]::DOUBLE))*((e.embedding[i]::DOUBLE)-(q.qvec[i]::DOUBLE)))) ASC, e.vec_id ASC
+      LIMIT 1
+    """.trim))
+
+  private val vamanaStartQ: (String, QFn, Option[String]) = (
+    "vamana_search_start",
+    (s, d) => graft.vamana.VamanaOps.vamanaSearchWithStart(s, d),
+    None)
+
+  private val vamanaDescribeQ: (String, QFn, Option[String]) = (
+    "vamana_describe",
+    (s, d) => graft.vamana.VamanaOps.vamanaDescribe(s, d),
+    None)
+
+  private val vamanaDegreeQ: (String, QFn, Option[String]) = (
+    "vamana_degree_check",
+    (s, d) => graft.vamana.VamanaOps.vamanaDegreeCheck(s, d),
+    None)
+
+  private val localSupplierQ: (String, QFn, Option[String]) = (
+    "q5_local_supplier_volume",
+    (s, d) => Relational.localSupplierVolume(s, d),
+    Some("""
+      SELECT n_name,
+             round(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2))), 2)::DOUBLE AS revenue,
+             count(*) AS n_lineitems
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      JOIN nation ON s_nationkey = n_nationkey
+      GROUP BY n_name
+      ORDER BY n_name
+    """.trim))
 
   // ---- ANN surface (reference ops G4+Q1, graph-traversal — rows-only) --------
 

@@ -153,6 +153,40 @@ object Dedup {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** Dedup survivors: connected components over the near-dup pair graph,
+    * canonical id = min doc_id in the component. Iterative min-label
+    * propagation with keyed joins only — converges in O(component diameter)
+    * rounds (near-dup clusters are shallow; bounded at 20). For
+    * pathological long-chain graphs swap in large-star/small-star; the
+    * join pattern is identical. Docs in no pair keep themselves. */
+  def dedupSurvivors(spark: SparkSession, dir: String, threshold: Double = 0.2): DataFrame = {
+    val pairs = dedupNgramJaccard(spark, dir, threshold).select(col("id_a"), col("id_b"))
+    // undirected edge list, both directions
+    val edges = pairs.union(pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b"))).cache()
+    var labels = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("doc_id").as("canonical_id"))
+    var changed = 1L
+    var rounds = 0
+    while (changed > 0 && rounds < 20) {
+      // pull the smallest label of any neighbor
+      val nbrMin = edges
+        .join(labels.select(col("doc_id").as("id_b"), col("canonical_id").as("nl")), "id_b")
+        .groupBy(col("id_a").as("doc_id"))
+        .agg(min(col("nl")).as("nbr_min"))
+      val updated = labels.join(nbrMin, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("canonical_id"), coalesce(col("nbr_min"), col("canonical_id"))).as("canonical_id"))
+        .cache()
+      changed = updated.join(labels.withColumnRenamed("canonical_id", "old"), "doc_id")
+        .where(col("canonical_id") =!= col("old")).count()
+      labels = updated
+      rounds += 1
+    }
+    labels
+      .withColumn("is_survivor", (col("doc_id") === col("canonical_id")).cast("int"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Embedding-cosine near-dup pairs (exact all-pairs form — the oracle
     * twin; the LSH-bucketed scale path lives in [[Similarity]]). Norms are
     * precomputed per row BEFORE the join, so each pair pays one dot-product

@@ -80,6 +80,21 @@ object Knn {
       .limit(1)
   }
 
+  /** A2 argmin scan (vamana.h:441-449): nearest stored point to the vector
+    * of `queryId`, excluding itself — one broadcast + one pass + global
+    * top-1 (TakeOrderedAndProject). */
+  def argminNearest(points: DataFrame, queryId: Long,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val spark = points.sparkSession
+    val q = points.where(col(idCol) === queryId).select(col(vecCol).as("qvec"))
+    points.crossJoin(broadcast(q))
+      .where(col(idCol) =!= queryId)
+      .select(col(idCol).as("id"), l2n(spark, col(vecCol), col("qvec")).as("dist"))
+      .orderBy(col("dist").asc, col("id").asc)
+      .limit(1)
+      .select(col("id"), round(col("dist"), 4).as("dist"))
+  }
+
   /** Recall@k of `result` against ground `truth`, both shaped
     * (query_id, id): |result ∩ truth| / k averaged over queries —
     * the reference drivers' evaluation loop (main.go:107-121). */

@@ -98,6 +98,29 @@ object Relational {
       .agg(round(sum(dec(col("l_extendedprice")) * dec(col("l_discount"))), 2).cast("double").as("revenue"),
         count(lit(1)).as("n_rows"))
 
+  /** Local-supplier volume (TPC-H Q5 shape): 5-way join where customer and
+    * supplier must share a nation — revenue per nation. lineitem⋈orders⋈
+    * customer shuffle on their keys; supplier+nation broadcast. */
+  def localSupplierVolume(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_extendedprice"), col("l_discount"))
+    val orders = Tables.orders(spark, dir).select(col("o_orderkey"), col("o_custkey"))
+    val cust = Tables.customer(spark, dir).select(col("c_custkey"), col("c_nationkey"))
+    val supp = Tables.supplier(spark, dir).select(col("s_suppkey"), col("s_nationkey"))
+    val nation = Tables.nation(spark, dir)
+    li.join(orders, col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey") &&
+        col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(
+        round(sum(dec(col("l_extendedprice")) * dec(lit(1) - col("l_discount"))), 2)
+          .cast("double").as("revenue"),
+        count(lit(1)).as("n_lineitems"))
+      .orderBy(col("n_name"))
+  }
+
   /** Brand stats with ROLLUP grouping sets over part. */
   def partBrandStats(spark: SparkSession, dir: String): DataFrame =
     Tables.part(spark, dir)

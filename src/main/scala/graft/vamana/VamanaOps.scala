@@ -31,6 +31,31 @@ object VamanaOps {
     model(spark, dir).search(Knn.queriesFromPoints(emb, 10), 10)
   }
 
+  /** Q2 surface (vamana.h:426-489): search with caller-supplied start
+    * vectors — queries are vectors of ids 0..9, starts are vectors of ids
+    * 100..109. Rows-only check (graph traversal). */
+  def vamanaSearchWithStart(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val q = Knn.queriesFromPoints(emb, 10)
+    val s = emb.where(col("vec_id") >= 100 && col("vec_id") < 110)
+      .select((col("vec_id") - 100).as("query_id"), col("embedding").as("start_vec"))
+    model(spark, dir).searchWithStartPoint(q.join(s, "query_id"), 10)
+  }
+
+  /** M1 introspection (vamana.h:41-53) as a one-row query. */
+  def vamanaDescribe(spark: SparkSession, dir: String): DataFrame =
+    model(spark, dir).describe(spark)
+
+  /** M2 degree health check over ALL nodes (fixes the reference's dead
+    * 10-node sample, vamana.h:705-720). */
+  def vamanaDegreeCheck(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val idx = model(spark, dir).index
+    val maxDeg = idx.graph.map(_.length).max
+    Seq((idx.size.toLong, maxDeg, idx.params.maxDegree, maxDeg <= idx.params.maxDegree))
+      .toDF("n_nodes", "max_out_degree", "r", "ok")
+  }
+
   /** One-row report: recall@10 of the ANN search vs exact kNN over the first
     * 50 stored vectors — the reference drivers' e2e metric (main.go:107-129)
     * as an engine operator. */
