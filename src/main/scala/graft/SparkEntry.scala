@@ -38,8 +38,50 @@ object SparkEntry {
     knnExactQ, medoidExactQ, argminNearestQ,
     vamanaSearchQ, vamanaRecallQ, vamanaStartQ, vamanaDescribeQ, vamanaDegreeQ,
     pricingQ, regionRevenueQ, topOrdersQ, orderPriorityQ, localSupplierQ,
-    filteredRevenueQ, partRollupQ, segmentSetOpsQ, eventsHourlyQ, userFunnelQ
+    filteredRevenueQ, partRollupQ, segmentSetOpsQ, eventsHourlyQ, userFunnelQ,
+    ordersByMonthQ, partTypeQ, acctbalStatsQ, approxDistinctQ
   ) ++ PipelineRegistry.entries
+
+  private val ordersByMonthQ: (String, QFn, Option[String]) = (
+    "q11_orders_by_month",
+    (s, d) => Relational.ordersByMonth(s, d),
+    Some("""
+      SELECT year(o_orderdate)::INT AS yr, month(o_orderdate)::INT AS mo,
+             count(*) AS n_orders,
+             round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2)::DOUBLE AS revenue
+      FROM orders GROUP BY 1, 2 ORDER BY yr, mo
+    """.trim))
+
+  private val partTypeQ: (String, QFn, Option[String]) = (
+    "q12_part_type_breakdown",
+    (s, d) => Relational.partTypeBreakdown(s, d),
+    Some("""
+      SELECT string_split(p_type, ' ')[1] AS type_head, upper(p_brand) AS brand,
+             count(*) AS n_parts,
+             min(len(p_name)) AS min_name_len, max(len(p_name)) AS max_name_len
+      FROM part WHERE p_name LIKE '%a%'
+      GROUP BY 1, 2 ORDER BY type_head, brand
+    """.trim))
+
+  private val acctbalStatsQ: (String, QFn, Option[String]) = (
+    "q13_acctbal_stats",
+    (s, d) => Relational.acctbalStats(s, d),
+    Some("""
+      WITH g AS (
+        SELECT c_mktsegment, count(*) AS n,
+               round(sum(CAST(c_acctbal AS DECIMAL(18,2))), 2)::DOUBLE AS sum_bal,
+               sum(CAST(c_acctbal AS DECIMAL(18,2)) * CAST(c_acctbal AS DECIMAL(18,2))) AS sumsq,
+               sum(CAST(c_acctbal AS DECIMAL(18,2))) AS s
+        FROM customer GROUP BY c_mktsegment)
+      SELECT c_mktsegment, n, sum_bal,
+             round((sumsq::DOUBLE - s::DOUBLE * s::DOUBLE / n) / (n - 1), 2) AS var_bal
+      FROM g ORDER BY c_mktsegment
+    """.trim))
+
+  private val approxDistinctQ: (String, QFn, Option[String]) = (
+    "q14_approx_distinct",
+    (s, d) => Relational.approxDistinct(s, d),
+    None)
 
   private val argminNearestQ: (String, QFn, Option[String]) = (
     "argmin_nearest",

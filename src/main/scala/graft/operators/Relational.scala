@@ -155,6 +155,61 @@ object Relational {
         sum(get_json_object(col("props"), "$.k").cast("long")).as("sum_k"))
       .orderBy(col("event_type"), col("hour"))
 
+  /** Date-function demo: orders bucketed by calendar month (year+month
+    * extraction), order counts and revenue per month. */
+  def ordersByMonth(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy(
+        year(col("o_orderdate")).as("yr"),
+        month(col("o_orderdate")).as("mo"))
+      .agg(count(lit(1)).as("n_orders"), moneySum(col("o_totalprice")).as("revenue"))
+      .orderBy(col("yr"), col("mo"))
+
+  /** String-function demo over part: first word of p_type, uppercased brand,
+    * name-length stats, LIKE filtering. */
+  def partTypeBreakdown(spark: SparkSession, dir: String): DataFrame =
+    Tables.part(spark, dir)
+      .where(col("p_name").like("%a%"))
+      .groupBy(
+        split(col("p_type"), " ").getItem(0).as("type_head"),
+        upper(col("p_brand")).as("brand"))
+      .agg(
+        count(lit(1)).as("n_parts"),
+        min(length(col("p_name"))).cast("long").as("min_name_len"),
+        max(length(col("p_name"))).cast("long").as("max_name_len"))
+      .orderBy(col("type_head"), col("brand"))
+
+  /** Math/statistics demo with EXACT variance: var = (Σx² − (Σx)²/n)/(n−1)
+    * computed over decimal sums (order-independent), so Spark and DuckDB
+    * agree bit-for-bit — the portable alternative to float `var_samp`. */
+  def acctbalStats(spark: SparkSession, dir: String): DataFrame = {
+    val x = dec(col("c_acctbal"))
+    Tables.customer(spark, dir)
+      .groupBy(col("c_mktsegment"))
+      .agg(
+        count(lit(1)).as("n"),
+        round(sum(x), 2).cast("double").as("sum_bal"),
+        sum(x * x).as("sumsq"),
+        sum(x).as("s"))
+      .select(
+        col("c_mktsegment"), col("n"), col("sum_bal"),
+        round(
+          (col("sumsq").cast("double") - col("s").cast("double") * col("s").cast("double") / col("n")) /
+            (col("n") - 1), 2).as("var_bal"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  /** Sketch demo: approx_count_distinct (HLL++) vs exact distinct per
+    * event_type. HLL implementations differ across engines -> rows-only
+    * driver check; the relative-error gate lives in PipelineSpec. */
+  def approxDistinct(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(
+        countDistinct(col("user_id")).as("exact_users"),
+        approx_count_distinct(col("user_id"), 0.02).as("approx_users"))
+      .orderBy(col("event_type"))
+
   /** Per-user event funnel: conditional aggregation (pivot-style) — counts
     * per event_type for the heaviest users, deterministic order. */
   def userFunnel(spark: SparkSession, dir: String): DataFrame =
