@@ -36,10 +36,10 @@ object SparkEntry {
 
   private def registry: Seq[(String, QFn, Option[String])] = Seq(
     knnExactQ, medoidExactQ, argminNearestQ,
-    vamanaSearchQ, vamanaRecallQ, vamanaStartQ, vamanaDescribeQ, vamanaDegreeQ,
+    vamanaSearchQ, vamanaRecallQ, vamanaStartQ, vamanaDescribeQ, vamanaDegreeQ, vamanaFanoutQ,
     pricingQ, regionRevenueQ, topOrdersQ, orderPriorityQ, localSupplierQ,
     filteredRevenueQ, partRollupQ, segmentSetOpsQ, eventsHourlyQ, userFunnelQ,
-    ordersByMonthQ, partTypeQ, acctbalStatsQ, approxDistinctQ
+    ordersByMonthQ, partTypeQ, acctbalStatsQ, approxDistinctQ, sessionizeBatchQ
   ) ++ PipelineRegistry.entries
 
   private val ordersByMonthQ: (String, QFn, Option[String]) = (
@@ -112,6 +112,34 @@ object SparkEntry {
     "vamana_degree_check",
     (s, d) => graft.vamana.VamanaOps.vamanaDegreeCheck(s, d),
     None)
+
+  private val vamanaFanoutQ: (String, QFn, Option[String]) = (
+    "vamana_fanout_search",
+    (s, d) => graft.vamana.VamanaOps.vamanaFanout(s, d),
+    None)
+
+  private val sessionizeBatchQ: (String, QFn, Option[String]) = (
+    "q15_sessionize_batch",
+    (s, d) => Relational.sessionizeBatch(s, d),
+    Some("""
+      WITH e AS (
+        SELECT user_id, event_id, ts, value,
+               lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        FROM events),
+      m AS (
+        SELECT *, CASE WHEN prev_ts IS NULL OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000
+                       THEN 1 ELSE 0 END AS new_session
+        FROM e),
+      s AS (
+        SELECT *, CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+        FROM m)
+      SELECT user_id, session_id, count(*) AS n_events,
+             strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS start_ts,
+             strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS end_ts,
+             round(sum(CAST(value AS DECIMAL(18,2))), 2)::DOUBLE AS sum_value
+      FROM s GROUP BY user_id, session_id ORDER BY user_id, session_id
+    """.trim))
 
   private val localSupplierQ: (String, QFn, Option[String]) = (
     "q5_local_supplier_volume",

@@ -210,6 +210,30 @@ object Relational {
         approx_count_distinct(col("user_id"), 0.02).as("approx_users"))
       .orderBy(col("event_type"))
 
+  /** Batch sessionization via window functions: a session breaks after 30
+    * minutes of inactivity; session id = running count of breaks per user
+    * (lag + conditional cumulative sum) — the batch twin of
+    * [[graft.streaming.StreamingOps.sessionize]], and SQL-expressible so it
+    * carries a full oracle. */
+  def sessionizeBatch(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val gapMs = 30L * 60 * 1000
+    Tables.events(spark, dir)
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull ||
+          unix_micros(col("ts")) - unix_micros(col("prev_ts")) > gapMs * 1000, 1).otherwise(0))
+      .withColumn("session_id", sum(col("new_session")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        date_format(min(col("ts")), "yyyy-MM-dd HH:mm:ss").as("start_ts"),
+        date_format(max(col("ts")), "yyyy-MM-dd HH:mm:ss").as("end_ts"),
+        moneySum(col("value")).as("sum_value"))
+      .orderBy(col("user_id"), col("session_id"))
+  }
+
   /** Per-user event funnel: conditional aggregation (pivot-style) — counts
     * per event_type for the heaviest users, deterministic order. */
   def userFunnel(spark: SparkSession, dir: String): DataFrame =

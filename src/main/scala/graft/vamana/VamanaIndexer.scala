@@ -88,6 +88,60 @@ object VamanaIndexer {
   }
 }
 
+/** Shard-fanout ANN search — the beyond-broadcast scale path. Each point
+  * lives in exactly one shard; every shard builds its own Vamana graph in
+  * one task and answers every query with a local top-k; the global answer is
+  * the per-query merge (union + window) of shard answers. Nothing is ever
+  * collected to the driver and no single index must fit in one broadcast —
+  * the working set per task is one shard. Recall matches the single-model
+  * path because a global top-k is contained in the union of per-shard
+  * top-ks. */
+object VamanaFanout {
+
+  def search(
+      points: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      params: VamanaParams,
+      numShards: Int,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val spark = points.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val q = queries
+      .select(col("query_id").cast("long"), col("query_vec").cast("array<float>"))
+      .as[(Long, Array[Float])].collect().sortBy(_._1)
+    require(q.length <= 10000, "fanout broadcasts the query batch; keep it bounded")
+    val bcQ = spark.sparkContext.broadcast(q)
+    val seed = params.seed
+    val pts = points
+      .select(col(idCol).cast("long"), col(vecCol).cast("array<float>"))
+      .as[(Long, Array[Float])]
+    val shardAnswers = pts
+      .groupByKey { case (id, _) =>
+        math.floorMod(scala.util.hashing.MurmurHash3.productHash((id, seed)), numShards)
+      }
+      .flatMapGroups { (shard, it) =>
+        val arr = it.toArray.sortBy(_._1)
+        val idx = VamanaKernel.build(arr.map(_._1), arr.map(_._2),
+          params.copy(seed = params.seed + shard))
+        bcQ.value.iterator.flatMap { case (qid, qvec) =>
+          VamanaKernel.search(idx, qvec, k).iterator.map {
+            case (id, dist) => (qid, id, math.rint(dist.toDouble * 1e4) / 1e4)
+          }
+        }
+      }
+      .toDF("query_id", "id", "dist")
+    val w = Window.partitionBy(col("query_id")).orderBy(col("dist").asc, col("id").asc)
+    shardAnswers
+      .withColumn("rank", org.apache.spark.sql.functions.row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("id"), col("dist"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+}
+
 /** A fitted Vamana index: broadcast-served searches + parquet persistence.
   * Persists ALL params including efSearch — the reference forgets it on
   * save/load, leaving search width uninitialized (vamana.h:397-405, 62-68;

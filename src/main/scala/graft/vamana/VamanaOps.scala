@@ -31,6 +31,13 @@ object VamanaOps {
     model(spark, dir).search(Knn.queriesFromPoints(emb, 10), 10)
   }
 
+  /** Shard-fanout search (4 shards) — the beyond-broadcast serving path;
+    * same fixture as knn_exact/vamana_search so results are comparable. */
+  def vamanaFanout(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    VamanaFanout.search(emb, Knn.queriesFromPoints(emb, 10), 10, defaultParams, numShards = 4)
+  }
+
   /** Q2 surface (vamana.h:426-489): search with caller-supplied start
     * vectors — queries are vectors of ids 0..9, starts are vectors of ids
     * 100..109. Rows-only check (graph traversal). */

@@ -69,6 +69,14 @@ class VamanaModelSpec extends AnyFunSuite {
     assert(a == b, "loaded index must search identically")
   }
 
+  test("shard-fanout search reaches recall@10 >= 0.8 with 3 shards (no broadcast model)") {
+    val queries = perturbedQueries(30).cache()
+    val truth = Knn.knnExact(Tables.embeddings(spark, dir), queries, 10)
+    val got = VamanaFanout.search(Tables.embeddings(spark, dir), queries, 10, params, numShards = 3)
+    val r = Knn.recallAt(10, got, truth)
+    assert(r >= 0.8, s"fanout recall@10 = $r below the 0.8 gate")
+  }
+
   test("searchWithStartPoint matches Q2 semantics (start vector resolved by scan)") {
     import spark.implicits._
     val model = VamanaIndexer.fit(Tables.embeddings(spark, dir), params)
