@@ -13,9 +13,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object Tables {
 
   /** The driver's pyarrow-generated files store timestamps as INT64
-    * TIMESTAMP(NANOS), which Spark's parquet reader rejects by default.
-    * We read nanos as LONG and rebuild microsecond timestamps (`x div 1000`,
-    * matching DuckDB's nano→micro truncation) for these known columns. */
+    * TIMESTAMP(NANOS), which Spark's parquet reader rejects by default
+    * (PARQUET_TYPE_ILLEGAL). With the legacy conf set, Spark 4.1 reads them
+    * as timestamp_ntz truncated to micros — matching DuckDB's nano→micro
+    * truncation — WITH predicate pushdown intact (asserted in PlanSpec).
+    * The `timestamp_micros(x div 1000)` rewrite below is the fallback for
+    * environments where the column still surfaces as LONG. */
   private val nanoTimestampCols = Set("o_orderdate", "l_shipdate", "ts")
 
   def table(spark: SparkSession, dir: String, name: String): DataFrame = {

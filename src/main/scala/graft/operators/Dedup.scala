@@ -1,5 +1,7 @@
 package graft.operators
 
+import scala.collection.mutable
+
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -34,12 +36,19 @@ object Dedup {
       sequence(lit(1), size(toks) - 2),
       i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1), element_at(toks, i + 2))))
 
-  /** doc_id + distinct-shingle array for all docs with >=3 tokens. */
+  /** doc_id + distinct-shingle array for all docs with >=3 tokens — cached
+    * per (session, dir): five dedup queries share it, so the tokenize+
+    * shingle pass runs once per dataset instead of once per query. */
+  private val shingleCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
   private def shingled(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
-      .select(col("doc_id"), tokens(col("text")).as("toks"))
-      .where(size(col("toks")) >= 3)
-      .select(col("doc_id"), shingles(col("toks")).as("sh"))
+    shingleCache.getOrElseUpdate((spark, dir),
+      Tables.documents(spark, dir)
+        .select(col("doc_id"), tokens(col("text")).as("toks"))
+        .where(size(col("toks")) >= 3)
+        .select(col("doc_id"), shingles(col("toks")).as("sh"))
+        .cache())
 
   /** Exact dedup: normalize (lowercase, collapse whitespace, trim), keep the
     * lowest doc_id per normalized text. Output = survivors with the content
@@ -159,30 +168,62 @@ object Dedup {
     * rounds (near-dup clusters are shallow; bounded at 20). For
     * pathological long-chain graphs swap in large-star/small-star; the
     * join pattern is identical. Docs in no pair keep themselves. */
-  def dedupSurvivors(spark: SparkSession, dir: String, threshold: Double = 0.2): DataFrame = {
-    val pairs = dedupNgramJaccard(spark, dir, threshold).select(col("id_a"), col("id_b"))
-    // undirected edge list, both directions
-    val edges = pairs.union(pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b"))).cache()
-    var labels = Tables.documents(spark, dir)
+  /** True duplicate pairs are a vanishing fraction of the corpus, so the
+    * edge set is almost always tiny even at 100 TB — below this many pairs
+    * we union-find on the driver (one collect of the PAIRS, never the
+    * corpus); above it we fall back to distributed min-label propagation. */
+  private val DriverCcMaxPairs = 2_000_000L
+
+  def dedupSurvivors(spark: SparkSession, dir: String, threshold: Double = 0.2,
+      driverCcMaxPairs: Long = DriverCcMaxPairs): DataFrame = {
+    import spark.implicits._
+    val pairs = dedupNgramJaccard(spark, dir, threshold).select(col("id_a"), col("id_b")).cache()
+    val nPairs = pairs.count()
+    val labels =
+      if (nPairs <= driverCcMaxPairs) {
+        // hybrid small-graph path: collect only the pairs, union-find locally
+        val parent = mutable.HashMap.empty[Long, Long]
+        def find(x: Long): Long = {
+          var r = x
+          while (parent.getOrElse(r, r) != r) r = parent(r)
+          var c = x
+          while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+          r
+        }
+        pairs.as[(Long, Long)].collect().foreach { case (a, b) =>
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+        }
+        val resolved = parent.keys.map(k => (k, find(k))).toSeq
+        spark.createDataFrame(resolved).toDF("doc_id", "canonical_id")
+      } else {
+        // distributed path: min-label propagation over edge-touched nodes
+        val edges = pairs.union(pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b"))).cache()
+        var ls = edges.select(col("id_a").as("doc_id")).distinct()
+          .select(col("doc_id"), col("doc_id").as("canonical_id")).cache()
+        var changed = 1L
+        var rounds = 0
+        while (changed > 0 && rounds < 20) {
+          val nbrMin = edges
+            .join(ls.select(col("doc_id").as("id_b"), col("canonical_id").as("nl")), "id_b")
+            .groupBy(col("id_a").as("doc_id"))
+            .agg(min(col("nl")).as("nbr_min"))
+          val updated = ls.join(nbrMin, Seq("doc_id"), "left")
+            .select(col("doc_id"),
+              least(col("canonical_id"), coalesce(col("nbr_min"), col("canonical_id"))).as("canonical_id"))
+            .cache()
+          changed = updated.join(ls.withColumnRenamed("canonical_id", "old"), "doc_id")
+            .where(col("canonical_id") =!= col("old")).count()
+          ls.unpersist()
+          ls = updated
+          rounds += 1
+        }
+        ls
+      }
+    val untouched = Tables.documents(spark, dir).select(col("doc_id"))
+      .join(labels.select(col("doc_id")), Seq("doc_id"), "left_anti")
       .select(col("doc_id"), col("doc_id").as("canonical_id"))
-    var changed = 1L
-    var rounds = 0
-    while (changed > 0 && rounds < 20) {
-      // pull the smallest label of any neighbor
-      val nbrMin = edges
-        .join(labels.select(col("doc_id").as("id_b"), col("canonical_id").as("nl")), "id_b")
-        .groupBy(col("id_a").as("doc_id"))
-        .agg(min(col("nl")).as("nbr_min"))
-      val updated = labels.join(nbrMin, Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          least(col("canonical_id"), coalesce(col("nbr_min"), col("canonical_id"))).as("canonical_id"))
-        .cache()
-      changed = updated.join(labels.withColumnRenamed("canonical_id", "old"), "doc_id")
-        .where(col("canonical_id") =!= col("old")).count()
-      labels = updated
-      rounds += 1
-    }
-    labels
+    labels.select(col("doc_id"), col("canonical_id")).union(untouched)
       .withColumn("is_survivor", (col("doc_id") === col("canonical_id")).cast("int"))
       .orderBy(col("doc_id"))
   }

@@ -61,6 +61,13 @@ class PipelineSpec extends AnyFunSuite {
     assert(found >= 0.8, s"simhash found only $found of the strongest near-dups")
   }
 
+  test("dedup survivors: distributed label propagation agrees with driver union-find") {
+    val driverPath = Dedup.dedupSurvivors(spark, dir).collect().map(_.toSeq).toSet
+    val distPath = Dedup.dedupSurvivors(spark, dir, driverCcMaxPairs = 0).collect().map(_.toSeq).toSet
+    assert(driverPath == distPath, "both CC implementations must produce identical labels")
+    assert(driverPath.nonEmpty)
+  }
+
   test("media feature stub pipeline: one row per doc, n_bytes == n_chars (ascii corpus)") {
     val feats = Multimodal.mediaFeatures(spark, dir)
     val docs = graft.core.Tables.documents(spark, dir)

@@ -30,6 +30,12 @@ class PlanSpec extends AnyFunSuite {
       s"expected l_discount pushdown in:\n$p")
   }
 
+  test("nano-timestamp date predicate pushes down to the scan (q1 shipdate)") {
+    val p = plan(Relational.pricingSummary(spark, dir))
+    assert(p.contains("PushedFilters") && p.contains("l_shipdate"),
+      s"expected l_shipdate pushdown in:\n$p")
+  }
+
   test("q1 scan is pruned to the referenced lineitem columns") {
     val p = plan(Relational.pricingSummary(spark, dir))
     val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
