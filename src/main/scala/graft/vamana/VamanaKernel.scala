@@ -121,6 +121,19 @@ object VamanaKernel {
       start: Int,
       query: Array[Float],
       beamL: Int): (Array[Int], Array[Float]) = {
+    val (ids, dists, _) = greedySearchCounted(points, graph, start, query, beamL)
+    (ids, dists)
+  }
+
+  /** [[greedySearch]] + the number of distance computations (= unique nodes
+    * scored), for the search-stats surface the reference stubs
+    * (go_api:163-171). */
+  def greedySearchCounted(
+      points: Array[Array[Float]],
+      graph: Array[Array[Int]],
+      start: Int,
+      query: Array[Float],
+      beamL: Int): (Array[Int], Array[Float], Long) = {
     val n = points.length
     // beam: fixed-size sorted arrays of (dist, node), ascending by dist
     val beamIds = new Array[Int](beamL + 1)
@@ -178,7 +191,7 @@ object VamanaKernel {
         }
       }
     }
-    (poolIds.toArray, poolDists.toArray)
+    (poolIds.toArray, poolDists.toArray, seen.size.toLong)
   }
 
   /** Robust prune (G3, vamana.h:722-760). Candidates are (internal id, dist
@@ -336,6 +349,24 @@ object VamanaKernel {
       i += 1
     }
     searchFrom(index, best, query, k)
+  }
+
+  /** Per-query search statistics — hops = nodes expanded, distComputations =
+    * unique nodes scored. The reference's Go surface declares these but
+    * returns 0.0 (go_api:163-171); ours are real. */
+  final case class SearchStats(hops: Long, distComputations: Long)
+
+  /** [[search]] plus its [[SearchStats]]. */
+  def searchWithStats(index: LocalIndex, query: Array[Float], k: Int): (Array[(Long, Float)], SearchStats) = {
+    val kk = math.min(k, index.size)
+    val beamL = math.max(index.params.efSearch, kk)
+    val (poolIds, poolDists, seenCount) =
+      greedySearchCounted(index.points, index.graph, index.medoid, query, beamL)
+    val res = poolIds.indices.toArray
+      .sortBy(i => (poolDists(i), index.ids(poolIds(i))))
+      .take(kk)
+      .map(i => (index.ids(poolIds(i)), poolDists(i)))
+    (res, SearchStats(poolIds.length.toLong, seenCount))
   }
 
   private def searchFrom(index: LocalIndex, start: Int, query: Array[Float], k: Int): Array[(Long, Float)] = {
