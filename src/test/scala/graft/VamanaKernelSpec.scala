@@ -96,6 +96,22 @@ class VamanaKernelSpec extends AnyFunSuite {
     assert(avg >= 0.9, s"avg recall $avg below 0.9")
   }
 
+  test("paper-rule prune (DiskANN iterative) also clears the recall gate") {
+    val points = randPoints(300, 8, seed = 42)
+    val ids = Array.tabulate(300)(_.toLong)
+    val params = VamanaParams(dim = 8, maxDegree = 16, beamWidth = 32, alpha = 1.2f,
+      efSearch = 64, seed = 1L, paperPrune = true)
+    val index = VamanaKernel.build(ids, points, params)
+    assert(VamanaKernel.healthCheck(index))
+    val rng = new Random(7)
+    val queries = Array.fill(30)(Array.fill(8)(rng.nextFloat() * 2 - 1))
+    val avg = queries.map { q =>
+      val truth = bruteKnn(points, q, 10).map(_.toLong).toSet
+      (VamanaKernel.search(index, q, 10).map(_._1).toSet intersect truth).size / 10.0
+    }.sum / queries.length
+    assert(avg >= 0.85, s"paper-prune recall $avg")
+  }
+
   test("search clamps k to n and returns ascending (dist, id)") {
     val points = randPoints(20, 4, seed = 3)
     val ids = Array.tabulate(20)(i => (i * 10).toLong)
