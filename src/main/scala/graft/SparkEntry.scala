@@ -35,7 +35,7 @@ object SparkEntry {
   private type QFn = (SparkSession, String) => DataFrame
 
   private def registry: Seq[(String, QFn, Option[String])] = Seq(
-    knnExactQ, medoidExactQ, argminNearestQ,
+    knnExactQ, knnExactAggQ, medoidExactQ, argminNearestQ,
     vamanaSearchQ, vamanaRecallQ, vamanaStartQ, vamanaDescribeQ, vamanaDegreeQ, vamanaFanoutQ,
     pricingQ, regionRevenueQ, topOrdersQ, orderPriorityQ, localSupplierQ,
     filteredRevenueQ, partRollupQ, segmentSetOpsQ, eventsHourlyQ, userFunnelQ,
@@ -190,6 +190,16 @@ object SparkEntry {
       SELECT query_id, rank, id, round(dist, 4) AS dist FROM r WHERE rank <= 10
       ORDER BY query_id, rank
     """.stripMargin.trim))
+
+  /** Same semantics and oracle as knn_exact, computed with the bounded-heap
+    * partial aggregate instead of a window (the 100 TB form). */
+  private val knnExactAggQ: (String, QFn, Option[String]) = (
+    "knn_exact_agg",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Knn.knnExactAgg(emb, Knn.queriesFromPoints(emb, 10), k = 10)
+    },
+    knnExactQ._3)
 
   private val medoidExactQ: (String, QFn, Option[String]) = (
     "medoid_exact",

@@ -48,6 +48,40 @@ object Knn {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** [[knnExact]] with a bounded-heap typed Aggregator instead of a window:
+    * map-side partial aggregation keeps k rows per partition per query
+    * before the exchange, so the shuffle is partitions·q·k rows instead of
+    * n·q — the form that survives a 100 TB corpus. Output is identical to
+    * [[knnExact]] (same (dist, id) ordering contract; asserted in specs),
+    * so it shares the same oracle SQL. */
+  def knnExactAgg(
+      points: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      queryIdCol: String = "query_id",
+      queryVecCol: String = "query_vec"): DataFrame = {
+    val spark = points.sparkSession
+    import spark.implicits._
+    import graft.functions.{Scored, TopKAggregator}
+    val p = points.select(col(idCol).as("id"), col(vecCol).as("vec"))
+    val q = queries.select(col(queryIdCol).as("query_id"), col(queryVecCol).as("qvec"))
+    val scored = p
+      .crossJoin(broadcast(q))
+      .select(col("query_id"), l2n(spark, col("vec"), col("qvec")).as("dist"), col("id"))
+      .as[(Long, Double, Long)]
+    scored
+      .groupByKey(_._1)
+      .mapValues { case (_, dist, id) => Scored(dist, id) }
+      .agg(new TopKAggregator(k).toColumn.name("topk"))
+      .toDF("query_id", "topk")
+      .select(col("query_id"), posexplode(col("topk")).as(Seq("r", "s")))
+      .select(col("query_id"), (col("r") + 1).cast("long").as("rank"),
+        col("s.id").as("id"), round(col("s.dist"), 4).as("dist"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** Medoid: argmin_i Σ_j l2sq(i, j) — the reference's exact O(n²·dim)
     * aggregation (vamana.h:656-692). Kept exact for the oracle; the scalable
     * path used inside the index build is [[centroidNearest]].

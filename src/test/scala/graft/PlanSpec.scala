@@ -55,6 +55,17 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), s"expected broadcast hash join in:\n$p")
   }
 
+  test("knnExactAgg matches knnExact exactly and partially aggregates before the shuffle") {
+    val emb = Tables.embeddings(spark, dir)
+    val q = Knn.queriesFromPoints(emb, 10)
+    val win = Knn.knnExact(emb, q, 10).collect().map(_.toSeq).toSeq
+    val agg = Knn.knnExactAgg(emb, q, 10).collect().map(_.toSeq).toSeq
+    assert(win == agg, "heap aggregate must reproduce the window top-k exactly")
+    val p = plan(Knn.knnExactAgg(emb, q, 10))
+    assert(p.contains("Aggregate") && p.toLowerCase.contains("partial"),
+      s"expected partial aggregation in:\n$p")
+  }
+
   test("dedup ngram jaccard contains no cartesian/broadcast-nested-loop join") {
     val p = plan(Dedup.dedupNgramJaccard(spark, dir))
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
