@@ -11,7 +11,7 @@ import graft.vamana._
   * dim=128, n=10,000, R=128→here 64 by default for JVM build time, L=100,
   * alpha=1.2, ef=400, k=10; pass args to override).
   *
-  * Usage: runMain graft.RecallBench [n] [dim] [R] [L] [ef]
+  * Usage: runMain graft.RecallBench [n] [dim] [R] [L] [ef] [parallelism]
   * Prints one JSON line; results recorded in BASELINE_REPRO.md.
   * No SparkSession — this measures the sequential kernel, which is what a
   * single reference process is.
@@ -23,6 +23,7 @@ object RecallBench {
     val r = args.lift(2).map(_.toInt).getOrElse(64)
     val l = args.lift(3).map(_.toInt).getOrElse(100)
     val ef = args.lift(4).map(_.toInt).getOrElse(400)
+    val parallelism = args.lift(5).map(_.toInt).getOrElse(1)
     val k = 10
     val nQueries = 100
 
@@ -34,7 +35,9 @@ object RecallBench {
 
     val params = VamanaParams(dim = dim, maxDegree = r, beamWidth = l, alpha = 1.2f, efSearch = ef)
     val t0 = System.nanoTime()
-    val index = VamanaKernel.build(ids, points, params)
+    val index =
+      if (parallelism > 1) VamanaKernel.buildParallel(ids, points, params, parallelism)
+      else VamanaKernel.build(ids, points, params)
     val buildSec = (System.nanoTime() - t0) / 1e9
 
     // ground truth: brute force (main.cpp:104-118)
@@ -51,7 +54,7 @@ object RecallBench {
     }.sum / nQueries
 
     println(
-      s"""{"n":$n,"dim":$dim,"R":$r,"L":$l,"ef":$ef,"k":$k,"queries":$nQueries,""" +
+      s"""{"n":$n,"dim":$dim,"R":$r,"L":$l,"ef":$ef,"k":$k,"par":$parallelism,"queries":$nQueries,""" +
       s""""recall_at_10":${math.rint(recall * 1e4) / 1e4},""" +
       s""""build_sec":${math.rint(buildSec * 100) / 100},""" +
       s""""avg_search_ms":${math.rint(searchSec / nQueries * 1e5) / 100}}""")

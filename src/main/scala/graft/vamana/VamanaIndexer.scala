@@ -34,8 +34,12 @@ object VamanaIndexer {
       df.select(col(idCol).cast("long"), col(vecCol).cast("array<float>")).as[(Long, Array[Float])]
 
     if (numShards <= 1) {
+      // single-shard: use the batch-synchronous parallel kernel — the
+      // executor threads are otherwise idle during a driver-local build.
+      // Output is identical for any parallelism >= 2 (kernel contract).
       val collected = pts.collect().sortBy(_._1)
-      val index = VamanaKernel.build(collected.map(_._1), collected.map(_._2), params)
+      val par = math.max(2, math.min(Runtime.getRuntime.availableProcessors(), 16))
+      val index = VamanaKernel.buildParallel(collected.map(_._1), collected.map(_._2), params, par)
       new VamanaModel(index)
     } else {
       val s = numShards

@@ -296,6 +296,66 @@ object VamanaKernel {
     out.toArray
   }
 
+  /** Batch size for [[buildParallel]] — FIXED so results are identical for
+    * any thread count (searches in a batch see the graph as of batch start;
+    * updates apply serially in permutation order). */
+  private val ParallelBuildBatch = 64
+
+  /** Parallel in-process build — the race-free twin of the reference's
+    * OpenMP build (vamana.h:221-332, whose greedySearch reads the graph
+    * concurrently with writes under `omp critical`; SURVEY.md A.4).
+    * Batch-synchronous: each batch's greedy searches run on a thread pool
+    * against an immutable graph snapshot, then prune + back-edges apply
+    * serially. Deterministic for ANY `parallelism` (asserted in specs);
+    * recall is equivalent to the sequential build (same gates). */
+  def buildParallel(ids: Array[Long], points: Array[Array[Float]], params: VamanaParams,
+      parallelism: Int): LocalIndex = {
+    if (parallelism <= 1) return build(ids, points, params)
+    val n = points.length
+    require(n > 0, "cannot build an index over zero points")
+    val rng = new Random(params.seed)
+    val graph = initGraph(n, params.maxDegree, rng)
+    val medoid = centroidMedoid(points)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(parallelism)
+    try {
+      def pass(alpha: Float): Unit = {
+        val perm = rng.shuffle((0 until n).toVector)
+        perm.grouped(ParallelBuildBatch).foreach { batch =>
+          val futures = batch.map { node =>
+            pool.submit(new java.util.concurrent.Callable[(Int, Array[Int])] {
+              override def call(): (Int, Array[Int]) = {
+                val (poolIds, poolDists) = greedySearch(points, graph, medoid, points(node), params.beamWidth)
+                (node, robustPrune(points, node, poolIds, poolDists, alpha, params.maxDegree, params.paperPrune))
+              }
+            })
+          }
+          // BARRIER: all searches finish against the snapshot before any
+          // write lands (otherwise later callables would read a mutating
+          // graph — the reference's race, reintroduced)
+          val results = futures.map(_.get())
+          // serial update in permutation order -> deterministic
+          results.foreach { case (node, pruned) =>
+            graph(node) = pruned
+            for (nb <- pruned) {
+              val cur = graph(nb)
+              if (!cur.contains(node)) {
+                if (cur.length + 1 <= params.maxDegree) graph(nb) = cur :+ node
+                else {
+                  val cand = cur :+ node
+                  val dists = cand.map(c => l2sq(points(nb), points(c)))
+                  graph(nb) = robustPrune(points, nb, cand, dists, alpha, params.maxDegree, params.paperPrune)
+                }
+              }
+            }
+          }
+        }
+      }
+      pass(1.0f)
+      pass(params.alpha)
+    } finally pool.shutdown()
+    new LocalIndex(ids, points, graph, medoid, params)
+  }
+
   /** Full sequential build (G4, vamana.h:221-332): init graph → medoid →
     * seeded permutation → two passes of greedy+prune+back-edges. */
   def build(ids: Array[Long], points: Array[Array[Float]], params: VamanaParams): LocalIndex = {

@@ -96,6 +96,24 @@ class VamanaKernelSpec extends AnyFunSuite {
     assert(avg >= 0.9, s"avg recall $avg below 0.9")
   }
 
+  test("buildParallel: identical output for any thread count, recall gate holds") {
+    val points = randPoints(400, 8, seed = 17)
+    val ids = Array.tabulate(400)(_.toLong)
+    val params = VamanaParams(dim = 8, maxDegree = 16, beamWidth = 32, alpha = 1.2f, efSearch = 64, seed = 5L)
+    val g2 = VamanaKernel.buildParallel(ids, points, params, 2)
+    val g8 = VamanaKernel.buildParallel(ids, points, params, 8)
+    assert(g2.graph.map(_.toSeq).toSeq == g8.graph.map(_.toSeq).toSeq,
+      "batch-synchronous build must not depend on thread count")
+    assert(VamanaKernel.healthCheck(g8))
+    val rng = new Random(23)
+    val queries = Array.fill(40)(Array.fill(8)(rng.nextFloat() * 2 - 1))
+    val avg = queries.map { q =>
+      val truth = bruteKnn(points, q, 10).map(_.toLong).toSet
+      (VamanaKernel.search(g8, q, 10).map(_._1).toSet intersect truth).size / 10.0
+    }.sum / queries.length
+    assert(avg >= 0.9, s"parallel-build recall $avg")
+  }
+
   test("paper-rule prune (DiskANN iterative) also clears the recall gate") {
     val points = randPoints(300, 8, seed = 42)
     val ids = Array.tabulate(300)(_.toLong)
