@@ -39,7 +39,7 @@ object PipelineRegistry {
   def entries: Seq[(String, QFn, Option[String])] = Seq(
     dedupExact, dedupNgram, dedupMinhash, dedupSimhash, dedupEmbedding, dedupSurvivorsQ,
     textStats, langId, tokenCount, docFingerprint,
-    simCosineTopK, simJoinThreshold, lshCosinePairs, ivfSearch,
+    simCosineTopK, simIpTopK, simJoinThreshold, lshCosinePairs, ivfSearch,
     mmJoin, mmBinaryStats, mmMediaFeatures)
 
   // ---- dedup ----------------------------------------------------------------
@@ -242,6 +242,20 @@ object PipelineRegistry {
                    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, id ASC) AS rank
             FROM sc)
       SELECT query_id, rank, id, round(cos, 4) AS cos FROM r WHERE rank <= 5
+      ORDER BY query_id, rank
+    """.trim))
+
+  private val simIpTopK: (String, QFn, Option[String]) = (
+    "sim_ip_topk",
+    (s, d) => Similarity.bruteIpTopK(s, d),
+    Some(s"""
+      WITH q AS (SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < 10),
+      sc AS (SELECT q.query_id, e.vec_id AS id, ${dotSql("e.embedding", "q.qvec")} AS ip
+             FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.query_id),
+      r AS (SELECT query_id, id, ip,
+                   row_number() OVER (PARTITION BY query_id ORDER BY ip DESC, id ASC) AS rank
+            FROM sc)
+      SELECT query_id, rank, id, round(ip, 4) AS ip FROM r WHERE rank <= 5
       ORDER BY query_id, rank
     """.trim))
 

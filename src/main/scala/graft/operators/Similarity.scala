@@ -34,6 +34,24 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Brute-force inner-product top-k (exact MIPS — the reference's TODO
+    * metric, oracle-checkable form; the ANN form is `metric="ip"` on the
+    * Vamana index). */
+  def bruteIpTopK(spark: SparkSession, dir: String, nQueries: Int = 10, k: Int = 5): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val q = e.where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("ip").desc, col("id").asc)
+    e.select(col("vec_id").as("id"), col("embedding").as("vec"))
+      .crossJoin(broadcast(q))
+      .where(col("id") =!= col("query_id"))
+      .withColumn("ip", dotNative(spark, col("vec"), col("qvec")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("id"), round(col("ip"), 4).as("ip"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** Exact threshold similarity join: all pairs with squared-L2 below the
     * threshold (the oracle form; at scale this becomes the LSH path). */
   def similarityJoinExact(spark: SparkSession, dir: String, maxL2Sq: Double = 1.1): DataFrame = {

@@ -63,7 +63,8 @@ final class VamanaIndex(val params: VamanaParams, val maxPoints: Int) {
 
   def buildIndex(): Unit = synchronized {
     require(ids.nonEmpty, "cannot build an empty index (reference crashes here, vamana.h:399)")
-    built.set(K.build(ids.toArray, vecs.toArray, params))
+    val (vecsT, kdim, _) = MetricReduction.prepareIndex(vecs.toArray, params.metric, params.dim)
+    built.set(K.build(ids.toArray, vecsT, params.copy(dim = kdim)))
   }
 
   private def index: LocalIndex = {
@@ -73,7 +74,7 @@ final class VamanaIndex(val params: VamanaParams, val maxPoints: Int) {
   }
 
   def search(query: Array[Float], k: Int): Array[(Long, Float)] = {
-    val (res, stats) = K.searchWithStats(index, query, k)
+    val (res, stats) = K.searchWithStats(index, MetricReduction.prepareQuery(query, params.metric), k)
     statHops.addAndGet(stats.hops)
     statDistComps.addAndGet(stats.distComputations)
     statQueries.incrementAndGet()
@@ -81,7 +82,8 @@ final class VamanaIndex(val params: VamanaParams, val maxPoints: Int) {
   }
 
   def searchWithStartPoint(query: Array[Float], startVec: Array[Float], k: Int): Array[(Long, Float)] =
-    K.searchWithStartPoint(index, startVec, query, k)
+    K.searchWithStartPoint(index, MetricReduction.prepareQuery(startVec, params.metric),
+      MetricReduction.prepareQuery(query, params.metric), k)
 
   /** Distributed batch serving over a query DataFrame. */
   def searchBatch(queries: DataFrame, k: Int): DataFrame =

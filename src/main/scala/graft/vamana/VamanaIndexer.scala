@@ -33,19 +33,31 @@ object VamanaIndexer {
     val pts: Dataset[(Long, Array[Float])] =
       df.select(col(idCol).cast("long"), col(vecCol).cast("array<float>")).as[(Long, Array[Float])]
 
+    // metric -> L2 reduction (cos: normalize; ip: MIPS augmentation); the
+    // kernel below always runs squared-Euclidean
+    val metric = params.metric
+    val ptsT: Dataset[(Long, Array[Float])] = metric match {
+      case "l2" => pts
+      case "cos" => pts.map { case (id, v) => (id, MetricReduction.normalize(v)) }
+      case "ip" =>
+        val m = pts.map(p => MetricReduction.normOf(p._2)).reduce(math.max(_, _))
+        pts.map { case (id, v) => (id, MetricReduction.augmentIndexVec(v, m)) }
+    }
+    val kParams = if (metric == "ip") params.copy(dim = params.dim + 1) else params
+
     if (numShards <= 1) {
       // single-shard: use the batch-synchronous parallel kernel — the
       // executor threads are otherwise idle during a driver-local build.
       // Output is identical for any parallelism >= 2 (kernel contract).
-      val collected = pts.collect().sortBy(_._1)
+      val collected = ptsT.collect().sortBy(_._1)
       val par = math.max(2, math.min(Runtime.getRuntime.availableProcessors(), 16))
-      val index = VamanaKernel.buildParallel(collected.map(_._1), collected.map(_._2), params, par)
+      val index = VamanaKernel.buildParallel(collected.map(_._1), collected.map(_._2), kParams, par)
       new VamanaModel(index)
     } else {
       val s = numShards
       val seed = params.seed
       // deterministic 2-of-s overlap assignment per point id
-      val assigned = pts.flatMap { case (id, vec) =>
+      val assigned = ptsT.flatMap { case (id, vec) =>
         val h1 = scala.util.hashing.MurmurHash3.productHash((id, seed))
         val h2 = scala.util.hashing.MurmurHash3.productHash((id, seed + 1))
         val s1 = math.floorMod(h1, s)
@@ -58,14 +70,14 @@ object VamanaIndexer {
           val arr = it.toArray.sortBy(_._2)
           val ids = arr.map(_._2)
           val vecs = arr.map(_._3)
-          val idx = VamanaKernel.build(ids, vecs, params.copy(seed = params.seed + shard))
+          val idx = VamanaKernel.build(ids, vecs, kParams.copy(seed = params.seed + shard))
           idx.graph.iterator.zipWithIndex.map { case (nbrs, i) => (ids(i), nbrs.map(ids(_))) }
         }
       // union shard edge lists, dedup, then re-prune each merged list to R
       val merged = shardAdj.groupByKey(_._1)
         .mapGroups { (id, it) => (id, it.flatMap(_._2).toArray.distinct) }
         .toDF("id", "nbrs")
-      val ptsDF = pts.toDF("pid", "pvec")
+      val ptsDF = ptsT.toDF("pid", "pvec")
       val pruned = merged
         .select($"id", explode($"nbrs").as("nbr"))
         .join(ptsDF, $"nbr" === $"pid")
@@ -82,12 +94,12 @@ object VamanaIndexer {
         }
         .collect()
         .toMap
-      val collected = pts.collect().sortBy(_._1)
+      val collected = ptsT.collect().sortBy(_._1)
       val ids = collected.map(_._1)
       val pos = ids.zipWithIndex.toMap
       val graph = ids.map(id => pruned.getOrElse(id, Array.empty[Long]).flatMap(pos.get(_)))
       val medoid = VamanaKernel.centroidMedoid(collected.map(_._2))
-      new VamanaModel(new LocalIndex(ids, collected.map(_._2), graph, medoid, params))
+      new VamanaModel(new LocalIndex(ids, collected.map(_._2), graph, medoid, kParams))
     }
   }
 }
@@ -167,7 +179,8 @@ final class VamanaModel(val index: LocalIndex) extends Serializable {
       .select(col(queryIdCol).cast("long"), col(queryVecCol).cast("array<float>"))
       .as[(Long, Array[Float])]
       .flatMap { case (qid, qvec) =>
-        VamanaKernel.search(bc.value, qvec, k).iterator.zipWithIndex.map {
+        val q = MetricReduction.prepareQuery(qvec, bc.value.params.metric)
+        VamanaKernel.search(bc.value, q, k).iterator.zipWithIndex.map {
           case ((id, dist), r) =>
             (qid, (r + 1).toLong, id, math.rint(dist.toDouble * 1e4) / 1e4)
         }
@@ -191,7 +204,10 @@ final class VamanaModel(val index: LocalIndex) extends Serializable {
         col(startVecCol).cast("array<float>"))
       .as[(Long, Array[Float], Array[Float])]
       .flatMap { case (qid, qvec, svec) =>
-        VamanaKernel.searchWithStartPoint(bc.value, svec, qvec, k).iterator.zipWithIndex.map {
+        val m = bc.value.params.metric
+        VamanaKernel.searchWithStartPoint(bc.value,
+          MetricReduction.prepareQuery(svec, m), MetricReduction.prepareQuery(qvec, m), k
+        ).iterator.zipWithIndex.map {
           case ((id, dist), r) =>
             (qid, (r + 1).toLong, id, math.rint(dist.toDouble * 1e4) / 1e4)
         }
@@ -207,9 +223,9 @@ final class VamanaModel(val index: LocalIndex) extends Serializable {
     import spark.implicits._
     val p = index.params
     Seq((p.dim, p.maxDegree, p.beamWidth, p.alpha.toDouble, p.efSearch, p.seed,
-      p.paperPrune, index.medoid, index.size.toLong))
+      p.paperPrune, p.metric, index.medoid, index.size.toLong))
       .toDF("dim", "max_degree", "beam_width", "alpha", "ef_search", "seed",
-        "paper_prune", "medoid_pos", "data_size")
+        "paper_prune", "metric", "medoid_pos", "data_size")
   }
 
   def pointsDF(spark: SparkSession): DataFrame = {
@@ -248,7 +264,8 @@ object VamanaModel {
       alpha = p.getAs[Double]("alpha").toFloat,
       efSearch = p.getAs[Int]("ef_search"),
       seed = p.getAs[Long]("seed"),
-      paperPrune = p.getAs[Boolean]("paper_prune"))
+      paperPrune = p.getAs[Boolean]("paper_prune"),
+      metric = p.getAs[String]("metric"))
     val pts = spark.read.parquet(s"$path/points")
       .select(col("pos"), col("id"), col("vec").cast("array<float>"))
       .as[(Int, Long, Array[Float])].collect().sortBy(_._1)

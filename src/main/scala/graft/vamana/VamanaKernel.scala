@@ -17,10 +17,62 @@ final case class VamanaParams(
     alpha: Float = 1.2f,
     efSearch: Int = 128,
     seed: Long = 42L,
-    paperPrune: Boolean = false) {
+    paperPrune: Boolean = false,
+    metric: String = "l2") {
   require(dim > 0, "dim must be positive")
   require(maxDegree > 0 && beamWidth > 0 && efSearch > 0, "R/L/ef must be positive")
   require(alpha >= 1.0f, "alpha must be >= 1")
+  // "ip" is the reference's unimplemented TODO (readme.md:76); both non-L2
+  // metrics are served by reduction to L2 (MetricReduction), so the graph
+  // kernel itself stays squared-Euclidean like the reference.
+  require(Set("l2", "cos", "ip").contains(metric), s"unsupported metric: $metric")
+}
+
+/** Metric→L2 reductions: the graph kernel only ever sees squared L2.
+  *  - cos: normalize all vectors; L2² on the unit sphere = 2−2·cos, a
+  *    monotone transform of cosine similarity.
+  *  - ip (MIPS): augment index vectors to [x, sqrt(M²−‖x‖²)] with M = max
+  *    corpus norm, queries to [q, 0]; nearest-L2 order on the augmented
+  *    space equals largest-inner-product order (Bachrach et al. 2014).
+  */
+object MetricReduction {
+
+  def normOf(v: Array[Float]): Double = {
+    var s = 0.0
+    var i = 0
+    while (i < v.length) { s += v(i).toDouble * v(i); i += 1 }
+    math.sqrt(s)
+  }
+
+  def normalize(v: Array[Float]): Array[Float] = {
+    val n = normOf(v)
+    if (n == 0.0) v.clone() else v.map(x => (x / n).toFloat)
+  }
+
+  def augmentIndexVec(v: Array[Float], maxNorm: Double): Array[Float] = {
+    val n = normOf(v)
+    val extra = math.sqrt(math.max(0.0, maxNorm * maxNorm - n * n))
+    v :+ extra.toFloat
+  }
+
+  def augmentQueryVec(q: Array[Float]): Array[Float] = q :+ 0.0f
+
+  /** Transform corpus vectors for the given metric; returns (vectors ready
+    * for the L2 kernel, kernel dim, max corpus norm for ip). */
+  def prepareIndex(vecs: Array[Array[Float]], metric: String, dim: Int): (Array[Array[Float]], Int, Double) =
+    metric match {
+      case "l2" => (vecs, dim, 0.0)
+      case "cos" => (vecs.map(normalize), dim, 0.0)
+      case "ip" =>
+        val m = if (vecs.isEmpty) 0.0 else vecs.map(normOf).max
+        (vecs.map(augmentIndexVec(_, m)), dim + 1, m)
+    }
+
+  def prepareQuery(q: Array[Float], metric: String): Array[Float] = metric match {
+    case "l2" => q
+    case "cos" => normalize(q)
+    case "ip" => augmentQueryVec(q)
+  }
 }
 
 /** An in-memory Vamana graph over a point set — the serving-side twin of the
