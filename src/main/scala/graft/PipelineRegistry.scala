@@ -40,6 +40,7 @@ object PipelineRegistry {
     dedupExact, dedupNgram, dedupMinhash, dedupSimhash, dedupEmbedding, dedupSurvivorsQ,
     textStats, langId, tokenCount, docFingerprint,
     simCosineTopK, simIpTopK, simJoinThreshold, lshCosinePairs, ivfSearch,
+    sqQuantize, sqReport,
     mmJoin, mmBinaryStats, mmMediaFeatures)
 
   // ---- dedup ----------------------------------------------------------------
@@ -278,6 +279,54 @@ object PipelineRegistry {
     "ivf_search",
     (s, d) => Similarity.ivfSearch(s, d),
     None)
+
+  // ---- quantization ---------------------------------------------------------
+
+  private val sqStatsCte =
+    """SELECT list(mn ORDER BY pos) AS mins, list(mx ORDER BY pos) AS maxs
+      |FROM (SELECT pos, min(v) AS mn, max(v) AS mx
+      |      FROM (SELECT unnest(embedding) AS v, generate_subscripts(embedding, 1) AS pos
+      |            FROM embeddings)
+      |      GROUP BY pos)""".stripMargin
+
+  private val sqQuantizeSql = s"""
+      WITH st AS ($sqStatsCte),
+      q AS (
+        SELECT vec_id,
+          list_transform(range(1, len(embedding)+1),
+            i -> CASE WHEN st.maxs[i] = st.mins[i] THEN 0
+                 ELSE floor(((embedding[i]::DOUBLE - st.mins[i]::DOUBLE) /
+                             (st.maxs[i]::DOUBLE - st.mins[i]::DOUBLE)) * 255.0 + 0.5)::INT END) AS codes,
+          list_transform(range(1, len(embedding)+1),
+            i -> CASE WHEN st.maxs[i] = st.mins[i] THEN 0.0
+                 ELSE (embedding[i]::DOUBLE - st.mins[i]::DOUBLE) /
+                      (st.maxs[i]::DOUBLE - st.mins[i]::DOUBLE) END) AS ts
+        FROM embeddings CROSS JOIN st),
+      r AS (
+        SELECT vec_id,
+          array_to_string(codes, ',') AS codes,
+          round(list_sum(list_transform(range(1, len(codes)+1),
+            i -> abs(codes[i]::DOUBLE / 255.0 - ts[i]))) / len(codes), 6) AS recon_err
+        FROM q)""".trim
+
+  private val sqQuantize: (String, QFn, Option[String]) = (
+    "sq_quantize",
+    (s, d) => Quantization.sqQuantize(s, d),
+    Some(s"""
+      $sqQuantizeSql
+      SELECT vec_id, codes, recon_err FROM r ORDER BY vec_id
+    """.trim))
+
+  private val sqReport: (String, QFn, Option[String]) = (
+    "sq_report",
+    (s, d) => Quantization.sqReport(s, d),
+    Some(s"""
+      $sqQuantizeSql
+      SELECT count(*) AS n_vectors,
+             round(avg(recon_err), 6) AS avg_recon_err,
+             round(max(recon_err), 6) AS max_recon_err
+      FROM r
+    """.trim))
 
   // ---- multimodal -----------------------------------------------------------
 
