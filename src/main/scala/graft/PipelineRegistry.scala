@@ -40,7 +40,7 @@ object PipelineRegistry {
     dedupExact, dedupNgram, dedupMinhash, dedupSimhash, dedupEmbedding, dedupSurvivorsQ,
     textStats, langId, tokenCount, docFingerprint,
     simCosineTopK, simIpTopK, simJoinThreshold, lshCosinePairs, ivfSearch,
-    sqQuantize, sqReport,
+    sqQuantize, sqReport, pqQuantizeQ, pqSearchQ,
     mmJoin, mmBinaryStats, mmMediaFeatures)
 
   // ---- dedup ----------------------------------------------------------------
@@ -327,6 +327,16 @@ object PipelineRegistry {
              round(max(recon_err), 6) AS max_recon_err
       FROM r
     """.trim))
+
+  private val pqQuantizeQ: (String, QFn, Option[String]) = (
+    "pq_quantize",
+    (s, d) => Quantization.pqQuantize(s, d),
+    None)
+
+  private val pqSearchQ: (String, QFn, Option[String]) = (
+    "pq_search",
+    (s, d) => Quantization.pqSearch(s, d),
+    None)
 
   // ---- multimodal -----------------------------------------------------------
 

@@ -63,4 +63,132 @@ object Quantization {
         count(lit(1)).as("n_vectors"),
         round(avg(col("recon_err")), 6).as("avg_recon_err"),
         round(max(col("recon_err")), 6).as("max_recon_err"))
+
+  // ---- product quantization --------------------------------------------------
+
+  /** Seeded deterministic k-means for one subspace: evenly-spaced sample
+    * points as init, `iters` Lloyd passes. Driver-side over a bounded
+    * sample — the standard way PQ codebooks are trained at any scale. */
+  private def kmeans(points: Array[Array[Float]], k: Int, iters: Int): Array[Array[Float]] = {
+    var centroids = (0 until k).map(i => points((i * points.length) / k)).toArray
+    for (_ <- 0 until iters) {
+      val dim = centroids(0).length
+      val sums = Array.fill(k)(new Array[Double](dim))
+      val counts = new Array[Long](k)
+      points.foreach { p =>
+        val c = nearest(p, centroids)
+        counts(c) += 1
+        var i = 0
+        while (i < dim) { sums(c)(i) += p(i); i += 1 }
+      }
+      centroids = centroids.indices.map { c =>
+        if (counts(c) == 0) centroids(c) else sums(c).map(v => (v / counts(c)).toFloat)
+      }.toArray
+    }
+    centroids
+  }
+
+  private def nearest(p: Array[Float], cs: Array[Array[Float]]): Int = {
+    var best = 0
+    var bestD = Double.MaxValue
+    var c = 0
+    while (c < cs.length) {
+      var d = 0.0
+      var i = 0
+      while (i < p.length) { val x = p(i) - cs(c)(i); d += x * x; i += 1 }
+      if (d < bestD) { bestD = d; best = c }
+      c += 1
+    }
+    best
+  }
+
+  /** Trained PQ codebooks: `m` subspaces × `k` centroids each. */
+  final case class PqCodebooks(m: Int, k: Int, subDim: Int, books: Array[Array[Array[Float]]])
+    extends Serializable
+
+  /** Train codebooks on a bounded sample (vec_id < 4096, seed-stable). */
+  def pqTrain(spark: SparkSession, dir: String, m: Int = 16, k: Int = 32): PqCodebooks = {
+    import spark.implicits._
+    val sample = Tables.embeddings(spark, dir)
+      .where(col("vec_id") < 4096)
+      .select(col("vec_id"), col("embedding").cast("array<float>"))
+      .as[(Long, Array[Float])].collect().sortBy(_._1).map(_._2)
+    val dim = sample(0).length
+    require(dim % m == 0, s"dim $dim must divide into $m subspaces")
+    val subDim = dim / m
+    val books = (0 until m).map { s =>
+      kmeans(sample.map(v => v.slice(s * subDim, (s + 1) * subDim)), k, iters = 3)
+    }.toArray
+    PqCodebooks(m, k, subDim, books)
+  }
+
+  /** PQ encode: one code (0..k-1) per subspace per vector — dim·4 bytes →
+    * m bytes. Deterministic (seeded codebooks) but k-means is not
+    * SQL-expressible → rows-only driver check; quality gated in specs. */
+  def pqQuantize(spark: SparkSession, dir: String, m: Int = 16, k: Int = 32): DataFrame = {
+    import spark.implicits._
+    val cb = pqTrain(spark, dir, m, k)
+    val bc = spark.sparkContext.broadcast(cb)
+    Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding").cast("array<float>"))
+      .as[(Long, Array[Float])]
+      .map { case (id, v) =>
+        val b = bc.value
+        val codes = (0 until b.m).map { s =>
+          nearest(v.slice(s * b.subDim, (s + 1) * b.subDim), b.books(s))
+        }
+        (id, codes.mkString(","))
+      }
+      .toDF("vec_id", "pq_codes")
+      .orderBy(col("vec_id"))
+  }
+
+  /** ADC (asymmetric distance) top-k over PQ codes: per query build the
+    * m×k lookup table of exact subspace distances, then score each stored
+    * vector as the sum of m table lookups — the memory-bound scan shape PQ
+    * exists for. Rows-only; recall vs exact kNN gated in specs. */
+  def pqSearch(spark: SparkSession, dir: String, nQueries: Int = 10, kTop: Int = 10,
+      m: Int = 16, k: Int = 32): DataFrame = {
+    import spark.implicits._
+    val cb = pqTrain(spark, dir, m, k)
+    val bcCb = spark.sparkContext.broadcast(cb)
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding").cast("array<float>"))
+      .as[(Long, Array[Float])]
+    val queries = emb.filter(_._1 < nQueries).collect().sortBy(_._1)
+    val bcQ = spark.sparkContext.broadcast(queries)
+    val scored = emb.mapPartitions { it =>
+      val b = bcCb.value
+      // per-query LUT: luts(q)(s)(c) = ||query_sub - centroid||^2
+      val luts = bcQ.value.map { case (qid, qv) =>
+        (qid, Array.tabulate(b.m, b.k) { (s, c) =>
+          var d = 0.0
+          var i = 0
+          val cen = b.books(s)(c)
+          while (i < b.subDim) {
+            val x = qv(s * b.subDim + i) - cen(i)
+            d += x * x
+            i += 1
+          }
+          d
+        })
+      }
+      it.flatMap { case (id, v) =>
+        val codes = (0 until b.m).map(s => nearest(v.slice(s * b.subDim, (s + 1) * b.subDim), b.books(s)))
+        luts.iterator.map { case (qid, lut) =>
+          var d = 0.0
+          var s = 0
+          while (s < b.m) { d += lut(s)(codes(s)); s += 1 }
+          (qid, id, math.rint(d * 1e4) / 1e4)
+        }
+      }
+    }.toDF("query_id", "id", "dist")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("dist").asc, col("id").asc)
+    scored
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= kTop)
+      .select(col("query_id"), col("rank"), col("id"), col("dist"))
+      .orderBy(col("query_id"), col("rank"))
+  }
 }

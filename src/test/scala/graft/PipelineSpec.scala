@@ -68,6 +68,20 @@ class PipelineSpec extends AnyFunSuite {
     assert(driverPath.nonEmpty)
   }
 
+  test("pq ADC search recall@10 >= 0.5 vs exact kNN; codes are m-ary") {
+    val pq = Quantization.pqSearch(spark, dir)
+      .select("query_id", "id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = {
+      val e = graft.core.Tables.embeddings(spark, dir)
+      operators.Knn.knnExact(e, operators.Knn.queriesFromPoints(e, 10), 10)
+        .select("query_id", "id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    }
+    val recall = (pq intersect brute).size.toDouble / brute.size
+    assert(recall >= 0.5, s"pq recall $recall")
+    val codes = Quantization.pqQuantize(spark, dir).head().getString(1).split(",")
+    assert(codes.length == 16 && codes.forall(c => c.toInt >= 0 && c.toInt < 32))
+  }
+
   test("media feature stub pipeline: one row per doc, n_bytes == n_chars (ascii corpus)") {
     val feats = Multimodal.mediaFeatures(spark, dir)
     val docs = graft.core.Tables.documents(spark, dir)
