@@ -25,18 +25,28 @@ class JoinStrategySpec extends AnyFunSuite {
 
   test("bucketed tables join without exchanges on the bucketed sides") {
     spark.sparkContext.setLogLevel("WARN")
-    Tables.orders(spark, dir).write.mode("overwrite")
-      .bucketBy(8, "o_orderkey").sortBy("o_orderkey").saveAsTable("orders_b")
-    Tables.lineitem(spark, dir).select(col("l_orderkey"), col("l_quantity"))
-      .write.mode("overwrite")
-      .bucketBy(8, "l_orderkey").sortBy("l_orderkey").saveAsTable("lineitem_b")
-    val joined = spark.table("lineitem_b")
-      .join(spark.table("orders_b"), col("l_orderkey") === col("o_orderkey"))
-    val plan = joined.queryExecution.executedPlan.toString
-    assert(!plan.contains("Exchange"),
-      s"bucketed join must be co-located (no shuffle):\n$plan")
-    assert(joined.count() == Tables.lineitem(spark, dir)
-      .join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey")).count())
+    // the builder confs above are ignored if another suite created the
+    // session first — force the runtime conf here and restore after
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      // unique table names: suites may share a session whose default
+      // warehouse dir survives across JVM runs (managed locations stick)
+      val tag = java.util.UUID.randomUUID().toString.replace("-", "").take(8)
+      val (ordersT, lineitemT) = (s"orders_b_$tag", s"lineitem_b_$tag")
+      Tables.orders(spark, dir).write.mode("overwrite")
+        .bucketBy(8, "o_orderkey").sortBy("o_orderkey").saveAsTable(ordersT)
+      Tables.lineitem(spark, dir).select(col("l_orderkey"), col("l_quantity"))
+        .write.mode("overwrite")
+        .bucketBy(8, "l_orderkey").sortBy("l_orderkey").saveAsTable(lineitemT)
+      val joined = spark.table(lineitemT)
+        .join(spark.table(ordersT), col("l_orderkey") === col("o_orderkey"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"bucketed join must be co-located (no shuffle):\n$plan")
+      assert(joined.count() == Tables.lineitem(spark, dir)
+        .join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey")).count())
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
   test("salted join is row-identical to the plain join") {
