@@ -39,7 +39,7 @@ object PipelineRegistry {
   def entries: Seq[(String, QFn, Option[String])] = Seq(
     dedupExact, dedupNgram, dedupMinhash, dedupSimhash, dedupEmbedding, dedupSurvivorsQ,
     textStats, langId, tokenCount, docFingerprint,
-    simCosineTopK, simIpTopK, simJoinThreshold, lshCosinePairs, ivfSearch,
+    simCosineTopK, simIpTopK, simJoinThreshold, lshCosinePairs, lshL2PairsQ, ivfSearch,
     sqQuantize, sqReport, pqQuantizeQ, pqSearchQ,
     mmJoin, mmBinaryStats, mmMediaFeatures)
 
@@ -55,26 +55,41 @@ object PipelineRegistry {
       FROM n GROUP BY content_hash ORDER BY doc_id
     """.trim))
 
+  /** Inverted-index n-gram jaccard with the document-frequency cutoff —
+    * mirrors [[Dedup.ngramJaccardPairs]] exactly (intersection counted over
+    * surviving shingles only; |A|/|B| stay full shingle counts). Ends in a
+    * `pr(id_a, id_b, jaccard)` CTE. */
+  private def ngramPairsCtes(maxDf: Int): String =
+    s"""ex AS (SELECT doc_id, unnest(sh) AS s FROM s),
+      rare AS (SELECT s FROM (SELECT s, count(*) AS df FROM ex GROUP BY s) WHERE df <= $maxDf),
+      exf AS (SELECT ex.doc_id, ex.s FROM ex JOIN rare USING (s)),
+      cnt AS (SELECT doc_id, len(sh) AS n FROM s),
+      ic AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+             FROM exf a JOIN exf b ON a.s = b.s AND a.doc_id < b.doc_id
+             GROUP BY a.doc_id, b.doc_id),
+      pr AS (SELECT id_a, id_b, ic.c::DOUBLE / (na.n + nb.n - ic.c) AS jaccard
+             FROM ic JOIN cnt na ON id_a = na.doc_id JOIN cnt nb ON id_b = nb.doc_id)"""
+
   private val dedupNgram: (String, QFn, Option[String]) = (
     "dedup_ngram_jaccard",
     (s, d) => Dedup.dedupNgramJaccard(s, d),
     Some(s"""
       WITH s AS ($shingledCte),
-      p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-                   len(list_intersect(a.sh, b.sh))::DOUBLE /
-                     (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jaccard
-            FROM s a JOIN s b ON a.doc_id < b.doc_id)
+      ${ngramPairsCtes(Dedup.DefaultMaxShingleDf)}
       SELECT id_a, id_b, round(jaccard, 4) AS jaccard
-      FROM p WHERE jaccard >= 0.2 ORDER BY id_a, id_b
+      FROM pr WHERE jaccard >= 0.2 ORDER BY id_a, id_b
     """.trim))
 
   private val minhashSigSql: String = {
-    val mins = (0 until 16).map(i => s"min(md5('$i:' || s)) AS h$i").mkString(",\n        ")
+    val digests = (0 until 4).map(g => s"md5('$g:' || s) AS g$g").mkString(", ")
+    val mins = (0 until 16)
+      .map(i => s"min(substr(g${i / 4}, ${(i % 4) * 8 + 1}, 8)) AS h$i")
+      .mkString(",\n        ")
     val bands = (0 until 4).map { b =>
       val hs = (b * 4 until b * 4 + 4).map(i => s"h$i").mkString(" || '|' || ")
       s"SELECT doc_id, $b AS band, md5($hs) AS bsig FROM sig"
     }.mkString("\n        UNION ALL ")
-    s"""ex AS (SELECT doc_id, unnest(sh) AS s FROM s),
+    s"""ex AS (SELECT doc_id, $digests FROM (SELECT doc_id, unnest(sh) AS s FROM s)),
       sig AS (SELECT doc_id,
         $mins
         FROM ex GROUP BY doc_id),
@@ -100,12 +115,12 @@ object PipelineRegistry {
 
   private val simhashSigSql: String = {
     val sums = (0 until 16).map(i =>
-      s"sum(strpos('0123456789abcdef', substr(md5(s), ${i + 1}, 1)) * 2 - 17) AS b$i")
+      s"sum(strpos('0123456789abcdef', substr(h, ${i + 1}, 1)) * 2 - 17) AS b$i")
       .mkString(",\n        ")
     val fold = (0 until 16).foldLeft("0") { (acc, i) =>
       s"($acc * 2 + CASE WHEN b$i > 0 THEN 1 ELSE 0 END)"
     }
-    s"""ex AS (SELECT doc_id, unnest(sh) AS s FROM s),
+    s"""ex AS (SELECT doc_id, md5(s) AS h FROM (SELECT doc_id, unnest(sh) AS s FROM s)),
       sums AS (SELECT doc_id,
         $sums
         FROM ex GROUP BY doc_id),
@@ -142,10 +157,7 @@ object PipelineRegistry {
     Some(s"""
       WITH RECURSIVE
       s AS ($shingledCte),
-      pr AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-                    len(list_intersect(a.sh, b.sh))::DOUBLE /
-                      (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jaccard
-             FROM s a JOIN s b ON a.doc_id < b.doc_id),
+      ${ngramPairsCtes(Dedup.DefaultMaxShingleDf)},
       e AS (SELECT id_a AS a, id_b AS b FROM pr WHERE jaccard >= 0.2
             UNION ALL
             SELECT id_b AS a, id_a AS b FROM pr WHERE jaccard >= 0.2),
@@ -273,6 +285,11 @@ object PipelineRegistry {
   private val lshCosinePairs: (String, QFn, Option[String]) = (
     "lsh_cosine_pairs",
     (s, d) => Similarity.lshCosinePairs(s, d),
+    None)
+
+  private val lshL2PairsQ: (String, QFn, Option[String]) = (
+    "lsh_l2_pairs",
+    (s, d) => Similarity.lshL2Pairs(s, d),
     None)
 
   private val ivfSearch: (String, QFn, Option[String]) = (

@@ -63,15 +63,35 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** Shingles appearing in more than this many docs are dropped before the
+    * pair join. The join is quadratic in per-shingle document frequency, so
+    * ONE boilerplate shingle (a shared header) otherwise becomes a full
+    * cross-join straggler on a real corpus. Dropping hot shingles only
+    * lowers the computed jaccard for pairs whose overlap is boilerplate —
+    * the standard trade (the oracle SQL applies the identical cutoff). */
+  val DefaultMaxShingleDf = 1000
+
   /** Exact n-gram Jaccard near-dup pairs, inverted-index form: explode
     * shingles, equi-join on shingle to count the intersection per pair, then
     * jaccard = c / (|A|+|B|-c). Complete vs the all-pairs form for any
-    * threshold > 0 (a pair with jaccard > 0 shares a shingle). */
-  def dedupNgramJaccard(spark: SparkSession, dir: String, threshold: Double = 0.2): DataFrame = {
-    val d = shingled(spark, dir)
+    * threshold > 0 (a pair with jaccard > 0 shares a non-hot shingle);
+    * |A|/|B| stay the full shingle counts, so the cutoff never inflates a
+    * score — it can only miss pairs whose entire overlap is boilerplate. */
+  def dedupNgramJaccard(spark: SparkSession, dir: String, threshold: Double = 0.2,
+      maxDf: Int = DefaultMaxShingleDf): DataFrame =
+    ngramJaccardPairs(shingled(spark, dir), threshold, maxDf)
+
+  /** The same pair join over any (doc_id, sh: array<string>) frame — spec
+    * surface for skew behavior. */
+  def ngramJaccardPairs(d: DataFrame, threshold: Double, maxDf: Int): DataFrame = {
     val counts = d.select(col("doc_id"), size(col("sh")).as("n"))
     val ex = d.select(col("doc_id"), explode(col("sh")).as("s"))
-    val inter = ex.as("a").join(ex.as("b"),
+    // document-frequency cutoff: the df aggregate shares the shuffle key (s)
+    // with the pair join, so this is one extra pass, not a new shuffle shape
+    val rare = ex.groupBy(col("s")).agg(count(lit(1)).as("df"))
+      .where(col("df") <= maxDf).select(col("s"))
+    val exF = ex.join(rare, "s")
+    val inter = exF.as("a").join(exF.as("b"),
         col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .agg(count(lit(1)).as("c"))
@@ -87,15 +107,22 @@ object Dedup {
   private val NumHashes = 16
   private val Bands = 4 // 4 bands x 4 rows
 
-  /** MinHash+LSH near-dup pairs: 16 portable min-hashes per doc
-    * (min over shingles of md5("i:"++shingle), i=0..15), banded 4x4; pairs
-    * sharing any band signature are candidates, then verified with true
-    * shingle Jaccard >= threshold. One groupBy for all 16 mins (single
-    * shuffle), one equi-join on (band, signature) — never all-pairs. */
+  /** MinHash+LSH near-dup pairs: 16 portable 32-bit min-hashes per doc,
+    * banded 4x4; pairs sharing any band signature are candidates, then
+    * verified with true shingle Jaccard >= threshold. The 16 hash functions
+    * are 8-hex-char slices of just FOUR md5 computations per shingle
+    * (md5("g:"++shingle), g=0..3) — md5 is the bench bottleneck, and four
+    * salted digests give 4x32 independent-enough bits at a quarter of the
+    * hash work. One groupBy for all 16 mins (single shuffle), one equi-join
+    * on (band, signature) — never all-pairs. */
   def dedupMinhash(spark: SparkSession, dir: String, threshold: Double = 0.2): DataFrame = {
     val d = shingled(spark, dir).cache()
     val ex = d.select(col("doc_id"), explode(col("sh")).as("s"))
-    val sigCols = (0 until NumHashes).map(i => min(md5(concat(lit(s"$i:"), col("s")))).as(s"h$i"))
+      .select(
+        col("doc_id") +: (0 until NumHashes / 4).map(g =>
+          md5(concat(lit(s"$g:"), col("s"))).as(s"g$g")): _*)
+    val sigCols = (0 until NumHashes).map(i =>
+      min(substring(col(s"g${i / 4}"), (i % 4) * 8 + 1, 8)).as(s"h$i"))
     val sig = ex.groupBy(col("doc_id")).agg(sigCols.head, sigCols.tail: _*)
     val rowsPerBand = NumHashes / Bands
     val bandStructs = (0 until Bands).map { b =>
@@ -125,11 +152,15 @@ object Dedup {
 
   /** 16-bit SimHash per doc: bit i is the sign of Σ over distinct shingles
     * of (hexdigit_i(md5(shingle))·2 − 15). Portable: md5 + strpos exist
-    * identically in DuckDB. */
+    * identically in DuckDB. The digest is projected ONCE per shingle row;
+    * the 16 bit-sums then each take a one-char substring — md5 is the
+    * expensive part, and embedding it in every aggregate made this the
+    * slowest query in the round-1 bench (16x redundant hashing). */
   def simhashSignatures(spark: SparkSession, dir: String): DataFrame = {
     val ex = shingled(spark, dir).select(col("doc_id"), explode(col("sh")).as("s"))
+      .select(col("doc_id"), md5(col("s")).as("h"))
     val bitSums = (0 until SimBits).map { i =>
-      sum(instr(lit("0123456789abcdef"), substring(md5(col("s")), i + 1, 1)) * 2 - 17).as(s"b$i")
+      sum(instr(lit("0123456789abcdef"), substring(col("h"), i + 1, 1)) * 2 - 17).as(s"b$i")
     }
     // fold bits MSB-first into one int: acc*2 + (sum>0)
     val sums = ex.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
@@ -175,9 +206,10 @@ object Dedup {
   private val DriverCcMaxPairs = 2_000_000L
 
   def dedupSurvivors(spark: SparkSession, dir: String, threshold: Double = 0.2,
-      driverCcMaxPairs: Long = DriverCcMaxPairs): DataFrame = {
+      driverCcMaxPairs: Long = DriverCcMaxPairs, maxDf: Int = DefaultMaxShingleDf): DataFrame = {
     import spark.implicits._
-    val pairs = dedupNgramJaccard(spark, dir, threshold).select(col("id_a"), col("id_b")).cache()
+    val pairs = dedupNgramJaccard(spark, dir, threshold, maxDf)
+      .select(col("id_a"), col("id_b")).cache()
     val nPairs = pairs.count()
     val labels =
       if (nPairs <= driverCcMaxPairs) {

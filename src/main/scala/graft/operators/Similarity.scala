@@ -91,7 +91,7 @@ object Similarity {
     val e = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding").cast("array<float>"))
       .as[(Long, Array[Float])]
-    val dim = 64
+    val dim = e.head()._2.length // hyperplanes must match the actual width
     val planes = hyperplanes(dim, seed)
     val bc = spark.sparkContext.broadcast(planes)
     // signature = sign bits of plane dot products
@@ -127,6 +127,58 @@ object Similarity {
       .withColumn("cos", dotNative(spark, col("va"), col("vb")) / (col("na") * col("nb")))
       .where(col("cos") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("cos"), 4).as("cos"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  private val L2Tables = 8
+  private val L2ProjPerTable = 2
+
+  /** Bucketed random-projection L2 LSH join — the scale twin for
+    * [[similarityJoinExact]], matching the reference's actual metric
+    * (vamana.h:694-702 is squared L2). E2LSH bucketing (Datar et al. 2004):
+    * key = floor((a·x + b)/w) per projection, a ~ N(0,1)^dim, b ~ U[0,w);
+    * each of the 8 tables concatenates 2 projection keys, candidates are
+    * pairs agreeing on any table's full key, verified with the exact codegen
+    * distance. With w = 2·sqrt(maxL2Sq), a pair AT the threshold collides
+    * per-projection with p≈0.8 → per-table p²≈0.64 → miss probability
+    * (1−0.64)^8 < 0.03; closer pairs do better. Equi-join on (table, key) —
+    * never all-pairs. Not SQL-expressible at reasonable cost → rows-only
+    * driver check; pair recall vs the exact join is gated ≥0.9 in specs. */
+  def lshL2Pairs(spark: SparkSession, dir: String, maxL2Sq: Double = 1.1, seed: Long = 11L): DataFrame = {
+    import spark.implicits._
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding").cast("array<float>"))
+      .as[(Long, Array[Float])]
+    val dim = e.head()._2.length
+    val w = 2.0 * math.sqrt(maxL2Sq)
+    val rng = new Random(seed)
+    val projs: Array[Array[(Array[Double], Double)]] =
+      Array.fill(L2Tables)(Array.fill(L2ProjPerTable)(
+        (Array.fill(dim)(rng.nextGaussian()), rng.nextDouble() * w)))
+    val bc = spark.sparkContext.broadcast(projs)
+    val keyed = e.flatMap { case (id, vec) =>
+      bc.value.iterator.zipWithIndex.map { case (tbl, t) =>
+        val key = tbl.map { case (a, b) =>
+          var d = 0.0
+          var i = 0
+          while (i < vec.length) { d += a(i) * vec(i); i += 1 }
+          math.floor((d + b) / w).toLong
+        }.mkString(",")
+        (id, t, key)
+      }
+    }.toDF("vec_id", "tbl", "key")
+    val cand = keyed.as("a").join(keyed.as("b"),
+        col("a.tbl") === col("b.tbl") && col("a.key") === col("b.key") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
+      .distinct()
+    val emb = Tables.embeddings(spark, dir)
+    cand
+      .join(emb.select(col("vec_id").as("id_a"), col("embedding").as("va")), "id_a")
+      .join(emb.select(col("vec_id").as("id_b"), col("embedding").as("vb")), "id_b")
+      .withColumn("dist", l2sqNative(spark, col("va"), col("vb")))
+      .where(col("dist") < maxL2Sq)
+      .select(col("id_a"), col("id_b"), round(col("dist"), 4).as("dist"))
       .orderBy(col("id_a"), col("id_b"))
   }
 
