@@ -37,6 +37,7 @@ object SparkEntry {
   private def registry: Seq[(String, QFn, Option[String])] = Seq(
     knnExactQ, knnExactAggQ, medoidExactQ, argminNearestQ,
     vamanaSearchQ, vamanaRecallQ, vamanaStartQ, vamanaDescribeQ, vamanaDegreeQ, vamanaFanoutQ,
+    vamanaRoundtripQ,
     pricingQ, regionRevenueQ, topOrdersQ, orderPriorityQ, localSupplierQ,
     filteredRevenueQ, partRollupQ, segmentSetOpsQ, eventsHourlyQ, userFunnelQ,
     ordersByMonthQ, partTypeQ, acctbalStatsQ, approxDistinctQ, sessionizeBatchQ
@@ -116,6 +117,13 @@ object SparkEntry {
   private val vamanaFanoutQ: (String, QFn, Option[String]) = (
     "vamana_fanout_search",
     (s, d) => graft.vamana.VamanaOps.vamanaFanout(s, d),
+    None)
+
+  /** S2/S3/S4 persistence roundtrip as a driver-checked query (rows-only,
+    * but every column is a pass/fail bit with a stable expected row). */
+  private val vamanaRoundtripQ: (String, QFn, Option[String]) = (
+    "vamana_roundtrip",
+    (s, d) => graft.vamana.VamanaOps.vamanaRoundtrip(s, d),
     None)
 
   private val sessionizeBatchQ: (String, QFn, Option[String]) = (

@@ -1,6 +1,9 @@
 package graft.vamana
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import scala.util.hashing.MurmurHash3
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoder, Encoders, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Distributed Vamana index build + serving, Spark-first.
@@ -13,13 +16,40 @@ import org.apache.spark.sql.functions._
   * published DiskANN sharded-build recipe, with no shared mutable state
   * (vs the reference's `omp critical` global graph, vamana.h:266-288).
   *
-  * The finished model is a [[LocalIndex]]: serving assumes the graph +
-  * vectors fit in one broadcast (n·(dim·4 + R·4) bytes — ~2.7 GB for 10M
-  * points at dim=64/R=32). Beyond broadcast scale the design degrades to
-  * shard-fanout search (query all shard models, merge top-k by union +
-  * window) — same operators, one more stage; not needed at test scale.
+  * Serving has two regimes, split by [[VamanaIndexer.DefaultMaxLocalPoints]]:
+  *  - under the threshold the model materializes into one broadcast
+  *    [[LocalIndex]] (n·(dim·4 + R·4) bytes — ~7.6 GB for 20M points at
+  *    dim=64/R=32) and every query is answered shuffle-free;
+  *  - above it NOTHING is collected to the driver: the model stays as
+  *    points/graph DataFrames (the save format) and queries are served by
+  *    shard-fanout search over the per-shard kernels built during fit —
+  *    the working set per task is one shard, at any corpus size.
   */
 object VamanaIndexer {
+
+  /** Largest point count materialized into a single broadcast [[LocalIndex]].
+    * Above this, `fit` keeps the model distributed (frames + shard fanout)
+    * and never collects the corpus to the driver. */
+  val DefaultMaxLocalPoints: Long = 20_000_000L
+
+  /** metric -> L2 reduction (cos: normalize; ip: MIPS augmentation with the
+    * GLOBAL max corpus norm, so shard distances stay comparable); the kernel
+    * always runs squared-Euclidean. Returns the transformed points and the
+    * kernel-space params. */
+  private[vamana] def metricTransform(
+      pts: Dataset[(Long, Array[Float])],
+      params: VamanaParams): (Dataset[(Long, Array[Float])], VamanaParams) = {
+    val spark = pts.sparkSession
+    import spark.implicits._
+    params.metric match {
+      case "l2" => (pts, params)
+      case "cos" => (pts.map { case (id, v) => (id, MetricReduction.normalize(v)) }, params)
+      case "ip" =>
+        val m = pts.map(p => MetricReduction.normOf(p._2)).reduce(math.max(_, _))
+        (pts.map { case (id, v) => (id, MetricReduction.augmentIndexVec(v, m)) },
+          params.copy(dim = params.dim + 1))
+    }
+  }
 
   /** Fit a Vamana graph over (idCol: LONG, vecCol: array<float>). */
   def fit(
@@ -27,23 +57,13 @@ object VamanaIndexer {
       params: VamanaParams,
       idCol: String = "vec_id",
       vecCol: String = "embedding",
-      numShards: Int = 1): VamanaModel = {
+      numShards: Int = 1,
+      maxLocalPoints: Long = DefaultMaxLocalPoints): VamanaModel = {
     val spark = df.sparkSession
     import spark.implicits._
     val pts: Dataset[(Long, Array[Float])] =
       df.select(col(idCol).cast("long"), col(vecCol).cast("array<float>")).as[(Long, Array[Float])]
-
-    // metric -> L2 reduction (cos: normalize; ip: MIPS augmentation); the
-    // kernel below always runs squared-Euclidean
-    val metric = params.metric
-    val ptsT: Dataset[(Long, Array[Float])] = metric match {
-      case "l2" => pts
-      case "cos" => pts.map { case (id, v) => (id, MetricReduction.normalize(v)) }
-      case "ip" =>
-        val m = pts.map(p => MetricReduction.normOf(p._2)).reduce(math.max(_, _))
-        pts.map { case (id, v) => (id, MetricReduction.augmentIndexVec(v, m)) }
-    }
-    val kParams = if (metric == "ip") params.copy(dim = params.dim + 1) else params
+    val (ptsT, kParams) = metricTransform(pts, params)
 
     if (numShards <= 1) {
       // single-shard: use the batch-synchronous parallel kernel — the
@@ -58,27 +78,34 @@ object VamanaIndexer {
       val seed = params.seed
       // deterministic 2-of-s overlap assignment per point id
       val assigned = ptsT.flatMap { case (id, vec) =>
-        val h1 = scala.util.hashing.MurmurHash3.productHash((id, seed))
-        val h2 = scala.util.hashing.MurmurHash3.productHash((id, seed + 1))
+        val h1 = MurmurHash3.productHash((id, seed))
+        val h2 = MurmurHash3.productHash((id, seed + 1))
         val s1 = math.floorMod(h1, s)
         val s2 = math.floorMod(s1 + 1 + math.floorMod(h2, s - 1), s)
         Seq((s1, id, vec), (s2, id, vec))
       }
-      // one sequential kernel build per shard; emit adjacency in EXTERNAL ids
-      val shardAdj: Dataset[(Long, Array[Long])] =
-        assigned.groupByKey(_._1).flatMapGroups { (shard, it) =>
+      // one sequential kernel build per shard, kept as a cached dataset of
+      // shard indexes — reused (a) to extract edges for the global merge and
+      // (b) as the beyond-broadcast fanout serving model. Never collected.
+      implicit val shardEnc: Encoder[(Int, LocalIndex)] =
+        Encoders.tuple(Encoders.scalaInt, Encoders.kryo[LocalIndex])
+      val shardIdx: Dataset[(Int, LocalIndex)] =
+        assigned.groupByKey(_._1).mapGroups { (shard, it) =>
           val arr = it.toArray.sortBy(_._2)
-          val ids = arr.map(_._2)
-          val vecs = arr.map(_._3)
-          val idx = VamanaKernel.build(ids, vecs, kParams.copy(seed = params.seed + shard))
-          idx.graph.iterator.zipWithIndex.map { case (nbrs, i) => (ids(i), nbrs.map(ids(_))) }
-        }
-      // union shard edge lists, dedup, then re-prune each merged list to R
+          (shard, VamanaKernel.build(arr.map(_._2), arr.map(_._3),
+            kParams.copy(seed = params.seed + shard)))
+        }.cache()
+      // per-shard adjacency in EXTERNAL ids
+      val shardAdj: Dataset[(Long, Array[Long])] = shardIdx.flatMap { case (_, idx) =>
+        idx.graph.iterator.zipWithIndex.map { case (nbrs, i) => (idx.ids(i), nbrs.map(idx.ids(_))) }
+      }
+      // union shard edge lists, dedup, then re-prune each merged list to R —
+      // all keyed joins, nothing driver-side
       val merged = shardAdj.groupByKey(_._1)
         .mapGroups { (id, it) => (id, it.flatMap(_._2).toArray.distinct) }
         .toDF("id", "nbrs")
       val ptsDF = ptsT.toDF("pid", "pvec")
-      val pruned = merged
+      val prunedDs: Dataset[(Long, Array[Long])] = merged
         .select($"id", explode($"nbrs").as("nbr"))
         .join(ptsDF, $"nbr" === $"pid")
         .select($"id", $"nbr", $"pvec".as("nvec"))
@@ -92,28 +119,223 @@ object VamanaIndexer {
             pvec, cands.map(_._1), cands.map(_._2),
             params.alpha, params.maxDegree, params.paperPrune))
         }
-        .collect()
-        .toMap
-      val collected = ptsT.collect().sortBy(_._1)
-      val ids = collected.map(_._1)
-      val pos = ids.zipWithIndex.toMap
-      val graph = ids.map(id => pruned.getOrElse(id, Array.empty[Long]).flatMap(pos.get(_)))
-      val medoid = VamanaKernel.centroidMedoid(collected.map(_._2))
-      new VamanaModel(new LocalIndex(ids, collected.map(_._2), graph, medoid, kParams))
+      val n = ptsT.count()
+      if (n <= maxLocalPoints) {
+        // gated materialization: the ONLY place the corpus reaches the driver
+        val pruned = prunedDs.collect().toMap
+        val collected = ptsT.collect().sortBy(_._1)
+        val ids = collected.map(_._1)
+        val pos = ids.zipWithIndex.toMap
+        val graph = ids.map(id => pruned.getOrElse(id, Array.empty[Long]).flatMap(pos.get(_)))
+        val medoid = VamanaKernel.centroidMedoid(collected.map(_._2))
+        shardIdx.unpersist()
+        new VamanaModel(new LocalIndex(ids, collected.map(_._2), graph, medoid, kParams))
+      } else {
+        // beyond-broadcast: frames for save/export, shard kernels for serving
+        VamanaModel.distributed(
+          ModelFrames(ptsT.toDF("id", "vec"), prunedDs.toDF("id", "neighbors"), kParams),
+          new FanoutModel(shardIdx, kParams))
+      }
     }
+  }
+
+  /** Nearest-to-centroid medoid over a distributed point set — only scalars
+    * ever reach the driver. Tie-break (lowest id) matches
+    * [[VamanaKernel.centroidMedoid]] over id-sorted points. */
+  private[vamana] def distributedMedoidId(points: Dataset[(Long, Array[Float])]): Long = {
+    val spark = points.sparkSession
+    import spark.implicits._
+    val (sumVec, cnt) = points
+      .map { case (_, v) => (v.map(_.toDouble), 1L) }
+      .reduce { (a, b) =>
+        val s = new Array[Double](a._1.length)
+        var i = 0
+        while (i < s.length) { s(i) = a._1(i) + b._1(i); i += 1 }
+        (s, a._2 + b._2)
+      }
+    val centroid = sumVec.map(x => (x / cnt).toFloat)
+    val bc = spark.sparkContext.broadcast(centroid)
+    points
+      .map { case (id, v) => (VamanaKernel.l2sq(v, bc.value), id) }
+      .reduce { (a, b) =>
+        if (a._1 < b._1 || (a._1 == b._1 && a._2 < b._2)) a else b
+      }._2
   }
 }
 
-/** Shard-fanout ANN search — the beyond-broadcast scale path. Each point
-  * lives in exactly one shard; every shard builds its own Vamana graph in
-  * one task and answers every query with a local top-k; the global answer is
-  * the per-query merge (union + window) of shard answers. Nothing is ever
-  * collected to the driver and no single index must fit in one broadcast —
-  * the working set per task is one shard. Recall matches the single-model
-  * path because a global top-k is contained in the union of per-shard
-  * top-ks. */
+/** The beyond-broadcast model frames: (id, vec) points and (id, neighbors)
+  * external-id adjacency, both kernel-space (metric-transformed). This is
+  * the save layout; nothing here is ever collected. */
+final case class ModelFrames(points: DataFrame, graph: DataFrame, params: VamanaParams)
+
+/** A fitted shard-fanout serving model: one [[LocalIndex]] per shard, held
+  * as a CACHED dataset of kryo-serialized kernels — built exactly once at
+  * fit/load time. Every search deserializes shard kernels partition-locally
+  * and answers the whole broadcast query batch; the global answer is the
+  * per-query merge of shard top-ks (a global top-k is contained in the union
+  * of per-shard top-ks). Nothing is collected to the driver and no single
+  * index must fit in one broadcast — the working set per task is one shard. */
+final class FanoutModel private[vamana] (
+    private[vamana] val shards: Dataset[(Int, LocalIndex)],
+    val params: VamanaParams) {
+
+  /** Batch ANN top-k (same output shape as [[VamanaModel.search]]). Calling
+    * it twice runs ZERO graph builds the second time (spec-asserted) — the
+    * round-1 shape rebuilt every shard graph per call. */
+  def search(
+      queries: DataFrame,
+      k: Int,
+      queryIdCol: String = "query_id",
+      queryVecCol: String = "query_vec"): DataFrame =
+    searchImpl(queries, k, queryIdCol, queryVecCol, startVecCol = None)
+
+  /** Q2 semantics on the fanout path: each shard resolves the start vector
+    * to its own nearest stored point; the merge keeps the best answers. */
+  def searchWithStartPoint(
+      queries: DataFrame,
+      k: Int,
+      queryIdCol: String = "query_id",
+      queryVecCol: String = "query_vec",
+      startVecCol: String = "start_vec"): DataFrame =
+    searchImpl(queries, k, queryIdCol, queryVecCol, Some(startVecCol))
+
+  private def searchImpl(
+      queries: DataFrame,
+      k: Int,
+      queryIdCol: String,
+      queryVecCol: String,
+      startVecCol: Option[String]): DataFrame = {
+    val spark = shards.sparkSession
+    import spark.implicits._
+    val metric = params.metric
+    val prepared: Array[(Long, Array[Float], Array[Float])] = startVecCol match {
+      case None =>
+        queries.select(col(queryIdCol).cast("long"), col(queryVecCol).cast("array<float>"))
+          .as[(Long, Array[Float])].collect().sortBy(_._1)
+          .map { case (id, v) => (id, MetricReduction.prepareQuery(v, metric), null) }
+      case Some(sc) =>
+        queries.select(col(queryIdCol).cast("long"), col(queryVecCol).cast("array<float>"),
+            col(sc).cast("array<float>"))
+          .as[(Long, Array[Float], Array[Float])].collect().sortBy(_._1)
+          .map { case (id, v, sv) =>
+            (id, MetricReduction.prepareQuery(v, metric), MetricReduction.prepareQuery(sv, metric))
+          }
+    }
+    require(prepared.length <= 10000, "fanout broadcasts the query batch; keep it bounded")
+    val bcQ = spark.sparkContext.broadcast(prepared)
+    val answers = shards.flatMap { case (_, idx) =>
+      bcQ.value.iterator.flatMap { case (qid, qvec, svec) =>
+        val res =
+          if (svec == null) VamanaKernel.search(idx, qvec, k)
+          else VamanaKernel.searchWithStartPoint(idx, svec, qvec, k)
+        res.iterator.map { case (id, dist) => (qid, id, math.rint(dist.toDouble * 1e4) / 1e4) }
+      }
+    }.toDF("query_id", "id", "dist")
+    // overlapping shards may answer the same point twice — merge before rank
+    val mergedA = answers.groupBy(col("query_id"), col("id")).agg(min(col("dist")).as("dist"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("dist").asc, col("id").asc)
+    mergedA
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("id"), col("dist"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** S3 for the fanout path: one parquet of per-shard model rows (vectors +
+    * external-id adjacency + per-shard medoid/seed) plus a one-row global
+    * params file. Written straight from the shard dataset — distributed. */
+  def save(path: String): Unit = {
+    val spark = shards.sparkSession
+    import spark.implicits._
+    shards.flatMap { case (shard, idx) =>
+      idx.ids.indices.iterator.map { pos =>
+        (shard, pos, idx.ids(pos), idx.points(pos), idx.graph(pos).map(idx.ids(_)),
+          idx.medoid, idx.params.seed)
+      }
+    }.toDF("shard", "pos", "id", "vec", "neighbors", "medoid_pos", "shard_seed")
+      .write.mode("overwrite").partitionBy("shard").parquet(s"$path/shards")
+    val p = params
+    Seq((p.dim, p.maxDegree, p.beamWidth, p.alpha.toDouble, p.efSearch, p.seed,
+      p.paperPrune, p.metric))
+      .toDF("dim", "max_degree", "beam_width", "alpha", "ef_search", "seed",
+        "paper_prune", "metric")
+      .repartition(1).write.mode("overwrite").parquet(s"$path/params")
+  }
+}
+
+object FanoutModel {
+
+  /** S2 for the fanout path: reassemble each shard kernel inside one task,
+    * cache — searches after load run zero builds, zero per-query I/O. */
+  def load(spark: SparkSession, path: String): FanoutModel = {
+    import spark.implicits._
+    val p = spark.read.parquet(s"$path/params").head()
+    val params = VamanaParams(
+      dim = p.getAs[Int]("dim"),
+      maxDegree = p.getAs[Int]("max_degree"),
+      beamWidth = p.getAs[Int]("beam_width"),
+      alpha = p.getAs[Double]("alpha").toFloat,
+      efSearch = p.getAs[Int]("ef_search"),
+      seed = p.getAs[Long]("seed"),
+      paperPrune = p.getAs[Boolean]("paper_prune"),
+      metric = p.getAs[String]("metric"))
+    implicit val shardEnc: Encoder[(Int, LocalIndex)] =
+      Encoders.tuple(Encoders.scalaInt, Encoders.kryo[LocalIndex])
+    val rows = spark.read.parquet(s"$path/shards")
+      .select(col("shard").cast("int"), col("pos").cast("int"), col("id"),
+        col("vec").cast("array<float>"), col("neighbors"),
+        col("medoid_pos").cast("int"), col("shard_seed").cast("long"))
+      .as[(Int, Int, Long, Array[Float], Array[Long], Int, Long)]
+    val shards = rows.groupByKey(_._1).mapGroups { (shard, it) =>
+      val arr = it.toArray.sortBy(_._2)
+      val ids = arr.map(_._3)
+      val posOf = ids.zipWithIndex.toMap
+      val graph = arr.map(_._5.flatMap(posOf.get(_)))
+      (shard, new LocalIndex(ids, arr.map(_._4), graph, arr.head._6,
+        params.copy(seed = arr.head._7)))
+    }.cache()
+    shards.count() // materialize once, up front
+    new FanoutModel(shards, params)
+  }
+}
+
+/** Shard-fanout ANN fit/search — the beyond-broadcast scale path. */
 object VamanaFanout {
 
+  /** Build one Vamana kernel per shard (each point in exactly one shard),
+    * distributed, materialized ONCE into the returned model's cache. Shard
+    * builds use the batch-synchronous parallel kernel so a machine with
+    * more cores than shards isn't idle. */
+  def fit(
+      points: DataFrame,
+      params: VamanaParams,
+      numShards: Int,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): FanoutModel = {
+    val spark = points.sparkSession
+    import spark.implicits._
+    val pts = points
+      .select(col(idCol).cast("long"), col(vecCol).cast("array<float>"))
+      .as[(Long, Array[Float])]
+    val (ptsT, kParams) = VamanaIndexer.metricTransform(pts, params)
+    val seed = params.seed
+    val par = math.max(2, Runtime.getRuntime.availableProcessors() / math.max(1, numShards))
+    implicit val shardEnc: Encoder[(Int, LocalIndex)] =
+      Encoders.tuple(Encoders.scalaInt, Encoders.kryo[LocalIndex])
+    val shards = ptsT
+      .groupByKey { case (id, _) => math.floorMod(MurmurHash3.productHash((id, seed)), numShards) }
+      .mapGroups { (shard, it) =>
+        val arr = it.toArray.sortBy(_._1)
+        (shard, VamanaKernel.buildParallel(arr.map(_._1), arr.map(_._2),
+          kParams.copy(seed = seed + shard), par))
+      }.cache()
+    shards.count() // force the builds NOW, exactly once
+    new FanoutModel(shards, params = kParams)
+  }
+
+  /** One-shot fit+search (round-1 signature, kept for callers that want a
+    * single ephemeral query batch; long-lived serving should hold the
+    * [[fit]] result — e.g. [[VamanaOps]] caches it per dataset). */
   def search(
       points: DataFrame,
       queries: DataFrame,
@@ -121,71 +343,54 @@ object VamanaFanout {
       params: VamanaParams,
       numShards: Int,
       idCol: String = "vec_id",
-      vecCol: String = "embedding"): DataFrame = {
-    val spark = points.sparkSession
-    import spark.implicits._
-    import org.apache.spark.sql.expressions.Window
-    val q = queries
-      .select(col("query_id").cast("long"), col("query_vec").cast("array<float>"))
-      .as[(Long, Array[Float])].collect().sortBy(_._1)
-    require(q.length <= 10000, "fanout broadcasts the query batch; keep it bounded")
-    val bcQ = spark.sparkContext.broadcast(q)
-    val seed = params.seed
-    val pts = points
-      .select(col(idCol).cast("long"), col(vecCol).cast("array<float>"))
-      .as[(Long, Array[Float])]
-    val shardAnswers = pts
-      .groupByKey { case (id, _) =>
-        math.floorMod(scala.util.hashing.MurmurHash3.productHash((id, seed)), numShards)
-      }
-      .flatMapGroups { (shard, it) =>
-        val arr = it.toArray.sortBy(_._1)
-        val idx = VamanaKernel.build(arr.map(_._1), arr.map(_._2),
-          params.copy(seed = params.seed + shard))
-        bcQ.value.iterator.flatMap { case (qid, qvec) =>
-          VamanaKernel.search(idx, qvec, k).iterator.map {
-            case (id, dist) => (qid, id, math.rint(dist.toDouble * 1e4) / 1e4)
-          }
-        }
-      }
-      .toDF("query_id", "id", "dist")
-    val w = Window.partitionBy(col("query_id")).orderBy(col("dist").asc, col("id").asc)
-    shardAnswers
-      .withColumn("rank", org.apache.spark.sql.functions.row_number().over(w).cast("long"))
-      .where(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("id"), col("dist"))
-      .orderBy(col("query_id"), col("rank"))
-  }
+      vecCol: String = "embedding"): DataFrame =
+    fit(points, params, numShards, idCol, vecCol).search(queries, k)
 }
 
-/** A fitted Vamana index: broadcast-served searches + parquet persistence.
-  * Persists ALL params including efSearch — the reference forgets it on
-  * save/load, leaving search width uninitialized (vamana.h:397-405, 62-68;
+/** A fitted Vamana index. Under the size threshold it wraps a broadcastable
+  * [[LocalIndex]] (shuffle-free serving); above it, the model stays as
+  * distributed frames and serving routes to the shard-fanout path. Persists
+  * ALL params including efSearch — the reference forgets it on save/load,
+  * leaving search width uninitialized (vamana.h:397-405, 62-68;
   * SURVEY.md Appendix A.1). */
-final class VamanaModel(val index: LocalIndex) extends Serializable {
+final class VamanaModel private (
+    private val localOpt: Option[LocalIndex],
+    private val framesOpt: Option[ModelFrames],
+    private val fanoutOpt: Option[FanoutModel]) extends Serializable {
+
+  def this(index: LocalIndex) = this(Some(index), None, None)
+
+  /** True when the model never materialized a driver-side index. */
+  def isDistributed: Boolean = localOpt.isEmpty
+
+  def index: LocalIndex = localOpt.getOrElse(throw new IllegalStateException(
+    "model exceeds maxLocalPoints and was never collected to the driver; " +
+      "serve via search() (fanout) or save() the frames"))
 
   /** Batch ANN top-k: broadcast the index, search per query partition-local —
     * no shuffle at all; output shape matches [[graft.operators.Knn.knnExact]]
-    * so recall joins line up. */
+    * so recall joins line up. Distributed models route to fanout serving. */
   def search(
       queries: DataFrame,
       k: Int,
       queryIdCol: String = "query_id",
-      queryVecCol: String = "query_vec"): DataFrame = {
-    val spark = queries.sparkSession
-    import spark.implicits._
-    val bc = spark.sparkContext.broadcast(index)
-    queries
-      .select(col(queryIdCol).cast("long"), col(queryVecCol).cast("array<float>"))
-      .as[(Long, Array[Float])]
-      .flatMap { case (qid, qvec) =>
-        val q = MetricReduction.prepareQuery(qvec, bc.value.params.metric)
-        VamanaKernel.search(bc.value, q, k).iterator.zipWithIndex.map {
-          case ((id, dist), r) =>
-            (qid, (r + 1).toLong, id, math.rint(dist.toDouble * 1e4) / 1e4)
+      queryVecCol: String = "query_vec"): DataFrame = localOpt match {
+    case None => fanoutOpt.get.search(queries, k, queryIdCol, queryVecCol)
+    case Some(idx) =>
+      val spark = queries.sparkSession
+      import spark.implicits._
+      val bc = spark.sparkContext.broadcast(idx)
+      queries
+        .select(col(queryIdCol).cast("long"), col(queryVecCol).cast("array<float>"))
+        .as[(Long, Array[Float])]
+        .flatMap { case (qid, qvec) =>
+          val q = MetricReduction.prepareQuery(qvec, bc.value.params.metric)
+          VamanaKernel.search(bc.value, q, k).iterator.zipWithIndex.map {
+            case ((id, dist), r) =>
+              (qid, (r + 1).toLong, id, math.rint(dist.toDouble * 1e4) / 1e4)
+          }
         }
-      }
-      .toDF("query_id", "rank", "id", "dist")
+        .toDF("query_id", "rank", "id", "dist")
   }
 
   /** Q2 semantics (vamana.h:426-489): search starting from the stored point
@@ -195,65 +400,114 @@ final class VamanaModel(val index: LocalIndex) extends Serializable {
       k: Int,
       queryIdCol: String = "query_id",
       queryVecCol: String = "query_vec",
-      startVecCol: String = "start_vec"): DataFrame = {
-    val spark = queries.sparkSession
-    import spark.implicits._
-    val bc = spark.sparkContext.broadcast(index)
-    queries
-      .select(col(queryIdCol).cast("long"), col(queryVecCol).cast("array<float>"),
-        col(startVecCol).cast("array<float>"))
-      .as[(Long, Array[Float], Array[Float])]
-      .flatMap { case (qid, qvec, svec) =>
-        val m = bc.value.params.metric
-        VamanaKernel.searchWithStartPoint(bc.value,
-          MetricReduction.prepareQuery(svec, m), MetricReduction.prepareQuery(qvec, m), k
-        ).iterator.zipWithIndex.map {
-          case ((id, dist), r) =>
-            (qid, (r + 1).toLong, id, math.rint(dist.toDouble * 1e4) / 1e4)
+      startVecCol: String = "start_vec"): DataFrame = localOpt match {
+    case None => fanoutOpt.get.searchWithStartPoint(queries, k, queryIdCol, queryVecCol, startVecCol)
+    case Some(idx) =>
+      val spark = queries.sparkSession
+      import spark.implicits._
+      val bc = spark.sparkContext.broadcast(idx)
+      queries
+        .select(col(queryIdCol).cast("long"), col(queryVecCol).cast("array<float>"),
+          col(startVecCol).cast("array<float>"))
+        .as[(Long, Array[Float], Array[Float])]
+        .flatMap { case (qid, qvec, svec) =>
+          val m = bc.value.params.metric
+          VamanaKernel.searchWithStartPoint(bc.value,
+            MetricReduction.prepareQuery(svec, m), MetricReduction.prepareQuery(qvec, m), k
+          ).iterator.zipWithIndex.map {
+            case ((id, dist), r) =>
+              (qid, (r + 1).toLong, id, math.rint(dist.toDouble * 1e4) / 1e4)
+          }
         }
-      }
-      .toDF("query_id", "rank", "id", "dist")
+        .toDF("query_id", "rank", "id", "dist")
   }
 
   /** Point lookup by internal position — GetPoint (vamana.h:549-555). */
   def getPoint(pos: Int): Array[Float] = index.points(pos)
 
-  /** Introspection (M1, vamana.h:41-53): one-row DataFrame of all params. */
+  /** Introspection (M1, vamana.h:41-53): one-row DataFrame of all params.
+    * For a distributed model the medoid position is computed with two
+    * aggregate jobs (centroid argmin + id rank) — still no collect. */
   def describe(spark: SparkSession): DataFrame = {
     import spark.implicits._
-    val p = index.params
-    Seq((p.dim, p.maxDegree, p.beamWidth, p.alpha.toDouble, p.efSearch, p.seed,
-      p.paperPrune, p.metric, index.medoid, index.size.toLong))
-      .toDF("dim", "max_degree", "beam_width", "alpha", "ef_search", "seed",
-        "paper_prune", "metric", "medoid_pos", "data_size")
+    localOpt match {
+      case Some(idx) =>
+        val p = idx.params
+        Seq((p.dim, p.maxDegree, p.beamWidth, p.alpha.toDouble, p.efSearch, p.seed,
+          p.paperPrune, p.metric, idx.medoid, idx.size.toLong))
+          .toDF("dim", "max_degree", "beam_width", "alpha", "ef_search", "seed",
+            "paper_prune", "metric", "medoid_pos", "data_size")
+      case None =>
+        val f = framesOpt.get
+        val pts = f.points.select(col("id").cast("long"), col("vec").cast("array<float>"))
+          .as[(Long, Array[Float])]
+        val medoidId = VamanaIndexer.distributedMedoidId(pts)
+        val medoidPos = pts.filter(_._1 < medoidId).count().toInt
+        val n = f.points.count()
+        val p = f.params
+        Seq((p.dim, p.maxDegree, p.beamWidth, p.alpha.toDouble, p.efSearch, p.seed,
+          p.paperPrune, p.metric, medoidPos, n))
+          .toDF("dim", "max_degree", "beam_width", "alpha", "ef_search", "seed",
+            "paper_prune", "metric", "medoid_pos", "data_size")
+    }
   }
 
-  def pointsDF(spark: SparkSession): DataFrame = {
-    import spark.implicits._
-    index.ids.zipWithIndex.map { case (id, pos) => (pos, id, index.points(pos)) }.toSeq
-      .toDF("pos", "id", "vec")
+  def pointsDF(spark: SparkSession): DataFrame = localOpt match {
+    case Some(idx) =>
+      import spark.implicits._
+      idx.ids.zipWithIndex.map { case (id, pos) => (pos, id, idx.points(pos)) }.toSeq
+        .toDF("pos", "id", "vec")
+    case None =>
+      val w = Window.orderBy(col("id"))
+      framesOpt.get.points
+        .withColumn("pos", (row_number().over(w) - 1).cast("int"))
+        .select(col("pos"), col("id"), col("vec"))
   }
 
-  def graphDF(spark: SparkSession): DataFrame = {
-    import spark.implicits._
-    index.graph.zipWithIndex.map { case (nbrs, pos) =>
-      (pos, index.ids(pos), nbrs.map(index.ids(_)))
-    }.toSeq.toDF("pos", "id", "neighbors")
+  def graphDF(spark: SparkSession): DataFrame = localOpt match {
+    case Some(idx) =>
+      import spark.implicits._
+      idx.graph.zipWithIndex.map { case (nbrs, pos) =>
+        (pos, idx.ids(pos), nbrs.map(idx.ids(_)))
+      }.toSeq.toDF("pos", "id", "neighbors")
+    case None =>
+      val w = Window.orderBy(col("id"))
+      val posOf = framesOpt.get.points
+        .withColumn("pos", (row_number().over(w) - 1).cast("int"))
+        .select(col("pos"), col("id"))
+      // left join from points: every pos gets a row even if the merge left a
+      // node edgeless — a dropped row would shift positions on load
+      posOf.join(framesOpt.get.graph, Seq("id"), "left")
+        .select(col("pos"), col("id"),
+          coalesce(col("neighbors"), array().cast("array<bigint>")).as("neighbors"))
   }
 
-  /** S3 (save, vamana.h:390-424): parquet points + graph + one-row params. */
-  def save(spark: SparkSession, path: String): Unit = {
-    pointsDF(spark).repartition(1).write.mode("overwrite").parquet(s"$path/points")
-    graphDF(spark).repartition(1).write.mode("overwrite").parquet(s"$path/graph")
-    describe(spark).repartition(1).write.mode("overwrite").parquet(s"$path/params")
+  /** S3 (save, vamana.h:390-424): parquet points + graph + one-row params.
+    * Local models coalesce to one file; distributed models write straight
+    * from the frames (the global `pos` assignment is the one full sort —
+    * save is rare, serving never needs it). */
+  def save(spark: SparkSession, path: String): Unit = localOpt match {
+    case Some(_) =>
+      pointsDF(spark).repartition(1).write.mode("overwrite").parquet(s"$path/points")
+      graphDF(spark).repartition(1).write.mode("overwrite").parquet(s"$path/graph")
+      describe(spark).repartition(1).write.mode("overwrite").parquet(s"$path/params")
+    case None =>
+      pointsDF(spark).write.mode("overwrite").parquet(s"$path/points")
+      graphDF(spark).write.mode("overwrite").parquet(s"$path/graph")
+      describe(spark).repartition(1).write.mode("overwrite").parquet(s"$path/params")
   }
 }
 
 object VamanaModel {
 
-  /** S2 (load, vamana.h:55-96): restore points/graph/params from parquet.
-    * Internal positions are persisted explicitly, so the medoid and graph
-    * indices survive the roundtrip exactly. */
+  private[vamana] def distributed(frames: ModelFrames, fanout: FanoutModel): VamanaModel =
+    new VamanaModel(None, Some(frames), Some(fanout))
+
+  /** S2 (load, vamana.h:55-96): restore points/graph/params from parquet
+    * into a broadcastable LocalIndex. Internal positions are persisted
+    * explicitly, so the medoid and graph indices survive the roundtrip
+    * exactly. (Beyond broadcast scale, persistence lives on the fanout
+    * path: [[FanoutModel.load]] never materializes a single index.) */
   def load(spark: SparkSession, path: String): VamanaModel = {
     import spark.implicits._
     val p = spark.read.parquet(s"$path/params").head()

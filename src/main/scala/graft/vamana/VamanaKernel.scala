@@ -360,9 +360,15 @@ object VamanaKernel {
     * against an immutable graph snapshot, then prune + back-edges apply
     * serially. Deterministic for ANY `parallelism` (asserted in specs);
     * recall is equivalent to the sequential build (same gates). */
+  /** Graph builds started in this JVM — serving-path specs assert that a
+    * second search against a fitted model adds ZERO builds (meaningful in
+    * local mode, where executors share the JVM). */
+  val buildCount = new java.util.concurrent.atomic.AtomicLong(0)
+
   def buildParallel(ids: Array[Long], points: Array[Array[Float]], params: VamanaParams,
       parallelism: Int): LocalIndex = {
     if (parallelism <= 1) return build(ids, points, params)
+    buildCount.incrementAndGet()
     val n = points.length
     require(n > 0, "cannot build an index over zero points")
     val rng = new Random(params.seed)
@@ -411,6 +417,7 @@ object VamanaKernel {
   /** Full sequential build (G4, vamana.h:221-332): init graph → medoid →
     * seeded permutation → two passes of greedy+prune+back-edges. */
   def build(ids: Array[Long], points: Array[Array[Float]], params: VamanaParams): LocalIndex = {
+    buildCount.incrementAndGet()
     val n = points.length
     require(n > 0, "cannot build an index over zero points")
     require(points.forall(_.length == params.dim), s"all points must have dim=${params.dim}")

@@ -22,6 +22,14 @@ object VamanaOps {
     cache.getOrElseUpdate(dir,
       VamanaIndexer.fit(Tables.embeddings(spark, dir), defaultParams))
 
+  /** Fanout serving model, fitted ONCE per dataset — round 1 rebuilt every
+    * shard graph inside each search call. */
+  private val fanoutCache = TrieMap.empty[String, FanoutModel]
+
+  def fanoutModel(spark: SparkSession, dir: String): FanoutModel =
+    fanoutCache.getOrElseUpdate(dir,
+      VamanaFanout.fit(Tables.embeddings(spark, dir), defaultParams, numShards = 4))
+
   /** ANN top-10 for the first 10 stored vectors — same fixture as knn_exact,
     * so the two results are directly comparable. Not SQL-expressible
     * (graph traversal) → rows-only driver check; accuracy is covered by the
@@ -32,10 +40,33 @@ object VamanaOps {
   }
 
   /** Shard-fanout search (4 shards) — the beyond-broadcast serving path;
-    * same fixture as knn_exact/vamana_search so results are comparable. */
+    * same fixture as knn_exact/vamana_search so results are comparable.
+    * Serves from the cached fitted model: no graph builds after the first
+    * call (the round-1 scale-killer). */
   def vamanaFanout(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
-    VamanaFanout.search(emb, Knn.queriesFromPoints(emb, 10), 10, defaultParams, numShards = 4)
+    fanoutModel(spark, dir).search(Knn.queriesFromPoints(emb, 10), 10)
+  }
+
+  /** S2/S3/S4 as a driver-visible query: save → load → compare params,
+    * medoid, a point lookup, and full search results between the fitted and
+    * reloaded index. One stable row; every column must be true/10. This is
+    * the reference's most bug-prone path — its save drops efSearch
+    * (vamana.h:397-405), which this roundtrip would catch. */
+  def vamanaRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val m = model(spark, dir)
+    val tmp = s"/tmp/graft_roundtrip_${math.abs(dir.hashCode)}"
+    m.save(spark, tmp)
+    val loaded = VamanaModel.load(spark, tmp)
+    val emb = Tables.embeddings(spark, dir)
+    val q = Knn.queriesFromPoints(emb, 10)
+    val a = m.search(q, 10).collect().map(_.toSeq).toSeq
+    val b = loaded.search(q, 10).collect().map(_.toSeq).toSeq
+    val paramsMatch = loaded.index.params == m.index.params && loaded.index.medoid == m.index.medoid
+    val pointMatch = java.util.Arrays.equals(loaded.getPoint(0), m.getPoint(0))
+    Seq((a.length.toLong / 10L, paramsMatch, pointMatch, a == b))
+      .toDF("n_queries", "params_match", "point_lookup_match", "search_identical")
   }
 
   /** Q2 surface (vamana.h:426-489): search with caller-supplied start

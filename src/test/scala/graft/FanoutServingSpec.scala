@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.Tables
+import graft.operators.Knn
+import graft.vamana._
+
+/** Serving-path guarantees for the beyond-broadcast (fanout) regime: fit
+  * builds shard graphs exactly once, searches never rebuild (round 1 rebuilt
+  * every shard graph per query batch), persistence roundtrips, and the
+  * driver-safe distributed fit path serves with the same recall gate as the
+  * broadcast path. */
+class FanoutServingSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.session.timeZone", "UTC")
+    .getOrCreate()
+
+  private val dir = "/root/testdata/sf0.001"
+  private val params =
+    VamanaParams(dim = 64, maxDegree = 32, beamWidth = 64, alpha = 1.2f, efSearch = 128)
+
+  private def queries(n: Int) =
+    Knn.queriesFromPoints(Tables.embeddings(spark, dir), n)
+
+  test("fitted fanout model: a second search call runs ZERO graph builds") {
+    spark.sparkContext.setLogLevel("WARN")
+    val model = VamanaFanout.fit(Tables.embeddings(spark, dir), params, numShards = 3)
+    val q = queries(10)
+    assert(model.search(q, 10).count() == 100)
+    val before = VamanaKernel.buildCount.get()
+    assert(model.search(q, 10).count() == 100)
+    assert(VamanaKernel.buildCount.get() == before,
+      "search must serve from the fitted shard kernels, not rebuild them")
+  }
+
+  test("fanout save/load: reloaded model searches identically with zero builds") {
+    val model = VamanaFanout.fit(Tables.embeddings(spark, dir), params, numShards = 3)
+    val tmp = java.nio.file.Files.createTempDirectory("fanout_model").toString
+    model.save(tmp)
+    val loaded = FanoutModel.load(spark, tmp)
+    val q = queries(10)
+    val a = model.search(q, 10).collect().map(_.toSeq).toSeq
+    val before = VamanaKernel.buildCount.get()
+    val b = loaded.search(q, 10).collect().map(_.toSeq).toSeq
+    assert(VamanaKernel.buildCount.get() == before, "load must restore kernels, not rebuild")
+    assert(a == b, "persisted shard models must answer exactly like the fitted ones")
+  }
+
+  test("distributed fit (maxLocalPoints=0) never collects, serves at the recall gate") {
+    val emb = Tables.embeddings(spark, dir)
+    val model = VamanaIndexer.fit(emb, params, numShards = 3, maxLocalPoints = 0)
+    assert(model.isDistributed, "over-threshold fit must stay distributed")
+    assertThrows[IllegalStateException](model.index)
+    val qs = queries(30).cache()
+    val truth = Knn.knnExact(emb, qs, 10)
+    val r = Knn.recallAt(10, model.search(qs, 10), truth)
+    assert(r >= 0.8, s"distributed-fit recall@10 = $r below the 0.8 gate")
+    val d = model.describe(spark).collect().head
+    assert(d.getAs[Long]("data_size") == emb.count(), "describe must see every point")
+  }
+
+  test("distributed fit saves frames; reloading under the threshold serves them") {
+    val emb = Tables.embeddings(spark, dir)
+    val model = VamanaIndexer.fit(emb, params, numShards = 3, maxLocalPoints = 0)
+    val tmp = java.nio.file.Files.createTempDirectory("dist_model").toString
+    model.save(spark, tmp)
+    val loaded = VamanaModel.load(spark, tmp)
+    assert(loaded.index.params == params, "params survive the frames save")
+    val qs = queries(30).cache()
+    val truth = Knn.knnExact(emb, qs, 10)
+    val r = Knn.recallAt(10, loaded.search(qs, 10), truth)
+    assert(r >= 0.8, s"reloaded merged-graph recall@10 = $r below the 0.8 gate")
+  }
+
+  test("vamana_roundtrip query reports all-green bits") {
+    val row = VamanaOps.vamanaRoundtrip(spark, dir).collect().head
+    assert(row.getAs[Boolean]("params_match"))
+    assert(row.getAs[Boolean]("point_lookup_match"))
+    assert(row.getAs[Boolean]("search_identical"))
+  }
+}

@@ -92,6 +92,45 @@ class PipelineSpec extends AnyFunSuite {
     assert(joined.count() == 0, "utf-8 byte count must equal char count on ascii text")
   }
 
+  test("ngram jaccard df cutoff: a boilerplate shingle shared by half the corpus is dropped") {
+    import spark.implicits._
+    // 40 docs all share the "hot" shingle; docs 0/1 also share 3 rare ones.
+    // Without the cutoff the hot shingle alone contributes C(40,2)=780
+    // joined rows; with maxDf=10 only the rare-shingle pair survives.
+    val docs = (0L until 40L).map { i =>
+      val own = Seq(s"unique $i a", s"unique $i b")
+      val rare = if (i <= 1) Seq("shared rare one", "shared rare two", "shared rare three") else Nil
+      (i, (Seq("hot boilerplate shingle") ++ rare ++ own).toArray)
+    }.toDF("doc_id", "sh")
+    val pairs = Dedup.ngramJaccardPairs(docs, threshold = 0.2, maxDf = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(pairs.toSeq == Seq((0L, 1L, 0.3333)),
+      s"expected exactly the rare-shingle pair (3 shared, 6+6-3 union), got ${pairs.toSeq}")
+  }
+
+  test("lsh L2 pairs: subset of the exact threshold join with pair recall >= 0.9") {
+    val exact = pairSet(Similarity.similarityJoinExact(spark, dir))
+    val lsh = pairSet(Similarity.lshL2Pairs(spark, dir))
+    assert(exact.nonEmpty)
+    assert(lsh.subsetOf(exact), "lsh verifies with the exact distance -> subset")
+    assert(lsh.size.toDouble / exact.size >= 0.9, s"l2 lsh recall ${lsh.size}/${exact.size}")
+  }
+
+  test("lsh cosine pairs adapts to a non-64-dim embedding table") {
+    import spark.implicits._
+    val rng = new scala.util.Random(3)
+    // 20 base 16-dim vectors plus a near-duplicate of each -> 20 planted pairs
+    val base = (0L until 20L).map(i => (i, Array.fill(16)(rng.nextGaussian().toFloat)))
+    val dups = base.map { case (i, v) => (i + 100L, v.map(x => x + 0.01f * rng.nextGaussian().toFloat)) }
+    val tmp = java.nio.file.Files.createTempDirectory("lsh_dim").toString
+    (base ++ dups).toDF("vec_id", "embedding")
+      .write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+    val pairs = pairSet(Similarity.lshCosinePairs(spark, tmp, threshold = 0.99))
+    val planted = base.map { case (i, _) => (i, i + 100L) }.toSet
+    val found = planted.count(pairs.contains).toDouble / planted.size
+    assert(found >= 0.5, s"found only $found of planted near-dups at dim=16")
+  }
+
   test("all registered queries execute and agree with declared column names at sf0.001") {
     val smokeDir = "/root/testdata/sf0.001"
     SparkEntry.queries.foreach { case (name, fn) =>
