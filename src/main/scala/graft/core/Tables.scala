@@ -29,11 +29,21 @@ object Tables {
     * should stream the scan, not pin it. */
   @volatile var cacheTables: Boolean = false
 
+  /** Only dimension-sized tables that many queries re-read whole. The wide
+    * fact tables (lineitem/orders/events) stay un-cached even when caching
+    * is on: their queries read a pushed-down, column-pruned slice, and a
+    * cache build would scan every column once — strictly worse (measured:
+    * caching lineitem turned q6's 0.8 s pruned scan into a 17 s cache
+    * materialization). Same logic at 100 TB — never pin a fact table. */
+  private val cacheableTables =
+    Set("region", "nation", "customer", "supplier", "part", "documents", "embeddings")
+
   private val memo =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String, String), DataFrame]
 
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
-    if (cacheTables) memo.getOrElseUpdate((spark, dir, name), load(spark, dir, name).cache())
+    if (cacheTables && cacheableTables.contains(name))
+      memo.getOrElseUpdate((spark, dir, name), load(spark, dir, name).cache())
     else load(spark, dir, name)
 
   private def load(spark: SparkSession, dir: String, name: String): DataFrame = {
