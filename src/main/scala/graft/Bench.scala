@@ -11,6 +11,10 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     graft.core.Tables.cacheTables = true
+    // JIT/codegen/scheduler warmup outside the timed loop — the first timed
+    // query otherwise absorbs ~4s of one-time JVM cost and skews per-query
+    // numbers. No engine caches are populated here.
+    spark.range(1L << 20).selectExpr("sum(id * 2)").collect()
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

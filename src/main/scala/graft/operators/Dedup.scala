@@ -77,9 +77,16 @@ object Dedup {
     * threshold > 0 (a pair with jaccard > 0 shares a non-hot shingle);
     * |A|/|B| stay the full shingle counts, so the cutoff never inflates a
     * score — it can only miss pairs whose entire overlap is boilerplate. */
+  /** The verified pair set is shared downstream (dedup_survivors builds its
+    * component graph from exactly these pairs), so it's cached per
+    * (session, dir, threshold, maxDf) like the shingle frame. */
+  private val ngramPairsCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String, Double, Int), DataFrame]
+
   def dedupNgramJaccard(spark: SparkSession, dir: String, threshold: Double = 0.2,
       maxDf: Int = DefaultMaxShingleDf): DataFrame =
-    ngramJaccardPairs(shingled(spark, dir), threshold, maxDf)
+    ngramPairsCache.getOrElseUpdate((spark, dir, threshold, maxDf),
+      ngramJaccardPairs(shingled(spark, dir), threshold, maxDf).cache())
 
   /** The same pair join over any (doc_id, sh: array<string>) frame — spec
     * surface for skew behavior. */

@@ -78,6 +78,24 @@ class FanoutServingSpec extends AnyFunSuite {
     assert(r >= 0.8, s"reloaded merged-graph recall@10 = $r below the 0.8 gate")
   }
 
+  test("reference binary index format: export -> import roundtrips exactly") {
+    val model = VamanaIndexer.fit(Tables.embeddings(spark, dir), params)
+    val idx = model.index
+    val tmp = java.nio.file.Files.createTempDirectory("binio").resolve("index.bin").toString
+    VamanaBinaryIO.exportIndex(idx, tmp)
+    val imported = VamanaBinaryIO.importIndex(tmp, efSearch = params.efSearch, seed = params.seed)
+    assert(imported.size == idx.size)
+    assert(imported.medoid == idx.medoid)
+    assert(imported.ids.sameElements(idx.ids))
+    assert(imported.graph.zip(idx.graph).forall { case (a, b) => a.sameElements(b) })
+    assert(imported.points.zip(idx.points).forall { case (a, b) => a.sameElements(b) })
+    assert(imported.params == idx.params, "R/L/alpha survive; efSearch supplied (file omits it)")
+    val q = queries(5)
+    val a = new VamanaModel(idx).search(q, 10).collect().map(_.toSeq).toSeq
+    val b = new VamanaModel(imported).search(q, 10).collect().map(_.toSeq).toSeq
+    assert(a == b, "imported index must search identically")
+  }
+
   test("vamana_roundtrip query reports all-green bits") {
     val row = VamanaOps.vamanaRoundtrip(spark, dir).collect().head
     assert(row.getAs[Boolean]("params_match"))
