@@ -41,7 +41,8 @@ object PipelineRegistry {
     textStats, langId, tokenCount, docFingerprint,
     simCosineTopK, simIpTopK, simJoinThreshold, lshCosinePairs, lshL2PairsQ, ivfSearch,
     sqQuantize, sqReport, pqQuantizeQ, pqSearchQ,
-    mmJoin, mmBinaryStats, mmMediaFeatures)
+    mmJoin, mmBinaryStats, mmMediaFeatures,
+    sampleHashQ, pipelineCleanQ)
 
   // ---- dedup ----------------------------------------------------------------
 
@@ -381,4 +382,30 @@ object PipelineRegistry {
     "mm_media_features",
     (s, d) => Multimodal.mediaFeatures(s, d),
     None)
+
+  // ---- corpus pipeline (declared last: composes the oracle SQL of the
+  // single ops above, so those vals must already be initialized) ------------
+
+  private val sampleHashQ: (String, QFn, Option[String]) = (
+    "sample_hash",
+    (s, d) => CorpusPipeline.sampleByHash(s, d),
+    Some("""
+      SELECT doc_id, lang, len(text)::BIGINT AS n_chars
+      FROM documents WHERE md5(doc_id::VARCHAR) < '1a' ORDER BY doc_id
+    """.trim))
+
+  /** Composes the ALREADY-ORACLE-VERIFIED single-op SQL as CTE bodies —
+    * the composed query cannot drift from its parts. */
+  private val pipelineCleanQ: (String, QFn, Option[String]) = (
+    "pipeline_clean",
+    (s, d) => CorpusPipeline.cleanCorpus(s, d),
+    Some(s"""
+      WITH ts AS (${textStats._3.get}),
+      li AS (${langId._3.get}),
+      de AS (${dedupExact._3.get})
+      SELECT ts.doc_id, ts.n_tokens, ts.quality_score
+      FROM ts JOIN li ON ts.doc_id = li.doc_id JOIN de ON ts.doc_id = de.doc_id
+      WHERE li.pred_lang = 'en' AND ts.quality_score >= 0.5
+      ORDER BY ts.doc_id
+    """.trim))
 }

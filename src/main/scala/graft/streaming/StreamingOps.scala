@@ -9,6 +9,9 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
 /** One event row (mirrors the `events` table schema). */
 case class Event(event_id: Long, ts: Timestamp, user_id: Long, event_type: String, value: Double)
 
+/** One arriving document (streaming-ingest twin of the `documents` table). */
+case class Doc(doc_id: Long, ts: Timestamp, text: String)
+
 /** Closed user session emitted by the stateful sessionizer. */
 case class Session(user_id: Long, start_ts: Timestamp, end_ts: Timestamp, n_events: Long, sum_value: Double)
 
@@ -31,6 +34,21 @@ object StreamingOps {
       .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
       .select(col("window.start").as("win_start"), col("event_type"),
         col("n_events"), col("sum_value"))
+
+  /** Streaming exact dedup — the ingestion-side twin of
+    * [[graft.operators.Dedup.dedupExact]]: same normalization, same md5
+    * content key, applied as documents ARRIVE. `dropDuplicatesWithinWatermark`
+    * keeps state only for the watermark horizon, so state is bounded by the
+    * dedup window instead of growing with the corpus — the only shape that
+    * survives an unbounded 100 TB/day stream. First occurrence wins (the
+    * batch op keeps min doc_id; a stream can't see the future, so
+    * first-arrival is the streaming analogue). */
+  def streamingDedup(docs: DataFrame, watermark: String = "10 minutes"): DataFrame =
+    docs
+      .withColumn("content_hash", md5(trim(regexp_replace(lower(col("text")), "\\s+", " "))))
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("content_hash")
+      .select(col("doc_id"), col("ts"), col("content_hash"))
 
   /** Stateful sessionization via mapGroupsWithState: a session closes after
     * `gapMinutes` of inactivity (event-time driven via processing-time

@@ -131,6 +131,27 @@ class PipelineSpec extends AnyFunSuite {
     assert(found >= 0.5, s"found only $found of planted near-dups at dim=16")
   }
 
+  test("hash sampling is deterministic and lands near the expected rate") {
+    val a = CorpusPipeline.sampleByHash(spark, dir).collect().map(_.getLong(0)).toSeq
+    val b = CorpusPipeline.sampleByHash(spark, dir).collect().map(_.getLong(0)).toSeq
+    assert(a == b, "identical runs must select identical docs")
+    val total = graft.core.Tables.documents(spark, dir).count().toDouble
+    val rate = a.size / total
+    assert(rate > 0.04 && rate < 0.20, s"rate $rate far from 26/256")
+  }
+
+  test("clean corpus output is contained in each of its three filters") {
+    val cleaned = CorpusPipeline.cleanCorpus(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getDouble(2))).toMap
+    assert(cleaned.nonEmpty)
+    assert(cleaned.values.forall(_ >= 0.5), "quality floor")
+    val en = TextAnalysis.langId(spark, dir).where("pred_lang = 'en'")
+      .collect().map(_.getLong(0)).toSet
+    val survivors = Dedup.dedupExact(spark, dir).collect().map(_.getLong(0)).toSet
+    assert(cleaned.keySet.subsetOf(en), "language filter")
+    assert(cleaned.keySet.subsetOf(survivors), "exact-dedup survivorship")
+  }
+
   test("all registered queries execute and agree with declared column names at sf0.001") {
     val smokeDir = "/root/testdata/sf0.001"
     SparkEntry.queries.foreach { case (name, fn) =>

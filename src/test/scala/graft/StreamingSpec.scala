@@ -48,6 +48,29 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming dedup keeps the first arrival per content hash within the watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Doc]
+    val q = StreamingOps.streamingDedup(input.toDF(), watermark = "10 minutes")
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    try {
+      // (within one micro-batch the surviving row is arbitrary; first-arrival
+      // ordering is guaranteed across batches, so duplicates arrive later.
+      // Times start at minute 60: an event AT the initial epoch-0 watermark
+      // would be discarded as late.)
+      input.addData(Doc(1, ts(60), "Hello   World"), Doc(3, ts(62), "something else"))
+      q.processAllAvailable()
+      input.addData(
+        Doc(2, ts(61), "hello world"), // same normalized content -> dropped
+        Doc(4, ts(63), "HELLO  world ")) // still within watermark -> dropped
+      q.processAllAvailable()
+      val kept = spark.table("dedup_out").select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(kept == Set(1L, 3L), s"got $kept")
+    } finally q.stop()
+  }
+
   test("sessionize closes sessions after the inactivity gap and keeps state across batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
