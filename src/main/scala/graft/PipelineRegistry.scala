@@ -42,7 +42,7 @@ object PipelineRegistry {
     simCosineTopK, simIpTopK, simJoinThreshold, lshCosinePairs, lshL2PairsQ, ivfSearch,
     sqQuantize, sqReport, pqQuantizeQ, pqSearchQ,
     mmJoin, mmBinaryStats, mmMediaFeatures,
-    sampleHashQ, pipelineCleanQ)
+    sampleHashQ, pipelineCleanQ, vocabTopKQ, lengthPctQ, embedNormalizeQ)
 
   // ---- dedup ----------------------------------------------------------------
 
@@ -392,6 +392,43 @@ object PipelineRegistry {
     Some("""
       SELECT doc_id, lang, len(text)::BIGINT AS n_chars
       FROM documents WHERE md5(doc_id::VARCHAR) < '1a' ORDER BY doc_id
+    """.trim))
+
+  private val vocabTopKQ: (String, QFn, Option[String]) = (
+    "vocab_topk",
+    (s, d) => TextAnalysis.vocabTopK(s, d),
+    Some("""
+      WITH t AS (SELECT unnest(string_split_regex(lower(text), '\s+')) AS token FROM documents),
+      c AS (SELECT token, count(*) AS n_occurrences FROM t WHERE token <> '' GROUP BY token),
+      r AS (SELECT token, n_occurrences,
+                   row_number() OVER (ORDER BY n_occurrences DESC, token ASC) AS rank
+            FROM c)
+      SELECT rank, token, n_occurrences FROM r WHERE rank <= 50 ORDER BY rank
+    """.trim))
+
+  private val lengthPctQ: (String, QFn, Option[String]) = (
+    "length_percentiles",
+    (s, d) => TextAnalysis.lengthPercentiles(s, d),
+    Some("""
+      WITH d AS (SELECT len(text)::BIGINT AS n_chars FROM documents),
+      r AS (SELECT n_chars, row_number() OVER (ORDER BY n_chars) AS r FROM d),
+      n AS (SELECT count(*) AS c FROM d)
+      SELECT (SELECT c FROM n) AS n_docs,
+             (SELECT n_chars FROM r WHERE r = CAST(ceil(0.5  * (SELECT c FROM n)) AS BIGINT)) AS p50_chars,
+             (SELECT n_chars FROM r WHERE r = CAST(ceil(0.9  * (SELECT c FROM n)) AS BIGINT)) AS p90_chars,
+             (SELECT n_chars FROM r WHERE r = CAST(ceil(0.99 * (SELECT c FROM n)) AS BIGINT)) AS p99_chars
+    """.trim))
+
+  private val embedNormalizeQ: (String, QFn, Option[String]) = (
+    "embed_normalize",
+    (s, d) => Similarity.embedNormalize(s, d),
+    Some(s"""
+      WITH e AS (SELECT vec_id, embedding, sqrt(${dotSql("embedding", "embedding")}) AS nrm
+                 FROM embeddings)
+      SELECT vec_id, round(nrm, 4) AS norm,
+             array_to_string(list_transform(embedding,
+               x -> round((x::DOUBLE) / nrm * 10000)::INT), ',') AS unit_x1e4
+      FROM e ORDER BY vec_id
     """.trim))
 
   /** Composes the ALREADY-ORACLE-VERIFIED single-op SQL as CTE bodies —

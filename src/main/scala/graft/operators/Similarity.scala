@@ -130,6 +130,21 @@ object Similarity {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** Unit-normalize embeddings — the vector-ETL step before cosine indexing
+    * (what `metric="cos"` does internally, exposed as a standalone op).
+    * Narrow transform, no shuffle. The unit vector is emitted as a string of
+    * ×10⁴ integers: integers render identically in every engine, where
+    * double→string formatting does not ("1.0E-4" vs "0.0001"). */
+  def embedNormalize(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"), normNative(spark, col("embedding")).as("nrm"))
+      .select(col("vec_id"),
+        round(col("nrm"), 4).as("norm"),
+        concat_ws(",", transform(col("embedding"),
+          x => round(x.cast("double") / col("nrm") * 10000).cast("int").cast("string")))
+          .as("unit_x1e4"))
+      .orderBy(col("vec_id"))
+
   private val L2Tables = 8
   private val L2ProjPerTable = 2
 

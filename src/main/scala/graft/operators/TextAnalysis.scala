@@ -87,6 +87,52 @@ object TextAnalysis {
       length(col("text")).cast("long").as("n_chars"))
       .orderBy(col("doc_id"))
 
+  /** Corpus vocabulary: the k most frequent whitespace tokens with
+    * deterministic tie-break (count desc, token asc) — the input to
+    * vocabulary construction / BPE seeding. One explode + one keyed
+    * aggregation; partial aggregation bounds the shuffle to the distinct
+    * vocabulary per partition, so a hot token ("the") never skews a task. */
+  def vocabTopK(spark: SparkSession, dir: String, k: Int = 50): DataFrame = {
+    // top-k via orderBy().limit() -> TakeOrderedAndProject (per-partition
+    // heaps, no single-partition window over the full vocabulary); the rank
+    // window then runs over only the k survivors
+    val top = Tables.documents(spark, dir)
+      .select(explode(toks(col("text"))).as("token"))
+      .where(col("token") =!= "")
+      .groupBy(col("token")).agg(count(lit(1)).as("n_occurrences"))
+      .orderBy(col("n_occurrences").desc, col("token").asc)
+      .limit(k)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("n_occurrences").desc, col("token").asc)
+    top.withColumn("rank", row_number().over(w).cast("long"))
+      .select(col("rank"), col("token"), col("n_occurrences"))
+      .orderBy(col("rank"))
+  }
+
+  /** Exact length percentiles (p50/p90/p99 of n_chars, nearest-rank
+    * ceil(p·n)) — the token-budget planning numbers. Exact so both engines
+    * agree bit-for-bit, unlike approx_percentile sketches; computed from a
+    * keyed VALUE histogram + driver cumsum instead of a global sort, so only
+    * the distinct-length counts (bounded by max document length) ever leave
+    * the executors — the shape that survives 100 TB. */
+  def lengthPercentiles(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val hist = Tables.documents(spark, dir)
+      .select(length(col("text")).cast("long").as("n_chars"))
+      .groupBy(col("n_chars")).agg(count(lit(1)).as("c"))
+      .orderBy(col("n_chars"))
+      .as[(Long, Long)].collect()
+    val n = hist.map(_._2).sum
+    def pick(p: Double): Long = {
+      val target = math.ceil(p * n).toLong
+      var acc = 0L
+      for ((v, c) <- hist) { acc += c; if (acc >= target) return v }
+      hist.last._1
+    }
+    Seq((n, pick(0.5), pick(0.9), pick(0.99)))
+      .toDF("n_docs", "p50_chars", "p90_chars", "p99_chars")
+  }
+
   /** Document fingerprint: bottom-5 sketch of md5'd word-3-gram shingles —
     * a fixed-size content signature (min-k sketch) whose overlap estimates
     * Jaccard similarity; joins on fingerprint find near-dups cheaply. */
