@@ -1,0 +1,39 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.functions.{DotProduct, L2Squared}
+
+/** Config-driven injection of the engine's native expressions into every
+  * session, for SQL-only users:
+  *
+  * {{{
+  * spark-submit --conf spark.sql.extensions=graft.GraftExtensions ...
+  * spark.sql("SELECT l2sq_native(a.embedding, b.embedding) FROM ...")
+  * }}}
+  *
+  * Code-first users get the same functions per-session through
+  * [[graft.functions.NativeVectorFunctions.register]] (which the Column
+  * factories call implicitly). Both paths register the identical builders,
+  * so the SQL name and the Column DSL cannot drift apart.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.functions.foreach { case (name, info, builder) =>
+      ext.injectFunction((FunctionIdentifier(name), info, builder))
+    }
+}
+
+object GraftExtensions {
+
+  private[graft] val functions: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    ("l2sq_native",
+      new ExpressionInfo(classOf[L2Squared].getName, "l2sq_native"),
+      (exprs: Seq[Expression]) => L2Squared(exprs.head, exprs(1))),
+    ("dot_native",
+      new ExpressionInfo(classOf[DotProduct].getName, "dot_native"),
+      (exprs: Seq[Expression]) => DotProduct(exprs.head, exprs(1))))
+}

@@ -44,6 +44,21 @@ class NativeExpressionSpec extends AnyFunSuite {
     assert(diff.count() == 0)
   }
 
+  test("native expressions are callable from plain SQL after registration") {
+    graft.functions.NativeVectorFunctions.register(spark)
+    val d = spark.sql(
+      "SELECT l2sq_native(array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)), " +
+        "array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT))) AS d").head().getDouble(0)
+    assert(d == 4.0)
+    val ip = spark.sql(
+      "SELECT dot_native(array(CAST(2.0 AS FLOAT), CAST(3.0 AS FLOAT)), " +
+        "array(CAST(4.0 AS FLOAT), CAST(5.0 AS FLOAT))) AS ip").head().getDouble(0)
+    assert(ip == 23.0)
+    // the config-driven path (spark.sql.extensions=graft.GraftExtensions)
+    // injects the same builders; assert it wires up without error
+    new GraftExtensions().apply(new org.apache.spark.sql.SparkSessionExtensions)
+  }
+
   test("native expression participates in whole-stage codegen") {
     val e = Tables.embeddings(spark, dir)
     val df = e.select(NativeVectorFunctions.l2sqNative(spark, col("embedding"), col("embedding")).as("d"))
