@@ -35,7 +35,8 @@ object SparkEntry {
   private type QFn = (SparkSession, String) => DataFrame
 
   private def registry: Seq[(String, QFn, Option[String])] = Seq(
-    knnExactQ, knnExactAggQ, medoidExactQ, argminNearestQ,
+    knnExactQ, knnExactAggQ, knnFilteredQ, medoidExactQ, argminNearestQ,
+    vamanaFilteredQ,
     vamanaSearchQ, vamanaRecallQ, vamanaStartQ, vamanaDescribeQ, vamanaDegreeQ, vamanaFanoutQ,
     vamanaRoundtripQ,
     pricingQ, regionRevenueQ, topOrdersQ, orderPriorityQ, localSupplierQ,
@@ -198,6 +199,41 @@ object SparkEntry {
       SELECT query_id, rank, id, round(dist, 4) AS dist FROM r WHERE rank <= 10
       ORDER BY query_id, rank
     """.stripMargin.trim))
+
+  /** Exact filtered kNN — top-k among docs passing a metadata predicate
+    * (lang = 'en'), the oracle twin of `vamana_search_filtered`. The filter
+    * is an equi-join with the predicate pushed to the documents scan. */
+  private val knnFilteredQ: (String, QFn, Option[String]) = (
+    "knn_filtered",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val allowed = Tables.documents(s, d)
+        .where(org.apache.spark.sql.functions.col("lang") === "en")
+        .select(org.apache.spark.sql.functions.col("doc_id").as("vec_id"))
+      Knn.knnExact(emb.join(allowed, "vec_id"), Knn.queriesFromPoints(emb, 10), k = 10)
+    },
+    Some("""
+      WITH q AS (SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < 10),
+      p AS (SELECT e.vec_id, e.embedding FROM embeddings e
+            JOIN documents dd ON e.vec_id = dd.doc_id WHERE dd.lang = 'en'),
+      s AS (
+        SELECT q.query_id, p.vec_id AS id,
+               list_sum(list_transform(range(1, len(p.embedding)+1),
+                 i -> ((p.embedding[i]::DOUBLE)-(q.qvec[i]::DOUBLE))*((p.embedding[i]::DOUBLE)-(q.qvec[i]::DOUBLE)))) AS dist
+        FROM p CROSS JOIN q),
+      r AS (SELECT query_id, id, dist,
+                   row_number() OVER (PARTITION BY query_id ORDER BY dist ASC, id ASC) AS rank
+            FROM s)
+      SELECT query_id, rank, id, round(dist, 4) AS dist FROM r WHERE rank <= 10
+      ORDER BY query_id, rank
+    """.stripMargin.trim))
+
+  /** Over-fetch + post-filter ANN form of knn_filtered (rows-only; recall
+    * vs the exact twin is spec-gated). */
+  private val vamanaFilteredQ: (String, QFn, Option[String]) = (
+    "vamana_search_filtered",
+    (s, d) => graft.vamana.VamanaOps.vamanaSearchFiltered(s, d),
+    None)
 
   /** Same semantics and oracle as knn_exact, computed with the bounded-heap
     * partial aggregate instead of a window (the 100 TB form). */

@@ -94,6 +94,33 @@ object VamanaOps {
       .toDF("n_nodes", "max_out_degree", "r", "ok")
   }
 
+  /** Filtered ANN search (the vector-DB "search with metadata predicate"):
+    * over-fetch k·overFetch candidates from the unfiltered index, keep those
+    * whose doc passes the predicate, re-rank, cut to k. Post-filtering with
+    * over-fetch is the composable Spark-first strategy — the graph kernel
+    * stays predicate-free; recall vs the exact filtered scan is spec-gated.
+    * (The alternative, predicate-aware traversal a la filtered-DiskANN,
+    * would need a kernel change for marginal gain at these selectivities.)
+    * The allowed-id side arrives via a keyed join the optimizer broadcasts
+    * when small; at 100 TB selective predicates should instead be pushed
+    * into the allowed-set scan, which this plan already does (the filter
+    * lands on the documents parquet scan). */
+  def vamanaSearchFiltered(spark: SparkSession, dir: String, lang: String = "en",
+      k: Int = 10, overFetch: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val emb = Tables.embeddings(spark, dir)
+    val q = Knn.queriesFromPoints(emb, 10)
+    val allowed = Tables.documents(spark, dir).where(col("lang") === lang)
+      .select(col("doc_id").as("id"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("dist").asc, col("id").asc)
+    model(spark, dir).search(q, k * overFetch)
+      .join(allowed, "id")
+      .withColumn("r", row_number().over(w).cast("long"))
+      .where(col("r") <= k)
+      .select(col("query_id"), col("r").as("rank"), col("id"), col("dist"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** One-row report: recall@10 of the ANN search vs exact kNN over the first
     * 50 stored vectors — the reference drivers' e2e metric (main.go:107-129)
     * as an engine operator. */

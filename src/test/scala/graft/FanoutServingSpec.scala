@@ -96,6 +96,22 @@ class FanoutServingSpec extends AnyFunSuite {
     assert(a == b, "imported index must search identically")
   }
 
+  test("filtered ANN search: all results pass the predicate, recall >= 0.5 vs exact") {
+    import org.apache.spark.sql.functions.col
+    val sf01 = "/root/testdata/sf0.01"
+    val got = VamanaOps.vamanaSearchFiltered(spark, sf01)
+    val allowed = Tables.documents(spark, sf01).where(col("lang") === "en")
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    val ids = got.select("id").collect().map(_.getLong(0))
+    assert(ids.nonEmpty && ids.forall(allowed.contains), "predicate must hold on every hit")
+    val emb = Tables.embeddings(spark, sf01)
+    val allowedDf = Tables.documents(spark, sf01).where(col("lang") === "en")
+      .select(col("doc_id").as("vec_id"))
+    val truth = Knn.knnExact(emb.join(allowedDf, "vec_id"), Knn.queriesFromPoints(emb, 10), 10)
+    val r = Knn.recallAt(10, got, truth)
+    assert(r >= 0.5, s"filtered recall@10 = $r below the over-fetch gate")
+  }
+
   test("vamana_roundtrip query reports all-green bits") {
     val row = VamanaOps.vamanaRoundtrip(spark, dir).collect().head
     assert(row.getAs[Boolean]("params_match"))
