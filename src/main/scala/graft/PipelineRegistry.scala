@@ -42,7 +42,7 @@ object PipelineRegistry {
     simCosineTopK, simIpTopK, simJoinThreshold, lshCosinePairs, lshL2PairsQ, ivfSearch,
     sqQuantize, sqReport, pqQuantizeQ, pqSearchQ,
     mmJoin, mmBinaryStats, mmMediaFeatures,
-    sampleHashQ, pipelineCleanQ, vocabTopKQ, lengthPctQ, embedNormalizeQ)
+    sampleHashQ, pipelineCleanQ, vocabTopKQ, lengthPctQ, embedNormalizeQ, tfIdfQ)
 
   // ---- dedup ----------------------------------------------------------------
 
@@ -417,6 +417,25 @@ object PipelineRegistry {
              (SELECT n_chars FROM r WHERE r = CAST(ceil(0.5  * (SELECT c FROM n)) AS BIGINT)) AS p50_chars,
              (SELECT n_chars FROM r WHERE r = CAST(ceil(0.9  * (SELECT c FROM n)) AS BIGINT)) AS p90_chars,
              (SELECT n_chars FROM r WHERE r = CAST(ceil(0.99 * (SELECT c FROM n)) AS BIGINT)) AS p99_chars
+    """.trim))
+
+  private val tfIdfQ: (String, QFn, Option[String]) = (
+    "tf_idf_top",
+    (s, d) => TextAnalysis.tfIdfTop(s, d),
+    Some("""
+      WITH t AS (SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS term FROM documents),
+      tc AS (SELECT doc_id, term, count(*) AS c FROM t WHERE term <> '' GROUP BY doc_id, term),
+      dl AS (SELECT doc_id, sum(c) AS n FROM tc GROUP BY doc_id),
+      dfs AS (SELECT term, count(*) AS df FROM tc GROUP BY term),
+      nn AS (SELECT count(*)::DOUBLE AS nd FROM documents),
+      w AS (SELECT tc.doc_id, tc.term,
+                   (tc.c::DOUBLE / dl.n) * ln(nn.nd / dfs.df) AS wt
+            FROM tc JOIN dl USING (doc_id) JOIN dfs USING (term) CROSS JOIN nn),
+      r AS (SELECT doc_id, term, wt,
+                   row_number() OVER (PARTITION BY doc_id ORDER BY wt DESC, term ASC) AS rank
+            FROM w)
+      SELECT doc_id, rank, term, round(wt, 4) AS tfidf FROM r WHERE rank <= 5
+      ORDER BY doc_id, rank
     """.trim))
 
   private val embedNormalizeQ: (String, QFn, Option[String]) = (

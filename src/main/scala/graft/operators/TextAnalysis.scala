@@ -28,6 +28,23 @@ object TextAnalysis {
 
   private def toks(c: Column): Column = split(lower(c), "\\s+")
 
+  /** The shared quality expressions over a `text` column — single source of
+    * truth for [[textStats]] and the composed
+    * [[CorpusPipeline.cleanCorpus]] single-pass plan. */
+  private[operators] def nTokensExpr: Column = size(toks(col("text")))
+
+  private[operators] def qualityExpr: Column = {
+    val t = toks(col("text"))
+    val nTokens = size(t)
+    val charLen = length(col("text"))
+    val punct = charLen - length(regexp_replace(lower(col("text")), "[a-z0-9 ]", ""))
+    val stop = size(filter(t, tk => array_contains(array(StopwordsEn.map(lit): _*), tk)))
+    val punctRatio = punct.cast("double") / charLen
+    val stopRatio = stop.cast("double") / nTokens
+    least(nTokens.cast("double") / 100.0, lit(1.0)) * 0.6 +
+      (lit(1.0) - punctRatio) * 0.2 + least(stopRatio * 5.0, lit(1.0)) * 0.2
+  }
+
   /** Per-doc quality stats: token count, average token length, punctuation
     * ratio, stopword ratio, and a deterministic composite quality score. */
   def textStats(spark: SparkSession, dir: String): DataFrame = {
@@ -40,15 +57,13 @@ object TextAnalysis {
       .cast("double") / nTokens
     val punctRatio = punct.cast("double") / charLen
     val stopRatio = stop.cast("double") / nTokens
-    val quality = least(nTokens.cast("double") / 100.0, lit(1.0)) * 0.6 +
-      (lit(1.0) - punctRatio) * 0.2 + least(stopRatio * 5.0, lit(1.0)) * 0.2
     Tables.documents(spark, dir).select(
       col("doc_id"),
       nTokens.cast("long").as("n_tokens"),
       round(avgLen, 4).as("avg_token_len"),
       round(punctRatio, 4).as("punct_ratio"),
       round(stopRatio, 4).as("stopword_ratio"),
-      round(quality, 4).as("quality_score"))
+      round(qualityExpr, 4).as("quality_score"))
       .orderBy(col("doc_id"))
   }
 
@@ -56,24 +71,34 @@ object TextAnalysis {
     * argmax score with deterministic tie-break (lang name asc); 'und'
     * (undetermined) when no stopword hits. Compared against the `lang`
     * column for an accuracy flag. */
-  def langId(spark: SparkSession, dir: String): DataFrame = {
-    val t = toks(col("text"))
-    val scored = langStopwords.map { case (lang, words) =>
-      struct(
-        size(filter(t, tk => array_contains(array(words.map(lit): _*), tk))).as("score"),
-        lit(lang).as("lang"))
-    }
-    // max of structs: Spark orders structs lexicographically (score, lang);
-    // we want max score, tie -> FIRST lang name, so compare on (score, negated rank)
-    val best = scored.reduce { (a, b) =>
-      when(b.getField("score") > a.getField("score"), b).otherwise(a)
-    }
+  def langId(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir).select(
       col("doc_id"),
-      when(best.getField("score") > 0, best.getField("lang")).otherwise(lit("und")).as("pred_lang"),
+      predLangExpr.as("pred_lang"),
       col("lang").as("label_lang"))
       .withColumn("is_match", (col("pred_lang") === col("label_lang")).cast("int"))
       .orderBy(col("doc_id"))
+
+  /** The language prediction over a `text` column — shared with the
+    * composed clean-corpus pass.
+    *
+    * Shape matters: an earlier `reduce(when(b > a, b).otherwise(a))` tree
+    * referenced each accumulated subtree twice per level, so the interpreted
+    * (higher-order functions are CodegenFallback) stopword filters were
+    * re-evaluated ~2^langs times per row — and twice that when a predicate
+    * pushdown copied the expression into a Filter. Sorting a 4-element
+    * struct array evaluates each language score exactly once. Tie-break is
+    * unchanged: sort ascending on (−score, lang) picks highest score, then
+    * the alphabetically-first language (the langStopwords order). */
+  private[operators] def predLangExpr: Column = {
+    val t = toks(col("text"))
+    val cand = array(langStopwords.map { case (lang, words) =>
+      struct(
+        (-size(filter(t, tk => array_contains(array(words.map(lit): _*), tk)))).as("neg_score"),
+        lit(lang).as("lang"))
+    }: _*)
+    val best = element_at(sort_array(cand), 1)
+    when(best.getField("neg_score") < 0, best.getField("lang")).otherwise(lit("und"))
   }
 
   /** Token counting: whitespace tokens and a BPE-ish regex tokenization
@@ -131,6 +156,30 @@ object TextAnalysis {
     }
     Seq((n, pick(0.5), pick(0.9), pick(0.99)))
       .toDF("n_docs", "p50_chars", "p90_chars", "p99_chars")
+  }
+
+  /** Per-doc top-k TF-IDF terms: tf = termCount/docLen, idf = ln(N/df),
+    * ranked (weight desc, term asc). Three keyed aggregations + two
+    * equi-joins (the df side is dictionary-sized → broadcast); the rank
+    * window partitions by doc_id, so no global sort. The classic keyword
+    * extraction pass of a text pipeline. */
+  def tfIdfTop(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val nDocs = docs.count().toDouble
+    val tc = docs
+      .select(col("doc_id"), explode(toks(col("text"))).as("term"))
+      .where(col("term") =!= "")
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("c"))
+    val dl = tc.groupBy(col("doc_id")).agg(sum(col("c")).as("n"))
+    val dfs = tc.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("wt").desc, col("term").asc)
+    tc.join(dl, "doc_id").join(dfs, "term")
+      .withColumn("wt", col("c").cast("double") / col("n") * log(lit(nDocs) / col("df")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select(col("doc_id"), col("rank"), col("term"), round(col("wt"), 4).as("tfidf"))
+      .orderBy(col("doc_id"), col("rank"))
   }
 
   /** Document fingerprint: bottom-5 sketch of md5'd word-3-gram shingles —
