@@ -5,19 +5,23 @@ import org.apache.spark.sql.functions._
 
 import graft.core.Tables
 
-/** Feature-extraction record produced by the stubbed decoder (top-level so
-  * the Dataset encoder stays codegen-compatible). */
-case class MediaFeatures(doc_id: Long, n_bytes: Long, mean_byte: Double, head_hash: String)
+/** Feature-extraction record produced by the media decoder (top-level so
+  * the Dataset encoder stays codegen-compatible). `dims` is format-typed:
+  * (width, height) for images, (sample_rate, n_channels) for audio,
+  * (0, 0) for raw/opaque payloads. */
+case class MediaFeatures(doc_id: Long, n_bytes: Long, media_type: String,
+    dim1: Long, dim2: Long, mean_byte: Double, head_hash: String)
 
 /** Multimodal-column operators: text ⋈ vector join and opaque-binary payload
   * plumbing (north-star surface, SURVEY.md §2b).
   *
   * The binary path treats media as `binary` columns with typed metadata.
-  * This container has no image/audio codecs, so the DECODE step is a
-  * clearly-marked deterministic STUB ([[decodeStub]]) — what is real and
-  * tested is the Spark-side plumbing: schema, batching via mapPartitions,
-  * partition-local feature extraction, and the metadata join — exactly the
-  * shape a real decoder (e.g. a Pandas-UDF/JNI codec) would slot into.
+  * Container formats whose headers need no codec (WAV, PPM, BMP) are parsed
+  * FOR REAL by [[decode]]; compressed pixel decode (JPEG/PNG) remains a
+  * clearly-labeled stub branch because it genuinely needs a codec library
+  * this container does not ship. The Spark-side plumbing — schema, batching
+  * via mapPartitions, partition-local extraction, metadata join — is the
+  * shape a full codec (e.g. a Pandas-UDF/JNI decoder) slots into.
   */
 object Multimodal {
 
@@ -47,32 +51,94 @@ object Multimodal {
         col("source"))
       .orderBy(col("doc_id"))
 
-  /** STUB decoder: stands in for image/audio decode (no codecs in this
-    * container). Deterministic fake features from the raw bytes — byte
-    * count, mean byte value, hash of the first 16 bytes. A real codec
-    * replaces ONLY the body of this function; the batching, schema and
-    * partitioning around it are production-shaped. */
-  private def decodeStub(docId: Long, payload: Array[Byte]): MediaFeatures = {
+  private def leU16(b: Array[Byte], off: Int): Long =
+    ((b(off) & 0xff) | ((b(off + 1) & 0xff) << 8)).toLong
+
+  private def leU32(b: Array[Byte], off: Int): Long =
+    (b(off) & 0xffL) | ((b(off + 1) & 0xffL) << 8) |
+      ((b(off + 2) & 0xffL) << 16) | ((b(off + 3) & 0xffL) << 24)
+
+  private def ascii(b: Array[Byte], off: Int, len: Int): String =
+    if (b.length < off + len) "" else new String(b, off, len, "US-ASCII")
+
+  /** Media decoder over opaque binary payloads. The UNCOMPRESSED container
+    * formats are parsed for real — their headers need no codec, just byte
+    * arithmetic:
+    *  - WAV (RIFF/WAVE): sample_rate + n_channels from the fmt chunk
+    *  - PPM (P6): ASCII width/height (comment-skipping per the spec)
+    *  - BMP (BM): width/height from the BITMAPINFOHEADER
+    * Compressed formats (JPEG/PNG magic) are TAGGED but their pixel decode
+    * remains a labeled stub — that genuinely needs a codec library this
+    * container does not ship; a real codec replaces only those branches.
+    * Everything else is `raw` with deterministic byte stats. */
+  private[operators] def decode(docId: Long, payload: Array[Byte]): MediaFeatures = {
     var s = 0L
     var i = 0
     while (i < payload.length) { s += payload(i) & 0xff; i += 1 }
     val mean = if (payload.isEmpty) 0.0 else s.toDouble / payload.length
-    val head = payload.take(16)
-    val md = java.security.MessageDigest.getInstance("MD5").digest(head)
-    MediaFeatures(docId, payload.length.toLong, math.rint(mean * 1e4) / 1e4,
-      md.map("%02x".format(_)).mkString)
+    val md = java.security.MessageDigest.getInstance("MD5").digest(payload.take(16))
+    val headHash = md.map("%02x".format(_)).mkString
+    val (tpe, d1, d2) =
+      if (ascii(payload, 0, 4) == "RIFF" && ascii(payload, 8, 4) == "WAVE" && payload.length >= 28) {
+        // scan chunks for "fmt " (usually at 12, but the spec allows others first)
+        var off = 12
+        var found = (-1, -1L, -1L)
+        while (off + 8 <= payload.length && found._1 < 0) {
+          val id = ascii(payload, off, 4)
+          val sz = leU32(payload, off + 4)
+          if (id == "fmt " && off + 16 <= payload.length)
+            found = (off, leU32(payload, off + 12), leU16(payload, off + 10))
+          off += 8 + sz.toInt + (sz.toInt & 1)
+        }
+        if (found._1 >= 0) ("wav", found._2, found._3) else ("raw", 0L, 0L)
+      } else if (ascii(payload, 0, 2) == "P6") {
+        // ASCII header: P6 <ws> width <ws> height <ws> maxval, '#' comments
+        var off = 2
+        def nextInt(): Long = {
+          while (off < payload.length &&
+            (payload(off).toChar.isWhitespace || payload(off) == '#')) {
+            if (payload(off) == '#') while (off < payload.length && payload(off) != '\n') off += 1
+            else off += 1
+          }
+          var v = 0L
+          while (off < payload.length && payload(off) >= '0' && payload(off) <= '9') {
+            v = v * 10 + (payload(off) - '0'); off += 1
+          }
+          v
+        }
+        val w = nextInt(); val h = nextInt()
+        if (w > 0 && h > 0) ("ppm", w, h) else ("raw", 0L, 0L)
+      } else if (ascii(payload, 0, 2) == "BM" && payload.length >= 26) {
+        ("bmp", leU32(payload, 18), leU32(payload, 22))
+      } else if (payload.length >= 3 && (payload(0) & 0xff) == 0xff &&
+        (payload(1) & 0xff) == 0xd8 && (payload(2) & 0xff) == 0xff) {
+        ("jpeg_stub", 0L, 0L) // pixel decode needs a codec: labeled stub branch
+      } else if (payload.length >= 4 && (payload(0) & 0xff) == 0x89 &&
+        ascii(payload, 1, 3) == "PNG") {
+        ("png_stub", 0L, 0L) // pixel decode needs a codec: labeled stub branch
+      } else ("raw", 0L, 0L)
+    MediaFeatures(docId, payload.length.toLong, tpe, d1, d2,
+      math.rint(mean * 1e4) / 1e4, headHash)
   }
 
-  /** Partition-parallel media feature extraction over binary payloads —
-    * rows-only check (the stub's numbers are not worth oracling; the
-    * plumbing is what's under test, see MultimodalSpec). */
-  def mediaFeatures(spark: SparkSession, dir: String): DataFrame = {
+  /** Partition-parallel media feature extraction over any (doc_id LONG,
+    * payload BINARY) frame — the spec drives it with synthetic WAV/PPM/BMP
+    * payloads to prove the parsers. */
+  def mediaFeaturesOf(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
     import spark.implicits._
-    Tables.documents(spark, dir)
-      .select(col("doc_id"), encode(col("text"), "utf-8").as("payload"))
+    df.select(col("doc_id").cast("long"), col("payload"))
       .as[(Long, Array[Byte])]
-      .mapPartitions { it => it.map { case (id, bytes) => decodeStub(id, bytes) } }
+      .mapPartitions { it => it.map { case (id, bytes) => decode(id, bytes) } }
       .toDF()
       .orderBy(col("doc_id"))
   }
+
+  /** The registered query: features over the documents table's payloads
+    * (utf-8 text blobs → `raw`) — rows-only check; format parsing is
+    * spec-gated with synthetic headers (MultimodalSpec/PipelineSpec). */
+  def mediaFeatures(spark: SparkSession, dir: String): DataFrame =
+    mediaFeaturesOf(
+      Tables.documents(spark, dir)
+        .select(col("doc_id"), encode(col("text"), "utf-8").as("payload")))
 }

@@ -90,6 +90,32 @@ class PipelineSpec extends AnyFunSuite {
       .where(org.apache.spark.sql.functions.col("n_bytes") =!=
         org.apache.spark.sql.functions.col("n_chars"))
     assert(joined.count() == 0, "utf-8 byte count must equal char count on ascii text")
+    assert(feats.select("media_type").distinct().collect().map(_.getString(0)).toSet == Set("raw"),
+      "utf-8 text payloads carry no media magic")
+  }
+
+  test("media decoder parses WAV/PPM/BMP headers for real; tags codec formats as stubs") {
+    import spark.implicits._
+    def le16(v: Int) = Array[Byte]((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+    def le32(v: Int) = Array[Byte](
+      (v & 0xff).toByte, ((v >> 8) & 0xff).toByte, ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    val wav = "RIFF".getBytes ++ le32(36) ++ "WAVE".getBytes ++
+      "fmt ".getBytes ++ le32(16) ++ le16(1) ++ le16(2) ++ le32(44100) ++
+      le32(44100 * 4) ++ le16(4) ++ le16(16)
+    val ppm = "P6\n# a comment\n640 480\n255\n".getBytes ++ Array[Byte](0, 1, 2)
+    val bmp = "BM".getBytes ++ le32(70) ++ le32(0) ++ le32(54) ++
+      le32(40) ++ le32(320) ++ le32(200) // BITMAPINFOHEADER: width@18 height@22
+    val jpg = Array[Byte](0xff.toByte, 0xd8.toByte, 0xff.toByte, 0xe0.toByte)
+    val df = Seq((1L, wav), (2L, ppm), (3L, bmp), (4L, jpg), (5L, "plain".getBytes))
+      .toDF("doc_id", "payload")
+    val rows = Multimodal.mediaFeaturesOf(df).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[String]("media_type"), r.getAs[Long]("dim1"), r.getAs[Long]("dim2")))).toMap
+    assert(rows(1L) == (("wav", 44100L, 2L)))
+    assert(rows(2L) == (("ppm", 640L, 480L)))
+    assert(rows(3L) == (("bmp", 320L, 200L)))
+    assert(rows(4L)._1 == "jpeg_stub")
+    assert(rows(5L)._1 == "raw")
   }
 
   test("ngram jaccard df cutoff: a boilerplate shingle shared by half the corpus is dropped") {
