@@ -38,6 +38,7 @@ object PipelineRegistry {
 
   def entries: Seq[(String, QFn, Option[String])] = Seq(
     dedupExact, dedupNgram, dedupMinhash, dedupSimhash, dedupEmbedding, dedupSurvivorsQ,
+    dedupIncrementalQ, mmGzipQ,
     textStats, langId, tokenCount, docFingerprint,
     simCosineTopK, simIpTopK, simJoinThreshold, lshCosinePairs, lshL2PairsQ, ivfSearch,
     sqQuantize, sqReport, pqQuantizeQ, pqSearchQ,
@@ -171,6 +172,25 @@ object PipelineRegistry {
              CASE WHEN doc_id = canonical_id THEN 1 ELSE 0 END AS is_survivor
       FROM lab ORDER BY doc_id
     """.trim))
+
+  private val dedupIncrementalQ: (String, QFn, Option[String]) = (
+    "dedup_incremental",
+    (s, d) => Dedup.dedupIncremental(s, d),
+    Some("""
+      WITH h AS (SELECT doc_id, md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS content_hash
+                 FROM documents),
+      corpus AS (SELECT content_hash, min(doc_id) AS dup_of FROM h WHERE doc_id < 400 GROUP BY content_hash)
+      SELECT b.doc_id, b.content_hash,
+             coalesce(c.dup_of, -1) AS dup_of,
+             CASE WHEN c.dup_of IS NOT NULL THEN 1 ELSE 0 END AS is_dup
+      FROM h b LEFT JOIN corpus c USING (content_hash)
+      WHERE b.doc_id >= 400 ORDER BY b.doc_id
+    """.trim))
+
+  private val mmGzipQ: (String, QFn, Option[String]) = (
+    "mm_gzip_roundtrip",
+    (s, d) => Multimodal.gzipRoundtrip(s, d),
+    None)
 
   // ---- text analysis --------------------------------------------------------
 

@@ -267,6 +267,26 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** Incremental exact dedup — the production shape: a NEW batch of docs
+    * (doc_id >= batchStart stands in for today's arrivals) checked against
+    * the EXISTING corpus (doc_id < batchStart). Content-hash equi-join,
+    * left join so unseen docs survive with is_dup = 0; dup_of = the lowest
+    * matching corpus id. At 100 TB the corpus side is a pre-hashed table
+    * and the daily batch is the small broadcastable side — same plan. */
+  def dedupIncremental(spark: SparkSession, dir: String, batchStart: Long = 400): DataFrame = {
+    val norm = trim(regexp_replace(lower(col("text")), "\\s+", " "))
+    val hashed = Tables.documents(spark, dir)
+      .select(col("doc_id"), md5(norm).as("content_hash"))
+    val corpus = hashed.where(col("doc_id") < batchStart)
+      .groupBy(col("content_hash")).agg(min(col("doc_id")).as("dup_of"))
+    hashed.where(col("doc_id") >= batchStart)
+      .join(corpus, Seq("content_hash"), "left")
+      .select(col("doc_id"), col("content_hash"),
+        coalesce(col("dup_of"), lit(-1L)).as("dup_of"),
+        (col("dup_of").isNotNull).cast("int").as("is_dup"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Embedding-cosine near-dup pairs (exact all-pairs form — the oracle
     * twin; the LSH-bucketed scale path lives in [[Similarity]]). Norms are
     * precomputed per row BEFORE the join, so each pair pays one dot-product

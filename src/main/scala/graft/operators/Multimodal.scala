@@ -134,6 +134,46 @@ object Multimodal {
       .orderBy(col("doc_id"))
   }
 
+  private def gzipBytes(raw: Array[Byte]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val gz = new java.util.zip.GZIPOutputStream(bos)
+    gz.write(raw); gz.close()
+    bos.toByteArray
+  }
+
+  private def gunzipBytes(gz: Array[Byte]): Array[Byte] = {
+    val in = new java.util.zip.GZIPInputStream(new java.io.ByteArrayInputStream(gz))
+    val out = new java.io.ByteArrayOutputStream()
+    val buf = new Array[Byte](8192)
+    var n = in.read(buf)
+    while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+    out.toByteArray
+  }
+
+  /** Binary payload compression roundtrip with the JDK's REAL gzip codec —
+    * the transform a 100 TB pipeline applies before shipping payloads
+    * between stages. Per-row mapPartitions, no shuffle; emits the
+    * compression ratio and a roundtrip-integrity bit per doc (rows-only
+    * driver check — gzip byte output is JVM-specific; integrity and ratio
+    * bounds are spec-gated). */
+  def gzipRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), encode(col("text"), "utf-8").as("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, raw) =>
+          val gz = gzipBytes(raw)
+          val back = gunzipBytes(gz)
+          (id, raw.length.toLong, gz.length.toLong,
+            if (raw.isEmpty) 1.0 else math.rint(gz.length.toDouble / raw.length * 1e4) / 1e4,
+            java.util.Arrays.equals(raw, back))
+        }
+      }
+      .toDF("doc_id", "n_raw", "n_gzip", "ratio", "roundtrip_ok")
+      .orderBy(col("doc_id"))
+  }
+
   /** The registered query: features over the documents table's payloads
     * (utf-8 text blobs → `raw`) — rows-only check; format parsing is
     * spec-gated with synthetic headers (MultimodalSpec/PipelineSpec). */

@@ -178,6 +178,25 @@ class PipelineSpec extends AnyFunSuite {
     assert(cleaned.keySet.subsetOf(survivors), "exact-dedup survivorship")
   }
 
+  test("gzip roundtrip: integrity holds on every doc and text compresses") {
+    val rows = Multimodal.gzipRoundtrip(spark, dir).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getAs[Boolean]("roundtrip_ok")), "gunzip(gzip(x)) must equal x")
+    val avgRatio = rows.map(_.getAs[Double]("ratio")).sum / rows.length
+    assert(avgRatio < 1.0, s"natural-language payloads must compress, got $avgRatio")
+  }
+
+  test("incremental dedup agrees with batch exact dedup on the overlap") {
+    import org.apache.spark.sql.functions.col
+    val inc = Dedup.dedupIncremental(spark, dir, batchStart = 400)
+    val dups = inc.where(col("is_dup") === 1).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("dup_of")))
+    dups.foreach { case (_, dupOf) => assert(dupOf >= 0 && dupOf < 400, "dup_of must be a corpus id") }
+    val n = inc.count()
+    val expected = graft.core.Tables.documents(spark, dir).where(col("doc_id") >= 400).count()
+    assert(n == expected, "one row per new-batch doc, dup or not")
+  }
+
   test("all registered queries execute and agree with declared column names at sf0.001") {
     val smokeDir = "/root/testdata/sf0.001"
     SparkEntry.queries.foreach { case (name, fn) =>
