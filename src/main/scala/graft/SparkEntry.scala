@@ -41,7 +41,8 @@ object SparkEntry {
     vamanaRoundtripQ,
     pricingQ, regionRevenueQ, topOrdersQ, orderPriorityQ, localSupplierQ,
     filteredRevenueQ, partRollupQ, segmentSetOpsQ, eventsHourlyQ, userFunnelQ,
-    ordersByMonthQ, partTypeQ, acctbalStatsQ, approxDistinctQ, sessionizeBatchQ
+    ordersByMonthQ, partTypeQ, acctbalStatsQ, approxDistinctQ, sessionizeBatchQ,
+    partCubeQ
   ) ++ PipelineRegistry.entries
 
   private val ordersByMonthQ: (String, QFn, Option[String]) = (
@@ -149,6 +150,18 @@ object SparkEntry {
              round(sum(CAST(value AS DECIMAL(18,2))), 2)::DOUBLE AS sum_value
       FROM s GROUP BY user_id, session_id ORDER BY user_id, session_id
     """.trim))
+
+  private val partCubeQ: (String, QFn, Option[String]) = (
+    "q16_part_cube",
+    (s, d) => Relational.partCube(s, d),
+    Some("""
+      SELECT p_brand, string_split(p_type, ' ')[1] AS type_head,
+             count(*) AS n_parts,
+             round(sum(CAST(p_retailprice AS DECIMAL(18,2))), 2)::DOUBLE AS sum_price
+      FROM part
+      GROUP BY CUBE(p_brand, type_head)
+      ORDER BY p_brand NULLS FIRST, type_head NULLS FIRST
+    """.stripMargin.trim))
 
   private val localSupplierQ: (String, QFn, Option[String]) = (
     "q5_local_supplier_volume",

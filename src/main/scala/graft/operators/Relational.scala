@@ -132,6 +132,18 @@ object Relational {
         max(col("p_size")).as("max_size"))
       .orderBy(col("p_brand").asc_nulls_first)
 
+  /** Full CUBE over (mfgr-prefix, container): all 4 grouping combinations in
+    * one pass — Catalyst expands the grouping sets and the aggregation stays
+    * partial/final, so the cost is one shuffle regardless of combination
+    * count. Completes the grouping-sets surface next to q7's ROLLUP. */
+  def partCube(spark: SparkSession, dir: String): DataFrame =
+    Tables.part(spark, dir)
+      .select(col("p_brand"), split(col("p_type"), " ").getItem(0).as("type_head"),
+        col("p_retailprice"))
+      .cube(col("p_brand"), col("type_head"))
+      .agg(count(lit(1)).as("n_parts"), moneySum(col("p_retailprice")).as("sum_price"))
+      .orderBy(col("p_brand").asc_nulls_first, col("type_head").asc_nulls_first)
+
   /** Set-operation demo (EXCEPT): high-balance customers with no
     * finished ('F') order. */
   def segmentSetOps(spark: SparkSession, dir: String): DataFrame = {
