@@ -89,10 +89,17 @@ object Dedup {
       ngramJaccardPairs(shingled(spark, dir), threshold, maxDf).cache())
 
   /** The same pair join over any (doc_id, sh: array<string>) frame — spec
-    * surface for skew behavior. */
+    * surface for skew behavior. The join/aggregation key is a 60-bit md5
+    * surrogate of the shingle, not the string: fixed-width longs sort and
+    * hash far cheaper than ~20-char text through the exploded self-join,
+    * and at 750k distinct shingles the collision probability (~n²/2⁶²) is
+    * negligible — the oracle SQL derives the identical surrogate, so even a
+    * collision stays bit-identical across engines. */
   def ngramJaccardPairs(d: DataFrame, threshold: Double, maxDf: Int): DataFrame = {
     val counts = d.select(col("doc_id"), size(col("sh")).as("n"))
     val ex = d.select(col("doc_id"), explode(col("sh")).as("s"))
+      .select(col("doc_id"),
+        conv(substring(md5(col("s")), 1, 15), 16, 10).cast("long").as("s"))
     // document-frequency cutoff: the df aggregate shares the shuffle key (s)
     // with the pair join, so this is one extra pass, not a new shuffle shape
     val rare = ex.groupBy(col("s")).agg(count(lit(1)).as("df"))
