@@ -90,7 +90,7 @@ object PipelineRegistry {
       .mkString(",\n        ")
     val bands = (0 until 4).map { b =>
       val hs = (b * 4 until b * 4 + 4).map(i => s"h$i").mkString(" || '|' || ")
-      s"SELECT doc_id, $b AS band, md5($hs) AS bsig FROM sig"
+      s"SELECT doc_id, $b AS band, ('0x' || substr(md5($hs), 1, 15))::BIGINT AS bsig FROM sig"
     }.mkString("\n        UNION ALL ")
     s"""ex AS (SELECT doc_id, $digests FROM (SELECT doc_id, unnest(sh) AS s FROM s)),
       sig AS (SELECT doc_id,

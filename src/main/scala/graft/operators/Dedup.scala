@@ -139,9 +139,12 @@ object Dedup {
       min(substring(col(s"g${i / 4}"), (i % 4) * 8 + 1, 8)).as(s"h$i"))
     val sig = ex.groupBy(col("doc_id")).agg(sigCols.head, sigCols.tail: _*)
     val rowsPerBand = NumHashes / Bands
+    // band signature as a 60-bit md5 surrogate (same trick as the ngram
+    // join): long keys through the candidate equi-join, oracle-mirrored
     val bandStructs = (0 until Bands).map { b =>
       val hs = (b * rowsPerBand until (b + 1) * rowsPerBand).map(i => col(s"h$i"))
-      struct(lit(b).as("band"), md5(concat_ws("|", hs: _*)).as("bsig"))
+      struct(lit(b).as("band"),
+        conv(substring(md5(concat_ws("|", hs: _*)), 1, 15), 16, 10).cast("long").as("bsig"))
     }
     val bands = sig.select(col("doc_id"), explode(array(bandStructs: _*)).as("bs"))
       .select(col("doc_id"), col("bs.band").as("band"), col("bs.bsig").as("bsig"))
