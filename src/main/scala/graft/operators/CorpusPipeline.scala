@@ -42,8 +42,8 @@ object CorpusPipeline {
     val enriched = Tables.documents(spark, dir).select(
       col("doc_id"),
       TextAnalysis.nTokensExpr.cast("long").as("n_tokens"),
-      round(TextAnalysis.qualityExpr, 4).as("quality_score"),
-      TextAnalysis.predLangExpr.as("pred_lang"),
+      round(TextAnalysis.qualityExpr(spark), 4).as("quality_score"),
+      TextAnalysis.predLangExpr(spark).as("pred_lang"),
       md5(norm).as("content_hash"))
     // survivorship = min-by-doc_id struct per content-hash group. The agg is
     // ALSO the evaluation barrier: without it, predicate pushdown would

@@ -30,15 +30,18 @@ object TextAnalysis {
 
   /** The shared quality expressions over a `text` column — single source of
     * truth for [[textStats]] and the composed
-    * [[CorpusPipeline.cleanCorpus]] single-pass plan. */
+    * [[CorpusPipeline.cleanCorpus]] single-pass plan. Set-membership counts
+    * run through the codegen'd [[graft.functions.TokenSetCount]] — the
+    * lambda form (`size(filter(...))`) is CodegenFallback and was the hot
+    * interpreted loop of the text path (equality asserted in
+    * NativeExpressionSpec). */
   private[operators] def nTokensExpr: Column = size(toks(col("text")))
 
-  private[operators] def qualityExpr: Column = {
-    val t = toks(col("text"))
-    val nTokens = size(t)
+  private[operators] def qualityExpr(spark: SparkSession): Column = {
+    val nTokens = size(toks(col("text")))
     val charLen = length(col("text"))
     val punct = charLen - length(regexp_replace(lower(col("text")), "[a-z0-9 ]", ""))
-    val stop = size(filter(t, tk => array_contains(array(StopwordsEn.map(lit): _*), tk)))
+    val stop = graft.functions.TextExpressions.tokenSetCount(spark, lower(col("text")), StopwordsEn)
     val punctRatio = punct.cast("double") / charLen
     val stopRatio = stop.cast("double") / nTokens
     least(nTokens.cast("double") / 100.0, lit(1.0)) * 0.6 +
@@ -52,7 +55,7 @@ object TextAnalysis {
     val nTokens = size(t)
     val charLen = length(col("text"))
     val punct = charLen - length(regexp_replace(lower(col("text")), "[a-z0-9 ]", ""))
-    val stop = size(filter(t, tk => array_contains(array(StopwordsEn.map(lit): _*), tk)))
+    val stop = graft.functions.TextExpressions.tokenSetCount(spark, lower(col("text")), StopwordsEn)
     val avgLen = aggregate(transform(t, tk => length(tk)), lit(0), (a, v) => a + v)
       .cast("double") / nTokens
     val punctRatio = punct.cast("double") / charLen
@@ -63,7 +66,7 @@ object TextAnalysis {
       round(avgLen, 4).as("avg_token_len"),
       round(punctRatio, 4).as("punct_ratio"),
       round(stopRatio, 4).as("stopword_ratio"),
-      round(qualityExpr, 4).as("quality_score"))
+      round(qualityExpr(spark), 4).as("quality_score"))
       .orderBy(col("doc_id"))
   }
 
@@ -74,7 +77,7 @@ object TextAnalysis {
   def langId(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir).select(
       col("doc_id"),
-      predLangExpr.as("pred_lang"),
+      predLangExpr(spark).as("pred_lang"),
       col("lang").as("label_lang"))
       .withColumn("is_match", (col("pred_lang") === col("label_lang")).cast("int"))
       .orderBy(col("doc_id"))
@@ -90,11 +93,11 @@ object TextAnalysis {
     * struct array evaluates each language score exactly once. Tie-break is
     * unchanged: sort ascending on (−score, lang) picks highest score, then
     * the alphabetically-first language (the langStopwords order). */
-  private[operators] def predLangExpr: Column = {
-    val t = toks(col("text"))
+  private[operators] def predLangExpr(spark: SparkSession): Column = {
     val cand = array(langStopwords.map { case (lang, words) =>
       struct(
-        (-size(filter(t, tk => array_contains(array(words.map(lit): _*), tk)))).as("neg_score"),
+        (-graft.functions.TextExpressions.tokenSetCount(spark, lower(col("text")), words))
+          .as("neg_score"),
         lit(lang).as("lang"))
     }: _*)
     val best = element_at(sort_array(cand), 1)

@@ -44,6 +44,27 @@ class NativeExpressionSpec extends AnyFunSuite {
     assert(diff.count() == 0)
   }
 
+  test("token_set_count matches the lambda composition on every document") {
+    val docsDir = "/root/testdata/sf0.01"
+    val words = graft.operators.TextAnalysis.StopwordsEn
+    val t = split(lower(col("text")), "\\s+")
+    val composed = size(filter(t, tk => array_contains(array(words.map(lit): _*), tk)))
+    val diff = Tables.documents(spark, docsDir)
+      .select(
+        composed.as("composed"),
+        graft.functions.TextExpressions.tokenSetCount(spark, lower(col("text")), words).as("native"))
+      .where(col("composed") =!= col("native"))
+    assert(diff.count() == 0, "token_set_count diverged from size(filter(...))")
+    // whitespace edge cases, incl. the regex \s class and leading/trailing runs
+    import spark.implicits._
+    val edge = Seq("", " ", "the", " the\tthe\nof  a ", "x the", "THE the tHe")
+      .toDF("text")
+    val got = edge.select(
+      graft.functions.TextExpressions.tokenSetCount(spark, lower(col("text")), words).as("n"))
+      .collect().map(_.getInt(0)).toSeq
+    assert(got == Seq(0, 0, 1, 4, 1, 3), s"got $got")
+  }
+
   test("native expressions are callable from plain SQL after registration") {
     graft.functions.NativeVectorFunctions.register(spark)
     val d = spark.sql(
