@@ -66,6 +66,11 @@ object VamanaBinaryIO {
 
   def exportIndex(index: LocalIndex, path: String): Unit = {
     require(index.size > 0, "refusing to export an empty index (reference crashes here)")
+    // the file format stores external ids as u32 — silently truncating a
+    // Long id (60-bit md5 surrogates are in active use upstream) would
+    // write aliased ids that a small-id roundtrip test can never catch
+    require(index.ids.forall(id => id >= 0 && id <= 0xFFFFFFFFL),
+      "external ids must fit u32 for the reference binary format")
     val p = index.params
     val nBytes = 24 +
       index.size * (p.dim * 4 + 4) +

@@ -64,8 +64,17 @@ object VamanaIndexer {
     val pts: Dataset[(Long, Array[Float])] =
       df.select(col(idCol).cast("long"), col(vecCol).cast("array<float>")).as[(Long, Array[Float])]
     val (ptsT, kParams) = metricTransform(pts, params)
+    val n = ptsT.count()
+    // A corpus beyond maxLocalPoints must NEVER reach the driver, shards
+    // requested or not: numShards=1 (the default) routes to the sharded
+    // build with enough shards that each (2-of-s overlapped) shard stays
+    // under the threshold.
+    val effShards =
+      if (numShards > 1) numShards
+      else if (n <= maxLocalPoints) 1
+      else math.max(2, math.ceil(2.0 * n / math.max(1L, maxLocalPoints)).toInt)
 
-    if (numShards <= 1) {
+    if (effShards <= 1) {
       // single-shard: use the batch-synchronous parallel kernel — the
       // executor threads are otherwise idle during a driver-local build.
       // Output is identical for any parallelism >= 2 (kernel contract).
@@ -74,7 +83,7 @@ object VamanaIndexer {
       val index = VamanaKernel.buildParallel(collected.map(_._1), collected.map(_._2), kParams, par)
       new VamanaModel(index)
     } else {
-      val s = numShards
+      val s = effShards
       val seed = params.seed
       // deterministic 2-of-s overlap assignment per point id
       val assigned = ptsT.flatMap { case (id, vec) =>
@@ -119,7 +128,6 @@ object VamanaIndexer {
             pvec, cands.map(_._1), cands.map(_._2),
             params.alpha, params.maxDegree, params.paperPrune))
         }
-      val n = ptsT.count()
       if (n <= maxLocalPoints) {
         // gated materialization: the ONLY place the corpus reaches the driver
         val pruned = prunedDs.collect().toMap
@@ -141,19 +149,25 @@ object VamanaIndexer {
 
   /** Nearest-to-centroid medoid over a distributed point set — only scalars
     * ever reach the driver. Tie-break (lowest id) matches
-    * [[VamanaKernel.centroidMedoid]] over id-sorted points. */
-  private[vamana] def distributedMedoidId(points: Dataset[(Long, Array[Float])]): Long = {
+    * [[VamanaKernel.centroidMedoid]] over id-sorted points.
+    *
+    * The centroid accumulates in EXACT decimal arithmetic: floats are
+    * exactly representable as BigDecimal and decimal addition is
+    * associative+commutative, so the result is bit-identical under ANY
+    * partitioning — an unordered double reduce would drift with partition
+    * count and break the engine's determinism contract. */
+  private[graft] def distributedMedoidId(points: Dataset[(Long, Array[Float])]): Long = {
     val spark = points.sparkSession
     import spark.implicits._
-    val (sumVec, cnt) = points
-      .map { case (_, v) => (v.map(_.toDouble), 1L) }
+    val (sumVec, cnt) = points.rdd
+      .map { case (_, v) => (v.map(f => new java.math.BigDecimal(f.toDouble)), 1L) }
       .reduce { (a, b) =>
-        val s = new Array[Double](a._1.length)
+        val s = new Array[java.math.BigDecimal](a._1.length)
         var i = 0
-        while (i < s.length) { s(i) = a._1(i) + b._1(i); i += 1 }
+        while (i < s.length) { s(i) = a._1(i).add(b._1(i)); i += 1 }
         (s, a._2 + b._2)
       }
-    val centroid = sumVec.map(x => (x / cnt).toFloat)
+    val centroid = sumVec.map(x => (x.doubleValue() / cnt).toFloat)
     val bc = spark.sparkContext.broadcast(centroid)
     points
       .map { case (id, v) => (VamanaKernel.l2sq(v, bc.value), id) }
@@ -240,6 +254,11 @@ final class FanoutModel private[vamana] (
       .select(col("query_id"), col("rank"), col("id"), col("dist"))
       .orderBy(col("query_id"), col("rank"))
   }
+
+  /** Release the cached shard dataset (cache-lifecycle surface for tests
+    * and long-lived services; searching after this rebuilds nothing but
+    * re-reads whatever produced the shards). */
+  def unpersist(): Unit = { val _ = shards.unpersist() }
 
   /** S3 for the fanout path: one parquet of per-shard model rows (vectors +
     * external-id adjacency + per-shard medoid/seed) plus a one-row global
@@ -363,6 +382,14 @@ final class VamanaModel private (
   /** True when the model never materialized a driver-side index. */
   def isDistributed: Boolean = localOpt.isEmpty
 
+  /** Kernel-space params — available without materializing anything, for
+    * local and distributed models alike. */
+  def params: VamanaParams = localOpt.map(_.params).getOrElse(framesOpt.get.params)
+
+  /** Release any cached state a distributed model holds (the fanout shard
+    * dataset); local models hold nothing cached. */
+  def unpersist(): Unit = fanoutOpt.foreach(_.unpersist())
+
   def index: LocalIndex = localOpt.getOrElse(throw new IllegalStateException(
     "model exceeds maxLocalPoints and was never collected to the driver; " +
       "serve via search() (fanout) or save() the frames"))
@@ -452,16 +479,28 @@ final class VamanaModel private (
     }
   }
 
+  /** (pos, id, vec) for a distributed model with pos = 0-based rank of id,
+    * assigned distributively: a range sort by id, then `RDD.zipWithIndex`
+    * (per-partition counts + broadcast offsets — one extra count job). The
+    * round-2 shape was `row_number` over a global no-partition window, which
+    * funnels the whole corpus through ONE task; this never does. */
+  private def indexedPoints(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    framesOpt.get.points
+      .select(col("id").cast("long"), col("vec").cast("array<float>"))
+      .as[(Long, Array[Float])]
+      .orderBy(col("id"))
+      .rdd.zipWithIndex
+      .map { case ((id, vec), i) => (i.toInt, id, vec) }
+      .toDF("pos", "id", "vec")
+  }
+
   def pointsDF(spark: SparkSession): DataFrame = localOpt match {
     case Some(idx) =>
       import spark.implicits._
       idx.ids.zipWithIndex.map { case (id, pos) => (pos, id, idx.points(pos)) }.toSeq
         .toDF("pos", "id", "vec")
-    case None =>
-      val w = Window.orderBy(col("id"))
-      framesOpt.get.points
-        .withColumn("pos", (row_number().over(w) - 1).cast("int"))
-        .select(col("pos"), col("id"), col("vec"))
+    case None => indexedPoints(spark)
   }
 
   def graphDF(spark: SparkSession): DataFrame = localOpt match {
@@ -471,10 +510,7 @@ final class VamanaModel private (
         (pos, idx.ids(pos), nbrs.map(idx.ids(_)))
       }.toSeq.toDF("pos", "id", "neighbors")
     case None =>
-      val w = Window.orderBy(col("id"))
-      val posOf = framesOpt.get.points
-        .withColumn("pos", (row_number().over(w) - 1).cast("int"))
-        .select(col("pos"), col("id"))
+      val posOf = indexedPoints(spark).select(col("pos"), col("id"))
       // left join from points: every pos gets a row even if the merge left a
       // node edgeless — a dropped row would shift positions on load
       posOf.join(framesOpt.get.graph, Seq("id"), "left")
@@ -484,8 +520,8 @@ final class VamanaModel private (
 
   /** S3 (save, vamana.h:390-424): parquet points + graph + one-row params.
     * Local models coalesce to one file; distributed models write straight
-    * from the frames (the global `pos` assignment is the one full sort —
-    * save is rare, serving never needs it). */
+    * from the frames — `pos` is assigned by a distributed range sort +
+    * zipWithIndex, never a single-task global window. */
   def save(spark: SparkSession, path: String): Unit = localOpt match {
     case Some(_) =>
       pointsDF(spark).repartition(1).write.mode("overwrite").parquet(s"$path/points")

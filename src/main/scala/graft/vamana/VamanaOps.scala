@@ -30,6 +30,15 @@ object VamanaOps {
     fanoutCache.getOrElseUpdate(dir,
       VamanaFanout.fit(Tables.embeddings(spark, dir), defaultParams, numShards = 4))
 
+  /** Drop + unpersist the per-dataset fitted models (tests / long-lived
+    * services — the caches otherwise pin models for the life of the JVM). */
+  def clearCaches(): Unit = {
+    for ((_, m) <- cache) m.unpersist()
+    cache.clear()
+    for ((_, f) <- fanoutCache) f.unpersist()
+    fanoutCache.clear()
+  }
+
   /** ANN top-10 for the first 10 stored vectors — same fixture as knn_exact,
     * so the two results are directly comparable. Not SQL-expressible
     * (graph traversal) → rows-only driver check; accuracy is covered by the
@@ -86,39 +95,76 @@ object VamanaOps {
 
   /** M2 degree health check over ALL nodes (fixes the reference's dead
     * 10-node sample, vamana.h:705-720). */
-  def vamanaDegreeCheck(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    val idx = model(spark, dir).index
-    val maxDeg = idx.graph.map(_.length).max
-    Seq((idx.size.toLong, maxDeg, idx.params.maxDegree, maxDeg <= idx.params.maxDegree))
-      .toDF("n_nodes", "max_out_degree", "r", "ok")
+  def vamanaDegreeCheck(spark: SparkSession, dir: String): DataFrame =
+    degreeCheckOf(spark, model(spark, dir))
+
+  /** The check itself aggregates the model's graph FRAME — `max(size(
+    * neighbors))` over graphDF — so it works unchanged for beyond-broadcast
+    * models that can never materialize `.index` on the driver. */
+  def degreeCheckOf(spark: SparkSession, m: VamanaModel): DataFrame = {
+    val r = m.params.maxDegree
+    m.graphDF(spark)
+      .agg(count(lit(1)).as("n_nodes"), max(size(col("neighbors"))).as("max_out_degree"))
+      .select(col("n_nodes"), col("max_out_degree"), lit(r).as("r"),
+        (col("max_out_degree") <= lit(r)).as("ok"))
   }
 
-  /** Filtered ANN search (the vector-DB "search with metadata predicate"):
-    * over-fetch k·overFetch candidates from the unfiltered index, keep those
-    * whose doc passes the predicate, re-rank, cut to k. Post-filtering with
-    * over-fetch is the composable Spark-first strategy — the graph kernel
-    * stays predicate-free; recall vs the exact filtered scan is spec-gated.
-    * (The alternative, predicate-aware traversal a la filtered-DiskANN,
-    * would need a kernel change for marginal gain at these selectivities.)
-    * The allowed-id side arrives via a keyed join the optimizer broadcasts
-    * when small; at 100 TB selective predicates should instead be pushed
-    * into the allowed-set scan, which this plan already does (the filter
-    * lands on the documents parquet scan). */
+  /** Below this many allowed ids the filtered query skips the graph and runs
+    * the exact scan over the allowed subset — the subset is already the
+    * broadcast-joinable side, recall is 1.0 by construction, and a graph
+    * over-fetch at such selectivities could never fill k anyway. */
+  val ExactScanMaxAllowed: Long = 10_000L
+
+  /** Filtered ANN search (the vector-DB "search with metadata predicate"),
+    * strategy chosen ADAPTIVELY from the allowed-set selectivity:
+    *  - tiny allowed set (≤ `exactScanMaxAllowed`) → exact kNN over the
+    *    allowed subset (predicate pushed to the documents scan, subset
+    *    broadcast — recall 1.0, no graph traversal at all);
+    *  - otherwise over-fetch k·oF from the predicate-free graph with
+    *    oF = ceil(2/selectivity) (expected ≥ 2k allowed survivors), then
+    *    post-filter + re-rank. If that fetch would cover ≥ a quarter of the
+    *    corpus, the exact scan is cheaper — fall back.
+    * The round-2 shape used a FIXED over-fetch of 8, whose recall collapses
+    * below 12.5% selectivity; both regimes are recall-gated in specs. */
   def vamanaSearchFiltered(spark: SparkSession, dir: String, lang: String = "en",
-      k: Int = 10, overFetch: Int = 8): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+      k: Int = 10, overFetch: Int = 0): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
     val q = Knn.queriesFromPoints(emb, 10)
     val allowed = Tables.documents(spark, dir).where(col("lang") === lang)
       .select(col("doc_id").as("id"))
-    val w = Window.partitionBy(col("query_id")).orderBy(col("dist").asc, col("id").asc)
-    model(spark, dir).search(q, k * overFetch)
-      .join(allowed, "id")
-      .withColumn("r", row_number().over(w).cast("long"))
-      .where(col("r") <= k)
-      .select(col("query_id"), col("r").as("rank"), col("id"), col("dist"))
-      .orderBy(col("query_id"), col("rank"))
+    filteredSearch(spark, model(spark, dir), emb, q, allowed, k, overFetch)
+  }
+
+  /** The adaptive strategy over any (model, corpus, queries, allowed-ids).
+    * `overFetch > 0` forces the graph path with that factor (spec surface);
+    * `exactScanMaxAllowed` is overridable so specs can force either regime.
+    * The two counts driving the decision are metadata-cheap aggregates; at
+    * 100 TB they come from table stats, not a data pass. */
+  def filteredSearch(spark: SparkSession, m: VamanaModel, emb: DataFrame,
+      q: DataFrame, allowed: DataFrame, k: Int, overFetch: Int = 0,
+      exactScanMaxAllowed: Long = ExactScanMaxAllowed): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val nAllowed = allowed.count()
+    val n = emb.count()
+    val oF =
+      if (overFetch > 0) overFetch
+      else {
+        val sel = math.max(nAllowed.toDouble / math.max(1L, n), 1e-9)
+        math.max(2, math.ceil(2.0 / sel).toInt)
+      }
+    val exactWins = nAllowed <= exactScanMaxAllowed ||
+      (overFetch <= 0 && k.toLong * oF * 4 >= n)
+    if (exactWins)
+      Knn.knnExact(emb.join(allowed.select(col("id").as("vec_id")), "vec_id"), q, k)
+    else {
+      val w = Window.partitionBy(col("query_id")).orderBy(col("dist").asc, col("id").asc)
+      m.search(q, k * oF)
+        .join(allowed, "id")
+        .withColumn("r", row_number().over(w).cast("long"))
+        .where(col("r") <= k)
+        .select(col("query_id"), col("r").as("rank"), col("id"), col("dist"))
+        .orderBy(col("query_id"), col("rank"))
+    }
   }
 
   /** One-row report: recall@10 of the ANN search vs exact kNN over the first

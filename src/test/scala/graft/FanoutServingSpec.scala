@@ -65,6 +65,39 @@ class FanoutServingSpec extends AnyFunSuite {
     assert(d.getAs[Long]("data_size") == emb.count(), "describe must see every point")
   }
 
+  test("DEFAULT-shards fit routes over-threshold corpora to the sharded path (never collects)") {
+    val emb = Tables.embeddings(spark, dir)
+    // numShards left at its default of 1 — the round-2 shape collected the
+    // corpus on this path regardless of the threshold
+    val model = VamanaIndexer.fit(emb, params, maxLocalPoints = 0)
+    assert(model.isDistributed, "default-shards fit must stay distributed above the threshold")
+    assertThrows[IllegalStateException](model.index)
+    val qs = queries(30).cache()
+    val truth = Knn.knnExact(emb, qs, 10)
+    val r = Knn.recallAt(10, model.search(qs, 10), truth)
+    assert(r >= 0.8, s"default-shards distributed-fit recall@10 = $r below the 0.8 gate")
+  }
+
+  test("distributed medoid is identical under any partitioning (exact decimal centroid)") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val pts = Tables.embeddings(spark, dir)
+      .select(col("vec_id").cast("long"), col("embedding").cast("array<float>"))
+      .as[(Long, Array[Float])]
+    val a = VamanaIndexer.distributedMedoidId(pts.repartition(1))
+    val b = VamanaIndexer.distributedMedoidId(pts.repartition(7))
+    assert(a == b, "centroid accumulation must be partitioning-independent")
+  }
+
+  test("degree check aggregates the graph frame — works on a never-collected model") {
+    val emb = Tables.embeddings(spark, dir)
+    val model = VamanaIndexer.fit(emb, params, numShards = 3, maxLocalPoints = 0)
+    val row = VamanaOps.degreeCheckOf(spark, model).collect().head
+    assert(row.getAs[Long]("n_nodes") == emb.count(), "every node must be checked")
+    assert(row.getAs[Int]("max_out_degree") <= params.maxDegree)
+    assert(row.getAs[Boolean]("ok"), "merged re-pruned graph must respect R")
+  }
+
   test("distributed fit saves frames; reloading under the threshold serves them") {
     val emb = Tables.embeddings(spark, dir)
     val model = VamanaIndexer.fit(emb, params, numShards = 3, maxLocalPoints = 0)
@@ -110,6 +143,39 @@ class FanoutServingSpec extends AnyFunSuite {
     val truth = Knn.knnExact(emb.join(allowedDf, "vec_id"), Knn.queriesFromPoints(emb, 10), 10)
     val r = Knn.recallAt(10, got, truth)
     assert(r >= 0.5, s"filtered recall@10 = $r below the over-fetch gate")
+  }
+
+  test("adaptive filtered search: graph path holds the gate at 10% selectivity, " +
+    "exact fallback is perfect at 1%") {
+    import org.apache.spark.sql.functions.col
+    val sf01 = "/root/testdata/sf0.01"
+    val emb = Tables.embeddings(spark, sf01)
+    val q = Knn.queriesFromPoints(emb, 10)
+    val m = VamanaOps.model(spark, sf01)
+    // 10%: force the graph regime (exactScanMaxAllowed=0) with the factor
+    // the adaptive rule derives (ceil(2/0.1) = 20)
+    val allowed10 = emb.where(col("vec_id") % 10 === 0).select(col("vec_id").as("id"))
+    val got10 = VamanaOps.filteredSearch(spark, m, emb, q, allowed10, k = 10,
+      overFetch = 20, exactScanMaxAllowed = 0)
+    val truth10 = Knn.knnExact(
+      emb.join(allowed10.select(col("id").as("vec_id")), "vec_id"), q, 10)
+    val r10 = Knn.recallAt(10, got10, truth10)
+    assert(r10 >= 0.8, s"10%-selectivity graph-path recall@10 = $r10 below the 0.8 gate")
+    // 1%: the adaptive rule must route to the exact scan (tiny allowed set)
+    val allowed1 = emb.where(col("vec_id") % 100 === 0).select(col("vec_id").as("id"))
+    val got1 = VamanaOps.filteredSearch(spark, m, emb, q, allowed1, k = 10)
+    val truth1 = Knn.knnExact(
+      emb.join(allowed1.select(col("id").as("vec_id")), "vec_id"), q, 10)
+    assert(got1.collect().map(_.toSeq).toSeq == truth1.collect().map(_.toSeq).toSeq,
+      "1%-selectivity must take the exact path and match exact kNN bit-for-bit")
+  }
+
+  test("binary export refuses ids beyond u32 instead of writing aliased ids") {
+    val p = VamanaParams(dim = 2, maxDegree = 2, beamWidth = 4, alpha = 1.2f, efSearch = 8)
+    val idx = new LocalIndex(Array(1L << 33), Array(Array(0f, 0f)),
+      Array(Array.empty[Int]), 0, p)
+    val out = java.nio.file.Files.createTempDirectory("binio_u32").resolve("i.bin").toString
+    assertThrows[IllegalArgumentException](VamanaBinaryIO.exportIndex(idx, out))
   }
 
   test("vamana_roundtrip query reports all-green bits") {
