@@ -399,10 +399,25 @@ object PipelineRegistry {
       FROM documents ORDER BY doc_id
     """.trim))
 
+  /** The documents corpus is ASCII text → every payload decodes as `raw`,
+    * and the raw path (byte count / mean byte / head hash) is exactly
+    * SQL-expressible: per-char ord == byte value on ASCII, and the decoder
+    * rounds half-up to match SQL round(). Header parsing for real formats
+    * stays spec-gated with synthetic WAV/PPM/BMP/JPEG/PNG payloads. */
   private val mmMediaFeatures: (String, QFn, Option[String]) = (
     "mm_media_features",
     (s, d) => Multimodal.mediaFeatures(s, d),
-    None)
+    Some("""
+      SELECT doc_id,
+        length(text)::BIGINT AS n_bytes,
+        'raw' AS media_type,
+        0::BIGINT AS dim1, 0::BIGINT AS dim2,
+        CASE WHEN length(text) = 0 THEN 0.0
+             ELSE round(CAST(list_sum(list_transform(range(1, length(text)+1),
+                    i -> ord(text[i]))) AS DOUBLE) / length(text), 4) END AS mean_byte,
+        md5(substring(text, 1, 16)) AS head_hash
+      FROM documents ORDER BY doc_id
+    """.trim))
 
   // ---- corpus pipeline (declared last: composes the oracle SQL of the
   // single ops above, so those vals must already be initialized) ------------

@@ -16,10 +16,10 @@ case class MediaFeatures(doc_id: Long, n_bytes: Long, media_type: String,
   * plumbing (north-star surface, SURVEY.md §2b).
   *
   * The binary path treats media as `binary` columns with typed metadata.
-  * Container formats whose headers need no codec (WAV, PPM, BMP) are parsed
-  * FOR REAL by [[decode]]; compressed pixel decode (JPEG/PNG) remains a
-  * clearly-labeled stub branch because it genuinely needs a codec library
-  * this container does not ship. The Spark-side plumbing — schema, batching
+  * All five container headers (WAV, PPM, BMP, JPEG, PNG) are parsed FOR
+  * REAL by [[decode]] — dimensions/rate/channels come from byte arithmetic
+  * alone; only pixel decode (entropy-coded image data) is out of scope.
+  * The Spark-side plumbing — schema, batching
   * via mapPartitions, partition-local extraction, metadata join — is the
   * shape a full codec (e.g. a Pandas-UDF/JNI decoder) slots into.
   */
@@ -58,18 +58,26 @@ object Multimodal {
     (b(off) & 0xffL) | ((b(off + 1) & 0xffL) << 8) |
       ((b(off + 2) & 0xffL) << 16) | ((b(off + 3) & 0xffL) << 24)
 
+  private def beU16(b: Array[Byte], off: Int): Long =
+    (((b(off) & 0xff) << 8) | (b(off + 1) & 0xff)).toLong
+
+  private def beU32(b: Array[Byte], off: Int): Long =
+    ((b(off) & 0xffL) << 24) | ((b(off + 1) & 0xffL) << 16) |
+      ((b(off + 2) & 0xffL) << 8) | (b(off + 3) & 0xffL)
+
   private def ascii(b: Array[Byte], off: Int, len: Int): String =
     if (b.length < off + len) "" else new String(b, off, len, "US-ASCII")
 
-  /** Media decoder over opaque binary payloads. The UNCOMPRESSED container
-    * formats are parsed for real — their headers need no codec, just byte
-    * arithmetic:
-    *  - WAV (RIFF/WAVE): sample_rate + n_channels from the fmt chunk
+  /** Media decoder over opaque binary payloads. Every container header is
+    * parsed for real — none of these need a codec, just byte arithmetic:
+    *  - WAV (RIFF/WAVE): sample_rate + n_channels from the fmt chunk, with
+    *    a forward-progress guard so corrupt chunk sizes end the scan
     *  - PPM (P6): ASCII width/height (comment-skipping per the spec)
     *  - BMP (BM): width/height from the BITMAPINFOHEADER
-    * Compressed formats (JPEG/PNG magic) are TAGGED but their pixel decode
-    * remains a labeled stub — that genuinely needs a codec library this
-    * container does not ship; a real codec replaces only those branches.
+    *  - JPEG (FFD8FF): width/height from the first SOFn marker segment
+    *  - PNG (\\x89PNG): width/height from the mandatory-first IHDR chunk
+    * Pixel DECODE (entropy-coded JPEG data, zlib PNG IDAT) is out of scope —
+    * a real pipeline plugs a codec into this same mapPartitions slot.
     * Everything else is `raw` with deterministic byte stats. */
   private[operators] def decode(docId: Long, payload: Array[Byte]): MediaFeatures = {
     var s = 0L
@@ -85,10 +93,16 @@ object Multimodal {
         var found = (-1, -1L, -1L)
         while (off + 8 <= payload.length && found._1 < 0) {
           val id = ascii(payload, off, 4)
-          val sz = leU32(payload, off + 4)
-          if (id == "fmt " && off + 16 <= payload.length)
+          val sz = leU32(payload, off + 4) // u32 — may be corrupt in a real corpus
+          // fmt must declare at least the 16 canonical PCM bytes before the
+          // rate/channels fields are trusted
+          if (id == "fmt " && sz >= 16 && off + 16 <= payload.length)
             found = (off, leU32(payload, off + 12), leU16(payload, off + 10))
-          off += 8 + sz.toInt + (sz.toInt & 1)
+          // forward-progress guard: Long arithmetic (no u32→Int wrap) and a
+          // hard stop when the declared size runs past the payload — a
+          // malformed chunk size must end the scan, not spin the task
+          val next = off.toLong + 8L + sz + (sz & 1L)
+          off = if (next > payload.length) payload.length else next.toInt
         }
         if (found._1 >= 0) ("wav", found._2, found._3) else ("raw", 0L, 0L)
       } else if (ascii(payload, 0, 2) == "P6") {
@@ -112,13 +126,46 @@ object Multimodal {
         ("bmp", leU32(payload, 18), leU32(payload, 22))
       } else if (payload.length >= 3 && (payload(0) & 0xff) == 0xff &&
         (payload(1) & 0xff) == 0xd8 && (payload(2) & 0xff) == 0xff) {
-        ("jpeg_stub", 0L, 0L) // pixel decode needs a codec: labeled stub branch
+        // JPEG: walk the marker segments to the first SOFn (C0-CF except the
+        // non-frame C4/C8/CC); the frame header carries height then width as
+        // big-endian u16 after the precision byte. No codec needed — only
+        // entropy-coded pixel data would.
+        var off = 2
+        var w = 0L
+        var h = 0L
+        var done = false
+        while (!done && off + 4 <= payload.length) {
+          if ((payload(off) & 0xff) != 0xff) done = true // desynced: stop
+          else {
+            val marker = payload(off + 1) & 0xff
+            if (marker == 0xff) off += 1 // fill byte before a marker
+            else if (marker >= 0xd0 && marker <= 0xd9) off += 2 // standalone RST/SOI/EOI
+            else {
+              val segLen = beU16(payload, off + 2).toInt
+              val isSof = marker >= 0xc0 && marker <= 0xcf &&
+                marker != 0xc4 && marker != 0xc8 && marker != 0xcc
+              if (isSof && off + 9 <= payload.length) {
+                h = beU16(payload, off + 5); w = beU16(payload, off + 7)
+                done = true
+              } else if (segLen < 2) done = true // corrupt length: stop, don't spin
+              else off += 2 + segLen
+            }
+          }
+        }
+        ("jpeg", w, h)
       } else if (payload.length >= 4 && (payload(0) & 0xff) == 0x89 &&
         ascii(payload, 1, 3) == "PNG") {
-        ("png_stub", 0L, 0L) // pixel decode needs a codec: labeled stub branch
+        // PNG: IHDR is mandated to be the first chunk — width/height are
+        // big-endian u32 at fixed offsets 16/20 (8-byte signature + 4-byte
+        // length + "IHDR").
+        if (payload.length >= 24 && ascii(payload, 12, 4) == "IHDR")
+          ("png", beU32(payload, 16), beU32(payload, 20))
+        else ("png", 0L, 0L)
       } else ("raw", 0L, 0L)
+    // half-up (not rint's half-even): matches SQL round() in both engines,
+    // which is what makes the raw path oracle-checkable
     MediaFeatures(docId, payload.length.toLong, tpe, d1, d2,
-      math.rint(mean * 1e4) / 1e4, headHash)
+      math.floor(mean * 1e4 + 0.5) / 1e4, headHash)
   }
 
   /** Partition-parallel media feature extraction over any (doc_id LONG,

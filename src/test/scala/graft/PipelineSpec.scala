@@ -94,19 +94,35 @@ class PipelineSpec extends AnyFunSuite {
       "utf-8 text payloads carry no media magic")
   }
 
-  test("media decoder parses WAV/PPM/BMP headers for real; tags codec formats as stubs") {
+  test("media decoder parses WAV/PPM/BMP/JPEG/PNG headers for real; corrupt sizes terminate") {
     import spark.implicits._
     def le16(v: Int) = Array[Byte]((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
     def le32(v: Int) = Array[Byte](
       (v & 0xff).toByte, ((v >> 8) & 0xff).toByte, ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    def be16(v: Int) = Array[Byte](((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    def be32(v: Int) = Array[Byte](
+      ((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte, ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
     val wav = "RIFF".getBytes ++ le32(36) ++ "WAVE".getBytes ++
       "fmt ".getBytes ++ le32(16) ++ le16(1) ++ le16(2) ++ le32(44100) ++
       le32(44100 * 4) ++ le16(4) ++ le16(16)
     val ppm = "P6\n# a comment\n640 480\n255\n".getBytes ++ Array[Byte](0, 1, 2)
     val bmp = "BM".getBytes ++ le32(70) ++ le32(0) ++ le32(54) ++
       le32(40) ++ le32(320) ++ le32(200) // BITMAPINFOHEADER: width@18 height@22
-    val jpg = Array[Byte](0xff.toByte, 0xd8.toByte, 0xff.toByte, 0xe0.toByte)
-    val df = Seq((1L, wav), (2L, ppm), (3L, bmp), (4L, jpg), (5L, "plain".getBytes))
+    // SOI + APP0 (16-byte segment) + SOF0 carrying height=123 width=456
+    val jpg = Array[Byte](0xff.toByte, 0xd8.toByte) ++
+      Array[Byte](0xff.toByte, 0xe0.toByte) ++ be16(16) ++ Array.fill[Byte](14)(0) ++
+      Array[Byte](0xff.toByte, 0xc0.toByte) ++ be16(17) ++ Array[Byte](8) ++
+      be16(123) ++ be16(456) ++ Array[Byte](3)
+    // signature + IHDR (width=800 height=600)
+    val png = Array[Byte](0x89.toByte) ++ "PNG".getBytes ++
+      Array[Byte](0x0d, 0x0a, 0x1a, 0x0a) ++
+      be32(13) ++ "IHDR".getBytes ++ be32(800) ++ be32(600) ++ Array.fill[Byte](5)(0)
+    // adversarial RIFF: a chunk size whose low bits would make the old Int
+    // arithmetic stop advancing (0xFFFFFFF8) — must terminate, not spin
+    val corruptWav = "RIFF".getBytes ++ le32(36) ++ "WAVE".getBytes ++
+      "junk".getBytes ++ le32(0xFFFFFFF8) ++ Array.fill[Byte](8)(0)
+    val df = Seq((1L, wav), (2L, ppm), (3L, bmp), (4L, jpg), (5L, "plain".getBytes),
+      (6L, png), (7L, corruptWav))
       .toDF("doc_id", "payload")
     val rows = Multimodal.mediaFeaturesOf(df).collect()
       .map(r => r.getAs[Long]("doc_id") ->
@@ -114,8 +130,10 @@ class PipelineSpec extends AnyFunSuite {
     assert(rows(1L) == (("wav", 44100L, 2L)))
     assert(rows(2L) == (("ppm", 640L, 480L)))
     assert(rows(3L) == (("bmp", 320L, 200L)))
-    assert(rows(4L)._1 == "jpeg_stub")
+    assert(rows(4L) == (("jpeg", 456L, 123L)))
     assert(rows(5L)._1 == "raw")
+    assert(rows(6L) == (("png", 800L, 600L)))
+    assert(rows(7L)._1 == "raw", "corrupt RIFF chunk size must fall through to raw, not hang")
   }
 
   test("ngram jaccard df cutoff: a boilerplate shingle shared by half the corpus is dropped") {
