@@ -29,11 +29,21 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
 object GraftExtensions {
 
+  /** Arity-checked builder: a wrong-arity SQL call gets a clean error naming
+    * the function and its signature, not an IndexOutOfBoundsException. */
+  private def binary(name: String, f: (Expression, Expression) => Expression)
+      : Seq[Expression] => Expression = { exprs =>
+    if (exprs.length != 2)
+      throw new IllegalArgumentException(
+        s"$name expects exactly 2 arguments (array<float>, array<float>); got ${exprs.length}")
+    f(exprs(0), exprs(1))
+  }
+
   private[graft] val functions: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     ("l2sq_native",
       new ExpressionInfo(classOf[L2Squared].getName, "l2sq_native"),
-      (exprs: Seq[Expression]) => L2Squared(exprs.head, exprs(1))),
+      binary("l2sq_native", L2Squared(_, _))),
     ("dot_native",
       new ExpressionInfo(classOf[DotProduct].getName, "dot_native"),
-      (exprs: Seq[Expression]) => DotProduct(exprs.head, exprs(1))))
+      binary("dot_native", DotProduct(_, _))))
 }

@@ -46,6 +46,18 @@ object Tables {
       memo.getOrElseUpdate((spark, dir, name), load(spark, dir, name).cache())
     else load(spark, dir, name)
 
+  /** Names of the tables the multi-query mains should pre-materialize before
+    * timing, so first-touch cache cost doesn't land on an arbitrary query. */
+  def warmable: Set[String] = cacheableTables
+
+  /** Unpersist and drop every memoized table — long-lived multi-dataset
+    * drivers otherwise pin executor storage for the life of the JVM (and a
+    * stopped session's frames would never be released). */
+  def clearCache(): Unit = {
+    for ((_, df) <- memo) scala.util.Try(df.unpersist())
+    memo.clear()
+  }
+
   private def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = spark.read.parquet(s"$dir/$name.parquet")

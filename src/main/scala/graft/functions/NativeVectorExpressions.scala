@@ -91,6 +91,10 @@ object NativeVectorFunctions {
     }
   }
 
+  /** Drop the registration memo (it strongly holds SparkSessions);
+    * re-registration is idempotent, so clearing is always safe. */
+  private[graft] def clearRegistry(): Unit = synchronized { registered = Set.empty }
+
   /** Codegen'd squared L2; falls back to the session-registered function. */
   def l2sqNative(spark: SparkSession, a: Column, b: Column): Column = {
     register(spark)

@@ -107,6 +107,10 @@ object TextExpressions {
     }
   }
 
+  /** Drop the registration memo (it strongly holds SparkSessions);
+    * re-registration is idempotent, so clearing is always safe. */
+  private[graft] def clearRegistry(): Unit = synchronized { registered = Set.empty }
+
   /** Count of `lowered`'s whitespace tokens that appear in `words`. */
   def tokenSetCount(spark: SparkSession, lowered: Column, words: Seq[String]): Column = {
     register(spark)

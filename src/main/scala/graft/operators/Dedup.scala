@@ -100,11 +100,16 @@ object Dedup {
     val ex = d.select(col("doc_id"), explode(col("sh")).as("s"))
       .select(col("doc_id"),
         conv(substring(md5(col("s")), 1, 15), 16, 10).cast("long").as("s"))
-    // document-frequency cutoff: the df aggregate shares the shuffle key (s)
-    // with the pair join, so this is one extra pass, not a new shuffle shape
-    val rare = ex.groupBy(col("s")).agg(count(lit(1)).as("df"))
-      .where(col("df") <= maxDf).select(col("s"))
-    val exF = ex.join(rare, "s")
+    // document-frequency cutoff as a WINDOW over the pair join's own shuffle
+    // key: the count-per-s partitions/sorts by s exactly as the sort-merge
+    // self-join requires, so the cutoff adds no exchange and no extra
+    // aggregate pass (the round-2 shape — a df aggregate + an inner join —
+    // recomputed the exploded md5 frame and cost ~2.4 s of pure tax)
+    val exF = ex
+      .withColumn("df", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("s"))))
+      .where(col("df") <= maxDf)
+      .drop("df")
     val inter = exF.as("a").join(exF.as("b"),
         col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
@@ -295,6 +300,16 @@ object Dedup {
         coalesce(col("dup_of"), lit(-1L)).as("dup_of"),
         (col("dup_of").isNotNull).cast("int").as("is_dup"))
       .orderBy(col("doc_id"))
+  }
+
+  /** Unpersist + drop the per-dataset shingle/pair caches (tests and
+    * long-lived multi-dataset services — the caches otherwise hold cached
+    * frames, and their SparkSessions, for the life of the JVM). */
+  def clearCaches(): Unit = {
+    for ((_, df) <- shingleCache) scala.util.Try(df.unpersist())
+    shingleCache.clear()
+    for ((_, df) <- ngramPairsCache) scala.util.Try(df.unpersist())
+    ngramPairsCache.clear()
   }
 
   /** Embedding-cosine near-dup pairs (exact all-pairs form — the oracle

@@ -91,4 +91,13 @@ class NativeExpressionSpec extends AnyFunSuite {
     assert(!graft.functions.L2Squared(null, null).isInstanceOf[
       org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback])
   }
+
+  test("extension SQL builders reject wrong arity with an error naming the function") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    for ((name, _, builder) <- GraftExtensions.functions) {
+      val e = intercept[IllegalArgumentException](builder(Seq(Literal(1))))
+      assert(e.getMessage.contains(name), s"error must name $name: ${e.getMessage}")
+      assert(e.getMessage.contains("2 arguments"))
+    }
+  }
 }
