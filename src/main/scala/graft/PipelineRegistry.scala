@@ -43,7 +43,8 @@ object PipelineRegistry {
     simCosineTopK, simIpTopK, simJoinThreshold, lshCosinePairs, lshL2PairsQ, ivfSearch,
     sqQuantize, sqReport, pqQuantizeQ, pqSearchQ,
     mmJoin, mmBinaryStats, mmMediaFeatures,
-    sampleHashQ, pipelineCleanQ, vocabTopKQ, lengthPctQ, embedNormalizeQ, tfIdfQ)
+    sampleHashQ, pipelineCleanQ, vocabTopKQ, lengthPctQ, embedNormalizeQ, tfIdfQ,
+    asofJoinQ, sampleStratifiedQ, repetitionScoreQ)
 
   // ---- dedup ----------------------------------------------------------------
 
@@ -421,6 +422,49 @@ object PipelineRegistry {
 
   // ---- corpus pipeline (declared last: composes the oracle SQL of the
   // single ops above, so those vals must already be initialized) ------------
+
+  /** Spark lacks ASOF JOIN; the operator is the union-tag window form (one
+    * shuffle by user, no join), and the oracle is DuckDB's NATIVE ASOF LEFT
+    * JOIN — two entirely different algorithms that must agree row-for-row. */
+  private val asofJoinQ: (String, QFn, Option[String]) = (
+    "asof_join",
+    (s, d) => Temporal.asofJoin(s, d),
+    Some("""
+      WITH r AS (SELECT user_id, ts, max(value) AS asof_value
+                 FROM events WHERE event_type = 'click' GROUP BY user_id, ts),
+      l AS (SELECT event_id, user_id, ts, value
+            FROM events WHERE event_type = 'purchase')
+      SELECT l.event_id, l.user_id, l.value, r.asof_value,
+             epoch_us(l.ts) - epoch_us(r.ts) AS micros_since_match
+      FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+      ORDER BY l.event_id
+    """.trim))
+
+  private val sampleStratifiedQ: (String, QFn, Option[String]) = (
+    "sample_stratified",
+    (s, d) => CorpusPipeline.sampleStratified(s, d),
+    Some("""
+      WITH s AS (SELECT doc_id, lang, length(text)::BIGINT AS n_chars,
+                        row_number() OVER (PARTITION BY lang
+                          ORDER BY md5(doc_id::VARCHAR) ASC, doc_id ASC) AS stratum_rank
+                 FROM documents)
+      SELECT doc_id, lang, n_chars, stratum_rank
+      FROM s WHERE stratum_rank <= 50 ORDER BY lang, stratum_rank
+    """.trim))
+
+  private val repetitionScoreQ: (String, QFn, Option[String]) = (
+    "repetition_score",
+    (s, d) => TextAnalysis.repetitionScore(s, d),
+    Some(s"""
+      WITH t AS ($toksCte),
+      c AS (SELECT doc_id, (len(toks)-2)::BIGINT AS n_ngrams,
+                   len(list_distinct(list_transform(range(1, len(toks)-1),
+                     i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])))::BIGINT AS n_distinct
+            FROM t WHERE len(toks) >= 3)
+      SELECT doc_id, n_ngrams, n_distinct,
+             round(1.0 - n_distinct::DOUBLE / n_ngrams, 4) AS repetition
+      FROM c ORDER BY doc_id
+    """.trim))
 
   private val sampleHashQ: (String, QFn, Option[String]) = (
     "sample_hash",

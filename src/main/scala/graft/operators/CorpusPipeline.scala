@@ -27,6 +27,22 @@ object CorpusPipeline {
       .select(col("doc_id"), col("lang"), length(col("text")).cast("long").as("n_chars"))
       .orderBy(col("doc_id"))
 
+  /** Per-language balanced subsample: the `perLang` docs with the smallest
+    * md5(doc_id) in each language — the "equalize strata before training"
+    * step. Like [[sampleByHash]], membership is a pure function of the id
+    * (stable under reruns/partitioning); the rank is one shuffle by lang +
+    * a per-stratum window, never a global sort of the corpus. */
+  def sampleStratified(spark: SparkSession, dir: String, perLang: Int = 50): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("lang"))
+      .orderBy(md5(col("doc_id").cast("string")).asc, col("doc_id").asc)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), length(col("text")).cast("long").as("n_chars"))
+      .withColumn("stratum_rank", row_number().over(w).cast("long"))
+      .where(col("stratum_rank") <= perLang)
+      .select(col("doc_id"), col("lang"), col("n_chars"), col("stratum_rank"))
+      .orderBy(col("lang"), col("stratum_rank"))
+  }
+
   /** The composed training-data cleaning pass: predicted-language filter +
     * quality-score floor + exact-dedup survivorship. Reuses the single-op
     * EXPRESSIONS ([[TextAnalysis.qualityExpr]]/[[TextAnalysis.predLangExpr]],

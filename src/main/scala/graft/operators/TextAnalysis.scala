@@ -185,6 +185,24 @@ object TextAnalysis {
       .orderBy(col("doc_id"), col("rank"))
   }
 
+  /** N-gram repetition score — the "repetitive junk" quality signal LLM
+    * corpus filters cut on (boilerplate, keyword stuffing, generation
+    * loops): 1 − distinct/total word-3-grams per doc, 0 = no repeated
+    * trigram, → 1 = one trigram repeated throughout. Single narrow pass,
+    * no shuffle before the output sort. */
+  def repetitionScore(spark: SparkSession, dir: String): DataFrame = {
+    val t = toks(col("text"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), t.as("toks"))
+      .where(size(col("toks")) >= 3)
+      .select(col("doc_id"),
+        (size(col("toks")) - 2).cast("long").as("n_ngrams"),
+        size(Dedup.shingles(col("toks"))).cast("long").as("n_distinct"))
+      .withColumn("repetition",
+        round(lit(1.0) - col("n_distinct").cast("double") / col("n_ngrams"), 4))
+      .orderBy(col("doc_id"))
+  }
+
   /** Document fingerprint: bottom-5 sketch of md5'd word-3-gram shingles —
     * a fixed-size content signature (min-k sketch) whose overlap estimates
     * Jaccard similarity; joins on fingerprint find near-dups cheaply. */

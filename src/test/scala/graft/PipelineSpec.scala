@@ -136,6 +136,64 @@ class PipelineSpec extends AnyFunSuite {
     assert(rows(7L)._1 == "raw", "corrupt RIFF chunk size must fall through to raw, not hang")
   }
 
+  test("asof join agrees with a brute-force point-in-time lookup on every purchase") {
+    import org.apache.spark.sql.functions.col
+    val ev = graft.core.Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"),
+        org.apache.spark.sql.functions.unix_micros(col("ts")).as("us"),
+        col("event_type"), col("value")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3), r.getDouble(4)))
+    val clicksByUser = ev.filter(_._4 == "click")
+      .groupBy(_._2).view.mapValues(_.map(e => (e._3, e._5)).sortBy(_._1)).toMap
+    val expected = ev.filter(_._4 == "purchase").map { case (eid, uid, us, _, _) =>
+      val prior = clicksByUser.getOrElse(uid, Array.empty[(Long, Double)])
+        .filter(_._1 <= us)
+      if (prior.isEmpty) eid -> None
+      else {
+        val lastTs = prior.last._1
+        // right side pre-aggregates max(value) per (user, ts)
+        eid -> Some((prior.filter(_._1 == lastTs).map(_._2).max, us - lastTs))
+      }
+    }.toMap
+    val got = operators.Temporal.asofJoin(spark, dir).collect().map { r =>
+      r.getAs[Long]("event_id") ->
+        (if (r.isNullAt(3)) None
+         else Some((r.getAs[Double]("asof_value"), r.getAs[Long]("micros_since_match"))))
+    }.toMap
+    assert(got.keySet == expected.keySet, "one output row per purchase")
+    val diffs = expected.collect { case (k, v) if got(k) != v => (k, v, got(k)) }
+    assert(diffs.isEmpty, s"asof mismatches: ${diffs.take(3).toList}")
+    assert(expected.values.exists(_.isDefined) && expected.values.exists(_.isEmpty),
+      "fixture must exercise both matched and unmatched purchases")
+  }
+
+  test("stratified sample: exactly min(perLang, stratum size) docs per lang, deterministic") {
+    import org.apache.spark.sql.functions.col
+    val docs = graft.core.Tables.documents(spark, dir)
+    val sizes = docs.groupBy(col("lang")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val got = CorpusPipeline.sampleStratified(spark, dir, perLang = 50).collect()
+    val byLang = got.groupBy(_.getAs[String]("lang")).view.mapValues(_.length).toMap
+    for ((lang, n) <- sizes)
+      assert(byLang.getOrElse(lang, 0) == math.min(50L, n).toInt, s"stratum $lang")
+    val again = CorpusPipeline.sampleStratified(spark, dir, perLang = 50).collect()
+    assert(got.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq, "pure function of ids")
+  }
+
+  test("repetition score: bounded, consistent with distinct/total ngram counts") {
+    val rows = TextAnalysis.repetitionScore(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (tot, dis, rep) = (r.getAs[Long]("n_ngrams"), r.getAs[Long]("n_distinct"),
+        r.getAs[Double]("repetition"))
+      assert(dis >= 1 && dis <= tot)
+      assert(rep >= 0.0 && rep < 1.0)
+      assert(math.abs(rep - (1.0 - dis.toDouble / tot)) < 1e-3)
+    }
+    assert(rows.exists(_.getAs[Double]("repetition") > 0.0),
+      "word-soup corpus must contain repeated trigrams")
+  }
+
   test("ngram jaccard df cutoff: a boilerplate shingle shared by half the corpus is dropped") {
     import spark.implicits._
     // 40 docs all share the "hot" shingle; docs 0/1 also share 3 rare ones.
