@@ -85,15 +85,16 @@ object PipelineRegistry {
     """.trim))
 
   private val minhashSigSql: String = {
-    val digests = (0 until 4).map(g => s"md5('$g:' || s) AS g$g").mkString(", ")
-    val mins = (0 until 16)
-      .map(i => s"min(substr(g${i / 4}, ${(i % 4) * 8 + 1}, 8)) AS h$i")
+    val p = Dedup.MinhashPrime
+    val mins = Dedup.MinhashParams.zipWithIndex
+      .map { case ((a, b), i) => s"min(($a * h + $b) % $p) AS h$i" }
       .mkString(",\n        ")
     val bands = (0 until 4).map { b =>
-      val hs = (b * 4 until b * 4 + 4).map(i => s"h$i").mkString(" || '|' || ")
+      val hs = (b * 4 until b * 4 + 4).map(i => s"h$i::VARCHAR").mkString(" || '|' || ")
       s"SELECT doc_id, $b AS band, ('0x' || substr(md5($hs), 1, 15))::BIGINT AS bsig FROM sig"
     }.mkString("\n        UNION ALL ")
-    s"""ex AS (SELECT doc_id, $digests FROM (SELECT doc_id, unnest(sh) AS s FROM s)),
+    s"""ex AS (SELECT doc_id, ('0x' || substr(md5(s), 1, 15))::BIGINT % $p AS h
+             FROM (SELECT doc_id, unnest(sh) AS s FROM s)),
       sig AS (SELECT doc_id,
         $mins
         FROM ex GROUP BY doc_id),

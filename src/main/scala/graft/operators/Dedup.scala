@@ -50,6 +50,22 @@ object Dedup {
         .select(col("doc_id"), shingles(col("toks")).as("sh"))
         .cache())
 
+  /** Exploded (doc_id, s) rows keyed by the 60-bit md5 surrogate of each
+    * distinct shingle — cached per (session, dir): the ngram pair join AND
+    * the minhash signatures both consume it, so the explode+md5 pass (the
+    * dominant hash cost) runs once per dataset, and everything downstream
+    * shuffles fixed-width longs. */
+  private val surrogateCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  private def surrogates(spark: SparkSession, dir: String): DataFrame =
+    surrogateCache.getOrElseUpdate((spark, dir),
+      shingled(spark, dir)
+        .select(col("doc_id"), explode(col("sh")).as("sstr"))
+        .select(col("doc_id"),
+          conv(substring(md5(col("sstr")), 1, 15), 16, 10).cast("long").as("s"))
+        .cache())
+
   /** Exact dedup: normalize (lowercase, collapse whitespace, trim), keep the
     * lowest doc_id per normalized text. Output = survivors with the content
     * hash, so downstream joins can map dropped→kept. */
@@ -85,8 +101,10 @@ object Dedup {
 
   def dedupNgramJaccard(spark: SparkSession, dir: String, threshold: Double = 0.2,
       maxDf: Int = DefaultMaxShingleDf): DataFrame =
-    ngramPairsCache.getOrElseUpdate((spark, dir, threshold, maxDf),
-      ngramJaccardPairs(shingled(spark, dir), threshold, maxDf).cache())
+    ngramPairsCache.getOrElseUpdate((spark, dir, threshold, maxDf), {
+      val counts = shingled(spark, dir).select(col("doc_id"), size(col("sh")).as("n"))
+      ngramJaccardPairsImpl(surrogates(spark, dir), counts, threshold, maxDf).cache()
+    })
 
   /** The same pair join over any (doc_id, sh: array<string>) frame — spec
     * surface for skew behavior. The join/aggregation key is a 60-bit md5
@@ -100,6 +118,13 @@ object Dedup {
     val ex = d.select(col("doc_id"), explode(col("sh")).as("s"))
       .select(col("doc_id"),
         conv(substring(md5(col("s")), 1, 15), 16, 10).cast("long").as("s"))
+    ngramJaccardPairsImpl(ex, counts, threshold, maxDf)
+  }
+
+  /** The pair join over pre-keyed (doc_id, s: long) rows + per-doc shingle
+    * counts (the registered query feeds the shared [[surrogates]] cache). */
+  private def ngramJaccardPairsImpl(ex: DataFrame, counts: DataFrame,
+      threshold: Double, maxDf: Int): DataFrame = {
     // document-frequency cutoff as a WINDOW over the pair join's own shuffle
     // key: the count-per-s partitions/sorts by s exactly as the sort-merge
     // self-join requires, so the cutoff adds no exchange and no extra
@@ -126,28 +151,46 @@ object Dedup {
   private val NumHashes = 16
   private val Bands = 4 // 4 bands x 4 rows
 
-  /** MinHash+LSH near-dup pairs: 16 portable 32-bit min-hashes per doc,
-    * banded 4x4; pairs sharing any band signature are candidates, then
-    * verified with true shingle Jaccard >= threshold. The 16 hash functions
-    * are 8-hex-char slices of just FOUR md5 computations per shingle
-    * (md5("g:"++shingle), g=0..3) — md5 is the bench bottleneck, and four
-    * salted digests give 4x32 independent-enough bits at a quarter of the
-    * hash work. One groupBy for all 16 mins (single shuffle), one equi-join
-    * on (band, signature) — never all-pairs. */
+  /** The Mersenne prime 2^31−1: the field for the affine min-hash family. */
+  private[graft] val MinhashPrime = 2147483647L
+
+  /** 16 fixed affine universal-hash params (a, b) with 0 < a < p: the i-th
+    * min-hash of a shingle is (a_i·(s mod p) + b_i) mod p over the SHARED
+    * 60-bit md5 surrogate s. ONE md5 per shingle row feeds all 16 hash
+    * functions — the round-2 shape computed four salted md5 digests per row
+    * and min-aggregated 8-hex-char substrings; affine longs cut the hash
+    * work 4x and shuffle/aggregate numbers instead of strings. Products
+    * stay under 2^62, so plain BIGINT arithmetic is exact in both engines
+    * (the oracle SQL derives the identical family from these constants). */
+  private[graft] val MinhashParams: Seq[(Long, Long)] = Seq(
+    (1103515245L, 12345L), (1588635695L, 731279361L),
+    (1203248318L, 402381575L), (1052085601L, 1779033703L),
+    (1013904223L, 1664525L), (997063745L, 321868901L),
+    (1790989107L, 731485389L), (1483828171L, 159727421L),
+    (622729787L, 1013343295L), (1394671207L, 203550103L),
+    (1751078229L, 55555333L), (921469001L, 909090909L),
+    (1120048813L, 123123123L), (634031983L, 777777777L),
+    (2027875061L, 246813579L), (1171049071L, 192837465L))
+
+  /** MinHash+LSH near-dup pairs: 16 portable min-hashes per doc from the
+    * affine family above, banded 4x4; pairs sharing any band signature are
+    * candidates, then verified with true shingle Jaccard >= threshold. One
+    * groupBy for all 16 mins (single shuffle), one equi-join on
+    * (band, signature) — never all-pairs. */
   def dedupMinhash(spark: SparkSession, dir: String, threshold: Double = 0.2): DataFrame = {
-    val d = shingled(spark, dir).cache()
-    val ex = d.select(col("doc_id"), explode(col("sh")).as("s"))
-      .select(
-        col("doc_id") +: (0 until NumHashes / 4).map(g =>
-          md5(concat(lit(s"$g:"), col("s"))).as(s"g$g")): _*)
-    val sigCols = (0 until NumHashes).map(i =>
-      min(substring(col(s"g${i / 4}"), (i % 4) * 8 + 1, 8)).as(s"h$i"))
+    val d = shingled(spark, dir)
+    val ex = surrogates(spark, dir)
+      .select(col("doc_id"), pmod(col("s"), lit(MinhashPrime)).as("h"))
+    val sigCols = MinhashParams.zipWithIndex.map { case ((a, b), i) =>
+      min(pmod(col("h") * a + b, lit(MinhashPrime))).as(s"h$i")
+    }
     val sig = ex.groupBy(col("doc_id")).agg(sigCols.head, sigCols.tail: _*)
     val rowsPerBand = NumHashes / Bands
-    // band signature as a 60-bit md5 surrogate (same trick as the ngram
-    // join): long keys through the candidate equi-join, oracle-mirrored
+    // band signature as a 60-bit md5 surrogate of the mins' decimal strings
+    // (same trick as the ngram join): long keys through the candidate
+    // equi-join, oracle-mirrored; this md5 runs per DOC, not per shingle
     val bandStructs = (0 until Bands).map { b =>
-      val hs = (b * rowsPerBand until (b + 1) * rowsPerBand).map(i => col(s"h$i"))
+      val hs = (b * rowsPerBand until (b + 1) * rowsPerBand).map(i => col(s"h$i").cast("string"))
       struct(lit(b).as("band"),
         conv(substring(md5(concat_ws("|", hs: _*)), 1, 15), 16, 10).cast("long").as("bsig"))
     }
@@ -308,6 +351,8 @@ object Dedup {
   def clearCaches(): Unit = {
     for ((_, df) <- shingleCache) scala.util.Try(df.unpersist())
     shingleCache.clear()
+    for ((_, df) <- surrogateCache) scala.util.Try(df.unpersist())
+    surrogateCache.clear()
     for ((_, df) <- ngramPairsCache) scala.util.Try(df.unpersist())
     ngramPairsCache.clear()
   }
