@@ -17,6 +17,12 @@ case class Session(user_id: Long, start_ts: Timestamp, end_ts: Timestamp, n_even
 
 private case class SessionState(start: Long, last: Long, n: Long, sum: Double)
 
+/** Purchase enriched with the latest click state by the streaming as-of. */
+case class AsofMatch(event_id: Long, user_id: Long, value: Double,
+    asof_value: Option[Double], micros_since_match: Option[Long])
+
+private case class ClickState(ts: Long, value: Double)
+
 /** Structured Streaming surface (SURVEY.md §2b: absent in the reference,
   * exposed here because a 100 TB ingestion pipeline is fed by streams).
   * Transforms are defined on the streaming Dataset so the SAME code runs on
@@ -49,6 +55,44 @@ object StreamingOps {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("content_hash")
       .select(col("doc_id"), col("ts"), col("content_hash"))
+
+  /** Streaming as-of enrichment — the ingestion-side twin of
+    * [[graft.operators.Temporal.asofJoin]]: each arriving purchase is
+    * enriched with the most recent click state for its user. State per user
+    * is ONE (ts, value) pair — bounded by the user population, not the
+    * stream length (add a state TTL timeout in the same slot when the user
+    * universe itself is unbounded). Within a micro-batch events apply in
+    * (ts, click-first, event_id) order, matching the batch operator's
+    * inclusive at-or-before semantics; ties on click ts keep max value,
+    * mirroring the batch op's per-(user, ts) pre-aggregation. */
+  def streamingAsof(events: Dataset[Event]): Dataset[AsofMatch] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[ClickState, AsofMatch](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, it: Iterator[Event], state: GroupState[ClickState]) =>
+          val evs = it.toSeq.sortBy(e =>
+            (e.ts.getTime, if (e.event_type == "click") 0 else 1, e.event_id))
+          var st = state.getOption.orNull
+          val out = Seq.newBuilder[AsofMatch]
+          for (e <- evs) {
+            val t = e.ts.getTime
+            e.event_type match {
+              case "click" =>
+                if (st == null || t > st.ts) st = ClickState(t, e.value)
+                else if (t == st.ts && e.value > st.value) st = ClickState(t, e.value)
+              case "purchase" =>
+                out += (if (st == null) AsofMatch(e.event_id, userId, e.value, None, None)
+                else AsofMatch(e.event_id, userId, e.value,
+                  Some(st.value), Some((t - st.ts) * 1000L)))
+              case _ => ()
+            }
+          }
+          if (st != null) state.update(st)
+          out.result().iterator
+      }
+  }
 
   /** Stateful sessionization via mapGroupsWithState: a session closes after
     * `gapMinutes` of inactivity (event-time driven via processing-time

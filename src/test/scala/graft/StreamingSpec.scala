@@ -71,6 +71,33 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming asof enriches purchases with the latest click state across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = StreamingOps.streamingAsof(input.toDS())
+      .writeStream.format("memory").queryName("asof_out")
+      .outputMode("append").start()
+    try {
+      // batch 1: user 1 clicks (twice, tie on ts keeps max value), then buys;
+      // user 2 buys with no click history
+      input.addData(
+        Event(1, ts(1), 1, "click", 2.0), Event(2, ts(1), 1, "click", 5.0),
+        Event(3, ts(4), 1, "purchase", 10.0),
+        Event(4, ts(4), 2, "purchase", 20.0))
+      q.processAllAvailable()
+      // batch 2: a later purchase must still see batch 1's click state
+      input.addData(Event(5, ts(9), 1, "purchase", 30.0))
+      q.processAllAvailable()
+      val rows = spark.table("asof_out").as[AsofMatch].collect()
+        .map(m => m.event_id -> ((m.asof_value, m.micros_since_match))).toMap
+      assert(rows(3L) == ((Some(5.0), Some(3L * 60L * 1000L * 1000L))), s"got ${rows(3L)}")
+      assert(rows(4L) == ((None, None)))
+      assert(rows(5L) == ((Some(5.0), Some(8L * 60L * 1000L * 1000L))),
+        "click state must survive across micro-batches")
+    } finally q.stop()
+  }
+
   test("sessionize closes sessions after the inactivity gap and keeps state across batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
