@@ -34,21 +34,39 @@ object Temporal {
       .agg(max(col("value")).as("asof_value"))
     val left = ev.where(col("event_type") === leftType)
       .select(col("event_id"), col("user_id"), col("ts"), col("value"))
-    val tagged = right.select(col("user_id"), col("ts"), lit(0).as("tag"),
-        col("asof_value"), lit(null).cast("long").as("event_id"),
-        lit(null).cast("double").as("value"))
-      .unionByName(left.select(col("user_id"), col("ts"), lit(1).as("tag"),
-        lit(null).cast("double").as("asof_value"), col("event_id"), col("value")))
-    val w = Window.partitionBy(col("user_id"))
-      .orderBy(col("ts").asc, col("tag").asc)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    tagged
-      .withColumn("m_value", last(col("asof_value"), ignoreNulls = true).over(w))
-      .withColumn("m_ts", last(when(col("tag") === 0, col("ts")), ignoreNulls = true).over(w))
-      .where(col("tag") === 1)
+    asofJoinFrames(left, right)
       .select(col("event_id"), col("user_id"), col("value"),
-        col("m_value").as("asof_value"),
-        (unix_micros(col("ts")) - unix_micros(col("m_ts"))).as("micros_since_match"))
+        col("asof_value"), col("micros_since_match"))
       .orderBy(col("event_id"))
+  }
+
+  /** The generic form over any pair of frames: `left` must carry
+    * (`keyCol`, `tsCol`) plus payload columns, `right` must carry (`keyCol`,
+    * `tsCol`, `valueCol`) with ONE row per (key, ts) — pre-aggregate ties
+    * first, as [[asofJoin]] does. Returns every `left` row with `asof_value`
+    * (the `valueCol` of the right row with the greatest ts <= left's ts for
+    * that key, NULL if none) and `micros_since_match`. */
+  def asofJoinFrames(left: DataFrame, right: DataFrame,
+      keyCol: String = "user_id", tsCol: String = "ts",
+      valueCol: String = "asof_value"): DataFrame = {
+    val payload = left.columns.filterNot(c => c == keyCol || c == tsCol)
+    val rTagged = right.select(
+      Seq(col(keyCol), col(tsCol), lit(0).as("__tag"), col(valueCol).as("__rv")) ++
+        payload.map(c => lit(null).cast(left.schema(c).dataType).as(c)): _*)
+    val lTagged = left.select(
+      Seq(col(keyCol), col(tsCol), lit(1).as("__tag"),
+        lit(null).cast(right.schema(valueCol).dataType).as("__rv")) ++
+        payload.map(col): _*)
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsCol).asc, col("__tag").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    rTagged.unionByName(lTagged)
+      .withColumn("__mv", last(col("__rv"), ignoreNulls = true).over(w))
+      .withColumn("__mts", last(when(col("__tag") === 0, col(tsCol)), ignoreNulls = true).over(w))
+      .where(col("__tag") === 1)
+      .select(
+        Seq(col(keyCol)) ++ payload.map(col) ++ Seq(
+          col("__mv").as(valueCol),
+          (unix_micros(col(tsCol)) - unix_micros(col("__mts"))).as("micros_since_match")): _*)
   }
 }
