@@ -44,7 +44,7 @@ object PipelineRegistry {
     sqQuantize, sqReport, pqQuantizeQ, pqSearchQ,
     mmJoin, mmBinaryStats, mmMediaFeatures,
     sampleHashQ, pipelineCleanQ, vocabTopKQ, lengthPctQ, embedNormalizeQ, tfIdfQ,
-    asofJoinQ, sampleStratifiedQ, repetitionScoreQ)
+    asofJoinQ, sampleStratifiedQ, repetitionScoreQ, rangeJoinQ)
 
   // ---- dedup ----------------------------------------------------------------
 
@@ -439,6 +439,30 @@ object PipelineRegistry {
              epoch_us(l.ts) - epoch_us(r.ts) AS micros_since_match
       FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
       ORDER BY l.event_id
+    """.trim))
+
+  /** Granule-bucketed interval join vs DuckDB's plain inequality join —
+    * the Spark side must turn the BETWEEN predicate into a keyed equi-join
+    * (PlanSpec asserts no nested-loop) yet agree row-for-row. */
+  private val rangeJoinQ: (String, QFn, Option[String]) = (
+    "range_join_sessions",
+    (s, d) => Temporal.sessionRangeJoin(s, d),
+    Some(s"""
+      WITH e AS (
+        SELECT user_id, event_id, ts,
+               lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        FROM events WHERE event_type <> 'error'),
+      m AS (SELECT *, CASE WHEN prev_ts IS NULL
+                           OR epoch_us(ts) - epoch_us(prev_ts) > ${Temporal.RangeGapUs}
+                           THEN 1 ELSE 0 END AS new_session FROM e),
+      s AS (SELECT *, CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id FROM m),
+      iv AS (SELECT user_id, session_id, min(epoch_us(ts)) AS start_us, max(epoch_us(ts)) AS end_us
+             FROM s GROUP BY user_id, session_id),
+      p AS (SELECT event_id, user_id, epoch_us(ts) AS us FROM events WHERE event_type = 'error')
+      SELECT p.event_id, p.user_id, iv.session_id, p.us - iv.start_us AS us_into_session
+      FROM p JOIN iv ON p.user_id = iv.user_id AND p.us BETWEEN iv.start_us AND iv.end_us
+      ORDER BY p.event_id
     """.trim))
 
   private val sampleStratifiedQ: (String, QFn, Option[String]) = (

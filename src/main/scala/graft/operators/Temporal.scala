@@ -6,11 +6,57 @@ import org.apache.spark.sql.functions._
 
 import graft.core.Tables
 
-/** Temporal operators over the events stream — the point-in-time joins a
-  * feature/training pipeline needs (attach "state as of event time" without
-  * leaking the future).
+/** Temporal operators over the events stream — the point-in-time and
+  * interval joins a feature/training pipeline needs (attach "state as of
+  * event time" without leaking the future; assign probes to time windows).
   */
 object Temporal {
+
+  /** Session gap (and granule width) for [[sessionRangeJoin]]: 12 hours in
+    * microseconds — sized to the fixture's inter-event cadence so sessions
+    * actually chain (a 30-min gap on this corpus yields singleton sessions). */
+  val RangeGapUs: Long = 12L * 3600 * 1000 * 1000
+
+  /** Range (interval-containment) join: assign each `probeType` event to
+    * the activity session of the SAME user that contains its timestamp,
+    * where sessions are built from all non-probe events with a `RangeGapUs`
+    * inactivity gap. Events outside any session drop (inner semantics).
+    *
+    * Spark's native plan for a `BETWEEN` join predicate is a nested-loop —
+    * quadratic per user. This is the GRANULE-BUCKETED form: time is cut
+    * into gap-sized granules; each probe carries exactly ONE granule key,
+    * each interval explodes into the granules it covers (bounded by its
+    * event count, because intra-session gaps are < the granule width), and
+    * the join becomes a keyed equi-join on (user, granule) + a residual
+    * containment filter. One probe granule × disjoint intervals ⇒ at most
+    * one match per pair with no post-dedup. The oracle is DuckDB's plain
+    * inequality join — again two different algorithms that must agree. */
+  def sessionRangeJoin(spark: SparkSession, dir: String,
+      probeType: String = "error"): DataFrame = {
+    val g = RangeGapUs
+    val ev = Tables.events(spark, dir)
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val base = ev.where(col("event_type") =!= probeType)
+      .withColumn("us", unix_micros(col("ts")))
+      .withColumn("prev_us", lag(col("us"), 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_us").isNull || col("us") - col("prev_us") > g, 1).otherwise(0))
+      .withColumn("session_id", sum(col("new_session")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, 0)).cast("long"))
+    val intervals = base.groupBy(col("user_id"), col("session_id"))
+      .agg(min(col("us")).as("start_us"), max(col("us")).as("end_us"))
+    val granules = intervals.select(col("user_id"), col("session_id"),
+      col("start_us"), col("end_us"),
+      explode(sequence(expr(s"start_us div $g"), expr(s"end_us div $g"))).as("granule"))
+    val probes = ev.where(col("event_type") === probeType)
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("us"))
+      .withColumn("granule", expr(s"us div $g"))
+    probes.join(granules, Seq("user_id", "granule"))
+      .where(col("us").between(col("start_us"), col("end_us")))
+      .select(col("event_id"), col("user_id"), col("session_id"),
+        (col("us") - col("start_us")).as("us_into_session"))
+      .orderBy(col("event_id"))
+  }
 
   /** As-of join: attach to each `leftType` event the most recent
     * `rightType` event at-or-before it for the same user, plus the gap in

@@ -71,4 +71,40 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       s"text dedup must never be all-pairs:\n$p")
   }
+
+  test("range join buckets the BETWEEN predicate into an equi-join (no nested loop)") {
+    val df = Temporal.sessionRangeJoin(spark, dir)
+    val p = plan(df)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"granule bucketing must make the interval join keyed:\n$p")
+    // and it must agree with the brute-force inequality join
+    import org.apache.spark.sql.functions.{col, unix_micros}
+    val ev = Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("us"),
+        col("event_type")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val gap = Temporal.RangeGapUs
+    val intervals = ev.filter(_._4 != "error").groupBy(_._2).flatMap { case (uid, evs) =>
+      val sorted = evs.sortBy(e => (e._3, e._1))
+      val sessions = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+      var sid = 0L
+      for (e <- sorted) {
+        if (sessions.isEmpty || e._3 - sessions.last._3 > gap) {
+          sid += 1; sessions += ((sid, e._3, e._3))
+        } else {
+          val l = sessions.last; sessions(sessions.length - 1) = (l._1, l._2, e._3)
+        }
+      }
+      sessions.map { case (s, a, b) => (uid, s, a, b) }
+    }.toSeq
+    val expected = (for {
+      (eid, uid, us, tpe) <- ev if tpe == "error"
+      (iuid, sid, a, b) <- intervals if iuid == uid && us >= a && us <= b
+    } yield (eid, uid, sid, us - a)).toSet
+    val got = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == expected, s"range join mismatch: ${(expected diff got).take(3)} missing, " +
+      s"${(got diff expected).take(3)} extra")
+    assert(got.nonEmpty, "fixture must contain contained probes")
+  }
 }
