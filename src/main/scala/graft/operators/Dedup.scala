@@ -172,13 +172,10 @@ object Dedup {
     (1120048813L, 123123123L), (634031983L, 777777777L),
     (2027875061L, 246813579L), (1171049071L, 192837465L))
 
-  /** MinHash+LSH near-dup pairs: 16 portable min-hashes per doc from the
-    * affine family above, banded 4x4; pairs sharing any band signature are
-    * candidates, then verified with true shingle Jaccard >= threshold. One
-    * groupBy for all 16 mins (single shuffle), one equi-join on
-    * (band, signature) — never all-pairs. */
-  def dedupMinhash(spark: SparkSession, dir: String, threshold: Double = 0.2): DataFrame = {
-    val d = shingled(spark, dir)
+  /** The per-doc (band, bsig) LSH keys — the SQL half of the minhash
+    * pipeline, exposed so the streaming ingest twin and its consistency
+    * spec share one definition with the batch query. */
+  private[graft] def minhashBandsDF(spark: SparkSession, dir: String): DataFrame = {
     val ex = surrogates(spark, dir)
       .select(col("doc_id"), pmod(col("s"), lit(MinhashPrime)).as("h"))
     val sigCols = MinhashParams.zipWithIndex.map { case ((a, b), i) =>
@@ -194,8 +191,41 @@ object Dedup {
       struct(lit(b).as("band"),
         conv(substring(md5(concat_ws("|", hs: _*)), 1, 15), 16, 10).cast("long").as("bsig"))
     }
-    val bands = sig.select(col("doc_id"), explode(array(bandStructs: _*)).as("bs"))
+    sig.select(col("doc_id"), explode(array(bandStructs: _*)).as("bs"))
       .select(col("doc_id"), col("bs.band").as("band"), col("bs.bsig").as("bsig"))
+  }
+
+  private def md5Surrogate60(s: String): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+    java.lang.Long.parseLong(md.map("%02x".format(_)).mkString.take(15), 16)
+  }
+
+  /** Plain-Scala twin of [[minhashBandsDF]] for a single document — used by
+    * the streaming ingest path, where per-row JVM code beats spinning up a
+    * one-row DataFrame. BIT-IDENTICAL to the SQL pipeline by construction
+    * (same tokenization incl. empty-token semantics of `split(lower, \\s+)`,
+    * same distinct shingles, surrogate, affine family, and band md5) —
+    * asserted against [[minhashBandsDF]] in PipelineSpec. */
+  private[graft] def minhashBandsOf(text: String): Seq[(Int, Long)] = {
+    val toks = text.toLowerCase.split("\\s+", -1)
+    if (toks.length < 3) return Nil
+    val sh = toks.sliding(3).map(_.mkString(" ")).toArray.distinct
+    val hs = sh.map(s => md5Surrogate60(s) % MinhashPrime)
+    val mins = MinhashParams.map { case (a, b) => hs.map(h => (a * h + b) % MinhashPrime).min }
+    (0 until Bands).map { bIdx =>
+      val key = (bIdx * 4 until bIdx * 4 + 4).map(mins).mkString("|")
+      (bIdx, md5Surrogate60(key))
+    }
+  }
+
+  /** MinHash+LSH near-dup pairs: 16 portable min-hashes per doc from the
+    * affine family above, banded 4x4; pairs sharing any band signature are
+    * candidates, then verified with true shingle Jaccard >= threshold. One
+    * groupBy for all 16 mins (single shuffle), one equi-join on
+    * (band, signature) — never all-pairs. */
+  def dedupMinhash(spark: SparkSession, dir: String, threshold: Double = 0.2): DataFrame = {
+    val d = shingled(spark, dir)
+    val bands = minhashBandsDF(spark, dir)
     val cand = bands.as("a").join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.bsig") === col("b.bsig") &&
           col("a.doc_id") < col("b.doc_id"))

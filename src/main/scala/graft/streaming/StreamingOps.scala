@@ -23,6 +23,11 @@ case class AsofMatch(event_id: Long, user_id: Long, value: Double,
 
 private case class ClickState(ts: Long, value: Double)
 
+/** Candidate near-dup pair emitted by the streaming MinHash LSH. */
+case class CandidatePair(id_a: Long, id_b: Long, band: Int)
+
+private case class BucketState(ids: List[Long])
+
 /** Structured Streaming surface (SURVEY.md §2b: absent in the reference,
   * exposed here because a 100 TB ingestion pipeline is fed by streams).
   * Transforms are defined on the streaming Dataset so the SAME code runs on
@@ -55,6 +60,38 @@ object StreamingOps {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("content_hash")
       .select(col("doc_id"), col("ts"), col("content_hash"))
+
+  /** Streaming MinHash-LSH near-dup candidates — the ingestion-side twin of
+    * [[graft.operators.Dedup.dedupMinhash]]'s candidate generation: each
+    * arriving doc is hashed with the SAME banded affine family (bit-identity
+    * with the batch SQL pipeline is spec-asserted), keyed by (band, bsig),
+    * and emitted against the ids already in its bucket. State per bucket is
+    * a capped id list — LSH buckets are near-singleton except for true dup
+    * clusters, and the cap bounds the quadratic burst an adversarial hot
+    * bucket could emit (the batch path's df-cutoff analogue). Pairs are
+    * CANDIDATES, exactly as in the batch op; Jaccard verification composes
+    * downstream. Add a state TTL in this slot to bound the dedup horizon
+    * the way `streamingDedup`'s watermark does. */
+  def streamingMinhashCandidates(docs: Dataset[Doc], maxBucket: Int = 32): Dataset[CandidatePair] = {
+    import docs.sparkSession.implicits._
+    docs
+      .flatMap(d => graft.operators.Dedup.minhashBandsOf(d.text)
+        .map { case (band, bsig) => (band, bsig, d.doc_id) })
+      .groupByKey(t => (t._1, t._2))
+      .flatMapGroupsWithState[BucketState, CandidatePair](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case ((band, _), it, state) =>
+          val newIds = it.map(_._3).toSeq.distinct.sorted
+          val old = state.getOption.map(_.ids).getOrElse(Nil)
+          val pairs = for {
+            (n, i) <- newIds.zipWithIndex
+            o <- old.iterator ++ newIds.iterator.take(i)
+            if o != n
+          } yield CandidatePair(math.min(o, n), math.max(o, n), band)
+          state.update(BucketState((old ++ newIds).distinct.takeRight(maxBucket)))
+          pairs.distinct.iterator
+      }
+  }
 
   /** Streaming as-of enrichment — the ingestion-side twin of
     * [[graft.operators.Temporal.asofJoin]]: each arriving purchase is

@@ -136,6 +136,22 @@ class PipelineSpec extends AnyFunSuite {
     assert(rows(7L)._1 == "raw", "corrupt RIFF chunk size must fall through to raw, not hang")
   }
 
+  test("scala minhash band twin is bit-identical to the SQL pipeline on every doc") {
+    import org.apache.spark.sql.functions.col
+    val sqlBands = Dedup.minhashBandsDF(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val docs = graft.core.Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val scalaBands = docs.flatMap { case (id, text) =>
+      Dedup.minhashBandsOf(text).map { case (b, sig) => (id, b, sig) }
+    }.toSet
+    assert(scalaBands == sqlBands,
+      s"examples only in scala: ${(scalaBands diff sqlBands).take(2)}, " +
+        s"only in sql: ${(sqlBands diff scalaBands).take(2)}")
+    assert(sqlBands.nonEmpty)
+  }
+
   test("asof join agrees with a brute-force point-in-time lookup on every purchase") {
     import org.apache.spark.sql.functions.col
     val ev = graft.core.Tables.events(spark, dir)

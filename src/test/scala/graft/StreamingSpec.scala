@@ -98,6 +98,29 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming minhash emits candidate pairs for near-dups, none for unrelated docs") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dup = "the quick brown fox jumps over the lazy dog again and again"
+    val other = "completely different words about spark shuffles and parquet files here"
+    val input = MemoryStream[Doc]
+    val q = StreamingOps.streamingMinhashCandidates(input.toDS())
+      .writeStream.format("memory").queryName("mh_out")
+      .outputMode("append").start()
+    try {
+      input.addData(Doc(1, ts(1), dup), Doc(2, ts(2), other))
+      q.processAllAvailable()
+      assert(spark.table("mh_out").count() == 0, "no candidates within unrelated docs")
+      // an identical doc arriving LATER must pair with the batch-1 original
+      // on every band (state crosses micro-batches)
+      input.addData(Doc(3, ts(3), dup))
+      q.processAllAvailable()
+      val pairs = spark.table("mh_out").as[CandidatePair].collect()
+      assert(pairs.map(p => (p.id_a, p.id_b)).distinct.toSeq == Seq((1L, 3L)), s"got ${pairs.toSeq}")
+      assert(pairs.length == 4, "identical docs collide on all 4 bands")
+    } finally q.stop()
+  }
+
   test("sessionize closes sessions after the inactivity gap and keeps state across batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
