@@ -38,7 +38,7 @@ object SparkEntry {
     knnExactQ, knnExactAggQ, knnFilteredQ, medoidExactQ, argminNearestQ,
     vamanaFilteredQ,
     vamanaSearchQ, vamanaRecallQ, vamanaStartQ, vamanaDescribeQ, vamanaDegreeQ, vamanaFanoutQ,
-    vamanaRoundtripQ,
+    vamanaRoundtripQ, vamanaInsertQ,
     pricingQ, regionRevenueQ, topOrdersQ, orderPriorityQ, localSupplierQ,
     filteredRevenueQ, partRollupQ, segmentSetOpsQ, eventsHourlyQ, userFunnelQ,
     ordersByMonthQ, partTypeQ, acctbalStatsQ, approxDistinctQ, sessionizeBatchQ,
@@ -246,6 +246,14 @@ object SparkEntry {
   private val vamanaFilteredQ: (String, QFn, Option[String]) = (
     "vamana_search_filtered",
     (s, d) => graft.vamana.VamanaOps.vamanaSearchFiltered(s, d),
+    None)
+
+  /** Incremental insert (FreshDiskANN semantics, absent in the reference):
+    * fit without the last 50 vectors, insert them as the daily batch, search
+    * them. Rows-only (graph traversal); recall + zero-rebuild spec-gated. */
+  private val vamanaInsertQ: (String, QFn, Option[String]) = (
+    "vamana_insert_search",
+    (s, d) => graft.vamana.VamanaOps.vamanaInsertSearch(s, d),
     None)
 
   /** Same semantics and oracle as knn_exact, computed with the bounded-heap

@@ -104,30 +104,9 @@ object VamanaIndexer {
           (shard, VamanaKernel.build(arr.map(_._2), arr.map(_._3),
             kParams.copy(seed = params.seed + shard)))
         }.cache()
-      // per-shard adjacency in EXTERNAL ids
-      val shardAdj: Dataset[(Long, Array[Long])] = shardIdx.flatMap { case (_, idx) =>
-        idx.graph.iterator.zipWithIndex.map { case (nbrs, i) => (idx.ids(i), nbrs.map(idx.ids(_))) }
-      }
       // union shard edge lists, dedup, then re-prune each merged list to R —
       // all keyed joins, nothing driver-side
-      val merged = shardAdj.groupByKey(_._1)
-        .mapGroups { (id, it) => (id, it.flatMap(_._2).toArray.distinct) }
-        .toDF("id", "nbrs")
-      val ptsDF = ptsT.toDF("pid", "pvec")
-      val prunedDs: Dataset[(Long, Array[Long])] = merged
-        .select($"id", explode($"nbrs").as("nbr"))
-        .join(ptsDF, $"nbr" === $"pid")
-        .select($"id", $"nbr", $"pvec".as("nvec"))
-        .groupBy($"id")
-        .agg(collect_list(struct($"nbr", $"nvec")).as("cands"))
-        .join(ptsDF, $"id" === $"pid")
-        .select($"id", $"pvec", $"cands")
-        .as[(Long, Array[Float], Array[(Long, Array[Float])])]
-        .map { case (id, pvec, cands) =>
-          (id, VamanaKernel.robustPruneVecs(
-            pvec, cands.map(_._1), cands.map(_._2),
-            params.alpha, params.maxDegree, params.paperPrune))
-        }
+      val prunedDs = mergeShardGraph(shardIdx, ptsT, params)
       if (n <= maxLocalPoints) {
         // gated materialization: the ONLY place the corpus reaches the driver
         val pruned = prunedDs.collect().toMap
@@ -145,6 +124,39 @@ object VamanaIndexer {
           new FanoutModel(shardIdx, kParams))
       }
     }
+  }
+
+  /** Per-shard adjacency merged into one global external-id graph: union
+    * shard edge lists, dedup, re-prune each merged list to R — all keyed
+    * joins, nothing driver-side. Shared by the sharded fit and the
+    * incremental-insert frame regeneration. */
+  private[vamana] def mergeShardGraph(
+      shardIdx: Dataset[(Int, LocalIndex)],
+      ptsT: Dataset[(Long, Array[Float])],
+      params: VamanaParams): Dataset[(Long, Array[Long])] = {
+    val spark = shardIdx.sparkSession
+    import spark.implicits._
+    val shardAdj: Dataset[(Long, Array[Long])] = shardIdx.flatMap { case (_, idx) =>
+      idx.graph.iterator.zipWithIndex.map { case (nbrs, i) => (idx.ids(i), nbrs.map(idx.ids(_))) }
+    }
+    val merged = shardAdj.groupByKey(_._1)
+      .mapGroups { (id, it) => (id, it.flatMap(_._2).toArray.distinct) }
+      .toDF("id", "nbrs")
+    val ptsDF = ptsT.toDF("pid", "pvec")
+    merged
+      .select($"id", explode($"nbrs").as("nbr"))
+      .join(ptsDF, $"nbr" === $"pid")
+      .select($"id", $"nbr", $"pvec".as("nvec"))
+      .groupBy($"id")
+      .agg(collect_list(struct($"nbr", $"nvec")).as("cands"))
+      .join(ptsDF, $"id" === $"pid")
+      .select($"id", $"pvec", $"cands")
+      .as[(Long, Array[Float], Array[(Long, Array[Float])])]
+      .map { case (id, pvec, cands) =>
+        (id, VamanaKernel.robustPruneVecs(
+          pvec, cands.map(_._1), cands.map(_._2),
+          params.alpha, params.maxDegree, params.paperPrune))
+      }
   }
 
   /** Nearest-to-centroid medoid over a distributed point set — only scalars
@@ -259,6 +271,43 @@ final class FanoutModel private[vamana] (
     * and long-lived services; searching after this rebuilds nothing but
     * re-reads whatever produced the shards). */
   def unpersist(): Unit = { val _ = shards.unpersist() }
+
+  /** Distributed incremental insert — the daily-embedding-batch shape at
+    * 100 TB: new points are routed to shards by the SAME seeded hash the
+    * fit used, each shard kernel runs [[VamanaKernel.insert]] partition-
+    * locally (zero full rebuilds, spec-gated), and the result is a new
+    * fitted model; this model keeps serving unchanged. `ip` is rejected:
+    * its MIPS reduction bakes in the global max corpus norm at fit time,
+    * which a later batch could invalidate — refit for ip. */
+  def insert(newPoints: DataFrame, idCol: String = "vec_id",
+      vecCol: String = "embedding"): FanoutModel = {
+    require(params.metric != "ip",
+      "incremental insert is not defined for metric=ip (fit-time norm augmentation); refit instead")
+    val spark = shards.sparkSession
+    import spark.implicits._
+    val nShards = shards.count().toInt
+    val seed = params.seed
+    val pts = newPoints
+      .select(col(idCol).cast("long"), col(vecCol).cast("array<float>"))
+      .as[(Long, Array[Float])]
+    val (ptsT, _) = VamanaIndexer.metricTransform(pts, params)
+    val assigned = ptsT.groupByKey { case (id, _) =>
+      math.floorMod(MurmurHash3.productHash((id, seed)), nShards)
+    }
+    implicit val shardEnc: Encoder[(Int, LocalIndex)] =
+      Encoders.tuple(Encoders.scalaInt, Encoders.kryo[LocalIndex])
+    val updated = shards.groupByKey(_._1)
+      .cogroup(assigned) { (shard, idxIt, newIt) =>
+        idxIt.map { case (_, idx) =>
+          val batch = newIt.toArray.sortBy(_._1)
+          (shard,
+            if (batch.isEmpty) idx
+            else VamanaKernel.insert(idx, batch.map(_._1), batch.map(_._2)))
+        }
+      }.cache()
+    updated.count() // materialize once; the old model stays independently usable
+    new FanoutModel(updated, params)
+  }
 
   /** S3 for the fanout path: one parquet of per-shard model rows (vectors +
     * external-id adjacency + per-shard medoid/seed) plus a one-row global
@@ -389,6 +438,44 @@ final class VamanaModel private (
   /** Release any cached state a distributed model holds (the fanout shard
     * dataset); local models hold nothing cached. */
   def unpersist(): Unit = fanoutOpt.foreach(_.unpersist())
+
+  /** Incremental insert (FreshDiskANN semantics — the reference can only
+    * rebuild): returns a NEW model containing the batch; this model keeps
+    * serving unchanged. Local models insert into a copy of the kernel
+    * (driver-resident by definition); distributed models route to the
+    * shard-local [[FanoutModel.insert]]. */
+  def insert(newPoints: DataFrame, idCol: String = "vec_id",
+      vecCol: String = "embedding"): VamanaModel = localOpt match {
+    case None =>
+      val f = fanoutOpt.get.insert(newPoints, idCol, vecCol)
+      // regenerate the save-time frames from the UPDATED shards, lazily —
+      // a save() of the new model must include the batch
+      val spark = newPoints.sparkSession
+      import spark.implicits._
+      val old = framesOpt.get
+      val pts = newPoints
+        .select(col(idCol).cast("long"), col(vecCol).cast("array<float>"))
+        .as[(Long, Array[Float])]
+      val (batchT, _) = VamanaIndexer.metricTransform(pts, old.params)
+      val allPts = old.points
+        .select(col("id").cast("long"), col("vec").cast("array<float>"))
+        .as[(Long, Array[Float])]
+        .union(batchT)
+      val graph = VamanaIndexer.mergeShardGraph(f.shards, allPts, old.params)
+      VamanaModel.distributed(
+        ModelFrames(allPts.toDF("id", "vec"), graph.toDF("id", "neighbors"), old.params), f)
+    case Some(idx) =>
+      require(idx.params.metric != "ip",
+        "incremental insert is not defined for metric=ip (fit-time norm augmentation); refit instead")
+      val spark = newPoints.sparkSession
+      import spark.implicits._
+      val pts = newPoints
+        .select(col(idCol).cast("long"), col(vecCol).cast("array<float>"))
+        .as[(Long, Array[Float])]
+      val (ptsT, _) = VamanaIndexer.metricTransform(pts, idx.params)
+      val batch = ptsT.collect().sortBy(_._1)
+      new VamanaModel(VamanaKernel.insert(idx, batch.map(_._1), batch.map(_._2)))
+  }
 
   def index: LocalIndex = localOpt.getOrElse(throw new IllegalStateException(
     "model exceeds maxLocalPoints and was never collected to the driver; " +

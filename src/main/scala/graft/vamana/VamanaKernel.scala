@@ -450,6 +450,57 @@ object VamanaKernel {
     new LocalIndex(ids, points, graph, medoid, params)
   }
 
+  /** FreshDiskANN-style incremental insert — ABSENT in the reference, which
+    * can only rebuild from scratch (vamana.h has no add-point API): each new
+    * point greedy-searches the current graph for its candidate pool
+    * (vamana.h:559-629 semantics), robust-prunes it to an out-list at the
+    * final alpha, then adds reverse edges, re-pruning any neighbor that
+    * overflows R — exactly one build-pass step per new point, NO full
+    * rebuild (buildCount unchanged; spec-gated).
+    *
+    * Returns a NEW index; the input index stays fully usable — top-level
+    * arrays are copied and neighbor lists are replaced, never mutated.
+    * The medoid is kept (it drifts only when inserts shift the centroid
+    * materially — at that point refit, as FreshDiskANN's periodic
+    * consolidation does). Ids must be new; vectors must be kernel-space
+    * (callers route through the same metric transform as fit). */
+  def insert(index: LocalIndex, newIds: Array[Long],
+      newPoints: Array[Array[Float]]): LocalIndex = {
+    require(newIds.length == newPoints.length, "ids/points length mismatch")
+    val p = index.params
+    require(newPoints.forall(_.length == p.dim), s"all points must have dim=${p.dim}")
+    val n0 = index.size
+    val n = n0 + newIds.length
+    val points = java.util.Arrays.copyOf(index.points, n)
+    val ids = java.util.Arrays.copyOf(index.ids, n)
+    val graph = java.util.Arrays.copyOf(index.graph, n)
+    val existing = mutable.HashSet.from(index.ids)
+    var i = 0
+    while (i < newIds.length) {
+      val pos = n0 + i
+      require(existing.add(newIds(i)), s"id ${newIds(i)} already indexed")
+      points(pos) = newPoints(i)
+      ids(pos) = newIds(i)
+      graph(pos) = Array.empty
+      // pool from the CURRENT graph — later inserts see earlier ones
+      val (poolIds, poolDists) =
+        greedySearch(points, graph, index.medoid, newPoints(i), math.max(p.beamWidth, p.efSearch))
+      graph(pos) = robustPrune(points, pos, poolIds, poolDists, p.alpha, p.maxDegree, p.paperPrune)
+      for (nb <- graph(pos)) {
+        val cur = graph(nb)
+        if (!cur.contains(pos)) {
+          val cand = cur :+ pos
+          graph(nb) =
+            if (cand.length <= p.maxDegree) cand
+            else robustPrune(points, nb, cand, cand.map(c => l2sq(points(nb), points(c))),
+              p.alpha, p.maxDegree, p.paperPrune)
+        }
+      }
+      i += 1
+    }
+    new LocalIndex(ids, points, graph, index.medoid, p)
+  }
+
   /** Top-k query (Q1, vamana.h:492-546): greedy search from the medoid with
     * beam width max(efSearch, k), then the k nearest of the visited pool.
     * Returns (externalId, squared distance) ascending by (dist, id). */

@@ -37,6 +37,28 @@ object VamanaOps {
     cache.clear()
     for ((_, f) <- fanoutCache) f.unpersist()
     fanoutCache.clear()
+    for ((_, m) <- insertCache) m.unpersist()
+    insertCache.clear()
+  }
+
+  private val insertCache = TrieMap.empty[String, VamanaModel]
+
+  /** Incremental-insert serving demo: fit on all but the last 50 vectors,
+    * insert those 50 as the "daily batch" (zero rebuilds — spec-gated via
+    * `VamanaKernel.buildCount`), then search exactly the inserted vectors.
+    * Fitted+inserted once per dataset like the other cached models. */
+  def vamanaInsertSearch(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val maxId = emb.agg(max(col("vec_id").cast("long"))).head().getLong(0)
+    val cut = maxId - 49
+    val m = insertCache.getOrElseUpdate(dir, {
+      val base = VamanaIndexer.fit(emb.where(col("vec_id") < cut), defaultParams)
+      base.insert(emb.where(col("vec_id") >= cut))
+    })
+    val q = emb.where(col("vec_id") >= cut)
+      .select((col("vec_id") - cut).cast("long").as("query_id"),
+        col("embedding").as("query_vec"))
+    m.search(q, 10)
   }
 
   /** ANN top-10 for the first 10 stored vectors — same fixture as knn_exact,

@@ -178,6 +178,56 @@ class FanoutServingSpec extends AnyFunSuite {
     assertThrows[IllegalArgumentException](VamanaBinaryIO.exportIndex(idx, out))
   }
 
+  test("incremental insert: inserted points are findable, zero rebuilds, old index intact") {
+    import org.apache.spark.sql.functions.col
+    val emb = Tables.embeddings(spark, dir)
+    val base = VamanaIndexer.fit(emb.where(col("vec_id") < 450), params)
+    val beforeSearch = base.search(queries(10), 10).collect().map(_.toSeq).toSeq
+    val builds = VamanaKernel.buildCount.get()
+    val inserted = base.insert(emb.where(col("vec_id") >= 450))
+    assert(VamanaKernel.buildCount.get() == builds, "insert must never run a full build")
+    assert(inserted.index.size == emb.count(), "all points present after insert")
+    // the inserted vectors must find themselves at rank 1
+    val q = emb.where(col("vec_id") >= 450)
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+    val hits = inserted.search(q, 10)
+      .where(col("rank") === 1 && col("query_id") === col("id")).count()
+    val nNew = q.count()
+    assert(hits == nNew, s"every inserted point must be its own nearest neighbor ($hits/$nNew)")
+    // recall on ORIGINAL queries must hold after the insert
+    val qs = queries(30).cache()
+    val r = Knn.recallAt(10, inserted.search(qs, 10), Knn.knnExact(emb, qs, 10))
+    assert(r >= 0.8, s"post-insert recall@10 = $r below the 0.8 gate")
+    // copy-on-write: the pre-insert model still answers exactly as before
+    assert(base.search(queries(10), 10).collect().map(_.toSeq).toSeq == beforeSearch,
+      "insert must not mutate the source index")
+    assert(base.index.size == 450)
+  }
+
+  test("distributed incremental insert: shard-local, zero rebuilds, save includes the batch") {
+    import org.apache.spark.sql.functions.col
+    val emb = Tables.embeddings(spark, dir)
+    val base = VamanaIndexer.fit(emb.where(col("vec_id") < 450), params,
+      numShards = 3, maxLocalPoints = 0)
+    // force the (lazy, cached) shard builds to run before snapshotting the
+    // counter — they belong to fit, not to insert
+    assert(base.search(queries(5), 5).count() > 0)
+    val builds = VamanaKernel.buildCount.get()
+    val inserted = base.insert(emb.where(col("vec_id") >= 450))
+    assert(VamanaKernel.buildCount.get() == builds, "shard-local insert must never rebuild")
+    assert(inserted.isDistributed)
+    val q = emb.where(col("vec_id") >= 450)
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+    val hits = inserted.search(q, 10)
+      .where(col("rank") === 1 && col("query_id") === col("id")).count()
+    assert(hits == q.count(), "inserted points must be their own nearest neighbors")
+    // frames regenerated: a save/load roundtrip carries the batch
+    val tmp = java.nio.file.Files.createTempDirectory("ins_model").toString
+    inserted.save(spark, tmp)
+    val loaded = VamanaModel.load(spark, tmp)
+    assert(loaded.index.size == emb.count(), "saved frames must include the inserted batch")
+  }
+
   test("vamana_roundtrip query reports all-green bits") {
     val row = VamanaOps.vamanaRoundtrip(spark, dir).collect().head
     assert(row.getAs[Boolean]("params_match"))
