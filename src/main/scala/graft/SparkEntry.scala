@@ -38,7 +38,7 @@ object SparkEntry {
     knnExactQ, knnExactAggQ, knnFilteredQ, medoidExactQ, argminNearestQ,
     vamanaFilteredQ,
     vamanaSearchQ, vamanaRecallQ, vamanaStartQ, vamanaDescribeQ, vamanaDegreeQ, vamanaFanoutQ,
-    vamanaRoundtripQ, vamanaInsertQ,
+    vamanaRoundtripQ, vamanaInsertQ, vamanaDeleteQ,
     pricingQ, regionRevenueQ, topOrdersQ, orderPriorityQ, localSupplierQ,
     filteredRevenueQ, partRollupQ, segmentSetOpsQ, eventsHourlyQ, userFunnelQ,
     ordersByMonthQ, partTypeQ, acctbalStatsQ, approxDistinctQ, sessionizeBatchQ,
@@ -254,6 +254,14 @@ object SparkEntry {
   private val vamanaInsertQ: (String, QFn, Option[String]) = (
     "vamana_insert_search",
     (s, d) => graft.vamana.VamanaOps.vamanaInsertSearch(s, d),
+    None)
+
+  /** Delete + eager consolidation (the other half of the CRUD story the
+    * reference lacks): drop the first 50 vectors, search the next 10.
+    * Rows-only; no-ghost-results + recall are spec-gated. */
+  private val vamanaDeleteQ: (String, QFn, Option[String]) = (
+    "vamana_delete_search",
+    (s, d) => graft.vamana.VamanaOps.vamanaDeleteSearch(s, d),
     None)
 
   /** Same semantics and oracle as knn_exact, computed with the bounded-heap

@@ -309,6 +309,27 @@ final class FanoutModel private[vamana] (
     new FanoutModel(updated, params)
   }
 
+  /** Distributed delete: each shard drops its own members via
+    * [[VamanaKernel.delete]] (eager hole-repair + compaction, zero
+    * rebuilds); a shard whose entire membership is deleted disappears.
+    * The delete batch is broadcast — bounded like any delete list. */
+  def delete(deleteIds: Array[Long]): FanoutModel = {
+    val spark = shards.sparkSession
+    import spark.implicits._
+    implicit val shardEnc: Encoder[(Int, LocalIndex)] =
+      Encoders.tuple(Encoders.scalaInt, Encoders.kryo[LocalIndex])
+    val bc = spark.sparkContext.broadcast(deleteIds)
+    val updated = shards.flatMap { case (shard, idx) =>
+      val delSet = bc.value.toSet
+      val n = idx.ids.count(delSet.contains)
+      if (n == idx.size) Iterator.empty
+      else if (n == 0) Iterator.single((shard, idx))
+      else Iterator.single((shard, VamanaKernel.delete(idx, bc.value)))
+    }.cache()
+    updated.count()
+    new FanoutModel(updated, params)
+  }
+
   /** S3 for the fanout path: one parquet of per-shard model rows (vectors +
     * external-id adjacency + per-shard medoid/seed) plus a one-row global
     * params file. Written straight from the shard dataset — distributed. */
@@ -475,6 +496,26 @@ final class VamanaModel private (
       val (ptsT, _) = VamanaIndexer.metricTransform(pts, idx.params)
       val batch = ptsT.collect().sortBy(_._1)
       new VamanaModel(VamanaKernel.insert(idx, batch.map(_._1), batch.map(_._2)))
+  }
+
+  /** Delete by external id (FreshDiskANN semantics — the reference has no
+    * delete at all): copy-on-write like [[insert]]; this model keeps
+    * serving. Distributed models delete shard-locally and regenerate the
+    * save-time frames from the surviving shards. */
+  def delete(deleteIds: Array[Long]): VamanaModel = localOpt match {
+    case Some(idx) => new VamanaModel(VamanaKernel.delete(idx, deleteIds))
+    case None =>
+      val f = fanoutOpt.get.delete(deleteIds)
+      val old = framesOpt.get
+      val spark = old.points.sparkSession
+      import spark.implicits._
+      val ptsT = old.points
+        .where(!col("id").isInCollection(deleteIds.toSeq))
+        .select(col("id").cast("long"), col("vec").cast("array<float>"))
+        .as[(Long, Array[Float])]
+      val graph = VamanaIndexer.mergeShardGraph(f.shards, ptsT, old.params)
+      VamanaModel.distributed(
+        ModelFrames(ptsT.toDF("id", "vec"), graph.toDF("id", "neighbors"), old.params), f)
   }
 
   def index: LocalIndex = localOpt.getOrElse(throw new IllegalStateException(

@@ -501,6 +501,62 @@ object VamanaKernel {
     new LocalIndex(ids, points, graph, index.medoid, p)
   }
 
+  /** FreshDiskANN-style delete with eager consolidation — also absent in
+    * the reference: every surviving in-neighbor of a deleted node is
+    * repaired by re-pruning over (its own surviving neighbors) ∪ (the
+    * deleted neighbors' surviving neighborhoods) — the FreshDiskANN delete
+    * rule, which preserves graph navigability through the hole — then the
+    * arrays compact (eager consolidation; batch deletes amortize it, which
+    * is why the API takes a batch). The medoid is recomputed only if
+    * deleted. Copy-on-write like [[insert]]: the source index keeps
+    * serving. Unknown ids are ignored; deleting every point is an error. */
+  def delete(index: LocalIndex, deleteIds: Array[Long]): LocalIndex = {
+    val p = index.params
+    val del = mutable.HashSet.from(deleteIds)
+    val delPos = new mutable.HashSet[Int]
+    var i = 0
+    while (i < index.size) {
+      if (del.contains(index.ids(i))) delPos += i
+      i += 1
+    }
+    if (delPos.isEmpty) return index
+    require(delPos.size < index.size, "cannot delete every point")
+    // repair surviving nodes that point into the hole
+    val repaired = new Array[Array[Int]](index.size)
+    i = 0
+    while (i < index.size) {
+      if (!delPos.contains(i)) {
+        val nbrs = index.graph(i)
+        if (nbrs.exists(delPos.contains)) {
+          val cand = new mutable.ArrayBuffer[Int](nbrs.length * 2)
+          for (nb <- nbrs) {
+            if (!delPos.contains(nb)) cand += nb
+            else for (nn <- index.graph(nb) if !delPos.contains(nn) && nn != i) cand += nn
+          }
+          val candArr = cand.distinct.toArray
+          repaired(i) = robustPrune(index.points, i, candArr,
+            candArr.map(c => l2sq(index.points(i), index.points(c))),
+            p.alpha, p.maxDegree, p.paperPrune)
+        } else repaired(i) = nbrs
+      }
+      i += 1
+    }
+    // compact + remap to new positions
+    val keep = (0 until index.size).filterNot(delPos.contains).toArray
+    val newPos = new Array[Int](index.size)
+    java.util.Arrays.fill(newPos, -1)
+    keep.zipWithIndex.foreach { case (old, nw) => newPos(old) = nw }
+    val ids = keep.map(index.ids)
+    val points = keep.map(index.points)
+    val graph = keep.map(old => repaired(old).collect {
+      case nb if newPos(nb) >= 0 => newPos(nb)
+    })
+    val medoid =
+      if (delPos.contains(index.medoid)) centroidMedoid(points)
+      else newPos(index.medoid)
+    new LocalIndex(ids, points, graph, medoid, p)
+  }
+
   /** Top-k query (Q1, vamana.h:492-546): greedy search from the medoid with
     * beam width max(efSearch, k), then the k nearest of the visited pool.
     * Returns (externalId, squared distance) ascending by (dist, id). */

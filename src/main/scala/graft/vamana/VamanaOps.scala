@@ -39,9 +39,25 @@ object VamanaOps {
     fanoutCache.clear()
     for ((_, m) <- insertCache) m.unpersist()
     insertCache.clear()
+    for ((_, m) <- deleteCache) m.unpersist()
+    deleteCache.clear()
   }
 
   private val insertCache = TrieMap.empty[String, VamanaModel]
+  private val deleteCache = TrieMap.empty[String, VamanaModel]
+
+  /** Delete-then-serve demo: drop the first 50 vectors from the fitted
+    * model (copy-on-write — the shared cached model is untouched), then
+    * search with the next 10 vectors. Deleted ids never surfacing and
+    * post-delete recall are spec-gated. */
+  def vamanaDeleteSearch(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val m = deleteCache.getOrElseUpdate(dir, model(spark, dir).delete((0L until 50L).toArray))
+    val q = emb.where(col("vec_id") >= 50 && col("vec_id") < 60)
+      .select((col("vec_id") - 50).cast("long").as("query_id"),
+        col("embedding").as("query_vec"))
+    m.search(q, 10)
+  }
 
   /** Incremental-insert serving demo: fit on all but the last 50 vectors,
     * insert those 50 as the "daily batch" (zero rebuilds — spec-gated via

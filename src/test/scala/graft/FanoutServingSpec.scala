@@ -228,6 +228,45 @@ class FanoutServingSpec extends AnyFunSuite {
     assert(loaded.index.size == emb.count(), "saved frames must include the inserted batch")
   }
 
+  test("delete: removed points never surface, survivors stay searchable, source intact") {
+    import org.apache.spark.sql.functions.col
+    val emb = Tables.embeddings(spark, dir)
+    val base = VamanaIndexer.fit(emb, params)
+    val beforeSearch = base.search(queries(10), 10).collect().map(_.toSeq).toSeq
+    val builds = VamanaKernel.buildCount.get()
+    val deleted = base.delete((0L until 50L).toArray)
+    assert(VamanaKernel.buildCount.get() == builds, "delete repairs edges, never rebuilds")
+    assert(deleted.index.size == emb.count() - 50)
+    val q = emb.where(col("vec_id") >= 50 && col("vec_id") < 80)
+      .select((col("vec_id") - 50).as("query_id"), col("embedding").as("query_vec"))
+    val got = deleted.search(q, 10)
+    assert(got.where(col("id") < 50).count() == 0, "deleted ids must never surface")
+    val remaining = emb.where(col("vec_id") >= 50)
+    val r = Knn.recallAt(10, got, Knn.knnExact(remaining, q, 10))
+    assert(r >= 0.8, s"post-delete recall@10 = $r below the 0.8 gate (hole repair failed?)")
+    assert(base.search(queries(10), 10).collect().map(_.toSeq).toSeq == beforeSearch,
+      "delete must not mutate the source index")
+  }
+
+  test("distributed delete: shard-local repair, save excludes the batch") {
+    import org.apache.spark.sql.functions.col
+    val emb = Tables.embeddings(spark, dir)
+    val base = VamanaIndexer.fit(emb, params, numShards = 3, maxLocalPoints = 0)
+    assert(base.search(queries(5), 5).count() > 0) // force lazy shard builds
+    val builds = VamanaKernel.buildCount.get()
+    val deleted = base.delete((0L until 50L).toArray)
+    assert(VamanaKernel.buildCount.get() == builds, "shard-local delete must never rebuild")
+    assert(deleted.isDistributed)
+    val q = emb.where(col("vec_id") >= 50 && col("vec_id") < 80)
+      .select((col("vec_id") - 50).as("query_id"), col("embedding").as("query_vec"))
+    assert(deleted.search(q, 10).where(col("id") < 50).count() == 0,
+      "deleted ids must never surface from any shard")
+    val tmp = java.nio.file.Files.createTempDirectory("del_model").toString
+    deleted.save(spark, tmp)
+    assert(VamanaModel.load(spark, tmp).index.size == emb.count() - 50,
+      "saved frames must exclude the deleted batch")
+  }
+
   test("vamana_roundtrip query reports all-green bits") {
     val row = VamanaOps.vamanaRoundtrip(spark, dir).collect().head
     assert(row.getAs[Boolean]("params_match"))
