@@ -42,8 +42,26 @@ object SparkEntry {
     pricingQ, regionRevenueQ, topOrdersQ, orderPriorityQ, localSupplierQ,
     filteredRevenueQ, partRollupQ, segmentSetOpsQ, eventsHourlyQ, userFunnelQ,
     ordersByMonthQ, partTypeQ, acctbalStatsQ, approxDistinctQ, sessionizeBatchQ,
-    partCubeQ
+    partCubeQ, rollingRevenueQ
   ) ++ PipelineRegistry.entries
+
+  /** RANGE-frame rolling window (value-range frames are deterministic under
+    * same-day ties where ROWS frames are not — the only query exercising
+    * them). Decimal-exact sums per the cross-engine determinism rules. */
+  private val rollingRevenueQ: (String, QFn, Option[String]) = (
+    "q17_rolling_revenue",
+    (s, d) => Relational.rollingRevenue(s, d),
+    Some("""
+      WITH o AS (SELECT o_orderkey, o_custkey,
+                   CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS day,
+                   CAST(o_totalprice AS DECIMAL(18,2)) AS price
+                 FROM orders)
+      SELECT o_orderkey, o_custkey, day,
+             round(price, 2)::DOUBLE AS o_totalprice,
+             round(sum(price) OVER (PARTITION BY o_custkey ORDER BY day
+                   RANGE BETWEEN 29 PRECEDING AND CURRENT ROW), 2)::DOUBLE AS rolling_30d
+      FROM o ORDER BY o_orderkey
+    """.trim))
 
   private val ordersByMonthQ: (String, QFn, Option[String]) = (
     "q11_orders_by_month",

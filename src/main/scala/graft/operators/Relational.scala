@@ -246,6 +246,29 @@ object Relational {
       .orderBy(col("user_id"), col("session_id"))
   }
 
+  /** Rolling 30-day revenue per customer — the RANGE-frame window variety
+    * (every other window here is ROWS/rank-based): frame = all orders of
+    * the same customer within the trailing 30 days by order DATE, so
+    * same-day peers are always included together regardless of row order
+    * (which is what makes a value-range frame deterministic where a ROWS
+    * frame would not be). Day = epoch days, making the range arithmetic
+    * integer-exact and identical across engines. */
+  def rollingRevenue(spark: SparkSession, dir: String): DataFrame = {
+    // day = calendar days since epoch via DATE arithmetic — timezone-free
+    // on both engines (unix_micros rejects the ntz type these parquet
+    // timestamps surface as)
+    val day = datediff(col("o_orderdate").cast("date"), lit("1970-01-01").cast("date")).cast("long")
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("day"))
+      .rangeBetween(-29, Window.currentRow)
+    Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_custkey"), day.as("day"),
+        col("o_totalprice").cast("decimal(18,2)").as("price"))
+      .withColumn("rolling_30d", round(sum(col("price")).over(w), 2).cast("double"))
+      .select(col("o_orderkey"), col("o_custkey"), col("day"),
+        round(col("price"), 2).cast("double").as("o_totalprice"), col("rolling_30d"))
+      .orderBy(col("o_orderkey"))
+  }
+
   /** Per-user event funnel: conditional aggregation (pivot-style) — counts
     * per event_type for the heaviest users, deterministic order. */
   def userFunnel(spark: SparkSession, dir: String): DataFrame =
