@@ -493,6 +493,11 @@ final class VamanaModel private (
       val pts = newPoints
         .select(col(idCol).cast("long"), col(vecCol).cast("array<float>"))
         .as[(Long, Array[Float])]
+      // the grown index must stay under the broadcast threshold — beyond it
+      // the model should have been (re)fit distributed in the first place
+      require(idx.size + pts.count() <= VamanaIndexer.DefaultMaxLocalPoints,
+        "insert would grow the local index beyond maxLocalPoints; refit with shards " +
+          "or serve via a fanout model")
       val (ptsT, _) = VamanaIndexer.metricTransform(pts, idx.params)
       val batch = ptsT.collect().sortBy(_._1)
       new VamanaModel(VamanaKernel.insert(idx, batch.map(_._1), batch.map(_._2)))
