@@ -44,7 +44,7 @@ object PipelineRegistry {
     sqQuantize, sqReport, pqQuantizeQ, pqSearchQ,
     mmJoin, mmBinaryStats, mmMediaFeatures,
     sampleHashQ, pipelineCleanQ, vocabTopKQ, lengthPctQ, embedNormalizeQ, tfIdfQ,
-    asofJoinQ, sampleStratifiedQ, repetitionScoreQ, rangeJoinQ)
+    asofJoinQ, sampleStratifiedQ, repetitionScoreQ, rangeJoinQ, dedupEmbSurvivorsQ)
 
   // ---- dedup ----------------------------------------------------------------
 
@@ -168,6 +168,32 @@ object PipelineRegistry {
             SELECT id_b AS a, id_a AS b FROM pr WHERE jaccard >= 0.2),
       reach AS (
         SELECT doc_id AS id, doc_id AS r FROM documents
+        UNION
+        SELECT e.b AS id, reach.r FROM reach JOIN e ON e.a = reach.id),
+      lab AS (SELECT id AS doc_id, min(r) AS canonical_id FROM reach GROUP BY id)
+      SELECT doc_id, canonical_id,
+             CASE WHEN doc_id = canonical_id THEN 1 ELSE 0 END AS is_survivor
+      FROM lab ORDER BY doc_id
+    """.trim))
+
+  /** The CC/min-label survivor pass over the OTHER modality's pairs —
+    * same recursive-CTE oracle shape as dedup_survivors, rooted at the
+    * embedding universe. */
+  private val dedupEmbSurvivorsQ: (String, QFn, Option[String]) = (
+    "dedup_embedding_survivors",
+    (s, d) => Dedup.dedupEmbeddingSurvivors(s, d),
+    Some(s"""
+      WITH RECURSIVE
+      emb AS (SELECT vec_id, embedding, sqrt(${dotSql("embedding", "embedding")}) AS nrm
+              FROM embeddings),
+      p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+            FROM emb a JOIN emb b ON a.vec_id < b.vec_id
+            WHERE ${dotSql("a.embedding", "b.embedding")} / (a.nrm * b.nrm) >= 0.4),
+      e AS (SELECT id_a AS a, id_b AS b FROM p
+            UNION ALL
+            SELECT id_b AS a, id_a AS b FROM p),
+      reach AS (
+        SELECT vec_id AS id, vec_id AS r FROM embeddings
         UNION
         SELECT e.b AS id, reach.r FROM reach JOIN e ON e.a = reach.id),
       lab AS (SELECT id AS doc_id, min(r) AS canonical_id FROM reach GROUP BY id)

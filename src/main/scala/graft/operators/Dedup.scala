@@ -301,10 +301,27 @@ object Dedup {
   private val DriverCcMaxPairs = 2_000_000L
 
   def dedupSurvivors(spark: SparkSession, dir: String, threshold: Double = 0.2,
-      driverCcMaxPairs: Long = DriverCcMaxPairs, maxDf: Int = DefaultMaxShingleDf): DataFrame = {
+      driverCcMaxPairs: Long = DriverCcMaxPairs, maxDf: Int = DefaultMaxShingleDf): DataFrame =
+    survivorsOf(spark,
+      dedupNgramJaccard(spark, dir, threshold, maxDf).select(col("id_a"), col("id_b")),
+      Tables.documents(spark, dir).select(col("doc_id")), driverCcMaxPairs)
+
+  /** [[dedupSurvivors]] over the embedding-cosine pair graph — the same CC
+    * composition applied to the other modality's verified pairs, so a
+    * corpus deduped on text AND on embeddings uses one survivor semantics. */
+  def dedupEmbeddingSurvivors(spark: SparkSession, dir: String, threshold: Double = 0.4,
+      driverCcMaxPairs: Long = DriverCcMaxPairs): DataFrame =
+    survivorsOf(spark,
+      dedupEmbeddingCosine(spark, dir, threshold).select(col("id_a"), col("id_b")),
+      Tables.embeddings(spark, dir).select(col("vec_id").as("doc_id")), driverCcMaxPairs)
+
+  /** Connected components + min-label canonicalization over ANY verified
+    * pair frame; `universe` (one doc_id per member) supplies the rows that
+    * appear in no pair and keep themselves. */
+  def survivorsOf(spark: SparkSession, pairFrame: DataFrame, universe: DataFrame,
+      driverCcMaxPairs: Long = DriverCcMaxPairs): DataFrame = {
     import spark.implicits._
-    val pairs = dedupNgramJaccard(spark, dir, threshold, maxDf)
-      .select(col("id_a"), col("id_b")).cache()
+    val pairs = pairFrame.select(col("id_a"), col("id_b")).cache()
     val nPairs = pairs.count()
     val labels =
       if (nPairs <= driverCcMaxPairs) {
@@ -347,7 +364,7 @@ object Dedup {
         }
         ls
       }
-    val untouched = Tables.documents(spark, dir).select(col("doc_id"))
+    val untouched = universe
       .join(labels.select(col("doc_id")), Seq("doc_id"), "left_anti")
       .select(col("doc_id"), col("doc_id").as("canonical_id"))
     labels.select(col("doc_id"), col("canonical_id")).union(untouched)
