@@ -44,7 +44,8 @@ object PipelineRegistry {
     sqQuantize, sqReport, pqQuantizeQ, pqSearchQ,
     mmJoin, mmBinaryStats, mmMediaFeatures,
     sampleHashQ, pipelineCleanQ, vocabTopKQ, lengthPctQ, embedNormalizeQ, tfIdfQ,
-    asofJoinQ, sampleStratifiedQ, repetitionScoreQ, rangeJoinQ, dedupEmbSurvivorsQ)
+    asofJoinQ, sampleStratifiedQ, repetitionScoreQ, rangeJoinQ, dedupEmbSurvivorsQ,
+    docChunksQ)
 
   // ---- dedup ----------------------------------------------------------------
 
@@ -501,6 +502,20 @@ object PipelineRegistry {
                  FROM documents)
       SELECT doc_id, lang, n_chars, stratum_rank
       FROM s WHERE stratum_rank <= 50 ORDER BY lang, stratum_rank
+    """.trim))
+
+  /** 64-token chunks every 48 tokens — the pre-embedding chunking stage. */
+  private val docChunksQ: (String, QFn, Option[String]) = (
+    "doc_chunks",
+    (s, d) => TextAnalysis.docChunks(s, d),
+    Some(s"""
+      WITH t AS ($toksCte),
+      s AS (SELECT doc_id, toks, unnest(range(1, greatest(len(toks),1)+1, 48)) AS st FROM t),
+      c AS (SELECT doc_id, CAST((st-1)//48 AS BIGINT) AS chunk_id,
+                   list_slice(toks, st, st+63) AS chunk FROM s)
+      SELECT doc_id, chunk_id, CAST(len(chunk) AS BIGINT) AS n_tokens,
+             md5(array_to_string(chunk, ' ')) AS chunk_hash
+      FROM c WHERE len(chunk) > 0 ORDER BY doc_id, chunk_id
     """.trim))
 
   private val repetitionScoreQ: (String, QFn, Option[String]) = (

@@ -203,6 +203,28 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Overlapping token chunks — the tokenize→chunk step every embedding
+    * pipeline runs before vectorizing: windows of `chunkTokens` tokens
+    * every `stride` tokens (stride < chunkTokens ⇒ overlap), one row per
+    * chunk with its token count and content hash. Narrow explode, no
+    * shuffle before the output sort; at 100 TB this is the map-side stage
+    * feeding the embedding model. */
+  def docChunks(spark: SparkSession, dir: String,
+      chunkTokens: Int = 64, stride: Int = 48): DataFrame = {
+    val t = toks(col("text"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), t.as("toks"))
+      .select(col("doc_id"),
+        posexplode(transform(
+          sequence(lit(1), greatest(size(col("toks")), lit(1)), lit(stride)),
+          st => slice(col("toks"), st, lit(chunkTokens)))).as(Seq("chunk_id", "chunk")))
+      .where(size(col("chunk")) > 0)
+      .select(col("doc_id"), col("chunk_id").cast("long").as("chunk_id"),
+        size(col("chunk")).cast("long").as("n_tokens"),
+        md5(concat_ws(" ", col("chunk"))).as("chunk_hash"))
+      .orderBy(col("doc_id"), col("chunk_id"))
+  }
+
   /** Document fingerprint: bottom-5 sketch of md5'd word-3-gram shingles —
     * a fixed-size content signature (min-k sketch) whose overlap estimates
     * Jaccard similarity; joins on fingerprint find near-dups cheaply. */
