@@ -183,6 +183,29 @@ class PipelineSpec extends AnyFunSuite {
       "fixture must exercise both matched and unmatched purchases")
   }
 
+  test("generic asofJoinFrames works over custom key/ts/value columns and payloads") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    def ts(m: Int) = new java.sql.Timestamp(m * 60000L)
+    val readings = Seq( // sensor calibration history: one row per (sensor, ts)
+      (7L, ts(0), 1.0), (7L, ts(10), 2.0), (9L, ts(5), 9.0))
+      .toDF("sensor_id", "ts", "cal")
+    val probes = Seq( // measurements carrying a payload column
+      (100L, 7L, ts(4), "a"), (101L, 7L, ts(10), "b"),
+      (102L, 7L, ts(99), "c"), (103L, 8L, ts(1), "d"))
+      .toDF("m_id", "sensor_id", "ts", "tag")
+    val got = operators.Temporal.asofJoinFrames(probes, readings,
+        keyCol = "sensor_id", tsCol = "ts", valueCol = "cal")
+      .collect().map(r => r.getAs[Long]("m_id") ->
+        ((Option(r.getAs[java.lang.Double]("cal")).map(_.toDouble),
+          Option(r.getAs[java.lang.Long]("micros_since_match")).map(_.toLong),
+          r.getAs[String]("tag")))).toMap
+    assert(got(100L) == ((Some(1.0), Some(4L * 60000000L), "a")), s"got ${got(100L)}")
+    assert(got(101L) == ((Some(2.0), Some(0L), "b")), "same-instant reading counts as prior")
+    assert(got(102L) == ((Some(2.0), Some(89L * 60000000L), "c")))
+    assert(got(103L) == ((None, None, "d")), "sensor with no history stays null")
+  }
+
   test("stratified sample: exactly min(perLang, stratum size) docs per lang, deterministic") {
     import org.apache.spark.sql.functions.col
     val docs = graft.core.Tables.documents(spark, dir)
