@@ -121,19 +121,21 @@ object TextAnalysis {
     * aggregation; partial aggregation bounds the shuffle to the distinct
     * vocabulary per partition, so a hot token ("the") never skews a task. */
   def vocabTopK(spark: SparkSession, dir: String, k: Int = 50): DataFrame = {
+    import spark.implicits._
     // top-k via orderBy().limit() -> TakeOrderedAndProject (per-partition
-    // heaps, no single-partition window over the full vocabulary); the rank
-    // window then runs over only the k survivors
-    val top = Tables.documents(spark, dir)
+    // heaps, no single-partition window over the full vocabulary); ranks
+    // come from zipWithIndex over the k ordered survivors — the rank window
+    // this used to run was the last no-partition WindowExec in the engine
+    Tables.documents(spark, dir)
       .select(explode(toks(col("text"))).as("token"))
       .where(col("token") =!= "")
       .groupBy(col("token")).agg(count(lit(1)).as("n_occurrences"))
       .orderBy(col("n_occurrences").desc, col("token").asc)
       .limit(k)
-    val w = org.apache.spark.sql.expressions.Window
-      .orderBy(col("n_occurrences").desc, col("token").asc)
-    top.withColumn("rank", row_number().over(w).cast("long"))
-      .select(col("rank"), col("token"), col("n_occurrences"))
+      .as[(String, Long)]
+      .rdd.zipWithIndex
+      .map { case ((token, n), i) => (i + 1, token, n) }
+      .toDF("rank", "token", "n_occurrences")
       .orderBy(col("rank"))
   }
 
