@@ -45,7 +45,7 @@ object PipelineRegistry {
     mmJoin, mmBinaryStats, mmMediaFeatures,
     sampleHashQ, pipelineCleanQ, vocabTopKQ, lengthPctQ, embedNormalizeQ, tfIdfQ,
     asofJoinQ, sampleStratifiedQ, repetitionScoreQ, rangeJoinQ, dedupEmbSurvivorsQ,
-    docChunksQ)
+    docChunksQ, contaminationQ)
 
   // ---- dedup ----------------------------------------------------------------
 
@@ -502,6 +502,26 @@ object PipelineRegistry {
                  FROM documents)
       SELECT doc_id, lang, n_chars, stratum_rank
       FROM s WHERE stratum_rank <= 50 ORDER BY lang, stratum_rank
+    """.trim))
+
+  /** Benchmark decontamination: train × held-out shingle overlap via the
+    * same inverted-index join family, identical df cutoff both sides. */
+  private val contaminationQ: (String, QFn, Option[String]) = (
+    "contamination_check",
+    (s, d) => Dedup.contaminationCheck(s, d),
+    Some(s"""
+      WITH s AS ($shingledCte),
+      ex0 AS (SELECT doc_id, ('0x' || substr(md5(s), 1, 15))::BIGINT AS s
+              FROM (SELECT doc_id, unnest(sh) AS s FROM s)),
+      rare AS (SELECT s FROM (SELECT s, count(*) AS df FROM ex0 GROUP BY s)
+               WHERE df <= ${Dedup.DefaultMaxShingleDf}),
+      ex AS (SELECT ex0.doc_id, ex0.s FROM ex0 JOIN rare USING (s)),
+      tr AS (SELECT doc_id AS train_id, s FROM ex WHERE doc_id < 450),
+      be AS (SELECT doc_id AS bench_id, s FROM ex WHERE doc_id >= 450)
+      SELECT train_id, bench_id, count(*) AS n_shared
+      FROM tr JOIN be USING (s)
+      GROUP BY train_id, bench_id HAVING count(*) >= 3
+      ORDER BY train_id, bench_id
     """.trim))
 
   /** 64-token chunks every 48 tokens — the pre-embedding chunking stage. */

@@ -372,6 +372,32 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** Benchmark decontamination check — the pipeline step that keeps
+    * evaluation data out of the training corpus: find (train, benchmark)
+    * doc pairs sharing at least `minShared` word-3-gram shingles. Same
+    * inverted-index equi-join as the dedup pair joins (shared surrogate
+    * frame, df cutoff against boilerplate), but restricted to
+    * train × benchmark — the candidate set is linear in true overlaps, and
+    * at 100 TB the benchmark side is tiny and effectively broadcast.
+    * `benchStart` stands in for the held-out set's id range. */
+  def contaminationCheck(spark: SparkSession, dir: String, benchStart: Long = 450,
+      minShared: Int = 3, maxDf: Int = DefaultMaxShingleDf): DataFrame = {
+    val ex = surrogates(spark, dir)
+      .withColumn("df", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("s"))))
+      .where(col("df") <= maxDf)
+      .drop("df")
+    val train = ex.where(col("doc_id") < benchStart)
+      .select(col("doc_id").as("train_id"), col("s"))
+    val bench = ex.where(col("doc_id") >= benchStart)
+      .select(col("doc_id").as("bench_id"), col("s"))
+    train.join(bench, "s")
+      .groupBy(col("train_id"), col("bench_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .where(col("n_shared") >= minShared)
+      .orderBy(col("train_id"), col("bench_id"))
+  }
+
   /** Incremental exact dedup — the production shape: a NEW batch of docs
     * (doc_id >= batchStart stands in for today's arrivals) checked against
     * the EXISTING corpus (doc_id < batchStart). Content-hash equi-join,
