@@ -42,7 +42,7 @@ object SparkEntry {
     pricingQ, regionRevenueQ, topOrdersQ, orderPriorityQ, localSupplierQ,
     filteredRevenueQ, partRollupQ, segmentSetOpsQ, eventsHourlyQ, userFunnelQ,
     ordersByMonthQ, partTypeQ, acctbalStatsQ, approxDistinctQ, sessionizeBatchQ,
-    partCubeQ, rollingRevenueQ
+    partCubeQ, rollingRevenueQ, kmvDistinctQ
   ) ++ PipelineRegistry.entries
 
   /** RANGE-frame rolling window (value-range frames are deterministic under
@@ -103,6 +103,26 @@ object SparkEntry {
     "q14_approx_distinct",
     (s, d) => Relational.approxDistinct(s, d),
     None)
+
+  /** Deterministic KMV sketch — the hash-checkable approx-distinct twin
+    * of q14 (HLL registers are engine-private; md5-based KMV is not). */
+  private val kmvDistinctQ: (String, QFn, Option[String]) = (
+    "q18_kmv_distinct",
+    (s, d) => Relational.kmvDistinct(s, d),
+    Some("""
+      WITH d AS (SELECT DISTINCT event_type,
+                   (('0x' || substr(md5(user_id::VARCHAR), 1, 15))::BIGINT)::DOUBLE
+                     / 1152921504606846976.0 AS h
+                 FROM events),
+      r AS (SELECT event_type, h,
+                   row_number() OVER (PARTITION BY event_type ORDER BY h ASC) AS rk
+            FROM d)
+      SELECT event_type, count(*) AS n_distinct,
+             round(CASE WHEN max(CASE WHEN rk = 64 THEN h END) IS NOT NULL
+                        THEN 63.0 / max(CASE WHEN rk = 64 THEN h END)
+                        ELSE count(*)::DOUBLE END, 4) AS kmv_estimate
+      FROM r GROUP BY event_type ORDER BY event_type
+    """.trim))
 
   private val argminNearestQ: (String, QFn, Option[String]) = (
     "argmin_nearest",

@@ -222,6 +222,31 @@ object Relational {
         approx_count_distinct(col("user_id"), 0.02).as("approx_users"))
       .orderBy(col("event_type"))
 
+  /** KMV (k-minimum-values) distinct-count sketch — the deterministic,
+    * cross-engine-portable twin of [[approxDistinct]]'s HLL: estimate =
+    * (k−1) / (k-th smallest md5-hash mapped into (0,1)), exact count when a
+    * group has fewer than k distinct values. Unlike HLL (whose register
+    * layout is engine-private, making q14 rows-only), every step here is
+    * md5 + IEEE arithmetic that DuckDB reproduces bit-for-bit — a sketch
+    * whose VALUE is hash-checkable. The per-group rank window runs over
+    * DISTINCT hashes only; the scale form replaces it with a bounded k-min
+    * heap (same TopKAggregator family as knn_exact_agg). */
+  def kmvDistinct(spark: SparkSession, dir: String, k: Int = 64): DataFrame = {
+    val h = conv(substring(md5(col("user_id").cast("string")), 1, 15), 16, 10)
+      .cast("long").cast("double") / lit(1.152921504606846976e18) // 2^60, exact
+    val d = Tables.events(spark, dir)
+      .select(col("event_type"), h.as("h")).distinct()
+    val w = Window.partitionBy(col("event_type")).orderBy(col("h").asc)
+    d.withColumn("rk", row_number().over(w))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_distinct"),
+        max(when(col("rk") === k, col("h"))).as("kth"))
+      .select(col("event_type"), col("n_distinct"),
+        round(when(col("kth").isNotNull, lit((k - 1).toDouble) / col("kth"))
+          .otherwise(col("n_distinct").cast("double")), 4).as("kmv_estimate"))
+      .orderBy(col("event_type"))
+  }
+
   /** Batch sessionization via window functions: a session breaks after 30
     * minutes of inactivity; session id = running count of breaks per user
     * (lag + conditional cumulative sum) — the batch twin of
