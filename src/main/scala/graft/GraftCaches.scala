@@ -15,5 +15,6 @@ object GraftCaches {
     vamana.VamanaOps.clearCaches()
     functions.NativeVectorFunctions.clearRegistry()
     functions.TextExpressions.clearRegistry()
+    functions.MinhashSigs.clearRegistry()
   }
 }

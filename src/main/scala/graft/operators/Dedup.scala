@@ -151,43 +151,28 @@ object Dedup {
   private val NumHashes = 16
   private val Bands = 4 // 4 bands x 4 rows
 
-  /** The Mersenne prime 2^31−1: the field for the affine min-hash family. */
-  private[graft] val MinhashPrime = 2147483647L
+  /** The family constants live in [[graft.functions.MinhashFamily]] (one
+    * definition for the SQL pipeline, the oracle twin, the codegen
+    * expression, and the streaming hasher); aliased here for the oracle-SQL
+    * builders. */
+  private[graft] val MinhashPrime = graft.functions.MinhashFamily.Prime
+  private[graft] val MinhashParams = graft.functions.MinhashFamily.Params
 
-  /** 16 fixed affine universal-hash params (a, b) with 0 < a < p: the i-th
-    * min-hash of a shingle is (a_i·(s mod p) + b_i) mod p over the SHARED
-    * 60-bit md5 surrogate s. ONE md5 per shingle row feeds all 16 hash
-    * functions — the round-2 shape computed four salted md5 digests per row
-    * and min-aggregated 8-hex-char substrings; affine longs cut the hash
-    * work 4x and shuffle/aggregate numbers instead of strings. Products
-    * stay under 2^62, so plain BIGINT arithmetic is exact in both engines
-    * (the oracle SQL derives the identical family from these constants). */
-  private[graft] val MinhashParams: Seq[(Long, Long)] = Seq(
-    (1103515245L, 12345L), (1588635695L, 731279361L),
-    (1203248318L, 402381575L), (1052085601L, 1779033703L),
-    (1013904223L, 1664525L), (997063745L, 321868901L),
-    (1790989107L, 731485389L), (1483828171L, 159727421L),
-    (622729787L, 1013343295L), (1394671207L, 203550103L),
-    (1751078229L, 55555333L), (921469001L, 909090909L),
-    (1120048813L, 123123123L), (634031983L, 777777777L),
-    (2027875061L, 246813579L), (1171049071L, 192837465L))
-
-  /** The per-doc (band, bsig) LSH keys — the SQL half of the minhash
-    * pipeline, exposed so the streaming ingest twin and its consistency
-    * spec share one definition with the batch query. */
+  /** The per-doc (band, bsig) LSH keys. Signatures come from the codegen'd
+    * [[graft.functions.MinhashSigs]] expression — a NARROW projection over
+    * the shingle arrays (the round-3a shape exploded every shingle row and
+    * shuffled it through a 16-min groupBy just to reassemble per-doc
+    * signatures; at corpus scale that exchange was the whole cost of the
+    * stage). Band signature = 60-bit md5 surrogate of the mins' decimal
+    * strings, per DOC — oracle-mirrored. */
   private[graft] def minhashBandsDF(spark: SparkSession, dir: String): DataFrame = {
-    val ex = surrogates(spark, dir)
-      .select(col("doc_id"), pmod(col("s"), lit(MinhashPrime)).as("h"))
-    val sigCols = MinhashParams.zipWithIndex.map { case ((a, b), i) =>
-      min(pmod(col("h") * a + b, lit(MinhashPrime))).as(s"h$i")
-    }
-    val sig = ex.groupBy(col("doc_id")).agg(sigCols.head, sigCols.tail: _*)
+    val sig = shingled(spark, dir)
+      .select(col("doc_id"),
+        graft.functions.MinhashSigs.minhashSigs(spark, col("sh")).as("sigs"))
     val rowsPerBand = NumHashes / Bands
-    // band signature as a 60-bit md5 surrogate of the mins' decimal strings
-    // (same trick as the ngram join): long keys through the candidate
-    // equi-join, oracle-mirrored; this md5 runs per DOC, not per shingle
     val bandStructs = (0 until Bands).map { b =>
-      val hs = (b * rowsPerBand until (b + 1) * rowsPerBand).map(i => col(s"h$i").cast("string"))
+      val hs = (b * rowsPerBand until (b + 1) * rowsPerBand)
+        .map(i => element_at(col("sigs"), i + 1).cast("string"))
       struct(lit(b).as("band"),
         conv(substring(md5(concat_ws("|", hs: _*)), 1, 15), 16, 10).cast("long").as("bsig"))
     }
@@ -195,26 +180,22 @@ object Dedup {
       .select(col("doc_id"), col("bs.band").as("band"), col("bs.bsig").as("bsig"))
   }
 
-  private def md5Surrogate60(s: String): Long = {
-    val md = java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
-    java.lang.Long.parseLong(md.map("%02x".format(_)).mkString.take(15), 16)
-  }
-
   /** Plain-Scala twin of [[minhashBandsDF]] for a single document — used by
     * the streaming ingest path, where per-row JVM code beats spinning up a
-    * one-row DataFrame. BIT-IDENTICAL to the SQL pipeline by construction
+    * one-row DataFrame. BIT-IDENTICAL to the batch pipeline by construction
     * (same tokenization incl. empty-token semantics of `split(lower, \\s+)`,
-    * same distinct shingles, surrogate, affine family, and band md5) —
-    * asserted against [[minhashBandsDF]] in PipelineSpec. */
+    * same distinct shingles, and the shared [[graft.functions.MinhashFamily]])
+    * — asserted against [[minhashBandsDF]] in PipelineSpec; the DuckDB
+    * oracle cross-validates the family itself on every Verify run. */
   private[graft] def minhashBandsOf(text: String): Seq[(Int, Long)] = {
+    import graft.functions.MinhashFamily
     val toks = text.toLowerCase.split("\\s+", -1)
     if (toks.length < 3) return Nil
     val sh = toks.sliding(3).map(_.mkString(" ")).toArray.distinct
-    val hs = sh.map(s => md5Surrogate60(s) % MinhashPrime)
-    val mins = MinhashParams.map { case (a, b) => hs.map(h => (a * h + b) % MinhashPrime).min }
+    val mins = MinhashFamily.sigsOf(sh.iterator)
     (0 until Bands).map { bIdx =>
       val key = (bIdx * 4 until bIdx * 4 + 4).map(mins).mkString("|")
-      (bIdx, md5Surrogate60(key))
+      (bIdx, MinhashFamily.surrogate60(key))
     }
   }
 

@@ -92,6 +92,20 @@ class NativeExpressionSpec extends AnyFunSuite {
       org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback])
   }
 
+  test("minhash_sigs expression stays codegen-compatible and matches the shared family") {
+    import graft.functions.{MinhashFamily, MinhashSigs}
+    assert(!MinhashSigs(null).isInstanceOf[
+      org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback])
+    import spark.implicits._
+    val df = Seq((1L, Array("a b c", "b c d")), (2L, Array("x y z")))
+      .toDF("doc_id", "sh")
+      .select(col("doc_id"), MinhashSigs.minhashSigs(spark, col("sh")).as("sigs"))
+    val got = df.collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toArray).toMap
+    assert(got(1L).sameElements(MinhashFamily.sigsOf(Iterator("a b c", "b c d"))))
+    assert(got(2L).sameElements(MinhashFamily.sigsOf(Iterator("x y z"))))
+    assert(got(1L).length == 16 && got(1L).forall(v => v >= 0 && v < MinhashFamily.Prime))
+  }
+
   test("extension SQL builders reject wrong arity with an error naming the function") {
     import org.apache.spark.sql.catalyst.expressions.Literal
     for ((name, _, builder) <- GraftExtensions.functions) {
