@@ -130,6 +130,72 @@ class VamanaKernelSpec extends AnyFunSuite {
     assert(avg >= 0.85, s"paper-prune recall $avg")
   }
 
+  test("insert invariants over 20 random configurations: degrees, self-NN, recall, immutability") {
+    val rng = new Random(7)
+    for (trial <- 1 to 20) {
+      val dim = 2 + rng.nextInt(8)
+      val n0 = 30 + rng.nextInt(120)
+      val nIns = 1 + rng.nextInt(30)
+      val params = VamanaParams(dim = dim, maxDegree = 12, beamWidth = 24,
+        alpha = 1.2f, efSearch = 48, seed = trial.toLong)
+      val all = randPoints(n0 + nIns, dim, seed = trial * 31L)
+      val base = VamanaKernel.build(Array.tabulate(n0)(_.toLong), all.take(n0), params)
+      val baseGraph = base.graph.map(_.toSeq).toSeq
+      val ins = VamanaKernel.insert(base,
+        Array.tabulate(nIns)(i => (n0 + i).toLong), all.drop(n0))
+      assert(ins.size == n0 + nIns)
+      assert(VamanaKernel.healthCheck(ins), s"trial $trial: degree > R after insert")
+      assert(base.graph.map(_.toSeq).toSeq == baseGraph,
+        s"trial $trial: insert mutated the source graph")
+      // every inserted point finds itself at rank 1
+      for (i <- n0 until n0 + nIns) {
+        val top = VamanaKernel.search(ins, all(i), 1)
+        assert(top.head._1 == i.toLong && top.head._2 == 0f,
+          s"trial $trial: inserted $i not its own NN (got ${top.head})")
+      }
+      // recall over the grown corpus stays sane
+      val q = randPoints(10, dim, seed = trial * 97L)
+      val recall = q.map { v =>
+        val truth = all.indices.sortBy(j => (VamanaKernel.l2sq(all(j), v), j)).take(5)
+          .map(_.toLong).toSet
+        (VamanaKernel.search(ins, v, 5).map(_._1).toSet intersect truth).size / 5.0
+      }.sum / q.length
+      assert(recall >= 0.7, s"trial $trial: post-insert recall $recall")
+    }
+  }
+
+  test("delete invariants over 20 random configurations: no ghosts, degrees, repair quality") {
+    val rng = new Random(11)
+    for (trial <- 1 to 20) {
+      val dim = 2 + rng.nextInt(8)
+      val n = 60 + rng.nextInt(140)
+      val nDel = 1 + rng.nextInt(n / 3)
+      val params = VamanaParams(dim = dim, maxDegree = 12, beamWidth = 24,
+        alpha = 1.2f, efSearch = 48, seed = trial.toLong)
+      val pts = randPoints(n, dim, seed = trial * 131L)
+      val base = VamanaKernel.build(Array.tabulate(n)(_.toLong), pts, params)
+      val delIds = rng.shuffle((0 until n).toList).take(nDel).map(_.toLong).toArray
+      val delSet = delIds.toSet
+      val del = VamanaKernel.delete(base, delIds)
+      assert(del.size == n - nDel)
+      assert(VamanaKernel.healthCheck(del), s"trial $trial: degree > R after delete")
+      assert(del.ids.toSet == (0L until n).toSet -- delSet, s"trial $trial: wrong survivors")
+      assert(del.graph.forall(_.forall(p => p >= 0 && p < del.size)),
+        s"trial $trial: dangling internal edge after compaction")
+      // searches never surface a deleted id, and recall over survivors holds
+      val q = randPoints(10, dim, seed = trial * 173L)
+      val keepIdx = (0 until n).filterNot(i => delSet.contains(i.toLong))
+      val recall = q.map { v =>
+        val got = VamanaKernel.search(del, v, 5).map(_._1)
+        assert(got.forall(!delSet.contains(_)), s"trial $trial: ghost result")
+        val truth = keepIdx.sortBy(j => (VamanaKernel.l2sq(pts(j), v), j)).take(5)
+          .map(_.toLong).toSet
+        (got.toSet intersect truth).size / 5.0
+      }.sum / q.length
+      assert(recall >= 0.7, s"trial $trial: post-delete recall $recall")
+    }
+  }
+
   test("search clamps k to n and returns ascending (dist, id)") {
     val points = randPoints(20, 4, seed = 3)
     val ids = Array.tabulate(20)(i => (i * 10).toLong)
