@@ -52,9 +52,12 @@ object VamanaOps {
     * post-delete recall are spec-gated. */
   def vamanaDeleteSearch(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
-    val m = deleteCache.getOrElseUpdate(dir, model(spark, dir).delete((0L until 50L).toArray))
-    val q = emb.where(col("vec_id") >= 50 && col("vec_id") < 60)
-      .select((col("vec_id") - 50).cast("long").as("query_id"),
+    val n = emb.count()
+    // first 50 ids, but never the whole (smoke-scale) corpus
+    val nDel = math.min(50L, n / 2)
+    val m = deleteCache.getOrElseUpdate(dir, model(spark, dir).delete((0L until nDel).toArray))
+    val q = emb.where(col("vec_id") >= nDel && col("vec_id") < nDel + 10)
+      .select((col("vec_id") - nDel).cast("long").as("query_id"),
         col("embedding").as("query_vec"))
     m.search(q, 10)
   }
@@ -66,7 +69,9 @@ object VamanaOps {
   def vamanaInsertSearch(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
     val maxId = emb.agg(max(col("vec_id").cast("long"))).head().getLong(0)
-    val cut = maxId - 49
+    // last 50 vectors as the batch, but never more than half the corpus —
+    // a tiny (smoke-scale) dataset must still leave a non-empty base fit
+    val cut = math.max(maxId - 49, (maxId + 1) / 2)
     val m = insertCache.getOrElseUpdate(dir, {
       val base = VamanaIndexer.fit(emb.where(col("vec_id") < cut), defaultParams)
       base.insert(emb.where(col("vec_id") >= cut))

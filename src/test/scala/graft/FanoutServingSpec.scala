@@ -267,6 +267,13 @@ class FanoutServingSpec extends AnyFunSuite {
       "saved frames must exclude the deleted batch")
   }
 
+  test("insert/delete registered queries survive the smoke-scale (50-vector) dataset") {
+    // at sf0.001 the old cut arithmetic produced an empty base fit (insert)
+    // and deleted the entire corpus (delete)
+    assert(VamanaOps.vamanaInsertSearch(spark, dir).count() > 0)
+    assert(VamanaOps.vamanaDeleteSearch(spark, dir).count() > 0)
+  }
+
   test("vamana_roundtrip query reports all-green bits") {
     val row = VamanaOps.vamanaRoundtrip(spark, dir).collect().head
     assert(row.getAs[Boolean]("params_match"))
