@@ -49,10 +49,12 @@ object MinhashFamily {
 
   /** All 16 min-hashes of a shingle multiset in one pass (duplicates can't
     * change a min, so no distinct needed). Empty input → all-p sentinel
-    * mins, matching SQL `min()` over zero rows never being consulted
-    * (callers guard on >=3 tokens). */
+    * (every real min-hash is in [0, p), so p marks "no shingles" while
+    * keeping later products bounded — `minhash_sigs` is a registered SQL
+    * function, so empty arrays CAN reach it even though the dedup pipeline
+    * guards on >=3 tokens). */
   def sigsOf(shingles: Iterator[String]): Array[Long] = {
-    val mins = Array.fill(Params.length)(Long.MaxValue)
+    val mins = Array.fill(Params.length)(Prime)
     val as = Params.map(_._1).toArray
     val bs = Params.map(_._2).toArray
     while (shingles.hasNext) {

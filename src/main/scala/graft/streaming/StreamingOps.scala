@@ -35,6 +35,12 @@ private case class BucketState(ids: List[Long])
   */
 object StreamingOps {
 
+  /** Exact microseconds since epoch (`unix_micros` semantics). getTime is
+    * millisecond-truncated; the batch twins compare times in micros, so the
+    * streaming state must too or sub-millisecond event times diverge. */
+  private def micros(t: Timestamp): Long =
+    Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+
   /** Tumbling-window event aggregation with a watermark — the canonical
     * `readStream -> withWatermark -> window -> agg` shape. Late data beyond
     * 10 minutes is dropped; output mode Append emits finalized windows. */
@@ -101,7 +107,9 @@ object StreamingOps {
     * universe itself is unbounded). Within a micro-batch events apply in
     * (ts, click-first, event_id) order, matching the batch operator's
     * inclusive at-or-before semantics; ties on click ts keep max value,
-    * mirroring the batch op's per-(user, ts) pre-aggregation. */
+    * mirroring the batch op's per-(user, ts) pre-aggregation. All state and
+    * gap arithmetic is in exact microseconds (the batch twin's
+    * `unix_micros`), so sub-millisecond event times don't diverge. */
   def streamingAsof(events: Dataset[Event]): Dataset[AsofMatch] = {
     import events.sparkSession.implicits._
     events
@@ -110,11 +118,11 @@ object StreamingOps {
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (userId: Long, it: Iterator[Event], state: GroupState[ClickState]) =>
           val evs = it.toSeq.sortBy(e =>
-            (e.ts.getTime, if (e.event_type == "click") 0 else 1, e.event_id))
+            (micros(e.ts), if (e.event_type == "click") 0 else 1, e.event_id))
           var st = state.getOption.orNull
           val out = Seq.newBuilder[AsofMatch]
           for (e <- evs) {
-            val t = e.ts.getTime
+            val t = micros(e.ts)
             e.event_type match {
               case "click" =>
                 if (st == null || t > st.ts) st = ClickState(t, e.value)
@@ -122,7 +130,7 @@ object StreamingOps {
               case "purchase" =>
                 out += (if (st == null) AsofMatch(e.event_id, userId, e.value, None, None)
                 else AsofMatch(e.event_id, userId, e.value,
-                  Some(st.value), Some((t - st.ts) * 1000L)))
+                  Some(st.value), Some(t - st.ts)))
               case _ => ()
             }
           }

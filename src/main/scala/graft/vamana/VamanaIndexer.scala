@@ -81,7 +81,7 @@ object VamanaIndexer {
       val collected = ptsT.collect().sortBy(_._1)
       val par = math.max(2, math.min(Runtime.getRuntime.availableProcessors(), 16))
       val index = VamanaKernel.buildParallel(collected.map(_._1), collected.map(_._2), kParams, par)
-      new VamanaModel(index)
+      new VamanaModel(index, maxLocalPoints)
     } else {
       val s = effShards
       val seed = params.seed
@@ -116,12 +116,13 @@ object VamanaIndexer {
         val graph = ids.map(id => pruned.getOrElse(id, Array.empty[Long]).flatMap(pos.get(_)))
         val medoid = VamanaKernel.centroidMedoid(collected.map(_._2))
         shardIdx.unpersist()
-        new VamanaModel(new LocalIndex(ids, collected.map(_._2), graph, medoid, kParams))
+        new VamanaModel(
+          new LocalIndex(ids, collected.map(_._2), graph, medoid, kParams), maxLocalPoints)
       } else {
         // beyond-broadcast: frames for save/export, shard kernels for serving
         VamanaModel.distributed(
           ModelFrames(ptsT.toDF("id", "vec"), prunedDs.toDF("id", "neighbors"), kParams),
-          new FanoutModel(shardIdx, kParams))
+          new FanoutModel(shardIdx, kParams, s, replicate2 = true))
       }
     }
   }
@@ -203,7 +204,17 @@ final case class ModelFrames(points: DataFrame, graph: DataFrame, params: Vamana
   * index must fit in one broadcast — the working set per task is one shard. */
 final class FanoutModel private[vamana] (
     private[vamana] val shards: Dataset[(Int, LocalIndex)],
-    val params: VamanaParams) {
+    val params: VamanaParams,
+    /** Shard count the FIT used — the routing modulus for every later
+      * insert. `shards.count()` is NOT this number once a delete removed
+      * an entire shard; routing with the live count would scatter new
+      * points into a different key space than the fitted corpus. */
+    private[vamana] val numShardsFit: Int,
+    /** True when the fit placed each point in TWO shards (the merged-graph
+      * sharded build); false for the 1-of-s [[VamanaFanout.fit]]. Inserts
+      * replicate exactly as the fit did, so inserted points get the same
+      * shard redundancy as fitted ones. */
+    private[vamana] val replicate2: Boolean) {
 
   /** Batch ANN top-k (same output shape as [[VamanaModel.search]]). Calling
     * it twice runs ZERO graph builds the second time (spec-asserted) — the
@@ -273,40 +284,60 @@ final class FanoutModel private[vamana] (
   def unpersist(): Unit = { val _ = shards.unpersist() }
 
   /** Distributed incremental insert — the daily-embedding-batch shape at
-    * 100 TB: new points are routed to shards by the SAME seeded hash the
-    * fit used, each shard kernel runs [[VamanaKernel.insert]] partition-
+    * 100 TB: new points are routed by the FIT-TIME shard count and seeded
+    * hash (with the fit's 2-of-s replication when the fit overlapped
+    * shards), each shard kernel runs [[VamanaKernel.insert]] partition-
     * locally (zero full rebuilds, spec-gated), and the result is a new
-    * fitted model; this model keeps serving unchanged. `ip` is rejected:
-    * its MIPS reduction bakes in the global max corpus norm at fit time,
-    * which a later batch could invalidate — refit for ip. */
+    * fitted model; this model keeps serving unchanged. A batch routed to a
+    * shard whose row no longer exists (its whole membership was deleted)
+    * RECREATES that shard with a fresh kernel build — never silently
+    * dropped. `ip` is rejected: its MIPS reduction bakes in the global max
+    * corpus norm at fit time, which a later batch could invalidate — refit
+    * for ip. */
   def insert(newPoints: DataFrame, idCol: String = "vec_id",
       vecCol: String = "embedding"): FanoutModel = {
     require(params.metric != "ip",
       "incremental insert is not defined for metric=ip (fit-time norm augmentation); refit instead")
     val spark = shards.sparkSession
     import spark.implicits._
-    val nShards = shards.count().toInt
+    val s = numShardsFit
+    val rep2 = replicate2 && s >= 2
     val seed = params.seed
+    val kp = params
     val pts = newPoints
       .select(col(idCol).cast("long"), col(vecCol).cast("array<float>"))
       .as[(Long, Array[Float])]
     val (ptsT, _) = VamanaIndexer.metricTransform(pts, params)
-    val assigned = ptsT.groupByKey { case (id, _) =>
-      math.floorMod(MurmurHash3.productHash((id, seed)), nShards)
-    }
+    // the fit's exact assignment: s1 always; s2 too when the fit overlapped
+    val assigned = ptsT.flatMap { case (id, vec) =>
+      val h1 = MurmurHash3.productHash((id, seed))
+      val s1 = math.floorMod(h1, s)
+      if (!rep2) Seq((s1, id, vec))
+      else {
+        val h2 = MurmurHash3.productHash((id, seed + 1))
+        val s2 = math.floorMod(s1 + 1 + math.floorMod(h2, s - 1), s)
+        Seq((s1, id, vec), (s2, id, vec))
+      }
+    }.groupByKey(_._1)
     implicit val shardEnc: Encoder[(Int, LocalIndex)] =
       Encoders.tuple(Encoders.scalaInt, Encoders.kryo[LocalIndex])
     val updated = shards.groupByKey(_._1)
       .cogroup(assigned) { (shard, idxIt, newIt) =>
-        idxIt.map { case (_, idx) =>
-          val batch = newIt.toArray.sortBy(_._1)
+        val batch = newIt.toArray.sortBy(_._2)
+        val idxs = idxIt.toArray
+        if (idxs.isEmpty) {
+          // shard row gone (full-membership delete): rebuild it from the batch
+          if (batch.isEmpty) Iterator.empty
+          else Iterator.single((shard, VamanaKernel.build(
+            batch.map(_._2), batch.map(_._3), kp.copy(seed = kp.seed + shard))))
+        } else idxs.iterator.map { case (_, idx) =>
           (shard,
             if (batch.isEmpty) idx
-            else VamanaKernel.insert(idx, batch.map(_._1), batch.map(_._2)))
+            else VamanaKernel.insert(idx, batch.map(_._2), batch.map(_._3)))
         }
       }.cache()
     updated.count() // materialize once; the old model stays independently usable
-    new FanoutModel(updated, params)
+    new FanoutModel(updated, params, numShardsFit, replicate2)
   }
 
   /** Distributed delete: each shard drops its own members via
@@ -327,7 +358,9 @@ final class FanoutModel private[vamana] (
       else Iterator.single((shard, VamanaKernel.delete(idx, bc.value)))
     }.cache()
     updated.count()
-    new FanoutModel(updated, params)
+    // fit-time shard count is retained: routing stays in the fitted key
+    // space even when a shard row disappeared (insert recreates it)
+    new FanoutModel(updated, params, numShardsFit, replicate2)
   }
 
   /** S3 for the fanout path: one parquet of per-shard model rows (vectors +
@@ -345,9 +378,9 @@ final class FanoutModel private[vamana] (
       .write.mode("overwrite").partitionBy("shard").parquet(s"$path/shards")
     val p = params
     Seq((p.dim, p.maxDegree, p.beamWidth, p.alpha.toDouble, p.efSearch, p.seed,
-      p.paperPrune, p.metric))
+      p.paperPrune, p.metric, numShardsFit, replicate2))
       .toDF("dim", "max_degree", "beam_width", "alpha", "ef_search", "seed",
-        "paper_prune", "metric")
+        "paper_prune", "metric", "num_shards", "replicate2")
       .repartition(1).write.mode("overwrite").parquet(s"$path/params")
   }
 }
@@ -384,7 +417,8 @@ object FanoutModel {
         params.copy(seed = arr.head._7)))
     }.cache()
     shards.count() // materialize once, up front
-    new FanoutModel(shards, params)
+    new FanoutModel(shards, params,
+      p.getAs[Int]("num_shards"), p.getAs[Boolean]("replicate2"))
   }
 }
 
@@ -419,7 +453,7 @@ object VamanaFanout {
           kParams.copy(seed = seed + shard), par))
       }.cache()
     shards.count() // force the builds NOW, exactly once
-    new FanoutModel(shards, params = kParams)
+    new FanoutModel(shards, params = kParams, numShards, replicate2 = false)
   }
 
   /** One-shot fit+search (round-1 signature, kept for callers that want a
@@ -445,9 +479,16 @@ object VamanaFanout {
 final class VamanaModel private (
     private val localOpt: Option[LocalIndex],
     private val framesOpt: Option[ModelFrames],
-    private val fanoutOpt: Option[FanoutModel]) extends Serializable {
+    private val fanoutOpt: Option[FanoutModel],
+    /** Broadcast threshold the FIT was called with — the growth gate for
+      * local inserts. A custom-threshold fit gets a matching insert gate,
+      * not the library default. */
+    private val maxLocalPoints: Long) extends Serializable {
 
-  def this(index: LocalIndex) = this(Some(index), None, None)
+  def this(index: LocalIndex) = this(Some(index), None, None, VamanaIndexer.DefaultMaxLocalPoints)
+
+  def this(index: LocalIndex, maxLocalPoints: Long) =
+    this(Some(index), None, None, maxLocalPoints)
 
   /** True when the model never materialized a driver-side index. */
   def isDistributed: Boolean = localOpt.isEmpty
@@ -493,14 +534,15 @@ final class VamanaModel private (
       val pts = newPoints
         .select(col(idCol).cast("long"), col(vecCol).cast("array<float>"))
         .as[(Long, Array[Float])]
-      // the grown index must stay under the broadcast threshold — beyond it
-      // the model should have been (re)fit distributed in the first place
-      require(idx.size + pts.count() <= VamanaIndexer.DefaultMaxLocalPoints,
+      // the grown index must stay under the broadcast threshold the fit was
+      // called with — beyond it the model should have been (re)fit
+      // distributed in the first place
+      require(idx.size + pts.count() <= maxLocalPoints,
         "insert would grow the local index beyond maxLocalPoints; refit with shards " +
           "or serve via a fanout model")
       val (ptsT, _) = VamanaIndexer.metricTransform(pts, idx.params)
       val batch = ptsT.collect().sortBy(_._1)
-      new VamanaModel(VamanaKernel.insert(idx, batch.map(_._1), batch.map(_._2)))
+      new VamanaModel(VamanaKernel.insert(idx, batch.map(_._1), batch.map(_._2)), maxLocalPoints)
   }
 
   /** Delete by external id (FreshDiskANN semantics — the reference has no
@@ -508,7 +550,7 @@ final class VamanaModel private (
     * serving. Distributed models delete shard-locally and regenerate the
     * save-time frames from the surviving shards. */
   def delete(deleteIds: Array[Long]): VamanaModel = localOpt match {
-    case Some(idx) => new VamanaModel(VamanaKernel.delete(idx, deleteIds))
+    case Some(idx) => new VamanaModel(VamanaKernel.delete(idx, deleteIds), maxLocalPoints)
     case None =>
       val f = fanoutOpt.get.delete(deleteIds)
       val old = framesOpt.get
@@ -670,7 +712,7 @@ final class VamanaModel private (
 object VamanaModel {
 
   private[vamana] def distributed(frames: ModelFrames, fanout: FanoutModel): VamanaModel =
-    new VamanaModel(None, Some(frames), Some(fanout))
+    new VamanaModel(None, Some(frames), Some(fanout), VamanaIndexer.DefaultMaxLocalPoints)
 
   /** S2 (load, vamana.h:55-96): restore points/graph/params from parquet
     * into a broadcastable LocalIndex. Internal positions are persisted

@@ -106,6 +106,19 @@ class NativeExpressionSpec extends AnyFunSuite {
     assert(got(1L).length == 16 && got(1L).forall(v => v >= 0 && v < MinhashFamily.Prime))
   }
 
+  test("minhash of an empty shingle set is the all-Prime sentinel, not Long.MaxValue") {
+    import graft.functions.{MinhashFamily, MinhashSigs}
+    val s = MinhashFamily.sigsOf(Iterator.empty)
+    assert(s.length == 16 && s.forall(_ == MinhashFamily.Prime),
+      "empty input must yield the documented in-bound sentinel")
+    // the registered SQL function can receive empty arrays from any caller
+    import spark.implicits._
+    val viaSql = Seq((1L, Array.empty[String])).toDF("doc_id", "sh")
+      .select(MinhashSigs.minhashSigs(spark, col("sh")).as("sigs"))
+      .collect().head.getSeq[Long](0)
+    assert(viaSql.forall(_ == MinhashFamily.Prime))
+  }
+
   test("extension SQL builders reject wrong arity with an error naming the function") {
     import org.apache.spark.sql.catalyst.expressions.Literal
     for ((name, _, builder) <- GraftExtensions.functions) {

@@ -98,6 +98,32 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming asof keeps microsecond precision on sub-millisecond timestamps") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // minute boundary + a sub-millisecond offset: getTime-based arithmetic
+    // (millisecond truncation) would lose the 500-microsecond gap component
+    def tsMicro(minute: Int, micro: Int): Timestamp = {
+      val t = new Timestamp(minute * 60L * 1000L)
+      t.setNanos(micro * 1000)
+      t
+    }
+    val input = MemoryStream[Event]
+    val q = StreamingOps.streamingAsof(input.toDS())
+      .writeStream.format("memory").queryName("asof_micro_out")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        Event(1, tsMicro(1, 250), 1, "click", 7.0),
+        Event(2, tsMicro(2, 750), 1, "purchase", 1.0))
+      q.processAllAvailable()
+      val m = spark.table("asof_micro_out").as[AsofMatch].collect()
+        .map(x => x.event_id -> x.micros_since_match).toMap
+      assert(m(2L).contains(60L * 1000L * 1000L + 500L),
+        s"gap must be micro-exact (60s + 500us), got ${m(2L)}")
+    } finally q.stop()
+  }
+
   test("streaming minhash emits candidate pairs for near-dups, none for unrelated docs") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
