@@ -16,5 +16,6 @@ object GraftCaches {
     functions.NativeVectorFunctions.clearRegistry()
     functions.TextExpressions.clearRegistry()
     functions.MinhashSigs.clearRegistry()
+    functions.SimhashSig.clearRegistry()
   }
 }

@@ -227,12 +227,24 @@ object Dedup {
   private val HammingMax = 3
 
   /** 16-bit SimHash per doc: bit i is the sign of Σ over distinct shingles
-    * of (hexdigit_i(md5(shingle))·2 − 15). Portable: md5 + strpos exist
-    * identically in DuckDB. The digest is projected ONCE per shingle row;
-    * the 16 bit-sums then each take a one-char substring — md5 is the
-    * expensive part, and embedding it in every aggregate made this the
-    * slowest query in the round-1 bench (16x redundant hashing). */
-  def simhashSignatures(spark: SparkSession, dir: String): DataFrame = {
+    * of (hexdigit_i(md5(shingle))·2 − 15) — the shared
+    * [[graft.functions.SimhashFamily]] definition, computed by the codegen
+    * [[graft.functions.SimhashSig]] expression as a NARROW projection over
+    * the shingle arrays. The round-3 shape exploded every shingle row and
+    * shuffled it through a 16-bit-sum groupBy just to reassemble per-doc
+    * signatures — the exact exchange [[graft.functions.MinhashSigs]] deleted
+    * from the minhash stage; at corpus scale that shuffle was the whole cost
+    * of the stage. Bit-identity with the aggregate form (and the DuckDB
+    * oracle, which mirrors it) is spec-asserted. */
+  def simhashSignatures(spark: SparkSession, dir: String): DataFrame =
+    shingled(spark, dir)
+      .select(col("doc_id"),
+        graft.functions.SimhashSig.simhashSig(spark, col("sh")).as("sig"))
+
+  /** The round-3 aggregate pipeline (explode → md5 → 16 bit-sum aggregates
+    * → MSB-first fold) — kept as the spec twin that pins the narrow
+    * expression to the portable SQL arithmetic the oracle runs. */
+  private[graft] def simhashSignaturesAgg(spark: SparkSession, dir: String): DataFrame = {
     val ex = shingled(spark, dir).select(col("doc_id"), explode(col("sh")).as("s"))
       .select(col("doc_id"), md5(col("s")).as("h"))
     val bitSums = (0 until SimBits).map { i =>

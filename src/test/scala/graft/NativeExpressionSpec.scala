@@ -119,6 +119,23 @@ class NativeExpressionSpec extends AnyFunSuite {
     assert(viaSql.forall(_ == MinhashFamily.Prime))
   }
 
+  test("simhash_sig expression is codegen-compatible, bit-identical to the SQL aggregate form") {
+    import graft.functions.{SimhashFamily, SimhashSig}
+    assert(!SimhashSig(null).isInstanceOf[
+      org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback])
+    // the narrow expression must reproduce the portable aggregate pipeline
+    // (the arithmetic the DuckDB oracle runs) on the whole sf0.01 corpus
+    val d = "/root/testdata/sf0.01"
+    val narrow = graft.operators.Dedup.simhashSignatures(spark, d)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val agg = graft.operators.Dedup.simhashSignaturesAgg(spark, d)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(narrow.nonEmpty && narrow == agg,
+      "narrow simhash_sig must be bit-identical to the aggregate pipeline")
+    assert(narrow.values.forall(s => s >= 0 && s < (1 << SimhashFamily.Bits)))
+    assert(SimhashFamily.sigOf(Iterator.empty) == 0, "empty set: no positive bit")
+  }
+
   test("extension SQL builders reject wrong arity with an error naming the function") {
     import org.apache.spark.sql.catalyst.expressions.Literal
     for ((name, _, builder) <- GraftExtensions.functions) {
