@@ -45,7 +45,7 @@ object PipelineRegistry {
     mmJoin, mmBinaryStats, mmMediaFeatures,
     sampleHashQ, pipelineCleanQ, vocabTopKQ, lengthPctQ, embedNormalizeQ, tfIdfQ,
     asofJoinQ, sampleStratifiedQ, repetitionScoreQ, rangeJoinQ, dedupEmbSurvivorsQ,
-    docChunksQ, contaminationQ)
+    docChunksQ, contaminationQ, dedupParagraphQ)
 
   // ---- dedup ----------------------------------------------------------------
 
@@ -83,6 +83,28 @@ object PipelineRegistry {
       ${ngramPairsCtes(Dedup.DefaultMaxShingleDf)}
       SELECT id_a, id_b, round(jaccard, 4) AS jaccard
       FROM pr WHERE jaccard >= 0.2 ORDER BY id_a, id_b
+    """.trim))
+
+  /** Paragraph-level near-dup spans: the document-level `s` CTE swapped for
+    * one whose "documents" are packed (doc_id << 20 | para_idx) token
+    * windows — the pair CTEs are reused verbatim. */
+  private val dedupParagraphQ: (String, QFn, Option[String]) = (
+    "dedup_paragraph",
+    (s, d) => Dedup.dedupParagraph(s, d),
+    Some(s"""
+      WITH t AS ($toksCte),
+      w AS (SELECT doc_id, unnest(range(1, greatest(len(toks),1)+1, 32)) AS st, toks FROM t),
+      p AS (SELECT doc_id, CAST((st-1)//32 AS BIGINT) AS para_idx,
+                   list_slice(toks, st, st+31) AS ptoks FROM w),
+      s AS (SELECT doc_id * 1048576 + para_idx AS doc_id,
+                   list_distinct(list_transform(range(1, len(ptoks)-1),
+                     i -> ptoks[i] || ' ' || ptoks[i+1] || ' ' || ptoks[i+2])) AS sh
+            FROM p WHERE len(ptoks) >= 3),
+      ${ngramPairsCtes(Dedup.DefaultMaxShingleDf)},
+      d AS (SELECT id_b, min(id_a) AS dup_of FROM pr WHERE jaccard >= 0.5 GROUP BY id_b)
+      SELECT id_b // 1048576 AS doc_id, CAST(id_b % 1048576 AS BIGINT) AS para_idx,
+             dup_of // 1048576 AS dup_of_doc, CAST(dup_of % 1048576 AS BIGINT) AS dup_of_para
+      FROM d ORDER BY doc_id, para_idx
     """.trim))
 
   private val minhashSigSql: String = {
@@ -219,8 +241,14 @@ object PipelineRegistry {
 
   private val mmGzipQ: (String, QFn, Option[String]) = (
     "mm_gzip_roundtrip",
-    (s, d) => Multimodal.gzipRoundtrip(s, d),
-    None)
+    (s, d) => Multimodal.gzipRoundtripChecked(s, d),
+    Some("""
+      SELECT doc_id,
+             octet_length(encode(text))::BIGINT AS n_raw,
+             TRUE AS roundtrip_ok,
+             md5(text) AS orig_md5
+      FROM documents ORDER BY doc_id
+    """.trim))
 
   // ---- text analysis --------------------------------------------------------
 

@@ -144,10 +144,20 @@ object SparkEntry {
     (s, d) => graft.vamana.VamanaOps.vamanaSearchWithStart(s, d),
     None)
 
+  // Hash-checked: fit params are knowable constants of the registered
+  // pipeline ([[VamanaOps.defaultParams]]), data_size is a count over the
+  // source table; medoid_pos (float32-centroid-derived) is excluded.
   private val vamanaDescribeQ: (String, QFn, Option[String]) = (
     "vamana_describe",
     (s, d) => graft.vamana.VamanaOps.vamanaDescribe(s, d),
-    None)
+    Some("""
+      SELECT CAST(64 AS INTEGER) AS dim, CAST(32 AS INTEGER) AS max_degree,
+             CAST(64 AS INTEGER) AS beam_width, CAST(1.2 AS DOUBLE) AS alpha,
+             CAST(128 AS INTEGER) AS ef_search, CAST(42 AS BIGINT) AS seed,
+             FALSE AS paper_prune, 'l2' AS metric,
+             (SELECT count(*) FROM embeddings)::BIGINT AS data_size,
+             CAST(20000000 AS BIGINT) AS max_local_points
+    """.trim))
 
   private val vamanaDegreeQ: (String, QFn, Option[String]) = (
     "vamana_degree_check",

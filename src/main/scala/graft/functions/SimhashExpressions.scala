@@ -73,10 +73,14 @@ case class SimhashSig(child: Expression) extends UnaryExpression {
 
 object SimhashSig {
 
-  /** Static entry point shared by eval and generated code. */
+  /** Static entry point shared by eval and generated code. Null array
+    * elements are skipped, matching the SQL aggregate twin where
+    * md5(null) is null and the bit-sums ignore it. */
   def compute(arr: ArrayData): Int = {
     val n = arr.numElements()
-    val it = (0 until n).iterator.map(i => arr.getUTF8String(i).toString)
+    val it = (0 until n).iterator
+      .filterNot(arr.isNullAt)
+      .map(i => arr.getUTF8String(i).toString)
     SimhashFamily.sigOf(it)
   }
 

@@ -29,12 +29,17 @@ object Dedup {
   /** Whitespace tokens of lowercased text. */
   def tokens(text: Column): Column = split(lower(text), "\\s+")
 
-  /** Distinct word 3-gram shingles; callers must filter docs with >=3
-    * tokens (both engines agree on the guard). */
+  /** Distinct word 3-gram shingles. Total: under 3 tokens yields an empty
+    * array — Spark's `sequence(1, n-2)` DESCENDS when n < 3 (DuckDB's
+    * `range` is empty), and the optimizer may evaluate a projection before
+    * a caller's row filter (GeneratorNestedColumnAliasing), so the guard
+    * must live inside the expression. */
   def shingles(toks: Column): Column =
-    array_distinct(transform(
-      sequence(lit(1), size(toks) - 2),
-      i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1), element_at(toks, i + 2))))
+    when(size(toks) >= 3,
+      array_distinct(transform(
+        sequence(lit(1), size(toks) - 2),
+        i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1), element_at(toks, i + 2)))))
+      .otherwise(array().cast("array<string>"))
 
   /** doc_id + distinct-shingle array for all docs with >=3 tokens — cached
     * per (session, dir): five dedup queries share it, so the tokenize+
@@ -146,6 +151,43 @@ object Dedup {
       .where(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
       .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** Paragraph ids pack (doc_id, para_idx) into one long: doc_id << 20 |
+    * para_idx — 1M paragraphs per doc, doc ids to 2^43. Fixed-width longs
+    * keep the pair join identical to the document-level one. */
+  private val ParaShift = 1L << 20
+
+  /** Paragraph-granularity near-dup detection — document-level survivors
+    * still carry duplicated SPANS (boilerplate headers, quoted passages,
+    * templated sections), and real LLM corpus cleaning dedups those too.
+    * "Paragraphs" are non-overlapping `paraTokens`-token windows (the
+    * testdata corpus has no blank-line structure; for corpora that do,
+    * split on blank lines first and window only over-long paragraphs — the
+    * pair machinery below is granularity-agnostic). Each window becomes a
+    * packed (doc_id, para_idx) key and flows through the SAME
+    * shingle-surrogate + df-cutoff pair join as [[dedupNgramJaccard]];
+    * output rows are the duplicated paragraphs with their earliest
+    * (min-key) match. Scale posture matches the document path: keyed
+    * equi-joins only, hot-shingle cutoff, fixed-width long keys. */
+  def dedupParagraph(spark: SparkSession, dir: String, threshold: Double = 0.5,
+      paraTokens: Int = 32, maxDf: Int = DefaultMaxShingleDf): DataFrame = {
+    val paras = Tables.documents(spark, dir)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"),
+        posexplode(transform(
+          sequence(lit(1), greatest(size(col("toks")), lit(1)), lit(paraTokens)),
+          st => slice(col("toks"), st, lit(paraTokens)))).as(Seq("para_idx", "ptoks")))
+      .where(size(col("ptoks")) >= 3)
+      .select((col("doc_id") * ParaShift + col("para_idx")).as("doc_id"),
+        shingles(col("ptoks")).as("sh"))
+    ngramJaccardPairs(paras, threshold, maxDf)
+      .groupBy(col("id_b")).agg(min(col("id_a")).as("dup_of"))
+      .select(shiftright(col("id_b"), 20).as("doc_id"),
+        (col("id_b") % ParaShift).as("para_idx"),
+        shiftright(col("dup_of"), 20).as("dup_of_doc"),
+        (col("dup_of") % ParaShift).as("dup_of_para"))
+      .orderBy(col("doc_id"), col("para_idx"))
   }
 
   private val NumHashes = 16
@@ -283,10 +325,10 @@ object Dedup {
 
   /** Dedup survivors: connected components over the near-dup pair graph,
     * canonical id = min doc_id in the component. Iterative min-label
-    * propagation with keyed joins only — converges in O(component diameter)
-    * rounds (near-dup clusters are shallow; bounded at 20). For
-    * pathological long-chain graphs swap in large-star/small-star; the
-    * join pattern is identical. Docs in no pair keep themselves. */
+    * propagation with pointer-jumping, keyed joins only — converges to
+    * fixpoint in O(log diameter) rounds, so pathological long-chain graphs
+    * (boilerplate chains at 100 TB) resolve correctly, not just shallow
+    * clusters. Docs in no pair keep themselves. */
   /** True duplicate pairs are a vanishing fraction of the corpus, so the
     * edge set is almost always tiny even at 100 TB — below this many pairs
     * we union-find on the driver (one collect of the PAIRS, never the
@@ -334,27 +376,44 @@ object Dedup {
         val resolved = parent.keys.map(k => (k, find(k))).toSeq
         spark.createDataFrame(resolved).toDF("doc_id", "canonical_id")
       } else {
-        // distributed path: min-label propagation over edge-touched nodes
-        val edges = pairs.union(pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b"))).cache()
+        // distributed path: min-label propagation + pointer-jumping over
+        // edge-touched nodes, run to FIXPOINT. The jump step (adopt the
+        // label of your current canonical) halves pointer-chain depth each
+        // round, so even boilerplate duplicate chains of diameter d
+        // converge in O(log d) rounds — no silent truncation. The 64-round
+        // cap is an infinite-loop guard only: the min-label lattice is
+        // finite and strictly decreasing, so changed==0 is guaranteed; if
+        // the guard ever fires we fail loudly rather than emit wrong ids.
+        val edges = pairs.union(pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
+          .localCheckpoint(true)
         var ls = edges.select(col("id_a").as("doc_id")).distinct()
-          .select(col("doc_id"), col("doc_id").as("canonical_id")).cache()
+          .select(col("doc_id"), col("doc_id").as("canonical_id"))
+          .localCheckpoint(true)
         var changed = 1L
         var rounds = 0
-        while (changed > 0 && rounds < 20) {
+        while (changed > 0 && rounds < 64) {
           val nbrMin = edges
             .join(ls.select(col("doc_id").as("id_b"), col("canonical_id").as("nl")), "id_b")
             .groupBy(col("id_a").as("doc_id"))
             .agg(min(col("nl")).as("nbr_min"))
-          val updated = ls.join(nbrMin, Seq("doc_id"), "left")
+          val stepped = ls.join(nbrMin, Seq("doc_id"), "left")
             .select(col("doc_id"),
               least(col("canonical_id"), coalesce(col("nbr_min"), col("canonical_id"))).as("canonical_id"))
-            .cache()
-          changed = updated.join(ls.withColumnRenamed("canonical_id", "old"), "doc_id")
+          // pointer jumping: canonical_id := label(canonical_id). Every
+          // label is itself an edge-touched doc_id, so the self-join map
+          // covers it; coalesce guards the root (label(x)=x) rows anyway.
+          val jumpMap = stepped.select(col("doc_id").as("__jid"), col("canonical_id").as("__jlbl"))
+          val jumped = stepped.join(jumpMap, col("canonical_id") === col("__jid"), "left")
+            .select(col("doc_id"),
+              least(col("canonical_id"), coalesce(col("__jlbl"), col("canonical_id"))).as("canonical_id"))
+            .localCheckpoint(true)
+          changed = jumped.join(ls.withColumnRenamed("canonical_id", "old"), "doc_id")
             .where(col("canonical_id") =!= col("old")).count()
-          ls.unpersist()
-          ls = updated
+          ls = jumped
           rounds += 1
         }
+        require(changed == 0,
+          s"survivorsOf min-label propagation failed to converge after $rounds rounds")
         ls
       }
     val untouched = universe

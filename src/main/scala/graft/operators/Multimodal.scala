@@ -221,6 +221,28 @@ object Multimodal {
       .orderBy(col("doc_id"))
   }
 
+  /** The oracle-checkable face of the gzip roundtrip: gzip bytes are
+    * JVM-specific, but the DECOMPRESSED payload is not — emit its md5 and
+    * let DuckDB recompute the same digest from the parquet text, so a
+    * hash-match proves decompression fidelity cross-engine (n_gzip/ratio
+    * stay on [[gzipRoundtrip]], the JVM-specific API). */
+  def gzipRoundtripChecked(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), encode(col("text"), "utf-8").as("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, raw) =>
+          val back = gunzipBytes(gzipBytes(raw))
+          (id, raw.length.toLong, java.util.Arrays.equals(raw, back), back)
+        }
+      }
+      .toDF("doc_id", "n_raw", "roundtrip_ok", "back")
+      .select(col("doc_id"), col("n_raw"), col("roundtrip_ok"),
+        md5(col("back")).as("orig_md5"))
+      .orderBy(col("doc_id"))
+  }
+
   /** The registered query: features over the documents table's payloads
     * (utf-8 text blobs → `raw`) — rows-only check; format parsing is
     * spec-gated with synthetic headers (MultimodalSpec/PipelineSpec). */

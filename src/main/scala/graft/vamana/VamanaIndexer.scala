@@ -417,8 +417,16 @@ object FanoutModel {
         params.copy(seed = arr.head._7)))
     }.cache()
     shards.count() // materialize once, up front
-    new FanoutModel(shards, params,
-      p.getAs[Int]("num_shards"), p.getAs[Boolean]("replicate2"))
+    // num_shards/replicate2 entered the params schema after the first
+    // checkpoint format shipped; older saves lack them, so fall back to
+    // the observable shard count / non-replicated rather than failing.
+    val fields = p.schema.fieldNames.toSet
+    val numShardsFit =
+      if (fields.contains("num_shards")) p.getAs[Int]("num_shards")
+      else shards.count().toInt
+    val rep2 =
+      if (fields.contains("replicate2")) p.getAs[Boolean]("replicate2") else false
+    new FanoutModel(shards, params, numShardsFit, rep2)
   }
 }
 
@@ -636,9 +644,9 @@ final class VamanaModel private (
       case Some(idx) =>
         val p = idx.params
         Seq((p.dim, p.maxDegree, p.beamWidth, p.alpha.toDouble, p.efSearch, p.seed,
-          p.paperPrune, p.metric, idx.medoid, idx.size.toLong))
+          p.paperPrune, p.metric, idx.medoid, idx.size.toLong, maxLocalPoints))
           .toDF("dim", "max_degree", "beam_width", "alpha", "ef_search", "seed",
-            "paper_prune", "metric", "medoid_pos", "data_size")
+            "paper_prune", "metric", "medoid_pos", "data_size", "max_local_points")
       case None =>
         val f = framesOpt.get
         val pts = f.points.select(col("id").cast("long"), col("vec").cast("array<float>"))
@@ -648,9 +656,9 @@ final class VamanaModel private (
         val n = f.points.count()
         val p = f.params
         Seq((p.dim, p.maxDegree, p.beamWidth, p.alpha.toDouble, p.efSearch, p.seed,
-          p.paperPrune, p.metric, medoidPos, n))
+          p.paperPrune, p.metric, medoidPos, n, maxLocalPoints))
           .toDF("dim", "max_degree", "beam_width", "alpha", "ef_search", "seed",
-            "paper_prune", "metric", "medoid_pos", "data_size")
+            "paper_prune", "metric", "medoid_pos", "data_size", "max_local_points")
     }
   }
 
@@ -731,6 +739,11 @@ object VamanaModel {
       seed = p.getAs[Long]("seed"),
       paperPrune = p.getAs[Boolean]("paper_prune"),
       metric = p.getAs[String]("metric"))
+    // max_local_points joined the params schema later; older saves fall
+    // back to the default rather than failing (same policy as fanout load).
+    val maxLocal =
+      if (p.schema.fieldNames.contains("max_local_points")) p.getAs[Long]("max_local_points")
+      else VamanaIndexer.DefaultMaxLocalPoints
     val pts = spark.read.parquet(s"$path/points")
       .select(col("pos"), col("id"), col("vec").cast("array<float>"))
       .as[(Int, Long, Array[Float])].collect().sortBy(_._1)
@@ -740,6 +753,7 @@ object VamanaModel {
       .select(col("pos"), col("neighbors"))
       .as[(Int, Array[Long])].collect().sortBy(_._1)
       .map(_._2.flatMap(pos.get(_)))
-    new VamanaModel(new LocalIndex(ids, pts.map(_._3), graph, p.getAs[Int]("medoid_pos"), params))
+    new VamanaModel(
+      new LocalIndex(ids, pts.map(_._3), graph, p.getAs[Int]("medoid_pos"), params), maxLocal)
   }
 }

@@ -108,7 +108,8 @@ object VamanaOps {
   def vamanaRoundtrip(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val m = model(spark, dir)
-    val tmp = s"/tmp/graft_roundtrip_${math.abs(dir.hashCode)}"
+    // unique per-run dir: hashCode-derived paths collide across datasets
+    val tmp = java.nio.file.Files.createTempDirectory("graft_roundtrip_").toString
     m.save(spark, tmp)
     val loaded = VamanaModel.load(spark, tmp)
     val emb = Tables.embeddings(spark, dir)
@@ -132,9 +133,16 @@ object VamanaOps {
     model(spark, dir).searchWithStartPoint(q.join(s, "query_id"), 10)
   }
 
-  /** M1 introspection (vamana.h:41-53) as a one-row query. */
+  /** M1 introspection (vamana.h:41-53) as a one-row query. The registered
+    * query drops `medoid_pos` (derived from the float32 centroid — not
+    * portably SQL-expressible) and rounds alpha, so every remaining column
+    * is reproducible by the DuckDB oracle: fit params are knowable
+    * constants, data_size is a count over the source table. The full
+    * [[VamanaModel.describe]] (with medoid_pos) stays the API surface. */
   def vamanaDescribe(spark: SparkSession, dir: String): DataFrame =
     model(spark, dir).describe(spark)
+      .withColumn("alpha", round(col("alpha"), 4))
+      .drop("medoid_pos")
 
   /** M2 degree health check over ALL nodes (fixes the reference's dead
     * 10-node sample, vamana.h:705-720). */

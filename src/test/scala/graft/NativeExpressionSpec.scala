@@ -136,6 +136,17 @@ class NativeExpressionSpec extends AnyFunSuite {
     assert(SimhashFamily.sigOf(Iterator.empty) == 0, "empty set: no positive bit")
   }
 
+  test("simhash_sig skips null array elements (matches SQL aggregate null-skip, no NPE)") {
+    import graft.functions.SimhashSig
+    import spark.implicits._
+    val withNull = Seq((1L, Seq(Some("alpha"), None, Some("beta"))))
+      .toDF("doc_id", "shingles")
+    val without = Seq((1L, Seq("alpha", "beta"))).toDF("doc_id", "shingles")
+    val a = withNull.select(SimhashSig.simhashSig(spark, col("shingles"))).head().getInt(0)
+    val b = without.select(SimhashSig.simhashSig(spark, col("shingles"))).head().getInt(0)
+    assert(a == b, "null shingles must be ignored, not NPE or perturb the signature")
+  }
+
   test("extension SQL builders reject wrong arity with an error naming the function") {
     import org.apache.spark.sql.catalyst.expressions.Literal
     for ((name, _, builder) <- GraftExtensions.functions) {

@@ -68,6 +68,21 @@ class PipelineSpec extends AnyFunSuite {
     assert(driverPath.nonEmpty)
   }
 
+  test("distributed CC converges on a path graph of diameter > 20 (the old round cap)") {
+    import spark.implicits._
+    // path 0-1-2-...-60 (diameter 60) plus a disjoint pair {100,101}: the
+    // pre-fix 20-round min-label loop would leave the chain's tail labeled
+    // wrong; pointer-jumping must resolve every node to the component min.
+    val pathPairs = (0L until 60L).map(i => (i, i + 1)) :+ (100L, 101L)
+    val pairFrame = pathPairs.toDF("id_a", "id_b")
+    val universe = ((0L to 61L) ++ Seq(100L, 101L, 200L)).toDF("doc_id")
+    val out = Dedup.survivorsOf(spark, pairFrame, universe, driverCcMaxPairs = 0)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (0L to 60L).foreach(i => assert(out(i) == 0L, s"node $i labeled ${out(i)}"))
+    assert(out(100L) == 100L && out(101L) == 100L)
+    assert(out(200L) == 200L, "untouched doc keeps itself")
+  }
+
   test("pq ADC search recall@10 >= 0.5 vs exact kNN; codes are m-ary") {
     val pq = Quantization.pqSearch(spark, dir)
       .select("query_id", "id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet

@@ -69,6 +69,30 @@ class VamanaModelSpec extends AnyFunSuite {
     assert(a == b, "loaded index must search identically")
   }
 
+  test("save/load preserves a custom maxLocalPoints insert gate") {
+    val model = VamanaIndexer.fit(Tables.embeddings(spark, dir), params, maxLocalPoints = 777L)
+    val tmp = java.nio.file.Files.createTempDirectory("vamana_mlp").toString
+    model.save(spark, tmp)
+    val loaded = VamanaModel.load(spark, tmp)
+    val mlp = loaded.describe(spark).select("max_local_points").head().getLong(0)
+    assert(mlp == 777L, s"custom threshold lost on roundtrip: $mlp")
+  }
+
+  test("fanout load tolerates pre-num_shards/replicate2 param saves (checkpoint back-compat)") {
+    import org.apache.spark.sql.functions.col
+    val fm = VamanaFanout.fit(Tables.embeddings(spark, dir), params, numShards = 3)
+    val tmp = java.nio.file.Files.createTempDirectory("vamana_oldfmt").toString
+    fm.save(tmp)
+    // rewrite the params file the way the first checkpoint format wrote it
+    val old = spark.read.parquet(s"$tmp/params").drop("num_shards", "replicate2")
+    val tmp2 = java.nio.file.Files.createTempDirectory("vamana_oldfmt2").toString
+    spark.read.parquet(s"$tmp/shards").write.parquet(s"$tmp2/shards")
+    old.repartition(1).write.parquet(s"$tmp2/params")
+    val loaded = FanoutModel.load(spark, tmp2)
+    val got = loaded.search(perturbedQueries(5), 5)
+    assert(got.count() == 25, "old-format fanout model must still load and search")
+  }
+
   test("shard-fanout search reaches recall@10 >= 0.8 with 3 shards (no broadcast model)") {
     val queries = perturbedQueries(30).cache()
     val truth = Knn.knnExact(Tables.embeddings(spark, dir), queries, 10)
