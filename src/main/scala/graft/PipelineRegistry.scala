@@ -45,7 +45,7 @@ object PipelineRegistry {
     mmJoin, mmBinaryStats, mmMediaFeatures,
     sampleHashQ, pipelineCleanQ, vocabTopKQ, lengthPctQ, embedNormalizeQ, tfIdfQ,
     asofJoinQ, sampleStratifiedQ, repetitionScoreQ, rangeJoinQ, dedupEmbSurvivorsQ,
-    docChunksQ, contaminationQ, dedupParagraphQ)
+    docChunksQ, contaminationQ, dedupParagraphQ, mmImageDecodeQ)
 
   // ---- dedup ----------------------------------------------------------------
 
@@ -248,6 +248,30 @@ object PipelineRegistry {
              TRUE AS roundtrip_ok,
              md5(text) AS orig_md5
       FROM documents ORDER BY doc_id
+    """.trim))
+
+  /** Pixel decode hash-checked end to end: the query encodes doc bytes as a
+    * real k×1 P6 PPM, decodes the pixels back, and emits per-channel
+    * mean/σ; the oracle reproduces the identical integers from `ord()` over
+    * the text (channel sums are exact longs → identical doubles). */
+  private val mmImageDecodeQ: (String, QFn, Option[String]) = (
+    "mm_image_decode",
+    (s, d) => Multimodal.imageDecode(s, d),
+    Some("""
+      WITH kk AS (SELECT doc_id, text, len(text)//3 AS k FROM documents WHERE len(text) >= 3),
+      px AS (SELECT doc_id, k, text, unnest(range(1, 3*k+1)) AS i FROM kk),
+      v AS (SELECT doc_id, k, CAST((i-1)%3 AS INT) AS ch, ord(substr(text, CAST(i AS INT), 1)) AS b FROM px),
+      a AS (SELECT doc_id, any_value(k) AS k,
+              sum(b) FILTER (WHERE ch=0)::BIGINT AS s_r, sum(b*b) FILTER (WHERE ch=0)::BIGINT AS q_r,
+              sum(b) FILTER (WHERE ch=1)::BIGINT AS s_g, sum(b*b) FILTER (WHERE ch=1)::BIGINT AS q_g,
+              sum(b) FILTER (WHERE ch=2)::BIGINT AS s_b, sum(b*b) FILTER (WHERE ch=2)::BIGINT AS q_b
+            FROM v GROUP BY doc_id)
+      SELECT doc_id, 'ppm' AS media_type, k::BIGINT AS width, CAST(1 AS BIGINT) AS height,
+        round(s_r::DOUBLE/k, 4) AS mean_r, round(s_g::DOUBLE/k, 4) AS mean_g, round(s_b::DOUBLE/k, 4) AS mean_b,
+        round(sqrt(q_r::DOUBLE/k - (s_r::DOUBLE/k)*(s_r::DOUBLE/k)), 4) AS sd_r,
+        round(sqrt(q_g::DOUBLE/k - (s_g::DOUBLE/k)*(s_g::DOUBLE/k)), 4) AS sd_g,
+        round(sqrt(q_b::DOUBLE/k - (s_b::DOUBLE/k)*(s_b::DOUBLE/k)), 4) AS sd_b
+      FROM a ORDER BY doc_id
     """.trim))
 
   // ---- text analysis --------------------------------------------------------

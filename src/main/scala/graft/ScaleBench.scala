@@ -1,0 +1,97 @@
+package graft
+
+import scala.util.Random
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.Knn
+import graft.vamana._
+
+/** 10×-and-beyond scale evidence for the sharded ANN design. The reference
+  * benches 10k points in one process (main.cpp:33-36); this drives the
+  * DISTRIBUTED build/serve path (`VamanaFanout.fit` → `FanoutModel.search`)
+  * at n=100k+ synthetic points and reports, per shard count: build
+  * wall-time, 100-query search latency, and recall@10 against exact kNN —
+  * the concrete proof that the shard fanout (not just the plan shapes)
+  * scales. The corpus is generated DISTRIBUTED (seeded per-id RNG inside
+  * mapPartitions — never materialized on the driver), exactly how a 100 TB
+  * corpus would enter the fit.
+  *
+  * Usage: runMain graft.ScaleBench [n] [dim] [shardList] [cpus]
+  * e.g.   runMain graft.ScaleBench 100000 64 4,8,16 32
+  * Prints one JSON line per shard count; recorded in BASELINE_REPRO.md.
+  */
+object ScaleBench {
+
+  /** Deterministic corpus: vector j of point id = seeded by id alone, so
+    * the data is identical for any partitioning/parallelism. */
+  def syntheticPoints(spark: SparkSession, n: Long, dim: Int): DataFrame = {
+    import spark.implicits._
+    spark.range(n)
+      .as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val rng = new Random(id * 0x9e3779b97f4a7c15L + 42L)
+          (id, Array.fill(dim)(rng.nextFloat() * 2 - 1))
+        }
+      }
+      .toDF("vec_id", "embedding")
+  }
+
+  /** Stored vectors 0..nQ-1 perturbed by seeded noise — answerable but not
+    * trivially identical to a stored point. */
+  def perturbedQueries(spark: SparkSession, pts: DataFrame, nQ: Int): DataFrame = {
+    import spark.implicits._
+    pts.where(col("vec_id") < nQ)
+      .as[(Long, Array[Float])]
+      .map { case (id, v) =>
+        val rng = new Random(777 + id)
+        (id, v.map(x => x + (rng.nextFloat() - 0.5f) * 0.05f))
+      }
+      .toDF("query_id", "query_vec")
+  }
+
+  def main(args: Array[String]): Unit = {
+    val n = args.headOption.map(_.toLong).getOrElse(100000L)
+    val dim = args.lift(1).map(_.toInt).getOrElse(64)
+    val shardCounts = args.lift(2).map(_.split(",").map(_.toInt).toSeq).getOrElse(Seq(4, 8, 16))
+    val cpus = args.lift(3).map(_.toInt)
+      .orElse(sys.env.get("SPARK_GRAFT_CPUS").map(_.toInt)).getOrElse(32)
+    val k = 10
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val pts = syntheticPoints(spark, n, dim).repartition(cpus).cache()
+    pts.count()
+    val queries = perturbedQueries(spark, pts, 100).cache()
+    queries.count()
+    val truth = Knn.knnExact(pts, queries, k).cache()
+    truth.count()
+    val params = VamanaParams(dim = dim, maxDegree = 32, beamWidth = 64,
+      alpha = 1.2f, efSearch = 128)
+
+    for (s <- shardCounts) {
+      val t0 = System.nanoTime()
+      val fm = VamanaFanout.fit(pts, params, numShards = s)
+      val buildSec = (System.nanoTime() - t0) / 1e9 // fit materializes the shard cache
+      val t1 = System.nanoTime()
+      val got = fm.search(queries, k).cache()
+      got.count()
+      val searchSec = (System.nanoTime() - t1) / 1e9
+      val recall = Knn.recallAt(k, got, truth)
+      got.unpersist()
+      fm.unpersist()
+      println(
+        s"""{"n":$n,"dim":$dim,"shards":$s,"cpus":$cpus,"R":32,"L":64,"ef":128,""" +
+        s""""build_sec":${math.rint(buildSec * 100) / 100},""" +
+        s""""search_100q_sec":${math.rint(searchSec * 100) / 100},""" +
+        s""""recall_at_10":${math.rint(recall * 1e4) / 1e4}}""")
+    }
+    spark.stop()
+  }
+}

@@ -181,6 +181,155 @@ object Multimodal {
       .orderBy(col("doc_id"))
   }
 
+  /** Decoded per-channel pixel statistics. Sums are EXACT longs (byte
+    * values, so any summation order gives the same integer), which is what
+    * makes the derived mean/σ bit-identical across engines. */
+  case class ImageStats(doc_id: Long, media_type: String, width: Long, height: Long,
+      mean_r: Double, mean_g: Double, mean_b: Double,
+      sd_r: Double, sd_g: Double, sd_b: Double)
+
+  /** Real pixel decode — the step [[decode]] leaves to a codec:
+    *  - PPM (P6): header + RAW RGB triplets, pure byte arithmetic
+    *  - BMP: 24-bit uncompressed BGR rows (4-byte padded), byte arithmetic
+    *  - PNG/JPEG: the JDK's own `javax.imageio` readers (public platform
+    *    API, no external codec)
+    * Returns (type, w, h, per-channel sums, per-channel sums of squares,
+    * n_pixels); None for payloads that are not decodable images. */
+  private[operators] def decodePixels(payload: Array[Byte])
+      : Option[(String, Long, Long, Array[Long], Array[Long], Long)] = {
+    val sums = new Array[Long](3)
+    val sumsq = new Array[Long](3)
+    def add(ch: Int, v: Int): Unit = { sums(ch) += v; sumsq(ch) += v.toLong * v }
+    if (ascii(payload, 0, 2) == "P6") {
+      var off = 2
+      def nextInt(): Long = {
+        while (off < payload.length &&
+          (payload(off).toChar.isWhitespace || payload(off) == '#')) {
+          if (payload(off) == '#') while (off < payload.length && payload(off) != '\n') off += 1
+          else off += 1
+        }
+        var v = 0L
+        while (off < payload.length && payload(off) >= '0' && payload(off) <= '9') {
+          v = v * 10 + (payload(off) - '0'); off += 1
+        }
+        v
+      }
+      val w = nextInt(); val h = nextInt(); val maxv = nextInt()
+      off += 1 // exactly ONE whitespace byte separates maxval from pixel data
+      val nPix = w * h
+      if (w <= 0 || h <= 0 || maxv <= 0 || maxv > 255 ||
+        off + nPix * 3 > payload.length) None
+      else {
+        var p = 0L
+        while (p < nPix) {
+          val base = off + (p * 3).toInt
+          add(0, payload(base) & 0xff); add(1, payload(base + 1) & 0xff)
+          add(2, payload(base + 2) & 0xff)
+          p += 1
+        }
+        Some(("ppm", w, h, sums, sumsq, nPix))
+      }
+    } else if (ascii(payload, 0, 2) == "BM" && payload.length >= 34) {
+      val dataOff = leU32(payload, 10).toInt
+      val w = leU32(payload, 18)
+      val hRaw = leU32(payload, 22).toInt // negative = top-down; sign only flips row ORDER
+      val h = math.abs(hRaw).toLong
+      val bpp = leU16(payload, 28)
+      val compression = if (payload.length >= 34) leU32(payload, 30) else -1L
+      val rowSize = ((bpp * w + 31) / 32) * 4
+      if (bpp != 24 || compression != 0L || w <= 0 || h <= 0 ||
+        dataOff + rowSize * h > payload.length) None
+      else {
+        var row = 0
+        while (row < h) {
+          var x = 0
+          while (x < w) {
+            val base = dataOff + row * rowSize.toInt + x * 3
+            // BMP stores BGR
+            add(2, payload(base) & 0xff); add(1, payload(base + 1) & 0xff)
+            add(0, payload(base + 2) & 0xff)
+            x += 1
+          }
+          row += 1
+        }
+        Some(("bmp", w, h, sums, sumsq, w * h))
+      }
+    } else if ((payload.length >= 4 && (payload(0) & 0xff) == 0x89 && ascii(payload, 1, 3) == "PNG") ||
+      (payload.length >= 3 && (payload(0) & 0xff) == 0xff && (payload(1) & 0xff) == 0xd8)) {
+      val tpe = if ((payload(0) & 0xff) == 0x89) "png" else "jpeg"
+      try {
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+        if (img == null) None
+        else {
+          val w = img.getWidth; val h = img.getHeight
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val rgb = img.getRGB(x, y)
+              add(0, (rgb >> 16) & 0xff); add(1, (rgb >> 8) & 0xff); add(2, rgb & 0xff)
+              x += 1
+            }
+            y += 1
+          }
+          Some((tpe, w.toLong, h.toLong, sums, sumsq, w.toLong * h))
+        }
+      } catch { case _: Exception => None }
+    } else None
+  }
+
+  /** Half-up to 4 places — matches SQL `round()` in both engines. */
+  private def r4(x: Double): Double = math.floor(x * 1e4 + 0.5) / 1e4
+
+  private def statsFrom(docId: Long)(
+      d: (String, Long, Long, Array[Long], Array[Long], Long)): ImageStats = {
+    val (tpe, w, h, sums, sumsq, n) = d
+    def mean(c: Int) = sums(c).toDouble / n
+    def sd(c: Int) = math.sqrt(sumsq(c).toDouble / n - mean(c) * mean(c))
+    ImageStats(docId, tpe, w, h,
+      r4(mean(0)), r4(mean(1)), r4(mean(2)), r4(sd(0)), r4(sd(1)), r4(sd(2)))
+  }
+
+  /** Partition-parallel pixel-stat extraction over any (doc_id, payload)
+    * frame — undecodable payloads are dropped (a real pipeline's quality
+    * filter); the spec drives PNG/BMP/JPEG through it with JDK-encoded
+    * synthetic images. */
+  def imageStatsOf(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col("doc_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, bytes) => decodePixels(bytes).map(statsFrom(id)) }
+      }
+      .toDF()
+      .orderBy(col("doc_id"))
+  }
+
+  /** The registered query: encode each document's utf-8 bytes as a real P6
+    * PPM (k×1 RGB image, k = ⌊bytes/3⌋ — a deterministic "fake" payload in
+    * the sense that the IMAGE content is synthesized from text, while the
+    * container encode → decode → stats plumbing is fully real), then
+    * decode the pixels back and emit per-channel mean/σ. Channel sums are
+    * exact integers, so DuckDB reproduces the identical statistics straight
+    * from `ord()` over the text — pixel decode is hash-checked end to end. */
+  def imageDecode(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val src = Tables.documents(spark, dir)
+      .where(length(col("text")) >= 3)
+      .select(col("doc_id"), encode(col("text"), "utf-8").as("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, raw) =>
+          val k = raw.length / 3
+          val header = s"P6\n$k 1\n255\n".getBytes("US-ASCII")
+          (id, header ++ raw.take(k * 3))
+        }
+      }
+      .toDF("doc_id", "payload")
+    imageStatsOf(src)
+  }
+
   private def gzipBytes(raw: Array[Byte]): Array[Byte] = {
     val bos = new java.io.ByteArrayOutputStream()
     val gz = new java.util.zip.GZIPOutputStream(bos)

@@ -95,6 +95,14 @@ object Temporal {
   def asofJoinFrames(left: DataFrame, right: DataFrame,
       keyCol: String = "user_id", tsCol: String = "ts",
       valueCol: String = "asof_value"): DataFrame = {
+    // the union-tag rewrite owns these names; a left payload column with
+    // one of them would silently shadow the merge state — fail loudly
+    val internal = Set("__tag", "__rv", "__mv", "__mts", valueCol, "micros_since_match")
+    val clashes = left.columns.filterNot(c => c == keyCol || c == tsCol).filter(internal)
+    require(clashes.isEmpty,
+      s"asofJoinFrames: left payload column(s) ${clashes.mkString(", ")} collide with " +
+        s"the join's output/internal names ($valueCol, micros_since_match, __tag/__rv/__mv/__mts); " +
+        "rename them before joining")
     val payload = left.columns.filterNot(c => c == keyCol || c == tsCol)
     val rTagged = right.select(
       Seq(col(keyCol), col(tsCol), lit(0).as("__tag"), col(valueCol).as("__rv")) ++

@@ -221,6 +221,23 @@ class PipelineSpec extends AnyFunSuite {
     assert(got(103L) == ((None, None, "d")), "sensor with no history stays null")
   }
 
+  test("asofJoinFrames rejects payload columns that collide with its output/internal names") {
+    import spark.implicits._
+    def ts(m: Int) = new java.sql.Timestamp(m * 60000L)
+    val right = Seq((7L, ts(0), 1.0)).toDF("sensor_id", "ts", "cal")
+    val badLeft = Seq((100L, 7L, ts(4), 0.5)).toDF("m_id", "sensor_id", "ts", "cal")
+    val e = intercept[IllegalArgumentException] {
+      operators.Temporal.asofJoinFrames(badLeft, right,
+        keyCol = "sensor_id", tsCol = "ts", valueCol = "cal")
+    }
+    assert(e.getMessage.contains("cal"), s"error must name the clash: ${e.getMessage}")
+    val badTag = Seq((100L, 7L, ts(4), 1)).toDF("m_id", "sensor_id", "ts", "__tag")
+    intercept[IllegalArgumentException] {
+      operators.Temporal.asofJoinFrames(badTag, right,
+        keyCol = "sensor_id", tsCol = "ts", valueCol = "cal")
+    }
+  }
+
   test("stratified sample: exactly min(perLang, stratum size) docs per lang, deterministic") {
     import org.apache.spark.sql.functions.col
     val docs = graft.core.Tables.documents(spark, dir)
@@ -306,6 +323,40 @@ class PipelineSpec extends AnyFunSuite {
     val survivors = Dedup.dedupExact(spark, dir).collect().map(_.getLong(0)).toSet
     assert(cleaned.keySet.subsetOf(en), "language filter")
     assert(cleaned.keySet.subsetOf(survivors), "exact-dedup survivorship")
+  }
+
+  test("pixel decode: PPM/BMP byte paths and PNG imageio path agree on a known image") {
+    import spark.implicits._
+    // 2x2 image with known channel stats: pixels (R,G,B) =
+    // (10,20,30) (40,50,60) (70,80,90) (100,110,120)
+    val pix = Array(
+      (10, 20, 30), (40, 50, 60), (70, 80, 90), (100, 110, 120))
+    val meanR = (10 + 40 + 70 + 100) / 4.0
+    val img = new java.awt.image.BufferedImage(2, 2, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for ((c, i) <- pix.zipWithIndex)
+      img.setRGB(i % 2, i / 2, (c._1 << 16) | (c._2 << 8) | c._3)
+    def enc(fmt: String): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, fmt, bos)
+      bos.toByteArray
+    }
+    val ppm = "P6\n2 2\n255\n".getBytes("US-ASCII") ++
+      pix.flatMap(c => Array(c._1.toByte, c._2.toByte, c._3.toByte))
+    val frame = Seq((1L, ppm), (2L, enc("png")), (3L, enc("bmp")),
+      (4L, "not an image".getBytes)).toDF("doc_id", "payload")
+    val rows = Multimodal.imageStatsOf(frame).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[String]("media_type"), r.getAs[Long]("width"), r.getAs[Long]("height"),
+          r.getAs[Double]("mean_r"), r.getAs[Double]("mean_g")))).toMap
+    assert(!rows.contains(4L), "non-image payloads are dropped")
+    assert(rows(1L) == (("ppm", 2L, 2L, meanR, meanR + 10)))
+    assert(rows(2L) == (("png", 2L, 2L, meanR, meanR + 10)), "PNG decode is lossless")
+    assert(rows(3L) == (("bmp", 2L, 2L, meanR, meanR + 10)), "BMP byte-path decode")
+    // JPEG is lossy: stats must exist and be within a loose band
+    val jpg = Seq((5L, enc("jpg"))).toDF("doc_id", "payload")
+    val j = Multimodal.imageStatsOf(jpg).collect()
+    assert(j.length == 1 && j(0).getAs[String]("media_type") == "jpeg")
+    assert(math.abs(j(0).getAs[Double]("mean_r") - meanR) < 40.0)
   }
 
   test("gzip roundtrip: integrity holds on every doc and text compresses") {
