@@ -45,7 +45,7 @@ object PipelineRegistry {
     mmJoin, mmBinaryStats, mmMediaFeatures,
     sampleHashQ, pipelineCleanQ, vocabTopKQ, lengthPctQ, embedNormalizeQ, tfIdfQ,
     asofJoinQ, sampleStratifiedQ, repetitionScoreQ, rangeJoinQ, dedupEmbSurvivorsQ,
-    docChunksQ, contaminationQ, dedupParagraphQ, mmImageDecodeQ)
+    docChunksQ, contaminationQ, dedupParagraphQ, mmImageDecodeQ, mmAudioDecodeQ)
 
   // ---- dedup ----------------------------------------------------------------
 
@@ -271,6 +271,24 @@ object PipelineRegistry {
         round(sqrt(q_r::DOUBLE/k - (s_r::DOUBLE/k)*(s_r::DOUBLE/k)), 4) AS sd_r,
         round(sqrt(q_g::DOUBLE/k - (s_g::DOUBLE/k)*(s_g::DOUBLE/k)), 4) AS sd_g,
         round(sqrt(q_b::DOUBLE/k - (s_b::DOUBLE/k)*(s_b::DOUBLE/k)), 4) AS sd_b
+      FROM a ORDER BY doc_id
+    """.trim))
+
+  /** PCM sample decode hash-checked: the query encodes doc bytes as a real
+    * 16-bit mono WAV, decodes the samples back, and the oracle reproduces
+    * the identical values from `ord()` byte pairs (ASCII ⇒ every sample
+    * positive; the signed path is spec-gated). */
+  private val mmAudioDecodeQ: (String, QFn, Option[String]) = (
+    "mm_audio_decode",
+    (s, d) => Multimodal.audioDecode(s, d),
+    Some("""
+      WITH mm AS (SELECT doc_id, text, len(text)//2 AS m FROM documents WHERE len(text) >= 2),
+      sm AS (SELECT doc_id, m, text, unnest(range(1, m+1)) AS i FROM mm),
+      v AS (SELECT doc_id, m, ord(substr(text, CAST(2*i-1 AS INT), 1)) + 256*ord(substr(text, CAST(2*i AS INT), 1)) AS v FROM sm),
+      a AS (SELECT doc_id, any_value(m) AS m, sum(v)::BIGINT AS s, sum(v*v)::BIGINT AS q FROM v GROUP BY doc_id)
+      SELECT doc_id, CAST(16000 AS BIGINT) AS sample_rate, CAST(1 AS BIGINT) AS n_channels,
+        m::BIGINT AS n_samples, round(s::DOUBLE/m, 4) AS mean_amp,
+        round(sqrt(q::DOUBLE/m - (s::DOUBLE/m)*(s::DOUBLE/m)), 4) AS sd_amp
       FROM a ORDER BY doc_id
     """.trim))
 

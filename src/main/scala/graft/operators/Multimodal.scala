@@ -330,6 +330,100 @@ object Multimodal {
     imageStatsOf(src)
   }
 
+  /** Decoded PCM sample statistics — the audio twin of [[ImageStats]]. */
+  case class AudioStats(doc_id: Long, sample_rate: Long, n_channels: Long,
+      n_samples: Long, mean_amp: Double, sd_amp: Double)
+
+  /** Real WAV PCM decode: walk the RIFF chunks to `fmt ` AND `data`, then
+    * read the signed 16-bit little-endian samples themselves — the step
+    * [[decode]] stops short of (it reads rate/channels only). Returns
+    * (rate, channels, n_samples, sum, sum-of-squares); sums are exact
+    * longs (16-bit samples: |sum| ≤ n·2^15, sumsq ≤ n·2^30 — no overflow
+    * until n ~ 2^33). None for non-WAV / non-PCM-16 payloads. */
+  private[operators] def decodeWavSamples(payload: Array[Byte])
+      : Option[(Long, Long, Long, Long, Long)] = {
+    if (!(ascii(payload, 0, 4) == "RIFF" && ascii(payload, 8, 4) == "WAVE")) return None
+    var off = 12
+    var rate = -1L; var channels = -1L; var bits = -1L
+    var dataOff = -1; var dataLen = -1L
+    while (off + 8 <= payload.length && (rate < 0 || dataOff < 0)) {
+      val id = ascii(payload, off, 4)
+      val sz = leU32(payload, off + 4)
+      if (id == "fmt " && sz >= 16 && off + 24 <= payload.length) {
+        channels = leU16(payload, off + 10)
+        rate = leU32(payload, off + 12)
+        bits = leU16(payload, off + 22)
+      } else if (id == "data") { dataOff = off + 8; dataLen = sz }
+      val next = off.toLong + 8L + sz + (sz & 1L)
+      off = if (next > payload.length) payload.length else next.toInt
+    }
+    if (rate < 0 || dataOff < 0 || bits != 16 || channels < 1) return None
+    val avail = math.min(dataLen, (payload.length - dataOff).toLong)
+    val n = avail / 2
+    var sum = 0L; var sumsq = 0L
+    var i = 0L
+    while (i < n) {
+      val base = dataOff + (i * 2).toInt
+      // signed 16-bit little-endian PCM
+      val v = ((payload(base) & 0xff) | (payload(base + 1) << 8)).toShort.toLong
+      sum += v; sumsq += v * v
+      i += 1
+    }
+    Some((rate, channels, n, sum, sumsq))
+  }
+
+  /** Partition-parallel PCM-stat extraction over any (doc_id, payload)
+    * frame; non-WAV payloads are dropped. */
+  def audioStatsOf(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col("doc_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, bytes) =>
+          decodeWavSamples(bytes).map { case (rate, ch, n, sum, sumsq) =>
+            val mean = if (n == 0) 0.0 else sum.toDouble / n
+            val sd = if (n == 0) 0.0 else math.sqrt(sumsq.toDouble / n - mean * mean)
+            AudioStats(id, rate, ch, n, r4(mean), r4(sd))
+          }
+        }
+      }
+      .toDF()
+      .orderBy(col("doc_id"))
+  }
+
+  /** Registered query: encode each document's utf-8 bytes as a REAL 16 kHz
+    * mono 16-bit PCM WAV (canonical 44-byte RIFF header + the doc's first
+    * 2·⌊bytes/2⌋ bytes as little-endian samples), decode the samples back,
+    * and emit amplitude statistics. ASCII bytes make every high byte < 128,
+    * so the oracle reproduces the identical sample values from `ord()`
+    * pairs — signed-PCM handling is spec-gated with synthetic negative
+    * samples. */
+  def audioDecode(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val src = Tables.documents(spark, dir)
+      .where(length(col("text")) >= 2)
+      .select(col("doc_id"), encode(col("text"), "utf-8").as("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, raw) =>
+          val m = raw.length / 2
+          val data = raw.take(2 * m)
+          val bb = java.nio.ByteBuffer.allocate(44 + data.length)
+            .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+          bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + data.length)
+            .put("WAVE".getBytes("US-ASCII"))
+          bb.put("fmt ".getBytes("US-ASCII")).putInt(16)
+            .putShort(1).putShort(1) // PCM, mono
+            .putInt(16000).putInt(16000 * 2).putShort(2).putShort(16)
+          bb.put("data".getBytes("US-ASCII")).putInt(data.length).put(data)
+          (id, bb.array())
+        }
+      }
+      .toDF("doc_id", "payload")
+    audioStatsOf(src)
+  }
+
   private def gzipBytes(raw: Array[Byte]): Array[Byte] = {
     val bos = new java.io.ByteArrayOutputStream()
     val gz = new java.util.zip.GZIPOutputStream(bos)

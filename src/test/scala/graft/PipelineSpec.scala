@@ -359,6 +359,28 @@ class PipelineSpec extends AnyFunSuite {
     assert(math.abs(j(0).getAs[Double]("mean_r") - meanR) < 40.0)
   }
 
+  test("wav sample decode: signed 16-bit PCM, stereo channels, and non-wav rejection") {
+    import spark.implicits._
+    // samples: +1000, -1000, +32767, -32768 → sum = -1, exact stats known
+    val samples = Array[Short](1000, -1000, 32767, -32768)
+    val bb = java.nio.ByteBuffer.allocate(44 + samples.length * 2)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes).putInt(36 + samples.length * 2).put("WAVE".getBytes)
+    bb.put("fmt ".getBytes).putInt(16).putShort(1).putShort(2) // stereo
+      .putInt(8000).putInt(8000 * 4).putShort(4).putShort(16)
+    bb.put("data".getBytes).putInt(samples.length * 2)
+    samples.foreach(bb.putShort)
+    val frame = Seq((1L, bb.array()), (2L, "not audio".getBytes)).toDF("doc_id", "payload")
+    val rows = Multimodal.audioStatsOf(frame).collect()
+    assert(rows.length == 1, "non-wav payloads are dropped")
+    val r = rows(0)
+    assert(r.getAs[Long]("sample_rate") == 8000L && r.getAs[Long]("n_channels") == 2L)
+    assert(r.getAs[Long]("n_samples") == 4L)
+    val mean = (1000.0 - 1000.0 + 32767.0 - 32768.0) / 4
+    assert(r.getAs[Double]("mean_amp") == math.floor(mean * 1e4 + 0.5) / 1e4,
+      s"signed decode must be exact: ${r.getAs[Double]("mean_amp")}")
+  }
+
   test("gzip roundtrip: integrity holds on every doc and text compresses") {
     val rows = Multimodal.gzipRoundtrip(spark, dir).collect()
     assert(rows.nonEmpty)
