@@ -170,18 +170,29 @@ object Dedup {
     * output rows are the duplicated paragraphs with their earliest
     * (min-key) match. Scale posture matches the document path: keyed
     * equi-joins only, hot-shingle cutoff, fixed-width long keys. */
+  /** Shingled paragraph windows, cached per (session, dir, width) — the
+    * pair join consumes this frame from FOUR subtrees (both explode sides
+    * + both count sides), so without the cache the tokenize+window+shingle
+    * pass runs 4× per query (the same reasoning as [[shingled]]). */
+  private val paraShingleCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String, Int), DataFrame]
+
+  private def paraShingled(spark: SparkSession, dir: String, paraTokens: Int): DataFrame =
+    paraShingleCache.getOrElseUpdate((spark, dir, paraTokens),
+      Tables.documents(spark, dir)
+        .select(col("doc_id"), tokens(col("text")).as("toks"))
+        .select(col("doc_id"),
+          posexplode(transform(
+            sequence(lit(1), greatest(size(col("toks")), lit(1)), lit(paraTokens)),
+            st => slice(col("toks"), st, lit(paraTokens)))).as(Seq("para_idx", "ptoks")))
+        .where(size(col("ptoks")) >= 3)
+        .select((col("doc_id") * ParaShift + col("para_idx")).as("doc_id"),
+          shingles(col("ptoks")).as("sh"))
+        .cache())
+
   def dedupParagraph(spark: SparkSession, dir: String, threshold: Double = 0.5,
       paraTokens: Int = 32, maxDf: Int = DefaultMaxShingleDf): DataFrame = {
-    val paras = Tables.documents(spark, dir)
-      .select(col("doc_id"), tokens(col("text")).as("toks"))
-      .select(col("doc_id"),
-        posexplode(transform(
-          sequence(lit(1), greatest(size(col("toks")), lit(1)), lit(paraTokens)),
-          st => slice(col("toks"), st, lit(paraTokens)))).as(Seq("para_idx", "ptoks")))
-      .where(size(col("ptoks")) >= 3)
-      .select((col("doc_id") * ParaShift + col("para_idx")).as("doc_id"),
-        shingles(col("ptoks")).as("sh"))
-    ngramJaccardPairs(paras, threshold, maxDf)
+    ngramJaccardPairs(paraShingled(spark, dir, paraTokens), threshold, maxDf)
       .groupBy(col("id_b")).agg(min(col("id_a")).as("dup_of"))
       .select(shiftright(col("id_b"), 20).as("doc_id"),
         (col("id_b") % ParaShift).as("para_idx"),
@@ -480,6 +491,8 @@ object Dedup {
     surrogateCache.clear()
     for ((_, df) <- ngramPairsCache) scala.util.Try(df.unpersist())
     ngramPairsCache.clear()
+    for ((_, df) <- paraShingleCache) scala.util.Try(df.unpersist())
+    paraShingleCache.clear()
   }
 
   /** Embedding-cosine near-dup pairs (exact all-pairs form — the oracle
