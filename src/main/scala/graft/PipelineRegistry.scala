@@ -45,7 +45,20 @@ object PipelineRegistry {
     mmJoin, mmBinaryStats, mmMediaFeatures,
     sampleHashQ, pipelineCleanQ, vocabTopKQ, lengthPctQ, embedNormalizeQ, tfIdfQ,
     asofJoinQ, sampleStratifiedQ, repetitionScoreQ, rangeJoinQ, dedupEmbSurvivorsQ,
-    docChunksQ, contaminationQ, dedupParagraphQ, mmImageDecodeQ, mmAudioDecodeQ)
+    docChunksQ, contaminationQ, dedupParagraphQ, mmImageDecodeQ, mmAudioDecodeQ,
+    packSequencesQ)
+
+  /** Sequence packing (concat-then-chunk): the oracle's single-node window
+    * cumsum must equal the distributed two-pass prefix sum exactly. */
+  private val packSequencesQ: (String, QFn, Option[String]) = (
+    "pack_sequences",
+    (s, d) => CorpusPipeline.packSequences(s, d),
+    Some(s"""
+      WITH t AS (SELECT doc_id, len(string_split_regex(lower(text), '\\s+'))::BIGINT AS n_tokens FROM documents),
+      c AS (SELECT doc_id, n_tokens, (sum(n_tokens) OVER (ORDER BY doc_id) - n_tokens)::BIGINT AS start_offset FROM t)
+      SELECT doc_id, n_tokens, start_offset, start_offset//2048 AS seq_id, start_offset%2048 AS offset_in_seq
+      FROM c ORDER BY doc_id
+    """.trim))
 
   // ---- dedup ----------------------------------------------------------------
 

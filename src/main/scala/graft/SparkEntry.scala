@@ -42,8 +42,39 @@ object SparkEntry {
     pricingQ, regionRevenueQ, topOrdersQ, orderPriorityQ, localSupplierQ,
     filteredRevenueQ, partRollupQ, segmentSetOpsQ, eventsHourlyQ, userFunnelQ,
     ordersByMonthQ, partTypeQ, acctbalStatsQ, approxDistinctQ, sessionizeBatchQ,
-    partCubeQ, rollingRevenueQ, kmvDistinctQ
+    partCubeQ, rollingRevenueQ, kmvDistinctQ, langPivotQ, priceDecilesQ
   ) ++ PipelineRegistry.entries
+
+  /** True relational PIVOT with an explicit value list (single aggregate
+    * pass, static schema — the 100 TB-safe pivot form). */
+  private val langPivotQ: (String, QFn, Option[String]) = (
+    "q19_lang_pivot",
+    (s, d) => Relational.langSourcePivot(s, d),
+    Some("""
+      SELECT source,
+        count(*) FILTER (WHERE lang='de')::BIGINT AS de,
+        count(*) FILTER (WHERE lang='en')::BIGINT AS en,
+        count(*) FILTER (WHERE lang='es')::BIGINT AS es,
+        count(*) FILTER (WHERE lang='fr')::BIGINT AS fr,
+        count(*) FILTER (WHERE lang='zh')::BIGINT AS zh
+      FROM documents GROUP BY source ORDER BY source
+    """.trim))
+
+  /** Decile stats via distributed rank (range sort + zipWithIndex — no
+    * single-task global window); all arithmetic integer-exact in cents. */
+  private val priceDecilesQ: (String, QFn, Option[String]) = (
+    "q20_price_deciles",
+    (s, d) => Relational.priceDeciles(s, d),
+    Some("""
+      WITH r AS (SELECT o_orderkey, CAST(CAST(o_totalprice AS DECIMAL(18,2))*100 AS BIGINT) AS cents,
+                   row_number() OVER (ORDER BY CAST(CAST(o_totalprice AS DECIMAL(18,2))*100 AS BIGINT), o_orderkey) - 1 AS rk
+                 FROM orders),
+      n AS (SELECT count(*) AS n FROM orders)
+      SELECT rk*10//n AS decile, count(*)::BIGINT AS n_orders,
+        round(min(cents)/100.0, 2) AS min_price, round(max(cents)/100.0, 2) AS max_price,
+        round(sum(cents)::DOUBLE/100.0/count(*), 2) AS avg_price
+      FROM r, n GROUP BY decile ORDER BY decile
+    """.trim))
 
   /** RANGE-frame rolling window (value-range frames are deterministic under
     * same-day ties where ROWS frames are not — the only query exercising

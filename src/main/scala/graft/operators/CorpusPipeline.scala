@@ -78,4 +78,40 @@ object CorpusPipeline {
       .select(col("doc_id"), col("n_tokens"), col("quality_score"))
       .orderBy(col("doc_id"))
   }
+
+  /** Sequence packing — the step between a cleaned corpus and a training
+    * run: concatenate documents in doc_id order and cut the token stream
+    * into fixed-`budget` training sequences (GPT-style "concat then
+    * chunk"); each doc is assigned the sequence its FIRST token lands in.
+    * The global prefix sum is computed WITHOUT a no-partition window:
+    * range-repartition by doc_id, per-partition token totals to the driver
+    * (one long per partition — never the rows), then a second pass adds
+    * each partition's base offset. Deterministic for any partition count. */
+  def packSequences(spark: SparkSession, dir: String, budget: Long = 2048L): DataFrame = {
+    import spark.implicits._
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        size(Dedup.tokens(col("text"))).cast("long").as("n_tokens"))
+    val parts = math.max(1, toks.rdd.getNumPartitions)
+    // deterministic lineage (range partition + in-partition sort), so two
+    // passes over it agree without caching the rows anywhere
+    val sorted = toks
+      .repartitionByRange(parts, col("doc_id"))
+      .sortWithinPartitions(col("doc_id"))
+      .as[(Long, Long)].rdd
+    val partTotals = sorted
+      .mapPartitionsWithIndex { case (i, it) => Iterator((i, it.map(_._2).sum)) }
+      .collect().sortBy(_._1).map(_._2)
+    val bases = spark.sparkContext.broadcast(partTotals.scanLeft(0L)(_ + _))
+    sorted
+      .mapPartitionsWithIndex { case (i, it) =>
+        var cum = bases.value(i)
+        it.map { case (id, n) =>
+          val start = cum; cum += n
+          (id, n, start, start / budget, start % budget)
+        }
+      }
+      .toDF("doc_id", "n_tokens", "start_offset", "seq_id", "offset_in_seq")
+      .orderBy(col("doc_id"))
+  }
 }

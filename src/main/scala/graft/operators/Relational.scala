@@ -294,6 +294,49 @@ object Relational {
       .orderBy(col("o_orderkey"))
   }
 
+  /** True relational PIVOT (q10 is the conditional-aggregation cousin):
+    * source × lang document-count matrix via `RelationalGroupedDataset
+    * .pivot` with an EXPLICIT value list — explicit values keep the plan a
+    * single aggregate pass with a static schema (no distinct-scan job),
+    * which is the only pivot form that belongs on a 100 TB table. */
+  def langSourcePivot(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .groupBy(col("source"))
+      .pivot("lang", Seq("de", "en", "es", "fr", "zh"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .orderBy(col("source"))
+
+  /** Decile statistics over order values WITHOUT a no-partition window:
+    * global rank = range-repartition + in-partition sort + `zipWithIndex`
+    * (the same shape as the distributed save-pos and vocab rank — a global
+    * `ntile()` would funnel the table through ONE task). All arithmetic is
+    * integer-exact: prices as cents (long), decile = rank*10/n, stats from
+    * integer sums — bit-identical across engines by construction. */
+  def priceDeciles(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    // double → decimal(18,2) BEFORE scaling: double*100 truncates a
+    // one-ulp-low representation (…28.999) while the decimal round-trips
+    val cents = Tables.orders(spark, dir)
+      .select(col("o_orderkey").cast("long").as("k"),
+        (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long").as("cents"))
+    val n = cents.count()
+    val parts = math.max(1, cents.rdd.getNumPartitions)
+    val ranked = cents
+      .repartitionByRange(parts, col("cents"), col("k"))
+      .sortWithinPartitions(col("cents"), col("k"))
+      .as[(Long, Long)].rdd.zipWithIndex()
+      .map { case ((k, c), i) => (k, c, i * 10 / n) }
+      .toDF("o_orderkey", "cents", "decile")
+    ranked.groupBy(col("decile"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        round(min(col("cents")) / 100.0, 2).as("min_price"),
+        round(max(col("cents")) / 100.0, 2).as("max_price"),
+        round(sum(col("cents")).cast("double") / 100.0 / count(lit(1)), 2).as("avg_price"))
+      .orderBy(col("decile"))
+  }
+
   /** Per-user event funnel: conditional aggregation (pivot-style) — counts
     * per event_type for the heaviest users, deterministic order. */
   def userFunnel(spark: SparkSession, dir: String): DataFrame =
