@@ -76,9 +76,10 @@ object Multimodal {
     *  - BMP (BM): width/height from the BITMAPINFOHEADER
     *  - JPEG (FFD8FF): width/height from the first SOFn marker segment
     *  - PNG (\\x89PNG): width/height from the mandatory-first IHDR chunk
-    * Pixel DECODE (entropy-coded JPEG data, zlib PNG IDAT) is out of scope —
-    * a real pipeline plugs a codec into this same mapPartitions slot.
-    * Everything else is `raw` with deterministic byte stats. */
+    *  - MP4/MOV (ftyp): timescale/duration from the moov/mvhd box walk
+    * Pixel/frame DECODE of entropy-coded streams is [[decodePixels]]' job
+    * (PPM/BMP/PNG/JPEG) or a codec's (video) — it slots into the same
+    * mapPartitions shape. Everything else is `raw` with byte stats. */
   private[operators] def decode(docId: Long, payload: Array[Byte]): MediaFeatures = {
     var s = 0L
     var i = 0
@@ -161,6 +162,32 @@ object Multimodal {
         if (payload.length >= 24 && ascii(payload, 12, 4) == "IHDR")
           ("png", beU32(payload, 16), beU32(payload, 20))
         else ("png", 0L, 0L)
+      } else if (payload.length >= 12 && ascii(payload, 4, 4) == "ftyp") {
+        // ISO-BMFF (MP4/MOV): walk top-level boxes ([u32 size][fourcc]) to
+        // moov, then moov's children to mvhd v0 — timescale/duration are
+        // big-endian u32 at payload offsets 12/16 of the mvhd body. Same
+        // forward-progress discipline as the WAV chunk scan: a size < 8
+        // (incl. the 64-bit-size marker 1) ends the walk rather than spin.
+        var off = 0
+        var ts = -1L
+        var dur = -1L
+        while (off + 8 <= payload.length && ts < 0) {
+          val sz = beU32(payload, off)
+          if (ascii(payload, off + 4, 4) == "moov") {
+            val end = math.min(off + sz, payload.length.toLong).toInt
+            var c = off + 8
+            while (c + 8 <= end && ts < 0) {
+              val csz = beU32(payload, c)
+              if (ascii(payload, c + 4, 4) == "mvhd" && c + 28 <= payload.length &&
+                payload(c + 8) == 0) {
+                ts = beU32(payload, c + 20); dur = beU32(payload, c + 24)
+              }
+              c = if (csz < 8) end else c + csz.toInt
+            }
+          }
+          off = if (sz < 8 || off + sz > payload.length) payload.length else (off + sz).toInt
+        }
+        if (ts > 0) ("mp4", ts, dur) else ("raw", 0L, 0L)
       } else ("raw", 0L, 0L)
     // half-up (not rint's half-even): matches SQL round() in both engines,
     // which is what makes the raw path oracle-checkable

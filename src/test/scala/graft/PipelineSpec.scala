@@ -136,8 +136,18 @@ class PipelineSpec extends AnyFunSuite {
     // arithmetic stop advancing (0xFFFFFFF8) — must terminate, not spin
     val corruptWav = "RIFF".getBytes ++ le32(36) ++ "WAVE".getBytes ++
       "junk".getBytes ++ le32(0xFFFFFFF8) ++ Array.fill[Byte](8)(0)
+    // minimal ISO-BMFF: ftyp box + moov containing an mvhd v0 with
+    // timescale=90000 duration=4500 (box = [be32 size][fourcc][body])
+    val mvhd = be32(8 + 4 + 16 + 8) ++ "mvhd".getBytes ++
+      Array.fill[Byte](4)(0) ++ be32(0) ++ be32(0) ++ be32(90000) ++ be32(4500) ++
+      Array.fill[Byte](8)(0)
+    val mp4 = be32(16) ++ "ftyp".getBytes ++ "isom".getBytes ++ be32(512) ++
+      be32(8 + mvhd.length) ++ "moov".getBytes ++ mvhd
+    // adversarial mp4: moov child with size 0 — must end the walk, not spin
+    val corruptMp4 = be32(16) ++ "ftyp".getBytes ++ "isom".getBytes ++ be32(512) ++
+      be32(16) ++ "moov".getBytes ++ be32(0) ++ "free".getBytes
     val df = Seq((1L, wav), (2L, ppm), (3L, bmp), (4L, jpg), (5L, "plain".getBytes),
-      (6L, png), (7L, corruptWav))
+      (6L, png), (7L, corruptWav), (8L, mp4), (9L, corruptMp4))
       .toDF("doc_id", "payload")
     val rows = Multimodal.mediaFeaturesOf(df).collect()
       .map(r => r.getAs[Long]("doc_id") ->
@@ -149,6 +159,8 @@ class PipelineSpec extends AnyFunSuite {
     assert(rows(5L)._1 == "raw")
     assert(rows(6L) == (("png", 800L, 600L)))
     assert(rows(7L)._1 == "raw", "corrupt RIFF chunk size must fall through to raw, not hang")
+    assert(rows(8L) == (("mp4", 90000L, 4500L)), "mvhd timescale/duration from the moov walk")
+    assert(rows(9L)._1 == "raw", "zero-size moov child must end the walk, not spin")
   }
 
   test("scala minhash band twin is bit-identical to the SQL pipeline on every doc") {
