@@ -83,6 +83,57 @@ class PipelineSpec extends AnyFunSuite {
     assert(out(200L) == 200L, "untouched doc keeps itself")
   }
 
+  test("distributed CC agrees with driver union-find on seeded random graphs") {
+    import spark.implicits._
+    val rng = new scala.util.Random(4711)
+    for (trial <- 0 until 3) {
+      val n = 40 + trial * 20
+      val pairs = (for {
+        a <- 0L until n
+        b <- (a + 1) until n
+        if rng.nextDouble() < 0.04
+      } yield (a, b)).toDF("id_a", "id_b")
+      val universe = (0L until n).toDF("doc_id")
+      val viaDriver = Dedup.survivorsOf(spark, pairs, universe, driverCcMaxPairs = Long.MaxValue)
+        .collect().map(_.toSeq).toSet
+      val viaDist = Dedup.survivorsOf(spark, pairs, universe, driverCcMaxPairs = 0)
+        .collect().map(_.toSeq).toSet
+      assert(viaDriver == viaDist, s"trial $trial (n=$n): CC paths disagree")
+    }
+  }
+
+  test("pixel decode property: PNG roundtrip of random images reproduces exact channel stats") {
+    import spark.implicits._
+    val rng = new scala.util.Random(2024)
+    val imgs = (1L to 5L).map { id =>
+      val w = 3 + rng.nextInt(6); val h = 3 + rng.nextInt(6)
+      val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val pix = Array.fill(w * h)((rng.nextInt(256), rng.nextInt(256), rng.nextInt(256)))
+      for ((c, i) <- pix.zipWithIndex)
+        img.setRGB(i % w, i / w, (c._1 << 16) | (c._2 << 8) | c._3)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      val n = pix.length
+      def stat(f: ((Int, Int, Int)) => Int): (Double, Double) = {
+        val s = pix.map(c => f(c).toLong).sum
+        val q = pix.map(c => f(c).toLong * f(c)).sum
+        val m = s.toDouble / n
+        (math.floor(m * 1e4 + 0.5) / 1e4,
+          math.floor(math.sqrt(q.toDouble / n - m * m) * 1e4 + 0.5) / 1e4)
+      }
+      (id, bos.toByteArray, stat(_._1), stat(_._2), stat(_._3))
+    }
+    val rows = Multimodal.imageStatsOf(
+        imgs.map(t => (t._1, t._2)).toDF("doc_id", "payload"))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    for ((id, _, r, g, b) <- imgs) {
+      val row = rows(id)
+      assert((row.getAs[Double]("mean_r"), row.getAs[Double]("sd_r")) == r, s"img $id red")
+      assert((row.getAs[Double]("mean_g"), row.getAs[Double]("sd_g")) == g, s"img $id green")
+      assert((row.getAs[Double]("mean_b"), row.getAs[Double]("sd_b")) == b, s"img $id blue")
+    }
+  }
+
   test("pq ADC search recall@10 >= 0.5 vs exact kNN; codes are m-ary") {
     val pq = Quantization.pqSearch(spark, dir)
       .select("query_id", "id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
