@@ -46,7 +46,7 @@ object PipelineRegistry {
     sampleHashQ, pipelineCleanQ, vocabTopKQ, lengthPctQ, embedNormalizeQ, tfIdfQ,
     asofJoinQ, sampleStratifiedQ, repetitionScoreQ, rangeJoinQ, dedupEmbSurvivorsQ,
     docChunksQ, contaminationQ, dedupParagraphQ, mmImageDecodeQ, mmAudioDecodeQ,
-    packSequencesQ)
+    packSequencesQ, dedupParagraphSurvivorsQ, bigramTopKQ)
 
   /** Sequence packing (concat-then-chunk): the oracle's single-node window
     * cumsum must equal the distributed two-pass prefix sum exactly. */
@@ -118,6 +118,48 @@ object PipelineRegistry {
       SELECT id_b // 1048576 AS doc_id, CAST(id_b % 1048576 AS BIGINT) AS para_idx,
              dup_of // 1048576 AS dup_of_doc, CAST(dup_of % 1048576 AS BIGINT) AS dup_of_para
       FROM d ORDER BY doc_id, para_idx
+    """.trim))
+
+  /** Span-level survivor canonicalization — the paragraph pair graph
+    * through the same fixpoint CC pass, recursive-CTE oracle like
+    * dedup_survivors. */
+  private val dedupParagraphSurvivorsQ: (String, QFn, Option[String]) = (
+    "dedup_paragraph_survivors",
+    (s, d) => Dedup.dedupParagraphSurvivors(s, d),
+    Some(s"""
+      WITH RECURSIVE
+      t AS ($toksCte),
+      w AS (SELECT doc_id, unnest(range(1, greatest(len(toks),1)+1, 32)) AS st, toks FROM t),
+      p AS (SELECT doc_id, CAST((st-1)//32 AS BIGINT) AS para_idx,
+                   list_slice(toks, st, st+31) AS ptoks FROM w),
+      s AS (SELECT doc_id * 1048576 + para_idx AS doc_id,
+                   list_distinct(list_transform(range(1, len(ptoks)-1),
+                     i -> ptoks[i] || ' ' || ptoks[i+1] || ' ' || ptoks[i+2])) AS sh
+            FROM p WHERE len(ptoks) >= 3),
+      ${ngramPairsCtes(Dedup.DefaultMaxShingleDf)},
+      e AS (SELECT id_a AS a, id_b AS b FROM pr WHERE jaccard >= 0.5
+            UNION ALL SELECT id_b AS a, id_a AS b FROM pr WHERE jaccard >= 0.5),
+      reach AS (SELECT doc_id AS id, doc_id AS r FROM s
+                UNION SELECT e.b AS id, reach.r FROM reach JOIN e ON e.a = reach.id),
+      lab AS (SELECT id, min(r) AS c FROM reach GROUP BY id)
+      SELECT id // 1048576 AS doc_id, CAST(id % 1048576 AS BIGINT) AS para_idx,
+             c // 1048576 AS canonical_doc, CAST(c % 1048576 AS BIGINT) AS canonical_para,
+             CASE WHEN id = c THEN 1 ELSE 0 END AS is_survivor
+      FROM lab ORDER BY doc_id, para_idx
+    """.trim))
+
+  /** Bigram frequency table — unigram vocab's n-gram-LM sibling. */
+  private val bigramTopKQ: (String, QFn, Option[String]) = (
+    "bigram_topk",
+    (s, d) => TextAnalysis.bigramTopK(s, d),
+    Some("""
+      WITH t AS (SELECT string_split_regex(lower(text), '\s+') AS toks FROM documents),
+      b AS (SELECT unnest(list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])) AS bigram
+            FROM t WHERE len(toks) >= 2),
+      c AS (SELECT bigram, count(*) AS n_occurrences FROM b GROUP BY bigram),
+      r AS (SELECT bigram, n_occurrences,
+                   row_number() OVER (ORDER BY n_occurrences DESC, bigram ASC) AS rank FROM c)
+      SELECT rank, bigram, n_occurrences FROM r WHERE rank <= 30 ORDER BY rank
     """.trim))
 
   private val minhashSigSql: String = {

@@ -201,6 +201,24 @@ object Dedup {
       .orderBy(col("doc_id"), col("para_idx"))
   }
 
+  /** Span-level survivor selection: the same fixpoint CC pass as
+    * [[dedupSurvivors]], run over the PARAGRAPH pair graph — per-window
+    * canonicalization is what an actual span-dedup pipeline writes back
+    * (keep the canonical window, drop its duplicates). */
+  def dedupParagraphSurvivors(spark: SparkSession, dir: String, threshold: Double = 0.5,
+      paraTokens: Int = 32, maxDf: Int = DefaultMaxShingleDf): DataFrame = {
+    val paras = paraShingled(spark, dir, paraTokens)
+    val pairs = ngramJaccardPairs(paras, threshold, maxDf).select(col("id_a"), col("id_b"))
+    survivorsOf(spark, pairs, paras.select(col("doc_id")))
+      .select(
+        shiftright(col("doc_id"), 20).as("doc_id"),
+        (col("doc_id") % ParaShift).as("para_idx"),
+        shiftright(col("canonical_id"), 20).as("canonical_doc"),
+        (col("canonical_id") % ParaShift).as("canonical_para"),
+        col("is_survivor"))
+      .orderBy(col("doc_id"), col("para_idx"))
+  }
+
   private val NumHashes = 16
   private val Bands = 4 // 4 bands x 4 rows
 

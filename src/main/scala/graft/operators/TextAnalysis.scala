@@ -139,6 +139,33 @@ object TextAnalysis {
       .orderBy(col("rank"))
   }
 
+  /** Top-k word BIGRAMS — the n-gram LM / tokenizer-design statistic next
+    * to [[vocabTopK]]'s unigrams. Same scale shape: per-doc adjacent-pair
+    * explode → keyed count → TakeOrderedAndProject heap top-k → rank via
+    * zipWithIndex (no global window anywhere). */
+  def bigramTopK(spark: SparkSession, dir: String, k: Int = 30): DataFrame = {
+    import spark.implicits._
+    val t = toks(col("text"))
+    Tables.documents(spark, dir)
+      .select(t.as("toks"))
+      .select(explode(
+        // guard INSIDE the expression: sequence(1, n-1) descends for n < 2
+        // and the optimizer may hoist this projection past a row filter
+        when(size(col("toks")) >= 2, transform(
+          sequence(lit(1), size(col("toks")) - 1),
+          i => concat_ws(" ", element_at(col("toks"), i), element_at(col("toks"), i + 1))))
+          .otherwise(array().cast("array<string>")))
+        .as("bigram"))
+      .groupBy(col("bigram")).agg(count(lit(1)).as("n_occurrences"))
+      .orderBy(col("n_occurrences").desc, col("bigram").asc)
+      .limit(k)
+      .as[(String, Long)]
+      .rdd.zipWithIndex
+      .map { case ((bigram, n), i) => (i + 1, bigram, n) }
+      .toDF("rank", "bigram", "n_occurrences")
+      .orderBy(col("rank"))
+  }
+
   /** Exact length percentiles (p50/p90/p99 of n_chars, nearest-rank
     * ceil(p·n)) — the token-budget planning numbers. Exact so both engines
     * agree bit-for-bit, unlike approx_percentile sketches; computed from a
