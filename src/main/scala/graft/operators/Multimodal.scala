@@ -80,7 +80,7 @@ object Multimodal {
     * Pixel/frame DECODE of entropy-coded streams is [[decodePixels]]' job
     * (PPM/BMP/PNG/JPEG) or a codec's (video) — it slots into the same
     * mapPartitions shape. Everything else is `raw` with byte stats. */
-  private[operators] def decode(docId: Long, payload: Array[Byte]): MediaFeatures = {
+  private[graft] def decode(docId: Long, payload: Array[Byte]): MediaFeatures = {
     var s = 0L
     var i = 0
     while (i < payload.length) { s += payload(i) & 0xff; i += 1 }

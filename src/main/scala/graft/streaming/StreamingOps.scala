@@ -67,6 +67,23 @@ object StreamingOps {
       .dropDuplicatesWithinWatermark("content_hash")
       .select(col("doc_id"), col("ts"), col("content_hash"))
 
+  /** Streaming media feature extraction — the ingestion-side twin of
+    * [[graft.operators.Multimodal.mediaFeaturesOf]]: the SAME per-payload
+    * decoder (all six container parsers) applied as binary payloads ARRIVE.
+    * Stateless narrow map — no watermark or state store needed; the
+    * streaming twin differs from batch only in dropping the output sort
+    * (unsupported and meaningless on an unbounded stream). */
+  def streamingMediaFeatures(payloads: DataFrame): DataFrame = {
+    val spark = payloads.sparkSession
+    import spark.implicits._
+    payloads.select(col("doc_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) => graft.operators.Multimodal.decode(id, bytes) }
+      }
+      .toDF()
+  }
+
   /** Streaming MinHash-LSH near-dup candidates — the ingestion-side twin of
     * [[graft.operators.Dedup.dedupMinhash]]'s candidate generation: each
     * arriving doc is hashed with the SAME banded affine family (bit-identity

@@ -169,4 +169,24 @@ class StreamingSpec extends AnyFunSuite {
       assert(s.start_ts == ts(0) && s.end_ts == ts(5))
     } finally q.stop()
   }
+
+  test("streaming media features parse arriving payloads with the batch decoder") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Array[Byte])]
+    val q = StreamingOps.streamingMediaFeatures(
+        input.toDF().toDF("doc_id", "payload"))
+      .writeStream.format("memory").queryName("media_out")
+      .outputMode("append").start()
+    try {
+      val ppm = "P6\n4 2\n255\n".getBytes ++ Array.fill[Byte](24)(7)
+      input.addData((1L, ppm), (2L, "plain text".getBytes))
+      q.processAllAvailable()
+      val rows = spark.table("media_out").collect()
+        .map(r => r.getAs[Long]("doc_id") ->
+          ((r.getAs[String]("media_type"), r.getAs[Long]("dim1"), r.getAs[Long]("dim2")))).toMap
+      assert(rows(1L) == (("ppm", 4L, 2L)), s"got $rows")
+      assert(rows(2L)._1 == "raw")
+    } finally q.stop()
+  }
 }
