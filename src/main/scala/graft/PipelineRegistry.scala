@@ -313,7 +313,8 @@ object PipelineRegistry {
     "mm_image_decode",
     (s, d) => Multimodal.imageDecode(s, d),
     Some("""
-      WITH kk AS (SELECT doc_id, text, len(text)//3 AS k FROM documents WHERE len(text) >= 3),
+      WITH kk AS (SELECT doc_id, text, len(text)//3 AS k FROM documents
+                  WHERE len(text) >= 3 AND len(text) = octet_length(encode(text))),
       px AS (SELECT doc_id, k, text, unnest(range(1, 3*k+1)) AS i FROM kk),
       v AS (SELECT doc_id, k, CAST((i-1)%3 AS INT) AS ch, ord(substr(text, CAST(i AS INT), 1)) AS b FROM px),
       a AS (SELECT doc_id, any_value(k) AS k,
@@ -337,7 +338,8 @@ object PipelineRegistry {
     "mm_audio_decode",
     (s, d) => Multimodal.audioDecode(s, d),
     Some("""
-      WITH mm AS (SELECT doc_id, text, len(text)//2 AS m FROM documents WHERE len(text) >= 2),
+      WITH mm AS (SELECT doc_id, text, len(text)//2 AS m FROM documents
+                  WHERE len(text) >= 2 AND len(text) = octet_length(encode(text))),
       sm AS (SELECT doc_id, m, text, unnest(range(1, m+1)) AS i FROM mm),
       v AS (SELECT doc_id, m, ord(substr(text, CAST(2*i-1 AS INT), 1)) + 256*ord(substr(text, CAST(2*i AS INT), 1)) AS v FROM sm),
       a AS (SELECT doc_id, any_value(m) AS m, sum(v)::BIGINT AS s, sum(v*v)::BIGINT AS q FROM v GROUP BY doc_id)

@@ -432,6 +432,13 @@ object Dedup {
           // label is itself an edge-touched doc_id, so the self-join map
           // covers it; coalesce guards the root (label(x)=x) rows anyway.
           val jumpMap = stepped.select(col("doc_id").as("__jid"), col("canonical_id").as("__jlbl"))
+          // localCheckpoint is REQUIRED here, not an optimization: the jump
+          // self-join embeds the previous round's plan twice, so without
+          // lineage truncation the logical plan doubles per round and the
+          // AQE explain string alone OOMs the driver after ~15 rounds.
+          // Storage: each round's (doc_id, canonical_id) table is tiny
+          // relative to the corpus and only O(log diameter) rounds run;
+          // dereferenced rounds are freed by the ContextCleaner.
           val jumped = stepped.join(jumpMap, col("canonical_id") === col("__jid"), "left")
             .select(col("doc_id"),
               least(col("canonical_id"), coalesce(col("__jlbl"), col("canonical_id"))).as("canonical_id"))

@@ -182,7 +182,9 @@ object Multimodal {
                 payload(c + 8) == 0) {
                 ts = beU32(payload, c + 20); dur = beU32(payload, c + 24)
               }
-              c = if (csz < 8) end else c + csz.toInt
+              // bound in LONG space: a declared child size >= 2^31 must end
+              // the walk, not wrap c negative and crash the next read
+              c = if (csz < 8 || c + csz > end) end else (c + csz).toInt
             }
           }
           off = if (sz < 8 || off + sz > payload.length) payload.length else (off + sz).toInt
@@ -243,8 +245,11 @@ object Multimodal {
       }
       val w = nextInt(); val h = nextInt(); val maxv = nextInt()
       off += 1 // exactly ONE whitespace byte separates maxval from pixel data
-      val nPix = w * h
-      if (w <= 0 || h <= 0 || maxv <= 0 || maxv > 255 ||
+      // dimension sanity cap BEFORE multiplying: a hostile header like
+      // "P6 3037000500 3037000500" would overflow w*h past Long and slip
+      // the bounds check below
+      val nPix = if (w > (1L << 20) || h > (1L << 20)) -1L else w * h
+      if (w <= 0 || h <= 0 || nPix < 0 || maxv <= 0 || maxv > 255 ||
         off + nPix * 3 > payload.length) None
       else {
         var p = 0L
@@ -257,16 +262,20 @@ object Multimodal {
         Some(("ppm", w, h, sums, sumsq, nPix))
       }
     } else if (ascii(payload, 0, 2) == "BM" && payload.length >= 34) {
-      val dataOff = leU32(payload, 10).toInt
+      // validate every header field in LONG space before any .toInt: a
+      // corrupt offset like 0x80000000 must reject, not index negatively
+      val dataOffL = leU32(payload, 10)
       val w = leU32(payload, 18)
       val hRaw = leU32(payload, 22).toInt // negative = top-down; sign only flips row ORDER
-      val h = math.abs(hRaw).toLong
+      val h = math.abs(hRaw.toLong)
       val bpp = leU16(payload, 28)
       val compression = if (payload.length >= 34) leU32(payload, 30) else -1L
       val rowSize = ((bpp * w + 31) / 32) * 4
       if (bpp != 24 || compression != 0L || w <= 0 || h <= 0 ||
-        dataOff + rowSize * h > payload.length) None
+        w > (1L << 20) || h > (1L << 20) ||
+        dataOffL < 54 || dataOffL + rowSize * h > payload.length) None
       else {
+        val dataOff = dataOffL.toInt
         var row = 0
         while (row < h) {
           var x = 0
@@ -342,8 +351,12 @@ object Multimodal {
     * from `ord()` over the text — pixel decode is hash-checked end to end. */
   def imageDecode(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    // ASCII guard (chars == bytes) mirrored in the oracle: the DuckDB twin
+    // works in characters (ord/len) while this side works in bytes, and
+    // the identity only holds for single-byte text
     val src = Tables.documents(spark, dir)
-      .where(length(col("text")) >= 3)
+      .where(length(col("text")) >= 3 &&
+        octet_length(encode(col("text"), "utf-8")) === length(col("text")))
       .select(col("doc_id"), encode(col("text"), "utf-8").as("payload"))
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
@@ -371,12 +384,13 @@ object Multimodal {
       : Option[(Long, Long, Long, Long, Long)] = {
     if (!(ascii(payload, 0, 4) == "RIFF" && ascii(payload, 8, 4) == "WAVE")) return None
     var off = 12
-    var rate = -1L; var channels = -1L; var bits = -1L
+    var rate = -1L; var channels = -1L; var bits = -1L; var fmtTag = -1L
     var dataOff = -1; var dataLen = -1L
     while (off + 8 <= payload.length && (rate < 0 || dataOff < 0)) {
       val id = ascii(payload, off, 4)
       val sz = leU32(payload, off + 4)
       if (id == "fmt " && sz >= 16 && off + 24 <= payload.length) {
+        fmtTag = leU16(payload, off + 8)
         channels = leU16(payload, off + 10)
         rate = leU32(payload, off + 12)
         bits = leU16(payload, off + 22)
@@ -384,7 +398,9 @@ object Multimodal {
       val next = off.toLong + 8L + sz + (sz & 1L)
       off = if (next > payload.length) payload.length else next.toInt
     }
-    if (rate < 0 || dataOff < 0 || bits != 16 || channels < 1) return None
+    // fmtTag 1 = integer PCM — the only codec these samples ARE; a
+    // compressed stream declaring 16 bits would otherwise be summed as PCM
+    if (rate < 0 || dataOff < 0 || fmtTag != 1L || bits != 16 || channels < 1) return None
     val avail = math.min(dataLen, (payload.length - dataOff).toLong)
     val n = avail / 2
     var sum = 0L; var sumsq = 0L
@@ -428,8 +444,10 @@ object Multimodal {
     * samples. */
   def audioDecode(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    // same ASCII guard as [[imageDecode]] — byte-vs-character identity
     val src = Tables.documents(spark, dir)
-      .where(length(col("text")) >= 2)
+      .where(length(col("text")) >= 2 &&
+        octet_length(encode(col("text"), "utf-8")) === length(col("text")))
       .select(col("doc_id"), encode(col("text"), "utf-8").as("payload"))
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>

@@ -108,18 +108,27 @@ object VamanaOps {
   def vamanaRoundtrip(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val m = model(spark, dir)
-    // unique per-run dir: hashCode-derived paths collide across datasets
-    val tmp = java.nio.file.Files.createTempDirectory("graft_roundtrip_").toString
-    m.save(spark, tmp)
-    val loaded = VamanaModel.load(spark, tmp)
-    val emb = Tables.embeddings(spark, dir)
-    val q = Knn.queriesFromPoints(emb, 10)
-    val a = m.search(q, 10).collect().map(_.toSeq).toSeq
-    val b = loaded.search(q, 10).collect().map(_.toSeq).toSeq
-    val paramsMatch = loaded.index.params == m.index.params && loaded.index.medoid == m.index.medoid
-    val pointMatch = java.util.Arrays.equals(loaded.getPoint(0), m.getPoint(0))
-    Seq((a.length.toLong / 10L, paramsMatch, pointMatch, a == b))
-      .toDF("n_queries", "params_match", "point_lookup_match", "search_identical")
+    // unique per-run dir (hashCode-derived paths collide across datasets),
+    // deleted on the way out — bench runs this 3× per invocation now
+    val tmpPath = java.nio.file.Files.createTempDirectory("graft_roundtrip_")
+    val tmp = tmpPath.toString
+    try {
+      m.save(spark, tmp)
+      val loaded = VamanaModel.load(spark, tmp)
+      val emb = Tables.embeddings(spark, dir)
+      val q = Knn.queriesFromPoints(emb, 10)
+      val a = m.search(q, 10).collect().map(_.toSeq).toSeq
+      val b = loaded.search(q, 10).collect().map(_.toSeq).toSeq
+      val paramsMatch = loaded.index.params == m.index.params && loaded.index.medoid == m.index.medoid
+      val pointMatch = java.util.Arrays.equals(loaded.getPoint(0), m.getPoint(0))
+      Seq((a.length.toLong / 10L, paramsMatch, pointMatch, a == b))
+        .toDF("n_queries", "params_match", "point_lookup_match", "search_identical")
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(tmpPath).iterator().asScala.toSeq
+        .sortBy(-_.getNameCount)
+        .foreach(p => scala.util.Try(java.nio.file.Files.deleteIfExists(p)))
+    }
   }
 
   /** Q2 surface (vamana.h:426-489): search with caller-supplied start
