@@ -214,6 +214,43 @@ class PipelineSpec extends AnyFunSuite {
     assert(rows(9L)._1 == "raw", "zero-size moov child must end the walk, not spin")
   }
 
+  test("hostile headers reject cleanly: 2^31 mp4 child, negative bmp offset, ppm overflow, non-pcm wav") {
+    import spark.implicits._
+    def be32(v: Int) = Array[Byte](
+      ((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte, ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    def le16(v: Int) = Array[Byte]((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+    def le32(v: Int) = Array[Byte](
+      (v & 0xff).toByte, ((v >> 8) & 0xff).toByte, ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    // moov child declaring size 0x80000010: Int arithmetic would wrap the
+    // cursor negative and crash; must end the walk as raw instead
+    val evilMp4 = be32(16) ++ "ftyp".getBytes ++ "isom".getBytes ++ be32(512) ++
+      be32(24) ++ "moov".getBytes ++ be32(0x80000010) ++ "free".getBytes ++ Array.fill[Byte](8)(0)
+    val evilMp4Features = Multimodal.mediaFeaturesOf(
+      Seq((1L, evilMp4)).toDF("doc_id", "payload")).collect()
+    assert(evilMp4Features(0).getAs[String]("media_type") == "raw")
+    // BMP with pixel-data offset 0x80000000 (negative as Int): decodePixels
+    // must return None, not index payload(-2^31)
+    val evilBmp = "BM".getBytes ++ le32(70) ++ le32(0) ++ le32(0x80000000) ++
+      le32(40) ++ le32(1) ++ le32(1) ++ le16(1) ++ le16(24) ++ le32(0) ++ Array.fill[Byte](20)(0)
+    // PPM whose w*h overflows Long past the bounds check
+    val evilPpm = "P6\n3037000500 3037000500\n255\n".getBytes ++ Array.fill[Byte](8)(1)
+    val imgRows = Multimodal.imageStatsOf(
+      Seq((1L, evilBmp), (2L, evilPpm)).toDF("doc_id", "payload")).collect()
+    assert(imgRows.isEmpty, s"hostile image headers must be dropped, got ${imgRows.toSeq}")
+    // WAV declaring 16-bit samples but a compressed (non-PCM) format tag
+    val nonPcm = {
+      val bb = java.nio.ByteBuffer.allocate(52).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes).putInt(44).put("WAVE".getBytes)
+      bb.put("fmt ".getBytes).putInt(16).putShort(85).putShort(1) // 85 = MP3
+        .putInt(16000).putInt(32000).putShort(2).putShort(16)
+      bb.put("data".getBytes).putInt(8).putLong(0L)
+      bb.array()
+    }
+    val audioRows = Multimodal.audioStatsOf(
+      Seq((1L, nonPcm)).toDF("doc_id", "payload")).collect()
+    assert(audioRows.isEmpty, "compressed bytes must not be summed as PCM samples")
+  }
+
   test("scala minhash band twin is bit-identical to the SQL pipeline on every doc") {
     import org.apache.spark.sql.functions.col
     val sqlBands = Dedup.minhashBandsDF(spark, dir).collect()
