@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{DotProduct, L2Squared}
+import graft.functions.{DotProduct, L2Squared, MinhashSigs, SimhashSig}
 
 /** Config-driven injection of the engine's native expressions into every
   * session, for SQL-only users:
@@ -39,11 +39,25 @@ object GraftExtensions {
     f(exprs(0), exprs(1))
   }
 
+  private def unary(name: String, arg: String, f: Expression => Expression)
+      : Seq[Expression] => Expression = { exprs =>
+    if (exprs.length != 1)
+      throw new IllegalArgumentException(
+        s"$name expects exactly 1 argument ($arg); got ${exprs.length}")
+    f(exprs(0))
+  }
+
   private[graft] val functions: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     ("l2sq_native",
       new ExpressionInfo(classOf[L2Squared].getName, "l2sq_native"),
       binary("l2sq_native", L2Squared(_, _))),
     ("dot_native",
       new ExpressionInfo(classOf[DotProduct].getName, "dot_native"),
-      binary("dot_native", DotProduct(_, _))))
+      binary("dot_native", DotProduct(_, _))),
+    ("minhash_sigs",
+      new ExpressionInfo(classOf[MinhashSigs].getName, "minhash_sigs"),
+      unary("minhash_sigs", "array<string>", MinhashSigs(_))),
+    ("simhash_sig",
+      new ExpressionInfo(classOf[SimhashSig].getName, "simhash_sig"),
+      unary("simhash_sig", "array<string>", SimhashSig(_))))
 }

@@ -150,9 +150,25 @@ class NativeExpressionSpec extends AnyFunSuite {
   test("extension SQL builders reject wrong arity with an error naming the function") {
     import org.apache.spark.sql.catalyst.expressions.Literal
     for ((name, _, builder) <- GraftExtensions.functions) {
-      val e = intercept[IllegalArgumentException](builder(Seq(Literal(1))))
+      // 3 args is wrong for every registered function (unary and binary)
+      val e = intercept[IllegalArgumentException](
+        builder(Seq(Literal(1), Literal(2), Literal(3))))
       assert(e.getMessage.contains(name), s"error must name $name: ${e.getMessage}")
-      assert(e.getMessage.contains("2 arguments"))
+      assert(e.getMessage.contains("argument"))
     }
+  }
+
+  test("minhash_sigs and simhash_sig are callable through the extensions registry") {
+    import org.apache.spark.sql.catalyst.FunctionIdentifier
+    for ((name, info, builder) <- GraftExtensions.functions
+         if name == "minhash_sigs" || name == "simhash_sig") {
+      spark.sessionState.functionRegistry.registerFunction(
+        FunctionIdentifier(name), info, builder)
+    }
+    val r = spark.sql(
+      "SELECT simhash_sig(array('alpha','beta')) AS sh, minhash_sigs(array('alpha','beta')) AS mh")
+      .head()
+    assert(r.getInt(0) >= 0 && r.getInt(0) < (1 << 16))
+    assert(r.getSeq[Long](1).length == 16)
   }
 }
