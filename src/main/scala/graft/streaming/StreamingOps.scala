@@ -67,6 +67,31 @@ object StreamingOps {
       .dropDuplicatesWithinWatermark("content_hash")
       .select(col("doc_id"), col("ts"), col("content_hash"))
 
+  /** Stream-stream INTERVAL join — the one Structured Streaming join shape
+    * the other ops here don't exercise: click-attribution matches each
+    * purchase with every click by the same user in the preceding
+    * `windowMinutes`. Both sides carry watermarks and the join condition
+    * carries the time bound, which is what lets Spark expire join state —
+    * without the range predicate a stream-stream inner join would buffer
+    * both streams forever. Batch twins: [[graft.operators.Temporal]]'s
+    * as-of (latest-only) and range joins. */
+  def streamingClickAttribution(clicks: DataFrame, purchases: DataFrame,
+      windowMinutes: Int = 10): DataFrame = {
+    val cl = clicks
+      .select(col("user_id"), col("ts").as("click_ts"), col("event_id").as("click_id"))
+      .withWatermark("click_ts", s"$windowMinutes minutes")
+    val pu = purchases
+      .select(col("user_id").as("p_user_id"), col("ts").as("purchase_ts"),
+        col("event_id").as("purchase_id"), col("value"))
+      .withWatermark("purchase_ts", s"$windowMinutes minutes")
+    cl.join(pu,
+        col("user_id") === col("p_user_id") &&
+          col("click_ts") <= col("purchase_ts") &&
+          col("click_ts") >= col("purchase_ts") - expr(s"interval $windowMinutes minutes"))
+      .select(col("user_id"), col("click_id"), col("purchase_id"), col("value"),
+        (unix_micros(col("purchase_ts")) - unix_micros(col("click_ts"))).as("micros_before"))
+  }
+
   /** Streaming media feature extraction — the ingestion-side twin of
     * [[graft.operators.Multimodal.mediaFeaturesOf]]: the SAME per-payload
     * decoder (all six container parsers) applied as binary payloads ARRIVE.

@@ -170,6 +170,39 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-stream interval join attributes purchases to in-window clicks only") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[Event]
+    val purchases = MemoryStream[Event]
+    val q = StreamingOps.streamingClickAttribution(clicks.toDF(), purchases.toDF())
+      .writeStream.format("memory").queryName("attr_out")
+      .outputMode("append").start()
+    try {
+      // two watermark traps shape this fixture: a far-future event in an
+      // early batch would late-drop the purchase, and an event AT the
+      // current watermark (ts 0) is evicted from join state between
+      // batches — so everything sits safely above the initial watermark
+      clicks.addData(
+        Event(1, ts(60), 10, "click", 1.0), // 5 min before purchase -> match
+        Event(2, ts(66), 10, "click", 1.0), // AFTER the purchase -> no match
+        Event(3, ts(61), 99, "click", 1.0)) // other user -> no match
+      q.processAllAvailable()
+      purchases.addData(Event(50, ts(65), 10, "purchase", 42.0))
+      q.processAllAvailable()
+      // advance both watermarks so join state finalizes
+      clicks.addData(Event(4, ts(240), 1, "click", 0.0))
+      purchases.addData(Event(51, ts(240), 1, "purchase", 0.0))
+      q.processAllAvailable()
+      val rows = spark.table("attr_out")
+        .select("user_id", "click_id", "purchase_id", "micros_before").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      assert(rows.contains((10L, 1L, 50L, 5L * 60000000L)), s"got $rows")
+      assert(!rows.exists(_._2 == 2L), "click after the purchase must not attribute")
+      assert(!rows.exists(_._1 == 99L), "cross-user click must not attribute")
+    } finally q.stop()
+  }
+
   test("streaming media features parse arriving payloads with the batch decoder") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
