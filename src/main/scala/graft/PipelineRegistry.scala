@@ -185,8 +185,12 @@ object PipelineRegistry {
     Some(s"""
       WITH s AS ($shingledCte),
       $minhashSigSql,
+      capped AS (SELECT doc_id, band, bsig FROM (
+                   SELECT doc_id, band, bsig,
+                          count(*) OVER (PARTITION BY band, bsig) AS bucket_n
+                   FROM bands) WHERE bucket_n <= ${Dedup.MaxBandBucket}),
       cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-               FROM bands a JOIN bands b
+               FROM capped a JOIN capped b
                ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id),
       j AS (SELECT id_a, id_b,
                    len(list_intersect(da.sh, db.sh))::DOUBLE /
@@ -196,18 +200,31 @@ object PipelineRegistry {
       FROM j WHERE jaccard >= 0.2 ORDER BY id_a, id_b
     """.trim))
 
+  /** 64-bit signature twin of [[graft.functions.SimhashFamily]]: digits
+    * 0..31 from md5(s), 32..63 from md5(s || '#'). The signature assembles
+    * as a FLAT weighted sum (bit i carries 2^(63−i)), not a nested
+    * `acc*2 + bit` fold — 63 nested levels blow DuckDB's 128-deep binder
+    * recursion cap — and is split into hi/lo 32-bit halves to keep the
+    * parse tree shallow. The sign bit enters as −2⁶³ because 2⁶³ itself
+    * would overflow DuckDB's checked BIGINT arithmetic (same trick as the
+    * Spark aggregate twin). */
   private val simhashSigSql: String = {
-    val sums = (0 until 16).map(i =>
-      s"sum(strpos('0123456789abcdef', substr(h, ${i + 1}, 1)) * 2 - 17) AS b$i")
-      .mkString(",\n        ")
-    val fold = (0 until 16).foldLeft("0") { (acc, i) =>
-      s"($acc * 2 + CASE WHEN b$i > 0 THEN 1 ELSE 0 END)"
-    }
-    s"""ex AS (SELECT doc_id, md5(s) AS h FROM (SELECT doc_id, unnest(sh) AS s FROM s)),
+    val sums = (0 until 64).map { i =>
+      val (h, pos) = if (i < 32) ("h1", i + 1) else ("h2", i - 31)
+      s"sum(strpos('0123456789abcdef', substr($h, $pos, 1)) * 2 - 17) AS b$i"
+    }.mkString(",\n        ")
+    def term(i: Int, w: Long) = s"CASE WHEN b$i > 0 THEN ${w}::BIGINT ELSE 0 END"
+    val hi = (1 until 32).map(i => term(i, 1L << (31 - i))).mkString(" + ")
+    val lo = (32 until 64).map(i => term(i, 1L << (63 - i))).mkString(" + ")
+    s"""ex AS (SELECT doc_id, md5(s) AS h1, md5(s || '#') AS h2
+               FROM (SELECT doc_id, unnest(sh) AS s FROM s)),
       sums AS (SELECT doc_id,
         $sums
         FROM ex GROUP BY doc_id),
-      sig AS (SELECT doc_id, ($fold)::INT AS sig FROM sums)"""
+      sig AS (SELECT doc_id,
+        ((CASE WHEN b0 > 0 THEN -9223372036854775807 - 1 ELSE 0 END)
+         + ($hi) * 4294967296 + ($lo))::BIGINT AS sig
+        FROM sums)"""
   }
 
   private val dedupSimhash: (String, QFn, Option[String]) = (
@@ -314,7 +331,8 @@ object PipelineRegistry {
     (s, d) => Multimodal.imageDecode(s, d),
     Some("""
       WITH kk AS (SELECT doc_id, text, len(text)//3 AS k FROM documents
-                  WHERE len(text) >= 3 AND len(text) = octet_length(encode(text))),
+                  WHERE len(text) >= 3 AND len(text) = octet_length(encode(text))
+                    AND len(text)//3 <= 1048576),
       px AS (SELECT doc_id, k, text, unnest(range(1, 3*k+1)) AS i FROM kk),
       v AS (SELECT doc_id, k, CAST((i-1)%3 AS INT) AS ch, ord(substr(text, CAST(i AS INT), 1)) AS b FROM px),
       a AS (SELECT doc_id, any_value(k) AS k,

@@ -186,7 +186,17 @@ object Dedup {
             sequence(lit(1), greatest(size(col("toks")), lit(1)), lit(paraTokens)),
             st => slice(col("toks"), st, lit(paraTokens)))).as(Seq("para_idx", "ptoks")))
         .where(size(col("ptoks")) >= 3)
-        .select((col("doc_id") * ParaShift + col("para_idx")).as("doc_id"),
+        // loud overflow guards on the packed key, enforced INSIDE the
+        // projected expression (a standalone assert column would be pruned):
+        // para_idx >= 2^20 (a >33M-token doc) or doc_id >= 2^43 would
+        // silently collide packed keys, and the oracle computes the same
+        // packed value, so the harness could never catch the corruption
+        .select((when(col("doc_id") < lit(1L << 43), col("doc_id"))
+            .otherwise(raise_error(concat(lit("paragraph key overflow: doc_id="), col("doc_id").cast("string"))))
+            * ParaShift +
+          when(col("para_idx") < lit(ParaShift), col("para_idx"))
+            .otherwise(raise_error(concat(lit("paragraph key overflow: para_idx="), col("para_idx").cast("string"))))
+          ).as("doc_id"),
           shingles(col("ptoks")).as("sh"))
         .cache())
 
@@ -270,14 +280,30 @@ object Dedup {
     }
   }
 
+  /** A (band,bsig) bucket of m docs emits m²/2 candidate rows, so one
+    * degenerate cluster of near-identical docs (mirrored boilerplate at
+    * corpus scale) can dominate the whole stage with candidates that exact
+    * dedup already collapses. Buckets above this size are dropped whole —
+    * the band-join analogue of [[DefaultMaxShingleDf]]'s hot-shingle trade,
+    * and the batch twin of the streaming path's `maxBucket`. */
+  val MaxBandBucket = 1000
+
   /** MinHash+LSH near-dup pairs: 16 portable min-hashes per doc from the
     * affine family above, banded 4x4; pairs sharing any band signature are
     * candidates, then verified with true shingle Jaccard >= threshold. One
     * groupBy for all 16 mins (single shuffle), one equi-join on
-    * (band, signature) — never all-pairs. */
-  def dedupMinhash(spark: SparkSession, dir: String, threshold: Double = 0.2): DataFrame = {
+    * (band, signature) — never all-pairs, and hot buckets capped. */
+  def dedupMinhash(spark: SparkSession, dir: String, threshold: Double = 0.2,
+      maxBucket: Int = MaxBandBucket): DataFrame = {
     val d = shingled(spark, dir)
+    // the bucket-size cap is a WINDOW over the self-join's own (band,bsig)
+    // shuffle key — same no-extra-exchange shape as the ngram df cutoff;
+    // the oracle SQL applies the identical cap
     val bands = minhashBandsDF(spark, dir)
+      .withColumn("bucket_n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("band"), col("bsig"))))
+      .where(col("bucket_n") <= maxBucket)
+      .drop("bucket_n")
     val cand = bands.as("a").join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.bsig") === col("b.bsig") &&
           col("a.doc_id") < col("b.doc_id"))
@@ -293,50 +319,62 @@ object Dedup {
       .orderBy(col("id_a"), col("id_b"))
   }
 
-  private val SimBits = 16
+  private val SimBits = 64
   private val SimChunks = 4
+  private val SimChunkBits = SimBits / SimChunks // 16-bit chunks → 4×65,536 join keys
   private val HammingMax = 3
 
-  /** 16-bit SimHash per doc: bit i is the sign of Σ over distinct shingles
-    * of (hexdigit_i(md5(shingle))·2 − 15) — the shared
-    * [[graft.functions.SimhashFamily]] definition, computed by the codegen
-    * [[graft.functions.SimhashSig]] expression as a NARROW projection over
-    * the shingle arrays. The round-3 shape exploded every shingle row and
-    * shuffled it through a 16-bit-sum groupBy just to reassemble per-doc
-    * signatures — the exact exchange [[graft.functions.MinhashSigs]] deleted
-    * from the minhash stage; at corpus scale that shuffle was the whole cost
-    * of the stage. Bit-identity with the aggregate form (and the DuckDB
-    * oracle, which mirrors it) is spec-asserted. */
+  /** 64-bit SimHash per doc: bit i is the sign of Σ over distinct shingles
+    * of (hexdigit_i·2 − 15), digits 0..31 from md5(shingle), 32..63 from
+    * md5(shingle ++ "#") — the shared [[graft.functions.SimhashFamily]]
+    * definition, computed by the codegen [[graft.functions.SimhashSig]]
+    * expression as a NARROW projection over the shingle arrays. The round-3
+    * shape exploded every shingle row and shuffled it through a bit-sum
+    * groupBy just to reassemble per-doc signatures — the exact exchange
+    * [[graft.functions.MinhashSigs]] deleted from the minhash stage; at
+    * corpus scale that shuffle was the whole cost of the stage. Bit-identity
+    * with the aggregate form (and the DuckDB oracle, which mirrors it) is
+    * spec-asserted. */
   def simhashSignatures(spark: SparkSession, dir: String): DataFrame =
     shingled(spark, dir)
       .select(col("doc_id"),
         graft.functions.SimhashSig.simhashSig(spark, col("sh")).as("sig"))
 
-  /** The round-3 aggregate pipeline (explode → md5 → 16 bit-sum aggregates
-    * → MSB-first fold) — kept as the spec twin that pins the narrow
-    * expression to the portable SQL arithmetic the oracle runs. */
+  /** The round-3 aggregate pipeline (explode → md5 pair → 64 bit-sum
+    * aggregates → MSB-first fold) — kept as the spec twin that pins the
+    * narrow expression to the portable SQL arithmetic the oracle runs.
+    * The fold covers bits 1..63 and the sign bit enters as Long.MinValue:
+    * Spark 4's ANSI arithmetic would reject the `acc*2` overflow a full
+    * 64-bit fold hits when bit 0 is set. */
   private[graft] def simhashSignaturesAgg(spark: SparkSession, dir: String): DataFrame = {
     val ex = shingled(spark, dir).select(col("doc_id"), explode(col("sh")).as("s"))
-      .select(col("doc_id"), md5(col("s")).as("h"))
+      .select(col("doc_id"), md5(col("s")).as("h1"),
+        md5(concat(col("s"), lit(graft.functions.SimhashFamily.Salt))).as("h2"))
     val bitSums = (0 until SimBits).map { i =>
-      sum(instr(lit("0123456789abcdef"), substring(col("h"), i + 1, 1)) * 2 - 17).as(s"b$i")
+      val (h, pos) = if (i < 32) ("h1", i) else ("h2", i - 32)
+      sum(instr(lit("0123456789abcdef"), substring(col(h), pos + 1, 1)) * 2 - 17).as(s"b$i")
     }
-    // fold bits MSB-first into one int: acc*2 + (sum>0)
     val sums = ex.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
-    val sigExpr = (0 until SimBits).foldLeft(lit(0): Column) { (acc, i) =>
-      acc * 2 + when(col(s"b$i") > 0, 1).otherwise(0)
+    val rest = (1 until SimBits).foldLeft(lit(0L): Column) { (acc, i) =>
+      acc * 2 + when(col(s"b$i") > 0, 1L).otherwise(0L)
     }
-    sums.select(col("doc_id"), sigExpr.cast("int").as("sig"))
+    val sigExpr = when(col("b0") > 0, lit(Long.MinValue)).otherwise(lit(0L)) + rest
+    sums.select(col("doc_id"), sigExpr.cast("long").as("sig"))
   }
 
-  /** SimHash near-dup pairs: Hamming(sig_a, sig_b) <= 3 over the 16-bit
+  /** SimHash near-dup pairs: Hamming(sig_a, sig_b) <= 3 over the 64-bit
     * signatures. Candidate generation is pigeonhole chunking — split the
-    * signature into 4 nibbles; <=3 differing bits guarantees one identical
-    * nibble, so an equi-join on (chunk, nibble) is complete. */
+    * signature into 4 16-bit chunks; <=3 differing bits guarantees one
+    * identical chunk, so an equi-join on (chunk, piece) is complete
+    * (Manku et al., WWW'07). The join key space is 4×2¹⁶ = 262,144 values,
+    * so bucket occupancy stays ~n/2¹⁸ per key at corpus scale — unlike the
+    * pre-round-6 16-bit/nibble scheme whose 64 total keys made this join a
+    * disguised cross-join at 10⁸ docs. */
   def dedupSimhash(spark: SparkSession, dir: String): DataFrame = {
     val sig = simhashSignatures(spark, dir).cache()
     val chunks = (0 until SimChunks).map { cIdx =>
-      struct(lit(cIdx).as("chunk"), shiftright(col("sig"), cIdx * 4).bitwiseAND(lit(15)).as("nib"))
+      struct(lit(cIdx).as("chunk"),
+        shiftright(col("sig"), cIdx * SimChunkBits).bitwiseAND(lit(0xffffL)).as("nib"))
     }
     val keyed = sig.select(col("doc_id"), col("sig"), explode(array(chunks: _*)).as("ck"))
       .select(col("doc_id"), col("sig"), col("ck.chunk").as("chunk"), col("ck.nib").as("nib"))
@@ -413,11 +451,21 @@ object Dedup {
         // cap is an infinite-loop guard only: the min-label lattice is
         // finite and strictly decreasing, so changed==0 is guaranteed; if
         // the guard ever fires we fail loudly rather than emit wrong ids.
-        val edges = pairs.union(pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
-          .localCheckpoint(true)
-        var ls = edges.select(col("id_a").as("doc_id")).distinct()
-          .select(col("doc_id"), col("doc_id").as("canonical_id"))
-          .localCheckpoint(true)
+        // lineage truncation strategy: localCheckpoint blocks are
+        // executor-local and NON-replicated — cheap and correct on
+        // local[*], but on a real cluster any executor loss makes the job
+        // unrecoverable. When the caller has configured a checkpoint dir
+        // (sc.setCheckpointDir, the standard cluster setup), use reliable
+        // checkpointing to the shared filesystem instead; the per-round
+        // label table is tiny relative to the corpus, so the write is
+        // cheap insurance over a multi-hour 100 TB CC pass.
+        def truncated(df: DataFrame): DataFrame =
+          if (spark.sparkContext.getCheckpointDir.isDefined) df.checkpoint(true)
+          else df.localCheckpoint(true)
+        val edges = truncated(
+          pairs.union(pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b"))))
+        var ls = truncated(edges.select(col("id_a").as("doc_id")).distinct()
+          .select(col("doc_id"), col("doc_id").as("canonical_id")))
         var changed = 1L
         var rounds = 0
         while (changed > 0 && rounds < 64) {
@@ -432,17 +480,19 @@ object Dedup {
           // label is itself an edge-touched doc_id, so the self-join map
           // covers it; coalesce guards the root (label(x)=x) rows anyway.
           val jumpMap = stepped.select(col("doc_id").as("__jid"), col("canonical_id").as("__jlbl"))
-          // localCheckpoint is REQUIRED here, not an optimization: the jump
+          // checkpointing is REQUIRED here, not an optimization: the jump
           // self-join embeds the previous round's plan twice, so without
           // lineage truncation the logical plan doubles per round and the
           // AQE explain string alone OOMs the driver after ~15 rounds.
-          // Storage: each round's (doc_id, canonical_id) table is tiny
-          // relative to the corpus and only O(log diameter) rounds run;
-          // dereferenced rounds are freed by the ContextCleaner.
-          val jumped = stepped.join(jumpMap, col("canonical_id") === col("__jid"), "left")
-            .select(col("doc_id"),
-              least(col("canonical_id"), coalesce(col("__jlbl"), col("canonical_id"))).as("canonical_id"))
-            .localCheckpoint(true)
+          // (.cache() does NOT truncate lineage — a review once swapped it
+          // in and the driver OOM'd.) Storage: each round's
+          // (doc_id, canonical_id) table is tiny relative to the corpus and
+          // only O(log diameter) rounds run; dereferenced rounds are freed
+          // by the ContextCleaner.
+          val jumped = truncated(
+            stepped.join(jumpMap, col("canonical_id") === col("__jid"), "left")
+              .select(col("doc_id"),
+                least(col("canonical_id"), coalesce(col("__jlbl"), col("canonical_id"))).as("canonical_id")))
           changed = jumped.join(ls.withColumnRenamed("canonical_id", "old"), "doc_id")
             .where(col("canonical_id") =!= col("old")).count()
           ls = jumped

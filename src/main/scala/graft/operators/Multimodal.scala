@@ -16,12 +16,15 @@ case class MediaFeatures(doc_id: Long, n_bytes: Long, media_type: String,
   * plumbing (north-star surface, SURVEY.md §2b).
   *
   * The binary path treats media as `binary` columns with typed metadata.
-  * All five container headers (WAV, PPM, BMP, JPEG, PNG) are parsed FOR
-  * REAL by [[decode]] — dimensions/rate/channels come from byte arithmetic
-  * alone; only pixel decode (entropy-coded image data) is out of scope.
-  * The Spark-side plumbing — schema, batching
-  * via mapPartitions, partition-local extraction, metadata join — is the
-  * shape a full codec (e.g. a Pandas-UDF/JNI decoder) slots into.
+  * All six container headers (WAV, PPM, BMP, JPEG, PNG, MP4/MOV) are parsed
+  * FOR REAL by [[decode]] — dimensions/rate/channels/duration come from
+  * byte arithmetic alone. Payload decode is real where the format permits
+  * it without a codec: [[decodePixels]] produces per-channel pixel stats
+  * for PPM/BMP/PNG and [[decodeWavSamples]] 16-bit PCM samples for WAV
+  * (both oracle hash-checked); only entropy-coded payloads (JPEG scan
+  * data, MP4 frames) stay metadata-only. The Spark-side plumbing — schema,
+  * batching via mapPartitions, partition-local extraction, metadata join —
+  * is the shape a full codec (e.g. a Pandas-UDF/JNI decoder) slots into.
   */
 object Multimodal {
 
@@ -353,10 +356,14 @@ object Multimodal {
     import spark.implicits._
     // ASCII guard (chars == bytes) mirrored in the oracle: the DuckDB twin
     // works in characters (ord/len) while this side works in bytes, and
-    // the identity only holds for single-byte text
+    // the identity only holds for single-byte text. The width cap mirrors
+    // decodePixels' 2^20 hostile-header dimension cap — without it a
+    // >3 MiB doc would be encoded here, rejected at decode, and silently
+    // vanish from the Spark side while the oracle still counted it.
     val src = Tables.documents(spark, dir)
       .where(length(col("text")) >= 3 &&
-        octet_length(encode(col("text"), "utf-8")) === length(col("text")))
+        octet_length(encode(col("text"), "utf-8")) === length(col("text")) &&
+        floor(length(col("text")) / 3) <= lit(1048576))
       .select(col("doc_id"), encode(col("text"), "utf-8").as("payload"))
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>

@@ -127,13 +127,18 @@ class NativeExpressionSpec extends AnyFunSuite {
     // (the arithmetic the DuckDB oracle runs) on the whole sf0.01 corpus
     val d = "/root/testdata/sf0.01"
     val narrow = graft.operators.Dedup.simhashSignatures(spark, d)
-      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     val agg = graft.operators.Dedup.simhashSignaturesAgg(spark, d)
-      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(narrow.nonEmpty && narrow == agg,
       "narrow simhash_sig must be bit-identical to the aggregate pipeline")
-    assert(narrow.values.forall(s => s >= 0 && s < (1 << SimhashFamily.Bits)))
-    assert(SimhashFamily.sigOf(Iterator.empty) == 0, "empty set: no positive bit")
+    // 64-bit signatures use the full long range incl. the sign bit; what
+    // matters is spread — distinct signatures per distinct doc (no 16-bit
+    // birthday collapse)
+    assert(SimhashFamily.Bits == 64)
+    assert(narrow.values.toSet.size > narrow.size * 9 / 10,
+      "64-bit signatures must not collide across non-duplicate docs")
+    assert(SimhashFamily.sigOf(Iterator.empty) == 0L, "empty set: no positive bit")
   }
 
   test("simhash_sig skips null array elements (matches SQL aggregate null-skip, no NPE)") {
@@ -142,8 +147,8 @@ class NativeExpressionSpec extends AnyFunSuite {
     val withNull = Seq((1L, Seq(Some("alpha"), None, Some("beta"))))
       .toDF("doc_id", "shingles")
     val without = Seq((1L, Seq("alpha", "beta"))).toDF("doc_id", "shingles")
-    val a = withNull.select(SimhashSig.simhashSig(spark, col("shingles"))).head().getInt(0)
-    val b = without.select(SimhashSig.simhashSig(spark, col("shingles"))).head().getInt(0)
+    val a = withNull.select(SimhashSig.simhashSig(spark, col("shingles"))).head().getLong(0)
+    val b = without.select(SimhashSig.simhashSig(spark, col("shingles"))).head().getLong(0)
     assert(a == b, "null shingles must be ignored, not NPE or perturb the signature")
   }
 
@@ -168,7 +173,7 @@ class NativeExpressionSpec extends AnyFunSuite {
     val r = spark.sql(
       "SELECT simhash_sig(array('alpha','beta')) AS sh, minhash_sigs(array('alpha','beta')) AS mh")
       .head()
-    assert(r.getInt(0) >= 0 && r.getInt(0) < (1 << 16))
+    assert(r.getLong(0) == graft.functions.SimhashFamily.sigOf(Iterator("alpha", "beta")))
     assert(r.getSeq[Long](1).length == 16)
   }
 }

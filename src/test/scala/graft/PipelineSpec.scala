@@ -52,13 +52,67 @@ class PipelineSpec extends AnyFunSuite {
     assert(recall >= 0.6, s"ivf recall $recall")
   }
 
-  test("simhash pairs include the highest-jaccard planted near-dups") {
-    val strong = Dedup.dedupNgramJaccard(spark, dir, threshold = 0.8)
-    val strongPairs = pairSet(strong)
+  test("simhash: precise near-exact dups, complete pigeonhole join, wide key space") {
+    // 64-bit hamming<=3 is the near-exact-duplicate operating point: every
+    // emitted pair must be a genuine strong near-dup (precision — the
+    // pre-round-6 16-bit space emitted ~1.3k birthday-collision pairs here)
     val sim = pairSet(Dedup.dedupSimhash(spark, dir))
-    assert(strongPairs.nonEmpty, "fixture has pairs with jaccard >= 0.8")
-    val found = strongPairs.count(sim.contains).toDouble / strongPairs.size
-    assert(found >= 0.8, s"simhash found only $found of the strongest near-dups")
+    val strongPairs = pairSet(Dedup.dedupNgramJaccard(spark, dir, threshold = 0.9))
+    assert(sim.nonEmpty, "fixture has near-exact dup pairs")
+    assert(sim.subsetOf(strongPairs),
+      s"simhash emitted false positives: ${sim -- strongPairs}")
+    // completeness: the 4x16-bit pigeonhole equi-join finds EVERY hamming<=3
+    // pair (brute force over the collected signatures is the ground truth)
+    val sigs = Dedup.simhashSignatures(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    val brute = (for {
+      (ia, sa) <- sigs; (ib, sb) <- sigs
+      if ia < ib && java.lang.Long.bitCount(sa ^ sb) <= 3
+    } yield (ia, ib)).toSet
+    assert(sim == brute, "pigeonhole candidates must equal brute-force hamming<=3")
+    // the candidate join key space must be wide: >64 distinct (chunk,piece)
+    // keys (the old scheme's hard ceiling) and ~4 keys per non-dup doc
+    import org.apache.spark.sql.functions._
+    val keyed = Dedup.simhashSignatures(spark, dir)
+      .select(explode(sequence(lit(0), lit(3))).as("chunk"), col("sig"))
+      .select(col("chunk"), expr("shiftright(sig, chunk * 16) & 65535").as("piece"))
+    val distinctKeys = keyed.distinct().count()
+    assert(distinctKeys > 64 && distinctKeys > sigs.length.toLong,
+      s"expected a wide bucket-key space, got $distinctKeys distinct keys for ${sigs.length} docs")
+  }
+
+  test("minhash hot-bucket cap: a planted 1.2k-identical cluster emits no quadratic burst") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val tmp = java.nio.file.Files.createTempDirectory("graft_hotbucket_").toFile
+    try {
+      // 1200 identical docs share all 4 band signatures, so every one of
+      // their buckets holds 1200 > MaxBandBucket members — without the cap
+      // the self-join would materialize ~2.9M candidate rows before
+      // verification. The two identical docs planted alongside share
+      // buckets of size 2 and must still pair up.
+      val cluster = (0L until 1200L).map(i =>
+        (i, "the quick brown fox jumps over the lazy dog again and again"))
+      val pair = Seq(
+        (5000L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+        (5001L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"))
+      (cluster ++ pair).toDF("doc_id", "text")
+        .write.parquet(new java.io.File(tmp, "documents.parquet").toString)
+      val pairs = Dedup.dedupMinhash(spark, tmp.toString)
+        .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(pairs == Set((5000L, 5001L)),
+        s"cap must drop all cluster buckets and keep the small-bucket pair, got $pairs")
+      // the boilerplate trade is recall-only: raising the cap above the
+      // cluster size restores its (genuinely duplicate) pairs
+      val uncapped = Dedup.dedupMinhash(spark, tmp.toString, maxBucket = 1500)
+        .where(col("id_a") === 0L).count()
+      assert(uncapped == 1199L, s"uncapped cluster must pair doc 0 with all 1199 twins")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm); f.delete()
+      }
+      rm(tmp)
+    }
   }
 
   test("dedup survivors: distributed label propagation agrees with driver union-find") {
