@@ -118,26 +118,57 @@ object StreamingOps {
     * clusters, and the cap bounds the quadratic burst an adversarial hot
     * bucket could emit (the batch path's df-cutoff analogue). Pairs are
     * CANDIDATES, exactly as in the batch op; Jaccard verification composes
-    * downstream. Add a state TTL in this slot to bound the dedup horizon
-    * the way `streamingDedup`'s watermark does. */
-  def streamingMinhashCandidates(docs: Dataset[Doc], maxBucket: Int = 32): Dataset[CandidatePair] = {
+    * downstream.
+    *
+    * State is TTL-bounded by `horizonMinutes` of EVENT time: each bucket's
+    * timeout re-arms at (its newest event time + horizon), and once the
+    * watermark passes it the bucket is dropped whole. Without the TTL,
+    * state grows with the number of distinct (band,bsig) keys ever seen —
+    * i.e. with the corpus — which is exactly what an unbounded ingest
+    * stream cannot afford; with it, state is bounded by the horizon's
+    * arrival volume, the same contract as `streamingDedup`'s
+    * dropDuplicatesWithinWatermark. Docs farther apart than the horizon
+    * are not candidate-checked (the dedup-horizon trade, explicit). */
+  def streamingMinhashCandidates(docs: Dataset[Doc], maxBucket: Int = 32,
+      horizonMinutes: Int = 60): Dataset[CandidatePair] = {
     import docs.sparkSession.implicits._
+    val horizonMs = horizonMinutes * 60L * 1000L
     docs
       .flatMap(d => graft.operators.Dedup.minhashBandsOf(d.text)
-        .map { case (band, bsig) => (band, bsig, d.doc_id) })
+        .map { case (band, bsig) => (band, bsig, d.doc_id, d.ts) })
+      // the watermark must be declared on the POST-flatMap column: a typed
+      // flatMap re-serializes through fresh attributes, so a watermark set
+      // on docs.ts would not reach the stateful operator's child and the
+      // event-time timeout would be rejected at analysis
+      .withWatermark("_4", s"$horizonMinutes minutes")
       .groupByKey(t => (t._1, t._2))
       .flatMapGroupsWithState[BucketState, CandidatePair](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         case ((band, _), it, state) =>
-          val newIds = it.map(_._3).toSeq.distinct.sorted
-          val old = state.getOption.map(_.ids).getOrElse(Nil)
-          val pairs = for {
-            (n, i) <- newIds.zipWithIndex
-            o <- old.iterator ++ newIds.iterator.take(i)
-            if o != n
-          } yield CandidatePair(math.min(o, n), math.max(o, n), band)
-          state.update(BucketState((old ++ newIds).distinct.takeRight(maxBucket)))
-          pairs.distinct.iterator
+          if (state.hasTimedOut) {
+            // watermark passed newest-member time + horizon: every future
+            // arrival is out of dedup range for this bucket — drop it
+            state.remove()
+            Iterator.empty
+          } else {
+            val rows = it.toSeq
+            val newIds = rows.map(_._3).distinct.sorted
+            val old = state.getOption.map(_.ids).getOrElse(Nil)
+            val pairs = for {
+              (n, i) <- newIds.zipWithIndex
+              o <- old.iterator ++ newIds.iterator.take(i)
+              if o != n
+            } yield CandidatePair(math.min(o, n), math.max(o, n), band)
+            state.update(BucketState((old ++ newIds).distinct.takeRight(maxBucket)))
+            // re-arm from the newest event in ms; the max() guards the
+            // skewed-group case where another key's events already pushed
+            // the watermark past this bucket's horizon (the timeout then
+            // fires on the next trigger instead of throwing)
+            val newestMs = rows.map(r => r._4.getTime).max
+            state.setTimeoutTimestamp(
+              math.max(newestMs, state.getCurrentWatermarkMs() + 1) + horizonMs)
+            pairs.distinct.iterator
+          }
       }
   }
 
@@ -181,31 +212,51 @@ object StreamingOps {
       }
   }
 
-  /** Stateful sessionization via mapGroupsWithState: a session closes after
-    * `gapMinutes` of inactivity (event-time driven via processing-time
-    * timeout in this demo). Emits one row per closed session. */
+  /** Stateful sessionization via flatMapGroupsWithState: a session closes
+    * after `gapMinutes` of inactivity. Two close paths, both emitted:
+    * a later event from the same user beyond the gap (the in-stream path),
+    * and an EVENT-TIME TIMEOUT at (last activity + gap) — once the
+    * watermark passes that point no event can extend the session (anything
+    * later starts a new one), so the FINAL session per user flushes instead
+    * of sitting in state forever, and idle users' state expires instead of
+    * accumulating over the life of the stream. */
   def sessionize(events: Dataset[Event], gapMinutes: Int = 30): Dataset[Session] = {
     import events.sparkSession.implicits._
     val gapMs = gapMinutes * 60L * 1000L
     events
+      .withWatermark("ts", s"$gapMinutes minutes")
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[SessionState, Session](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (userId: Long, it: Iterator[Event], state: GroupState[SessionState]) =>
-          // order within the batch for deterministic session splits
-          val evs = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
-          var st = state.getOption.orNull
-          val closed = Seq.newBuilder[Session]
-          for (e <- evs) {
-            val t = e.ts.getTime
-            if (st == null) st = SessionState(t, t, 1, e.value)
-            else if (t - st.last > gapMs) {
-              closed += Session(userId, new Timestamp(st.start), new Timestamp(st.last), st.n, st.sum)
-              st = SessionState(t, t, 1, e.value)
-            } else st = st.copy(last = t, n = st.n + 1, sum = st.sum + e.value)
+          if (state.hasTimedOut) {
+            val st = state.get
+            state.remove()
+            Iterator.single(
+              Session(userId, new Timestamp(st.start), new Timestamp(st.last), st.n, st.sum))
+          } else {
+            // order within the batch for deterministic session splits
+            val evs = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            var st = state.getOption.orNull
+            val closed = Seq.newBuilder[Session]
+            for (e <- evs) {
+              val t = e.ts.getTime
+              if (st == null) st = SessionState(t, t, 1, e.value)
+              else if (t - st.last > gapMs) {
+                closed += Session(userId, new Timestamp(st.start), new Timestamp(st.last), st.n, st.sum)
+                st = SessionState(t, t, 1, e.value)
+              } else st = st.copy(last = t, n = st.n + 1, sum = st.sum + e.value)
+            }
+            if (st != null) {
+              state.update(st)
+              // flush when the watermark passes last + gap; max() guards the
+              // case where other users' events already pushed the watermark
+              // beyond it (fires on the next trigger instead of throwing)
+              state.setTimeoutTimestamp(
+                math.max(st.last + gapMs, state.getCurrentWatermarkMs() + 1))
+            } else state.remove()
+            closed.result().iterator
           }
-          if (st != null) state.update(st) else state.remove()
-          closed.result().iterator
       }
   }
 }

@@ -155,18 +155,81 @@ class StreamingSpec extends AnyFunSuite {
       .writeStream.format("memory").queryName("sess_out")
       .outputMode("append").start()
     try {
-      // batch 1: user 1 has two events 5 min apart (one open session)
-      input.addData(Event(1, ts(0), 1, "click", 1.0), Event(2, ts(5), 1, "view", 2.0))
+      // batch 1: user 1 has two events 5 min apart (one open session).
+      // Times start at minute 60: the op is watermarked now, and an event
+      // AT the initial epoch-0 watermark would be dropped as late.
+      input.addData(Event(1, ts(60), 1, "click", 1.0), Event(2, ts(65), 1, "view", 2.0))
       q.processAllAvailable()
       assert(spark.table("sess_out").count() == 0, "session still open")
       // batch 2: a 90-minute gap closes the first session and opens another
-      input.addData(Event(3, ts(95), 1, "click", 4.0))
+      input.addData(Event(3, ts(155), 1, "click", 4.0))
       q.processAllAvailable()
       val sessions = spark.table("sess_out").as[Session].collect()
       assert(sessions.length == 1)
       val s = sessions.head
       assert(s.user_id == 1 && s.n_events == 2 && s.sum_value == 3.0)
-      assert(s.start_ts == ts(0) && s.end_ts == ts(5))
+      assert(s.start_ts == ts(60) && s.end_ts == ts(65))
+    } finally q.stop()
+  }
+
+  test("sessionize flushes the final session by event-time timeout, freeing user state") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = StreamingOps.sessionize(input.toDS(), gapMinutes = 30)
+      .writeStream.format("memory").queryName("sess_ttl_out")
+      .outputMode("append").start()
+    try {
+      input.addData(Event(1, ts(60), 1, "click", 1.0), Event(2, ts(65), 1, "view", 2.0))
+      q.processAllAvailable()
+      assert(spark.table("sess_ttl_out").count() == 0, "session still open")
+      // another USER's far-future event advances the watermark past
+      // user 1's (last=65) + gap(30) = minute 95 flush point...
+      input.addData(Event(3, ts(300), 2, "click", 1.0))
+      q.processAllAvailable()
+      // ...and the next trigger runs the timed-out group: user 1's session
+      // flushes WITHOUT any further user-1 event (pre-TTL, it sat in state
+      // forever and the tail session was never emitted)
+      input.addData(Event(4, ts(301), 2, "view", 1.0))
+      q.processAllAvailable()
+      val flushed = spark.table("sess_ttl_out").as[Session].collect().filter(_.user_id == 1)
+      assert(flushed.length == 1, s"expected the tail session, got ${flushed.toSeq}")
+      assert(flushed.head.start_ts == ts(60) && flushed.head.end_ts == ts(65) &&
+        flushed.head.n_events == 2 && flushed.head.sum_value == 3.0)
+    } finally q.stop()
+  }
+
+  test("streaming minhash evicts buckets past the event-time horizon") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dup = "the quick brown fox jumps over the lazy dog again and again"
+    val input = MemoryStream[Doc]
+    val q = StreamingOps.streamingMinhashCandidates(input.toDS(), horizonMinutes = 10)
+      .writeStream.format("memory").queryName("mh_ttl_out")
+      .outputMode("append").start()
+    try {
+      input.addData(Doc(1, ts(60), dup))
+      q.processAllAvailable()
+      // unrelated far-future docs advance the watermark past the dup
+      // bucket's (newest=60) + horizon(10) = minute 70 expiry...
+      input.addData(Doc(2, ts(300), "completely different words about spark shuffles here"))
+      q.processAllAvailable()
+      // ...the next trigger evicts the bucket...
+      input.addData(Doc(3, ts(301), "other unrelated text with its own shingles entirely"))
+      q.processAllAvailable()
+      // ...so an identical doc arriving after the horizon does NOT pair
+      // with doc 1 (pre-TTL it would have: state never expired)
+      input.addData(Doc(4, ts(302), dup))
+      q.processAllAvailable()
+      assert(spark.table("mh_ttl_out").count() == 0,
+        "bucket must be evicted before the late twin arrives")
+      // the late twin re-seeded the bucket: a fresh twin within the horizon
+      // still pairs against it (eviction bounds the horizon, not the op)
+      input.addData(Doc(5, ts(303), dup))
+      q.processAllAvailable()
+      val pairs = spark.table("mh_ttl_out").as[CandidatePair].collect()
+      assert(pairs.nonEmpty && pairs.forall(p => p.id_a == 4L && p.id_b == 5L),
+        s"got ${pairs.toSeq}")
     } finally q.stop()
   }
 
