@@ -32,14 +32,28 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       (System.nanoTime() - t0) / 1e9
     }
+    def r4(v: Double): Double = math.round(v * 10000).toDouble / 10000
     val results = SparkEntry.queries.map { case (name, fn) =>
+      // one UNTIMED warm-up run per query (when medians are requested):
+      // whichever query first touches a shared cached frame or compiles a
+      // codegen template otherwise pays that one-time cost inside its own
+      // median, and the attribution wanders between rounds as the query
+      // set evolves. With the warm-up, medians are steady-state and stable
+      // across consecutive runs.
+      if (iters > 1) timeOnce(fn)
       val ts = Array.fill(iters)(timeOnce(fn)).sorted
-      name -> ts(ts.length / 2)
+      name -> r4(ts(ts.length / 2))
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","iters":$iters}""")
+    val total = r4(if (results.nonEmpty) results.values.sum else 0.0)
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","iters":$iters}"""
     spark.stop()
+    // the JSON goes out AFTER spark.stop(), as the process's final stdout
+    // line: the driver parses a tail capture, and executor/log noise after
+    // the line (or a mid-line interleave) breaks that parse
+    println(line)
+    System.out.flush()
   }
 }

@@ -37,7 +37,8 @@ object SparkEntry {
   private def registry: Seq[(String, QFn, Option[String])] = Seq(
     knnExactQ, knnExactAggQ, knnFilteredQ, medoidExactQ, argminNearestQ,
     vamanaFilteredQ,
-    vamanaSearchQ, vamanaRecallQ, vamanaStartQ, vamanaDescribeQ, vamanaDegreeQ, vamanaFanoutQ,
+    vamanaSearchQ, vamanaOverlapQ, vamanaRecallQ, vamanaStartQ, vamanaDescribeQ, vamanaDegreeQ,
+    vamanaFanoutQ,
     vamanaRoundtripQ, vamanaInsertQ, vamanaDeleteQ,
     pricingQ, regionRevenueQ, topOrdersQ, orderPriorityQ, localSupplierQ,
     filteredRevenueQ, partRollupQ, segmentSetOpsQ, eventsHourlyQ, userFunnelQ,
@@ -269,6 +270,18 @@ object SparkEntry {
     "vamana_recall",
     (s, d) => graft.vamana.VamanaOps.recallReport(s, d),
     None)
+
+  /** Hash-checked serving-path gate (see VamanaOps.vamanaSearchOverlap):
+    * full-beam graph search must overlap exact kNN on all k ids — the
+    * oracle states the theorem (overlap = k for every query) from the
+    * parquet ground truth; any kernel/graph regression breaks the hash. */
+  private val vamanaOverlapQ: (String, QFn, Option[String]) = (
+    "vamana_search_overlap",
+    (s, d) => graft.vamana.VamanaOps.vamanaSearchOverlap(s, d),
+    Some("""
+      SELECT vec_id AS query_id, CAST(10 AS BIGINT) AS overlap
+      FROM embeddings WHERE vec_id < 10 ORDER BY query_id
+    """.trim))
 
   // ---- vector surface (reference ops Q1/A1, oracle-checkable forms) ----------
 

@@ -501,6 +501,11 @@ final class VamanaModel private (
   /** True when the model never materialized a driver-side index. */
   def isDistributed: Boolean = localOpt.isEmpty
 
+  /** The broadcastable kernel, when this model holds one — package-private
+    * so [[VamanaOps]] can re-parameterize the SAME fitted graph (e.g. a
+    * full-beam exactness gate) without a refit. */
+  private[vamana] def localIndex: Option[LocalIndex] = localOpt
+
   /** Kernel-space params — available without materializing anything, for
     * local and distributed models alike. */
   def params: VamanaParams = localOpt.map(_.params).getOrElse(framesOpt.get.params)

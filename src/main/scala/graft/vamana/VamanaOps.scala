@@ -41,6 +41,7 @@ object VamanaOps {
     insertCache.clear()
     for ((_, m) <- deleteCache) m.unpersist()
     deleteCache.clear()
+    fullBeamCache.clear()
   }
 
   private val insertCache = TrieMap.empty[String, VamanaModel]
@@ -80,6 +81,45 @@ object VamanaOps {
       .select((col("vec_id") - cut).cast("long").as("query_id"),
         col("embedding").as("query_vec"))
     m.search(q, 10)
+  }
+
+  /** The serving model's graph re-parameterized to a FULL beam (efSearch =
+    * n): greedy search with a beam that never evicts expands every node
+    * reachable from the medoid, so on a connected graph it returns the
+    * EXACT top-k. Same fitted graph — no refit, no second build. */
+  private val fullBeamCache = TrieMap.empty[String, VamanaModel]
+
+  private def fullBeamModel(spark: SparkSession, dir: String): VamanaModel =
+    fullBeamCache.getOrElseUpdate(dir, {
+      val idx = model(spark, dir).localIndex.getOrElse(sys.error(
+        "vamana_search_overlap is a broadcast-scale exactness gate; " +
+          "distributed models are recall-gated by vamana_recall instead"))
+      new VamanaModel(new LocalIndex(idx.ids, idx.points, idx.graph, idx.medoid,
+        idx.params.copy(efSearch = idx.size)))
+    })
+
+  /** Hash-checked serving-path gate: per-query OVERLAP between the graph
+    * search at full beam and exact kNN, over the same 10-query fixture as
+    * `knn_exact`. Full-beam greedy search on a connected graph is provably
+    * exhaustive, so every overlap must equal k — which is exactly what the
+    * DuckDB oracle states from the parquet ground truth. A kernel
+    * regression (broken prune/beam/tie-break, disconnected graph, dropped
+    * neighbor) surfaces as overlap < k → hash mismatch; the fixtures carry
+    * no distance ties at the k-boundary (min double-space gap 4e-05 vs
+    * ~1e-6 float accumulation error), so the id comparison is
+    * deterministic. This is the one serving-family query whose correctness
+    * is oracle-checkable without circularity: the expectation (k) is a
+    * theorem about the algorithm, not a measured constant. */
+  def vamanaSearchOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val q = Knn.queriesFromPoints(emb, 10)
+    val ann = fullBeamModel(spark, dir).search(q, 10).select(col("query_id"), col("id"))
+    val exact = Knn.knnExact(emb, q, 10).select(col("query_id"), col("id"))
+    ann.join(exact, Seq("query_id", "id"))
+      .groupBy(col("query_id"))
+      .agg(count(lit(1)).as("overlap"))
+      .select(col("query_id"), col("overlap"))
+      .orderBy(col("query_id"))
   }
 
   /** ANN top-10 for the first 10 stored vectors — same fixture as knn_exact,
