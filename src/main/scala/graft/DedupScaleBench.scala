@@ -1,0 +1,149 @@
+package graft
+
+import scala.util.Random
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.Dedup
+
+/** 10×-and-beyond scale evidence for the DEDUP path — the ANN path has
+  * `ScaleBench`; this is its twin for the operators the 100 TB posture
+  * leans on hardest: the shingle-surrogate pair join (+ df cutoff),
+  * MinHash banding (+ hot-bucket cap), 64-bit SimHash chunk join, and the
+  * fixpoint connected-components pass.
+  *
+  * The synthetic corpus is generated DISTRIBUTED (seeded per-id RNG inside
+  * mapPartitions — never on the driver) and plants the two adversarial
+  * structures that break naive dedup at scale:
+  *
+  *  - **duplicate chains**: 10% of docs sit in 10-doc mutation chains
+  *    (each member rewrites one 6-token window of the chain head), so
+  *    adjacent members are near-dups but head and tail are not — the CC
+  *    pass must stitch the chain transitively, not just collapse cliques;
+  *  - **hot boilerplate**: 20% of docs append one shared 14-token
+  *    sentence. Its shingles reach document frequency 0.2·n — without the
+  *    df cutoff the pair join would materialize (0.2·n)²/2 candidate rows
+  *    (5×10⁹ at n=500k) for pairs whose true Jaccard (~0.06) fails the
+  *    threshold anyway. The cutoff is what makes the join linear.
+  *
+  * Usage: runMain graft.DedupScaleBench [docList] [cpus]
+  * e.g.   runMain graft.DedupScaleBench 50000,500000 32
+  * Prints one JSON line per corpus size; recorded in BASELINE_REPRO.md.
+  */
+object DedupScaleBench {
+
+  private val ChainSpan = 100   // ids [c*100, c*100+10) form chain c
+  private val ChainLen = 10
+  private val Vocab = 50000
+
+  private def word(rng: Random): String = s"w${rng.nextInt(Vocab)}"
+
+  /** Deterministic synthetic corpus: text of doc id is a pure function of
+    * id, identical under any partitioning. ~100 tokens per doc. */
+  def syntheticDocs(spark: SparkSession, n: Long): DataFrame = {
+    import spark.implicits._
+    val boiler = (0 until 14).map(i => s"boil$i").mkString(" ")
+    spark.range(n)
+      .as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val inChain = id % ChainSpan < ChainLen
+          val base =
+            if (inChain) {
+              // member p carries the head's tokens with windows 1..p
+              // rewritten; window w's replacement is seeded by (head, w)
+              // and thus SHARED by all members past w. Members p<q then
+              // differ in exactly windows p+1..q — 6·(q−p) tokens — so
+              // similarity decays with chain distance: adjacent members
+              // are strong near-dups, head vs tail barely related, and
+              // the CC pass must stitch the chain transitively
+              val head = (id / ChainSpan) * ChainSpan
+              val rngH = new Random(head * 0x9e3779b97f4a7c15L + 11L)
+              val toks = Array.fill(100)(word(rngH))
+              val p = (id % ChainSpan).toInt
+              var w = 1
+              while (w <= p) {
+                val rngW = new Random(head * 31L + w * 0x5deece66dL + 13L)
+                var i = w * 6
+                while (i < w * 6 + 6) { toks(i) = word(rngW); i += 1 }
+                w += 1
+              }
+              toks
+            } else {
+              val rng = new Random(id * 0x9e3779b97f4a7c15L + 11L)
+              Array.fill(100)(word(rng))
+            }
+          val text = if (id % 5 == 0) base.mkString(" ") + " " + boiler else base.mkString(" ")
+          (id, text)
+        }
+      }
+      .toDF("doc_id", "text")
+  }
+
+  /** The registered queries' own tokenize+shingle pass over the corpus. */
+  def shingledOf(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), Dedup.tokens(col("text")).as("toks"))
+      .where(size(col("toks")) >= 3)
+      .select(col("doc_id"), Dedup.shingles(col("toks")).as("sh"))
+
+  def main(args: Array[String]): Unit = {
+    val sizes = args.headOption.map(_.split(",").map(_.toLong).toSeq)
+      .getOrElse(Seq(50000L, 500000L))
+    val cpus = args.lift(1).map(_.toInt)
+      .orElse(sys.env.get("SPARK_GRAFT_CPUS").map(_.toInt)).getOrElse(32)
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    for (n <- sizes) {
+      val sh = shingledOf(syntheticDocs(spark, n)).repartition(cpus).cache()
+      sh.count()
+
+      def timed[A](body: => A): (A, Double) = {
+        val t0 = System.nanoTime()
+        val r = body
+        (r, (System.nanoTime() - t0) / 1e9)
+      }
+
+      // 1. exact ngram-Jaccard pair join (inverted index + df cutoff)
+      val pairs = Dedup.ngramJaccardPairs(sh, threshold = 0.2, maxDf = Dedup.DefaultMaxShingleDf)
+        .cache()
+      val (nPairs, pairSec) = timed(pairs.count())
+      // 2. MinHash banding + capped bucket join + Jaccard verify
+      val (nMh, mhSec) = timed(Dedup.dedupMinhashFrame(spark, sh).count())
+      // 3. 64-bit SimHash chunk join (+ key-spread evidence: distinct
+      //    (chunk,piece) keys and the largest bucket — the pre-round-6
+      //    16-bit scheme had 64 keys total, i.e. buckets of n/16)
+      val (nSh, shSec) = timed(Dedup.dedupSimhashFrame(spark, sh).count())
+      val keyStats = Dedup.simhashSignaturesFrame(spark, sh)
+        .select(explode(sequence(lit(0), lit(3))).as("chunk"), col("sig"))
+        .select(col("chunk"), expr("shiftright(sig, chunk * 16) & 65535").as("piece"))
+        .groupBy(col("chunk"), col("piece")).agg(count(lit(1)).as("m"))
+        .agg(count(lit(1)).as("keys"), max(col("m")).as("maxBucket")).head()
+      // 4. fixpoint CC over the verified pairs, forced DISTRIBUTED
+      //    (driverCcMaxPairs=0): min-label + pointer-jumping to fixpoint
+      val universe = sh.select(col("doc_id"))
+      val ((nComp, nSurv), ccSec) = timed {
+        val s = Dedup.survivorsOf(spark, pairs, universe, driverCcMaxPairs = 0L).cache()
+        val surv = s.where(col("is_survivor") === 1).count()
+        val comp = s.select(col("canonical_id")).distinct().count()
+        s.unpersist()
+        (comp, surv)
+      }
+      pairs.unpersist()
+      sh.unpersist()
+      def r2(v: Double) = math.rint(v * 100) / 100
+      println(
+        s"""{"docs":$n,"cpus":$cpus,"pair_join_sec":${r2(pairSec)},"pairs":$nPairs,""" +
+        s""""minhash_sec":${r2(mhSec)},"minhash_pairs":$nMh,""" +
+        s""""simhash_sec":${r2(shSec)},"simhash_pairs":$nSh,""" +
+        s""""simhash_keys":${keyStats.getLong(0)},"simhash_max_bucket":${keyStats.getLong(1)},""" +
+        s""""cc_sec":${r2(ccSec)},"components":$nComp,"survivors":$nSurv}""")
+    }
+    spark.stop()
+  }
+}

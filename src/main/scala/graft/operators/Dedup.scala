@@ -246,8 +246,13 @@ object Dedup {
     * signatures; at corpus scale that exchange was the whole cost of the
     * stage). Band signature = 60-bit md5 surrogate of the mins' decimal
     * strings, per DOC — oracle-mirrored. */
-  private[graft] def minhashBandsDF(spark: SparkSession, dir: String): DataFrame = {
-    val sig = shingled(spark, dir)
+  private[graft] def minhashBandsDF(spark: SparkSession, dir: String): DataFrame =
+    minhashBandsFrame(spark, shingled(spark, dir))
+
+  /** [[minhashBandsDF]] over any (doc_id, sh: array<string>) frame — the
+    * surface DedupScaleBench drives with a synthetic corpus. */
+  private[graft] def minhashBandsFrame(spark: SparkSession, d: DataFrame): DataFrame = {
+    val sig = d
       .select(col("doc_id"),
         graft.functions.MinhashSigs.minhashSigs(spark, col("sh")).as("sigs"))
     val rowsPerBand = NumHashes / Bands
@@ -294,12 +299,16 @@ object Dedup {
     * groupBy for all 16 mins (single shuffle), one equi-join on
     * (band, signature) — never all-pairs, and hot buckets capped. */
   def dedupMinhash(spark: SparkSession, dir: String, threshold: Double = 0.2,
+      maxBucket: Int = MaxBandBucket): DataFrame =
+    dedupMinhashFrame(spark, shingled(spark, dir), threshold, maxBucket)
+
+  /** [[dedupMinhash]] over any (doc_id, sh) frame (DedupScaleBench). */
+  def dedupMinhashFrame(spark: SparkSession, d: DataFrame, threshold: Double = 0.2,
       maxBucket: Int = MaxBandBucket): DataFrame = {
-    val d = shingled(spark, dir)
     // the bucket-size cap is a WINDOW over the self-join's own (band,bsig)
     // shuffle key — same no-extra-exchange shape as the ngram df cutoff;
     // the oracle SQL applies the identical cap
-    val bands = minhashBandsDF(spark, dir)
+    val bands = minhashBandsFrame(spark, d)
       .withColumn("bucket_n", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("band"), col("bsig"))))
       .where(col("bucket_n") <= maxBucket)
@@ -336,9 +345,12 @@ object Dedup {
     * with the aggregate form (and the DuckDB oracle, which mirrors it) is
     * spec-asserted. */
   def simhashSignatures(spark: SparkSession, dir: String): DataFrame =
-    shingled(spark, dir)
-      .select(col("doc_id"),
-        graft.functions.SimhashSig.simhashSig(spark, col("sh")).as("sig"))
+    simhashSignaturesFrame(spark, shingled(spark, dir))
+
+  /** [[simhashSignatures]] over any (doc_id, sh) frame (DedupScaleBench). */
+  def simhashSignaturesFrame(spark: SparkSession, d: DataFrame): DataFrame =
+    d.select(col("doc_id"),
+      graft.functions.SimhashSig.simhashSig(spark, col("sh")).as("sig"))
 
   /** The round-3 aggregate pipeline (explode → md5 pair → 64 bit-sum
     * aggregates → MSB-first fold) — kept as the spec twin that pins the
@@ -370,8 +382,12 @@ object Dedup {
     * so bucket occupancy stays ~n/2¹⁸ per key at corpus scale — unlike the
     * pre-round-6 16-bit/nibble scheme whose 64 total keys made this join a
     * disguised cross-join at 10⁸ docs. */
-  def dedupSimhash(spark: SparkSession, dir: String): DataFrame = {
-    val sig = simhashSignatures(spark, dir).cache()
+  def dedupSimhash(spark: SparkSession, dir: String): DataFrame =
+    dedupSimhashFrame(spark, shingled(spark, dir))
+
+  /** [[dedupSimhash]] over any (doc_id, sh) frame (DedupScaleBench). */
+  def dedupSimhashFrame(spark: SparkSession, d: DataFrame): DataFrame = {
+    val sig = simhashSignaturesFrame(spark, d).cache()
     val chunks = (0 until SimChunks).map { cIdx =>
       struct(lit(cIdx).as("chunk"),
         shiftright(col("sig"), cIdx * SimChunkBits).bitwiseAND(lit(0xffffL)).as("nib"))

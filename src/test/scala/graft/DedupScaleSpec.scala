@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Dedup
+
+/** Scale gate for the dedup path over `DedupScaleBench`'s synthetic corpus
+  * (planted mutation chains + hot boilerplate): the pair join, capped
+  * minhash, simhash chunk join, and forced-DISTRIBUTED fixpoint CC must all
+  * complete at 4× the sf0.1 doc count and produce the planted structure.
+  * Slow by suite standards (~30 s); the 10×/100× sweep lives in
+  * `graft.DedupScaleBench` + BASELINE_REPRO.md. */
+class DedupScaleSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("dedup path at 20k synthetic docs: planted chains collapse, boilerplate stays capped") {
+    spark.sparkContext.setLogLevel("WARN")
+    val n = 20000L
+    val sh = DedupScaleBench.shingledOf(DedupScaleBench.syntheticDocs(spark, n))
+      .repartition(4).cache()
+    assert(sh.count() == n)
+
+    // exact pair join: every 10-doc chain is one 45-pair clique-or-chain;
+    // boilerplate-only pairs (true jaccard ~0.06) never reach the output
+    val pairs = Dedup.ngramJaccardPairs(sh, threshold = 0.2, maxDf = 1000).cache()
+    val nChains = n / 100
+    assert(pairs.count() == nChains * 45,
+      s"expected ${nChains * 45} chain pairs, got ${pairs.count()}")
+    // hot-boilerplate shingles hit df = 0.2n = 4000 > maxDf and are cut:
+    // no pair may join two docs from DIFFERENT chains
+    val crossChain = pairs
+      .where((col("id_a") / 100).cast("long") =!= (col("id_b") / 100).cast("long"))
+      .count()
+    assert(crossChain == 0, s"$crossChain cross-chain pairs — boilerplate leaked through the cutoff")
+
+    // forced-distributed fixpoint CC: each chain collapses to its head
+    val surv = Dedup.survivorsOf(spark, pairs, sh.select(col("doc_id")), driverCcMaxPairs = 0L)
+      .cache()
+    assert(surv.where(col("is_survivor") === 1).count() == n - nChains * 9)
+    val badCanon = surv.where(col("doc_id") % 100 < 10 &&
+      col("canonical_id") =!= (col("doc_id") / 100).cast("long") * 100).count()
+    assert(badCanon == 0, s"$badCanon chain members not labeled with their chain head")
+
+    // capped minhash + simhash complete and stay within the exact pair set
+    val mh = Dedup.dedupMinhashFrame(spark, sh).select("id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs.select("id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(mh.nonEmpty && mh.subsetOf(exact), "minhash pairs must verify against true jaccard")
+    val shPairs = Dedup.dedupSimhashFrame(spark, sh).select("id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(shPairs.subsetOf(exact), "simhash near-exact pairs are a subset of the jaccard pairs")
+    pairs.unpersist()
+    surv.unpersist()
+    sh.unpersist()
+  }
+}
