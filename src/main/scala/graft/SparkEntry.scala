@@ -43,8 +43,46 @@ object SparkEntry {
     pricingQ, regionRevenueQ, topOrdersQ, orderPriorityQ, localSupplierQ,
     filteredRevenueQ, partRollupQ, segmentSetOpsQ, eventsHourlyQ, userFunnelQ,
     ordersByMonthQ, partTypeQ, acctbalStatsQ, approxDistinctQ, sessionizeBatchQ,
-    partCubeQ, rollingRevenueQ, kmvDistinctQ, langPivotQ, priceDecilesQ
+    partCubeQ, rollingRevenueQ, kmvDistinctQ, langPivotQ, priceDecilesQ,
+    soleFailedSupplierQ, idleRichCustomersQ
   ) ++ PipelineRegistry.entries
+
+  /** Q21-shape EXISTS/NOT-EXISTS pair as LEFT SEMI + LEFT ANTI joins. */
+  private val soleFailedSupplierQ: (String, QFn, Option[String]) = (
+    "q21_sole_failed_supplier",
+    (s, d) => Relational.soleFailedSupplier(s, d),
+    Some("""
+      WITH f AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem WHERE l_returnflag = 'R'),
+      al AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+      sole AS (
+        SELECT f.l_orderkey, f.l_suppkey FROM f
+        WHERE EXISTS (SELECT 1 FROM al
+                      WHERE al.l_orderkey = f.l_orderkey AND al.l_suppkey <> f.l_suppkey)
+          AND NOT EXISTS (SELECT 1 FROM f f2
+                          WHERE f2.l_orderkey = f.l_orderkey AND f2.l_suppkey <> f.l_suppkey))
+      SELECT s_name, count(*)::BIGINT AS numwait
+      FROM sole JOIN supplier ON l_suppkey = s_suppkey
+      GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 20
+    """.trim))
+
+  /** Q22-shape scalar-threshold anti-join; the average threshold compares
+    * exactly (bal·n > Σbal in DECIMAL) so no boundary row can flip between
+    * engines. */
+  private val idleRichCustomersQ: (String, QFn, Option[String]) = (
+    "q22_idle_rich_customers",
+    (s, d) => Relational.idleRichCustomers(s, d),
+    Some("""
+      WITH a AS (SELECT sum(CAST(c_acctbal AS DECIMAL(18,2))) AS s, count(*) AS n
+                 FROM customer WHERE c_acctbal > 0),
+      i AS (SELECT c_custkey, c_mktsegment, c_acctbal FROM customer c, a
+            WHERE CAST(c_acctbal AS DECIMAL(18,2)) * a.n > a.s
+              AND NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_custkey = c.c_custkey
+                                AND o.o_orderpriority = '1-URGENT'))
+      SELECT c_mktsegment, count(*)::BIGINT AS n_customers,
+             round(sum(CAST(c_acctbal AS DECIMAL(18,2)))::DOUBLE, 2) AS total_acctbal
+      FROM i GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """.trim))
 
   /** True relational PIVOT with an explicit value list (single aggregate
     * pass, static schema — the 100 TB-safe pivot form). */

@@ -388,20 +388,37 @@ object Dedup {
   /** [[dedupSimhash]] over any (doc_id, sh) frame (DedupScaleBench). */
   def dedupSimhashFrame(spark: SparkSession, d: DataFrame): DataFrame = {
     val sig = simhashSignaturesFrame(spark, d).cache()
+    // cluster-representative early-out: the chunk join runs over DISTINCT
+    // signatures, so a degenerate cluster of m identical docs contributes
+    // one row per chunk instead of m — the join's work scales with
+    // signature diversity, never with cluster size. The (inherently
+    // quadratic-in-output) same-signature pairs are emitted directly as
+    // hamming-0 rows by an equi-join on the signature itself; output is
+    // bit-identical to the naive all-docs chunk join, so the brute-force
+    // DuckDB oracle is untouched.
+    val groups = sig.groupBy(col("sig")).agg(min(col("doc_id")).as("rep"))
     val chunks = (0 until SimChunks).map { cIdx =>
       struct(lit(cIdx).as("chunk"),
         shiftright(col("sig"), cIdx * SimChunkBits).bitwiseAND(lit(0xffffL)).as("nib"))
     }
-    val keyed = sig.select(col("doc_id"), col("sig"), explode(array(chunks: _*)).as("ck"))
-      .select(col("doc_id"), col("sig"), col("ck.chunk").as("chunk"), col("ck.nib").as("nib"))
-    keyed.as("a").join(keyed.as("b"),
+    val keyed = groups.select(col("rep"), col("sig"), explode(array(chunks: _*)).as("ck"))
+      .select(col("rep"), col("sig"), col("ck.chunk").as("chunk"), col("ck.nib").as("nib"))
+    val sigPairs = keyed.as("a").join(keyed.as("b"),
         col("a.chunk") === col("b.chunk") && col("a.nib") === col("b.nib") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
-        col("a.sig").as("sa"), col("b.sig").as("sb"))
+          col("a.rep") < col("b.rep"))
+      .select(col("a.sig").as("sa"), col("b.sig").as("sb"))
       .distinct()
       .withColumn("hamming", bit_count(col("sa").bitwiseXOR(col("sb"))).cast("long"))
       .where(col("hamming") <= HammingMax)
+    val cross = sigPairs
+      .join(sig.select(col("doc_id").as("da"), col("sig").as("sa")), "sa")
+      .join(sig.select(col("doc_id").as("db"), col("sig").as("sb")), "sb")
+      .select(least(col("da"), col("db")).as("id_a"),
+        greatest(col("da"), col("db")).as("id_b"), col("hamming"))
+    val same = sig.as("a").join(sig.as("b"),
+        col("a.sig") === col("b.sig") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"), lit(0L).as("hamming"))
+    cross.union(same)
       .select(col("id_a"), col("id_b"), col("hamming"))
       .orderBy(col("id_a"), col("id_b"))
   }

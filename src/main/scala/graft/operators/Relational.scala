@@ -337,6 +337,55 @@ object Relational {
       .orderBy(col("decile"))
   }
 
+  /** TPC-H Q21 shape on the available columns: suppliers whose RETURNED
+    * lineitem ('R') sits on a multi-supplier order where no OTHER supplier
+    * returned anything — the classic EXISTS + NOT EXISTS pair, expressed
+    * as a LEFT SEMI then LEFT ANTI join. Both joins carry the o_orderkey
+    * equi-key (hash/sort-merge partitioned; the inequality on suppkey is a
+    * post-join residual), so the plan shuffles lineitem once per join on
+    * the same key and never falls back to a nested loop. */
+  def soleFailedSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_returnflag"))
+    val fail = l.where(col("l_returnflag") === "R")
+      .select(col("l_orderkey").as("okey"), col("l_suppkey").as("skey")).distinct()
+    val all = l.select(col("l_orderkey").as("okey2"), col("l_suppkey").as("skey2")).distinct()
+    val multi = fail.join(all,
+      col("okey") === col("okey2") && col("skey") =!= col("skey2"), "left_semi")
+    val sole = multi.join(
+      fail.select(col("okey").as("okey3"), col("skey").as("skey3")),
+      col("okey") === col("okey3") && col("skey") =!= col("skey3"), "left_anti")
+    sole.join(Tables.supplier(spark, dir), col("skey") === col("s_suppkey"))
+      .groupBy(col("s_name"))
+      .agg(count(lit(1)).as("numwait")) // sole is distinct (order, supplier)
+      .orderBy(col("numwait").desc, col("s_name"))
+      .limit(20)
+  }
+
+  /** TPC-H Q22 shape: above-average-balance customers with no URGENT
+    * order, per market segment. The average is compared EXACTLY —
+    * c_acctbal·n > Σbal in DECIMAL, multiplying through instead of
+    * dividing — because a double-precision average differs in ulps between
+    * engines and a boundary row would silently flip. The scalar aggregate
+    * rides a broadcast crossJoin (stays in the plan — no driver collect),
+    * and NOT EXISTS is a LEFT ANTI join against the pushed-down filtered
+    * orders scan. */
+  def idleRichCustomers(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(spark, dir)
+    val thresh = cust.where(col("c_acctbal") > 0)
+      .agg(sum(col("c_acctbal").cast("decimal(18,2)")).as("s"), count(lit(1)).as("n"))
+    val urgent = Tables.orders(spark, dir)
+      .where(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_custkey")).distinct()
+    cust.crossJoin(broadcast(thresh))
+      .where(col("c_acctbal").cast("decimal(18,2)") * col("n") > col("s"))
+      .join(urgent, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_customers"),
+        round(sum(col("c_acctbal").cast("decimal(18,2)")).cast("double"), 2).as("total_acctbal"))
+      .orderBy(col("c_mktsegment"))
+  }
+
   /** Per-user event funnel: conditional aggregation (pivot-style) — counts
     * per event_type for the heaviest users, deterministic order. */
   def userFunnel(spark: SparkSession, dir: String): DataFrame =

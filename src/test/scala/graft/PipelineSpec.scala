@@ -81,6 +81,23 @@ class PipelineSpec extends AnyFunSuite {
       s"expected a wide bucket-key space, got $distinctKeys distinct keys for ${sigs.length} docs")
   }
 
+  test("simhash representative early-out: an identical cluster yields exactly its hamming-0 pairs") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // 500 identical docs: the chunk join sees ONE representative signature
+    // (4 keyed rows, not 2000); the m^2/2 output pairs come from the
+    // direct same-signature join and all carry hamming 0
+    val docs = (0L until 500L).map(i =>
+      (i, "the quick brown fox jumps over the lazy dog repeatedly")) :+
+      ((9000L, "entirely different content about query engines and columnar formats"))
+    val frame = DedupScaleBench.shingledOf(docs.toDF("doc_id", "text"))
+    val out = Dedup.dedupSimhashFrame(spark, frame).cache()
+    assert(out.where(col("hamming") === 0).count() == 500L * 499 / 2)
+    assert(out.where(col("hamming") =!= 0).count() == 0,
+      "the unrelated doc must not pair with the cluster")
+    out.unpersist()
+  }
+
   test("minhash hot-bucket cap: a planted 1.2k-identical cluster emits no quadratic burst") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col

@@ -72,6 +72,15 @@ class PlanSpec extends AnyFunSuite {
       s"text dedup must never be all-pairs:\n$p")
   }
 
+  test("q21 semi/anti joins stay keyed on the order key (no nested loop)") {
+    val df = Relational.soleFailedSupplier(spark, dir)
+    val p = plan(df)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"the suppkey inequality must ride the o_orderkey equi-join as a residual:\n$p")
+    assert(p.contains("LeftSemi") && p.contains("LeftAnti"),
+      s"expected semi+anti join pair in:\n$p")
+  }
+
   test("range join buckets the BETWEEN predicate into an equi-join (no nested loop)") {
     val df = Temporal.sessionRangeJoin(spark, dir)
     val p = plan(df)
