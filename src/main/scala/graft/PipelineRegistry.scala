@@ -41,7 +41,7 @@ object PipelineRegistry {
     dedupIncrementalQ, mmGzipQ,
     textStats, langId, tokenCount, docFingerprint,
     simCosineTopK, simIpTopK, simJoinThreshold, lshCosinePairs, lshL2PairsQ, ivfSearch,
-    sqQuantize, sqReport, pqQuantizeQ, pqSearchQ,
+    sqQuantize, sqReport, bqQuantizeQ, bqSearchQ, pqQuantizeQ, pqSearchQ,
     mmJoin, mmBinaryStats, mmMediaFeatures,
     sampleHashQ, pipelineCleanQ, vocabTopKQ, lengthPctQ, embedNormalizeQ, tfIdfQ,
     asofJoinQ, sampleStratifiedQ, repetitionScoreQ, rangeJoinQ, dedupEmbSurvivorsQ,
@@ -539,6 +539,40 @@ object PipelineRegistry {
              round(avg(recon_err), 6) AS avg_recon_err,
              round(max(recon_err), 6) AS max_recon_err
       FROM r
+    """.trim))
+
+  /** Sign-bit packing twin of [[Quantization.bqCode]]: bit i = emb[i] > 0,
+    * MSB first, sign bit as −2⁶³, hi/lo split against the binder depth cap
+    * (the same flat-sum assembly as the 64-bit simhash twin). */
+  private val bqCodeSql: String = {
+    def term(i: Int, w: Long) = s"CASE WHEN embedding[${i + 1}] > 0 THEN ${w}::BIGINT ELSE 0 END"
+    val hi = (1 until 32).map(i => term(i, 1L << (31 - i))).mkString(" + ")
+    val lo = (32 until 64).map(i => term(i, 1L << (63 - i))).mkString(" + ")
+    s"""((CASE WHEN embedding[1] > 0 THEN -9223372036854775807 - 1 ELSE 0 END)
+        + ($hi) * 4294967296 + ($lo))::BIGINT"""
+  }
+
+  private val bqQuantizeQ: (String, QFn, Option[String]) = (
+    "bq_quantize",
+    (s, d) => Quantization.bqQuantize(s, d),
+    Some(s"""
+      SELECT vec_id, $bqCodeSql AS code FROM embeddings ORDER BY vec_id
+    """.trim))
+
+  private val bqSearchQ: (String, QFn, Option[String]) = (
+    "bq_search",
+    (s, d) => Quantization.bqSearch(s, d),
+    Some(s"""
+      WITH b AS (SELECT vec_id, $bqCodeSql AS code FROM embeddings),
+      q AS (SELECT vec_id AS query_id, code AS qcode FROM b WHERE vec_id < 10),
+      s AS (SELECT q.query_id, b.vec_id AS id,
+                   bit_count(xor(b.code, q.qcode))::BIGINT AS hamming
+            FROM b CROSS JOIN q),
+      r AS (SELECT query_id, id, hamming,
+                   row_number() OVER (PARTITION BY query_id ORDER BY hamming ASC, id ASC) AS rank
+            FROM s)
+      SELECT query_id, rank, id, hamming FROM r WHERE rank <= 10
+      ORDER BY query_id, rank
     """.trim))
 
   private val pqQuantizeQ: (String, QFn, Option[String]) = (

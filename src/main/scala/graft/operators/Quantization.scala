@@ -64,6 +64,51 @@ object Quantization {
         round(avg(col("recon_err")), 6).as("avg_recon_err"),
         round(max(col("recon_err")), 6).as("max_recon_err"))
 
+  // ---- binary quantization ---------------------------------------------------
+
+  /** Sign-bit code of a dim-64 embedding packed into ONE long (MSB = dim 0):
+    * bit i = embedding[i] > 0. The most aggressive standard compression
+    * (256 bytes → 8) and the one whose SEARCH stage is also exactly
+    * oracle-checkable — sign comparisons and bit arithmetic are
+    * deterministic in both engines, unlike k-means codebooks. Bits 1..63
+    * enter as a flat weighted sum and the sign bit as Long.MinValue (the
+    * same ANSI-safe assembly as the 64-bit simhash twins). For dim > 64
+    * the same packing applies per 64-dim block. */
+  private def bqCode(emb: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val rest = (1 until 64).foldLeft(lit(0L): org.apache.spark.sql.Column) { (acc, i) =>
+      acc + when(element_at(emb, i + 1) > lit(0f), lit(1L << (63 - i))).otherwise(lit(0L))
+    }
+    when(element_at(emb, 1) > lit(0f), lit(Long.MinValue)).otherwise(lit(0L)) + rest
+  }
+
+  /** (vec_id, code) — the packed sign-bit code per vector, hash-checked. */
+  def bqQuantize(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .select(col("vec_id"), bqCode(col("embedding")).as("code"))
+      .orderBy(col("vec_id"))
+
+  /** Hamming top-k over the binary codes, same 10-query fixture as
+    * knn_exact: one broadcast of the 10 query codes, one narrow pass
+    * computing bit_count(xor) per row, one per-query top-k — the
+    * 100 TB-shaped scan (8 bytes/vector of working set). Deterministic
+    * (integer distances, ties by id) → fully hash-checked, unlike the
+    * recall-gated PQ/IVF paths. */
+  def bqSearch(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val codes = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), bqCode(col("embedding")).as("code"))
+    val q = codes.where(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("code").as("qcode"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("hamming").asc, col("id").asc)
+    codes.crossJoin(broadcast(q))
+      .select(col("query_id"), col("vec_id").as("id"),
+        bit_count(col("code").bitwiseXOR(col("qcode"))).cast("long").as("hamming"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("id"), col("hamming"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   // ---- product quantization --------------------------------------------------
 
   /** Seeded deterministic k-means for one subspace: evenly-spaced sample
