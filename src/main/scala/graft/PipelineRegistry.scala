@@ -41,7 +41,7 @@ object PipelineRegistry {
     dedupIncrementalQ, mmGzipQ,
     textStats, langId, tokenCount, docFingerprint,
     simCosineTopK, simIpTopK, simJoinThreshold, lshCosinePairs, lshL2PairsQ, ivfSearch,
-    sqQuantize, sqReport, bqQuantizeQ, bqSearchQ, pqQuantizeQ, pqSearchQ,
+    sqQuantize, sqReport, bqQuantizeQ, bqSearchQ, bqRerankQ, pqQuantizeQ, pqSearchQ,
     mmJoin, mmBinaryStats, mmMediaFeatures,
     sampleHashQ, pipelineCleanQ, vocabTopKQ, lengthPctQ, embedNormalizeQ, tfIdfQ,
     asofJoinQ, sampleStratifiedQ, repetitionScoreQ, rangeJoinQ, dedupEmbSurvivorsQ,
@@ -572,6 +572,32 @@ object PipelineRegistry {
                    row_number() OVER (PARTITION BY query_id ORDER BY hamming ASC, id ASC) AS rank
             FROM s)
       SELECT query_id, rank, id, hamming FROM r WHERE rank <= 10
+      ORDER BY query_id, rank
+    """.trim))
+
+  private val bqRerankQ: (String, QFn, Option[String]) = (
+    "bq_rerank_search",
+    (s, d) => Quantization.bqRerankSearch(s, d),
+    Some(s"""
+      WITH b AS (SELECT vec_id, $bqCodeSql AS code FROM embeddings),
+      q AS (SELECT vec_id AS query_id, code AS qcode FROM b WHERE vec_id < 10),
+      s AS (SELECT q.query_id, b.vec_id AS id,
+                   bit_count(xor(b.code, q.qcode))::BIGINT AS hamming
+            FROM b CROSS JOIN q),
+      cand AS (SELECT query_id, id FROM (
+                 SELECT query_id, id,
+                        row_number() OVER (PARTITION BY query_id ORDER BY hamming ASC, id ASC) AS hrank
+                 FROM s) WHERE hrank <= 100),
+      qv AS (SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < 10),
+      d AS (SELECT cand.query_id, cand.id,
+                   list_sum(list_transform(range(1, len(e.embedding)+1),
+                     i -> ((e.embedding[i]::DOUBLE)-(qv.qvec[i]::DOUBLE))*((e.embedding[i]::DOUBLE)-(qv.qvec[i]::DOUBLE)))) AS dist
+            FROM cand JOIN embeddings e ON cand.id = e.vec_id
+                      JOIN qv ON cand.query_id = qv.query_id),
+      r AS (SELECT query_id, id, dist,
+                   row_number() OVER (PARTITION BY query_id ORDER BY dist ASC, id ASC) AS rank
+            FROM d)
+      SELECT query_id, rank, id, round(dist, 4) AS dist FROM r WHERE rank <= 10
       ORDER BY query_id, rank
     """.trim))
 

@@ -109,6 +109,42 @@ object Quantization {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Two-stage retrieval — the standard coarse-to-fine serving pattern:
+    * a Hamming shortlist over the 8-byte binary codes scans the corpus,
+    * then exact L2 reranks ONLY the shortlist (full 256-byte vectors touch
+    * `shortlist` rows per query, not n). Both stages are deterministic
+    * (integer Hamming and the shared double-fold distance, ties by id), so
+    * the composed pipeline is hash-checked end-to-end — the quantization
+    * error surfaces as the difference vs `knn_exact`, visible in the same
+    * output shape. */
+  def bqRerankSearch(spark: SparkSession, dir: String, k: Int = 10,
+      shortlist: Int = 100): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.NativeVectorFunctions.l2sqNative
+    val emb = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    val codes = emb.select(col("vec_id"), bqCode(col("embedding")).as("code"))
+    val q = codes.where(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("code").as("qcode"))
+    val wH = Window.partitionBy(col("query_id")).orderBy(col("hamming").asc, col("id").asc)
+    val cand = codes.crossJoin(broadcast(q))
+      .select(col("query_id"), col("vec_id").as("id"),
+        bit_count(col("code").bitwiseXOR(col("qcode"))).cast("long").as("hamming"))
+      .withColumn("hrank", row_number().over(wH))
+      .where(col("hrank") <= shortlist)
+      .select(col("query_id"), col("id"))
+    val qv = emb.where(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    val wD = Window.partitionBy(col("query_id")).orderBy(col("dist").asc, col("id").asc)
+    cand
+      .join(emb.select(col("vec_id").as("id"), col("embedding").as("vec")), "id")
+      .join(broadcast(qv), "query_id")
+      .select(col("query_id"), col("id"), l2sqNative(spark, col("vec"), col("qvec")).as("dist"))
+      .withColumn("rank", row_number().over(wD).cast("long"))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("id"), round(col("dist"), 4).as("dist"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   // ---- product quantization --------------------------------------------------
 
   /** Seeded deterministic k-means for one subspace: evenly-spaced sample
