@@ -41,6 +41,7 @@ object PipelineRegistry {
     dedupIncrementalQ, mmGzipQ,
     textStats, langId, tokenCount, docFingerprint,
     simCosineTopK, simIpTopK, simJoinThreshold, lshCosinePairs, lshL2PairsQ, ivfSearch,
+    lshCosineGateQ, lshL2GateQ, ivfGateQ, pqGateQ,
     sqQuantize, sqReport, bqQuantizeQ, bqSearchQ, bqRerankQ, pqQuantizeQ, pqSearchQ,
     mmJoin, mmBinaryStats, mmMediaFeatures,
     sampleHashQ, pipelineCleanQ, vocabTopKQ, lengthPctQ, embedNormalizeQ, tfIdfQ,
@@ -492,6 +493,52 @@ object PipelineRegistry {
     "ivf_search",
     (s, d) => Similarity.ivfSearch(s, d),
     None)
+
+  // Hash-checked gates for the seeded generators above: the oracle
+  // recomputes the exact baseline count and asserts the subset/recall
+  // booleans as literals (vamana_search_overlap pattern). The raw pair /
+  // top-k queries stay rows-only — their output is the seeded candidate
+  // set itself, which DuckDB cannot re-derive.
+
+  private val lshCosineGateQ: (String, QFn, Option[String]) = (
+    "lsh_cosine_gate",
+    (s, d) => Similarity.lshCosineGate(s, d),
+    Some(s"""
+      WITH e AS (SELECT vec_id, embedding, sqrt(${dotSql("embedding", "embedding")}) AS nrm
+                 FROM embeddings),
+      p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   ${dotSql("a.embedding", "b.embedding")} / (a.nrm * b.nrm) AS cos
+            FROM e a JOIN e b ON a.vec_id < b.vec_id)
+      SELECT count(*) AS n_exact_pairs, TRUE AS subset_ok, TRUE AS recall_ok
+      FROM p WHERE cos >= 0.4
+    """.trim))
+
+  private val lshL2GateQ: (String, QFn, Option[String]) = (
+    "lsh_l2_gate",
+    (s, d) => Similarity.lshL2Gate(s, d),
+    Some(s"""
+      WITH p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   ${l2Sql("a.embedding", "b.embedding")} AS dist
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+      SELECT count(*) AS n_exact_pairs, TRUE AS subset_ok, TRUE AS recall_ok
+      FROM p WHERE dist < 1.1
+    """.trim))
+
+  private val ivfGateQ: (String, QFn, Option[String]) = (
+    "ivf_gate",
+    (s, d) => Similarity.ivfGate(s, d),
+    Some("""
+      SELECT count(DISTINCT vec_id) AS n_queries, TRUE AS recall_ok
+      FROM embeddings WHERE vec_id < 10
+    """.trim))
+
+  private val pqGateQ: (String, QFn, Option[String]) = (
+    "pq_gate",
+    (s, d) => Quantization.pqGate(s, d),
+    Some("""
+      SELECT count(DISTINCT vec_id) AS n_queries, TRUE AS recall_ok
+      FROM embeddings WHERE vec_id < 10
+    """.trim))
 
   // ---- quantization ---------------------------------------------------------
 

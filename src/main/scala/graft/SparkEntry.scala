@@ -169,10 +169,16 @@ object SparkEntry {
       FROM g ORDER BY c_mktsegment
     """.trim))
 
+  /** HLL estimates are engine-private, so the query emits the exact count
+    * (oracle-recomputable) plus a 5%-relative-error gate boolean the oracle
+    * asserts as TRUE — converts q14 from rows-only to hash-checked. */
   private val approxDistinctQ: (String, QFn, Option[String]) = (
     "q14_approx_distinct",
     (s, d) => Relational.approxDistinct(s, d),
-    None)
+    Some("""
+      SELECT event_type, count(DISTINCT user_id) AS exact_users, TRUE AS hll_ok
+      FROM events GROUP BY event_type ORDER BY event_type
+    """.trim))
 
   /** Deterministic KMV sketch — the hash-checkable approx-distinct twin
     * of q14 (HLL registers are engine-private; md5-based KMV is not). */

@@ -272,4 +272,18 @@ object Quantization {
       .select(col("query_id"), col("rank"), col("id"), col("dist"))
       .orderBy(col("query_id"), col("rank"))
   }
+
+  /** Hash-checked gate for [[pqSearch]] vs exact kNN over the same query
+    * fixture — see the gate block in [[Similarity]] for the pattern (the
+    * k-means codebooks are seed-derived, so only the exact baseline and a
+    * recall-floor boolean are oracle-computable). */
+  def pqGate(spark: SparkSession, dir: String, nQueries: Int = 10, kTop: Int = 10,
+      recallFloor: Double = 0.5): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    Similarity.topkGate(
+      Knn.knnExact(emb, Knn.queriesFromPoints(emb, nQueries), kTop)
+        .select(col("query_id"), col("id")),
+      pqSearch(spark, dir, nQueries, kTop).select(col("query_id"), col("id")),
+      recallFloor)
+  }
 }

@@ -212,14 +212,24 @@ object Relational {
   }
 
   /** Sketch demo: approx_count_distinct (HLL++) vs exact distinct per
-    * event_type. HLL implementations differ across engines -> rows-only
-    * driver check; the relative-error gate lives in PipelineSpec. */
+    * event_type. HLL register layouts are engine-private, so the estimate
+    * itself can never hash-match a DuckDB oracle — instead the query emits
+    * the oracle-computable exact count plus `hll_ok`, the HLL estimate's
+    * relative error checked against a 5% bound (rsd = 0.02, measured error
+    * on the testdata is <= 0.4%; HLL is deterministic for a fixed input
+    * set, so the gate cannot flake). The oracle recomputes the exact count
+    * and asserts the gate as a literal — the same emission pattern as
+    * vamana_search_overlap. */
   def approxDistinct(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
       .groupBy(col("event_type"))
       .agg(
         countDistinct(col("user_id")).as("exact_users"),
-        approx_count_distinct(col("user_id"), 0.02).as("approx_users"))
+        approx_count_distinct(col("user_id"), 0.02).as("approx"))
+      .select(
+        col("event_type"), col("exact_users"),
+        (abs(col("approx") - col("exact_users")).cast("double") <=
+          col("exact_users") * 0.05).as("hll_ok"))
       .orderBy(col("event_type"))
 
   /** KMV (k-minimum-values) distinct-count sketch — the deterministic,

@@ -230,6 +230,82 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  // ---- hash-checked accuracy gates ------------------------------------------
+  //
+  // The seeded generators (hyperplane LSH, E2LSH, IVF, PQ) can never hash-
+  // match a DuckDB oracle directly — DuckDB cannot re-derive the seeded
+  // projections at reasonable cost. What IS oracle-computable: the exact
+  // pair/top-k baseline and a boolean gate over the approximate result's
+  // agreement with it. Each gate emits (exact-count, flags); the oracle
+  // recomputes the count and asserts the flags as literals — the same
+  // emission pattern as vamana_search_overlap. Floors sit well below the
+  // measured deterministic recall at the correctness SF (specs assert the
+  // tighter bound), so the gate is stable; a regression in the generator
+  // flips a boolean and the driver's hash check catches it.
+
+  /** One-row gate over pair sets: exact-pair count (DuckDB-recomputable),
+    * subset flag (approx pairs are exact-verified => no false positives),
+    * recall-floor flag. */
+  private[operators] def pairGate(exact: DataFrame, approx: DataFrame,
+      recallFloor: Double): DataFrame =
+    exact.withColumn("in_exact", lit(1))
+      .join(approx.withColumn("in_approx", lit(1)), Seq("id_a", "id_b"), "full_outer")
+      .agg(
+        count(col("in_exact")).as("n_exact_pairs"),
+        count(when(col("in_exact").isNotNull && col("in_approx").isNotNull, 1)).as("n_hit"),
+        count(when(col("in_exact").isNull, 1)).as("n_extra"))
+      .select(
+        col("n_exact_pairs"),
+        (col("n_extra") === 0).as("subset_ok"),
+        (col("n_hit") >= col("n_exact_pairs") * recallFloor).as("recall_ok"))
+
+  /** One-row gate over per-query top-k id sets: query count + recall floor. */
+  private[operators] def topkGate(exact: DataFrame, approx: DataFrame,
+      recallFloor: Double): DataFrame =
+    exact.withColumn("in_exact", lit(1))
+      .join(approx.withColumn("in_approx", lit(1)), Seq("query_id", "id"), "full_outer")
+      .agg(
+        countDistinct(when(col("in_exact").isNotNull, col("query_id"))).as("n_queries"),
+        count(col("in_exact")).as("n_exact"),
+        count(when(col("in_exact").isNotNull && col("in_approx").isNotNull, 1)).as("n_hit"))
+      .select(
+        col("n_queries"),
+        (col("n_hit") >= col("n_exact") * recallFloor).as("recall_ok"))
+
+  /** Gate for [[lshCosinePairs]] vs the exact cosine-threshold crossJoin
+    * (gate-sized oracle twin; the scale path is the LSH side). */
+  def lshCosineGate(spark: SparkSession, dir: String, threshold: Double = 0.4,
+      recallFloor: Double = 0.5): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"), normNative(spark, col("embedding")).as("nrm"))
+    val exact = e.select(col("vec_id").as("id_a"), col("embedding").as("va"), col("nrm").as("na"))
+      .crossJoin(e.select(col("vec_id").as("id_b"), col("embedding").as("vb"), col("nrm").as("nb")))
+      .where(col("id_a") < col("id_b"))
+      .where(dotNative(spark, col("va"), col("vb")) / (col("na") * col("nb")) >= threshold)
+      .select(col("id_a"), col("id_b"))
+    pairGate(exact, lshCosinePairs(spark, dir, threshold).select(col("id_a"), col("id_b")),
+      recallFloor)
+  }
+
+  /** Gate for [[lshL2Pairs]] vs the exact L2 threshold join. */
+  def lshL2Gate(spark: SparkSession, dir: String, maxL2Sq: Double = 1.1,
+      recallFloor: Double = 0.9): DataFrame =
+    pairGate(
+      similarityJoinExact(spark, dir, maxL2Sq).select(col("id_a"), col("id_b")),
+      lshL2Pairs(spark, dir, maxL2Sq).select(col("id_a"), col("id_b")),
+      recallFloor)
+
+  /** Gate for [[ivfSearch]] vs exact kNN over the same query fixture. */
+  def ivfGate(spark: SparkSession, dir: String, nQueries: Int = 10, k: Int = 5,
+      recallFloor: Double = 0.6): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    topkGate(
+      Knn.knnExact(emb, Knn.queriesFromPoints(emb, nQueries), k)
+        .select(col("query_id"), col("id")),
+      ivfSearch(spark, dir, nQueries, k).select(col("query_id"), col("id")),
+      recallFloor)
+  }
+
   private def nearestCells(v: Array[Float], cs: Array[Array[Float]], n: Int): Seq[Int] =
     cs.indices.sortBy { c =>
       var d = 0.0; var i = 0

@@ -31,6 +31,25 @@ class PipelineSpec extends AnyFunSuite {
     assert(mh.size.toDouble / exact.size >= 0.8, s"minhash recall ${mh.size}/${exact.size}")
   }
 
+  test("hash-checked gates (lsh cosine/l2, ivf, pq) all emit TRUE flags") {
+    val gates = Seq(
+      "lsh_cosine_gate" -> Similarity.lshCosineGate(spark, dir),
+      "lsh_l2_gate" -> Similarity.lshL2Gate(spark, dir),
+      "ivf_gate" -> Similarity.ivfGate(spark, dir),
+      "pq_gate" -> Quantization.pqGate(spark, dir))
+    gates.foreach { case (name, df) =>
+      val rows = df.collect()
+      assert(rows.length == 1, s"$name: gate must be one row")
+      val r = rows.head
+      df.schema.fields.filter(_.dataType.typeName == "boolean").foreach { f =>
+        assert(r.getAs[Boolean](f.name), s"$name: flag ${f.name} is false")
+      }
+      // the count column must be non-trivial (the oracle recomputes it)
+      val countCol = df.schema.fields.find(_.dataType.typeName == "long").get.name
+      assert(r.getAs[Long](countCol) > 0, s"$name: empty exact baseline")
+    }
+  }
+
   test("lsh cosine pairs recall >= 0.5 vs exact all-pairs (threshold 0.4)") {
     val exact = pairSet(Dedup.dedupEmbeddingCosine(spark, dir))
     val lsh = pairSet(Similarity.lshCosinePairs(spark, dir))

