@@ -47,7 +47,112 @@ object PipelineRegistry {
     sampleHashQ, pipelineCleanQ, vocabTopKQ, lengthPctQ, embedNormalizeQ, tfIdfQ,
     asofJoinQ, sampleStratifiedQ, repetitionScoreQ, rangeJoinQ, dedupEmbSurvivorsQ,
     docChunksQ, contaminationQ, dedupParagraphQ, mmImageDecodeQ, mmAudioDecodeQ,
-    packSequencesQ, dedupParagraphSurvivorsQ, bigramTopKQ)
+    packSequencesQ, dedupParagraphSurvivorsQ, bigramTopKQ,
+    lmPerplexityQ, oovRateQ, boilerplateQ,
+    sampleMixtureQ, piiRedactQ, dedupClusterStatsQ)
+
+  private val sampleMixtureQ: (String, QFn, Option[String]) = (
+    "sample_mixture",
+    (s, d) => CorpusPipeline.sampleMixture(s, d),
+    Some("""
+      WITH r AS (
+        SELECT doc_id, source,
+               ([0.1, 0.3, 0.6, 1.0]::DOUBLE[])[(regexp_extract(source, '[0-9]+', 0)::INT % 4) + 1]
+                 AS target_rate,
+               (('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT)::DOUBLE
+                 / 1152921504606846976.0 AS u
+        FROM documents)
+      SELECT doc_id, source, target_rate FROM r WHERE u < target_rate ORDER BY doc_id
+    """.trim))
+
+  private val piiRedactQ: (String, QFn, Option[String]) = (
+    "pii_redact",
+    (s, d) => TextAnalysis.piiRedact(s, d),
+    Some("""
+      WITH p AS (SELECT doc_id,
+          text || ' contact user' || doc_id::VARCHAR || '@example.com or call +1-555-' ||
+          lpad((doc_id % 10000)::VARCHAR, 4, '0') AS t FROM documents)
+      SELECT doc_id,
+        len(regexp_extract_all(t, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}'))::BIGINT AS n_emails,
+        len(regexp_extract_all(t, '\+1-555-[0-9]{4}'))::BIGINT AS n_phones,
+        md5(regexp_replace(regexp_replace(t,
+          '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
+          '\+1-555-[0-9]{4}', '<PHONE>', 'g')) AS redacted_hash
+      FROM p ORDER BY doc_id
+    """.trim))
+
+  /** Cluster-size histogram over the SAME recursive-CTE component labels
+    * as dedup_survivors. */
+  private val dedupClusterStatsQ: (String, QFn, Option[String]) = (
+    "dedup_cluster_stats",
+    (s, d) => Dedup.dedupClusterStats(s, d),
+    Some(s"""
+      WITH RECURSIVE
+      s AS ($shingledCte),
+      ${ngramPairsCtes(Dedup.DefaultMaxShingleDf)},
+      e AS (SELECT id_a AS a, id_b AS b FROM pr WHERE jaccard >= 0.2
+            UNION ALL
+            SELECT id_b AS a, id_a AS b FROM pr WHERE jaccard >= 0.2),
+      reach AS (
+        SELECT doc_id AS id, doc_id AS r FROM documents
+        UNION
+        SELECT e.b AS id, reach.r FROM reach JOIN e ON e.a = reach.id),
+      lab AS (SELECT id AS doc_id, min(r) AS canonical_id FROM reach GROUP BY id),
+      cs AS (SELECT canonical_id, count(*) AS cluster_size FROM lab GROUP BY canonical_id)
+      SELECT cluster_size, count(*)::BIGINT AS n_clusters
+      FROM cs GROUP BY cluster_size ORDER BY cluster_size
+    """.trim))
+
+  /** Bigram-LM scoring: per-bigram ln of an integer ratio rounded to 6 dp
+    * and summed as DECIMAL — the order-independence trick that makes a
+    * floating aggregate hash-checkable (see q13's variance oracle). */
+  private val lmPerplexityQ: (String, QFn, Option[String]) = (
+    "lm_perplexity",
+    (s, d) => TextAnalysis.lmPerplexity(s, d),
+    Some(s"""
+      WITH t AS (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS toks FROM documents),
+      bg AS (SELECT doc_id, toks[i] AS w1, toks[i+1] AS w2
+             FROM t, unnest(range(1, len(toks))) AS r(i)
+             WHERE len(toks) >= 2),
+      cb AS (SELECT w1, w2, count(*) AS cb FROM bg GROUP BY w1, w2),
+      cu AS (SELECT w1, count(*) AS cu FROM bg GROUP BY w1),
+      v AS (SELECT count(DISTINCT w) AS vsz FROM (SELECT unnest(toks) AS w FROM t)),
+      sc AS (SELECT bg.doc_id,
+                round(ln((cb.cb + 1)::DOUBLE / (cu.cu + v.vsz)::DOUBLE), 6)::DECIMAL(18,6) AS logp
+             FROM bg JOIN cb USING (w1, w2) JOIN cu USING (w1) CROSS JOIN v),
+      agg AS (SELECT doc_id, count(*) AS n_bigrams, sum(logp) AS slp FROM sc GROUP BY doc_id)
+      SELECT doc_id, n_bigrams, round((slp::DOUBLE) / n_bigrams, 4) AS avg_logp,
+             round(exp(-round((slp::DOUBLE) / n_bigrams, 4)), 4) AS ppl
+      FROM agg ORDER BY doc_id
+    """.trim))
+
+  private val oovRateQ: (String, QFn, Option[String]) = (
+    "oov_rate",
+    (s, d) => TextAnalysis.oovRate(s, d),
+    Some(s"""
+      WITH tok AS (SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS w
+                   FROM documents),
+      voc AS (SELECT w FROM (SELECT w, count(*) AS cnt FROM tok GROUP BY w) WHERE cnt >= 100),
+      j AS (SELECT tok.doc_id, CASE WHEN voc.w IS NULL THEN 1 ELSE 0 END AS oov
+            FROM tok LEFT JOIN voc ON tok.w = voc.w)
+      SELECT doc_id, count(*)::BIGINT AS n_tokens, sum(oov)::BIGINT AS n_oov,
+             round(sum(oov)::DOUBLE / count(*), 4) AS oov_rate
+      FROM j GROUP BY doc_id ORDER BY doc_id
+    """.trim))
+
+  private val boilerplateQ: (String, QFn, Option[String]) = (
+    "boilerplate_score",
+    (s, d) => TextAnalysis.boilerplateScore(s, d),
+    Some(s"""
+      WITH s AS ($shingledCte),
+      ex AS (SELECT doc_id, unnest(sh) AS sh FROM s),
+      hot AS (SELECT sh FROM (SELECT sh, count(*) AS df FROM ex GROUP BY sh) WHERE df > 5),
+      j AS (SELECT ex.doc_id, CASE WHEN hot.sh IS NULL THEN 0 ELSE 1 END AS hb
+            FROM ex LEFT JOIN hot ON ex.sh = hot.sh)
+      SELECT doc_id, count(*)::BIGINT AS n_shingles, sum(hb)::BIGINT AS n_boiler,
+             round(sum(hb)::DOUBLE / count(*), 4) AS boiler_ratio
+      FROM j GROUP BY doc_id ORDER BY doc_id
+    """.trim))
 
   /** Sequence packing (concat-then-chunk): the oracle's single-node window
     * cumsum must equal the distributed two-pass prefix sum exactly. */

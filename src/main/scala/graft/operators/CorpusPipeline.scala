@@ -43,6 +43,29 @@ object CorpusPipeline {
       .orderBy(col("lang"), col("stratum_rank"))
   }
 
+  /** Mixture-weighted deterministic sampling — materialize a training mix
+    * from per-source target rates (the "web 30% / code 70%" data-mixing
+    * config every LLM run starts from). A doc is kept iff its id-hash,
+    * mapped uniformly into [0,1), falls below its source's rate; like
+    * [[sampleByHash]] the choice is a pure function of (doc_id, source), so
+    * the mix is reproducible across engines, reruns, and partitionings.
+    * The default config maps source index mod 4 → {0.1, 0.3, 0.6, 1.0},
+    * standing in for an explicit per-source table; rates arrive as an
+    * EXPRESSION (no join), so the whole op is one narrow scan-speed filter.
+    * Uniformization: first 15 md5 hex digits as a 60-bit integer / 2^60 —
+    * the same arithmetic as the KMV sketch, bit-identical in DuckDB. */
+  def sampleMixture(spark: SparkSession, dir: String): DataFrame = {
+    val srcIdx = regexp_extract(col("source"), "[0-9]+", 0).cast("int") % 4
+    val rate = element_at(array(lit(0.1), lit(0.3), lit(0.6), lit(1.0)), srcIdx + 1)
+    val u = conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
+      .cast("double") / 1152921504606846976.0
+    Tables.documents(spark, dir)
+      .withColumn("target_rate", rate)
+      .where(u < col("target_rate"))
+      .select(col("doc_id"), col("source"), col("target_rate"))
+      .orderBy(col("doc_id"))
+  }
+
   /** The composed training-data cleaning pass: predicted-language filter +
     * quality-score floor + exact-dedup survivorship. Reuses the single-op
     * EXPRESSIONS ([[TextAnalysis.qualityExpr]]/[[TextAnalysis.predLangExpr]],

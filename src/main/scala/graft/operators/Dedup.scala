@@ -450,6 +450,17 @@ object Dedup {
       dedupEmbeddingCosine(spark, dir, threshold).select(col("id_a"), col("id_b")),
       Tables.embeddings(spark, dir).select(col("vec_id").as("doc_id")), driverCcMaxPairs)
 
+  /** Duplicate-cluster size histogram over the near-dup component labels —
+    * the dedup-audit analytic (how much of the corpus is singletons vs
+    * chained boilerplate?). Two keyed integer aggregations on top of
+    * [[dedupSurvivors]]; both shuffles shrink the data (docs → clusters →
+    * distinct sizes), so the histogram is driver-safe at any corpus size. */
+  def dedupClusterStats(spark: SparkSession, dir: String): DataFrame =
+    dedupSurvivors(spark, dir)
+      .groupBy(col("canonical_id")).agg(count(lit(1)).as("cluster_size"))
+      .groupBy(col("cluster_size")).agg(count(lit(1)).as("n_clusters"))
+      .orderBy(col("cluster_size"))
+
   /** Connected components + min-label canonicalization over ANY verified
     * pair frame; `universe` (one doc_id per member) supplies the rows that
     * appear in no pair and keep themselves. */

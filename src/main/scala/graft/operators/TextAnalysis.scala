@@ -254,6 +254,118 @@ object TextAnalysis {
       .orderBy(col("doc_id"), col("chunk_id"))
   }
 
+  /** Word-bigram language-model scoring — the perplexity-proxy quality
+    * filter of an LLM corpus pipeline (KenLM-style, one order down): score
+    * each doc by the mean add-one-smoothed bigram log-probability under the
+    * corpus's own bigram counts, ppl = exp(−mean).
+    *
+    * Two keyed aggregations build the model (bigram counts + context
+    * counts — both bounded by vocabulary², broadcast back; a production
+    * run caps the vocab with a df floor the same way [[oovRate]] does), one
+    * explode scores every doc position, one groupBy(doc_id) folds them.
+    * Cross-engine determinism: each bigram's log-prob is ln of a ratio of
+    * INTEGERS (counts + vocab size), rounded to 6 dp and summed as
+    * DECIMAL(18,6) — exact integer arithmetic, so the per-doc sum is
+    * order-independent (double summation would diverge between Spark's
+    * partial aggregates and DuckDB's scan order). */
+  def lmPerplexity(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), toks(col("text")).as("tk"))
+    val bg = docs
+      .where(size(col("tk")) >= 2)
+      .select(col("doc_id"), explode(transform(
+        sequence(lit(1), size(col("tk")) - 1),
+        i => struct(element_at(col("tk"), i).as("w1"), element_at(col("tk"), i + 1).as("w2"))))
+        .as("b"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val cb = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cb"))
+    val cu = bg.groupBy(col("w1")).agg(count(lit(1)).as("cu"))
+    val vf = docs.select(explode(col("tk")).as("w")).agg(countDistinct(col("w")).as("vsz"))
+    bg
+      .join(broadcast(cb), Seq("w1", "w2"))
+      .join(broadcast(cu), Seq("w1"))
+      .crossJoin(broadcast(vf))
+      .withColumn("logp",
+        round(log((col("cb") + 1).cast("double") / (col("cu") + col("vsz")).cast("double")), 6)
+          .cast("decimal(18,6)"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("logp")).as("slp"))
+      .select(col("doc_id"), col("n_bigrams"),
+        round(col("slp").cast("double") / col("n_bigrams"), 4).as("avg_logp"))
+      .withColumn("ppl", round(exp(-col("avg_logp")), 4))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Out-of-vocabulary rate per doc against the corpus's own frequent-token
+    * vocabulary (count >= minCount) — the tokenizer-coverage signal that
+    * decides whether a vocab/BPE merge table fits a corpus. The vocab is
+    * small by construction (it's the FREQUENT tokens) → broadcast left
+    * join + keyed count; token explode is the only wide stage. */
+  def oovRate(spark: SparkSession, dir: String, minCount: Long = 100): DataFrame = {
+    val tok = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(toks(col("text"))).as("w"))
+    val vocab = tok.groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+      .where(col("cnt") >= minCount).select(col("w"), lit(1).as("in_v"))
+    tok.join(broadcast(vocab), Seq("w"), "left_outer")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        count(when(col("in_v").isNull, 1)).as("n_oov"))
+      .select(col("doc_id"), col("n_tokens"), col("n_oov"),
+        round(col("n_oov").cast("double") / col("n_tokens"), 4).as("oov_rate"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Boilerplate score: fraction of a doc's distinct word-3-gram shingles
+    * whose corpus document-frequency exceeds `dfCutoff` — the line/span
+    * boilerplate-removal signal (shared headers, navigation chrome) scored
+    * at doc granularity. The hot-shingle set is small BY CONSTRUCTION
+    * (boilerplate = few distinct strings, many docs) → broadcast left join
+    * against it; per-doc counters are integers, so the aggregation is
+    * order-independent. Same trade as the dedup family's df cutoff, read in
+    * reverse: there hot shingles are dropped noise, here they ARE the
+    * signal. */
+  def boilerplateScore(spark: SparkSession, dir: String, dfCutoff: Long = 5): DataFrame = {
+    val sh = Tables.documents(spark, dir)
+      .select(col("doc_id"), Dedup.tokens(col("text")).as("toks"))
+      .where(size(col("toks")) >= 3)
+      .select(col("doc_id"), explode(Dedup.shingles(col("toks"))).as("sh"))
+    val hot = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+      .where(col("df") > dfCutoff).select(col("sh"), lit(1).as("hot"))
+    sh.join(broadcast(hot), Seq("sh"), "left_outer")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"), count(col("hot")).as("n_boiler"))
+      .select(col("doc_id"), col("n_shingles"), col("n_boiler"),
+        round(col("n_boiler").cast("double") / col("n_shingles"), 4).as("boiler_ratio"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** PII detection + redaction — the scrub pass every released training
+    * corpus runs: find email / phone patterns, count them, and replace them
+    * with type tags. The synthetic corpus contains no PII, so the op first
+    * plants a deterministic email + phone derived from doc_id (the oracle
+    * plants the identical strings), then runs the REAL detector over the
+    * combined text — the regex machinery, counting, and replacement are
+    * exactly what runs on a corpus with organic PII. Output carries
+    * md5(redacted) instead of the redacted text (hash-checkable without
+    * shipping full documents). Narrow scan-speed pass, no shuffle; the
+    * regexes are RE2-safe (no backtracking blowup on hostile inputs). */
+  def piiRedact(spark: SparkSession, dir: String): DataFrame = {
+    val emailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+    val phoneRe = "\\+1-555-[0-9]{4}"
+    val planted = concat(col("text"),
+      lit(" contact user"), col("doc_id"), lit("@example.com or call +1-555-"),
+      lpad((col("doc_id") % 10000).cast("string"), 4, "0"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), planted.as("t"))
+      .select(
+        col("doc_id"),
+        size(regexp_extract_all(col("t"), lit(emailRe), lit(0))).cast("long").as("n_emails"),
+        size(regexp_extract_all(col("t"), lit(phoneRe), lit(0))).cast("long").as("n_phones"),
+        md5(regexp_replace(regexp_replace(col("t"), emailRe, "<EMAIL>"),
+          phoneRe, "<PHONE>")).as("redacted_hash"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Document fingerprint: bottom-5 sketch of md5'd word-3-gram shingles —
     * a fixed-size content signature (min-k sketch) whose overlap estimates
     * Jaccard similarity; joins on fingerprint find near-dups cheaply. */

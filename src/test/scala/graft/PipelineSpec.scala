@@ -590,6 +590,85 @@ class PipelineSpec extends AnyFunSuite {
     assert(n == expected, "one row per new-batch doc, dup or not")
   }
 
+  test("lm scoring: common bigrams beat rare ones; ppl = exp(-avg_logp)") {
+    val rows = TextAnalysis.lmPerplexity(spark, dir).collect()
+    assert(rows.length > 400, "nearly every doc has >= 2 tokens")
+    rows.foreach { r =>
+      val avg = r.getAs[Double]("avg_logp")
+      assert(avg < 0.0, s"doc ${r.getLong(0)}: smoothed log-prob must be negative")
+      val ppl = r.getAs[Double]("ppl")
+      assert(math.abs(ppl - math.rint(math.exp(-avg) * 1e4) / 1e4) < 1e-9)
+      assert(ppl > 1.0 && ppl < 1e6, s"doc ${r.getLong(0)}: ppl $ppl out of range")
+    }
+  }
+
+  test("oov rate: rare tokens are flagged, frequent-only docs score zero") {
+    val rows = TextAnalysis.oovRate(spark, dir).collect()
+    assert(rows.length == 500)
+    val rates = rows.map(_.getAs[Double]("oov_rate"))
+    assert(rates.forall(r => r >= 0.0 && r <= 1.0))
+    // the sf0.01 corpus has a rare token (count < 100) -> someone scores > 0
+    assert(rates.exists(_ > 0.0), "fixture contains at least one OOV token")
+    assert(rates.exists(_ == 0.0), "most docs are all-frequent tokens")
+  }
+
+  test("boilerplate score: hot-shingle ratio bounded and non-trivial") {
+    val rows = TextAnalysis.boilerplateScore(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n_shingles")
+      val b = r.getAs[Long]("n_boiler")
+      assert(b >= 0 && b <= n, s"doc ${r.getLong(0)}: boiler count out of bounds")
+    }
+    assert(rows.exists(_.getAs[Long]("n_boiler") > 0),
+      "fixture's planted near-dups share hot shingles")
+  }
+
+  test("mixture sampling: per-source keep rate tracks the target, deterministic") {
+    val rows = CorpusPipeline.sampleMixture(spark, dir).collect()
+    val total = graft.core.Tables.documents(spark, dir).groupBy("source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val kept = rows.groupBy(_.getString(1)).view.mapValues(_.length).toMap
+    total.foreach { case (src, n) =>
+      val rate = Seq(0.1, 0.3, 0.6, 1.0)(src.filter(_.isDigit).toInt % 4)
+      val k = kept.getOrElse(src, 0).toDouble
+      // ~25 docs/source at sf0.01: binomial noise is wide, so just bound it
+      assert(math.abs(k / n - rate) < 0.35, s"$src: kept ${k.toInt}/$n target $rate")
+      if (rate == 1.0) assert(k == n, s"$src: rate-1.0 source must keep everything")
+    }
+    val again = CorpusPipeline.sampleMixture(spark, dir).collect()
+    assert(rows.map(_.getLong(0)).toSeq == again.map(_.getLong(0)).toSeq,
+      "hash sampling is a pure function of the id")
+  }
+
+  test("pii redaction: planted email+phone found and replaced in every doc") {
+    val rows = TextAnalysis.piiRedact(spark, dir).collect()
+    assert(rows.length == 500)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_emails") == 1L, s"doc ${r.getLong(0)}: email not found")
+      assert(r.getAs[Long]("n_phones") == 1L, s"doc ${r.getLong(0)}: phone not found")
+    }
+    // independent reconstruction: redacting the planted spans must leave
+    // exactly text + " contact <EMAIL> or call <PHONE>" — i.e. every
+    // id-dependent character is gone from the hashed output
+    import org.apache.spark.sql.functions.{col, concat, lit, md5}
+    val expected = graft.core.Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        md5(concat(col("text"), lit(" contact <EMAIL> or call <PHONE>"))).as("h"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    rows.foreach { r =>
+      assert(r.getAs[String]("redacted_hash") == expected(r.getLong(0)),
+        s"doc ${r.getLong(0)}: redacted text diverges from the expected normal form")
+    }
+  }
+
+  test("dedup cluster stats: histogram masses sum to the corpus size") {
+    val rows = Dedup.dedupClusterStats(spark, dir).collect()
+    val mass = rows.map(r => r.getAs[Long]("cluster_size") * r.getAs[Long]("n_clusters")).sum
+    assert(mass == 500L, s"histogram covers every doc exactly once (got $mass)")
+    assert(rows.exists(r => r.getAs[Long]("cluster_size") > 1), "planted dups form clusters")
+  }
+
   test("all registered queries execute and agree with declared column names at sf0.001") {
     val smokeDir = "/root/testdata/sf0.001"
     SparkEntry.queries.foreach { case (name, fn) =>
