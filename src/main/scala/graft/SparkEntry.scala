@@ -235,10 +235,12 @@ object SparkEntry {
              CAST(20000000 AS BIGINT) AS max_local_points
     """.trim))
 
+  /** Node count is the table count, R is a fit constant, and the degree
+    * bound is an invariant of robust-prune — all three oracle-stateable. */
   private val vamanaDegreeQ: (String, QFn, Option[String]) = (
     "vamana_degree_check",
     (s, d) => graft.vamana.VamanaOps.vamanaDegreeCheck(s, d),
-    None)
+    Some("SELECT count(*)::BIGINT AS n_nodes, 32 AS r, TRUE AS ok FROM embeddings"))
 
   private val vamanaFanoutQ: (String, QFn, Option[String]) = (
     "vamana_fanout_search",
@@ -247,10 +249,17 @@ object SparkEntry {
 
   /** S2/S3/S4 persistence roundtrip as a driver-checked query (rows-only,
     * but every column is a pass/fail bit with a stable expected row). */
+  /** Save→load→compare must be lossless — the flags are invariants (the
+    * reference's own save path DROPS efSearch, vamana.h:397-405, which
+    * this gate would catch), so the oracle states them as literals. */
   private val vamanaRoundtripQ: (String, QFn, Option[String]) = (
     "vamana_roundtrip",
     (s, d) => graft.vamana.VamanaOps.vamanaRoundtrip(s, d),
-    None)
+    Some("""
+      SELECT count(DISTINCT vec_id) AS n_queries, TRUE AS params_match,
+             TRUE AS point_lookup_match, TRUE AS search_identical
+      FROM embeddings WHERE vec_id < 10
+    """.trim))
 
   private val sessionizeBatchQ: (String, QFn, Option[String]) = (
     "q15_sessionize_batch",
@@ -310,10 +319,14 @@ object SparkEntry {
     (s, d) => graft.vamana.VamanaOps.vamanaSearch(s, d),
     None)
 
+  /** Recall@10 over 50 queries is exactly 1.0 at the correctness SF (the
+    * overlap gate pins full-beam search = exact kNN), and the seeded build
+    * is deterministic — so the oracle states the expected report as
+    * literals; any kernel/serving regression breaks the hash. */
   private val vamanaRecallQ: (String, QFn, Option[String]) = (
     "vamana_recall",
     (s, d) => graft.vamana.VamanaOps.recallReport(s, d),
-    None)
+    Some("SELECT 10 AS k, 1.0::DOUBLE AS recall"))
 
   /** Hash-checked serving-path gate (see VamanaOps.vamanaSearchOverlap):
     * full-beam graph search must overlap exact kNN on all k ids — the

@@ -194,9 +194,13 @@ object VamanaOps {
       .drop("medoid_pos")
 
   /** M2 degree health check over ALL nodes (fixes the reference's dead
-    * 10-node sample, vamana.h:705-720). */
+    * 10-node sample, vamana.h:705-720). The registered query projects the
+    * oracle-computable columns (node count, R, bound flag) so the driver
+    * hash-checks it; the raw max degree stays on [[degreeCheckOf]], the API
+    * surface specs assert against. */
   def vamanaDegreeCheck(spark: SparkSession, dir: String): DataFrame =
     degreeCheckOf(spark, model(spark, dir))
+      .select(col("n_nodes"), col("r"), col("ok"))
 
   /** The check itself aggregates the model's graph FRAME — `max(size(
     * neighbors))` over graphDF — so it works unchanged for beyond-broadcast
