@@ -116,4 +116,27 @@ class PlanSpec extends AnyFunSuite {
       s"${(got diff expected).take(3)} extra")
     assert(got.nonEmpty, "fixture must contain contained probes")
   }
+
+  test("lm scoring broadcasts its count tables (model side never shuffles the corpus)") {
+    val p = plan(TextAnalysis.lmPerplexity(spark, dir))
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast model joins in:\n$p")
+    assert(!p.contains("CartesianProduct"), s"vocab-size crossJoin must broadcast:\n$p")
+    // exactly one shuffle over corpus-sized data: the final groupBy(doc_id)
+    // (model-count aggregations shuffle only vocab-bounded rows)
+  }
+
+  test("oov and boilerplate broadcast their small lookup sides") {
+    val p1 = plan(TextAnalysis.oovRate(spark, dir))
+    assert(p1.contains("BroadcastHashJoin"), s"vocab join must broadcast:\n$p1")
+    val p2 = plan(TextAnalysis.boilerplateScore(spark, dir))
+    assert(p2.contains("BroadcastHashJoin"), s"hot-shingle join must broadcast:\n$p2")
+  }
+
+  test("mixture sampling and pii redaction are scan-shaped (no join, no pre-sort shuffle)") {
+    val p1 = plan(CorpusPipeline.sampleMixture(spark, dir))
+    assert(!p1.contains("Join"), s"rate must come from an expression, not a join:\n$p1")
+    val p2 = plan(TextAnalysis.piiRedact(spark, dir))
+    assert(!p2.contains("Join") && !p2.contains("HashAggregate"),
+      s"redaction is a pure narrow pass:\n$p2")
+  }
 }
