@@ -37,7 +37,7 @@ object TextAnalysis {
     * NativeExpressionSpec). */
   private[operators] def nTokensExpr: Column = size(toks(col("text")))
 
-  private[operators] def qualityExpr(spark: SparkSession): Column = {
+  private[graft] def qualityExpr(spark: SparkSession): Column = {
     val nTokens = size(toks(col("text")))
     val charLen = length(col("text"))
     val punct = charLen - length(regexp_replace(lower(col("text")), "[a-z0-9 ]", ""))
@@ -93,7 +93,7 @@ object TextAnalysis {
     * struct array evaluates each language score exactly once. Tie-break is
     * unchanged: sort ascending on (−score, lang) picks highest score, then
     * the alphabetically-first language (the langStopwords order). */
-  private[operators] def predLangExpr(spark: SparkSession): Column = {
+  private[graft] def predLangExpr(spark: SparkSession): Column = {
     val cand = array(langStopwords.map { case (lang, words) =>
       struct(
         (-graft.functions.TextExpressions.tokenSetCount(spark, lower(col("text")), words))

@@ -109,6 +109,26 @@ object StreamingOps {
       .toDF()
   }
 
+  /** Streaming corpus quality filter — the ingestion-side twin of the
+    * batch cleaning pass: the SAME [[graft.operators.TextAnalysis]] quality
+    * and language-ID EXPRESSIONS (bit-identity with batch is spec-asserted)
+    * applied as documents ARRIVE, keeping docs that clear the quality floor
+    * in the target language. Stateless narrow filter — no watermark or
+    * state store; exact-dedup survivorship (the stateful third leg of
+    * [[graft.operators.CorpusPipeline.cleanCorpus]]) composes downstream
+    * via [[streamingDedup]]. */
+  def streamingQualityFilter(docs: DataFrame, lang: String = "en",
+      minQuality: Double = 0.5): DataFrame = {
+    val spark = docs.sparkSession
+    docs.select(
+        col("doc_id").cast("long").as("doc_id"), col("ts"),
+        size(split(lower(col("text")), "\\s+")).cast("long").as("n_tokens"),
+        round(graft.operators.TextAnalysis.qualityExpr(spark), 4).as("quality_score"),
+        graft.operators.TextAnalysis.predLangExpr(spark).as("pred_lang"))
+      .where(col("pred_lang") === lang && col("quality_score") >= minQuality)
+      .select(col("doc_id"), col("ts"), col("n_tokens"), col("quality_score"))
+  }
+
   /** Streaming MinHash-LSH near-dup candidates — the ingestion-side twin of
     * [[graft.operators.Dedup.dedupMinhash]]'s candidate generation: each
     * arriving doc is hashed with the SAME banded affine family (bit-identity

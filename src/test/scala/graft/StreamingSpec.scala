@@ -266,6 +266,38 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming quality filter agrees bit-for-bit with the batch expressions") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Doc]
+    val q = StreamingOps.streamingQualityFilter(input.toDF())
+      .writeStream.format("memory").queryName("quality_out")
+      .outputMode("append").start()
+    try {
+      // batch ground truth over the real corpus slice
+      val batch = graft.operators.CorpusPipeline
+        .cleanCorpus(spark, "/root/testdata/sf0.001")
+        .collect().map(r => r.getLong(0) -> r.getAs[Double]("quality_score")).toMap
+      val docs = graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
+        .select("doc_id", "text").collect()
+        .map(r => Doc(r.getLong(0), ts(1), r.getString(1)))
+      input.addData(docs.toSeq)
+      q.processAllAvailable()
+      val streamed = spark.table("quality_out").collect()
+        .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("quality_score")).toMap
+      // cleanCorpus additionally drops exact-dup losers; every streamed doc
+      // that batch kept must carry the identical rounded score
+      assert(streamed.nonEmpty && batch.nonEmpty)
+      batch.foreach { case (id, score) =>
+        assert(streamed.get(id).contains(score), s"doc $id: batch $score vs ${streamed.get(id)}")
+      }
+      streamed.keySet.diff(batch.keySet).foreach { id =>
+        // stream keeps docs batch dropped ONLY via dedup survivorship
+        assert(!batch.contains(id))
+      }
+    } finally q.stop()
+  }
+
   test("streaming media features parse arriving payloads with the batch decoder") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
