@@ -15,6 +15,18 @@ import graft.functions.VectorFunctions.cosine
   * (hyperplane signs → bucket equi-join instead of all-pairs). */
 object Similarity {
 
+  /** Computed pair frames cached per (session, dir, op+params) — the gate
+    * queries re-consume their generator's output (LSH pairs, exact
+    * threshold pairs), so without the cache each gate pays its generator's
+    * full join again. Outputs are pair-sized (small), so `.cache()` holds
+    * rows, not the corpus — same pattern as Dedup's ngramPairsCache. */
+  private val pairFrameCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String, String), DataFrame]
+
+  private def cachedPairs(spark: SparkSession, dir: String, key: String)
+      (build: => DataFrame): DataFrame =
+    pairFrameCache.getOrElseUpdate((spark, dir, key), build.cache())
+
   /** Brute-force cosine top-k per query — the baseline ANN answer and the
     * ground truth for the bucketed variant. Same broadcast-queries posture
     * as [[Knn.knnExact]]. */
@@ -54,7 +66,8 @@ object Similarity {
 
   /** Exact threshold similarity join: all pairs with squared-L2 below the
     * threshold (the oracle form; at scale this becomes the LSH path). */
-  def similarityJoinExact(spark: SparkSession, dir: String, maxL2Sq: Double = 1.1): DataFrame = {
+  def similarityJoinExact(spark: SparkSession, dir: String, maxL2Sq: Double = 1.1): DataFrame =
+    cachedPairs(spark, dir, s"exactL2:$maxL2Sq") {
     val e = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
     val a = e.select(col("vec_id").as("id_a"), col("embedding").as("va"))
     val b = e.select(col("vec_id").as("id_b"), col("embedding").as("vb"))
@@ -86,7 +99,8 @@ object Similarity {
     * ≥0.5 in specs). For genuine near-dup corpora (cos ≥ 0.9) the same
     * operator with 8-bit × 6 bands gives >95% recall and far finer buckets —
     * parameters, not code, change with the workload. */
-  def lshCosinePairs(spark: SparkSession, dir: String, threshold: Double = 0.4, seed: Long = 7L): DataFrame = {
+  def lshCosinePairs(spark: SparkSession, dir: String, threshold: Double = 0.4, seed: Long = 7L): DataFrame =
+    cachedPairs(spark, dir, s"lshCos:$threshold:$seed") {
     import spark.implicits._
     val e = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding").cast("array<float>"))
@@ -159,7 +173,8 @@ object Similarity {
     * (1−0.64)^8 < 0.03; closer pairs do better. Equi-join on (table, key) —
     * never all-pairs. Not SQL-expressible at reasonable cost → rows-only
     * driver check; pair recall vs the exact join is gated ≥0.9 in specs. */
-  def lshL2Pairs(spark: SparkSession, dir: String, maxL2Sq: Double = 1.1, seed: Long = 11L): DataFrame = {
+  def lshL2Pairs(spark: SparkSession, dir: String, maxL2Sq: Double = 1.1, seed: Long = 11L): DataFrame =
+    cachedPairs(spark, dir, s"lshL2:$maxL2Sq:$seed") {
     import spark.implicits._
     val e = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding").cast("array<float>"))
@@ -276,13 +291,15 @@ object Similarity {
     * (gate-sized oracle twin; the scale path is the LSH side). */
   def lshCosineGate(spark: SparkSession, dir: String, threshold: Double = 0.4,
       recallFloor: Double = 0.5): DataFrame = {
-    val e = Tables.embeddings(spark, dir)
-      .select(col("vec_id"), col("embedding"), normNative(spark, col("embedding")).as("nrm"))
-    val exact = e.select(col("vec_id").as("id_a"), col("embedding").as("va"), col("nrm").as("na"))
-      .crossJoin(e.select(col("vec_id").as("id_b"), col("embedding").as("vb"), col("nrm").as("nb")))
-      .where(col("id_a") < col("id_b"))
-      .where(dotNative(spark, col("va"), col("vb")) / (col("na") * col("nb")) >= threshold)
-      .select(col("id_a"), col("id_b"))
+    val exact = cachedPairs(spark, dir, s"exactCos:$threshold") {
+      val e = Tables.embeddings(spark, dir)
+        .select(col("vec_id"), col("embedding"), normNative(spark, col("embedding")).as("nrm"))
+      e.select(col("vec_id").as("id_a"), col("embedding").as("va"), col("nrm").as("na"))
+        .crossJoin(e.select(col("vec_id").as("id_b"), col("embedding").as("vb"), col("nrm").as("nb")))
+        .where(col("id_a") < col("id_b"))
+        .where(dotNative(spark, col("va"), col("vb")) / (col("na") * col("nb")) >= threshold)
+        .select(col("id_a"), col("id_b"))
+    }
     pairGate(exact, lshCosinePairs(spark, dir, threshold).select(col("id_a"), col("id_b")),
       recallFloor)
   }
