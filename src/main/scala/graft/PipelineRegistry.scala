@@ -49,7 +49,26 @@ object PipelineRegistry {
     docChunksQ, contaminationQ, dedupParagraphQ, mmImageDecodeQ, mmAudioDecodeQ,
     packSequencesQ, dedupParagraphSurvivorsQ, bigramTopKQ,
     lmPerplexityQ, oovRateQ, boilerplateQ,
-    sampleMixtureQ, piiRedactQ, dedupClusterStatsQ)
+    sampleMixtureQ, piiRedactQ, dedupClusterStatsQ, sourceOverlapQ)
+
+  private val sourceOverlapQ: (String, QFn, Option[String]) = (
+    "source_overlap",
+    (s, d) => Dedup.sourceOverlap(s, d),
+    Some(s"""
+      WITH s AS ($shingledCte),
+      exx AS (SELECT doc_id, unnest(sh) AS shs FROM s),
+      srcsh AS (SELECT DISTINCT d.source, ('0x' || substr(md5(exx.shs), 1, 15))::BIGINT AS sg
+                FROM exx JOIN documents d USING (doc_id)),
+      sizes AS (SELECT source, count(*) AS n FROM srcsh GROUP BY source),
+      p AS (SELECT a.source AS source_a, b.source AS source_b, count(*) AS n_shared
+            FROM srcsh a JOIN srcsh b ON a.sg = b.sg AND a.source < b.source
+            GROUP BY 1, 2)
+      SELECT source_a, source_b, n_shared, sa.n AS n_a, sb.n AS n_b,
+             round(n_shared::DOUBLE / least(sa.n, sb.n), 4) AS containment
+      FROM p JOIN sizes sa ON p.source_a = sa.source
+             JOIN sizes sb ON p.source_b = sb.source
+      ORDER BY source_a, source_b
+    """.trim))
 
   private val sampleMixtureQ: (String, QFn, Option[String]) = (
     "sample_mixture",

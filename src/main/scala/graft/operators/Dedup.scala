@@ -580,6 +580,32 @@ object Dedup {
       .orderBy(col("train_id"), col("bench_id"))
   }
 
+  /** Cross-source overlap matrix — the data-governance analytic behind
+    * mixture design: for every source pair, how many distinct word-3-gram
+    * shingles they share, and the containment ratio vs the smaller side
+    * (1.0 = one source's shingle set lives inside the other's — a scraped
+    * mirror). Reuses the cached md5-surrogate frame; the self-join key is
+    * the 60-bit shingle surrogate, whose per-key fanout is bounded by the
+    * NUMBER OF SOURCES (config-sized, not corpus-sized), so no df cutoff is
+    * needed — the hot-shingle quadratic risk of doc-level pair joins cannot
+    * arise at source granularity. */
+  def sourceOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val srcSh = surrogates(spark, dir)
+      .join(Tables.documents(spark, dir).select(col("doc_id"), col("source")), "doc_id")
+      .select(col("source"), col("s")).distinct()
+    val sizes = srcSh.groupBy(col("source")).agg(count(lit(1)).as("n"))
+    srcSh.as("a").join(srcSh.as("b"),
+        col("a.s") === col("b.s") && col("a.source") < col("b.source"))
+      .select(col("a.source").as("source_a"), col("b.source").as("source_b"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .join(broadcast(sizes.select(col("source").as("source_a"), col("n").as("n_a"))), "source_a")
+      .join(broadcast(sizes.select(col("source").as("source_b"), col("n").as("n_b"))), "source_b")
+      .select(col("source_a"), col("source_b"), col("n_shared"), col("n_a"), col("n_b"),
+        round(col("n_shared").cast("double") / least(col("n_a"), col("n_b")), 4).as("containment"))
+      .orderBy(col("source_a"), col("source_b"))
+  }
+
   /** Incremental exact dedup — the production shape: a NEW batch of docs
     * (doc_id >= batchStart stands in for today's arrivals) checked against
     * the EXISTING corpus (doc_id < batchStart). Content-hash equi-join,

@@ -669,6 +669,20 @@ class PipelineSpec extends AnyFunSuite {
     assert(rows.exists(r => r.getAs[Long]("cluster_size") > 1), "planted dups form clusters")
   }
 
+  test("source overlap: pairs ordered, shared bounded by the smaller set") {
+    val rows = Dedup.sourceOverlap(spark, dir).collect()
+    assert(rows.nonEmpty, "the synthetic sources share vocabulary-driven shingles")
+    rows.foreach { r =>
+      val (a, b) = (r.getString(0), r.getString(1))
+      assert(a < b, s"pair ($a,$b) must be emitted once, ordered")
+      val shared = r.getAs[Long]("n_shared")
+      val cap = math.min(r.getAs[Long]("n_a"), r.getAs[Long]("n_b"))
+      assert(shared >= 1 && shared <= cap, s"($a,$b): shared $shared vs cap $cap")
+      val c = r.getAs[Double]("containment")
+      assert(c > 0.0 && c <= 1.0)
+    }
+  }
+
   test("all registered queries execute and agree with declared column names at sf0.001") {
     val smokeDir = "/root/testdata/sf0.001"
     SparkEntry.queries.foreach { case (name, fn) =>
