@@ -49,7 +49,25 @@ object PipelineRegistry {
     docChunksQ, contaminationQ, dedupParagraphQ, mmImageDecodeQ, mmAudioDecodeQ,
     packSequencesQ, dedupParagraphSurvivorsQ, bigramTopKQ,
     lmPerplexityQ, oovRateQ, boilerplateQ,
-    sampleMixtureQ, piiRedactQ, dedupClusterStatsQ, sourceOverlapQ)
+    sampleMixtureQ, piiRedactQ, dedupClusterStatsQ, sourceOverlapQ, qualityDecilesQ)
+
+  /** Decile machinery (q20's shape) over the quality score; the ts CTE is
+    * textStats' own oracle, so score semantics cannot drift. (lazy: it
+    * reads textStats' SQL, which initializes later in the file.) */
+  private lazy val qualityDecilesQ: (String, QFn, Option[String]) = (
+    "quality_deciles",
+    (s, d) => TextAnalysis.qualityDeciles(s, d),
+    Some(s"""
+      WITH ts AS (${textStats._3.get}),
+      r AS (SELECT doc_id, CAST(CAST(quality_score AS DECIMAL(9,4))*10000 AS BIGINT) AS q4,
+              row_number() OVER (ORDER BY CAST(CAST(quality_score AS DECIMAL(9,4))*10000 AS BIGINT), doc_id) - 1 AS rk
+            FROM ts),
+      n AS (SELECT count(*) AS n FROM ts)
+      SELECT rk*10//n AS decile, count(*)::BIGINT AS n_docs,
+        round(min(q4)/10000.0, 4) AS min_q, round(max(q4)/10000.0, 4) AS max_q,
+        round(sum(q4)::DOUBLE/10000.0/count(*), 4) AS avg_q
+      FROM r, n GROUP BY decile ORDER BY decile
+    """.trim))
 
   private val sourceOverlapQ: (String, QFn, Option[String]) = (
     "source_overlap",

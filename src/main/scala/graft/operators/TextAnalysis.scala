@@ -339,6 +339,35 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Quality-score deciles — the corpus-curation view of the quality
+    * signal (how much mass sits in each quality band, where do the decile
+    * boundaries fall — the numbers a "keep top 60%" filter is tuned from).
+    * Same distributed-rank shape as the price deciles: range-repartition +
+    * zipWithIndex, never a global no-partition window; scores ride as
+    * ×10⁴ longs (decimal-scaled BEFORE the cast, so a one-ulp-low double
+    * cannot truncate) making every aggregate integer-exact. */
+  def qualityDeciles(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val scored = Tables.documents(spark, dir)
+      .select(col("doc_id").cast("long").as("doc_id"),
+        (round(qualityExpr(spark), 4).cast("decimal(9,4)") * 10000).cast("long").as("q4"))
+    val n = scored.count()
+    val parts = math.max(1, scored.rdd.getNumPartitions)
+    val ranked = scored
+      .repartitionByRange(parts, col("q4"), col("doc_id"))
+      .sortWithinPartitions(col("q4"), col("doc_id"))
+      .as[(Long, Long)].rdd.zipWithIndex()
+      .map { case ((id, q), i) => (id, q, i * 10 / n) }
+      .toDF("doc_id", "q4", "decile")
+    ranked.groupBy(col("decile"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        round(min(col("q4")) / 10000.0, 4).as("min_q"),
+        round(max(col("q4")) / 10000.0, 4).as("max_q"),
+        round(sum(col("q4")).cast("double") / 10000.0 / count(lit(1)), 4).as("avg_q"))
+      .orderBy(col("decile"))
+  }
+
   /** PII detection + redaction — the scrub pass every released training
     * corpus runs: find email / phone patterns, count them, and replace them
     * with type tags. The synthetic corpus contains no PII, so the op first

@@ -683,6 +683,21 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("quality deciles: 10 bands covering the corpus with monotone boundaries") {
+    val rows = TextAnalysis.qualityDeciles(spark, dir).collect()
+    assert(rows.map(_.getAs[Long]("decile")).toSeq == (0L to 9L),
+      "every decile band must be populated at 500 docs")
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == 500L)
+    rows.foreach { r =>
+      assert(r.getAs[Double]("min_q") <= r.getAs[Double]("avg_q") &&
+        r.getAs[Double]("avg_q") <= r.getAs[Double]("max_q"))
+    }
+    val bounds = rows.map(r => (r.getAs[Double]("min_q"), r.getAs[Double]("max_q")))
+    bounds.sliding(2).foreach { case Array((_, hi), (lo2, _)) =>
+      assert(hi <= lo2, "decile ranges must not overlap (ranked partition)")
+    }
+  }
+
   test("all registered queries execute and agree with declared column names at sf0.001") {
     val smokeDir = "/root/testdata/sf0.001"
     SparkEntry.queries.foreach { case (name, fn) =>
