@@ -136,13 +136,31 @@ object DedupScaleBench {
       }
       pairs.unpersist()
       sh.unpersist()
+      // 5. text-analysis path over the same corpus: bigram-LM scoring with
+      //    the SHUFFLE-join model (50k vocab → up to 2.5e9 bigram types,
+      //    far beyond a broadcast; the registered query's dictionary-sized
+      //    corpus broadcasts instead), OOV against the frequent vocab, and
+      //    boilerplate with a corpus-proportional cutoff (n/10) so the
+      //    broadcast hot set holds ONLY the planted 14-token sentence's
+      //    shingles, not chain-level near-dup shingles
+      val docs = syntheticDocs(spark, n).cache()
+      docs.count()
+      val (nLm, lmSec) = timed(
+        graft.operators.TextAnalysis.lmPerplexityOf(spark, docs, broadcastModel = false).count())
+      val (nOov, oovSec) = timed(
+        graft.operators.TextAnalysis.oovRateOf(spark, docs, minCount = 100).count())
+      val (nBp, bpSec) = timed(
+        graft.operators.TextAnalysis.boilerplateScoreOf(spark, docs, dfCutoff = n / 10).count())
+      docs.unpersist()
       def r2(v: Double) = math.rint(v * 100) / 100
       println(
         s"""{"docs":$n,"cpus":$cpus,"pair_join_sec":${r2(pairSec)},"pairs":$nPairs,""" +
         s""""minhash_sec":${r2(mhSec)},"minhash_pairs":$nMh,""" +
         s""""simhash_sec":${r2(shSec)},"simhash_pairs":$nSh,""" +
         s""""simhash_keys":${keyStats.getLong(0)},"simhash_max_bucket":${keyStats.getLong(1)},""" +
-        s""""cc_sec":${r2(ccSec)},"components":$nComp,"survivors":$nSurv}""")
+        s""""cc_sec":${r2(ccSec)},"components":$nComp,"survivors":$nSurv,""" +
+        s""""lm_sec":${r2(lmSec)},"lm_docs":$nLm,"oov_sec":${r2(oovSec)},"oov_docs":$nOov,""" +
+        s""""boiler_sec":${r2(bpSec)},"boiler_docs":$nBp}""")
     }
     spark.stop()
   }

@@ -268,9 +268,18 @@ object TextAnalysis {
     * DECIMAL(18,6) — exact integer arithmetic, so the per-doc sum is
     * order-independent (double summation would diverge between Spark's
     * partial aggregates and DuckDB's scan order). */
-  def lmPerplexity(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
-      .select(col("doc_id"), toks(col("text")).as("tk"))
+  def lmPerplexity(spark: SparkSession, dir: String): DataFrame =
+    lmPerplexityOf(spark, Tables.documents(spark, dir))
+
+  /** Frame form over any (doc_id, text). `broadcastModel` picks the join
+    * strategy for the count tables: broadcast when the vocabulary is
+    * dictionary-sized (the registered query's corpus — the optimal plan),
+    * shuffle equi-join when vocab² outgrows a broadcast (a 30k-token LM
+    * vocab has up to 9×10⁸ bigram types; DedupScaleBench measures this
+    * path at 50k vocab / 500k docs). The scoring math is identical. */
+  def lmPerplexityOf(spark: SparkSession, documents: DataFrame,
+      broadcastModel: Boolean = true): DataFrame = {
+    val docs = documents.select(col("doc_id"), toks(col("text")).as("tk"))
     val bg = docs
       .where(size(col("tk")) >= 2)
       .select(col("doc_id"), explode(transform(
@@ -281,9 +290,10 @@ object TextAnalysis {
     val cb = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cb"))
     val cu = bg.groupBy(col("w1")).agg(count(lit(1)).as("cu"))
     val vf = docs.select(explode(col("tk")).as("w")).agg(countDistinct(col("w")).as("vsz"))
+    def side(df: DataFrame): DataFrame = if (broadcastModel) broadcast(df) else df
     bg
-      .join(broadcast(cb), Seq("w1", "w2"))
-      .join(broadcast(cu), Seq("w1"))
+      .join(side(cb), Seq("w1", "w2"))
+      .join(side(cu), Seq("w1"))
       .crossJoin(broadcast(vf))
       .withColumn("logp",
         round(log((col("cb") + 1).cast("double") / (col("cu") + col("vsz")).cast("double")), 6)
@@ -301,8 +311,12 @@ object TextAnalysis {
     * decides whether a vocab/BPE merge table fits a corpus. The vocab is
     * small by construction (it's the FREQUENT tokens) → broadcast left
     * join + keyed count; token explode is the only wide stage. */
-  def oovRate(spark: SparkSession, dir: String, minCount: Long = 100): DataFrame = {
-    val tok = Tables.documents(spark, dir)
+  def oovRate(spark: SparkSession, dir: String, minCount: Long = 100): DataFrame =
+    oovRateOf(spark, Tables.documents(spark, dir), minCount)
+
+  /** Frame form over any (doc_id, text). */
+  def oovRateOf(spark: SparkSession, documents: DataFrame, minCount: Long): DataFrame = {
+    val tok = documents
       .select(col("doc_id"), explode(toks(col("text"))).as("w"))
     val vocab = tok.groupBy(col("w")).agg(count(lit(1)).as("cnt"))
       .where(col("cnt") >= minCount).select(col("w"), lit(1).as("in_v"))
@@ -324,8 +338,17 @@ object TextAnalysis {
     * order-independent. Same trade as the dedup family's df cutoff, read in
     * reverse: there hot shingles are dropped noise, here they ARE the
     * signal. */
-  def boilerplateScore(spark: SparkSession, dir: String, dfCutoff: Long = 5): DataFrame = {
-    val sh = Tables.documents(spark, dir)
+  def boilerplateScore(spark: SparkSession, dir: String, dfCutoff: Long = 5): DataFrame =
+    boilerplateScoreOf(spark, Tables.documents(spark, dir), dfCutoff)
+
+  /** Frame form over any (doc_id, text). At scale pick `dfCutoff` high
+    * enough that only true boilerplate (df proportional to the corpus)
+    * lands in the broadcast hot set — a cutoff that also catches
+    * cluster-level near-dup shingles grows the hot set linearly with the
+    * corpus and belongs in the pair-join machinery instead. */
+  def boilerplateScoreOf(spark: SparkSession, documents: DataFrame,
+      dfCutoff: Long): DataFrame = {
+    val sh = documents
       .select(col("doc_id"), Dedup.tokens(col("text")).as("toks"))
       .where(size(col("toks")) >= 3)
       .select(col("doc_id"), explode(Dedup.shingles(col("toks"))).as("sh"))

@@ -61,4 +61,24 @@ class DedupScaleSpec extends AnyFunSuite {
     surv.unpersist()
     sh.unpersist()
   }
+
+  test("text path at 20k synthetic docs: shuffle-join LM, OOV, corpus-proportional boilerplate") {
+    val n = 20000L
+    val docs = DedupScaleBench.syntheticDocs(spark, n).repartition(4).cache()
+    // shuffle-join LM model (50k vocab makes the count tables far beyond a
+    // broadcast at real scale); scoring must cover every doc
+    val lm = graft.operators.TextAnalysis.lmPerplexityOf(spark, docs, broadcastModel = false)
+    assert(lm.count() == n)
+    // every token appears ~n*100/50000 = 40 >= minCount -> zero OOV under a
+    // floor of 10, all-OOV under an impossible floor: the vocab floor is
+    // doing the work, not an accident of the corpus
+    val oovLow = graft.operators.TextAnalysis.oovRateOf(spark, docs, minCount = 10)
+    assert(oovLow.agg(sum(col("n_oov"))).head().getLong(0) == 0L)
+    // boilerplate with cutoff n/10: ONLY the planted sentence is hot —
+    // exactly the 20% of docs carrying it score > 0
+    val bp = graft.operators.TextAnalysis.boilerplateScoreOf(spark, docs, dfCutoff = n / 10)
+    val flagged = bp.where(col("n_boiler") > 0).count()
+    assert(flagged == n / 5, s"expected ${n / 5} boilerplate docs, got $flagged")
+    docs.unpersist()
+  }
 }
