@@ -39,7 +39,7 @@ object SparkEntry {
     vamanaFilteredQ,
     vamanaSearchQ, vamanaOverlapQ, vamanaRecallQ, vamanaStartQ, vamanaDescribeQ, vamanaDegreeQ,
     vamanaFanoutQ,
-    vamanaRoundtripQ, vamanaInsertQ, vamanaDeleteQ,
+    vamanaRoundtripQ, vamanaInsertQ, vamanaDeleteQ, vamanaInsertGateQ, vamanaDeleteGateQ,
     pricingQ, regionRevenueQ, topOrdersQ, orderPriorityQ, localSupplierQ,
     filteredRevenueQ, partRollupQ, segmentSetOpsQ, eventsHourlyQ, userFunnelQ,
     ordersByMonthQ, partTypeQ, acctbalStatsQ, approxDistinctQ, sessionizeBatchQ,
@@ -412,6 +412,26 @@ object SparkEntry {
     "vamana_delete_search",
     (s, d) => graft.vamana.VamanaOps.vamanaDeleteSearch(s, d),
     None)
+
+  /** Gates for the incremental-maintenance path: counts recomputed by the
+    * oracle, self-find / no-ghost / recall flags asserted as literals. */
+  private val vamanaInsertGateQ: (String, QFn, Option[String]) = (
+    "vamana_insert_gate",
+    (s, d) => graft.vamana.VamanaOps.vamanaInsertGate(s, d),
+    Some("""
+      WITH m AS (SELECT max(vec_id) AS mx FROM embeddings)
+      SELECT count(*) AS n_inserted, TRUE AS self_found, TRUE AS recall_ok
+      FROM embeddings, m WHERE vec_id >= greatest(m.mx - 49, (m.mx + 1) // 2)
+    """.trim))
+
+  private val vamanaDeleteGateQ: (String, QFn, Option[String]) = (
+    "vamana_delete_gate",
+    (s, d) => graft.vamana.VamanaOps.vamanaDeleteGate(s, d),
+    Some("""
+      WITH m AS (SELECT least(50, count(*) // 2) AS nd FROM embeddings)
+      SELECT count(*) AS n_queries, TRUE AS no_ghosts, TRUE AS recall_ok
+      FROM embeddings, m WHERE vec_id >= m.nd AND vec_id < m.nd + 10
+    """.trim))
 
   /** Same semantics and oracle as knn_exact, computed with the bounded-heap
     * partial aggregate instead of a window (the 100 TB form). */

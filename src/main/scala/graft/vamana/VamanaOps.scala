@@ -83,6 +83,60 @@ object VamanaOps {
     m.search(q, 10)
   }
 
+  /** Hash-checked gate over [[vamanaInsertSearch]]: every inserted vector
+    * must find ITSELF at rank 1 (FreshDiskANN insert correctness), and the
+    * post-insert results must clear a recall floor vs exact kNN over the
+    * full (base + batch) corpus. Counts are oracle-recomputable, flags are
+    * invariants — the gate-query pattern of the seeded families. */
+  def vamanaInsertGate(spark: SparkSession, dir: String,
+      recallFloor: Double = 0.8): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val maxId = emb.agg(max(col("vec_id").cast("long"))).head().getLong(0)
+    val cut = math.max(maxId - 49, (maxId + 1) / 2)
+    val res = vamanaInsertSearch(spark, dir).select(col("query_id"), col("rank"), col("id"))
+    val q = emb.where(col("vec_id") >= cut)
+      .select((col("vec_id") - cut).cast("long").as("query_id"), col("embedding").as("query_vec"))
+    val exact = Knn.knnExact(emb, q, 10).select(col("query_id"), col("id"))
+    val self = res.where(col("rank") === 1)
+      .agg(count(lit(1)).as("nq"),
+        count(when(col("id") === col("query_id") + cut, 1)).as("nself"))
+    val rec = exact.withColumn("in_exact", lit(1))
+      .join(res.select(col("query_id"), col("id")).withColumn("in_approx", lit(1)),
+        Seq("query_id", "id"), "full_outer")
+      .agg(count(col("in_exact")).as("n_exact"),
+        count(when(col("in_exact").isNotNull && col("in_approx").isNotNull, 1)).as("n_hit"))
+    self.crossJoin(rec).select(
+      col("nq").as("n_inserted"),
+      (col("nself") === col("nq")).as("self_found"),
+      (col("n_hit") >= col("n_exact") * recallFloor).as("recall_ok"))
+  }
+
+  /** Hash-checked gate over [[vamanaDeleteSearch]]: no deleted id may ever
+    * surface (ghost check), and post-delete results must clear a recall
+    * floor vs exact kNN over the REMAINING corpus. */
+  def vamanaDeleteGate(spark: SparkSession, dir: String,
+      recallFloor: Double = 0.8): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val n = emb.count()
+    val nDel = math.min(50L, n / 2)
+    val res = vamanaDeleteSearch(spark, dir).select(col("query_id"), col("id"))
+    val remaining = emb.where(col("vec_id") >= nDel)
+    val q = emb.where(col("vec_id") >= nDel && col("vec_id") < nDel + 10)
+      .select((col("vec_id") - nDel).cast("long").as("query_id"), col("embedding").as("query_vec"))
+    val exact = Knn.knnExact(remaining, q, 10).select(col("query_id"), col("id"))
+    val g = res.agg(
+      countDistinct(col("query_id")).as("nq"),
+      count(when(col("id") < nDel, 1)).as("nghost"))
+    val rec = exact.withColumn("in_exact", lit(1))
+      .join(res.withColumn("in_approx", lit(1)), Seq("query_id", "id"), "full_outer")
+      .agg(count(col("in_exact")).as("n_exact"),
+        count(when(col("in_exact").isNotNull && col("in_approx").isNotNull, 1)).as("n_hit"))
+    g.crossJoin(rec).select(
+      col("nq").as("n_queries"),
+      (col("nghost") === 0).as("no_ghosts"),
+      (col("n_hit") >= col("n_exact") * recallFloor).as("recall_ok"))
+  }
+
   /** The serving model's graph re-parameterized to a FULL beam (efSearch =
     * n): greedy search with a beam that never evicts expands every node
     * reachable from the medoid, so on a connected graph it returns the
