@@ -27,6 +27,12 @@ object Similarity {
       (build: => DataFrame): DataFrame =
     pairFrameCache.getOrElseUpdate((spark, dir, key), build.cache())
 
+  /** Lifecycle hook for [[graft.GraftCaches.clearAll]]. */
+  def clearCaches(): Unit = {
+    pairFrameCache.values.foreach(df => scala.util.Try(df.unpersist()))
+    pairFrameCache.clear()
+  }
+
   /** Brute-force cosine top-k per query — the baseline ANN answer and the
     * ground truth for the bucketed variant. Same broadcast-queries posture
     * as [[Knn.knnExact]]. */
