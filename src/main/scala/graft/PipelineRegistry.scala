@@ -49,7 +49,27 @@ object PipelineRegistry {
     docChunksQ, contaminationQ, dedupParagraphQ, mmImageDecodeQ, mmAudioDecodeQ,
     packSequencesQ, dedupParagraphSurvivorsQ, bigramTopKQ,
     lmPerplexityQ, oovRateQ, boilerplateQ,
-    sampleMixtureQ, piiRedactQ, dedupClusterStatsQ, sourceOverlapQ, qualityDecilesQ)
+    sampleMixtureQ, piiRedactQ, dedupClusterStatsQ, sourceOverlapQ, qualityDecilesQ,
+    corpusShuffleQ, lengthBucketsQ)
+
+  private val corpusShuffleQ: (String, QFn, Option[String]) = (
+    "corpus_shuffle",
+    (s, d) => CorpusPipeline.corpusShuffle(s, d),
+    Some("""
+      SELECT doc_id,
+             row_number() OVER (ORDER BY md5(doc_id::VARCHAR), doc_id) - 1 AS shuffle_pos
+      FROM documents ORDER BY doc_id
+    """.trim))
+
+  private val lengthBucketsQ: (String, QFn, Option[String]) = (
+    "length_buckets",
+    (s, d) => CorpusPipeline.lengthBuckets(s, d),
+    Some("""
+      WITH t AS (SELECT len(string_split_regex(lower(text), '\s+'))::BIGINT AS n FROM documents),
+      b AS (SELECT n, CAST(pow(2, length(bin(greatest(n, 1))) - 1) AS BIGINT) AS bucket_min FROM t)
+      SELECT bucket_min, count(*)::BIGINT AS n_docs, sum(n)::BIGINT AS total_tokens
+      FROM b GROUP BY bucket_min ORDER BY bucket_min
+    """.trim))
 
   /** Decile machinery (q20's shape) over the quality score; the ts CTE is
     * textStats' own oracle, so score semantics cannot drift. (lazy: it

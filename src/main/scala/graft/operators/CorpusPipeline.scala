@@ -102,6 +102,44 @@ object CorpusPipeline {
       .orderBy(col("doc_id"))
   }
 
+  /** Deterministic global corpus shuffle — the "shuffle once per epoch"
+    * step before training, as a pure function of content rather than RNG
+    * state: position = rank of md5(doc_id) (ties by doc_id). Identical
+    * across engines, reruns, partitionings, and cluster sizes, so a
+    * restarted job resumes the SAME epoch order. Distributed-rank shape
+    * (range repartition + zipWithIndex), never a no-partition window. */
+  def corpusShuffle(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val hashed = Tables.documents(spark, dir)
+      .select(col("doc_id"), md5(col("doc_id").cast("string")).as("h"))
+    val parts = math.max(1, hashed.rdd.getNumPartitions)
+    hashed
+      .repartitionByRange(parts, col("h"), col("doc_id"))
+      .sortWithinPartitions(col("h"), col("doc_id"))
+      .as[(Long, String)].rdd.zipWithIndex()
+      .map { case ((id, _), i) => (id, i) }
+      .toDF("doc_id", "shuffle_pos")
+      .orderBy(col("doc_id"))
+  }
+
+  /** Context-length histogram in power-of-2 token buckets — the numbers a
+    * sequence-length curriculum / packing budget is tuned from. One keyed
+    * integer aggregation over a narrow scan. */
+  def lengthBuckets(spark: SparkSession, dir: String): DataFrame = {
+    val nTokens = size(Dedup.tokens(col("text"))).cast("long")
+    // bucket = 2^(bitLength(n)-1) via the binary-string length — an exact
+    // integer path in both engines (floor(log2(2^k)) can land at k-1 when
+    // the float log rounds low, splitting the power-of-two boundary docs
+    // between engines)
+    Tables.documents(spark, dir)
+      .select(nTokens.as("n"), greatest(nTokens, lit(1L)).as("g"))
+      .select(col("n"),
+        expr("cast(pow(2, length(bin(g)) - 1) as bigint)").as("bucket_min"))
+      .groupBy(col("bucket_min"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n")).as("total_tokens"))
+      .orderBy(col("bucket_min"))
+  }
+
   /** Sequence packing — the step between a cleaned corpus and a training
     * run: concatenate documents in doc_id order and cut the token stream
     * into fixed-`budget` training sequences (GPT-style "concat then
