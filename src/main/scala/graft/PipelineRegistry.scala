@@ -50,7 +50,20 @@ object PipelineRegistry {
     packSequencesQ, dedupParagraphSurvivorsQ, bigramTopKQ,
     lmPerplexityQ, oovRateQ, boilerplateQ,
     sampleMixtureQ, piiRedactQ, dedupClusterStatsQ, sourceOverlapQ, qualityDecilesQ,
-    corpusShuffleQ, lengthBucketsQ)
+    corpusShuffleQ, lengthBucketsQ, formatRoundtripQ)
+
+  /** The oracle recomputes each format's checksums from the parquet
+    * originals — rows can only match if the sink→source path was
+    * byte-lossless for every doc. */
+  private val formatRoundtripQ: (String, QFn, Option[String]) = (
+    "format_roundtrip",
+    (s, d) => Formats.formatRoundtrip(s, d),
+    Some("""
+      SELECT v.fmt AS format, count(*) AS n_docs, sum(n_chars)::BIGINT AS total_chars,
+             sum(('0x' || substr(md5(text), 1, 8))::BIGINT)::BIGINT AS text_sum
+      FROM documents CROSS JOIN (VALUES ('csv'), ('json'), ('orc')) v(fmt)
+      GROUP BY v.fmt ORDER BY v.fmt
+    """.trim))
 
   private val corpusShuffleQ: (String, QFn, Option[String]) = (
     "corpus_shuffle",
