@@ -44,7 +44,7 @@ object PipelineRegistry {
     lshCosineGateQ, lshL2GateQ, ivfGateQ, pqGateQ,
     sqQuantize, sqReport, bqQuantizeQ, bqSearchQ, bqRerankQ, pqQuantizeQ, pqSearchQ,
     mmJoin, mmBinaryStats, mmMediaFeatures,
-    sampleHashQ, pipelineCleanQ, vocabTopKQ, lengthPctQ, embedNormalizeQ, tfIdfQ,
+    sampleHashQ, pipelineCleanQ, vocabTopKQ, lengthPctQ, percentileGateQ, embedNormalizeQ, tfIdfQ,
     asofJoinQ, sampleStratifiedQ, repetitionScoreQ, rangeJoinQ, dedupEmbSurvivorsQ,
     docChunksQ, contaminationQ, dedupParagraphQ, mmImageDecodeQ, mmAudioDecodeQ,
     packSequencesQ, dedupParagraphSurvivorsQ, bigramTopKQ,
@@ -1010,6 +1010,21 @@ object PipelineRegistry {
              (SELECT n_chars FROM r WHERE r = CAST(ceil(0.5  * (SELECT c FROM n)) AS BIGINT)) AS p50_chars,
              (SELECT n_chars FROM r WHERE r = CAST(ceil(0.9  * (SELECT c FROM n)) AS BIGINT)) AS p90_chars,
              (SELECT n_chars FROM r WHERE r = CAST(ceil(0.99 * (SELECT c FROM n)) AS BIGINT)) AS p99_chars
+    """.trim))
+
+  /** q14's HLL-gate pattern applied to the percentile sketch. */
+  private val percentileGateQ: (String, QFn, Option[String]) = (
+    "percentile_gate",
+    (s, d) => TextAnalysis.percentileGate(s, d),
+    Some("""
+      WITH d AS (SELECT len(text)::BIGINT AS n_chars FROM documents),
+      r AS (SELECT n_chars, row_number() OVER (ORDER BY n_chars) AS r FROM d),
+      n AS (SELECT count(*) AS c FROM d)
+      SELECT (SELECT c FROM n) AS n_docs,
+             (SELECT n_chars FROM r WHERE r = CAST(ceil(0.5  * (SELECT c FROM n)) AS BIGINT)) AS p50_chars,
+             (SELECT n_chars FROM r WHERE r = CAST(ceil(0.9  * (SELECT c FROM n)) AS BIGINT)) AS p90_chars,
+             (SELECT n_chars FROM r WHERE r = CAST(ceil(0.99 * (SELECT c FROM n)) AS BIGINT)) AS p99_chars,
+             TRUE AS p50_ok, TRUE AS p90_ok, TRUE AS p99_ok
     """.trim))
 
   private val tfIdfQ: (String, QFn, Option[String]) = (

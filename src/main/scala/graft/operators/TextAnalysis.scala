@@ -190,6 +190,24 @@ object TextAnalysis {
       .toDF("n_docs", "p50_chars", "p90_chars", "p99_chars")
   }
 
+  /** Hash-checked gate for the percentile SKETCH (`approx_percentile`,
+    * the KLL/GK-family estimator every monitoring pipeline leans on at
+    * 100 TB where exact ranks need a full sort): emits the exact
+    * nearest-rank percentiles (oracle-recomputable) plus flags that the
+    * sketch landed within `tol` of each — the q14 HLL pattern applied to
+    * quantiles. At the correctness SF the sketch (accuracy 10⁴) is exact,
+    * so the flags are deterministic. */
+  def percentileGate(spark: SparkSession, dir: String, tol: Double = 0.02): DataFrame = {
+    val approx = Tables.documents(spark, dir)
+      .agg(percentile_approx(length(col("text")).cast("long"),
+        array(lit(0.5), lit(0.9), lit(0.99)), lit(10000)).as("ap"))
+    lengthPercentiles(spark, dir).crossJoin(approx).select(
+      col("n_docs"), col("p50_chars"), col("p90_chars"), col("p99_chars"),
+      (abs(element_at(col("ap"), 1) - col("p50_chars")) <= col("p50_chars") * tol).as("p50_ok"),
+      (abs(element_at(col("ap"), 2) - col("p90_chars")) <= col("p90_chars") * tol).as("p90_ok"),
+      (abs(element_at(col("ap"), 3) - col("p99_chars")) <= col("p99_chars") * tol).as("p99_ok"))
+  }
+
   /** Per-doc top-k TF-IDF terms: tf = termCount/docLen, idf = ln(N/df),
     * ranked (weight desc, term asc). Three keyed aggregations + two
     * equi-joins (the df side is dictionary-sized → broadcast); the rank
