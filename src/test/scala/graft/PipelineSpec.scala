@@ -549,6 +549,34 @@ class PipelineSpec extends AnyFunSuite {
     assert(math.abs(j(0).getAs[Double]("mean_r") - meanR) < 40.0)
   }
 
+  test("thumbnail resize: nearest-neighbor mapping on a real 2D gradient image") {
+    // 16x4 P6 where pixel (y,x) = (x*16, y*60, 7): resize to 8x8 must pick
+    // source (floor(i*4/8), floor(j*16/8)) — checkable in closed form
+    val w = 16; val h = 4
+    val header = s"P6\n$w $h\n255\n".getBytes("US-ASCII")
+    val body = Array.tabulate(w * h * 3) { idx =>
+      val p = idx / 3; val c = idx % 3
+      val y = p / w; val x = p % w
+      (c match { case 0 => x * 16; case 1 => y * 60; case 2 => 7 }).toByte
+    }
+    val payload = header ++ body
+    val Some((gw, gh, thumb)) = Multimodal.thumbnailOf(payload, 8, 8)
+    assert(gw == w && gh == h)
+    val got = thumb.split(",").map(_.toInt).toSeq
+    val expected = (for (i <- 0 until 8; j <- 0 until 8; c <- 0 until 3) yield {
+      val sy = i / 2; val sx = j * 2
+      c match { case 0 => sx * 16; case 1 => sy * 60; case 2 => 7 }
+    }).toSeq
+    assert(got == expected, "nearest-neighbor sampling must hit floor-mapped source pixels")
+    // and the registered query emits 192 ints per doc over the corpus
+    val rows = Multimodal.imageThumbnail(spark, dir).limit(5).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val vals = r.getAs[String]("thumb").split(",")
+      assert(vals.length == 192 && vals.forall(v => v.toInt >= 0 && v.toInt <= 255))
+    }
+  }
+
   test("wav sample decode: signed 16-bit PCM, stereo channels, and non-wav rejection") {
     import spark.implicits._
     // samples: +1000, -1000, +32767, -32768 → sum = -1, exact stats known
