@@ -43,7 +43,7 @@ object PipelineRegistry {
     simCosineTopK, simIpTopK, simJoinThreshold, lshCosinePairs, lshL2PairsQ, ivfSearch,
     lshCosineGateQ, lshL2GateQ, ivfGateQ, pqGateQ,
     sqQuantize, sqReport, bqQuantizeQ, bqSearchQ, bqRerankQ, pqQuantizeQ, pqSearchQ,
-    mmJoin, mmBinaryStats, mmMediaFeatures, mmThumbnailQ,
+    mmJoin, mmBinaryStats, mmMediaFeatures, mmThumbnailQ, mmFrameSampleQ,
     sampleHashQ, pipelineCleanQ, vocabTopKQ, lengthPctQ, percentileGateQ, embedNormalizeQ, tfIdfQ,
     asofJoinQ, sampleStratifiedQ, repetitionScoreQ, rangeJoinQ, dedupEmbSurvivorsQ,
     docChunksQ, contaminationQ, dedupParagraphQ, mmImageDecodeQ, mmAudioDecodeQ,
@@ -502,6 +502,19 @@ object PipelineRegistry {
     * real k×1 P6 PPM, decodes the pixels back, and emits per-channel
     * mean/σ; the oracle reproduces the identical integers from `ord()` over
     * the text (channel sums are exact longs → identical doubles). */
+  /** The schedule is pure integer arithmetic on the mvhd duration, which
+    * the synthesized container sets to n_chars — the oracle recomputes it
+    * from the text length, pinning the box-walk roundtrip. */
+  private val mmFrameSampleQ: (String, QFn, Option[String]) = (
+    "mm_frame_sample",
+    (s, d) => Multimodal.frameSample(s, d),
+    Some("""
+      SELECT doc_id, i AS frame_idx, (i * len(text)) // 5 AS sample_ms,
+             len(text)::BIGINT AS duration_ms
+      FROM documents, unnest(range(0, 5)) r(i)
+      ORDER BY doc_id, frame_idx
+    """.trim))
+
   /** The thumbnail's sampled byte at (i,j,c) is the text char at
     * 3·⌊j·k/8⌋ + c — the oracle recomputes the REAL resize output via
     * substr/ord (rows repeat: the synthesized image is k×1). */

@@ -457,6 +457,44 @@ object Multimodal {
       (w, h, sb.toString)
     }
 
+  private def be32(v: Long): Array[Byte] = Array(
+    ((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+    ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+
+  /** Minimal ISO-BMFF container: ftyp box + moov holding an mvhd v0 with
+    * the given timescale/duration — the same layout the parser spec uses. */
+  private[graft] def synthMp4(timescale: Long, duration: Long): Array[Byte] = {
+    val mvhd = be32(8 + 4 + 16 + 8) ++ "mvhd".getBytes("US-ASCII") ++
+      Array.fill[Byte](4)(0) ++ be32(0) ++ be32(0) ++ be32(timescale) ++ be32(duration) ++
+      Array.fill[Byte](8)(0)
+    be32(16) ++ "ftyp".getBytes("US-ASCII") ++ "isom".getBytes("US-ASCII") ++ be32(512) ++
+      be32(8 + mvhd.length) ++ "moov".getBytes("US-ASCII") ++ mvhd
+  }
+
+  /** Frame-sample scheduling — the video "frame-sample" pipeline step:
+    * synthesize each doc's minimal MP4 (timescale 1000 → media units are
+    * ms, duration = n_chars), decode timescale/duration back through the
+    * REAL mvhd box walk, and emit k evenly spaced sample timestamps
+    * ⌊i·duration/k⌋. Decoding entropy-coded FRAMES needs a codec;
+    * SELECTING them does not — and the schedule is the part the engine
+    * owns (a codec slots into the same mapPartitions shape as
+    * [[decodePixels]]). The oracle recomputes the schedule from n_chars,
+    * so rows match only if the synthesize→box-walk roundtrip preserved
+    * the duration exactly. */
+  def frameSample(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), length(col("text")).cast("long").as("n"))
+      .as[(Long, Long)]
+      .flatMap { case (id, n) =>
+        val f = decode(id, synthMp4(1000L, n))
+        if (f.media_type != "mp4") Iterator.empty
+        else (0 until k).iterator.map(i => (id, i.toLong, i * f.dim2 / k, f.dim2))
+      }
+      .toDF("doc_id", "frame_idx", "sample_ms", "duration_ms")
+      .orderBy(col("doc_id"), col("frame_idx"))
+  }
+
   /** Decoded PCM sample statistics — the audio twin of [[ImageStats]]. */
   case class AudioStats(doc_id: Long, sample_rate: Long, n_channels: Long,
       n_samples: Long, mean_amp: Double, sd_amp: Double)
