@@ -259,10 +259,11 @@ object Similarity {
   // pair/top-k baseline and a boolean gate over the approximate result's
   // agreement with it. Each gate emits (exact-count, flags); the oracle
   // recomputes the count and asserts the flags as literals — the same
-  // emission pattern as vamana_search_overlap. Floors sit well below the
-  // measured deterministic recall at the correctness SF (specs assert the
-  // tighter bound), so the gate is stable; a regression in the generator
-  // flips a boolean and the driver's hash check catches it.
+  // emission pattern as vamana_search_overlap. Gate floors are
+  // CATASTROPHIC-regression detectors set well below the measured
+  // deterministic recall at the correctness SF (lsh-cos 0.71, lsh-L2 1.0,
+  // IVF 0.70, PQ 0.51) — the tighter quality bounds live in specs, where a
+  // near-boundary flip fails a test instead of the driver's hash gate.
 
   /** One-row gate over pair sets: exact-pair count (DuckDB-recomputable),
     * subset flag (approx pairs are exact-verified => no false positives),
@@ -312,7 +313,7 @@ object Similarity {
 
   /** Gate for [[lshL2Pairs]] vs the exact L2 threshold join. */
   def lshL2Gate(spark: SparkSession, dir: String, maxL2Sq: Double = 1.1,
-      recallFloor: Double = 0.9): DataFrame =
+      recallFloor: Double = 0.8): DataFrame =
     pairGate(
       similarityJoinExact(spark, dir, maxL2Sq).select(col("id_a"), col("id_b")),
       lshL2Pairs(spark, dir, maxL2Sq).select(col("id_a"), col("id_b")),
@@ -320,7 +321,7 @@ object Similarity {
 
   /** Gate for [[ivfSearch]] vs exact kNN over the same query fixture. */
   def ivfGate(spark: SparkSession, dir: String, nQueries: Int = 10, k: Int = 5,
-      recallFloor: Double = 0.6): DataFrame = {
+      recallFloor: Double = 0.5): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
     topkGate(
       Knn.knnExact(emb, Knn.queriesFromPoints(emb, nQueries), k)
