@@ -50,7 +50,40 @@ object PipelineRegistry {
     packSequencesQ, dedupParagraphSurvivorsQ, bigramTopKQ,
     lmPerplexityQ, oovRateQ, boilerplateQ,
     sampleMixtureQ, piiRedactQ, dedupClusterStatsQ, sourceOverlapQ, qualityDecilesQ,
-    corpusShuffleQ, lengthBucketsQ, formatRoundtripQ)
+    corpusShuffleQ, lengthBucketsQ, formatRoundtripQ, ngramNoveltyQ, tokenEntropyQ)
+
+  private val ngramNoveltyQ: (String, QFn, Option[String]) = (
+    "ngram_novelty",
+    (s, d) => Dedup.ngramNovelty(s, d),
+    Some(s"""
+      WITH s AS ($shingledCte),
+      exn AS (SELECT doc_id, ('0x' || substr(md5(shs), 1, 15))::BIGINT AS sg
+              FROM (SELECT doc_id, unnest(sh) AS shs FROM s)),
+      fo AS (SELECT sg, min(doc_id) AS first_doc FROM exn GROUP BY sg)
+      SELECT exn.doc_id, count(*)::BIGINT AS n_shingles,
+             sum(CASE WHEN fo.first_doc = exn.doc_id THEN 1 ELSE 0 END)::BIGINT AS n_novel,
+             round(sum(CASE WHEN fo.first_doc = exn.doc_id THEN 1 ELSE 0 END)::DOUBLE
+                   / count(*), 4) AS novelty
+      FROM exn JOIN fo USING (sg) GROUP BY exn.doc_id ORDER BY exn.doc_id
+    """.trim))
+
+  /** Entropy terms ride as half-up-floored micro-nat INTEGERS (the
+    * sq_quantize trick) so the per-doc sum is an exact long. */
+  private val tokenEntropyQ: (String, QFn, Option[String]) = (
+    "token_entropy",
+    (s, d) => TextAnalysis.tokenEntropy(s, d),
+    Some("""
+      WITH tok AS (SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS w
+                   FROM documents),
+      tc AS (SELECT doc_id, w, count(*) AS c FROM tok GROUP BY doc_id, w),
+      dl AS (SELECT doc_id, sum(c)::BIGINT AS n FROM tc GROUP BY doc_id),
+      t AS (SELECT tc.doc_id, dl.n,
+              floor(-(tc.c::DOUBLE / dl.n) * ln(tc.c::DOUBLE / dl.n) * 1e6 + 0.5)::BIGINT AS term
+            FROM tc JOIN dl USING (doc_id))
+      SELECT doc_id, max(n) AS n_tokens, count(*)::BIGINT AS n_distinct,
+             sum(term)::BIGINT AS entropy_unats
+      FROM t GROUP BY doc_id ORDER BY doc_id
+    """.trim))
 
   /** The oracle recomputes each format's checksums from the parquet
     * originals — rows can only match if the sink→source path was

@@ -606,6 +606,24 @@ object Dedup {
       .orderBy(col("source_a"), col("source_b"))
   }
 
+  /** N-gram novelty: the fraction of a doc's distinct shingles whose FIRST
+    * corpus occurrence (min doc_id) is the doc itself — the freshness
+    * signal an ordered-ingest pipeline cuts on (novelty → keep; ~0 →
+    * repeat of earlier content; between → partial rehash). One shuffle on
+    * the cached 60-bit surrogate to find first owners, one broadcast-safe
+    * keyed count per doc; integers throughout, so order-independent. */
+  def ngramNovelty(spark: SparkSession, dir: String): DataFrame = {
+    val ex = surrogates(spark, dir)
+    val firstOwner = ex.groupBy(col("s")).agg(min(col("doc_id")).as("first_doc"))
+    ex.join(firstOwner, "s")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        count(when(col("first_doc") === col("doc_id"), 1)).as("n_novel"))
+      .select(col("doc_id"), col("n_shingles"), col("n_novel"),
+        round(col("n_novel").cast("double") / col("n_shingles"), 4).as("novelty"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Incremental exact dedup — the production shape: a NEW batch of docs
     * (doc_id >= batchStart stands in for today's arrivals) checked against
     * the EXISTING corpus (doc_id < batchStart). Content-hash equi-join,

@@ -412,6 +412,30 @@ object TextAnalysis {
       .orderBy(col("decile"))
   }
 
+  /** Per-doc unigram (token) Shannon entropy, emitted in MICRO-NATS as an
+    * integer — low entropy flags repetitive/generated junk the way
+    * [[repetitionScore]] does at trigram granularity. Each distinct token
+    * contributes ⌊−(c/n)·ln(c/n)·10⁶ + 0.5⌋ (the sq_quantize half-up-floor
+    * trick — `round` can split at .5 boundaries between engines; round-to-
+    * decimal splits on 1-ulp ln differences, which a first cut of this op
+    * hit on one doc in 500), and the per-doc sum is an exact LONG — fully
+    * order-independent. Two keyed integer aggregations; nothing
+    * corpus-global. */
+  def tokenEntropy(spark: SparkSession, dir: String): DataFrame = {
+    val tc = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(toks(col("text"))).as("w"))
+      .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("c"))
+    val dl = tc.groupBy(col("doc_id")).agg(sum(col("c")).as("n"))
+    val p = col("c").cast("double") / col("n")
+    tc.join(dl, "doc_id")
+      .withColumn("term", floor(-p * log(p) * 1e6 + 0.5).cast("long"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_distinct"), max(col("n")).as("n_tokens"),
+        sum(col("term")).as("entropy_unats"))
+      .select(col("doc_id"), col("n_tokens"), col("n_distinct"), col("entropy_unats"))
+      .orderBy(col("doc_id"))
+  }
+
   /** PII detection + redaction — the scrub pass every released training
     * corpus runs: find email / phone patterns, count them, and replace them
     * with type tags. The synthetic corpus contains no PII, so the op first

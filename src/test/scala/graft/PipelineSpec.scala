@@ -726,6 +726,31 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("ngram novelty: earliest doc owns its shingles; dup-chain members lose theirs") {
+    val rows = Dedup.ngramNovelty(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n_shingles"); val nov = r.getAs[Long]("n_novel")
+      assert(nov >= 0 && nov <= n)
+    }
+    // doc 0 can only share shingles with LATER docs -> fully novel
+    val d0 = rows.find(_.getLong(0) == 0L).get
+    assert(d0.getAs[Long]("n_novel") == d0.getAs[Long]("n_shingles"))
+    // the planted near-dups guarantee someone is NOT fully novel
+    assert(rows.exists(r => r.getAs[Long]("n_novel") < r.getAs[Long]("n_shingles")))
+  }
+
+  test("token entropy: bounded by ln(n_distinct), low for repetitive docs") {
+    val rows = TextAnalysis.tokenEntropy(spark, dir).collect()
+    assert(rows.length == 500)
+    rows.foreach { r =>
+      val ent = r.getAs[Long]("entropy_unats").toDouble / 1e6
+      val cap = math.log(r.getAs[Long]("n_distinct").toDouble)
+      assert(ent >= 0.0 && ent <= cap + 1e-3,
+        s"doc ${r.getLong(0)}: entropy $ent above uniform cap $cap")
+    }
+  }
+
   test("all registered queries execute and agree with declared column names at sf0.001") {
     val smokeDir = "/root/testdata/sf0.001"
     SparkEntry.queries.foreach { case (name, fn) =>
