@@ -109,6 +109,27 @@ object StreamingOps {
       .toDF()
   }
 
+  /** Streaming incremental dedup — arriving docs checked against a STATIC
+    * historical corpus: the stream-static join (the canonical third shape
+    * next to the windowed stream-stream join and the stateful
+    * dedup-within-stream). The corpus side is the same pre-hashed frame
+    * the batch [[graft.operators.Dedup.dedupIncremental]] uses (normalize,
+    * md5, min-id per hash — broadcastable at any corpus size since only
+    * the hash + one id survive); each arrival emits is_dup + the lowest
+    * matching corpus id. Stateless on the stream side — no watermark. */
+  def streamingIncrementalDedup(docs: DataFrame, corpus: DataFrame): DataFrame = {
+    val norm = trim(regexp_replace(lower(col("text")), "\\s+", " "))
+    val corpusHashes = corpus
+      .select(md5(norm).as("content_hash"), col("doc_id").as("dup_of"))
+      .groupBy(col("content_hash")).agg(min(col("dup_of")).as("dup_of"))
+    docs
+      .select(col("doc_id").cast("long").as("doc_id"), col("ts"), md5(norm).as("content_hash"))
+      .join(corpusHashes, Seq("content_hash"), "left_outer")
+      .select(col("doc_id"), col("ts"), col("content_hash"),
+        coalesce(col("dup_of"), lit(-1L)).as("dup_of"),
+        col("dup_of").isNotNull.cast("int").as("is_dup"))
+  }
+
   /** Streaming corpus quality filter — the ingestion-side twin of the
     * batch cleaning pass: the SAME [[graft.operators.TextAnalysis]] quality
     * and language-ID EXPRESSIONS (bit-identity with batch is spec-asserted)

@@ -266,6 +266,31 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming incremental dedup joins arrivals against the static corpus") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
+    val known = corpus.select("doc_id", "text").collect()
+    val input = MemoryStream[Doc]
+    val q = StreamingOps.streamingIncrementalDedup(input.toDF(), corpus)
+      .writeStream.format("memory").queryName("incdedup_out")
+      .outputMode("append").start()
+    try {
+      // two replays of existing docs + one genuinely new arrival
+      input.addData(
+        Doc(9001L, ts(1), known(3).getString(1)),
+        Doc(9002L, ts(1), known(7).getString(1)),
+        Doc(9003L, ts(1), "a brand new never seen document body"))
+      q.processAllAvailable()
+      val rows = spark.table("incdedup_out").collect()
+        .map(r => r.getAs[Long]("doc_id") ->
+          ((r.getAs[Int]("is_dup"), r.getAs[Long]("dup_of")))).toMap
+      assert(rows(9001L)._1 == 1 && rows(9001L)._2 == known(3).getLong(0))
+      assert(rows(9002L)._1 == 1 && rows(9002L)._2 == known(7).getLong(0))
+      assert(rows(9003L) == ((0, -1L)), "unseen doc must pass through undeduped")
+    } finally q.stop()
+  }
+
   test("streaming quality filter agrees bit-for-bit with the batch expressions") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
