@@ -44,8 +44,21 @@ object SparkEntry {
     filteredRevenueQ, partRollupQ, segmentSetOpsQ, eventsHourlyQ, userFunnelQ,
     ordersByMonthQ, partTypeQ, acctbalStatsQ, approxDistinctQ, sessionizeBatchQ,
     partCubeQ, rollingRevenueQ, kmvDistinctQ, langPivotQ, priceDecilesQ,
-    soleFailedSupplierQ, idleRichCustomersQ
+    soleFailedSupplierQ, idleRichCustomersQ, saltedRevenueQ
   ) ++ PipelineRegistry.entries
+
+  /** The salted (skew-safe) join vs the plain-join oracle: hash-matching
+    * proves the salting machinery is row-identical on real data. */
+  private val saltedRevenueQ: (String, QFn, Option[String]) = (
+    "q23_salted_revenue",
+    (s, d) => Relational.saltedRevenue(s, d),
+    Some("""
+      SELECT o_orderpriority,
+             round(sum(CAST(l_extendedprice AS DECIMAL(18,2))), 2)::DOUBLE AS revenue,
+             count(*) AS n_items
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """.trim))
 
   /** Q21-shape EXISTS/NOT-EXISTS pair as LEFT SEMI + LEFT ANTI joins. */
   private val soleFailedSupplierQ: (String, QFn, Option[String]) = (

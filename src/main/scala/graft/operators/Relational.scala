@@ -90,6 +90,23 @@ object Relational {
       .orderBy(col("o_orderpriority"))
   }
 
+  /** The skew-safe join surfaced as a query: order-priority revenue routed
+    * through [[graft.core.Joins.saltedJoin]] (the hot-key mitigation a
+    * 100 TB join reaches for when one key holds a measurable fraction of
+    * the rows). The oracle is the PLAIN join SQL — hash-matching proves
+    * salting is row-identical on real data, not just on the spec fixture;
+    * decimal money sums keep the aggregate order-independent as usual. */
+  def saltedRevenue(spark: SparkSession, dir: String, salts: Int = 8): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_extendedprice"))
+    val orders = Tables.orders(spark, dir)
+      .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority"))
+    graft.core.Joins.saltedJoin(li, orders, "l_orderkey", salts)
+      .groupBy(col("o_orderpriority"))
+      .agg(moneySum(col("l_extendedprice")).as("revenue"), count(lit(1)).as("n_items"))
+      .orderBy(col("o_orderpriority"))
+  }
+
   /** Forecast-revenue-change (TPC-H Q6 shape): pure scan-filter-aggregate —
     * the predicate-pushdown showcase; no join, no wide shuffle. */
   def filteredRevenue(spark: SparkSession, dir: String): DataFrame =
