@@ -50,7 +50,8 @@ object PipelineRegistry {
     packSequencesQ, dedupParagraphSurvivorsQ, bigramTopKQ,
     lmPerplexityQ, oovRateQ, boilerplateQ,
     sampleMixtureQ, piiRedactQ, dedupClusterStatsQ, sourceOverlapQ, qualityDecilesQ,
-    corpusShuffleQ, lengthBucketsQ, formatRoundtripQ, ngramNoveltyQ, tokenEntropyQ)
+    corpusShuffleQ, lengthBucketsQ, formatRoundtripQ, ngramNoveltyQ, tokenEntropyQ,
+    pipelineFullQ)
 
   private val ngramNoveltyQ: (String, QFn, Option[String]) = (
     "ngram_novelty",
@@ -1133,5 +1134,26 @@ object PipelineRegistry {
       FROM ts JOIN li ON ts.doc_id = li.doc_id JOIN de ON ts.doc_id = de.doc_id
       WHERE li.pred_lang = 'en' AND ts.quality_score >= 0.5
       ORDER BY ts.doc_id
+    """.trim))
+
+  /** The end-to-end prep pass: clean → mixture sample → pack. The clean
+    * CTE IS pipeline_clean's oracle; the mixture predicate and the packing
+    * cumsum are the single-op oracles' own expressions — composed
+    * hash-checking, stage drift impossible. (lazy: reads sibling SQL.) */
+  private lazy val pipelineFullQ: (String, QFn, Option[String]) = (
+    "pipeline_full",
+    (s, d) => CorpusPipeline.pipelineFull(s, d),
+    Some(s"""
+      WITH cleaned AS (${pipelineCleanQ._3.get.replace("ORDER BY ts.doc_id", "")}),
+      mixk AS (SELECT c.doc_id, c.n_tokens FROM cleaned c JOIN documents d USING (doc_id)
+               WHERE (('0x' || substr(md5(c.doc_id::VARCHAR), 1, 15))::BIGINT)::DOUBLE
+                       / 1152921504606846976.0
+                     < ([0.1, 0.3, 0.6, 1.0]::DOUBLE[])[(regexp_extract(d.source, '[0-9]+', 0)::INT % 4) + 1]),
+      cum AS (SELECT doc_id, n_tokens,
+                (sum(n_tokens) OVER (ORDER BY doc_id) - n_tokens)::BIGINT AS start_offset
+              FROM mixk)
+      SELECT doc_id, n_tokens, start_offset, start_offset//2048 AS seq_id,
+             start_offset%2048 AS offset_in_seq
+      FROM cum ORDER BY doc_id
     """.trim))
 }

@@ -54,16 +54,39 @@ object CorpusPipeline {
     * EXPRESSION (no join), so the whole op is one narrow scan-speed filter.
     * Uniformization: first 15 md5 hex digits as a 60-bit integer / 2^60 —
     * the same arithmetic as the KMV sketch, bit-identical in DuckDB. */
-  def sampleMixture(spark: SparkSession, dir: String): DataFrame = {
+  /** The default mixture config (source index mod 4 → rate) and the
+    * id-hash uniformization — shared by [[sampleMixture]] and the composed
+    * [[pipelineFull]] so the two cannot drift. */
+  private[operators] def mixtureRateExpr: org.apache.spark.sql.Column = {
     val srcIdx = regexp_extract(col("source"), "[0-9]+", 0).cast("int") % 4
-    val rate = element_at(array(lit(0.1), lit(0.3), lit(0.6), lit(1.0)), srcIdx + 1)
-    val u = conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
+    element_at(array(lit(0.1), lit(0.3), lit(0.6), lit(1.0)), srcIdx + 1)
+  }
+
+  private[operators] def idHashU: org.apache.spark.sql.Column =
+    conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
       .cast("double") / 1152921504606846976.0
+
+  def sampleMixture(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
-      .withColumn("target_rate", rate)
-      .where(u < col("target_rate"))
+      .withColumn("target_rate", mixtureRateExpr)
+      .where(idHashU < col("target_rate"))
       .select(col("doc_id"), col("source"), col("target_rate"))
       .orderBy(col("doc_id"))
+
+  /** The END-TO-END training-data prep pass — the composition a user of
+    * this engine actually ships: clean (lang + quality + exact-dedup
+    * survivorship) → mixture-weighted sampling → sequence packing of the
+    * surviving token stream. Every stage reuses the verified single-op
+    * machinery ([[cleanCorpus]]'s one-scan plan, [[sampleMixture]]'s
+    * shared rate/hash expressions, [[packSequencesOf]]'s two-pass prefix
+    * sum), and the oracle embeds the stages' own oracle SQL — so the
+    * composed result is hash-checked end-to-end. */
+  def pipelineFull(spark: SparkSession, dir: String, budget: Long = 2048L): DataFrame = {
+    val kept = cleanCorpus(spark, dir).select(col("doc_id"), col("n_tokens"))
+      .join(Tables.documents(spark, dir).select(col("doc_id"), col("source")), "doc_id")
+      .where(idHashU < mixtureRateExpr)
+      .select(col("doc_id"), col("n_tokens"))
+    packSequencesOf(spark, kept, budget)
   }
 
   /** The composed training-data cleaning pass: predicted-language filter +
@@ -148,11 +171,17 @@ object CorpusPipeline {
     * range-repartition by doc_id, per-partition token totals to the driver
     * (one long per partition — never the rows), then a second pass adds
     * each partition's base offset. Deterministic for any partition count. */
-  def packSequences(spark: SparkSession, dir: String, budget: Long = 2048L): DataFrame = {
+  def packSequences(spark: SparkSession, dir: String, budget: Long = 2048L): DataFrame =
+    packSequencesOf(spark,
+      Tables.documents(spark, dir)
+        .select(col("doc_id"),
+          size(Dedup.tokens(col("text"))).cast("long").as("n_tokens")),
+      budget)
+
+  /** Frame form over any (doc_id, n_tokens) — the composed pipeline packs
+    * its SURVIVING mix through the same two-pass prefix sum. */
+  def packSequencesOf(spark: SparkSession, toks: DataFrame, budget: Long): DataFrame = {
     import spark.implicits._
-    val toks = Tables.documents(spark, dir)
-      .select(col("doc_id"),
-        size(Dedup.tokens(col("text"))).cast("long").as("n_tokens"))
     val parts = math.max(1, toks.rdd.getNumPartitions)
     // deterministic lineage (range partition + in-partition sort), so two
     // passes over it agree without caching the rows anywhere

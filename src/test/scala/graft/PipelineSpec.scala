@@ -751,6 +751,24 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("pipeline_full composes clean, mixture, and packing exactly") {
+    val full = CorpusPipeline.pipelineFull(spark, dir).collect()
+    assert(full.nonEmpty)
+    val cleanIds = CorpusPipeline.cleanCorpus(spark, dir)
+      .collect().map(_.getLong(0)).toSet
+    val mixIds = CorpusPipeline.sampleMixture(spark, dir)
+      .collect().map(_.getLong(0)).toSet
+    val fullIds = full.map(_.getLong(0)).toSet
+    assert(fullIds == (cleanIds intersect mixIds),
+      "survivors must be exactly the clean docs the mixture keeps")
+    // packing invariant: offsets are a contiguous token stream in id order
+    val byId = full.sortBy(_.getLong(0))
+    byId.sliding(2).foreach { case Array(a, b) =>
+      assert(b.getAs[Long]("start_offset") ==
+        a.getAs[Long]("start_offset") + a.getAs[Long]("n_tokens"))
+    }
+  }
+
   test("all registered queries execute and agree with declared column names at sf0.001") {
     val smokeDir = "/root/testdata/sf0.001"
     SparkEntry.queries.foreach { case (name, fn) =>
