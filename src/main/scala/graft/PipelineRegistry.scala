@@ -161,7 +161,8 @@ object PipelineRegistry {
     Some("""
       WITH r AS (
         SELECT doc_id, source,
-               ([0.1, 0.3, 0.6, 1.0]::DOUBLE[])[(regexp_extract(source, '[0-9]+', 0)::INT % 4) + 1]
+               ([0.1, 0.3, 0.6, 1.0]::DOUBLE[])[(CASE WHEN regexp_extract(source, '[0-9]+', 0) = ''
+                  THEN 0 ELSE regexp_extract(source, '[0-9]+', 0)::INT % 4 END) + 1]
                  AS target_rate,
                (('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT)::DOUBLE
                  / 1152921504606846976.0 AS u
@@ -875,8 +876,7 @@ object PipelineRegistry {
                  FROM s) WHERE hrank <= 100),
       qv AS (SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < 10),
       d AS (SELECT cand.query_id, cand.id,
-                   list_sum(list_transform(range(1, len(e.embedding)+1),
-                     i -> ((e.embedding[i]::DOUBLE)-(qv.qvec[i]::DOUBLE))*((e.embedding[i]::DOUBLE)-(qv.qvec[i]::DOUBLE)))) AS dist
+                   ${l2Sql("e.embedding", "qv.qvec")} AS dist
             FROM cand JOIN embeddings e ON cand.id = e.vec_id
                       JOIN qv ON cand.query_id = qv.query_id),
       r AS (SELECT query_id, id, dist,
@@ -1148,7 +1148,8 @@ object PipelineRegistry {
       mixk AS (SELECT c.doc_id, c.n_tokens FROM cleaned c JOIN documents d USING (doc_id)
                WHERE (('0x' || substr(md5(c.doc_id::VARCHAR), 1, 15))::BIGINT)::DOUBLE
                        / 1152921504606846976.0
-                     < ([0.1, 0.3, 0.6, 1.0]::DOUBLE[])[(regexp_extract(d.source, '[0-9]+', 0)::INT % 4) + 1]),
+                     < ([0.1, 0.3, 0.6, 1.0]::DOUBLE[])[(CASE WHEN regexp_extract(d.source, '[0-9]+', 0) = ''
+                        THEN 0 ELSE regexp_extract(d.source, '[0-9]+', 0)::INT % 4 END) + 1]),
       cum AS (SELECT doc_id, n_tokens,
                 (sum(n_tokens) OVER (ORDER BY doc_id) - n_tokens)::BIGINT AS start_offset
               FROM mixk)

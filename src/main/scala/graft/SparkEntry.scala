@@ -332,14 +332,13 @@ object SparkEntry {
     (s, d) => graft.vamana.VamanaOps.vamanaSearch(s, d),
     None)
 
-  /** Recall@10 over 50 queries is exactly 1.0 at the correctness SF (the
-    * overlap gate pins full-beam search = exact kNN), and the seeded build
-    * is deterministic — so the oracle states the expected report as
-    * literals; any kernel/serving regression breaks the hash. */
+  /** Default-beam recall is empirical (the exactness theorem only covers
+    * the full-beam overlap gate), so the oracle pins the FLOOR FLAG, not a
+    * raw value — the gate-floor shape of the seeded families. */
   private val vamanaRecallQ: (String, QFn, Option[String]) = (
     "vamana_recall",
     (s, d) => graft.vamana.VamanaOps.recallReport(s, d),
-    Some("SELECT 10 AS k, 1.0::DOUBLE AS recall"))
+    Some("SELECT 10 AS k, TRUE AS recall_ok"))
 
   /** Hash-checked serving-path gate (see VamanaOps.vamanaSearchOverlap):
     * full-beam graph search must overlap exact kNN on all k ids — the

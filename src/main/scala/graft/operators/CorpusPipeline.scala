@@ -43,6 +43,21 @@ object CorpusPipeline {
       .orderBy(col("lang"), col("stratum_rank"))
   }
 
+  /** The default mixture config (source index mod 4 → rate) and the
+    * id-hash uniformization — shared by [[sampleMixture]] and the composed
+    * [[pipelineFull]] so the two cannot drift. */
+  private[operators] def mixtureRateExpr: org.apache.spark.sql.Column = {
+    // a digitless source name must land in bucket 0, not throw under ANSI
+    // casting ('' -> int) or null the rate (silently dropping the source)
+    val digits = regexp_extract(col("source"), "[0-9]+", 0)
+    val srcIdx = when(digits === "", lit(0)).otherwise(digits.cast("int") % 4)
+    element_at(array(lit(0.1), lit(0.3), lit(0.6), lit(1.0)), srcIdx + 1)
+  }
+
+  private[operators] def idHashU: org.apache.spark.sql.Column =
+    conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
+      .cast("double") / 1152921504606846976.0
+
   /** Mixture-weighted deterministic sampling — materialize a training mix
     * from per-source target rates (the "web 30% / code 70%" data-mixing
     * config every LLM run starts from). A doc is kept iff its id-hash,
@@ -54,18 +69,6 @@ object CorpusPipeline {
     * EXPRESSION (no join), so the whole op is one narrow scan-speed filter.
     * Uniformization: first 15 md5 hex digits as a 60-bit integer / 2^60 —
     * the same arithmetic as the KMV sketch, bit-identical in DuckDB. */
-  /** The default mixture config (source index mod 4 → rate) and the
-    * id-hash uniformization — shared by [[sampleMixture]] and the composed
-    * [[pipelineFull]] so the two cannot drift. */
-  private[operators] def mixtureRateExpr: org.apache.spark.sql.Column = {
-    val srcIdx = regexp_extract(col("source"), "[0-9]+", 0).cast("int") % 4
-    element_at(array(lit(0.1), lit(0.3), lit(0.6), lit(1.0)), srcIdx + 1)
-  }
-
-  private[operators] def idHashU: org.apache.spark.sql.Column =
-    conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
-      .cast("double") / 1152921504606846976.0
-
   def sampleMixture(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
       .withColumn("target_rate", mixtureRateExpr)

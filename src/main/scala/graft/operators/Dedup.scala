@@ -435,11 +435,19 @@ object Dedup {
     * corpus); above it we fall back to distributed min-label propagation. */
   private val DriverCcMaxPairs = 2_000_000L
 
+  /** The label frame is cached per (session, dir, params): dedup_survivors
+    * AND dedup_cluster_stats consume it, and the CC fixpoint (a join +
+    * count per round) is the most expensive dedup stage — re-deriving it
+    * per caller would double it. */
+  private val survivorsCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String, Double, Long, Int), DataFrame]
+
   def dedupSurvivors(spark: SparkSession, dir: String, threshold: Double = 0.2,
       driverCcMaxPairs: Long = DriverCcMaxPairs, maxDf: Int = DefaultMaxShingleDf): DataFrame =
-    survivorsOf(spark,
-      dedupNgramJaccard(spark, dir, threshold, maxDf).select(col("id_a"), col("id_b")),
-      Tables.documents(spark, dir).select(col("doc_id")), driverCcMaxPairs)
+    survivorsCache.getOrElseUpdate((spark, dir, threshold, driverCcMaxPairs, maxDf),
+      survivorsOf(spark,
+        dedupNgramJaccard(spark, dir, threshold, maxDf).select(col("id_a"), col("id_b")),
+        Tables.documents(spark, dir).select(col("doc_id")), driverCcMaxPairs).cache())
 
   /** [[dedupSurvivors]] over the embedding-cosine pair graph — the same CC
     * composition applied to the other modality's verified pairs, so a
@@ -656,6 +664,8 @@ object Dedup {
     ngramPairsCache.clear()
     for ((_, df) <- paraShingleCache) scala.util.Try(df.unpersist())
     paraShingleCache.clear()
+    for ((_, df) <- survivorsCache) scala.util.Try(df.unpersist())
+    survivorsCache.clear()
   }
 
   /** Embedding-cosine near-dup pairs (exact all-pairs form — the oracle

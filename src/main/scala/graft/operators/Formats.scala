@@ -28,9 +28,22 @@ object Formats {
       val rows = Seq("csv", "json", "orc").map { fmt =>
         val path = s"$basePath/$fmt"
         val w = docs.write.mode("overwrite").format(fmt)
-        (if (fmt == "csv") w.option("header", "true") else w).save(path)
+        // CSV defaults are LOSSY for realistic text: leading/trailing
+        // whitespace is trimmed on write and read, and embedded newlines
+        // break the line-per-record reader — exactly the corruption this
+        // gate exists to catch, so disable the trims and read multiLine
+        // (quoting already covers the newlines on the write side)
+        (if (fmt == "csv")
+          w.option("header", "true")
+            .option("ignoreLeadingWhiteSpace", "false")
+            .option("ignoreTrailingWhiteSpace", "false")
+        else w).save(path)
         val r = spark.read.format(fmt).schema(schema)
-        val back = (if (fmt == "csv") r.option("header", "true") else r).load(path)
+        val back = (if (fmt == "csv")
+          r.option("header", "true").option("multiLine", "true")
+            .option("ignoreLeadingWhiteSpace", "false")
+            .option("ignoreTrailingWhiteSpace", "false")
+        else r).load(path)
         val agg = back.agg(
           count(lit(1)).as("n_docs"),
           sum(col("n_chars")).as("total_chars"),
@@ -41,8 +54,10 @@ object Formats {
       rows.toDF("format", "n_docs", "total_chars", "text_sum").orderBy(col("format"))
     } finally {
       import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(basePath).iterator().asScala.toSeq
-        .sortBy(-_.getNameCount)
+      val walk = java.nio.file.Files.walk(basePath)
+      // materialize before closing: the walk stream holds directory handles
+      val paths = try walk.iterator().asScala.toList finally walk.close()
+      paths.sortBy(-_.getNameCount)
         .foreach(p => scala.util.Try(java.nio.file.Files.deleteIfExists(p)))
     }
   }

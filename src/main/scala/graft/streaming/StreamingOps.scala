@@ -26,7 +26,7 @@ private case class ClickState(ts: Long, value: Double)
 /** Candidate near-dup pair emitted by the streaming MinHash LSH. */
 case class CandidatePair(id_a: Long, id_b: Long, band: Int)
 
-private case class BucketState(ids: List[Long])
+private case class BucketState(ids: List[Long], newestMs: Long)
 
 /** Structured Streaming surface (SURVEY.md §2b: absent in the reference,
   * exposed here because a 100 TB ingestion pipeline is fed by streams).
@@ -119,9 +119,13 @@ object StreamingOps {
     * matching corpus id. Stateless on the stream side — no watermark. */
   def streamingIncrementalDedup(docs: DataFrame, corpus: DataFrame): DataFrame = {
     val norm = trim(regexp_replace(lower(col("text")), "\\s+", " "))
+    // stream-static joins re-evaluate the static subplan EVERY micro-batch;
+    // the corpus aggregation is invariant, so cache it or each trigger pays
+    // a full historical-corpus scan + shuffle for a handful of arrivals
     val corpusHashes = corpus
       .select(md5(norm).as("content_hash"), col("doc_id").as("dup_of"))
       .groupBy(col("content_hash")).agg(min(col("dup_of")).as("dup_of"))
+      .cache()
     docs
       .select(col("doc_id").cast("long").as("doc_id"), col("ts"), md5(norm).as("content_hash"))
       .join(corpusHashes, Seq("content_hash"), "left_outer")
@@ -200,12 +204,17 @@ object StreamingOps {
               o <- old.iterator ++ newIds.iterator.take(i)
               if o != n
             } yield CandidatePair(math.min(o, n), math.max(o, n), band)
-            state.update(BucketState((old ++ newIds).distinct.takeRight(maxBucket)))
-            // re-arm from the newest event in ms; the max() guards the
-            // skewed-group case where another key's events already pushed
-            // the watermark past this bucket's horizon (the timeout then
-            // fires on the next trigger instead of throwing)
-            val newestMs = rows.map(r => r._4.getTime).max
+            // the horizon re-arms from the newest event EVER seen in the
+            // bucket (monotone): a late-but-valid arrival must not shrink
+            // the timeout below (newest member + horizon), or the bucket
+            // evicts early and in-horizon pairs are silently missed
+            val newestMs = math.max(
+              state.getOption.map(_.newestMs).getOrElse(0L),
+              rows.map(r => r._4.getTime).max)
+            state.update(BucketState((old ++ newIds).distinct.takeRight(maxBucket), newestMs))
+            // max() vs watermark guards the skewed-group case where another
+            // key's events already pushed the watermark past this bucket's
+            // horizon (the timeout then fires on the next trigger)
             state.setTimeoutTimestamp(
               math.max(newestMs, state.getCurrentWatermarkMs() + 1) + horizonMs)
             pairs.distinct.iterator
@@ -286,7 +295,13 @@ object StreamingOps {
               else if (t - st.last > gapMs) {
                 closed += Session(userId, new Timestamp(st.start), new Timestamp(st.last), st.n, st.sum)
                 st = SessionState(t, t, 1, e.value)
-              } else st = st.copy(last = t, n = st.n + 1, sum = st.sum + e.value)
+              } else st = st.copy(
+                // late arrivals (valid under the watermark) may sort before
+                // already-seen events: last must stay MONOTONE or a late
+                // event shrinks the gap window / re-arms the flush early,
+                // and start must absorb an earlier late member
+                start = math.min(st.start, t),
+                last = math.max(st.last, t), n = st.n + 1, sum = st.sum + e.value)
             }
             if (st != null) {
               state.update(st)

@@ -199,6 +199,35 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("sessionize: a late in-gap event must not move last-activity backwards") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = StreamingOps.sessionize(input.toDS(), gapMinutes = 30)
+      .writeStream.format("memory").queryName("late_sess_out")
+      .outputMode("append").start()
+    try {
+      input.addData(Event(1L, ts(720), 1L, "view", 1.0)) // 12:00
+      q.processAllAvailable() // watermark -> 11:30
+      input.addData(Event(2L, ts(705), 1L, "view", 1.0)) // 11:45, late but valid
+      q.processAllAvailable()
+      // 12:20 is 20m after the TRUE last activity (12:00): same session.
+      // pre-fix, last had been pulled back to 11:45 and 35m > gap split it
+      input.addData(Event(3L, ts(740), 1L, "view", 1.0))
+      q.processAllAvailable()
+      assert(spark.table("late_sess_out").isEmpty,
+        "no session may close: every event is within the gap of true last activity")
+      input.addData(Event(4L, ts(900), 1L, "view", 1.0)) // 15:00 opens a new session
+      q.processAllAvailable()
+      val rows = spark.table("late_sess_out").collect()
+      assert(rows.length == 1)
+      val s0 = rows.head
+      assert(s0.getAs[Timestamp]("start_ts") == ts(705) &&
+        s0.getAs[Timestamp]("end_ts") == ts(740) && s0.getAs[Long]("n_events") == 3L,
+        s"late member must extend the session backwards, not split it: $s0")
+    } finally q.stop()
+  }
+
   test("streaming minhash evicts buckets past the event-time horizon") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
