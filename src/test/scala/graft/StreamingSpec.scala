@@ -320,6 +320,35 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming incremental dedup agrees row-for-row with the batch twin") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    val all = graft.core.Tables.documents(spark, dir)
+    // batch twin: arrivals are doc_id >= 400 checked against corpus < 400
+    val batch = graft.operators.Dedup.dedupIncremental(spark, dir, batchStart = 400)
+      .collect().map(r => r.getLong(0) -> ((r.getAs[Int]("is_dup"), r.getAs[Long]("dup_of")))).toMap
+    val corpus = all.where(org.apache.spark.sql.functions.col("doc_id") < 400)
+    val arrivals = all.where(org.apache.spark.sql.functions.col("doc_id") >= 400)
+      .select("doc_id", "text").collect()
+      .map(r => Doc(r.getLong(0), ts(1), r.getString(1)))
+    val input = MemoryStream[Doc]
+    val q = StreamingOps.streamingIncrementalDedup(input.toDF(), corpus)
+      .writeStream.format("memory").queryName("incdedup_twin_out")
+      .outputMode("append").start()
+    try {
+      input.addData(arrivals.toSeq)
+      q.processAllAvailable()
+      val streamed = spark.table("incdedup_twin_out").collect()
+        .map(r => r.getAs[Long]("doc_id") ->
+          ((r.getAs[Int]("is_dup"), r.getAs[Long]("dup_of")))).toMap
+      assert(streamed.keySet == batch.keySet)
+      streamed.foreach { case (id, v) =>
+        assert(v == batch(id), s"doc $id: streaming $v vs batch ${batch(id)}")
+      }
+    } finally q.stop()
+  }
+
   test("streaming quality filter agrees bit-for-bit with the batch expressions") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
