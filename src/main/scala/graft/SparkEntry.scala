@@ -38,7 +38,7 @@ object SparkEntry {
     knnExactQ, knnExactAggQ, knnFilteredQ, medoidExactQ, argminNearestQ,
     vamanaFilteredQ,
     vamanaSearchQ, vamanaOverlapQ, vamanaRecallQ, vamanaStartQ, vamanaDescribeQ, vamanaDegreeQ,
-    vamanaFanoutQ,
+    vamanaFanoutQ, vamanaFanoutGateQ,
     vamanaRoundtripQ, vamanaInsertQ, vamanaDeleteQ, vamanaInsertGateQ, vamanaDeleteGateQ,
     pricingQ, regionRevenueQ, topOrdersQ, orderPriorityQ, localSupplierQ,
     filteredRevenueQ, partRollupQ, segmentSetOpsQ, eventsHourlyQ, userFunnelQ,
@@ -259,6 +259,15 @@ object SparkEntry {
     "vamana_fanout_search",
     (s, d) => graft.vamana.VamanaOps.vamanaFanout(s, d),
     None)
+
+  /** Scatter-gather serving recall floor as a hash-checked gate. */
+  private val vamanaFanoutGateQ: (String, QFn, Option[String]) = (
+    "vamana_fanout_gate",
+    (s, d) => graft.vamana.VamanaOps.vamanaFanoutGate(s, d),
+    Some("""
+      SELECT count(DISTINCT vec_id) AS n_queries, TRUE AS recall_ok
+      FROM embeddings WHERE vec_id < 10
+    """.trim))
 
   /** S2/S3/S4 persistence roundtrip as a driver-checked query (rows-only,
     * but every column is a pass/fail bit with a stable expected row). */

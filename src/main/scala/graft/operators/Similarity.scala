@@ -268,7 +268,7 @@ object Similarity {
   /** One-row gate over pair sets: exact-pair count (DuckDB-recomputable),
     * subset flag (approx pairs are exact-verified => no false positives),
     * recall-floor flag. */
-  private[operators] def pairGate(exact: DataFrame, approx: DataFrame,
+  private[graft] def pairGate(exact: DataFrame, approx: DataFrame,
       recallFloor: Double): DataFrame =
     exact.withColumn("in_exact", lit(1))
       .join(approx.withColumn("in_approx", lit(1)), Seq("id_a", "id_b"), "full_outer")
@@ -282,7 +282,7 @@ object Similarity {
         (col("n_hit") >= col("n_exact_pairs") * recallFloor).as("recall_ok"))
 
   /** One-row gate over per-query top-k id sets: query count + recall floor. */
-  private[operators] def topkGate(exact: DataFrame, approx: DataFrame,
+  private[graft] def topkGate(exact: DataFrame, approx: DataFrame,
       recallFloor: Double): DataFrame =
     exact.withColumn("in_exact", lit(1))
       .join(approx.withColumn("in_approx", lit(1)), Seq("query_id", "id"), "full_outer")

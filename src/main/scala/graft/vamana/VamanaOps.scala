@@ -194,6 +194,19 @@ object VamanaOps {
     fanoutModel(spark, dir).search(Knn.queriesFromPoints(emb, 10), 10)
   }
 
+  /** Hash-checked gate over the sharded serving regime: scatter-gather
+    * recall vs exact kNN must clear the reference's own 0.8 e2e floor —
+    * the last serving family to get the gate-query treatment. */
+  def vamanaFanoutGate(spark: SparkSession, dir: String,
+      recallFloor: Double = 0.8): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    graft.operators.Similarity.topkGate(
+      Knn.knnExact(emb, Knn.queriesFromPoints(emb, 10), 10)
+        .select(col("query_id"), col("id")),
+      vamanaFanout(spark, dir).select(col("query_id"), col("id")),
+      recallFloor)
+  }
+
   /** S2/S3/S4 as a driver-visible query: save → load → compare params,
     * medoid, a point lookup, and full search results between the fitted and
     * reloaded index. One stable row; every column must be true/10. This is
