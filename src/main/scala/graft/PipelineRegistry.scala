@@ -41,7 +41,7 @@ object PipelineRegistry {
     dedupIncrementalQ, mmGzipQ,
     textStats, langId, tokenCount, docFingerprint,
     simCosineTopK, simIpTopK, simJoinThreshold, lshCosinePairs, lshL2PairsQ, ivfSearch,
-    lshCosineGateQ, lshL2GateQ, ivfGateQ, pqGateQ,
+    lshCosineGateQ, lshL2GateQ, ivfGateQ, pqGateQ, embedDimStatsQ,
     sqQuantize, sqReport, bqQuantizeQ, bqSearchQ, bqRerankQ, pqQuantizeQ, pqSearchQ,
     mmJoin, mmBinaryStats, mmMediaFeatures, mmThumbnailQ, mmFrameSampleQ,
     sampleHashQ, pipelineCleanQ, vocabTopKQ, lengthPctQ, percentileGateQ, embedNormalizeQ, tfIdfQ,
@@ -738,6 +738,21 @@ object PipelineRegistry {
   // booleans as literals (vamana_search_overlap pattern). The raw pair /
   // top-k queries stay rows-only — their output is the seeded candidate
   // set itself, which DuckDB cannot re-derive.
+
+  /** Micro-unit longs (half-up floor) make the per-dim sums exact; DuckDB
+    * ordinality is 1-based where posexplode is 0-based. */
+  private val embedDimStatsQ: (String, QFn, Option[String]) = (
+    "embed_dim_stats",
+    (s, d) => Similarity.embedDimStats(s, d),
+    Some("""
+      WITH ex AS (SELECT i - 1 AS pos, e.embedding[i] AS v,
+                    floor(e.embedding[i]::DOUBLE * 1e6 + 0.5)::BIGINT AS vm
+                  FROM embeddings e, unnest(range(1, len(e.embedding) + 1)) AS r(i))
+      SELECT pos, count(*)::BIGINT AS n, sum(vm)::BIGINT AS sum_micro,
+             sum(vm * vm)::DECIMAL(38,0) AS sumsq_micro2,
+             round(min(v)::DOUBLE, 4) AS min_v, round(max(v)::DOUBLE, 4) AS max_v
+      FROM ex GROUP BY pos ORDER BY pos
+    """.trim))
 
   private val lshCosineGateQ: (String, QFn, Option[String]) = (
     "lsh_cosine_gate",

@@ -150,6 +150,30 @@ object Similarity {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** Per-dimension embedding QC report — the sanity pass before indexing
+    * or quantizing a vector corpus (dead dimensions, scale outliers,
+    * variance collapse all show up here). Values ride as half-up-floored
+    * micro-unit LONGS (the sq_quantize / token_entropy trick), so the
+    * per-dimension sums are exact integers and order-independent; min/max
+    * are exact float comparisons. One posexplode + one keyed aggregation —
+    * the shuffle carries dim × partitions partial rows, never the corpus. */
+  def embedDimStats(spark: SparkSession, dir: String): DataFrame = {
+    val micro = floor(col("v").cast("double") * 1e6 + 0.5).cast("long")
+    Tables.embeddings(spark, dir)
+      .select(posexplode(col("embedding")).as(Seq("pos", "v")))
+      .select(col("pos").cast("long").as("pos"), col("v"), micro.as("vm"))
+      .groupBy(col("pos"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("vm")).as("sum_micro"),
+        // decimal accumulator: vm² ≤ 1e14 per element, so a LONG sum wraps
+        // past ~9e4 elements per dim at |v| ≈ 10 — decimal is exact at any n
+        sum((col("vm") * col("vm")).cast("decimal(38,0)")).as("sumsq_micro2"),
+        round(min(col("v")).cast("double"), 4).as("min_v"),
+        round(max(col("v")).cast("double"), 4).as("max_v"))
+      .orderBy(col("pos"))
+  }
+
   /** Unit-normalize embeddings — the vector-ETL step before cosine indexing
     * (what `metric="cos"` does internally, exposed as a standalone op).
     * Narrow transform, no shuffle. The unit vector is emitted as a string of

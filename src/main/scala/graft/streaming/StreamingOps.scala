@@ -52,6 +52,19 @@ object StreamingOps {
       .select(col("window.start").as("win_start"), col("event_type"),
         col("n_events"), col("sum_value"))
 
+  /** Windowed distinct-user cardinality — the streaming monitoring agg
+    * (unique actives per window) via the HLL sketch, since exact distinct
+    * over an unbounded stream would hold every id in state; the watermark
+    * finalizes windows and bounds sketch state. The batch twin is q14's
+    * gated approx_count_distinct. */
+  def streamingWindowedUsers(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "5 minutes"))
+      .agg(approx_count_distinct(col("user_id")).as("approx_users"),
+        count(lit(1)).as("n_events"))
+      .select(col("window.start").as("win_start"), col("approx_users"), col("n_events"))
+
   /** Streaming exact dedup — the ingestion-side twin of
     * [[graft.operators.Dedup.dedupExact]]: same normalization, same md5
     * content key, applied as documents ARRIVE. `dropDuplicatesWithinWatermark`

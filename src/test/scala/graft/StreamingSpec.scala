@@ -48,6 +48,30 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming windowed user cardinality: sketch exact at small counts per window") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = StreamingOps.streamingWindowedUsers(input.toDF())
+      .writeStream.format("memory").queryName("wusers_out")
+      .outputMode("append").start()
+    try {
+      // window [0,5): users 1,2,3 (user 1 twice); window [5,10): user 9
+      input.addData(
+        Event(1L, ts(1), 1L, "view", 0.0), Event(2L, ts(2), 2L, "view", 0.0),
+        Event(3L, ts(3), 3L, "view", 0.0), Event(4L, ts(4), 1L, "view", 0.0),
+        Event(5L, ts(6), 9L, "view", 0.0))
+      q.processAllAvailable()
+      input.addData(Event(6L, ts(30), 9L, "view", 0.0)) // advance the watermark
+      q.processAllAvailable()
+      val rows = spark.table("wusers_out").collect()
+        .map(r => r.getAs[Timestamp]("win_start") ->
+          ((r.getAs[Long]("approx_users"), r.getAs[Long]("n_events")))).toMap
+      assert(rows(ts(0)) == ((3L, 4L)), s"got $rows")
+      assert(rows(ts(5)) == ((1L, 1L)))
+    } finally q.stop()
+  }
+
   test("streaming dedup keeps the first arrival per content hash within the watermark") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
