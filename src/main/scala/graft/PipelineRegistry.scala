@@ -43,7 +43,7 @@ object PipelineRegistry {
     simCosineTopK, simIpTopK, simJoinThreshold, lshCosinePairs, lshL2PairsQ, ivfSearch,
     lshCosineGateQ, lshL2GateQ, ivfGateQ, pqGateQ, embedDimStatsQ,
     sqQuantize, sqReport, bqQuantizeQ, bqSearchQ, bqRerankQ, pqQuantizeQ, pqSearchQ,
-    mmJoin, mmBinaryStats, mmMediaFeatures, mmThumbnailQ, mmFrameSampleQ,
+    mmJoin, mmBinaryStats, mmMediaFeatures, mmThumbnailQ, mmFrameSampleQ, mmAudioSampleQ,
     sampleHashQ, pipelineCleanQ, vocabTopKQ, lengthPctQ, percentileGateQ, embedNormalizeQ, tfIdfQ,
     asofJoinQ, sampleStratifiedQ, repetitionScoreQ, rangeJoinQ, dedupEmbSurvivorsQ,
     docChunksQ, contaminationQ, dedupParagraphQ, mmImageDecodeQ, mmAudioDecodeQ,
@@ -537,6 +537,23 @@ object PipelineRegistry {
     * real k×1 P6 PPM, decodes the pixels back, and emits per-channel
     * mean/σ; the oracle reproduces the identical integers from `ord()` over
     * the text (channel sums are exact longs → identical doubles). */
+  /** Decimated sample j·16 is the little-endian int16 at text chars
+    * 2(j·16)+1, 2(j·16)+2 — the oracle recomputes the kept samples from
+    * the synthesis source, pinning the RIFF walk + LE16 reads + stride. */
+  private val mmAudioSampleQ: (String, QFn, Option[String]) = (
+    "mm_audio_sample",
+    (s, d) => Multimodal.audioSample(s, d),
+    Some("""
+      WITH d AS (SELECT doc_id, text, len(text)//2 AS m FROM documents
+                 WHERE len(text) >= 2 AND len(text) = octet_length(encode(text))),
+      k AS (SELECT doc_id, m, (m + 15)//16 AS n_kept, text FROM d)
+      SELECT doc_id, CAST(16000 AS BIGINT) AS sample_rate, m AS n_samples, n_kept,
+             array_to_string(list_transform(range(0, n_kept), j ->
+               (ord(substr(text, CAST(2*(j*16)+1 AS INT), 1)) +
+                256*ord(substr(text, CAST(2*(j*16)+2 AS INT), 1)))::VARCHAR), ',') AS samples
+      FROM k ORDER BY doc_id
+    """.trim))
+
   /** The schedule is pure integer arithmetic on the mvhd duration, which
     * the synthesized container sets to n_chars — the oracle recomputes it
     * from the text length, pinning the box-walk roundtrip. */

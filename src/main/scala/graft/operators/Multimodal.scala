@@ -505,8 +505,9 @@ object Multimodal {
     * (rate, channels, n_samples, sum, sum-of-squares); sums are exact
     * longs (16-bit samples: |sum| ≤ n·2^15, sumsq ≤ n·2^30 — no overflow
     * until n ~ 2^33). None for non-WAV / non-PCM-16 payloads. */
-  private[operators] def decodeWavSamples(payload: Array[Byte])
-      : Option[(Long, Long, Long, Long, Long)] = {
+  /** RIFF/fmt/data walk for PCM-16 WAVs: (rate, channels, data offset,
+    * sample count) — shared by the stat decoder and the decimator. */
+  private def wavPcm16Layout(payload: Array[Byte]): Option[(Long, Long, Int, Long)] = {
     if (!(ascii(payload, 0, 4) == "RIFF" && ascii(payload, 8, 4) == "WAVE")) return None
     var off = 12
     var rate = -1L; var channels = -1L; var bits = -1L; var fmtTag = -1L
@@ -525,20 +526,28 @@ object Multimodal {
     }
     // fmtTag 1 = integer PCM — the only codec these samples ARE; a
     // compressed stream declaring 16 bits would otherwise be summed as PCM
-    if (rate < 0 || dataOff < 0 || fmtTag != 1L || bits != 16 || channels < 1) return None
-    val avail = math.min(dataLen, (payload.length - dataOff).toLong)
-    val n = avail / 2
-    var sum = 0L; var sumsq = 0L
-    var i = 0L
-    while (i < n) {
-      val base = dataOff + (i * 2).toInt
-      // signed 16-bit little-endian PCM
-      val v = ((payload(base) & 0xff) | (payload(base + 1) << 8)).toShort.toLong
-      sum += v; sumsq += v * v
-      i += 1
-    }
-    Some((rate, channels, n, sum, sumsq))
+    if (rate < 0 || dataOff < 0 || fmtTag != 1L || bits != 16 || channels < 1) None
+    else Some((rate, channels, dataOff,
+      math.min(dataLen, (payload.length - dataOff).toLong) / 2))
   }
+
+  /** Signed 16-bit little-endian sample i. */
+  @inline private def wavSampleAt(payload: Array[Byte], dataOff: Int, i: Long): Long =
+    ((payload(dataOff + (i * 2).toInt) & 0xff) |
+      (payload(dataOff + (i * 2).toInt + 1) << 8)).toShort.toLong
+
+  private[operators] def decodeWavSamples(payload: Array[Byte])
+      : Option[(Long, Long, Long, Long, Long)] =
+    wavPcm16Layout(payload).map { case (rate, channels, dataOff, n) =>
+      var sum = 0L; var sumsq = 0L
+      var i = 0L
+      while (i < n) {
+        val v = wavSampleAt(payload, dataOff, i)
+        sum += v; sumsq += v * v
+        i += 1
+      }
+      (rate, channels, n, sum, sumsq)
+    }
 
   /** Partition-parallel PCM-stat extraction over any (doc_id, payload)
     * frame; non-WAV payloads are dropped. */
@@ -592,6 +601,50 @@ object Multimodal {
       }
       .toDF("doc_id", "payload")
     audioStatsOf(src)
+  }
+
+  /** PCM decimation — the audio twin of [[imageThumbnail]]'s resize: keep
+    * every k-th decoded sample (the rate-reduction step before an audio
+    * feature extractor; a proper low-pass resampler slots into the same
+    * shape). Samples come from the REAL RIFF walk + signed-LE16 reads and
+    * are emitted as comma-joined ints; the oracle recomputes the identical
+    * kept samples from the text the payload was synthesized from (sample j
+    * = chars 2j+1, 2j+2 as a little-endian int16), hash-checking the
+    * decimated values themselves. */
+  def audioSample(spark: SparkSession, dir: String, k: Int = 16): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .where(length(col("text")) >= 2 &&
+        octet_length(encode(col("text"), "utf-8")) === length(col("text")))
+      .select(col("doc_id"), encode(col("text"), "utf-8").as("raw"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, raw) =>
+          val m = raw.length / 2
+          val data = raw.take(2 * m)
+          val bb = java.nio.ByteBuffer.allocate(44 + data.length)
+            .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+          bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + data.length)
+            .put("WAVE".getBytes("US-ASCII"))
+          bb.put("fmt ".getBytes("US-ASCII")).putInt(16)
+            .putShort(1).putShort(1)
+            .putInt(16000).putInt(16000 * 2).putShort(2).putShort(16)
+          bb.put("data".getBytes("US-ASCII")).putInt(data.length).put(data)
+          val payload = bb.array()
+          wavPcm16Layout(payload).map { case (rate, _, dataOff, n) =>
+            val sb = new java.lang.StringBuilder
+            var i = 0L
+            while (i < n) {
+              if (sb.length > 0) sb.append(',')
+              sb.append(wavSampleAt(payload, dataOff, i))
+              i += k
+            }
+            (id, rate, n, (n + k - 1) / k, sb.toString)
+          }
+        }
+      }
+      .toDF("doc_id", "sample_rate", "n_samples", "n_kept", "samples")
+      .orderBy(col("doc_id"))
   }
 
   private def gzipBytes(raw: Array[Byte]): Array[Byte] = {
