@@ -44,8 +44,23 @@ object SparkEntry {
     filteredRevenueQ, partRollupQ, segmentSetOpsQ, eventsHourlyQ, userFunnelQ,
     ordersByMonthQ, partTypeQ, acctbalStatsQ, approxDistinctQ, sessionizeBatchQ,
     partCubeQ, rollingRevenueQ, kmvDistinctQ, langPivotQ, priceDecilesQ,
-    soleFailedSupplierQ, idleRichCustomersQ, saltedRevenueQ
+    soleFailedSupplierQ, idleRichCustomersQ, saltedRevenueQ, smallQuantityQ
   ) ++ PipelineRegistry.entries
+
+  /** Q17-shape correlated scalar threshold, decorrelated; the compare is
+    * cross-multiplied decimal (no division) so the edge cases match. */
+  private val smallQuantityQ: (String, QFn, Option[String]) = (
+    "q24_small_quantity_revenue",
+    (s, d) => Relational.smallQuantityRevenue(s, d),
+    Some("""
+      WITH pp AS (SELECT l_partkey, sum(CAST(l_quantity AS DECIMAL(18,2))) AS qty_sum,
+                         count(*) AS qty_n
+                  FROM lineitem GROUP BY l_partkey)
+      SELECT round(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))), 2)::DOUBLE AS small_qty_revenue,
+             count(*) AS n_items
+      FROM lineitem l JOIN pp ON l.l_partkey = pp.l_partkey
+      WHERE CAST(l.l_quantity AS DECIMAL(18,2)) * 5 * pp.qty_n < pp.qty_sum
+    """.trim))
 
   /** The salted (skew-safe) join vs the plain-join oracle: hash-matching
     * proves the salting machinery is row-identical on real data. */

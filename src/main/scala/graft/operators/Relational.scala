@@ -90,6 +90,25 @@ object Relational {
       .orderBy(col("o_orderpriority"))
   }
 
+  /** TPC-H Q17 shape: revenue from "small-quantity" line items — those
+    * below 20% of their part's average order quantity (the correlated
+    * scalar-subquery pattern, decorrelated into a per-part aggregate +
+    * equi-join; the per-part frame is one row per part → broadcastable).
+    * The threshold compare stays in exact decimal so the filter edge is
+    * engine-stable: avg = sum/count as DECIMAL, compared via
+    * quantity·count·5 < sum (cross-multiplied — no division, no floats). */
+  def smallQuantityRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"))
+    val perPart = li.groupBy(col("l_partkey"))
+      .agg(sum(dec(col("l_quantity"))).as("qty_sum"), count(lit(1)).as("qty_n"))
+    li.join(broadcast(perPart), "l_partkey")
+      // l_quantity < 0.2 * (qty_sum / qty_n)  <=>  5 * qty * n < sum
+      .where(dec(col("l_quantity")) * 5 * col("qty_n") < col("qty_sum"))
+      .agg(moneySum(col("l_extendedprice")).as("small_qty_revenue"),
+        count(lit(1)).as("n_items"))
+  }
+
   /** The skew-safe join surfaced as a query: order-priority revenue routed
     * through [[graft.core.Joins.saltedJoin]] (the hot-key mitigation a
     * 100 TB join reaches for when one key holds a measurable fraction of
