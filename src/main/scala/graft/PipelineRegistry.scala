@@ -51,7 +51,26 @@ object PipelineRegistry {
     lmPerplexityQ, oovRateQ, boilerplateQ,
     sampleMixtureQ, piiRedactQ, dedupClusterStatsQ, sourceOverlapQ, qualityDecilesQ,
     corpusShuffleQ, lengthBucketsQ, formatRoundtripQ, ngramNoveltyQ, tokenEntropyQ,
-    pipelineFullQ)
+    pipelineFullQ, docChunksCdcQ)
+
+  private val docChunksCdcQ: (String, QFn, Option[String]) = (
+    "doc_chunks_cdc",
+    (s, d) => TextAnalysis.docChunksCdc(s, d),
+    Some("""
+      WITH t AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks FROM documents),
+      tok AS (SELECT doc_id, i - 1 AS pos, toks[i] AS w
+              FROM t, unnest(range(1, len(toks) + 1)) AS r(i)),
+      b AS (SELECT doc_id, pos, w,
+              CASE WHEN ('0x' || substr(md5(w), 1, 15))::BIGINT % 16 = 0 THEN 1 ELSE 0 END AS ib
+            FROM tok),
+      c AS (SELECT doc_id, pos, w,
+              coalesce(sum(ib) OVER (PARTITION BY doc_id ORDER BY pos
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS chunk_id
+            FROM b)
+      SELECT doc_id, chunk_id, count(*)::BIGINT AS n_tokens,
+             md5(string_agg(w, ' ' ORDER BY pos)) AS chunk_hash
+      FROM c GROUP BY doc_id, chunk_id ORDER BY doc_id, chunk_id
+    """.trim))
 
   private val ngramNoveltyQ: (String, QFn, Option[String]) = (
     "ngram_novelty",

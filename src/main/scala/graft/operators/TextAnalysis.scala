@@ -463,6 +463,36 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Content-defined chunking — the dedup-friendly alternative to
+    * [[docChunks]]' fixed stride: a chunk boundary falls AFTER any token
+    * whose md5-derived value ≡ 0 (mod `modulus`), so boundaries are a pure
+    * function of local content and survive insertions/deletions elsewhere
+    * in the doc (fixed-stride chunk hashes all shift after one edit; CDC
+    * chunk hashes only change around the edit — what makes chunk-level
+    * dedup work on mutated near-dups). Expected chunk length = modulus
+    * tokens. One explode + per-doc running boundary count (window
+    * partitioned BY DOC — never global) + keyed re-assembly; every step is
+    * integer/md5 arithmetic the oracle mirrors. */
+  def docChunksCdc(spark: SparkSession, dir: String, modulus: Int = 16): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), posexplode(toks(col("text"))).as(Seq("pos", "w")))
+      .withColumn("is_boundary",
+        (conv(substring(md5(col("w")), 1, 15), 16, 10).cast("long") % modulus === 0).cast("int"))
+      // chunk id = boundaries strictly BEFORE this token (boundary token
+      // closes its own chunk)
+      .withColumn("chunk_id", coalesce(sum(col("is_boundary")).over(w), lit(0)).cast("long"))
+      .groupBy(col("doc_id"), col("chunk_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        // collect_list order is partition-dependent: sort by pos first
+        md5(concat_ws(" ",
+          transform(sort_array(collect_list(struct(col("pos"), col("w")))),
+            s => s.getField("w")))).as("chunk_hash"))
+      .orderBy(col("doc_id"), col("chunk_id"))
+  }
+
   /** Document fingerprint: bottom-5 sketch of md5'd word-3-gram shingles —
     * a fixed-size content signature (min-k sketch) whose overlap estimates
     * Jaccard similarity; joins on fingerprint find near-dups cheaply. */

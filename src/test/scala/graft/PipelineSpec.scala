@@ -769,6 +769,29 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("cdc chunking: chunks tile each doc; boundaries are content-local") {
+    val rows = TextAnalysis.docChunksCdc(spark, dir).collect()
+    val docs = graft.core.Tables.documents(spark, dir)
+      .selectExpr("doc_id", "size(split(lower(text), '\\\\s+')) AS n").collect()
+      .map(r => r.getLong(0) -> r.getInt(1).toLong).toMap
+    val byDoc = rows.groupBy(_.getLong(0))
+    byDoc.foreach { case (id, cs) =>
+      assert(cs.map(_.getAs[Long]("n_tokens")).sum == docs(id),
+        s"doc $id: chunks must tile the token stream exactly")
+      assert(cs.map(_.getAs[Long]("chunk_id")).sorted.toSeq ==
+        (0L until cs.length).toSeq, s"doc $id: chunk ids must be dense")
+    }
+    val meanLen = rows.map(_.getAs[Long]("n_tokens")).sum.toDouble / rows.length
+    assert(meanLen > 8 && meanLen < 32,
+      s"mean chunk length $meanLen should sit near the modulus (16)")
+    // content-local boundaries: the SAME token always opens/closes chunks
+    // identically, so two docs sharing a long span share interior chunk
+    // hashes — planted near-dups guarantee at least one collision
+    val hashes = rows.map(_.getAs[String]("chunk_hash"))
+    assert(hashes.distinct.length < hashes.length,
+      "shared spans across near-dup docs must produce shared chunk hashes")
+  }
+
   test("all registered queries execute and agree with declared column names at sf0.001") {
     val smokeDir = "/root/testdata/sf0.001"
     SparkEntry.queries.foreach { case (name, fn) =>
