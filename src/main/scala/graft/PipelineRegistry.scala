@@ -51,7 +51,22 @@ object PipelineRegistry {
     lmPerplexityQ, oovRateQ, boilerplateQ,
     sampleMixtureQ, piiRedactQ, dedupClusterStatsQ, sourceOverlapQ, qualityDecilesQ,
     corpusShuffleQ, lengthBucketsQ, formatRoundtripQ, ngramNoveltyQ, tokenEntropyQ,
-    pipelineFullQ, docChunksCdcQ)
+    pipelineFullQ, docChunksCdcQ, chunkDedupQ)
+
+  /** Reused-span detection on top of the CDC chunk CTE. */
+  private lazy val chunkDedupQ: (String, QFn, Option[String]) = (
+    "chunk_dedup",
+    (s, d) => TextAnalysis.chunkDedup(s, d),
+    Some(s"""
+      WITH ch AS (${docChunksCdcQ._3.get.replace("ORDER BY doc_id, chunk_id", "")}),
+      g AS (SELECT chunk_hash, doc_id, chunk_id, n_tokens,
+              count(*) OVER (PARTITION BY chunk_hash) AS n_copies,
+              row_number() OVER (PARTITION BY chunk_hash ORDER BY doc_id, chunk_id) AS rk
+            FROM ch WHERE n_tokens >= 4)
+      SELECT doc_id, chunk_id, chunk_hash, n_tokens::BIGINT AS n_tokens,
+             n_copies::BIGINT AS n_copies
+      FROM g WHERE rk = 1 AND n_copies > 1 ORDER BY doc_id, chunk_id
+    """.trim))
 
   private val docChunksCdcQ: (String, QFn, Option[String]) = (
     "doc_chunks_cdc",

@@ -493,6 +493,24 @@ object TextAnalysis {
       .orderBy(col("doc_id"), col("chunk_id"))
   }
 
+  /** Chunk-level dedup over the CDC chunks — the payoff of content-defined
+    * boundaries: spans shared by mutated near-dups hash identically, so a
+    * hash groupBy finds REUSED SPANS across the corpus (the sub-document
+    * dedup fixed-stride chunking cannot do). Keeps one owner per distinct
+    * chunk (min doc_id, min chunk_id) with its copy count; only chunks of
+    * >= minTokens tokens count (single-token chunks collide by vocabulary,
+    * not by content reuse). */
+  def chunkDedup(spark: SparkSession, dir: String, minTokens: Long = 4): DataFrame =
+    docChunksCdc(spark, dir)
+      .where(col("n_tokens") >= minTokens)
+      .groupBy(col("chunk_hash"))
+      .agg(min(struct(col("doc_id"), col("chunk_id"))).as("owner"),
+        count(lit(1)).as("n_copies"), max(col("n_tokens")).as("n_tokens"))
+      .where(col("n_copies") > 1)
+      .select(col("owner.doc_id").as("doc_id"), col("owner.chunk_id").as("chunk_id"),
+        col("chunk_hash"), col("n_tokens"), col("n_copies"))
+      .orderBy(col("doc_id"), col("chunk_id"))
+
   /** Document fingerprint: bottom-5 sketch of md5'd word-3-gram shingles —
     * a fixed-size content signature (min-k sketch) whose overlap estimates
     * Jaccard similarity; joins on fingerprint find near-dups cheaply. */
