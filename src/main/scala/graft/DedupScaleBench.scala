@@ -87,6 +87,20 @@ object DedupScaleBench {
       .where(size(col("toks")) >= 3)
       .select(col("doc_id"), Dedup.shingles(col("toks")).as("sh"))
 
+  /** The paragraph path's windowed+packed shingle pass (dedupParagraph's
+    * shape: 32-token windows, doc_id<<20|para_idx keys) over the synthetic
+    * corpus — the window step multiplies rows ~4× before the SAME pair
+    * join, so its scale point is measured separately. */
+  def paraShingledOf(docs: DataFrame, paraTokens: Int = 32): DataFrame =
+    docs.select(col("doc_id"), Dedup.tokens(col("text")).as("toks"))
+      .select(col("doc_id"),
+        posexplode(transform(
+          sequence(lit(1), greatest(size(col("toks")), lit(1)), lit(paraTokens)),
+          st => slice(col("toks"), st, lit(paraTokens)))).as(Seq("para_idx", "ptoks")))
+      .where(size(col("ptoks")) >= 3)
+      .select((col("doc_id") * (1L << 20) + col("para_idx")).as("doc_id"),
+        Dedup.shingles(col("ptoks")).as("sh"))
+
   def main(args: Array[String]): Unit = {
     val sizes = args.headOption.map(_.split(",").map(_.toLong).toSeq)
       .getOrElse(Seq(50000L, 500000L))
@@ -151,6 +165,19 @@ object DedupScaleBench {
         graft.operators.TextAnalysis.oovRateOf(spark, docs, minCount = 100).count())
       val (nBp, bpSec) = timed(
         graft.operators.TextAnalysis.boilerplateScoreOf(spark, docs, dfCutoff = n / 10).count())
+      // 6. paragraph-window pair join (dedupParagraph's machinery): the
+      //    window step multiplies rows ~4× (100-token docs, 32-token
+      //    windows) before the identical shingle-surrogate join, so one
+      //    scale point at 50k docs characterizes the added constant —
+      //    beyond that it tracks the doc-level pair join, which IS swept
+      val (nPara, paraSec) = if (n <= 50000L) {
+        val para = paraShingledOf(docs).repartition(cpus).cache()
+        para.count()
+        val r = timed(Dedup.ngramJaccardPairs(para, threshold = 0.5,
+          maxDf = Dedup.DefaultMaxShingleDf).count())
+        para.unpersist()
+        r
+      } else (-1L, -1.0)
       docs.unpersist()
       def r2(v: Double) = math.rint(v * 100) / 100
       println(
@@ -160,7 +187,8 @@ object DedupScaleBench {
         s""""simhash_keys":${keyStats.getLong(0)},"simhash_max_bucket":${keyStats.getLong(1)},""" +
         s""""cc_sec":${r2(ccSec)},"components":$nComp,"survivors":$nSurv,""" +
         s""""lm_sec":${r2(lmSec)},"lm_docs":$nLm,"oov_sec":${r2(oovSec)},"oov_docs":$nOov,""" +
-        s""""boiler_sec":${r2(bpSec)},"boiler_docs":$nBp}""")
+        s""""boiler_sec":${r2(bpSec)},"boiler_docs":$nBp,""" +
+        s""""para_pair_sec":${r2(paraSec)},"para_pairs":$nPara}""")
     }
     spark.stop()
   }

@@ -40,9 +40,9 @@ object PipelineRegistry {
     dedupExact, dedupNgram, dedupMinhash, dedupSimhash, dedupEmbedding, dedupSurvivorsQ,
     dedupIncrementalQ, mmGzipQ,
     textStats, langId, tokenCount, docFingerprint,
-    simCosineTopK, simIpTopK, simJoinThreshold, lshCosinePairs, lshL2PairsQ, ivfSearch,
+    simCosineTopK, simIpTopK, simJoinThreshold,
     lshCosineGateQ, lshL2GateQ, ivfGateQ, pqGateQ, embedDimStatsQ,
-    sqQuantize, sqReport, bqQuantizeQ, bqSearchQ, bqRerankQ, pqQuantizeQ, pqSearchQ,
+    sqQuantize, sqReport, bqQuantizeQ, bqSearchQ, bqRerankQ,
     mmJoin, mmBinaryStats, mmMediaFeatures, mmThumbnailQ, mmFrameSampleQ, mmAudioSampleQ,
     sampleHashQ, pipelineCleanQ, vocabTopKQ, lengthPctQ, percentileGateQ, embedNormalizeQ, tfIdfQ,
     asofJoinQ, sampleStratifiedQ, repetitionScoreQ, rangeJoinQ, dedupEmbSurvivorsQ,
@@ -196,7 +196,7 @@ object PipelineRegistry {
       WITH r AS (
         SELECT doc_id, source,
                ([0.1, 0.3, 0.6, 1.0]::DOUBLE[])[(CASE WHEN regexp_extract(source, '[0-9]+', 0) = ''
-                  THEN 0 ELSE regexp_extract(source, '[0-9]+', 0)::INT % 4 END) + 1]
+                  THEN 0 ELSE right(regexp_extract(source, '[0-9]+', 0), 8)::INT % 4 END) + 1]
                  AS target_rate,
                (('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT)::DOUBLE
                  / 1152921504606846976.0 AS u
@@ -769,29 +769,19 @@ object PipelineRegistry {
       SELECT id_a, id_b, round(dist, 4) AS dist FROM p WHERE dist < 1.1 ORDER BY id_a, id_b
     """.trim))
 
-  private val lshCosinePairs: (String, QFn, Option[String]) = (
-    "lsh_cosine_pairs",
-    (s, d) => Similarity.lshCosinePairs(s, d),
-    None)
-
-  private val lshL2PairsQ: (String, QFn, Option[String]) = (
-    "lsh_l2_pairs",
-    (s, d) => Similarity.lshL2Pairs(s, d),
-    None)
-
-  private val ivfSearch: (String, QFn, Option[String]) = (
-    "ivf_search",
-    (s, d) => Similarity.ivfSearch(s, d),
-    None)
-
-  // Hash-checked gates for the seeded generators above: the oracle
-  // recomputes the exact baseline count and asserts the subset/recall
-  // booleans as literals (vamana_search_overlap pattern). The raw pair /
-  // top-k queries stay rows-only — their output is the seeded candidate
-  // set itself, which DuckDB cannot re-derive.
+  // Hash-checked gates for the seeded generators (hyperplane LSH, E2LSH,
+  // IVF, PQ): the oracle recomputes the exact baseline count and asserts
+  // the subset/recall booleans as literals (vamana_search_overlap
+  // pattern). The raw pair / top-k forms stay available as library
+  // functions (the gates and specs run them on every pass), but are NOT
+  // separately registered — their output is the seeded candidate set
+  // itself, which DuckDB cannot re-derive, and a rows-only registry entry
+  // adds no check the gate doesn't already make.
 
   /** Micro-unit longs (half-up floor) make the per-dim sums exact; DuckDB
-    * ordinality is 1-based where posexplode is 0-based. */
+    * ordinality is 1-based where posexplode is 0-based. Σvm² is exact in
+    * DECIMAL/HUGEINT internally but EMITTED as hi/lo BIGINTs — decimal
+    * output canonicalization diverges between engines (the r6 red row). */
   private val embedDimStatsQ: (String, QFn, Option[String]) = (
     "embed_dim_stats",
     (s, d) => Similarity.embedDimStats(s, d),
@@ -800,7 +790,8 @@ object PipelineRegistry {
                     floor(e.embedding[i]::DOUBLE * 1e6 + 0.5)::BIGINT AS vm
                   FROM embeddings e, unnest(range(1, len(e.embedding) + 1)) AS r(i))
       SELECT pos, count(*)::BIGINT AS n, sum(vm)::BIGINT AS sum_micro,
-             sum(vm * vm)::DECIMAL(38,0) AS sumsq_micro2,
+             (sum(vm * vm) // 1000000000000000000)::BIGINT AS sumsq_hi,
+             (sum(vm * vm) % 1000000000000000000)::BIGINT AS sumsq_lo,
              round(min(v)::DOUBLE, 4) AS min_v, round(max(v)::DOUBLE, 4) AS max_v
       FROM ex GROUP BY pos ORDER BY pos
     """.trim))
@@ -952,15 +943,8 @@ object PipelineRegistry {
       ORDER BY query_id, rank
     """.trim))
 
-  private val pqQuantizeQ: (String, QFn, Option[String]) = (
-    "pq_quantize",
-    (s, d) => Quantization.pqQuantize(s, d),
-    None)
-
-  private val pqSearchQ: (String, QFn, Option[String]) = (
-    "pq_search",
-    (s, d) => Quantization.pqSearch(s, d),
-    None)
+  // (pq_quantize / pq_search ride pq_gate — see the seeded-generator note
+  // above; the functions remain exercised by the gate and QuantizationSpec.)
 
   // ---- multimodal -----------------------------------------------------------
 
@@ -1215,7 +1199,7 @@ object PipelineRegistry {
                WHERE (('0x' || substr(md5(c.doc_id::VARCHAR), 1, 15))::BIGINT)::DOUBLE
                        / 1152921504606846976.0
                      < ([0.1, 0.3, 0.6, 1.0]::DOUBLE[])[(CASE WHEN regexp_extract(d.source, '[0-9]+', 0) = ''
-                        THEN 0 ELSE regexp_extract(d.source, '[0-9]+', 0)::INT % 4 END) + 1]),
+                        THEN 0 ELSE right(regexp_extract(d.source, '[0-9]+', 0), 8)::INT % 4 END) + 1]),
       cum AS (SELECT doc_id, n_tokens,
                 (sum(n_tokens) OVER (ORDER BY doc_id) - n_tokens)::BIGINT AS start_offset
               FROM mixk)

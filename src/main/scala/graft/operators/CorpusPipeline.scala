@@ -48,9 +48,15 @@ object CorpusPipeline {
     * [[pipelineFull]] so the two cannot drift. */
   private[operators] def mixtureRateExpr: org.apache.spark.sql.Column = {
     // a digitless source name must land in bucket 0, not throw under ANSI
-    // casting ('' -> int) or null the rate (silently dropping the source)
+    // casting ('' -> int) or null the rate (silently dropping the source).
+    // The cast is bounded to the rightmost 8 digits BEFORE the int cast:
+    // mod 4 depends only on the last two decimal digits (100 ≡ 0 mod 4),
+    // so the rate is unchanged for every in-range source, while a 20-digit
+    // source id stays defined instead of engine-diverging (non-ANSI Spark
+    // nulls the cast and silently drops the doc; DuckDB's ::INT throws)
     val digits = regexp_extract(col("source"), "[0-9]+", 0)
-    val srcIdx = when(digits === "", lit(0)).otherwise(digits.cast("int") % 4)
+    val tail = digits.substr(greatest(length(digits) - 7, lit(1)), lit(8))
+    val srcIdx = when(digits === "", lit(0)).otherwise(tail.cast("int") % 4)
     element_at(array(lit(0.1), lit(0.3), lit(0.6), lit(1.0)), srcIdx + 1)
   }
 

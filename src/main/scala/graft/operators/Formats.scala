@@ -33,16 +33,24 @@ object Formats {
         // break the line-per-record reader — exactly the corruption this
         // gate exists to catch, so disable the trims and read multiLine
         // (quoting already covers the newlines on the write side)
+        // null vs empty string must survive the roundtrip: with the default
+        // nullValue="" an empty text writes as '' and reads back as NULL,
+        // silently dropping it from md5/sum while the oracle hashes the
+        // parquet original. A sentinel that cannot occur in text (contains
+        // a 0x01 control byte) keeps empty and NULL distinct on write and read.
+        val csvNull = "\u0001__GRAFT_NULL__\u0001"
         (if (fmt == "csv")
           w.option("header", "true")
             .option("ignoreLeadingWhiteSpace", "false")
             .option("ignoreTrailingWhiteSpace", "false")
+            .option("nullValue", csvNull).option("emptyValue", "\"\"")
         else w).save(path)
         val r = spark.read.format(fmt).schema(schema)
         val back = (if (fmt == "csv")
           r.option("header", "true").option("multiLine", "true")
             .option("ignoreLeadingWhiteSpace", "false")
             .option("ignoreTrailingWhiteSpace", "false")
+            .option("nullValue", csvNull).option("emptyValue", "")
         else r).load(path)
         val agg = back.agg(
           count(lit(1)).as("n_docs"),

@@ -93,7 +93,11 @@ object Relational {
   /** TPC-H Q17 shape: revenue from "small-quantity" line items — those
     * below 20% of their part's average order quantity (the correlated
     * scalar-subquery pattern, decorrelated into a per-part aggregate +
-    * equi-join; the per-part frame is one row per part → broadcastable).
+    * equi-join). The per-part frame is CORPUS-proportional (one row per
+    * distinct part key in lineitem, ~10⁹ rows at 100 TB), so it must NOT
+    * carry a broadcast hint — the plain equi-join shuffles both sides on
+    * l_partkey (the aggregate already left perPart partitioned by it) and
+    * AQE still broadcasts at scale factors where it genuinely fits.
     * The threshold compare stays in exact decimal so the filter edge is
     * engine-stable: avg = sum/count as DECIMAL, compared via
     * quantity·count·5 < sum (cross-multiplied — no division, no floats). */
@@ -102,7 +106,7 @@ object Relational {
       .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"))
     val perPart = li.groupBy(col("l_partkey"))
       .agg(sum(dec(col("l_quantity"))).as("qty_sum"), count(lit(1)).as("qty_n"))
-    li.join(broadcast(perPart), "l_partkey")
+    li.join(perPart, "l_partkey")
       // l_quantity < 0.2 * (qty_sum / qty_n)  <=>  5 * qty * n < sum
       .where(dec(col("l_quantity")) * 5 * col("qty_n") < col("qty_sum"))
       .agg(moneySum(col("l_extendedprice")).as("small_qty_revenue"),
@@ -136,7 +140,11 @@ object Relational {
 
   /** Local-supplier volume (TPC-H Q5 shape): 5-way join where customer and
     * supplier must share a nation — revenue per nation. lineitem⋈orders⋈
-    * customer shuffle on their keys; supplier+nation broadcast. */
+    * customer⋈supplier shuffle on their keys; only nation (25 rows at ANY
+    * scale factor) keeps a broadcast hint. supplier is SF-proportional
+    * (10k rows per sf unit → ~10⁹ at 100 TB), so hinting it would bypass
+    * AQE's size check and OOM the driver at scale — AQE still broadcasts
+    * it at sf where it fits. */
   def localSupplierVolume(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(spark, dir)
       .select(col("l_orderkey"), col("l_suppkey"), col("l_extendedprice"), col("l_discount"))
@@ -146,7 +154,7 @@ object Relational {
     val nation = Tables.nation(spark, dir)
     li.join(orders, col("l_orderkey") === col("o_orderkey"))
       .join(cust, col("o_custkey") === col("c_custkey"))
-      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey") &&
+      .join(supp, col("l_suppkey") === col("s_suppkey") &&
         col("c_nationkey") === col("s_nationkey"))
       .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
       .groupBy(col("n_name"))
@@ -385,25 +393,26 @@ object Relational {
 
   /** TPC-H Q21 shape on the available columns: suppliers whose RETURNED
     * lineitem ('R') sits on a multi-supplier order where no OTHER supplier
-    * returned anything — the classic EXISTS + NOT EXISTS pair, expressed
-    * as a LEFT SEMI then LEFT ANTI join. Both joins carry the o_orderkey
-    * equi-key (hash/sort-merge partitioned; the inequality on suppkey is a
-    * post-join residual), so the plan shuffles lineitem once per join on
-    * the same key and never falls back to a nested loop. */
+    * returned anything. The EXISTS + NOT EXISTS pair collapses to a single
+    * per-order predicate: the order's distinct-R-supplier set has EXACTLY
+    * one member and the order has ≥2 distinct suppliers total — so ONE
+    * groupBy(l_orderkey) with two collect_sets replaces the r6 plan's two
+    * distinct passes + semi/anti self-joins (3 lineitem shuffles → 1; the
+    * sets are bounded by suppliers-per-order, single digits in TPC-H at
+    * any scale factor). collect_set skips the nulls the non-R rows leave
+    * in the conditional set. */
   def soleFailedSupplier(spark: SparkSession, dir: String): DataFrame = {
     val l = Tables.lineitem(spark, dir)
       .select(col("l_orderkey"), col("l_suppkey"), col("l_returnflag"))
-    val fail = l.where(col("l_returnflag") === "R")
-      .select(col("l_orderkey").as("okey"), col("l_suppkey").as("skey")).distinct()
-    val all = l.select(col("l_orderkey").as("okey2"), col("l_suppkey").as("skey2")).distinct()
-    val multi = fail.join(all,
-      col("okey") === col("okey2") && col("skey") =!= col("skey2"), "left_semi")
-    val sole = multi.join(
-      fail.select(col("okey").as("okey3"), col("skey").as("skey3")),
-      col("okey") === col("okey3") && col("skey") =!= col("skey3"), "left_anti")
+    val sole = l.groupBy(col("l_orderkey"))
+      .agg(
+        size(collect_set(col("l_suppkey"))).as("n_supp"),
+        collect_set(when(col("l_returnflag") === "R", col("l_suppkey"))).as("fail_set"))
+      .where(size(col("fail_set")) === 1 && col("n_supp") >= 2)
+      .select(element_at(col("fail_set"), 1).as("skey"))
     sole.join(Tables.supplier(spark, dir), col("skey") === col("s_suppkey"))
       .groupBy(col("s_name"))
-      .agg(count(lit(1)).as("numwait")) // sole is distinct (order, supplier)
+      .agg(count(lit(1)).as("numwait")) // one qualifying supplier per order
       .orderBy(col("numwait").desc, col("s_name"))
       .limit(20)
   }

@@ -156,7 +156,12 @@ object Similarity {
     * micro-unit LONGS (the sq_quantize / token_entropy trick), so the
     * per-dimension sums are exact integers and order-independent; min/max
     * are exact float comparisons. One posexplode + one keyed aggregation —
-    * the shuffle carries dim × partitions partial rows, never the corpus. */
+    * the shuffle carries dim × partitions partial rows, never the corpus.
+    * The Σvm² accumulator is DECIMAL(38,0) internally (a LONG sum wraps
+    * past ~9e4 elements per dim at |v| ≈ 10) but is EMITTED as hi/lo LONGs
+    * (quotient/remainder by 10¹⁸): decimal canonicalization is the one
+    * place Spark and DuckDB render the same value differently, so the
+    * output contract stays long/double/string/bool everywhere. */
   def embedDimStats(spark: SparkSession, dir: String): DataFrame = {
     val micro = floor(col("v").cast("double") * 1e6 + 0.5).cast("long")
     Tables.embeddings(spark, dir)
@@ -166,11 +171,13 @@ object Similarity {
       .agg(
         count(lit(1)).as("n"),
         sum(col("vm")).as("sum_micro"),
-        // decimal accumulator: vm² ≤ 1e14 per element, so a LONG sum wraps
-        // past ~9e4 elements per dim at |v| ≈ 10 — decimal is exact at any n
-        sum((col("vm") * col("vm")).cast("decimal(38,0)")).as("sumsq_micro2"),
+        sum((col("vm") * col("vm")).cast("decimal(38,0)")).as("sumsq"),
         round(min(col("v")).cast("double"), 4).as("min_v"),
         round(max(col("v")).cast("double"), 4).as("max_v"))
+      .select(col("pos"), col("n"), col("sum_micro"),
+        expr("sumsq div 1000000000000000000").as("sumsq_hi"),
+        expr("CAST(sumsq % 1000000000000000000 AS BIGINT)").as("sumsq_lo"),
+        col("min_v"), col("max_v"))
       .orderBy(col("pos"))
   }
 

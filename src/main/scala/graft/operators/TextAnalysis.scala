@@ -121,28 +121,30 @@ object TextAnalysis {
     * aggregation; partial aggregation bounds the shuffle to the distinct
     * vocabulary per partition, so a hot token ("the") never skews a task. */
   def vocabTopK(spark: SparkSession, dir: String, k: Int = 50): DataFrame = {
-    import spark.implicits._
     // top-k via orderBy().limit() -> TakeOrderedAndProject (per-partition
-    // heaps, no single-partition window over the full vocabulary); ranks
-    // come from zipWithIndex over the k ordered survivors — the rank window
-    // this used to run was the last no-partition WindowExec in the engine
+    // heaps, no single-partition window over the full VOCABULARY); ranks
+    // come from a row_number window over the k ordered SURVIVORS — a
+    // no-partition window, but bounded by k rows by construction (limit
+    // already ran), where the rdd.zipWithIndex this replaces re-executed
+    // the whole explode+agg lineage a second time for its sizing job
+    // (measured: the r6 bench charged vocab_topk 6x its r5 median)
+    val rankW = org.apache.spark.sql.expressions.Window
+      .orderBy(col("n_occurrences").desc, col("token").asc)
     Tables.documents(spark, dir)
       .select(explode(toks(col("text"))).as("token"))
       .where(col("token") =!= "")
       .groupBy(col("token")).agg(count(lit(1)).as("n_occurrences"))
       .orderBy(col("n_occurrences").desc, col("token").asc)
       .limit(k)
-      .as[(String, Long)]
-      .rdd.zipWithIndex
-      .map { case ((token, n), i) => (i + 1, token, n) }
-      .toDF("rank", "token", "n_occurrences")
+      .withColumn("rank", row_number().over(rankW).cast("long"))
+      .select(col("rank"), col("token"), col("n_occurrences"))
       .orderBy(col("rank"))
   }
 
   /** Top-k word BIGRAMS — the n-gram LM / tokenizer-design statistic next
     * to [[vocabTopK]]'s unigrams. Same scale shape: per-doc adjacent-pair
-    * explode → keyed count → TakeOrderedAndProject heap top-k → rank via
-    * zipWithIndex (no global window anywhere). */
+    * explode → keyed count → TakeOrderedAndProject heap top-k → rank via a
+    * k-bounded window over the survivors (see vocabTopK's rank note). */
   def bigramTopK(spark: SparkSession, dir: String, k: Int = 30): DataFrame = {
     import spark.implicits._
     val t = toks(col("text"))
@@ -159,10 +161,9 @@ object TextAnalysis {
       .groupBy(col("bigram")).agg(count(lit(1)).as("n_occurrences"))
       .orderBy(col("n_occurrences").desc, col("bigram").asc)
       .limit(k)
-      .as[(String, Long)]
-      .rdd.zipWithIndex
-      .map { case ((bigram, n), i) => (i + 1, bigram, n) }
-      .toDF("rank", "bigram", "n_occurrences")
+      .withColumn("rank", row_number().over(org.apache.spark.sql.expressions.Window
+        .orderBy(col("n_occurrences").desc, col("bigram").asc)).cast("long"))
+      .select(col("rank"), col("bigram"), col("n_occurrences"))
       .orderBy(col("rank"))
   }
 
@@ -309,11 +310,16 @@ object TextAnalysis {
     val cu = bg.groupBy(col("w1")).agg(count(lit(1)).as("cu"))
     val vf = docs.select(explode(col("tk")).as("w")).agg(countDistinct(col("w")).as("vsz"))
     // fold context counts + vocab size into ONE score table keyed by the
-    // bigram: cu is VOCAB-bounded (one row per distinct context word), so
-    // it broadcasts at any corpus size — only the bigram-keyed table obeys
-    // `broadcastModel`. The bigram stream then pays ONE model join, not
-    // two (measured 1.7x on the 500k-doc scale corpus).
-    val st = cb.join(broadcast(cu), Seq("w1")).crossJoin(broadcast(vf))
+    // bigram; the bigram stream then pays ONE model join, not two
+    // (measured 1.7x on the 500k-doc scale corpus). cu is one row per
+    // distinct context word — an OPEN vocabulary, not config-bounded — so
+    // it obeys `broadcastModel` exactly like cb does: the shuffle-join
+    // path advertised for beyond-broadcast vocabularies must carry no
+    // forced broadcast at all (w1 is already cb's own join key, so the
+    // shuffle variant rides the same partitioning). Only vf (a single
+    // global-count row) broadcasts unconditionally.
+    val st = cb.join(if (broadcastModel) broadcast(cu) else cu, Seq("w1"))
+      .crossJoin(broadcast(vf))
       .select(col("w1"), col("w2"),
         round(log((col("cb") + 1).cast("double") / (col("cu") + col("vsz")).cast("double")), 6)
           .cast("decimal(18,6)").as("logp"))

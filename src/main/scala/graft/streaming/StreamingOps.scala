@@ -238,40 +238,63 @@ object StreamingOps {
   /** Streaming as-of enrichment — the ingestion-side twin of
     * [[graft.operators.Temporal.asofJoin]]: each arriving purchase is
     * enriched with the most recent click state for its user. State per user
-    * is ONE (ts, value) pair — bounded by the user population, not the
-    * stream length (add a state TTL timeout in the same slot when the user
-    * universe itself is unbounded). Within a micro-batch events apply in
-    * (ts, click-first, event_id) order, matching the batch operator's
-    * inclusive at-or-before semantics; ties on click ts keep max value,
-    * mirroring the batch op's per-(user, ts) pre-aggregation. All state and
-    * gap arithmetic is in exact microseconds (the batch twin's
-    * `unix_micros`), so sub-millisecond event times don't diverge. */
-  def streamingAsof(events: Dataset[Event]): Dataset[AsofMatch] = {
+    * is ONE (ts, value) pair, and it is TTL-bounded by `horizonMinutes` of
+    * EVENT time (the same contract as the LSH buckets and sessionize): a
+    * user whose newest click is more than the horizon behind the watermark
+    * can never enrich an in-watermark purchase with anything fresher than
+    * the horizon, so the pair is dropped whole — state is bounded by the
+    * horizon's arrival volume even when the user UNIVERSE is unbounded
+    * (the r6 NoTimeout holdout). A purchase after eviction reads as
+    * no-click-history, the asof-horizon trade made explicit. Within a
+    * micro-batch events apply in (ts, click-first, event_id) order,
+    * matching the batch operator's inclusive at-or-before semantics; ties
+    * on click ts keep max value, mirroring the batch op's per-(user, ts)
+    * pre-aggregation. All state and gap arithmetic is in exact
+    * microseconds (the batch twin's `unix_micros`), so sub-millisecond
+    * event times don't diverge. */
+  def streamingAsof(events: Dataset[Event], horizonMinutes: Int = 60): Dataset[AsofMatch] = {
     import events.sparkSession.implicits._
+    val horizonMs = horizonMinutes * 60L * 1000L
     events
+      .withWatermark("ts", s"$horizonMinutes minutes")
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[ClickState, AsofMatch](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (userId: Long, it: Iterator[Event], state: GroupState[ClickState]) =>
-          val evs = it.toSeq.sortBy(e =>
-            (micros(e.ts), if (e.event_type == "click") 0 else 1, e.event_id))
-          var st = state.getOption.orNull
-          val out = Seq.newBuilder[AsofMatch]
-          for (e <- evs) {
-            val t = micros(e.ts)
-            e.event_type match {
-              case "click" =>
-                if (st == null || t > st.ts) st = ClickState(t, e.value)
-                else if (t == st.ts && e.value > st.value) st = ClickState(t, e.value)
-              case "purchase" =>
-                out += (if (st == null) AsofMatch(e.event_id, userId, e.value, None, None)
-                else AsofMatch(e.event_id, userId, e.value,
-                  Some(st.value), Some(t - st.ts)))
-              case _ => ()
+          if (state.hasTimedOut) {
+            // watermark passed newest-click + horizon: no in-watermark
+            // purchase can match this click anymore — drop the state
+            state.remove()
+            Iterator.empty
+          } else {
+            val evs = it.toSeq.sortBy(e =>
+              (micros(e.ts), if (e.event_type == "click") 0 else 1, e.event_id))
+            var st = state.getOption.orNull
+            val out = Seq.newBuilder[AsofMatch]
+            for (e <- evs) {
+              val t = micros(e.ts)
+              e.event_type match {
+                case "click" =>
+                  if (st == null || t > st.ts) st = ClickState(t, e.value)
+                  else if (t == st.ts && e.value > st.value) st = ClickState(t, e.value)
+                case "purchase" =>
+                  out += (if (st == null) AsofMatch(e.event_id, userId, e.value, None, None)
+                  else AsofMatch(e.event_id, userId, e.value,
+                    Some(st.value), Some(t - st.ts)))
+                case _ => ()
+              }
             }
+            if (st != null) {
+              state.update(st)
+              // st.ts is the newest click EVER seen (monotone by the update
+              // rule above), so the re-arm never shrinks the timeout; max()
+              // vs watermark guards the skewed-group case where other keys
+              // already pushed the watermark past this user's horizon
+              state.setTimeoutTimestamp(
+                math.max(st.ts / 1000L, state.getCurrentWatermarkMs() + 1) + horizonMs)
+            }
+            out.result().iterator
           }
-          if (st != null) state.update(st)
-          out.result().iterator
       }
   }
 

@@ -72,13 +72,16 @@ class PlanSpec extends AnyFunSuite {
       s"text dedup must never be all-pairs:\n$p")
   }
 
-  test("q21 semi/anti joins stay keyed on the order key (no nested loop)") {
+  test("q21 collapses to ONE lineitem scan + one order-key shuffle (no nested loop)") {
     val df = Relational.soleFailedSupplier(spark, dir)
     val p = plan(df)
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
-      s"the suppkey inequality must ride the o_orderkey equi-join as a residual:\n$p")
-    assert(p.contains("LeftSemi") && p.contains("LeftAnti"),
-      s"expected semi+anti join pair in:\n$p")
+      s"q21 must stay equi-keyed:\n$p")
+    // the r6 semi/anti formulation scanned lineitem twice and shuffled it
+    // three times; the per-order collect_set form reads it exactly once
+    assert(p.linesIterator.count(_.contains("lineitem.parquet")) == 1,
+      s"expected exactly one lineitem scan in:\n$p")
+    assert(p.contains("collect_set"), s"expected per-order set aggregation in:\n$p")
   }
 
   test("range join buckets the BETWEEN predicate into an equi-join (no nested loop)") {
@@ -115,6 +118,25 @@ class PlanSpec extends AnyFunSuite {
     assert(got == expected, s"range join mismatch: ${(expected diff got).take(3)} missing, " +
       s"${(got diff expected).take(3)} extra")
     assert(got.nonEmpty, "fixture must contain contained probes")
+  }
+
+  test("no corpus-derived frame carries a forced broadcast hint (q24, q5)") {
+    // an explicit broadcast() hint bypasses AQE's size check, so a hint on
+    // a corpus- or sf-proportional frame (q24's per-part aggregate, q5's
+    // supplier) OOMs the driver at 100 TB even though it "works" at sf0.1;
+    // only constant-cardinality dimensions (nation/region) may be hinted.
+    // Identified by output columns: fact/sf-proportional tables use the
+    // l_/o_/c_/s_/p_ prefixes, the constant dims n_/r_.
+    for (df <- Seq(Relational.smallQuantityRevenue(spark, dir),
+        Relational.localSupplierVolume(spark, dir))) {
+      val hints = df.queryExecution.analyzed.collect {
+        case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint => h
+      }
+      val bad = hints.filter(_.child.output.map(_.name).exists(n =>
+        Seq("l_", "o_", "c_", "s_", "p_", "qty_").exists(n.startsWith)))
+      assert(bad.isEmpty,
+        s"forced broadcast of a corpus/sf-proportional frame:\n${bad.mkString("\n")}")
+    }
   }
 
   test("lm scoring broadcasts its count tables (model side never shuffles the corpus)") {

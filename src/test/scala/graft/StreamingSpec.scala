@@ -148,6 +148,43 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming asof evicts click state past the event-time horizon") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = StreamingOps.streamingAsof(input.toDS(), horizonMinutes = 10)
+      .writeStream.format("memory").queryName("asof_ttl_out")
+      .outputMode("append").start()
+    try {
+      // in-horizon: click then purchase, enriched normally
+      input.addData(Event(1, ts(60), 1, "click", 5.0), Event(2, ts(61), 1, "purchase", 10.0))
+      q.processAllAvailable()
+      // another user's far-future click advances the watermark past user 1's
+      // (newest click=60) + horizon(10) = minute 70 expiry...
+      input.addData(Event(3, ts(300), 2, "click", 7.0))
+      q.processAllAvailable()
+      // ...the next trigger evicts user 1's click state...
+      input.addData(Event(4, ts(301), 3, "view", 0.0))
+      q.processAllAvailable()
+      // ...so user 1's post-horizon purchase reads as no-click-history
+      // (pre-TTL it would enrich with the minute-60 click: state never expired)
+      input.addData(Event(5, ts(302), 1, "purchase", 20.0))
+      q.processAllAvailable()
+      val rows = spark.table("asof_ttl_out").as[AsofMatch].collect()
+        .map(m => m.event_id -> ((m.asof_value, m.micros_since_match))).toMap
+      assert(rows(2L) == ((Some(5.0), Some(60L * 1000L * 1000L))), s"got ${rows(2L)}")
+      assert(rows(5L) == ((None, None)),
+        "click state past the horizon must be evicted, not matched")
+      // user 2's in-horizon click (re-armed at minute 300) still enriches
+      input.addData(Event(6, ts(303), 2, "purchase", 30.0))
+      q.processAllAvailable()
+      val r6 = spark.table("asof_ttl_out").as[AsofMatch].collect()
+        .find(_.event_id == 6L).get
+      assert(r6.asof_value.contains(7.0) &&
+        r6.micros_since_match.contains(3L * 60L * 1000L * 1000L), s"got $r6")
+    } finally q.stop()
+  }
+
   test("streaming minhash emits candidate pairs for near-dups, none for unrelated docs") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
