@@ -41,7 +41,7 @@ object PipelineRegistry {
     dedupIncrementalQ, mmGzipQ,
     textStats, langId, tokenCount, docFingerprint,
     simCosineTopK, simIpTopK, simJoinThreshold,
-    lshCosineGateQ, lshL2GateQ, ivfGateQ, pqGateQ, embedDimStatsQ,
+    lshCosineGateQ, lshL2GateQ, ivfGateQ, pqGateQ, semdedupGateQ, embedDimStatsQ,
     sqQuantize, sqReport, bqQuantizeQ, bqSearchQ, bqRerankQ,
     mmJoin, mmBinaryStats, mmMediaFeatures, mmThumbnailQ, mmFrameSampleQ, mmAudioSampleQ,
     sampleHashQ, pipelineCleanQ, vocabTopKQ, lengthPctQ, percentileGateQ, embedNormalizeQ, tfIdfQ,
@@ -51,7 +51,21 @@ object PipelineRegistry {
     lmPerplexityQ, oovRateQ, boilerplateQ,
     sampleMixtureQ, piiRedactQ, dedupClusterStatsQ, sourceOverlapQ, qualityDecilesQ,
     corpusShuffleQ, lengthBucketsQ, formatRoundtripQ, ngramNoveltyQ, tokenEntropyQ,
-    pipelineFullQ, docChunksCdcQ, chunkDedupQ)
+    pipelineFullQ, docChunksCdcQ, chunkDedupQ, bucketedRevenueQ)
+
+  /** Bucketed co-located join vs the plain-join oracle — hash-identical
+    * output proves the bucketed write+read+join path is row-lossless (the
+    * exchange-free plan shape is PlanSpec's half of the check). */
+  private val bucketedRevenueQ: (String, QFn, Option[String]) = (
+    "bucketed_revenue",
+    (s, d) => Formats.bucketedRevenue(s, d),
+    Some("""
+      SELECT o_orderpriority,
+             round(sum(CAST(l_extendedprice AS DECIMAL(18,2))), 2)::DOUBLE AS revenue,
+             count(*) AS n_items
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """.trim))
 
   /** Reused-span detection on top of the CDC chunk CTE. */
   private lazy val chunkDedupQ: (String, QFn, Option[String]) = (
@@ -799,6 +813,21 @@ object PipelineRegistry {
   private val lshCosineGateQ: (String, QFn, Option[String]) = (
     "lsh_cosine_gate",
     (s, d) => Similarity.lshCosineGate(s, d),
+    Some(s"""
+      WITH e AS (SELECT vec_id, embedding, sqrt(${dotSql("embedding", "embedding")}) AS nrm
+                 FROM embeddings),
+      p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   ${dotSql("a.embedding", "b.embedding")} / (a.nrm * b.nrm) AS cos
+            FROM e a JOIN e b ON a.vec_id < b.vec_id)
+      SELECT count(*) AS n_exact_pairs, TRUE AS subset_ok, TRUE AS recall_ok
+      FROM p WHERE cos >= 0.4
+    """.trim))
+
+  /** SemDeDup's recall gate rides the SAME exact-cosine baseline as
+    * lsh_cosine_gate (threshold 0.4), so the oracle SQL is shared shape. */
+  private val semdedupGateQ: (String, QFn, Option[String]) = (
+    "semdedup_gate",
+    (s, d) => Similarity.semdedupGate(s, d),
     Some(s"""
       WITH e AS (SELECT vec_id, embedding, sqrt(${dotSql("embedding", "embedding")}) AS nrm
                  FROM embeddings),

@@ -61,12 +61,67 @@ object Formats {
       }
       rows.toDF("format", "n_docs", "total_chars", "text_sum").orderBy(col("format"))
     } finally {
-      import scala.jdk.CollectionConverters._
-      val walk = java.nio.file.Files.walk(basePath)
-      // materialize before closing: the walk stream holds directory handles
-      val paths = try walk.iterator().asScala.toList finally walk.close()
-      paths.sortBy(-_.getNameCount)
-        .foreach(p => scala.util.Try(java.nio.file.Files.deleteIfExists(p)))
+      deleteRecursively(basePath)
+    }
+  }
+
+  private def deleteRecursively(basePath: java.nio.file.Path): Unit = {
+    import scala.jdk.CollectionConverters._
+    val walk = java.nio.file.Files.walk(basePath)
+    // materialize before closing: the walk stream holds directory handles
+    val paths = try walk.iterator().asScala.toList finally walk.close()
+    paths.sortBy(-_.getNameCount)
+      .foreach(p => scala.util.Try(java.nio.file.Files.deleteIfExists(p)))
+  }
+
+  /** Bucketed co-located join: both fact tables written
+    * `bucketBy(buckets, orderkey)`, read back through the catalog, joined
+    * with NO exchange on either side — bucketing pre-pays the join shuffle
+    * once at write time and amortizes it over every later join on that
+    * key, the storage-layout lever a 100 TB deployment combines with AQE
+    * and salting (both demonstrated elsewhere: q23, saltedJoin). Hash-
+    * checked: the revenue aggregate must match the plain-join oracle
+    * row-for-row, proving the bucketed write+read+join path is
+    * row-lossless; the exchange-free plan shape is asserted in PlanSpec.
+    * The merge hint pins sort-merge (at oracle SF the projected orders
+    * side is broadcast-small, which would bypass the bucketed
+    * distribution being demonstrated; at production SF SMJ is what the
+    * planner picks anyway). */
+  def bucketedRevenue(spark: SparkSession, dir: String, buckets: Int = 8): DataFrame =
+    withBucketedJoin(spark, dir, buckets) { joined =>
+      val agg = joined
+        .groupBy(col("o_orderpriority"))
+        .agg(round(sum(col("l_extendedprice").cast("decimal(18,2)")), 2)
+          .cast("double").as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy(col("o_orderpriority"))
+      // materialize (one row per priority) before the tables drop
+      val rows = agg.collect()
+      spark.createDataFrame(spark.sparkContext.parallelize(rows.toSeq, 1), agg.schema)
+    }
+
+  /** Create the bucketed twin tables under a temp path, hand the
+    * exchange-free join to `f`, then drop the catalog entries + files. */
+  private[graft] def withBucketedJoin[T](spark: SparkSession, dir: String,
+      buckets: Int)(f: DataFrame => T): T = {
+    // unique per call: the shared Verify/Bench session must not collide
+    val tag = java.util.UUID.randomUUID().toString.replace("-", "").take(8)
+    val base = java.nio.file.Files.createTempDirectory("graft_bucketed_")
+    val liT = s"graft_li_$tag"
+    val ordT = s"graft_ord_$tag"
+    try {
+      Tables.lineitem(spark, dir).select(col("l_orderkey"), col("l_extendedprice"))
+        .write.mode("overwrite").option("path", s"$base/li")
+        .bucketBy(buckets, "l_orderkey").sortBy("l_orderkey").saveAsTable(liT)
+      Tables.orders(spark, dir).select(col("o_orderkey"), col("o_orderpriority"))
+        .write.mode("overwrite").option("path", s"$base/ord")
+        .bucketBy(buckets, "o_orderkey").sortBy("o_orderkey").saveAsTable(ordT)
+      f(spark.table(liT).hint("merge")
+        .join(spark.table(ordT), col("l_orderkey") === col("o_orderkey")))
+    } finally {
+      scala.util.Try(spark.sql(s"DROP TABLE IF EXISTS $liT"))
+      scala.util.Try(spark.sql(s"DROP TABLE IF EXISTS $ordT"))
+      deleteRecursively(base)
     }
   }
 }

@@ -256,19 +256,9 @@ object Similarity {
   def ivfSearch(spark: SparkSession, dir: String, nQueries: Int = 10, k: Int = 5,
       nCells: Int = 8, nProbe: Int = 3): DataFrame = {
     import spark.implicits._
-    val e = Tables.embeddings(spark, dir)
-      .select(col("vec_id"), col("embedding").cast("array<float>"))
-      .as[(Long, Array[Float])]
-    // bounded driver-side sample for the coarse quantizer (never the full
-    // corpus — at scale the quantizer trains on a sample by construction)
-    val all = e.filter(_._1 < 4096).collect().sortBy(_._1)
-    // seeded init: evenly spaced points; one Lloyd pass for stability
-    val init = (0 until nCells).map(i => all((i * all.length) / nCells)._2).toArray
-    val centroids = lloydOnce(all.map(_._2), init)
+    val (all, centroids) = coarseCentroids(spark, dir, nCells)
     val bcC = spark.sparkContext.broadcast(centroids)
-    val assigned = e.map { case (id, v) =>
-      (id, v, nearestCells(v, bcC.value, 1).head)
-    }.toDF("vec_id", "vec", "cell")
+    val assigned = cellAssigned(spark, dir, bcC)
     val queries = all.take(nQueries).map { case (id, v) =>
       (id, v, nearestCells(v, centroids, nProbe))
     }.toSeq.toDF("query_id", "qvec", "cells")
@@ -325,11 +315,10 @@ object Similarity {
         col("n_queries"),
         (col("n_hit") >= col("n_exact") * recallFloor).as("recall_ok"))
 
-  /** Gate for [[lshCosinePairs]] vs the exact cosine-threshold crossJoin
-    * (gate-sized oracle twin; the scale path is the LSH side). */
-  def lshCosineGate(spark: SparkSession, dir: String, threshold: Double = 0.4,
-      recallFloor: Double = 0.5): DataFrame = {
-    val exact = cachedPairs(spark, dir, s"exactCos:$threshold") {
+  /** Exact cosine-threshold pair set (gate-sized oracle twin, cached — the
+    * cosine gates all compare against the same baseline). */
+  private def exactCosinePairs(spark: SparkSession, dir: String, threshold: Double): DataFrame =
+    cachedPairs(spark, dir, s"exactCos:$threshold") {
       val e = Tables.embeddings(spark, dir)
         .select(col("vec_id"), col("embedding"), normNative(spark, col("embedding")).as("nrm"))
       e.select(col("vec_id").as("id_a"), col("embedding").as("va"), col("nrm").as("na"))
@@ -338,9 +327,70 @@ object Similarity {
         .where(dotNative(spark, col("va"), col("vb")) / (col("na") * col("nb")) >= threshold)
         .select(col("id_a"), col("id_b"))
     }
-    pairGate(exact, lshCosinePairs(spark, dir, threshold).select(col("id_a"), col("id_b")),
+
+  /** Gate for [[lshCosinePairs]] vs the exact cosine-threshold crossJoin
+    * (gate-sized oracle twin; the scale path is the LSH side). */
+  def lshCosineGate(spark: SparkSession, dir: String, threshold: Double = 0.4,
+      recallFloor: Double = 0.5): DataFrame =
+    pairGate(exactCosinePairs(spark, dir, threshold),
+      lshCosinePairs(spark, dir, threshold).select(col("id_a"), col("id_b")),
       recallFloor)
-  }
+
+  /** SemDeDup-style clustered embedding dedup (Abbas et al. 2023,
+    * arXiv:2303.09540): assign every vector to its `nAssign` nearest
+    * coarse k-means cells (soft assignment — the standard recall lever
+    * over the paper's hard assignment), then exact-cosine-verify candidate
+    * pairs that SHARE a cell — the scale path for
+    * [[Dedup.dedupEmbeddingCosine]]'s all-pairs oracle twin. The candidate
+    * stage is an equi-join on the cell id (Σ|cell|² over cells sized by
+    * the quantizer's granularity — at 100 TB, raise nCells so cells stay
+    * bounded and sub-cluster hot cells with the same machinery), never
+    * corpus²; candidates dedupe on the id pair BEFORE the exact verify so
+    * multi-assignment never re-verifies a pair. Cross-cell near-dups are
+    * the recall trade SemDeDup makes by construction — [[semdedupGate]]
+    * pins the measured floor. */
+  def semdedupPairs(spark: SparkSession, dir: String, threshold: Double = 0.4,
+      nCells: Int = 8, nAssign: Int = 2): DataFrame =
+    cachedPairs(spark, dir, s"semdedup:$threshold:$nCells:$nAssign") {
+      import spark.implicits._
+      val (_, centroids) = coarseCentroids(spark, dir, nCells)
+      val bcC = spark.sparkContext.broadcast(centroids)
+      val keyed = Tables.embeddings(spark, dir)
+        .select(col("vec_id"), col("embedding").cast("array<float>"))
+        .as[(Long, Array[Float])]
+        .flatMap { case (id, v) => nearestCells(v, bcC.value, nAssign).map(c => (id, c)) }
+        .toDF("vec_id", "cell")
+      val cand = keyed.as("a").join(keyed.as("b"),
+          col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
+        .distinct()
+      val emb = Tables.embeddings(spark, dir)
+        .select(col("vec_id"), col("embedding"), normNative(spark, col("embedding")).as("nrm"))
+      cand
+        .join(emb.select(col("vec_id").as("id_a"), col("embedding").as("va"), col("nrm").as("na")), "id_a")
+        .join(emb.select(col("vec_id").as("id_b"), col("embedding").as("vb"), col("nrm").as("nb")), "id_b")
+        .withColumn("cos", dotNative(spark, col("va"), col("vb")) / (col("na") * col("nb")))
+        .where(col("cos") >= threshold)
+        .select(col("id_a"), col("id_b"), round(col("cos"), 4).as("cos"))
+        .orderBy(col("id_a"), col("id_b"))
+    }
+
+  /** Survivor selection over the SemDeDup pair graph — the same fixpoint
+    * CC + min-label canonicalization as every other dedup modality, so a
+    * corpus deduped semantically uses one survivor semantics. */
+  def semdedupSurvivors(spark: SparkSession, dir: String, threshold: Double = 0.4,
+      nCells: Int = 8): DataFrame =
+    Dedup.survivorsOf(spark,
+      semdedupPairs(spark, dir, threshold, nCells).select(col("id_a"), col("id_b")),
+      Tables.embeddings(spark, dir).select(col("vec_id").as("doc_id")))
+
+  /** Gate for [[semdedupPairs]] vs the exact cosine pair set (the same
+    * baseline as [[lshCosineGate]] — the cache shares it). */
+  def semdedupGate(spark: SparkSession, dir: String, threshold: Double = 0.4,
+      recallFloor: Double = 0.5): DataFrame =
+    pairGate(exactCosinePairs(spark, dir, threshold),
+      semdedupPairs(spark, dir, threshold).select(col("id_a"), col("id_b")),
+      recallFloor)
 
   /** Gate for [[lshL2Pairs]] vs the exact L2 threshold join. */
   def lshL2Gate(spark: SparkSession, dir: String, maxL2Sq: Double = 1.1,
@@ -359,6 +409,34 @@ object Similarity {
         .select(col("query_id"), col("id")),
       ivfSearch(spark, dir, nQueries, k).select(col("query_id"), col("id")),
       recallFloor)
+  }
+
+  /** Coarse k-means-lite quantizer shared by [[ivfSearch]] and
+    * [[semdedupPairs]]: seeded evenly-spaced init over a bounded
+    * driver-side sample (≤4096 points — never the full corpus; at scale
+    * the quantizer trains on a sample by construction) + one Lloyd
+    * refinement pass. Returns (sample, centroids). */
+  private def coarseCentroids(spark: SparkSession, dir: String,
+      nCells: Int): (Array[(Long, Array[Float])], Array[Array[Float]]) = {
+    import spark.implicits._
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding").cast("array<float>"))
+      .as[(Long, Array[Float])]
+    val all = e.filter(_._1 < 4096).collect().sortBy(_._1)
+    val init = (0 until nCells).map(i => all((i * all.length) / nCells)._2).toArray
+    (all, lloydOnce(all.map(_._2), init))
+  }
+
+  /** Every corpus vector tagged with its nearest coarse cell — a narrow
+    * map against the broadcast centroids, no shuffle. */
+  private def cellAssigned(spark: SparkSession, dir: String,
+      bcC: org.apache.spark.broadcast.Broadcast[Array[Array[Float]]]): DataFrame = {
+    import spark.implicits._
+    Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding").cast("array<float>"))
+      .as[(Long, Array[Float])]
+      .map { case (id, v) => (id, v, nearestCells(v, bcC.value, 1).head) }
+      .toDF("vec_id", "vec", "cell")
   }
 
   private def nearestCells(v: Array[Float], cs: Array[Array[Float]], n: Int): Seq[Int] =

@@ -36,7 +36,8 @@ class PipelineSpec extends AnyFunSuite {
       "lsh_cosine_gate" -> Similarity.lshCosineGate(spark, dir),
       "lsh_l2_gate" -> Similarity.lshL2Gate(spark, dir),
       "ivf_gate" -> Similarity.ivfGate(spark, dir),
-      "pq_gate" -> Quantization.pqGate(spark, dir))
+      "pq_gate" -> Quantization.pqGate(spark, dir),
+      "semdedup_gate" -> Similarity.semdedupGate(spark, dir))
     gates.foreach { case (name, df) =>
       val rows = df.collect()
       assert(rows.length == 1, s"$name: gate must be one row")
@@ -56,6 +57,22 @@ class PipelineSpec extends AnyFunSuite {
     assert(exact.nonEmpty)
     assert(lsh.subsetOf(exact), "lsh verifies with exact cosine -> subset")
     assert(lsh.size.toDouble / exact.size >= 0.5, s"lsh recall ${lsh.size}/${exact.size}")
+  }
+
+  test("semdedup pairs are exact-verified (subset), recall >= 0.6, survivors consistent") {
+    val exact = pairSet(Dedup.dedupEmbeddingCosine(spark, dir))
+    val sem = pairSet(Similarity.semdedupPairs(spark, dir))
+    assert(exact.nonEmpty)
+    assert(sem.subsetOf(exact), "semdedup verifies with exact cosine -> subset")
+    // measured 0.73 at sf0.01 (nCells=8, nAssign=2); 0.6 is the spec's
+    // tighter bound above the gate's 0.5 catastrophic floor
+    assert(sem.size.toDouble / exact.size >= 0.6, s"semdedup recall ${sem.size}/${exact.size}")
+    val surv = Similarity.semdedupSurvivors(spark, dir)
+      .select("doc_id", "canonical_id", "is_survivor").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(surv.length == 500, "every embedding row must appear exactly once")
+    assert(surv.forall { case (id, canon, s) => canon <= id && (s == 1) == (canon == id) },
+      "canonical = component min; survivor iff self-canonical")
   }
 
   test("ivf search recall@5 >= 0.6 vs exact L2 top-5") {

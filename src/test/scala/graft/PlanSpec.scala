@@ -120,6 +120,18 @@ class PlanSpec extends AnyFunSuite {
     assert(got.nonEmpty, "fixture must contain contained probes")
   }
 
+  test("bucketed join shuffles NEITHER side (bucketBy pre-pays the exchange)") {
+    Formats.withBucketedJoin(spark, dir, 8) { joined =>
+      import org.apache.spark.sql.functions.{col, count, lit}
+      val p = plan(joined.groupBy(col("o_orderpriority")).agg(count(lit(1)).as("n")))
+      assert(p.contains("SortMergeJoin"), s"expected sort-merge join in:\n$p")
+      assert(!p.contains("Exchange hashpartitioning(l_orderkey") &&
+        !p.contains("Exchange hashpartitioning(o_orderkey"),
+        s"bucketed scan must satisfy the join's distribution without a shuffle:\n$p")
+      assert(p.contains("Bucketed: true"), s"scan must actually read bucketed:\n$p")
+    }
+  }
+
   test("no corpus-derived frame carries a forced broadcast hint (q24, q5)") {
     // an explicit broadcast() hint bypasses AQE's size check, so a hint on
     // a corpus- or sf-proportional frame (q24's per-part aggregate, q5's
