@@ -51,7 +51,22 @@ object PipelineRegistry {
     lmPerplexityQ, oovRateQ, boilerplateQ,
     sampleMixtureQ, piiRedactQ, dedupClusterStatsQ, sourceOverlapQ, qualityDecilesQ,
     corpusShuffleQ, lengthBucketsQ, formatRoundtripQ, ngramNoveltyQ, tokenEntropyQ,
-    pipelineFullQ, docChunksCdcQ, chunkDedupQ, bucketedRevenueQ)
+    pipelineFullQ, docChunksCdcQ, chunkDedupQ, bucketedRevenueQ, partitionedRevenueQ)
+
+  /** Date-partitioned layout vs the unpartitioned oracle: the partition
+    * filter `date(ts) in [Jan 8, Jan 15)` is exactly `ts in [Jan 8 00:00,
+    * Jan 15 00:00)` on the raw column, so DuckDB recomputes the week from
+    * the original file while Spark reads only 7 of 30 directories. */
+  private val partitionedRevenueQ: (String, QFn, Option[String]) = (
+    "partitioned_revenue",
+    (s, d) => Formats.partitionedRevenue(s, d),
+    Some("""
+      SELECT event_type, count(*) AS n_events,
+             round(sum(CAST(value AS DECIMAL(18,2))), 2)::DOUBLE AS sum_value
+      FROM events
+      WHERE ts >= TIMESTAMP '2024-01-08' AND ts < TIMESTAMP '2024-01-15'
+      GROUP BY event_type ORDER BY event_type
+    """.trim))
 
   /** Bucketed co-located join vs the plain-join oracle — hash-identical
     * output proves the bucketed write+read+join path is row-lossless (the

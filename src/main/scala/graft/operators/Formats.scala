@@ -100,6 +100,44 @@ object Formats {
       spark.createDataFrame(spark.sparkContext.parallelize(rows.toSeq, 1), agg.schema)
     }
 
+  /** Partition-pruned scan: events written `partitionBy(event_date)` (30
+    * daily directories on this corpus), read back with a one-week
+    * predicate — the layout lever that turns a 100 TB full scan into a
+    * day-range read. The filter must resolve at METADATA level
+    * (PartitionFilters on the scan, asserted in PlanSpec — only the 7
+    * matching directories are listed), and the week's aggregate
+    * hash-matches the DuckDB oracle computed from the unpartitioned
+    * original, proving the partitioned write+read path row-lossless. */
+  def partitionedRevenue(spark: SparkSession, dir: String): DataFrame =
+    withPartitionedEvents(spark, dir) { week =>
+      val agg = week
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          round(sum(col("value").cast("decimal(18,2)")), 2).cast("double").as("sum_value"))
+        .orderBy(col("event_type"))
+      // materialize (one row per event type) before the temp dir deletes
+      val rows = agg.collect()
+      spark.createDataFrame(spark.sparkContext.parallelize(rows.toSeq, 1), agg.schema)
+    }
+
+  /** Write the date-partitioned events layout under a temp path, hand the
+    * week-filtered read-back frame to `f`, then delete the files. The
+    * filter is on the PARTITION column only, so it prunes directories
+    * instead of scanning rows. */
+  private[graft] def withPartitionedEvents[T](spark: SparkSession, dir: String)
+      (f: DataFrame => T): T = {
+    val base = java.nio.file.Files.createTempDirectory("graft_partitioned_")
+    try {
+      Tables.events(spark, dir)
+        .withColumn("event_date", to_date(col("ts")))
+        .write.mode("overwrite").partitionBy("event_date").parquet(s"$base/events")
+      f(spark.read.parquet(s"$base/events")
+        .where(col("event_date") >= lit("2024-01-08") && col("event_date") < lit("2024-01-15")))
+    } finally {
+      deleteRecursively(base)
+    }
+  }
+
   /** Create the bucketed twin tables under a temp path, hand the
     * exchange-free join to `f`, then drop the catalog entries + files. */
   private[graft] def withBucketedJoin[T](spark: SparkSession, dir: String,

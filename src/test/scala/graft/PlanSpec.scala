@@ -132,6 +132,22 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("date-partitioned events scan prunes to the filtered week's directories") {
+    Formats.withPartitionedEvents(spark, dir) { week =>
+      val p = plan(week)
+      assert(p.contains("PartitionFilters: [") && p.contains("event_date"),
+        s"expected metadata-level partition pruning in:\n$p")
+      // the predicate must NOT survive as a post-scan row filter
+      assert(!p.linesIterator.exists(l => l.trim.startsWith("+- Filter") && l.contains("event_date")),
+        s"partition predicate leaked into a row filter:\n$p")
+      // and the pruned read must see exactly the week's rows
+      import org.apache.spark.sql.functions.{col, to_date}
+      val expected = Tables.events(spark, dir)
+        .where(to_date(col("ts")) >= "2024-01-08" && to_date(col("ts")) < "2024-01-15").count()
+      assert(week.count() == expected, "pruned scan must cover the full week exactly")
+    }
+  }
+
   test("no corpus-derived frame carries a forced broadcast hint (q24, q5)") {
     // an explicit broadcast() hint bypasses AQE's size check, so a hint on
     // a corpus- or sf-proportional frame (q24's per-part aggregate, q5's
