@@ -51,7 +51,8 @@ object PipelineRegistry {
     lmPerplexityQ, oovRateQ, boilerplateQ,
     sampleMixtureQ, piiRedactQ, dedupClusterStatsQ, sourceOverlapQ, qualityDecilesQ,
     corpusShuffleQ, lengthBucketsQ, formatRoundtripQ, ngramNoveltyQ, tokenEntropyQ,
-    pipelineFullQ, docChunksCdcQ, chunkDedupQ, bucketedRevenueQ, partitionedRevenueQ)
+    pipelineFullQ, docChunksCdcQ, chunkDedupQ, bucketedRevenueQ, partitionedRevenueQ,
+    textSimTopKQ, shardManifestQ)
 
   /** Date-partitioned layout vs the unpartitioned oracle: the partition
     * filter `date(ts) in [Jan 8, Jan 15)` is exactly `ts in [Jan 8 00:00,
@@ -361,6 +362,34 @@ object PipelineRegistry {
              GROUP BY a.doc_id, b.doc_id),
       pr AS (SELECT id_a, id_b, ic.c::DOUBLE / (na.n + nb.n - ic.c) AS jaccard
              FROM ic JOIN cnt na ON id_a = na.doc_id JOIN cnt nb ON id_b = nb.doc_id)"""
+
+  /** Asymmetric retrieval twin of the pair CTEs: query side restricted to
+    * doc_id ≡ 0 (mod 100), rank on the RAW double (integer inputs + one
+    * division — bit-identical in both engines), ties broken by match id. */
+  private val textSimTopKQ: (String, QFn, Option[String]) = (
+    "text_sim_topk",
+    (s, d) => Dedup.textSimTopK(s, d),
+    Some(s"""
+      WITH s AS ($shingledCte),
+      ex AS (SELECT doc_id, ('0x' || substr(md5(sh1), 1, 15))::BIGINT AS s
+             FROM (SELECT doc_id, unnest(sh) AS sh1 FROM s)),
+      rare AS (SELECT s FROM (SELECT s, count(*) AS df FROM ex GROUP BY s)
+               WHERE df <= ${Dedup.DefaultMaxShingleDf}),
+      exf AS (SELECT ex.doc_id, ex.s FROM ex JOIN rare USING (s)),
+      cnt AS (SELECT doc_id, len(sh) AS n FROM s),
+      ic AS (SELECT a.doc_id AS qid, b.doc_id AS did, count(*) AS c
+             FROM exf a JOIN exf b ON a.s = b.s AND a.doc_id != b.doc_id
+             WHERE a.doc_id % 100 = 0
+             GROUP BY a.doc_id, b.doc_id),
+      sc AS (SELECT qid, did, ic.c::DOUBLE / (nq.n + nd.n - ic.c) AS jaccard
+             FROM ic JOIN cnt nq ON qid = nq.doc_id JOIN cnt nd ON did = nd.doc_id),
+      r AS (SELECT qid, did, jaccard,
+              row_number() OVER (PARTITION BY qid ORDER BY jaccard DESC, did ASC) AS rank
+            FROM sc)
+      SELECT qid AS query_doc, rank::BIGINT AS rank, did AS match_doc,
+             round(jaccard, 4) AS jaccard
+      FROM r WHERE rank <= 5 ORDER BY query_doc, rank
+    """.trim))
 
   private val dedupNgram: (String, QFn, Option[String]) = (
     "dedup_ngram_jaccard",
@@ -1142,6 +1171,16 @@ object PipelineRegistry {
     Some("""
       SELECT doc_id, lang, len(text)::BIGINT AS n_chars
       FROM documents WHERE md5(doc_id::VARCHAR) < '1a' ORDER BY doc_id
+    """.trim))
+
+  private val shardManifestQ: (String, QFn, Option[String]) = (
+    "shard_manifest",
+    (s, d) => CorpusPipeline.shardManifest(s, d),
+    Some("""
+      SELECT ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 16 AS shard,
+             count(*) AS n_docs, sum(n_chars)::BIGINT AS total_chars,
+             sum(('0x' || substr(md5(text), 1, 8))::BIGINT)::BIGINT AS content_sum
+      FROM documents GROUP BY shard ORDER BY shard
     """.trim))
 
   private val vocabTopKQ: (String, QFn, Option[String]) = (

@@ -82,6 +82,26 @@ object CorpusPipeline {
       .select(col("doc_id"), col("source"), col("target_rate"))
       .orderBy(col("doc_id"))
 
+  /** Sharded training-output manifest (webdataset-style): deterministic
+    * shard assignment (60-bit md5 id-hash mod `nShards` — the same
+    * arithmetic as [[sampleByHash]], stable under reruns/partitioning),
+    * per-shard doc/char counts and an order-independent content checksum
+    * (sum of 32-bit md5 prefixes — format_roundtrip's trick). This is the
+    * writer-side bookkeeping that makes a 100 TB sharded export verifiable
+    * shard-by-shard: one keyed aggregation, shuffle carries nShards ×
+    * partitions partial rows, never the corpus. */
+  def shardManifest(spark: SparkSession, dir: String, nShards: Int = 16): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"), col("n_chars"))
+      .withColumn("shard",
+        conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
+          .cast("long") % nShards)
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"),
+        sum(conv(substring(md5(col("text")), 1, 8), 16, 10).cast("long")).as("content_sum"))
+      .orderBy(col("shard"))
+
   /** The END-TO-END training-data prep pass — the composition a user of
     * this engine actually ships: clean (lang + quality + exact-dedup
     * survivorship) → mixture-weighted sampling → sequence packing of the

@@ -668,6 +668,44 @@ object Dedup {
     survivorsCache.clear()
   }
 
+  /** Near-dup RETRIEVAL: for each query doc (doc_id ≡ 0 mod `qMod` — a
+    * deterministic fixture, the id-hash-sampling idiom), the top-k most
+    * Jaccard-similar OTHER docs over the same shingle inverted index as
+    * the pair join — attribution / "find the source of this span" served
+    * as a query. Asymmetric form of [[dedupNgramJaccard]]: the query side
+    * is restricted BEFORE the index join, so fanout is per-query-shingle,
+    * and the df cutoff bounds each shingle's posting list exactly as in
+    * the pair join (oracle-mirrored). The rank window partitions by query
+    * id over candidates bounded by (shingles/doc)·maxDf — never the
+    * corpus. */
+  def textSimTopK(spark: SparkSession, dir: String, qMod: Long = 100, k: Int = 5,
+      maxDf: Int = DefaultMaxShingleDf): DataFrame = {
+    val counts = shingled(spark, dir).select(col("doc_id"), size(col("sh")).as("n"))
+    val exF = surrogates(spark, dir)
+      .withColumn("df", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("s"))))
+      .where(col("df") <= maxDf)
+      .drop("df")
+    val inter = exF.as("a").join(exF.as("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") =!= col("b.doc_id"))
+      .where(col("a.doc_id") % qMod === 0) // pushes below the join's a-side
+      .groupBy(col("a.doc_id").as("qid"), col("b.doc_id").as("did"))
+      .agg(count(lit(1)).as("c"))
+    val scored = inter
+      .join(counts.select(col("doc_id").as("qid"), col("n").as("nq")), "qid")
+      .join(counts.select(col("doc_id").as("did"), col("n").as("nd")), "did")
+      // integer inputs + one division: bit-identical across engines, so
+      // ranking on the RAW double (ties broken by id) is engine-stable
+      .withColumn("jaccard", col("c").cast("double") / (col("nq") + col("nd") - col("c")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("jaccard").desc, col("did").asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select(col("qid").as("query_doc"), col("rank"), col("did").as("match_doc"),
+        round(col("jaccard"), 4).as("jaccard"))
+      .orderBy(col("query_doc"), col("rank"))
+  }
+
   /** Embedding-cosine near-dup pairs (exact all-pairs form — the oracle
     * twin; the LSH-bucketed scale path lives in [[Similarity]]). Norms are
     * precomputed per row BEFORE the join, so each pair pays one dot-product

@@ -59,6 +59,26 @@ class PipelineSpec extends AnyFunSuite {
     assert(lsh.size.toDouble / exact.size >= 0.5, s"lsh recall ${lsh.size}/${exact.size}")
   }
 
+  test("text_sim_topk: contiguous ranks, non-increasing jaccard, no self-matches") {
+    val rows = Dedup.textSimTopK(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.nonEmpty, "query fixture must retrieve matches")
+    assert(rows.forall { case (q, _, m, _) => q != m }, "a query must not match itself")
+    rows.groupBy(_._1).foreach { case (q, rs) =>
+      val sorted = rs.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq == (1L to sorted.length).toSeq, s"ranks not contiguous for $q")
+      assert(sorted.sliding(2).forall(p => p.length < 2 || p(0)._4 >= p(1)._4),
+        s"jaccard must be non-increasing down the ranks for $q")
+    }
+  }
+
+  test("shard manifest partitions the corpus exactly once") {
+    val rows = CorpusPipeline.shardManifest(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(rows.map(_._1).forall(s => s >= 0 && s < 16), "shard ids in range")
+    assert(rows.map(_._2).sum == 500, "every doc lands in exactly one shard")
+  }
+
   test("semdedup pairs are exact-verified (subset), recall >= 0.6, survivors consistent") {
     val exact = pairSet(Dedup.dedupEmbeddingCosine(spark, dir))
     val sem = pairSet(Similarity.semdedupPairs(spark, dir))
