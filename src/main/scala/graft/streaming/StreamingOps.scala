@@ -167,6 +167,32 @@ object StreamingOps {
       .select(col("doc_id"), col("ts"), col("n_tokens"), col("quality_score"))
   }
 
+  /** The COMPOSED streaming ingest pass — the ingestion-side twin of the
+    * batch [[graft.operators.CorpusPipeline.cleanCorpus]] + audit window:
+    * quality/lang filter (stateless, the shared batch expressions) →
+    * exact dedup within the watermark horizon (bounded state) →
+    * per-5-minute accepted-doc counts. Three individually-spec'd stages in
+    * ONE query — the spec gates the COMPOSITION, i.e. that the chained
+    * stateful pair (dropDuplicatesWithinWatermark → windowed agg) emits
+    * batch-equivalent counts. The filter runs BEFORE the watermark node,
+    * so only admissible docs advance event time; rejected docs cost no
+    * state anywhere. */
+  def streamingIngestPipeline(docs: DataFrame, lang: String = "en",
+      minQuality: Double = 0.5, watermark: String = "10 minutes"): DataFrame = {
+    val spark = docs.sparkSession
+    docs
+      .select(col("doc_id").cast("long").as("doc_id"), col("ts"), col("text"),
+        round(graft.operators.TextAnalysis.qualityExpr(spark), 4).as("quality_score"),
+        graft.operators.TextAnalysis.predLangExpr(spark).as("pred_lang"))
+      .where(col("pred_lang") === lang && col("quality_score") >= minQuality)
+      .withColumn("content_hash", md5(trim(regexp_replace(lower(col("text")), "\\s+", " "))))
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("content_hash")
+      .groupBy(window(col("ts"), "5 minutes"))
+      .agg(count(lit(1)).as("n_accepted"))
+      .select(col("window.start").as("win_start"), col("n_accepted"))
+  }
+
   /** Streaming MinHash-LSH near-dup candidates — the ingestion-side twin of
     * [[graft.operators.Dedup.dedupMinhash]]'s candidate generation: each
     * arriving doc is hashed with the SAME banded affine family (bit-identity

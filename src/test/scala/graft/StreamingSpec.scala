@@ -442,6 +442,42 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("composed ingest pipeline (quality -> dedup -> window) matches batch survivor count") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Doc]
+    val q = StreamingOps.streamingIngestPipeline(input.toDF())
+      .writeStream.format("memory").queryName("ingest_out")
+      .outputMode("append").start()
+    try {
+      // batch ground truth: quality+lang+exact-dedup survivors of the
+      // real corpus slice — the streaming composition must admit exactly
+      // this many docs (per content hash both sides keep ONE row)
+      val expected = graft.operators.CorpusPipeline
+        .cleanCorpus(spark, "/root/testdata/sf0.001").count()
+      val docs = graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
+        .select("doc_id", "text").collect()
+        .map(r => Doc(r.getLong(0), ts(60), r.getString(1)))
+      // one passing doc far in the future advances the watermark past the
+      // first window's end (it must clear the quality filter — rejected
+      // docs never reach the watermark node and advance nothing)
+      val passing = graft.operators.CorpusPipeline
+        .cleanCorpus(spark, "/root/testdata/sf0.001")
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      val advancer = docs.find(d => passing.contains(d.doc_id)).get
+      input.addData(docs.toSeq)
+      q.processAllAvailable()
+      input.addData(Doc(advancer.doc_id + 1000000L, ts(90), advancer.text))
+      q.processAllAvailable()
+      input.addData(Doc(advancer.doc_id + 2000000L, ts(91), advancer.text))
+      q.processAllAvailable()
+      val rows = spark.table("ingest_out").collect()
+        .map(r => r.getTimestamp(0).getTime / 60000L -> r.getLong(1)).toMap
+      assert(rows.get(60L).contains(expected),
+        s"window [60,65) must admit the batch survivor count $expected, got $rows")
+    } finally q.stop()
+  }
+
   test("streaming media features parse arriving payloads with the batch decoder") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
