@@ -478,6 +478,46 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("parquet sink + checkpoint: dedup state and offsets survive a query restart") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt_")
+    val out = java.nio.file.Files.createTempDirectory("graft_sink_")
+    val input = MemoryStream[Doc]
+    def start() = StreamingOps.streamingDedup(input.toDF())
+      .writeStream.format("parquet").option("path", out.toString)
+      .option("checkpointLocation", ckpt.toString)
+      .outputMode("append").start()
+    try {
+      val q1 = start()
+      try {
+        input.addData(Doc(1, ts(60), "alpha text here"), Doc(2, ts(61), "alpha  TEXT here "))
+        q1.processAllAvailable() // doc 2 normalizes to doc 1's hash -> dropped
+      } finally q1.stop()
+      // restart against the same checkpoint: committed offsets must not
+      // replay batch 1 into the sink, and the dedup state store must
+      // restore — an in-watermark duplicate arriving AFTER the restart is
+      // still dropped (the recovery property a 100 TB ingest job relies on)
+      val q2 = start()
+      try {
+        input.addData(Doc(3, ts(62), "beta text here"), Doc(4, ts(63), "ALPHA text  here"))
+        q2.processAllAvailable()
+      } finally q2.stop()
+      val kept = spark.read.parquet(out.toString)
+        .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+      assert(kept == Seq(1L, 3L),
+        s"restart must neither replay doc 1 nor forget doc 1's hash (got $kept)")
+    } finally {
+      for (base <- Seq(ckpt, out)) {
+        import scala.jdk.CollectionConverters._
+        val walk = java.nio.file.Files.walk(base)
+        val paths = try walk.iterator().asScala.toList finally walk.close()
+        paths.sortBy(-_.getNameCount)
+          .foreach(p => scala.util.Try(java.nio.file.Files.deleteIfExists(p)))
+      }
+    }
+  }
+
   test("streaming media features parse arriving payloads with the batch decoder") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
