@@ -41,7 +41,7 @@ object PipelineRegistry {
     dedupIncrementalQ, mmGzipQ,
     textStats, langId, tokenCount, docFingerprint,
     simCosineTopK, simIpTopK, simJoinThreshold,
-    lshCosineGateQ, lshL2GateQ, ivfGateQ, pqGateQ, semdedupGateQ, embedDimStatsQ,
+    lshCosineGateQ, lshL2GateQ, ivfGateQ, pqGateQ, semdedupGateQ, embedDimStatsQ, embedDimCovQ,
     sqQuantize, sqReport, bqQuantizeQ, bqSearchQ, bqRerankQ,
     mmJoin, mmBinaryStats, mmMediaFeatures, mmThumbnailQ, mmFrameSampleQ, mmAudioSampleQ,
     sampleHashQ, pipelineCleanQ, vocabTopKQ, lengthPctQ, percentileGateQ, embedNormalizeQ, tfIdfQ,
@@ -852,6 +852,21 @@ object PipelineRegistry {
              (sum(vm * vm) % 1000000000000000000)::BIGINT AS sumsq_lo,
              round(min(v)::DOUBLE, 4) AS min_v, round(max(v)::DOUBLE, 4) AS max_v
       FROM ex GROUP BY pos ORDER BY pos
+    """.trim))
+
+  /** Signed exact sums ride as strings: HUGEINT::VARCHAR and Spark's
+    * decimal(38,0)→string both render a plain integer. */
+  private val embedDimCovQ: (String, QFn, Option[String]) = (
+    "embed_dim_cov",
+    (s, d) => Similarity.embedDimCov(s, d),
+    Some("""
+      WITH e AS (SELECT list_transform(embedding, v -> floor(v::DOUBLE * 1e6 + 0.5)::BIGINT) AS vm
+                 FROM embeddings),
+      p AS (SELECT a.i, b.j, vm[a.i + 1] * vm[b.j + 1] AS prod
+            FROM e, unnest(range(0, len(vm) - 1)) AS a(i), unnest(range(0, len(vm))) AS b(j)
+            WHERE b.j > a.i)
+      SELECT i, j, count(*) AS n, sum(prod)::VARCHAR AS sumprod
+      FROM p GROUP BY i, j ORDER BY i, j
     """.trim))
 
   private val lshCosineGateQ: (String, QFn, Option[String]) = (

@@ -181,6 +181,32 @@ object Similarity {
       .orderBy(col("pos"))
   }
 
+  /** Cross-dimension covariance accumulators — the QC step after
+    * [[embedDimStats]] (correlated/redundant dims are the signal that PCA
+    * or dim-folding would pay off before indexing): exact Σ vmᵢ·vmⱼ for
+    * every dim pair i<j in the same half-up micro-unit integers, so the
+    * sums are order-independent and cov(i,j) = (n·Sᵢⱼ − Sᵢ·Sⱼ)/n² is
+    * computable downstream from this + embedDimStats without re-scanning.
+    * The pair explode emits C(dim,2) rows per vector, but partial
+    * aggregation bounds the shuffle at pairs × partitions — never
+    * corpus × pairs. Products are SIGNED, so the exact value is emitted
+    * as a decimal→STRING (plain integer rendering is engine-identical;
+    * raw decimal output canonicalization is not — the r6 lesson, and
+    * signed hi/lo div/mod would add a truncation-vs-floor trap). */
+  def embedDimCov(spark: SparkSession, dir: String): DataFrame = {
+    val vm = transform(col("embedding"), v => floor(v.cast("double") * 1e6 + 0.5).cast("long"))
+    Tables.embeddings(spark, dir)
+      .select(vm.as("vm"))
+      .select(explode(flatten(transform(sequence(lit(0), size(col("vm")) - 2), i =>
+        transform(sequence(i + 1, size(col("vm")) - 1), j =>
+          struct(i.cast("long").as("i"), j.cast("long").as("j"),
+            (element_at(col("vm"), i + 1) * element_at(col("vm"), j + 1)).as("p")))))).as("x"))
+      .groupBy(col("x.i").as("i"), col("x.j").as("j"))
+      .agg(count(lit(1)).as("n"), sum(col("x.p").cast("decimal(38,0)")).as("sp"))
+      .select(col("i"), col("j"), col("n"), col("sp").cast("string").as("sumprod"))
+      .orderBy(col("i"), col("j"))
+  }
+
   /** Unit-normalize embeddings — the vector-ETL step before cosine indexing
     * (what `metric="cos"` does internally, exposed as a standalone op).
     * Narrow transform, no shuffle. The unit vector is emitted as a string of
