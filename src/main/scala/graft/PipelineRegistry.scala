@@ -52,7 +52,7 @@ object PipelineRegistry {
     sampleMixtureQ, piiRedactQ, dedupClusterStatsQ, sourceOverlapQ, qualityDecilesQ,
     corpusShuffleQ, lengthBucketsQ, formatRoundtripQ, ngramNoveltyQ, tokenEntropyQ,
     pipelineFullQ, docChunksCdcQ, chunkDedupQ, bucketedRevenueQ, partitionedRevenueQ,
-    textSimTopKQ, shardManifestQ)
+    textSimTopKQ, shardManifestQ, decontaminateQ, splitAssignQ)
 
   /** Date-partitioned layout vs the unpartitioned oracle: the partition
     * filter `date(ts) in [Jan 8, Jan 15)` is exactly `ts in [Jan 8 00:00,
@@ -1186,6 +1186,40 @@ object PipelineRegistry {
     Some("""
       SELECT doc_id, lang, len(text)::BIGINT AS n_chars
       FROM documents WHERE md5(doc_id::VARCHAR) < '1a' ORDER BY doc_id
+    """.trim))
+
+  /** The removal form reuses contamination_check's own CTE chain for the
+    * dirty set, then anti-joins — oracle mirrored with NOT EXISTS. */
+  private val decontaminateQ: (String, QFn, Option[String]) = (
+    "decontaminate",
+    (s, d) => Dedup.decontaminate(s, d),
+    Some(s"""
+      WITH s AS ($shingledCte),
+      ex0 AS (SELECT doc_id, ('0x' || substr(md5(sh1), 1, 15))::BIGINT AS s
+              FROM (SELECT doc_id, unnest(sh) AS sh1 FROM s)),
+      rare AS (SELECT s FROM (SELECT s, count(*) AS df FROM ex0 GROUP BY s)
+               WHERE df <= ${Dedup.DefaultMaxShingleDf}),
+      ex AS (SELECT ex0.doc_id, ex0.s FROM ex0 JOIN rare USING (s)),
+      tr AS (SELECT doc_id AS train_id, s FROM ex WHERE doc_id < 450),
+      be AS (SELECT doc_id AS bench_id, s FROM ex WHERE doc_id >= 450),
+      dirty AS (SELECT train_id FROM tr JOIN be USING (s)
+                GROUP BY train_id, bench_id HAVING count(*) >= 3)
+      SELECT doc_id, lang, len(text)::BIGINT AS n_chars
+      FROM documents d
+      WHERE doc_id < 450 AND NOT EXISTS (SELECT 1 FROM dirty WHERE train_id = d.doc_id)
+      ORDER BY doc_id
+    """.trim))
+
+  private val splitAssignQ: (String, QFn, Option[String]) = (
+    "split_assign",
+    (s, d) => CorpusPipeline.splitAssign(s, d),
+    Some("""
+      SELECT CASE WHEN b < 98 THEN 'train' WHEN b = 98 THEN 'val' ELSE 'test' END AS split,
+             lang, count(*) AS n_docs, sum(len(text))::BIGINT AS total_chars
+      FROM (SELECT lang, text,
+              ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 100 AS b
+            FROM documents)
+      GROUP BY split, lang ORDER BY split, lang
     """.trim))
 
   private val shardManifestQ: (String, QFn, Option[String]) = (

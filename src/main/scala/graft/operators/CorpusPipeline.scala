@@ -82,6 +82,24 @@ object CorpusPipeline {
       .select(col("doc_id"), col("source"), col("target_rate"))
       .orderBy(col("doc_id"))
 
+  /** Deterministic train/val/test split — holdout creation as a pure
+    * function of the doc id (the [[sampleByHash]] idiom: same doc lands in
+    * the same split under any partitioning, rerun, or engine). The 60-bit
+    * id-hash mod 100 buckets map 0-97→train, 98→val, 99→test; output is
+    * the per-(split, lang) audit counts (the assignment itself is the
+    * expression — join-free, scan-speed). */
+  def splitAssign(spark: SparkSession, dir: String): DataFrame = {
+    val bucket = conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
+      .cast("long") % 100
+    Tables.documents(spark, dir)
+      .withColumn("split",
+        when(bucket < 98, "train").when(bucket === 98, "val").otherwise("test"))
+      .groupBy(col("split"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(length(col("text")).cast("long")).as("total_chars"))
+      .orderBy(col("split"), col("lang"))
+  }
+
   /** Sharded training-output manifest (webdataset-style): deterministic
     * shard assignment (60-bit md5 id-hash mod `nShards` — the same
     * arithmetic as [[sampleByHash]], stable under reruns/partitioning),

@@ -668,6 +668,23 @@ object Dedup {
     survivorsCache.clear()
   }
 
+  /** Decontamination — the REMOVAL form of [[contaminationCheck]]: the
+    * training slice with every doc sharing ≥ `minShared` (df-capped)
+    * shingles with ANY held-out doc dropped via LEFT ANTI join — what a
+    * pipeline actually ships after the check reports. Emits the surviving
+    * train docs; the contaminated-set build is the check's own join, so
+    * the two cannot drift. */
+  def decontaminate(spark: SparkSession, dir: String, benchStart: Long = 450,
+      minShared: Int = 3, maxDf: Int = DefaultMaxShingleDf): DataFrame = {
+    val dirty = contaminationCheck(spark, dir, benchStart, minShared, maxDf)
+      .select(col("train_id")).distinct()
+    Tables.documents(spark, dir)
+      .where(col("doc_id") < benchStart)
+      .join(dirty, col("doc_id") === col("train_id"), "left_anti")
+      .select(col("doc_id"), col("lang"), length(col("text")).cast("long").as("n_chars"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Near-dup RETRIEVAL: for each query doc (doc_id ≡ 0 mod `qMod` — a
     * deterministic fixture, the id-hash-sampling idiom), the top-k most
     * Jaccard-similar OTHER docs over the same shingle inverted index as
