@@ -49,6 +49,45 @@ class JoinStrategySpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("AQE splits a skewed shuffle-join partition at runtime (skew=true)") {
+    import spark.implicits._
+    // the third skew lever next to manual salting (Joins.saltedJoin) and
+    // write-time bucketing: AQE detects the oversized partition AFTER the
+    // map stage and splits it, no code change on the query. Thresholds are
+    // lowered so the test corpus triggers the rewrite.
+    val restore = Seq(
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "65536",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "32768",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+      .map { case (k, v) =>
+        val prev = spark.conf.getOption(k)
+        spark.conf.set(k, v)
+        k -> prev
+      }
+    try {
+      // 2M rows on ONE key, a trickle on 100 others: the hot key's
+      // shuffle partition dwarfs the median even after compression
+      // (skew detection reads compressed map-output sizes)
+      val left = spark.range(2000000).select(lit(0L).as("k"), col("id").as("v"))
+        .union(spark.range(10000).select((col("id") % 100 + 1).as("k"), col("id").as("v")))
+      val right = spark.range(101).select(col("id").as("k"), (col("id") * 2).as("w"))
+      val j = left.join(right, "k").agg(count(lit(1)).as("n"), sum(col("w")).as("sw"))
+      val rows = j.collect()
+      assert(rows.head.getLong(0) == 2010000L, "join must be row-complete under the split")
+      val p = j.queryExecution.executedPlan.toString
+      assert(p.contains("skew=true"),
+        s"AQE must mark the skewed join side split at runtime:\n$p")
+    } finally restore.foreach { case (k, prev) =>
+      prev match {
+        case Some(v) => spark.conf.set(k, v)
+        case None => spark.conf.unset(k)
+      }
+    }
+  }
+
   test("salted join is row-identical to the plain join") {
     val li = Tables.lineitem(spark, dir).select(col("l_orderkey"), col("l_quantity"))
     val orders = Tables.orders(spark, dir)
