@@ -829,6 +829,37 @@ class PipelineSpec extends AnyFunSuite {
       "shared spans across near-dup docs must produce shared chunk hashes")
   }
 
+  test("cdc chunking: a prefix edit disturbs only chunks before the next boundary") {
+    import spark.implicits._
+    // the guarantee fixed-stride chunking cannot give: boundaries are a
+    // pure function of LOCAL content, so inserting tokens at the front
+    // must leave every chunk after the first surviving boundary
+    // hash-identical. (If an inserted token happens to be a boundary the
+    // head splits differently, but the tail-subset property still holds.)
+    val base = (0 until 200).map(i => s"tok$i").mkString(" ")
+    val edited = "inserted prefix words here " + base
+    val tmp = java.nio.file.Files.createTempDirectory("graft_cdc_")
+    try {
+      Seq((1L, base), (2L, edited)).toDF("doc_id", "text")
+        .write.parquet(s"$tmp/documents.parquet")
+      val rows = TextAnalysis.docChunksCdc(spark, tmp.toString).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getAs[String]("chunk_hash")))
+      val h1 = rows.filter(_._1 == 1L).sortBy(_._2).map(_._3)
+      val h2 = rows.filter(_._1 == 2L).map(_._3).toSet
+      assert(h1.length >= 3, s"fixture must produce several chunks, got ${h1.length}")
+      assert(h1.drop(1).forall(h2.contains),
+        "every chunk after the first boundary must survive the prefix edit")
+      assert(!h2.contains(h1.head) || h1.drop(1).forall(h2.contains),
+        "only the head chunk may differ")
+    } finally {
+      import scala.jdk.CollectionConverters._
+      val walk = java.nio.file.Files.walk(tmp)
+      val paths = try walk.iterator().asScala.toList finally walk.close()
+      paths.sortBy(-_.getNameCount)
+        .foreach(p => scala.util.Try(java.nio.file.Files.deleteIfExists(p)))
+    }
+  }
+
   test("all registered queries execute and agree with declared column names at sf0.001") {
     val smokeDir = "/root/testdata/sf0.001"
     SparkEntry.queries.foreach { case (name, fn) =>
