@@ -378,28 +378,100 @@ object Similarity {
   def semdedupPairs(spark: SparkSession, dir: String, threshold: Double = 0.4,
       nCells: Int = 8, nAssign: Int = 2): DataFrame =
     cachedPairs(spark, dir, s"semdedup:$threshold:$nCells:$nAssign") {
-      import spark.implicits._
-      val (_, centroids) = coarseCentroids(spark, dir, nCells)
-      val bcC = spark.sparkContext.broadcast(centroids)
-      val keyed = Tables.embeddings(spark, dir)
-        .select(col("vec_id"), col("embedding").cast("array<float>"))
-        .as[(Long, Array[Float])]
-        .flatMap { case (id, v) => nearestCells(v, bcC.value, nAssign).map(c => (id, c)) }
-        .toDF("vec_id", "cell")
-      val cand = keyed.as("a").join(keyed.as("b"),
-          col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
-        .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
-        .distinct()
-      val emb = Tables.embeddings(spark, dir)
-        .select(col("vec_id"), col("embedding"), normNative(spark, col("embedding")).as("nrm"))
-      cand
-        .join(emb.select(col("vec_id").as("id_a"), col("embedding").as("va"), col("nrm").as("na")), "id_a")
-        .join(emb.select(col("vec_id").as("id_b"), col("embedding").as("vb"), col("nrm").as("nb")), "id_b")
-        .withColumn("cos", dotNative(spark, col("va"), col("vb")) / (col("na") * col("nb")))
-        .where(col("cos") >= threshold)
-        .select(col("id_a"), col("id_b"), round(col("cos"), 4).as("cos"))
-        .orderBy(col("id_a"), col("id_b"))
+      semdedupPairsOf(spark,
+        Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding")),
+        threshold, nCells, nAssign)
     }
+
+  /** [[semdedupPairs]] over any (vec_id, embedding) frame — the surface
+    * the hot-cell spec drives with a synthetic skewed corpus. */
+  def semdedupPairsOf(spark: SparkSession, emb0: DataFrame, threshold: Double,
+      nCells: Int, nAssign: Int, maxCellSize: Long = 100000L): DataFrame = {
+    val keyed = semdedupKeys(spark, emb0, nCells, nAssign, maxCellSize)
+    val cand = keyed.as("a").join(keyed.as("b"),
+        col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
+      .distinct()
+    val emb = emb0
+      .select(col("vec_id"), col("embedding"), normNative(spark, col("embedding")).as("nrm"))
+    cand
+      .join(emb.select(col("vec_id").as("id_a"), col("embedding").as("va"), col("nrm").as("na")), "id_a")
+      .join(emb.select(col("vec_id").as("id_b"), col("embedding").as("vb"), col("nrm").as("nb")), "id_b")
+      .withColumn("cos", dotNative(spark, col("va"), col("vb")) / (col("na") * col("nb")))
+      .where(col("cos") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("cos"), 4).as("cos"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** The (vec_id, cell-key) assignment frame, with HOT-CELL SUB-CLUSTERING:
+    * any coarse cell holding more than `maxCellSize` members gets a
+    * second-level quantizer trained on a bounded per-cell sample (id-hash
+    * rate-limited to ≤4096 vectors per hot cell, then one Lloyd pass on the
+    * driver — hot cells ≤ nCells, so the collect is bounded by
+    * construction), and its members re-key to (cell, sub-cell) with the
+    * same soft assignment. Below the cap the second level is INERT (keys
+    * are the coarse cells verbatim), so the registered gate's path is
+    * untouched at oracle scale while the Σ|cell|² candidate bound actually
+    * holds when the corpus piles into one coarse cell — the IVF-style
+    * coarse→fine hierarchy realized with the machinery already here. */
+  private[graft] def semdedupKeys(spark: SparkSession, emb0: DataFrame,
+      nCells: Int, nAssign: Int, maxCellSize: Long): DataFrame = {
+    import spark.implicits._
+    val e = emb0
+      .select(col("vec_id"), col("embedding").cast("array<float>"))
+      .as[(Long, Array[Float])]
+    val sample = e.filter(_._1 < 4096).collect().sortBy(_._1)
+    val init = (0 until nCells).map(i => sample((i * sample.length) / nCells)._2).toArray
+    val centroids = lloydOnce(sample.map(_._2), init)
+    val bcC = spark.sparkContext.broadcast(centroids)
+    val coarse = e
+      .flatMap { case (id, v) => nearestCells(v, bcC.value, nAssign).map(c => (id, v, c)) }
+      .toDF("vec_id", "vec", "c0")
+    val hotSizes = coarse.groupBy(col("c0")).agg(count(lit(1)).as("m"))
+      .where(col("m") > maxCellSize)
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    if (hotSizes.isEmpty)
+      coarse.select(col("vec_id"), col("c0").cast("string").as("cell"))
+    else {
+      val hotSet = hotSizes.keySet
+      // bounded per-cell sample: uniform id-hash thinning to ~4096 per cell
+      val hashU = conv(substring(md5(col("vec_id").cast("string")), 1, 15), 16, 10)
+        .cast("double") / 1152921504606846976.0
+      val rates = hotSizes.map { case (c, m) => c -> math.min(1.0, 4096.0 / m) }
+      val rateCol = rates.foldLeft(lit(1.0)) { case (acc, (c, r)) =>
+        when(col("c0") === c, lit(r)).otherwise(acc)
+      }
+      val subSamples = coarse
+        .where(col("c0").isInCollection(hotSet) && hashU < rateCol)
+        .select(col("c0"), col("vec"))
+        .as[(Int, Array[Float])]
+        .collect()
+        .groupBy(_._1)
+      // the SUB level clusters DIRECTIONS (unit-normalized vectors): this
+      // is a cosine dedup, so a cell that is one dense L2 blob around the
+      // origin (where raw-L2 k-means collapses to a single centroid and
+      // splits nothing) still separates on the sphere — and cosine twins
+      // share a direction, so they land in the same sub-cell by
+      // construction. The coarse level stays raw-L2, shared with ivf.
+      val subCentroids: Map[Int, Array[Array[Float]]] = subSamples.map { case (c, rows) =>
+        val pts = rows.map(r => unit(r._2))
+        val want = math.max(2, math.min(64,
+          math.ceil(2.0 * hotSizes(c) / maxCellSize).toInt))
+        val k = math.min(want, pts.length)
+        val ini = (0 until k).map(i => pts((i * pts.length) / k)).toArray
+        c -> lloydOnce(pts, ini)
+      }
+      val bcSub = spark.sparkContext.broadcast(subCentroids)
+      coarse.as[(Long, Array[Float], Int)].flatMap { case (id, v, c) =>
+        bcSub.value.get(c) match {
+          case Some(subs) =>
+            nearestCells(unit(v), subs, math.min(nAssign, subs.length))
+              .map(s => (id, s"$c/$s"))
+          case None => Seq((id, c.toString))
+        }
+      }.toDF("vec_id", "cell")
+    }
+  }
 
   /** Survivor selection over the SemDeDup pair graph — the same fixpoint
     * CC + min-label canonicalization as every other dedup modality, so a
@@ -463,6 +535,14 @@ object Similarity {
       .as[(Long, Array[Float])]
       .map { case (id, v) => (id, v, nearestCells(v, bcC.value, 1).head) }
       .toDF("vec_id", "vec", "cell")
+  }
+
+  private def unit(v: Array[Float]): Array[Float] = {
+    var s = 0.0
+    var i = 0
+    while (i < v.length) { s += v(i).toDouble * v(i); i += 1 }
+    val n = math.sqrt(s)
+    if (n == 0.0) v else v.map(x => (x / n).toFloat)
   }
 
   private def nearestCells(v: Array[Float], cs: Array[Array[Float]], n: Int): Seq[Int] =

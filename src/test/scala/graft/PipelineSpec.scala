@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.operators._
@@ -93,6 +94,52 @@ class PipelineSpec extends AnyFunSuite {
     assert(surv.length == 500, "every embedding row must appear exactly once")
     assert(surv.forall { case (id, canon, s) => canon <= id && (s == 1) == (canon == id) },
       "canonical = component min; survivor iff self-canonical")
+  }
+
+  test("semdedup hot-cell sub-clustering bounds candidate groups, keeps twin recall") {
+    import spark.implicits._
+    // 2600 tiny-norm vectors share one coarse L2 cell (directions random,
+    // so only the 100 planted twin pairs clear cos >= 0.95); 400 big-norm
+    // vectors spread across the others. maxCellSize=500 forces the blob
+    // cell through the second-level quantizer.
+    val rng = new scala.util.Random(7)
+    def dir8() = Array.fill(8)(rng.nextGaussian().toFloat)
+    def scaled(v: Array[Float], s: Float) = v.map(_ * s)
+    val rows = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Float])]
+    var id = 0L
+    while (id < 2600L) {
+      val d = dir8()
+      if (id < 200) { // twins 2i/2i+1: same direction, slightly different norm
+        rows += ((id, scaled(d, 0.10f))); rows += ((id + 1, scaled(d, 0.101f)))
+        id += 2
+      } else { rows += ((id, scaled(d, 0.10f))); id += 1 }
+    }
+    while (id < 3000L) { rows += ((id, scaled(dir8(), 10f))); id += 1 }
+    val emb = rows.toSeq.toDF("vec_id", "embedding")
+    val keyed = Similarity.semdedupKeys(spark, emb, nCells = 8, nAssign = 2, maxCellSize = 500L)
+    val maxGroup = keyed.groupBy("cell").count().agg(org.apache.spark.sql.functions.max("count"))
+      .head().getLong(0)
+    assert(maxGroup <= 1500, s"hot cell must split into bounded sub-cells, max group $maxGroup")
+    assert(keyed.select("cell").distinct().count() > 8,
+      "second-level keys must actually appear for the hot cell")
+    val sem = Similarity.semdedupPairsOf(spark, emb, threshold = 0.95,
+        nCells = 8, nAssign = 2, maxCellSize = 500L)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairSet {
+      val e = emb.select(col("vec_id"), col("embedding"),
+        graft.functions.NativeVectorFunctions.normNative(spark, col("embedding")).as("nrm"))
+      e.select(col("vec_id").as("id_a"), col("embedding").as("va"), col("nrm").as("na"))
+        .crossJoin(e.select(col("vec_id").as("id_b"), col("embedding").as("vb"), col("nrm").as("nb")))
+        .where(col("id_a") < col("id_b"))
+        .where(graft.functions.NativeVectorFunctions.dotNative(spark, col("va"), col("vb"))
+          / (col("na") * col("nb")) >= 0.95)
+        .select(col("id_a"), col("id_b"))
+    }
+    val twins = (0L until 200L by 2).map(i => (i, i + 1)).toSet
+    assert(twins.subsetOf(exact), "planted twins must clear the exact threshold")
+    assert(sem.subsetOf(exact), "sub-clustered pairs stay exact-verified")
+    val hit = twins.count(sem.contains).toDouble / twins.size
+    assert(hit >= 0.9, s"twin recall through the sub-clustered cell must hold, got $hit")
   }
 
   test("ivf search recall@5 >= 0.6 vs exact L2 top-5") {
