@@ -41,7 +41,8 @@ object PipelineRegistry {
     dedupIncrementalQ, mmGzipQ,
     textStats, langId, tokenCount, docFingerprint,
     simCosineTopK, simIpTopK, simJoinThreshold,
-    lshCosineGateQ, lshL2GateQ, ivfGateQ, pqGateQ, semdedupGateQ, embedDimStatsQ, embedDimCovQ,
+    lshCosineGateQ, lshL2GateQ, ivfGateQ, pqGateQ, semdedupGateQ, prototypeGateQ,
+    embedDimStatsQ, embedDimCovQ,
     sqQuantize, sqReport, bqQuantizeQ, bqSearchQ, bqRerankQ,
     mmJoin, mmBinaryStats, mmMediaFeatures, mmThumbnailQ, mmFrameSampleQ, mmAudioSampleQ,
     sampleHashQ, pipelineCleanQ, vocabTopKQ, lengthPctQ, percentileGateQ, embedNormalizeQ, tfIdfQ,
@@ -895,6 +896,15 @@ object PipelineRegistry {
             FROM e a JOIN e b ON a.vec_id < b.vec_id)
       SELECT count(*) AS n_exact_pairs, TRUE AS subset_ok, TRUE AS recall_ok
       FROM p WHERE cos >= 0.4
+    """.trim))
+
+  /** Structural gate: corpus count oracle-recomputed; per-cell exact keep
+    * counts and the distance-prefix property asserted as literal flags. */
+  private val prototypeGateQ: (String, QFn, Option[String]) = (
+    "prototype_gate",
+    (s, d) => Similarity.prototypeGate(s, d),
+    Some("""
+      SELECT count(*) AS n_total, TRUE AS frac_ok, TRUE AS prefix_ok FROM embeddings
     """.trim))
 
   private val lshL2GateQ: (String, QFn, Option[String]) = (

@@ -482,6 +482,85 @@ object Similarity {
       semdedupPairs(spark, dir, threshold, nCells).select(col("id_a"), col("id_b")),
       Tables.embeddings(spark, dir).select(col("vec_id").as("doc_id")))
 
+  /** SSL-prototypes-style redundancy pruning (Sorscher et al. 2022 —
+    * composed with SemDeDup in Meta's D4 recipe): within each coarse cell,
+    * the docs CLOSEST to the cell centroid are the most prototypical (the
+    * least informative to train on), so the nearest `pruneFrac` per cell
+    * is dropped and everything else — including every outlier, which by
+    * construction sits far from its centroid — survives. Centroids are
+    * EXACT: per-(cell, dim) sums of half-up micro-unit longs (integer
+    * arithmetic, order-independent) divided once at the end, so distances
+    * and therefore keep/drop decisions are deterministic under any
+    * partitioning — a float avg() would let 1-ulp drift flip a rank. The
+    * per-cell rank rides a window partitioned by cell (bounded by the
+    * quantizer's granularity, never a global sort). */
+  def prototypePrune(spark: SparkSession, dir: String, pruneFrac: Double = 0.2,
+      nCells: Int = 8): DataFrame =
+    prototypePruneOf(spark,
+      Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding")),
+      pruneFrac, nCells)
+
+  /** Frame form of [[prototypePrune]] — the spec drives it with planted
+    * outliers. */
+  def prototypePruneOf(spark: SparkSession, emb0: DataFrame, pruneFrac: Double,
+      nCells: Int): DataFrame = {
+    import spark.implicits._
+    val e = emb0
+      .select(col("vec_id"), col("embedding").cast("array<float>"))
+      .as[(Long, Array[Float])]
+    val sample = e.filter(_._1 < 4096).collect().sortBy(_._1)
+    val init = (0 until nCells).map(i => sample((i * sample.length) / nCells)._2).toArray
+    val bcC = spark.sparkContext.broadcast(lloydOnce(sample.map(_._2), init))
+    val assigned = e
+      .map { case (id, v) => (id, v, nearestCells(v, bcC.value, 1).head) }
+      .toDF("vec_id", "vec", "cell")
+    // exact per-(cell, dim) integer sums -> one double division at the end
+    val centroids = assigned
+      .select(col("cell"), posexplode(col("vec")).as(Seq("pos", "v")))
+      .groupBy(col("cell"), col("pos"))
+      .agg(sum(floor(col("v").cast("double") * 1e6 + 0.5).cast("long")).as("s"),
+        count(lit(1)).as("n"))
+      .collect()
+      .groupBy(_.getInt(0))
+      .map { case (c, rows) =>
+        c -> rows.sortBy(_.getInt(1))
+          .map(r => (r.getLong(2).toDouble / 1e6 / r.getLong(3)).toFloat).toArray
+      }
+    val centroidDf = centroids.toSeq.map { case (c, v) => (c, v) }
+      .toDF("cell", "centroid")
+    val w = Window.partitionBy(col("cell"))
+      .orderBy(col("dist").asc, col("vec_id").asc)
+    val cw = Window.partitionBy(col("cell"))
+    assigned
+      .join(broadcast(centroidDf), "cell")
+      .withColumn("dist", l2sqNative(spark, col("vec"), col("centroid")))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .withColumn("cell_n", count(lit(1)).over(cw))
+      .withColumn("is_kept",
+        (col("rk") > floor(col("cell_n") * pruneFrac)).cast("int"))
+      .select(col("vec_id"), col("cell").cast("long").as("cell"),
+        round(col("dist"), 4).as("dist"), col("is_kept"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** Gate for [[prototypePrune]]: the oracle recomputes the corpus count
+    * and asserts the structural flags as literals — per cell, kept must
+    * equal cell_n − floor(cell_n·frac) exactly, and the pruned set must be
+    * a distance-prefix (max kept-rank ≤ min dropped-rank per cell). */
+  def prototypeGate(spark: SparkSession, dir: String, pruneFrac: Double = 0.2): DataFrame = {
+    val p = prototypePrune(spark, dir, pruneFrac)
+    p.groupBy(col("cell"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("is_kept")).as("kept"),
+        max(when(col("is_kept") === 0, col("dist"))).as("max_dropped"),
+        min(when(col("is_kept") === 1, col("dist"))).as("min_kept"))
+      .agg(
+        sum(col("n")).as("n_total"),
+        (count(when(col("kept") =!= col("n") - floor(col("n") * pruneFrac), 1)) === 0)
+          .as("frac_ok"),
+        (count(when(col("max_dropped") > col("min_kept"), 1)) === 0).as("prefix_ok"))
+  }
+
   /** Gate for [[semdedupPairs]] vs the exact cosine pair set (the same
     * baseline as [[lshCosineGate]] — the cache shares it). */
   def semdedupGate(spark: SparkSession, dir: String, threshold: Double = 0.4,

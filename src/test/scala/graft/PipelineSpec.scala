@@ -142,6 +142,36 @@ class PipelineSpec extends AnyFunSuite {
     assert(hit >= 0.9, s"twin recall through the sub-clustered cell must hold, got $hit")
   }
 
+  test("prototype pruning drops the most central members of a cell, keeps the rest") {
+    import spark.implicits._
+    // blob member i sits at distance ~ i*eps from the shared center, so
+    // the per-cell prune must claim (mostly) the low-i members; 20 far
+    // outliers land elsewhere and are irrelevant to the blob cell's order
+    val rng = new scala.util.Random(11)
+    val center = Array.fill(8)(1.0f)
+    val rows = (0 until 480).map { i =>
+      val noise = Array.fill(8)(rng.nextGaussian().toFloat)
+      val n = math.sqrt(noise.map(x => x * x.toDouble).sum).toFloat
+      (i.toLong, center.zip(noise).map { case (c, x) => c + x / n * 0.001f * (i + 1) })
+    } ++ (480 until 500).map(i => (i.toLong, Array.fill(8)(rng.nextGaussian().toFloat * 10f)))
+    val emb = rows.toDF("vec_id", "embedding")
+    val out = Similarity.prototypePruneOf(spark, emb, pruneFrac = 0.25, nCells = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    assert(out.length == 500, "every vector appears exactly once")
+    val blobCell = out.find(_._1 == 0L).get._2
+    val blob = out.filter(_._2 == blobCell)
+    val (dropped, kept) = blob.partition(_._4 == 0)
+    assert(dropped.length == math.floor(blob.length * 0.25).toInt,
+      s"exact per-cell prune count (got ${dropped.length} of ${blob.length})")
+    assert(dropped.map(_._3).max <= kept.map(_._3).min,
+      "pruned set must be a distance-prefix of the cell")
+    val meanDroppedId = dropped.map(_._1).sum.toDouble / dropped.length
+    val meanKeptId = kept.filter(_._1 < 480).map(_._1).sum.toDouble /
+      kept.count(_._1 < 480)
+    assert(meanDroppedId < meanKeptId,
+      s"centrality must drive the prune (dropped mean id $meanDroppedId vs kept $meanKeptId)")
+  }
+
   test("ivf search recall@5 >= 0.6 vs exact L2 top-5") {
     val ivf = Similarity.ivfSearch(spark, dir)
       .select("query_id", "id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
