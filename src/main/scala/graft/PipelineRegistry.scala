@@ -53,7 +53,61 @@ object PipelineRegistry {
     sampleMixtureQ, piiRedactQ, dedupClusterStatsQ, sourceOverlapQ, qualityDecilesQ,
     corpusShuffleQ, lengthBucketsQ, formatRoundtripQ, ngramNoveltyQ, tokenEntropyQ,
     pipelineFullQ, docChunksCdcQ, chunkDedupQ, bucketedRevenueQ, partitionedRevenueQ,
-    textSimTopKQ, shardManifestQ, decontaminateQ, splitAssignQ)
+    textSimTopKQ, shardManifestQ, decontaminateQ, splitAssignQ,
+    bm25RetrievalQ, substringDedupQ)
+
+  /** Same integer-statistics determinism as lm_perplexity: contributions
+    * round to 6 dp then sum as DECIMAL(18,6); ranks sort the exact sum.
+    * Constants are spelled as the same double expressions on both sides
+    * ((1.2 + 1.0), 1.0 - 0.75) so the IEEE arithmetic is bit-identical. */
+  private val bm25RetrievalQ: (String, QFn, Option[String]) = (
+    "bm25_retrieval",
+    (s, d) => TextAnalysis.bm25Retrieval(s, d),
+    Some("""
+      WITH t AS (SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS term FROM documents),
+      tc AS (SELECT doc_id, term, count(*) AS c FROM t WHERE term <> '' GROUP BY doc_id, term),
+      dl AS (SELECT doc_id, sum(c) AS n FROM tc GROUP BY doc_id),
+      st AS (SELECT count(*)::DOUBLE AS nd, sum(n)::DOUBLE / count(*) AS avgdl FROM dl),
+      dfs AS (SELECT term, count(*) AS df FROM tc GROUP BY term),
+      qt(qid, term) AS (VALUES (1, 'hash'), (1, 'join'),
+                               (2, 'vector'), (2, 'scan'), (2, 'fast'),
+                               (3, 'window'), (3, 'agg'), (3, 'merge')),
+      qi AS (SELECT qt.qid, qt.term,
+                    ln((st.nd - coalesce(dfs.df, 0) + 0.5) /
+                       (coalesce(dfs.df, 0) + 0.5) + 1.0) AS idf,
+                    st.avgdl
+             FROM qt LEFT JOIN dfs USING (term) CROSS JOIN st),
+      co AS (SELECT qi.qid, tc.doc_id,
+                    round(qi.idf * (tc.c * (1.2 + 1.0)) /
+                          (tc.c + 1.2 * (1.0 - 0.75 + 0.75 *
+                            (dl.n::DOUBLE / qi.avgdl))), 6)::DECIMAL(18,6) AS contrib
+             FROM tc JOIN qi USING (term) JOIN dl USING (doc_id)),
+      sc AS (SELECT qid, doc_id, sum(contrib) AS s FROM co GROUP BY qid, doc_id),
+      r AS (SELECT qid, doc_id, s,
+                   row_number() OVER (PARTITION BY qid ORDER BY s DESC, doc_id ASC) AS rank
+            FROM sc)
+      SELECT qid::BIGINT AS qid, rank, doc_id, round(s::DOUBLE, 4) AS score
+      FROM r WHERE rank <= 5 ORDER BY qid, rank
+    """.trim))
+
+  /** Window hashes mirror doc_chunks' slice convention (list_slice is
+    * 1-based inclusive; range excludes its stop). */
+  private val substringDedupQ: (String, QFn, Option[String]) = (
+    "substring_dedup",
+    (s, d) => Dedup.substringDedup(s, d),
+    Some("""
+      WITH t AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS tk FROM documents),
+      w AS (SELECT doc_id, md5(array_to_string(list_slice(tk, st, st + 7), ' ')) AS h
+            FROM (SELECT doc_id, tk, unnest(range(1, len(tk) - 8 + 2)) AS st
+                  FROM t WHERE len(tk) >= 8)),
+      hd AS (SELECT h FROM w GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+      nd AS (SELECT doc_id, count(*) AS n_dup FROM w JOIN hd USING (h) GROUP BY doc_id),
+      nw AS (SELECT doc_id, count(*) AS n_windows FROM w GROUP BY doc_id)
+      SELECT nw.doc_id, nw.n_windows::BIGINT AS n_windows,
+             coalesce(nd.n_dup, 0)::BIGINT AS n_dup_windows,
+             round(coalesce(nd.n_dup, 0)::DOUBLE / nw.n_windows, 4) AS dup_fraction
+      FROM nw LEFT JOIN nd USING (doc_id) ORDER BY doc_id
+    """.trim))
 
   /** Date-partitioned layout vs the unpartitioned oracle: the partition
     * filter `date(ts) in [Jan 8, Jan 15)` is exactly `ts in [Jan 8 00:00,

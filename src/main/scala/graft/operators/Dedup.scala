@@ -229,6 +229,44 @@ object Dedup {
       .orderBy(col("doc_id"), col("para_idx"))
   }
 
+  /** Exact substring-span duplication profile — the suffix-array substring
+    * dedup signal (Lee et al. 2021, "Deduplicating Training Data Makes
+    * Language Models Better", arXiv:2107.06499) re-expressed Spark-first:
+    * instead of one global suffix array (a single-machine structure), hash
+    * every w-token window at stride 1 and count, per doc, how many of its
+    * windows recur in OTHER docs. dup_fraction ≈ the fraction of the doc
+    * that is verbatim-copied text — the per-doc removal signal the paper
+    * thresholds on. Plan: one narrow window explode (w·tokens rows), one
+    * count-distinct-docs aggregation keyed by window hash, and one
+    * equi-join back on the hash. The duplicated-hash frame is
+    * corpus-proportional (NOT broadcast); the join key is a 128-bit hash,
+    * so fanout per key equals the true occurrence count — boilerplate-hot
+    * hashes are exactly the rows the signal exists to count. All counters
+    * are integers → order-independent aggregation. */
+  def substringDedup(spark: SparkSession, dir: String, w: Int = 8): DataFrame = {
+    val wins = Tables.documents(spark, dir)
+      .select(col("doc_id"), tokens(col("text")).as("tk"))
+      .where(size(col("tk")) >= w)
+      .select(col("doc_id"), explode(transform(
+        sequence(lit(1), size(col("tk")) - (w - 1)),
+        st => md5(concat_ws(" ", slice(col("tk"), st, lit(w)))))).as("h"))
+    // windows seen in >= 2 distinct docs (cross-doc copies only: in-doc
+    // repetition is repetition_score's signal, not dedup's)
+    val dup = wins.groupBy(col("h"))
+      .agg(countDistinct(col("doc_id")).as("hdf"))
+      .where(col("hdf") >= 2)
+      .select(col("h"))
+    wins.join(dup, Seq("h"), "left_semi")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_dup"))
+      .join(wins.groupBy(col("doc_id")).agg(count(lit(1)).as("n_windows")),
+        Seq("doc_id"), "right_outer")
+      .select(col("doc_id"), col("n_windows"),
+        coalesce(col("n_dup"), lit(0L)).as("n_dup_windows"),
+        round(coalesce(col("n_dup"), lit(0L)).cast("double") / col("n_windows"), 4)
+          .as("dup_fraction"))
+      .orderBy(col("doc_id"))
+  }
+
   private val NumHashes = 16
   private val Bands = 4 // 4 bands x 4 rows
 

@@ -233,6 +233,73 @@ object TextAnalysis {
       .orderBy(col("doc_id"), col("rank"))
   }
 
+  /** Fixed query set for [[bm25Retrieval]] — terms drawn from the corpus
+    * vocabulary (TESTDATA.md's synthetic token set) so every query has
+    * matches; the 2-3-term shape is the classic keyword-search workload. */
+  val Bm25Queries: Seq[(Long, Seq[String])] = Seq(
+    1L -> Seq("hash", "join"),
+    2L -> Seq("vector", "scan", "fast"),
+    3L -> Seq("window", "agg", "merge"))
+
+  /** BM25 top-k retrieval (the Lucene/Elasticsearch default ranking) over
+    * `documents` for a fixed literal query set — the retrieval half of a
+    * RAG/eval pipeline next to the embedding top-k twins in Similarity:
+    * idf = ln((N − df + ½)/(df + ½) + 1), tf saturation k1, length
+    * regularization b. Cross-engine determinism: each term's contribution
+    * is a fixed double expression over INTEGER count statistics, rounded
+    * to 6 dp and summed as DECIMAL(18,6) (the lm_perplexity contract —
+    * order-independent across partitionings and engines); ranks then sort
+    * on the exact decimal sum. Ranking rides the bounded
+    * [[graft.functions.TopKAggregator]] heap — k rows per partition per
+    * query cross the shuffle, never a corpus-wide rank window — so the
+    * plan is: doc-side explode + one term-count aggregation (the only
+    * corpus-wide shuffles), a broadcast join against the literal query
+    * set's dictionary stats, and a k-bounded heap aggregation. Holds at
+    * any corpus size; the query set is config-bounded by construction. */
+  def bm25Retrieval(spark: SparkSession, dir: String, k: Int = 5,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    import spark.implicits._
+    import graft.functions.{Scored, TopKAggregator}
+    val tc = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(toks(col("text"))).as("term"))
+      .where(col("term") =!= "")
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("c"))
+    val dl = tc.groupBy(col("doc_id")).agg(sum(col("c")).as("n"))
+    val stats = dl.agg(count(lit(1)).cast("double").as("nd"),
+      (sum(col("n")).cast("double") / count(lit(1))).as("avgdl"))
+    val qt = Bm25Queries.flatMap { case (q, ts) => ts.map(t => (q, t)) }
+      .toDF("qid", "term")
+    val dfs = tc.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    // dictionary stats restricted to the literal query terms: a ≤|q| row
+    // frame however large the corpus vocabulary is → always broadcastable
+    val qi = qt.join(dfs, Seq("term"), "left_outer")
+      .crossJoin(broadcast(stats))
+      .select(col("qid"), col("term"),
+        log((col("nd") - coalesce(col("df"), lit(0L)) + 0.5) /
+          (coalesce(col("df"), lit(0L)) + 0.5) + 1.0).as("idf"),
+        col("avgdl"))
+    val scored = tc.join(broadcast(qi), Seq("term"))
+      .join(dl, Seq("doc_id"))
+      .select(col("qid"), col("doc_id"),
+        round(col("idf") * (col("c") * lit(k1 + 1.0)) /
+          (col("c") + lit(k1) * (lit(1.0 - b) + lit(b) *
+            (col("n").cast("double") / col("avgdl")))), 6)
+          .cast("decimal(18,6)").as("contrib"))
+      .groupBy(col("qid"), col("doc_id"))
+      .agg(sum(col("contrib")).as("s"))
+    scored
+      .select(col("qid"), (-col("s").cast("double")).as("dist"), col("doc_id").as("id"))
+      .as[(Long, Double, Long)]
+      .groupByKey(_._1)
+      .mapValues { case (_, dist, id) => Scored(dist, id) }
+      .agg(new TopKAggregator(k).toColumn.name("topk"))
+      .toDF("qid", "topk")
+      .select(col("qid"), posexplode(col("topk")).as(Seq("r", "s")))
+      .select(col("qid"), (col("r") + 1).cast("long").as("rank"),
+        col("s.id").as("doc_id"), round(-col("s.dist"), 4).as("score"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
   /** N-gram repetition score — the "repetitive junk" quality signal LLM
     * corpus filters cut on (boilerplate, keyword stuffing, generation
     * loops): 1 − distinct/total word-3-grams per doc, 0 = no repeated

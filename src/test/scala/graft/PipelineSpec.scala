@@ -937,6 +937,60 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("bm25: ranks dense, scores non-increasing, every hit contains a query term") {
+    val rows = TextAnalysis.bm25Retrieval(spark, dir).collect()
+    val byQ = rows.groupBy(_.getLong(0))
+    assert(byQ.keySet == TextAnalysis.Bm25Queries.map(_._1).toSet,
+      "every registered query must return hits on the fixture corpus")
+    val texts = graft.core.Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1).toLowerCase.split("\\s+").toSet).toMap
+    byQ.foreach { case (qid, hits) =>
+      val sorted = hits.sortBy(_.getLong(1))
+      assert(sorted.map(_.getLong(1)).toSeq == (1L to sorted.length).toSeq,
+        s"query $qid: ranks must be dense from 1")
+      val scores = sorted.map(_.getAs[Double]("score"))
+      assert(scores.zip(scores.tail).forall { case (a, b) => a >= b },
+        s"query $qid: scores must be non-increasing down the ranking")
+      assert(scores.forall(_ > 0.0), s"query $qid: BM25 of a matched doc is positive")
+      val terms = TextAnalysis.Bm25Queries.toMap.apply(qid).toSet
+      sorted.foreach { r =>
+        assert(texts(r.getAs[Long]("doc_id")).intersect(terms).nonEmpty,
+          s"query $qid: hit ${r.getAs[Long]("doc_id")} contains no query term")
+      }
+    }
+  }
+
+  test("substring dedup: planted shared span is counted, unique doc scores zero") {
+    import spark.implicits._
+    val shared = (0 until 12).map(i => s"copy$i").mkString(" ")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ssd_")
+    try {
+      Seq(
+        (1L, s"alpha beta gamma delta $shared"),
+        (2L, s"$shared epsilon zeta eta theta"),
+        (3L, "iota kappa lambda mu nu xi omicron pi rho sigma tau"))
+        .toDF("doc_id", "text").write.parquet(s"$tmp/documents.parquet")
+      val rows = Dedup.substringDedup(spark, tmp.toString).collect()
+        .map(r => r.getLong(0) -> (r.getAs[Long]("n_windows"),
+          r.getAs[Long]("n_dup_windows"), r.getAs[Double]("dup_fraction"))).toMap
+      // the 12-token shared span yields 12-8+1 = 5 identical windows in both docs
+      assert(rows(1L)._2 == 5, s"doc 1: ${rows(1L)._2} dup windows, want 5")
+      assert(rows(2L)._2 == 5, s"doc 2: ${rows(2L)._2} dup windows, want 5")
+      assert(rows(3L)._2 == 0, "unique doc must have zero duplicated windows")
+      rows.foreach { case (id, (nw, nd, fr)) =>
+        assert(nd <= nw && math.abs(fr - math.rint(nd.toDouble / nw * 1e4) / 1e4) < 1e-9,
+          s"doc $id: fraction must be nd/nw rounded")
+      }
+    } finally {
+      import scala.jdk.CollectionConverters._
+      val walk = java.nio.file.Files.walk(tmp)
+      val paths = try walk.iterator().asScala.toList finally walk.close()
+      paths.sortBy(-_.getNameCount)
+        .foreach(p => scala.util.Try(java.nio.file.Files.deleteIfExists(p)))
+    }
+  }
+
   test("all registered queries execute and agree with declared column names at sf0.001") {
     val smokeDir = "/root/testdata/sf0.001"
     SparkEntry.queries.foreach { case (name, fn) =>
