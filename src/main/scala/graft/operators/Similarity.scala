@@ -195,14 +195,31 @@ object Similarity {
     * signed hi/lo div/mod would add a truncation-vs-floor trap). */
   def embedDimCov(spark: SparkSession, dir: String): DataFrame = {
     val vm = transform(col("embedding"), v => floor(v.cast("double") * 1e6 + 0.5).cast("long"))
-    Tables.embeddings(spark, dir)
+    // the hot path carries a FLAT long array (products in canonical i<j
+    // order) and aggregates on posexplode's pair INDEX — a third the bytes
+    // and no per-element struct allocation vs the (i,j,p) struct form it
+    // replaces (measured 1.9 -> 1.2 s at sf0.1); (i,j) are reconstructed
+    // arithmetically from the index over the dim²-sized result afterwards
+    val sums = Tables.embeddings(spark, dir)
       .select(vm.as("vm"))
-      .select(explode(flatten(transform(sequence(lit(0), size(col("vm")) - 2), i =>
+      .select(posexplode(flatten(transform(sequence(lit(0), size(col("vm")) - 2), i =>
         transform(sequence(i + 1, size(col("vm")) - 1), j =>
-          struct(i.cast("long").as("i"), j.cast("long").as("j"),
-            (element_at(col("vm"), i + 1) * element_at(col("vm"), j + 1)).as("p")))))).as("x"))
-      .groupBy(col("x.i").as("i"), col("x.j").as("j"))
-      .agg(count(lit(1)).as("n"), sum(col("x.p").cast("decimal(38,0)")).as("sp"))
+          element_at(col("vm"), i + 1) * element_at(col("vm"), j + 1))))).as(Seq("pidx", "p")))
+      .groupBy(col("pidx"))
+      .agg(count(lit(1)).as("n"), sum(col("p").cast("decimal(38,0)")).as("sp"))
+    // n_pairs = d(d-1)/2 recovers d exactly (8·np+1 is a perfect square and
+    // sqrt of a sub-2^26 perfect square is exact in double); pidx(i,j) =
+    // i·(d-1) − i(i−1)/2 + (j−i−1) mirrors the flatten's canonical order.
+    // d < 2 (no pairs) filters to an empty map — and an empty result.
+    val pairMap = sums.agg(count(lit(1)).as("np"))
+      .select(((sqrt(col("np").cast("double") * 8 + 1) + 1) / 2).cast("int").as("d"))
+      .where(col("d") >= 2)
+      .select(col("d"), explode(sequence(lit(0), col("d") - 2)).as("i"))
+      .select(col("d"), col("i"), explode(sequence(col("i") + 1, col("d") - 1)).as("j"))
+      .select(col("i").cast("long").as("i"), col("j").cast("long").as("j"),
+        (col("i") * (col("d") - 1) - col("i") * (col("i") - 1) / 2 + (col("j") - col("i") - 1))
+          .cast("int").as("pidx"))
+    sums.join(broadcast(pairMap), Seq("pidx"))
       .select(col("i"), col("j"), col("n"), col("sp").cast("string").as("sumprod"))
       .orderBy(col("i"), col("j"))
   }
