@@ -54,7 +54,33 @@ object PipelineRegistry {
     corpusShuffleQ, lengthBucketsQ, formatRoundtripQ, ngramNoveltyQ, tokenEntropyQ,
     pipelineFullQ, docChunksCdcQ, chunkDedupQ, bucketedRevenueQ, partitionedRevenueQ,
     textSimTopKQ, shardManifestQ, decontaminateQ, splitAssignQ,
-    bm25RetrievalQ, substringDedupQ)
+    bm25RetrievalQ, substringDedupQ, dsirWeightQ)
+
+  /** Buckets are md5-derived on both sides; the en-doc subset is DSIR's
+    * target distribution stand-in. */
+  private val dsirWeightQ: (String, QFn, Option[String]) = (
+    "dsir_weight",
+    (s, d) => CorpusPipeline.dsirWeight(s, d),
+    Some("""
+      WITH t AS (SELECT doc_id, lang, string_split_regex(lower(text), '\s+') AS tk FROM documents),
+      uni AS (SELECT doc_id, lang, unnest(tk) AS f FROM t),
+      bi AS (SELECT doc_id, lang, tk[i] || ' ' || tk[i+1] AS f
+             FROM t, unnest(range(1, len(tk))) AS r(i) WHERE len(tk) >= 2),
+      feats AS (SELECT doc_id, lang, ('0x' || substr(md5(f), 1, 8))::BIGINT % 1024 AS b
+                FROM (SELECT * FROM uni WHERE f <> '' UNION ALL SELECT * FROM bi)),
+      dc AS (SELECT doc_id, b, count(*) AS c FROM feats GROUP BY doc_id, b),
+      raw AS (SELECT b, count(*) AS cr FROM feats GROUP BY b),
+      tgt AS (SELECT b, count(*) AS ct FROM feats WHERE lang = 'en' GROUP BY b),
+      tot AS (SELECT count(*) AS tr, count(*) FILTER (lang = 'en') AS tt FROM feats),
+      model AS (SELECT raw.b,
+                       round(ln(((coalesce(tgt.ct, 0) + 1.0) / (tot.tt + 1024)) /
+                                ((raw.cr + 1.0) / (tot.tr + 1024))), 6)::DECIMAL(18,6) AS lr
+                FROM raw LEFT JOIN tgt USING (b) CROSS JOIN tot)
+      SELECT dc.doc_id, sum(dc.c)::BIGINT AS n_feats,
+             round(sum(dc.c * model.lr), 4)::DOUBLE AS logw
+      FROM dc JOIN model USING (b)
+      GROUP BY dc.doc_id ORDER BY dc.doc_id
+    """.trim))
 
   /** Same integer-statistics determinism as lm_perplexity: contributions
     * round to 6 dp then sum as DECIMAL(18,6); ranks sort the exact sum.
@@ -82,11 +108,11 @@ object PipelineRegistry {
                           (tc.c + 1.2 * (1.0 - 0.75 + 0.75 *
                             (dl.n::DOUBLE / qi.avgdl))), 6)::DECIMAL(18,6) AS contrib
              FROM tc JOIN qi USING (term) JOIN dl USING (doc_id)),
-      sc AS (SELECT qid, doc_id, sum(contrib) AS s FROM co GROUP BY qid, doc_id),
-      r AS (SELECT qid, doc_id, s,
-                   row_number() OVER (PARTITION BY qid ORDER BY s DESC, doc_id ASC) AS rank
+      sc AS (SELECT qid, doc_id, round(sum(contrib), 4) AS s4 FROM co GROUP BY qid, doc_id),
+      r AS (SELECT qid, doc_id, s4,
+                   row_number() OVER (PARTITION BY qid ORDER BY s4 DESC, doc_id ASC) AS rank
             FROM sc)
-      SELECT qid::BIGINT AS qid, rank, doc_id, round(s::DOUBLE, 4) AS score
+      SELECT qid::BIGINT AS qid, rank, doc_id, s4::DOUBLE AS score
       FROM r WHERE rank <= 5 ORDER BY qid, rank
     """.trim))
 

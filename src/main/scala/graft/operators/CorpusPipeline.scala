@@ -27,6 +27,60 @@ object CorpusPipeline {
       .select(col("doc_id"), col("lang"), length(col("text")).cast("long").as("n_chars"))
       .orderBy(col("doc_id"))
 
+  /** DSIR importance weight (Data Selection via Importance Resampling, Xie
+    * et al. 2023, arXiv:2302.03169) — score every doc by how much more
+    * likely its hashed n-gram features are under a TARGET distribution
+    * (here: the corpus's `targetLang` docs, standing in for the
+    * high-quality reference corpus) than under the raw corpus:
+    * logw = Σ_b count_b(doc) · ln(p̂_target(b) / p̂_raw(b)) over `buckets`
+    * hashed unigram+bigram buckets with add-1 smoothing. Docs are then
+    * resampled ∝ exp(logw) downstream; the weight itself is the method's
+    * entire data-dependence, so it is what the oracle checks.
+    *
+    * Determinism: bucket ids are md5-derived (engine-identical), per-bucket
+    * log-ratios are doubles of INTEGER counts rounded to 6 dp, and the
+    * per-doc fold multiplies them by integer counts as DECIMAL — exact and
+    * order-independent (the lm_perplexity contract). Scale: the model is
+    * `buckets` rows however large the corpus is → broadcast; the doc side
+    * is one explode + two keyed aggregations riding the same shuffle
+    * pattern as every other text op. */
+  def dsirWeight(spark: SparkSession, dir: String, buckets: Int = 1024,
+      targetLang: String = "en"): DataFrame = {
+    val tk = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), split(lower(col("text")), "\\s+").as("tk"))
+    val uni = tk.select(col("doc_id"), col("lang"), explode(col("tk")).as("f"))
+      .where(col("f") =!= "")
+    val bi = tk.where(size(col("tk")) >= 2)
+      .select(col("doc_id"), col("lang"), explode(transform(
+        sequence(lit(1), size(col("tk")) - 1),
+        i => concat_ws(" ", element_at(col("tk"), i), element_at(col("tk"), i + 1)))).as("f"))
+    val feats = uni.unionByName(bi)
+      .select(col("doc_id"), col("lang"),
+        (conv(substring(md5(col("f")), 1, 8), 16, 10).cast("long") % buckets).as("b"))
+    val dc = feats.groupBy(col("doc_id"), col("b")).agg(count(lit(1)).as("c"))
+    val raw = feats.groupBy(col("b")).agg(count(lit(1)).as("cr"))
+    val tgt = feats.where(col("lang") === targetLang)
+      .groupBy(col("b")).agg(count(lit(1)).as("ct"))
+    val totals = feats.agg(count(lit(1)).as("tr"),
+      count(when(col("lang") === targetLang, 1)).as("tt"))
+    val model = raw.join(tgt, Seq("b"), "left_outer")
+      .crossJoin(broadcast(totals))
+      .select(col("b"),
+        round(log(((coalesce(col("ct"), lit(0L)) + 1.0) / (col("tt") + lit(buckets))) /
+                  ((col("cr") + 1.0) / (col("tr") + lit(buckets)))), 6)
+          .cast("decimal(18,6)").as("lr"))
+    dc.join(broadcast(model), Seq("b"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_feats"), sum(col("c") * col("lr")).as("w"))
+      // round the exact DECIMAL, then cast: w is a multiple of 10⁻⁶, so
+      // ~1% of docs land exactly on the .00005 boundary where double
+      // rounding diverges between engines (Spark rounds the shortest
+      // decimal repr, DuckDB the binary value); decimal rounding is
+      // half-away-from-zero in both
+      .select(col("doc_id"), col("n_feats"), round(col("w"), 4).cast("double").as("logw"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Per-language balanced subsample: the `perLang` docs with the smallest
     * md5(doc_id) in each language — the "equalize strata before training"
     * step. Like [[sampleByHash]], membership is a pure function of the id

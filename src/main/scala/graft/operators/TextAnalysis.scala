@@ -287,8 +287,13 @@ object TextAnalysis {
           .cast("decimal(18,6)").as("contrib"))
       .groupBy(col("qid"), col("doc_id"))
       .agg(sum(col("contrib")).as("s"))
+    // round the exact DECIMAL sum to 4 dp BEFORE ranking (the dsir_weight
+    // boundary lesson: a 10⁻⁶-multiple sum hits the .00005 double-rounding
+    // boundary on ~1% of docs) — both engines then rank the same rounded
+    // value with doc_id breaking the extra ties rounding introduces
     scored
-      .select(col("qid"), (-col("s").cast("double")).as("dist"), col("doc_id").as("id"))
+      .select(col("qid"), (-round(col("s"), 4).cast("double")).as("dist"),
+        col("doc_id").as("id"))
       .as[(Long, Double, Long)]
       .groupByKey(_._1)
       .mapValues { case (_, dist, id) => Scored(dist, id) }
@@ -296,7 +301,7 @@ object TextAnalysis {
       .toDF("qid", "topk")
       .select(col("qid"), posexplode(col("topk")).as(Seq("r", "s")))
       .select(col("qid"), (col("r") + 1).cast("long").as("rank"),
-        col("s.id").as("doc_id"), round(-col("s.dist"), 4).as("score"))
+        col("s.id").as("doc_id"), (-col("s.dist")).as("score"))
       .orderBy(col("qid"), col("rank"))
   }
 

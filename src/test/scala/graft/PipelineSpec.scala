@@ -991,6 +991,26 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("dsir: target-language docs outscore the rest; weights are finite and doc-complete") {
+    val langs = graft.core.Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val rows = CorpusPipeline.dsirWeight(spark, dir).collect()
+    assert(rows.length == langs.size, "every doc with features gets a weight")
+    val (en, rest) = rows.partition(r => langs(r.getLong(0)) == "en")
+    assert(en.nonEmpty && rest.nonEmpty, "fixture must contain en and non-en docs")
+    def mean(rs: Array[org.apache.spark.sql.Row]) =
+      rs.map(_.getAs[Double]("logw")).sum / rs.length
+    // the entire point of the method: importance under the en target model
+    // must separate en docs from the rest on average
+    assert(mean(en) > mean(rest) + 0.5,
+      s"mean logw en=${mean(en)} vs rest=${mean(rest)} — no separation")
+    rows.foreach { r =>
+      assert(!r.getAs[Double]("logw").isNaN && !r.getAs[Double]("logw").isInfinite)
+      assert(r.getAs[Long]("n_feats") > 0)
+    }
+  }
+
   test("all registered queries execute and agree with declared column names at sf0.001") {
     val smokeDir = "/root/testdata/sf0.001"
     SparkEntry.queries.foreach { case (name, fn) =>
