@@ -165,6 +165,18 @@ object DedupScaleBench {
         graft.operators.TextAnalysis.oovRateOf(spark, docs, minCount = 100).count())
       val (nBp, bpSec) = timed(
         graft.operators.TextAnalysis.boilerplateScoreOf(spark, docs, dfCutoff = n / 10).count())
+      // 5b. substring-span dedup: ~93 stride-1 8-token windows per doc
+      //     (the heaviest per-doc explode in the text family) through the
+      //     count-distinct + semi-join pair; chains and boilerplate plant
+      //     real cross-doc spans, so n_dup > 0 is structural
+      val (nSs, ssSec) = timed(
+        Dedup.substringDedupOf(spark, docs, w = 8).count())
+      // 5c. DSIR importance weights with a derived 25% "en" target slice —
+      //     the model stays 1024 rows at every n (broadcast by construction)
+      val docsL = docs.withColumn("lang",
+        when(col("doc_id") % 4 === 0, "en").otherwise("xx"))
+      val (nDs, dsSec) = timed(
+        graft.operators.CorpusPipeline.dsirWeightOf(spark, docsL, 1024, "en").count())
       // 6. paragraph-window pair join (dedupParagraph's machinery): the
       //    window step multiplies rows ~4× (100-token docs, 32-token
       //    windows) before the identical shingle-surrogate join, so one
@@ -188,6 +200,8 @@ object DedupScaleBench {
         s""""cc_sec":${r2(ccSec)},"components":$nComp,"survivors":$nSurv,""" +
         s""""lm_sec":${r2(lmSec)},"lm_docs":$nLm,"oov_sec":${r2(oovSec)},"oov_docs":$nOov,""" +
         s""""boiler_sec":${r2(bpSec)},"boiler_docs":$nBp,""" +
+        s""""substr_sec":${r2(ssSec)},"substr_docs":$nSs,""" +
+        s""""dsir_sec":${r2(dsSec)},"dsir_docs":$nDs,""" +
         s""""para_pair_sec":${r2(paraSec)},"para_pairs":$nPara}""")
     }
     spark.stop()

@@ -45,8 +45,13 @@ object CorpusPipeline {
     * is one explode + two keyed aggregations riding the same shuffle
     * pattern as every other text op. */
   def dsirWeight(spark: SparkSession, dir: String, buckets: Int = 1024,
-      targetLang: String = "en"): DataFrame = {
-    val tk = Tables.documents(spark, dir)
+      targetLang: String = "en"): DataFrame =
+    dsirWeightOf(spark, Tables.documents(spark, dir), buckets, targetLang)
+
+  /** Frame form over any (doc_id, lang, text) — DedupScaleBench sweeps this. */
+  def dsirWeightOf(spark: SparkSession, documents: DataFrame, buckets: Int,
+      targetLang: String): DataFrame = {
+    val tk = documents
       .select(col("doc_id"), col("lang"), split(lower(col("text")), "\\s+").as("tk"))
     val uni = tk.select(col("doc_id"), col("lang"), explode(col("tk")).as("f"))
       .where(col("f") =!= "")

@@ -243,8 +243,12 @@ object Dedup {
     * so fanout per key equals the true occurrence count — boilerplate-hot
     * hashes are exactly the rows the signal exists to count. All counters
     * are integers → order-independent aggregation. */
-  def substringDedup(spark: SparkSession, dir: String, w: Int = 8): DataFrame = {
-    val wins = Tables.documents(spark, dir)
+  def substringDedup(spark: SparkSession, dir: String, w: Int = 8): DataFrame =
+    substringDedupOf(spark, Tables.documents(spark, dir), w)
+
+  /** Frame form over any (doc_id, text) — DedupScaleBench sweeps this. */
+  def substringDedupOf(spark: SparkSession, documents: DataFrame, w: Int): DataFrame = {
+    val wins = documents
       .select(col("doc_id"), tokens(col("text")).as("tk"))
       .where(size(col("tk")) >= w)
       .select(col("doc_id"), explode(transform(

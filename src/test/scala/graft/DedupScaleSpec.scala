@@ -79,6 +79,26 @@ class DedupScaleSpec extends AnyFunSuite {
     val bp = graft.operators.TextAnalysis.boilerplateScoreOf(spark, docs, dfCutoff = n / 10)
     val flagged = bp.where(col("n_boiler") > 0).count()
     assert(flagged == n / 5, s"expected ${n / 5} boilerplate docs, got $flagged")
+    // substring-span dedup recovers the planted structure exactly: the
+    // shared 14-token boiler sentence contributes >= 14-8+1 = 7 duplicated
+    // windows to each carrier; chain members share their unrewritten body
+    // windows; docs outside both structures are seeded-random over a 50k
+    // vocab, where an 8-gram collision is (1/50000)^8-impossible -> their
+    // dup count must be exactly zero
+    val ss = Dedup.substringDedupOf(spark, docs, w = 8).cache()
+    val boilerOnly = ss.where(col("doc_id") % 5 === 0 && col("doc_id") % 100 >= 10)
+    assert(boilerOnly.where(col("n_dup_windows") < 7).count() == 0,
+      "every non-chain boiler carrier shares the sentence's 7 windows")
+    val unique = ss.where(col("doc_id") % 5 =!= 0 && col("doc_id") % 100 >= 10)
+    assert(unique.where(col("n_dup_windows") =!= 0).count() == 0,
+      "random-body docs cannot share an 8-gram")
+    ss.unpersist()
+    // DSIR with a derived 25% en slice: weights exist for every doc and the
+    // model join stays bucket-bounded (the count is the scale property;
+    // separation is PipelineSpec's real-corpus assertion)
+    val docsL = docs.withColumn("lang",
+      when(col("doc_id") % 4 === 0, "en").otherwise("xx"))
+    assert(graft.operators.CorpusPipeline.dsirWeightOf(spark, docsL, 1024, "en").count() == n)
     docs.unpersist()
   }
 }

@@ -182,6 +182,28 @@ class PlanSpec extends AnyFunSuite {
     assert(p2.contains("BroadcastHashJoin"), s"hot-shingle join must broadcast:\n$p2")
   }
 
+  test("bm25 broadcasts the query-term stats and ranks with no Window operator") {
+    val p = plan(TextAnalysis.bm25Retrieval(spark, dir))
+    assert(p.contains("BroadcastHashJoin"), s"query-term model join must broadcast:\n$p")
+    // the rank comes from the bounded TopKAggregator heap — a per-qid
+    // Window over all scored docs would serialize a query's whole corpus
+    // posting list through one task at scale
+    assert(!p.contains("Window"), s"ranking must be heap-aggregated, not windowed:\n$p")
+  }
+
+  test("dsir broadcasts the bucket model; the dup-span frame join stays a shuffle join") {
+    val p1 = plan(CorpusPipeline.dsirWeight(spark, dir))
+    assert(p1.contains("BroadcastHashJoin"), s"1024-row model must broadcast:\n$p1")
+    // substring_dedup's duplicated-hash set is corpus-proportional: a
+    // broadcast hint there would be the q24 bug; the semi-join must be
+    // free to shuffle (AQE may still pick broadcast at toy sizes — assert
+    // only that no EXPLICIT hint forces it)
+    val hints = Dedup.substringDedup(spark, dir).queryExecution.analyzed.collect {
+      case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint => h
+    }
+    assert(hints.isEmpty, s"no forced broadcast of corpus-derived frames:\n$hints")
+  }
+
   test("mixture sampling and pii redaction are scan-shaped (no join, no pre-sort shuffle)") {
     val p1 = plan(CorpusPipeline.sampleMixture(spark, dir))
     assert(!p1.contains("Join"), s"rate must come from an expression, not a join:\n$p1")
