@@ -54,7 +54,8 @@ object PipelineRegistry {
     corpusShuffleQ, lengthBucketsQ, formatRoundtripQ, ngramNoveltyQ, tokenEntropyQ,
     pipelineFullQ, docChunksCdcQ, chunkDedupQ, bucketedRevenueQ, partitionedRevenueQ,
     textSimTopKQ, shardManifestQ, decontaminateQ, splitAssignQ,
-    bm25RetrievalQ, substringDedupQ, dsirWeightQ)
+    bm25RetrievalQ, substringDedupQ, dsirWeightQ,
+    lineDedupQ, corpusStatsQ)
 
   /** Buckets are md5-derived on both sides; the en-doc subset is DSIR's
     * target distribution stand-in. */
@@ -133,6 +134,44 @@ object PipelineRegistry {
              coalesce(nd.n_dup, 0)::BIGINT AS n_dup_windows,
              round(coalesce(nd.n_dup, 0)::DOUBLE / nw.n_windows, 4) AS dup_fraction
       FROM nw LEFT JOIN nd USING (doc_id) ORDER BY doc_id
+    """.trim))
+
+  /** Intra-doc span dedup: the oracle reconstructs "first occurrence of
+    * each distinct chunk, in order" via min(ordinality) + ordered
+    * string_agg — exactly what Spark's order-preserving `array_distinct`
+    * computes in one narrow expression. */
+  private val lineDedupQ: (String, QFn, Option[String]) = (
+    "line_dedup",
+    (s, d) => Dedup.lineDedupIntra(s, d),
+    Some("""
+      WITH t AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS tk FROM documents),
+      c AS (SELECT doc_id, len(tk) AS n_tokens, i,
+                   array_to_string(list_slice(tk, i*8 + 1, i*8 + 8), ' ') AS chunk
+            FROM (SELECT doc_id, tk, unnest(range(0, (len(tk)-1)//8 + 1)) AS i FROM t)),
+      k AS (SELECT doc_id, chunk, min(i) AS fi FROM c GROUP BY doc_id, chunk),
+      a AS (SELECT doc_id, count(*) AS n_kept,
+                   md5(string_agg(chunk, ' ' ORDER BY fi)) AS clean_md5
+            FROM k GROUP BY doc_id),
+      n AS (SELECT doc_id, any_value(n_tokens) AS n_tokens, count(*) AS n_chunks
+            FROM c GROUP BY doc_id)
+      SELECT n.doc_id, n.n_tokens::BIGINT AS n_tokens, n.n_chunks::BIGINT AS n_chunks,
+             a.n_kept::BIGINT AS n_kept, a.clean_md5
+      FROM n JOIN a USING (doc_id) ORDER BY doc_id
+    """.trim))
+
+  /** One-row corpus data card; every aggregate combines map-side. */
+  private val corpusStatsQ: (String, QFn, Option[String]) = (
+    "corpus_stats",
+    (s, d) => CorpusPipeline.corpusStats(s, d),
+    Some("""
+      SELECT count(*) AS n_docs,
+             count(DISTINCT source) AS n_sources,
+             count(DISTINCT lang) AS n_langs,
+             sum(len(string_split_regex(lower(text), '\s+')))::BIGINT AS total_tokens,
+             round(avg(len(string_split_regex(lower(text), '\s+'))), 4) AS avg_tokens,
+             min(n_chars)::BIGINT AS min_chars,
+             max(n_chars)::BIGINT AS max_chars
+      FROM documents
     """.trim))
 
   /** Date-partitioned layout vs the unpartitioned oracle: the partition

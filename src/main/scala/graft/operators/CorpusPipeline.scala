@@ -310,4 +310,23 @@ object CorpusPipeline {
       .toDF("doc_id", "n_tokens", "start_offset", "seq_id", "offset_in_seq")
       .orderBy(col("doc_id"))
   }
+
+  /** The corpus data card — the one-row summary every released training
+    * set ships with (doc/source/language counts, token volume, length
+    * envelope). One full scan with complete partial aggregation: every
+    * aggregate here (counts, sums, min/max, the two distinct counts over
+    * low-cardinality columns) combines map-side, so the exchange carries
+    * one row per task regardless of corpus size — the cheapest possible
+    * 100 TB query shape. */
+  def corpusStats(spark: SparkSession, dir: String): DataFrame = {
+    val tk = split(lower(col("text")), "\\s+")
+    Tables.documents(spark, dir).agg(
+      count(lit(1)).as("n_docs"),
+      countDistinct(col("source")).as("n_sources"),
+      countDistinct(col("lang")).as("n_langs"),
+      sum(size(tk)).cast("long").as("total_tokens"),
+      round(avg(size(tk)), 4).as("avg_tokens"),
+      min(col("n_chars")).cast("long").as("min_chars"),
+      max(col("n_chars")).cast("long").as("max_chars"))
+  }
 }

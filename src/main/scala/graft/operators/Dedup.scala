@@ -271,6 +271,35 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** Intra-document repeated-span removal — the C4/CCNet "drop duplicated
+    * lines within a page" cleaning rule, expressed over this corpus's
+    * newline-free space-tokenized text as consecutive `w`-token chunks
+    * (the "line" analog). The ONLY zero-shuffle member of the dedup
+    * family: chunking, first-occurrence dedup (`array_distinct` keeps
+    * first-occurrence order) and reassembly are narrow codegen array
+    * expressions, so the operator runs entirely map-side — at 100 TB it
+    * costs exactly one scan, no exchange. Cross-doc span dedup is
+    * [[substringDedup]]'s signal; this one is per-doc self-repetition
+    * REMOVAL (repetition_score measures it, this rewrites the text). */
+  def lineDedupIntra(spark: SparkSession, dir: String, w: Int = 8): DataFrame =
+    lineDedupIntraOf(Tables.documents(spark, dir), w)
+
+  /** Frame form over any (doc_id, text). */
+  def lineDedupIntraOf(documents: DataFrame, w: Int): DataFrame = {
+    val kept = array_distinct(col("chunks"))
+    documents
+      .select(col("doc_id"), tokens(col("text")).as("tk"))
+      .select(col("doc_id"), size(col("tk")).cast("long").as("n_tokens"),
+        transform(
+          sequence(lit(0), floor((size(col("tk")) - 1) / lit(w)).cast("int")),
+          i => concat_ws(" ", slice(col("tk"), i * w + 1, lit(w)))).as("chunks"))
+      .select(col("doc_id"), col("n_tokens"),
+        size(col("chunks")).cast("long").as("n_chunks"),
+        size(kept).cast("long").as("n_kept"),
+        md5(concat_ws(" ", kept)).as("clean_md5"))
+      .orderBy(col("doc_id"))
+  }
+
   private val NumHashes = 16
   private val Bands = 4 // 4 bands x 4 rows
 

@@ -991,6 +991,38 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("line dedup: repeated in-doc chunk dropped once, first occurrence kept in order") {
+    import spark.implicits._
+    val a = (0 until 8).map(i => s"a$i").mkString(" ") // chunk A
+    val b = (0 until 8).map(i => s"b$i").mkString(" ") // chunk B
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ld_")
+    try {
+      Seq(
+        (1L, s"$a $b $a"),          // A B A -> A B (3 chunks, 2 kept)
+        (2L, s"$a $b tail1 tail2"), // distinct + short tail chunk: all kept
+        (3L, s"$a $a $a"))          // A A A -> A
+        .toDF("doc_id", "text").write.parquet(s"$tmp/documents.parquet")
+      val rows = Dedup.lineDedupIntra(spark, tmp.toString).collect()
+        .map(r => r.getLong(0) -> (r.getAs[Long]("n_chunks"),
+          r.getAs[Long]("n_kept"), r.getAs[String]("clean_md5"))).toMap
+      assert(rows(1L)._1 == 3 && rows(1L)._2 == 2, s"doc 1: ${rows(1L)}")
+      assert(rows(2L)._1 == 3 && rows(2L)._2 == 3, s"doc 2: ${rows(2L)}")
+      assert(rows(3L)._1 == 3 && rows(3L)._2 == 1, s"doc 3: ${rows(3L)}")
+      def md5s(s: String) = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      assert(rows(1L)._3 == md5s(s"$a $b"), "doc 1 must reassemble to A B")
+      assert(rows(2L)._3 == md5s(s"$a $b tail1 tail2"),
+        "doc 2 keeps the short trailing chunk verbatim")
+      assert(rows(3L)._3 == md5s(a), "doc 3 collapses to the single chunk")
+    } finally {
+      import scala.jdk.CollectionConverters._
+      val walk = java.nio.file.Files.walk(tmp)
+      val paths = try walk.iterator().asScala.toList finally walk.close()
+      paths.sortBy(-_.getNameCount)
+        .foreach(p => scala.util.Try(java.nio.file.Files.deleteIfExists(p)))
+    }
+  }
+
   test("dsir: target-language docs outscore the rest; weights are finite and doc-complete") {
     val langs = graft.core.Tables.documents(spark, dir)
       .select(col("doc_id"), col("lang")).collect()
