@@ -211,4 +211,20 @@ class PlanSpec extends AnyFunSuite {
     assert(!p2.contains("Join") && !p2.contains("HashAggregate"),
       s"redaction is a pure narrow pass:\n$p2")
   }
+
+  test("line dedup is a pure map pass; corpus stats exchanges one row per task") {
+    // drop the output orderBy (presentation only) before asserting: the
+    // operator's claim is that the WORK is exchange-free
+    val body = Dedup.lineDedupIntraOf(Tables.documents(spark, dir), 8)
+      .queryExecution.executedPlan.toString
+      .linesIterator.dropWhile(l => l.contains("Sort") || l.contains("Exchange range"))
+      .mkString("\n")
+    val p1 = plan(Dedup.lineDedupIntraOf(Tables.documents(spark, dir), 8).limit(1))
+    assert(!body.contains("Exchange hashpartitioning") && !p1.contains("Join"),
+      s"chunk/dedup/reassemble must be narrow expressions:\n$body")
+    val p2 = plan(CorpusPipeline.corpusStats(spark, dir))
+    assert(p2.contains("partial"), // map-side combine before the single-row exchange
+      s"data card must partially aggregate:\n$p2")
+    assert(!p2.contains("Join"), s"data card is one scan:\n$p2")
+  }
 }
