@@ -55,7 +55,7 @@ object PipelineRegistry {
     pipelineFullQ, docChunksCdcQ, chunkDedupQ, bucketedRevenueQ, partitionedRevenueQ,
     textSimTopKQ, shardManifestQ, decontaminateQ, splitAssignQ,
     bm25RetrievalQ, substringDedupQ, dsirWeightQ,
-    lineDedupQ, corpusStatsQ)
+    lineDedupQ, corpusStatsQ, bpeMergesQ)
 
   /** Buckets are md5-derived on both sides; the en-doc subset is DSIR's
     * target distribution stand-in. */
@@ -158,6 +158,53 @@ object PipelineRegistry {
              a.n_kept::BIGINT AS n_kept, a.clean_md5
       FROM n JOIN a USING (doc_id) ORDER BY doc_id
     """.trim))
+
+  /** BPE merge training, oracle-mirrored by unrolling the k iterations as
+    * a generated WITH RECURSIVE chain: stage i counts adjacent pairs over
+    * the distinct-word symbol state, argmaxes with the same
+    * (count desc, a, b) tie-break, and applies the merge by leftmost-first
+    * iterated replacement on the ' '-joined symbol string — provably the
+    * same result as Spark's greedy left-to-right fold because a merged
+    * token can never recreate its own pair. */
+  private val bpeMergesQ: (String, QFn, Option[String]) = (
+    "bpe_merges",
+    (s, d) => TextAnalysis.bpeMerges(s, d),
+    Some(bpeOracleSql(5)))
+
+  private def bpeOracleSql(k: Int): String = {
+    val stages = (1 to k).map { i =>
+      s"""p$i AS (SELECT L[j] AS a, L[j+1] AS b, sum(cnt) AS c
+             FROM (SELECT cnt, L, unnest(range(1, len(L))) AS j
+                   FROM (SELECT cnt, string_split(trim(s), ' ') AS L FROM s${i - 1}))
+             GROUP BY 1, 2),
+      b$i AS (SELECT a, b, c FROM p$i ORDER BY c DESC, a ASC, b ASC LIMIT 1),
+      m$i AS (
+        SELECT cnt, s FROM s${i - 1}
+        UNION ALL
+        SELECT cnt, substr(s, 1, p - 1) || ' ' || a || b || ' ' ||
+               substr(s, p + 3 + length(a) + length(b))
+        FROM (SELECT cnt, s,
+                     strpos(s, (SELECT ' ' || a || ' ' || b || ' ' FROM b$i)) AS p
+              FROM m$i), b$i
+        WHERE p > 0),
+      s$i AS (SELECT cnt, s FROM m$i
+              WHERE strpos(s, (SELECT ' ' || a || ' ' || b || ' ' FROM b$i)) = 0)"""
+    }.mkString(",\n      ")
+    val out = (1 to k).map(i =>
+      s"SELECT $i::BIGINT AS merge_rank, a AS left_sym, b AS right_sym, c::BIGINT AS pair_count FROM b$i")
+      .mkString("\n      UNION ALL ")
+    s"""
+      WITH RECURSIVE
+      s0 AS (SELECT cnt, ' ' || array_to_string(string_split(w, ''), ' ') || ' ' AS s
+             FROM (SELECT w, count(*) AS cnt
+                   FROM (SELECT unnest(string_split_regex(lower(text), '\\s+')) AS w
+                         FROM documents)
+                   WHERE w != '' GROUP BY w)),
+      $stages
+      $out
+      ORDER BY merge_rank
+    """.trim
+  }
 
   /** One-row corpus data card; every aggregate combines map-side. */
   private val corpusStatsQ: (String, QFn, Option[String]) = (

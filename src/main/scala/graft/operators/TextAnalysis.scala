@@ -115,6 +115,67 @@ object TextAnalysis {
       length(col("text")).cast("long").as("n_chars"))
       .orderBy(col("doc_id"))
 
+  /** BPE merge training (Sennrich et al. 2016, arXiv:1508.07909): learn
+    * the first `k` byte-pair merges from the corpus, the tokenizer-training
+    * step a data pipeline runs after [[vocabTopK]] picks the seed
+    * vocabulary. Distributed the way fastBPE-style trainers shard: the
+    * corpus-sized work is ONE word-frequency groupBy (map-side combined);
+    * every merge iteration then runs over the DISTINCT-WORD frame — pair
+    * explode → keyed sum → argmax — whose size is the vocabulary, not the
+    * corpus, so 100 TB pays k shuffles of a dictionary-sized table. The
+    * single row collected per iteration is the merge decision itself (the
+    * OUTPUT artifact is driver-sized by definition). Greedy left-to-right
+    * merge application is an `aggregate` fold over the symbol array; a
+    * merged token can never recreate its own pair (AB = A or AB = B would
+    * need an empty symbol), so the fold's greedy scan is order-equivalent
+    * to the oracle's leftmost-first iterated replacement. */
+  def bpeMerges(spark: SparkSession, dir: String, k: Int = 5): DataFrame =
+    bpeMergesOf(spark, Tables.documents(spark, dir), k)
+
+  /** Frame form over any (text) corpus. */
+  def bpeMergesOf(spark: SparkSession, documents: DataFrame, k: Int): DataFrame = {
+    import spark.implicits._
+    val vocab = documents
+      .select(explode(toks(col("text"))).as("w"))
+      .where(col("w") =!= "")
+      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+      .select(col("cnt"),
+        transform(sequence(lit(1), length(col("w"))),
+          i => col("w").substr(i, lit(1))).as("syms"))
+      .cache()
+    var cur = vocab.select(col("cnt"), col("syms"))
+    val merges = scala.collection.mutable.Buffer.empty[(Long, String, String, Long)]
+    try {
+      for (r <- 1 to k) {
+        // adjacent-pair frequencies; the n<2 guard lives INSIDE the
+        // expression (sequence(1, 0) descends — see shingles' note)
+        val best = cur
+          .select(col("cnt"), explode(
+            when(size(col("syms")) >= 2, transform(
+              sequence(lit(1), size(col("syms")) - 1),
+              i => struct(element_at(col("syms"), i).as("a"),
+                element_at(col("syms"), i + 1).as("b"))))
+              .otherwise(array().cast("array<struct<a:string,b:string>>"))).as("p"))
+          .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+          .agg(sum(col("cnt")).as("c"))
+          .orderBy(col("c").desc, col("a").asc, col("b").asc)
+          .limit(1).collect()
+        if (best.nonEmpty) {
+          val (a, b, c) = (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+          merges += ((r.toLong, a, b, c))
+          cur = cur.select(col("cnt"),
+            aggregate(col("syms"), array().cast("array<string>"),
+              (acc, s) => when(size(acc) > 0 &&
+                  element_at(acc, -1) === lit(a) && s === lit(b),
+                concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
+                .otherwise(concat(acc, array(s)))).as("syms"))
+        }
+      }
+    } finally vocab.unpersist(blocking = false) // all jobs ran eagerly above
+    merges.toSeq.toDF("merge_rank", "left_sym", "right_sym", "pair_count")
+      .orderBy(col("merge_rank"))
+  }
+
   /** Corpus vocabulary: the k most frequent whitespace tokens with
     * deterministic tie-break (count desc, token asc) — the input to
     * vocabulary construction / BPE seeding. One explode + one keyed

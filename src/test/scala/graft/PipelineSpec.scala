@@ -1023,6 +1023,19 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("bpe merges: planted corpus learns the textbook merge sequence") {
+    import spark.implicits._
+    // word freqs: aaab x2, ab x1.
+    //   r1: (a,a)=4 beats (a,b)=3 -> "aa";  aaab=[aa,a,b], ab=[a,b]
+    //   r2: (a,b)=3 beats (aa,a)=2 -> "ab"; aaab=[aa,ab], ab=[ab]
+    //   r3: (aa,ab)=2 -> "aaab"
+    val docs = Seq("aaab aaab ab").toDF("text")
+    val m = TextAnalysis.bpeMergesOf(spark, docs, k = 3).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(m.toSeq == Seq((1L, "a", "a", 4L), (2L, "a", "b", 3L), (3L, "aa", "ab", 2L)),
+      s"got ${m.toSeq}")
+  }
+
   test("dsir: target-language docs outscore the rest; weights are finite and doc-complete") {
     val langs = graft.core.Tables.documents(spark, dir)
       .select(col("doc_id"), col("lang")).collect()
