@@ -55,7 +55,7 @@ object PipelineRegistry {
     pipelineFullQ, docChunksCdcQ, chunkDedupQ, bucketedRevenueQ, partitionedRevenueQ,
     textSimTopKQ, shardManifestQ, decontaminateQ, splitAssignQ,
     bm25RetrievalQ, substringDedupQ, dsirWeightQ,
-    lineDedupQ, corpusStatsQ, bpeMergesQ)
+    lineDedupQ, corpusStatsQ, bpeMergesQ, bpeEncodeQ)
 
   /** Buckets are md5-derived on both sides; the en-doc subset is DSIR's
     * target distribution stand-in. */
@@ -169,9 +169,36 @@ object PipelineRegistry {
   private val bpeMergesQ: (String, QFn, Option[String]) = (
     "bpe_merges",
     (s, d) => TextAnalysis.bpeMerges(s, d),
-    Some(bpeOracleSql(5)))
+    Some(bpeOracleSql(5,
+      (1 to 5).map(i =>
+        s"SELECT $i::BIGINT AS merge_rank, a AS left_sym, b AS right_sym, c::BIGINT AS pair_count FROM b$i")
+        .mkString("\n      UNION ALL ") + "\n      ORDER BY merge_rank")))
 
-  private def bpeOracleSql(k: Int): String = {
+  /** The apply half: per-doc subword counts through the same unrolled
+    * training chain (the oracle re-derives the segmented vocab s5 and
+    * joins the doc words against it). */
+  private val bpeEncodeQ: (String, QFn, Option[String]) = (
+    "bpe_encode",
+    (s, d) => TextAnalysis.bpeEncode(s, d),
+    Some(bpeOracleSql(5, """dw AS (SELECT doc_id, w
+            FROM (SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS w
+                  FROM documents)
+            WHERE w != ''),
+      enc AS (SELECT doc_id, count(*) AS n_words,
+                     sum(len(string_split(trim(s5.s), ' ')))::BIGINT AS n_bpe_tokens
+              FROM dw JOIN s5 ON dw.w = s5.w GROUP BY doc_id)
+      SELECT doc_id, n_words, n_bpe_tokens,
+             round(n_bpe_tokens::DOUBLE / n_words, 4) AS subtokens_per_word
+      FROM enc ORDER BY doc_id""", finalIsCte = true)))
+
+  /** The k-iteration BPE training chain as generated SQL: stage i counts
+    * adjacent pairs over the distinct-word symbol state, argmaxes with the
+    * engine-mirrored (count desc, a, b) tie-break, and applies the merge
+    * by leftmost-first iterated replacement (a recursive CTE) — provably
+    * the same result as Spark's greedy left-to-right fold because a merged
+    * token can never recreate its own pair. `finalSelect` consumes b1..bk
+    * (the merge decisions) and s$k (the final segmented vocab). */
+  private def bpeOracleSql(k: Int, finalSelect: String, finalIsCte: Boolean = false): String = {
     val stages = (1 to k).map { i =>
       s"""p$i AS (SELECT L[j] AS a, L[j+1] AS b, sum(cnt) AS c
              FROM (SELECT cnt, L, unnest(range(1, len(L))) AS j
@@ -179,30 +206,26 @@ object PipelineRegistry {
              GROUP BY 1, 2),
       b$i AS (SELECT a, b, c FROM p$i ORDER BY c DESC, a ASC, b ASC LIMIT 1),
       m$i AS (
-        SELECT cnt, s FROM s${i - 1}
+        SELECT w, cnt, s FROM s${i - 1}
         UNION ALL
-        SELECT cnt, substr(s, 1, p - 1) || ' ' || a || b || ' ' ||
+        SELECT w, cnt, substr(s, 1, p - 1) || ' ' || a || b || ' ' ||
                substr(s, p + 3 + length(a) + length(b))
-        FROM (SELECT cnt, s,
+        FROM (SELECT w, cnt, s,
                      strpos(s, (SELECT ' ' || a || ' ' || b || ' ' FROM b$i)) AS p
               FROM m$i), b$i
         WHERE p > 0),
-      s$i AS (SELECT cnt, s FROM m$i
+      s$i AS (SELECT w, cnt, s FROM m$i
               WHERE strpos(s, (SELECT ' ' || a || ' ' || b || ' ' FROM b$i)) = 0)"""
     }.mkString(",\n      ")
-    val out = (1 to k).map(i =>
-      s"SELECT $i::BIGINT AS merge_rank, a AS left_sym, b AS right_sym, c::BIGINT AS pair_count FROM b$i")
-      .mkString("\n      UNION ALL ")
+    val sep = if (finalIsCte) ",\n      " else "\n      "
     s"""
       WITH RECURSIVE
-      s0 AS (SELECT cnt, ' ' || array_to_string(string_split(w, ''), ' ') || ' ' AS s
+      s0 AS (SELECT w, cnt, ' ' || array_to_string(string_split(w, ''), ' ') || ' ' AS s
              FROM (SELECT w, count(*) AS cnt
                    FROM (SELECT unnest(string_split_regex(lower(text), '\\s+')) AS w
                          FROM documents)
                    WHERE w != '' GROUP BY w)),
-      $stages
-      $out
-      ORDER BY merge_rank
+      $stages$sep$finalSelect
     """.trim
   }
 

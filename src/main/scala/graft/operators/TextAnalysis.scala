@@ -135,15 +135,26 @@ object TextAnalysis {
   /** Frame form over any (text) corpus. */
   def bpeMergesOf(spark: SparkSession, documents: DataFrame, k: Int): DataFrame = {
     import spark.implicits._
+    bpeTrain(spark, documents, k)._2
+      .toDF("merge_rank", "left_sym", "right_sym", "pair_count")
+      .orderBy(col("merge_rank"))
+  }
+
+  /** The shared training loop: returns (final segmented vocab
+    * `(w, cnt, syms)`, the k merge decisions). The segmented-vocab frame
+    * is NOT cached on return — [[bpeMerges]] discards it and
+    * [[bpeEncode]] broadcasts its dictionary-sized projection. */
+  private def bpeTrain(spark: SparkSession, documents: DataFrame, k: Int)
+      : (DataFrame, Seq[(Long, String, String, Long)]) = {
     val vocab = documents
       .select(explode(toks(col("text"))).as("w"))
       .where(col("w") =!= "")
       .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
-      .select(col("cnt"),
+      .select(col("w"), col("cnt"),
         transform(sequence(lit(1), length(col("w"))),
           i => col("w").substr(i, lit(1))).as("syms"))
       .cache()
-    var cur = vocab.select(col("cnt"), col("syms"))
+    var cur = vocab
     val merges = scala.collection.mutable.Buffer.empty[(Long, String, String, Long)]
     try {
       for (r <- 1 to k) {
@@ -163,7 +174,7 @@ object TextAnalysis {
         if (best.nonEmpty) {
           val (a, b, c) = (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
           merges += ((r.toLong, a, b, c))
-          cur = cur.select(col("cnt"),
+          cur = cur.select(col("w"), col("cnt"),
             aggregate(col("syms"), array().cast("array<string>"),
               (acc, s) => when(size(acc) > 0 &&
                   element_at(acc, -1) === lit(a) && s === lit(b),
@@ -171,9 +182,30 @@ object TextAnalysis {
                 .otherwise(concat(acc, array(s)))).as("syms"))
         }
       }
-    } finally vocab.unpersist(blocking = false) // all jobs ran eagerly above
-    merges.toSeq.toDF("merge_rank", "left_sym", "right_sym", "pair_count")
-      .orderBy(col("merge_rank"))
+    } finally vocab.unpersist(blocking = false) // all merge jobs ran eagerly above
+    (cur, merges.toSeq)
+  }
+
+  /** BPE ENCODING with the merges [[bpeMerges]] just learned — the apply
+    * half of tokenizer training: per-doc subword token counts and the
+    * chars-per-token compression the tokenizer achieves. The corpus-sized
+    * pass is one explode + one broadcast join against the segmented
+    * vocabulary (dictionary-sized BY CONSTRUCTION — one row per distinct
+    * word, each word's final symbol count a small int), then a map-side
+    * combined per-doc sum; no corpus shuffle beyond the groupBy's own. */
+  def bpeEncode(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val seg = bpeTrain(spark, docs, k)._1
+      .select(col("w"), size(col("syms")).cast("long").as("n_sub"))
+    docs.select(col("doc_id"), explode(toks(col("text"))).as("w"))
+      .where(col("w") =!= "")
+      .join(broadcast(seg), Seq("w"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"), sum(col("n_sub")).as("n_bpe_tokens"))
+      .select(col("doc_id"), col("n_words"), col("n_bpe_tokens"),
+        round(col("n_bpe_tokens").cast("double") / col("n_words"), 4)
+          .as("subtokens_per_word"))
+      .orderBy(col("doc_id"))
   }
 
   /** Corpus vocabulary: the k most frequent whitespace tokens with

@@ -1036,6 +1036,27 @@ class PipelineSpec extends AnyFunSuite {
       s"got ${m.toSeq}")
   }
 
+  test("bpe encode: merged words collapse to single tokens; coverage is total") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_bpe_")
+    try {
+      Seq((1L, "aaab aaab ab"), (2L, "aaab xy"))
+        .toDF("doc_id", "text").write.parquet(s"$tmp/documents.parquet")
+      // 3 merges suffice to fuse aaab and ab entirely (see merges spec);
+      // xy never wins a merge at these counts so it stays 2 subtokens
+      val rows = TextAnalysis.bpeEncode(spark, tmp.toString, k = 3).collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+      assert(rows(1L) == ((3L, 3L)), s"doc 1: ${rows(1L)}")
+      assert(rows(2L) == ((2L, 3L)), s"doc 2: ${rows(2L)}") // aaab=1 + xy=2
+    } finally {
+      import scala.jdk.CollectionConverters._
+      val walk = java.nio.file.Files.walk(tmp)
+      val paths = try walk.iterator().asScala.toList finally walk.close()
+      paths.sortBy(-_.getNameCount)
+        .foreach(p => scala.util.Try(java.nio.file.Files.deleteIfExists(p)))
+    }
+  }
+
   test("dsir: target-language docs outscore the rest; weights are finite and doc-complete") {
     val langs = graft.core.Tables.documents(spark, dir)
       .select(col("doc_id"), col("lang")).collect()
