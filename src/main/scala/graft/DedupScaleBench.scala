@@ -177,6 +177,14 @@ object DedupScaleBench {
         when(col("doc_id") % 4 === 0, "en").otherwise("xx"))
       val (nDs, dsSec) = timed(
         graft.operators.CorpusPipeline.dsirWeightOf(spark, docsL, 1024, "en").count())
+      // 5d. BPE merge training: the corpus pays ONE word-frequency
+      //     groupBy; the 5 merge iterations then run over the distinct-
+      //     word frame (50k planted types at every n — dictionary-sized
+      //     regardless of corpus size, the property this point measures)
+      val (bpeRows, bpeSec) = timed(
+        graft.operators.TextAnalysis.bpeMergesOf(spark, docs, k = 5).count())
+      val bpeVocab = docs.select(explode(split(lower(col("text")), "\\s+")).as("w"))
+        .where(col("w") =!= "").distinct().count()
       // 6. paragraph-window pair join (dedupParagraph's machinery): the
       //    window step multiplies rows ~4× (100-token docs, 32-token
       //    windows) before the identical shingle-surrogate join, so one
@@ -202,6 +210,7 @@ object DedupScaleBench {
         s""""boiler_sec":${r2(bpSec)},"boiler_docs":$nBp,""" +
         s""""substr_sec":${r2(ssSec)},"substr_docs":$nSs,""" +
         s""""dsir_sec":${r2(dsSec)},"dsir_docs":$nDs,""" +
+        s""""bpe_sec":${r2(bpeSec)},"bpe_merges":$bpeRows,"bpe_vocab":$bpeVocab,""" +
         s""""para_pair_sec":${r2(paraSec)},"para_pairs":$nPara}""")
     }
     spark.stop()
