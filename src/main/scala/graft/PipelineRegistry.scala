@@ -55,7 +55,7 @@ object PipelineRegistry {
     pipelineFullQ, docChunksCdcQ, chunkDedupQ, bucketedRevenueQ, partitionedRevenueQ,
     textSimTopKQ, shardManifestQ, decontaminateQ, splitAssignQ,
     bm25RetrievalQ, substringDedupQ, dsirWeightQ,
-    lineDedupQ, corpusStatsQ, bpeMergesQ, bpeEncodeQ)
+    lineDedupQ, corpusStatsQ, bpeMergesQ, bpeEncodeQ, mmImageAhashQ)
 
   /** Buckets are md5-derived on both sides; the en-doc subset is DSIR's
     * target distribution stand-in. */
@@ -863,6 +863,32 @@ object PipelineRegistry {
              array_to_string(list_transform(range(0, 192), v ->
                ord(substr(text, CAST(3 * (((v % 24) // 3) * k // 8) + (v % 3) + 1 AS INT), 1))::VARCHAR), ',') AS thumb
       FROM kk ORDER BY doc_id
+    """.trim))
+
+  /** aHash mirrored from the same substr/ord pixel formula as
+    * mm_thumbnail (k×1 source ⇒ row index vanishes; column j samples
+    * source pixel j·k÷8). */
+  private val mmImageAhashQ: (String, QFn, Option[String]) = (
+    "mm_image_ahash",
+    (s, d) => Multimodal.imageAhash(s, d),
+    Some("""
+      WITH kk AS (SELECT doc_id, text, len(text)//3 AS k FROM documents
+                  WHERE len(text) >= 3 AND len(text) = octet_length(encode(text))
+                    AND len(text)//3 <= 1048576),
+      g AS (SELECT doc_id, p,
+                   ord(substr(text, CAST(3 * ((p % 8) * k // 8) + 1 AS INT), 1)) +
+                   ord(substr(text, CAST(3 * ((p % 8) * k // 8) + 2 AS INT), 1)) +
+                   ord(substr(text, CAST(3 * ((p % 8) * k // 8) + 3 AS INT), 1)) AS gv
+            FROM (SELECT doc_id, k, text, unnest(range(0, 64)) AS p FROM kk)),
+      t AS (SELECT doc_id, sum(gv) AS total FROM g GROUP BY doc_id),
+      h AS (SELECT doc_id,
+                   string_agg(CASE WHEN gv * 64 >= total THEN '1' ELSE '0' END,
+                              '' ORDER BY p) AS ahash
+            FROM g JOIN t USING (doc_id) GROUP BY doc_id),
+      c AS (SELECT ahash, count(*) AS n_same FROM h GROUP BY ahash)
+      SELECT h.doc_id, h.ahash, c.n_same::BIGINT AS n_same_hash,
+             c.n_same > 1 AS is_dup
+      FROM h JOIN c USING (ahash) ORDER BY doc_id
     """.trim))
 
   private val mmImageDecodeQ: (String, QFn, Option[String]) = (

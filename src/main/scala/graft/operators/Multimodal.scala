@@ -431,6 +431,36 @@ object Multimodal {
       .orderBy(col("doc_id"))
   }
 
+  /** Perceptual IMAGE dedup via average-hash (aHash) over the decoded
+    * 8×8 thumbnails — the multimodal member of the dedup family (text has
+    * minhash/simhash; images hash their downsampled luminance). Bit p of
+    * the 64-bit signature is `gray_p · 64 ≥ Σ gray` — an integer
+    * cross-multiply, no division, so the hash is bit-identical in any
+    * engine — and near-identical images (same payload modulo codec noise
+    * that survives the 8×8 downsample) collide exactly. Scale shape: one
+    * narrow decode/hash pass, then a keyed equi-join on the 64-bit
+    * signature (the LSH-bucket pattern: candidates share a bucket, never
+    * all-pairs). The signature is emitted as a 64-char bit string —
+    * engine-universal, and a BIGINT would sign-flip on bit 63. */
+  def imageAhash(spark: SparkSession, dir: String): DataFrame = {
+    val vals = transform(split(col("thumb"), ","), v => v.cast("int"))
+    val gs = transform(sequence(lit(0), lit(63)),
+      p => element_at(col("vals"), p * 3 + 1) + element_at(col("vals"), p * 3 + 2) +
+        element_at(col("vals"), p * 3 + 3))
+    val hashed = imageThumbnail(spark, dir, tw = 8, th = 8)
+      .withColumn("vals", vals)
+      .withColumn("gs", gs)
+      .withColumn("total", aggregate(col("gs"), lit(0), (acc, x) => acc + x))
+      .select(col("doc_id"),
+        concat_ws("", transform(col("gs"),
+          g => when(g * 64 >= col("total"), "1").otherwise("0"))).as("ahash"))
+    val counts = hashed.groupBy(col("ahash")).agg(count(lit(1)).as("n_same_hash"))
+    hashed.join(counts, Seq("ahash"))
+      .select(col("doc_id"), col("ahash"), col("n_same_hash"),
+        (col("n_same_hash") > 1).as("is_dup"))
+      .orderBy(col("doc_id"))
+  }
+
   /** The resize itself over one P6 payload: (src_w, src_h, joined RGB
     * ints) — None for non-PPM / hostile headers. */
   private[graft] def thumbnailOf(payload: Array[Byte], tw: Int, th: Int)

@@ -1057,6 +1057,32 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("image ahash: identical payloads collide, count is the bucket size") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ah_")
+    try {
+      // doc 3's text yields a different luminance PATTERN (ramp), so its
+      // hash must differ from the flat-ish word docs
+      Seq((1L, "spark table join merge window batch"),
+        (2L, "spark table join merge window batch"),
+        (3L, "aaaaaaaaaaaazzzzzzzzzzzzaaaaaaaaaaaazzzzzzzzzzzz"))
+        .toDF("doc_id", "text").write.parquet(s"$tmp/documents.parquet")
+      val rows = Multimodal.imageAhash(spark, tmp.toString).collect()
+        .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2), r.getBoolean(3))).toMap
+      assert(rows(1L)._1 == rows(2L)._1 && rows(1L)._2 == 2 && rows(1L)._3,
+        s"identical payloads must share a bucket: ${rows(1L)} vs ${rows(2L)}")
+      assert(rows(3L)._1 != rows(1L)._1 && rows(3L)._2 == 1 && !rows(3L)._3,
+        s"distinct pattern must be alone: ${rows(3L)}")
+      assert(rows.values.forall(_._1.length == 64), "64-bit signatures")
+    } finally {
+      import scala.jdk.CollectionConverters._
+      val walk = java.nio.file.Files.walk(tmp)
+      val paths = try walk.iterator().asScala.toList finally walk.close()
+      paths.sortBy(-_.getNameCount)
+        .foreach(p => scala.util.Try(java.nio.file.Files.deleteIfExists(p)))
+    }
+  }
+
   test("dsir: target-language docs outscore the rest; weights are finite and doc-complete") {
     val langs = graft.core.Tables.documents(spark, dir)
       .select(col("doc_id"), col("lang")).collect()
