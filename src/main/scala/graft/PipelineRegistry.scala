@@ -55,7 +55,8 @@ object PipelineRegistry {
     pipelineFullQ, docChunksCdcQ, chunkDedupQ, bucketedRevenueQ, partitionedRevenueQ,
     textSimTopKQ, shardManifestQ, decontaminateQ, splitAssignQ,
     bm25RetrievalQ, substringDedupQ, dsirWeightQ,
-    lineDedupQ, corpusStatsQ, bpeMergesQ, bpeEncodeQ, mmImageAhashQ)
+    lineDedupQ, corpusStatsQ, bpeMergesQ, bpeEncodeQ, mmImageAhashQ,
+    mmAudioFingerprintQ)
 
   /** Buckets are md5-derived on both sides; the en-doc subset is DSIR's
     * target distribution stand-in. */
@@ -834,6 +835,31 @@ object PipelineRegistry {
                (ord(substr(text, CAST(2*(j*16)+1 AS INT), 1)) +
                 256*ord(substr(text, CAST(2*(j*16)+2 AS INT), 1)))::VARCHAR), ',') AS samples
       FROM k ORDER BY doc_id
+    """.trim))
+
+  /** Audio fingerprint from the same u16 sample formula as
+    * mm_audio_sample; `size(vals)` on the Spark side is DuckDB's n_kept. */
+  private val mmAudioFingerprintQ: (String, QFn, Option[String]) = (
+    "mm_audio_fingerprint",
+    (s, d) => Multimodal.audioFingerprint(s, d),
+    Some("""
+      WITH d AS (SELECT doc_id, text, len(text)//2 AS m FROM documents
+                 WHERE len(text) >= 2 AND len(text) = octet_length(encode(text))),
+      kk AS (SELECT doc_id, m, (m + 15)//16 AS n_kept, text FROM d),
+      v AS (SELECT doc_id, n_kept, j,
+                   ord(substr(text, CAST(2*(j*16)+1 AS INT), 1)) +
+                   256*ord(substr(text, CAST(2*(j*16)+2 AS INT), 1)) AS s
+            FROM kk, unnest(range(0, n_kept)) r(j)),
+      t AS (SELECT doc_id, sum(s) AS total, any_value(n_kept) AS nk
+            FROM v GROUP BY doc_id),
+      h AS (SELECT v.doc_id,
+                   string_agg(CASE WHEN s * nk >= total THEN '1' ELSE '0' END,
+                              '' ORDER BY j) AS afp
+            FROM v JOIN t USING (doc_id) GROUP BY v.doc_id),
+      c AS (SELECT afp, count(*) AS n_same FROM h GROUP BY afp)
+      SELECT h.doc_id, h.afp, c.n_same::BIGINT AS n_same_hash,
+             c.n_same > 1 AS is_dup
+      FROM h JOIN c USING (afp) ORDER BY doc_id
     """.trim))
 
   /** The schedule is pure integer arithmetic on the mvhd duration, which

@@ -677,6 +677,28 @@ object Multimodal {
       .orderBy(col("doc_id"))
   }
 
+  /** Perceptual AUDIO dedup — the PCM twin of [[imageAhash]]: bit j of
+    * the fingerprint is `sample_j · n ≥ Σ samples` over the decimated
+    * waveform (integer cross-multiply, engine-exact), so re-encoded or
+    * re-chunked audio with the same coarse energy envelope collides.
+    * Same scale shape: narrow decode/decimate/hash pass, then a keyed
+    * signature equi-join for bucket sizes — never all-pairs. */
+  def audioFingerprint(spark: SparkSession, dir: String, k: Int = 16): DataFrame = {
+    val vals = transform(split(col("samples"), ","), v => v.cast("long"))
+    val hashed = audioSample(spark, dir, k)
+      .withColumn("vals", vals)
+      .withColumn("total", aggregate(col("vals"), lit(0L), (acc, x) => acc + x))
+      .select(col("doc_id"),
+        concat_ws("", transform(col("vals"),
+          s => when(s * size(col("vals")) >= col("total"), "1").otherwise("0")))
+          .as("afp"))
+    val counts = hashed.groupBy(col("afp")).agg(count(lit(1)).as("n_same_hash"))
+    hashed.join(counts, Seq("afp"))
+      .select(col("doc_id"), col("afp"), col("n_same_hash"),
+        (col("n_same_hash") > 1).as("is_dup"))
+      .orderBy(col("doc_id"))
+  }
+
   private def gzipBytes(raw: Array[Byte]): Array[Byte] = {
     val bos = new java.io.ByteArrayOutputStream()
     val gz = new java.util.zip.GZIPOutputStream(bos)
