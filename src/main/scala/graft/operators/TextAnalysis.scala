@@ -190,16 +190,20 @@ object TextAnalysis {
     * half of tokenizer training: per-doc subword token counts and the
     * chars-per-token compression the tokenizer achieves. The corpus-sized
     * pass is one explode + one broadcast join against the segmented
-    * vocabulary (dictionary-sized BY CONSTRUCTION — one row per distinct
-    * word, each word's final symbol count a small int), then a map-side
-    * combined per-doc sum; no corpus shuffle beyond the groupBy's own. */
-  def bpeEncode(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    * vocabulary, then a map-side combined per-doc sum. `broadcastVocab`
+    * gates the dictionary broadcast the same way [[lmPerplexityOf]]'s
+    * `broadcastModel` does: whitespace types are an OPEN vocabulary at
+    * web scale (URLs, typos, ids), so the beyond-broadcast path
+    * equi-joins the words on their own shuffle instead — no forced
+    * broadcast of a corpus-derived frame either way. */
+  def bpeEncode(spark: SparkSession, dir: String, k: Int = 5,
+      broadcastVocab: Boolean = true): DataFrame = {
     val docs = Tables.documents(spark, dir)
     val seg = bpeTrain(spark, docs, k)._1
       .select(col("w"), size(col("syms")).cast("long").as("n_sub"))
     docs.select(col("doc_id"), explode(toks(col("text"))).as("w"))
       .where(col("w") =!= "")
-      .join(broadcast(seg), Seq("w"))
+      .join(if (broadcastVocab) broadcast(seg) else seg, Seq("w"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_words"), sum(col("n_sub")).as("n_bpe_tokens"))
       .select(col("doc_id"), col("n_words"), col("n_bpe_tokens"),

@@ -1048,6 +1048,11 @@ class PipelineSpec extends AnyFunSuite {
         .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
       assert(rows(1L) == ((3L, 3L)), s"doc 1: ${rows(1L)}")
       assert(rows(2L) == ((2L, 3L)), s"doc 2: ${rows(2L)}") // aaab=1 + xy=2
+      // the beyond-broadcast (open-vocabulary) join path is row-identical
+      val shuffled = TextAnalysis.bpeEncode(spark, tmp.toString, k = 3,
+        broadcastVocab = false).collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+      assert(shuffled == rows, "broadcast and shuffle-join vocab paths must agree")
     } finally {
       import scala.jdk.CollectionConverters._
       val walk = java.nio.file.Files.walk(tmp)
