@@ -350,7 +350,8 @@ object PipelineRegistry {
     Some("""
       SELECT v.fmt AS format, count(*) AS n_docs, sum(n_chars)::BIGINT AS total_chars,
              sum(('0x' || substr(md5(text), 1, 8))::BIGINT)::BIGINT AS text_sum
-      FROM documents CROSS JOIN (VALUES ('csv'), ('json'), ('orc')) v(fmt)
+      FROM documents CROSS JOIN (VALUES ('csv'), ('json'), ('orc'),
+                                        ('json_gzip'), ('csv_bzip2')) v(fmt)
       GROUP BY v.fmt ORDER BY v.fmt
     """.trim))
 

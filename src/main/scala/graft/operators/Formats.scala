@@ -25,9 +25,16 @@ object Formats {
     val schema = docs.schema
     val basePath = java.nio.file.Files.createTempDirectory("graft_formats_")
     try {
-      val rows = Seq("csv", "json", "orc").map { fmt =>
-        val path = s"$basePath/$fmt"
-        val w = docs.write.mode("overwrite").format(fmt)
+      // the two compressed-text rows pin COMPRESSED ingestion (JVM codecs
+      // only — no native hadoop in this container): gzip is the
+      // non-splittable web-corpus default (one task per file — at 100 TB
+      // size the files, not the splits), bzip2 the splittable exception
+      val rows = Seq(("csv", "csv", None), ("json", "json", None),
+        ("orc", "orc", None), ("json_gzip", "json", Some("gzip")),
+        ("csv_bzip2", "csv", Some("bzip2"))).map { case (label, fmt, codec) =>
+        val path = s"$basePath/$label"
+        val w0 = docs.write.mode("overwrite").format(fmt)
+        val w = codec.fold(w0)(c => w0.option("compression", c))
         // CSV defaults are LOSSY for realistic text: leading/trailing
         // whitespace is trimmed on write and read, and embedded newlines
         // break the line-per-record reader — exactly the corruption this
@@ -57,7 +64,7 @@ object Formats {
           sum(col("n_chars")).as("total_chars"),
           sum(conv(substring(md5(col("text")), 1, 8), 16, 10).cast("long")).as("text_sum"))
           .head()
-        (fmt, agg.getLong(0), agg.getLong(1), agg.getLong(2))
+        (label, agg.getLong(0), agg.getLong(1), agg.getLong(2))
       }
       rows.toDF("format", "n_docs", "total_chars", "text_sum").orderBy(col("format"))
     } finally {
