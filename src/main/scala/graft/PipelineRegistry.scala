@@ -56,7 +56,7 @@ object PipelineRegistry {
     textSimTopKQ, shardManifestQ, decontaminateQ, splitAssignQ,
     bm25RetrievalQ, substringDedupQ, dsirWeightQ,
     lineDedupQ, corpusStatsQ, bpeMergesQ, bpeEncodeQ, mmImageAhashQ,
-    mmAudioFingerprintQ)
+    mmAudioFingerprintQ, sourcePagerankQ, cmsTopkQ)
 
   /** Buckets are md5-derived on both sides; the en-doc subset is DSIR's
     * target distribution stand-in. */
@@ -409,6 +409,71 @@ object PipelineRegistry {
       FROM p JOIN sizes sa ON p.source_a = sa.source
              JOIN sizes sb ON p.source_b = sb.source
       ORDER BY source_a, source_b
+    """.trim))
+
+  /** PageRank over the source-overlap graph: the oracle replays the exact
+    * integer power iteration as an unrolled CTE chain (r1..r10), each
+    * stage one edge join + one floor-division contribution sum — the
+    * bpe_merges pattern. All long math, so the fixpoint is bit-identical
+    * across engines; the driver constants (node count, teleport base) are
+    * recomputed in SQL from the same node set. */
+  private val sourcePagerankQ: (String, QFn, Option[String]) = {
+    val scale = graft.operators.Dedup.PagerankScale
+    val stages = (1 to 10).map { i =>
+      s"""r$i AS (SELECT nodes.source,
+               ((SELECT (15 * $scale) // (100 * n) FROM nn)
+                + (85 * COALESCE(c.contrib, 0)) // 100)::BIGINT AS rank
+        FROM nodes LEFT JOIN (
+          SELECT e.dst, sum((r.rank * e.w) // e.outw)::BIGINT AS contrib
+          FROM e JOIN r${i - 1} r ON r.source = e.src GROUP BY e.dst) c
+        ON nodes.source = c.dst)"""
+    }.mkString(",\n      ")
+    ("source_pagerank",
+      (s: SparkSession, d: String) => Dedup.sourcePagerank(s, d),
+      Some(s"""
+      WITH s AS ($shingledCte),
+      exx AS (SELECT doc_id, unnest(sh) AS shs FROM s),
+      srcsh AS (SELECT DISTINCT d.source, ('0x' || substr(md5(exx.shs), 1, 15))::BIGINT AS sg
+                FROM exx JOIN documents d USING (doc_id)),
+      p AS (SELECT a.source AS src, b.source AS dst, count(*)::BIGINT AS w
+            FROM srcsh a JOIN srcsh b ON a.sg = b.sg AND a.source < b.source
+            GROUP BY 1, 2),
+      e0 AS (SELECT src, dst, w FROM p UNION ALL SELECT dst, src, w FROM p),
+      ow AS (SELECT src, sum(w)::BIGINT AS outw FROM e0 GROUP BY src),
+      e AS (SELECT e0.src, e0.dst, e0.w, ow.outw FROM e0 JOIN ow USING (src)),
+      nodes AS (SELECT DISTINCT source FROM documents),
+      nn AS (SELECT count(*)::BIGINT AS n FROM nodes),
+      r0 AS (SELECT source, (SELECT $scale // n FROM nn)::BIGINT AS rank FROM nodes),
+      $stages
+      SELECT source, rank AS rank_e12 FROM r10 ORDER BY rank_e12 DESC, source
+    """.trim))
+  }
+
+  /** Count-min sketch: md5-derived bucket hashes on both sides, so DuckDB
+    * rebuilds the identical 4×1024 sketch and the estimates hash-match
+    * exactly — a fully oracle-checked sketch, not a tolerance gate. */
+  private val cmsTopkQ: (String, QFn, Option[String]) = (
+    "cms_topk",
+    (s, d) => TextAnalysis.cmsHeavyHitters(s, d),
+    Some("""
+      WITH t AS (SELECT token
+                 FROM (SELECT unnest(string_split_regex(lower(text), '\s+')) AS token
+                       FROM documents)
+                 WHERE token != ''),
+      js AS (SELECT unnest([0, 1, 2, 3]) AS j),
+      cells AS (SELECT j, ('0x' || substr(md5(j::VARCHAR || ':' || token), 1, 15))::BIGINT % 1024 AS b,
+                       count(*)::BIGINT AS cnt
+                FROM t CROSS JOIN js GROUP BY 1, 2),
+      ex AS (SELECT token, count(*)::BIGINT AS exact_cnt FROM t GROUP BY token
+             ORDER BY exact_cnt DESC, token ASC LIMIT 20),
+      probe AS (SELECT ex.token, ex.exact_cnt, j,
+                       ('0x' || substr(md5(j::VARCHAR || ':' || ex.token), 1, 15))::BIGINT % 1024 AS b
+                FROM ex CROSS JOIN js),
+      est AS (SELECT p.token, p.exact_cnt, min(c.cnt)::BIGINT AS cms_cnt
+              FROM probe p JOIN cells c ON c.j = p.j AND c.b = p.b
+              GROUP BY 1, 2)
+      SELECT token, exact_cnt, cms_cnt, cms_cnt >= exact_cnt AS never_underestimates
+      FROM est ORDER BY exact_cnt DESC, token ASC
     """.trim))
 
   private val sampleMixtureQ: (String, QFn, Option[String]) = (

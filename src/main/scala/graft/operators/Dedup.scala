@@ -685,6 +685,60 @@ object Dedup {
       .orderBy(col("source_a"), col("source_b"))
   }
 
+  /** Rank scale for [[sourcePagerank]]: ranks are integers in units of
+    * 10⁻¹² of the total probability mass, so every arithmetic step is
+    * exact long math and the fixpoint is bit-identical across engines and
+    * partitionings. */
+  private[graft] val PagerankScale = 1000000000000L
+
+  /** Source-level PageRank over the shingle-overlap graph — the web-graph
+    * quality prior (CommonCrawl-style host ranking) at mixture-design
+    * granularity: sources that share content with many well-connected
+    * sources rank high; isolated or mirror-only sources sink to the
+    * teleport floor. Nodes = distinct `source` values; edges = the same
+    * source-pair shingle counts [[sourceOverlap]] reports (symmetric);
+    * 10 join-based power iterations with damping 0.85.
+    *
+    * All arithmetic is exact long math in 10⁻¹² rank units (floor division
+    * per edge), so the result is deterministic under any partitioning and
+    * the oracle can replay the identical iteration as unrolled SQL — the
+    * same trick bpe_merges uses for its training chain.
+    *
+    * Scale: each iteration is one keyed equi-join (ranks ⋈ edges on src)
+    * plus one groupBy(dst) — the generic distributed power-iteration shape
+    * that takes a billion-edge host graph; here the edge list derives from
+    * shingle overlap, whose per-key fanout is bounded by the NUMBER of
+    * sources (config-sized — dozens of mixture sources, not open-web
+    * hosts). The only driver values are the node count and the two
+    * constants derived from it. */
+  def sourcePagerank(spark: SparkSession, dir: String, iters: Int = 10): DataFrame = {
+    val srcSh = surrogates(spark, dir)
+      .join(Tables.documents(spark, dir).select(col("doc_id"), col("source")), "doc_id")
+      .select(col("source"), col("s")).distinct()
+    val pairs = srcSh.as("a").join(srcSh.as("b"),
+        col("a.s") === col("b.s") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("src"), col("b.source").as("dst"))
+      .agg(count(lit(1)).as("w"))
+    val edges = pairs.select(col("src"), col("dst"), col("w"))
+      .union(pairs.select(col("dst").as("src"), col("src").as("dst"), col("w")))
+    val outw = edges.groupBy(col("src")).agg(sum(col("w")).as("outw"))
+    val e = edges.join(outw, "src").cache()
+    val nodes = Tables.documents(spark, dir).select(col("source")).distinct().cache()
+    val n = nodes.count() // driver scalar: ONE long, the node count
+    val base = (15L * PagerankScale) / (100L * n)
+    var ranks = nodes.select(col("source"), lit(PagerankScale / n).as("rank"))
+    for (_ <- 1 to iters) {
+      val contrib = e.join(ranks.withColumnRenamed("source", "src"), "src")
+        .select(col("dst"), expr("(rank * w) div outw").as("c"))
+        .groupBy(col("dst")).agg(sum(col("c")).as("contrib"))
+      ranks = nodes.join(contrib.withColumnRenamed("dst", "source"), Seq("source"), "left")
+        .select(col("source"),
+          (lit(base) + expr("(85 * coalesce(contrib, 0)) div 100")).as("rank"))
+    }
+    ranks.select(col("source"), col("rank").as("rank_e12"))
+      .orderBy(col("rank_e12").desc, col("source").asc)
+  }
+
   /** N-gram novelty: the fraction of a doc's distinct shingles whose FIRST
     * corpus occurrence (min doc_id) is the doc itself — the freshness
     * signal an ordered-ingest pipeline cuts on (novelty → keep; ~0 →

@@ -264,6 +264,59 @@ object TextAnalysis {
       .orderBy(col("rank"))
   }
 
+  /** Count-min sketch heavy hitters — the FIXED-MEMORY frequency sketch
+    * (Cormode & Muthukrishnan 2005) next to q14's HLL and q18's KMV:
+    * `rows`×`width` counters (default 4×1024 = 4096 cells) estimate any
+    * token's frequency with one-sided error, however large the corpus.
+    * The sketch build is one groupBy over (row, bucket) whose partial
+    * aggregation combines map-side, so each task ships at most
+    * rows×width cells to the shuffle — the sketch is mergeable by
+    * construction, exactly what a 1000-executor frequency pass needs.
+    *
+    * The bucket hashes are md5-derived (`md5(j + ":" + token)` 60-bit
+    * prefix mod width — the same engine-portable family the minhash/KMV
+    * sketches ride), so DuckDB rebuilds the IDENTICAL sketch and the
+    * estimates hash-match exactly: this is a fully oracle-checked sketch,
+    * not a tolerance gate. Output: the exact top-k tokens (the
+    * verification twin) with their CMS estimate and the one-sided-error
+    * guarantee (`cms_cnt >= exact_cnt`) as a checked flag per row. */
+  /** The CMS bucket-hash family — shared by the batch sketch, its probe
+    * side, and the streaming windowed twin, so all three build the
+    * IDENTICAL sketch (and DuckDB can rebuild it too). */
+  private[graft] def cmsBucket(j: Int, token: Column, width: Int): Column =
+    conv(substring(md5(concat(lit(j + ":"), token)), 1, 15), 16, 10)
+      .cast("long") % lit(width.toLong)
+
+  /** All `rows` (r, b) cell coordinates of a token as one array — a single
+    * scan feeds the whole sketch (vs one pass per hash row). */
+  private[graft] def cmsCells(token: Column, rows: Int, width: Int): Column =
+    array((0 until rows).map(j =>
+      struct(lit(j).as("r"), cmsBucket(j, token, width).as("b"))): _*)
+
+  def cmsHeavyHitters(spark: SparkSession, dir: String, k: Int = 20,
+      rows: Int = 4, width: Int = 1024): DataFrame = {
+    val tok = Tables.documents(spark, dir)
+      .select(explode(toks(col("text"))).as("token"))
+      .where(col("token") =!= "")
+    val cells = tok
+      .select(explode(cmsCells(col("token"), rows, width)).as("rb"))
+      .groupBy(col("rb.r").as("r"), col("rb.b").as("b")).agg(count(lit(1)).as("cnt"))
+    val exact = tok.groupBy(col("token")).agg(count(lit(1)).as("exact_cnt"))
+      .orderBy(col("exact_cnt").desc, col("token").asc)
+      .limit(k)
+    // estimate = min over the d row counters; the probe side is k rows ->
+    // broadcast against the <=rows*width-cell sketch
+    exact
+      .select(col("token"), col("exact_cnt"),
+        explode(cmsCells(col("token"), rows, width)).as("rb"))
+      .select(col("token"), col("exact_cnt"), col("rb.r").as("r"), col("rb.b").as("b"))
+      .join(cells, Seq("r", "b"))
+      .groupBy(col("token"), col("exact_cnt")).agg(min(col("cnt")).as("cms_cnt"))
+      .select(col("token"), col("exact_cnt"), col("cms_cnt"),
+        (col("cms_cnt") >= col("exact_cnt")).as("never_underestimates"))
+      .orderBy(col("exact_cnt").desc, col("token").asc)
+  }
+
   /** Exact length percentiles (p50/p90/p99 of n_chars, nearest-rank
     * ceil(p·n)) — the token-budget planning numbers. Exact so both engines
     * agree bit-for-bit, unlike approx_percentile sketches; computed from a

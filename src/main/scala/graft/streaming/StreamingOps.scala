@@ -65,6 +65,27 @@ object StreamingOps {
         count(lit(1)).as("n_events"))
       .select(col("window.start").as("win_start"), col("approx_users"), col("n_events"))
 
+  /** Windowed count-min sketch at ingest — the streaming twin of
+    * [[graft.operators.TextAnalysis.cmsHeavyHitters]]: per event-time
+    * window, build the same `rows`×`width` md5-derived sketch over
+    * arriving doc tokens (shared bucket family, so batch and stream
+    * sketches are bit-identical — spec-asserted). State per window is
+    * capped at rows×width cells BY CONSTRUCTION — that is the sketch's
+    * whole point — and the watermark closes windows, so total state is
+    * horizon-bounded however hot the traffic. Downstream estimates any
+    * token's windowed frequency as the min over its d cells. */
+  def streamingCmsSketch(docs: DataFrame, rows: Int = 4, width: Int = 1024,
+      windowLen: String = "5 minutes", watermark: String = "10 minutes"): DataFrame =
+    docs
+      .withWatermark("ts", watermark)
+      .select(col("ts"), explode(split(lower(col("text")), "\\s+")).as("token"))
+      .where(col("token") =!= "")
+      .select(col("ts"),
+        explode(graft.operators.TextAnalysis.cmsCells(col("token"), rows, width)).as("rb"))
+      .groupBy(window(col("ts"), windowLen), col("rb.r").as("r"), col("rb.b").as("b"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("window.start").as("win_start"), col("r"), col("b"), col("cnt"))
+
   /** Streaming exact dedup — the ingestion-side twin of
     * [[graft.operators.Dedup.dedupExact]]: same normalization, same md5
     * content key, applied as documents ARRIVE. `dropDuplicatesWithinWatermark`

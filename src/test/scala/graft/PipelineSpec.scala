@@ -1108,6 +1108,39 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("pagerank: mass conserved under damping, every source ranked, order deterministic") {
+    val rows = Dedup.sourcePagerank(spark, dir).collect()
+    val nSources = graft.core.Tables.documents(spark, dir)
+      .select(col("source")).distinct().count()
+    assert(rows.length == nSources, "every source gets a rank, connected or not")
+    val ranks = rows.map(_.getAs[Long]("rank_e12"))
+    assert(ranks.forall(_ > 0), "teleport floor keeps every rank positive")
+    // floor division only LOSES mass: the total stays under the scale but
+    // must retain most of it (the overlap graph here has no dangling nodes)
+    assert(ranks.sum <= Dedup.PagerankScale, s"mass ${ranks.sum} exceeds the scale")
+    assert(ranks.sum > Dedup.PagerankScale * 9 / 10, s"mass ${ranks.sum} leaked too far")
+    // the ordering is a real signal, not uniform: top beats bottom clearly
+    assert(ranks.head > ranks.last, "ranks are uniform — the graph carried no signal")
+    // bit-determinism under a different partitioning of the same data
+    val again = Dedup.sourcePagerank(spark, dir).collect()
+    assert(rows.map(r => (r.getString(0), r.getLong(1))).toSeq ==
+      again.map(r => (r.getString(0), r.getLong(1))).toSeq, "rerun diverged")
+  }
+
+  test("cms: estimates never undercount, and exact when no bucket collides") {
+    val rows = TextAnalysis.cmsHeavyHitters(spark, dir).collect()
+    assert(rows.length == 20)
+    rows.foreach { r =>
+      val (exact, est) = (r.getAs[Long]("exact_cnt"), r.getAs[Long]("cms_cnt"))
+      assert(r.getAs[Boolean]("never_underestimates"), s"${r.getString(0)} undercounted")
+      assert(est >= exact, s"${r.getString(0)}: est $est < exact $exact")
+      // 4 rows x 1024 buckets over this vocab: expected overcount per cell
+      // is well under the heavy hitters' own counts — a colliding hash
+      // family (or a broken bucket expression) trips this immediately
+      assert(est - exact <= exact, s"${r.getString(0)}: overcount ${est - exact} > exact $exact")
+    }
+  }
+
   test("all registered queries execute and agree with declared column names at sf0.001") {
     val smokeDir = "/root/testdata/sf0.001"
     SparkEntry.queries.foreach { case (name, fn) =>

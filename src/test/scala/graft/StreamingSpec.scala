@@ -410,6 +410,37 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming cms sketch agrees cell-for-cell with a batch-built sketch") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, count, explode, lit, lower, split}
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Doc]
+    val q = StreamingOps.streamingCmsSketch(input.toDF())
+      .writeStream.format("memory").queryName("cms_out")
+      .outputMode("append").start()
+    try {
+      val docs = graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
+        .select("doc_id", "text").collect()
+        .map(r => Doc(r.getLong(0), ts(1), r.getString(1)))
+      input.addData(docs.toSeq)
+      input.addData(Doc(-1, ts(60), "watermark advancer")) // close the window
+      q.processAllAvailable()
+      val win0 = spark.table("cms_out")
+        .where(col("win_start") === ts(0))
+        .select("r", "b", "cnt").collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+      // batch ground truth: the SAME shared cell expression over the same docs
+      val batch = graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
+        .select(explode(split(lower(col("text")), "\\s+")).as("token"))
+        .where(col("token") =!= "")
+        .select(explode(graft.operators.TextAnalysis.cmsCells(col("token"), 4, 1024)).as("rb"))
+        .groupBy(col("rb.r").as("r"), col("rb.b").as("b")).agg(count(lit(1)).as("cnt"))
+        .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+      assert(win0 == batch, s"stream/batch sketch diverged: ${win0.size} vs ${batch.size} cells")
+      assert(win0.size <= 4 * 1024, "state cap violated")
+    } finally q.stop()
+  }
+
   test("streaming quality filter agrees bit-for-bit with the batch expressions") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
