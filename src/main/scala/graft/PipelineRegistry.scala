@@ -56,7 +56,8 @@ object PipelineRegistry {
     textSimTopKQ, shardManifestQ, decontaminateQ, splitAssignQ,
     bm25RetrievalQ, substringDedupQ, dsirWeightQ,
     lineDedupQ, corpusStatsQ, bpeMergesQ, bpeEncodeQ, mmImageAhashQ,
-    mmAudioFingerprintQ, sourcePagerankQ, cmsTopkQ)
+    mmAudioFingerprintQ, sourcePagerankQ, cmsTopkQ,
+    domainCapQ, epochUpsampleQ, hardNegativesQ)
 
   /** Buckets are md5-derived on both sides; the en-doc subset is DSIR's
     * target distribution stand-in. */
@@ -448,6 +449,58 @@ object PipelineRegistry {
       SELECT source, rank AS rank_e12 FROM r10 ORDER BY rank_e12 DESC, source
     """.trim))
   }
+
+  /** Anti-domination cap: survivors decided by id-hash order, so the kept
+    * set is partitioning-independent and the oracle replays it exactly. */
+  private val domainCapQ: (String, QFn, Option[String]) = (
+    "domain_cap",
+    (s, d) => CorpusPipeline.domainCap(s, d),
+    Some("""
+      WITH r AS (SELECT doc_id, source,
+                        row_number() OVER (PARTITION BY source
+                          ORDER BY md5(doc_id::VARCHAR) ASC, doc_id ASC) AS keep_rank
+                 FROM documents)
+      SELECT doc_id, source, keep_rank::BIGINT AS keep_rank
+      FROM r WHERE keep_rank <= 20 ORDER BY source, keep_rank
+    """.trim))
+
+  /** Epoch schedule: n_copies = mixture bucket + 1, same ANSI-safe 8-digit
+    * source-index key the mixture rates ride. */
+  private val epochUpsampleQ: (String, QFn, Option[String]) = (
+    "epoch_upsample",
+    (s, d) => CorpusPipeline.epochUpsample(s, d),
+    Some("""
+      WITH b AS (SELECT doc_id, source,
+                        (CASE WHEN regexp_extract(source, '[0-9]+', 0) = '' THEN 0
+                              ELSE right(regexp_extract(source, '[0-9]+', 0), 8)::INT % 4 END
+                         + 1)::BIGINT AS n_copies
+                 FROM documents)
+      SELECT doc_id, source, n_copies, i AS copy_idx,
+             md5(doc_id::VARCHAR || ':' || i::VARCHAR) AS shuffle_key
+      FROM b, unnest(range(1, n_copies + 1)) AS u(i)
+      ORDER BY doc_id, copy_idx
+    """.trim))
+
+  /** Hard-negative mining: nearest cross-label neighbors per query — the
+    * exact contrastive-pair oracle form (ANN at scale). */
+  private val hardNegativesQ: (String, QFn, Option[String]) = (
+    "hard_negatives",
+    (s, d) => Similarity.hardNegatives(s, d),
+    Some(s"""
+      WITH e AS (SELECT vec_id, embedding, label, sqrt(${dotSql("embedding", "embedding")}) AS nrm
+                 FROM embeddings),
+      q AS (SELECT vec_id AS query_id, embedding AS qvec, label AS qlabel, nrm AS qn
+            FROM e WHERE vec_id < 10),
+      sc AS (SELECT q.query_id, q.qlabel::BIGINT AS qlabel, e.vec_id AS neg_id,
+                    e.label::BIGINT AS neg_label,
+                    ${dotSql("e.embedding", "q.qvec")} / (e.nrm * q.qn) AS cos
+             FROM e CROSS JOIN q WHERE e.label <> q.qlabel),
+      r AS (SELECT query_id, qlabel, neg_id, neg_label, cos,
+                   row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neg_id ASC) AS rank
+            FROM sc)
+      SELECT query_id, qlabel, rank::BIGINT AS rank, neg_id, neg_label, round(cos, 4) AS cos
+      FROM r WHERE rank <= 5 ORDER BY query_id, rank
+    """.trim))
 
   /** Count-min sketch: md5-derived bucket hashes on both sides, so DuckDB
     * rebuilds the identical 4×1024 sketch and the estimates hash-match

@@ -113,15 +113,57 @@ object CorpusPipeline {
     // so the rate is unchanged for every in-range source, while a 20-digit
     // source id stays defined instead of engine-diverging (non-ANSI Spark
     // nulls the cast and silently drops the doc; DuckDB's ::INT throws)
+    element_at(array(lit(0.1), lit(0.3), lit(0.6), lit(1.0)), sourceIdxExpr + 1)
+  }
+
+  /** Source index mod 4 off the source name's digits — the shared
+    * "which mixture bucket is this source" key (see [[mixtureRateExpr]]'s
+    * ANSI-safety note on the 8-digit bound). */
+  private[operators] def sourceIdxExpr: org.apache.spark.sql.Column = {
     val digits = regexp_extract(col("source"), "[0-9]+", 0)
     val tail = digits.substr(greatest(length(digits) - 7, lit(1)), lit(8))
-    val srcIdx = when(digits === "", lit(0)).otherwise(tail.cast("int") % 4)
-    element_at(array(lit(0.1), lit(0.3), lit(0.6), lit(1.0)), srcIdx + 1)
+    when(digits === "", lit(0)).otherwise(tail.cast("int") % 4)
   }
 
   private[operators] def idHashU: org.apache.spark.sql.Column =
     conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
       .cast("double") / 1152921504606846976.0
+
+  /** Domain capping — no single source may contribute more than `cap`
+    * docs (the anti-domination rule every web corpus applies before
+    * mixing: one mirror-heavy domain must not swamp the run). Which docs
+    * survive is decided by id-hash order, NOT arrival order, so the kept
+    * set is a pure function of (doc_id, source) — reproducible across
+    * engines, reruns, and partitionings, like every sampler here.
+    * Scale: one window partitioned by source; the per-key sort is the
+    * same per-domain shuffle the stratified sampler already pays, and a
+    * hot domain costs one partition's sort, never a global one. */
+  def domainCap(spark: SparkSession, dir: String, cap: Int = 20): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("source"))
+      .orderBy(md5(col("doc_id").cast("string")).asc, col("doc_id").asc)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"))
+      .withColumn("keep_rank", row_number().over(w).cast("long"))
+      .where(col("keep_rank") <= cap)
+      .orderBy(col("source"), col("keep_rank"))
+  }
+
+  /** Multi-epoch upsampling — materialize the "high-quality sources
+    * repeat more epochs" schedule (the Wikipedia-×N rule): each doc is
+    * emitted `n_copies` times with a distinct `copy_idx`, where n_copies
+    * = its source's mixture bucket + 1 (1..4 — the same config key
+    * [[sampleMixture]] rates ride, so mix and epoch schedule stay
+    * consistent). A pure narrow explode — no shuffle, output rows =
+    * Σ n_copies; each copy carries a distinct deterministic shuffle key
+    * so downstream epoch shuffles don't collide copies. */
+  def epochUpsample(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), (sourceIdxExpr + 1).cast("long").as("n_copies"))
+      .select(col("doc_id"), col("source"), col("n_copies"),
+        explode(sequence(lit(1L), col("n_copies"))).as("copy_idx"))
+      .withColumn("shuffle_key",
+        md5(concat(col("doc_id").cast("string"), lit(":"), col("copy_idx").cast("string"))))
+      .orderBy(col("doc_id"), col("copy_idx"))
 
   /** Mixture-weighted deterministic sampling — materialize a training mix
     * from per-source target rates (the "web 30% / code 70%" data-mixing

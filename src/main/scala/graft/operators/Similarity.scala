@@ -52,6 +52,35 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Hard-negative mining — the contrastive-training data generator: for
+    * each query vector, the k most cosine-similar vectors whose `label`
+    * DIFFERS from the query's (near the anchor but of another class —
+    * exactly the negatives a metric-learning / embedding-model run wants).
+    * This is the exact oracle form (brute-force over the broadcast query
+    * set); the 100 TB path is the Vamana adaptive filtered search
+    * (`vamana_search_filtered` runs the same predicate-during-traversal
+    * shape) or the IVF probe — same output contract, ANN candidates. */
+  def hardNegatives(spark: SparkSession, dir: String, nQueries: Int = 10, k: Int = 5): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"), col("label"),
+        normNative(spark, col("embedding")).as("nrm"))
+    val q = e.where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"),
+        col("label").as("qlabel"), col("nrm").as("qn"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neg_id").asc)
+    e.select(col("vec_id").as("neg_id"), col("embedding").as("vec"),
+        col("label").as("neg_label"), col("nrm").as("vn"))
+      .crossJoin(broadcast(q))
+      .where(col("neg_label") =!= col("qlabel"))
+      .withColumn("cos", dotNative(spark, col("vec"), col("qvec")) / (col("vn") * col("qn")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("qlabel").cast("long").as("qlabel"), col("rank"),
+        col("neg_id"), col("neg_label").cast("long").as("neg_label"),
+        round(col("cos"), 4).as("cos"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** Brute-force inner-product top-k (exact MIPS — the reference's TODO
     * metric, oracle-checkable form; the ANN form is `metric="ip"` on the
     * Vamana index). */

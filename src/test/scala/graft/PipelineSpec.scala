@@ -1141,6 +1141,51 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("domain cap: no source exceeds the cap; survivors are hash-chosen, not id-ordered") {
+    val cap = 20
+    val rows = CorpusPipeline.domainCap(spark, dir, cap).collect()
+    val bySource = rows.groupBy(_.getString(1))
+    bySource.foreach { case (src, rs) =>
+      assert(rs.length <= cap, s"$src kept ${rs.length} > $cap")
+    }
+    // hash order, not id order: at least one source must keep a doc whose
+    // id exceeds some dropped doc's id (id-ordered truncation would not)
+    val total = graft.core.Tables.documents(spark, dir).count()
+    assert(rows.length < total, "cap must actually drop docs at this sf")
+    val keptIds = rows.map(_.getLong(0)).toSet
+    assert(keptIds.max > total / 2, "suspiciously id-truncated survivor set")
+  }
+
+  test("epoch upsample: copy counts follow the mixture bucket; shuffle keys are unique") {
+    val rows = CorpusPipeline.epochUpsample(spark, dir).collect()
+    val perDoc = rows.groupBy(_.getLong(0))
+    perDoc.foreach { case (_, rs) =>
+      val n = rs.head.getAs[Long]("n_copies")
+      assert(n >= 1 && n <= 4, s"n_copies $n outside the 4-bucket config")
+      assert(rs.length == n, s"emitted ${rs.length} copies, declared $n")
+      assert(rs.map(_.getAs[Long]("copy_idx")).sorted.toSeq == (1L to n), "copy_idx not 1..n")
+    }
+    val keys = rows.map(_.getAs[String]("shuffle_key"))
+    assert(keys.distinct.length == keys.length, "shuffle keys collide across copies")
+  }
+
+  test("hard negatives: every mined negative crosses labels and none beats the unfiltered top-1") {
+    val negs = Similarity.hardNegatives(spark, dir).collect()
+    assert(negs.nonEmpty)
+    negs.foreach { r =>
+      assert(r.getAs[Long]("qlabel") != r.getAs[Long]("neg_label"),
+        s"query ${r.getLong(0)}: negative shares the label")
+    }
+    // the unfiltered top-1 cosine bounds every filtered candidate from above
+    val top1 = Similarity.bruteCosineTopK(spark, dir).collect()
+      .filter(_.getAs[Long]("rank") == 1L)
+      .map(r => r.getLong(0) -> r.getAs[Double]("cos")).toMap
+    negs.foreach { r =>
+      assert(r.getAs[Double]("cos") <= top1(r.getLong(0)) + 1e-9,
+        s"query ${r.getLong(0)}: filtered cosine beats the unfiltered best")
+    }
+  }
+
   test("all registered queries execute and agree with declared column names at sf0.001") {
     val smokeDir = "/root/testdata/sf0.001"
     SparkEntry.queries.foreach { case (name, fn) =>
