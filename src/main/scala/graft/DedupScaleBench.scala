@@ -185,6 +185,13 @@ object DedupScaleBench {
         graft.operators.TextAnalysis.bpeMergesOf(spark, docs, k = 5).count())
       val bpeVocab = docs.select(explode(split(lower(col("text")), "\\s+")).as("w"))
         .where(col("w") =!= "").distinct().count()
+      // 5e. count-min sketch: the sketch is 4×1024 cells at EVERY n — the
+      //     shuffle after map-side combine carries O(cells × partitions)
+      //     rows however many tokens stream through, which is the property
+      //     this point measures (the exact top-k twin inside the query
+      //     pays the real vocabulary groupBy, same as vocab_topk)
+      val (cmsRows, cmsSec) = timed(
+        graft.operators.TextAnalysis.cmsHeavyHittersOf(spark, docs).count())
       // 6. paragraph-window pair join (dedupParagraph's machinery): the
       //    window step multiplies rows ~4× (100-token docs, 32-token
       //    windows) before the identical shingle-surrogate join, so one
@@ -199,6 +206,29 @@ object DedupScaleBench {
         r
       } else (-1L, -1.0)
       docs.unpersist()
+      // 7. PageRank power iteration over a synthetic skewed host graph:
+      //    m = n/10 nodes, a binary-tree backbone (connectivity) plus 100
+      //    preferential hubs with in-degree m/100 (skew) — ~4 directed
+      //    edges/node after symmetrization. The whole 10-round join+agg
+      //    chain executes as ONE action; per-round cost is a keyed
+      //    shuffle of the edge list, the generic billion-edge shape.
+      val m = math.max(1000L, n / 10)
+      val prNodes = spark.range(m).select(col("id").cast("string").as("source"))
+      val half = spark.range(1, m).select(
+          col("id").cast("string").as("src"),
+          expr("id div 2").cast("string").as("dst"),
+          lit(1L).as("w"))
+        .union(spark.range(100, m).select(
+          col("id").cast("string").as("src"),
+          (col("id") % 100).cast("string").as("dst"),
+          (col("id") % 5 + 1).cast("long").as("w")))
+      val prEdges = half.union(
+        half.select(col("dst").as("src"), col("src").as("dst"), col("w")))
+      val (prTop, prSec) = timed {
+        val r = graft.operators.Dedup.pagerankIterate(spark, prNodes, prEdges, iters = 10)
+        // one action drives all 10 rounds; take the max rank as the probe
+        r.limit(1).head().getLong(1)
+      }
       def r2(v: Double) = math.rint(v * 100) / 100
       println(
         s"""{"docs":$n,"cpus":$cpus,"pair_join_sec":${r2(pairSec)},"pairs":$nPairs,""" +
@@ -211,6 +241,8 @@ object DedupScaleBench {
         s""""substr_sec":${r2(ssSec)},"substr_docs":$nSs,""" +
         s""""dsir_sec":${r2(dsSec)},"dsir_docs":$nDs,""" +
         s""""bpe_sec":${r2(bpeSec)},"bpe_merges":$bpeRows,"bpe_vocab":$bpeVocab,""" +
+        s""""cms_sec":${r2(cmsSec)},"cms_rows":$cmsRows,""" +
+        s""""pagerank_sec":${r2(prSec)},"pagerank_nodes":$m,"pagerank_top":$prTop,""" +
         s""""para_pair_sec":${r2(paraSec)},"para_pairs":$nPara}""")
     }
     spark.stop()

@@ -721,9 +721,23 @@ object Dedup {
       .agg(count(lit(1)).as("w"))
     val edges = pairs.select(col("src"), col("dst"), col("w"))
       .union(pairs.select(col("dst").as("src"), col("src").as("dst"), col("w")))
+    val nodes = Tables.documents(spark, dir).select(col("source")).distinct()
+    pagerankIterate(spark, nodes, edges, iters)
+  }
+
+  /** The generic distributed power iteration — `nodes` one `source` row
+    * per vertex, `edges` (src, dst, w) long-weighted and already
+    * symmetrized if undirected. Each round is one keyed equi-join
+    * (ranks ⋈ edges on src) plus one groupBy(dst) — the shape that takes
+    * a billion-edge host graph; a single action at the end executes the
+    * whole 10-round chain once. Exact long math in [[PagerankScale]]
+    * units (floor division per edge), so the fixpoint is bit-identical
+    * across engines and partitionings. */
+  private[graft] def pagerankIterate(spark: SparkSession, nodesIn: DataFrame,
+      edges: DataFrame, iters: Int): DataFrame = {
     val outw = edges.groupBy(col("src")).agg(sum(col("w")).as("outw"))
     val e = edges.join(outw, "src").cache()
-    val nodes = Tables.documents(spark, dir).select(col("source")).distinct().cache()
+    val nodes = nodesIn.cache()
     val n = nodes.count() // driver scalar: ONE long, the node count
     val base = (15L * PagerankScale) / (100L * n)
     var ranks = nodes.select(col("source"), lit(PagerankScale / n).as("rank"))

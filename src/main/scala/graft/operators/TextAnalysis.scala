@@ -294,8 +294,13 @@ object TextAnalysis {
       struct(lit(j).as("r"), cmsBucket(j, token, width).as("b"))): _*)
 
   def cmsHeavyHitters(spark: SparkSession, dir: String, k: Int = 20,
+      rows: Int = 4, width: Int = 1024): DataFrame =
+    cmsHeavyHittersOf(spark, Tables.documents(spark, dir), k, rows, width)
+
+  /** Frame form over any (doc_id, text) corpus. */
+  def cmsHeavyHittersOf(spark: SparkSession, docs: DataFrame, k: Int = 20,
       rows: Int = 4, width: Int = 1024): DataFrame = {
-    val tok = Tables.documents(spark, dir)
+    val tok = docs
       .select(explode(toks(col("text"))).as("token"))
       .where(col("token") =!= "")
     val cells = tok
