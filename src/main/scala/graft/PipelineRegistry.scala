@@ -57,7 +57,7 @@ object PipelineRegistry {
     bm25RetrievalQ, substringDedupQ, dsirWeightQ,
     lineDedupQ, corpusStatsQ, bpeMergesQ, bpeEncodeQ, mmImageAhashQ,
     mmAudioFingerprintQ, sourcePagerankQ, cmsTopkQ,
-    domainCapQ, epochUpsampleQ, hardNegativesQ)
+    domainCapQ, epochUpsampleQ, hardNegativesQ, zorderRevenueQ)
 
   /** Buckets are md5-derived on both sides; the en-doc subset is DSIR's
     * target distribution stand-in. */
@@ -447,6 +447,29 @@ object PipelineRegistry {
       r0 AS (SELECT source, (SELECT $scale // n FROM nn)::BIGINT AS rank FROM nodes),
       $stages
       SELECT source, rank AS rank_e12 FROM r10 ORDER BY rank_e12 DESC, source
+    """.trim))
+  }
+
+  /** Z-ordered layout box scan vs the unsorted original: hash-identical
+    * aggregates prove the Morton rewrite row-lossless, and min_z/max_z
+    * pin the 16-bit interleave arithmetic (the oracle recomputes z with
+    * the same shift/mask/or terms). */
+  private val zorderRevenueQ: (String, QFn, Option[String]) = {
+    val zSql = (0 until 16).map { i =>
+      s"((((l_partkey % 65536) >> $i) & 1) << ${2 * i}) | " +
+        s"((((l_suppkey % 65536) >> $i) & 1) << ${2 * i + 1})"
+    }.mkString("(", ") | (", ")")
+    ("zorder_revenue",
+      (s: SparkSession, d: String) => Formats.zorderRevenue(s, d),
+      Some(s"""
+      WITH b AS (SELECT l_extendedprice, $zSql AS z
+                 FROM lineitem
+                 WHERE l_partkey >= 100 AND l_partkey < 200
+                   AND l_suppkey >= 10 AND l_suppkey < 60)
+      SELECT count(*)::BIGINT AS n_items,
+             round(sum(CAST(l_extendedprice AS DECIMAL(18,2))), 2)::DOUBLE AS revenue,
+             min(z)::BIGINT AS min_z, max(z)::BIGINT AS max_z
+      FROM b
     """.trim))
   }
 

@@ -145,6 +145,61 @@ object Formats {
     }
   }
 
+  /** 16-bit Morton (Z-order) interleave of two long keys — bit i of `x`
+    * lands at position 2i, bit i of `y` at 2i+1. Pure integer bit
+    * arithmetic (16 shift/mask/or terms, fully codegen'd), identical in
+    * DuckDB, which is what lets the oracle pin the interleave itself. */
+  private[graft] def zValue(x: org.apache.spark.sql.Column,
+      y: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    (0 until 16).map { i =>
+      shiftleft(shiftright(x, i).bitwiseAND(lit(1L)), 2 * i)
+        .bitwiseOR(shiftleft(shiftright(y, i).bitwiseAND(lit(1L)), 2 * i + 1))
+    }.reduce(_ bitwiseOR _)
+
+  /** Z-ordered layout + 2-D box scan — the third storage-layout lever
+    * next to [[bucketedRevenue]] (join locality) and
+    * [[partitionedRevenue]] (directory pruning): lineitem rewritten in
+    * Morton order of (l_partkey, l_suppkey), so parquet row-group min/max
+    * stats become tight 2-D boxes and a box predicate on EITHER OR BOTH
+    * dims skips most row groups at the reader level — the multi-dim
+    * data-skipping a 100 TB fact table needs when one partition column
+    * isn't enough. The write pays one range shuffle on z (the same
+    * pre-pay as bucketBy); the box aggregate hash-matches the DuckDB
+    * oracle computed from the UNSORTED original (row-losslessness), and
+    * min_z/max_z pin the interleave arithmetic bit-for-bit. */
+  def zorderRevenue(spark: SparkSession, dir: String): DataFrame =
+    withZorderedLineitem(spark, dir) { box =>
+      val agg = box
+        .agg(count(lit(1)).as("n_items"),
+          round(sum(col("l_extendedprice").cast("decimal(18,2)")), 2)
+            .cast("double").as("revenue"),
+          min(col("z")).as("min_z"), max(col("z")).as("max_z"))
+      val rows = agg.collect() // one row, materialized before the temp dir drops
+      spark.createDataFrame(spark.sparkContext.parallelize(rows.toSeq, 1), agg.schema)
+    }
+
+  /** Write the z-ordered lineitem copy under a temp path, hand back the
+    * box-filtered read (l_partkey ∈ [100,200) × l_suppkey ∈ [10,60) —
+    * both predicates reach the scan as PushedFilters over the clustered
+    * layout), then delete the files. */
+  private[graft] def withZorderedLineitem[T](spark: SparkSession, dir: String)
+      (f: DataFrame => T): T = {
+    val base = java.nio.file.Files.createTempDirectory("graft_zorder_")
+    try {
+      Tables.lineitem(spark, dir)
+        .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"), col("l_extendedprice"))
+        .withColumn("z", zValue(col("l_partkey") % 65536, col("l_suppkey") % 65536))
+        .repartitionByRange(8, col("z"))
+        .sortWithinPartitions(col("z"))
+        .write.mode("overwrite").parquet(s"$base/li")
+      f(spark.read.parquet(s"$base/li")
+        .where(col("l_partkey") >= 100 && col("l_partkey") < 200 &&
+          col("l_suppkey") >= 10 && col("l_suppkey") < 60))
+    } finally {
+      deleteRecursively(base)
+    }
+  }
+
   /** Create the bucketed twin tables under a temp path, hand the
     * exchange-free join to `f`, then drop the catalog entries + files. */
   private[graft] def withBucketedJoin[T](spark: SparkSession, dir: String,

@@ -132,6 +132,20 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("z-ordered box scan pushes BOTH dimension predicates to the parquet reader") {
+    Formats.withZorderedLineitem(spark, dir) { box =>
+      val p = plan(box)
+      assert(p.contains("PushedFilters: [") && p.contains("l_partkey") && p.contains("l_suppkey"),
+        s"expected both box predicates pushed to the z-layout scan:\n$p")
+      // the box over the clustered layout must see exactly the original's rows
+      import org.apache.spark.sql.functions.col
+      val expected = Tables.lineitem(spark, dir)
+        .where(col("l_partkey") >= 100 && col("l_partkey") < 200 &&
+          col("l_suppkey") >= 10 && col("l_suppkey") < 60).count()
+      assert(box.count() == expected, "z-ordered box must cover the original rows exactly")
+    }
+  }
+
   test("date-partitioned events scan prunes to the filtered week's directories") {
     Formats.withPartitionedEvents(spark, dir) { week =>
       val p = plan(week)
