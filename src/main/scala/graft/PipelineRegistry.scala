@@ -57,7 +57,7 @@ object PipelineRegistry {
     bm25RetrievalQ, substringDedupQ, dsirWeightQ,
     lineDedupQ, corpusStatsQ, bpeMergesQ, bpeEncodeQ, mmImageAhashQ,
     mmAudioFingerprintQ, sourcePagerankQ, cmsTopkQ,
-    domainCapQ, epochUpsampleQ, hardNegativesQ, zorderRevenueQ)
+    domainCapQ, epochUpsampleQ, hardNegativesQ, zorderRevenueQ, gapfillHourlyQ)
 
   /** Buckets are md5-derived on both sides; the en-doc subset is DSIR's
     * target distribution stand-in. */
@@ -472,6 +472,27 @@ object PipelineRegistry {
       FROM b
     """.trim))
   }
+
+  /** Gap-filled resample: Spark's sequence-explode grid vs DuckDB's
+    * generate_series — two different densification mechanisms that must
+    * agree row-for-row, including the all-zero gap rows. */
+  private val gapfillHourlyQ: (String, QFn, Option[String]) = (
+    "gapfill_hourly",
+    (s, d) => Temporal.gapfillHourly(s, d),
+    Some("""
+      WITH ev AS (SELECT user_id, date_trunc('hour', ts) AS h, value
+                  FROM events WHERE user_id < 20),
+      hourly AS (SELECT user_id, h, count(*)::BIGINT AS n_events,
+                        round(sum(CAST(value AS DECIMAL(18,2))), 2)::DOUBLE AS sum_value
+                 FROM ev GROUP BY 1, 2),
+      grid AS (SELECT user_id, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h
+               FROM (SELECT user_id, min(h) AS h0, max(h) AS h1 FROM ev GROUP BY user_id)),
+      j AS (SELECT g.user_id, strftime(g.h, '%Y-%m-%d %H:%M:%S') AS hour,
+                   COALESCE(hh.n_events, 0)::BIGINT AS n_events,
+                   COALESCE(hh.sum_value, 0.0) AS sum_value
+            FROM grid g LEFT JOIN hourly hh ON g.user_id = hh.user_id AND g.h = hh.h)
+      SELECT * FROM j ORDER BY user_id, hour
+    """.trim))
 
   /** Anti-domination cap: survivors decided by id-hash order, so the kept
     * set is partitioning-independent and the oracle replays it exactly. */

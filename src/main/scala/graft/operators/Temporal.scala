@@ -31,6 +31,34 @@ object Temporal {
     * containment filter. One probe granule × disjoint intervals ⇒ at most
     * one match per pair with no post-dedup. The oracle is DuckDB's plain
     * inequality join — again two different algorithms that must agree. */
+  /** Gap-filled hourly resample — the time-series REGULARIZATION step
+    * (metrics dashboards, per-user activity features, anomaly baselines):
+    * each user gets a DENSE hourly grid from first to last activity,
+    * zero-filled where no events arrived — the rows an aggregation alone
+    * can never emit. The grid explodes per user (span-hours rows) and
+    * rejoins on (user, hour) — both steps ride the same user-keyed
+    * shuffle, so cost is output-proportional; no time-range is
+    * materialized on the driver. Hour emitted as a formatted string
+    * (q9's cross-engine timestamp convention). */
+  def gapfillHourly(spark: SparkSession, dir: String, maxUser: Long = 20): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .where(col("user_id") < maxUser)
+      .select(col("user_id"), date_trunc("hour", col("ts")).as("h"), col("value"))
+    val hourly = ev.groupBy(col("user_id"), col("h"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value").cast("decimal(18,2)")), 2).cast("double").as("sum_value"))
+    val grid = ev.groupBy(col("user_id"))
+      .agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
+      .select(col("user_id"),
+        explode(sequence(col("h0"), col("h1"), expr("interval 1 hour"))).as("h"))
+    grid.join(hourly, Seq("user_id", "h"), "left")
+      .select(col("user_id"),
+        date_format(col("h"), "yyyy-MM-dd HH:mm:ss").as("hour"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"),
+        coalesce(col("sum_value"), lit(0.0)).as("sum_value"))
+      .orderBy(col("user_id"), col("hour"))
+  }
+
   def sessionRangeJoin(spark: SparkSession, dir: String,
       probeType: String = "error"): DataFrame = {
     val g = RangeGapUs
