@@ -57,7 +57,8 @@ object PipelineRegistry {
     bm25RetrievalQ, substringDedupQ, dsirWeightQ,
     lineDedupQ, corpusStatsQ, bpeMergesQ, bpeEncodeQ, mmImageAhashQ,
     mmAudioFingerprintQ, sourcePagerankQ, cmsTopkQ,
-    domainCapQ, epochUpsampleQ, hardNegativesQ, zorderRevenueQ, gapfillHourlyQ)
+    domainCapQ, epochUpsampleQ, hardNegativesQ, zorderRevenueQ, gapfillHourlyQ,
+    featureHashQ)
 
   /** Buckets are md5-derived on both sides; the en-doc subset is DSIR's
     * target distribution stand-in. */
@@ -472,6 +473,21 @@ object PipelineRegistry {
       FROM b
     """.trim))
   }
+
+  /** Hashing-trick doc vectors: bucket 0 of the shared CMS family, so the
+    * oracle rebuilds the identical feature space with no dictionary. */
+  private val featureHashQ: (String, QFn, Option[String]) = (
+    "feature_hash",
+    (s, d) => TextAnalysis.featureHash(s, d),
+    Some("""
+      SELECT doc_id,
+             ('0x' || substr(md5('0:' || token), 1, 15))::BIGINT % 64 AS bucket,
+             count(*)::BIGINT AS cnt
+      FROM (SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS token
+            FROM documents)
+      WHERE token != ''
+      GROUP BY 1, 2 ORDER BY doc_id, bucket
+    """.trim))
 
   /** Gap-filled resample: Spark's sequence-explode grid vs DuckDB's
     * generate_series — two different densification mechanisms that must

@@ -297,6 +297,23 @@ object TextAnalysis {
       rows: Int = 4, width: Int = 1024): DataFrame =
     cmsHeavyHittersOf(spark, Tables.documents(spark, dir), k, rows, width)
 
+  /** Feature hashing (the hashing trick) — fixed-width sparse doc vectors
+    * with NO vocabulary pass: each token hashes straight to one of
+    * `width` buckets (md5-derived, the engine's portable family), emitted
+    * as (doc_id, bucket, cnt) sparse rows. The classic
+    * train-a-classifier-on-100TB representation: no dictionary to build,
+    * broadcast, or version — the feature space is a pure function of the
+    * token bytes, identical across batches, engines, and reruns. One
+    * narrow explode + one (doc, bucket)-keyed count; output is bounded by
+    * min(tokens, docs×width). */
+  def featureHash(spark: SparkSession, dir: String, width: Int = 64): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(toks(col("text"))).as("token"))
+      .where(col("token") =!= "")
+      .select(col("doc_id"), cmsBucket(0, col("token"), width).as("bucket"))
+      .groupBy(col("doc_id"), col("bucket")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("doc_id"), col("bucket"))
+
   /** Frame form over any (doc_id, text) corpus. */
   def cmsHeavyHittersOf(spark: SparkSession, docs: DataFrame, k: Int = 20,
       rows: Int = 4, width: Int = 1024): DataFrame = {
