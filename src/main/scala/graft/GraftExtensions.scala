@@ -59,5 +59,13 @@ object GraftExtensions {
       unary("minhash_sigs", "array<string>", MinhashSigs(_))),
     ("simhash_sig",
       new ExpressionInfo(classOf[SimhashSig].getName, "simhash_sig"),
-      unary("simhash_sig", "array<string>", SimhashSig(_))))
+      unary("simhash_sig", "array<string>", SimhashSig(_))),
+    ("zvalue_native",
+      new ExpressionInfo(graft.functions.ZValueExpressions.getClass.getName, "zvalue_native"),
+      { exprs =>
+        if (exprs.length != 2)
+          throw new IllegalArgumentException(
+            s"zvalue_native expects exactly 2 arguments (bigint, bigint); got ${exprs.length}")
+        graft.functions.ZValueExpressions.zvalueExpr(exprs(0), exprs(1))
+      }))
 }

@@ -163,6 +163,25 @@ class NativeExpressionSpec extends AnyFunSuite {
     }
   }
 
+  test("zvalue_native SQL matches the Column-level Morton interleave bit-for-bit") {
+    import org.apache.spark.sql.catalyst.FunctionIdentifier
+    for ((name, info, builder) <- GraftExtensions.functions if name == "zvalue_native")
+      spark.sessionState.functionRegistry.registerFunction(
+        FunctionIdentifier(name), info, builder)
+    // known value: x=3 plants bits {0,2} -> 5; y=5 plants bits {1,5} -> 34
+    assert(spark.sql("SELECT zvalue_native(3L, 5L)").head().getLong(0) == 39L)
+    // SQL surface vs the layout operator's Column composition over real keys
+    val li = graft.core.Tables.lineitem(spark, "/root/testdata/sf0.001")
+      .select(col("l_partkey") % 65536, col("l_suppkey") % 65536)
+      .toDF("x", "y").limit(500)
+    val both = li.select(
+      graft.operators.Formats.zValue(col("x"), col("y")).as("zc"),
+      org.apache.spark.sql.functions.expr("zvalue_native(x, y)").as("zs")).collect()
+    assert(both.nonEmpty)
+    both.foreach(r => assert(r.getLong(0) == r.getLong(1),
+      s"Column ${r.getLong(0)} != SQL ${r.getLong(1)}"))
+  }
+
   test("minhash_sigs and simhash_sig are callable through the extensions registry") {
     import org.apache.spark.sql.catalyst.FunctionIdentifier
     for ((name, info, builder) <- GraftExtensions.functions
