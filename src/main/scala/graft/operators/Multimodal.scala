@@ -411,7 +411,14 @@ object Multimodal {
     * arithmetic — hash-checks the actual resampled pixel values. Narrow
     * mapPartitions pass; at 100 TB this is the map-side stage feeding a
     * vision encoder. */
-  def imageThumbnail(spark: SparkSession, dir: String, tw: Int = 8, th: Int = 8): DataFrame = {
+  def imageThumbnail(spark: SparkSession, dir: String, tw: Int = 8, th: Int = 8): DataFrame =
+    thumbnailFrame(spark, dir, tw, th).orderBy(col("doc_id"))
+
+  /** The unsorted decode+resize pass — [[imageAhash]] consumes this form:
+    * its own groupBy/join/final sort would throw an intermediate global
+    * sort away, and at scale that discarded range shuffle is the most
+    * expensive step of the whole query. */
+  private def thumbnailFrame(spark: SparkSession, dir: String, tw: Int, th: Int): DataFrame = {
     import spark.implicits._
     val src = Tables.documents(spark, dir)
       .where(length(col("text")) >= 3 &&
@@ -428,7 +435,6 @@ object Multimodal {
         }
       }
     }.toDF("doc_id", "src_w", "src_h", "thumb")
-      .orderBy(col("doc_id"))
   }
 
   /** Perceptual IMAGE dedup via average-hash (aHash) over the decoded
@@ -447,7 +453,7 @@ object Multimodal {
     val gs = transform(sequence(lit(0), lit(63)),
       p => element_at(col("vals"), p * 3 + 1) + element_at(col("vals"), p * 3 + 2) +
         element_at(col("vals"), p * 3 + 3))
-    val hashed = imageThumbnail(spark, dir, tw = 8, th = 8)
+    val hashed = thumbnailFrame(spark, dir, tw = 8, th = 8)
       .withColumn("vals", vals)
       .withColumn("gs", gs)
       .withColumn("total", aggregate(col("gs"), lit(0), (acc, x) => acc + x))
