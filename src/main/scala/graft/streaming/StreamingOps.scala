@@ -26,6 +26,14 @@ private case class ClickState(ts: Long, value: Double)
 /** Candidate near-dup pair emitted by the streaming MinHash LSH. */
 case class CandidatePair(id_a: Long, id_b: Long, band: Int)
 
+/** One trending-token row emitted when its window closes. `est_count`
+  * overestimates the true windowed count by at most `max_err`
+  * (Space-Saving guarantee: est − err ≤ true ≤ est). */
+case class TrendingToken(win_start: Timestamp, rank: Int, token: String,
+    est_count: Long, max_err: Long)
+
+private case class TopkState(entries: Map[String, (Long, Long)])
+
 private case class BucketState(ids: List[Long], newestMs: Long)
 
 /** Structured Streaming surface (SURVEY.md §2b: absent in the reference,
@@ -85,6 +93,66 @@ object StreamingOps {
       .groupBy(window(col("ts"), windowLen), col("rb.r").as("r"), col("rb.b").as("b"))
       .agg(count(lit(1)).as("cnt"))
       .select(col("window.start").as("win_start"), col("r"), col("b"), col("cnt"))
+
+  /** Windowed trending tokens under BOUNDED state — the Space-Saving
+    * summary (Metwally et al. 2005) as a per-window `GroupState`: exact
+    * per-(window, token) counting needs vocabulary-sized state, which an
+    * open-vocabulary 100 TB/day stream cannot afford; this keeps at most
+    * `capacity` (token, est, err) entries per open window and still
+    * guarantees (a) est − err ≤ true ≤ est for every emitted token and
+    * (b) any token with true count > window_total / capacity IS in the
+    * summary. Eviction replaces the minimum-count entry, charging its
+    * count as the newcomer's error — the textbook algorithm, merged
+    * batch-by-batch in event-time order for determinism. The window
+    * emits its top-k once the watermark passes its end (event-time
+    * timeout — the same bounded-state discipline as the other stateful
+    * ops here). The batch twins are `vocab_topk` (exact) and `cms_topk`
+    * (estimate-any-token); this is the stream-native "what is trending
+    * NOW" form. */
+  def streamingTopkTokens(docs: DataFrame, k: Int = 10, capacity: Int = 50,
+      windowMs: Long = 5L * 60 * 1000, watermark: String = "10 minutes"): Dataset[TrendingToken] = {
+    import docs.sparkSession.implicits._
+    val toks = docs
+      .withWatermark("ts", watermark)
+      .select(col("ts"), explode(split(lower(col("text")), "\\s+")).as("token"))
+      .where(col("token") =!= "")
+      .select((floor(unix_millis(col("ts")) / windowMs).cast("long") * windowMs).as("win"),
+        col("token"), col("ts"))
+      .as[(Long, String, Timestamp)]
+    toks.groupByKey(_._1)
+      .flatMapGroupsWithState[TopkState, TrendingToken](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (win: Long, it: Iterator[(Long, String, Timestamp)], state: GroupState[TopkState]) =>
+          if (state.hasTimedOut) {
+            val st = state.get
+            state.remove()
+            st.entries.toSeq
+              .sortBy { case (t, (est, _)) => (-est, t) }
+              .take(k).zipWithIndex
+              .map { case ((t, (est, err)), i) =>
+                TrendingToken(new Timestamp(win), i + 1, t, est, err)
+              }.iterator
+          } else {
+            var m = state.getOption.map(_.entries).getOrElse(Map.empty[String, (Long, Long)])
+            // event-time order within the batch: Space-Saving is
+            // arrival-order-dependent, so a deterministic merge order
+            // keeps reruns bit-identical
+            for ((_, token, _) <- it.toSeq.sortBy(r => (r._3.getTime, r._2))) {
+              m.get(token) match {
+                case Some((est, err)) => m += token -> (est + 1, err)
+                case None if m.size < capacity => m += token -> (1L, 0L)
+                case None =>
+                  val (mt, (mc, _)) = m.minBy { case (t, (est, _)) => (est, t) }
+                  m = m - mt + (token -> (mc + 1, mc))
+              }
+            }
+            state.update(TopkState(m))
+            state.setTimeoutTimestamp(
+              math.max(win + windowMs, state.getCurrentWatermarkMs() + 1))
+            Iterator.empty
+          }
+      }
+  }
 
   /** Streaming exact dedup — the ingestion-side twin of
     * [[graft.operators.Dedup.dedupExact]]: same normalization, same md5

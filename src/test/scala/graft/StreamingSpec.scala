@@ -441,6 +441,72 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming top-k tokens: exact when vocab fits the summary capacity") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, count, explode, lit, lower, split}
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Doc]
+    val q = StreamingOps.streamingTopkTokens(input.toDF(), k = 10, capacity = 50)
+      .writeStream.format("memory").queryName("topk_out")
+      .outputMode("append").start()
+    try {
+      val docs = graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
+        .select("doc_id", "text").collect()
+        .map(r => Doc(r.getLong(0), ts(1), r.getString(1)))
+      input.addData(docs.toSeq)
+      input.addData(Doc(-1, ts(60), "watermark advancer"))
+      q.processAllAvailable()
+      val got = spark.table("topk_out")
+        .where(col("win_start") === ts(0)).collect()
+        .map(r => (r.getAs[Int]("rank"), r.getAs[String]("token"),
+          r.getAs[Long]("est_count"), r.getAs[Long]("max_err")))
+        .sortBy(_._1)
+      // batch exact top-10 over the same docs (the fixture's 31-token
+      // vocab fits capacity=50, so the summary must be EXACT: err=0)
+      val exact = graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
+        .select(explode(split(lower(col("text")), "\\s+")).as("t"))
+        .where(col("t") =!= "").groupBy(col("t")).agg(count(lit(1)).as("n"))
+        .collect().map(r => r.getString(0) -> r.getLong(1))
+        .sortBy { case (t, n) => (-n, t) }.take(10)
+      assert(got.map(g => (g._2, g._3)).toSeq == exact.toSeq,
+        s"summary must match batch exactly under capacity:\n$got\nvs\n${exact.toSeq}")
+      assert(got.forall(_._4 == 0L), "no eviction happened, so every error bound is zero")
+    } finally q.stop()
+  }
+
+  test("streaming top-k tokens: heavy hitter survives adversarial vocab churn with valid bounds") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Doc]
+    // capacity 20 << vocab ~500: constant eviction pressure
+    val q = StreamingOps.streamingTopkTokens(input.toDF(), k = 5, capacity = 20)
+      .writeStream.format("memory").queryName("topk_adv_out")
+      .outputMode("append").start()
+    try {
+      // 100 docs: each carries 5 unique junk tokens + 2 copies of "hot";
+      // true counts: hot=200 > total/capacity = 700/20 = 35 -> guaranteed in
+      val docs = (0 until 100).map { i =>
+        Doc(i.toLong, ts(1), s"u${i}a u${i}b u${i}c u${i}d u${i}e hot hot")
+      }
+      input.addData(docs)
+      input.addData(Doc(-1, ts(60), "watermark advancer"))
+      q.processAllAvailable()
+      val got = spark.table("topk_adv_out")
+        .where(col("win_start") === ts(0)).collect()
+        .map(r => (r.getAs[Int]("rank"), r.getAs[String]("token"),
+          r.getAs[Long]("est_count"), r.getAs[Long]("max_err")))
+        .sortBy(_._1)
+      assert(got.nonEmpty)
+      val hot = got.find(_._2 == "hot")
+      assert(hot.isDefined, s"guaranteed heavy hitter evicted: $got")
+      assert(hot.get._1 == 1, "hot must rank first")
+      // Space-Saving bound: est - err <= true <= est (true hot count = 200)
+      assert(hot.get._3 >= 200L && hot.get._3 - hot.get._4 <= 200L,
+        s"bound violated: est=${hot.get._3} err=${hot.get._4} true=200")
+    } finally q.stop()
+  }
+
   test("streaming quality filter agrees bit-for-bit with the batch expressions") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
