@@ -426,7 +426,7 @@ object PipelineRegistry {
                ((SELECT (15 * $scale) // (100 * n) FROM nn)
                 + (85 * COALESCE(c.contrib, 0)) // 100)::BIGINT AS rank
         FROM nodes LEFT JOIN (
-          SELECT e.dst, sum((r.rank * e.w) // e.outw)::BIGINT AS contrib
+          SELECT e.dst, sum((r.rank * e.r6) // 1000000)::BIGINT AS contrib
           FROM e JOIN r${i - 1} r ON r.source = e.src GROUP BY e.dst) c
         ON nodes.source = c.dst)"""
     }.mkString(",\n      ")
@@ -442,7 +442,8 @@ object PipelineRegistry {
             GROUP BY 1, 2),
       e0 AS (SELECT src, dst, w FROM p UNION ALL SELECT dst, src, w FROM p),
       ow AS (SELECT src, sum(w)::BIGINT AS outw FROM e0 GROUP BY src),
-      e AS (SELECT e0.src, e0.dst, e0.w, ow.outw FROM e0 JOIN ow USING (src)),
+      e AS (SELECT e0.src, e0.dst, (e0.w * 1000000) // ow.outw AS r6
+            FROM e0 JOIN ow USING (src)),
       nodes AS (SELECT DISTINCT source FROM documents),
       nn AS (SELECT count(*)::BIGINT AS n FROM nodes),
       r0 AS (SELECT source, (SELECT $scale // n FROM nn)::BIGINT AS rank FROM nodes),

@@ -736,14 +736,22 @@ object Dedup {
   private[graft] def pagerankIterate(spark: SparkSession, nodesIn: DataFrame,
       edges: DataFrame, iters: Int): DataFrame = {
     val outw = edges.groupBy(col("src")).agg(sum(col("w")).as("outw"))
-    val e = edges.join(outw, "src").cache()
+    // per-edge transition ratio quantized to micro-units: w/outw ≤ 1, so
+    // r6 ≤ 10⁶ and the per-round product rank·r6 ≤ 10¹⁸ stays inside a
+    // long for ANY edge weights — `rank * w` directly would overflow once
+    // corpus-scale weights (shared-shingle counts ~10⁷) meet 10¹²-unit
+    // ranks. Ratios under 10⁻⁶ quantize to zero: ≤ 10⁻⁶ of the source's
+    // mass per such edge, the documented precision of the prior.
+    val e = edges.join(outw, "src")
+      .withColumn("r6", expr("(w * 1000000) div outw"))
+      .cache()
     val nodes = nodesIn.cache()
     val n = nodes.count() // driver scalar: ONE long, the node count
     val base = (15L * PagerankScale) / (100L * n)
     var ranks = nodes.select(col("source"), lit(PagerankScale / n).as("rank"))
     for (_ <- 1 to iters) {
       val contrib = e.join(ranks.withColumnRenamed("source", "src"), "src")
-        .select(col("dst"), expr("(rank * w) div outw").as("c"))
+        .select(col("dst"), expr("(rank * r6) div 1000000").as("c"))
         .groupBy(col("dst")).agg(sum(col("c")).as("contrib"))
       ranks = nodes.join(contrib.withColumnRenamed("dst", "source"), Seq("source"), "left")
         .select(col("source"),
