@@ -11,6 +11,16 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The bench driver parses the process's final stdout line as JSON. By
+// default sbt decorates the forked JVM's stdout with "[info] " log
+// prefixes; StdoutOutput passes it through verbatim so the JSON line
+// survives. (sbt's own "[success] Total time..." goes to the logger,
+// which with this strategy no longer interleaves into the payload.)
+Compile / run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+// ...and suppress sbt's trailing "[success] Total time" line so the JSON
+// stays the process's final stdout line.
+Global / showSuccess := false
+Global / excludeLintKeys ++= Set(showSuccess)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -225,7 +225,10 @@ object DedupScaleBench {
       val prEdges = half.union(
         half.select(col("dst").as("src"), col("src").as("dst"), col("w")))
       val (prTop, prSec) = timed {
-        val r = graft.operators.Dedup.pagerankIterate(spark, prNodes, prEdges, iters = 10)
+        // allowDriver=false: the sweep's purpose is the distributed
+        // billion-edge shape, so the small-graph driver path is opted out.
+        val r = graft.operators.Dedup.pagerankIterate(spark, prNodes, prEdges,
+          iters = 10, allowDriver = false)
         // one action drives all 10 rounds; take the max rank as the probe
         r.limit(1).head().getLong(1)
       }

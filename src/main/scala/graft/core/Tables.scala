@@ -60,6 +60,13 @@ object Tables {
 
   private def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // Files regenerated with plain TIMESTAMP(MICROS) annotate
+    // isAdjustedToUTC=false, which Spark would surface as TIMESTAMP_NTZ —
+    // a type unix_micros()/watermarks reject. Reading them as LTZ (the
+    // session zone is pinned to UTC) reproduces the INT64-nanos era's
+    // `timestamp_micros(ns div 1000)` values bit-for-bit, natively at the
+    // scan, so timestamp predicates still push down.
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     val df = spark.read.parquet(s"$dir/$name.parquet")
     df.schema.fields.foldLeft(df) { (acc, f) =>
       if (nanoTimestampCols.contains(f.name) && f.dataType == org.apache.spark.sql.types.LongType)

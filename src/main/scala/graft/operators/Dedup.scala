@@ -669,21 +669,48 @@ object Dedup {
     * needed — the hot-shingle quadratic risk of doc-level pair joins cannot
     * arise at source granularity. */
   def sourceOverlap(spark: SparkSession, dir: String): DataFrame = {
-    val srcSh = surrogates(spark, dir)
-      .join(Tables.documents(spark, dir).select(col("doc_id"), col("source")), "doc_id")
-      .select(col("source"), col("s")).distinct()
+    val srcSh = sourceShingles(spark, dir)
     val sizes = srcSh.groupBy(col("source")).agg(count(lit(1)).as("n"))
-    srcSh.as("a").join(srcSh.as("b"),
-        col("a.s") === col("b.s") && col("a.source") < col("b.source"))
-      .select(col("a.source").as("source_a"), col("b.source").as("source_b"))
-      .groupBy(col("source_a"), col("source_b"))
-      .agg(count(lit(1)).as("n_shared"))
+    sourcePairs(spark, dir)
       .join(broadcast(sizes.select(col("source").as("source_a"), col("n").as("n_a"))), "source_a")
       .join(broadcast(sizes.select(col("source").as("source_b"), col("n").as("n_b"))), "source_b")
       .select(col("source_a"), col("source_b"), col("n_shared"), col("n_a"), col("n_b"),
         round(col("n_shared").cast("double") / least(col("n_a"), col("n_b")), 4).as("containment"))
       .orderBy(col("source_a"), col("source_b"))
   }
+
+  /** Distinct (source, shingle-surrogate) frame — cached per (session,
+    * dir): [[sourceOverlap]] and [[sourcePagerank]] both derive their
+    * source-pair edges from it, so the docs join + distinct runs once per
+    * dataset. */
+  private val srcShingleCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  private def sourceShingles(spark: SparkSession, dir: String): DataFrame =
+    srcShingleCache.getOrElseUpdate((spark, dir),
+      surrogates(spark, dir)
+        .join(Tables.documents(spark, dir).select(col("doc_id"), col("source")), "doc_id")
+        .select(col("source"), col("s")).distinct()
+        .cache())
+
+  /** Source-pair shared-shingle counts (source_a < source_b) — the
+    * overlap matrix's self-join, cached per (session, dir) because it is
+    * the single expensive step both [[sourceOverlap]] and
+    * [[sourcePagerank]] pay; the per-key fanout is bounded by the NUMBER
+    * OF SOURCES (config-sized), so the cached frame is tiny. */
+  private val srcPairCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  private def sourcePairs(spark: SparkSession, dir: String): DataFrame =
+    srcPairCache.getOrElseUpdate((spark, dir), {
+      val srcSh = sourceShingles(spark, dir)
+      srcSh.as("a").join(srcSh.as("b"),
+          col("a.s") === col("b.s") && col("a.source") < col("b.source"))
+        .select(col("a.source").as("source_a"), col("b.source").as("source_b"))
+        .groupBy(col("source_a"), col("source_b"))
+        .agg(count(lit(1)).as("n_shared"))
+        .cache()
+    })
 
   /** Rank scale for [[sourcePagerank]]: ranks are integers in units of
     * 10⁻¹² of the total probability mass, so every arithmetic step is
@@ -712,13 +739,9 @@ object Dedup {
     * hosts). The only driver values are the node count and the two
     * constants derived from it. */
   def sourcePagerank(spark: SparkSession, dir: String, iters: Int = 10): DataFrame = {
-    val srcSh = surrogates(spark, dir)
-      .join(Tables.documents(spark, dir).select(col("doc_id"), col("source")), "doc_id")
-      .select(col("source"), col("s")).distinct()
-    val pairs = srcSh.as("a").join(srcSh.as("b"),
-        col("a.s") === col("b.s") && col("a.source") < col("b.source"))
-      .groupBy(col("a.source").as("src"), col("b.source").as("dst"))
-      .agg(count(lit(1)).as("w"))
+    val pairs = sourcePairs(spark, dir)
+      .select(col("source_a").as("src"), col("source_b").as("dst"),
+        col("n_shared").as("w"))
     val edges = pairs.select(col("src"), col("dst"), col("w"))
       .union(pairs.select(col("dst").as("src"), col("src").as("dst"), col("w")))
     val nodes = Tables.documents(spark, dir).select(col("source")).distinct()
@@ -729,12 +752,71 @@ object Dedup {
     * per vertex, `edges` (src, dst, w) long-weighted and already
     * symmetrized if undirected. Each round is one keyed equi-join
     * (ranks ⋈ edges on src) plus one groupBy(dst) — the shape that takes
-    * a billion-edge host graph; a single action at the end executes the
-    * whole 10-round chain once. Exact long math in [[PagerankScale]]
-    * units (floor division per edge), so the fixpoint is bit-identical
-    * across engines and partitionings. */
+    * a billion-edge host graph. Each round's ranks frame (node-count-
+    * sized — tiny) is `localCheckpoint`ed, which BOTH materializes it and
+    * truncates its logical plan to a one-line `LogicalRDD`: without the
+    * truncation, round i's plan embeds round i-1's in full (plus `e`'s
+    * cached plan at every level), so the 10-round plan tree — and the
+    * SQL-listener's plan description string — grows multiplicatively and
+    * can exhaust driver heap before a single row is computed; with it, no
+    * action ever carries more than one round of lineage, so at a billion
+    * edges a straggler recompute replays one join, not the whole chain
+    * (a cluster deployment would use a reliable `checkpoint` to the same
+    * effect). Exact long math in [[PagerankScale]] units (floor division
+    * per edge), so the fixpoint is bit-identical across engines and
+    * partitionings. */
   private[graft] def pagerankIterate(spark: SparkSession, nodesIn: DataFrame,
-      edges: DataFrame, iters: Int): DataFrame = {
+      edges: DataFrame, iters: Int, allowDriver: Boolean = true): DataFrame = {
+    val nodesP = nodesIn.persist()
+    val edgesP = edges.persist()
+    val n = nodesP.count()
+    val m = edgesP.count()
+    // Small-graph fast path — the driver-CC-under-cap pattern: a SOURCE-
+    // granularity graph has config-bounded nodes (dozens of mixture
+    // sources), so the 10-round loop over it is pure fixed Spark-job
+    // overhead (~4 s of scheduling for 20 rows). Under the cap the exact
+    // integer loop runs on the driver — bit-identical math, same oracle
+    // hash — and the distributed path below stays the one a DOC- or
+    // host-granularity graph (DedupScaleBench's 500k-doc sweep) takes.
+    val result =
+      if (allowDriver && n <= DriverPagerankMaxNodes && m <= DriverPagerankMaxEdges)
+        pagerankDriver(spark, nodesP, edgesP, iters, n)
+      else pagerankDistributed(spark, nodesP, edgesP, iters, n)
+    nodesP.unpersist(false)
+    edgesP.unpersist(false)
+    result
+  }
+
+  /** Caps for the driver fast path: both frames must be collected, so the
+    * bound is what a driver comfortably holds (3 longs × 10⁶ edges). */
+  private[graft] val DriverPagerankMaxNodes = 100000L
+  private[graft] val DriverPagerankMaxEdges = 1000000L
+
+  /** Exact pagerank loop on the driver — the SAME arithmetic as
+    * [[pagerankDistributed]] statement for statement (all operands
+    * non-negative, so SQL `div` = Scala `/` floor division); planted-
+    * fixture spec asserts the two paths bit-agree. */
+  private def pagerankDriver(spark: SparkSession, nodes: DataFrame,
+      edges: DataFrame, iters: Int, n: Long): DataFrame = {
+    val base = (15L * PagerankScale) / (100L * n)
+    val nodeArr = nodes.collect().map(_.getString(0)).sorted
+    val es = edges.collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val outw = es.groupBy(_._1).map { case (s, g) => (s, g.map(_._3).sum) }
+    val r6 = es.map { case (s, d, w) => (s, d, (w * 1000000L) / outw(s)) }
+    var rank = nodeArr.map(s => (s, PagerankScale / n)).toMap
+    for (_ <- 1 to iters) {
+      val contrib = scala.collection.mutable.Map.empty[String, Long]
+      for ((s, d, q) <- r6)
+        contrib(d) = contrib.getOrElse(d, 0L) + (rank(s) * q) / 1000000L
+      rank = nodeArr.map(s => (s, base + (85L * contrib.getOrElse(s, 0L)) / 100L)).toMap
+    }
+    import spark.implicits._
+    nodeArr.map(s => (s, rank(s))).toSeq.toDF("source", "rank_e12")
+      .orderBy(col("rank_e12").desc, col("source").asc)
+  }
+
+  private def pagerankDistributed(spark: SparkSession, nodes: DataFrame,
+      edges: DataFrame, iters: Int, n: Long): DataFrame = {
     val outw = edges.groupBy(col("src")).agg(sum(col("w")).as("outw"))
     // per-edge transition ratio quantized to micro-units: w/outw ≤ 1, so
     // r6 ≤ 10⁶ and the per-round product rank·r6 ≤ 10¹⁸ stays inside a
@@ -744,19 +826,40 @@ object Dedup {
     // mass per such edge, the documented precision of the prior.
     val e = edges.join(outw, "src")
       .withColumn("r6", expr("(w * 1000000) div outw"))
-      .cache()
-    val nodes = nodesIn.cache()
-    val n = nodes.count() // driver scalar: ONE long, the node count
+      .persist()
     val base = (15L * PagerankScale) / (100L * n)
+    // Release a round's checkpointed block once the following round is
+    // materialized — node-count-sized each, but a billion-node graph
+    // times `iters` rounds would otherwise pin `iters` copies.
+    def checkpointRdd(df: DataFrame): Option[org.apache.spark.rdd.RDD[_]] =
+      df.queryExecution.analyzed match {
+        case lr: org.apache.spark.sql.execution.LogicalRDD => Some(lr.rdd)
+        case _ => None
+      }
     var ranks = nodes.select(col("source"), lit(PagerankScale / n).as("rank"))
-    for (_ <- 1 to iters) {
+    var prev: Option[org.apache.spark.rdd.RDD[_]] = None
+    // Truncate every `checkpointEvery` rounds, not every round: each
+    // eager checkpoint is a full job (scheduling + codegen), so per-round
+    // truncation pays 10 jobs where 4 suffice; 3 un-truncated rounds keep
+    // the plan tree (and a straggler's recompute window) small.
+    val checkpointEvery = 3
+    for (i <- 1 to iters) {
       val contrib = e.join(ranks.withColumnRenamed("source", "src"), "src")
         .select(col("dst"), expr("(rank * r6) div 1000000").as("c"))
         .groupBy(col("dst")).agg(sum(col("c")).as("contrib"))
-      ranks = nodes.join(contrib.withColumnRenamed("dst", "source"), Seq("source"), "left")
+      ranks = nodes
+        .join(contrib.withColumnRenamed("dst", "source"), Seq("source"), "left")
         .select(col("source"),
           (lit(base) + expr("(85 * coalesce(contrib, 0)) div 100")).as("rank"))
+      if (i % checkpointEvery == 0 || i == iters) {
+        ranks = ranks.localCheckpoint() // eager: materializes AND truncates
+        prev.foreach(r => scala.util.Try(r.unpersist(false)))
+        prev = checkpointRdd(ranks)
+      }
     }
+    // Final ranks are materialized in their checkpoint block, so the
+    // loop input can be released now.
+    e.unpersist(false)
     ranks.select(col("source"), col("rank").as("rank_e12"))
       .orderBy(col("rank_e12").desc, col("source").asc)
   }
@@ -813,6 +916,10 @@ object Dedup {
     paraShingleCache.clear()
     for ((_, df) <- survivorsCache) scala.util.Try(df.unpersist())
     survivorsCache.clear()
+    for ((_, df) <- srcShingleCache) scala.util.Try(df.unpersist())
+    srcShingleCache.clear()
+    for ((_, df) <- srcPairCache) scala.util.Try(df.unpersist())
+    srcPairCache.clear()
   }
 
   /** Decontamination — the REMOVAL form of [[contaminationCheck]]: the

@@ -1127,6 +1127,21 @@ class PipelineSpec extends AnyFunSuite {
       again.map(r => (r.getString(0), r.getLong(1))).toSeq, "rerun diverged")
   }
 
+  test("pagerank: driver fast path bit-agrees with the distributed path") {
+    import spark.implicits._
+    // planted skewed graph: binary-tree backbone + varied weights, symmetrized
+    val nodes = (0 until 30).map(i => s"s$i").toDF("source")
+    val half = (1 until 30).map(i => (s"s$i", s"s${i / 2}", (i % 5 + 1).toLong))
+    val edges = (half ++ half.map { case (s, d, w) => (d, s, w) })
+      .toDF("src", "dst", "w")
+    val viaDriver = Dedup.pagerankIterate(spark, nodes, edges, iters = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val viaCluster = Dedup.pagerankIterate(spark, nodes, edges, iters = 10,
+        allowDriver = false)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(viaDriver == viaCluster, "driver and distributed fixpoints diverged")
+  }
+
   test("cms: estimates never undercount, and exact when no bucket collides") {
     val rows = TextAnalysis.cmsHeavyHitters(spark, dir).collect()
     assert(rows.length == 20)
