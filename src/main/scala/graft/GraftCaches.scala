@@ -12,6 +12,7 @@ object GraftCaches {
   def clearAll(): Unit = {
     core.Tables.clearCache()
     operators.Dedup.clearCaches()
+    operators.Multimodal.clearCaches()
     operators.Similarity.clearCaches()
     vamana.VamanaOps.clearCaches()
     functions.NativeVectorFunctions.clearRegistry()

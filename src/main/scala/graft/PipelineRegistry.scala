@@ -58,7 +58,7 @@ object PipelineRegistry {
     lineDedupQ, corpusStatsQ, bpeMergesQ, bpeEncodeQ, mmImageAhashQ,
     mmAudioFingerprintQ, sourcePagerankQ, cmsTopkQ,
     domainCapQ, epochUpsampleQ, hardNegativesQ, zorderRevenueQ, gapfillHourlyQ,
-    featureHashQ)
+    featureHashQ, mmImageNearDupQ, mmAudioNearDupQ)
 
   /** Buckets are md5-derived on both sides; the en-doc subset is DSIR's
     * target distribution stand-in. */
@@ -1095,6 +1095,63 @@ object PipelineRegistry {
       SELECT h.doc_id, h.ahash, c.n_same::BIGINT AS n_same_hash,
              c.n_same > 1 AS is_dup
       FROM h JOIN c USING (ahash) ORDER BY doc_id
+    """.trim))
+
+  /** Hamming-ball near-dup pairs over the aHash signatures: Spark finds
+    * candidates via the pigeonhole quarter-chunk join; the oracle verifies
+    * by BRUTE-FORCE pairwise Hamming over the same recomputed signatures
+    * — a completeness check, not just a hash check (a missed candidate
+    * class shows up as missing oracle rows). */
+  private val mmImageNearDupQ: (String, QFn, Option[String]) = (
+    "mm_image_neardup",
+    (s, d) => Multimodal.imageNearDup(s, d),
+    Some("""
+      WITH kk AS (SELECT doc_id, text, len(text)//3 AS k FROM documents
+                  WHERE len(text) >= 3 AND len(text) = octet_length(encode(text))
+                    AND len(text)//3 <= 1048576),
+      g AS (SELECT doc_id, p,
+                   ord(substr(text, CAST(3 * ((p % 8) * k // 8) + 1 AS INT), 1)) +
+                   ord(substr(text, CAST(3 * ((p % 8) * k // 8) + 2 AS INT), 1)) +
+                   ord(substr(text, CAST(3 * ((p % 8) * k // 8) + 3 AS INT), 1)) AS gv
+            FROM (SELECT doc_id, k, text, unnest(range(0, 64)) AS p FROM kk)),
+      t AS (SELECT doc_id, sum(gv) AS total FROM g GROUP BY doc_id),
+      h AS (SELECT doc_id,
+                   string_agg(CASE WHEN gv * 64 >= total THEN '1' ELSE '0' END,
+                              '' ORDER BY p) AS ahash
+            FROM g JOIN t USING (doc_id) GROUP BY doc_id),
+      p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   list_sum(list_transform(range(1, CAST(len(a.ahash)+1 AS BIGINT)),
+                     i -> CASE WHEN substr(a.ahash, i::INT, 1) <> substr(b.ahash, i::INT, 1)
+                          THEN 1 ELSE 0 END))::BIGINT AS hamming
+            FROM h a JOIN h b ON a.doc_id < b.doc_id AND len(a.ahash) = len(b.ahash))
+      SELECT id_a, id_b, hamming FROM p WHERE hamming <= 3 ORDER BY id_a, id_b
+    """.trim))
+
+  /** The audio twin: brute-force Hamming over equal-length fingerprints
+    * (different durations are incomparable by construction). */
+  private val mmAudioNearDupQ: (String, QFn, Option[String]) = (
+    "mm_audio_neardup",
+    (s, d) => Multimodal.audioNearDup(s, d),
+    Some("""
+      WITH d AS (SELECT doc_id, text, len(text)//2 AS m FROM documents
+                 WHERE len(text) >= 2 AND len(text) = octet_length(encode(text))),
+      kk AS (SELECT doc_id, m, (m + 15)//16 AS n_kept, text FROM d),
+      v AS (SELECT doc_id, n_kept, j,
+                   ord(substr(text, CAST(2*(j*16)+1 AS INT), 1)) +
+                   256*ord(substr(text, CAST(2*(j*16)+2 AS INT), 1)) AS s
+            FROM kk, unnest(range(0, n_kept)) r(j)),
+      t AS (SELECT doc_id, sum(s) AS total, any_value(n_kept) AS nk
+            FROM v GROUP BY doc_id),
+      h AS (SELECT v.doc_id,
+                   string_agg(CASE WHEN s * nk >= total THEN '1' ELSE '0' END,
+                              '' ORDER BY j) AS afp
+            FROM v JOIN t USING (doc_id) GROUP BY v.doc_id),
+      p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   list_sum(list_transform(range(1, CAST(len(a.afp)+1 AS BIGINT)),
+                     i -> CASE WHEN substr(a.afp, i::INT, 1) <> substr(b.afp, i::INT, 1)
+                          THEN 1 ELSE 0 END))::BIGINT AS hamming
+            FROM h a JOIN h b ON a.doc_id < b.doc_id AND len(a.afp) = len(b.afp))
+      SELECT id_a, id_b, hamming FROM p WHERE hamming <= 3 ORDER BY id_a, id_b
     """.trim))
 
   private val mmImageDecodeQ: (String, QFn, Option[String]) = (

@@ -417,8 +417,25 @@ object Multimodal {
   /** The unsorted decode+resize pass — [[imageAhash]] consumes this form:
     * its own groupBy/join/final sort would throw an intermediate global
     * sort away, and at scale that discarded range shuffle is the most
-    * expensive step of the whole query. */
-  private def thumbnailFrame(spark: SparkSession, dir: String, tw: Int, th: Int): DataFrame = {
+    * expensive step of the whole query. Cached per (session, dir, tw, th):
+    * mm_thumbnail, mm_image_ahash and mm_image_neardup all consume the
+    * same decode, so the mapPartitions pixel pass runs once per dataset
+    * (the shingle-frame pattern applied to media). */
+  private val thumbCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String, Int, Int), DataFrame]
+
+  private def thumbnailFrame(spark: SparkSession, dir: String, tw: Int, th: Int): DataFrame =
+    thumbCache.getOrElseUpdate((spark, dir, tw, th),
+      thumbnailFrameUncached(spark, dir, tw, th).cache())
+
+  /** Unpersist + drop the per-dataset media caches (the Dedup.clearCaches
+    * twin, reachable through [[graft.GraftCaches.clearAll]]). */
+  def clearCaches(): Unit = {
+    for ((_, df) <- thumbCache) scala.util.Try(df.unpersist())
+    thumbCache.clear()
+  }
+
+  private def thumbnailFrameUncached(spark: SparkSession, dir: String, tw: Int, th: Int): DataFrame = {
     import spark.implicits._
     val src = Tables.documents(spark, dir)
       .where(length(col("text")) >= 3 &&
@@ -449,22 +466,96 @@ object Multimodal {
     * all-pairs). The signature is emitted as a 64-char bit string —
     * engine-universal, and a BIGINT would sign-flip on bit 63. */
   def imageAhash(spark: SparkSession, dir: String): DataFrame = {
+    val hashed = ahashFrame(spark, dir)
+    val counts = hashed.groupBy(col("ahash")).agg(count(lit(1)).as("n_same_hash"))
+    hashed.join(counts, Seq("ahash"))
+      .select(col("doc_id"), col("ahash"), col("n_same_hash"),
+        (col("n_same_hash") > 1).as("is_dup"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** (doc_id, ahash) — the signature pass [[imageAhash]] and
+    * [[imageNearDup]] share; derives from the cached thumbnail frame. */
+  private def ahashFrame(spark: SparkSession, dir: String): DataFrame = {
     val vals = transform(split(col("thumb"), ","), v => v.cast("int"))
     val gs = transform(sequence(lit(0), lit(63)),
       p => element_at(col("vals"), p * 3 + 1) + element_at(col("vals"), p * 3 + 2) +
         element_at(col("vals"), p * 3 + 3))
-    val hashed = thumbnailFrame(spark, dir, tw = 8, th = 8)
+    thumbnailFrame(spark, dir, tw = 8, th = 8)
       .withColumn("vals", vals)
       .withColumn("gs", gs)
       .withColumn("total", aggregate(col("gs"), lit(0), (acc, x) => acc + x))
       .select(col("doc_id"),
         concat_ws("", transform(col("gs"),
           g => when(g * 64 >= col("total"), "1").otherwise("0"))).as("ahash"))
-    val counts = hashed.groupBy(col("ahash")).agg(count(lit(1)).as("n_same_hash"))
-    hashed.join(counts, Seq("ahash"))
-      .select(col("doc_id"), col("ahash"), col("n_same_hash"),
-        (col("n_same_hash") > 1).as("is_dup"))
-      .orderBy(col("doc_id"))
+  }
+
+  /** NEAR-miss perceptual image pairs — the Hamming-ball stage
+    * [[imageAhash]]'s exact-collision join cannot express: a re-encoded
+    * image a shade brighter flips one aHash bit and still lands within
+    * Hamming ≤ 3 of its original. Same candidate theory as text simhash
+    * (Manku et al., WWW'07), applied to the media signature via
+    * [[bitstringNearDupPairs]]. */
+  def imageNearDup(spark: SparkSession, dir: String): DataFrame =
+    bitstringNearDupPairs(ahashFrame(spark, dir).select(col("doc_id"), col("ahash").as("bits")))
+
+  /** [[imageNearDup]]'s audio twin over the PCM fingerprint. */
+  def audioNearDup(spark: SparkSession, dir: String, k: Int = 16): DataFrame =
+    bitstringNearDupPairs(afpFrame(spark, dir, k).select(col("doc_id"), col("afp").as("bits")))
+
+  /** Near-dup pairs (id_a < id_b, hamming ≤ 3) over any (doc_id, bits)
+    * bit-string signature frame. Candidates come from a pigeonhole
+    * quarter-chunk equi-join — ≤ 3 differing bits among 4 disjoint pieces
+    * guarantee one identical piece, so the join is COMPLETE for any
+    * signature length ≥ 4 — and run over DISTINCT signatures (cluster
+    * representatives), so degenerate same-signature clusters cost one row
+    * per chunk, not m. Hamming-0 members are emitted by a signature
+    * equi-join (inherently quadratic only in true-duplicate output). The
+    * join key is the piece STRING keyed by (length, position): for wide
+    * signatures (64-bit aHash; duration-proportional audio fingerprints)
+    * piece entropy keeps buckets sparse at corpus scale; config-short
+    * signatures bound the whole candidate space by construction. */
+  private[graft] def bitstringNearDupPairs(sig: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val s = sig.select(col("doc_id"), col("bits"))
+    val groups = s.groupBy(col("bits")).agg(min(col("doc_id")).as("rep"))
+      .withColumn("len", length(col("bits")))
+    val chunks = (0 until 4).map { c =>
+      struct(lit(c).as("ci"),
+        (if (c < 3) expr(s"substring(bits, $c * (len div 4) + 1, len div 4)")
+         else expr("substring(bits, 3 * (len div 4) + 1, len - 3 * (len div 4))")).as("piece"))
+    }
+    val keyed = groups.where(col("len") >= 4)
+      .select(col("rep"), col("bits"), col("len"), explode(array(chunks: _*)).as("ck"))
+      .select(col("rep"), col("bits"), col("len"),
+        col("ck.ci").as("ci"), col("ck.piece").as("piece"))
+    val candWide = keyed.as("a").join(keyed.as("b"),
+        col("a.ci") === col("b.ci") && col("a.piece") === col("b.piece") &&
+          col("a.len") === col("b.len") && col("a.rep") < col("b.rep"))
+      .select(col("a.bits").as("ba"), col("b.bits").as("bb"))
+      .distinct()
+    // Signatures under 4 bits can't be quarter-chunked, but carry at most
+    // 2^len < 16 DISTINCT values per length — an all-pairs join within the
+    // length group is constant-bounded and complete.
+    val short = groups.where(col("len") < 4)
+    val candShort = short.as("a").join(short.as("b"),
+        col("a.len") === col("b.len") && col("a.rep") < col("b.rep"))
+      .select(col("a.bits").as("ba"), col("b.bits").as("bb"))
+    val sigPairs = candWide.union(candShort)
+      .withColumn("hamming", expr(
+        "size(filter(sequence(1, length(ba)), i -> substring(ba, i, 1) <> substring(bb, i, 1)))")
+        .cast("long"))
+      .where(col("hamming") <= maxHamming)
+    val cross = sigPairs
+      .join(s.select(col("doc_id").as("da"), col("bits").as("ba")), "ba")
+      .join(s.select(col("doc_id").as("db"), col("bits").as("bb")), "bb")
+      .select(least(col("da"), col("db")).as("id_a"),
+        greatest(col("da"), col("db")).as("id_b"), col("hamming"))
+    val same = s.as("a").join(s.as("b"),
+        col("a.bits") === col("b.bits") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"), lit(0L).as("hamming"))
+    cross.union(same)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+      .orderBy(col("id_a"), col("id_b"))
   }
 
   /** The resize itself over one P6 payload: (src_w, src_h, joined RGB
@@ -690,19 +781,25 @@ object Multimodal {
     * Same scale shape: narrow decode/decimate/hash pass, then a keyed
     * signature equi-join for bucket sizes — never all-pairs. */
   def audioFingerprint(spark: SparkSession, dir: String, k: Int = 16): DataFrame = {
+    val hashed = afpFrame(spark, dir, k)
+    val counts = hashed.groupBy(col("afp")).agg(count(lit(1)).as("n_same_hash"))
+    hashed.join(counts, Seq("afp"))
+      .select(col("doc_id"), col("afp"), col("n_same_hash"),
+        (col("n_same_hash") > 1).as("is_dup"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** (doc_id, afp) — the fingerprint pass [[audioFingerprint]] and
+    * [[audioNearDup]] share. */
+  private def afpFrame(spark: SparkSession, dir: String, k: Int): DataFrame = {
     val vals = transform(split(col("samples"), ","), v => v.cast("long"))
-    val hashed = audioSample(spark, dir, k)
+    audioSample(spark, dir, k)
       .withColumn("vals", vals)
       .withColumn("total", aggregate(col("vals"), lit(0L), (acc, x) => acc + x))
       .select(col("doc_id"),
         concat_ws("", transform(col("vals"),
           s => when(s * size(col("vals")) >= col("total"), "1").otherwise("0")))
           .as("afp"))
-    val counts = hashed.groupBy(col("afp")).agg(count(lit(1)).as("n_same_hash"))
-    hashed.join(counts, Seq("afp"))
-      .select(col("doc_id"), col("afp"), col("n_same_hash"),
-        (col("n_same_hash") > 1).as("is_dup"))
-      .orderBy(col("doc_id"))
   }
 
   private def gzipBytes(raw: Array[Byte]): Array[Byte] = {

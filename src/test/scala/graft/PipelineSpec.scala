@@ -1088,6 +1088,44 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("media neardup: planted Hamming 1-3 neighbors recovered; complete vs brute force") {
+    import spark.implicits._
+    def bits(v: Long, n: Int): String =
+      (n - 1 to 0 by -1).map(i => if (((v >> i) & 1L) == 1L) '1' else '0').mkString
+    val base = 0x5A5A5A5A5A5A5A5AL
+    // planted: 2 = base^bit0 (d=1), 3 = base^bits{10,30,50} (d=3), 4 = d=5 (out),
+    // 5 = exact copy of base (d=0), 6 = unrelated
+    val sigs = Seq(
+      1L -> bits(base, 64),
+      2L -> bits(base ^ 1L, 64),
+      3L -> bits(base ^ (1L << 10) ^ (1L << 30) ^ (1L << 50), 64),
+      4L -> bits(base ^ 0x1FL, 64),
+      5L -> bits(base, 64),
+      6L -> bits(0x123456789ABCDEF0L, 64)).toDF("doc_id", "bits")
+    val got = Multimodal.bitstringNearDupPairs(sigs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got.contains((1L, 2L, 1L)), s"distance-1 neighbor missed: $got")
+    assert(got.contains((1L, 3L, 3L)), s"distance-3 neighbor missed: $got")
+    assert(got.contains((1L, 5L, 0L)), s"exact pair missed: $got")
+    assert(!got.exists(p => p._1 == 4L || p._2 == 4L), s"distance-5 leaked: $got")
+    assert(!got.exists(p => p._1 == 6L || p._2 == 6L), s"unrelated leaked: $got")
+    // completeness on a deterministic pseudo-random corpus, incl. short
+    // (< 4 bit) and mixed-length signatures the quarter-chunk join can't see
+    val rng = new scala.util.Random(7)
+    val rand = (1 to 60).map(i => i.toLong ->
+      (if (i <= 12) bits(rng.nextInt(8), 3) else bits(rng.nextLong() & 0xFFFL, 12)))
+    val randDf = rand.toDF("doc_id", "bits")
+    val gotR = Multimodal.bitstringNearDupPairs(randDf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val brute = (for {
+      (ia, ba) <- rand; (ib, bb) <- rand
+      if ia < ib && ba.length == bb.length
+      d = ba.zip(bb).count { case (x, y) => x != y }
+      if d <= 3
+    } yield (ia, ib, d.toLong)).toSet
+    assert(gotR == brute, s"pigeonhole join incomplete: missing ${brute -- gotR}, extra ${gotR -- brute}")
+  }
+
   test("dsir: target-language docs outscore the rest; weights are finite and doc-complete") {
     val langs = graft.core.Tables.documents(spark, dir)
       .select(col("doc_id"), col("lang")).collect()
