@@ -38,7 +38,7 @@ object SparkEntry {
     knnExactQ, knnExactAggQ, knnFilteredQ, medoidExactQ, argminNearestQ,
     vamanaFilteredQ,
     vamanaSearchQ, vamanaOverlapQ, vamanaRecallQ, vamanaStartQ, vamanaDescribeQ, vamanaDegreeQ,
-    vamanaFanoutQ, vamanaFanoutGateQ,
+    vamanaFanoutQ, vamanaFanoutGateQ, vamanaFanoutFilteredQ, vamanaFanoutFilteredGateQ,
     vamanaRoundtripQ, vamanaInsertQ, vamanaDeleteQ, vamanaInsertGateQ, vamanaDeleteGateQ,
     pricingQ, regionRevenueQ, topOrdersQ, orderPriorityQ, localSupplierQ,
     filteredRevenueQ, partRollupQ, segmentSetOpsQ, eventsHourlyQ, userFunnelQ,
@@ -432,6 +432,27 @@ object SparkEntry {
     "vamana_search_filtered",
     (s, d) => graft.vamana.VamanaOps.vamanaSearchFiltered(s, d),
     None)
+
+  /** Filtered serving from the shard-fanout model — the beyond-broadcast
+    * regime of vamana_search_filtered (rows-only; exactness carried by
+    * the gate twin below). */
+  private val vamanaFanoutFilteredQ: (String, QFn, Option[String]) = (
+    "vamana_fanout_filtered",
+    (s, d) => graft.vamana.VamanaOps.vamanaFanoutFiltered(s, d),
+    None)
+
+  /** Full-per-shard-beam fanout filtered search is exactly filtered kNN
+    * (the vamana_search_overlap theorem applied per shard), so every
+    * per-query overlap with the exact filtered scan must be
+    * min(k, n_allowed) — oracle-stateable from the documents table. */
+  private val vamanaFanoutFilteredGateQ: (String, QFn, Option[String]) = (
+    "vamana_fanout_filtered_gate",
+    (s, d) => graft.vamana.VamanaOps.vamanaFanoutFilteredGate(s, d),
+    Some("""
+      SELECT vec_id AS query_id,
+             LEAST(10, (SELECT count(*) FROM documents WHERE lang = 'en'))::BIGINT AS overlap
+      FROM embeddings WHERE vec_id < 10 ORDER BY query_id
+    """.trim))
 
   /** Incremental insert (FreshDiskANN semantics, absent in the reference):
     * fit without the last 50 vectors, insert them as the daily batch, search

@@ -278,6 +278,61 @@ final class FanoutModel private[vamana] (
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Soft cap on the broadcast allowed-id set: 5M sorted longs ≈ 40 MB —
+    * the mid-selectivity band where per-shard filtering pays is exactly
+    * where the set still broadcasts. Above it selectivity is high enough
+    * that plain [[search]] + post-filter keeps recall (the adaptive
+    * strategy's upper regime); below [[VamanaOps.ExactScanMaxAllowed]]
+    * the exact scan wins outright. */
+  val MaxBroadcastAllowed: Int = 5000000
+
+  /** Filtered Q1 on the fanout path — the beyond-broadcast story for
+    * filtered serving: the allowed-id set is broadcast as sorted longs,
+    * every shard runs [[VamanaKernel.searchFiltered]] partition-locally
+    * (traversal unfiltered, ranking filtered), and the global top-k
+    * merges per query. `fullBeam = true` re-parameterizes each shard to
+    * beam = shard size, which makes the per-shard answer exactly its k
+    * nearest allowed points and the merge exactly filtered kNN — the
+    * hash-checked gate's theorem. */
+  def searchFiltered(
+      queries: DataFrame,
+      allowedIds: Array[Long],
+      k: Int,
+      queryIdCol: String = "query_id",
+      queryVecCol: String = "query_vec",
+      fullBeam: Boolean = false): DataFrame = {
+    val spark = shards.sparkSession
+    import spark.implicits._
+    val metric = params.metric
+    val prepared: Array[(Long, Array[Float])] = queries
+      .select(col(queryIdCol).cast("long"), col(queryVecCol).cast("array<float>"))
+      .as[(Long, Array[Float])].collect().sortBy(_._1)
+      .map { case (id, v) => (id, MetricReduction.prepareQuery(v, metric)) }
+    require(prepared.length <= 10000, "fanout broadcasts the query batch; keep it bounded")
+    require(allowedIds.length <= MaxBroadcastAllowed,
+      s"allowed set ${allowedIds.length} exceeds the broadcast band " +
+        s"($MaxBroadcastAllowed); at that selectivity use search() + post-filter")
+    val sortedAllowed = { val a = allowedIds.clone(); java.util.Arrays.sort(a); a }
+    val bcQ = spark.sparkContext.broadcast(prepared)
+    val bcA = spark.sparkContext.broadcast(sortedAllowed)
+    val answers = shards.flatMap { case (_, idx) =>
+      val allow = bcA.value
+      val pred = (id: Long) => java.util.Arrays.binarySearch(allow, id) >= 0
+      val beam = if (fullBeam) idx.size else 0
+      bcQ.value.iterator.flatMap { case (qid, qvec) =>
+        VamanaKernel.searchFiltered(idx, qvec, k, pred, beam)
+          .iterator.map { case (id, dist) => (qid, id, math.rint(dist.toDouble * 1e4) / 1e4) }
+      }
+    }.toDF("query_id", "id", "dist")
+    val mergedA = answers.groupBy(col("query_id"), col("id")).agg(min(col("dist")).as("dist"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("dist").asc, col("id").asc)
+    mergedA
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("id"), col("dist"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** Release the cached shard dataset (cache-lifecycle surface for tests
     * and long-lived services; searching after this rebuilds nothing but
     * re-reads whatever produced the shards). */

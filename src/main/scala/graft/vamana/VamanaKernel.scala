@@ -563,6 +563,27 @@ object VamanaKernel {
   def search(index: LocalIndex, query: Array[Float], k: Int): Array[(Long, Float)] =
     searchFrom(index, index.medoid, query, k)
 
+  /** Filtered Q1 — the filtered-DiskANN serving shape: the greedy
+    * traversal walks the graph UNFILTERED (restricting the walk itself
+    * would disconnect it at low selectivity), and the predicate applies
+    * when ranking the visited pool, so only allowed external ids can
+    * enter the result. `beamOverride` re-parameterizes the beam without a
+    * refit; with beam = n on a connected graph the pool is the whole
+    * component, so the result is EXACTLY the k nearest allowed points —
+    * the theorem the fanout filtered gate states. */
+  def searchFiltered(index: LocalIndex, query: Array[Float], k: Int,
+      allowed: Long => Boolean, beamOverride: Int = 0): Array[(Long, Float)] = {
+    val kk = math.min(k, index.size)
+    val beamL = math.max(
+      if (beamOverride > 0) beamOverride else index.params.efSearch, kk)
+    val (poolIds, poolDists) = greedySearch(index.points, index.graph, index.medoid, query, beamL)
+    poolIds.indices.toArray
+      .filter(i => allowed(index.ids(poolIds(i))))
+      .sortBy(i => (poolDists(i), index.ids(poolIds(i))))
+      .take(kk)
+      .map(i => (index.ids(poolIds(i)), poolDists(i)))
+  }
+
   /** Q2 (vamana.h:426-489): as [[search]] but starting from the stored point
     * nearest to `startVec` (linear scan resolve, vamana.h:441-449). */
   def searchWithStartPoint(index: LocalIndex, startVec: Array[Float], query: Array[Float], k: Int): Array[(Long, Float)] = {

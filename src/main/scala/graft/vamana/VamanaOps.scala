@@ -207,6 +207,48 @@ object VamanaOps {
       recallFloor)
   }
 
+  /** Filtered search served from the FANOUT model — the beyond-broadcast
+    * regime for the vector-DB metadata predicate (same lang fixture as
+    * `vamana_search_filtered`, so the two regimes are comparable).
+    * Rows-only driver check (graph traversal); exactness is carried by
+    * [[vamanaFanoutFilteredGate]]. */
+  def vamanaFanoutFiltered(spark: SparkSession, dir: String, lang: String = "en",
+      k: Int = 10): DataFrame = {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, dir)
+    val q = Knn.queriesFromPoints(emb, 10)
+    val allowed = Tables.documents(spark, dir).where(col("lang") === lang)
+      .select(col("doc_id")).as[Long].collect()
+    fanoutModel(spark, dir).searchFiltered(q, allowed, k)
+  }
+
+  /** Hash-checked exactness gate for the fanout filtered path: with a
+    * full per-shard beam each shard returns its k nearest ALLOWED points
+    * ([[vamanaSearchOverlap]]'s theorem applied per shard), so the global
+    * merge IS exact filtered kNN and every per-query overlap with the
+    * exact filtered scan must equal min(k, n_allowed) — which the DuckDB
+    * oracle states directly from the documents table. */
+  def vamanaFanoutFilteredGate(spark: SparkSession, dir: String,
+      lang: String = "en"): DataFrame = {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, dir)
+    val q = Knn.queriesFromPoints(emb, 10)
+    val allowedDf = Tables.documents(spark, dir).where(col("lang") === lang)
+      .select(col("doc_id"))
+    val allowed = allowedDf.as[Long].collect()
+    val ann = fanoutModel(spark, dir)
+      .searchFiltered(q, allowed, 10, fullBeam = true)
+      .select(col("query_id"), col("id"))
+    val exact = Knn.knnExact(
+        emb.join(allowedDf.withColumnRenamed("doc_id", "vec_id"), "vec_id"), q, 10)
+      .select(col("query_id"), col("id"))
+    ann.join(exact, Seq("query_id", "id"))
+      .groupBy(col("query_id"))
+      .agg(count(lit(1)).as("overlap"))
+      .select(col("query_id"), col("overlap"))
+      .orderBy(col("query_id"))
+  }
+
   /** S2/S3/S4 as a driver-visible query: save → load → compare params,
     * medoid, a point lookup, and full search results between the fitted and
     * reloaded index. One stable row; every column must be true/10. This is

@@ -52,6 +52,31 @@ class FanoutServingSpec extends AnyFunSuite {
     assert(a == b, "persisted shard models must answer exactly like the fitted ones")
   }
 
+  test("fanout filtered search: full beam equals exact filtered kNN; default beam clears the gate") {
+    import org.apache.spark.sql.functions.col
+    val emb = Tables.embeddings(spark, dir)
+    val model = VamanaFanout.fit(emb, params, numShards = 3)
+    // allowed = every third id — mid-selectivity, the filtered-beam band
+    val allowedDf = emb.select(col("vec_id")).where(col("vec_id") % 3 === 0)
+    val allowed = allowedDf.collect().map(_.getLong(0))
+    val q = queries(10)
+    val exact = Knn.knnExact(
+        emb.join(allowedDf.withColumnRenamed("vec_id", "vec_id"), "vec_id"), q, 10)
+      .select("query_id", "id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val full = model.searchFiltered(q, allowed, 10, fullBeam = true)
+      .select("query_id", "id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(full == exact,
+      s"full-beam fanout filtered search must BE exact filtered kNN; " +
+        s"missing ${exact -- full}, extra ${full -- exact}")
+    // default beam: recall-gated like the unfiltered fanout path
+    val got = model.searchFiltered(q, allowed, 10)
+    got.collect().foreach(r => assert(allowed.contains(r.getLong(2)),
+      s"disallowed id ${r.getLong(2)} leaked through the filter"))
+    val truthDf = Knn.knnExact(emb.join(allowedDf, "vec_id"), q, 10)
+    val r = Knn.recallAt(10, got, truthDf)
+    assert(r >= 0.8, s"filtered fanout recall@10 = $r below the 0.8 gate")
+  }
+
   test("distributed fit (maxLocalPoints=0) never collects, serves at the recall gate") {
     val emb = Tables.embeddings(spark, dir)
     val model = VamanaIndexer.fit(emb, params, numShards = 3, maxLocalPoints = 0)
