@@ -37,7 +37,8 @@ object SparkEntry {
   private def registry: Seq[(String, QFn, Option[String])] = Seq(
     knnExactQ, knnExactAggQ, knnFilteredQ, medoidExactQ, argminNearestQ,
     vamanaFilteredQ,
-    vamanaSearchQ, vamanaOverlapQ, vamanaRecallQ, vamanaStartQ, vamanaDescribeQ, vamanaDegreeQ,
+    vamanaSearchQ, vamanaOverlapQ, vamanaRecallQ, vamanaStartQ, vamanaStartGateQ,
+    vamanaDescribeQ, vamanaDegreeQ,
     vamanaFanoutQ, vamanaFanoutGateQ, vamanaFanoutFilteredQ, vamanaFanoutFilteredGateQ,
     vamanaRoundtripQ, vamanaInsertQ, vamanaDeleteQ, vamanaInsertGateQ, vamanaDeleteGateQ,
     pricingQ, regionRevenueQ, topOrdersQ, orderPriorityQ, localSupplierQ,
@@ -247,6 +248,17 @@ object SparkEntry {
     "vamana_search_start",
     (s, d) => graft.vamana.VamanaOps.vamanaSearchWithStart(s, d),
     None)
+
+  /** Full-beam search from an arbitrary start expands the same component
+    * as from the medoid, so overlap vs exact kNN must be k — closes the
+    * last serving family without a hash-checked twin. */
+  private val vamanaStartGateQ: (String, QFn, Option[String]) = (
+    "vamana_search_start_gate",
+    (s, d) => graft.vamana.VamanaOps.vamanaSearchStartGate(s, d),
+    Some("""
+      SELECT vec_id AS query_id, CAST(10 AS BIGINT) AS overlap
+      FROM embeddings WHERE vec_id < 10 ORDER BY query_id
+    """.trim))
 
   // Hash-checked: fit params are knowable constants of the registered
   // pipeline ([[VamanaOps.defaultParams]]), data_size is a count over the

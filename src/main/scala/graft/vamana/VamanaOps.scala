@@ -293,6 +293,28 @@ object VamanaOps {
     model(spark, dir).searchWithStartPoint(q.join(s, "query_id"), 10)
   }
 
+  /** Hash-checked gate for the Q2 (start-point) family — the last serving
+    * family without one: a full-beam greedy search never evicts, so it
+    * expands the whole component REGARDLESS of where it starts (the start
+    * only changes expansion order), and overlap vs exact kNN must equal
+    * k — the same theorem as [[vamanaSearchOverlap]], stated from an
+    * arbitrary (id 100-109) start fixture instead of the medoid. */
+  def vamanaSearchStartGate(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val q = Knn.queriesFromPoints(emb, 10)
+    val s = emb.where(col("vec_id") >= 100 && col("vec_id") < 110)
+      .select((col("vec_id") - 100).as("query_id"), col("embedding").as("start_vec"))
+    val ann = fullBeamModel(spark, dir)
+      .searchWithStartPoint(q.join(s, "query_id"), 10)
+      .select(col("query_id"), col("id"))
+    val exact = Knn.knnExact(emb, q, 10).select(col("query_id"), col("id"))
+    ann.join(exact, Seq("query_id", "id"))
+      .groupBy(col("query_id"))
+      .agg(count(lit(1)).as("overlap"))
+      .select(col("query_id"), col("overlap"))
+      .orderBy(col("query_id"))
+  }
+
   /** M1 introspection (vamana.h:41-53) as a one-row query. The registered
     * query drops `medoid_pos` (derived from the float32 centroid — not
     * portably SQL-expressible) and rounds alpha, so every remaining column
