@@ -1,0 +1,245 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.operators._
+import graft.RegistrySqlParts._
+
+/** Corpus-pipeline registered queries (mixture, packing, shuffle, splits, manifests, DSIR, capping) with their DuckDB oracle SQL. Split from the monolithic PipelineRegistry; the
+  * aggregate surface (and entry order) lives there. */
+private[graft] object RegistryCorpus {
+
+  private[graft] def entries: Seq[(String, QFn, Option[String])] = Seq(
+    sampleHashQ, pipelineCleanQ, sampleStratifiedQ, docChunksQ, packSequencesQ, sampleMixtureQ, corpusShuffleQ, lengthBucketsQ, pipelineFullQ, docChunksCdcQ, shardManifestQ, splitAssignQ, dsirWeightQ, corpusStatsQ, domainCapQ, epochUpsampleQ)
+
+  /** Buckets are md5-derived on both sides; the en-doc subset is DSIR's
+    * target distribution stand-in. */
+  private val dsirWeightQ: (String, QFn, Option[String]) = (
+    "dsir_weight",
+    (s, d) => CorpusPipeline.dsirWeight(s, d),
+    Some("""
+      WITH t AS (SELECT doc_id, lang, string_split_regex(lower(text), '\s+') AS tk FROM documents),
+      uni AS (SELECT doc_id, lang, unnest(tk) AS f FROM t),
+      bi AS (SELECT doc_id, lang, tk[i] || ' ' || tk[i+1] AS f
+             FROM t, unnest(range(1, len(tk))) AS r(i) WHERE len(tk) >= 2),
+      feats AS (SELECT doc_id, lang, ('0x' || substr(md5(f), 1, 8))::BIGINT % 1024 AS b
+                FROM (SELECT * FROM uni WHERE f <> '' UNION ALL SELECT * FROM bi)),
+      dc AS (SELECT doc_id, b, count(*) AS c FROM feats GROUP BY doc_id, b),
+      raw AS (SELECT b, count(*) AS cr FROM feats GROUP BY b),
+      tgt AS (SELECT b, count(*) AS ct FROM feats WHERE lang = 'en' GROUP BY b),
+      tot AS (SELECT count(*) AS tr, count(*) FILTER (lang = 'en') AS tt FROM feats),
+      model AS (SELECT raw.b,
+                       round(ln(((coalesce(tgt.ct, 0) + 1.0) / (tot.tt + 1024)) /
+                                ((raw.cr + 1.0) / (tot.tr + 1024))), 6)::DECIMAL(18,6) AS lr
+                FROM raw LEFT JOIN tgt USING (b) CROSS JOIN tot)
+      SELECT dc.doc_id, sum(dc.c)::BIGINT AS n_feats,
+             round(sum(dc.c * model.lr), 4)::DOUBLE AS logw
+      FROM dc JOIN model USING (b)
+      GROUP BY dc.doc_id ORDER BY dc.doc_id
+    """.trim))
+
+  /** One-row corpus data card; every aggregate combines map-side. */
+  private val corpusStatsQ: (String, QFn, Option[String]) = (
+    "corpus_stats",
+    (s, d) => CorpusPipeline.corpusStats(s, d),
+    Some("""
+      SELECT count(*) AS n_docs,
+             count(DISTINCT source) AS n_sources,
+             count(DISTINCT lang) AS n_langs,
+             sum(len(string_split_regex(lower(text), '\s+')))::BIGINT AS total_tokens,
+             round(avg(len(string_split_regex(lower(text), '\s+'))), 4) AS avg_tokens,
+             min(n_chars)::BIGINT AS min_chars,
+             max(n_chars)::BIGINT AS max_chars
+      FROM documents
+    """.trim))
+
+  private val sampleHashQ: (String, QFn, Option[String]) = (
+    "sample_hash",
+    (s, d) => CorpusPipeline.sampleByHash(s, d),
+    Some("""
+      SELECT doc_id, lang, len(text)::BIGINT AS n_chars
+      FROM documents WHERE md5(doc_id::VARCHAR) < '1a' ORDER BY doc_id
+    """.trim))
+
+  /** Composes the ALREADY-ORACLE-VERIFIED single-op SQL as CTE bodies —
+    * the composed query cannot drift from its parts. */
+  private val pipelineCleanQ: (String, QFn, Option[String]) = (
+    "pipeline_clean",
+    (s, d) => CorpusPipeline.cleanCorpus(s, d),
+    Some(s"""
+      WITH ts AS (${RegistryText.textStats._3.get}),
+      li AS (${RegistryText.langId._3.get}),
+      de AS (${RegistryDedup.dedupExact._3.get})
+      SELECT ts.doc_id, ts.n_tokens, ts.quality_score
+      FROM ts JOIN li ON ts.doc_id = li.doc_id JOIN de ON ts.doc_id = de.doc_id
+      WHERE li.pred_lang = 'en' AND ts.quality_score >= 0.5
+      ORDER BY ts.doc_id
+    """.trim))
+
+  /** The end-to-end prep pass: clean → mixture sample → pack. The clean
+    * CTE IS pipeline_clean's oracle; the mixture predicate and the packing
+    * cumsum are the single-op oracles' own expressions — composed
+    * hash-checking, stage drift impossible. (lazy: reads sibling SQL.) */
+  private lazy val pipelineFullQ: (String, QFn, Option[String]) = (
+    "pipeline_full",
+    (s, d) => CorpusPipeline.pipelineFull(s, d),
+    Some(s"""
+      WITH cleaned AS (${pipelineCleanQ._3.get.replace("ORDER BY ts.doc_id", "")}),
+      mixk AS (SELECT c.doc_id, c.n_tokens FROM cleaned c JOIN documents d USING (doc_id)
+               WHERE (('0x' || substr(md5(c.doc_id::VARCHAR), 1, 15))::BIGINT)::DOUBLE
+                       / 1152921504606846976.0
+                     < ([0.1, 0.3, 0.6, 1.0]::DOUBLE[])[(CASE WHEN regexp_extract(d.source, '[0-9]+', 0) = ''
+                        THEN 0 ELSE right(regexp_extract(d.source, '[0-9]+', 0), 8)::INT % 4 END) + 1]),
+      cum AS (SELECT doc_id, n_tokens,
+                (sum(n_tokens) OVER (ORDER BY doc_id) - n_tokens)::BIGINT AS start_offset
+              FROM mixk)
+      SELECT doc_id, n_tokens, start_offset, start_offset//2048 AS seq_id,
+             start_offset%2048 AS offset_in_seq
+      FROM cum ORDER BY doc_id
+    """.trim))
+
+  private val sampleMixtureQ: (String, QFn, Option[String]) = (
+    "sample_mixture",
+    (s, d) => CorpusPipeline.sampleMixture(s, d),
+    Some("""
+      WITH r AS (
+        SELECT doc_id, source,
+               ([0.1, 0.3, 0.6, 1.0]::DOUBLE[])[(CASE WHEN regexp_extract(source, '[0-9]+', 0) = ''
+                  THEN 0 ELSE right(regexp_extract(source, '[0-9]+', 0), 8)::INT % 4 END) + 1]
+                 AS target_rate,
+               (('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT)::DOUBLE
+                 / 1152921504606846976.0 AS u
+        FROM documents)
+      SELECT doc_id, source, target_rate FROM r WHERE u < target_rate ORDER BY doc_id
+    """.trim))
+
+  private val sampleStratifiedQ: (String, QFn, Option[String]) = (
+    "sample_stratified",
+    (s, d) => CorpusPipeline.sampleStratified(s, d),
+    Some("""
+      WITH s AS (SELECT doc_id, lang, length(text)::BIGINT AS n_chars,
+                        row_number() OVER (PARTITION BY lang
+                          ORDER BY md5(doc_id::VARCHAR) ASC, doc_id ASC) AS stratum_rank
+                 FROM documents)
+      SELECT doc_id, lang, n_chars, stratum_rank
+      FROM s WHERE stratum_rank <= 50 ORDER BY lang, stratum_rank
+    """.trim))
+
+  private val corpusShuffleQ: (String, QFn, Option[String]) = (
+    "corpus_shuffle",
+    (s, d) => CorpusPipeline.corpusShuffle(s, d),
+    Some("""
+      SELECT doc_id,
+             row_number() OVER (ORDER BY md5(doc_id::VARCHAR), doc_id) - 1 AS shuffle_pos
+      FROM documents ORDER BY doc_id
+    """.trim))
+
+  private val lengthBucketsQ: (String, QFn, Option[String]) = (
+    "length_buckets",
+    (s, d) => CorpusPipeline.lengthBuckets(s, d),
+    Some("""
+      WITH t AS (SELECT len(string_split_regex(lower(text), '\s+'))::BIGINT AS n FROM documents),
+      b AS (SELECT n, CAST(pow(2, length(bin(greatest(n, 1))) - 1) AS BIGINT) AS bucket_min FROM t)
+      SELECT bucket_min, count(*)::BIGINT AS n_docs, sum(n)::BIGINT AS total_tokens
+      FROM b GROUP BY bucket_min ORDER BY bucket_min
+    """.trim))
+
+  private val splitAssignQ: (String, QFn, Option[String]) = (
+    "split_assign",
+    (s, d) => CorpusPipeline.splitAssign(s, d),
+    Some("""
+      SELECT CASE WHEN b < 98 THEN 'train' WHEN b = 98 THEN 'val' ELSE 'test' END AS split,
+             lang, count(*) AS n_docs, sum(len(text))::BIGINT AS total_chars
+      FROM (SELECT lang, text,
+              ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 100 AS b
+            FROM documents)
+      GROUP BY split, lang ORDER BY split, lang
+    """.trim))
+
+  private val shardManifestQ: (String, QFn, Option[String]) = (
+    "shard_manifest",
+    (s, d) => CorpusPipeline.shardManifest(s, d),
+    Some("""
+      SELECT ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 16 AS shard,
+             count(*) AS n_docs, sum(n_chars)::BIGINT AS total_chars,
+             sum(('0x' || substr(md5(text), 1, 8))::BIGINT)::BIGINT AS content_sum
+      FROM documents GROUP BY shard ORDER BY shard
+    """.trim))
+
+  /** Sequence packing (concat-then-chunk): the oracle's single-node window
+    * cumsum must equal the distributed two-pass prefix sum exactly. */
+  private val packSequencesQ: (String, QFn, Option[String]) = (
+    "pack_sequences",
+    (s, d) => CorpusPipeline.packSequences(s, d),
+    Some(s"""
+      WITH t AS (SELECT doc_id, len(string_split_regex(lower(text), '\\s+'))::BIGINT AS n_tokens FROM documents),
+      c AS (SELECT doc_id, n_tokens, (sum(n_tokens) OVER (ORDER BY doc_id) - n_tokens)::BIGINT AS start_offset FROM t)
+      SELECT doc_id, n_tokens, start_offset, start_offset//2048 AS seq_id, start_offset%2048 AS offset_in_seq
+      FROM c ORDER BY doc_id
+    """.trim))
+
+  /** 64-token chunks every 48 tokens — the pre-embedding chunking stage. */
+  private val docChunksQ: (String, QFn, Option[String]) = (
+    "doc_chunks",
+    (s, d) => TextAnalysis.docChunks(s, d),
+    Some(s"""
+      WITH t AS ($toksCte),
+      s AS (SELECT doc_id, toks, unnest(range(1, greatest(len(toks),1)+1, 48)) AS st FROM t),
+      c AS (SELECT doc_id, CAST((st-1)//48 AS BIGINT) AS chunk_id,
+                   list_slice(toks, st, st+63) AS chunk FROM s)
+      SELECT doc_id, chunk_id, CAST(len(chunk) AS BIGINT) AS n_tokens,
+             md5(array_to_string(chunk, ' ')) AS chunk_hash
+      FROM c WHERE len(chunk) > 0 ORDER BY doc_id, chunk_id
+    """.trim))
+
+  private[graft] val docChunksCdcQ: (String, QFn, Option[String]) = (
+    "doc_chunks_cdc",
+    (s, d) => TextAnalysis.docChunksCdc(s, d),
+    Some("""
+      WITH t AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks FROM documents),
+      tok AS (SELECT doc_id, i - 1 AS pos, toks[i] AS w
+              FROM t, unnest(range(1, len(toks) + 1)) AS r(i)),
+      b AS (SELECT doc_id, pos, w,
+              CASE WHEN ('0x' || substr(md5(w), 1, 15))::BIGINT % 16 = 0 THEN 1 ELSE 0 END AS ib
+            FROM tok),
+      c AS (SELECT doc_id, pos, w,
+              coalesce(sum(ib) OVER (PARTITION BY doc_id ORDER BY pos
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS chunk_id
+            FROM b)
+      SELECT doc_id, chunk_id, count(*)::BIGINT AS n_tokens,
+             md5(string_agg(w, ' ' ORDER BY pos)) AS chunk_hash
+      FROM c GROUP BY doc_id, chunk_id ORDER BY doc_id, chunk_id
+    """.trim))
+
+  /** Epoch schedule: n_copies = mixture bucket + 1, same ANSI-safe 8-digit
+    * source-index key the mixture rates ride. */
+  private val epochUpsampleQ: (String, QFn, Option[String]) = (
+    "epoch_upsample",
+    (s, d) => CorpusPipeline.epochUpsample(s, d),
+    Some("""
+      WITH b AS (SELECT doc_id, source,
+                        (CASE WHEN regexp_extract(source, '[0-9]+', 0) = '' THEN 0
+                              ELSE right(regexp_extract(source, '[0-9]+', 0), 8)::INT % 4 END
+                         + 1)::BIGINT AS n_copies
+                 FROM documents)
+      SELECT doc_id, source, n_copies, i AS copy_idx,
+             md5(doc_id::VARCHAR || ':' || i::VARCHAR) AS shuffle_key
+      FROM b, unnest(range(1, n_copies + 1)) AS u(i)
+      ORDER BY doc_id, copy_idx
+    """.trim))
+
+  /** Anti-domination cap: survivors decided by id-hash order, so the kept
+    * set is partitioning-independent and the oracle replays it exactly. */
+  private val domainCapQ: (String, QFn, Option[String]) = (
+    "domain_cap",
+    (s, d) => CorpusPipeline.domainCap(s, d),
+    Some("""
+      WITH r AS (SELECT doc_id, source,
+                        row_number() OVER (PARTITION BY source
+                          ORDER BY md5(doc_id::VARCHAR) ASC, doc_id ASC) AS keep_rank
+                 FROM documents)
+      SELECT doc_id, source, keep_rank::BIGINT AS keep_rank
+      FROM r WHERE keep_rank <= 20 ORDER BY source, keep_rank
+    """.trim))
+
+}

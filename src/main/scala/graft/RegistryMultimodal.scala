@@ -1,0 +1,270 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.operators._
+import graft.RegistrySqlParts._
+
+/** Multimodal registered queries (container parsers, pixel/PCM decode, perceptual hashes + near-dup) with their DuckDB oracle SQL. Split from the monolithic PipelineRegistry; the
+  * aggregate surface (and entry order) lives there. */
+private[graft] object RegistryMultimodal {
+
+  private[graft] def entries: Seq[(String, QFn, Option[String])] = Seq(
+    mmGzipQ, mmJoin, mmBinaryStats, mmMediaFeatures, mmThumbnailQ, mmFrameSampleQ, mmAudioSampleQ, mmImageDecodeQ, mmAudioDecodeQ, mmImageAhashQ, mmAudioFingerprintQ, mmImageNearDupQ, mmAudioNearDupQ)
+
+  // (pq_quantize / pq_search ride pq_gate — see the seeded-generator note
+  // above; the functions remain exercised by the gate and QuantizationSpec.)
+
+  // ---- multimodal -----------------------------------------------------------
+
+  private val mmJoin: (String, QFn, Option[String]) = (
+    "mm_join",
+    (s, d) => Multimodal.multimodalJoin(s, d),
+    Some("""
+      SELECT lang, label, count(*) AS n_docs,
+             round(avg(n_chars), 4) AS avg_chars,
+             min(doc_id) AS min_doc_id
+      FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+      GROUP BY lang, label ORDER BY lang, label
+    """.trim))
+
+  private val mmBinaryStats: (String, QFn, Option[String]) = (
+    "mm_binary_stats",
+    (s, d) => Multimodal.binaryStats(s, d),
+    Some("""
+      SELECT doc_id, octet_length(encode(text))::BIGINT AS n_bytes,
+             md5(text) AS payload_md5, source
+      FROM documents ORDER BY doc_id
+    """.trim))
+
+  /** The documents corpus is ASCII text → every payload decodes as `raw`,
+    * and the raw path (byte count / mean byte / head hash) is exactly
+    * SQL-expressible: per-char ord == byte value on ASCII, and the decoder
+    * rounds half-up to match SQL round(). Header parsing for real formats
+    * stays spec-gated with synthetic WAV/PPM/BMP/JPEG/PNG payloads. */
+  private val mmMediaFeatures: (String, QFn, Option[String]) = (
+    "mm_media_features",
+    (s, d) => Multimodal.mediaFeatures(s, d),
+    Some("""
+      SELECT doc_id,
+        length(text)::BIGINT AS n_bytes,
+        'raw' AS media_type,
+        0::BIGINT AS dim1, 0::BIGINT AS dim2,
+        CASE WHEN length(text) = 0 THEN 0.0
+             ELSE round(CAST(list_sum(list_transform(range(1, length(text)+1),
+                    i -> ord(text[i]))) AS DOUBLE) / length(text), 4) END AS mean_byte,
+        md5(substring(text, 1, 16)) AS head_hash
+      FROM documents ORDER BY doc_id
+    """.trim))
+
+  /** The thumbnail's sampled byte at (i,j,c) is the text char at
+    * 3·⌊j·k/8⌋ + c — the oracle recomputes the REAL resize output via
+    * substr/ord (rows repeat: the synthesized image is k×1). */
+  private val mmThumbnailQ: (String, QFn, Option[String]) = (
+    "mm_thumbnail",
+    (s, d) => Multimodal.imageThumbnail(s, d),
+    Some("""
+      WITH kk AS (SELECT doc_id, text, len(text)//3 AS k FROM documents
+                  WHERE len(text) >= 3 AND len(text) = octet_length(encode(text))
+                    AND len(text)//3 <= 1048576)
+      SELECT doc_id, k AS src_w, CAST(1 AS BIGINT) AS src_h,
+             array_to_string(list_transform(range(0, 192), v ->
+               ord(substr(text, CAST(3 * (((v % 24) // 3) * k // 8) + (v % 3) + 1 AS INT), 1))::VARCHAR), ',') AS thumb
+      FROM kk ORDER BY doc_id
+    """.trim))
+
+  /** The schedule is pure integer arithmetic on the mvhd duration, which
+    * the synthesized container sets to n_chars — the oracle recomputes it
+    * from the text length, pinning the box-walk roundtrip. */
+  private val mmFrameSampleQ: (String, QFn, Option[String]) = (
+    "mm_frame_sample",
+    (s, d) => Multimodal.frameSample(s, d),
+    Some("""
+      SELECT doc_id, i AS frame_idx, (i * len(text)) // 5 AS sample_ms,
+             len(text)::BIGINT AS duration_ms
+      FROM documents, unnest(range(0, 5)) r(i)
+      ORDER BY doc_id, frame_idx
+    """.trim))
+
+  /** Pixel decode hash-checked end to end: the query encodes doc bytes as a
+    * real k×1 P6 PPM, decodes the pixels back, and emits per-channel
+    * mean/σ; the oracle reproduces the identical integers from `ord()` over
+    * the text (channel sums are exact longs → identical doubles). */
+  /** Decimated sample j·16 is the little-endian int16 at text chars
+    * 2(j·16)+1, 2(j·16)+2 — the oracle recomputes the kept samples from
+    * the synthesis source, pinning the RIFF walk + LE16 reads + stride. */
+  private val mmAudioSampleQ: (String, QFn, Option[String]) = (
+    "mm_audio_sample",
+    (s, d) => Multimodal.audioSample(s, d),
+    Some("""
+      WITH d AS (SELECT doc_id, text, len(text)//2 AS m FROM documents
+                 WHERE len(text) >= 2 AND len(text) = octet_length(encode(text))),
+      k AS (SELECT doc_id, m, (m + 15)//16 AS n_kept, text FROM d)
+      SELECT doc_id, CAST(16000 AS BIGINT) AS sample_rate, m AS n_samples, n_kept,
+             array_to_string(list_transform(range(0, n_kept), j ->
+               (ord(substr(text, CAST(2*(j*16)+1 AS INT), 1)) +
+                256*ord(substr(text, CAST(2*(j*16)+2 AS INT), 1)))::VARCHAR), ',') AS samples
+      FROM k ORDER BY doc_id
+    """.trim))
+
+  private val mmImageDecodeQ: (String, QFn, Option[String]) = (
+    "mm_image_decode",
+    (s, d) => Multimodal.imageDecode(s, d),
+    Some("""
+      WITH kk AS (SELECT doc_id, text, len(text)//3 AS k FROM documents
+                  WHERE len(text) >= 3 AND len(text) = octet_length(encode(text))
+                    AND len(text)//3 <= 1048576),
+      px AS (SELECT doc_id, k, text, unnest(range(1, 3*k+1)) AS i FROM kk),
+      v AS (SELECT doc_id, k, CAST((i-1)%3 AS INT) AS ch, ord(substr(text, CAST(i AS INT), 1)) AS b FROM px),
+      a AS (SELECT doc_id, any_value(k) AS k,
+              sum(b) FILTER (WHERE ch=0)::BIGINT AS s_r, sum(b*b) FILTER (WHERE ch=0)::BIGINT AS q_r,
+              sum(b) FILTER (WHERE ch=1)::BIGINT AS s_g, sum(b*b) FILTER (WHERE ch=1)::BIGINT AS q_g,
+              sum(b) FILTER (WHERE ch=2)::BIGINT AS s_b, sum(b*b) FILTER (WHERE ch=2)::BIGINT AS q_b
+            FROM v GROUP BY doc_id)
+      SELECT doc_id, 'ppm' AS media_type, k::BIGINT AS width, CAST(1 AS BIGINT) AS height,
+        round(s_r::DOUBLE/k, 4) AS mean_r, round(s_g::DOUBLE/k, 4) AS mean_g, round(s_b::DOUBLE/k, 4) AS mean_b,
+        round(sqrt(q_r::DOUBLE/k - (s_r::DOUBLE/k)*(s_r::DOUBLE/k)), 4) AS sd_r,
+        round(sqrt(q_g::DOUBLE/k - (s_g::DOUBLE/k)*(s_g::DOUBLE/k)), 4) AS sd_g,
+        round(sqrt(q_b::DOUBLE/k - (s_b::DOUBLE/k)*(s_b::DOUBLE/k)), 4) AS sd_b
+      FROM a ORDER BY doc_id
+    """.trim))
+
+  /** PCM sample decode hash-checked: the query encodes doc bytes as a real
+    * 16-bit mono WAV, decodes the samples back, and the oracle reproduces
+    * the identical values from `ord()` byte pairs (ASCII ⇒ every sample
+    * positive; the signed path is spec-gated). */
+  private val mmAudioDecodeQ: (String, QFn, Option[String]) = (
+    "mm_audio_decode",
+    (s, d) => Multimodal.audioDecode(s, d),
+    Some("""
+      WITH mm AS (SELECT doc_id, text, len(text)//2 AS m FROM documents
+                  WHERE len(text) >= 2 AND len(text) = octet_length(encode(text))),
+      sm AS (SELECT doc_id, m, text, unnest(range(1, m+1)) AS i FROM mm),
+      v AS (SELECT doc_id, m, ord(substr(text, CAST(2*i-1 AS INT), 1)) + 256*ord(substr(text, CAST(2*i AS INT), 1)) AS v FROM sm),
+      a AS (SELECT doc_id, any_value(m) AS m, sum(v)::BIGINT AS s, sum(v*v)::BIGINT AS q FROM v GROUP BY doc_id)
+      SELECT doc_id, CAST(16000 AS BIGINT) AS sample_rate, CAST(1 AS BIGINT) AS n_channels,
+        m::BIGINT AS n_samples, round(s::DOUBLE/m, 4) AS mean_amp,
+        round(sqrt(q::DOUBLE/m - (s::DOUBLE/m)*(s::DOUBLE/m)), 4) AS sd_amp
+      FROM a ORDER BY doc_id
+    """.trim))
+
+  private val mmGzipQ: (String, QFn, Option[String]) = (
+    "mm_gzip_roundtrip",
+    (s, d) => Multimodal.gzipRoundtripChecked(s, d),
+    Some("""
+      SELECT doc_id,
+             octet_length(encode(text))::BIGINT AS n_raw,
+             TRUE AS roundtrip_ok,
+             md5(text) AS orig_md5
+      FROM documents ORDER BY doc_id
+    """.trim))
+
+  /** aHash mirrored from the same substr/ord pixel formula as
+    * mm_thumbnail (k×1 source ⇒ row index vanishes; column j samples
+    * source pixel j·k÷8). */
+  private val mmImageAhashQ: (String, QFn, Option[String]) = (
+    "mm_image_ahash",
+    (s, d) => Multimodal.imageAhash(s, d),
+    Some("""
+      WITH kk AS (SELECT doc_id, text, len(text)//3 AS k FROM documents
+                  WHERE len(text) >= 3 AND len(text) = octet_length(encode(text))
+                    AND len(text)//3 <= 1048576),
+      g AS (SELECT doc_id, p,
+                   ord(substr(text, CAST(3 * ((p % 8) * k // 8) + 1 AS INT), 1)) +
+                   ord(substr(text, CAST(3 * ((p % 8) * k // 8) + 2 AS INT), 1)) +
+                   ord(substr(text, CAST(3 * ((p % 8) * k // 8) + 3 AS INT), 1)) AS gv
+            FROM (SELECT doc_id, k, text, unnest(range(0, 64)) AS p FROM kk)),
+      t AS (SELECT doc_id, sum(gv) AS total FROM g GROUP BY doc_id),
+      h AS (SELECT doc_id,
+                   string_agg(CASE WHEN gv * 64 >= total THEN '1' ELSE '0' END,
+                              '' ORDER BY p) AS ahash
+            FROM g JOIN t USING (doc_id) GROUP BY doc_id),
+      c AS (SELECT ahash, count(*) AS n_same FROM h GROUP BY ahash)
+      SELECT h.doc_id, h.ahash, c.n_same::BIGINT AS n_same_hash,
+             c.n_same > 1 AS is_dup
+      FROM h JOIN c USING (ahash) ORDER BY doc_id
+    """.trim))
+
+  /** Audio fingerprint from the same u16 sample formula as
+    * mm_audio_sample; `size(vals)` on the Spark side is DuckDB's n_kept. */
+  private val mmAudioFingerprintQ: (String, QFn, Option[String]) = (
+    "mm_audio_fingerprint",
+    (s, d) => Multimodal.audioFingerprint(s, d),
+    Some("""
+      WITH d AS (SELECT doc_id, text, len(text)//2 AS m FROM documents
+                 WHERE len(text) >= 2 AND len(text) = octet_length(encode(text))),
+      kk AS (SELECT doc_id, m, (m + 15)//16 AS n_kept, text FROM d),
+      v AS (SELECT doc_id, n_kept, j,
+                   ord(substr(text, CAST(2*(j*16)+1 AS INT), 1)) +
+                   256*ord(substr(text, CAST(2*(j*16)+2 AS INT), 1)) AS s
+            FROM kk, unnest(range(0, n_kept)) r(j)),
+      t AS (SELECT doc_id, sum(s) AS total, any_value(n_kept) AS nk
+            FROM v GROUP BY doc_id),
+      h AS (SELECT v.doc_id,
+                   string_agg(CASE WHEN s * nk >= total THEN '1' ELSE '0' END,
+                              '' ORDER BY j) AS afp
+            FROM v JOIN t USING (doc_id) GROUP BY v.doc_id),
+      c AS (SELECT afp, count(*) AS n_same FROM h GROUP BY afp)
+      SELECT h.doc_id, h.afp, c.n_same::BIGINT AS n_same_hash,
+             c.n_same > 1 AS is_dup
+      FROM h JOIN c USING (afp) ORDER BY doc_id
+    """.trim))
+
+  /** Hamming-ball near-dup pairs over the aHash signatures: Spark finds
+    * candidates via the pigeonhole quarter-chunk join; the oracle verifies
+    * by BRUTE-FORCE pairwise Hamming over the same recomputed signatures
+    * — a completeness check, not just a hash check (a missed candidate
+    * class shows up as missing oracle rows). */
+  private val mmImageNearDupQ: (String, QFn, Option[String]) = (
+    "mm_image_neardup",
+    (s, d) => Multimodal.imageNearDup(s, d),
+    Some("""
+      WITH kk AS (SELECT doc_id, text, len(text)//3 AS k FROM documents
+                  WHERE len(text) >= 3 AND len(text) = octet_length(encode(text))
+                    AND len(text)//3 <= 1048576),
+      g AS (SELECT doc_id, p,
+                   ord(substr(text, CAST(3 * ((p % 8) * k // 8) + 1 AS INT), 1)) +
+                   ord(substr(text, CAST(3 * ((p % 8) * k // 8) + 2 AS INT), 1)) +
+                   ord(substr(text, CAST(3 * ((p % 8) * k // 8) + 3 AS INT), 1)) AS gv
+            FROM (SELECT doc_id, k, text, unnest(range(0, 64)) AS p FROM kk)),
+      t AS (SELECT doc_id, sum(gv) AS total FROM g GROUP BY doc_id),
+      h AS (SELECT doc_id,
+                   string_agg(CASE WHEN gv * 64 >= total THEN '1' ELSE '0' END,
+                              '' ORDER BY p) AS ahash
+            FROM g JOIN t USING (doc_id) GROUP BY doc_id),
+      p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   list_sum(list_transform(range(1, CAST(len(a.ahash)+1 AS BIGINT)),
+                     i -> CASE WHEN substr(a.ahash, i::INT, 1) <> substr(b.ahash, i::INT, 1)
+                          THEN 1 ELSE 0 END))::BIGINT AS hamming
+            FROM h a JOIN h b ON a.doc_id < b.doc_id AND len(a.ahash) = len(b.ahash))
+      SELECT id_a, id_b, hamming FROM p WHERE hamming <= 3 ORDER BY id_a, id_b
+    """.trim))
+
+  /** The audio twin: brute-force Hamming over equal-length fingerprints
+    * (different durations are incomparable by construction). */
+  private val mmAudioNearDupQ: (String, QFn, Option[String]) = (
+    "mm_audio_neardup",
+    (s, d) => Multimodal.audioNearDup(s, d),
+    Some("""
+      WITH d AS (SELECT doc_id, text, len(text)//2 AS m FROM documents
+                 WHERE len(text) >= 2 AND len(text) = octet_length(encode(text))),
+      kk AS (SELECT doc_id, m, (m + 15)//16 AS n_kept, text FROM d),
+      v AS (SELECT doc_id, n_kept, j,
+                   ord(substr(text, CAST(2*(j*16)+1 AS INT), 1)) +
+                   256*ord(substr(text, CAST(2*(j*16)+2 AS INT), 1)) AS s
+            FROM kk, unnest(range(0, n_kept)) r(j)),
+      t AS (SELECT doc_id, sum(s) AS total, any_value(n_kept) AS nk
+            FROM v GROUP BY doc_id),
+      h AS (SELECT v.doc_id,
+                   string_agg(CASE WHEN s * nk >= total THEN '1' ELSE '0' END,
+                              '' ORDER BY j) AS afp
+            FROM v JOIN t USING (doc_id) GROUP BY v.doc_id),
+      p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   list_sum(list_transform(range(1, CAST(len(a.afp)+1 AS BIGINT)),
+                     i -> CASE WHEN substr(a.afp, i::INT, 1) <> substr(b.afp, i::INT, 1)
+                          THEN 1 ELSE 0 END))::BIGINT AS hamming
+            FROM h a JOIN h b ON a.doc_id < b.doc_id AND len(a.afp) = len(b.afp))
+      SELECT id_a, id_b, hamming FROM p WHERE hamming <= 3 ORDER BY id_a, id_b
+    """.trim))
+
+}

@@ -1,0 +1,304 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.operators._
+import graft.RegistrySqlParts._
+
+/** Vector/similarity registered queries (top-k, LSH/IVF/PQ/SQ/BQ gates, SemDeDup, embedding ETL) with their DuckDB oracle SQL. Split from the monolithic PipelineRegistry; the
+  * aggregate surface (and entry order) lives there. */
+private[graft] object RegistryVector {
+
+  private[graft] def entries: Seq[(String, QFn, Option[String])] = Seq(
+    simCosineTopK, simIpTopK, simJoinThreshold, lshCosineGateQ, lshL2GateQ, ivfGateQ, pqGateQ, semdedupGateQ, prototypeGateQ, embedDimStatsQ, embedDimCovQ, sqQuantize, sqReport, bqQuantizeQ, bqSearchQ, bqRerankQ, embedNormalizeQ, hardNegativesQ)
+
+  // ---- similarity -----------------------------------------------------------
+
+  private val simCosineTopK: (String, QFn, Option[String]) = (
+    "sim_cosine_topk",
+    (s, d) => Similarity.bruteCosineTopK(s, d),
+    Some(s"""
+      WITH e AS (SELECT vec_id, embedding, sqrt(${dotSql("embedding", "embedding")}) AS nrm
+                 FROM embeddings),
+      q AS (SELECT vec_id AS query_id, embedding AS qvec, nrm AS qn FROM e WHERE vec_id < 10),
+      sc AS (SELECT q.query_id, e.vec_id AS id,
+                    ${dotSql("e.embedding", "q.qvec")} / (e.nrm * q.qn) AS cos
+             FROM e CROSS JOIN q WHERE e.vec_id <> q.query_id),
+      r AS (SELECT query_id, id, cos,
+                   row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, id ASC) AS rank
+            FROM sc)
+      SELECT query_id, rank, id, round(cos, 4) AS cos FROM r WHERE rank <= 5
+      ORDER BY query_id, rank
+    """.trim))
+
+  private val simIpTopK: (String, QFn, Option[String]) = (
+    "sim_ip_topk",
+    (s, d) => Similarity.bruteIpTopK(s, d),
+    Some(s"""
+      WITH q AS (SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < 10),
+      sc AS (SELECT q.query_id, e.vec_id AS id, ${dotSql("e.embedding", "q.qvec")} AS ip
+             FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.query_id),
+      r AS (SELECT query_id, id, ip,
+                   row_number() OVER (PARTITION BY query_id ORDER BY ip DESC, id ASC) AS rank
+            FROM sc)
+      SELECT query_id, rank, id, round(ip, 4) AS ip FROM r WHERE rank <= 5
+      ORDER BY query_id, rank
+    """.trim))
+
+  private val simJoinThreshold: (String, QFn, Option[String]) = (
+    "sim_join_threshold",
+    (s, d) => Similarity.similarityJoinExact(s, d),
+    Some(s"""
+      WITH p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                        ${l2Sql("a.embedding", "b.embedding")} AS dist
+                 FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+      SELECT id_a, id_b, round(dist, 4) AS dist FROM p WHERE dist < 1.1 ORDER BY id_a, id_b
+    """.trim))
+
+  private val lshCosineGateQ: (String, QFn, Option[String]) = (
+    "lsh_cosine_gate",
+    (s, d) => Similarity.lshCosineGate(s, d),
+    Some(s"""
+      WITH e AS (SELECT vec_id, embedding, sqrt(${dotSql("embedding", "embedding")}) AS nrm
+                 FROM embeddings),
+      p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   ${dotSql("a.embedding", "b.embedding")} / (a.nrm * b.nrm) AS cos
+            FROM e a JOIN e b ON a.vec_id < b.vec_id)
+      SELECT count(*) AS n_exact_pairs, TRUE AS subset_ok, TRUE AS recall_ok
+      FROM p WHERE cos >= 0.4
+    """.trim))
+
+  private val lshL2GateQ: (String, QFn, Option[String]) = (
+    "lsh_l2_gate",
+    (s, d) => Similarity.lshL2Gate(s, d),
+    Some(s"""
+      WITH p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   ${l2Sql("a.embedding", "b.embedding")} AS dist
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+      SELECT count(*) AS n_exact_pairs, TRUE AS subset_ok, TRUE AS recall_ok
+      FROM p WHERE dist < 1.1
+    """.trim))
+
+  private val ivfGateQ: (String, QFn, Option[String]) = (
+    "ivf_gate",
+    (s, d) => Similarity.ivfGate(s, d),
+    Some("""
+      SELECT count(DISTINCT vec_id) AS n_queries, TRUE AS recall_ok
+      FROM embeddings WHERE vec_id < 10
+    """.trim))
+
+  private val pqGateQ: (String, QFn, Option[String]) = (
+    "pq_gate",
+    (s, d) => Quantization.pqGate(s, d),
+    Some("""
+      SELECT count(DISTINCT vec_id) AS n_queries, TRUE AS recall_ok
+      FROM embeddings WHERE vec_id < 10
+    """.trim))
+
+  /** SemDeDup's recall gate rides the SAME exact-cosine baseline as
+    * lsh_cosine_gate (threshold 0.4), so the oracle SQL is shared shape. */
+  private val semdedupGateQ: (String, QFn, Option[String]) = (
+    "semdedup_gate",
+    (s, d) => Similarity.semdedupGate(s, d),
+    Some(s"""
+      WITH e AS (SELECT vec_id, embedding, sqrt(${dotSql("embedding", "embedding")}) AS nrm
+                 FROM embeddings),
+      p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   ${dotSql("a.embedding", "b.embedding")} / (a.nrm * b.nrm) AS cos
+            FROM e a JOIN e b ON a.vec_id < b.vec_id)
+      SELECT count(*) AS n_exact_pairs, TRUE AS subset_ok, TRUE AS recall_ok
+      FROM p WHERE cos >= 0.4
+    """.trim))
+
+  /** Structural gate: corpus count oracle-recomputed; per-cell exact keep
+    * counts and the distance-prefix property asserted as literal flags. */
+  private val prototypeGateQ: (String, QFn, Option[String]) = (
+    "prototype_gate",
+    (s, d) => Similarity.prototypeGate(s, d),
+    Some("""
+      SELECT count(*) AS n_total, TRUE AS frac_ok, TRUE AS prefix_ok FROM embeddings
+    """.trim))
+
+  // Hash-checked gates for the seeded generators (hyperplane LSH, E2LSH,
+  // IVF, PQ): the oracle recomputes the exact baseline count and asserts
+  // the subset/recall booleans as literals (vamana_search_overlap
+  // pattern). The raw pair / top-k forms stay available as library
+  // functions (the gates and specs run them on every pass), but are NOT
+  // separately registered — their output is the seeded candidate set
+  // itself, which DuckDB cannot re-derive, and a rows-only registry entry
+  // adds no check the gate doesn't already make.
+
+  /** Micro-unit longs (half-up floor) make the per-dim sums exact; DuckDB
+    * ordinality is 1-based where posexplode is 0-based. Σvm² is exact in
+    * DECIMAL/HUGEINT internally but EMITTED as hi/lo BIGINTs — decimal
+    * output canonicalization diverges between engines (the r6 red row). */
+  private val embedDimStatsQ: (String, QFn, Option[String]) = (
+    "embed_dim_stats",
+    (s, d) => Similarity.embedDimStats(s, d),
+    Some("""
+      WITH ex AS (SELECT i - 1 AS pos, e.embedding[i] AS v,
+                    floor(e.embedding[i]::DOUBLE * 1e6 + 0.5)::BIGINT AS vm
+                  FROM embeddings e, unnest(range(1, len(e.embedding) + 1)) AS r(i))
+      SELECT pos, count(*)::BIGINT AS n, sum(vm)::BIGINT AS sum_micro,
+             (sum(vm * vm) // 1000000000000000000)::BIGINT AS sumsq_hi,
+             (sum(vm * vm) % 1000000000000000000)::BIGINT AS sumsq_lo,
+             round(min(v)::DOUBLE, 4) AS min_v, round(max(v)::DOUBLE, 4) AS max_v
+      FROM ex GROUP BY pos ORDER BY pos
+    """.trim))
+
+  /** Signed exact sums ride as strings: HUGEINT::VARCHAR and Spark's
+    * decimal(38,0)→string both render a plain integer. */
+  private val embedDimCovQ: (String, QFn, Option[String]) = (
+    "embed_dim_cov",
+    (s, d) => Similarity.embedDimCov(s, d),
+    Some("""
+      WITH e AS (SELECT list_transform(embedding, v -> floor(v::DOUBLE * 1e6 + 0.5)::BIGINT) AS vm
+                 FROM embeddings),
+      p AS (SELECT a.i, b.j, vm[a.i + 1] * vm[b.j + 1] AS prod
+            FROM e, unnest(range(0, len(vm) - 1)) AS a(i), unnest(range(0, len(vm))) AS b(j)
+            WHERE b.j > a.i)
+      SELECT i, j, count(*) AS n, sum(prod)::VARCHAR AS sumprod
+      FROM p GROUP BY i, j ORDER BY i, j
+    """.trim))
+
+  // ---- quantization ---------------------------------------------------------
+
+  private val sqStatsCte =
+    """SELECT list(mn ORDER BY pos) AS mins, list(mx ORDER BY pos) AS maxs
+      |FROM (SELECT pos, min(v) AS mn, max(v) AS mx
+      |      FROM (SELECT unnest(embedding) AS v, generate_subscripts(embedding, 1) AS pos
+      |            FROM embeddings)
+      |      GROUP BY pos)""".stripMargin
+
+  private val sqQuantizeSql = s"""
+      WITH st AS ($sqStatsCte),
+      q AS (
+        SELECT vec_id,
+          list_transform(range(1, len(embedding)+1),
+            i -> CASE WHEN st.maxs[i] = st.mins[i] THEN 0
+                 ELSE floor(((embedding[i]::DOUBLE - st.mins[i]::DOUBLE) /
+                             (st.maxs[i]::DOUBLE - st.mins[i]::DOUBLE)) * 255.0 + 0.5)::INT END) AS codes,
+          list_transform(range(1, len(embedding)+1),
+            i -> CASE WHEN st.maxs[i] = st.mins[i] THEN 0.0
+                 ELSE (embedding[i]::DOUBLE - st.mins[i]::DOUBLE) /
+                      (st.maxs[i]::DOUBLE - st.mins[i]::DOUBLE) END) AS ts
+        FROM embeddings CROSS JOIN st),
+      r AS (
+        SELECT vec_id,
+          array_to_string(codes, ',') AS codes,
+          round(list_sum(list_transform(range(1, len(codes)+1),
+            i -> abs(codes[i]::DOUBLE / 255.0 - ts[i]))) / len(codes), 6) AS recon_err
+        FROM q)""".trim
+
+  private val sqQuantize: (String, QFn, Option[String]) = (
+    "sq_quantize",
+    (s, d) => Quantization.sqQuantize(s, d),
+    Some(s"""
+      $sqQuantizeSql
+      SELECT vec_id, codes, recon_err FROM r ORDER BY vec_id
+    """.trim))
+
+  private val sqReport: (String, QFn, Option[String]) = (
+    "sq_report",
+    (s, d) => Quantization.sqReport(s, d),
+    Some(s"""
+      $sqQuantizeSql
+      SELECT count(*) AS n_vectors,
+             round(avg(recon_err), 6) AS avg_recon_err,
+             round(max(recon_err), 6) AS max_recon_err
+      FROM r
+    """.trim))
+
+  /** Sign-bit packing twin of [[Quantization.bqCode]]: bit i = emb[i] > 0,
+    * MSB first, sign bit as −2⁶³, hi/lo split against the binder depth cap
+    * (the same flat-sum assembly as the 64-bit simhash twin). */
+  private val bqCodeSql: String = {
+    def term(i: Int, w: Long) = s"CASE WHEN embedding[${i + 1}] > 0 THEN ${w}::BIGINT ELSE 0 END"
+    val hi = (1 until 32).map(i => term(i, 1L << (31 - i))).mkString(" + ")
+    val lo = (32 until 64).map(i => term(i, 1L << (63 - i))).mkString(" + ")
+    s"""((CASE WHEN embedding[1] > 0 THEN -9223372036854775807 - 1 ELSE 0 END)
+        + ($hi) * 4294967296 + ($lo))::BIGINT"""
+  }
+
+  private val bqQuantizeQ: (String, QFn, Option[String]) = (
+    "bq_quantize",
+    (s, d) => Quantization.bqQuantize(s, d),
+    Some(s"""
+      SELECT vec_id, $bqCodeSql AS code FROM embeddings ORDER BY vec_id
+    """.trim))
+
+  private val bqSearchQ: (String, QFn, Option[String]) = (
+    "bq_search",
+    (s, d) => Quantization.bqSearch(s, d),
+    Some(s"""
+      WITH b AS (SELECT vec_id, $bqCodeSql AS code FROM embeddings),
+      q AS (SELECT vec_id AS query_id, code AS qcode FROM b WHERE vec_id < 10),
+      s AS (SELECT q.query_id, b.vec_id AS id,
+                   bit_count(xor(b.code, q.qcode))::BIGINT AS hamming
+            FROM b CROSS JOIN q),
+      r AS (SELECT query_id, id, hamming,
+                   row_number() OVER (PARTITION BY query_id ORDER BY hamming ASC, id ASC) AS rank
+            FROM s)
+      SELECT query_id, rank, id, hamming FROM r WHERE rank <= 10
+      ORDER BY query_id, rank
+    """.trim))
+
+  private val bqRerankQ: (String, QFn, Option[String]) = (
+    "bq_rerank_search",
+    (s, d) => Quantization.bqRerankSearch(s, d),
+    Some(s"""
+      WITH b AS (SELECT vec_id, $bqCodeSql AS code FROM embeddings),
+      q AS (SELECT vec_id AS query_id, code AS qcode FROM b WHERE vec_id < 10),
+      s AS (SELECT q.query_id, b.vec_id AS id,
+                   bit_count(xor(b.code, q.qcode))::BIGINT AS hamming
+            FROM b CROSS JOIN q),
+      cand AS (SELECT query_id, id FROM (
+                 SELECT query_id, id,
+                        row_number() OVER (PARTITION BY query_id ORDER BY hamming ASC, id ASC) AS hrank
+                 FROM s) WHERE hrank <= 100),
+      qv AS (SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < 10),
+      d AS (SELECT cand.query_id, cand.id,
+                   ${l2Sql("e.embedding", "qv.qvec")} AS dist
+            FROM cand JOIN embeddings e ON cand.id = e.vec_id
+                      JOIN qv ON cand.query_id = qv.query_id),
+      r AS (SELECT query_id, id, dist,
+                   row_number() OVER (PARTITION BY query_id ORDER BY dist ASC, id ASC) AS rank
+            FROM d)
+      SELECT query_id, rank, id, round(dist, 4) AS dist FROM r WHERE rank <= 10
+      ORDER BY query_id, rank
+    """.trim))
+
+  private val embedNormalizeQ: (String, QFn, Option[String]) = (
+    "embed_normalize",
+    (s, d) => Similarity.embedNormalize(s, d),
+    Some(s"""
+      WITH e AS (SELECT vec_id, embedding, sqrt(${dotSql("embedding", "embedding")}) AS nrm
+                 FROM embeddings)
+      SELECT vec_id, round(nrm, 4) AS norm,
+             array_to_string(list_transform(embedding,
+               x -> round((x::DOUBLE) / nrm * 10000)::INT), ',') AS unit_x1e4
+      FROM e ORDER BY vec_id
+    """.trim))
+
+  /** Hard-negative mining: nearest cross-label neighbors per query — the
+    * exact contrastive-pair oracle form (ANN at scale). */
+  private val hardNegativesQ: (String, QFn, Option[String]) = (
+    "hard_negatives",
+    (s, d) => Similarity.hardNegatives(s, d),
+    Some(s"""
+      WITH e AS (SELECT vec_id, embedding, label, sqrt(${dotSql("embedding", "embedding")}) AS nrm
+                 FROM embeddings),
+      q AS (SELECT vec_id AS query_id, embedding AS qvec, label AS qlabel, nrm AS qn
+            FROM e WHERE vec_id < 10),
+      sc AS (SELECT q.query_id, q.qlabel::BIGINT AS qlabel, e.vec_id AS neg_id,
+                    e.label::BIGINT AS neg_label,
+                    ${dotSql("e.embedding", "q.qvec")} / (e.nrm * q.qn) AS cos
+             FROM e CROSS JOIN q WHERE e.label <> q.qlabel),
+      r AS (SELECT query_id, qlabel, neg_id, neg_label, cos,
+                   row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neg_id ASC) AS rank
+            FROM sc)
+      SELECT query_id, qlabel, rank::BIGINT AS rank, neg_id, neg_label, round(cos, 4) AS cos
+      FROM r WHERE rank <= 5 ORDER BY query_id, rank
+    """.trim))
+
+}
