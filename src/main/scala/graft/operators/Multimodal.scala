@@ -516,7 +516,15 @@ object Multimodal {
     * piece entropy keeps buckets sparse at corpus scale; config-short
     * signatures bound the whole candidate space by construction. */
   private[graft] def bitstringNearDupPairs(sig: DataFrame, maxHamming: Int = 3): DataFrame = {
-    val s = sig.select(col("doc_id"), col("bits"))
+    // Materialize the signature column before joining — the
+    // dedupSimhashFrame pattern, and here it is load-bearing: the self-
+    // and back-joins otherwise push isnotnull/key predicates through the
+    // projection layers, INLINING the nested higher-order signature
+    // expression (whose per-element `total` reference multiplies the
+    // work ~10⁴-fold in interpreted eval) into per-row join predicates.
+    // Cached, each signature is computed once and the joins compare
+    // materialized strings.
+    val s = sig.select(col("doc_id"), col("bits")).cache()
     val groups = s.groupBy(col("bits")).agg(min(col("doc_id")).as("rep"))
       .withColumn("len", length(col("bits")))
     val chunks = (0 until 4).map { c =>
