@@ -417,10 +417,10 @@ object Multimodal {
   /** The unsorted decode+resize pass — [[imageAhash]] consumes this form:
     * its own groupBy/join/final sort would throw an intermediate global
     * sort away, and at scale that discarded range shuffle is the most
-    * expensive step of the whole query. Cached per (session, dir, tw, th):
-    * mm_thumbnail, mm_image_ahash and mm_image_neardup all consume the
-    * same decode, so the mapPartitions pixel pass runs once per dataset
-    * (the shingle-frame pattern applied to media). */
+    * expensive step of the whole query. Cached per (session, dir, tw, th)
+    * for consumers where the decode would dominate (a real entropy-coded
+    * codec slots into this pass); the aHash pipeline deliberately bypasses
+    * the cache — see [[ahashFrame]]'s measurement note. */
   private val thumbCache = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String, Int, Int), DataFrame]
 
@@ -475,13 +475,18 @@ object Multimodal {
   }
 
   /** (doc_id, ahash) — the signature pass [[imageAhash]] and
-    * [[imageNearDup]] share; derives from the cached thumbnail frame. */
+    * [[imageNearDup]] share. Reads the UNCACHED thumbnail pass by
+    * measurement: this decode is cheap byte arithmetic, and at sf0.1 the
+    * cached InMemoryRelation read (decompress + string copy under the
+    * interpreted higher-order hash expression) costs MORE than just
+    * re-decoding (2.0 s vs 1.25 s steady) — the thumbnail cache stays for
+    * consumers where a real entropy-coded codec would dominate. */
   private def ahashFrame(spark: SparkSession, dir: String): DataFrame = {
     val vals = transform(split(col("thumb"), ","), v => v.cast("int"))
     val gs = transform(sequence(lit(0), lit(63)),
       p => element_at(col("vals"), p * 3 + 1) + element_at(col("vals"), p * 3 + 2) +
         element_at(col("vals"), p * 3 + 3))
-    thumbnailFrame(spark, dir, tw = 8, th = 8)
+    thumbnailFrameUncached(spark, dir, tw = 8, th = 8)
       .withColumn("vals", vals)
       .withColumn("gs", gs)
       .withColumn("total", aggregate(col("gs"), lit(0), (acc, x) => acc + x))
