@@ -553,9 +553,19 @@ object Multimodal {
     val candShort = short.as("a").join(short.as("b"),
         col("a.len") === col("b.len") && col("a.rep") < col("b.rep"))
       .select(col("a.bits").as("ba"), col("b.bits").as("bb"))
+    // Exact Hamming via 16-bit words + bit_count(xor): equal-length pairs
+    // (the join guarantees it) parse both strings into base-2 words and
+    // popcount the xor — ~8× fewer interpreted higher-order evals per
+    // pair than a per-position substring compare, and exact at ANY
+    // signature width (16-bit words never overflow conv's long parse).
     val sigPairs = candWide.union(candShort)
       .withColumn("hamming", expr(
-        "size(filter(sequence(1, length(ba)), i -> substring(ba, i, 1) <> substring(bb, i, 1)))")
+        "aggregate(zip_with(" +
+          "transform(sequence(0, cast((length(ba) - 1) div 16 as int)), " +
+          "  w -> cast(conv(substring(ba, w * 16 + 1, 16), 2, 10) as bigint)), " +
+          "transform(sequence(0, cast((length(bb) - 1) div 16 as int)), " +
+          "  w -> cast(conv(substring(bb, w * 16 + 1, 16), 2, 10) as bigint)), " +
+          "(x, y) -> bit_count(x ^ y)), 0, (acc, v) -> acc + v)")
         .cast("long"))
       .where(col("hamming") <= maxHamming)
     val cross = sigPairs
