@@ -101,6 +101,38 @@ object DedupScaleBench {
       .select((col("doc_id") * (1L << 20) + col("para_idx")).as("doc_id"),
         Dedup.shingles(col("ptoks")).as("sh"))
 
+  /** Deterministic synthetic 64-bit media signatures with PLANTED
+    * Hamming-ball structure: ids group in tens; member 0 is the group's
+    * base signature, members 1-3 flip the first 1-3 positions of a
+    * group-seeded distinct-position list (so pairwise distances within
+    * the planted quad are |p−q| ≤ 3), members 4-9 are independent random
+    * (a spurious ≤3-bit collision between 64-bit random signatures has
+    * probability ~2.4e-15 per pair — negligible at any sweep size). */
+  def syntheticSigs(spark: SparkSession, n: Long): DataFrame = {
+    import spark.implicits._
+    spark.range(n).as[Long].mapPartitions { it =>
+      it.map { id =>
+        val g = id / 10
+        val p = (id % 10).toInt
+        val base = new Random(g * 7919 + 17).nextLong()
+        val sig =
+          if (p == 0) base
+          else if (p <= 3) {
+            val posRng = new Random(g * 31 + 7)
+            val buf = scala.collection.mutable.ArrayBuffer.empty[Int]
+            while (buf.size < 3) {
+              val x = posRng.nextInt(64)
+              if (!buf.contains(x)) buf += x
+            }
+            buf.take(p).foldLeft(base)((s, b) => s ^ (1L << b))
+          } else new Random(id * 104729 + 13).nextLong()
+        val bits = (63 to 0 by -1)
+          .map(i => if (((sig >> i) & 1L) == 1L) '1' else '0').mkString
+        (id, bits)
+      }
+    }.toDF("doc_id", "bits")
+  }
+
   def main(args: Array[String]): Unit = {
     val sizes = args.headOption.map(_.split(",").map(_.toLong).toSeq)
       .getOrElse(Seq(50000L, 500000L))
@@ -232,6 +264,22 @@ object DedupScaleBench {
         // one action drives all 10 rounds; take the max rank as the probe
         r.limit(1).head().getLong(1)
       }
+      // 8. media-signature Hamming-ball near-dup: the pigeonhole quarter-
+      //    chunk join over planted 64-bit signatures — each group of ten
+      //    ids plants C(4,2)=6 pairs at distances 1-3; recovery must be
+      //    complete (the join's completeness theorem, checked at scale).
+      val sigs = syntheticSigs(spark, n).repartition(cpus).cache()
+      sigs.count()
+      val mediaPairs = graft.operators.Multimodal.bitstringNearDupPairs(sigs).cache()
+      val (nMedia, mediaSec) = timed(mediaPairs.count())
+      val plantedExpected = 6L * (n / 10)
+      val plantedFound = mediaPairs
+        .where(col("id_a") % 10 <= 3 && col("id_b") % 10 <= 3 &&
+          expr("id_a div 10") === expr("id_b div 10"))
+        .count()
+      mediaPairs.unpersist()
+      sigs.unpersist()
+
       def r2(v: Double) = math.rint(v * 100) / 100
       println(
         s"""{"docs":$n,"cpus":$cpus,"pair_join_sec":${r2(pairSec)},"pairs":$nPairs,""" +
@@ -246,6 +294,8 @@ object DedupScaleBench {
         s""""bpe_sec":${r2(bpeSec)},"bpe_merges":$bpeRows,"bpe_vocab":$bpeVocab,""" +
         s""""cms_sec":${r2(cmsSec)},"cms_rows":$cmsRows,""" +
         s""""pagerank_sec":${r2(prSec)},"pagerank_nodes":$m,"pagerank_top":$prTop,""" +
+        s""""media_neardup_sec":${r2(mediaSec)},"media_pairs":$nMedia,""" +
+        s""""media_planted":$plantedExpected,"media_planted_found":$plantedFound,""" +
         s""""para_pair_sec":${r2(paraSec)},"para_pairs":$nPara}""")
     }
     spark.stop()
