@@ -10,7 +10,7 @@ import graft.RegistrySqlParts._
 private[graft] object RegistryMultimodal {
 
   private[graft] def entries: Seq[(String, QFn, Option[String])] = Seq(
-    mmGzipQ, mmJoin, mmBinaryStats, mmMediaFeatures, mmThumbnailQ, mmFrameSampleQ, mmAudioSampleQ, mmImageDecodeQ, mmAudioDecodeQ, mmImageAhashQ, mmAudioFingerprintQ, mmImageNearDupQ, mmAudioNearDupQ)
+    mmGzipQ, mmJoin, mmBinaryStats, mmMediaFeatures, mmThumbnailQ, mmFrameSampleQ, mmAudioSampleQ, mmImageDecodeQ, mmAudioDecodeQ, mmImageAhashQ, mmAudioFingerprintQ, mmImageNearDupQ, mmAudioNearDupQ, mmNearDupIncrementalQ)
 
   // (pq_quantize / pq_search ride pq_gate — see the seeded-generator note
   // above; the functions remain exercised by the gate and QuantizationSpec.)
@@ -215,6 +215,46 @@ private[graft] object RegistryMultimodal {
     * by BRUTE-FORCE pairwise Hamming over the same recomputed signatures
     * — a completeness check, not just a hash check (a missed candidate
     * class shows up as missing oracle rows). */
+  /** Incremental media near-dup (the production daily-batch shape): per
+    * batch doc the NEAREST corpus signature within Hamming <= 3, ties to
+    * the lowest corpus id — the oracle replays it brute-force over the
+    * recomputed aHashes. */
+  private val mmNearDupIncrementalQ: (String, QFn, Option[String]) = (
+    "mm_neardup_incremental",
+    (s, d) => Multimodal.imageNearDupIncremental(s, d),
+    Some("""
+      WITH kk AS (SELECT doc_id, text, len(text)//3 AS k FROM documents
+                  WHERE len(text) >= 3 AND len(text) = octet_length(encode(text))
+                    AND len(text)//3 <= 1048576),
+      g AS (SELECT doc_id, p,
+                   ord(substr(text, CAST(3 * ((p % 8) * k // 8) + 1 AS INT), 1)) +
+                   ord(substr(text, CAST(3 * ((p % 8) * k // 8) + 2 AS INT), 1)) +
+                   ord(substr(text, CAST(3 * ((p % 8) * k // 8) + 3 AS INT), 1)) AS gv
+            FROM (SELECT doc_id, k, text, unnest(range(0, 64)) AS p FROM kk)),
+      t AS (SELECT doc_id, sum(gv) AS total FROM g GROUP BY doc_id),
+      h AS (SELECT doc_id,
+                   string_agg(CASE WHEN gv * 64 >= total THEN '1' ELSE '0' END,
+                              '' ORDER BY p) AS ahash
+            FROM g JOIN t USING (doc_id) GROUP BY doc_id),
+      cm AS (SELECT ahash, min(doc_id) AS cid FROM h WHERE doc_id < 400 GROUP BY ahash),
+      b AS (SELECT doc_id, ahash FROM h WHERE doc_id >= 400),
+      p AS (SELECT b.doc_id, cm.cid,
+                   list_sum(list_transform(range(1, CAST(len(b.ahash)+1 AS BIGINT)),
+                     i -> CASE WHEN substr(b.ahash, i::INT, 1) <> substr(cm.ahash, i::INT, 1)
+                          THEN 1 ELSE 0 END))::BIGINT AS hm
+            FROM b JOIN cm ON len(b.ahash) = len(cm.ahash)),
+      q AS (SELECT doc_id, cid, hm FROM p WHERE hm <= 3),
+      best AS (SELECT doc_id, min(hm) AS mh FROM q GROUP BY doc_id),
+      pick AS (SELECT q.doc_id, q.hm, min(q.cid) AS cid
+               FROM q JOIN best ON q.doc_id = best.doc_id AND q.hm = best.mh
+               GROUP BY q.doc_id, q.hm)
+      SELECT b.doc_id, b.ahash,
+             coalesce(pick.cid, -1)::BIGINT AS dup_of,
+             coalesce(pick.hm, -1)::BIGINT AS hamming,
+             pick.cid IS NOT NULL AS is_dup
+      FROM b LEFT JOIN pick USING (doc_id) ORDER BY doc_id
+    """.trim))
+
   private val mmImageNearDupQ: (String, QFn, Option[String]) = (
     "mm_image_neardup",
     (s, d) => Multimodal.imageNearDup(s, d),

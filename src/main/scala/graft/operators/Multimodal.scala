@@ -508,6 +508,73 @@ object Multimodal {
   def audioNearDup(spark: SparkSession, dir: String, k: Int = 16): DataFrame =
     bitstringNearDupPairs(afpFrame(spark, dir, k).select(col("doc_id"), col("afp").as("bits")))
 
+  /** INCREMENTAL perceptual dedup — [[Dedup.dedupIncremental]]'s media
+    * twin, the production shape: a NEW batch of media (doc_id >=
+    * batchStart stands in for today's arrivals) checked against the
+    * EXISTING corpus for near-miss signature matches (Hamming <= 3), not
+    * just exact collisions. Per batch doc: the nearest corpus signature
+    * (ties -> lowest corpus id), or is_dup = false if none within the
+    * ball. Candidates come from the same pigeonhole quarter-chunk join,
+    * batch-side vs corpus-side — at 100 TB the corpus side is a
+    * pre-hashed signature table and the daily batch is small. */
+  def imageNearDupIncremental(spark: SparkSession, dir: String,
+      batchStart: Long = 400): DataFrame = {
+    val sig = ahashFrame(spark, dir)
+      .select(col("doc_id"), col("ahash").as("bits")).cache()
+    val corpus = sig.where(col("doc_id") < batchStart)
+    val batch = sig.where(col("doc_id") >= batchStart)
+    val best = bitstringNearDupLookup(batch, corpus)
+    batch.join(best, Seq("bits"), "left")
+      .select(col("doc_id"), col("bits").as("ahash"),
+        coalesce(col("dup_of"), lit(-1L)).as("dup_of"),
+        coalesce(col("hamming"), lit(-1L)).as("hamming"),
+        col("dup_of").isNotNull.as("is_dup"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Per DISTINCT batch signature, the best (lowest Hamming, then lowest
+    * corpus id) corpus match within Hamming <= `maxHamming` — the lookup
+    * (asymmetric) form of [[bitstringNearDupPairs]], same quarter-chunk
+    * candidate theory and word-wise popcount verify. */
+  private[graft] def bitstringNearDupLookup(batch: DataFrame, corpus: DataFrame,
+      maxHamming: Int = 3): DataFrame = {
+    val corpusMin = corpus.groupBy(col("bits")).agg(min(col("doc_id")).as("cid"))
+    def keyed(df: DataFrame, bcol: String) = {
+      val g = df.select(col("bits").as(bcol)).distinct()
+        .withColumn("len", length(col(bcol)))
+      val chunks = (0 until 4).map { c =>
+        struct(lit(c).as("ci"),
+          (if (c < 3) expr(s"substring($bcol, $c * (len div 4) + 1, len div 4)")
+           else expr(s"substring($bcol, 3 * (len div 4) + 1, len - 3 * (len div 4))")).as("piece"))
+      }
+      (g.where(col("len") >= 4)
+        .select(col(bcol), col("len"), explode(array(chunks: _*)).as("ck"))
+        .select(col(bcol), col("len"), col("ck.ci").as("ci"), col("ck.piece").as("piece")),
+       g.where(col("len") < 4))
+    }
+    val (bk, bs) = keyed(batch, "bb")
+    val (ck, cs) = keyed(corpusMin, "cb")
+    val candWide = bk.join(ck,
+        bk("ci") === ck("ci") && bk("piece") === ck("piece") && bk("len") === ck("len"))
+      .select(col("bb"), col("cb")).distinct()
+    val candShort = bs.join(cs, bs("len") === cs("len")).select(col("bb"), col("cb"))
+    val pairs = candWide.union(candShort)
+      .withColumn("hamming", expr(
+        "aggregate(zip_with(" +
+          "transform(sequence(0, cast((length(bb) - 1) div 16 as int)), " +
+          "  w -> cast(conv(substring(bb, w * 16 + 1, 16), 2, 10) as bigint)), " +
+          "transform(sequence(0, cast((length(cb) - 1) div 16 as int)), " +
+          "  w -> cast(conv(substring(cb, w * 16 + 1, 16), 2, 10) as bigint)), " +
+          "(x, y) -> bit_count(x ^ y)), 0, (acc, v) -> acc + v)")
+        .cast("long"))
+      .where(col("hamming") <= maxHamming)
+    pairs.join(corpusMin.withColumnRenamed("bits", "cb"), "cb")
+      .groupBy(col("bb"))
+      .agg(min(struct(col("hamming"), col("cid"))).as("best"))
+      .select(col("bb").as("bits"),
+        col("best.cid").as("dup_of"), col("best.hamming").as("hamming"))
+  }
+
   /** Near-dup pairs (id_a < id_b, hamming ≤ 3) over any (doc_id, bits)
     * bit-string signature frame. Candidates come from a pigeonhole
     * quarter-chunk equi-join — ≤ 3 differing bits among 4 disjoint pieces
