@@ -435,6 +435,30 @@ object Multimodal {
     thumbCache.clear()
   }
 
+  /** The decode+resize pass over any (doc_id, ts, text) frame, the
+    * event-time column passing through — the form the streaming ingest
+    * path consumes (mapPartitions runs unchanged on a streaming
+    * Dataset). Same eligibility filters as the batch pass. */
+  private[graft] def thumbnailsWithTs(docs: DataFrame, tw: Int = 8, th: Int = 8): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long"), col("ts"), col("text"))
+      .where(length(col("text")) >= 3 &&
+        octet_length(encode(col("text"), "utf-8")) === length(col("text")) &&
+        floor(length(col("text")) / 3) <= lit(1048576))
+      .as[(Long, java.sql.Timestamp, String)]
+      .mapPartitions { it =>
+        it.flatMap { case (id, ts, text) =>
+          val raw = text.getBytes("UTF-8")
+          val k = raw.length / 3
+          val header = s"P6\n$k 1\n255\n".getBytes("US-ASCII")
+          thumbnailOf(header ++ raw.take(k * 3), tw, th).map {
+            case (_, _, thumb) => (id, ts, thumb)
+          }
+        }
+      }.toDF("doc_id", "ts", "thumb")
+  }
+
   private def thumbnailFrameUncached(spark: SparkSession, dir: String, tw: Int, th: Int): DataFrame = {
     import spark.implicits._
     val src = Tables.documents(spark, dir)
@@ -481,18 +505,26 @@ object Multimodal {
     * interpreted higher-order hash expression) costs MORE than just
     * re-decoding (2.0 s vs 1.25 s steady) — the thumbnail cache stays for
     * consumers where a real entropy-coded codec would dominate. */
-  private def ahashFrame(spark: SparkSession, dir: String): DataFrame = {
+  private def ahashFrame(spark: SparkSession, dir: String): DataFrame =
+    withAhash(thumbnailFrameUncached(spark, dir, tw = 8, th = 8))
+      .select(col("doc_id"), col("ahash"))
+
+  /** Appends the 64-bit aHash bit-string column to any frame carrying an
+    * 8×8 `thumb` (comma-joined RGB ints) — the ONE definition of the
+    * signature arithmetic, shared by the batch queries and the streaming
+    * ingest path so the two cannot drift (bit-identity spec-asserted). */
+  private[graft] def withAhash(thumbs: DataFrame): DataFrame = {
     val vals = transform(split(col("thumb"), ","), v => v.cast("int"))
     val gs = transform(sequence(lit(0), lit(63)),
       p => element_at(col("vals"), p * 3 + 1) + element_at(col("vals"), p * 3 + 2) +
         element_at(col("vals"), p * 3 + 3))
-    thumbnailFrameUncached(spark, dir, tw = 8, th = 8)
+    thumbs
       .withColumn("vals", vals)
       .withColumn("gs", gs)
       .withColumn("total", aggregate(col("gs"), lit(0), (acc, x) => acc + x))
-      .select(col("doc_id"),
-        concat_ws("", transform(col("gs"),
-          g => when(g * 64 >= col("total"), "1").otherwise("0"))).as("ahash"))
+      .withColumn("ahash", concat_ws("", transform(col("gs"),
+        g => when(g * 64 >= col("total"), "1").otherwise("0"))))
+      .drop("vals", "gs", "total")
   }
 
   /** NEAR-miss perceptual image pairs — the Hamming-ball stage

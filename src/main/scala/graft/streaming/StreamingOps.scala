@@ -169,6 +169,23 @@ object StreamingOps {
       .dropDuplicatesWithinWatermark("content_hash")
       .select(col("doc_id"), col("ts"), col("content_hash"))
 
+  /** Ingest-side PERCEPTUAL dedup — [[streamingDedup]]'s media twin: each
+    * arriving doc runs the SAME batch thumbnail + aHash pass
+    * ([[graft.operators.Multimodal.withAhash]], bit-identity
+    * spec-asserted), and later arrivals whose 64-bit signature collides
+    * within the watermark horizon are dropped. Exact-collision semantics
+    * match `mm_image_ahash`; the Hamming-ball NEAR-miss stage stays a
+    * batch/incremental pass (`mm_image_neardup` /
+    * `mm_neardup_incremental`) — a streaming ball match would need
+    * per-chunk candidate state, not a keyed drop. State is bounded by the
+    * horizon's arrival volume, like the text dedup's. */
+  def streamingPerceptualDedup(docs: DataFrame, watermark: String = "10 minutes"): DataFrame =
+    graft.operators.Multimodal.withAhash(
+        graft.operators.Multimodal.thumbnailsWithTs(docs))
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("ahash")
+      .select(col("doc_id"), col("ts"), col("ahash"))
+
   /** Stream-stream INTERVAL join — the one Structured Streaming join shape
     * the other ops here don't exercise: click-attribution matches each
     * purchase with every click by the same user in the preceding
