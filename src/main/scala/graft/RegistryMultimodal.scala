@@ -185,25 +185,33 @@ private[graft] object RegistryMultimodal {
       FROM h JOIN c USING (ahash) ORDER BY doc_id
     """.trim))
 
-  /** Audio fingerprint from the same u16 sample formula as
-    * mm_audio_sample; `size(vals)` on the Spark side is DuckDB's n_kept. */
+  /** Audio envelope fingerprint from the same u16 sample formula as
+    * mm_audio_sample: 64 windows (sample i → window i*64//m), bit j =
+    * window-j mean at or above the global mean (integer cross-multiply),
+    * empty windows '0' — the afpOfWav formula recomputed from text. */
+  private val afpCte = """
+      d AS (SELECT doc_id, text, len(text)//2 AS m FROM documents
+                 WHERE len(text) >= 2 AND len(text) = octet_length(encode(text))),
+      v AS (SELECT doc_id, m, (i * 64) // m AS w,
+                   ord(substr(text, CAST(2*i+1 AS INT), 1)) +
+                   256*ord(substr(text, CAST(2*i+2 AS INT), 1)) AS s
+            FROM d, unnest(range(0, m)) r(i)),
+      t AS (SELECT doc_id, any_value(m) AS m, sum(s) AS total
+            FROM v GROUP BY doc_id),
+      ws AS (SELECT doc_id, w, sum(s) AS wsum, count(*) AS wc
+             FROM v GROUP BY doc_id, w),
+      h AS (SELECT g.doc_id,
+                   string_agg(CASE WHEN ws.wsum * g.m >= g.total * ws.wc
+                              THEN '1' ELSE '0' END, '' ORDER BY g.j) AS afp
+            FROM (SELECT doc_id, m, total, unnest(range(0, 64)) AS j FROM t) g
+            LEFT JOIN ws ON ws.doc_id = g.doc_id AND ws.w = g.j
+            GROUP BY g.doc_id)"""
+
   private val mmAudioFingerprintQ: (String, QFn, Option[String]) = (
     "mm_audio_fingerprint",
     (s, d) => Multimodal.audioFingerprint(s, d),
-    Some("""
-      WITH d AS (SELECT doc_id, text, len(text)//2 AS m FROM documents
-                 WHERE len(text) >= 2 AND len(text) = octet_length(encode(text))),
-      kk AS (SELECT doc_id, m, (m + 15)//16 AS n_kept, text FROM d),
-      v AS (SELECT doc_id, n_kept, j,
-                   ord(substr(text, CAST(2*(j*16)+1 AS INT), 1)) +
-                   256*ord(substr(text, CAST(2*(j*16)+2 AS INT), 1)) AS s
-            FROM kk, unnest(range(0, n_kept)) r(j)),
-      t AS (SELECT doc_id, sum(s) AS total, any_value(n_kept) AS nk
-            FROM v GROUP BY doc_id),
-      h AS (SELECT v.doc_id,
-                   string_agg(CASE WHEN s * nk >= total THEN '1' ELSE '0' END,
-                              '' ORDER BY j) AS afp
-            FROM v JOIN t USING (doc_id) GROUP BY v.doc_id),
+    Some(s"""
+      WITH $afpCte,
       c AS (SELECT afp, count(*) AS n_same FROM h GROUP BY afp)
       SELECT h.doc_id, h.afp, c.n_same::BIGINT AS n_same_hash,
              c.n_same > 1 AS is_dup
@@ -280,25 +288,14 @@ private[graft] object RegistryMultimodal {
       SELECT id_a, id_b, hamming FROM p WHERE hamming <= 3 ORDER BY id_a, id_b
     """.trim))
 
-  /** The audio twin: brute-force Hamming over equal-length fingerprints
-    * (different durations are incomparable by construction). */
+  /** The audio twin: brute-force pairwise Hamming over the recomputed
+    * 64-bit envelope fingerprints — a completeness check on the
+    * pigeonhole candidate join, like the image form. */
   private val mmAudioNearDupQ: (String, QFn, Option[String]) = (
     "mm_audio_neardup",
     (s, d) => Multimodal.audioNearDup(s, d),
-    Some("""
-      WITH d AS (SELECT doc_id, text, len(text)//2 AS m FROM documents
-                 WHERE len(text) >= 2 AND len(text) = octet_length(encode(text))),
-      kk AS (SELECT doc_id, m, (m + 15)//16 AS n_kept, text FROM d),
-      v AS (SELECT doc_id, n_kept, j,
-                   ord(substr(text, CAST(2*(j*16)+1 AS INT), 1)) +
-                   256*ord(substr(text, CAST(2*(j*16)+2 AS INT), 1)) AS s
-            FROM kk, unnest(range(0, n_kept)) r(j)),
-      t AS (SELECT doc_id, sum(s) AS total, any_value(n_kept) AS nk
-            FROM v GROUP BY doc_id),
-      h AS (SELECT v.doc_id,
-                   string_agg(CASE WHEN s * nk >= total THEN '1' ELSE '0' END,
-                              '' ORDER BY j) AS afp
-            FROM v JOIN t USING (doc_id) GROUP BY v.doc_id),
+    Some(s"""
+      WITH $afpCte,
       p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
                    list_sum(list_transform(range(1, CAST(len(a.afp)+1 AS BIGINT)),
                      i -> CASE WHEN substr(a.afp, i::INT, 1) <> substr(b.afp, i::INT, 1)

@@ -536,9 +536,10 @@ object Multimodal {
   def imageNearDup(spark: SparkSession, dir: String): DataFrame =
     bitstringNearDupPairs(ahashFrame(spark, dir).select(col("doc_id"), col("ahash").as("bits")))
 
-  /** [[imageNearDup]]'s audio twin over the PCM fingerprint. */
-  def audioNearDup(spark: SparkSession, dir: String, k: Int = 16): DataFrame =
-    bitstringNearDupPairs(afpFrame(spark, dir, k).select(col("doc_id"), col("afp").as("bits")))
+  /** [[imageNearDup]]'s audio twin over the 64-bit PCM envelope
+    * fingerprint ([[afpOfWav]]). */
+  def audioNearDup(spark: SparkSession, dir: String): DataFrame =
+    bitstringNearDupPairs(afpFrame(spark, dir).select(col("doc_id"), col("afp").as("bits")))
 
   /** INCREMENTAL perceptual dedup — [[Dedup.dedupIncremental]]'s media
     * twin, the production shape: a NEW batch of media (doc_id >=
@@ -834,22 +835,29 @@ object Multimodal {
       .select(col("doc_id"), encode(col("text"), "utf-8").as("payload"))
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
-        it.map { case (id, raw) =>
-          val m = raw.length / 2
-          val data = raw.take(2 * m)
-          val bb = java.nio.ByteBuffer.allocate(44 + data.length)
-            .order(java.nio.ByteOrder.LITTLE_ENDIAN)
-          bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + data.length)
-            .put("WAVE".getBytes("US-ASCII"))
-          bb.put("fmt ".getBytes("US-ASCII")).putInt(16)
-            .putShort(1).putShort(1) // PCM, mono
-            .putInt(16000).putInt(16000 * 2).putShort(2).putShort(16)
-          bb.put("data".getBytes("US-ASCII")).putInt(data.length).put(data)
-          (id, bb.array())
-        }
+        it.map { case (id, raw) => (id, synthWav(raw)) }
       }
       .toDF("doc_id", "payload")
     audioStatsOf(src)
+  }
+
+  /** The canonical WAV the audio queries synthesize from a doc's utf-8
+    * bytes: 16 kHz mono 16-bit PCM, 44-byte RIFF header + the first
+    * 2·⌊len/2⌋ bytes as little-endian samples — ONE definition shared by
+    * decode/sample/fingerprint (and the streaming ingest twin) so the
+    * payloads cannot drift. */
+  private[graft] def synthWav(raw: Array[Byte]): Array[Byte] = {
+    val m = raw.length / 2
+    val data = raw.take(2 * m)
+    val bb = java.nio.ByteBuffer.allocate(44 + data.length)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + data.length)
+      .put("WAVE".getBytes("US-ASCII"))
+    bb.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1) // PCM, mono
+      .putInt(16000).putInt(16000 * 2).putShort(2).putShort(16)
+    bb.put("data".getBytes("US-ASCII")).putInt(data.length).put(data)
+    bb.array()
   }
 
   /** PCM decimation — the audio twin of [[imageThumbnail]]'s resize: keep
@@ -869,17 +877,7 @@ object Multimodal {
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
         it.flatMap { case (id, raw) =>
-          val m = raw.length / 2
-          val data = raw.take(2 * m)
-          val bb = java.nio.ByteBuffer.allocate(44 + data.length)
-            .order(java.nio.ByteOrder.LITTLE_ENDIAN)
-          bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + data.length)
-            .put("WAVE".getBytes("US-ASCII"))
-          bb.put("fmt ".getBytes("US-ASCII")).putInt(16)
-            .putShort(1).putShort(1)
-            .putInt(16000).putInt(16000 * 2).putShort(2).putShort(16)
-          bb.put("data".getBytes("US-ASCII")).putInt(data.length).put(data)
-          val payload = bb.array()
+          val payload = synthWav(raw)
           wavPcm16Layout(payload).map { case (rate, _, dataOff, n) =>
             val sb = new java.lang.StringBuilder
             var i = 0L
@@ -896,14 +894,12 @@ object Multimodal {
       .orderBy(col("doc_id"))
   }
 
-  /** Perceptual AUDIO dedup — the PCM twin of [[imageAhash]]: bit j of
-    * the fingerprint is `sample_j · n ≥ Σ samples` over the decimated
-    * waveform (integer cross-multiply, engine-exact), so re-encoded or
-    * re-chunked audio with the same coarse energy envelope collides.
-    * Same scale shape: narrow decode/decimate/hash pass, then a keyed
-    * signature equi-join for bucket sizes — never all-pairs. */
-  def audioFingerprint(spark: SparkSession, dir: String, k: Int = 16): DataFrame = {
-    val hashed = afpFrame(spark, dir, k)
+  /** Perceptual AUDIO dedup — the PCM twin of [[imageAhash]]: the 64-bit
+    * envelope fingerprint of [[afpOfWav]] bucketed by an exact equi-join.
+    * Same scale shape as the image side: narrow decode/hash pass, then a
+    * keyed signature equi-join for bucket sizes — never all-pairs. */
+  def audioFingerprint(spark: SparkSession, dir: String): DataFrame = {
+    val hashed = afpFrame(spark, dir)
     val counts = hashed.groupBy(col("afp")).agg(count(lit(1)).as("n_same_hash"))
     hashed.join(counts, Seq("afp"))
       .select(col("doc_id"), col("afp"), col("n_same_hash"),
@@ -911,17 +907,76 @@ object Multimodal {
       .orderBy(col("doc_id"))
   }
 
+  /** 64-bit ENVELOPE fingerprint of a PCM-16 WAV payload — the audio twin
+    * of the 64-bit aHash: samples split into 64 contiguous windows
+    * (sample i → window ⌊i·64/n⌋) and bit j is `windowSum_j · n ≥
+    * total · windowCount_j` — "window mean at or above the global mean"
+    * as an integer cross-multiply, engine-exact. The FIXED 64-bit width
+    * is the point: a Hamming-≤3 ball covers ~4.4×10⁴/2⁶⁴ of the space,
+    * so near-dup buckets stay sparse at any corpus size (the previous
+    * duration-proportional fingerprint emitted ≤16 bits over these
+    * ~300-char docs, whose ball covers ~1% of ALL pairs — near-dup
+    * output quadratic in corpus size). Windows past the sample count
+    * (n < 64) stay '0' — their placement varies with n, so durations
+    * remain discriminative. Exact while |windowSum·n| ≤ n²·2¹⁵ < 2⁶³,
+    * i.e. any clip under ~2²⁴ samples (~17 min at 16 kHz); longer media
+    * would decimate first ([[audioSample]]'s pass). */
+  private[graft] def afpOfWav(payload: Array[Byte]): Option[String] =
+    wavPcm16Layout(payload).map { case (_, _, dataOff, n) =>
+      val sums = new Array[Long](64)
+      val cnts = new Array[Long](64)
+      var total = 0L
+      var i = 0L
+      while (i < n) {
+        val v = wavSampleAt(payload, dataOff, i)
+        val w = ((i * 64) / n).toInt
+        sums(w) += v; cnts(w) += 1; total += v
+        i += 1
+      }
+      val sb = new java.lang.StringBuilder(64)
+      var j = 0
+      while (j < 64) {
+        sb.append(if (cnts(j) > 0 && sums(j) * n >= total * cnts(j)) '1' else '0')
+        j += 1
+      }
+      sb.toString
+    }
+
   /** (doc_id, afp) — the fingerprint pass [[audioFingerprint]] and
-    * [[audioNearDup]] share. */
-  private def afpFrame(spark: SparkSession, dir: String, k: Int): DataFrame = {
-    val vals = transform(split(col("samples"), ","), v => v.cast("long"))
-    audioSample(spark, dir, k)
-      .withColumn("vals", vals)
-      .withColumn("total", aggregate(col("vals"), lit(0L), (acc, x) => acc + x))
-      .select(col("doc_id"),
-        concat_ws("", transform(col("vals"),
-          s => when(s * size(col("vals")) >= col("total"), "1").otherwise("0")))
-          .as("afp"))
+    * [[audioNearDup]] share: synthesize the canonical WAV, fingerprint it
+    * in the decoder (plain JVM arithmetic — no interpreted higher-order
+    * expressions to keep out of join predicates). */
+  private def afpFrame(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .where(length(col("text")) >= 2 &&
+        octet_length(encode(col("text"), "utf-8")) === length(col("text")))
+      .select(col("doc_id"), encode(col("text"), "utf-8").as("raw"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, raw) => afpOfWav(synthWav(raw)).map(afp => (id, afp)) }
+      }
+      .toDF("doc_id", "afp")
+  }
+
+  /** (doc_id, ts, afp) over any (doc_id, ts, text) frame, the event-time
+    * column passing through — the form the streaming ingest path consumes
+    * ([[thumbnailsWithTs]]'s audio twin), sharing [[synthWav]] +
+    * [[afpOfWav]] verbatim with the batch queries so the two cannot drift
+    * (bit-identity spec-asserted). */
+  private[graft] def audioFingerprintsWithTs(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long"), col("ts"), col("text"))
+      .where(length(col("text")) >= 2 &&
+        octet_length(encode(col("text"), "utf-8")) === length(col("text")))
+      .as[(Long, java.sql.Timestamp, String)]
+      .mapPartitions { it =>
+        it.flatMap { case (id, ts, text) =>
+          afpOfWav(synthWav(text.getBytes("UTF-8"))).map(afp => (id, ts, afp))
+        }
+      }
+      .toDF("doc_id", "ts", "afp")
   }
 
   private def gzipBytes(raw: Array[Byte]): Array[Byte] = {

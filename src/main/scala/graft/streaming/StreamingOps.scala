@@ -186,6 +186,19 @@ object StreamingOps {
       .dropDuplicatesWithinWatermark("ahash")
       .select(col("doc_id"), col("ts"), col("ahash"))
 
+  /** [[streamingPerceptualDedup]]'s AUDIO twin: each arriving doc runs the
+    * SAME canonical-WAV synth + 64-bit envelope fingerprint as the batch
+    * queries ([[graft.operators.Multimodal.afpOfWav]], bit-identity
+    * spec-asserted), and later arrivals whose fingerprint collides within
+    * the watermark horizon are dropped. Exact-collision semantics match
+    * `mm_audio_fingerprint`; the Hamming-ball NEAR-miss stage stays a
+    * batch/incremental pass, like the image twin's. */
+  def streamingAudioPerceptualDedup(docs: DataFrame, watermark: String = "10 minutes"): DataFrame =
+    graft.operators.Multimodal.audioFingerprintsWithTs(docs)
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("afp")
+      .select(col("doc_id"), col("ts"), col("afp"))
+
   /** Stream-stream INTERVAL join — the one Structured Streaming join shape
     * the other ops here don't exercise: click-attribution matches each
     * purchase with every click by the same user in the preceding

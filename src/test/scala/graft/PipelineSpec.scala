@@ -1126,6 +1126,53 @@ class PipelineSpec extends AnyFunSuite {
     assert(gotR == brute, s"pigeonhole join incomplete: missing ${brute -- gotR}, extra ${gotR -- brute}")
   }
 
+  test("audio neardup: planted Hamming 1-3 envelope neighbors recovered, width fixed at 64") {
+    import spark.implicits._
+    // 64 windows of 4 chars (= 2 samples each): a 'zzzz' window's mean sits
+    // above the corpus mean, an 'aaaa' window's below, so window j's
+    // fingerprint bit IS the chosen pattern bit — flipping w windows plants
+    // an exact Hamming-w neighbor.
+    def doc(pattern: Int => Boolean): String =
+      (0 until 64).map(j => if (pattern(j)) "zzzz" else "aaaa").mkString
+    val base: Int => Boolean = j => j % 2 == 0
+    val tmp = java.nio.file.Files.createTempDirectory("graft_and_")
+    try {
+      Seq(
+        1L -> doc(base),
+        2L -> doc(j => if (j == 0) !base(j) else base(j)), // d=1
+        3L -> doc(j => if (j == 10 || j == 30 || j == 50) !base(j) else base(j)), // d=3
+        4L -> doc(j => if (j < 5) !base(j) else base(j)), // d=5 -> out
+        5L -> doc(base), // exact copy -> d=0
+        6L -> "short unrelated text" // different duration/envelope
+      ).toDF("doc_id", "text").write.parquet(s"$tmp/documents.parquet")
+      val fps = Multimodal.audioFingerprint(spark, tmp.toString).collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(fps.values.forall(_.length == 64), s"fixed 64-bit width: $fps")
+      val got = Multimodal.audioNearDup(spark, tmp.toString).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got.contains((1L, 2L, 1L)), s"distance-1 neighbor missed: $got")
+      assert(got.contains((1L, 3L, 3L)), s"distance-3 neighbor missed: $got")
+      assert(got.contains((1L, 5L, 0L)), s"exact pair missed: $got")
+      assert(!got.exists(p => p._1 == 4L || p._2 == 4L), s"distance-5 leaked: $got")
+      assert(!got.exists(p => p._1 == 6L || p._2 == 6L), s"unrelated leaked: $got")
+    } finally {
+      import scala.jdk.CollectionConverters._
+      val walk = java.nio.file.Files.walk(tmp)
+      val paths = try walk.iterator().asScala.toList finally walk.close()
+      paths.sortBy(-_.getNameCount)
+        .foreach(p => scala.util.Try(java.nio.file.Files.deleteIfExists(p)))
+    }
+  }
+
+  test("audio fingerprint: signed PCM windows split around the mean exactly") {
+    // 128 signed samples through the real RIFF walk: first half -1000, second
+    // half +1000 -> total 0, so bits are the window-sum signs (>= 0 wins)
+    val bb = java.nio.ByteBuffer.allocate(256).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    (0 until 128).foreach(i => bb.putShort(if (i < 64) (-1000).toShort else 1000.toShort))
+    val afp = Multimodal.afpOfWav(Multimodal.synthWav(bb.array()))
+    assert(afp.contains("0" * 32 + "1" * 32), s"got $afp")
+  }
+
   test("dsir: target-language docs outscore the rest; weights are finite and doc-complete") {
     val langs = graft.core.Tables.documents(spark, dir)
       .select(col("doc_id"), col("lang")).collect()

@@ -132,6 +132,43 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming audio perceptual dedup drops fingerprint collisions; bit-match with batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Doc]
+    val q = StreamingOps.streamingAudioPerceptualDedup(input.toDF(), watermark = "10 minutes")
+      .writeStream.format("memory").queryName("apdedup_out")
+      .outputMode("append").start()
+    // same PCM payload -> same envelope fingerprint; the ramp doc differs
+    val flat = "spark table join merge window batch"
+    val ramp = "aaaaaaaaaaaazzzzzzzzzzzzaaaaaaaaaaaazzzzzzzzzzzz"
+    try {
+      input.addData(Doc(1, ts(60), flat), Doc(3, ts(62), ramp))
+      q.processAllAvailable()
+      input.addData(Doc(2, ts(61), flat)) // same fingerprint -> dropped
+      q.processAllAvailable()
+      val rows = spark.table("apdedup_out").collect()
+        .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("afp")).toMap
+      assert(rows.keySet == Set(1L, 3L), s"got ${rows.keySet}")
+      assert(rows.values.forall(_.length == 64), "64-bit fingerprints")
+      // bit-identity with the batch query over the same corpus
+      val tmp = java.nio.file.Files.createTempDirectory("graft_apd_")
+      try {
+        Seq((1L, flat), (3L, ramp)).toDF("doc_id", "text")
+          .write.parquet(s"$tmp/documents.parquet")
+        val batch = graft.operators.Multimodal.audioFingerprint(spark, tmp.toString)
+          .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+        assert(batch == rows, s"stream/batch fingerprint drift: $batch vs $rows")
+      } finally {
+        import scala.jdk.CollectionConverters._
+        val walk = java.nio.file.Files.walk(tmp)
+        val paths = try walk.iterator().asScala.toList finally walk.close()
+        paths.sortBy(-_.getNameCount)
+          .foreach(p => scala.util.Try(java.nio.file.Files.deleteIfExists(p)))
+      }
+    } finally q.stop()
+  }
+
   test("streaming asof enriches purchases with the latest click state across batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
