@@ -10,7 +10,7 @@ import graft.RegistrySqlParts._
 private[graft] object RegistryMultimodal {
 
   private[graft] def entries: Seq[(String, QFn, Option[String])] = Seq(
-    mmGzipQ, mmJoin, mmBinaryStats, mmMediaFeatures, mmThumbnailQ, mmFrameSampleQ, mmAudioSampleQ, mmImageDecodeQ, mmAudioDecodeQ, mmImageAhashQ, mmAudioFingerprintQ, mmImageNearDupQ, mmAudioNearDupQ, mmNearDupIncrementalQ)
+    mmGzipQ, mmJoin, mmBinaryStats, mmMediaFeatures, mmThumbnailQ, mmFrameSampleQ, mmAudioSampleQ, mmImageDecodeQ, mmAudioDecodeQ, mmImageAhashQ, mmAudioFingerprintQ, mmImageNearDupQ, mmAudioNearDupQ, mmNearDupIncrementalQ, mmNearDupSurvivorsQ, mmNearDupClusterStatsQ)
 
   // (pq_quantize / pq_search ride pq_gate — see the seeded-generator note
   // above; the functions remain exercised by the gate and QuantizationSpec.)
@@ -302,6 +302,82 @@ private[graft] object RegistryMultimodal {
                           THEN 1 ELSE 0 END))::BIGINT AS hamming
             FROM h a JOIN h b ON a.doc_id < b.doc_id AND len(a.afp) = len(b.afp))
       SELECT id_a, id_b, hamming FROM p WHERE hamming <= 3 ORDER BY id_a, id_b
+    """.trim))
+
+  /** Both modalities' brute-force pair sets (image aHash + audio envelope
+    * fingerprint, Hamming <= 3 each) fed through the SAME recursive-CTE
+    * min-label reachability as dedup_survivors — the oracle for the
+    * shared-CC media survivor pass. */
+  private val mediaCcCtes = s"""
+      ik AS (SELECT doc_id, text, len(text)//3 AS k FROM documents
+             WHERE len(text) >= 3 AND len(text) = octet_length(encode(text))
+               AND len(text)//3 <= 1048576),
+      ig AS (SELECT doc_id, p,
+                   ord(substr(text, CAST(3 * ((p % 8) * k // 8) + 1 AS INT), 1)) +
+                   ord(substr(text, CAST(3 * ((p % 8) * k // 8) + 2 AS INT), 1)) +
+                   ord(substr(text, CAST(3 * ((p % 8) * k // 8) + 3 AS INT), 1)) AS gv
+            FROM (SELECT doc_id, k, text, unnest(range(0, 64)) AS p FROM ik)),
+      it AS (SELECT doc_id, sum(gv) AS total FROM ig GROUP BY doc_id),
+      ih AS (SELECT doc_id,
+                   string_agg(CASE WHEN gv * 64 >= total THEN '1' ELSE '0' END,
+                              '' ORDER BY p) AS sig
+             FROM ig JOIN it USING (doc_id) GROUP BY doc_id),
+      ad AS (SELECT doc_id, text, len(text)//2 AS m FROM documents
+             WHERE len(text) >= 2 AND len(text) = octet_length(encode(text))),
+      av AS (SELECT doc_id, m, (i * 64) // m AS w,
+                   ord(substr(text, CAST(2*i+1 AS INT), 1)) +
+                   256*ord(substr(text, CAST(2*i+2 AS INT), 1)) AS s
+            FROM ad, unnest(range(0, m)) r(i)),
+      att AS (SELECT doc_id, any_value(m) AS m, sum(s) AS total
+              FROM av GROUP BY doc_id),
+      aws AS (SELECT doc_id, w, sum(s) AS wsum, count(*) AS wc
+              FROM av GROUP BY doc_id, w),
+      ah AS (SELECT g.doc_id,
+                   string_agg(CASE WHEN aws.wsum * g.m >= g.total * aws.wc
+                              THEN '1' ELSE '0' END, '' ORDER BY g.j) AS sig
+             FROM (SELECT doc_id, m, total, unnest(range(0, 64)) AS j FROM att) g
+             LEFT JOIN aws ON aws.doc_id = g.doc_id AND aws.w = g.j
+             GROUP BY g.doc_id),
+      ip AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+             FROM ih a JOIN ih b ON a.doc_id < b.doc_id AND len(a.sig) = len(b.sig)
+             WHERE list_sum(list_transform(range(1, CAST(len(a.sig)+1 AS BIGINT)),
+                     i -> CASE WHEN substr(a.sig, i::INT, 1) <> substr(b.sig, i::INT, 1)
+                          THEN 1 ELSE 0 END)) <= 3),
+      ap AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+             FROM ah a JOIN ah b ON a.doc_id < b.doc_id AND len(a.sig) = len(b.sig)
+             WHERE list_sum(list_transform(range(1, CAST(len(a.sig)+1 AS BIGINT)),
+                     i -> CASE WHEN substr(a.sig, i::INT, 1) <> substr(b.sig, i::INT, 1)
+                          THEN 1 ELSE 0 END)) <= 3),
+      e AS (SELECT id_a AS a, id_b AS b FROM ip
+            UNION ALL SELECT id_b AS a, id_a AS b FROM ip
+            UNION ALL SELECT id_a AS a, id_b AS b FROM ap
+            UNION ALL SELECT id_b AS a, id_a AS b FROM ap),
+      reach AS (
+        SELECT doc_id AS id, doc_id AS r FROM documents
+        UNION
+        SELECT e.b AS id, reach.r FROM reach JOIN e ON e.a = reach.id),
+      lab AS (SELECT id AS doc_id, min(r) AS canonical_id FROM reach GROUP BY id)"""
+
+  private val mmNearDupSurvivorsQ: (String, QFn, Option[String]) = (
+    "mm_neardup_survivors",
+    (s, d) => Multimodal.mediaNearDupSurvivors(s, d),
+    Some(s"""
+      WITH RECURSIVE
+      $mediaCcCtes
+      SELECT doc_id, canonical_id,
+             CASE WHEN doc_id = canonical_id THEN 1 ELSE 0 END AS is_survivor
+      FROM lab ORDER BY doc_id
+    """.trim))
+
+  private val mmNearDupClusterStatsQ: (String, QFn, Option[String]) = (
+    "mm_neardup_cluster_stats",
+    (s, d) => Multimodal.mediaNearDupClusterStats(s, d),
+    Some(s"""
+      WITH RECURSIVE
+      $mediaCcCtes,
+      cs AS (SELECT canonical_id, count(*) AS cluster_size FROM lab GROUP BY canonical_id)
+      SELECT cluster_size, count(*)::BIGINT AS n_clusters
+      FROM cs GROUP BY cluster_size ORDER BY cluster_size
     """.trim))
 
 }

@@ -428,11 +428,27 @@ object Multimodal {
     thumbCache.getOrElseUpdate((spark, dir, tw, th),
       thumbnailFrameUncached(spark, dir, tw, th).cache())
 
+  /** Per-call caches the near-dup passes pin — load-bearing against the
+    * interpreted-HOF join-inlining hazard ([[bitstringNearDupPairs]]'s
+    * comment), but per-invocation, so a long session running the near-dup
+    * queries repeatedly would otherwise accumulate orphaned storage
+    * blocks. Tracked here so [[clearCaches]] releases them. */
+  private val pinnedCaches = scala.collection.mutable.ListBuffer.empty[DataFrame]
+
+  private def pinned(df: DataFrame): DataFrame =
+    pinnedCaches.synchronized { pinnedCaches += df; df }
+
   /** Unpersist + drop the per-dataset media caches (the Dedup.clearCaches
     * twin, reachable through [[graft.GraftCaches.clearAll]]). */
   def clearCaches(): Unit = {
     for ((_, df) <- thumbCache) scala.util.Try(df.unpersist())
     thumbCache.clear()
+    pinnedCaches.synchronized {
+      pinnedCaches.foreach(df => scala.util.Try(df.unpersist()))
+      pinnedCaches.clear()
+    }
+    for ((_, df) <- mediaSurvivorsCache) scala.util.Try(df.unpersist())
+    mediaSurvivorsCache.clear()
   }
 
   /** The decode+resize pass over any (doc_id, ts, text) frame, the
@@ -541,6 +557,40 @@ object Multimodal {
   def audioNearDup(spark: SparkSession, dir: String): DataFrame =
     bitstringNearDupPairs(afpFrame(spark, dir).select(col("doc_id"), col("afp").as("bits")))
 
+  /** The label frame is cached per (session, dir): mm_neardup_survivors
+    * AND mm_neardup_cluster_stats consume it, and the pair generation +
+    * CC fixpoint is the expensive stage — the [[Dedup.dedupSurvivors]]
+    * cache pattern. Cleared by [[clearCaches]]. */
+  private[operators] val mediaSurvivorsCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  /** Media near-dup SURVIVORS — the keep-set a pipeline actually consumes
+    * (which media rows to keep, not just which pairs collided): the image
+    * aHash and audio envelope-fingerprint near-dup pair frames (Hamming
+    * ≤ 3 each, including their exact-signature Hamming-0 clusters) run
+    * through the SAME connected-components + min-label canonicalization
+    * pass as the text dedup family ([[Dedup.survivorsOf]]) — a doc that
+    * near-dups on EITHER modality joins the cluster, so the corpus gets
+    * ONE survivor semantics across text, embedding, and media dedup. Docs
+    * in no pair (including media-ineligible ones) keep themselves. */
+  def mediaNearDupSurvivors(spark: SparkSession, dir: String): DataFrame =
+    mediaSurvivorsCache.getOrElseUpdate((spark, dir), {
+      val pairs = imageNearDup(spark, dir).select(col("id_a"), col("id_b"))
+        .union(audioNearDup(spark, dir).select(col("id_a"), col("id_b")))
+      graft.operators.Dedup.survivorsOf(spark, pairs,
+        Tables.documents(spark, dir).select(col("doc_id"))).cache()
+    })
+
+  /** Duplicate-cluster size histogram over the media near-dup component
+    * labels — [[Dedup.dedupClusterStats]]'s media twin, the audit
+    * analytic for perceptual dedup. Both shuffles shrink the data
+    * (docs → clusters → distinct sizes). */
+  def mediaNearDupClusterStats(spark: SparkSession, dir: String): DataFrame =
+    mediaNearDupSurvivors(spark, dir)
+      .groupBy(col("canonical_id")).agg(count(lit(1)).as("cluster_size"))
+      .groupBy(col("cluster_size")).agg(count(lit(1)).as("n_clusters"))
+      .orderBy(col("cluster_size"))
+
   /** INCREMENTAL perceptual dedup — [[Dedup.dedupIncremental]]'s media
     * twin, the production shape: a NEW batch of media (doc_id >=
     * batchStart stands in for today's arrivals) checked against the
@@ -552,8 +602,8 @@ object Multimodal {
     * pre-hashed signature table and the daily batch is small. */
   def imageNearDupIncremental(spark: SparkSession, dir: String,
       batchStart: Long = 400): DataFrame = {
-    val sig = ahashFrame(spark, dir)
-      .select(col("doc_id"), col("ahash").as("bits")).cache()
+    val sig = pinned(ahashFrame(spark, dir)
+      .select(col("doc_id"), col("ahash").as("bits")).cache())
     val corpus = sig.where(col("doc_id") < batchStart)
     val batch = sig.where(col("doc_id") >= batchStart)
     val best = bitstringNearDupLookup(batch, corpus)
@@ -629,7 +679,7 @@ object Multimodal {
     // work ~10⁴-fold in interpreted eval) into per-row join predicates.
     // Cached, each signature is computed once and the joins compare
     // materialized strings.
-    val s = sig.select(col("doc_id"), col("bits")).cache()
+    val s = pinned(sig.select(col("doc_id"), col("bits")).cache())
     val groups = s.groupBy(col("bits")).agg(min(col("doc_id")).as("rep"))
       .withColumn("len", length(col("bits")))
     val chunks = (0 until 4).map { c =>

@@ -1164,6 +1164,29 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("media neardup survivors: labels are a valid min-label CC of the union pair graph") {
+    val pairs = (Multimodal.imageNearDup(spark, dir).collect() ++
+      Multimodal.audioNearDup(spark, dir).collect())
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val labels = Multimodal.mediaNearDupSurvivors(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    val lab = labels.map(t => t._1 -> t._2).toMap
+    val nDocs = graft.core.Tables.documents(spark, dir).count()
+    assert(labels.length == nDocs, "every doc labeled exactly once")
+    pairs.foreach { case (a, b) =>
+      assert(lab(a) == lab(b), s"pair ($a,$b) split across clusters: ${lab(a)} vs ${lab(b)}")
+    }
+    labels.foreach { case (id, c, surv) =>
+      assert(c <= id, s"min-label violated: doc $id labeled $c")
+      assert(lab(c) == c, s"canonical $c of $id is not its own canonical")
+      assert((surv == 1) == (id == c), s"is_survivor inconsistent for $id")
+    }
+    // the histogram twin partitions the corpus
+    val hist = Multimodal.mediaNearDupClusterStats(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    assert(hist.map(h => h._1 * h._2).sum == nDocs, s"histogram mass mismatch: ${hist.toSeq}")
+  }
+
   test("audio fingerprint: signed PCM windows split around the mean exactly") {
     // 128 signed samples through the real RIFF walk: first half -1000, second
     // half +1000 -> total 0, so bits are the window-sum signs (>= 0 wins)
