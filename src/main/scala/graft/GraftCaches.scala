@@ -13,6 +13,7 @@ object GraftCaches {
     core.Tables.clearCache()
     operators.Dedup.clearCaches()
     operators.Multimodal.clearCaches()
+    operators.TextAnalysis.clearCaches()
     operators.Similarity.clearCaches()
     vamana.VamanaOps.clearCaches()
     functions.NativeVectorFunctions.clearRegistry()

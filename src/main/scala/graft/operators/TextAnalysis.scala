@@ -129,21 +129,51 @@ object TextAnalysis {
     * merged token can never recreate its own pair (AB = A or AB = B would
     * need an empty symbol), so the fold's greedy scan is order-equivalent
     * to the oracle's leftmost-first iterated replacement. */
-  def bpeMerges(spark: SparkSession, dir: String, k: Int = 5): DataFrame =
-    bpeMergesOf(spark, Tables.documents(spark, dir), k)
-
-  /** Frame form over any (text) corpus. */
-  def bpeMergesOf(spark: SparkSession, documents: DataFrame, k: Int): DataFrame = {
+  def bpeMerges(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
     import spark.implicits._
-    bpeTrain(spark, documents, k)._2
+    bpeTrainCached(spark, dir, k)._2
       .toDF("merge_rank", "left_sym", "right_sym", "pair_count")
       .orderBy(col("merge_rank"))
   }
 
+  /** Frame form over any (text) corpus — trains fresh (nothing to key a
+    * memo on) and releases the segmented vocab at once: the merge
+    * decisions are already driver-side. */
+  def bpeMergesOf(spark: SparkSession, documents: DataFrame, k: Int): DataFrame = {
+    import spark.implicits._
+    val (cur, merges) = bpeTrain(spark, documents, k)
+    cur.unpersist(blocking = false)
+    merges
+      .toDF("merge_rank", "left_sym", "right_sym", "pair_count")
+      .orderBy(col("merge_rank"))
+  }
+
+  /** One BPE training run per (session, dir, k): bpe_merges and
+    * bpe_encode consume the same artifacts, and the pinned
+    * dictionary-sized vocab frame is what keeps [[bpeEncode]] from
+    * replaying the corpus-sized word groupBy plus the k nested merge
+    * folds when its lazy plan evaluates (the word-frequency cache is
+    * released by then). Cleared by [[clearCaches]]. */
+  private val bpeCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String, Int), (DataFrame, Seq[(Long, String, String, Long)])]
+
+  private def bpeTrainCached(spark: SparkSession, dir: String, k: Int)
+      : (DataFrame, Seq[(Long, String, String, Long)]) =
+    bpeCache.getOrElseUpdate((spark, dir, k),
+      bpeTrain(spark, Tables.documents(spark, dir), k))
+
+  /** Unpersist + drop the per-dataset text-analysis memos (the
+    * Dedup.clearCaches twin, reachable through
+    * [[graft.GraftCaches.clearAll]]). */
+  def clearCaches(): Unit = {
+    for ((_, (df, _)) <- bpeCache) scala.util.Try(df.unpersist())
+    bpeCache.clear()
+  }
+
   /** The shared training loop: returns (final segmented vocab
-    * `(w, cnt, syms)`, the k merge decisions). The segmented-vocab frame
-    * is NOT cached on return — [[bpeMerges]] discards it and
-    * [[bpeEncode]] broadcasts its dictionary-sized projection. */
+    * `(w, cnt, syms)` — cached AND materialized, so consumers never
+    * replay the corpus pass — plus the k merge decisions). Callers own
+    * the returned frame's cache. */
   private def bpeTrain(spark: SparkSession, documents: DataFrame, k: Int)
       : (DataFrame, Seq[(Long, String, String, Long)]) = {
     val vocab = documents
@@ -182,8 +212,19 @@ object TextAnalysis {
                 .otherwise(concat(acc, array(s)))).as("syms"))
         }
       }
-    } finally vocab.unpersist(blocking = false) // all merge jobs ran eagerly above
-    (cur, merges.toSeq)
+      // Pin the final segmented vocab (dictionary-sized) and materialize
+      // it WHILE the word-frequency cache still exists — a lazy cache
+      // would otherwise fill by replaying the corpus groupBy + k
+      // interpreted merge folds after vocab is gone.
+      if (cur ne vocab) {
+        cur = cur.cache()
+        cur.count()
+      }
+      (cur, merges.toSeq)
+    } finally {
+      // (no merges -> cur IS vocab: keep the cache, the caller owns it)
+      if (cur ne vocab) vocab.unpersist(blocking = false)
+    }
   }
 
   /** BPE ENCODING with the merges [[bpeMerges]] just learned — the apply
@@ -199,7 +240,7 @@ object TextAnalysis {
   def bpeEncode(spark: SparkSession, dir: String, k: Int = 5,
       broadcastVocab: Boolean = true): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    val seg = bpeTrain(spark, docs, k)._1
+    val seg = bpeTrainCached(spark, dir, k)._1
       .select(col("w"), size(col("syms")).cast("long").as("n_sub"))
     docs.select(col("doc_id"), explode(toks(col("text"))).as("w"))
       .where(col("w") =!= "")
