@@ -765,6 +765,11 @@ object Dedup {
     * effect). Exact long math in [[PagerankScale]] units (floor division
     * per edge), so the fixpoint is bit-identical across engines and
     * partitionings. */
+  /** Invariant: edges whose source is absent from `nodes` contribute
+    * nothing (silently dropped by the ranks-on-src join distributed, by
+    * an explicit filter on the driver); destinations outside `nodes`
+    * receive mass that the rank rebuild never reads. Callers wanting
+    * strict input checking should validate before the loop. */
   private[graft] def pagerankIterate(spark: SparkSession, nodesIn: DataFrame,
       edges: DataFrame, iters: Int, allowDriver: Boolean = true): DataFrame = {
     val nodesP = nodesIn.persist()
@@ -800,7 +805,15 @@ object Dedup {
       edges: DataFrame, iters: Int, n: Long): DataFrame = {
     val base = (15L * PagerankScale) / (100L * n)
     val nodeArr = nodes.collect().map(_.getString(0)).sorted
+    val nodeSet = nodeArr.toSet
+    // Edges whose SOURCE is absent from the node frame are silently
+    // dropped — exactly what the distributed path's ranks-on-src join
+    // does — so the two paths agree on inconsistent input too instead of
+    // this one throwing on rank(s). (Unknown destinations need no filter:
+    // their contributions land in keys the rank rebuild never reads,
+    // matching the distributed left join.)
     val es = edges.collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      .filter(t => nodeSet(t._1))
     val outw = es.groupBy(_._1).map { case (s, g) => (s, g.map(_._3).sum) }
     val r6 = es.map { case (s, d, w) => (s, d, (w * 1000000L) / outw(s)) }
     var rank = nodeArr.map(s => (s, PagerankScale / n)).toMap
@@ -858,11 +871,22 @@ object Dedup {
       }
     }
     // Final ranks are materialized in their checkpoint block, so the
-    // loop input can be released now.
+    // loop input can be released now. The final block itself must outlive
+    // this call (the returned frame reads it), so it is registered for
+    // [[clearCaches]] instead of unpersisted here — without that, one
+    // node-count-sized block leaked per pagerank call for the session
+    // lifetime.
     e.unpersist(false)
+    prev.foreach(r => pagerankCheckpoints.synchronized { pagerankCheckpoints += r })
     ranks.select(col("source"), col("rank").as("rank_e12"))
       .orderBy(col("rank_e12").desc, col("source").asc)
   }
+
+  /** Final-round checkpoint blocks of [[pagerankDistributed]] runs, held
+    * until [[clearCaches]] — callers consume the returned frame lazily,
+    * so the block cannot be dropped inside the call. */
+  private val pagerankCheckpoints =
+    scala.collection.mutable.ListBuffer.empty[org.apache.spark.rdd.RDD[_]]
 
   /** N-gram novelty: the fraction of a doc's distinct shingles whose FIRST
     * corpus occurrence (min doc_id) is the doc itself — the freshness
@@ -920,6 +944,10 @@ object Dedup {
     srcShingleCache.clear()
     for ((_, df) <- srcPairCache) scala.util.Try(df.unpersist())
     srcPairCache.clear()
+    pagerankCheckpoints.synchronized {
+      pagerankCheckpoints.foreach(r => scala.util.Try(r.unpersist(false)))
+      pagerankCheckpoints.clear()
+    }
   }
 
   /** Decontamination — the REMOVAL form of [[contaminationCheck]]: the

@@ -265,16 +265,21 @@ final class FanoutModel private[vamana] (
         val res =
           if (svec == null) VamanaKernel.search(idx, qvec, k)
           else VamanaKernel.searchWithStartPoint(idx, svec, qvec, k)
-        res.iterator.map { case (id, dist) => (qid, id, math.rint(dist.toDouble * 1e4) / 1e4) }
+        res.iterator.map { case (id, dist) => (qid, id, dist.toDouble) }
       }
     }.toDF("query_id", "id", "dist")
-    // overlapping shards may answer the same point twice — merge before rank
+    // overlapping shards may answer the same point twice — merge before
+    // rank. Rank on the UNROUNDED distances (round only the emitted
+    // column): rounding first could order two points differently from the
+    // exact kNN the full-beam gates compare against when true distances
+    // differ only past 4 decimals at the rank-k boundary.
     val mergedA = answers.groupBy(col("query_id"), col("id")).agg(min(col("dist")).as("dist"))
     val w = Window.partitionBy(col("query_id")).orderBy(col("dist").asc, col("id").asc)
     mergedA
       .withColumn("rank", row_number().over(w).cast("long"))
       .where(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("id"), col("dist"))
+      .select(col("query_id"), col("rank"), col("id"),
+        (expr("rint(dist * 10000)") / 1e4).as("dist"))
       .orderBy(col("query_id"), col("rank"))
   }
 
@@ -321,15 +326,19 @@ final class FanoutModel private[vamana] (
       val beam = if (fullBeam) idx.size else 0
       bcQ.value.iterator.flatMap { case (qid, qvec) =>
         VamanaKernel.searchFiltered(idx, qvec, k, pred, beam)
-          .iterator.map { case (id, dist) => (qid, id, math.rint(dist.toDouble * 1e4) / 1e4) }
+          .iterator.map { case (id, dist) => (qid, id, dist.toDouble) }
       }
     }.toDF("query_id", "id", "dist")
+    // rank on unrounded distances, round only the emitted column — the
+    // exactness gate's theorem must hold independent of the data, not
+    // just while no pair straddles a 1e-4 boundary at rank k
     val mergedA = answers.groupBy(col("query_id"), col("id")).agg(min(col("dist")).as("dist"))
     val w = Window.partitionBy(col("query_id")).orderBy(col("dist").asc, col("id").asc)
     mergedA
       .withColumn("rank", row_number().over(w).cast("long"))
       .where(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("id"), col("dist"))
+      .select(col("query_id"), col("rank"), col("id"),
+        (expr("rint(dist * 10000)") / 1e4).as("dist"))
       .orderBy(col("query_id"), col("rank"))
   }
 
