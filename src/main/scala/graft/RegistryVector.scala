@@ -10,7 +10,7 @@ import graft.RegistrySqlParts._
 private[graft] object RegistryVector {
 
   private[graft] def entries: Seq[(String, QFn, Option[String])] = Seq(
-    simCosineTopK, simIpTopK, simJoinThreshold, lshCosineGateQ, lshL2GateQ, ivfGateQ, pqGateQ, semdedupGateQ, prototypeGateQ, embedDimStatsQ, embedDimCovQ, sqQuantize, sqReport, bqQuantizeQ, bqSearchQ, bqRerankQ, embedNormalizeQ, hardNegativesQ)
+    simCosineTopK, simIpTopK, simJoinThreshold, lshCosineGateQ, lshL2GateQ, ivfGateQ, pqGateQ, semdedupGateQ, prototypeGateQ, embedDimStatsQ, embedDimCovQ, sqQuantize, sqReport, bqQuantizeQ, bqSearchQ, bqRerankQ, embedNormalizeQ, hardNegativesQ, hardNegativesFanoutQ, hardNegativesFanoutGateQ)
 
   // ---- similarity -----------------------------------------------------------
 
@@ -299,6 +299,25 @@ private[graft] object RegistryVector {
             FROM sc)
       SELECT query_id, qlabel, rank::BIGINT AS rank, neg_id, neg_label, round(cos, 4) AS cos
       FROM r WHERE rank <= 5 ORDER BY query_id, rank
+    """.trim))
+
+  /** The ANN-served mining join (rows-only; exactness carried by the gate
+    * twin below, the vamana_fanout_filtered pattern). */
+  private val hardNegativesFanoutQ: (String, QFn, Option[String]) = (
+    "hard_negatives_fanout",
+    (s, d) => graft.vamana.VamanaOps.hardNegativesFanout(s, d),
+    None)
+
+  /** Full-beam fanout filtered search under the cos reduction is exact
+    * different-label cosine kNN, so every per-query overlap with the
+    * brute-force hard_negatives must be min(k, n_other_label). */
+  private val hardNegativesFanoutGateQ: (String, QFn, Option[String]) = (
+    "hard_negatives_fanout_gate",
+    (s, d) => graft.vamana.VamanaOps.hardNegativesFanoutGate(s, d),
+    Some("""
+      SELECT e.vec_id AS query_id,
+             LEAST(5, (SELECT count(*) FROM embeddings x WHERE x.label <> e.label))::BIGINT AS overlap
+      FROM embeddings e WHERE e.vec_id < 10 ORDER BY query_id
     """.trim))
 
 }

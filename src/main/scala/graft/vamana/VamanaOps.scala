@@ -30,6 +30,16 @@ object VamanaOps {
     fanoutCache.getOrElseUpdate(dir,
       VamanaFanout.fit(Tables.embeddings(spark, dir), defaultParams, numShards = 4))
 
+  /** Cosine-metric fanout twin (normalize-at-fit, the kernel's "cos"
+    * reduction) — the serving index for similarity-JOIN mining, fitted
+    * once per dataset like [[fanoutModel]]. */
+  private val fanoutCosCache = TrieMap.empty[String, FanoutModel]
+
+  def fanoutCosModel(spark: SparkSession, dir: String): FanoutModel =
+    fanoutCosCache.getOrElseUpdate(dir,
+      VamanaFanout.fit(Tables.embeddings(spark, dir),
+        defaultParams.copy(metric = "cos"), numShards = 4))
+
   /** Drop + unpersist the per-dataset fitted models (tests / long-lived
     * services — the caches otherwise pin models for the life of the JVM). */
   def clearCaches(): Unit = {
@@ -37,6 +47,8 @@ object VamanaOps {
     cache.clear()
     for ((_, f) <- fanoutCache) f.unpersist()
     fanoutCache.clear()
+    for ((_, f) <- fanoutCosCache) f.unpersist()
+    fanoutCosCache.clear()
     for ((_, m) <- insertCache) m.unpersist()
     insertCache.clear()
     for ((_, m) <- deleteCache) m.unpersist()
@@ -246,6 +258,60 @@ object VamanaOps {
       .groupBy(col("query_id"))
       .agg(count(lit(1)).as("overlap"))
       .select(col("query_id"), col("overlap"))
+      .orderBy(col("query_id"))
+  }
+
+  /** Hard-negative mining SERVED through the fitted fanout index — the
+    * ANN twin of [[graft.operators.Similarity.hardNegatives]] (whose
+    * docstring names this as the 100 TB path): per distinct query label,
+    * one [[FanoutModel.searchFiltered]] pass with the other-label ids as
+    * the allowed set, so the predicate applies DURING ranking instead of
+    * post-filtering an over-fetch. The cosine-metric model normalizes at
+    * fit ("cos" reduction: squared L2 on unit vectors = 2 − 2·cos, so
+    * L2-ascending IS cosine-descending), and `cos` is recovered exactly
+    * as 1 − dist/2. Label count is config-bounded (a handful of classes),
+    * so the per-label loop is a constant fanout. When a label's
+    * complement outgrows the broadcast band ([[FanoutModel
+    * .MaxBroadcastAllowed]]) the adaptive choice is plain search +
+    * post-filter — at THAT selectivity almost every neighbor passes, the
+    * regime searchFiltered's docstring documents. */
+  def hardNegativesFanout(spark: SparkSession, dir: String, nQueries: Int = 10,
+      k: Int = 5, fullBeam: Boolean = false): DataFrame = {
+    import spark.implicits._
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"), col("label").cast("long").as("label"))
+    val q = e.where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"),
+        col("label").as("qlabel"))
+    val labels = q.select(col("qlabel")).distinct().as[Long].collect().sorted
+    val fm = fanoutCosModel(spark, dir)
+    val parts = labels.map { lbl =>
+      val allowed = e.where(col("label") =!= lbl).select(col("vec_id")).as[Long].collect()
+      fm.searchFiltered(q.where(col("qlabel") === lbl), allowed, k, fullBeam = fullBeam)
+        .withColumn("qlabel", lit(lbl))
+    }
+    parts.reduce(_ unionByName _)
+      .join(e.select(col("vec_id").as("id"), col("label").as("neg_label")), "id")
+      .select(col("query_id"), col("qlabel"), col("rank"), col("id").as("neg_id"),
+        col("neg_label"), round(lit(1.0) - col("dist") / 2, 4).as("cos"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** Hash-checked exactness gate for the ANN-served mining join: with a
+    * full per-shard beam each shard returns its k nearest allowed points
+    * under the cos reduction, the global merge is exact different-label
+    * cosine kNN, and every per-query overlap with the brute-force
+    * [[graft.operators.Similarity.hardNegatives]] must be
+    * min(k, n_other_label) — stated directly from the embeddings table by
+    * the DuckDB oracle (the vamana_fanout_filtered_gate pattern). */
+  def hardNegativesFanoutGate(spark: SparkSession, dir: String): DataFrame = {
+    val ann = hardNegativesFanout(spark, dir, fullBeam = true)
+      .select(col("query_id"), col("neg_id"))
+    val exact = graft.operators.Similarity.hardNegatives(spark, dir)
+      .select(col("query_id"), col("neg_id"))
+    ann.join(exact, Seq("query_id", "neg_id"))
+      .groupBy(col("query_id"))
+      .agg(count(lit(1)).as("overlap"))
       .orderBy(col("query_id"))
   }
 

@@ -77,6 +77,33 @@ class FanoutServingSpec extends AnyFunSuite {
     assert(r >= 0.8, s"filtered fanout recall@10 = $r below the 0.8 gate")
   }
 
+  test("ANN-served hard negatives: every result crosses labels, full beam matches brute force") {
+    spark.sparkContext.setLogLevel("WARN")
+    import org.apache.spark.sql.functions.col
+    val rows = VamanaOps.hardNegativesFanout(spark, dir, fullBeam = true).collect()
+    assert(rows.nonEmpty, "mining join returned nothing")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("qlabel") != r.getAs[Long]("neg_label"),
+        s"same-label negative leaked: $r")
+    }
+    // full-beam exactness: id sets per query equal the brute-force miner's
+    val ann = rows.map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neg_id"))).toSet
+    val exact = graft.operators.Similarity.hardNegatives(spark, dir).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neg_id"))).toSet
+    assert(ann == exact, s"full-beam ANN mining diverges: missing ${exact -- ann}, extra ${ann -- exact}")
+    // gate query: overlap = min(k, n_other_label) for every query
+    val nOther = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label").cast("long").as("label")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    val byLabel = nOther.groupBy(_._2).view.mapValues(_.length).toMap
+    val gate = VamanaOps.hardNegativesFanoutGate(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getAs[Long]("overlap")).toMap
+    nOther.filter(_._1 < 10).foreach { case (qid, lbl) =>
+      val expect = math.min(5, nOther.length - byLabel(lbl))
+      assert(gate(qid) == expect, s"query $qid overlap ${gate(qid)} != $expect")
+    }
+  }
+
   test("distributed fit (maxLocalPoints=0) never collects, serves at the recall gate") {
     val emb = Tables.embeddings(spark, dir)
     val model = VamanaIndexer.fit(emb, params, numShards = 3, maxLocalPoints = 0)
