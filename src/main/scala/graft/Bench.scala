@@ -9,6 +9,13 @@ object Bench {
     // durations cannot distinguish a regression from JIT/GC ordering (the
     // round-4 bench "regressions" were all unchanged-code noise).
     val iters = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "3").toInt)
+    // host-load context: the same bench run 42% slower under external
+    // container load in round 9, and every cross-round "regression" triage
+    // started by re-litigating that. Record 1-min loadavg at start and end
+    // so the next reader can tell a loaded host from a real regression.
+    def loadAvg(): Double =
+      java.lang.management.ManagementFactory.getOperatingSystemMXBean.getSystemLoadAverage
+    val loadStart = loadAvg()
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -52,8 +59,9 @@ object Bench {
     // `parsed: null` with the line truncated at the FRONT. So the full map
     // goes to a FILE in the repo (the driver archives the repo), and
     // stdout gets only a short total line the window can always hold.
+    val loadEnd = loadAvg()
     val fullJson =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","iters":$iters}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","iters":$iters,"loadavg_start":${r4(loadStart)},"loadavg_end":${r4(loadEnd)},"host_cpus":${Runtime.getRuntime.availableProcessors()}}"""
     try {
       java.nio.file.Files.write(
         java.nio.file.Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
@@ -61,7 +69,7 @@ object Bench {
         fullJson.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     } catch { case _: Throwable => () }
     val shortLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"sf":"$sfDir","iters":$iters,"queries_file":"BENCH_FULL.json"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"sf":"$sfDir","iters":$iters,"loadavg":${r4(loadStart)},"queries_file":"BENCH_FULL.json"}"""
     spark.stop()
     // the short JSON goes out AFTER spark.stop(), as the process's final
     // stdout line: the driver parses a tail capture, and executor/log

@@ -40,6 +40,38 @@ class SourcesSpec extends AnyFunSuite {
     }
   }
 
+  test("Tables loader surfaces NTZ-annotated parquet timestamps as session-zone LTZ") {
+    // The driver's regenerated testdata annotates TIMESTAMP(MICROS) with
+    // isAdjustedToUTC=false, which Spark 4.x surfaces as TIMESTAMP_NTZ when
+    // inferTimestampNTZ is on — a type unix_micros()/watermarks reject.
+    // Tables.load pins the conf off; this fixture guards that pin against a
+    // future Spark default flip silently changing loader semantics.
+    // NOTE: a Spark-written fixture will NOT do here — Spark embeds its own
+    // schema in the parquet footer and the reader honors it regardless of
+    // the infer conf. The driver's pyarrow files carry no Spark metadata
+    // (only ARROW:schema), so the conf governs them — test the real artifact.
+    import org.apache.spark.sql.types.{TimestampType, TimestampNTZType}
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "true")
+    val raw = spark.read.parquet(s"$dir/events.parquet")
+    assert(raw.schema("ts").dataType == TimestampNTZType,
+      s"driver file no longer NTZ-inferable (${raw.schema("ts").dataType}) — " +
+        "this guard and the Tables.load pin can both be retired")
+    // session zone is UTC, so casting the NTZ read to LTZ gives the micros
+    // the loader must reproduce
+    val rawMicros = raw.selectExpr("unix_micros(cast(ts AS timestamp))")
+      .agg(sum("unix_micros(CAST(ts AS TIMESTAMP))"), count("*")).collect()(0)
+    // the loader must pin the same file back to LTZ with identical values
+    val viaLoader = Tables.events(spark, dir)
+    assert(viaLoader.schema("ts").dataType == TimestampType,
+      s"Tables loader surfaced ${viaLoader.schema("ts").dataType}, expected LTZ")
+    val ldMicros = viaLoader.selectExpr("unix_micros(ts)")
+      .agg(sum("unix_micros(ts)"), count("*")).collect()(0)
+    assert(ldMicros.getLong(0) == rawMicros.getLong(0) &&
+      ldMicros.getLong(1) == rawMicros.getLong(1),
+      s"loader changed timestamp values: $ldMicros vs $rawMicros")
+  }
+
   test("approx_count_distinct stays within 5% of exact") {
     val rows = Relational.approxDistinct(spark, "/root/testdata/sf0.01").collect()
     assert(rows.nonEmpty)
