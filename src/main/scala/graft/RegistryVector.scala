@@ -10,7 +10,7 @@ import graft.RegistrySqlParts._
 private[graft] object RegistryVector {
 
   private[graft] def entries: Seq[(String, QFn, Option[String])] = Seq(
-    simCosineTopK, simIpTopK, simJoinThreshold, lshCosineGateQ, lshL2GateQ, ivfGateQ, pqGateQ, semdedupGateQ, prototypeGateQ, embedDimStatsQ, embedDimCovQ, sqQuantize, sqReport, bqQuantizeQ, bqSearchQ, bqRerankQ, embedNormalizeQ, hardNegativesQ, hardNegativesFanoutQ, hardNegativesFanoutGateQ)
+    simCosineTopK, simIpTopK, simJoinThreshold, lshCosineGateQ, lshL2GateQ, ivfGateQ, pqGateQ, semdedupGateQ, prototypeGateQ, embedDimStatsQ, embedDimCovQ, sqQuantize, sqReport, bqQuantizeQ, bqSearchQ, bqRerankQ, embedNormalizeQ, hardNegativesQ, hardNegativesFanoutQ, hardNegativesFanoutGateQ, embedKmeansQ, embedKmeansStatsQ, clusterSampleBalancedQ)
 
   // ---- similarity -----------------------------------------------------------
 
@@ -319,5 +319,81 @@ private[graft] object RegistryVector {
              LEAST(5, (SELECT count(*) FROM embeddings x WHERE x.label <> e.label))::BIGINT AS overlap
       FROM embeddings e WHERE e.vec_id < 10 ORDER BY query_id
     """.trim))
+
+  // ---- k-means clustering ---------------------------------------------------
+
+  /** Unrolled Lloyd's k-means as DuckDB CTEs, mirroring
+    * [[Clustering.kmeansAssignOf]] step for step: exact 1e6-quantized long
+    * coordinates, init = k lowest vec_ids, argmin ties to the lowest
+    * cluster id, per-dim floor(sum/count) centroid update, empty clusters
+    * keep their previous row. `finalSelect` reads the last assignment CTE
+    * a{iters-1} (vec_id, cid, dist). */
+  private def kmeansSql(k: Int, iters: Int, finalSelect: String): String = {
+    val sb = new StringBuilder
+    sb ++= s"""
+      WITH e AS (
+        SELECT vec_id,
+               list_transform(embedding,
+                 v -> CAST(floor(CAST(v AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)) AS q
+        FROM embeddings
+      ),
+      c0 AS (
+        SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cid, q AS c
+        FROM (SELECT vec_id, q FROM e ORDER BY vec_id LIMIT $k) t
+      )"""
+    for (t <- 0 until iters) {
+      sb ++= s""",
+      d$t AS (
+        SELECT e.vec_id, c$t.cid,
+               CAST(list_sum(list_transform(range(1, len(e.q) + 1),
+                    i -> (e.q[i] - c$t.c[i]) * (e.q[i] - c$t.c[i]))) AS BIGINT) AS dist
+        FROM e CROSS JOIN c$t
+      ),
+      a$t AS (
+        SELECT vec_id, cid, dist FROM (
+          SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn FROM d$t
+        ) r WHERE rn = 1
+      )"""
+      if (t < iters - 1) sb ++= s""",
+      u$t AS (
+        SELECT a$t.cid, r.i,
+               CAST(floor(CAST(SUM(e.q[r.i]) AS DOUBLE) / COUNT(*)) AS BIGINT) AS m
+        FROM a$t JOIN e USING (vec_id), unnest(range(1, len(e.q) + 1)) AS r(i)
+        GROUP BY a$t.cid, r.i
+      ),
+      c${t + 1} AS (
+        SELECT c$t.cid, COALESCE(n.c, c$t.c) AS c
+        FROM c$t LEFT JOIN
+          (SELECT cid, list(m ORDER BY i) AS c FROM u$t GROUP BY cid) n USING (cid)
+      )"""
+    }
+    sb ++= "\n      " + finalSelect
+    sb.toString.trim
+  }
+
+  private val embedKmeansQ: (String, QFn, Option[String]) = (
+    "embed_kmeans",
+    (s, d) => Clustering.kmeansAssign(s, d),
+    Some(kmeansSql(8, 2,
+      "SELECT vec_id, cid AS cluster, dist FROM a1 ORDER BY vec_id")))
+
+  private val embedKmeansStatsQ: (String, QFn, Option[String]) = (
+    "embed_kmeans_stats",
+    (s, d) => Clustering.kmeansStats(s, d),
+    Some(kmeansSql(8, 2,
+      """SELECT cid AS cluster, COUNT(*)::BIGINT AS n, CAST(SUM(dist) AS BIGINT) AS inertia,
+               MIN(dist) AS min_dist, MAX(dist) AS max_dist
+         FROM a1 GROUP BY cid ORDER BY cluster""")))
+
+  private val clusterSampleBalancedQ: (String, QFn, Option[String]) = (
+    "cluster_sample_balanced",
+    (s, d) => Clustering.clusterBalancedSample(s, d),
+    Some(kmeansSql(8, 2,
+      """SELECT vec_id, cluster, rn FROM (
+           SELECT vec_id, cid AS cluster,
+                  CAST(row_number() OVER (PARTITION BY cid
+                       ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS BIGINT) AS rn
+           FROM a1) s
+         WHERE rn <= 40 ORDER BY vec_id""")))
 
 }

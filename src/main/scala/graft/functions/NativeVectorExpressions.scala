@@ -76,6 +76,52 @@ case class DotProduct(left: Expression, right: Expression) extends VectorFold {
   override def prettyName: String = "dot_native"
 }
 
+/** Σ (aᵢ−bᵢ)² over two array<bigint> columns, in EXACT long arithmetic —
+  * the distance kernel of the integer-quantized k-means ([[graft.operators
+  * .Clustering]]). Integer math is what makes the fixpoint bit-identical
+  * across engines and partitionings (the same reason the pagerank loop is
+  * integer): no float summation order to disagree on. Magnitude contract:
+  * callers quantize coordinates so that dim · maxDiff² < 2⁶³ (1e6-scaled
+  * unit-range embeddings at dim 64 peak near 8·10¹³). */
+case class L2SquaredLong(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val x = l.asInstanceOf[ArrayData]
+    val y = r.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0L
+    var i = 0
+    while (i < n) {
+      val d = x.getLong(i) - y.getLong(i)
+      s += d * d
+      i += 1
+    }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
+      val d = ctx.freshName("d")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |long $s = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  long $d = $a.getLong($i) - $b.getLong($i);
+         |  $s += $d * $d;
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+  override def prettyName: String = "l2sq_long_native"
+}
+
 /** Session registration + Column factories (the public surface). Uses the
   * FunctionRegistry + call_function so no private Spark API is touched. */
 object NativeVectorFunctions {
@@ -87,6 +133,8 @@ object NativeVectorFunctions {
         "l2sq_native", exprs => L2Squared(exprs.head, exprs(1)), "scala_udf")
       spark.sessionState.functionRegistry.createOrReplaceTempFunction(
         "dot_native", exprs => DotProduct(exprs.head, exprs(1)), "scala_udf")
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "l2sq_long_native", exprs => L2SquaredLong(exprs.head, exprs(1)), "scala_udf")
       registered += spark
     }
   }
@@ -104,6 +152,12 @@ object NativeVectorFunctions {
   def dotNative(spark: SparkSession, a: Column, b: Column): Column = {
     register(spark)
     call_function("dot_native", a.cast("array<float>"), b.cast("array<float>"))
+  }
+
+  /** Codegen'd exact-long squared L2 over array<bigint> columns. */
+  def l2sqLongNative(spark: SparkSession, a: Column, b: Column): Column = {
+    register(spark)
+    call_function("l2sq_long_native", a.cast("array<bigint>"), b.cast("array<bigint>"))
   }
 
   def normNative(spark: SparkSession, a: Column): Column =

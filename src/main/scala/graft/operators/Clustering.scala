@@ -1,0 +1,137 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.functions.NativeVectorFunctions.l2sqLongNative
+
+/** Distributed Lloyd's k-means over the embeddings table — the clustering
+  * stage of an embedding-driven curation pipeline (cluster-balanced
+  * sampling, per-cluster quotas, diversity-aware pruning; the same family
+  * as the SemDeDup coarse quantizer in [[Similarity]], but as a
+  * user-facing, oracle-checked operator rather than an internal bucketer).
+  *
+  * Cross-engine determinism contract (what makes the DuckDB oracle a hash
+  * match, same playbook as the integer pagerank in [[Dedup]]):
+  *   - coordinates quantized to exact longs: floor(x·1e6 + 0.5) — float
+  *     summation order can never disagree because there are no floats;
+  *   - init = the k lowest vec_ids, cluster ids 0..k-1 in vec_id order;
+  *   - assignment = exact long squared-L2 argmin, ties to the lowest
+  *     cluster id;
+  *   - centroid update = per-dimension floor(sum / count) in exact
+  *     arithmetic (sums of 1e6-scaled unit-range coords stay far below
+  *     2⁵³, so the double division is exact and floors identically
+  *     everywhere);
+  *   - a cluster that loses all members keeps its previous centroid.
+  *
+  * Scale posture: each Lloyd iteration is ONE scan of the corpus — the
+  * centroids (k·dim longs) broadcast as literals into a codegen'd
+  * [[graft.functions.L2SquaredLong]] argmin, and the update aggregates
+  * k·dim partial sums via posexplode + map-side combine, so the shuffle per
+  * iteration is k·dim rows per task regardless of corpus size. The driver
+  * holds only the k·dim centroid matrix. At 1000 executors over 100 TB the
+  * pattern is unchanged: iterations cost one pruned columnar scan each,
+  * and nothing corpus-sized ever converges on one node.
+  */
+object Clustering {
+
+  /** floor(x·1e6 + 0.5) as BIGINT — the same quantizer the vector oracles
+    * use, expressed identically in Spark and DuckDB SQL. */
+  private def quantizeExpr(colName: String) =
+    expr(s"transform($colName, v -> CAST(floor(CAST(v AS DOUBLE) * 1000000.0 + 0.5d) AS BIGINT))")
+
+  /** The quantized (vec_id, q) frame. */
+  private def quantized(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .select(col("vec_id"), quantizeExpr("embedding").as("q"))
+
+  /** Run `iters` Lloyd iterations; returns the final assignment frame
+    * (vec_id, cluster, dist) with dist the exact long squared distance.
+    *
+    * The loop is driver-coordinated but never driver-sized: per iteration
+    * the driver receives exactly k·dim (cluster, pos, sum, count) cells.
+    */
+  private[graft] def kmeansAssignOf(spark: SparkSession, e0: DataFrame,
+      k: Int, iters: Int): DataFrame = {
+    val e = e0.cache()
+    try {
+      // init: embeddings of the k lowest vec_ids, cid = order position
+      var centroids: Array[Array[Long]] = e.orderBy(col("vec_id")).limit(k)
+        .select(col("q")).collect()
+        .map(_.getSeq[Long](0).toArray)
+
+      def assignFrame(): DataFrame = {
+        val cands = centroids.zipWithIndex.map { case (c, i) =>
+          struct(
+            l2sqLongNative(spark, col("q"), typedLit(c.toSeq)).as("d"),
+            lit(i.toLong).as("c"))
+        }
+        // least() over (dist, cid) structs = argmin with ties to lowest cid
+        val best = if (cands.length == 1) cands.head else least(cands.toIndexedSeq: _*)
+        e.withColumn("best", best)
+          .select(col("vec_id"), col("q"),
+            col("best.c").as("cluster"), col("best.d").as("dist"))
+      }
+
+      var it = 0
+      while (it < iters) {
+        val assigned = assignFrame()
+        if (it < iters - 1) {
+          // centroid update: k·dim bounded aggregate, map-side combined
+          val cells = assigned
+            .select(col("cluster"), posexplode(col("q")).as(Seq("pos", "v")))
+            .groupBy(col("cluster"), col("pos"))
+            .agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
+            .collect()
+          val next = centroids.map(_.clone())
+          cells.foreach { r =>
+            val cid = r.getLong(0).toInt
+            val pos = r.getInt(1)
+            next(cid)(pos) = math.floor(r.getLong(2).toDouble / r.getLong(3).toDouble).toLong
+          }
+          centroids = next // clusters with no members kept their previous row
+        }
+        it += 1
+      }
+      assignFrame().select(col("vec_id"), col("cluster"), col("dist"))
+        .orderBy(col("vec_id"))
+    } finally e.unpersist()
+  }
+
+  /** Registered `embed_kmeans`: final assignment (vec_id, cluster, dist). */
+  def kmeansAssign(spark: SparkSession, dir: String, k: Int = 8,
+      iters: Int = 2): DataFrame =
+    kmeansAssignOf(spark, quantized(spark, dir), k, iters)
+
+  /** Registered `embed_kmeans_stats`: per-cluster size + exact inertia +
+    * tightest/loosest member — the frame a curation run reads to set
+    * per-cluster quotas. */
+  def kmeansStats(spark: SparkSession, dir: String, k: Int = 8,
+      iters: Int = 2): DataFrame =
+    kmeansAssign(spark, dir, k, iters)
+      .groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("dist")).as("inertia"),
+        min(col("dist")).as("min_dist"),
+        max(col("dist")).as("max_dist"))
+      .orderBy(col("cluster"))
+
+  /** Registered `cluster_sample_balanced`: at most `perCluster` members per
+    * k-means cluster, chosen by deterministic id-hash order (md5 of the
+    * vec_id string, ties to vec_id) — the cluster-balanced diversity
+    * sample: dominant blobs are capped, tail clusters survive whole.
+    * Scale: one window shuffle partitioned BY CLUSTER (bounded key count),
+    * rows already projected to three columns. */
+  def clusterBalancedSample(spark: SparkSession, dir: String, k: Int = 8,
+      iters: Int = 2, perCluster: Int = 40): DataFrame = {
+    val w = Window.partitionBy(col("cluster"))
+      .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+    kmeansAssign(spark, dir, k, iters)
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .where(col("rn") <= perCluster)
+      .select(col("vec_id"), col("cluster"), col("rn"))
+      .orderBy(col("vec_id"))
+  }
+}
