@@ -39,7 +39,7 @@ object Clustering {
 
   /** floor(x·1e6 + 0.5) as BIGINT — the same quantizer the vector oracles
     * use, expressed identically in Spark and DuckDB SQL. */
-  private def quantizeExpr(colName: String) =
+  private[graft] def quantizeExpr(colName: String) =
     expr(s"transform($colName, v -> CAST(floor(CAST(v AS DOUBLE) * 1000000.0 + 0.5d) AS BIGINT))")
 
   /** The quantized (vec_id, q) frame. */
@@ -47,57 +47,79 @@ object Clustering {
     Tables.embeddings(spark, dir)
       .select(col("vec_id"), quantizeExpr("embedding").as("q"))
 
-  /** Run `iters` Lloyd iterations; returns the final assignment frame
-    * (vec_id, cluster, dist) with dist the exact long squared distance.
-    *
-    * The loop is driver-coordinated but never driver-sized: per iteration
-    * the driver receives exactly k·dim (cluster, pos, sum, count) cells.
-    */
+  /** The best-centroid struct (d = exact long squared distance, c = cluster
+    * id) for a quantized `q` column against broadcast centroid literals —
+    * least() over (dist, cid) structs = argmin with ties to the lowest
+    * cluster id. Stateless and codegen'd, so the SAME expression serves the
+    * batch Lloyd loop and the streaming ingest-side assignment. */
+  private[graft] def bestCentroidExpr(spark: SparkSession, qCol: org.apache.spark.sql.Column,
+      centroids: Array[Array[Long]]): org.apache.spark.sql.Column = {
+    val cands = centroids.zipWithIndex.map { case (c, i) =>
+      struct(
+        l2sqLongNative(spark, qCol, typedLit(c.toSeq)).as("d"),
+        lit(i.toLong).as("c"))
+    }
+    if (cands.length == 1) cands.head else least(scala.collection.immutable.ArraySeq.unsafeWrapArray(cands): _*)
+  }
+
+  /** Assign every row of a (vec_id, q) frame — batch OR streaming — to its
+    * nearest centroid: (vec_id, q, cluster, dist). */
+  private[graft] def assignToCentroids(spark: SparkSession, e: DataFrame,
+      centroids: Array[Array[Long]]): DataFrame =
+    e.withColumn("best", bestCentroidExpr(spark, col("q"), centroids))
+      .select(col("vec_id"), col("q"),
+        col("best.c").as("cluster"), col("best.d").as("dist"))
+
+  /** Fit centroids: init from the k lowest vec_ids, then `updates` Lloyd
+    * update rounds. The loop is driver-coordinated but never driver-sized:
+    * per round the driver receives exactly k·dim (cluster, pos, sum, count)
+    * cells. Callers cache `e0` across the rounds. */
+  private[graft] def kmeansFit(spark: SparkSession, e0: DataFrame,
+      k: Int, updates: Int): Array[Array[Long]] = {
+    var centroids: Array[Array[Long]] = e0.orderBy(col("vec_id")).limit(k)
+      .select(col("q")).collect()
+      .map(_.getSeq[Long](0).toArray)
+    var it = 0
+    while (it < updates) {
+      // centroid update: k·dim bounded aggregate, map-side combined
+      val cells = assignToCentroids(spark, e0, centroids)
+        .select(col("cluster"), posexplode(col("q")).as(Seq("pos", "v")))
+        .groupBy(col("cluster"), col("pos"))
+        .agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
+        .collect()
+      val next = centroids.map(_.clone())
+      cells.foreach { r =>
+        val cid = r.getLong(0).toInt
+        val pos = r.getInt(1)
+        next(cid)(pos) = math.floor(r.getLong(2).toDouble / r.getLong(3).toDouble).toLong
+      }
+      centroids = next // clusters with no members kept their previous row
+      it += 1
+    }
+    centroids
+  }
+
+  /** Run `iters` Lloyd iterations (= iters assignments, iters−1 updates);
+    * returns the final assignment frame (vec_id, cluster, dist). */
   private[graft] def kmeansAssignOf(spark: SparkSession, e0: DataFrame,
       k: Int, iters: Int): DataFrame = {
     val e = e0.cache()
     try {
-      // init: embeddings of the k lowest vec_ids, cid = order position
-      var centroids: Array[Array[Long]] = e.orderBy(col("vec_id")).limit(k)
-        .select(col("q")).collect()
-        .map(_.getSeq[Long](0).toArray)
-
-      def assignFrame(): DataFrame = {
-        val cands = centroids.zipWithIndex.map { case (c, i) =>
-          struct(
-            l2sqLongNative(spark, col("q"), typedLit(c.toSeq)).as("d"),
-            lit(i.toLong).as("c"))
-        }
-        // least() over (dist, cid) structs = argmin with ties to lowest cid
-        val best = if (cands.length == 1) cands.head else least(cands.toIndexedSeq: _*)
-        e.withColumn("best", best)
-          .select(col("vec_id"), col("q"),
-            col("best.c").as("cluster"), col("best.d").as("dist"))
-      }
-
-      var it = 0
-      while (it < iters) {
-        val assigned = assignFrame()
-        if (it < iters - 1) {
-          // centroid update: k·dim bounded aggregate, map-side combined
-          val cells = assigned
-            .select(col("cluster"), posexplode(col("q")).as(Seq("pos", "v")))
-            .groupBy(col("cluster"), col("pos"))
-            .agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
-            .collect()
-          val next = centroids.map(_.clone())
-          cells.foreach { r =>
-            val cid = r.getLong(0).toInt
-            val pos = r.getInt(1)
-            next(cid)(pos) = math.floor(r.getLong(2).toDouble / r.getLong(3).toDouble).toLong
-          }
-          centroids = next // clusters with no members kept their previous row
-        }
-        it += 1
-      }
-      assignFrame().select(col("vec_id"), col("cluster"), col("dist"))
+      val centroids = kmeansFit(spark, e, k, updates = iters - 1)
+      assignToCentroids(spark, e, centroids)
+        .select(col("vec_id"), col("cluster"), col("dist"))
         .orderBy(col("vec_id"))
     } finally e.unpersist()
+  }
+
+  /** Fit on the embeddings table and return the centroid matrix — the
+    * model hand-off to serving-side assignment (streaming ingest, new
+    * daily batches) without rerunning Lloyd. Same recurrence as
+    * [[kmeansAssign]]: `iters` iterations = `iters − 1` update rounds. */
+  def kmeansFitTable(spark: SparkSession, dir: String, k: Int = 8,
+      iters: Int = 2): Array[Array[Long]] = {
+    val e = quantized(spark, dir).cache()
+    try kmeansFit(spark, e, k, updates = iters - 1) finally e.unpersist()
   }
 
   /** Registered `embed_kmeans`: final assignment (vec_id, cluster, dist). */

@@ -12,6 +12,9 @@ case class Event(event_id: Long, ts: Timestamp, user_id: Long, event_type: Strin
 /** One arriving document (streaming-ingest twin of the `documents` table). */
 case class Doc(doc_id: Long, ts: Timestamp, text: String)
 
+/** An arriving embedding row (the streaming-ingest vector shape). */
+case class EmbRow(vec_id: Long, ts: Timestamp, embedding: Array[Float])
+
 /** Closed user session emitted by the stateful sessionizer. */
 case class Session(user_id: Long, start_ts: Timestamp, end_ts: Timestamp, n_events: Long, sum_value: Double)
 
@@ -264,6 +267,27 @@ object StreamingOps {
       .select(col("doc_id"), col("ts"), col("content_hash"),
         coalesce(col("dup_of"), lit(-1L)).as("dup_of"),
         col("dup_of").isNotNull.cast("int").as("is_dup"))
+  }
+
+  /** Ingest-side cluster assignment — the streaming serve half of the
+    * batch integer k-means ([[graft.operators.Clustering]]): arriving
+    * (vec_id, ts, embedding) rows score against a FIXED fitted centroid
+    * matrix (from `Clustering.kmeansFitTable`) through the SAME quantizer
+    * and codegen'd exact-long argmin expression the batch loop uses, so
+    * stream and batch assignments are bit-identical (spec-asserted).
+    * Stateless narrow projection — no watermark or state store; routing
+    * arriving embeddings to cluster-keyed sinks/quotas composes downstream.
+    */
+  def streamingClusterAssign(emb: DataFrame,
+      centroids: Array[Array[Long]]): DataFrame = {
+    val spark = emb.sparkSession
+    emb
+      .select(col("vec_id").cast("long").as("vec_id"), col("ts"),
+        graft.operators.Clustering.quantizeExpr("embedding").as("q"))
+      .withColumn("best",
+        graft.operators.Clustering.bestCentroidExpr(spark, col("q"), centroids))
+      .select(col("vec_id"), col("ts"),
+        col("best.c").as("cluster"), col("best.d").as("dist"))
   }
 
   /** Streaming corpus quality filter — the ingestion-side twin of the

@@ -169,6 +169,34 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming cluster assignment is bit-identical to the batch k-means assignment") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    // batch: fit + assign on the embeddings table
+    val centroids = graft.operators.Clustering.kmeansFitTable(spark, dir, k = 4, iters = 2)
+    val batch = graft.operators.Clustering.kmeansAssign(spark, dir, k = 4, iters = 2)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // stream: the same rows arrive as embedding events, scored against the
+    // fitted centroid matrix
+    val rows = graft.core.Tables.embeddings(spark, dir)
+      .select("vec_id", "embedding").as[(Long, Array[Float])].collect()
+    val input = MemoryStream[EmbRow]
+    val q = StreamingOps.streamingClusterAssign(input.toDF(), centroids)
+      .writeStream.format("memory").queryName("clusterassign_out")
+      .outputMode("append").start()
+    try {
+      val (first, rest) = rows.splitAt(rows.length / 2)
+      input.addData(first.map { case (id, v) => EmbRow(id, ts(60 + (id % 5).toInt), v) }.toSeq)
+      q.processAllAvailable()
+      input.addData(rest.map { case (id, v) => EmbRow(id, ts(70 + (id % 5).toInt), v) }.toSeq)
+      q.processAllAvailable()
+      val got = spark.table("clusterassign_out").collect()
+        .map(r => r.getAs[Long]("vec_id") -> (r.getAs[Long]("cluster"), r.getAs[Long]("dist"))).toMap
+      assert(got == batch, s"stream/batch assignment drift: ${got.toSeq.sorted.take(5)}... vs ${batch.toSeq.sorted.take(5)}...")
+    } finally q.stop()
+  }
+
   test("streaming asof enriches purchases with the latest click state across batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
