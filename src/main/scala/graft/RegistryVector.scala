@@ -10,7 +10,7 @@ import graft.RegistrySqlParts._
 private[graft] object RegistryVector {
 
   private[graft] def entries: Seq[(String, QFn, Option[String])] = Seq(
-    simCosineTopK, simIpTopK, simJoinThreshold, lshCosineGateQ, lshL2GateQ, ivfGateQ, pqGateQ, semdedupGateQ, prototypeGateQ, embedDimStatsQ, embedDimCovQ, sqQuantize, sqReport, bqQuantizeQ, bqSearchQ, bqRerankQ, embedNormalizeQ, hardNegativesQ, hardNegativesFanoutQ, hardNegativesFanoutGateQ, embedKmeansQ, embedKmeansStatsQ, clusterSampleBalancedQ)
+    simCosineTopK, simIpTopK, simJoinThreshold, lshCosineGateQ, lshL2GateQ, ivfGateQ, pqGateQ, semdedupGateQ, prototypeGateQ, embedDimStatsQ, embedDimCovQ, sqQuantize, sqReport, bqQuantizeQ, bqSearchQ, bqRerankQ, embedNormalizeQ, hardNegativesQ, hardNegativesFanoutQ, hardNegativesFanoutGateQ, embedKmeansQ, embedKmeansStatsQ, clusterSampleBalancedQ, clusterSilhouetteQ)
 
   // ---- similarity -----------------------------------------------------------
 
@@ -395,5 +395,29 @@ private[graft] object RegistryVector {
                        ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS BIGINT) AS rn
            FROM a1) s
          WHERE rn <= 40 ORDER BY vec_id""")))
+
+  /** Simplified silhouette off the final iteration's full distance frame
+    * (d1 holds every (point, centroid) distance): a = rank-1 by (dist,cid),
+    * b = rank-2 — the same tie rule as assignment. */
+  private val clusterSilhouetteQ: (String, QFn, Option[String]) = (
+    "cluster_silhouette",
+    (s, d) => Clustering.kmeansSilhouette(s, d),
+    Some(kmeansSql(8, 2,
+      """, r AS (
+           SELECT vec_id, cid, dist,
+                  row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+           FROM d1
+         ),
+         sil AS (
+           SELECT f.vec_id, f.cid AS cluster,
+                  CASE WHEN g.dist = 0 THEN 0.0
+                       ELSE round(CAST(g.dist - f.dist AS DOUBLE) / CAST(g.dist AS DOUBLE), 4)
+                  END AS s
+           FROM (SELECT * FROM r WHERE rn = 1) f
+           JOIN (SELECT * FROM r WHERE rn = 2) g USING (vec_id)
+         )
+         SELECT cluster, COUNT(*)::BIGINT AS n,
+                round(CAST(SUM(CAST(s AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*), 4) AS mean_silhouette
+         FROM sil GROUP BY cluster ORDER BY cluster""")))
 
 }

@@ -140,6 +140,50 @@ object Clustering {
         max(col("dist")).as("max_dist"))
       .orderBy(col("cluster"))
 
+  /** Registered `cluster_silhouette`: per-cluster simplified silhouette —
+    * for each point, a = distance to its own centroid, b = distance to the
+    * nearest OTHER centroid, s = (b−a)/max(a,b) (0 when both are 0); the
+    * per-cluster mean of s is the separation/compactness QC metric a
+    * curation run reads before trusting cluster quotas.
+    *
+    * Determinism: a and b are exact longs (the sorted (dist,cid) struct
+    * array's first two elements — same tie rule as assignment); s is one
+    * IEEE double division of exact-in-double longs, rounded to 4 dp; the
+    * per-cluster mean sums the ROUNDED values as decimals (order-free)
+    * and divides once at the end. One corpus scan, k·dim literals, the
+    * same posture as assignment. */
+  def kmeansSilhouette(spark: SparkSession, dir: String, k: Int = 8,
+      iters: Int = 2): DataFrame = {
+    val e = quantized(spark, dir).cache()
+    try {
+      val centroids = kmeansFit(spark, e, k, updates = iters - 1)
+      val cands = centroids.zipWithIndex.map { case (c, i) =>
+        struct(
+          l2sqLongNative(spark, col("q"), typedLit(c.toSeq)).as("d"),
+          lit(i.toLong).as("c"))
+      }
+      val sorted = array_sort(array(
+        scala.collection.immutable.ArraySeq.unsafeWrapArray(cands): _*))
+      val perPoint = e
+        .withColumn("cand", sorted)
+        .select(col("vec_id"),
+          col("cand")(0).getField("c").as("cluster"),
+          col("cand")(0).getField("d").as("a"),
+          col("cand")(1).getField("d").as("b"))
+        .withColumn("s",
+          when(col("b") === 0L, lit(0.0)).otherwise(
+            round((col("b") - col("a")).cast("double") / col("b").cast("double"), 4)))
+      perPoint
+        .groupBy(col("cluster"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("s").cast("decimal(18,4)")).as("s_sum"))
+        .select(col("cluster"), col("n"),
+          round(col("s_sum").cast("double") / col("n").cast("double"), 4)
+            .as("mean_silhouette"))
+        .orderBy(col("cluster"))
+    } finally e.unpersist()
+  }
+
   /** Registered `cluster_sample_balanced`: at most `perCluster` members per
     * k-means cluster, chosen by deterministic id-hash order (md5 of the
     * vec_id string, ties to vec_id) — the cluster-balanced diversity
