@@ -10,7 +10,7 @@ import graft.RegistrySqlParts._
 private[graft] object RegistryVector {
 
   private[graft] def entries: Seq[(String, QFn, Option[String])] = Seq(
-    simCosineTopK, simIpTopK, simJoinThreshold, lshCosineGateQ, lshL2GateQ, ivfGateQ, pqGateQ, semdedupGateQ, prototypeGateQ, embedDimStatsQ, embedDimCovQ, sqQuantize, sqReport, bqQuantizeQ, bqSearchQ, bqRerankQ, embedNormalizeQ, hardNegativesQ, hardNegativesFanoutQ, hardNegativesFanoutGateQ, embedKmeansQ, embedKmeansStatsQ, clusterSampleBalancedQ, clusterSilhouetteQ)
+    simCosineTopK, simIpTopK, simJoinThreshold, lshCosineGateQ, lshL2GateQ, ivfGateQ, pqGateQ, semdedupGateQ, prototypeGateQ, embedDimStatsQ, embedDimCovQ, sqQuantize, sqReport, bqQuantizeQ, bqSearchQ, bqRerankQ, embedNormalizeQ, hardNegativesQ, hardNegativesFanoutQ, hardNegativesFanoutGateQ, embedKmeansQ, embedKmeansGreedyQ, embedKmeansStatsQ, clusterSampleBalancedQ, clusterSilhouetteQ)
 
   // ---- similarity -----------------------------------------------------------
 
@@ -328,7 +328,47 @@ private[graft] object RegistryVector {
     * cluster id, per-dim floor(sum/count) centroid update, empty clusters
     * keep their previous row. `finalSelect` reads the last assignment CTE
     * a{iters-1} (vec_id, cid, dist). */
-  private def kmeansSql(k: Int, iters: Int, finalSelect: String): String = {
+  /** c0 from the k lowest vec_ids (the naive deterministic init). */
+  private def naiveInitSql(k: Int): String = s"""
+      c0 AS (
+        SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cid, q AS c
+        FROM (SELECT vec_id, q FROM e ORDER BY vec_id LIMIT $k) t
+      )"""
+
+  /** c0 by deterministic farthest-point traversal over the bounded
+    * candidate set (vec_id < 4096, the semdedup sample convention):
+    * seed = lowest id; each step adds the candidate maximizing its min
+    * distance to the chosen set, ties to the lowest id; cid = selection
+    * order. Unrolled k−1 steps, exact long arithmetic throughout —
+    * replays [[Clustering.greedyInit]] bit for bit. */
+  private def greedyInitSql(k: Int): String = {
+    val sb = new StringBuilder
+    sb ++= """
+      cand AS (SELECT vec_id, q FROM e WHERE vec_id < 4096),
+      ch1 AS (SELECT CAST(0 AS BIGINT) AS ord, vec_id, q
+              FROM cand ORDER BY vec_id LIMIT 1)"""
+    for (t <- 1 until k) {
+      sb ++= s""",
+      p${t + 1} AS (
+        SELECT c.vec_id,
+               MIN(CAST(list_sum(list_transform(range(1, len(c.q) + 1),
+                    i -> (c.q[i] - ch.q[i]) * (c.q[i] - ch.q[i]))) AS BIGINT)) AS dmin
+        FROM cand c CROSS JOIN ch$t ch GROUP BY c.vec_id
+      ),
+      ch${t + 1} AS (
+        SELECT * FROM ch$t UNION ALL
+        SELECT CAST($t AS BIGINT) AS ord, c.vec_id, c.q
+        FROM cand c JOIN (SELECT vec_id FROM p${t + 1}
+                          ORDER BY dmin DESC, vec_id LIMIT 1) w USING (vec_id)
+      )"""
+    }
+    sb ++= s""",
+      c0 AS (SELECT ord AS cid, q AS c FROM ch$k)"""
+    sb.toString
+  }
+
+  private def kmeansSql(k: Int, iters: Int, finalSelect: String,
+      initSql: String = null): String = {
     val sb = new StringBuilder
     sb ++= s"""
       WITH e AS (
@@ -336,11 +376,8 @@ private[graft] object RegistryVector {
                list_transform(embedding,
                  v -> CAST(floor(CAST(v AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)) AS q
         FROM embeddings
-      ),
-      c0 AS (
-        SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cid, q AS c
-        FROM (SELECT vec_id, q FROM e ORDER BY vec_id LIMIT $k) t
-      )"""
+      ),"""
+    sb ++= (if (initSql == null) naiveInitSql(k) else initSql)
     for (t <- 0 until iters) {
       sb ++= s""",
       d$t AS (
@@ -376,6 +413,13 @@ private[graft] object RegistryVector {
     (s, d) => Clustering.kmeansAssign(s, d),
     Some(kmeansSql(8, 2,
       "SELECT vec_id, cid AS cluster, dist FROM a1 ORDER BY vec_id")))
+
+  private val embedKmeansGreedyQ: (String, QFn, Option[String]) = (
+    "embed_kmeans_greedy",
+    (s, d) => Clustering.kmeansAssignGreedy(s, d),
+    Some(kmeansSql(8, 2,
+      "SELECT vec_id, cid AS cluster, dist FROM a1 ORDER BY vec_id",
+      initSql = greedyInitSql(8))))
 
   private val embedKmeansStatsQ: (String, QFn, Option[String]) = (
     "embed_kmeans_stats",

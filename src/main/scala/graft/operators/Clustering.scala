@@ -75,10 +75,51 @@ object Clustering {
     * per round the driver receives exactly k·dim (cluster, pos, sum, count)
     * cells. Callers cache `e0` across the rounds. */
   private[graft] def kmeansFit(spark: SparkSession, e0: DataFrame,
-      k: Int, updates: Int): Array[Array[Long]] = {
-    var centroids: Array[Array[Long]] = e0.orderBy(col("vec_id")).limit(k)
-      .select(col("q")).collect()
-      .map(_.getSeq[Long](0).toArray)
+      k: Int, updates: Int): Array[Array[Long]] =
+    lloydUpdates(spark, e0,
+      e0.orderBy(col("vec_id")).limit(k)
+        .select(col("q")).collect()
+        .map(_.getSeq[Long](0).toArray),
+      updates)
+
+  /** Deterministic farthest-point init over the bounded candidate set
+    * (vec_id < 4096, the semdedup sample convention): seed = the lowest
+    * vec_id, then each step adds the candidate whose min distance to the
+    * already-chosen set is largest (exact long distances, ties to the
+    * lowest id). Unlike the k-lowest-ids init this cannot seed one dense
+    * blob k times, so Lloyd separates well-spread structure it would
+    * otherwise merge — the statistical-quality init at the same
+    * determinism contract; the DuckDB oracle replays the traversal. */
+  private[graft] def greedyInit(spark: SparkSession, e0: DataFrame,
+      k: Int): Array[Array[Long]] = {
+    val cand = e0.where(col("vec_id") < 4096).orderBy(col("vec_id"))
+      .select(col("vec_id"), col("q")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
+    require(cand.nonEmpty, "greedyInit: no candidates below the id cap")
+    val chosen = scala.collection.mutable.ArrayBuffer(cand.head)
+    while (chosen.size < k) {
+      var bestQ: Array[Long] = null
+      var bestD = -1L
+      cand.foreach { case (_, q) =>
+        var dmin = Long.MaxValue
+        chosen.foreach { case (_, cq) =>
+          var s = 0L
+          var i = 0
+          while (i < q.length) { val d = q(i) - cq(i); s += d * d; i += 1 }
+          if (s < dmin) dmin = s
+        }
+        if (dmin > bestD) { bestD = dmin; bestQ = q } // strict > = ties to lowest id
+      }
+      chosen += ((-1L, bestQ))
+    }
+    chosen.map(_._2).toArray
+  }
+
+  /** `rounds` Lloyd update rounds from the given centroids. */
+  private[graft] def lloydUpdates(spark: SparkSession, e0: DataFrame,
+      init: Array[Array[Long]], rounds: Int): Array[Array[Long]] = {
+    var centroids = init
+    val updates = rounds
     var it = 0
     while (it < updates) {
       // centroid update: k·dim bounded aggregate, map-side combined
@@ -106,6 +147,19 @@ object Clustering {
     val e = e0.cache()
     try {
       val centroids = kmeansFit(spark, e, k, updates = iters - 1)
+      assignToCentroids(spark, e, centroids)
+        .select(col("vec_id"), col("cluster"), col("dist"))
+        .orderBy(col("vec_id"))
+    } finally e.unpersist()
+  }
+
+  /** Registered `embed_kmeans_greedy`: [[greedyInit]] + Lloyd — the same
+    * recurrence as [[kmeansAssign]] from the farthest-point seeds. */
+  def kmeansAssignGreedy(spark: SparkSession, dir: String, k: Int = 8,
+      iters: Int = 2): DataFrame = {
+    val e = quantized(spark, dir).cache()
+    try {
+      val centroids = lloydUpdates(spark, e, greedyInit(spark, e, k), iters - 1)
       assignToCentroids(spark, e, centroids)
         .select(col("vec_id"), col("cluster"), col("dist"))
         .orderBy(col("vec_id"))

@@ -72,6 +72,34 @@ class ClusteringSpec extends AnyFunSuite {
     assert(got.find(_._1 == 2L).get._3 == 50L) // c0 = (5,5): 25 + 25
   }
 
+  test("greedy init separates blobs the lowest-ids init merges") {
+    // Adversarial id layout: ids 0..2 (the naive k=3 seeds) all sit in
+    // blob 0, and blobs 1/2 lie on the SAME side of the origin — the
+    // canonical stuck configuration: one drifting centroid captures the
+    // blob-1/2 midpoint and Lloyd can never un-merge them, while blob 0
+    // keeps two centroids. Farthest-point init seeds each blob once.
+    val rows =
+      (0L until 6L).map(i => (i, Seq(i * 3L, 7L - i))) ++                      // blob 0 near origin
+      (100L until 106L).map(i => (i, Seq(1000000L + i, i))) ++                 // blob 1
+      (200L until 206L).map(i => (i, Seq(1000000L + i, 300000L + i)))          // blob 2
+    def clustersOf(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val greedyC = Clustering.lloydUpdates(spark, frame(rows),
+      Clustering.greedyInit(spark, frame(rows), 3), rounds = 2)
+    val greedy = clustersOf(Clustering.assignToCentroids(spark, frame(rows), greedyC)
+      .select(col("vec_id"), col("cluster")))
+    def blobOf(id: Long): Int = if (id < 100) 0 else if (id < 200) 1 else 2
+    val byBlob = greedy.groupBy { case (id, _) => blobOf(id) }.map { case (b, m) => b -> m.values.toSet }
+    assert(byBlob.values.forall(_.size == 1) && byBlob.values.flatten.toSet.size == 3,
+      s"greedy init failed to separate the planted blobs: $byBlob")
+    // and the naive init really does merge two blobs on this layout —
+    // the failure mode greedy exists for
+    val naive = clustersOf(Clustering.kmeansAssignOf(spark, frame(rows), k = 3, iters = 3))
+    val naiveByBlob = naive.groupBy { case (id, _) => blobOf(id) }.map { case (b, m) => b -> m.values.toSet }
+    assert(!(naiveByBlob.values.forall(_.size == 1) && naiveByBlob.values.flatten.toSet.size == 3),
+      s"fixture no longer adversarial for the naive init: $naiveByBlob")
+  }
+
   test("kmeans assignment is bit-stable across partitionings") {
     val rows = (0L until 64L).map(i => (i, Seq(i * 37L % 101L, i * 53L % 89L, i % 7L)))
     val a = Clustering.kmeansAssignOf(spark, frame(rows).repartition(1), k = 4, iters = 2)
