@@ -10,7 +10,7 @@ import graft.RegistrySqlParts._
 private[graft] object RegistryVector {
 
   private[graft] def entries: Seq[(String, QFn, Option[String])] = Seq(
-    simCosineTopK, simIpTopK, simJoinThreshold, lshCosineGateQ, lshL2GateQ, ivfGateQ, pqGateQ, semdedupGateQ, prototypeGateQ, embedDimStatsQ, embedDimCovQ, sqQuantize, sqReport, bqQuantizeQ, bqSearchQ, bqRerankQ, embedNormalizeQ, hardNegativesQ, hardNegativesFanoutQ, hardNegativesFanoutGateQ, embedKmeansQ, embedKmeansGreedyQ, embedKmeansStatsQ, clusterSampleBalancedQ, clusterSilhouetteQ)
+    simCosineTopK, simIpTopK, simJoinThreshold, lshCosineGateQ, lshL2GateQ, ivfGateQ, pqGateQ, semdedupGateQ, prototypeGateQ, embedDimStatsQ, embedDimCovQ, sqQuantize, sqReport, bqQuantizeQ, bqSearchQ, bqRerankQ, embedNormalizeQ, hardNegativesQ, hardNegativesFanoutQ, hardNegativesFanoutGateQ, embedKmeansQ, embedKmeansGreedyQ, embedKmeansStatsQ, clusterSampleBalancedQ, clusterSilhouetteQ, clusterCuratedDocsQ)
 
   // ---- similarity -----------------------------------------------------------
 
@@ -463,5 +463,33 @@ private[graft] object RegistryVector {
          SELECT cluster, COUNT(*)::BIGINT AS n,
                 round(CAST(SUM(CAST(s AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*), 4) AS mean_silhouette
          FROM sil GROUP BY cluster ORDER BY cluster""")))
+
+  /** Cross-modal curation: k-means diversity × textStats quality — the
+    * top-30-by-quality docs of each embedding cluster (ties to doc_id;
+    * quality_score is the textStats oracle's own formula verbatim). */
+  private val clusterCuratedDocsQ: (String, QFn, Option[String]) = (
+    "cluster_curated_docs",
+    (s, d) => Clustering.clusterCuratedDocs(s, d),
+    Some(kmeansSql(8, 2,
+      s""", tk AS ($toksCte),
+         qual AS (
+           SELECT doc_id,
+                  round(least(len(toks)::DOUBLE / 100.0, 1.0) * 0.6 +
+                        (1.0 - (len(text) - len(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g')))::DOUBLE / len(text)) * 0.2 +
+                        least(len(list_filter(toks, x -> list_contains($stopwordsList, x)))::DOUBLE / len(toks) * 5.0, 1.0) * 0.2,
+                        4) AS quality_score
+           FROM tk
+         ),
+         jq AS (
+           SELECT a1.vec_id AS doc_id, a1.cid AS cluster, q.quality_score
+           FROM a1 JOIN qual q ON q.doc_id = a1.vec_id
+         ),
+         rr AS (
+           SELECT *, CAST(row_number() OVER (PARTITION BY cluster
+                ORDER BY quality_score DESC, doc_id) AS BIGINT) AS rank
+           FROM jq
+         )
+         SELECT doc_id, cluster, rank, quality_score
+         FROM rr WHERE rank <= 30 ORDER BY doc_id""")))
 
 }

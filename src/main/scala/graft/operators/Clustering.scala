@@ -194,6 +194,39 @@ object Clustering {
         max(col("dist")).as("max_dist"))
       .orderBy(col("cluster"))
 
+  /** Registered `cluster_curated_docs` — the cross-modal curation
+    * composition: embedding-space diversity (k-means clusters over the
+    * embeddings table) × text-space quality (the shared
+    * [[TextAnalysis.textStats]] score) → the `perCluster` highest-quality
+    * docs of EACH cluster (quality desc, ties to doc_id). The "keep
+    * diverse AND good" cut a training-data run makes, in one query.
+    *
+    * Scale: one id-keyed equi-join (vec_id = doc_id, both corpus-sized,
+    * shuffle on the join key) and a bounded [[graft.functions
+    * .TopKAggregator]] heap per cluster — perCluster rows per partition
+    * per cluster cross the shuffle, never a corpus-wide rank window. */
+  def clusterCuratedDocs(spark: SparkSession, dir: String, k: Int = 8,
+      iters: Int = 2, perCluster: Int = 30): DataFrame = {
+    import spark.implicits._
+    import graft.functions.{Scored, TopKAggregator}
+    val assigned = kmeansAssign(spark, dir, k, iters)
+      .select(col("vec_id").as("doc_id"), col("cluster"))
+    val quality = TextAnalysis.textStats(spark, dir)
+      .select(col("doc_id"), col("quality_score"))
+    assigned.join(quality, "doc_id")
+      .select(col("cluster"), (-col("quality_score")).as("dist"), col("doc_id").as("id"))
+      .as[(Long, Double, Long)]
+      .groupByKey(_._1)
+      .mapValues { case (_, d, id) => Scored(d, id) }
+      .agg(new TopKAggregator(perCluster).toColumn.name("topk"))
+      .toDF("cluster", "topk")
+      .select(col("cluster"), posexplode(col("topk")).as(Seq("r", "s")))
+      .select(col("s.id").as("doc_id"), col("cluster"),
+        (col("r") + 1).cast("long").as("rank"),
+        (-col("s.dist")).as("quality_score"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Registered `cluster_silhouette`: per-cluster simplified silhouette —
     * for each point, a = distance to its own centroid, b = distance to the
     * nearest OTHER centroid, s = (b−a)/max(a,b) (0 when both are 0); the
