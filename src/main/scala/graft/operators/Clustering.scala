@@ -166,6 +166,26 @@ object Clustering {
     } finally e.unpersist()
   }
 
+  /** Persist a fitted centroid matrix as parquet (cluster, centroid) —
+    * the model hand-off ACROSS jobs: a nightly fit writes it once, any
+    * number of downstream assign/curate/streaming-ingest jobs load it.
+    * Same lifecycle shape as the Vamana index save/load. */
+  def saveModel(spark: SparkSession, path: String,
+      centroids: Array[Array[Long]]): Unit = {
+    import spark.implicits._
+    centroids.zipWithIndex
+      .map { case (c, i) => (i.toLong, c.toSeq) }.toSeq
+      .toDF("cluster", "centroid")
+      .repartition(1)
+      .write.mode("overwrite").parquet(path)
+  }
+
+  /** Load a centroid matrix persisted by [[saveModel]] (cluster order). */
+  def loadModel(spark: SparkSession, path: String): Array[Array[Long]] =
+    spark.read.parquet(path).orderBy(col("cluster"))
+      .select(col("centroid")).collect()
+      .map(_.getSeq[Long](0).toArray)
+
   /** Fit on the embeddings table and return the centroid matrix — the
     * model hand-off to serving-side assignment (streaming ingest, new
     * daily batches) without rerunning Lloyd. Same recurrence as

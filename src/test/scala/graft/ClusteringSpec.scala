@@ -100,6 +100,17 @@ class ClusteringSpec extends AnyFunSuite {
       s"fixture no longer adversarial for the naive init: $naiveByBlob")
   }
 
+  test("kmeans model save/load roundtrips the centroid matrix exactly") {
+    val dir = "/root/testdata/sf0.001"
+    val fitted = Clustering.kmeansFitTable(spark, dir, k = 4, iters = 2)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_kmmodel").toString
+    Clustering.saveModel(spark, s"$tmp/model", fitted)
+    val loaded = Clustering.loadModel(spark, s"$tmp/model")
+    assert(loaded.length == fitted.length &&
+      loaded.zip(fitted).forall { case (a, b) => a.sameElements(b) },
+      "centroid matrix changed across save/load")
+  }
+
   test("kmeans assignment is bit-stable across partitionings") {
     val rows = (0L until 64L).map(i => (i, Seq(i * 37L % 101L, i * 53L % 89L, i % 7L)))
     val a = Clustering.kmeansAssignOf(spark, frame(rows).repartition(1), k = 4, iters = 2)
