@@ -10,7 +10,7 @@ import graft.RegistrySqlParts._
 private[graft] object RegistryVector {
 
   private[graft] def entries: Seq[(String, QFn, Option[String])] = Seq(
-    simCosineTopK, simIpTopK, simJoinThreshold, lshCosineGateQ, lshL2GateQ, ivfGateQ, pqGateQ, semdedupGateQ, prototypeGateQ, embedDimStatsQ, embedDimCovQ, sqQuantize, sqReport, bqQuantizeQ, bqSearchQ, bqRerankQ, embedNormalizeQ, hardNegativesQ, hardNegativesFanoutQ, hardNegativesFanoutGateQ, embedKmeansQ, embedKmeansGreedyQ, embedKmeansStatsQ, clusterSampleBalancedQ, clusterSilhouetteQ, clusterCuratedDocsQ)
+    simCosineTopK, simIpTopK, simJoinThreshold, lshCosineGateQ, lshL2GateQ, ivfGateQ, pqGateQ, semdedupGateQ, prototypeGateQ, embedDimStatsQ, embedDimCovQ, sqQuantize, sqReport, bqQuantizeQ, bqSearchQ, bqRerankQ, embedNormalizeQ, hardNegativesQ, hardNegativesFanoutQ, hardNegativesFanoutGateQ, embedKmeansQ, embedKmeansGreedyQ, embedKmeansStatsQ, clusterSampleBalancedQ, clusterSilhouetteQ, clusterCuratedDocsQ, splitDriftQ)
 
   // ---- similarity -----------------------------------------------------------
 
@@ -491,5 +491,39 @@ private[graft] object RegistryVector {
          )
          SELECT doc_id, cluster, rank, quality_score
          FROM rr WHERE rank <= 30 ORDER BY doc_id""")))
+
+  /** Split-wise per-dim mean drift: the splitAssign hash rule + the shared
+    * half-up micro quantizer, floor-div means, max pairwise |diff|. */
+  private val splitDriftQ: (String, QFn, Option[String]) = (
+    "split_drift",
+    (s, d) => Similarity.splitDrift(s, d),
+    Some("""
+      WITH e AS (
+        SELECT list_transform(embedding,
+                 v -> CAST(floor(CAST(v AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)) AS q,
+               CASE WHEN b < 98 THEN 'train' WHEN b = 98 THEN 'val' ELSE 'test' END AS split
+        FROM (SELECT vec_id, embedding,
+                ('0x' || substr(md5(vec_id::VARCHAR), 1, 15))::BIGINT % 100 AS b
+              FROM embeddings)
+      ),
+      cells AS (
+        SELECT split, r.i AS dim,
+               CAST(floor(CAST(SUM(q[r.i + 1]) AS DOUBLE) / COUNT(*)) AS BIGINT) AS mean_q
+        FROM e, unnest(range(0, len(q))) AS r(i)
+        GROUP BY split, r.i
+      ),
+      p AS (
+        SELECT dim,
+               MAX(CASE WHEN split = 'train' THEN mean_q END) AS mean_train,
+               MAX(CASE WHEN split = 'val' THEN mean_q END) AS mean_val,
+               MAX(CASE WHEN split = 'test' THEN mean_q END) AS mean_test
+        FROM cells GROUP BY dim
+      )
+      SELECT dim, mean_train, mean_val, mean_test,
+             greatest(abs(coalesce(mean_train, 0) - coalesce(mean_val, 0)),
+                      abs(coalesce(mean_train, 0) - coalesce(mean_test, 0)),
+                      abs(coalesce(mean_val, 0) - coalesce(mean_test, 0))) AS max_drift
+      FROM p ORDER BY dim
+    """.trim))
 
 }

@@ -210,6 +210,38 @@ object Similarity {
       .orderBy(col("pos"))
   }
 
+  /** Per-dimension mean drift across the deterministic train/val/test
+    * holdouts — the distribution-shift check a release runs before
+    * trusting its eval numbers: the same 60-bit id-hash split rule as
+    * [[CorpusPipeline.splitAssign]] (embedding ids align with doc ids),
+    * per-(split, dim) exact micro-unit means (floor(sum/count) of the
+    * shared half-up quantizer), pivoted to one row per dim with the max
+    * pairwise absolute drift. A large max_drift on any dim = the holdout
+    * is not exchangeable with train on that feature. One explode + one
+    * keyed aggregation (3·dim cells after map-side combine), join-free. */
+  def splitDrift(spark: SparkSession, dir: String): DataFrame = {
+    val bucket = conv(substring(md5(col("vec_id").cast("string")), 1, 15), 16, 10)
+      .cast("long") % 100
+    val cells = Tables.embeddings(spark, dir)
+      .withColumn("split",
+        when(bucket < 98, "train").when(bucket === 98, "val").otherwise("test"))
+      .select(col("split"), posexplode(
+        graft.operators.Clustering.quantizeExpr("embedding")).as(Seq("dim", "vm")))
+      .groupBy(col("split"), col("dim"))
+      .agg(sum(col("vm")).as("s"), count(lit(1)).as("n"))
+      .select(col("split"), col("dim").cast("long").as("dim"),
+        floor(col("s").cast("double") / col("n").cast("double")).cast("long").as("mean_q"))
+    def meanOf(s: String) = max(when(col("split") === s, col("mean_q"))).as(s"mean_$s")
+    val p = cells.groupBy(col("dim"))
+      .agg(meanOf("train"), meanOf("val"), meanOf("test"))
+    def d(a: String, b: String) =
+      abs(coalesce(col(a), lit(0L)) - coalesce(col(b), lit(0L)))
+    p.withColumn("max_drift",
+        greatest(d("mean_train", "mean_val"), d("mean_train", "mean_test"),
+          d("mean_val", "mean_test")))
+      .orderBy(col("dim"))
+  }
+
   /** Cross-dimension covariance accumulators — the QC step after
     * [[embedDimStats]] (correlated/redundant dims are the signal that PCA
     * or dim-folding would pay off before indexing): exact Σ vmᵢ·vmⱼ for
