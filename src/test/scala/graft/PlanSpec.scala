@@ -241,4 +241,23 @@ class PlanSpec extends AnyFunSuite {
       s"data card must partially aggregate:\n$p2")
     assert(!p2.contains("Join"), s"data card is one scan:\n$p2")
   }
+
+  test("kmeans assignment is scan-shaped; curated docs ranks without a Window") {
+    // the assignment pass must be: parquet scan -> narrow codegen argmin
+    // against broadcast centroid literals -> (range exchange only for the
+    // presentation sort). Any hash exchange or join would mean the loop
+    // shuffles the corpus per iteration — the thing the design forbids.
+    val pa = plan(Clustering.kmeansAssign(spark, dir))
+    assert(!pa.contains("Exchange hashpartitioning") && !pa.contains("Join"),
+      s"kmeans assignment must be a narrow scan pass:\n$pa")
+    assert(pa.contains("l2sq_long_native"),
+      s"assignment must ride the codegen long kernel:\n$pa")
+    // the curated-docs cut must rank via the bounded heap aggregation —
+    // a corpus-wide Window rank would serialize per-cluster at 100 TB
+    val pc = plan(Clustering.clusterCuratedDocs(spark, dir))
+    assert(!pc.contains("Window"),
+      s"curated docs must use the bounded TopK heap, not a rank window:\n$pc")
+    assert(pc.contains("partial"),
+      s"curated docs heap must combine map-side:\n$pc")
+  }
 }
