@@ -10,7 +10,7 @@ import graft.RegistrySqlParts._
 private[graft] object RegistryVector {
 
   private[graft] def entries: Seq[(String, QFn, Option[String])] = Seq(
-    simCosineTopK, simIpTopK, simJoinThreshold, lshCosineGateQ, lshL2GateQ, ivfGateQ, pqGateQ, semdedupGateQ, prototypeGateQ, embedDimStatsQ, embedDimCovQ, sqQuantize, sqReport, bqQuantizeQ, bqSearchQ, bqRerankQ, embedNormalizeQ, hardNegativesQ, hardNegativesFanoutQ, hardNegativesFanoutGateQ, embedKmeansQ, embedKmeansGreedyQ, embedKmeansStatsQ, clusterSampleBalancedQ, clusterSilhouetteQ, clusterCuratedDocsQ, splitDriftQ)
+    simCosineTopK, simIpTopK, simJoinThreshold, lshCosineGateQ, lshL2GateQ, ivfGateQ, pqGateQ, semdedupGateQ, prototypeGateQ, embedDimStatsQ, embedDimCovQ, sqQuantize, sqReport, bqQuantizeQ, bqSearchQ, bqRerankQ, embedNormalizeQ, hardNegativesQ, hardNegativesFanoutQ, hardNegativesFanoutGateQ, embedKmeansQ, embedKmeansGreedyQ, embedKmeansStatsQ, clusterSampleBalancedQ, clusterSilhouetteQ, clusterCuratedDocsQ, splitDriftQ, embedKmeansIncrementalQ)
 
   // ---- similarity -----------------------------------------------------------
 
@@ -524,6 +524,62 @@ private[graft] object RegistryVector {
                       abs(coalesce(mean_train, 0) - coalesce(mean_test, 0)),
                       abs(coalesce(mean_val, 0) - coalesce(mean_test, 0))) AS max_drift
       FROM p ORDER BY dim
+    """.trim))
+
+  /** Nightly-fit / daily-assign: Lloyd over the even-id historical slice
+    * (1 update round), then the odd-id batch scored against the frozen
+    * matrix — the same recurrence as the shared builder, with the fit and
+    * assignment sources split. */
+  private val embedKmeansIncrementalQ: (String, QFn, Option[String]) = (
+    "embed_kmeans_incremental",
+    (s, d) => Clustering.kmeansAssignIncremental(s, d),
+    Some("""
+      WITH e AS (
+        SELECT vec_id,
+               list_transform(embedding,
+                 v -> CAST(floor(CAST(v AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)) AS q
+        FROM embeddings
+      ),
+      eh AS (SELECT * FROM e WHERE vec_id % 2 = 0),
+      eb AS (SELECT * FROM e WHERE vec_id % 2 = 1),
+      c0 AS (
+        SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cid, q AS c
+        FROM (SELECT vec_id, q FROM eh ORDER BY vec_id LIMIT 8) t
+      ),
+      d0 AS (
+        SELECT eh.vec_id, c0.cid,
+               CAST(list_sum(list_transform(range(1, len(eh.q) + 1),
+                    i -> (eh.q[i] - c0.c[i]) * (eh.q[i] - c0.c[i]))) AS BIGINT) AS dist
+        FROM eh CROSS JOIN c0
+      ),
+      a0 AS (
+        SELECT vec_id, cid, dist FROM (
+          SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn FROM d0
+        ) r WHERE rn = 1
+      ),
+      u0 AS (
+        SELECT a0.cid, r.i,
+               CAST(floor(CAST(SUM(eh.q[r.i]) AS DOUBLE) / COUNT(*)) AS BIGINT) AS m
+        FROM a0 JOIN eh USING (vec_id), unnest(range(1, len(eh.q) + 1)) AS r(i)
+        GROUP BY a0.cid, r.i
+      ),
+      c1 AS (
+        SELECT c0.cid, COALESCE(n.c, c0.c) AS c
+        FROM c0 LEFT JOIN
+          (SELECT cid, list(m ORDER BY i) AS c FROM u0 GROUP BY cid) n USING (cid)
+      ),
+      db AS (
+        SELECT eb.vec_id, c1.cid,
+               CAST(list_sum(list_transform(range(1, len(eb.q) + 1),
+                    i -> (eb.q[i] - c1.c[i]) * (eb.q[i] - c1.c[i]))) AS BIGINT) AS dist
+        FROM eb CROSS JOIN c1
+      ),
+      ab AS (
+        SELECT vec_id, cid, dist FROM (
+          SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn FROM db
+        ) r WHERE rn = 1
+      )
+      SELECT vec_id, cid AS cluster, dist FROM ab ORDER BY vec_id
     """.trim))
 
 }

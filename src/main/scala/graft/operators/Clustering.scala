@@ -166,6 +166,26 @@ object Clustering {
     } finally e.unpersist()
   }
 
+  /** Registered `embed_kmeans_incremental` — the nightly-fit / daily-assign
+    * production shape (the `mm_neardup_incremental` pattern for vectors):
+    * centroids fit ONLY on the historical slice (even vec_ids stand in for
+    * "yesterday's corpus"), then the arriving batch (odd vec_ids) is
+    * assigned against the FROZEN matrix — one narrow scan of the batch,
+    * the fit corpus is never rescanned per arrival. With a persisted model
+    * ([[saveModel]]/[[loadModel]]) the fit cost amortizes across every
+    * batch and stream consumer. */
+  def kmeansAssignIncremental(spark: SparkSession, dir: String, k: Int = 8,
+      iters: Int = 2): DataFrame = {
+    val hist = quantized(spark, dir).where(col("vec_id") % 2 === 0).cache()
+    try {
+      val centroids = kmeansFit(spark, hist, k, updates = iters - 1)
+      val batch = quantized(spark, dir).where(col("vec_id") % 2 === 1)
+      assignToCentroids(spark, batch, centroids)
+        .select(col("vec_id"), col("cluster"), col("dist"))
+        .orderBy(col("vec_id"))
+    } finally hist.unpersist()
+  }
+
   /** Persist a fitted centroid matrix as parquet (cluster, centroid) —
     * the model hand-off ACROSS jobs: a nightly fit writes it once, any
     * number of downstream assign/curate/streaming-ingest jobs load it.
