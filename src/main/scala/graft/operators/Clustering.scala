@@ -186,6 +186,19 @@ object Clustering {
     } finally hist.unpersist()
   }
 
+  /** Per-dimension floor-div micro-unit means of the embeddings table —
+    * the baseline matrix for the streaming drift monitor
+    * ([[graft.streaming.StreamingOps.streamingEmbedDrift]]). One explode +
+    * one dim-keyed aggregate; the result is dim longs on the driver. */
+  def dimMeans(spark: SparkSession, dir: String): Array[Long] =
+    quantized(spark, dir)
+      .select(posexplode(col("q")).as(Seq("dim", "vm")))
+      .groupBy(col("dim"))
+      .agg(sum(col("vm")).as("s"), count(lit(1)).as("n"))
+      .select(col("dim"),
+        floor(col("s").cast("double") / col("n").cast("double")).cast("long").as("m"))
+      .collect().sortBy(_.getInt(0)).map(_.getLong(1))
+
   /** Persist a fitted centroid matrix as parquet (cluster, centroid) —
     * the model hand-off ACROSS jobs: a nightly fit writes it once, any
     * number of downstream assign/curate/streaming-ingest jobs load it.

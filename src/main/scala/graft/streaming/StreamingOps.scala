@@ -290,6 +290,32 @@ object StreamingOps {
         col("best.c").as("cluster"), col("best.d").as("dist"))
   }
 
+  /** Ingest-side embedding drift monitor — the streaming twin of the batch
+    * `split_drift` audit: arriving embeddings aggregate per (5-minute
+    * event-time window, dimension) through the shared half-up micro
+    * quantizer, and each window's per-dim floor-div mean is compared to a
+    * FIXED baseline matrix (e.g. `Clustering.dimMeans` of the training
+    * corpus). A sustained nonzero drift on a dim = the live distribution
+    * has moved off the corpus the model was fit on. State is
+    * windows × dim cells, watermark-bounded; the baseline rides along as a
+    * broadcast literal. */
+  def streamingEmbedDrift(emb: DataFrame, baseline: Array[Long],
+      watermark: String = "10 minutes"): DataFrame = {
+    val b = typedLit(baseline.toSeq)
+    emb
+      .select(col("ts"),
+        graft.operators.Clustering.quantizeExpr("embedding").as("q"))
+      .withWatermark("ts", watermark)
+      .select(col("ts"), posexplode(col("q")).as(Seq("dim", "vm")))
+      .groupBy(window(col("ts"), "5 minutes"), col("dim"))
+      .agg(count(lit(1)).as("n"), sum(col("vm")).as("s"))
+      .select(col("window.start").as("win_start"),
+        col("dim").cast("long").as("dim"), col("n"),
+        floor(col("s").cast("double") / col("n")).cast("long").as("mean_q"))
+      .withColumn("baseline_q", element_at(b, col("dim").cast("int") + 1))
+      .withColumn("drift", abs(col("mean_q") - col("baseline_q")))
+  }
+
   /** Streaming corpus quality filter — the ingestion-side twin of the
     * batch cleaning pass: the SAME [[graft.operators.TextAnalysis]] quality
     * and language-ID EXPRESSIONS (bit-identity with batch is spec-asserted)

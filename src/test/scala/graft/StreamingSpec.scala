@@ -197,6 +197,35 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming embed drift flags a shifted window against the fixed baseline") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // baseline micro-means [100, 200]; window A matches it exactly,
+    // window B is shifted by (+50, -30) — drift must read (50, 30)
+    val input = MemoryStream[EmbRow]
+    val q = StreamingOps.streamingEmbedDrift(input.toDF(), Array(100L, 200L))
+      .writeStream.format("memory").queryName("edrift_out")
+      .outputMode("append").start()
+    def v(a: Float, b: Float) = Array(a, b)
+    try {
+      input.addData(
+        EmbRow(1, ts(1), v(0.00009f, 0.00021f)),  // q = (90, 210)
+        EmbRow(2, ts(2), v(0.00011f, 0.00019f)),  // q = (110, 190) -> mean (100, 200)
+        EmbRow(3, ts(6), v(0.00016f, 0.00018f)),  // q = (160, 180)
+        EmbRow(4, ts(7), v(0.00014f, 0.00016f)))  // q = (140, 160) -> mean (150, 170)
+      q.processAllAvailable()
+      input.addData(EmbRow(5, ts(60), v(0f, 0f))) // advance watermark, close windows
+      q.processAllAvailable()
+      val rows = spark.table("edrift_out")
+        .collect().map(r => (r.getTimestamp(0).getTime / 60000, r.getLong(1)) ->
+          (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+      assert(rows((0L, 0L)) == ((2L, 100L, 100L, 0L)), s"got $rows")
+      assert(rows((0L, 1L)) == ((2L, 200L, 200L, 0L)), s"got $rows")
+      assert(rows((5L, 0L)) == ((2L, 150L, 100L, 50L)), s"got $rows")
+      assert(rows((5L, 1L)) == ((2L, 170L, 200L, 30L)), s"got $rows")
+    } finally q.stop()
+  }
+
   test("streaming asof enriches purchases with the latest click state across batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
