@@ -15,6 +15,7 @@ object GraftCaches {
     operators.Multimodal.clearCaches()
     operators.TextAnalysis.clearCaches()
     operators.Similarity.clearCaches()
+    operators.Clustering.clearCaches()
     vamana.VamanaOps.clearCaches()
     functions.NativeVectorFunctions.clearRegistry()
     functions.TextExpressions.clearRegistry()

@@ -47,6 +47,21 @@ object Clustering {
     Tables.embeddings(spark, dir)
       .select(col("vec_id"), quantizeExpr("embedding").as("q"))
 
+  /** Memoized fitted centroid matrices per (session, dir, init, k, iters) —
+    * six registered queries consume the same Lloyd fixpoint; without the
+    * memo each refits it (five redundant corpus-scan loops per sweep).
+    * The matrix is k·dim longs, so the memo is driver-memory-trivial;
+    * cleared by [[clearCaches]] via [[graft.GraftCaches.clearAll]]. */
+  private val fitCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String, String, Int, Int), Array[Array[Long]]]
+
+  private def cachedFit(spark: SparkSession, dir: String, init: String,
+      k: Int, iters: Int)(build: => Array[Array[Long]]): Array[Array[Long]] =
+    fitCache.getOrElseUpdate((spark, dir, init, k, iters), build)
+
+  /** Lifecycle hook for [[graft.GraftCaches.clearAll]]. */
+  def clearCaches(): Unit = fitCache.clear()
+
   /** The best-centroid struct (d = exact long squared distance, c = cluster
     * id) for a quantized `q` column against broadcast centroid literals —
     * least() over (dist, cid) structs = argmin with ties to the lowest
@@ -157,13 +172,14 @@ object Clustering {
     * recurrence as [[kmeansAssign]] from the farthest-point seeds. */
   def kmeansAssignGreedy(spark: SparkSession, dir: String, k: Int = 8,
       iters: Int = 2): DataFrame = {
-    val e = quantized(spark, dir).cache()
-    try {
-      val centroids = lloydUpdates(spark, e, greedyInit(spark, e, k), iters - 1)
-      assignToCentroids(spark, e, centroids)
-        .select(col("vec_id"), col("cluster"), col("dist"))
-        .orderBy(col("vec_id"))
-    } finally e.unpersist()
+    val centroids = cachedFit(spark, dir, "greedy", k, iters) {
+      val e = quantized(spark, dir).cache()
+      try lloydUpdates(spark, e, greedyInit(spark, e, k), iters - 1)
+      finally e.unpersist()
+    }
+    assignToCentroids(spark, quantized(spark, dir), centroids)
+      .select(col("vec_id"), col("cluster"), col("dist"))
+      .orderBy(col("vec_id"))
   }
 
   /** Registered `embed_kmeans_incremental` — the nightly-fit / daily-assign
@@ -176,14 +192,15 @@ object Clustering {
     * batch and stream consumer. */
   def kmeansAssignIncremental(spark: SparkSession, dir: String, k: Int = 8,
       iters: Int = 2): DataFrame = {
-    val hist = quantized(spark, dir).where(col("vec_id") % 2 === 0).cache()
-    try {
-      val centroids = kmeansFit(spark, hist, k, updates = iters - 1)
-      val batch = quantized(spark, dir).where(col("vec_id") % 2 === 1)
-      assignToCentroids(spark, batch, centroids)
-        .select(col("vec_id"), col("cluster"), col("dist"))
-        .orderBy(col("vec_id"))
-    } finally hist.unpersist()
+    val centroids = cachedFit(spark, dir, "incr-even", k, iters) {
+      val hist = quantized(spark, dir).where(col("vec_id") % 2 === 0).cache()
+      try kmeansFit(spark, hist, k, updates = iters - 1)
+      finally hist.unpersist()
+    }
+    val batch = quantized(spark, dir).where(col("vec_id") % 2 === 1)
+    assignToCentroids(spark, batch, centroids)
+      .select(col("vec_id"), col("cluster"), col("dist"))
+      .orderBy(col("vec_id"))
   }
 
   /** Per-dimension floor-div micro-unit means of the embeddings table —
@@ -224,15 +241,20 @@ object Clustering {
     * daily batches) without rerunning Lloyd. Same recurrence as
     * [[kmeansAssign]]: `iters` iterations = `iters − 1` update rounds. */
   def kmeansFitTable(spark: SparkSession, dir: String, k: Int = 8,
-      iters: Int = 2): Array[Array[Long]] = {
-    val e = quantized(spark, dir).cache()
-    try kmeansFit(spark, e, k, updates = iters - 1) finally e.unpersist()
-  }
+      iters: Int = 2): Array[Array[Long]] =
+    cachedFit(spark, dir, "naive", k, iters) {
+      val e = quantized(spark, dir).cache()
+      try kmeansFit(spark, e, k, updates = iters - 1) finally e.unpersist()
+    }
 
-  /** Registered `embed_kmeans`: final assignment (vec_id, cluster, dist). */
+  /** Registered `embed_kmeans`: final assignment (vec_id, cluster, dist).
+    * The fit rides the memo, so the per-query cost is one assignment scan. */
   def kmeansAssign(spark: SparkSession, dir: String, k: Int = 8,
       iters: Int = 2): DataFrame =
-    kmeansAssignOf(spark, quantized(spark, dir), k, iters)
+    assignToCentroids(spark, quantized(spark, dir),
+      kmeansFitTable(spark, dir, k, iters))
+      .select(col("vec_id"), col("cluster"), col("dist"))
+      .orderBy(col("vec_id"))
 
   /** Registered `embed_kmeans_stats`: per-cluster size + exact inertia +
     * tightest/loosest member — the frame a curation run reads to set
@@ -294,9 +316,8 @@ object Clustering {
     * same posture as assignment. */
   def kmeansSilhouette(spark: SparkSession, dir: String, k: Int = 8,
       iters: Int = 2): DataFrame = {
-    val e = quantized(spark, dir).cache()
-    try {
-      val centroids = kmeansFit(spark, e, k, updates = iters - 1)
+    {
+      val centroids = kmeansFitTable(spark, dir, k, iters)
       val cands = centroids.zipWithIndex.map { case (c, i) =>
         struct(
           l2sqLongNative(spark, col("q"), typedLit(c.toSeq)).as("d"),
@@ -304,7 +325,7 @@ object Clustering {
       }
       val sorted = array_sort(array(
         scala.collection.immutable.ArraySeq.unsafeWrapArray(cands): _*))
-      val perPoint = e
+      val perPoint = quantized(spark, dir)
         .withColumn("cand", sorted)
         .select(col("vec_id"),
           col("cand")(0).getField("c").as("cluster"),
@@ -321,7 +342,7 @@ object Clustering {
           round(col("s_sum").cast("double") / col("n").cast("double"), 4)
             .as("mean_silhouette"))
         .orderBy(col("cluster"))
-    } finally e.unpersist()
+    }
   }
 
   /** Registered `cluster_sample_balanced`: at most `perCluster` members per
