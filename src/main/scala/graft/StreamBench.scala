@@ -1,0 +1,91 @@
+package graft
+
+import java.sql.Timestamp
+
+import scala.util.Random
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+import graft.streaming._
+
+/** Streaming-path throughput evidence — the batch queries have `Bench`;
+  * this drives the three ingest-side pipeline shapes through MemoryStream
+  * micro-batches against the noop sink and reports end-to-end rows/sec:
+  *
+  *  - `stream_ingest`: the COMPOSED corpus pass (quality/lang filter →
+  *    watermark-bounded exact dedup → windowed accepted counts) — two
+  *    chained stateful operators;
+  *  - `stream_perceptual`: media dedup at ingest (64-bit envelope
+  *    fingerprint + within-watermark signature dedup);
+  *  - `stream_cluster`: embedding cluster assignment against a broadcast
+  *    centroid matrix (stateless narrow projection — the ceiling).
+  *
+  * Corpus is generated on the driver BEFORE the clock starts (MemoryStream
+  * is driver-fed by design); event times spread across minutes so windows
+  * and watermarks actually cycle. Usage:
+  * runMain graft.StreamBench [n] [batchSize] [cpus]
+  */
+object StreamBench {
+
+  private def ts(minute: Int, sec: Int = 0): Timestamp =
+    new Timestamp(minute * 60000L + sec * 1000L)
+
+  def main(args: Array[String]): Unit = {
+    val n = args.headOption.map(_.toInt).getOrElse(50000)
+    val batchSize = args.lift(1).map(_.toInt).getOrElse(10000)
+    val cpus = args.lift(2).map(_.toInt)
+      .orElse(sys.env.get("SPARK_GRAFT_CPUS").map(_.toInt)).getOrElse(32)
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    def r4(v: Double): Double = math.rint(v * 100) / 100
+
+    def run[T](name: String, rows: Seq[T], mk: MemoryStream[T] => org.apache.spark.sql.DataFrame)(
+        implicit enc: org.apache.spark.sql.Encoder[T]): Unit = {
+      val input = MemoryStream[T]
+      val q = mk(input).writeStream.format("noop").outputMode("append").start()
+      try {
+        val t0 = System.nanoTime()
+        rows.grouped(batchSize).foreach { b => input.addData(b); q.processAllAvailable() }
+        val s = (System.nanoTime() - t0) / 1e9
+        println(f"""{"bench":"$name","n":${rows.size},"batch":$batchSize,"wall_s":${r4(s)}%.2f,"rows_per_s":${math.rint(rows.size / s)}%.0f}""")
+      } finally q.stop()
+    }
+
+    // docs: ~10% exact duplicates (same normalized text), event time
+    // spread over n/1000 minutes so the dedup watermark actually expires
+    val docs = (0 until n).map { i =>
+      val rng = new Random(i * 0x9e3779b97f4a7c15L + 5L)
+      val base = if (i % 10 == 9) (i - 1) else i
+      val words = {
+        val r2 = new Random(base * 0x517cc1b727220a95L + 3L)
+        Array.fill(30)(s"w${r2.nextInt(50000)}").mkString(" ")
+      }
+      Doc(i.toLong, ts(i / 1000, rng.nextInt(60)), words)
+    }
+    run[Doc]("stream_ingest", docs, in => StreamingOps.streamingIngestPipeline(in.toDF()))
+    run[Doc]("stream_perceptual", docs, in => StreamingOps.streamingPerceptualDedup(in.toDF()))
+
+    val centroids = Array.tabulate(8) { c =>
+      val rng = new Random(c * 1234567L + 11L)
+      Array.fill(64)((rng.nextInt(2000001) - 1000000).toLong)
+    }
+    val emb = (0 until n).map { i =>
+      val rng = new Random(i * 0x9e3779b97f4a7c15L + 21L)
+      EmbRow(i.toLong, ts(i / 1000, rng.nextInt(60)),
+        Array.fill(64)(rng.nextFloat() * 2 - 1))
+    }
+    run[EmbRow]("stream_cluster", emb,
+      in => StreamingOps.streamingClusterAssign(in.toDF(), centroids))
+
+    spark.stop()
+  }
+}
