@@ -77,13 +77,39 @@ object Clustering {
     if (cands.length == 1) cands.head else least(scala.collection.immutable.ArraySeq.unsafeWrapArray(cands): _*)
   }
 
+  /** Above this k the assignment switches from k inline struct literals
+    * (codegen blows up past a few hundred) to the broadcast-frame argmin. */
+  private val LargeKThreshold = 128
+
   /** Assign every row of a (vec_id, q) frame — batch OR streaming — to its
-    * nearest centroid: (vec_id, q, cluster, dist). */
+    * nearest centroid: (vec_id, q, cluster, dist). Small k rides the
+    * codegen literal expression; large k the broadcast-frame path — same
+    * tie rule, spec-asserted identical. */
   private[graft] def assignToCentroids(spark: SparkSession, e: DataFrame,
       centroids: Array[Array[Long]]): DataFrame =
-    e.withColumn("best", bestCentroidExpr(spark, col("q"), centroids))
+    if (centroids.length <= LargeKThreshold)
+      e.withColumn("best", bestCentroidExpr(spark, col("q"), centroids))
+        .select(col("vec_id"), col("q"),
+          col("best.c").as("cluster"), col("best.d").as("dist"))
+    else assignToCentroidsLargeK(spark, e, centroids)
+
+  /** Large-k assignment: centroids as a broadcast FRAME (cid, c) — one
+    * broadcast nested-loop against the k-row side, then a vec_id-keyed
+    * min-struct argmin with the SAME (dist, cid) tie rule as the literal
+    * path. The corpus crosses the shuffle as (vec_id, d, cid) triples ×
+    * k after map-side partial min, never corpus × dim. */
+  private[graft] def assignToCentroidsLargeK(spark: SparkSession, e: DataFrame,
+      centroids: Array[Array[Long]]): DataFrame = {
+    import spark.implicits._
+    val cdf = centroids.zipWithIndex
+      .map { case (c, i) => (i.toLong, c.toSeq) }.toSeq.toDF("cid", "c")
+    e.crossJoin(broadcast(cdf))
+      .withColumn("d", l2sqLongNative(spark, col("q"), col("c")))
+      .groupBy(col("vec_id"))
+      .agg(min(struct(col("d"), col("cid"))).as("best"), first(col("q")).as("q"))
       .select(col("vec_id"), col("q"),
-        col("best.c").as("cluster"), col("best.d").as("dist"))
+        col("best.cid").as("cluster"), col("best.d").as("dist"))
+  }
 
   /** Fit centroids: init from the k lowest vec_ids, then `updates` Lloyd
     * update rounds. The loop is driver-coordinated but never driver-sized:

@@ -100,6 +100,21 @@ class ClusteringSpec extends AnyFunSuite {
       s"fixture no longer adversarial for the naive init: $naiveByBlob")
   }
 
+  test("large-k broadcast-frame assignment matches the literal-expression path") {
+    import org.apache.spark.sql.functions.col
+    val rng = new scala.util.Random(77)
+    val rows = (0L until 300L).map(i => (i, Seq.fill(16)(rng.nextInt(2000001).toLong - 1000000L)))
+    val centroids = Array.fill(150)(Array.fill(16)(rng.nextInt(2000001).toLong - 1000000L))
+    def m(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("vec_id"), col("cluster"), col("dist"))
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val lit = m(frame(rows)
+      .withColumn("best", Clustering.bestCentroidExpr(spark, col("q"), centroids))
+      .select(col("vec_id"), col("best.c").as("cluster"), col("best.d").as("dist")))
+    val big = m(Clustering.assignToCentroidsLargeK(spark, frame(rows), centroids))
+    assert(lit == big, "large-k path diverges from the literal argmin")
+  }
+
   test("kmeans model save/load roundtrips the centroid matrix exactly") {
     val dir = "/root/testdata/sf0.001"
     val fitted = Clustering.kmeansFitTable(spark, dir, k = 4, iters = 2)
