@@ -10,7 +10,7 @@ import graft.RegistrySqlParts._
 private[graft] object RegistryVector {
 
   private[graft] def entries: Seq[(String, QFn, Option[String])] = Seq(
-    simCosineTopK, simIpTopK, simJoinThreshold, lshCosineGateQ, lshL2GateQ, ivfGateQ, pqGateQ, semdedupGateQ, prototypeGateQ, embedDimStatsQ, embedDimCovQ, sqQuantize, sqReport, bqQuantizeQ, bqSearchQ, bqRerankQ, embedNormalizeQ, hardNegativesQ, hardNegativesFanoutQ, hardNegativesFanoutGateQ, embedKmeansQ, embedKmeansGreedyQ, embedKmeansStatsQ, clusterSampleBalancedQ, clusterSilhouetteQ, clusterCuratedDocsQ, splitDriftQ, embedKmeansIncrementalQ)
+    simCosineTopK, simIpTopK, simJoinThreshold, lshCosineGateQ, lshL2GateQ, ivfGateQ, pqGateQ, semdedupGateQ, prototypeGateQ, embedDimStatsQ, embedDimCovQ, sqQuantize, sqReport, bqQuantizeQ, bqSearchQ, bqRerankQ, embedNormalizeQ, hardNegativesQ, hardNegativesFanoutQ, hardNegativesFanoutGateQ, embedKmeansQ, embedKmeansGreedyQ, embedKmeansStatsQ, clusterSampleBalancedQ, clusterSilhouetteQ, clusterCuratedDocsQ, splitDriftQ, embedKmeansIncrementalQ, embedKmeansMinibatchQ)
 
   // ---- similarity -----------------------------------------------------------
 
@@ -580,6 +580,86 @@ private[graft] object RegistryVector {
         ) r WHERE rn = 1
       )
       SELECT vec_id, cid AS cluster, dist FROM ab ORDER BY vec_id
+    """.trim))
+
+  /** Mini-batch fit: each update round recomputes centroids from the
+    * deterministic 20% bucket md5(vec_id:round) % 100 < 20, final
+    * assignment over the full corpus — the fit recurrence replayed batch
+    * for batch. */
+  private val embedKmeansMinibatchQ: (String, QFn, Option[String]) = (
+    "embed_kmeans_minibatch",
+    (s, d) => Clustering.kmeansAssignMinibatch(s, d),
+    Some("""
+      WITH e AS (
+        SELECT vec_id,
+               list_transform(embedding,
+                 v -> CAST(floor(CAST(v AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)) AS q
+        FROM embeddings
+      ),
+      c0 AS (
+        SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cid, q AS c
+        FROM (SELECT vec_id, q FROM e ORDER BY vec_id LIMIT 8) t
+      ),
+      b0 AS (SELECT * FROM e
+             WHERE ('0x' || substr(md5(vec_id::VARCHAR || ':0'), 1, 15))::BIGINT % 100 < 20),
+      d0 AS (
+        SELECT b0.vec_id, c0.cid,
+               CAST(list_sum(list_transform(range(1, len(b0.q) + 1),
+                    i -> (b0.q[i] - c0.c[i]) * (b0.q[i] - c0.c[i]))) AS BIGINT) AS dist
+        FROM b0 CROSS JOIN c0
+      ),
+      a0 AS (
+        SELECT vec_id, cid, dist FROM (
+          SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn FROM d0
+        ) r WHERE rn = 1
+      ),
+      u0 AS (
+        SELECT a0.cid, r.i,
+               CAST(floor(CAST(SUM(b0.q[r.i]) AS DOUBLE) / COUNT(*)) AS BIGINT) AS m
+        FROM a0 JOIN b0 USING (vec_id), unnest(range(1, len(b0.q) + 1)) AS r(i)
+        GROUP BY a0.cid, r.i
+      ),
+      c1 AS (
+        SELECT c0.cid, COALESCE(n.c, c0.c) AS c
+        FROM c0 LEFT JOIN
+          (SELECT cid, list(m ORDER BY i) AS c FROM u0 GROUP BY cid) n USING (cid)
+      ),
+      b1 AS (SELECT * FROM e
+             WHERE ('0x' || substr(md5(vec_id::VARCHAR || ':1'), 1, 15))::BIGINT % 100 < 20),
+      d1 AS (
+        SELECT b1.vec_id, c1.cid,
+               CAST(list_sum(list_transform(range(1, len(b1.q) + 1),
+                    i -> (b1.q[i] - c1.c[i]) * (b1.q[i] - c1.c[i]))) AS BIGINT) AS dist
+        FROM b1 CROSS JOIN c1
+      ),
+      a1 AS (
+        SELECT vec_id, cid, dist FROM (
+          SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn FROM d1
+        ) r WHERE rn = 1
+      ),
+      u1 AS (
+        SELECT a1.cid, r.i,
+               CAST(floor(CAST(SUM(b1.q[r.i]) AS DOUBLE) / COUNT(*)) AS BIGINT) AS m
+        FROM a1 JOIN b1 USING (vec_id), unnest(range(1, len(b1.q) + 1)) AS r(i)
+        GROUP BY a1.cid, r.i
+      ),
+      c2 AS (
+        SELECT c1.cid, COALESCE(n.c, c1.c) AS c
+        FROM c1 LEFT JOIN
+          (SELECT cid, list(m ORDER BY i) AS c FROM u1 GROUP BY cid) n USING (cid)
+      ),
+      da AS (
+        SELECT e.vec_id, c2.cid,
+               CAST(list_sum(list_transform(range(1, len(e.q) + 1),
+                    i -> (e.q[i] - c2.c[i]) * (e.q[i] - c2.c[i]))) AS BIGINT) AS dist
+        FROM e CROSS JOIN c2
+      ),
+      aa AS (
+        SELECT vec_id, cid, dist FROM (
+          SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn FROM da
+        ) r WHERE rn = 1
+      )
+      SELECT vec_id, cid AS cluster, dist FROM aa ORDER BY vec_id
     """.trim))
 
 }

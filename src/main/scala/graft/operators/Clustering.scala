@@ -208,6 +208,43 @@ object Clustering {
       .orderBy(col("vec_id"))
   }
 
+  /** Registered `embed_kmeans_minibatch` — the fit-cost answer at corpus
+    * scale: full Lloyd scans the whole corpus per update round; here each
+    * round updates from a DETERMINISTIC 20% id-hash mini-batch (the
+    * splitAssign bucket idiom, salted by the round number so batches
+    * differ), then the final assignment still covers the full corpus. At
+    * 100 TB this turns the fit into rounds × 20 TB scans (or any rate)
+    * while assignment stays one pass — the standard mini-batch k-means
+    * trade, kept bit-reproducible: bucket = md5(vec_id:round) % 100, so
+    * the oracle replays every batch exactly. */
+  def kmeansAssignMinibatch(spark: SparkSession, dir: String, k: Int = 8,
+      rounds: Int = 2, pct: Int = 20): DataFrame = {
+    val centroids = cachedFit(spark, dir, s"minibatch-$pct", k, rounds) {
+      val e = quantized(spark, dir).cache()
+      try kmeansFitMinibatchOf(spark, e, k, rounds, pct) finally e.unpersist()
+    }
+    assignToCentroids(spark, quantized(spark, dir), centroids)
+      .select(col("vec_id"), col("cluster"), col("dist"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** [[kmeansAssignMinibatch]]'s fit over any (vec_id, q) frame — the
+    * surface the planted-recovery spec drives. */
+  private[graft] def kmeansFitMinibatchOf(spark: SparkSession, e: DataFrame,
+      k: Int, rounds: Int, pct: Int): Array[Array[Long]] = {
+    var c = e.orderBy(col("vec_id")).limit(k)
+      .select(col("q")).collect().map(_.getSeq[Long](0).toArray)
+    var t = 0
+    while (t < rounds) {
+      val bucket = conv(substring(md5(
+        concat(col("vec_id").cast("string"), lit(s":$t"))), 1, 15), 16, 10)
+        .cast("long") % 100
+      c = lloydUpdates(spark, e.where(bucket < pct), c, rounds = 1)
+      t += 1
+    }
+    c
+  }
+
   /** Registered `embed_kmeans_incremental` — the nightly-fit / daily-assign
     * production shape (the `mm_neardup_incremental` pattern for vectors):
     * centroids fit ONLY on the historical slice (even vec_ids stand in for

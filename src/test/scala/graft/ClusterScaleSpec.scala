@@ -35,4 +35,20 @@ class ClusterScaleSpec extends AnyFunSuite {
       s"cluster/blob mapping not a permutation: ${pairs.toSeq}")
     assert(pairs.map(_.getLong(2)).sum == n)
   }
+
+  test("minibatch fit recovers the planted blobs from 20% samples") {
+    val n = 5000L
+    val k = 8
+    val pts = ClusterScaleBench.plantedBlobs(spark, n, dim = 64, k = k)
+    val centroids = Clustering.kmeansFitMinibatchOf(spark, pts, k, rounds = 2, pct = 20)
+    val pairs = Clustering.assignToCentroids(spark, pts, centroids)
+      .withColumn("blob", col("vec_id") % k)
+      .groupBy(col("cluster"), col("blob"))
+      .agg(count(lit(1)).as("m"))
+      .collect()
+    assert(pairs.length == k &&
+      pairs.map(_.getLong(0)).distinct.length == k &&
+      pairs.map(_.getLong(1)).distinct.length == k,
+      s"minibatch fit lost planted structure: ${pairs.toSeq}")
+  }
 }
