@@ -436,7 +436,8 @@ private[graft] object RegistryVector {
       """SELECT vec_id, cluster, rn FROM (
            SELECT vec_id, cid AS cluster,
                   CAST(row_number() OVER (PARTITION BY cid
-                       ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS BIGINT) AS rn
+                       ORDER BY CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT AS DOUBLE),
+                                vec_id) AS BIGINT) AS rn
            FROM a1) s
          WHERE rn <= 40 ORDER BY vec_id""")))
 

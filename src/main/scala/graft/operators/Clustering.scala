@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
@@ -409,19 +408,31 @@ object Clustering {
   }
 
   /** Registered `cluster_sample_balanced`: at most `perCluster` members per
-    * k-means cluster, chosen by deterministic id-hash order (md5 of the
-    * vec_id string, ties to vec_id) — the cluster-balanced diversity
+    * k-means cluster, chosen by deterministic id-hash order (60-bit md5
+    * prefix as a double, ties to vec_id) — the cluster-balanced diversity
     * sample: dominant blobs are capped, tail clusters survive whole.
-    * Scale: one window shuffle partitioned BY CLUSTER (bounded key count),
-    * rows already projected to three columns. */
+    * Scale: ranked through the bounded [[graft.functions.TopKAggregator]]
+    * heap — perCluster rows per partition per cluster cross the shuffle. A
+    * rank window partitioned by cluster would hand the whole corpus to k
+    * reducers; the heap keeps the reduce side k × perCluster rows total. */
   def clusterBalancedSample(spark: SparkSession, dir: String, k: Int = 8,
       iters: Int = 2, perCluster: Int = 40): DataFrame = {
-    val w = Window.partitionBy(col("cluster"))
-      .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+    import spark.implicits._
+    import graft.functions.{Scored, TopKAggregator}
+    // 60-bit hash as double: the nearest-double rounding is IEEE-identical
+    // in Spark and DuckDB, and residual collisions break ties on vec_id
+    val h = conv(substring(md5(col("vec_id").cast("string")), 1, 15), 16, 10)
+      .cast("double")
     kmeansAssign(spark, dir, k, iters)
-      .withColumn("rn", row_number().over(w).cast("long"))
-      .where(col("rn") <= perCluster)
-      .select(col("vec_id"), col("cluster"), col("rn"))
+      .select(col("cluster"), h.as("dist"), col("vec_id").as("id"))
+      .as[(Long, Double, Long)]
+      .groupByKey(_._1)
+      .mapValues { case (_, d, id) => Scored(d, id) }
+      .agg(new TopKAggregator(perCluster).toColumn.name("topk"))
+      .toDF("cluster", "topk")
+      .select(col("cluster"), posexplode(col("topk")).as(Seq("r", "s")))
+      .select(col("s.id").as("vec_id"), col("cluster"),
+        (col("r") + 1).cast("long").as("rn"))
       .orderBy(col("vec_id"))
   }
 }

@@ -254,10 +254,14 @@ class PlanSpec extends AnyFunSuite {
       s"assignment must ride the codegen long kernel:\n$pa")
     // the curated-docs cut must rank via the bounded heap aggregation —
     // a corpus-wide Window rank would serialize per-cluster at 100 TB
-    val pc = plan(Clustering.clusterCuratedDocs(spark, dir))
-    assert(!pc.contains("Window"),
-      s"curated docs must use the bounded TopK heap, not a rank window:\n$pc")
-    assert(pc.contains("partial"),
-      s"curated docs heap must combine map-side:\n$pc")
+    for (df <- Seq(Clustering.clusterCuratedDocs(spark, dir),
+        Clustering.clusterBalancedSample(spark, dir))) {
+      val pc = plan(df)
+      assert(!pc.contains("Window"),
+        s"per-cluster rank must use the bounded TopK heap, not a rank window " +
+          s"(k reducers would own the corpus):\n$pc")
+      assert(pc.contains("partial"),
+        s"per-cluster heap must combine map-side:\n$pc")
+    }
   }
 }
