@@ -10,7 +10,7 @@ import graft.RegistrySqlParts._
 private[graft] object RegistryMultimodal {
 
   private[graft] def entries: Seq[(String, QFn, Option[String])] = Seq(
-    mmGzipQ, mmJoin, mmBinaryStats, mmMediaFeatures, mmThumbnailQ, mmFrameSampleQ, mmAudioSampleQ, mmImageDecodeQ, mmAudioDecodeQ, mmImageAhashQ, mmAudioFingerprintQ, mmImageNearDupQ, mmAudioNearDupQ, mmNearDupIncrementalQ, mmNearDupSurvivorsQ, mmNearDupClusterStatsQ)
+    mmGzipQ, mmJoin, mmBinaryStats, mmMediaFeatures, mmThumbnailQ, mmFrameSampleQ, mmAudioSampleQ, mmImageDecodeQ, mmAudioDecodeQ, mmImageAhashQ, mmAudioFingerprintQ, mmImageNearDupQ, mmAudioNearDupQ, mmVideoNearDupQ, mmNearDupIncrementalQ, mmNearDupSurvivorsQ, mmNearDupClusterStatsQ)
 
   // (pq_quantize / pq_search ride pq_gate — see the seeded-generator note
   // above; the functions remain exercised by the gate and QuantizationSpec.)
@@ -285,6 +285,39 @@ private[graft] object RegistryMultimodal {
                      i -> CASE WHEN substr(a.ahash, i::INT, 1) <> substr(b.ahash, i::INT, 1)
                           THEN 1 ELSE 0 END))::BIGINT AS hamming
             FROM h a JOIN h b ON a.doc_id < b.doc_id AND len(a.ahash) = len(b.ahash))
+      SELECT id_a, id_b, hamming FROM p WHERE hamming <= 3 ORDER BY id_a, id_b
+    """.trim))
+
+  /** The video member: 4-frame temporal slices, per-frame closed-form
+    * aHash (the image CTE with slice-local offsets), 256-bit concatenated
+    * signatures, brute-force pairwise Hamming — the completeness oracle
+    * for the pigeonhole chunk join at 4x the signature width. */
+  private val mmVideoNearDupQ: (String, QFn, Option[String]) = (
+    "mm_video_neardup",
+    (s, d) => Multimodal.videoNearDup(s, d),
+    Some("""
+      WITH vv AS (SELECT doc_id, text, len(text) AS L FROM documents
+                  WHERE len(text) >= 12 AND len(text) = octet_length(encode(text))
+                    AND len(text)//3 <= 1048576),
+      fr AS (SELECT doc_id, text, fx, fx*L//4 AS lo, ((fx+1)*L//4 - fx*L//4)//3 AS k
+             FROM (SELECT doc_id, text, L, unnest(range(0, 4)) AS fx FROM vv)),
+      g AS (SELECT doc_id, fx, p,
+                   ord(substr(text, CAST(lo + 3 * ((p % 8) * k // 8) + 1 AS INT), 1)) +
+                   ord(substr(text, CAST(lo + 3 * ((p % 8) * k // 8) + 2 AS INT), 1)) +
+                   ord(substr(text, CAST(lo + 3 * ((p % 8) * k // 8) + 3 AS INT), 1)) AS gv
+            FROM (SELECT doc_id, fx, lo, k, text, unnest(range(0, 64)) AS p FROM fr)),
+      t AS (SELECT doc_id, fx, sum(gv) AS total FROM g GROUP BY doc_id, fx),
+      h AS (SELECT g.doc_id, g.fx,
+                   string_agg(CASE WHEN gv * 64 >= total THEN '1' ELSE '0' END,
+                              '' ORDER BY p) AS fsig
+            FROM g JOIN t USING (doc_id, fx) GROUP BY g.doc_id, g.fx),
+      sig AS (SELECT doc_id, string_agg(fsig, '' ORDER BY fx) AS vsig
+              FROM h GROUP BY doc_id),
+      p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   list_sum(list_transform(range(1, CAST(len(a.vsig)+1 AS BIGINT)),
+                     i -> CASE WHEN substr(a.vsig, i::INT, 1) <> substr(b.vsig, i::INT, 1)
+                          THEN 1 ELSE 0 END))::BIGINT AS hamming
+            FROM sig a JOIN sig b ON a.doc_id < b.doc_id AND len(a.vsig) = len(b.vsig))
       SELECT id_a, id_b, hamming FROM p WHERE hamming <= 3 ORDER BY id_a, id_b
     """.trim))
 

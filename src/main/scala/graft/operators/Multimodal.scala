@@ -557,6 +557,51 @@ object Multimodal {
   def audioNearDup(spark: SparkSession, dir: String): DataFrame =
     bitstringNearDupPairs(afpFrame(spark, dir).select(col("doc_id"), col("afp").as("bits")))
 
+  /** Per-doc VIDEO signature — the temporal member of the perceptual
+    * family: the doc's byte stream is treated as a 4-frame clip
+    * (contiguous temporal slices), each slice synthesized to its k×1 PPM
+    * frame exactly like the image path, thumbnailed 8×8 through the real
+    * resampler, and aHashed via the ONE shared [[withAhash]] arithmetic;
+    * the signature is the 4×64-bit concatenation in frame order. Two
+    * clips collide within Hamming ≤3 only if (almost) every frame
+    * matches — a per-frame edit flips ~its frame's worth of bits, so the
+    * ball is frame-sensitive the way a video near-dup should be. */
+  private[graft] def videoSigFrame(spark: SparkSession, dir: String,
+      frames: Int = 4): DataFrame = {
+    import spark.implicits._
+    val src = Tables.documents(spark, dir)
+      .where(length(col("text")) >= 3 * frames &&
+        octet_length(encode(col("text"), "utf-8")) === length(col("text")) &&
+        floor(length(col("text")) / 3) <= lit(1048576))
+      .select(col("doc_id"), encode(col("text"), "utf-8").as("raw"))
+      .as[(Long, Array[Byte])]
+    val thumbs = src.mapPartitions { it =>
+      it.flatMap { case (id, raw) =>
+        (0 until frames).iterator.flatMap { fidx =>
+          val lo = fidx * raw.length / frames
+          val hi = (fidx + 1) * raw.length / frames
+          val sl = java.util.Arrays.copyOfRange(raw, lo, hi)
+          val k = sl.length / 3
+          val header = s"P6\n$k 1\n255\n".getBytes("US-ASCII")
+          thumbnailOf(header ++ sl.take(k * 3), 8, 8).map {
+            case (_, _, thumb) => (id, fidx.toLong, thumb)
+          }
+        }
+      }
+    }.toDF("doc_id", "frame_idx", "thumb")
+    withAhash(thumbs)
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(struct(col("frame_idx"), col("ahash")))).as("fs"))
+      .select(col("doc_id"),
+        concat_ws("", expr("transform(fs, f -> f.ahash)")).as("vsig"))
+  }
+
+  /** Registered `mm_video_neardup`: Hamming ≤3 pairs over the 256-bit
+    * 4-frame video signatures — completes the image/audio/video
+    * perceptual-dedup triple on the same pigeonhole chunk join. */
+  def videoNearDup(spark: SparkSession, dir: String): DataFrame =
+    bitstringNearDupPairs(videoSigFrame(spark, dir).select(col("doc_id"), col("vsig").as("bits")))
+
   /** The label frame is cached per (session, dir): mm_neardup_survivors
     * AND mm_neardup_cluster_stats consume it, and the pair generation +
     * CC fixpoint is the expensive stage — the [[Dedup.dedupSurvivors]]

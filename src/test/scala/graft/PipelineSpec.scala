@@ -1126,6 +1126,34 @@ class PipelineSpec extends AnyFunSuite {
     assert(gotR == brute, s"pigeonhole join incomplete: missing ${brute -- gotR}, extra ${gotR -- brute}")
   }
 
+  test("video neardup: exact clips pair at 0; a one-frame rewrite breaks the ball but keeps other frames' bits") {
+    import spark.implicits._
+    // 4 slices of 120 ASCII chars. Slice 3 of the base doc is half-low/
+    // half-high bytes, so its frame hash is a guaranteed mix of 0s and 1s;
+    // doc 3 rewrites ONLY that slice to a constant (all-1s frame hash),
+    // flipping ~32 bits of one frame — far outside the Hamming<=3 ball —
+    // while frames 0-2 stay bit-identical.
+    val varied = (0 until 360).map(i => ('a' + i % 26).toChar).mkString
+    val base = varied + ("!" * 60 + "~" * 60)
+    val docs = Seq(
+      (1L, base),
+      (2L, base),                    // exact duplicate clip
+      (3L, varied + ("z" * 120)))    // one-frame rewrite
+    val tmp = java.nio.file.Files.createTempDirectory("graft_vid").toString
+    docs.toDF("doc_id", "text").write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val sigs = Multimodal.videoSigFrame(spark, tmp)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(sigs.values.forall(_.length == 256), s"expected 4x64-bit signatures: $sigs")
+    assert(sigs(1L) == sigs(2L))
+    assert(sigs(1L).take(192) == sigs(3L).take(192),
+      "untouched frames must keep their bits")
+    val frame3Dist = sigs(1L).drop(192).zip(sigs(3L).drop(192)).count { case (a, b) => a != b }
+    assert(frame3Dist > 3, s"rewritten frame should flip many bits, got $frame3Dist")
+    val pairs = Multimodal.videoNearDup(spark, tmp)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(pairs == Set((1L, 2L, 0L)), s"expected only the exact pair: $pairs")
+  }
+
   test("audio neardup: planted Hamming 1-3 envelope neighbors recovered, width fixed at 64") {
     import spark.implicits._
     // 64 windows of 4 chars (= 2 samples each): a 'zzzz' window's mean sits
