@@ -381,10 +381,35 @@ private[graft] object RegistryMultimodal {
              WHERE list_sum(list_transform(range(1, CAST(len(a.sig)+1 AS BIGINT)),
                      i -> CASE WHEN substr(a.sig, i::INT, 1) <> substr(b.sig, i::INT, 1)
                           THEN 1 ELSE 0 END)) <= 3),
+      vvk AS (SELECT doc_id, text, len(text) AS L FROM documents
+              WHERE len(text) >= 12 AND len(text) = octet_length(encode(text))
+                AND len(text)//3 <= 1048576),
+      vfr AS (SELECT doc_id, text, fx, fx*L//4 AS lo,
+                     ((fx+1)*L//4 - fx*L//4)//3 AS k
+              FROM (SELECT doc_id, text, L, unnest(range(0, 4)) AS fx FROM vvk)),
+      vg AS (SELECT doc_id, fx, p,
+                   ord(substr(text, CAST(lo + 3 * ((p % 8) * k // 8) + 1 AS INT), 1)) +
+                   ord(substr(text, CAST(lo + 3 * ((p % 8) * k // 8) + 2 AS INT), 1)) +
+                   ord(substr(text, CAST(lo + 3 * ((p % 8) * k // 8) + 3 AS INT), 1)) AS gv
+            FROM (SELECT doc_id, fx, lo, k, text, unnest(range(0, 64)) AS p FROM vfr)),
+      vt AS (SELECT doc_id, fx, sum(gv) AS total FROM vg GROUP BY doc_id, fx),
+      vh AS (SELECT vg.doc_id, vg.fx,
+                   string_agg(CASE WHEN gv * 64 >= total THEN '1' ELSE '0' END,
+                              '' ORDER BY p) AS fsig
+             FROM vg JOIN vt USING (doc_id, fx) GROUP BY vg.doc_id, vg.fx),
+      vsg AS (SELECT doc_id, string_agg(fsig, '' ORDER BY fx) AS sig
+              FROM vh GROUP BY doc_id),
+      vp AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+             FROM vsg a JOIN vsg b ON a.doc_id < b.doc_id AND len(a.sig) = len(b.sig)
+             WHERE list_sum(list_transform(range(1, CAST(len(a.sig)+1 AS BIGINT)),
+                     i -> CASE WHEN substr(a.sig, i::INT, 1) <> substr(b.sig, i::INT, 1)
+                          THEN 1 ELSE 0 END)) <= 3),
       e AS (SELECT id_a AS a, id_b AS b FROM ip
             UNION ALL SELECT id_b AS a, id_a AS b FROM ip
             UNION ALL SELECT id_a AS a, id_b AS b FROM ap
-            UNION ALL SELECT id_b AS a, id_a AS b FROM ap),
+            UNION ALL SELECT id_b AS a, id_a AS b FROM ap
+            UNION ALL SELECT id_a AS a, id_b AS b FROM vp
+            UNION ALL SELECT id_b AS a, id_a AS b FROM vp),
       reach AS (
         SELECT doc_id AS id, doc_id AS r FROM documents
         UNION

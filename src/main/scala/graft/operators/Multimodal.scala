@@ -611,7 +611,8 @@ object Multimodal {
 
   /** Media near-dup SURVIVORS — the keep-set a pipeline actually consumes
     * (which media rows to keep, not just which pairs collided): the image
-    * aHash and audio envelope-fingerprint near-dup pair frames (Hamming
+    * aHash, audio envelope-fingerprint, and 4-frame video-signature
+    * near-dup pair frames (Hamming
     * ≤ 3 each, including their exact-signature Hamming-0 clusters) run
     * through the SAME connected-components + min-label canonicalization
     * pass as the text dedup family ([[Dedup.survivorsOf]]) — a doc that
@@ -622,6 +623,7 @@ object Multimodal {
     mediaSurvivorsCache.getOrElseUpdate((spark, dir), {
       val pairs = imageNearDup(spark, dir).select(col("id_a"), col("id_b"))
         .union(audioNearDup(spark, dir).select(col("id_a"), col("id_b")))
+        .union(videoNearDup(spark, dir).select(col("id_a"), col("id_b")))
       graft.operators.Dedup.survivorsOf(spark, pairs,
         Tables.documents(spark, dir).select(col("doc_id"))).cache()
     })
