@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
@@ -529,18 +529,26 @@ object Multimodal {
     * 8×8 `thumb` (comma-joined RGB ints) — the ONE definition of the
     * signature arithmetic, shared by the batch queries and the streaming
     * ingest path so the two cannot drift (bit-identity spec-asserted). */
-  private[graft] def withAhash(thumbs: DataFrame): DataFrame = {
-    val vals = transform(split(col("thumb"), ","), v => v.cast("int"))
-    val gs = transform(sequence(lit(0), lit(63)),
-      p => element_at(col("vals"), p * 3 + 1) + element_at(col("vals"), p * 3 + 2) +
-        element_at(col("vals"), p * 3 + 3))
-    thumbs
-      .withColumn("vals", vals)
-      .withColumn("gs", gs)
-      .withColumn("total", aggregate(col("gs"), lit(0), (acc, x) => acc + x))
-      .withColumn("ahash", concat_ws("", transform(col("gs"),
-        g => when(g * 64 >= col("total"), "1").otherwise("0"))))
-      .drop("vals", "gs", "total")
+  private[graft] def withAhash(thumbs: DataFrame): DataFrame =
+    thumbs.withColumn("ahash", ahashExpr(col("thumb")))
+
+  /** The aHash arithmetic as ONE pure column expression over a comma-joined
+    * 8×8 RGB thumb string — usable directly on a column AND inside a
+    * `transform` lambda (the per-frame video signature). The mean is
+    * computed once per thumb via array_repeat + zip_with, NOT referenced
+    * inside a per-element lambda (the interpreted-HOF total-reference
+    * blow-up the near-dup join comment documents). */
+  private[graft] def ahashExpr(thumb: Column): Column = {
+    def gsOf(t: Column): Column = {
+      val vals = transform(split(t, ","), v => v.cast("int"))
+      transform(sequence(lit(0), lit(63)),
+        p => element_at(vals, p * 3 + 1) + element_at(vals, p * 3 + 2) +
+          element_at(vals, p * 3 + 3))
+    }
+    val gs = gsOf(thumb)
+    val totals = array_repeat(aggregate(gs, lit(0), (acc, x) => acc + x), 64)
+    concat_ws("", zip_with(gs, totals,
+      (g, t) => when(g * 64 >= t, "1").otherwise("0")))
   }
 
   /** NEAR-miss perceptual image pairs — the Hamming-ball stage
@@ -567,34 +575,47 @@ object Multimodal {
     * matches — a per-frame edit flips ~its frame's worth of bits, so the
     * ball is frame-sensitive the way a video near-dup should be. */
   private[graft] def videoSigFrame(spark: SparkSession, dir: String,
-      frames: Int = 4): DataFrame = {
+      frames: Int = 4): DataFrame =
+    videoSigsWithTs(Tables.documents(spark, dir)
+        .withColumn("ts", lit(null).cast("timestamp")), frames)
+      .select(col("doc_id"), col("vsig"))
+
+  /** Per-row 4-frame thumbnails for any (doc_id, ts, text) frame — batch
+    * OR streaming (one output row per doc, no aggregation, so it composes
+    * under a watermark). Docs whose every slice decodes keep exactly
+    * `frames` thumbs; others drop. */
+  private[graft] def videoThumbsWithTs(docs: DataFrame, frames: Int = 4): DataFrame = {
+    val spark = docs.sparkSession
     import spark.implicits._
-    val src = Tables.documents(spark, dir)
+    docs.select(col("doc_id").cast("long"), col("ts"), col("text"))
       .where(length(col("text")) >= 3 * frames &&
         octet_length(encode(col("text"), "utf-8")) === length(col("text")) &&
         floor(length(col("text")) / 3) <= lit(1048576))
-      .select(col("doc_id"), encode(col("text"), "utf-8").as("raw"))
-      .as[(Long, Array[Byte])]
-    val thumbs = src.mapPartitions { it =>
-      it.flatMap { case (id, raw) =>
-        (0 until frames).iterator.flatMap { fidx =>
-          val lo = fidx * raw.length / frames
-          val hi = (fidx + 1) * raw.length / frames
-          val sl = java.util.Arrays.copyOfRange(raw, lo, hi)
-          val k = sl.length / 3
-          val header = s"P6\n$k 1\n255\n".getBytes("US-ASCII")
-          thumbnailOf(header ++ sl.take(k * 3), 8, 8).map {
-            case (_, _, thumb) => (id, fidx.toLong, thumb)
+      .as[(Long, java.sql.Timestamp, String)]
+      .mapPartitions { it =>
+        it.flatMap { case (id, ts, text) =>
+          val raw = text.getBytes("UTF-8")
+          val thumbs = (0 until frames).flatMap { fidx =>
+            val lo = fidx * raw.length / frames
+            val hi = (fidx + 1) * raw.length / frames
+            val sl = java.util.Arrays.copyOfRange(raw, lo, hi)
+            val k = sl.length / 3
+            val header = s"P6\n$k 1\n255\n".getBytes("US-ASCII")
+            thumbnailOf(header ++ sl.take(k * 3), 8, 8).map(_._3)
           }
+          if (thumbs.length == frames) Iterator.single((id, ts, thumbs))
+          else Iterator.empty
         }
-      }
-    }.toDF("doc_id", "frame_idx", "thumb")
-    withAhash(thumbs)
-      .groupBy(col("doc_id"))
-      .agg(sort_array(collect_list(struct(col("frame_idx"), col("ahash")))).as("fs"))
-      .select(col("doc_id"),
-        concat_ws("", expr("transform(fs, f -> f.ahash)")).as("vsig"))
+      }.toDF("doc_id", "ts", "thumbs")
   }
+
+  /** (doc_id, ts, vsig): the 4×64-bit signature via the SHARED
+    * [[ahashExpr]] applied per frame inside a transform — the one
+    * arithmetic serving batch and streaming. */
+  private[graft] def videoSigsWithTs(docs: DataFrame, frames: Int = 4): DataFrame =
+    videoThumbsWithTs(docs, frames)
+      .select(col("doc_id"), col("ts"),
+        concat_ws("", transform(col("thumbs"), t => ahashExpr(t))).as("vsig"))
 
   /** Registered `mm_video_neardup`: Hamming ≤3 pairs over the 256-bit
     * 4-frame video signatures — completes the image/audio/video

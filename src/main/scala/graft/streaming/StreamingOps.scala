@@ -202,6 +202,17 @@ object StreamingOps {
       .dropDuplicatesWithinWatermark("afp")
       .select(col("doc_id"), col("ts"), col("afp"))
 
+  /** The VIDEO member of the ingest-side perceptual dedup trio: each
+    * arriving doc computes the SAME 4-frame 256-bit signature as the batch
+    * `mm_video_neardup` (per-frame [[graft.operators.Multimodal.ahashExpr]]
+    * inside a transform — bit-identity spec-asserted), and later arrivals
+    * whose signature collides within the watermark horizon are dropped. */
+  def streamingVideoPerceptualDedup(docs: DataFrame, watermark: String = "10 minutes"): DataFrame =
+    graft.operators.Multimodal.videoSigsWithTs(docs)
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("vsig")
+      .select(col("doc_id"), col("ts"), col("vsig"))
+
   /** Stream-stream INTERVAL join — the one Structured Streaming join shape
     * the other ops here don't exercise: click-attribution matches each
     * purchase with every click by the same user in the preceding

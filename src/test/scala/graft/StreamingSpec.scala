@@ -197,6 +197,35 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming video perceptual dedup drops signature collisions; bit-match with batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Doc]
+    val q = StreamingOps.streamingVideoPerceptualDedup(input.toDF(), watermark = "10 minutes")
+      .writeStream.format("memory").queryName("vpdedup_out")
+      .outputMode("append").start()
+    val varied = (0 until 360).map(i => ('a' + i % 26).toChar).mkString
+    val clipA = varied + ("!" * 60 + "~" * 60)
+    val clipB = varied + ("z" * 120) // one-frame rewrite -> different signature
+    try {
+      input.addData(Doc(1, ts(60), clipA), Doc(3, ts(62), clipB))
+      q.processAllAvailable()
+      input.addData(Doc(2, ts(61), clipA)) // same signature -> dropped
+      q.processAllAvailable()
+      val rows = spark.table("vpdedup_out").collect()
+        .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("vsig")).toMap
+      assert(rows.keySet == Set(1L, 3L), s"got ${rows.keySet}")
+      assert(rows.values.forall(_.length == 256), "4x64-bit signatures")
+      // bit-identity with the batch signature over the same corpus
+      val tmp = java.nio.file.Files.createTempDirectory("graft_vpd_").toString
+      Seq((1L, clipA), (3L, clipB)).toDF("doc_id", "text")
+        .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+      val batch = graft.operators.Multimodal.videoSigFrame(spark, tmp)
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(batch == rows, s"stream/batch video signature drift")
+    } finally q.stop()
+  }
+
   test("streaming embed drift flags a shifted window against the fixed baseline") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
