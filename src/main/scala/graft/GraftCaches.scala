@@ -16,6 +16,7 @@ object GraftCaches {
     operators.TextAnalysis.clearCaches()
     operators.Similarity.clearCaches()
     operators.Clustering.clearCaches()
+    operators.DocClassifier.clearCaches()
     vamana.VamanaOps.clearCaches()
     functions.NativeVectorFunctions.clearRegistry()
     functions.TextExpressions.clearRegistry()

@@ -10,7 +10,7 @@ import graft.RegistrySqlParts._
 private[graft] object RegistryText {
 
   private[graft] def entries: Seq[(String, QFn, Option[String])] = Seq(
-    textStats, langId, tokenCount, docFingerprint, vocabTopKQ, lengthPctQ, percentileGateQ, tfIdfQ, repetitionScoreQ, bigramTopKQ, lmPerplexityQ, oovRateQ, boilerplateQ, piiRedactQ, qualityDecilesQ, tokenEntropyQ, bm25RetrievalQ, bpeMergesQ, bpeEncodeQ, cmsTopkQ, featureHashQ)
+    textStats, langId, tokenCount, docFingerprint, vocabTopKQ, lengthPctQ, percentileGateQ, tfIdfQ, repetitionScoreQ, bigramTopKQ, lmPerplexityQ, oovRateQ, boilerplateQ, piiRedactQ, qualityDecilesQ, tokenEntropyQ, bm25RetrievalQ, bpeMergesQ, bpeEncodeQ, cmsTopkQ, featureHashQ, classifierGateQ)
 
   // ---- text analysis --------------------------------------------------------
 
@@ -351,6 +351,31 @@ private[graft] object RegistryText {
 
   /** Hashing-trick doc vectors: bucket 0 of the shared CMS family, so the
     * oracle rebuilds the identical feature space with no dictionary. */
+  /** Trained-model gate: the oracle recomputes the SQL-derivable facts
+    * (split sizes from the md5 id-hash, positive-label counts from the
+    * same quality arithmetic as text_stats) and freezes the learning
+    * claims — holdout-accuracy floors and beats-the-majority-class — as
+    * TRUE literals the Spark side must earn. */
+  private val classifierGateQ: (String, QFn, Option[String]) = (
+    "quality_classifier_gate",
+    (s, d) => graft.operators.DocClassifier.classifierGate(s, d),
+    Some(s"""
+      WITH ts AS (${textStats._3.get}),
+      lab AS (SELECT ts.doc_id,
+                CASE WHEN CAST(CAST(quality_score AS DECIMAL(9,4))*10000 AS BIGINT) >= 4000
+                     THEN 1 ELSE 0 END AS y,
+                ('0x' || substr(md5(ts.doc_id::VARCHAR), 1, 15))::BIGINT % 100 AS b
+              FROM ts JOIN documents d ON ts.doc_id = d.doc_id
+              WHERE len(list_filter(string_split_regex(lower(d.text), '\\s+'),
+                                    x -> x <> '')) > 0)
+      SELECT count(*) FILTER (b < 90)::BIGINT AS n_train,
+             count(*) FILTER (b >= 90)::BIGINT AS n_test,
+             sum(y) FILTER (b < 90)::BIGINT AS n_pos_train,
+             sum(y) FILTER (b >= 90)::BIGINT AS n_pos_test,
+             TRUE AS acc_train_ok, TRUE AS acc_test_ok, TRUE AS beats_majority
+      FROM lab
+    """.trim))
+
   private val featureHashQ: (String, QFn, Option[String]) = (
     "feature_hash",
     (s, d) => TextAnalysis.featureHash(s, d),
