@@ -10,7 +10,7 @@ import graft.RegistrySqlParts._
 private[graft] object RegistryDedup {
 
   private[graft] def entries: Seq[(String, QFn, Option[String])] = Seq(
-    dedupExact, dedupNgram, dedupMinhash, dedupSimhash, dedupEmbedding, dedupSurvivorsQ, dedupIncrementalQ, dedupEmbSurvivorsQ, contaminationQ, dedupParagraphQ, dedupParagraphSurvivorsQ, dedupClusterStatsQ, sourceOverlapQ, ngramNoveltyQ, chunkDedupQ, textSimTopKQ, decontaminateQ, substringDedupQ, lineDedupQ, sourcePagerankQ)
+    dedupExact, dedupNgram, dedupMinhash, dedupSimhash, dedupEmbedding, dedupSurvivorsQ, dedupIncrementalQ, dedupEmbSurvivorsQ, contaminationQ, dedupParagraphQ, dedupParagraphSurvivorsQ, dedupClusterStatsQ, dedupSoftWeightsQ, sourceOverlapQ, ngramNoveltyQ, chunkDedupQ, textSimTopKQ, decontaminateQ, substringDedupQ, lineDedupQ, sourcePagerankQ)
 
   // ---- dedup ----------------------------------------------------------------
 
@@ -297,6 +297,29 @@ private[graft] object RegistryDedup {
       cs AS (SELECT canonical_id, count(*) AS cluster_size FROM lab GROUP BY canonical_id)
       SELECT cluster_size, count(*)::BIGINT AS n_clusters
       FROM cs GROUP BY cluster_size ORDER BY cluster_size
+    """.trim))
+
+  /** Soft dedup: same component labels as dedup_survivors, weight
+    * 1/cluster_size per doc (reweight-instead-of-drop). */
+  private val dedupSoftWeightsQ: (String, QFn, Option[String]) = (
+    "dedup_soft_weights",
+    (s, d) => Dedup.dedupSoftWeights(s, d),
+    Some(s"""
+      WITH RECURSIVE
+      s AS ($shingledCte),
+      ${ngramPairsCtes(Dedup.DefaultMaxShingleDf)},
+      e AS (SELECT id_a AS a, id_b AS b FROM pr WHERE jaccard >= 0.2
+            UNION ALL
+            SELECT id_b AS a, id_a AS b FROM pr WHERE jaccard >= 0.2),
+      reach AS (
+        SELECT doc_id AS id, doc_id AS r FROM documents
+        UNION
+        SELECT e.b AS id, reach.r FROM reach JOIN e ON e.a = reach.id),
+      lab AS (SELECT id AS doc_id, min(r) AS canonical_id FROM reach GROUP BY id),
+      cs AS (SELECT canonical_id, count(*) AS cluster_size FROM lab GROUP BY canonical_id)
+      SELECT lab.doc_id, lab.canonical_id, cs.cluster_size::BIGINT AS cluster_size,
+             round(1.0::DOUBLE / cs.cluster_size, 4) AS weight
+      FROM lab JOIN cs USING (canonical_id) ORDER BY lab.doc_id
     """.trim))
 
   /** Window hashes mirror doc_chunks' slice convention (list_slice is

@@ -540,6 +540,24 @@ object Dedup {
       .groupBy(col("cluster_size")).agg(count(lit(1)).as("n_clusters"))
       .orderBy(col("cluster_size"))
 
+  /** Soft dedup — keep EVERY doc but emit a sampling weight 1/cluster_size
+    * from the near-dup component labels (the reweight-instead-of-drop
+    * alternative: a training run that samples by these weights sees each
+    * duplicate CLUSTER with the mass of one document, preserving tail
+    * coverage that hard dropping loses). Rides the cached [[dedupSurvivors]]
+    * labels; the size join is keyed on canonical_id and the sizes frame is
+    * one row per cluster, so nothing here outgrows the corpus. */
+  def dedupSoftWeights(spark: SparkSession, dir: String): DataFrame = {
+    val labels = dedupSurvivors(spark, dir)
+      .select(col("doc_id"), col("canonical_id"))
+    val sizes = labels.groupBy(col("canonical_id"))
+      .agg(count(lit(1)).as("cluster_size"))
+    labels.join(sizes, "canonical_id")
+      .select(col("doc_id"), col("canonical_id"), col("cluster_size"),
+        round(lit(1.0) / col("cluster_size"), 4).as("weight"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Connected components + min-label canonicalization over ANY verified
     * pair frame; `universe` (one doc_id per member) supplies the rows that
     * appear in no pair and keep themselves. */
