@@ -194,6 +194,19 @@ object DocClassifier {
         "acc_train_ok", "acc_test_ok", "beats_majority")
   }
 
+  /** The keep/drop decision of a trained model over a raw `text` column —
+    * ONE stateless, deterministic expression (hash buckets → integer
+    * margin fold → sign), so the ingest-side streaming filter and the
+    * batch scorer share the arithmetic verbatim (bit-identity is
+    * spec-asserted, the streamingQualityFilter pattern). */
+  def keepExpr(m: Model, text: Column): Column = {
+    val wq = m.weights.map(x => math.floor(x * Scale + 0.5).toLong)
+    val buckets = bucketsExpr(text, m.width)
+    when(size(buckets) > 0,
+      (marginQ(buckets, size(buckets).cast("long"), wq) >= 0).cast("int"))
+      .otherwise(lit(0))
+  }
+
   /** Per-doc scores from the trained model over the held-out split — the
     * filter a pipeline actually applies downstream. Margins are exact
     * integer micro-units (hence reproducible); the keep decision is

@@ -347,6 +347,22 @@ object StreamingOps {
       .select(col("doc_id"), col("ts"), col("n_tokens"), col("quality_score"))
   }
 
+  /** Streaming MODEL-BASED quality filter — ingest-side scoring with the
+    * batch-TRAINED [[graft.operators.DocClassifier]] (the CCNet deployment
+    * shape: the linear model is fit offline on a labeled seed set, then its
+    * frozen weights ride to ingest as literals). The keep/drop decision is
+    * the SAME stateless integer-margin expression the batch scorer uses
+    * ([[graft.operators.DocClassifier.keepExpr]]), so stream and batch
+    * decisions are bit-identical by construction (spec-asserted). Narrow
+    * stateless filter — model weights are width+2 doubles folded into the
+    * plan, no state store, no shuffle. */
+  def streamingClassifierFilter(docs: DataFrame,
+      model: graft.operators.DocClassifier.Model): DataFrame =
+    docs.select(col("doc_id").cast("long").as("doc_id"), col("ts"),
+        graft.operators.DocClassifier.keepExpr(model, col("text")).as("keep"))
+      .where(col("keep") === 1)
+      .select(col("doc_id"), col("ts"))
+
   /** The COMPOSED streaming ingest pass — the ingestion-side twin of the
     * batch [[graft.operators.CorpusPipeline.cleanCorpus]] + audit window:
     * quality/lang filter (stateless, the shared batch expressions) →

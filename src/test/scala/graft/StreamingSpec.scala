@@ -699,6 +699,33 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming classifier filter agrees bit-for-bit with the batch-trained model") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val model = graft.operators.DocClassifier.fit(spark, "/root/testdata/sf0.001")
+    val input = MemoryStream[Doc]
+    val q = StreamingOps.streamingClassifierFilter(input.toDF(), model)
+      .writeStream.format("memory").queryName("clf_out")
+      .outputMode("append").start()
+    try {
+      val docs = graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
+        .select("doc_id", "text").collect()
+        .map(r => Doc(r.getLong(0), ts(1), r.getString(1)))
+      // batch ground truth: the shared keepExpr over the same corpus
+      val batchKept = graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
+        .select(col("doc_id"),
+          graft.operators.DocClassifier.keepExpr(model, col("text")).as("keep"))
+        .where(col("keep") === 1).collect().map(_.getLong(0)).toSet
+      input.addData(docs.toSeq)
+      q.processAllAvailable()
+      val streamed = spark.table("clf_out").collect().map(_.getAs[Long]("doc_id")).toSet
+      assert(streamed.nonEmpty && streamed != docs.map(_.doc_id).toSet,
+        "filter must keep a strict, non-empty subset")
+      assert(streamed == batchKept, s"stream/batch diverge: ${streamed.diff(batchKept).take(5)} / ${batchKept.diff(streamed).take(5)}")
+    } finally q.stop()
+  }
+
   test("composed ingest pipeline (quality -> dedup -> window) matches batch survivor count") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
