@@ -159,26 +159,57 @@ private[graft] object RegistryMultimodal {
       FROM documents ORDER BY doc_id
     """.trim))
 
-  /** aHash mirrored from the same substr/ord pixel formula as
-    * mm_thumbnail (k×1 source ⇒ row index vanishes; column j samples
-    * source pixel j·k÷8). */
+  /** The ONE image-signature CTE chain (aliases kk/g/t/h → h(doc_id,
+    * ahash)), shared by every oracle that recomputes the perceptual
+    * aHash. 2-D mirror of the Spark synthesis: bytes reshaped to an 8-row
+    * w×8 image (w = len÷3÷8), thumb pixel p = (row p÷8, col p mod 8)
+    * samples source pixel (p÷8)·w + (p mod 8)·w÷8 — all 64 bits carry
+    * signal (the k×1 form collapsed to ~8 effective bits and made the
+    * Hamming ball output-quadratic). */
+  private def imgSigCtes(sigName: String, pre: String = ""): String = s"""
+      ${pre}kk AS (SELECT doc_id, text, (len(text)//3)//8 AS w FROM documents
+             WHERE len(text) >= 24 AND len(text) = octet_length(encode(text))
+               AND (len(text)//3)//8 <= 1048576),
+      ${pre}g AS (SELECT doc_id, p,
+                   ord(substr(text, CAST(3 * ((p // 8) * w + (p % 8) * w // 8) + 1 AS INT), 1)) +
+                   ord(substr(text, CAST(3 * ((p // 8) * w + (p % 8) * w // 8) + 2 AS INT), 1)) +
+                   ord(substr(text, CAST(3 * ((p // 8) * w + (p % 8) * w // 8) + 3 AS INT), 1)) AS gv
+            FROM (SELECT doc_id, w, text, unnest(range(0, 64)) AS p FROM ${pre}kk)),
+      ${pre}t AS (SELECT doc_id, sum(gv) AS total FROM ${pre}g GROUP BY doc_id),
+      ${pre}h AS (SELECT doc_id,
+                   string_agg(CASE WHEN gv * 64 >= total THEN '1' ELSE '0' END,
+                              '' ORDER BY p) AS $sigName
+            FROM ${pre}g JOIN ${pre}t USING (doc_id) GROUP BY doc_id)"""
+
+  /** The ONE video-signature CTE chain (aliases vvk/vfr/vg/vt/vh/vsg →
+    * vsg(doc_id, sig)): 4 temporal byte slices, each reshaped to an 8-ROW
+    * w×8 frame (the imgSigCtes rationale, per frame) and aHashed; the
+    * 256-bit signature is the frame-hash concatenation. */
+  private def vidSigCtes(sigName: String): String = s"""
+      vvk AS (SELECT doc_id, text, len(text) AS L FROM documents
+              WHERE len(text) >= 96 AND len(text) = octet_length(encode(text))
+                AND len(text)//3 <= 1048576),
+      vfr AS (SELECT doc_id, text, fx, fx*L//4 AS lo,
+                     (((fx+1)*L//4 - fx*L//4)//3)//8 AS w
+              FROM (SELECT doc_id, text, L, unnest(range(0, 4)) AS fx FROM vvk)),
+      vg AS (SELECT doc_id, fx, p,
+                   ord(substr(text, CAST(lo + 3 * ((p // 8) * w + (p % 8) * w // 8) + 1 AS INT), 1)) +
+                   ord(substr(text, CAST(lo + 3 * ((p // 8) * w + (p % 8) * w // 8) + 2 AS INT), 1)) +
+                   ord(substr(text, CAST(lo + 3 * ((p // 8) * w + (p % 8) * w // 8) + 3 AS INT), 1)) AS gv
+            FROM (SELECT doc_id, fx, lo, w, text, unnest(range(0, 64)) AS p FROM vfr)),
+      vt AS (SELECT doc_id, fx, sum(gv) AS total FROM vg GROUP BY doc_id, fx),
+      vh AS (SELECT vg.doc_id, vg.fx,
+                   string_agg(CASE WHEN gv * 64 >= total THEN '1' ELSE '0' END,
+                              '' ORDER BY p) AS fsig
+             FROM vg JOIN vt USING (doc_id, fx) GROUP BY vg.doc_id, vg.fx),
+      vsg AS (SELECT doc_id, string_agg(fsig, '' ORDER BY fx) AS $sigName
+              FROM vh GROUP BY doc_id)"""
+
   private val mmImageAhashQ: (String, QFn, Option[String]) = (
     "mm_image_ahash",
     (s, d) => Multimodal.imageAhash(s, d),
-    Some("""
-      WITH kk AS (SELECT doc_id, text, len(text)//3 AS k FROM documents
-                  WHERE len(text) >= 3 AND len(text) = octet_length(encode(text))
-                    AND len(text)//3 <= 1048576),
-      g AS (SELECT doc_id, p,
-                   ord(substr(text, CAST(3 * ((p % 8) * k // 8) + 1 AS INT), 1)) +
-                   ord(substr(text, CAST(3 * ((p % 8) * k // 8) + 2 AS INT), 1)) +
-                   ord(substr(text, CAST(3 * ((p % 8) * k // 8) + 3 AS INT), 1)) AS gv
-            FROM (SELECT doc_id, k, text, unnest(range(0, 64)) AS p FROM kk)),
-      t AS (SELECT doc_id, sum(gv) AS total FROM g GROUP BY doc_id),
-      h AS (SELECT doc_id,
-                   string_agg(CASE WHEN gv * 64 >= total THEN '1' ELSE '0' END,
-                              '' ORDER BY p) AS ahash
-            FROM g JOIN t USING (doc_id) GROUP BY doc_id),
+    Some(s"""
+      WITH ${imgSigCtes("ahash")},
       c AS (SELECT ahash, count(*) AS n_same FROM h GROUP BY ahash)
       SELECT h.doc_id, h.ahash, c.n_same::BIGINT AS n_same_hash,
              c.n_same > 1 AS is_dup
@@ -230,20 +261,8 @@ private[graft] object RegistryMultimodal {
   private val mmNearDupIncrementalQ: (String, QFn, Option[String]) = (
     "mm_neardup_incremental",
     (s, d) => Multimodal.imageNearDupIncremental(s, d),
-    Some("""
-      WITH kk AS (SELECT doc_id, text, len(text)//3 AS k FROM documents
-                  WHERE len(text) >= 3 AND len(text) = octet_length(encode(text))
-                    AND len(text)//3 <= 1048576),
-      g AS (SELECT doc_id, p,
-                   ord(substr(text, CAST(3 * ((p % 8) * k // 8) + 1 AS INT), 1)) +
-                   ord(substr(text, CAST(3 * ((p % 8) * k // 8) + 2 AS INT), 1)) +
-                   ord(substr(text, CAST(3 * ((p % 8) * k // 8) + 3 AS INT), 1)) AS gv
-            FROM (SELECT doc_id, k, text, unnest(range(0, 64)) AS p FROM kk)),
-      t AS (SELECT doc_id, sum(gv) AS total FROM g GROUP BY doc_id),
-      h AS (SELECT doc_id,
-                   string_agg(CASE WHEN gv * 64 >= total THEN '1' ELSE '0' END,
-                              '' ORDER BY p) AS ahash
-            FROM g JOIN t USING (doc_id) GROUP BY doc_id),
+    Some(s"""
+      WITH ${imgSigCtes("ahash")},
       cm AS (SELECT ahash, min(doc_id) AS cid FROM h WHERE doc_id < 400 GROUP BY ahash),
       b AS (SELECT doc_id, ahash FROM h WHERE doc_id >= 400),
       p AS (SELECT b.doc_id, cm.cid,
@@ -266,20 +285,8 @@ private[graft] object RegistryMultimodal {
   private val mmImageNearDupQ: (String, QFn, Option[String]) = (
     "mm_image_neardup",
     (s, d) => Multimodal.imageNearDup(s, d),
-    Some("""
-      WITH kk AS (SELECT doc_id, text, len(text)//3 AS k FROM documents
-                  WHERE len(text) >= 3 AND len(text) = octet_length(encode(text))
-                    AND len(text)//3 <= 1048576),
-      g AS (SELECT doc_id, p,
-                   ord(substr(text, CAST(3 * ((p % 8) * k // 8) + 1 AS INT), 1)) +
-                   ord(substr(text, CAST(3 * ((p % 8) * k // 8) + 2 AS INT), 1)) +
-                   ord(substr(text, CAST(3 * ((p % 8) * k // 8) + 3 AS INT), 1)) AS gv
-            FROM (SELECT doc_id, k, text, unnest(range(0, 64)) AS p FROM kk)),
-      t AS (SELECT doc_id, sum(gv) AS total FROM g GROUP BY doc_id),
-      h AS (SELECT doc_id,
-                   string_agg(CASE WHEN gv * 64 >= total THEN '1' ELSE '0' END,
-                              '' ORDER BY p) AS ahash
-            FROM g JOIN t USING (doc_id) GROUP BY doc_id),
+    Some(s"""
+      WITH ${imgSigCtes("ahash")},
       p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
                    list_sum(list_transform(range(1, CAST(len(a.ahash)+1 AS BIGINT)),
                      i -> CASE WHEN substr(a.ahash, i::INT, 1) <> substr(b.ahash, i::INT, 1)
@@ -295,24 +302,9 @@ private[graft] object RegistryMultimodal {
   private val mmVideoNearDupQ: (String, QFn, Option[String]) = (
     "mm_video_neardup",
     (s, d) => Multimodal.videoNearDup(s, d),
-    Some("""
-      WITH vv AS (SELECT doc_id, text, len(text) AS L FROM documents
-                  WHERE len(text) >= 12 AND len(text) = octet_length(encode(text))
-                    AND len(text)//3 <= 1048576),
-      fr AS (SELECT doc_id, text, fx, fx*L//4 AS lo, ((fx+1)*L//4 - fx*L//4)//3 AS k
-             FROM (SELECT doc_id, text, L, unnest(range(0, 4)) AS fx FROM vv)),
-      g AS (SELECT doc_id, fx, p,
-                   ord(substr(text, CAST(lo + 3 * ((p % 8) * k // 8) + 1 AS INT), 1)) +
-                   ord(substr(text, CAST(lo + 3 * ((p % 8) * k // 8) + 2 AS INT), 1)) +
-                   ord(substr(text, CAST(lo + 3 * ((p % 8) * k // 8) + 3 AS INT), 1)) AS gv
-            FROM (SELECT doc_id, fx, lo, k, text, unnest(range(0, 64)) AS p FROM fr)),
-      t AS (SELECT doc_id, fx, sum(gv) AS total FROM g GROUP BY doc_id, fx),
-      h AS (SELECT g.doc_id, g.fx,
-                   string_agg(CASE WHEN gv * 64 >= total THEN '1' ELSE '0' END,
-                              '' ORDER BY p) AS fsig
-            FROM g JOIN t USING (doc_id, fx) GROUP BY g.doc_id, g.fx),
-      sig AS (SELECT doc_id, string_agg(fsig, '' ORDER BY fx) AS vsig
-              FROM h GROUP BY doc_id),
+    Some(s"""
+      WITH ${vidSigCtes("vsig")},
+      sig AS (SELECT doc_id, vsig FROM vsg),
       p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
                    list_sum(list_transform(range(1, CAST(len(a.vsig)+1 AS BIGINT)),
                      i -> CASE WHEN substr(a.vsig, i::INT, 1) <> substr(b.vsig, i::INT, 1)
@@ -342,19 +334,7 @@ private[graft] object RegistryMultimodal {
     * min-label reachability as dedup_survivors — the oracle for the
     * shared-CC media survivor pass. */
   private val mediaCcCtes = s"""
-      ik AS (SELECT doc_id, text, len(text)//3 AS k FROM documents
-             WHERE len(text) >= 3 AND len(text) = octet_length(encode(text))
-               AND len(text)//3 <= 1048576),
-      ig AS (SELECT doc_id, p,
-                   ord(substr(text, CAST(3 * ((p % 8) * k // 8) + 1 AS INT), 1)) +
-                   ord(substr(text, CAST(3 * ((p % 8) * k // 8) + 2 AS INT), 1)) +
-                   ord(substr(text, CAST(3 * ((p % 8) * k // 8) + 3 AS INT), 1)) AS gv
-            FROM (SELECT doc_id, k, text, unnest(range(0, 64)) AS p FROM ik)),
-      it AS (SELECT doc_id, sum(gv) AS total FROM ig GROUP BY doc_id),
-      ih AS (SELECT doc_id,
-                   string_agg(CASE WHEN gv * 64 >= total THEN '1' ELSE '0' END,
-                              '' ORDER BY p) AS sig
-             FROM ig JOIN it USING (doc_id) GROUP BY doc_id),
+      ${imgSigCtes("sig", "i")},
       ad AS (SELECT doc_id, text, len(text)//2 AS m FROM documents
              WHERE len(text) >= 2 AND len(text) = octet_length(encode(text))),
       av AS (SELECT doc_id, m, (i * 64) // m AS w,
@@ -381,24 +361,7 @@ private[graft] object RegistryMultimodal {
              WHERE list_sum(list_transform(range(1, CAST(len(a.sig)+1 AS BIGINT)),
                      i -> CASE WHEN substr(a.sig, i::INT, 1) <> substr(b.sig, i::INT, 1)
                           THEN 1 ELSE 0 END)) <= 3),
-      vvk AS (SELECT doc_id, text, len(text) AS L FROM documents
-              WHERE len(text) >= 12 AND len(text) = octet_length(encode(text))
-                AND len(text)//3 <= 1048576),
-      vfr AS (SELECT doc_id, text, fx, fx*L//4 AS lo,
-                     ((fx+1)*L//4 - fx*L//4)//3 AS k
-              FROM (SELECT doc_id, text, L, unnest(range(0, 4)) AS fx FROM vvk)),
-      vg AS (SELECT doc_id, fx, p,
-                   ord(substr(text, CAST(lo + 3 * ((p % 8) * k // 8) + 1 AS INT), 1)) +
-                   ord(substr(text, CAST(lo + 3 * ((p % 8) * k // 8) + 2 AS INT), 1)) +
-                   ord(substr(text, CAST(lo + 3 * ((p % 8) * k // 8) + 3 AS INT), 1)) AS gv
-            FROM (SELECT doc_id, fx, lo, k, text, unnest(range(0, 64)) AS p FROM vfr)),
-      vt AS (SELECT doc_id, fx, sum(gv) AS total FROM vg GROUP BY doc_id, fx),
-      vh AS (SELECT vg.doc_id, vg.fx,
-                   string_agg(CASE WHEN gv * 64 >= total THEN '1' ELSE '0' END,
-                              '' ORDER BY p) AS fsig
-             FROM vg JOIN vt USING (doc_id, fx) GROUP BY vg.doc_id, vg.fx),
-      vsg AS (SELECT doc_id, string_agg(fsig, '' ORDER BY fx) AS sig
-              FROM vh GROUP BY doc_id),
+      ${vidSigCtes("sig")},
       vp AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
              FROM vsg a JOIN vsg b ON a.doc_id < b.doc_id AND len(a.sig) = len(b.sig)
              WHERE list_sum(list_transform(range(1, CAST(len(a.sig)+1 AS BIGINT)),

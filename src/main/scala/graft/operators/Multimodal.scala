@@ -455,20 +455,30 @@ object Multimodal {
     * event-time column passing through — the form the streaming ingest
     * path consumes (mapPartitions runs unchanged on a streaming
     * Dataset). Same eligibility filters as the batch pass. */
+  /** PERCEPTUAL thumbnails for any (doc_id, ts, text) frame — batch or
+    * streaming. Unlike the k×1 container-demo payload (`mm_image_decode` /
+    * `mm_thumbnail`, where the point is the encode→decode plumbing), the
+    * perceptual path reshapes the bytes into an 8-ROW w×8 image (w =
+    * bytes/3/8): a k×1 source makes every thumbnail row sample the SAME
+    * source row, collapsing the 64-bit aHash to ~8 effective bits — 225
+    * distinct signatures across 5000 docs and an output-QUADRATIC
+    * Hamming-ball (96k pairs at sf0.1, the audio round-9 disease). With 8
+    * genuine rows all 64 bits carry signal and near-dup output tracks true
+    * duplicates, not signature entropy. */
   private[graft] def thumbnailsWithTs(docs: DataFrame, tw: Int = 8, th: Int = 8): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     docs.select(col("doc_id").cast("long"), col("ts"), col("text"))
-      .where(length(col("text")) >= 3 &&
+      .where(length(col("text")) >= 24 &&
         octet_length(encode(col("text"), "utf-8")) === length(col("text")) &&
-        floor(length(col("text")) / 3) <= lit(1048576))
+        floor(floor(length(col("text")) / 3) / 8) <= lit(1048576))
       .as[(Long, java.sql.Timestamp, String)]
       .mapPartitions { it =>
         it.flatMap { case (id, ts, text) =>
           val raw = text.getBytes("UTF-8")
-          val k = raw.length / 3
-          val header = s"P6\n$k 1\n255\n".getBytes("US-ASCII")
-          thumbnailOf(header ++ raw.take(k * 3), tw, th).map {
+          val w = raw.length / 3 / 8
+          val header = s"P6\n$w 8\n255\n".getBytes("US-ASCII")
+          thumbnailOf(header ++ raw.take(w * 8 * 3), tw, th).map {
             case (_, _, thumb) => (id, ts, thumb)
           }
         }
@@ -522,7 +532,8 @@ object Multimodal {
     * re-decoding (2.0 s vs 1.25 s steady) — the thumbnail cache stays for
     * consumers where a real entropy-coded codec would dominate. */
   private def ahashFrame(spark: SparkSession, dir: String): DataFrame =
-    withAhash(thumbnailFrameUncached(spark, dir, tw = 8, th = 8))
+    withAhash(thumbnailsWithTs(Tables.documents(spark, dir)
+        .withColumn("ts", lit(null).cast("timestamp"))))
       .select(col("doc_id"), col("ahash"))
 
   /** Appends the 64-bit aHash bit-string column to any frame carrying an
@@ -538,18 +549,30 @@ object Multimodal {
     * computed once per thumb via array_repeat + zip_with, NOT referenced
     * inside a per-element lambda (the interpreted-HOF total-reference
     * blow-up the near-dup join comment documents). */
-  private[graft] def ahashExpr(thumb: Column): Column = {
-    def gsOf(t: Column): Column = {
-      val vals = transform(split(t, ","), v => v.cast("int"))
-      transform(sequence(lit(0), lit(63)),
+  /** Let-binding for column expressions: evaluates `e` ONCE per row and
+    * hands the result to `f` as a lambda VARIABLE (a cheap bound value).
+    * Interpreted higher-order functions re-evaluate any captured
+    * sub-EXPRESSION on every lambda call — referencing a computed array
+    * inside a 64-element transform re-runs the whole computation 64× (the
+    * round-10 bench caught exactly this: the inlined aHash went 1.3 →
+    * 34 s) — but a lambda variable is just a slot read. `transform` over a
+    * 1-element array is that let-binder as a pure Column, so the bound
+    * form still composes inside outer lambdas (the per-frame video
+    * signature) where a withColumn materialization cannot go. */
+  private[graft] def bindOnce(e: Column)(f: Column => Column): Column =
+    element_at(transform(array(e), v => f(v)), 1)
+
+  private[graft] def ahashExpr(thumb: Column): Column =
+    bindOnce(transform(split(thumb, ","), v => v.cast("int"))) { vals =>
+      bindOnce(transform(sequence(lit(0), lit(63)),
         p => element_at(vals, p * 3 + 1) + element_at(vals, p * 3 + 2) +
-          element_at(vals, p * 3 + 3))
+          element_at(vals, p * 3 + 3))) { gs =>
+        bindOnce(aggregate(gs, lit(0), (acc, x) => acc + x)) { total =>
+          concat_ws("", transform(gs,
+            g => when(g * 64 >= total, "1").otherwise("0")))
+        }
+      }
     }
-    val gs = gsOf(thumb)
-    val totals = array_repeat(aggregate(gs, lit(0), (acc, x) => acc + x), 64)
-    concat_ws("", zip_with(gs, totals,
-      (g, t) => when(g * 64 >= t, "1").otherwise("0")))
-  }
 
   /** NEAR-miss perceptual image pairs — the Hamming-ball stage
     * [[imageAhash]]'s exact-collision join cannot express: a re-encoded
@@ -588,7 +611,7 @@ object Multimodal {
     val spark = docs.sparkSession
     import spark.implicits._
     docs.select(col("doc_id").cast("long"), col("ts"), col("text"))
-      .where(length(col("text")) >= 3 * frames &&
+      .where(length(col("text")) >= 24 * frames &&
         octet_length(encode(col("text"), "utf-8")) === length(col("text")) &&
         floor(length(col("text")) / 3) <= lit(1048576))
       .as[(Long, java.sql.Timestamp, String)]
@@ -599,9 +622,11 @@ object Multimodal {
             val lo = fidx * raw.length / frames
             val hi = (fidx + 1) * raw.length / frames
             val sl = java.util.Arrays.copyOfRange(raw, lo, hi)
-            val k = sl.length / 3
-            val header = s"P6\n$k 1\n255\n".getBytes("US-ASCII")
-            thumbnailOf(header ++ sl.take(k * 3), 8, 8).map(_._3)
+            // 8-row reshape per frame, the thumbnailsWithTs rationale: a
+            // k×1 frame leaves ~8 effective bits of the 64-bit frame hash
+            val w = sl.length / 3 / 8
+            val header = s"P6\n$w 8\n255\n".getBytes("US-ASCII")
+            thumbnailOf(header ++ sl.take(w * 8 * 3), 8, 8).map(_._3)
           }
           if (thumbs.length == frames) Iterator.single((id, ts, thumbs))
           else Iterator.empty
@@ -739,16 +764,25 @@ object Multimodal {
     * piece entropy keeps buckets sparse at corpus scale; config-short
     * signatures bound the whole candidate space by construction. */
   private[graft] def bitstringNearDupPairs(sig: DataFrame, maxHamming: Int = 3): DataFrame = {
-    // Materialize the signature column before joining — the
-    // dedupSimhashFrame pattern, and here it is load-bearing: the self-
-    // and back-joins otherwise push isnotnull/key predicates through the
-    // projection layers, INLINING the nested higher-order signature
-    // expression (whose per-element `total` reference multiplies the
-    // work ~10⁴-fold in interpreted eval) into per-row join predicates.
-    // Cached, each signature is computed once and the joins compare
-    // materialized strings.
-    val s = pinned(sig.select(col("doc_id"), col("bits")).cache())
-    val groups = s.groupBy(col("bits")).agg(min(col("doc_id")).as("rep"))
+    // Materialize signature AND its parsed 16-bit-word array before
+    // joining — the dedupSimhashFrame pattern, and here it is load-bearing
+    // twice over: (1) the self- and back-joins otherwise push isnotnull/
+    // key predicates through the projection layers, INLINING the nested
+    // higher-order signature expression into per-row join predicates
+    // (~10⁴× interpreted blow-up); (2) Catalyst pushes the Hamming-verify
+    // filter below `distinct` INTO the candidate-join condition, so the
+    // verify runs once per CANDIDATE PAIR — parsing both 256-bit strings
+    // through 32 interpreted conv(substring) calls per pair cost 23 s at
+    // sf0.1 (the round-10 bench catch). With `words` parsed ONCE per
+    // signature inside the cache (a hard pushdown barrier), the per-pair
+    // verify is 16 xor+popcounts over two materialized arrays — cheap
+    // wherever the optimizer decides to evaluate it.
+    val wordsOf = expr("transform(sequence(0, cast((length(bits) - 1) div 16 as int)), " +
+      "w -> cast(conv(substring(bits, w * 16 + 1, 16), 2, 10) as bigint))")
+    val s = pinned(sig.select(col("doc_id"), col("bits"))
+      .withColumn("words", wordsOf).cache())
+    val groups = s.groupBy(col("bits"))
+      .agg(min(col("doc_id")).as("rep"), first(col("words")).as("words"))
       .withColumn("len", length(col("bits")))
     val chunks = (0 until 4).map { c =>
       struct(lit(c).as("ci"),
@@ -756,13 +790,22 @@ object Multimodal {
          else expr("substring(bits, 3 * (len div 4) + 1, len - 3 * (len div 4))")).as("piece"))
     }
     val keyed = groups.where(col("len") >= 4)
-      .select(col("rep"), col("bits"), col("len"), explode(array(chunks: _*)).as("ck"))
-      .select(col("rep"), col("bits"), col("len"),
+      .select(col("rep"), col("bits"), col("words"), col("len"),
+        explode(array(chunks: _*)).as("ck"))
+      .select(col("rep"), col("bits"), col("words"), col("len"),
         col("ck.ci").as("ci"), col("ck.piece").as("piece"))
+    // Exact Hamming over the PRE-PARSED word arrays: 16 xor+popcounts per
+    // pair (equal length is join-guaranteed), exact at ANY signature width
+    // (16-bit words never overflow conv's long parse).
+    def hammingOf(wa: Column, wb: Column): Column =
+      aggregate(zip_with(wa, wb, (x, y) => bit_count(x.bitwiseXOR(y)).cast("long")),
+        lit(0L), (acc, v) => acc + v)
     val candWide = keyed.as("a").join(keyed.as("b"),
         col("a.ci") === col("b.ci") && col("a.piece") === col("b.piece") &&
           col("a.len") === col("b.len") && col("a.rep") < col("b.rep"))
-      .select(col("a.bits").as("ba"), col("b.bits").as("bb"))
+      .select(col("a.bits").as("ba"), col("b.bits").as("bb"),
+        hammingOf(col("a.words"), col("b.words")).as("hamming"))
+      .where(col("hamming") <= maxHamming)
       .distinct()
     // Signatures under 4 bits can't be quarter-chunked, but carry at most
     // 2^len < 16 DISTINCT values per length — an all-pairs join within the
@@ -770,22 +813,10 @@ object Multimodal {
     val short = groups.where(col("len") < 4)
     val candShort = short.as("a").join(short.as("b"),
         col("a.len") === col("b.len") && col("a.rep") < col("b.rep"))
-      .select(col("a.bits").as("ba"), col("b.bits").as("bb"))
-    // Exact Hamming via 16-bit words + bit_count(xor): equal-length pairs
-    // (the join guarantees it) parse both strings into base-2 words and
-    // popcount the xor — ~8× fewer interpreted higher-order evals per
-    // pair than a per-position substring compare, and exact at ANY
-    // signature width (16-bit words never overflow conv's long parse).
-    val sigPairs = candWide.union(candShort)
-      .withColumn("hamming", expr(
-        "aggregate(zip_with(" +
-          "transform(sequence(0, cast((length(ba) - 1) div 16 as int)), " +
-          "  w -> cast(conv(substring(ba, w * 16 + 1, 16), 2, 10) as bigint)), " +
-          "transform(sequence(0, cast((length(bb) - 1) div 16 as int)), " +
-          "  w -> cast(conv(substring(bb, w * 16 + 1, 16), 2, 10) as bigint)), " +
-          "(x, y) -> bit_count(x ^ y)), 0, (acc, v) -> acc + v)")
-        .cast("long"))
+      .select(col("a.bits").as("ba"), col("b.bits").as("bb"),
+        hammingOf(col("a.words"), col("b.words")).as("hamming"))
       .where(col("hamming") <= maxHamming)
+    val sigPairs = candWide.union(candShort)
     val cross = sigPairs
       .join(s.select(col("doc_id").as("da"), col("bits").as("ba")), "ba")
       .join(s.select(col("doc_id").as("db"), col("bits").as("bb")), "bb")
