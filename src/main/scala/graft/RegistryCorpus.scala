@@ -10,7 +10,7 @@ import graft.RegistrySqlParts._
 private[graft] object RegistryCorpus {
 
   private[graft] def entries: Seq[(String, QFn, Option[String])] = Seq(
-    sampleHashQ, pipelineCleanQ, sampleStratifiedQ, docChunksQ, packSequencesQ, sampleMixtureQ, corpusShuffleQ, lengthBucketsQ, pipelineFullQ, docChunksCdcQ, shardManifestQ, splitAssignQ, dsirWeightQ, corpusStatsQ, domainCapQ, epochUpsampleQ)
+    sampleHashQ, pipelineCleanQ, sampleStratifiedQ, docChunksQ, packSequencesQ, sampleMixtureQ, corpusShuffleQ, lengthBucketsQ, pipelineFullQ, docChunksCdcQ, shardManifestQ, splitAssignQ, dsirWeightQ, corpusStatsQ, domainCapQ, epochUpsampleQ, tokenBudgetQ)
 
   /** Buckets are md5-derived on both sides; the en-doc subset is DSIR's
     * target distribution stand-in. */
@@ -240,6 +240,36 @@ private[graft] object RegistryCorpus {
                  FROM documents)
       SELECT doc_id, source, keep_rank::BIGINT AS keep_rank
       FROM r WHERE keep_rank <= 20 ORDER BY source, keep_rank
+    """.trim))
+
+  /** Token-budget planning: per-source exact token mass, mixture weight,
+    * the proportional slice of a fixed 10M-token budget, and the implied
+    * epoch multiplier. Integral divisions mirror Spark's decimal(38) div
+    * (exact floor in both engines on positive values). */
+  private val tokenBudgetQ: (String, QFn, Option[String]) = (
+    "token_budget",
+    (s, d) => CorpusPipeline.tokenBudget(s, d),
+    Some("""
+      WITH t AS (SELECT source,
+                   len(list_filter(string_split_regex(lower(text), '\s+'),
+                                   x -> x <> ''))::BIGINT AS nt,
+                   (CASE WHEN regexp_extract(source, '[0-9]+', 0) = '' THEN 0
+                         ELSE right(regexp_extract(source, '[0-9]+', 0), 8)::INT % 4 END) AS idx
+                 FROM documents),
+      s AS (SELECT source, count(*)::BIGINT AS n_docs, sum(nt)::BIGINT AS n_tokens,
+                   ([100000, 300000, 600000, 1000000]::BIGINT[])[min(idx) + 1] AS rate_u
+            FROM t GROUP BY source),
+      w AS (SELECT *, ((n_tokens::HUGEINT * rate_u) // 1000000)::BIGINT AS weighted_tokens
+            FROM s),
+      tot AS (SELECT sum(weighted_tokens)::HUGEINT AS tw FROM w)
+      SELECT source, n_docs, n_tokens,
+             round(rate_u / 1000000.0, 4) AS rate,
+             weighted_tokens,
+             ((10000000::HUGEINT * weighted_tokens) // tw)::BIGINT AS alloc_tokens,
+             round(weighted_tokens::DOUBLE / tw::DOUBLE, 4) AS share,
+             round((((10000000::HUGEINT * weighted_tokens) // tw)::BIGINT)::DOUBLE
+                   / n_tokens, 4) AS epochs
+      FROM w, tot ORDER BY source
     """.trim))
 
 }

@@ -183,6 +183,44 @@ object CorpusPipeline {
       .select(col("doc_id"), col("source"), col("target_rate"))
       .orderBy(col("doc_id"))
 
+  /** Token-budget planning — the sizing pass before a training run: per
+    * source, exact token mass, its mixture weight, and the slice of a
+    * fixed token budget (10M here) allocated proportionally to the
+    * mixture-WEIGHTED mass, plus the implied epoch multiplier. All the
+    * cross-engine-sensitive arithmetic is integer: weighted mass =
+    * n_tokens·rate_micro div 10⁶ and the allocation = budget·weighted div
+    * total both ride decimal(38) integral division (exact floor in both
+    * engines); only the two audit ratios are (single-division,
+    * IEEE-deterministic) doubles. One keyed aggregation — the shuffle
+    * carries one row per source — then a 1-row broadcast of the total:
+    * nothing here grows with the corpus. */
+  def tokenBudget(spark: SparkSession, dir: String, budget: Long = 10000000L): DataFrame = {
+    val rateU = element_at(
+      array(lit(100000L), lit(300000L), lit(600000L), lit(1000000L)),
+      sourceIdxExpr + 1)
+    val perSource = Tables.documents(spark, dir)
+      .select(col("source"),
+        size(filter(split(lower(col("text")), "\\s+"), t => t =!= ""))
+          .cast("long").as("nt"),
+        rateU.as("rate_u"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("n_tokens"),
+        min(col("rate_u")).as("rate_u"))
+      .withColumn("weighted_tokens",
+        expr("(CAST(n_tokens AS DECIMAL(38,0)) * rate_u) div 1000000"))
+    val total = perSource.agg(sum(col("weighted_tokens")).as("tw"))
+    perSource.crossJoin(broadcast(total))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        round(col("rate_u") / 1000000.0, 4).as("rate"),
+        col("weighted_tokens"),
+        expr(s"(CAST($budget AS DECIMAL(38,0)) * weighted_tokens) div tw")
+          .as("alloc_tokens"),
+        round(col("weighted_tokens").cast("double") / col("tw"), 4).as("share"))
+      .withColumn("epochs",
+        round(col("alloc_tokens").cast("double") / col("n_tokens"), 4))
+      .orderBy(col("source"))
+  }
+
   /** Deterministic train/val/test split — holdout creation as a pure
     * function of the doc id (the [[sampleByHash]] idiom: same doc lands in
     * the same split under any partitioning, rerun, or engine). The 60-bit
