@@ -10,7 +10,7 @@ import graft.RegistrySqlParts._
 private[graft] object RegistryText {
 
   private[graft] def entries: Seq[(String, QFn, Option[String])] = Seq(
-    textStats, langId, tokenCount, docFingerprint, vocabTopKQ, lengthPctQ, percentileGateQ, tfIdfQ, repetitionScoreQ, bigramTopKQ, lmPerplexityQ, oovRateQ, boilerplateQ, piiRedactQ, qualityDecilesQ, tokenEntropyQ, bm25RetrievalQ, bpeMergesQ, bpeEncodeQ, cmsTopkQ, featureHashQ, classifierGateQ)
+    textStats, langId, tokenCount, docFingerprint, vocabTopKQ, lengthPctQ, percentileGateQ, tfIdfQ, repetitionScoreQ, bigramTopKQ, lmPerplexityQ, oovRateQ, boilerplateQ, piiRedactQ, qualityDecilesQ, tokenEntropyQ, bm25RetrievalQ, bpeMergesQ, bpeEncodeQ, cmsTopkQ, featureHashQ, classifierGateQ, hybridRetrievalQ)
 
   // ---- text analysis --------------------------------------------------------
 
@@ -250,6 +250,60 @@ private[graft] object RegistryText {
             FROM sc)
       SELECT qid::BIGINT AS qid, rank, doc_id, s4::DOUBLE AS score
       FROM r WHERE rank <= 5 ORDER BY qid, rank
+    """.trim))
+
+  /** Hybrid BM25 + cosine retrieval fused by reciprocal ranks; both legs
+    * reuse their parent queries' determinism contracts (rounded-decimal
+    * BM25 sums, raw-double cosine ranks). */
+  private val hybridRetrievalQ: (String, QFn, Option[String]) = (
+    "hybrid_retrieval",
+    (s, d) => TextAnalysis.hybridRetrieval(s, d),
+    Some(s"""
+      WITH t AS (SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS term FROM documents),
+      tc AS (SELECT doc_id, term, count(*) AS c FROM t WHERE term <> '' GROUP BY doc_id, term),
+      dl AS (SELECT doc_id, sum(c) AS n FROM tc GROUP BY doc_id),
+      st AS (SELECT count(*)::DOUBLE AS nd, sum(n)::DOUBLE / count(*) AS avgdl FROM dl),
+      dfs AS (SELECT term, count(*) AS df FROM tc GROUP BY term),
+      qt AS (SELECT DISTINCT doc_id AS qid, term FROM t WHERE term <> '' AND doc_id < 5),
+      qi AS (SELECT qt.qid, qt.term,
+                    ln((st.nd - coalesce(dfs.df, 0) + 0.5) /
+                       (coalesce(dfs.df, 0) + 0.5) + 1.0) AS idf,
+                    st.avgdl
+             FROM qt LEFT JOIN dfs USING (term) CROSS JOIN st),
+      co AS (SELECT qi.qid, tc.doc_id,
+                    round(qi.idf * (tc.c * (1.2 + 1.0)) /
+                          (tc.c + 1.2 * (1.0 - 0.75 + 0.75 *
+                            (dl.n::DOUBLE / qi.avgdl))), 6)::DECIMAL(18,6) AS contrib
+             FROM tc JOIN qi USING (term) JOIN dl USING (doc_id)
+             WHERE tc.doc_id <> qi.qid),
+      lsc AS (SELECT qid, doc_id, round(sum(contrib), 4) AS s4 FROM co GROUP BY qid, doc_id),
+      lex AS (SELECT qid, doc_id, lrank FROM (
+                SELECT qid, doc_id,
+                       row_number() OVER (PARTITION BY qid ORDER BY s4 DESC, doc_id ASC) AS lrank
+                FROM lsc) WHERE lrank <= 10),
+      e AS (SELECT vec_id, embedding, sqrt(${dotSql("embedding", "embedding")}) AS nrm
+            FROM embeddings),
+      qv AS (SELECT vec_id AS qid, embedding AS qvec, nrm AS qn FROM e WHERE vec_id < 5),
+      vs AS (SELECT qv.qid, e.vec_id AS doc_id,
+                    ${dotSql("e.embedding", "qv.qvec")} / (e.nrm * qv.qn) AS cos
+             FROM e CROSS JOIN qv WHERE e.vec_id <> qv.qid),
+      vec AS (SELECT qid, doc_id, vrank FROM (
+                SELECT qid, doc_id,
+                       row_number() OVER (PARTITION BY qid ORDER BY cos DESC, doc_id ASC) AS vrank
+                FROM vs) WHERE vrank <= 10),
+      fused AS (SELECT coalesce(lex.qid, vec.qid) AS qid,
+                       coalesce(lex.doc_id, vec.doc_id) AS doc_id,
+                       coalesce(lex.lrank, -1)::BIGINT AS lex_rank,
+                       coalesce(vec.vrank, -1)::BIGINT AS vec_rank,
+                       coalesce(round(1.0::DOUBLE / (60 + lex.lrank), 6), 0.0) +
+                       coalesce(round(1.0::DOUBLE / (60 + vec.vrank), 6), 0.0) AS rrf
+                FROM lex FULL OUTER JOIN vec
+                  ON lex.qid = vec.qid AND lex.doc_id = vec.doc_id),
+      r AS (SELECT qid, doc_id, lex_rank, vec_rank, rrf,
+                   row_number() OVER (PARTITION BY qid ORDER BY rrf DESC, doc_id ASC) AS rank
+            FROM fused)
+      SELECT qid, rank::BIGINT AS rank, doc_id, round(rrf, 6) AS rrf, lex_rank, vec_rank
+      FROM r WHERE rank <= 10 ORDER BY qid, rank
     """.trim))
 
   /** BPE merge training, oracle-mirrored by unrolling the k iterations as

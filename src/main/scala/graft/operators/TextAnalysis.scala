@@ -518,6 +518,99 @@ object TextAnalysis {
       .orderBy(col("qid"), col("rank"))
   }
 
+  /** HYBRID retrieval — the modern RAG-stack shape: a lexical BM25 leg and
+    * an embedding-cosine leg fused by reciprocal-rank fusion
+    * (rrf = Σ 1/(60 + rank), the Cormack/Clarke/Buettcher SIGIR'09 rule,
+    * also the default hybrid combiner of the mainstream search engines).
+    * Query-by-example: each query id < `nQueries` contributes its
+    * document's DISTINCT tokens as the BM25 query and its embedding as
+    * the vector query (the documents↔embeddings id join is the corpus
+    * convention, see mm_join). Determinism: BM25 rides the rounded-
+    * decimal contract of [[bm25Retrieval]]; the cosine leg ranks on the
+    * raw sequential-fold double (the sim_cosine_topk contract); each
+    * fusion term is a 6-dp-rounded double so the 2-term sum is exact.
+    * Scale shape: both legs end in the bounded TopK heap (k rows per
+    * partition per query cross the shuffle, never a corpus rank window),
+    * and the fusion join + final rank window run over two ≤ nQueries·k
+    * row frames — driver-trivial at any corpus size. */
+  def hybridRetrieval(spark: SparkSession, dir: String, nQueries: Int = 5,
+      k: Int = 10, kRrf: Int = 60, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    import spark.implicits._
+    import graft.functions.{Scored, TopKAggregator}
+    import graft.functions.NativeVectorFunctions.{dotNative, normNative}
+
+    def heapTopK(scored: DataFrame, rankName: String): DataFrame =
+      scored.as[(Long, Double, Long)]
+        .groupByKey(_._1)
+        .mapValues { case (_, dist, id) => Scored(dist, id) }
+        .agg(new TopKAggregator(k).toColumn.name("topk"))
+        .toDF("qid", "topk")
+        .select(col("qid"), posexplode(col("topk")).as(Seq("r", "s")))
+        .select(col("qid"), (col("r") + 1).cast("long").as(rankName),
+          col("s.id").as("doc_id"))
+
+    // ---- lexical leg: BM25 with the query doc's distinct tokens --------
+    val tc = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(toks(col("text"))).as("term"))
+      .where(col("term") =!= "")
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("c"))
+    val dl = tc.groupBy(col("doc_id")).agg(sum(col("c")).as("n"))
+    val stats = dl.agg(count(lit(1)).cast("double").as("nd"),
+      (sum(col("n")).cast("double") / count(lit(1))).as("avgdl"))
+    val dfs = tc.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val qt = Tables.documents(spark, dir).where(col("doc_id") < nQueries)
+      .select(col("doc_id").as("qid"), explode(toks(col("text"))).as("term"))
+      .where(col("term") =!= "").distinct()
+    val qi = qt.join(dfs, Seq("term"), "left_outer")
+      .crossJoin(broadcast(stats))
+      .select(col("qid"), col("term"),
+        log((col("nd") - coalesce(col("df"), lit(0L)) + 0.5) /
+          (coalesce(col("df"), lit(0L)) + 0.5) + 1.0).as("idf"),
+        col("avgdl"))
+    val lexScored = tc.join(broadcast(qi), Seq("term"))
+      .join(dl, Seq("doc_id"))
+      .where(col("doc_id") =!= col("qid"))
+      .select(col("qid"), col("doc_id"),
+        round(col("idf") * (col("c") * lit(k1 + 1.0)) /
+          (col("c") + lit(k1) * (lit(1.0 - b) + lit(b) *
+            (col("n").cast("double") / col("avgdl")))), 6)
+          .cast("decimal(18,6)").as("contrib"))
+      .groupBy(col("qid"), col("doc_id"))
+      .agg(sum(col("contrib")).as("s"))
+      .select(col("qid"), (-round(col("s"), 4).cast("double")).as("dist"),
+        col("doc_id").as("id"))
+    val lex = heapTopK(lexScored, "lex_rank")
+
+    // ---- vector leg: exact cosine over the broadcast query embeddings --
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"), normNative(spark, col("embedding")).as("nrm"))
+    val qv = e.where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"), col("nrm").as("qn"))
+    val vecScored = e
+      .select(col("vec_id").as("id"), col("embedding").as("vec"), col("nrm").as("vn"))
+      .crossJoin(broadcast(qv))
+      .where(col("id") =!= col("query_id"))
+      .select(col("query_id"),
+        (-(dotNative(spark, col("vec"), col("qvec")) / (col("vn") * col("qn")))).as("dist"),
+        col("id"))
+    val vec = heapTopK(vecScored, "vec_rank")
+
+    // ---- reciprocal-rank fusion ---------------------------------------
+    val fused = lex.join(vec, Seq("qid", "doc_id"), "full_outer")
+      .select(col("qid"), col("doc_id"),
+        coalesce(col("lex_rank"), lit(-1L)).as("lex_rank"),
+        coalesce(col("vec_rank"), lit(-1L)).as("vec_rank"),
+        (coalesce(round(lit(1.0) / (lit(kRrf) + col("lex_rank")), 6), lit(0.0)) +
+          coalesce(round(lit(1.0) / (lit(kRrf) + col("vec_rank")), 6), lit(0.0))).as("rrf"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("rrf").desc, col("doc_id").asc)
+    fused.withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("doc_id"),
+        round(col("rrf"), 6).as("rrf"), col("lex_rank"), col("vec_rank"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
   /** N-gram repetition score — the "repetitive junk" quality signal LLM
     * corpus filters cut on (boilerplate, keyword stuffing, generation
     * loops): 1 − distinct/total word-3-grams per doc, 0 = no repeated
