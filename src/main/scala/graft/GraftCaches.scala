@@ -18,6 +18,7 @@ object GraftCaches {
     operators.Clustering.clearCaches()
     operators.DocClassifier.clearCaches()
     vamana.VamanaOps.clearCaches()
+    vamana.VamanaPq.clearCaches()
     functions.NativeVectorFunctions.clearRegistry()
     functions.TextExpressions.clearRegistry()
     functions.MinhashSigs.clearRegistry()

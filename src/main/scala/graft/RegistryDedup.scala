@@ -10,7 +10,7 @@ import graft.RegistrySqlParts._
 private[graft] object RegistryDedup {
 
   private[graft] def entries: Seq[(String, QFn, Option[String])] = Seq(
-    dedupExact, dedupNgram, dedupMinhash, dedupSimhash, dedupEmbedding, dedupSurvivorsQ, dedupIncrementalQ, dedupEmbSurvivorsQ, contaminationQ, dedupParagraphQ, dedupParagraphSurvivorsQ, dedupClusterStatsQ, dedupSoftWeightsQ, sourceOverlapQ, ngramNoveltyQ, chunkDedupQ, textSimTopKQ, decontaminateQ, substringDedupQ, lineDedupQ, sourcePagerankQ)
+    dedupExact, dedupNgram, dedupMinhash, dedupSimhash, dedupEmbedding, dedupSurvivorsQ, dedupIncrementalQ, bloomDedupQ, dedupEmbSurvivorsQ, contaminationQ, dedupParagraphQ, dedupParagraphSurvivorsQ, dedupClusterStatsQ, dedupSoftWeightsQ, sourceOverlapQ, ngramNoveltyQ, chunkDedupQ, textSimTopKQ, decontaminateQ, substringDedupQ, lineDedupQ, sourcePagerankQ)
 
   // ---- dedup ----------------------------------------------------------------
 
@@ -275,6 +275,35 @@ private[graft] object RegistryDedup {
              CASE WHEN c.dup_of IS NOT NULL THEN 1 ELSE 0 END AS is_dup
       FROM h b LEFT JOIN corpus c USING (content_hash)
       WHERE b.doc_id >= 400 ORDER BY b.doc_id
+    """.trim))
+
+  /** Bloom prefilter replayed bit-for-bit: DuckDB derives the same 4
+    * md5-substring positions mod 2^18, rebuilds the distinct-position set
+    * from the historical slice, and re-evaluates membership per batch doc. */
+  private val bloomDedupQ: (String, QFn, Option[String]) = (
+    "bloom_dedup",
+    (s, d) => Dedup.bloomDedup(s, d),
+    Some("""
+      WITH h AS (SELECT doc_id, md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS hh
+                 FROM documents),
+      p AS (SELECT doc_id, hh, list_distinct([
+              ('0x' || substr(hh, 1, 8))::BIGINT % 262144,
+              ('0x' || substr(hh, 9, 8))::BIGINT % 262144,
+              ('0x' || substr(hh, 17, 8))::BIGINT % 262144,
+              ('0x' || substr(hh, 25, 8))::BIGINT % 262144]) AS bits
+            FROM h),
+      cb AS (SELECT DISTINCT unnest(bits) AS bit FROM p WHERE doc_id < 400),
+      probe AS (SELECT doc_id, unnest(bits) AS bit FROM p WHERE doc_id >= 400),
+      m AS (SELECT probe.doc_id,
+                   (count(cb.bit) = count(*)) AS bloom_maybe
+            FROM probe LEFT JOIN cb USING (bit) GROUP BY probe.doc_id),
+      ch AS (SELECT DISTINCT hh FROM h WHERE doc_id < 400)
+      SELECT p.doc_id, m.bloom_maybe,
+             CASE WHEN ch.hh IS NOT NULL THEN 1 ELSE 0 END AS is_dup,
+             (m.bloom_maybe AND ch.hh IS NULL) AS false_positive,
+             (m.bloom_maybe OR ch.hh IS NULL) AS no_miss
+      FROM p LEFT JOIN ch ON p.hh = ch.hh JOIN m ON p.doc_id = m.doc_id
+      WHERE p.doc_id >= 400 ORDER BY p.doc_id
     """.trim))
 
   /** Cluster-size histogram over the SAME recursive-CTE component labels

@@ -10,7 +10,7 @@ import graft.RegistrySqlParts._
 private[graft] object RegistryText {
 
   private[graft] def entries: Seq[(String, QFn, Option[String])] = Seq(
-    textStats, langId, tokenCount, docFingerprint, vocabTopKQ, lengthPctQ, percentileGateQ, tfIdfQ, repetitionScoreQ, bigramTopKQ, lmPerplexityQ, oovRateQ, boilerplateQ, piiRedactQ, qualityDecilesQ, tokenEntropyQ, bm25RetrievalQ, bpeMergesQ, bpeEncodeQ, cmsTopkQ, featureHashQ, classifierGateQ, hybridRetrievalQ)
+    textStats, langId, tokenCount, docFingerprint, vocabTopKQ, lengthPctQ, percentileGateQ, tfIdfQ, repetitionScoreQ, bigramTopKQ, lmPerplexityQ, oovRateQ, boilerplateQ, piiRedactQ, qualityDecilesQ, tokenEntropyQ, bm25RetrievalQ, bpeMergesQ, bpeEncodeQ, cmsTopkQ, featureHashQ, classifierGateQ, hybridRetrievalQ, gopherRulesQ)
 
   // ---- text analysis --------------------------------------------------------
 
@@ -32,6 +32,39 @@ private[graft] object RegistryText {
              round(least(n_tokens::DOUBLE / 100.0, 1.0) * 0.6 +
                    (1.0 - punct_ratio) * 0.2 +
                    least(stop_ratio * 5.0, 1.0) * 0.2, 4) AS quality_score
+      FROM m ORDER BY doc_id
+    """.trim))
+
+  /** Gopher rule battery — all comparisons cross-multiplied to integers so
+    * every flag is bit-deterministic in both engines (no float ratios). */
+  private[graft] val gopherRulesQ: (String, QFn, Option[String]) = (
+    "gopher_rules",
+    (s, d) => TextAnalysis.gopherRules(s, d),
+    Some(s"""
+      WITH t AS ($toksCte),
+      l AS (SELECT doc_id, toks, string_split(text, chr(10)) AS lines FROM t),
+      m AS (SELECT doc_id,
+              len(toks)::BIGINT AS n,
+              list_sum(list_transform(toks, x -> len(x)))::BIGINT AS sum_len,
+              len(list_filter(toks, x -> contains(x, '#') OR contains(x, '...')))::BIGINT AS sym,
+              len(list_filter(toks, x -> regexp_matches(x, '[a-z]')))::BIGINT AS alpha,
+              len(lines)::BIGINT AS n_lines,
+              len(list_filter(lines, x -> starts_with(x, '- ') OR starts_with(x, '* ')))::BIGINT AS bullets,
+              len(list_filter(lines, x -> ends_with(x, '...')))::BIGINT AS ell,
+              len(list_intersect(list_distinct(toks), $stopwordsList))::BIGINT AS stop_hits
+            FROM l)
+      SELECT doc_id, n AS n_tokens,
+             (n >= 50 AND n <= 100000) AS wc_ok,
+             (sum_len >= n * 3 AND sum_len <= n * 10) AS wlen_ok,
+             (sym * 10 <= n) AS symbol_ok,
+             (bullets * 10 <= n_lines * 9) AS bullet_ok,
+             (ell * 10 <= n_lines * 3) AS ellipsis_ok,
+             (alpha * 5 >= n * 4) AS alpha_ok,
+             (stop_hits >= 2) AS stop_ok,
+             ((n >= 50 AND n <= 100000) AND (sum_len >= n * 3 AND sum_len <= n * 10)
+               AND (sym * 10 <= n) AND (bullets * 10 <= n_lines * 9)
+               AND (ell * 10 <= n_lines * 3) AND (alpha * 5 >= n * 4)
+               AND (stop_hits >= 2)) AS gopher_pass
       FROM m ORDER BY doc_id
     """.trim))
 

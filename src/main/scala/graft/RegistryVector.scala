@@ -10,7 +10,7 @@ import graft.RegistrySqlParts._
 private[graft] object RegistryVector {
 
   private[graft] def entries: Seq[(String, QFn, Option[String])] = Seq(
-    simCosineTopK, simIpTopK, simJoinThreshold, lshCosineGateQ, lshL2GateQ, ivfGateQ, pqGateQ, semdedupGateQ, prototypeGateQ, embedDimStatsQ, embedDimCovQ, sqQuantize, sqReport, bqQuantizeQ, bqSearchQ, bqRerankQ, embedNormalizeQ, hardNegativesQ, hardNegativesFanoutQ, hardNegativesFanoutGateQ, embedKmeansQ, embedKmeansGreedyQ, embedKmeansStatsQ, clusterSampleBalancedQ, clusterSilhouetteQ, clusterCuratedDocsQ, splitDriftQ, embedKmeansIncrementalQ, embedKmeansMinibatchQ)
+    simCosineTopK, simIpTopK, simJoinThreshold, lshCosineGateQ, lshL2GateQ, ivfGateQ, pqGateQ, vamanaPqGateQ, semdedupGateQ, prototypeGateQ, embedDimStatsQ, embedDimCovQ, sqQuantize, sqReport, bqQuantizeQ, bqSearchQ, bqRerankQ, embedNormalizeQ, hardNegativesQ, hardNegativesFanoutQ, hardNegativesFanoutGateQ, embedKmeansQ, embedKmeansGreedyQ, embedKmeansStatsQ, clusterSampleBalancedQ, clusterSilhouetteQ, clusterCuratedDocsQ, splitDriftQ, embedKmeansIncrementalQ, embedKmeansMinibatchQ)
 
   // ---- similarity -----------------------------------------------------------
 
@@ -92,6 +92,19 @@ private[graft] object RegistryVector {
     (s, d) => Quantization.pqGate(s, d),
     Some("""
       SELECT count(DISTINCT vec_id) AS n_queries, TRUE AS recall_ok
+      FROM embeddings WHERE vec_id < 10
+    """.trim))
+
+  /** DiskANN disk-design gate: full-beam PQ-guided traversal + exact rerank
+    * is provably exact kNN ([[graft.vamana.VamanaKernel.greedySearchScored]]
+    * theorem), so `overlap_exact_ok` is a hash-checked invariant; the
+    * default-beam recall floor is the lossy-regime quality flag. */
+  private val vamanaPqGateQ: (String, QFn, Option[String]) = (
+    "vamana_pq_gate",
+    (s, d) => graft.vamana.VamanaPq.gate(s, d),
+    Some("""
+      SELECT count(DISTINCT vec_id) AS n_queries,
+             TRUE AS overlap_exact_ok, TRUE AS recall_ok
       FROM embeddings WHERE vec_id < 10
     """.trim))
 

@@ -944,6 +944,47 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** Bloom-filter prefilter for incremental ingest — the fixed-memory
+    * membership sketch next to q14's HLL, q18's KMV, cms_topk's CMS and the
+    * streaming Space-Saving summary: 4 bit positions per document derived
+    * from the shared content-hash md5 (8 hex chars each, mod `mBits`), the
+    * historical corpus folded into a ≤`mBits`-row distinct-position frame —
+    * membership state bounded by the FILTER size, not the corpus, which is
+    * the entire point at 100 TB (the exact [[dedupIncremental]] join must
+    * shuffle corpus-sized hash sets; the Bloom side broadcasts). Each batch
+    * doc probes its (distinct) positions with one keyed equi-join;
+    * `bloom_maybe` = all positions present. Emitted next to the exact
+    * membership truth so the one-sided-error contract is visible per row:
+    * `no_miss` (a dup never escapes the filter) is TRUE by construction —
+    * a hash-checked invariant — while `false_positive` rows measure the
+    * collision rate the m/n/k choice buys. Fully integer/md5 arithmetic →
+    * DuckDB rebuilds the identical filter and every flag hash-matches. */
+  def bloomDedup(spark: SparkSession, dir: String, batchStart: Long = 400,
+      mBits: Long = 262144L): DataFrame = {
+    val norm = trim(regexp_replace(lower(col("text")), "\\s+", " "))
+    val hashed = Tables.documents(spark, dir)
+      .select(col("doc_id"), md5(norm).as("h"))
+    def bits = array_distinct(array((0 until 4).map(j =>
+      conv(substring(col("h"), j * 8 + 1, 8), 16, 10).cast("long") % mBits): _*))
+    val corpusBits = hashed.where(col("doc_id") < batchStart)
+      .select(explode(bits).as("bit")).distinct()
+    val probed = hashed.where(col("doc_id") >= batchStart)
+      .select(col("doc_id"), explode(bits).as("bit"))
+      .join(corpusBits.withColumn("present", lit(1)), Seq("bit"), "left")
+      .groupBy(col("doc_id"))
+      .agg((count(when(col("present").isNotNull, 1)) === count(lit(1))).as("bloom_maybe"))
+    val corpusHash = hashed.where(col("doc_id") < batchStart)
+      .select(col("h")).distinct().withColumn("dup", lit(1))
+    hashed.where(col("doc_id") >= batchStart)
+      .join(corpusHash, Seq("h"), "left")
+      .join(probed, Seq("doc_id"))
+      .select(col("doc_id"), col("bloom_maybe"),
+        col("dup").isNotNull.cast("int").as("is_dup"),
+        (col("bloom_maybe") && col("dup").isNull).as("false_positive"),
+        (col("bloom_maybe") || col("dup").isNull).as("no_miss"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Unpersist + drop the per-dataset shingle/pair caches (tests and
     * long-lived multi-dataset services — the caches otherwise hold cached
     * frames, and their SparkSessions, for the life of the JVM). */

@@ -169,7 +169,7 @@ object Quantization {
     centroids
   }
 
-  private def nearest(p: Array[Float], cs: Array[Array[Float]]): Int = {
+  private[graft] def nearest(p: Array[Float], cs: Array[Array[Float]]): Int = {
     var best = 0
     var bestD = Double.MaxValue
     var c = 0

@@ -895,6 +895,47 @@ object TextAnalysis {
         col("chunk_hash"), col("n_tokens"), col("n_copies"))
       .orderBy(col("doc_id"), col("chunk_id"))
 
+  /** The Gopher rule battery (Rae et al. 2021, arXiv:2112.11446, Table A1)
+    * — the published heuristic filter set every large web-corpus pipeline
+    * (Gopher, MassiveText, Dolma, FineWeb) applies before model-based
+    * scoring, next to [[textStats]]'s composite score and the trained
+    * [[DocClassifier]] filter. Every rule is evaluated in INTEGER
+    * arithmetic (cross-multiplied thresholds: `10·symbol_toks <= n` instead
+    * of a double ratio), so each flag is bit-deterministic in both engines
+    * and the row hash-checks with no float hazard. One narrow scan, no
+    * shuffle — the 100 TB shape of a per-doc filter. */
+  def gopherRules(spark: SparkSession, dir: String): DataFrame = {
+    val t = toks(col("text"))
+    val n = size(t).cast("long")
+    val sumLen = aggregate(transform(t, tk => length(tk)), lit(0), (a, v) => a + v).cast("long")
+    val symbolToks = size(filter(t, tk => tk.contains("#") || tk.contains("..."))).cast("long")
+    val alphaToks = size(filter(t, tk => tk.rlike("[a-z]"))).cast("long")
+    val lines = split(col("text"), "\n")
+    val nLines = size(lines).cast("long")
+    val bulletLines = size(filter(lines,
+      l => l.startsWith("- ") || l.startsWith("* "))).cast("long")
+    val ellipsisLines = size(filter(lines, l => l.endsWith("..."))).cast("long")
+    // Gopher's rule is ">=2 distinct stopwords present"; the word list is
+    // the engine's corpus-matched StopwordsEn (the paper's 8-word list has
+    // <2 members in this synthetic vocabulary, which would pin the flag)
+    val stopHits = size(array_intersect(array_distinct(t),
+      array(StopwordsEn.map(lit): _*))).cast("long")
+    Tables.documents(spark, dir).select(
+      col("doc_id"),
+      n.as("n_tokens"),
+      (n >= 50L && n <= 100000L).as("wc_ok"),
+      (sumLen >= n * 3L && sumLen <= n * 10L).as("wlen_ok"),
+      (symbolToks * 10L <= n).as("symbol_ok"),
+      (bulletLines * 10L <= nLines * 9L).as("bullet_ok"),
+      (ellipsisLines * 10L <= nLines * 3L).as("ellipsis_ok"),
+      (alphaToks * 5L >= n * 4L).as("alpha_ok"),
+      (stopHits >= 2L).as("stop_ok"))
+      .withColumn("gopher_pass",
+        col("wc_ok") && col("wlen_ok") && col("symbol_ok") && col("bullet_ok") &&
+          col("ellipsis_ok") && col("alpha_ok") && col("stop_ok"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Document fingerprint: bottom-5 sketch of md5'd word-3-gram shingles —
     * a fixed-size content signature (min-k sketch) whose overlap estimates
     * Jaccard similarity; joins on fingerprint find near-dups cheaply. */

@@ -301,6 +301,35 @@ object StreamingOps {
         col("best.c").as("cluster"), col("best.d").as("dist"))
   }
 
+  /** Online ANN serving at ingest — the streaming twin of
+    * [[graft.vamana.VamanaModel.search]]: each arriving query vector is
+    * answered by the SAME broadcast frozen kernel
+    * ([[graft.vamana.VamanaKernel.search]], same metric prep and the same
+    * 1e-4 rounding), so stream results are bit-identical to a batch search
+    * over the same rows — spec-asserted. Per-row work is one graph
+    * traversal against broadcast state: stateless for the streaming engine
+    * (no watermark needed), horizontally scalable by input partitions —
+    * the production shape of a retrieval service fed by a query stream
+    * while the nightly batch job refreshes the index it serves. */
+  def streamingVectorSearch(queries: DataFrame,
+      index: graft.vamana.LocalIndex, k: Int = 10): DataFrame = {
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(index)
+    queries
+      .select(col("vec_id").cast("long"), col("ts"), col("embedding").cast("array<float>"))
+      .as[(Long, Timestamp, Array[Float])]
+      .flatMap { case (qid, t, qvec) =>
+        val idx = bc.value
+        val q = graft.vamana.MetricReduction.prepareQuery(qvec, idx.params.metric)
+        graft.vamana.VamanaKernel.search(idx, q, k).iterator.zipWithIndex.map {
+          case ((id, dist), r) =>
+            (qid, t, (r + 1).toLong, id, math.rint(dist.toDouble * 1e4) / 1e4)
+        }
+      }
+      .toDF("query_id", "ts", "rank", "id", "dist")
+  }
+
   /** Ingest-side embedding drift monitor — the streaming twin of the batch
     * `split_drift` audit: arriving embeddings aggregate per (5-minute
     * event-time window, dimension) through the shared half-up micro

@@ -246,6 +246,78 @@ object VamanaKernel {
     (poolIds.toArray, poolDists.toArray, seen.size.toLong)
   }
 
+  /** [[greedySearchCounted]] with a PLUGGABLE node score — the traversal
+    * skeleton the DiskANN disk design needs: beam ordering and eviction run
+    * on `score(node)` (e.g. an ADC lookup over PQ codes) while the caller
+    * reranks the returned pool with exact distances afterwards. The
+    * full-beam exactness theorem survives any scoring function: with
+    * `beamL >= n` the beam never evicts, so the pool is the whole connected
+    * component no matter how nodes are scored, and an EXACT rerank of that
+    * pool is exact kNN — the invariant `vamana_pq_gate` hash-checks. Kept
+    * separate from the l2sq hot path so serving search stays monomorphic. */
+  def greedySearchScored(
+      score: Int => Float,
+      graph: Array[Array[Int]],
+      start: Int,
+      beamL: Int): (Array[Int], Array[Float]) = {
+    val n = graph.length
+    val beamIds = new Array[Int](beamL + 1)
+    val beamDists = new Array[Float](beamL + 1)
+    var beamSize = 0
+    val inBeamVisited = new Array[Boolean](beamL + 1)
+    val seen = new java.util.HashSet[Integer](beamL * 4)
+    val poolIds = new mutable.ArrayBuffer[Int](beamL * 4)
+    val poolDists = new mutable.ArrayBuffer[Float](beamL * 4)
+
+    def beamInsert(node: Int, dist: Float): Unit = {
+      if (beamSize == beamL && dist >= beamDists(beamSize - 1)) return
+      var lo = 0
+      var hi = beamSize
+      while (lo < hi) {
+        val mid = (lo + hi) >>> 1
+        if (beamDists(mid) < dist || (beamDists(mid) == dist && beamIds(mid) < node)) lo = mid + 1
+        else hi = mid
+      }
+      var k = math.min(beamSize, beamL - 1)
+      while (k > lo) {
+        beamIds(k) = beamIds(k - 1); beamDists(k) = beamDists(k - 1); inBeamVisited(k) = inBeamVisited(k - 1)
+        k -= 1
+      }
+      beamIds(lo) = node; beamDists(lo) = dist; inBeamVisited(lo) = false
+      if (beamSize < beamL) beamSize += 1
+    }
+
+    seen.add(start)
+    beamInsert(start, score(start))
+    var done = false
+    while (!done) {
+      var idx = -1
+      var i = 0
+      while (idx < 0 && i < beamSize) {
+        if (!inBeamVisited(i)) idx = i
+        i += 1
+      }
+      if (idx < 0) done = true
+      else {
+        inBeamVisited(idx) = true
+        val node = beamIds(idx)
+        poolIds += node
+        poolDists += beamDists(idx)
+        val nbrs = graph(node)
+        var j = 0
+        while (j < nbrs.length) {
+          val nb = nbrs(j)
+          if (nb >= 0 && nb < n && !seen.contains(nb)) {
+            seen.add(nb)
+            beamInsert(nb, score(nb))
+          }
+          j += 1
+        }
+      }
+    }
+    (poolIds.toArray, poolDists.toArray)
+  }
+
   /** Robust prune (G3, vamana.h:722-760). Candidates are (internal id, dist
     * to p) for p itself excluded. Two rules:
     *  - reference (default): fix p* = nearest candidate once; keep c while

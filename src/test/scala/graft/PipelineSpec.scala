@@ -1337,6 +1337,40 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("gopher rules: integer-exact flags, pass is the conjunction, wc discriminates") {
+    val df = TextAnalysis.gopherRules(spark, dir).collect()
+    assert(df.length == 500)
+    val wc = df.map(_.getAs[Boolean]("wc_ok"))
+    assert(wc.exists(identity) && wc.exists(!_), "wc_ok must discriminate on this corpus")
+    df.foreach { r =>
+      val conj = Seq("wc_ok", "wlen_ok", "symbol_ok", "bullet_ok", "ellipsis_ok",
+        "alpha_ok", "stop_ok").forall(r.getAs[Boolean])
+      assert(r.getAs[Boolean]("gopher_pass") == conj, s"doc ${r.getLong(0)}: pass != conjunction")
+    }
+    // the corpus-matched stopword rule holds for the word-salad fixture
+    assert(df.count(_.getAs[Boolean]("stop_ok")) > 0)
+  }
+
+  test("bloom dedup: one-sided error — no true dup escapes; membership flags are consistent") {
+    val rows = Dedup.bloomDedup(spark, dir).collect()
+    assert(rows.length == 100)
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("no_miss"), s"doc ${r.getLong(0)}: Bloom missed a true dup")
+      if (r.getAs[Int]("is_dup") == 1)
+        assert(r.getAs[Boolean]("bloom_maybe"), s"doc ${r.getLong(0)}: dup not flagged maybe")
+      assert(r.getAs[Boolean]("false_positive") ==
+        (r.getAs[Boolean]("bloom_maybe") && r.getAs[Int]("is_dup") == 0))
+    }
+  }
+
+  test("vamana pq gate: full-beam PQ traversal + exact rerank is exact; default beam clears floor") {
+    val g = graft.vamana.VamanaPq.gate(spark, dir).collect()
+    assert(g.length == 1)
+    assert(g(0).getAs[Boolean]("overlap_exact_ok"),
+      "full-beam PQ-guided pool + exact rerank must equal exact kNN (greedySearchScored theorem)")
+    assert(g(0).getAs[Boolean]("recall_ok"), "default-beam PQ guidance under the recall floor")
+  }
+
   test("all registered queries execute and agree with declared column names at sf0.001") {
     val smokeDir = "/root/testdata/sf0.001"
     SparkEntry.queries.foreach { case (name, fn) =>
