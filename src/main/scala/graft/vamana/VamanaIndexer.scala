@@ -298,14 +298,144 @@ final class FanoutModel private[vamana] (
     * merges per query. `fullBeam = true` re-parameterizes each shard to
     * beam = shard size, which makes the per-shard answer exactly its k
     * nearest allowed points and the merge exactly filtered kNN — the
-    * hash-checked gate's theorem. */
+    * hash-checked gate's theorem. An allowed set beyond the broadcast
+    * band no longer aborts: it degrades to [[search]] + distributed
+    * post-filter (the selectivity regime where almost every neighbor
+    * passes anyway) — but callers holding a set that large should pass
+    * the DataFrame form and let the model pick the branch BEFORE any
+    * driver materialization. */
   def searchFiltered(
       queries: DataFrame,
       allowedIds: Array[Long],
       k: Int,
       queryIdCol: String = "query_id",
       queryVecCol: String = "query_vec",
-      fullBeam: Boolean = false): DataFrame = {
+      fullBeam: Boolean = false): DataFrame =
+    if (allowedIds.length > MaxBroadcastAllowed) {
+      val spark = shards.sparkSession
+      import spark.implicits._
+      postFilterSearch(queries, spark.createDataset(allowedIds).toDF("id"),
+        deny = false, k, queryIdCol, queryVecCol, fullBeam)
+    } else searchIdFiltered(queries, allowedIds, deny = false, k, queryIdCol, queryVecCol, fullBeam)
+
+  /** [[searchFiltered]]'s complement form: rank every stored point EXCEPT
+    * `deniedIds`. The natural shape for label-complement predicates
+    * ("anything but my own label") where the allowed side is
+    * corpus-sized by construction but the denied side is one label —
+    * semantics identical to searchFiltered with the complement set, at
+    * the small side's broadcast cost. */
+  def searchDenied(
+      queries: DataFrame,
+      deniedIds: Array[Long],
+      k: Int,
+      queryIdCol: String = "query_id",
+      queryVecCol: String = "query_vec",
+      fullBeam: Boolean = false): DataFrame =
+    if (deniedIds.length > MaxBroadcastAllowed) {
+      val spark = shards.sparkSession
+      import spark.implicits._
+      postFilterSearch(queries, spark.createDataset(deniedIds).toDF("id"),
+        deny = true, k, queryIdCol, queryVecCol, fullBeam)
+    } else searchIdFiltered(queries, deniedIds, deny = true, k, queryIdCol, queryVecCol, fullBeam)
+
+  /** Live external-id count of the fitted index (distributed; the 2-of-s
+    * replicated fit counts distinct ids, not shard rows). Memoized — the
+    * adaptive filtered path reads it once per model. */
+  lazy val totalPoints: Long =
+    if (replicate2) idsDF.count()
+    else shards.map { case (_, idx) => idx.size.toLong }(Encoders.scalaLong)
+      .reduce(_ + _)
+
+  /** All external ids in the fitted index as a distributed one-column
+    * frame `id` — the complement side of the adaptive filtered path. */
+  private[vamana] def idsDF: DataFrame = {
+    val spark = shards.sparkSession
+    import spark.implicits._
+    val raw = shards.flatMap { case (_, idx) => idx.ids.iterator }.toDF("id")
+    if (replicate2) raw.distinct() else raw
+  }
+
+  /** ADAPTIVE filtered search — the entry point that makes the broadcast
+    * band an internal decision instead of a caller contract (no caller
+    * can OOM the driver by collecting the wrong side): `allowed` is a
+    * one-column DataFrame of permitted external ids, and the model picks,
+    * from one cheap distributed count,
+    *  - broadcast-ALLOWED when the set fits the band;
+    *  - broadcast-DENIED (complement via anti-join against [[idsDF]],
+    *    never the driver) when the complement fits instead — the
+    *    high-selectivity regime where "all but a label" is the predicate;
+    *  - [[search]] with an over-fetched k + distributed semi-join
+    *    post-filter when BOTH sides exceed the band — at that scale the
+    *    filter passes nearly everything or nearly nothing, and only the
+    *    nearly-everything case reaches this branch (approximate:
+    *    recall-bounded by the overfetch, documented, never an abort). */
+  def searchFiltered(queries: DataFrame, allowed: DataFrame, k: Int,
+      fullBeam: Boolean): DataFrame =
+    adaptiveFiltered(queries, allowed, deny = false, k, fullBeam)
+
+  /** [[searchDenied]] with the denied ids as a DataFrame — same adaptive
+    * branch choice, mirrored. */
+  def searchDenied(queries: DataFrame, denied: DataFrame, k: Int,
+      fullBeam: Boolean): DataFrame =
+    adaptiveFiltered(queries, denied, deny = true, k, fullBeam)
+
+  private def adaptiveFiltered(queries: DataFrame, filter: DataFrame, deny: Boolean,
+      k: Int, fullBeam: Boolean): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val ids = filter.select(col(filter.columns.head).cast("long").as("id"))
+    val n = ids.count()
+    def collectIds(df: DataFrame): Array[Long] = {
+      val spark = shards.sparkSession
+      import spark.implicits._
+      df.select(col("id")).as[Long].collect()
+    }
+    if (n <= MaxBroadcastAllowed)
+      searchIdFiltered(queries, collectIds(ids), deny, k, "query_id", "query_vec", fullBeam)
+    else if (totalPoints - n <= MaxBroadcastAllowed)
+      // the complement is the broadcastable side: flip the polarity.
+      // Anti-join runs distributed; only the (bounded) complement lands
+      // on the driver.
+      searchIdFiltered(queries, collectIds(idsDF.join(ids, Seq("id"), "left_anti")),
+        !deny, k, "query_id", "query_vec", fullBeam)
+    else postFilterSearch(queries, ids, deny, k, "query_id", "query_vec", fullBeam)
+  }
+
+  /** Overfetch multiple for the beyond-broadcast post-filter branch: at
+    * the selectivity that reaches it (both filter sides > 5M) a k×8
+    * fetch retains recall while keeping the merge bounded. */
+  val PostFilterOverfetch: Int = 8
+
+  private def postFilterSearch(queries: DataFrame, filterIds: DataFrame, deny: Boolean,
+      k: Int, queryIdCol: String, queryVecCol: String, fullBeam: Boolean): DataFrame = {
+    val fetched = searchAtBeam(queries, k * PostFilterOverfetch, queryIdCol, queryVecCol, fullBeam)
+    val kept = fetched.join(filterIds, Seq("id"), if (deny) "left_anti" else "left_semi")
+    val w = Window.partitionBy(col("query_id")).orderBy(col("rank").asc)
+    kept.withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("id"), col("dist"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** [[search]] with an optional full-beam override — the post-filter
+    * branch's fetch stage. */
+  private def searchAtBeam(queries: DataFrame, k: Int, queryIdCol: String,
+      queryVecCol: String, fullBeam: Boolean): DataFrame =
+    if (!fullBeam) searchImpl(queries, k, queryIdCol, queryVecCol, startVecCol = None)
+    else searchIdFiltered(queries, Array.empty[Long], deny = true, k,
+      queryIdCol, queryVecCol, fullBeam = true)
+
+  /** The broadcast-band core: `filterIds` rides to every shard as sorted
+    * longs; `deny` picks membership vs non-membership as the ranking
+    * predicate for [[VamanaKernel.searchFiltered]] (traversal always
+    * unfiltered). */
+  private def searchIdFiltered(
+      queries: DataFrame,
+      filterIds: Array[Long],
+      deny: Boolean,
+      k: Int,
+      queryIdCol: String,
+      queryVecCol: String,
+      fullBeam: Boolean): DataFrame = {
     val spark = shards.sparkSession
     import spark.implicits._
     val metric = params.metric
@@ -314,15 +444,13 @@ final class FanoutModel private[vamana] (
       .as[(Long, Array[Float])].collect().sortBy(_._1)
       .map { case (id, v) => (id, MetricReduction.prepareQuery(v, metric)) }
     require(prepared.length <= 10000, "fanout broadcasts the query batch; keep it bounded")
-    require(allowedIds.length <= MaxBroadcastAllowed,
-      s"allowed set ${allowedIds.length} exceeds the broadcast band " +
-        s"($MaxBroadcastAllowed); at that selectivity use search() + post-filter")
-    val sortedAllowed = { val a = allowedIds.clone(); java.util.Arrays.sort(a); a }
+    val sorted = { val a = filterIds.clone(); java.util.Arrays.sort(a); a }
     val bcQ = spark.sparkContext.broadcast(prepared)
-    val bcA = spark.sparkContext.broadcast(sortedAllowed)
+    val bcA = spark.sparkContext.broadcast(sorted)
+    val denyFlag = deny
     val answers = shards.flatMap { case (_, idx) =>
-      val allow = bcA.value
-      val pred = (id: Long) => java.util.Arrays.binarySearch(allow, id) >= 0
+      val ids = bcA.value
+      val pred = (id: Long) => (java.util.Arrays.binarySearch(ids, id) >= 0) != denyFlag
       val beam = if (fullBeam) idx.size else 0
       bcQ.value.iterator.flatMap { case (qid, qvec) =>
         VamanaKernel.searchFiltered(idx, qvec, k, pred, beam)

@@ -230,8 +230,8 @@ object VamanaOps {
     val emb = Tables.embeddings(spark, dir)
     val q = Knn.queriesFromPoints(emb, 10)
     val allowed = Tables.documents(spark, dir).where(col("lang") === lang)
-      .select(col("doc_id")).as[Long].collect()
-    fanoutModel(spark, dir).searchFiltered(q, allowed, k)
+      .select(col("doc_id"))
+    fanoutModel(spark, dir).searchFiltered(q, allowed, k, fullBeam = false)
   }
 
   /** Hash-checked exactness gate for the fanout filtered path: with a
@@ -247,9 +247,8 @@ object VamanaOps {
     val q = Knn.queriesFromPoints(emb, 10)
     val allowedDf = Tables.documents(spark, dir).where(col("lang") === lang)
       .select(col("doc_id"))
-    val allowed = allowedDf.as[Long].collect()
     val ann = fanoutModel(spark, dir)
-      .searchFiltered(q, allowed, 10, fullBeam = true)
+      .searchFiltered(q, allowedDf, 10, fullBeam = true)
       .select(col("query_id"), col("id"))
     val exact = Knn.knnExact(
         emb.join(allowedDf.withColumnRenamed("doc_id", "vec_id"), "vec_id"), q, 10)
@@ -270,11 +269,12 @@ object VamanaOps {
     * fit ("cos" reduction: squared L2 on unit vectors = 2 − 2·cos, so
     * L2-ascending IS cosine-descending), and `cos` is recovered exactly
     * as 1 − dist/2. Label count is config-bounded (a handful of classes),
-    * so the per-label loop is a constant fanout. When a label's
-    * complement outgrows the broadcast band ([[FanoutModel
-    * .MaxBroadcastAllowed]]) the adaptive choice is plain search +
-    * post-filter — at THAT selectivity almost every neighbor passes, the
-    * regime searchFiltered's docstring documents. */
+    * so the per-label loop is a constant fanout. The "not my label"
+    * predicate rides as a DENIED-set DataFrame of the query label's OWN
+    * ids — the small side by construction — through [[FanoutModel
+    * .searchDenied]]'s adaptive branch: nothing corpus-sized is ever
+    * collected to the driver (the round-10 shape materialized the
+    * O(corpus) label COMPLEMENT per label). */
   def hardNegativesFanout(spark: SparkSession, dir: String, nQueries: Int = 10,
       k: Int = 5, fullBeam: Boolean = false): DataFrame = {
     import spark.implicits._
@@ -286,8 +286,8 @@ object VamanaOps {
     val labels = q.select(col("qlabel")).distinct().as[Long].collect().sorted
     val fm = fanoutCosModel(spark, dir)
     val parts = labels.map { lbl =>
-      val allowed = e.where(col("label") =!= lbl).select(col("vec_id")).as[Long].collect()
-      fm.searchFiltered(q.where(col("qlabel") === lbl), allowed, k, fullBeam = fullBeam)
+      val denied = e.where(col("label") === lbl).select(col("vec_id"))
+      fm.searchDenied(q.where(col("qlabel") === lbl), denied, k, fullBeam = fullBeam)
         .withColumn("qlabel", lit(lbl))
     }
     parts.reduce(_ unionByName _)

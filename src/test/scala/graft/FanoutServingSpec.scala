@@ -77,6 +77,33 @@ class FanoutServingSpec extends AnyFunSuite {
     assert(r >= 0.8, s"filtered fanout recall@10 = $r below the 0.8 gate")
   }
 
+  test("denied-set, allowed-set, and adaptive DataFrame forms agree on complement filters") {
+    import org.apache.spark.sql.functions.col
+    val emb = Tables.embeddings(spark, dir)
+    val model = VamanaFanout.fit(emb, params, numShards = 3)
+    val allIds = emb.select(col("vec_id")).collect().map(_.getLong(0)).sorted
+    val denied = allIds.filter(_ % 5 == 0)
+    val allowed = allIds.filter(_ % 5 != 0)
+    val q = queries(10)
+    def resultSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "rank", "id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val viaAllowed = resultSet(model.searchFiltered(q, allowed, 10, fullBeam = true))
+    val viaDenied = resultSet(model.searchDenied(q, denied, 10, fullBeam = true))
+    assert(viaAllowed == viaDenied,
+      "searchDenied(S) must equal searchFiltered(complement of S)")
+    val spark2 = spark
+    import spark2.implicits._
+    val viaAllowedDf = resultSet(model.searchFiltered(
+      q, spark.createDataset(allowed.toSeq).toDF("id"), 10, fullBeam = true))
+    val viaDeniedDf = resultSet(model.searchDenied(
+      q, spark.createDataset(denied.toSeq).toDF("id"), 10, fullBeam = true))
+    assert(viaAllowedDf == viaAllowed, "adaptive allowed-DataFrame form diverged from array form")
+    assert(viaDeniedDf == viaAllowed, "adaptive denied-DataFrame form diverged from array form")
+    assert(model.totalPoints == allIds.length.toLong,
+      "totalPoints must count live external ids")
+  }
+
   test("ANN-served hard negatives: every result crosses labels, full beam matches brute force") {
     spark.sparkContext.setLogLevel("WARN")
     import org.apache.spark.sql.functions.col
