@@ -10,7 +10,7 @@ import graft.RegistrySqlParts._
 private[graft] object RegistryVector {
 
   private[graft] def entries: Seq[(String, QFn, Option[String])] = Seq(
-    simCosineTopK, simIpTopK, simJoinThreshold, lshCosineGateQ, lshL2GateQ, ivfGateQ, pqGateQ, vamanaPqGateQ, semdedupGateQ, prototypeGateQ, embedDimStatsQ, embedDimCovQ, sqQuantize, sqReport, bqQuantizeQ, bqSearchQ, bqRerankQ, embedNormalizeQ, hardNegativesQ, hardNegativesFanoutQ, hardNegativesFanoutGateQ, embedKmeansQ, embedKmeansGreedyQ, embedKmeansStatsQ, clusterSampleBalancedQ, clusterSilhouetteQ, clusterCuratedDocsQ, splitDriftQ, embedKmeansIncrementalQ, embedKmeansMinibatchQ)
+    simCosineTopK, simIpTopK, simJoinThreshold, lshCosineGateQ, lshL2GateQ, ivfGateQ, pqGateQ, vamanaPqGateQ, vamanaPqSearchQ, vamanaPqFanoutQ, vamanaPqFanoutGateQ, semdedupGateQ, prototypeGateQ, embedDimStatsQ, embedDimCovQ, sqQuantize, sqReport, bqQuantizeQ, bqSearchQ, bqRerankQ, embedNormalizeQ, hardNegativesQ, hardNegativesFanoutQ, hardNegativesFanoutGateQ, embedKmeansQ, embedKmeansGreedyQ, embedKmeansStatsQ, clusterSampleBalancedQ, clusterSilhouetteQ, clusterCuratedDocsQ, splitDriftQ, embedKmeansIncrementalQ, embedKmeansMinibatchQ)
 
   // ---- similarity -----------------------------------------------------------
 
@@ -102,6 +102,35 @@ private[graft] object RegistryVector {
   private val vamanaPqGateQ: (String, QFn, Option[String]) = (
     "vamana_pq_gate",
     (s, d) => graft.vamana.VamanaPq.gate(s, d),
+    Some("""
+      SELECT count(DISTINCT vec_id) AS n_queries,
+             TRUE AS overlap_exact_ok, TRUE AS recall_ok
+      FROM embeddings WHERE vec_id < 10
+    """.trim))
+
+  /** The PQ-guided serving path as a ROWS entry (same 10-query fixture as
+    * knn_exact / vamana_search / vamana_fanout_search, so the three serving
+    * regimes — exact beam, fanout, PQ-guided — are directly comparable in
+    * BENCH_FULL). Graph traversal → rows-only; exactness carried by
+    * vamana_pq_gate. */
+  private val vamanaPqSearchQ: (String, QFn, Option[String]) = (
+    "vamana_pq_search",
+    (s, d) => graft.vamana.VamanaPq.search(s, d),
+    None)
+
+  /** PQ-guided traversal in the FANOUT regime (per-shard codebooks +
+    * codes) — rows entry; exactness carried by vamana_pq_fanout_gate. */
+  private val vamanaPqFanoutQ: (String, QFn, Option[String]) = (
+    "vamana_pq_fanout",
+    (s, d) => graft.vamana.VamanaPq.searchFanout(s, d),
+    None)
+
+  /** Fanout twin of vamana_pq_gate: full-beam per-shard PQ traversal +
+    * exact rerank merges to exact kNN (1-of-s shard membership), so
+    * overlap_exact_ok is a hash-checked invariant. */
+  private val vamanaPqFanoutGateQ: (String, QFn, Option[String]) = (
+    "vamana_pq_fanout_gate",
+    (s, d) => graft.vamana.VamanaPq.gateFanout(s, d),
     Some("""
       SELECT count(DISTINCT vec_id) AS n_queries,
              TRUE AS overlap_exact_ok, TRUE AS recall_ok

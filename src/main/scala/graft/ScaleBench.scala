@@ -85,12 +85,33 @@ object ScaleBench {
       val searchSec = (System.nanoTime() - t1) / 1e9
       val recall = Knn.recallAt(k, got, truth)
       got.unpersist()
+      // PQ-guided serving over the SAME fitted shards: traversal on m-byte
+      // per-shard codes (DiskANN §3), exact rerank — the serving-memory
+      // story at scale. First call trains+encodes per shard (reported as
+      // pq_prepare), second serves from the executor memo.
+      val pqTag = s"scalebench_n${n}_s$s"
+      val t2 = System.nanoTime()
+      VamanaPq.searchFanoutModel(fm, queries, pqTag, k, fullBeam = false).count()
+      val pqPrepSec = (System.nanoTime() - t2) / 1e9
+      val t3 = System.nanoTime()
+      val pqGot = VamanaPq.searchFanoutModel(fm, queries, pqTag, k, fullBeam = false).cache()
+      pqGot.count()
+      val pqSearchSec = (System.nanoTime() - t3) / 1e9
+      val pqRecall = Knn.recallAt(k, pqGot, truth)
+      pqGot.unpersist()
+      val mem = VamanaPq.fanoutCodeMemoryModel(fm)
+        .agg(sum(col("raw_vector_bytes")), sum(col("pq_code_bytes"))).collect().head
+      val (rawB, codeB) = (mem.getLong(0), mem.getLong(1))
       fm.unpersist()
       println(
         s"""{"n":$n,"dim":$dim,"shards":$s,"cpus":$cpus,"R":32,"L":64,"ef":128,""" +
         s""""build_sec":${math.rint(buildSec * 100) / 100},""" +
         s""""search_100q_sec":${math.rint(searchSec * 100) / 100},""" +
-        s""""recall_at_10":${math.rint(recall * 1e4) / 1e4}}""")
+        s""""recall_at_10":${math.rint(recall * 1e4) / 1e4},""" +
+        s""""pq_prepare_sec":${math.rint(pqPrepSec * 100) / 100},""" +
+        s""""pq_search_100q_sec":${math.rint(pqSearchSec * 100) / 100},""" +
+        s""""pq_recall_at_10":${math.rint(pqRecall * 1e4) / 1e4},""" +
+        s""""raw_vector_bytes":$rawB,"pq_code_bytes":$codeB}""")
     }
     spark.stop()
   }

@@ -150,7 +150,7 @@ object Quantization {
   /** Seeded deterministic k-means for one subspace: evenly-spaced sample
     * points as init, `iters` Lloyd passes. Driver-side over a bounded
     * sample — the standard way PQ codebooks are trained at any scale. */
-  private def kmeans(points: Array[Array[Float]], k: Int, iters: Int): Array[Array[Float]] = {
+  private[graft] def kmeans(points: Array[Array[Float]], k: Int, iters: Int): Array[Array[Float]] = {
     var centroids = (0 until k).map(i => points((i * points.length) / k)).toArray
     for (_ <- 0 until iters) {
       val dim = centroids(0).length

@@ -35,13 +35,28 @@ object VamanaPq {
     * [[clearCaches]]. */
   private val cache = TrieMap.empty[String, (LocalIndex, PqCodebooks, Array[Array[Int]])]
 
-  def clearCaches(): Unit = cache.clear()
+  /** FANOUT-regime serving state, memoized per (dataset, shard) in the
+    * executor JVM: codebooks trained on the SHARD'S OWN points (bounded
+    * sample) + one m-byte code row per stored point. Each executor holds
+    * codes only for the shards it serves — m bytes/vector where the raw
+    * vectors don't fit, which is the regime DiskANN's design exists for
+    * (the broadcast-regime [[cache]] is where it's least needed). */
+  private val shardCache = TrieMap.empty[(String, Int), (PqCodebooks, Array[Array[Byte]])]
+
+  def clearCaches(): Unit = { cache.clear(); shardCache.clear() }
 
   private def pqState(spark: SparkSession, dir: String): (LocalIndex, PqCodebooks, Array[Array[Int]]) =
     cache.getOrElseUpdate(dir, {
       val idx = VamanaOps.model(spark, dir).localIndex.getOrElse(sys.error(
         "vamana_pq_search serves the broadcast regime; beyond maxLocalPoints " +
-          "the fanout shards hold their own codes (same kernel, per shard)"))
+          "use searchFanout (per-shard codes, same kernel)"))
+      // the codebooks are trained on RAW embeddings and search() reranks
+      // with the RAW query — both only match idx.points under the identity
+      // (l2) reduction. A cos/ip index would need prepareQuery + codebooks
+      // trained on the metric-transformed points.
+      require(idx.params.metric == "l2",
+        s"PQ-guided serving assumes the l2 (identity) reduction; index metric " +
+          s"is '${idx.params.metric}' — train codebooks on the transformed points instead")
       val cb = Quantization.pqTrain(spark, dir)
       val codes = idx.points.map(encode(_, cb))
       (idx, cb, codes)
@@ -121,10 +136,19 @@ object VamanaPq {
       .select(col("query_id"), col("id"))
     val approx = search(spark, dir, nQueries, k)
       .select(col("query_id"), col("id"))
-    val exactOk = exact.join(full, Seq("query_id", "id"))
-      .groupBy(col("query_id")).agg(count(lit(1)).as("overlap"))
+    // left-join from the distinct exact query ids so a ZERO-overlap query
+    // (which the inner-join+groupBy shape silently dropped) still votes:
+    // its coalesced overlap of 0 flips the flag, and the query-count term
+    // makes an empty/short result flip it too instead of passing vacuously.
+    val perQuery = exact.select(col("query_id")).distinct()
+      .join(exact.join(full, Seq("query_id", "id"))
+          .groupBy(col("query_id")).agg(count(lit(1)).as("ov")),
+        Seq("query_id"), "left")
+      .select(col("query_id"), coalesce(col("ov"), lit(0L)).as("overlap"))
+    val exactOk = perQuery
       .agg(count(lit(1)).as("n_queries"),
-        (count(when(col("overlap") === k, 1)) === count(lit(1))).as("overlap_exact_ok"))
+        ((count(when(col("overlap") === k, 1)) === count(lit(1))) &&
+          (count(lit(1)) === nQueries)).as("overlap_exact_ok"))
     val rec = exact.withColumn("in_exact", lit(1))
       .join(approx.withColumn("in_approx", lit(1)), Seq("query_id", "id"), "full_outer")
       .agg(count(col("in_exact")).as("n_exact"),
@@ -132,5 +156,144 @@ object VamanaPq {
       .select((col("n_hit") >= col("n_exact") * recallFloor).as("recall_ok"))
     exactOk.crossJoin(rec)
       .select(col("n_queries"), col("overlap_exact_ok"), col("recall_ok"))
+  }
+
+  /** Default PQ shape for per-shard codebooks (matches
+    * [[Quantization.pqTrain]]'s m=16 subspaces × k=32 centroids). */
+  private val ShardM = 16
+  private val ShardK = 32
+
+  private def shardPqState(dir: String, shard: Int, idx: LocalIndex): (PqCodebooks, Array[Array[Byte]]) =
+    shardCache.getOrElseUpdate((dir, shard), {
+      val dim = idx.points(0).length
+      require(dim % ShardM == 0, s"dim $dim must divide into $ShardM subspaces")
+      val subDim = dim / ShardM
+      // bounded training sample of the shard's own points — the shard is
+      // its own distribution, so local codebooks beat one global set
+      val sample = idx.points.take(4096)
+      val books = Array.tabulate(ShardM)(s =>
+        Quantization.kmeans(
+          sample.map(v => java.util.Arrays.copyOfRange(v, s * subDim, (s + 1) * subDim)),
+          ShardK, iters = 3))
+      val cb = PqCodebooks(ShardM, ShardK, subDim, books)
+      // k=32 codes fit a BYTE — the cached code rows really are m
+      // bytes/vector, the ledger's claim, not m ints
+      (cb, idx.points.map(p => encode(p, cb).map(_.toByte)))
+    })
+
+  /** PQ-guided top-k in the FANOUT regime — the missing half of the
+    * DiskANN memory story: traversal inside EACH shard kernel runs on ADC
+    * lookups over that shard's own m-byte codes (trained + memoized
+    * per (dataset, shard) in the executor JVM, never shipped), the visited
+    * pool reranks with the shard's full-precision vectors, and the global
+    * answer merges per-shard top-ks exactly like [[FanoutModel.search]].
+    * With `fullBeam` each shard's pool is its whole component, so the
+    * per-shard answer is shard-exact kNN and the merge is EXACT kNN —
+    * [[gateFanout]]'s theorem (each point lives in exactly one shard under
+    * [[VamanaFanout.fit]]). In production the executor holds graph + codes
+    * (m bytes/vector) in memory; the raw vectors page in only for the
+    * pool rerank — see [[fanoutCodeMemory]] for the measured ratio. */
+  def searchFanout(spark: SparkSession, dir: String, nQueries: Int = 10, k: Int = 10,
+      fullBeam: Boolean = false): DataFrame =
+    searchFanoutModel(VamanaOps.fanoutModel(spark, dir),
+      Knn.queriesFromPoints(Tables.embeddings(spark, dir), nQueries), dir, k, fullBeam)
+
+  /** [[searchFanout]] against ANY fitted fanout model + query frame —
+    * the entry ScaleBench drives with a synthetic corpus. `cacheKey`
+    * scopes the per-shard codebook/code memo (pass the dataset dir, or a
+    * unique tag per fitted model). */
+  def searchFanoutModel(fm: FanoutModel, queriesDf: DataFrame, cacheKey: String,
+      k: Int, fullBeam: Boolean): DataFrame = {
+    val spark = fm.shards.sparkSession
+    import spark.implicits._
+    require(fm.params.metric == "l2",
+      "PQ-guided fanout serving assumes the l2 (identity) reduction")
+    val queries = queriesDf
+      .select(col("query_id").cast("long"), col("query_vec").cast("array<float>"))
+      .as[(Long, Array[Float])].collect().sortBy(_._1)
+    val bcQ = spark.sparkContext.broadcast(queries)
+    val dirKey = cacheKey
+    val answers = fm.shards.flatMap { case (shard, idx) =>
+      val (cb, codes) = shardPqState(dirKey, shard, idx)
+      val m = cb.m
+      bcQ.value.iterator.flatMap { case (qid, qv) =>
+        val lut = adcLut(qv, cb)
+        val score: Int => Float = { node =>
+          val row = codes(node)
+          var d = 0.0f
+          var s = 0
+          while (s < m) { d += lut(s)(row(s)); s += 1 }
+          d
+        }
+        val kk = math.min(k, idx.size)
+        val beamL = if (fullBeam) idx.size else math.max(idx.params.efSearch, kk)
+        val (poolIds, _) = VamanaKernel.greedySearchScored(score, idx.graph, idx.medoid, beamL)
+        poolIds
+          .map(p => (idx.ids(p), VamanaKernel.l2sq(idx.points(p), qv).toDouble))
+          .sortBy { case (id, d) => (d, id) }
+          .take(kk)
+          .iterator
+          .map { case (id, d) => (qid, id, d) }
+      }
+    }.toDF("query_id", "id", "dist")
+    // same merge discipline as FanoutModel.searchImpl: dedup, rank on
+    // unrounded distances, round only the emitted column
+    val mergedA = answers.groupBy(col("query_id"), col("id")).agg(min(col("dist")).as("dist"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("dist").asc, col("id").asc)
+    mergedA
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("id"),
+        (expr("rint(dist * 10000)") / 1e4).as("dist"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** [[gate]]'s fanout twin (`vamana_pq_fanout_gate`): full-beam per-shard
+    * PQ traversal + exact rerank is shard-exact kNN, the merge is exact
+    * kNN → every per-query overlap with exact kNN must be k (hash-checked
+    * invariant); default-beam PQ guidance clears the recall floor. Both
+    * flags use the zero-overlap-safe left-join shape. */
+  def gateFanout(spark: SparkSession, dir: String, nQueries: Int = 10, k: Int = 10,
+      recallFloor: Double = 0.5): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val exact = Knn.knnExact(emb, Knn.queriesFromPoints(emb, nQueries), k)
+      .select(col("query_id"), col("id"))
+    val full = searchFanout(spark, dir, nQueries, k, fullBeam = true)
+      .select(col("query_id"), col("id"))
+    val approx = searchFanout(spark, dir, nQueries, k)
+      .select(col("query_id"), col("id"))
+    val perQuery = exact.select(col("query_id")).distinct()
+      .join(exact.join(full, Seq("query_id", "id"))
+          .groupBy(col("query_id")).agg(count(lit(1)).as("ov")),
+        Seq("query_id"), "left")
+      .select(col("query_id"), coalesce(col("ov"), lit(0L)).as("overlap"))
+    val exactOk = perQuery
+      .agg(count(lit(1)).as("n_queries"),
+        ((count(when(col("overlap") === k, 1)) === count(lit(1))) &&
+          (count(lit(1)) === nQueries)).as("overlap_exact_ok"))
+    val rec = exact.withColumn("in_exact", lit(1))
+      .join(approx.withColumn("in_approx", lit(1)), Seq("query_id", "id"), "full_outer")
+      .agg(count(col("in_exact")).as("n_exact"),
+        count(when(col("in_exact").isNotNull && col("in_approx").isNotNull, 1)).as("n_hit"))
+      .select((col("n_hit") >= col("n_exact") * recallFloor).as("recall_ok"))
+    exactOk.crossJoin(rec)
+      .select(col("n_queries"), col("overlap_exact_ok"), col("recall_ok"))
+  }
+
+  /** Per-shard serving-memory ledger for the PQ fanout path: raw vector
+    * bytes (n·dim·4) vs code bytes (n·m) — the DiskANN ratio ScaleBench
+    * records. Computed inside each shard task; only s rows move. */
+  def fanoutCodeMemory(spark: SparkSession, dir: String): DataFrame =
+    fanoutCodeMemoryModel(VamanaOps.fanoutModel(spark, dir))
+
+  def fanoutCodeMemoryModel(fm: FanoutModel): DataFrame = {
+    val spark = fm.shards.sparkSession
+    import spark.implicits._
+    fm.shards.map { case (shard, idx) =>
+      val dim = if (idx.size == 0) 0 else idx.points(0).length
+      (shard, idx.size.toLong, idx.size.toLong * dim * 4L, idx.size.toLong * ShardM)
+    }.toDF("shard", "n_points", "raw_vector_bytes", "pq_code_bytes")
+      .orderBy(col("shard"))
   }
 }

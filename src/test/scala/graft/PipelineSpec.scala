@@ -1371,6 +1371,21 @@ class PipelineSpec extends AnyFunSuite {
     assert(g(0).getAs[Boolean]("recall_ok"), "default-beam PQ guidance under the recall floor")
   }
 
+  test("vamana pq fanout: per-shard PQ traversal merges to exact kNN at full beam; codes are m bytes/vector") {
+    val g = graft.vamana.VamanaPq.gateFanout(spark, dir).collect()
+    assert(g.length == 1)
+    assert(g(0).getAs[Boolean]("overlap_exact_ok"),
+      "full-beam per-shard PQ pool + exact rerank must merge to exact kNN (1-of-s shard membership)")
+    assert(g(0).getAs[Boolean]("recall_ok"), "default-beam fanout PQ guidance under the recall floor")
+    val mem = graft.vamana.VamanaPq.fanoutCodeMemory(spark, dir).collect()
+    assert(mem.nonEmpty)
+    mem.foreach { r =>
+      val n = r.getAs[Long]("n_points")
+      assert(r.getAs[Long]("pq_code_bytes") == n * 16, "code ledger must be m bytes/vector")
+      assert(r.getAs[Long]("raw_vector_bytes") == n * 64 * 4)
+    }
+  }
+
   test("all registered queries execute and agree with declared column names at sf0.001") {
     val smokeDir = "/root/testdata/sf0.001"
     SparkEntry.queries.foreach { case (name, fn) =>
