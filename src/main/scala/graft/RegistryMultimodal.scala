@@ -10,7 +10,7 @@ import graft.RegistrySqlParts._
 private[graft] object RegistryMultimodal {
 
   private[graft] def entries: Seq[(String, QFn, Option[String])] = Seq(
-    mmGzipQ, mmJoin, mmBinaryStats, mmMediaFeatures, mmThumbnailQ, mmFrameSampleQ, mmAudioSampleQ, mmImageDecodeQ, mmAudioDecodeQ, mmImageAhashQ, mmAudioFingerprintQ, mmImageNearDupQ, mmAudioNearDupQ, mmVideoNearDupQ, mmNearDupIncrementalQ, mmNearDupSurvivorsQ, mmNearDupClusterStatsQ)
+    mmGzipQ, mmJoin, mmBinaryStats, mmMediaFeatures, mmThumbnailQ, mmFrameSampleQ, mmAudioSampleQ, mmImageDecodeQ, mmAudioDecodeQ, mmImageAhashQ, mmAudioFingerprintQ, mmImageNearDupQ, mmAudioNearDupQ, mmVideoNearDupQ, mmNearDupIncrementalQ, mmNearDupSurvivorsQ, mmNearDupClusterStatsQ, mmSoftWeightsQ)
 
   // (pq_quantize / pq_search ride pq_gate — see the seeded-generator note
   // above; the functions remain exercised by the gate and QuantizationSpec.)
@@ -399,6 +399,20 @@ private[graft] object RegistryMultimodal {
       cs AS (SELECT canonical_id, count(*) AS cluster_size FROM lab GROUP BY canonical_id)
       SELECT cluster_size, count(*)::BIGINT AS n_clusters
       FROM cs GROUP BY cluster_size ORDER BY cluster_size
+    """.trim))
+
+  /** Media soft dedup: weight 1/cluster_size off the same cross-modal CC
+    * labels — dedup_soft_weights' oracle shape over the media CTEs. */
+  private val mmSoftWeightsQ: (String, QFn, Option[String]) = (
+    "mm_soft_weights",
+    (s, d) => Multimodal.mediaSoftWeights(s, d),
+    Some(s"""
+      WITH RECURSIVE
+      $mediaCcCtes,
+      cs AS (SELECT canonical_id, count(*) AS cluster_size FROM lab GROUP BY canonical_id)
+      SELECT lab.doc_id, lab.canonical_id, cs.cluster_size::BIGINT AS cluster_size,
+             round(1.0::DOUBLE / cs.cluster_size, 4) AS weight
+      FROM lab JOIN cs USING (canonical_id) ORDER BY lab.doc_id
     """.trim))
 
 }

@@ -449,6 +449,8 @@ object Multimodal {
     }
     for ((_, df) <- mediaSurvivorsCache) scala.util.Try(df.unpersist())
     mediaSurvivorsCache.clear()
+    for ((_, df) <- videoSigCache) scala.util.Try(df.unpersist())
+    videoSigCache.clear()
   }
 
   /** The decode+resize pass over any (doc_id, ts, text) frame, the
@@ -597,11 +599,20 @@ object Multimodal {
     * clips collide within Hamming ≤3 only if (almost) every frame
     * matches — a per-frame edit flips ~its frame's worth of bits, so the
     * ball is frame-sensitive the way a video near-dup should be. */
+  /** Memoized per (session, dir, frames) — the [[thumbCache]] pattern: the
+    * 4-thumbnail decode per doc dominates `mm_video_neardup`, and without
+    * the memo every repeat invocation (and every consumer beyond the
+    * survivors path, which caches separately) re-paid it. Cleared by
+    * [[clearCaches]]. */
+  private val videoSigCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String, Int), DataFrame]
+
   private[graft] def videoSigFrame(spark: SparkSession, dir: String,
       frames: Int = 4): DataFrame =
-    videoSigsWithTs(Tables.documents(spark, dir)
-        .withColumn("ts", lit(null).cast("timestamp")), frames)
-      .select(col("doc_id"), col("vsig"))
+    videoSigCache.getOrElseUpdate((spark, dir, frames),
+      videoSigsWithTs(Tables.documents(spark, dir)
+          .withColumn("ts", lit(null).cast("timestamp")), frames)
+        .select(col("doc_id"), col("vsig")).cache())
 
   /** Per-row 4-frame thumbnails for any (doc_id, ts, text) frame — batch
     * OR streaming (one output row per doc, no aggregation, so it composes
@@ -673,6 +684,23 @@ object Multimodal {
       graft.operators.Dedup.survivorsOf(spark, pairs,
         Tables.documents(spark, dir).select(col("doc_id"))).cache()
     })
+
+  /** Media SOFT dedup — [[Dedup.dedupSoftWeights]]'s media twin: keep
+    * every doc, emit sampling weight 1/cluster_size from the cross-modal
+    * (image ∪ audio ∪ video) near-dup component labels, so a training run
+    * sees each perceptual-duplicate cluster with one document's mass.
+    * Rides the cached [[mediaNearDupSurvivors]] labels; sizes frame is one
+    * row per cluster, keyed join — nothing outgrows the corpus. */
+  def mediaSoftWeights(spark: SparkSession, dir: String): DataFrame = {
+    val labels = mediaNearDupSurvivors(spark, dir)
+      .select(col("doc_id"), col("canonical_id"))
+    val sizes = labels.groupBy(col("canonical_id"))
+      .agg(count(lit(1)).as("cluster_size"))
+    labels.join(sizes, "canonical_id")
+      .select(col("doc_id"), col("canonical_id"), col("cluster_size"),
+        round(lit(1.0) / col("cluster_size"), 4).as("weight"))
+      .orderBy(col("doc_id"))
+  }
 
   /** Duplicate-cluster size histogram over the media near-dup component
     * labels — [[Dedup.dedupClusterStats]]'s media twin, the audit
