@@ -26,7 +26,7 @@ object TextAnalysis {
     "es" -> Seq("el", "la", "los", "y", "es", "un"),
     "fr" -> Seq("le", "les", "et", "est", "une", "dans"))
 
-  private def toks(c: Column): Column = split(lower(c), "\\s+")
+  private[graft] def toks(c: Column): Column = split(lower(c), "\\s+")
 
   /** The shared quality expressions over a `text` column — single source of
     * truth for [[textStats]] and the composed
@@ -550,36 +550,8 @@ object TextAnalysis {
           col("s.id").as("doc_id"))
 
     // ---- lexical leg: BM25 with the query doc's distinct tokens --------
-    val tc = Tables.documents(spark, dir)
-      .select(col("doc_id"), explode(toks(col("text"))).as("term"))
-      .where(col("term") =!= "")
-      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("c"))
-    val dl = tc.groupBy(col("doc_id")).agg(sum(col("c")).as("n"))
-    val stats = dl.agg(count(lit(1)).cast("double").as("nd"),
-      (sum(col("n")).cast("double") / count(lit(1))).as("avgdl"))
-    val dfs = tc.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    val qt = Tables.documents(spark, dir).where(col("doc_id") < nQueries)
-      .select(col("doc_id").as("qid"), explode(toks(col("text"))).as("term"))
-      .where(col("term") =!= "").distinct()
-    val qi = qt.join(dfs, Seq("term"), "left_outer")
-      .crossJoin(broadcast(stats))
-      .select(col("qid"), col("term"),
-        log((col("nd") - coalesce(col("df"), lit(0L)) + 0.5) /
-          (coalesce(col("df"), lit(0L)) + 0.5) + 1.0).as("idf"),
-        col("avgdl"))
-    val lexScored = tc.join(broadcast(qi), Seq("term"))
-      .join(dl, Seq("doc_id"))
-      .where(col("doc_id") =!= col("qid"))
-      .select(col("qid"), col("doc_id"),
-        round(col("idf") * (col("c") * lit(k1 + 1.0)) /
-          (col("c") + lit(k1) * (lit(1.0 - b) + lit(b) *
-            (col("n").cast("double") / col("avgdl")))), 6)
-          .cast("decimal(18,6)").as("contrib"))
-      .groupBy(col("qid"), col("doc_id"))
-      .agg(sum(col("contrib")).as("s"))
-      .select(col("qid"), (-round(col("s"), 4).cast("double")).as("dist"),
-        col("doc_id").as("id"))
-    val lex = heapTopK(lexScored, "lex_rank")
+    val lex = heapTopK(lexScores(spark, dir, nQueries, k1, b)
+      .select(col("qid"), col("dist"), col("id")), "lex_rank")
 
     // ---- vector leg: exact cosine over the broadcast query embeddings --
     val e = Tables.embeddings(spark, dir)
@@ -609,6 +581,85 @@ object TextAnalysis {
       .select(col("qid"), col("rank"), col("doc_id"),
         round(col("rrf"), 6).as("rrf"), col("lex_rank"), col("vec_rank"))
       .orderBy(col("qid"), col("rank"))
+  }
+
+  /** Per-(doc, term) token counts — the shared base frame of the lexical
+    * retrieval leg (one corpus scan; everything downstream is
+    * dictionary-sized). */
+  private def lexTermCounts(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(toks(col("text"))).as("term"))
+      .where(col("term") =!= "")
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("c"))
+
+  /** (qid, term, idf, avgdl) for the standing query set — the ONE BM25
+    * query-side arithmetic, shared by the batch lexical leg and
+    * [[fitBm25QueryModel]] so the frozen ingest model is the batch model
+    * by construction. */
+  private def lexQueryIdf(spark: SparkSession, dir: String, nQueries: Int,
+      tc: DataFrame): DataFrame = {
+    val dl = tc.groupBy(col("doc_id")).agg(sum(col("c")).as("n"))
+    val stats = dl.agg(count(lit(1)).cast("double").as("nd"),
+      (sum(col("n")).cast("double") / count(lit(1))).as("avgdl"))
+    val dfs = tc.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val qt = Tables.documents(spark, dir).where(col("doc_id") < nQueries)
+      .select(col("doc_id").as("qid"), explode(toks(col("text"))).as("term"))
+      .where(col("term") =!= "").distinct()
+    qt.join(dfs, Seq("term"), "left_outer")
+      .crossJoin(broadcast(stats))
+      .select(col("qid"), col("term"),
+        log((col("nd") - coalesce(col("df"), lit(0L)) + 0.5) /
+          (coalesce(col("df"), lit(0L)) + 0.5) + 1.0).as("idf"),
+        col("avgdl"))
+  }
+
+  /** Full BM25 score frame for the standing query set: one row per
+    * (qid, doc) sharing ≥1 term, `dist` = −round(score, 4) (ascending =
+    * most relevant first, the heap contract) and `bm25` the positive
+    * score. Decimal(18,6) per-term contributions summed — decimal
+    * addition is exact and order-free, so any engine/exec plan agrees. */
+  private[graft] def lexScores(spark: SparkSession, dir: String, nQueries: Int = 5,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val tc = lexTermCounts(spark, dir)
+    val dl = tc.groupBy(col("doc_id")).agg(sum(col("c")).as("n"))
+    val qi = lexQueryIdf(spark, dir, nQueries, tc)
+    tc.join(broadcast(qi), Seq("term"))
+      .join(dl, Seq("doc_id"))
+      .where(col("doc_id") =!= col("qid"))
+      .select(col("qid"), col("doc_id"),
+        round(col("idf") * (col("c") * lit(k1 + 1.0)) /
+          (col("c") + lit(k1) * (lit(1.0 - b) + lit(b) *
+            (col("n").cast("double") / col("avgdl")))), 6)
+          .cast("decimal(18,6)").as("contrib"))
+      .groupBy(col("qid"), col("doc_id"))
+      .agg(sum(col("contrib")).as("s"))
+      .select(col("qid"), (-round(col("s"), 4).cast("double")).as("dist"),
+        col("doc_id").as("id"),
+        round(col("s"), 4).cast("double").as("bm25"))
+  }
+
+  /** Frozen standing-query lexical model for ingest-side retrieval: each
+    * standing query's distinct terms with their corpus-fitted BM25 idf,
+    * plus the corpus avgdl — fit OFFLINE on the batch corpus (the exact
+    * [[lexQueryIdf]] arithmetic), then shipped to the stream as plan
+    * literals, the [[graft.operators.DocClassifier]] deployment shape.
+    * Size is nQueries × distinct-query-terms — dictionary-bounded, never
+    * corpus-bounded. */
+  final case class Bm25QueryModel(
+      queries: Seq[(Long, Seq[(String, Double)])],
+      avgdl: Double, k1: Double, b: Double) extends Serializable
+
+  def fitBm25QueryModel(spark: SparkSession, dir: String, nQueries: Int = 5,
+      k1: Double = 1.2, b: Double = 0.75): Bm25QueryModel = {
+    val qi = lexQueryIdf(spark, dir, nQueries, lexTermCounts(spark, dir))
+    val rows = qi.select(col("qid"), col("term"), col("idf"), col("avgdl")).collect()
+    val avgdl = if (rows.isEmpty) 0.0 else rows.head.getAs[Double]("avgdl")
+    val queries = rows.groupBy(_.getAs[Long]("qid")).toSeq.sortBy(_._1)
+      .map { case (q, rs) =>
+        (q, rs.map(r => (r.getAs[String]("term"), r.getAs[Double]("idf")))
+          .sortBy(_._1).toSeq)
+      }
+    Bm25QueryModel(queries, avgdl, k1, b)
   }
 
   /** N-gram repetition score — the "repetitive junk" quality signal LLM

@@ -392,6 +392,50 @@ object StreamingOps {
       .where(col("keep") === 1)
       .select(col("doc_id"), col("ts"))
 
+  /** Streaming HYBRID-RETRIEVAL lexical leg — ingest-side "score every
+    * arriving doc against the standing query set": the corpus statistics
+    * (per-query term idf + avgdl) are fit OFFLINE by
+    * [[graft.operators.TextAnalysis.fitBm25QueryModel]] and ride to the
+    * stream as plan literals (the frozen-model deployment shape, like
+    * [[streamingClassifierFilter]]); each arriving doc is scored
+    * STATELESSLY — term counts and doc length come from the row itself
+    * via higher-order array functions, one output row per (doc, query)
+    * sharing ≥1 term. The per-term decimal(18,6) contribution arithmetic
+    * is the batch leg's ([[graft.operators.TextAnalysis.lexScores]]), and
+    * decimal addition is exact and order-free, so stream and batch scores
+    * are bit-identical (spec-asserted). No state store, no shuffle —
+    * composes under any watermark, and the downstream top-k/RRF fusion is
+    * a bounded per-query stream aggregation a sink can maintain. */
+  def streamingLexRetrievalScore(docs: DataFrame,
+      model: graft.operators.TextAnalysis.Bm25QueryModel): DataFrame = {
+    val k1 = model.k1
+    val b = model.b
+    val avgdl = model.avgdl
+    val tk = filter(graft.operators.TextAnalysis.toks(col("text")), t => t =!= "")
+    val nDbl = size(col("tk")).cast("double")
+    def scoreOf(terms: Seq[(String, Double)]): org.apache.spark.sql.Column =
+      aggregate(
+        array(terms.map { case (t, idf) =>
+          struct(lit(t).as("t"), lit(idf).as("idf")) }: _*),
+        lit(0).cast("decimal(18,6)"),
+        (acc, x) => {
+          val c = size(filter(col("tk"), e => e === x("t")))
+          (acc + round(x("idf") * (c * lit(k1 + 1.0)) /
+              (c + lit(k1) * (lit(1.0 - b) + lit(b) * (nDbl / lit(avgdl)))), 6)
+            .cast("decimal(18,6)")).cast("decimal(18,6)")
+        })
+    val perQuery = array(model.queries.map { case (qid, terms) =>
+      struct(lit(qid).as("qid"), scoreOf(terms).as("s"),
+        size(array_intersect(col("tk"), array(terms.map(t => lit(t._1)): _*))).as("hits"))
+    }: _*)
+    docs.select(col("doc_id").cast("long").as("doc_id"), col("ts"), col("text"))
+      .withColumn("tk", tk)
+      .select(col("doc_id"), col("ts"), explode(perQuery).as("q"))
+      .where(col("q.hits") > 0 && col("doc_id") =!= col("q.qid"))
+      .select(col("doc_id"), col("ts"), col("q.qid").as("qid"),
+        round(col("q.s"), 4).cast("double").as("bm25"))
+  }
+
   /** The COMPOSED streaming ingest pass — the ingestion-side twin of the
     * batch [[graft.operators.CorpusPipeline.cleanCorpus]] + audit window:
     * quality/lang filter (stateless, the shared batch expressions) →

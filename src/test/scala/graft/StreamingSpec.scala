@@ -753,6 +753,34 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming lexical retrieval scores agree bit-for-bit with the batch BM25 leg") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val model = graft.operators.TextAnalysis.fitBm25QueryModel(spark, "/root/testdata/sf0.001")
+    assert(model.queries.nonEmpty && model.avgdl > 0)
+    val input = MemoryStream[Doc]
+    val q = StreamingOps.streamingLexRetrievalScore(input.toDF(), model)
+      .writeStream.format("memory").queryName("lex_out")
+      .outputMode("append").start()
+    try {
+      val docs = graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
+        .select("doc_id", "text").collect()
+        .map(r => Doc(r.getLong(0), ts(1), r.getString(1)))
+      input.addData(docs.toSeq)
+      q.processAllAvailable()
+      val streamed = spark.table("lex_out")
+        .select(col("qid"), col("doc_id"), col("bm25")).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val batch = graft.operators.TextAnalysis.lexScores(spark, "/root/testdata/sf0.001")
+        .select(col("qid"), col("id"), col("bm25")).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(streamed.nonEmpty, "no scores emitted")
+      assert(streamed == batch,
+        s"stream/batch BM25 diverge: extra=${(streamed -- batch).take(3)} missing=${(batch -- streamed).take(3)}")
+    } finally q.stop()
+  }
+
   test("composed ingest pipeline (quality -> dedup -> window) matches batch survivor count") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
