@@ -379,8 +379,11 @@ final class FanoutModel private[vamana] (
       fullBeam: Boolean): DataFrame =
     adaptiveFiltered(queries, denied, deny = true, k, fullBeam)
 
-  private def adaptiveFiltered(queries: DataFrame, filter: DataFrame, deny: Boolean,
-      k: Int, fullBeam: Boolean): DataFrame = {
+  /** `band` defaults to [[MaxBroadcastAllowed]]; the test hook narrows it
+    * so the complement and post-filter branches are exercised at spec
+    * scale instead of only beyond 5M ids. */
+  private[vamana] def adaptiveFiltered(queries: DataFrame, filter: DataFrame, deny: Boolean,
+      k: Int, fullBeam: Boolean, band: Int = MaxBroadcastAllowed): DataFrame = {
     import org.apache.spark.sql.functions.col
     val ids = filter.select(col(filter.columns.head).cast("long").as("id"))
     val n = ids.count()
@@ -389,9 +392,9 @@ final class FanoutModel private[vamana] (
       import spark.implicits._
       df.select(col("id")).as[Long].collect()
     }
-    if (n <= MaxBroadcastAllowed)
+    if (n <= band)
       searchIdFiltered(queries, collectIds(ids), deny, k, "query_id", "query_vec", fullBeam)
-    else if (totalPoints - n <= MaxBroadcastAllowed)
+    else if (totalPoints - n <= band)
       // the complement is the broadcastable side: flip the polarity.
       // Anti-join runs distributed; only the (bounded) complement lands
       // on the driver.

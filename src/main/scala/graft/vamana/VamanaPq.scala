@@ -164,22 +164,32 @@ object VamanaPq {
   private val ShardK = 32
 
   private def shardPqState(dir: String, shard: Int, idx: LocalIndex): (PqCodebooks, Array[Array[Byte]]) =
-    shardCache.getOrElseUpdate((dir, shard), {
-      val dim = idx.points(0).length
-      require(dim % ShardM == 0, s"dim $dim must divide into $ShardM subspaces")
-      val subDim = dim / ShardM
-      // bounded training sample of the shard's own points — the shard is
-      // its own distribution, so local codebooks beat one global set
-      val sample = idx.points.take(4096)
-      val books = Array.tabulate(ShardM)(s =>
-        Quantization.kmeans(
-          sample.map(v => java.util.Arrays.copyOfRange(v, s * subDim, (s + 1) * subDim)),
-          ShardK, iters = 3))
-      val cb = PqCodebooks(ShardM, ShardK, subDim, books)
-      // k=32 codes fit a BYTE — the cached code rows really are m
-      // bytes/vector, the ledger's claim, not m ints
-      (cb, idx.points.map(p => encode(p, cb).map(_.toByte)))
-    })
+    shardCache.get((dir, shard)) match {
+      // the memo is positional (code row i ↔ idx.points(i)), so a shard
+      // whose membership changed under the same key (an insert/delete
+      // produced a new model but the caller reused the cacheKey) must
+      // re-encode — otherwise new points would score out of bounds and
+      // survivors would read another point's codes. The size check is a
+      // cheap backstop; same-size mutations still need a fresh cacheKey.
+      case Some(st) if st._2.length == idx.size => st
+      case _ =>
+        val dim = idx.points(0).length
+        require(dim % ShardM == 0, s"dim $dim must divide into $ShardM subspaces")
+        val subDim = dim / ShardM
+        // bounded training sample of the shard's own points — the shard is
+        // its own distribution, so local codebooks beat one global set
+        val sample = idx.points.take(4096)
+        val books = Array.tabulate(ShardM)(s =>
+          Quantization.kmeans(
+            sample.map(v => java.util.Arrays.copyOfRange(v, s * subDim, (s + 1) * subDim)),
+            ShardK, iters = 3))
+        val cb = PqCodebooks(ShardM, ShardK, subDim, books)
+        // k=32 codes fit a BYTE — the cached code rows really are m
+        // bytes/vector, the ledger's claim, not m ints
+        val st = (cb, idx.points.map(p => encode(p, cb).map(_.toByte)))
+        shardCache.put((dir, shard), st)
+        st
+    }
 
   /** PQ-guided top-k in the FANOUT regime — the missing half of the
     * DiskANN memory story: traversal inside EACH shard kernel runs on ADC
