@@ -10,7 +10,7 @@ import graft.RegistrySqlParts._
 private[graft] object RegistryVector {
 
   private[graft] def entries: Seq[(String, QFn, Option[String])] = Seq(
-    simCosineTopK, simIpTopK, simJoinThreshold, lshCosineGateQ, lshL2GateQ, ivfGateQ, pqGateQ, vamanaPqGateQ, vamanaPqSearchQ, vamanaPqFanoutQ, vamanaPqFanoutGateQ, semdedupGateQ, prototypeGateQ, embedDimStatsQ, embedDimCovQ, sqQuantize, sqReport, bqQuantizeQ, bqSearchQ, bqRerankQ, embedNormalizeQ, hardNegativesQ, hardNegativesFanoutQ, hardNegativesFanoutGateQ, embedKmeansQ, embedKmeansGreedyQ, embedKmeansStatsQ, clusterSampleBalancedQ, clusterSilhouetteQ, clusterCuratedDocsQ, splitDriftQ, embedKmeansIncrementalQ, embedKmeansMinibatchQ)
+    simCosineTopK, simIpTopK, simJoinThreshold, lshCosineGateQ, lshL2GateQ, ivfGateQ, pqGateQ, vamanaPqGateQ, vamanaPqSearchQ, vamanaPqFanoutQ, vamanaPqFanoutGateQ, vamanaPqFanoutFilteredGateQ, semdedupGateQ, prototypeGateQ, embedDimStatsQ, embedDimCovQ, sqQuantize, sqReport, bqQuantizeQ, bqSearchQ, bqRerankQ, embedNormalizeQ, hardNegativesQ, hardNegativesFanoutQ, hardNegativesFanoutGateQ, embedKmeansQ, embedKmeansGreedyQ, embedKmeansStatsQ, clusterSampleBalancedQ, clusterSilhouetteQ, clusterCuratedDocsQ, splitDriftQ, embedKmeansIncrementalQ, embedKmeansMinibatchQ)
 
   // ---- similarity -----------------------------------------------------------
 
@@ -135,6 +135,20 @@ private[graft] object RegistryVector {
       SELECT count(DISTINCT vec_id) AS n_queries,
              TRUE AS overlap_exact_ok, TRUE AS recall_ok
       FROM embeddings WHERE vec_id < 10
+    """.trim))
+
+  /** Serving-matrix completion gate: filtered search × PQ serving memory
+    * × beyond-broadcast fanout. Full per-shard ADC beam + exact rerank +
+    * predicate is exactly filtered kNN, so per-query overlap with the
+    * exact filtered scan is min(k, n_allowed) — the
+    * vamana_fanout_filtered_gate statement with m-byte traversal. */
+  private val vamanaPqFanoutFilteredGateQ: (String, QFn, Option[String]) = (
+    "vamana_pq_fanout_filtered_gate",
+    (s, d) => graft.vamana.VamanaPq.gateFanoutFiltered(s, d),
+    Some("""
+      SELECT vec_id AS query_id,
+             LEAST(10, (SELECT count(*) FROM documents WHERE lang = 'en'))::BIGINT AS overlap
+      FROM embeddings WHERE vec_id < 10 ORDER BY query_id
     """.trim))
 
   /** SemDeDup's recall gate rides the SAME exact-cosine baseline as

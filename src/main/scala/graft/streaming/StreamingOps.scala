@@ -37,6 +37,11 @@ case class TrendingToken(win_start: Timestamp, rank: Int, token: String,
 
 private case class TopkState(entries: Map[String, (Long, Long)])
 
+/** One standing-query retrieval hit emitted when its window closes. */
+case class RetrievalHit(win_start: Timestamp, qid: Long, rank: Int, doc_id: Long, bm25: Double)
+
+private case class RetrievalState(entries: List[(Double, Long)])
+
 private case class BucketState(ids: List[Long], newestMs: Long)
 
 /** Structured Streaming surface (SURVEY.md §2b: absent in the reference,
@@ -434,6 +439,50 @@ object StreamingOps {
       .where(col("q.hits") > 0 && col("doc_id") =!= col("q.qid"))
       .select(col("doc_id"), col("ts"), col("q.qid").as("qid"),
         round(col("q.s"), 4).cast("double").as("bm25"))
+  }
+
+  /** Windowed per-standing-query retrieval TOP-K — the stateful half of
+    * the ingest-side retrieval story: [[streamingLexRetrievalScore]]'s
+    * stateless per-(doc, query) scores fold into a bounded k-best heap
+    * per (window, query), emitted when the watermark closes the window
+    * (the [[streamingTopkTokens]] event-time-timeout shape). State is k
+    * (score, doc_id) pairs × standing queries × open windows — bounded by
+    * the horizon's arrival volume, never the corpus. Keep-k-best by
+    * (score desc, doc_id asc) is arrival-order independent, so reruns and
+    * batch replays emit identical rows (spec-asserted vs the batch
+    * top-k). */
+  def streamingRetrievalTopk(docs: DataFrame,
+      model: graft.operators.TextAnalysis.Bm25QueryModel, k: Int = 5,
+      windowMs: Long = 5L * 60 * 1000,
+      watermark: String = "10 minutes"): Dataset[RetrievalHit] = {
+    import docs.sparkSession.implicits._
+    val scored = streamingLexRetrievalScore(docs.withWatermark("ts", watermark), model)
+      .select((floor(unix_millis(col("ts")) / windowMs).cast("long") * windowMs).as("win"),
+        col("qid"), col("doc_id"), col("bm25"), col("ts"))
+      .as[(Long, Long, Long, Double, Timestamp)]
+    scored.groupByKey(r => (r._1, r._2))
+      .flatMapGroupsWithState[RetrievalState, RetrievalHit](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        case ((win, qid), it, state) =>
+          if (state.hasTimedOut) {
+            val st = state.get
+            state.remove()
+            st.entries
+              .sortBy { case (s, id) => (-s, id) }
+              .take(k).zipWithIndex
+              .map { case ((s, id), i) => RetrievalHit(new Timestamp(win), qid, i + 1, id, s) }
+              .iterator
+          } else {
+            val merged = (state.getOption.map(_.entries).getOrElse(Nil) ++
+                it.map(r => (r._4, r._3)))
+              .sortBy { case (s, id) => (-s, id) }
+              .take(k)
+            state.update(RetrievalState(merged))
+            state.setTimeoutTimestamp(
+              math.max(win + windowMs, state.getCurrentWatermarkMs() + 1))
+            Iterator.empty
+          }
+      }
   }
 
   /** The COMPOSED streaming ingest pass — the ingestion-side twin of the

@@ -259,6 +259,97 @@ object VamanaPq {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** FILTERED PQ-guided fanout search — the serving-matrix completion
+    * (filtered × PQ-memory × beyond-broadcast): per shard, the greedy
+    * traversal runs UNFILTERED on ADC scores (restricting the walk would
+    * disconnect it at low selectivity — the filtered-DiskANN rule), the
+    * predicate applies when the visited pool reranks with exact
+    * distances, so only allowed ids can enter the per-shard top-k; global
+    * merge as usual. With `fullBeam` the pool is the whole shard
+    * component REGARDLESS of the approximate scores, so exact rerank +
+    * predicate + 1-of-s merge is EXACTLY filtered kNN —
+    * [[gateFanoutFiltered]]'s theorem, the fanout-filtered gate composed
+    * with the PQ gate. */
+  def searchFanoutModelFiltered(fm: FanoutModel, queriesDf: DataFrame, cacheKey: String,
+      allowedIds: Array[Long], k: Int, fullBeam: Boolean): DataFrame = {
+    val spark = fm.shards.sparkSession
+    import spark.implicits._
+    require(fm.params.metric == "l2",
+      "PQ-guided fanout serving assumes the l2 (identity) reduction")
+    val queries = queriesDf
+      .select(col("query_id").cast("long"), col("query_vec").cast("array<float>"))
+      .as[(Long, Array[Float])].collect().sortBy(_._1)
+    val bcQ = spark.sparkContext.broadcast(queries)
+    val sorted = { val a = allowedIds.clone(); java.util.Arrays.sort(a); a }
+    val bcA = spark.sparkContext.broadcast(sorted)
+    val dirKey = cacheKey
+    val answers = fm.shards.flatMap { case (shard, idx) =>
+      val (cb, codes) = shardPqState(dirKey, shard, idx)
+      val allow = bcA.value
+      val pred = (id: Long) => java.util.Arrays.binarySearch(allow, id) >= 0
+      val m = cb.m
+      bcQ.value.iterator.flatMap { case (qid, qv) =>
+        val lut = adcLut(qv, cb)
+        val score: Int => Float = { node =>
+          val row = codes(node)
+          var d = 0.0f
+          var s = 0
+          while (s < m) { d += lut(s)(row(s)); s += 1 }
+          d
+        }
+        val kk = math.min(k, idx.size)
+        val beamL = if (fullBeam) idx.size else math.max(idx.params.efSearch, kk)
+        val (poolIds, _) = VamanaKernel.greedySearchScored(score, idx.graph, idx.medoid, beamL)
+        poolIds
+          .filter(p => pred(idx.ids(p)))
+          .map(p => (idx.ids(p), VamanaKernel.l2sq(idx.points(p), qv).toDouble))
+          .sortBy { case (id, d) => (d, id) }
+          .take(kk)
+          .iterator
+          .map { case (id, d) => (qid, id, d) }
+      }
+    }.toDF("query_id", "id", "dist")
+    val mergedA = answers.groupBy(col("query_id"), col("id")).agg(min(col("dist")).as("dist"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("dist").asc, col("id").asc)
+    mergedA
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("id"),
+        (expr("rint(dist * 10000)") / 1e4).as("dist"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** Hash-checked gate for the filtered PQ fanout path — the
+    * `vamana_fanout_filtered_gate` statement with ADC traversal: full
+    * per-shard beam makes the merge exact filtered kNN, so every
+    * per-query overlap with the exact filtered scan must be
+    * min(k, n_allowed), stated by the DuckDB oracle from the documents
+    * table (lang fixture shared with the raw-vector gate). */
+  def gateFanoutFiltered(spark: SparkSession, dir: String, lang: String = "en",
+      k: Int = 10): DataFrame = {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, dir)
+    val q = Knn.queriesFromPoints(emb, 10)
+    val allowedDf = graft.core.Tables.documents(spark, dir).where(col("lang") === lang)
+      .select(col("doc_id"))
+    val allowed = allowedDf.as[Long].collect()
+    val fm = VamanaOps.fanoutModel(spark, dir)
+    val ann = searchFanoutModelFiltered(fm, q, dir, allowed, k, fullBeam = true)
+      .select(col("query_id"), col("id"))
+    val exact = Knn.knnExact(
+        emb.join(allowedDf.withColumnRenamed("doc_id", "vec_id"), "vec_id"), q, k)
+      .select(col("query_id"), col("id"))
+    // zero-overlap-safe: left-join from the query fixture so a dropped
+    // query coalesces to overlap 0 instead of vanishing
+    q.select(col("query_id")).distinct()
+      .join(ann.join(exact, Seq("query_id", "id"))
+          .groupBy(col("query_id")).agg(count(lit(1)).as("ov")),
+        Seq("query_id"), "left")
+      .select(col("query_id"), coalesce(col("ov"), lit(0L)).as("overlap"))
+      .orderBy(col("query_id"))
+  }
+
   /** [[gate]]'s fanout twin (`vamana_pq_fanout_gate`): full-beam per-shard
     * PQ traversal + exact rerank is shard-exact kNN, the merge is exact
     * kNN → every per-query overlap with exact kNN must be k (hash-checked

@@ -781,6 +781,40 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming windowed retrieval top-k matches the batch per-query top-k at window close") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val model = graft.operators.TextAnalysis.fitBm25QueryModel(spark, "/root/testdata/sf0.001")
+    val input = MemoryStream[Doc]
+    val q = StreamingOps.streamingRetrievalTopk(input.toDF(), model, k = 5)
+      .writeStream.format("memory").queryName("rtopk_out")
+      .outputMode("append").start()
+    try {
+      val docs = graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
+        .select("doc_id", "text").collect()
+        .map(r => Doc(r.getLong(0), ts(1), r.getString(1)))
+      input.addData(docs.toSeq)
+      input.addData(Doc(-1, ts(60), "watermark advancer"))
+      q.processAllAvailable()
+      val got = spark.table("rtopk_out")
+        .where(col("win_start") === ts(0))
+        .select(col("qid"), col("rank"), col("doc_id"), col("bm25")).collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+        .sortBy(t => (t._1, t._2))
+      assert(got.nonEmpty, "no window emitted")
+      val batch = graft.operators.TextAnalysis.lexScores(spark, "/root/testdata/sf0.001")
+        .select(col("qid"), col("id"), col("bm25")).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .groupBy(_._1).toSeq.flatMap { case (qid, rs) =>
+          rs.sortBy { case (_, id, s) => (-s, id) }.take(5).zipWithIndex
+            .map { case ((_, id, s), i) => (qid, i + 1, id, s) }
+        }.sortBy(t => (t._1, t._2))
+      assert(got.toSeq == batch,
+        s"stream/batch retrieval top-k diverge:\n${got.toSeq.take(8)}\nvs\n${batch.take(8)}")
+    } finally q.stop()
+  }
+
   test("composed ingest pipeline (quality -> dedup -> window) matches batch survivor count") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
