@@ -87,8 +87,10 @@ object ScaleBench {
       got.unpersist()
       // PQ-guided serving over the SAME fitted shards: traversal on m-byte
       // per-shard codes (DiskANN §3), exact rerank — the serving-memory
-      // story at scale. First call trains+encodes per shard (reported as
-      // pq_prepare), second serves from the executor memo.
+      // story at scale. The first call trains+encodes per shard AND runs a
+      // full search pass, so it is reported as pq_first_call_sec (total,
+      // not train+encode alone — subtract pq_search_100q_sec for the
+      // one-time prepare cost); the second call serves from the memo.
       val pqTag = s"scalebench_n${n}_s$s"
       val t2 = System.nanoTime()
       VamanaPq.searchFanoutModel(fm, queries, pqTag, k, fullBeam = false).count()
@@ -108,7 +110,7 @@ object ScaleBench {
         s""""build_sec":${math.rint(buildSec * 100) / 100},""" +
         s""""search_100q_sec":${math.rint(searchSec * 100) / 100},""" +
         s""""recall_at_10":${math.rint(recall * 1e4) / 1e4},""" +
-        s""""pq_prepare_sec":${math.rint(pqPrepSec * 100) / 100},""" +
+        s""""pq_first_call_sec":${math.rint(pqPrepSec * 100) / 100},""" +
         s""""pq_search_100q_sec":${math.rint(pqSearchSec * 100) / 100},""" +
         s""""pq_recall_at_10":${math.rint(pqRecall * 1e4) / 1e4},""" +
         s""""raw_vector_bytes":$rawB,"pq_code_bytes":$codeB}""")

@@ -385,7 +385,11 @@ final class FanoutModel private[vamana] (
   private[vamana] def adaptiveFiltered(queries: DataFrame, filter: DataFrame, deny: Boolean,
       k: Int, fullBeam: Boolean, band: Int = MaxBroadcastAllowed): DataFrame = {
     import org.apache.spark.sql.functions.col
-    val ids = filter.select(col(filter.columns.head).cast("long").as("id"))
+    // distinct BEFORE counting: duplicate ids in the caller's frame would
+    // inflate n (wrongly skipping the exact broadcast branch), corrupt the
+    // complement arithmetic (totalPoints - n could go negative), and ride
+    // duplicated through collectIds' broadcast
+    val ids = filter.select(col(filter.columns.head).cast("long").as("id")).distinct()
     val n = ids.count()
     def collectIds(df: DataFrame): Array[Long] = {
       val spark = shards.sparkSession
@@ -408,15 +412,55 @@ final class FanoutModel private[vamana] (
     * fetch retains recall while keeping the merge bounded. */
   val PostFilterOverfetch: Int = 8
 
+  /** The beyond-broadcast branch with ESCALATING overfetch: fetch k×mult,
+    * post-filter with a distributed semi/anti-join, and — instead of
+    * silently returning short or inexact results when fewer than k
+    * survivors land in the overfetched pool — re-fetch the batch at 8×
+    * the multiple until every query holds k survivors or the fetch covers
+    * the whole index (at which point the full-beam form is provably exact
+    * filtered kNN and a still-short query truly has < k allowed ids).
+    * Escalation is geometric, so the worst case is log₈(n/k) passes, and
+    * the expected case at the selectivity that reaches this branch (both
+    * filter sides beyond the broadcast band) is the single ×8 pass. Each
+    * attempt's filtered pool is persisted so the survivor check and the
+    * returned frame share one fetch. */
   private def postFilterSearch(queries: DataFrame, filterIds: DataFrame, deny: Boolean,
       k: Int, queryIdCol: String, queryVecCol: String, fullBeam: Boolean): DataFrame = {
-    val fetched = searchAtBeam(queries, k * PostFilterOverfetch, queryIdCol, queryVecCol, fullBeam)
-    val kept = fetched.join(filterIds, Seq("id"), if (deny) "left_anti" else "left_semi")
-    val w = Window.partitionBy(col("query_id")).orderBy(col("rank").asc)
-    kept.withColumn("rank", row_number().over(w).cast("long"))
-      .where(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("id"), col("dist"))
-      .orderBy(col("query_id"), col("rank"))
+    val nQueries = queries.select(col(queryIdCol)).distinct().count()
+    val total = totalPoints
+    var mult = PostFilterOverfetch.toLong
+    var result: DataFrame = null
+    var prev: DataFrame = null
+    while (result == null) {
+      val fetchK = math.min(math.min(k.toLong * mult, total), Int.MaxValue.toLong).toInt
+      val fetched = searchAtBeam(queries, fetchK, queryIdCol, queryVecCol, fullBeam)
+      val kept = FanoutModel.pinPool(
+        fetched.join(filterIds, Seq("id"), if (deny) "left_anti" else "left_semi")
+          .persist())
+      if (prev != null) { prev.unpersist(blocking = false); prev = null }
+      val exhaustive = fetchK >= total
+      val satisfied =
+        if (exhaustive) true
+        else {
+          // every query must hold >= k survivors, and no query may have
+          // dropped out entirely — both from one bounded aggregate
+          val st = kept.groupBy(col("query_id")).agg(count(lit(1)).as("n"))
+            .agg(coalesce(min(col("n")), lit(0L)).as("mn"),
+              count(lit(1)).as("nq")).head()
+          st.getLong(0) >= k && st.getLong(1) == nQueries
+        }
+      if (satisfied) {
+        val w = Window.partitionBy(col("query_id")).orderBy(col("rank").asc)
+        result = kept.withColumn("rank", row_number().over(w).cast("long"))
+          .where(col("rank") <= k)
+          .select(col("query_id"), col("rank"), col("id"), col("dist"))
+          .orderBy(col("query_id"), col("rank"))
+      } else {
+        prev = kept
+        mult *= 8
+      }
+    }
+    result
   }
 
   /** [[search]] with an optional full-beam override — the post-filter
@@ -581,6 +625,20 @@ final class FanoutModel private[vamana] (
 }
 
 object FanoutModel {
+
+  /** Post-filter pools [[FanoutModel.postFilterSearch]] persists so the
+    * survivor check and the returned frame share one fetch; bounded at
+    * nQueries × k × mult rows each. Released by
+    * [[VamanaOps.clearCaches]] (the Multimodal pinned-frame pattern). */
+  private[vamana] val pinnedPools = scala.collection.mutable.ListBuffer.empty[DataFrame]
+
+  private[vamana] def pinPool(df: DataFrame): DataFrame =
+    pinnedPools.synchronized { pinnedPools += df; df }
+
+  private[vamana] def clearPinned(): Unit = pinnedPools.synchronized {
+    for (df <- pinnedPools) scala.util.Try(df.unpersist())
+    pinnedPools.clear()
+  }
 
   /** S2 for the fanout path: reassemble each shard kernel inside one task,
     * cache — searches after load run zero builds, zero per-query I/O. */

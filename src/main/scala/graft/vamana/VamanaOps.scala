@@ -54,6 +54,7 @@ object VamanaOps {
     for ((_, m) <- deleteCache) m.unpersist()
     deleteCache.clear()
     fullBeamCache.clear()
+    FanoutModel.clearPinned()
   }
 
   private val insertCache = TrieMap.empty[String, VamanaModel]

@@ -41,7 +41,8 @@ object VamanaPq {
     * codes only for the shards it serves — m bytes/vector where the raw
     * vectors don't fit, which is the regime DiskANN's design exists for
     * (the broadcast-regime [[cache]] is where it's least needed). */
-  private val shardCache = TrieMap.empty[(String, Int), (PqCodebooks, Array[Array[Byte]])]
+  private val shardCache =
+    TrieMap.empty[(String, Int), (Long, PqCodebooks, Array[Array[Byte]])]
 
   def clearCaches(): Unit = { cache.clear(); shardCache.clear() }
 
@@ -163,15 +164,33 @@ object VamanaPq {
   private val ShardM = 16
   private val ShardK = 32
 
-  private def shardPqState(dir: String, shard: Int, idx: LocalIndex): (PqCodebooks, Array[Array[Byte]]) =
+  /** ORDER-SENSITIVE membership fingerprint of a shard's external-id
+    * array (FNV-style fold of `(id + position)`): the memo's stale-entry
+    * guard. The code rows are positional (row i ↔ idx.points(i)), so any
+    * change in WHICH ids the shard holds OR in what order — including a
+    * same-cardinality delete+insert under a reused cacheKey, the case a
+    * size-only check waves through — must force a re-encode. One narrow
+    * pass over a long array per (shard, query-batch): far cheaper than
+    * the encode it protects. */
+  private def idsFingerprint(ids: Array[Long]): Long = {
+    var h = ids.length.toLong * 0x9E3779B97F4A7C15L
+    var i = 0
+    while (i < ids.length) { h = (h ^ (ids(i) + i)) * 0x100000001B3L; i += 1 }
+    h
+  }
+
+  private def shardPqState(dir: String, shard: Int, idx: LocalIndex): (PqCodebooks, Array[Array[Byte]]) = {
+    val fp = idsFingerprint(idx.ids)
     shardCache.get((dir, shard)) match {
       // the memo is positional (code row i ↔ idx.points(i)), so a shard
       // whose membership changed under the same key (an insert/delete
       // produced a new model but the caller reused the cacheKey) must
       // re-encode — otherwise new points would score out of bounds and
-      // survivors would read another point's codes. The size check is a
-      // cheap backstop; same-size mutations still need a fresh cacheKey.
-      case Some(st) if st._2.length == idx.size => st
+      // survivors would read another point's codes. The fingerprint also
+      // catches SAME-SIZE mutations (delete n + insert n under a reused
+      // key), which a bare size check silently serves wrong codes for.
+      case Some((cachedFp, cb, codes)) if cachedFp == fp && codes.length == idx.size =>
+        (cb, codes)
       case _ =>
         val dim = idx.points(0).length
         require(dim % ShardM == 0, s"dim $dim must divide into $ShardM subspaces")
@@ -187,9 +206,10 @@ object VamanaPq {
         // k=32 codes fit a BYTE — the cached code rows really are m
         // bytes/vector, the ledger's claim, not m ints
         val st = (cb, idx.points.map(p => encode(p, cb).map(_.toByte)))
-        shardCache.put((dir, shard), st)
+        shardCache.put((dir, shard), (fp, st._1, st._2))
         st
     }
+  }
 
   /** PQ-guided top-k in the FANOUT regime — the missing half of the
     * DiskANN memory story: traversal inside EACH shard kernel runs on ADC

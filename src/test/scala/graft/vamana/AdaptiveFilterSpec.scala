@@ -79,4 +79,26 @@ class AdaptiveFilterSpec extends AnyFunSuite {
     assert(resultSet(res) == resultSet(exact.select(col("query_id"), col("rank"), col("id"))),
       "full-beam PQ serving on the grown model must still be exact kNN")
   }
+
+  test("PQ shard-code memo re-encodes on a SAME-SIZE mutation under a reused cacheKey") {
+    val emb = Tables.embeddings(spark, dir)
+    val base = emb.where(col("vec_id") < 40)
+    // ONE shard: delete 10 + insert 10 keeps the shard at exactly 40
+    // points, so only the membership fingerprint can see the change
+    val model = VamanaFanout.fit(base, params, numShards = 1)
+    val q = Knn.queriesFromPoints(emb, 5)
+    val key = "adaptive_filter_spec_samesize"
+    assert(VamanaPq.searchFanoutModel(model, q, key, 10, fullBeam = true).count() == 50)
+    // delete 10 ids, insert 10 DIFFERENT ids: cardinality is unchanged, so
+    // a size-only stale guard would positionally serve the old codes for
+    // the new membership — the membership fingerprint must force a
+    // re-encode and keep full-beam serving exactly kNN over the new set
+    val mutated = model.delete((30L until 40L).toArray)
+      .insert(emb.where(col("vec_id") >= 40 && col("vec_id") < 50))
+    val res = VamanaPq.searchFanoutModel(mutated, q, key, 10, fullBeam = true)
+    val remaining = emb.where(col("vec_id") < 30 || (col("vec_id") >= 40 && col("vec_id") < 50))
+    val exact = Knn.knnExact(remaining, q, 10)
+    assert(resultSet(res) == resultSet(exact.select(col("query_id"), col("rank"), col("id"))),
+      "full-beam PQ serving after a same-size delete+insert must be exact kNN")
+  }
 }
