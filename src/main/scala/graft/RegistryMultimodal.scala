@@ -10,7 +10,7 @@ import graft.RegistrySqlParts._
 private[graft] object RegistryMultimodal {
 
   private[graft] def entries: Seq[(String, QFn, Option[String])] = Seq(
-    mmGzipQ, mmJoin, mmBinaryStats, mmMediaFeatures, mmThumbnailQ, mmFrameSampleQ, mmAudioSampleQ, mmImageDecodeQ, mmAudioDecodeQ, mmImageAhashQ, mmAudioFingerprintQ, mmImageNearDupQ, mmAudioNearDupQ, mmVideoNearDupQ, mmNearDupIncrementalQ, mmNearDupSurvivorsQ, mmNearDupClusterStatsQ, mmSoftWeightsQ)
+    mmGzipQ, mmJoin, mmBinaryStats, mmMediaFeatures, mmThumbnailQ, mmFrameSampleQ, mmAudioSampleQ, mmImageDecodeQ, mmAudioDecodeQ, mmImageAhashQ, mmAudioFingerprintQ, mmImageNearDupQ, mmAudioNearDupQ, mmAudioNearDupGateQ, mmVideoNearDupQ, mmVideoNearDupGateQ, mmNearDupIncrementalQ, mmNearDupSurvivorsQ, mmNearDupClusterStatsQ, mmSoftWeightsQ)
 
   // (pq_quantize / pq_search ride pq_gate — see the seeded-generator note
   // above; the functions remain exercised by the gate and QuantizationSpec.)
@@ -327,6 +327,36 @@ private[graft] object RegistryMultimodal {
                           THEN 1 ELSE 0 END))::BIGINT AS hamming
             FROM h a JOIN h b ON a.doc_id < b.doc_id AND len(a.afp) = len(b.afp))
       SELECT id_a, id_b, hamming FROM p WHERE hamming <= 3 ORDER BY id_a, id_b
+    """.trim))
+
+  /** Planted-mutation gates: the corpus plants no audio/video
+    * near-duplicates at driver scale, so the pair queries above pass
+    * vacuously (0 rows on both sides). These derive mutated copies of real
+    * corpus media in-query, re-run the PRODUCTION pigeonhole pair join
+    * over corpus ∪ planted, and assert recovery of every planted pair at
+    * its measured Hamming — the flags are fixture+theorem invariants, and
+    * n_candidates is the oracle-recomputable eligibility count. */
+  private val mmAudioNearDupGateQ: (String, QFn, Option[String]) = (
+    "mm_audio_neardup_gate",
+    (s, d) => Multimodal.audioNearDupGate(s, d),
+    Some("""
+      SELECT count(*)::BIGINT AS n_candidates, TRUE AS exact_pairs_ok,
+             TRUE AS near_pairs_ok, TRUE AS near_nonvacuous
+      FROM (SELECT doc_id FROM documents
+            WHERE len(text) >= 2 AND octet_length(encode(text)) = len(text)
+            ORDER BY doc_id LIMIT 8)
+    """.trim))
+
+  private val mmVideoNearDupGateQ: (String, QFn, Option[String]) = (
+    "mm_video_neardup_gate",
+    (s, d) => Multimodal.videoNearDupGate(s, d),
+    Some("""
+      SELECT count(*)::BIGINT AS n_candidates, TRUE AS exact_pairs_ok,
+             TRUE AS near_pairs_ok, TRUE AS near_nonvacuous
+      FROM (SELECT doc_id FROM documents
+            WHERE len(text) >= 96 AND octet_length(encode(text)) = len(text)
+                  AND len(text) // 3 <= 1048576
+            ORDER BY doc_id LIMIT 8)
     """.trim))
 
   /** Both modalities' brute-force pair sets (image aHash + audio envelope

@@ -40,6 +40,7 @@ object SparkEntry {
     vamanaSearchQ, vamanaOverlapQ, vamanaRecallQ, vamanaStartQ, vamanaStartGateQ,
     vamanaDescribeQ, vamanaDegreeQ,
     vamanaFanoutQ, vamanaFanoutGateQ, vamanaFanoutFilteredQ, vamanaFanoutFilteredGateQ,
+    vamanaAdaptivePostfilterGateQ,
     vamanaRoundtripQ, vamanaInsertQ, vamanaDeleteQ, vamanaInsertGateQ, vamanaDeleteGateQ,
     pricingQ, regionRevenueQ, topOrdersQ, orderPriorityQ, localSupplierQ,
     filteredRevenueQ, partRollupQ, segmentSetOpsQ, eventsHourlyQ, userFunnelQ,
@@ -464,6 +465,18 @@ object SparkEntry {
       SELECT vec_id AS query_id,
              LEAST(10, (SELECT count(*) FROM documents WHERE lang = 'en'))::BIGINT AS overlap
       FROM embeddings WHERE vec_id < 10 ORDER BY query_id
+    """.trim))
+
+  /** The adaptive post-filter branch at the DEFAULT beam (band narrowed to
+    * 1 so the 50/50 even-id filter takes the beyond-broadcast route):
+    * every query must return exactly k rows (the overfetch-escalation
+    * contract) and clear the recall floor vs exact filtered kNN. */
+  private val vamanaAdaptivePostfilterGateQ: (String, QFn, Option[String]) = (
+    "vamana_adaptive_postfilter_gate",
+    (s, d) => graft.vamana.VamanaOps.vamanaAdaptivePostfilterGate(s, d),
+    Some("""
+      SELECT count(*)::BIGINT AS n_queries, TRUE AS rows_ok, TRUE AS recall_ok
+      FROM embeddings WHERE vec_id < 10
     """.trim))
 
   /** Incremental insert (FreshDiskANN semantics, absent in the reference):

@@ -858,6 +858,136 @@ object Multimodal {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  // ---- planted near-dup gates ---------------------------------------------
+
+  /** 16-bit word parse of a bit-string column (the [[bitstringNearDupPairs]]
+    * arithmetic in Column form, for the tiny planted-fixture frames). */
+  private def bitsWordsCol(c: Column): Column =
+    transform(sequence(lit(0), ((length(c) - 1) / 16).cast("int")),
+      w => conv(c.substr(w * 16 + 1, lit(16)), 2, 10).cast("long"))
+
+  private def hammingBitsCol(a: Column, b: Column): Column =
+    aggregate(zip_with(bitsWordsCol(a), bitsWordsCol(b),
+        (x, y) => bit_count(x.bitwiseXOR(y)).cast("long")),
+      lit(0L), (acc, v) => acc + v)
+
+  /** Planted-mutation gate shared by the audio and video near-dup pair
+    * queries, which pass VACUOUSLY at driver scale (the testdata plants no
+    * audio/video near-duplicates, so machine and oracle agree on zero
+    * rows). This makes the pair stage carry signal: derive mutated copies
+    * of real corpus media IN-QUERY (single-character perturbations of the
+    * payload text — one byte of PCM / one byte of one video frame), pick
+    * per source the first variant whose signature lands in the near band
+    * (Hamming 1..3, measured through the SAME production signature
+    * arithmetic), plant mutant AND exact copies under offset ids, run the
+    * PRODUCTION pigeonhole pair join over corpus ∪ planted, and assert
+    *  - `exact_pairs_ok`: every exact copy pairs with its source at
+    *    Hamming 0 (the same-signature branch);
+    *  - `near_pairs_ok`: every planted mutant pairs with its source at
+    *    EXACTLY its measured Hamming (the chunk join's completeness
+    *    theorem for Hamming ≤ 3 — ≤3 flipped bits among 4 disjoint pieces
+    *    leave one piece identical);
+    *  - `near_nonvacuous`: at least one mutant landed in Hamming 1..3, so
+    *    the near-miss branch (not just the equality branch) is exercised.
+    * `n_candidates` is recomputed by the oracle from the same documents
+    * predicate; the flags are invariants of the fixture + theorem.
+    * Everything planted is fixture-sized (nPlant sources × nVariants
+    * probes); the corpus side reuses the production signature pass. */
+  private def plantedNearDupGate(
+      spark: SparkSession,
+      dir: String,
+      baseSigs: DataFrame,
+      sigOf: DataFrame => DataFrame,
+      eligible: Column,
+      frameLocal: Boolean,
+      nPlant: Int = 8,
+      nVariants: Int = 48): DataFrame = {
+    import spark.implicits._
+    val Offset = 10000000L
+    val docs = Tables.documents(spark, dir)
+    val cands = docs.where(eligible)
+      .orderBy(col("doc_id")).limit(nPlant)
+      .select(col("doc_id"), col("text"))
+    // mutate only the first quarter for frame-local media (video: one
+    // frame slice), anywhere for stream media (audio: one PCM byte)
+    val win = if (frameLocal) floor(length(col("text")) / 4).cast("long")
+      else length(col("text")).cast("long")
+    val vars = cands
+      .select(col("doc_id"), col("text"),
+        explode(sequence(lit(0L), lit(nVariants - 1L))).as("variant"))
+      .withColumn("win", win)
+      .where(col("win") >= 1)
+      .withColumn("p", (col("variant") * 13) % col("win"))
+      .withColumn("vtext", concat(
+        col("text").substr(lit(1), col("p").cast("int")),
+        when(col("text").substr(col("p").cast("int") + 1, lit(1)) === "a", lit("b"))
+          .otherwise(lit("a")),
+        col("text").substr(col("p").cast("int") + 2,
+          length(col("text")) - col("p").cast("int") - 1)))
+    // signature of every probe through the production arithmetic; the
+    // (doc, variant) key rides encoded in the id (variant < 1000)
+    val varSig = sigOf(vars.select((col("doc_id") * 1000 + col("variant")).as("doc_id"),
+        col("vtext").as("text")))
+      .select(floor(col("doc_id") / 1000).cast("long").as("doc_id"),
+        pmod(col("doc_id"), lit(1000L)).as("variant"), col("bits").as("vbits"))
+    val base = baseSigs.select(col("doc_id"), col("bits").as("base_bits"))
+    val chosen = varSig.join(base, "doc_id")
+      .withColumn("h", hammingBitsCol(col("vbits"), col("base_bits")))
+      .where(col("h").between(1, 3))
+      .groupBy(col("doc_id"))
+      .agg(min(struct(col("variant"), col("h"))).as("b"))
+      .join(vars.select(col("doc_id"), col("variant"), col("vtext")), Seq("doc_id"))
+      .where(col("b.variant") === col("variant"))
+      .select(col("doc_id"), col("vtext"), col("b.h").as("expected_h"))
+    val candRows = cands.collect().map(r => (r.getLong(0), r.getString(1)))
+    val chosenRows = chosen.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val planted =
+      candRows.map { case (id, t) => (id + 2 * Offset, t) } ++
+        chosenRows.map { case (id, t, _) => (id + Offset, t) }
+    // only planted-involving pairs matter for the flags (and bound the
+    // collect); every expected pair has its high id ≥ Offset
+    val pairs = bitstringNearDupPairs(baseSigs.union(sigOf(
+        planted.toSeq.toDF("doc_id", "text"))))
+      .where(col("id_b") >= Offset)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val exactOk = candRows.forall { case (id, _) => pairs.contains((id, id + 2 * Offset, 0L)) }
+    val nearOk = chosenRows.forall { case (id, _, h) => pairs.contains((id, id + Offset, h)) }
+    Seq((candRows.length.toLong, exactOk, nearOk, chosenRows.nonEmpty))
+      .toDF("n_candidates", "exact_pairs_ok", "near_pairs_ok", "near_nonvacuous")
+  }
+
+  private val PlantTs = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+
+  /** Registered `mm_audio_neardup_gate`: planted single-byte PCM mutations
+    * recovered by the production envelope-fingerprint Hamming-ball pass —
+    * the non-vacuous evidence for [[audioNearDup]], whose corpus-only row
+    * set is empty at driver scale. */
+  def audioNearDupGate(spark: SparkSession, dir: String): DataFrame =
+    plantedNearDupGate(spark, dir,
+      afpFrame(spark, dir).select(col("doc_id"), col("afp").as("bits")),
+      d => audioFingerprintsWithTs(d.withColumn("ts", lit(PlantTs)))
+        .select(col("doc_id"), col("afp").as("bits")),
+      eligible = length(col("text")) >= 2 &&
+        octet_length(encode(col("text"), "utf-8")) === length(col("text")),
+      frameLocal = false)
+
+  /** Registered `mm_video_neardup_gate`: planted one-byte one-frame
+    * mutations recovered by the production 256-bit 4-frame signature pass
+    * — [[videoNearDup]]'s non-vacuous twin (mutating inside the first
+    * frame slice leaves the other three frame hashes bit-identical, so
+    * the near band is reachable by construction). */
+  def videoNearDupGate(spark: SparkSession, dir: String): DataFrame =
+    plantedNearDupGate(spark, dir,
+      videoSigFrame(spark, dir).select(col("doc_id"), col("vsig").as("bits")),
+      d => videoSigsWithTs(d.withColumn("ts", lit(PlantTs)))
+        .select(col("doc_id"), col("vsig").as("bits")),
+      eligible = length(col("text")) >= 96 &&
+        octet_length(encode(col("text"), "utf-8")) === length(col("text")) &&
+        floor(length(col("text")) / 3) <= lit(1048576),
+      frameLocal = true)
+
   /** The resize itself over one P6 payload: (src_w, src_h, joined RGB
     * ints) — None for non-PPM / hostile headers. */
   private[graft] def thumbnailOf(payload: Array[Byte], tw: Int, th: Int)

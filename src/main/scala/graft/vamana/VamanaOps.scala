@@ -261,6 +261,44 @@ object VamanaOps {
       .orderBy(col("query_id"))
   }
 
+  /** Hash-checked gate for the adaptive POST-FILTER branch at the DEFAULT
+    * beam — the ONE approximate serving branch, which the branch-coverage
+    * spec exercises only at full beam (where post-filter equality is
+    * trivial). The band hook narrows MaxBroadcastAllowed to 1 so a 50/50
+    * even-id filter (both sides beyond any band, the selectivity regime
+    * that actually reaches this branch at 100 TB) takes the post-filter
+    * route with the production ×8 overfetch and escalation:
+    *  - `rows_ok`: every query returns exactly k rows — the escalation
+    *    contract (short results were the silent failure mode before the
+    *    overfetch escalated);
+    *  - `recall_ok`: default-beam overfetch + semi-join clears
+    *    `recallFloor` vs exact filtered kNN (catastrophic-regression
+    *    floor, set below the measured value like the PQ gates'). */
+  def vamanaAdaptivePostfilterGate(spark: SparkSession, dir: String, k: Int = 10,
+      recallFloor: Double = 0.7): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val q = Knn.queriesFromPoints(emb, 10)
+    val allowedDf = emb.where(col("vec_id") % 2 === 0).select(col("vec_id").as("id"))
+    val ann = fanoutModel(spark, dir)
+      .adaptiveFiltered(q, allowedDf, deny = false, k, fullBeam = false, band = 1)
+      .select(col("query_id"), col("id"))
+    val exact = Knn.knnExact(emb.where(col("vec_id") % 2 === 0), q, k)
+      .select(col("query_id"), col("id"))
+    // left-join from the distinct query ids so a dropped-out query still
+    // votes (the zero-overlap-safe gate shape)
+    val perQ = q.select(col("query_id")).distinct()
+      .join(ann.groupBy(col("query_id")).agg(count(lit(1)).as("nr")), Seq("query_id"), "left")
+      .select(col("query_id"), coalesce(col("nr"), lit(0L)).as("nr"))
+    val rowsOk = perQ.agg(count(lit(1)).as("n_queries"),
+      (count(when(col("nr") === k, 1)) === count(lit(1))).as("rows_ok"))
+    val rec = exact.withColumn("in_exact", lit(1))
+      .join(ann.withColumn("in_approx", lit(1)), Seq("query_id", "id"), "full_outer")
+      .agg(count(col("in_exact")).as("n_exact"),
+        count(when(col("in_exact").isNotNull && col("in_approx").isNotNull, 1)).as("n_hit"))
+      .select((col("n_hit") >= col("n_exact") * recallFloor).as("recall_ok"))
+    rowsOk.crossJoin(rec).select(col("n_queries"), col("rows_ok"), col("recall_ok"))
+  }
+
   /** Hard-negative mining SERVED through the fitted fanout index — the
     * ANN twin of [[graft.operators.Similarity.hardNegatives]] (whose
     * docstring names this as the 100 TB path): per distinct query label,
