@@ -17,6 +17,7 @@ object GraftCaches {
     operators.Similarity.clearCaches()
     operators.Clustering.clearCaches()
     operators.DocClassifier.clearCaches()
+    operators.LangClassifier.clearCaches()
     vamana.VamanaOps.clearCaches()
     vamana.VamanaPq.clearCaches()
     functions.NativeVectorFunctions.clearRegistry()

@@ -10,7 +10,7 @@ import graft.RegistrySqlParts._
 private[graft] object RegistryText {
 
   private[graft] def entries: Seq[(String, QFn, Option[String])] = Seq(
-    textStats, langId, tokenCount, docFingerprint, vocabTopKQ, lengthPctQ, percentileGateQ, tfIdfQ, repetitionScoreQ, bigramTopKQ, lmPerplexityQ, oovRateQ, boilerplateQ, piiRedactQ, qualityDecilesQ, tokenEntropyQ, bm25RetrievalQ, bpeMergesQ, bpeEncodeQ, cmsTopkQ, featureHashQ, classifierGateQ, hybridRetrievalQ, gopherRulesQ)
+    textStats, langId, tokenCount, docFingerprint, vocabTopKQ, lengthPctQ, percentileGateQ, tfIdfQ, repetitionScoreQ, bigramTopKQ, lmPerplexityQ, oovRateQ, boilerplateQ, piiRedactQ, qualityDecilesQ, tokenEntropyQ, bm25RetrievalQ, bpeMergesQ, bpeEncodeQ, cmsTopkQ, featureHashQ, classifierGateQ, langClassifierGateQ, hybridRetrievalQ, gopherRulesQ)
 
   // ---- text analysis --------------------------------------------------------
 
@@ -461,6 +461,26 @@ private[graft] object RegistryText {
              sum(y) FILTER (b >= 90)::BIGINT AS n_pos_test,
              TRUE AS acc_train_ok, TRUE AS acc_test_ok, TRUE AS beats_majority
       FROM lab
+    """.trim))
+
+  /** Trained MULTI-LANGUAGE identification gate — one-vs-rest hashed
+    * char-bigram linear models on the shared fixed-point GD core, trained
+    * on the deterministic planted seed corpus (the testdata's own lang
+    * column is unlearnable by construction: all languages share one
+    * vocabulary). Oracle recomputes the split sizes from the identical
+    * md5 id-hash over the literal seed size; the accuracy floors and the
+    * beats-majority (1/5) check are TRUE literals the training must
+    * earn. */
+  private val langClassifierGateQ: (String, QFn, Option[String]) = (
+    "lang_classifier_gate",
+    (s, _) => graft.operators.LangClassifier.gate(s),
+    Some("""
+      SELECT count(*) FILTER (b < 90)::BIGINT AS n_train,
+             count(*) FILTER (b >= 90)::BIGINT AS n_test,
+             5::BIGINT AS n_langs,
+             TRUE AS acc_train_ok, TRUE AS acc_test_ok, TRUE AS beats_majority
+      FROM (SELECT ('0x' || substr(md5(range::VARCHAR), 1, 15))::BIGINT % 100 AS b
+            FROM range(2000))
     """.trim))
 
   private val featureHashQ: (String, QFn, Option[String]) = (

@@ -42,6 +42,7 @@ object SparkEntry {
     vamanaFanoutQ, vamanaFanoutGateQ, vamanaFanoutFilteredQ, vamanaFanoutFilteredGateQ,
     vamanaAdaptivePostfilterGateQ,
     vamanaRoundtripQ, vamanaInsertQ, vamanaDeleteQ, vamanaInsertGateQ, vamanaDeleteGateQ,
+    vamanaPqInsertGateQ,
     pricingQ, regionRevenueQ, topOrdersQ, orderPriorityQ, localSupplierQ,
     filteredRevenueQ, partRollupQ, segmentSetOpsQ, eventsHourlyQ, userFunnelQ,
     ordersByMonthQ, partTypeQ, acctbalStatsQ, approxDistinctQ, sessionizeBatchQ,
@@ -503,6 +504,19 @@ object SparkEntry {
     Some("""
       WITH m AS (SELECT max(vec_id) AS mx FROM embeddings)
       SELECT count(*) AS n_inserted, TRUE AS self_found, TRUE AS recall_ok
+      FROM embeddings, m WHERE vec_id >= greatest(m.mx - 49, (m.mx + 1) // 2)
+    """.trim))
+
+  /** Insert batch × PQ fanout serving, end-to-end: warm the per-shard code
+    * memo pre-insert, insert, serve full-beam under the same cacheKey —
+    * self-find + exact-overlap flags are theorems unless the memo serves
+    * stale codes. */
+  private val vamanaPqInsertGateQ: (String, QFn, Option[String]) = (
+    "vamana_pq_insert_gate",
+    (s, d) => graft.vamana.VamanaOps.vamanaPqInsertGate(s, d),
+    Some("""
+      WITH m AS (SELECT max(vec_id) AS mx FROM embeddings)
+      SELECT count(*) AS n_inserted, TRUE AS self_found, TRUE AS overlap_exact_ok
       FROM embeddings, m WHERE vec_id >= greatest(m.mx - 49, (m.mx + 1) // 2)
     """.trim))
 

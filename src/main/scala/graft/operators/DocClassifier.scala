@@ -51,7 +51,7 @@ object DocClassifier {
   val DefaultIters = 30
   val DefaultLr = 2.0
 
-  private val Scale = 1000000L // micro-unit fixed point
+  private[operators] val Scale = 1000000L // micro-unit fixed point
 
   /** md5-derived feature bucket of a token (the engine's portable hash
     * family — same arithmetic as [[TextAnalysis.featureHash]]'s cmsBucket,
@@ -71,7 +71,7 @@ object DocClassifier {
 
   /** 60-bit md5 id-hash mod 100 — the [[CorpusPipeline.splitAssign]]
     * arithmetic; < 90 → train, else held-out test. */
-  private def splitBucket(id: Column): Column =
+  private[operators] def splitBucket(id: Column): Column =
     conv(substring(md5(id.cast("string")), 1, 15), 16, 10).cast("long") % 100
 
   /** Exact integer micro-margin under driver-quantized weights `wq`
@@ -82,7 +82,7 @@ object DocClassifier {
     * `a·n_tokens + b·(stop/n_tokens) + c` boundary exactly. Every step is
     * integer arithmetic on per-row values: order-fixed, deterministic,
     * overflow-safe (fold ≤ n_tokens · max|wq|). */
-  private def marginQ(buckets: Column, nt: Column, wq: Array[Long]): Column = {
+  private[operators] def marginQ(buckets: Column, nt: Column, wq: Array[Long]): Column = {
     val wlit = typedlit(wq.toSeq)
     val tfSum = aggregate(buckets, lit(0L),
       (acc, b) => acc + element_at(wlit, b.cast("int") + 1))
@@ -129,7 +129,25 @@ object DocClassifier {
       .where(size(col("buckets")) > 0)
       .withColumn("nt", size(col("buckets")).cast("long"))
       .cache()
-    try {
+    try fitOnBuckets(feat, width, iters, lr)
+    finally feat.unpersist()
+  }
+
+  /** The distributed fixed-point GD core over a PRE-BUILT (and
+    * caller-cached) feature frame `(doc_id, y, is_train, buckets, nt)` —
+    * shared by the quality classifier and [[LangClassifier]]'s
+    * one-vs-rest fits, which reuse one cached frame across K binary
+    * problems (only `y` differs per class). All determinism invariants
+    * (driver-quantized weights, integer margins, decimal gradient
+    * accumulators) live here. */
+  /** `lengthFeature = false` freezes the explicit length term at 0 — for
+    * problems where nt is (near-)constant it is collinear with the bias,
+    * and in a one-vs-rest stack the per-class (bias + w_len·nt) constants
+    * then drift apart faster than the tf signal, collapsing the argmax to
+    * one class (the LangClassifier case). */
+  private[operators] def fitOnBuckets(feat: DataFrame, width: Int,
+      iters: Int, lr: Double, lengthFeature: Boolean = true): Model = {
+    {
       val counts = feat.groupBy(col("is_train"))
         .agg(count(lit(1)).as("n"), sum(col("y")).as("pos"))
         .collect().map(r => r.getBoolean(0) -> (r.getLong(1), r.getLong(2))).toMap
@@ -162,7 +180,7 @@ object DocClassifier {
           val b = r.getLong(0).toInt
           val sc = if (b < width) Scale.toDouble * 1000 else Scale.toDouble
           val g = r.getDecimal(1).longValueExact().toDouble / sc
-          w(b) -= lr * g / nTrain
+          if (lengthFeature || b != width) w(b) -= lr * g / nTrain
         }
       }
 
@@ -174,7 +192,7 @@ object DocClassifier {
         .collect().map(r => r.getBoolean(0) -> (r.getLong(1), r.getLong(2))).toMap
       val accOf = (k: Boolean) => acc.get(k).map { case (n, ok) => ok.toDouble / n }.getOrElse(0.0)
       Model(width, w, nTrain, nTest, nPosTrain, nPosTest, accOf(true), accOf(false))
-    } finally feat.unpersist()
+    }
   }
 
   /** Gate query: the SQL-recomputable facts of the split/labels plus

@@ -168,6 +168,8 @@ object TextAnalysis {
   def clearCaches(): Unit = {
     for ((_, (df, _)) <- bpeCache) scala.util.Try(df.unpersist())
     bpeCache.clear()
+    for ((_, df) <- lexTcCache) scala.util.Try(df.unpersist())
+    lexTcCache.clear()
   }
 
   /** The shared training loop: returns (final segmented vocab
@@ -584,13 +586,22 @@ object TextAnalysis {
   }
 
   /** Per-(doc, term) token counts — the shared base frame of the lexical
-    * retrieval leg (one corpus scan; everything downstream is
-    * dictionary-sized). */
+    * retrieval leg. MEMOIZED + persisted per (session, dir): one action
+    * over `hybridRetrieval`/`lexScores`/`fitBm25QueryModel` otherwise
+    * re-runs the corpus scan + groupBy ~4× (dl, dfs, the score join, and
+    * the query-idf's own dl), which at corpus scale is the plan you would
+    * not want. Everything downstream of this frame is dictionary-sized.
+    * Cleared by [[clearCaches]]. */
+  private val lexTcCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), DataFrame]
+
   private def lexTermCounts(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
-      .select(col("doc_id"), explode(toks(col("text"))).as("term"))
-      .where(col("term") =!= "")
-      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("c"))
+    lexTcCache.getOrElseUpdate((spark, dir),
+      Tables.documents(spark, dir)
+        .select(col("doc_id"), explode(toks(col("text"))).as("term"))
+        .where(col("term") =!= "")
+        .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("c"))
+        .persist())
 
   /** (qid, term, idf, avgdl) for the standing query set — the ONE BM25
     * query-side arithmetic, shared by the batch lexical leg and

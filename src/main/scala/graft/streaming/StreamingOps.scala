@@ -335,6 +335,37 @@ object StreamingOps {
       .toDF("query_id", "ts", "rank", "id", "dist")
   }
 
+  /** PQ-SCORED online ANN serving — [[streamingVectorSearch]]'s
+    * memory-bounded twin, completing the ingest-side half of the DiskANN
+    * serving story: the standing index rides to executors as graph +
+    * m-byte PQ code rows + codebooks, the traversal of each arriving
+    * query runs on ADC lookups (m table probes per node instead of a
+    * dim-length float loop), and only the visited pool touches
+    * full-precision vectors for the exact rerank. The per-query kernel is
+    * [[graft.vamana.VamanaPq.topkPq]] VERBATIM — the same function object
+    * the batch `vamana_pq_search` query executes — so stream results are
+    * bit-identical to the batch PQ search by construction
+    * (spec-asserted). Stateless for the streaming engine; scales by input
+    * partitions like the raw-vector leg. */
+  def streamingVectorSearchPq(queries: DataFrame, index: graft.vamana.LocalIndex,
+      books: graft.operators.Quantization.PqCodebooks, codes: Array[Array[Int]],
+      k: Int = 10): DataFrame = {
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast((index, books, codes))
+    queries
+      .select(col("vec_id").cast("long"), col("ts"), col("embedding").cast("array<float>"))
+      .as[(Long, Timestamp, Array[Float])]
+      .flatMap { case (qid, t, qvec) =>
+        val (idx, cb, cds) = bc.value
+        graft.vamana.VamanaPq.topkPq(idx, cb, cds, qvec, k, fullBeam = false)
+          .iterator.zipWithIndex.map { case ((id, d), r) =>
+            (qid, t, (r + 1).toLong, id, d)
+          }
+      }
+      .toDF("query_id", "ts", "rank", "id", "dist")
+  }
+
   /** Ingest-side embedding drift monitor — the streaming twin of the batch
     * `split_drift` audit: arriving embeddings aggregate per (5-minute
     * event-time window, dimension) through the shared half-up micro

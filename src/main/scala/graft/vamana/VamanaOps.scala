@@ -53,12 +53,15 @@ object VamanaOps {
     insertCache.clear()
     for ((_, m) <- deleteCache) m.unpersist()
     deleteCache.clear()
+    for ((_, f) <- pqInsertCache) f.unpersist()
+    pqInsertCache.clear()
     fullBeamCache.clear()
     FanoutModel.clearPinned()
   }
 
   private val insertCache = TrieMap.empty[String, VamanaModel]
   private val deleteCache = TrieMap.empty[String, VamanaModel]
+  private val pqInsertCache = TrieMap.empty[String, FanoutModel]
 
   /** Delete-then-serve demo: drop the first 50 vectors from the fitted
     * model (copy-on-write — the shared cached model is untouched), then
@@ -122,6 +125,52 @@ object VamanaOps {
       col("nq").as("n_inserted"),
       (col("nself") === col("nq")).as("self_found"),
       (col("n_hit") >= col("n_exact") * recallFloor).as("recall_ok"))
+  }
+
+  /** Mutation × PQ-serving composition gate (`vamana_pq_insert_gate`) —
+    * the re-encode path end-to-end in the registry, not just in specs:
+    * fit the FANOUT model without the last batch, serve it once through
+    * PQ so the per-shard code memo is WARM under the gate's cacheKey,
+    * insert the batch, then serve the inserted vectors through PQ
+    * full-beam ADC traversal under the SAME key. The membership
+    * fingerprint must re-train/re-encode every changed shard (stale codes
+    * would misguide nothing at full beam — but self_found would still
+    * catch an out-of-bounds or mis-sized code table, and the warm-memo
+    * step is exactly the corruption window the fingerprint closes), and
+    * full beam + exact rerank is exact kNN (the greedySearchScored
+    * theorem), so every inserted point finds ITSELF at rank 1 and every
+    * per-query overlap with the exact scan is k. */
+  def vamanaPqInsertGate(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val maxId = emb.agg(max(col("vec_id").cast("long"))).head().getLong(0)
+    val cut = math.max(maxId - 49, (maxId + 1) / 2)
+    val key = s"$dir#pq_insert_gate"
+    val fm = pqInsertCache.getOrElseUpdate(dir, {
+      val base = VamanaFanout.fit(emb.where(col("vec_id") < cut), defaultParams, numShards = 4)
+      // warm the per-shard code memo on the PRE-insert membership
+      VamanaPq.searchFanoutModel(base, Knn.queriesFromPoints(emb, 5), key,
+        k, fullBeam = false).count()
+      base.insert(emb.where(col("vec_id") >= cut))
+    })
+    val q = emb.where(col("vec_id") >= cut)
+      .select((col("vec_id") - cut).cast("long").as("query_id"),
+        col("embedding").as("query_vec"))
+    val res = VamanaPq.searchFanoutModel(fm, q, key, k, fullBeam = true)
+    val exact = Knn.knnExact(emb, q, k).select(col("query_id"), col("id"))
+    val self = res.where(col("rank") === 1)
+      .agg(count(lit(1)).as("nq"),
+        count(when(col("id") === col("query_id") + cut, 1)).as("nself"))
+    val perQ = exact.select(col("query_id")).distinct()
+      .join(exact.join(res.select(col("query_id"), col("id")), Seq("query_id", "id"))
+          .groupBy(col("query_id")).agg(count(lit(1)).as("ov")),
+        Seq("query_id"), "left")
+      .select(coalesce(col("ov"), lit(0L)).as("ov"))
+    val overlap = perQ.agg(
+      (count(when(col("ov") === k, 1)) === count(lit(1))).as("overlap_exact_ok"))
+    self.crossJoin(overlap).select(
+      col("nq").as("n_inserted"),
+      (col("nself") === col("nq")).as("self_found"),
+      col("overlap_exact_ok"))
   }
 
   /** Hash-checked gate over [[vamanaDeleteSearch]]: no deleted id may ever

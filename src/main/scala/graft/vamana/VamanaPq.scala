@@ -83,6 +83,41 @@ object VamanaPq {
       d
     }
 
+  /** The per-query PQ serving kernel — ONE arithmetic shared by the batch
+    * query ([[search]]) and the ingest-side streaming twin
+    * ([[graft.streaming.StreamingOps.streamingVectorSearchPq]]), so the
+    * two cannot drift (bit-identity spec-asserted, the streaming family's
+    * deployment rule): ADC traversal over the m-byte codes, exact rerank
+    * of the visited pool, (dist, id)-tie-broken top-k. */
+  private[graft] def topkPq(index: LocalIndex, books: PqCodebooks,
+      cds: Array[Array[Int]], qv: Array[Float], k: Int,
+      fullBeam: Boolean): IndexedSeq[(Long, Double)] = {
+    val lut = adcLut(qv, books)
+    val m = books.m
+    val score: Int => Float = { node =>
+      val row = cds(node)
+      var d = 0.0f
+      var s = 0
+      while (s < m) { d += lut(s)(row(s)); s += 1 }
+      d
+    }
+    val kk = math.min(k, index.size)
+    val beamL = if (fullBeam) index.size else math.max(index.params.efSearch, kk)
+    val (poolIds, _) = VamanaKernel.greedySearchScored(score, index.graph, index.medoid, beamL)
+    poolIds
+      .map(p => (index.ids(p), VamanaKernel.l2sq(index.points(p), qv)))
+      .sortBy { case (id, d) => (d, id) }
+      .take(kk)
+      .map { case (id, d) => (id, math.rint(d * 1e4) / 1e4) }
+      .toIndexedSeq
+  }
+
+  /** The fitted broadcast-regime PQ serving state (index + codebooks +
+    * per-point code rows) — the standing-index payload the streaming
+    * serving leg broadcasts. */
+  private[graft] def servingState(spark: SparkSession, dir: String)
+      : (LocalIndex, PqCodebooks, Array[Array[Int]]) = pqState(spark, dir)
+
   /** PQ-guided top-k: traversal on ADC scores, exact rerank of the visited
     * pool. Same 10-query fixture as `knn_exact`/`vamana_search` so the three
     * serving paths are directly comparable. Distributed over the query
@@ -98,24 +133,8 @@ object VamanaPq {
       .as[(Long, Array[Float])]
     queries.flatMap { case (qid, qv) =>
       val (index, books, cds) = bc.value
-      val lut = adcLut(qv, books)
-      val m = books.m
-      val score: Int => Float = { node =>
-        val row = cds(node)
-        var d = 0.0f
-        var s = 0
-        while (s < m) { d += lut(s)(row(s)); s += 1 }
-        d
-      }
-      val kk = math.min(k, index.size)
-      val beamL = if (fullBeam) index.size else math.max(index.params.efSearch, kk)
-      val (poolIds, _) = VamanaKernel.greedySearchScored(score, index.graph, index.medoid, beamL)
-      poolIds
-        .map(p => (index.ids(p), VamanaKernel.l2sq(index.points(p), qv)))
-        .sortBy { case (id, d) => (d, id) }
-        .take(kk)
-        .zipWithIndex
-        .map { case ((id, d), r) => (qid, (r + 1).toLong, id, math.rint(d * 1e4) / 1e4) }
+      topkPq(index, books, cds, qv, k, fullBeam).iterator.zipWithIndex
+        .map { case ((id, d), r) => (qid, (r + 1).toLong, id, d) }
     }.toDF("query_id", "rank", "id", "dist")
       .orderBy(col("query_id"), col("rank"))
   }

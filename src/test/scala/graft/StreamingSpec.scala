@@ -196,6 +196,33 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming PQ vector search is bit-identical to the batch PQ search") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    val emb = graft.core.Tables.embeddings(spark, dir)
+    val batch = graft.vamana.VamanaPq.search(spark, dir, 10, 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+    val (idx, books, codes) = graft.vamana.VamanaPq.servingState(spark, dir)
+    val rows = emb.where("vec_id < 10")
+      .select("vec_id", "embedding").as[(Long, Array[Float])].collect()
+    val input = MemoryStream[EmbRow]
+    val q = StreamingOps.streamingVectorSearchPq(input.toDF(), idx, books, codes, 10)
+      .writeStream.format("memory").queryName("pqsearch_out")
+      .outputMode("append").start()
+    try {
+      val (first, rest) = rows.splitAt(rows.length / 2)
+      input.addData(first.map { case (id, v) => EmbRow(id, ts(60 + (id % 5).toInt), v) }.toSeq)
+      q.processAllAvailable()
+      input.addData(rest.map { case (id, v) => EmbRow(id, ts(70 + (id % 5).toInt), v) }.toSeq)
+      q.processAllAvailable()
+      val got = spark.table("pqsearch_out").collect()
+        .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("rank")) ->
+          (r.getAs[Long]("id"), r.getAs[Double]("dist"))).toMap
+      assert(got == batch, s"stream/batch PQ drift: ${got.toSeq.sortBy(_._1).take(3)} vs ${batch.toSeq.sortBy(_._1).take(3)}")
+    } finally q.stop()
+  }
+
   test("streaming cluster assignment is bit-identical to the batch k-means assignment") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
