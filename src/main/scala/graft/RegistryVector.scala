@@ -10,7 +10,136 @@ import graft.RegistrySqlParts._
 private[graft] object RegistryVector {
 
   private[graft] def entries: Seq[(String, QFn, Option[String])] = Seq(
-    simCosineTopK, simIpTopK, simJoinThreshold, lshCosineGateQ, lshL2GateQ, ivfGateQ, pqGateQ, vamanaPqGateQ, vamanaPqSearchQ, vamanaPqFanoutQ, vamanaPqFanoutGateQ, vamanaPqFanoutFilteredGateQ, semdedupGateQ, prototypeGateQ, embedDimStatsQ, embedDimCovQ, sqQuantize, sqReport, bqQuantizeQ, bqSearchQ, bqRerankQ, embedNormalizeQ, hardNegativesQ, hardNegativesFanoutQ, hardNegativesFanoutGateQ, embedKmeansQ, embedKmeansGreedyQ, embedKmeansStatsQ, clusterSampleBalancedQ, clusterSilhouetteQ, clusterCuratedDocsQ, splitDriftQ, embedKmeansIncrementalQ, embedKmeansMinibatchQ)
+    simCosineTopK, simIpTopK, simJoinThreshold, simRangeSearchQ, maxsimTopKQ, matryoshkaSearchQ, matryoshkaGateQ, vamanaRangeSearchQ, vamanaRangeGateQ, vamanaRangeFanoutGateQ, lshCosineGateQ, lshL2GateQ, ivfGateQ, pqGateQ, vamanaPqGateQ, vamanaPqSearchQ, vamanaPqFanoutQ, vamanaPqFanoutGateQ, vamanaPqFanoutFilteredGateQ, semdedupGateQ, prototypeGateQ, embedDimStatsQ, embedDimCovQ, sqQuantize, sqReport, bqQuantizeQ, bqSearchQ, bqRerankQ, embedNormalizeQ, hardNegativesQ, hardNegativesFanoutQ, hardNegativesFanoutGateQ, embedKmeansQ, embedKmeansGreedyQ, embedKmeansStatsQ, clusterSampleBalancedQ, clusterSilhouetteQ, clusterCuratedDocsQ, splitDriftQ, embedKmeansIncrementalQ, embedKmeansMinibatchQ)
+
+  // ---- range / multi-vector / truncated-prefix retrieval --------------------
+
+  /** Sub-vector dot product for the MaxSim oracle: query group `ai` ×
+    * doc group `bj` of [[Similarity.MaxSimGroups]] equal contiguous
+    * slices (g = len//groups, element t of a slice is 1 + group·g + t) —
+    * ascending accumulation, the same operation sequence as the Spark
+    * `dotNative`-over-`slice` side. */
+  private def dotSubSql(a: String, ai: Int, b: String, bj: Int): String = {
+    val g = s"(len($a)//${Similarity.MaxSimGroups})"
+    s"list_sum(list_transform(range(0, $g), " +
+      s"t -> ($a[1 + $ai*$g + t]::DOUBLE) * ($b[1 + $bj*$g + t]::DOUBLE)))"
+  }
+
+  /** Prefix squared-L2 over the first `p` dimensions (the Matryoshka
+    * ranking stage) — range-indexed, no list slicing. */
+  private def prefL2Sql(a: String, b: String, p: Int): String =
+    s"list_sum(list_transform(range(1, ${p + 1}), x -> " +
+      s"(($a[x]::DOUBLE) - ($b[x]::DOUBLE)) * (($a[x]::DOUBLE) - ($b[x]::DOUBLE))))"
+
+  private val simRangeSearchQ: (String, QFn, Option[String]) = (
+    "sim_range_search",
+    (s, d) => Similarity.rangeSearchExact(s, d),
+    Some(s"""
+      WITH q AS (SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < 10),
+      sc AS (SELECT q.query_id, e.vec_id AS id, ${l2Sql("e.embedding", "q.qvec")} AS dist
+             FROM embeddings e CROSS JOIN q)
+      SELECT query_id, id, round(dist, 4) AS dist FROM sc WHERE dist <= 1.5
+      ORDER BY query_id, id
+    """.trim))
+
+  private val maxsimTopKQ: (String, QFn, Option[String]) = {
+    val score = (0 until Similarity.MaxSimGroups).map { i =>
+      (0 until Similarity.MaxSimGroups)
+        .map(j => dotSubSql("q.qvec", i, "e.embedding", j))
+        .mkString("greatest(", ", ", ")")
+    }.mkString(" + ")
+    ("maxsim_topk",
+      (s, d) => Similarity.maxSimTopK(s, d),
+      Some(s"""
+        WITH q AS (SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < 10),
+        sc AS (SELECT q.query_id, e.vec_id AS id, $score AS score
+               FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.query_id),
+        r AS (SELECT query_id, id, score,
+                     row_number() OVER (PARTITION BY query_id ORDER BY score DESC, id ASC) AS rank
+              FROM sc)
+        SELECT query_id, rank, id, round(score, 4) AS score FROM r WHERE rank <= 5
+        ORDER BY query_id, rank
+      """.trim))
+  }
+
+  /** The MRL-weighted corpus view CTE (see [[Similarity.MrlWeights]]):
+    * element j = float(emb_j · w_j), the float-rounding matching the Spark
+    * side bit-for-bit. The weight list is formatted at 17 significant
+    * digits (exact double round-trip) from the ONE Scala constant. */
+  private val weCte: String = {
+    val wlist = Similarity.MrlWeights
+      .map(w => String.format(java.util.Locale.ROOT, "%.17g", Double.box(w)))
+      .mkString("[", ", ", "]")
+    s"""we AS (SELECT vec_id, list_transform(range(1, len(embedding)+1),
+       x -> CAST((embedding[x]::DOUBLE) * ($wlist)[x] AS FLOAT)) AS wv
+       FROM embeddings)"""
+  }
+
+  private val matryoshkaSearchQ: (String, QFn, Option[String]) = (
+    "matryoshka_search",
+    (s, d) => Similarity.matryoshkaSearch(s, d),
+    // the oracle is the DIRECT full weighted kNN: the lower-bound-pruned
+    // escalating scan must equal it exactly (the pruning theorem)
+    Some(s"""
+      WITH $weCte,
+      q AS (SELECT vec_id AS query_id, wv AS qv FROM we WHERE vec_id < 10),
+      fd AS (SELECT q.query_id, e.vec_id AS id, ${l2Sql("e.wv", "q.qv")} AS dist
+             FROM we e CROSS JOIN q),
+      r AS (SELECT query_id, id, dist,
+                   row_number() OVER (PARTITION BY query_id ORDER BY dist ASC, id ASC) AS rank
+            FROM fd)
+      SELECT query_id, rank, id, round(dist, 4) AS dist FROM r WHERE rank <= 10
+      ORDER BY query_id, rank
+    """.trim))
+
+  private val matryoshkaGateQ: (String, QFn, Option[String]) = (
+    "matryoshka_gate",
+    (s, d) => Similarity.matryoshkaGate(s, d),
+    Some(s"""
+      WITH $weCte,
+      q AS (SELECT vec_id AS query_id, wv AS qv FROM we WHERE vec_id < 10),
+      fd AS (SELECT q.query_id, e.vec_id AS id, ${l2Sql("e.wv", "q.qv")} AS dist
+             FROM we e CROSS JOIN q),
+      kth AS (SELECT query_id, dist AS dk FROM (
+                SELECT query_id, id, dist,
+                       row_number() OVER (PARTITION BY query_id ORDER BY dist ASC, id ASC) AS r
+                FROM fd) WHERE r = 10),
+      pre AS (SELECT q.query_id, e.vec_id AS id,
+                     ${prefL2Sql("e.wv", "q.qv", Similarity.MatryoshkaPrefix)} AS pdist
+              FROM we e CROSS JOIN q),
+      nn AS (SELECT count(*) AS n FROM embeddings)
+      SELECT p.query_id, CAST(10 AS BIGINT) AS k, nn.n AS n,
+             count(*) AS n_required, round(count(*)::DOUBLE / nn.n, 4) AS fetch_frac
+      FROM pre p JOIN kth USING (query_id) CROSS JOIN nn
+      WHERE p.pdist <= kth.dk
+      GROUP BY p.query_id, nn.n ORDER BY p.query_id
+    """.trim))
+
+  /** Range-set oracle shared by the two full-beam ANN range gates — the
+    * exact in-range ids from the parquet ground truth (the full-beam
+    * traversal's provable answer on both serving regimes). */
+  private val rangeIdsOracle: String = s"""
+      WITH q AS (SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < 10),
+      sc AS (SELECT q.query_id, e.vec_id AS id, ${l2Sql("e.embedding", "q.qvec")} AS dist
+             FROM embeddings e CROSS JOIN q)
+      SELECT query_id, id FROM sc WHERE dist <= 1.5
+      ORDER BY query_id, id
+    """.trim
+
+  private val vamanaRangeSearchQ: (String, QFn, Option[String]) = (
+    "vamana_range_search",
+    (s, d) => graft.vamana.VamanaOps.vamanaRangeSearch(s, d),
+    None)
+
+  private val vamanaRangeGateQ: (String, QFn, Option[String]) = (
+    "vamana_range_gate",
+    (s, d) => graft.vamana.VamanaOps.vamanaRangeGate(s, d),
+    Some(rangeIdsOracle))
+
+  private val vamanaRangeFanoutGateQ: (String, QFn, Option[String]) = (
+    "vamana_range_fanout_gate",
+    (s, d) => graft.vamana.VamanaOps.vamanaRangeFanoutGate(s, d),
+    Some(rangeIdsOracle))
 
   // ---- similarity -----------------------------------------------------------
 

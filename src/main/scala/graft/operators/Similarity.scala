@@ -2,7 +2,7 @@ package graft.operators
 
 import scala.util.Random
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -112,6 +112,185 @@ object Similarity {
       .where(col("dist") < maxL2Sq)
       .select(col("id_a"), col("id_b"), round(col("dist"), 4).as("dist"))
       .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** Exact range (radius) query — every stored vector within squared-L2
+    * `radiusSq` of each query vector (the DiskANN range-search contract
+    * top-k cannot express: the answer is a SET whose size is
+    * data-dependent). Broadcast-queries posture: one narrow corpus scan
+    * scored by the codegen L2 kernel, the radius filter applied inside the
+    * scan stage, shuffle only for the tiny result sort. The ANN serving
+    * path is [[graft.vamana.VamanaOps.vamanaRangeSearch]] (escalating-beam
+    * graph traversal; provably complete at full beam — the range gates'
+    * theorem). Self-inclusive like knn_exact, so the vamana gates can
+    * share this oracle shape verbatim. */
+  def rangeSearchExact(spark: SparkSession, dir: String, nQueries: Int = 10,
+      radiusSq: Double = 1.5): DataFrame = {
+    val e = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    val q = e.where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    e.select(col("vec_id").as("id"), col("embedding").as("vec"))
+      .crossJoin(broadcast(q))
+      .withColumn("dist", l2sqNative(spark, col("vec"), col("qvec")))
+      .where(col("dist") <= radiusSq)
+      .select(col("query_id"), col("id"), round(col("dist"), 4).as("dist"))
+      .orderBy(col("query_id"), col("id"))
+  }
+
+  /** Sub-vector count for the late-interaction scorer: each embedding is
+    * viewed as 4 contiguous "token" sub-vectors. */
+  private[graft] val MaxSimGroups = 4
+
+  /** ColBERT-style late-interaction retrieval (MaxSim): treat each vector
+    * as [[MaxSimGroups]] contiguous sub-vectors ("token embeddings") and
+    * score a (query, doc) pair as Σ_i max_j ⟨q_i, d_j⟩ — the multi-vector
+    * relevance rule a single dot product cannot express (each query part
+    * matches its own best doc part). Deriving the sub-vectors from the
+    * embedding column keeps the fixture deterministic and the oracle
+    * exactly expressible; a real multi-vector corpus plugs its token
+    * matrix into the same scoring shape. The 16 (i,j) dot products unroll
+    * as codegen columns over slices — no explode, no shuffle before the
+    * per-query top-k window. */
+  def maxSimTopK(spark: SparkSession, dir: String, nQueries: Int = 10, k: Int = 5): DataFrame = {
+    val e = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    val q = e.where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    def sub(c: Column, i: Int): Column = {
+      val g = (size(c) / MaxSimGroups).cast("int")
+      slice(c, g * i + 1, g)
+    }
+    val score = (0 until MaxSimGroups).map { i =>
+      greatest((0 until MaxSimGroups).map { j =>
+        dotNative(spark, sub(col("qvec"), i), sub(col("vec"), j))
+      }: _*)
+    }.reduce(_ + _)
+    val w = Window.partitionBy(col("query_id")).orderBy(col("score").desc, col("id").asc)
+    e.select(col("vec_id").as("id"), col("embedding").as("vec"))
+      .crossJoin(broadcast(q))
+      .where(col("id") =!= col("query_id"))
+      .withColumn("score", score)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("id"), round(col("score"), 4).as("score"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** Prefix dimensions the Matryoshka scorer ranks on (16 of 64 = the
+    * resident working set is a quarter of the raw vectors). */
+  private[graft] val MatryoshkaPrefix = 16
+
+  /** MRL importance profile w_j = exp(−j/12): Matryoshka-trained
+    * embeddings concentrate energy in the leading dimensions (≈93% of Σw²
+    * in the first 16 here); the testdata embeddings are ISOTROPIC — the
+    * worst case, where NO dimension subset carries signal and any prefix
+    * method information-theoretically degrades to p/d recall — so the
+    * registered queries demonstrate the serving shape on this weighted
+    * view, the energy profile MRL training actually produces. The view is
+    * float-rounded per element (both engines widen float→double before
+    * arithmetic, the determinism pattern of every vector oracle). */
+  private[graft] val MrlWeights: Array[Double] =
+    Array.tabulate(64)(j => math.exp(-j / 12.0))
+
+  /** The weighted corpus view (vec_id, wv): element j = float(emb_j · w_j). */
+  private def mrlView(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir).select(col("vec_id"),
+      zip_with(col("embedding").cast("array<double>"), typedLit(MrlWeights.toSeq),
+        (x, y) => x * y).cast("array<float>").as("wv"))
+
+  /** The per-(query, candidate) prefix-distance frame the two matryoshka
+    * queries share: pdist = squared L2 over the first [[MatryoshkaPrefix]]
+    * weighted dims — a LOWER BOUND on the full weighted distance (a sum of
+    * squares over a subset). Cached: corpus×nQueries rows of ids+floats. */
+  private def matPrefix(spark: SparkSession, dir: String, nQueries: Int): DataFrame =
+    cachedPairs(spark, dir, s"matryoshka:$nQueries") {
+      val p = MatryoshkaPrefix
+      val we = mrlView(spark, dir)
+      val q = we.where(col("vec_id") < nQueries)
+        .select(col("vec_id").as("query_id"), col("wv").as("qv"))
+      val wPre = Window.partitionBy(col("query_id")).orderBy(col("pdist").asc, col("id").asc)
+      we.select(col("vec_id").as("id"), col("wv").as("vec"))
+        .crossJoin(broadcast(q))
+        .withColumn("pdist", l2sqNative(spark, slice(col("vec"), 1, p), slice(col("qv"), 1, p)))
+        .withColumn("prank", row_number().over(wPre))
+    }
+
+  /** Matryoshka (truncated-prefix) serving — EXACT kNN in the weighted
+    * space via lower-bound pruning: rank everything on the 16-dim prefix
+    * (resident bytes = prefix/dim of the raw index — 4× less), fetch full
+    * vectors only for the top-m prefix candidates, and ESCALATE m
+    * (doubling) until every query's kth full distance is at most the
+    * smallest unscanned prefix bound. Exactness is then a theorem, not a
+    * recall number: any unscanned point has full dist ≥ its prefix bound >
+    * kth, so it cannot enter the top-k (strictly — equality forces another
+    * round). Same escalate-until-provably-done shape as the adaptive
+    * filtered post-filter branch; the per-round driver action is one
+    * 10-row aggregate. Output matches knn_exact (self-inclusive), and the
+    * oracle recomputes the full weighted kNN directly — the driver
+    * hash-checks that the pruned search IS exact. */
+  def matryoshkaSearch(spark: SparkSession, dir: String, nQueries: Int = 10,
+      k: Int = 10): DataFrame = {
+    val cand = matCandidates(spark, dir, nQueries, k)
+    val wFull = Window.partitionBy(col("query_id")).orderBy(col("dist").asc, col("id").asc)
+    cand
+      .withColumn("rank", row_number().over(wFull).cast("long"))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("id"), round(col("dist"), 4).as("dist"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** The escalation loop shared by search and gate: returns the final
+    * scanned candidate frame (query_id, id, pdist, dist) at the first
+    * depth m where every query is provably complete. */
+  private def matCandidates(spark: SparkSession, dir: String,
+      nQueries: Int, k: Int): DataFrame = {
+    val pd = matPrefix(spark, dir, nQueries)
+    val total = pd.groupBy(col("query_id")).count().agg(max("count")).head().getLong(0)
+    var m = 3L * k
+    var cand: DataFrame = null
+    var done = false
+    while (!done) {
+      cand = pd.where(col("prank") <= m)
+        .withColumn("dist", l2sqNative(spark, col("vec"), col("qv")))
+        .select(col("query_id"), col("id"), col("pdist"), col("dist"))
+      if (m >= total) done = true
+      else {
+        val wD = Window.partitionBy(col("query_id")).orderBy(col("dist").asc, col("id").asc)
+        val kth = cand.withColumn("r", row_number().over(wD)).where(col("r") === k)
+          .select(col("query_id"), col("dist").as("dk"))
+        val boundary = pd.where(col("prank") === m + 1)
+          .select(col("query_id"), col("pdist").as("bound"))
+        // a query is provably complete when its smallest unscanned lower
+        // bound strictly exceeds its kth scanned distance
+        val unsat = kth.join(boundary, "query_id")
+          .where(col("bound") <= col("dk")).count()
+        if (unsat == 0) done = true else m = math.min(total, m * 2)
+      }
+    }
+    cand
+  }
+
+  /** The pruning ledger for [[matryoshkaSearch]] — per query, the
+    * closed-form number of candidates whose prefix lower bound is within
+    * the true kth distance (the fetch set any lower-bound-pruned scan must
+    * cover) and its fraction of the corpus: the measured full-vector-IO
+    * story of the truncated-prefix serving path (~2-5% here), exactly
+    * recomputable in SQL — the oracle re-derives the kth distances AND the
+    * counts, so the ledger itself hash-checks. */
+  def matryoshkaGate(spark: SparkSession, dir: String, nQueries: Int = 10,
+      k: Int = 10): DataFrame = {
+    val pd = matPrefix(spark, dir, nQueries)
+    val total = pd.groupBy(col("query_id")).count().agg(max("count")).head().getLong(0)
+    val cand = matCandidates(spark, dir, nQueries, k)
+    val wD = Window.partitionBy(col("query_id")).orderBy(col("dist").asc, col("id").asc)
+    val kth = cand.withColumn("r", row_number().over(wD)).where(col("r") === k)
+      .select(col("query_id"), col("dist").as("dk"))
+    pd.join(kth, "query_id")
+      .where(col("pdist") <= col("dk"))
+      .groupBy(col("query_id")).agg(count(lit(1)).as("n_required"))
+      .select(col("query_id"), lit(k).cast("long").as("k"),
+        lit(total).as("n"), col("n_required"),
+        round(col("n_required") / total.toDouble, 4).as("fetch_frac"))
+      .orderBy(col("query_id"))
   }
 
   private val NumPlanes = 12

@@ -283,6 +283,57 @@ final class FanoutModel private[vamana] (
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Range (radius) query on the fanout path — the serving regime where
+    * range search is embarrassingly parallel: radius membership is a
+    * GLOBAL predicate, so each shard's in-range set is exactly the global
+    * answer restricted to that shard and the merge is a plain union (the
+    * replicate2 layout may answer a point twice → dedup by min dist). No
+    * top-k cut and no rank merge — unlike kNN, shards cannot disagree
+    * about membership, so a full-beam per-shard answer makes the union
+    * provably the exact global range set (the fanout range gate's
+    * theorem). */
+  def rangeSearch(
+      queries: DataFrame,
+      radiusSq: Double,
+      queryIdCol: String = "query_id",
+      queryVecCol: String = "query_vec"): DataFrame = {
+    require(params.metric == "l2", "range radius is a squared-L2 bound; fit with metric=l2")
+    val spark = shards.sparkSession
+    import spark.implicits._
+    val prepared = queries
+      .select(col(queryIdCol).cast("long"), col(queryVecCol).cast("array<float>"))
+      .as[(Long, Array[Float])].collect().sortBy(_._1)
+    require(prepared.length <= 10000, "fanout broadcasts the query batch; keep it bounded")
+    val bcQ = spark.sparkContext.broadcast(prepared)
+    val r = radiusSq.toFloat
+    val answers = shards.flatMap { case (_, idx) =>
+      bcQ.value.iterator.flatMap { case (qid, qvec) =>
+        VamanaKernel.rangeSearch(idx, qvec, r).iterator.map {
+          case (id, dist) => (qid, id, dist.toDouble)
+        }
+      }
+    }.toDF("query_id", "id", "dist")
+    answers.groupBy(col("query_id"), col("id")).agg(min(col("dist")).as("dist"))
+      .select(col("query_id"), col("id"), (expr("rint(dist * 10000)") / 1e4).as("dist"))
+      .orderBy(col("query_id"), col("id"))
+  }
+
+  /** A new model over the SAME fitted shard graphs, with each kernel
+    * re-parameterized to beam = shard size — the full-beam exactness
+    * regime of the hash-checked gates, without a refit. The mapped
+    * dataset is cached (one kernel per shard, same footprint as the
+    * source shards). */
+  private[graft] def withFullBeamShards(): FanoutModel = {
+    implicit val shardEnc: Encoder[(Int, LocalIndex)] =
+      Encoders.tuple(Encoders.scalaInt, Encoders.kryo[LocalIndex])
+    val s2 = shards.map { case (s, idx) =>
+      (s, new LocalIndex(idx.ids, idx.points, idx.graph, idx.medoid,
+        idx.params.copy(efSearch = idx.size)))
+    }.cache()
+    s2.count()
+    new FanoutModel(s2, params, numShardsFit, replicate2)
+  }
+
   /** Soft cap on the broadcast allowed-id set: 5M sorted longs ≈ 40 MB —
     * the mid-selectivity band where per-shard filtering pays is exactly
     * where the set still broadcasts. Above it selectivity is high enough
@@ -859,6 +910,37 @@ final class VamanaModel private (
           }
         }
         .toDF("query_id", "rank", "id", "dist")
+  }
+
+  /** Range (radius) query: every stored point within squared-L2 `radiusSq`
+    * of each query — [[VamanaKernel.rangeSearch]]'s escalating-beam
+    * traversal per partition against the broadcast index (no shuffle);
+    * distributed models route to the shard-union path
+    * ([[FanoutModel.rangeSearch]]). Output (query_id, id, dist) ascending
+    * by id within query — id-ordered, not rank-ordered, because a range
+    * result is a SET (its size is data-dependent, not a parameter). */
+  def rangeSearch(
+      queries: DataFrame,
+      radiusSq: Double,
+      queryIdCol: String = "query_id",
+      queryVecCol: String = "query_vec"): DataFrame = localOpt match {
+    case None => fanoutOpt.get.rangeSearch(queries, radiusSq, queryIdCol, queryVecCol)
+    case Some(idx) =>
+      require(idx.params.metric == "l2", "range radius is a squared-L2 bound; fit with metric=l2")
+      val spark = queries.sparkSession
+      import spark.implicits._
+      val bc = spark.sparkContext.broadcast(idx)
+      val r = radiusSq.toFloat
+      queries
+        .select(col(queryIdCol).cast("long"), col(queryVecCol).cast("array<float>"))
+        .as[(Long, Array[Float])]
+        .flatMap { case (qid, qvec) =>
+          VamanaKernel.rangeSearch(bc.value, qvec, r).iterator.map {
+            case (id, dist) => (qid, id, math.rint(dist.toDouble * 1e4) / 1e4)
+          }
+        }
+        .toDF("query_id", "id", "dist")
+        .orderBy(col("query_id"), col("id"))
   }
 
   /** Q2 semantics (vamana.h:426-489): search starting from the stored point

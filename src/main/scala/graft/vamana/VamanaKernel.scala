@@ -688,6 +688,33 @@ object VamanaKernel {
     (res, SearchStats(poolIds.length.toLong, seenCount))
   }
 
+  /** Range (radius) query — the DiskANN range-search contract the top-k
+    * surface cannot express: EVERY stored point within squared-distance
+    * `radiusSq` of the query, not a fixed k of them. Greedy beam search
+    * from the medoid with an ESCALATING width: start at efSearch, re-run
+    * with a doubled beam while a doubling still grows the in-range set
+    * (the ball may extend past the current beam frontier), and stop as
+    * soon as a doubling adds nothing — or the beam covers the whole index,
+    * where the connected-graph argument behind the full-beam gates makes
+    * the answer provably complete. Result ascending by (dist, id). */
+  def rangeSearch(index: LocalIndex, query: Array[Float], radiusSq: Float): Array[(Long, Float)] = {
+    var beam = math.max(index.params.efSearch, 32)
+    var res: Array[(Long, Float)] = Array.empty
+    var prevCount = -1
+    var done = false
+    while (!done) {
+      val atCap = beam >= index.size
+      val (poolIds, poolDists) = greedySearch(index.points, index.graph, index.medoid, query, beam)
+      res = poolIds.indices.toArray
+        .filter(i => poolDists(i) <= radiusSq)
+        .sortBy(i => (poolDists(i), index.ids(poolIds(i))))
+        .map(i => (index.ids(poolIds(i)), poolDists(i)))
+      if (res.length == prevCount || atCap) done = true
+      else { prevCount = res.length; beam = math.min(index.size, beam * 2) }
+    }
+    res
+  }
+
   private def searchFrom(index: LocalIndex, start: Int, query: Array[Float], k: Int): Array[(Long, Float)] = {
     val kk = math.min(k, index.size)                    // clamp k<=n (vamana.h:498)
     val beamL = math.max(index.params.efSearch, kk)     // ef>=k clamp (vamana.h:502-503)

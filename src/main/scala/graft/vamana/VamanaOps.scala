@@ -55,6 +55,8 @@ object VamanaOps {
     deleteCache.clear()
     for ((_, f) <- pqInsertCache) f.unpersist()
     pqInsertCache.clear()
+    for ((_, f) <- fullBeamFanoutCache) f.unpersist()
+    fullBeamFanoutCache.clear()
     fullBeamCache.clear()
     FanoutModel.clearPinned()
   }
@@ -245,6 +247,63 @@ object VamanaOps {
   def vamanaSearch(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
     model(spark, dir).search(Knn.queriesFromPoints(emb, 10), 10)
+  }
+
+  /** Squared-L2 radius shared by the exact range oracle
+    * ([[graft.operators.Similarity.rangeSearchExact]]) and the ANN range
+    * serving twins — ~10-50 in-range points per query at the test scales,
+    * with no corpus distance within float-accumulation error of the
+    * boundary (membership is engine-deterministic). */
+  val RangeRadiusSq: Double = 1.5
+
+  /** ANN range (radius) query at the default beam — the escalating-beam
+    * graph traversal ([[VamanaKernel.rangeSearch]]) over the same 10-query
+    * fixture as sim_range_search, so the two results are directly
+    * comparable. Not SQL-expressible (graph traversal) → rows-only driver
+    * check; completeness at full beam is the hash-checked
+    * [[vamanaRangeGate]], default-beam completeness is spec-gated. */
+  def vamanaRangeSearch(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    model(spark, dir).rangeSearch(Knn.queriesFromPoints(emb, 10), RangeRadiusSq)
+  }
+
+  /** Hash-checked range-search gate: at FULL beam the greedy traversal's
+    * visited pool is the whole connected component, so every stored point
+    * within the radius is in the pool and the in-range filter returns
+    * EXACTLY the true range set — the same exhaustiveness argument as
+    * vamana_search_overlap, stated here as set equality instead of
+    * overlap counts. The oracle recomputes the set from the parquet
+    * ground truth; any traversal/graph regression drops or adds a row →
+    * hash mismatch. Ids only (the kernel's float distances are rounded
+    * for display, not for comparison). */
+  def vamanaRangeGate(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    fullBeamModel(spark, dir)
+      .rangeSearch(Knn.queriesFromPoints(emb, 10), RangeRadiusSq)
+      .select(col("query_id"), col("id"))
+      .orderBy(col("query_id"), col("id"))
+  }
+
+  /** Full-beam re-parameterization of the cached fanout shards (beam =
+    * shard size): each shard's range answer is provably its complete
+    * in-range subset, so the union is the exact global range set. Same
+    * fitted graphs — no refit. */
+  private val fullBeamFanoutCache = TrieMap.empty[String, FanoutModel]
+
+  private def fullBeamFanoutModel(spark: SparkSession, dir: String): FanoutModel =
+    fullBeamFanoutCache.getOrElseUpdate(dir, fanoutModel(spark, dir).withFullBeamShards())
+
+  /** [[vamanaRangeGate]]'s theorem on the SHARDED serving regime: radius
+    * membership is a global predicate, so per-shard complete answers
+    * union to the exact global range set (no rank merge to disagree
+    * about). Same oracle as the broadcast gate — the two serving paths
+    * must produce the identical set. */
+  def vamanaRangeFanoutGate(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    fullBeamFanoutModel(spark, dir)
+      .rangeSearch(Knn.queriesFromPoints(emb, 10), RangeRadiusSq)
+      .select(col("query_id"), col("id"))
+      .orderBy(col("query_id"), col("id"))
   }
 
   /** Shard-fanout search (4 shards) — the beyond-broadcast serving path;

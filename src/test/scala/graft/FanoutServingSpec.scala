@@ -359,4 +359,25 @@ class FanoutServingSpec extends AnyFunSuite {
     assert(row.getAs[Boolean]("point_lookup_match"))
     assert(row.getAs[Boolean]("search_identical"))
   }
+
+  test("range search: fanout union at full beam equals the exact range set") {
+    import org.apache.spark.sql.functions.col
+    val emb = Tables.embeddings(spark, dir)
+    val q = queries(10)
+    val exact = graft.operators.Similarity.rangeSearchExact(spark, dir)
+      .select(col("query_id"), col("id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty, "radius fixture must produce in-range points")
+    val fanout = VamanaFanout.fit(emb, params, numShards = 3).withFullBeamShards()
+      .rangeSearch(q, 1.5)
+      .select(col("query_id"), col("id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(fanout == exact,
+      s"fanout full-beam range union must be exact (${fanout.size} vs ${exact.size})")
+    // default-beam broadcast escalation on the same fixture: complete here
+    val bcast = VamanaOps.vamanaRangeSearch(spark, dir)
+      .select(col("query_id"), col("id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(bcast == exact, "escalating-beam broadcast range must match exact at this scale")
+  }
 }

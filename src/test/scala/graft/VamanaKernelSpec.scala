@@ -214,4 +214,48 @@ class VamanaKernelSpec extends AnyFunSuite {
     val viaStart = VamanaKernel.searchWithStartPoint(index, points(55), q, 5)
     assert(viaStart.head._1 == 17L)
   }
+
+  test("rangeSearch: high recall vs brute force at a SMALL starting beam, ordered (dist, id)") {
+    val points = randPoints(400, 8, seed = 57)
+    val ids = Array.tabulate(400)(i => (i * 3).toLong)
+    // efSearch = 8 forces the escalation loop to do real work: the first
+    // beam cannot hold the ~tens-of-points balls this radius produces.
+    val index = VamanaKernel.build(ids, points,
+      VamanaParams(dim = 8, maxDegree = 16, beamWidth = 32, alpha = 1.2f, efSearch = 8, seed = 3L))
+    val rng = new Random(101)
+    val radiusSq = 1.4f
+    var hits = 0L
+    var truthTotal = 0L
+    for (_ <- 1 to 30) {
+      val q = Array.fill(8)(rng.nextFloat() * 2 - 1)
+      val truth = points.indices.filter(i => VamanaKernel.l2sq(points(i), q) <= radiusSq)
+        .map(i => ids(i)).toSet
+      val got = VamanaKernel.rangeSearch(index, q, radiusSq)
+      assert(got.sliding(2).forall {
+        case Array((i1, d1), (i2, d2)) => d1 < d2 || (d1 == d2 && i1 < i2); case _ => true
+      }, "range result must ascend by (dist, id)")
+      assert(got.forall(_._2 <= radiusSq), "no result may exceed the radius")
+      assert(got.map(_._1).toSet.subsetOf(ids.toSet))
+      hits += got.map(_._1).toSet.intersect(truth).size
+      truthTotal += truth.size
+    }
+    assert(truthTotal > 100, s"fixture must plant real balls (got $truthTotal)")
+    val recall = hits.toDouble / truthTotal
+    assert(recall >= 0.95, s"escalating-beam range recall $recall < 0.95")
+  }
+
+  test("rangeSearch at full beam returns EXACTLY the true range set") {
+    val points = randPoints(300, 8, seed = 77)
+    val ids = Array.tabulate(300)(_.toLong)
+    val index = VamanaKernel.build(ids, points,
+      VamanaParams(dim = 8, maxDegree = 16, beamWidth = 32, alpha = 1.2f, efSearch = 300, seed = 5L))
+    val rng = new Random(202)
+    for (_ <- 1 to 20) {
+      val q = Array.fill(8)(rng.nextFloat() * 2 - 1)
+      val truth = points.indices.filter(i => VamanaKernel.l2sq(points(i), q) <= 1.2f)
+        .map(_.toLong).toSet
+      val got = VamanaKernel.rangeSearch(index, q, 1.2f).map(_._1).toSet
+      assert(got == truth, s"full-beam range must be exact: got ${got.size} vs ${truth.size}")
+    }
+  }
 }
