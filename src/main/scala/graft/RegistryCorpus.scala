@@ -10,7 +10,7 @@ import graft.RegistrySqlParts._
 private[graft] object RegistryCorpus {
 
   private[graft] def entries: Seq[(String, QFn, Option[String])] = Seq(
-    sampleHashQ, pipelineCleanQ, sampleStratifiedQ, docChunksQ, packSequencesQ, sampleMixtureQ, corpusShuffleQ, lengthBucketsQ, pipelineFullQ, docChunksCdcQ, shardManifestQ, splitAssignQ, dsirWeightQ, corpusStatsQ, domainCapQ, epochUpsampleQ, tokenBudgetQ)
+    sampleHashQ, pipelineCleanQ, sampleStratifiedQ, docChunksQ, packSequencesQ, sampleMixtureQ, corpusShuffleQ, lengthBucketsQ, pipelineFullQ, docChunksCdcQ, shardManifestQ, splitAssignQ, dsirWeightQ, corpusStatsQ, domainCapQ, epochUpsampleQ, tokenBudgetQ, datasetDiffQ)
 
   /** Buckets are md5-derived on both sides; the en-doc subset is DSIR's
     * target distribution stand-in. */
@@ -272,4 +272,26 @@ private[graft] object RegistryCorpus {
       FROM w, tot ORDER BY source
     """.trim))
 
+
+  /** The v2 derivation rules mirror [[CorpusPipeline.datasetDiff]] exactly:
+    * drop %31, append " [rev2]" to %37, add +1e6-offset copies of %41. */
+  private val datasetDiffQ: (String, QFn, Option[String]) = (
+    "dataset_diff",
+    (s, d) => CorpusPipeline.datasetDiff(s, d),
+    Some("""
+      WITH v1 AS (SELECT doc_id, text FROM documents),
+      v2 AS (SELECT doc_id,
+                    CASE WHEN doc_id % 37 = 0 THEN text || ' [rev2]' ELSE text END AS text
+             FROM v1 WHERE doc_id % 31 <> 0
+             UNION ALL
+             SELECT doc_id + 1000000, text FROM v1 WHERE doc_id % 41 = 0),
+      a AS (SELECT doc_id, md5(text) AS h1 FROM v1),
+      b AS (SELECT doc_id, md5(text) AS h2 FROM v2),
+      j AS (SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
+                   CASE WHEN b.h2 IS NULL THEN 'removed'
+                        WHEN a.h1 IS NULL THEN 'added'
+                        WHEN a.h1 <> b.h2 THEN 'changed' END AS status
+            FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id)
+      SELECT doc_id, status FROM j WHERE status IS NOT NULL ORDER BY doc_id
+    """.trim))
 }

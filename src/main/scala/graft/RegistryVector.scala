@@ -10,7 +10,7 @@ import graft.RegistrySqlParts._
 private[graft] object RegistryVector {
 
   private[graft] def entries: Seq[(String, QFn, Option[String])] = Seq(
-    simCosineTopK, simIpTopK, simJoinThreshold, simRangeSearchQ, maxsimTopKQ, matryoshkaSearchQ, matryoshkaGateQ, vamanaRangeSearchQ, vamanaRangeGateQ, vamanaRangeFanoutGateQ, lshCosineGateQ, lshL2GateQ, ivfGateQ, pqGateQ, vamanaPqGateQ, vamanaPqSearchQ, vamanaPqFanoutQ, vamanaPqFanoutGateQ, vamanaPqFanoutFilteredGateQ, semdedupGateQ, prototypeGateQ, embedDimStatsQ, embedDimCovQ, sqQuantize, sqReport, bqQuantizeQ, bqSearchQ, bqRerankQ, embedNormalizeQ, hardNegativesQ, hardNegativesFanoutQ, hardNegativesFanoutGateQ, embedKmeansQ, embedKmeansGreedyQ, embedKmeansStatsQ, clusterSampleBalancedQ, clusterSilhouetteQ, clusterCuratedDocsQ, splitDriftQ, embedKmeansIncrementalQ, embedKmeansMinibatchQ)
+    simCosineTopK, simIpTopK, simJoinThreshold, simRangeSearchQ, maxsimTopKQ, matryoshkaSearchQ, matryoshkaGateQ, vamanaRangeSearchQ, vamanaRangeGateQ, vamanaRangeFanoutGateQ, bitextMiningQ, lshCosineGateQ, lshL2GateQ, ivfGateQ, pqGateQ, vamanaPqGateQ, vamanaPqSearchQ, vamanaPqFanoutQ, vamanaPqFanoutGateQ, vamanaPqFanoutFilteredGateQ, semdedupGateQ, prototypeGateQ, embedDimStatsQ, embedDimCovQ, sqQuantize, sqReport, bqQuantizeQ, bqSearchQ, bqRerankQ, embedNormalizeQ, hardNegativesQ, hardNegativesFanoutQ, hardNegativesFanoutGateQ, embedKmeansQ, embedKmeansGreedyQ, embedKmeansStatsQ, clusterSampleBalancedQ, clusterSilhouetteQ, clusterCuratedDocsQ, splitDriftQ, embedKmeansIncrementalQ, embedKmeansMinibatchQ)
 
   // ---- range / multi-vector / truncated-prefix retrieval --------------------
 
@@ -140,6 +140,32 @@ private[graft] object RegistryVector {
     "vamana_range_fanout_gate",
     (s, d) => graft.vamana.VamanaOps.vamanaRangeFanoutGate(s, d),
     Some(rangeIdsOracle))
+
+  private val bitextMiningQ: (String, QFn, Option[String]) = (
+    "bitext_mining",
+    (s, d) => Similarity.bitextMining(s, d),
+    Some(s"""
+      WITH e AS (SELECT e.vec_id, d.lang, e.embedding,
+                        sqrt(${dotSql("e.embedding", "e.embedding")}) AS nrm
+                 FROM embeddings e JOIN documents d ON d.doc_id = e.vec_id),
+      s AS (SELECT vec_id AS src_id, embedding AS sv, nrm AS sn FROM e WHERE lang = 'en'),
+      t AS (SELECT vec_id AS tgt_id, embedding AS tv, nrm AS tn FROM e WHERE lang = 'de'),
+      p AS (SELECT s.src_id, t.tgt_id, ${dotSql("s.sv", "t.tv")} / (s.sn * t.tn) AS cos
+            FROM s CROSS JOIN t),
+      m AS (SELECT *, CAST(floor(cos * 1000000) AS BIGINT) AS mcos,
+                   row_number() OVER (PARTITION BY src_id ORDER BY cos DESC, tgt_id ASC) AS rs,
+                   row_number() OVER (PARTITION BY tgt_id ORDER BY cos DESC, src_id ASC) AS rt
+            FROM p),
+      sx AS (SELECT src_id, CAST(sum(mcos) AS BIGINT) AS sx FROM m WHERE rs <= 4 GROUP BY src_id),
+      sy AS (SELECT tgt_id, CAST(sum(mcos) AS BIGINT) AS sy FROM m WHERE rt <= 4 GROUP BY tgt_id),
+      g AS (SELECT m.src_id, m.tgt_id, m.cos, (m.mcos * 8) / (sx.sx + sy.sy) AS margin
+            FROM m JOIN sx USING (src_id) JOIN sy USING (tgt_id)),
+      b AS (SELECT *, row_number() OVER (PARTITION BY src_id ORDER BY margin DESC, tgt_id ASC) AS rk
+            FROM g)
+      SELECT src_id, tgt_id, round(cos, 4) AS cos, round(margin, 4) AS margin,
+             margin > 1.05 AS accepted
+      FROM b WHERE rk = 1 ORDER BY src_id
+    """.trim))
 
   // ---- similarity -----------------------------------------------------------
 

@@ -409,4 +409,40 @@ object CorpusPipeline {
       min(col("n_chars")).cast("long").as("min_chars"),
       max(col("n_chars")).cast("long").as("max_chars"))
   }
+
+  /** Dataset VERSION DIFF — the audit pass between two releases of a
+    * corpus: full outer join on doc_id, content compared by md5, one row
+    * per divergence with status `added` / `removed` / `changed`
+    * (unchanged docs — the overwhelming mass — are filtered out, so the
+    * output is proportional to the CHANGE SET, not the corpus). Scale
+    * shape: one co-partitioned sort-merge outer join on the id + a narrow
+    * hash compute per side; no corpus-wide window, nothing driver-side.
+    * The second version is derived in-query by deterministic id rules
+    * (drop %31, mutate %37, add offset copies of %41) — the fixture for
+    * the operator; a real pipeline passes two snapshot directories to
+    * [[datasetDiffFrames]]. */
+  def datasetDiff(spark: SparkSession, dir: String): DataFrame = {
+    val v1 = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val v2 = v1.where(col("doc_id") % 31 =!= 0)
+      .withColumn("text",
+        when(col("doc_id") % 37 === 0, concat(col("text"), lit(" [rev2]")))
+          .otherwise(col("text")))
+      .unionByName(v1.where(col("doc_id") % 41 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+    datasetDiffFrames(v1, v2)
+  }
+
+  /** The general two-snapshot diff [[datasetDiff]] demonstrates. */
+  def datasetDiffFrames(v1: DataFrame, v2: DataFrame): DataFrame = {
+    val a = v1.select(col("doc_id"), md5(col("text")).as("h1"))
+    val b = v2.select(col("doc_id"), md5(col("text")).as("h2"))
+    a.join(b, Seq("doc_id"), "full_outer")
+      .withColumn("status",
+        when(col("h2").isNull, lit("removed"))
+          .when(col("h1").isNull, lit("added"))
+          .when(col("h1") =!= col("h2"), lit("changed")))
+      .where(col("status").isNotNull)
+      .select(col("doc_id"), col("status"))
+      .orderBy(col("doc_id"))
+  }
 }

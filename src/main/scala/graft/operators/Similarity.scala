@@ -293,6 +293,58 @@ object Similarity {
       .orderBy(col("query_id"))
   }
 
+  /** Margin-based bitext mining (Artetxe & Schwenk, ACL'19 — the
+    * LASER/CCMatrix parallel-corpus mining rule): for every
+    * source-language document, the best target-language candidate scored
+    * by the RATIO margin — cosine normalized by the mean of the k-NN
+    * cosines of BOTH endpoints — which suppresses the hubness failure a
+    * raw cosine threshold suffers (a vector near everything scores high
+    * against everything; dividing by its own neighborhood mean cancels
+    * that). Emits one row per source doc: best target, cosine, margin,
+    * and the accept flag at the standard ~1.05 threshold.
+    *
+    * Determinism: cosines are doubles (identical folds in both engines);
+    * each side's k-NN sum is an EXACT integer sum of floor(cos·1e6)
+    * micro-units (selection ranked on the raw double, ties by id), so the
+    * margin is ONE division of exact integers — bit-identical, making
+    * even the threshold flag engine-stable. Scale shape: this is the
+    * exact oracle form over the src×tgt cross join; at corpus scale the
+    * candidate pairs come from the fanout ANN index per side (the
+    * hard_negatives_fanout pattern) and the same margin arithmetic runs
+    * on the shortlists. */
+  def bitextMining(spark: SparkSession, dir: String, srcLang: String = "en",
+      tgtLang: String = "de", k: Int = 4): DataFrame =
+    cachedPairs(spark, dir, s"bitext:$srcLang:$tgtLang:$k") {
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("lang"))
+    val e = Tables.embeddings(spark, dir)
+      .join(docs, col("vec_id") === col("doc_id"))
+      .select(col("vec_id"), col("lang"), col("embedding"),
+        normNative(spark, col("embedding")).as("nrm"))
+    val src = e.where(col("lang") === srcLang)
+      .select(col("vec_id").as("src_id"), col("embedding").as("sv"), col("nrm").as("sn"))
+    val tgt = e.where(col("lang") === tgtLang)
+      .select(col("vec_id").as("tgt_id"), col("embedding").as("tv"), col("nrm").as("tn"))
+    val pairs = src.crossJoin(broadcast(tgt))
+      .withColumn("cos", dotNative(spark, col("sv"), col("tv")) / (col("sn") * col("tn")))
+      .select(col("src_id"), col("tgt_id"), col("cos"),
+        floor(col("cos") * 1e6).cast("long").as("mcos"))
+    val wS = Window.partitionBy(col("src_id")).orderBy(col("cos").desc, col("tgt_id").asc)
+    val wT = Window.partitionBy(col("tgt_id")).orderBy(col("cos").desc, col("src_id").asc)
+    val ranked = pairs
+      .withColumn("rs", row_number().over(wS))
+      .withColumn("rt", row_number().over(wT))
+    val sx = ranked.where(col("rs") <= k).groupBy(col("src_id")).agg(sum(col("mcos")).as("sx"))
+    val sy = ranked.where(col("rt") <= k).groupBy(col("tgt_id")).agg(sum(col("mcos")).as("sy"))
+    val wBest = Window.partitionBy(col("src_id")).orderBy(col("margin").desc, col("tgt_id").asc)
+    pairs.join(sx, "src_id").join(sy, "tgt_id")
+      .withColumn("margin", (col("mcos") * (2 * k)) / (col("sx") + col("sy")))
+      .withColumn("rk", row_number().over(wBest))
+      .where(col("rk") === 1)
+      .select(col("src_id"), col("tgt_id"), round(col("cos"), 4).as("cos"),
+        round(col("margin"), 4).as("margin"), (col("margin") > 1.05).as("accepted"))
+      .orderBy(col("src_id"))
+  }
+
   private val NumPlanes = 12
 
   /** Seeded random hyperplanes for sign-LSH (deterministic; the driver can

@@ -335,6 +335,33 @@ object StreamingOps {
       .toDF("query_id", "ts", "rank", "id", "dist")
   }
 
+  /** Online RANGE (radius) serving — [[streamingVectorSearch]]'s
+    * set-valued twin: each arriving query emits EVERY stored point within
+    * squared-L2 `radiusSq`, via the same escalating-beam kernel as the
+    * batch `vamana_range_search` (the per-query function object is
+    * [[graft.vamana.VamanaKernel.rangeSearch]] VERBATIM, so stream
+    * results are bit-identical to batch by construction — spec-asserted).
+    * Stateless for the streaming engine; the data-dependent output size
+    * is the point: an alerting/dedup-at-ingest consumer wants "all
+    * near-duplicates of this arrival", not a fixed k of them. */
+  def streamingRangeSearch(queries: DataFrame,
+      index: graft.vamana.LocalIndex, radiusSq: Double): DataFrame = {
+    require(index.params.metric == "l2", "range radius is a squared-L2 bound; fit with metric=l2")
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(index)
+    val r = radiusSq.toFloat
+    queries
+      .select(col("vec_id").cast("long"), col("ts"), col("embedding").cast("array<float>"))
+      .as[(Long, Timestamp, Array[Float])]
+      .flatMap { case (qid, t, qvec) =>
+        graft.vamana.VamanaKernel.rangeSearch(bc.value, qvec, r).iterator.map {
+          case (id, dist) => (qid, t, id, math.rint(dist.toDouble * 1e4) / 1e4)
+        }
+      }
+      .toDF("query_id", "ts", "id", "dist")
+  }
+
   /** PQ-SCORED online ANN serving — [[streamingVectorSearch]]'s
     * memory-bounded twin, completing the ingest-side half of the DiskANN
     * serving story: the standing index rides to executors as graph +

@@ -196,6 +196,35 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming range search is bit-identical to the batch broadcast range search") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    val model = graft.vamana.VamanaOps.model(spark, dir)
+    val emb = graft.core.Tables.embeddings(spark, dir)
+    val batch = model.rangeSearch(graft.operators.Knn.queriesFromPoints(emb, 10),
+        graft.vamana.VamanaOps.RangeRadiusSq)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(batch.nonEmpty, "radius fixture must produce in-range points")
+    val rows = emb.where("vec_id < 10")
+      .select("vec_id", "embedding").as[(Long, Array[Float])].collect()
+    val input = MemoryStream[EmbRow]
+    val q = StreamingOps.streamingRangeSearch(input.toDF(), model.index,
+        graft.vamana.VamanaOps.RangeRadiusSq)
+      .writeStream.format("memory").queryName("rangesearch_out")
+      .outputMode("append").start()
+    try {
+      val (first, rest) = rows.splitAt(rows.length / 2)
+      input.addData(first.map { case (id, v) => EmbRow(id, ts(60 + (id % 5).toInt), v) }.toSeq)
+      q.processAllAvailable()
+      input.addData(rest.map { case (id, v) => EmbRow(id, ts(70 + (id % 5).toInt), v) }.toSeq)
+      q.processAllAvailable()
+      val got = spark.table("rangesearch_out").collect()
+        .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("id")) -> r.getAs[Double]("dist")).toMap
+      assert(got == batch, s"stream/batch range drift: ${got.size} vs ${batch.size}")
+    } finally q.stop()
+  }
+
   test("streaming PQ vector search is bit-identical to the batch PQ search") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
