@@ -10,7 +10,7 @@ import graft.RegistrySqlParts._
 private[graft] object RegistryVector {
 
   private[graft] def entries: Seq[(String, QFn, Option[String])] = Seq(
-    simCosineTopK, simIpTopK, simJoinThreshold, simRangeSearchQ, maxsimTopKQ, matryoshkaSearchQ, matryoshkaGateQ, vamanaRangeSearchQ, vamanaRangeGateQ, vamanaRangeFanoutGateQ, bitextMiningQ, lshCosineGateQ, lshL2GateQ, ivfGateQ, pqGateQ, vamanaPqGateQ, vamanaPqSearchQ, vamanaPqFanoutQ, vamanaPqFanoutGateQ, vamanaPqFanoutFilteredGateQ, semdedupGateQ, prototypeGateQ, embedDimStatsQ, embedDimCovQ, sqQuantize, sqReport, bqQuantizeQ, bqSearchQ, bqRerankQ, embedNormalizeQ, hardNegativesQ, hardNegativesFanoutQ, hardNegativesFanoutGateQ, embedKmeansQ, embedKmeansGreedyQ, embedKmeansStatsQ, clusterSampleBalancedQ, clusterSilhouetteQ, clusterCuratedDocsQ, splitDriftQ, embedKmeansIncrementalQ, embedKmeansMinibatchQ)
+    simCosineTopK, simIpTopK, simJoinThreshold, simRangeSearchQ, maxsimTopKQ, matryoshkaSearchQ, matryoshkaGateQ, vamanaRangeSearchQ, vamanaRangeGateQ, vamanaRangeFanoutGateQ, vamanaRangeFilteredGateQ, maxsimRerankGateQ, bitextMiningQ, lshCosineGateQ, lshL2GateQ, ivfGateQ, pqGateQ, vamanaPqGateQ, vamanaPqSearchQ, vamanaPqFanoutQ, vamanaPqFanoutGateQ, vamanaPqFanoutFilteredGateQ, semdedupGateQ, prototypeGateQ, embedDimStatsQ, embedDimCovQ, sqQuantize, sqReport, bqQuantizeQ, bqSearchQ, bqRerankQ, embedNormalizeQ, hardNegativesQ, hardNegativesFanoutQ, hardNegativesFanoutGateQ, embedKmeansQ, embedKmeansGreedyQ, embedKmeansStatsQ, clusterSampleBalancedQ, clusterSilhouetteQ, clusterCuratedDocsQ, splitDriftQ, embedKmeansIncrementalQ, embedKmeansMinibatchQ)
 
   // ---- range / multi-vector / truncated-prefix retrieval --------------------
 
@@ -140,6 +140,26 @@ private[graft] object RegistryVector {
     "vamana_range_fanout_gate",
     (s, d) => graft.vamana.VamanaOps.vamanaRangeFanoutGate(s, d),
     Some(rangeIdsOracle))
+
+  private val maxsimRerankGateQ: (String, QFn, Option[String]) = (
+    "maxsim_rerank_gate",
+    (s, d) => graft.vamana.VamanaOps.maxsimRerankGate(s, d),
+    Some("""
+      SELECT count(DISTINCT vec_id) AS n_queries, TRUE AS recall_ok
+      FROM embeddings WHERE vec_id < 10
+    """.trim))
+
+  private val vamanaRangeFilteredGateQ: (String, QFn, Option[String]) = (
+    "vamana_range_filtered_gate",
+    (s, d) => graft.vamana.VamanaOps.vamanaRangeFilteredGate(s, d),
+    Some(s"""
+      WITH q AS (SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < 10),
+      sc AS (SELECT q.query_id, e.vec_id AS id, ${l2Sql("e.embedding", "q.qvec")} AS dist
+             FROM embeddings e CROSS JOIN q)
+      SELECT sc.query_id, sc.id FROM sc JOIN documents d ON sc.id = d.doc_id
+      WHERE sc.dist <= 1.5 AND d.lang = 'en'
+      ORDER BY sc.query_id, sc.id
+    """.trim))
 
   private val bitextMiningQ: (String, QFn, Option[String]) = (
     "bitext_mining",

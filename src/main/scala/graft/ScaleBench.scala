@@ -104,6 +104,36 @@ object ScaleBench {
       val mem = VamanaPq.fanoutCodeMemoryModel(fm)
         .agg(sum(col("raw_vector_bytes")), sum(col("pq_code_bytes"))).collect().head
       val (rawB, codeB) = (mem.getLong(0), mem.getLong(1))
+      // range (radius) serving over the same fitted shards: radius derived
+      // from the data (median rank-5 exact distance across the queries →
+      // ~5-point balls), truth via one more brute-force scan, completeness
+      // = |ann ∩ truth| / |truth| — the set-valued serving contract at the
+      // same n the top-k numbers carry.
+      val r5 = truth.where(col("rank") === 5).select(col("dist"))
+        .collect().map(_.getDouble(0)).sorted
+      val radiusSq = r5(r5.length / 2)
+      val rangeTruth = {
+        import spark.implicits._
+        val bcQ = spark.sparkContext.broadcast(
+          queries.select(col("query_id").cast("long"), col("query_vec").cast("array<float>"))
+            .as[(Long, Array[Float])].collect())
+        pts.select(col("vec_id").cast("long"), col("embedding").cast("array<float>"))
+          .as[(Long, Array[Float])].flatMap { case (id, v) =>
+          bcQ.value.iterator.flatMap { case (qid, qv) =>
+            val d = VamanaKernel.l2sq(v, qv)
+            if (d <= radiusSq) Iterator.single((qid, id)) else Iterator.empty
+          }
+        }.toDF("query_id", "id").cache()
+      }
+      val truthCount = rangeTruth.count()
+      val t4 = System.nanoTime()
+      val rGot = fm.rangeSearch(queries, radiusSq).cache()
+      val gotCount = rGot.count()
+      val rangeSec = (System.nanoTime() - t4) / 1e9
+      val hit = rGot.select(col("query_id"), col("id"))
+        .join(rangeTruth, Seq("query_id", "id")).count()
+      val rangeCompleteness = if (truthCount == 0) 1.0 else hit.toDouble / truthCount
+      rGot.unpersist(); rangeTruth.unpersist()
       fm.unpersist()
       println(
         s"""{"n":$n,"dim":$dim,"shards":$s,"cpus":$cpus,"R":32,"L":64,"ef":128,""" +
@@ -113,7 +143,11 @@ object ScaleBench {
         s""""pq_first_call_sec":${math.rint(pqPrepSec * 100) / 100},""" +
         s""""pq_search_100q_sec":${math.rint(pqSearchSec * 100) / 100},""" +
         s""""pq_recall_at_10":${math.rint(pqRecall * 1e4) / 1e4},""" +
-        s""""raw_vector_bytes":$rawB,"pq_code_bytes":$codeB}""")
+        s""""raw_vector_bytes":$rawB,"pq_code_bytes":$codeB,""" +
+        s""""range_radius_sq":${math.rint(radiusSq * 1e4) / 1e4},""" +
+        s""""range_truth_rows":$truthCount,"range_result_rows":$gotCount,""" +
+        s""""range_100q_sec":${math.rint(rangeSec * 100) / 100},""" +
+        s""""range_completeness":${math.rint(rangeCompleteness * 1e4) / 1e4}}""")
     }
     spark.stop()
   }

@@ -151,24 +151,54 @@ object Similarity {
     * matrix into the same scoring shape. The 16 (i,j) dot products unroll
     * as codegen columns over slices — no explode, no shuffle before the
     * per-query top-k window. */
+  /** The late-interaction score as ONE column expression over (qvec, vec):
+    * Σ_i max_j ⟨q_i, d_j⟩ across [[MaxSimGroups]] contiguous sub-vectors —
+    * shared by the exact cross-join form and the ANN-shortlist rerank so
+    * the two cannot drift. */
+  /** Sub-vector `i` of [[MaxSimGroups]] equal contiguous slices — the one
+    * definition the scorer AND the sub-vector index build share. */
+  private[graft] def subVector(c: Column, i: Int): Column = {
+    val g = (size(c) / MaxSimGroups).cast("int")
+    slice(c, g * i + 1, g)
+  }
+
+  private def maxSimScore(spark: SparkSession, qvec: Column, vec: Column): Column =
+    (0 until MaxSimGroups).map { i =>
+      greatest((0 until MaxSimGroups).map { j =>
+        dotNative(spark, subVector(qvec, i), subVector(vec, j))
+      }: _*)
+    }.reduce(_ + _)
+
   def maxSimTopK(spark: SparkSession, dir: String, nQueries: Int = 10, k: Int = 5): DataFrame = {
     val e = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
     val q = e.where(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
-    def sub(c: Column, i: Int): Column = {
-      val g = (size(c) / MaxSimGroups).cast("int")
-      slice(c, g * i + 1, g)
-    }
-    val score = (0 until MaxSimGroups).map { i =>
-      greatest((0 until MaxSimGroups).map { j =>
-        dotNative(spark, sub(col("qvec"), i), sub(col("vec"), j))
-      }: _*)
-    }.reduce(_ + _)
     val w = Window.partitionBy(col("query_id")).orderBy(col("score").desc, col("id").asc)
     e.select(col("vec_id").as("id"), col("embedding").as("vec"))
       .crossJoin(broadcast(q))
       .where(col("id") =!= col("query_id"))
-      .withColumn("score", score)
+      .withColumn("score", maxSimScore(spark, col("qvec"), col("vec")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("id"), round(col("score"), 4).as("score"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** MaxSim over an ANN SHORTLIST — the scale shape of late-interaction
+    * retrieval (the exact form is a src×corpus cross join): `cand` holds
+    * (query_id, id) pairs from a single-vector ANN index; only those rows
+    * join their vectors in and pay the 16-sub-dot kernel. A generous
+    * single-vector shortlist covers the maxsim winners because the maxsim
+    * score dominates the aligned dot (the spec-asserted inequality). */
+  private[graft] def maxsimRerank(spark: SparkSession, dir: String,
+      cand: DataFrame, k: Int): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val w = Window.partitionBy(col("query_id")).orderBy(col("score").desc, col("id").asc)
+    cand
+      .join(e.select(col("vec_id").as("id"), col("embedding").as("vec")), "id")
+      .join(broadcast(e.select(col("vec_id").as("query_id"), col("embedding").as("qvec"))),
+        "query_id")
+      .withColumn("score", maxSimScore(spark, col("qvec"), col("vec")))
       .withColumn("rank", row_number().over(w).cast("long"))
       .where(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("id"), round(col("score"), 4).as("score"))
@@ -200,18 +230,19 @@ object Similarity {
   /** The per-(query, candidate) prefix-distance frame the two matryoshka
     * queries share: pdist = squared L2 over the first [[MatryoshkaPrefix]]
     * weighted dims — a LOWER BOUND on the full weighted distance (a sum of
-    * squares over a subset). Cached: corpus×nQueries rows of ids+floats. */
+    * squares over a subset). NARROW by design — (query_id, id, pdist),
+    * no vectors — so the cached frame is 3 scalars per (query, point): the
+    * resident prefix-scores working set of the serving story. */
   private def matPrefix(spark: SparkSession, dir: String, nQueries: Int): DataFrame =
     cachedPairs(spark, dir, s"matryoshka:$nQueries") {
       val p = MatryoshkaPrefix
       val we = mrlView(spark, dir)
       val q = we.where(col("vec_id") < nQueries)
         .select(col("vec_id").as("query_id"), col("wv").as("qv"))
-      val wPre = Window.partitionBy(col("query_id")).orderBy(col("pdist").asc, col("id").asc)
       we.select(col("vec_id").as("id"), col("wv").as("vec"))
         .crossJoin(broadcast(q))
         .withColumn("pdist", l2sqNative(spark, slice(col("vec"), 1, p), slice(col("qv"), 1, p)))
-        .withColumn("prank", row_number().over(wPre))
+        .select(col("query_id"), col("id"), col("pdist"))
     }
 
   /** Matryoshka (truncated-prefix) serving — EXACT kNN in the weighted
@@ -240,16 +271,38 @@ object Similarity {
 
   /** The escalation loop shared by search and gate: returns the final
     * scanned candidate frame (query_id, id, pdist, dist) at the first
-    * depth m where every query is provably complete. */
+    * depth m where every query is provably complete. Each round's top-m
+    * selection runs through the bounded [[graft.functions.TopKAggregator]]
+    * heap — map-side partial combine, m+1 rows per partition per query on
+    * the wire — NOT a corpus-wide rank window (the shape that would shuffle
+    * every scored row at 100 TB); the m+1-th row is exactly the smallest
+    * unscanned lower bound the stop rule needs. Full vectors are joined in
+    * only for the selected candidates (the fetch the gate's ledger counts). */
   private def matCandidates(spark: SparkSession, dir: String,
       nQueries: Int, k: Int): DataFrame = {
+    import spark.implicits._
+    import graft.functions.{Scored, TopKAggregator}
     val pd = matPrefix(spark, dir, nQueries)
     val total = pd.groupBy(col("query_id")).count().agg(max("count")).head().getLong(0)
-    var m = 3L * k
+    val we = mrlView(spark, dir)
+    val q = we.where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("wv").as("qv"))
+    var m = 3 * k
     var cand: DataFrame = null
     var done = false
     while (!done) {
-      cand = pd.where(col("prank") <= m)
+      val topm = pd.select(col("query_id"), col("pdist"), col("id"))
+        .as[(Long, Double, Long)]
+        .groupByKey(_._1)
+        .mapValues { case (_, pdist, id) => Scored(pdist, id) }
+        .agg(new TopKAggregator(m + 1).toColumn.name("topk"))
+        .toDF("query_id", "topk")
+        .select(col("query_id"), posexplode(col("topk")).as(Seq("r", "s")))
+        .select(col("query_id"), (col("r") + 1).as("prank"),
+          col("s.id").as("id"), col("s.dist").as("pdist"))
+      cand = topm.where(col("prank") <= m)
+        .join(we.select(col("vec_id").as("id"), col("wv").as("vec")), "id")
+        .join(broadcast(q), "query_id")
         .withColumn("dist", l2sqNative(spark, col("vec"), col("qv")))
         .select(col("query_id"), col("id"), col("pdist"), col("dist"))
       if (m >= total) done = true
@@ -257,13 +310,13 @@ object Similarity {
         val wD = Window.partitionBy(col("query_id")).orderBy(col("dist").asc, col("id").asc)
         val kth = cand.withColumn("r", row_number().over(wD)).where(col("r") === k)
           .select(col("query_id"), col("dist").as("dk"))
-        val boundary = pd.where(col("prank") === m + 1)
+        val boundary = topm.where(col("prank") === m + 1)
           .select(col("query_id"), col("pdist").as("bound"))
         // a query is provably complete when its smallest unscanned lower
         // bound strictly exceeds its kth scanned distance
         val unsat = kth.join(boundary, "query_id")
           .where(col("bound") <= col("dk")).count()
-        if (unsat == 0) done = true else m = math.min(total, m * 2)
+        if (unsat == 0) done = true else m = math.min(total.toInt, m * 2)
       }
     }
     cand

@@ -57,6 +57,8 @@ object VamanaOps {
     pqInsertCache.clear()
     for ((_, f) <- fullBeamFanoutCache) f.unpersist()
     fullBeamFanoutCache.clear()
+    for ((_, f) <- subVecCache) f.unpersist()
+    subVecCache.clear()
     fullBeamCache.clear()
     FanoutModel.clearPinned()
   }
@@ -302,6 +304,76 @@ object VamanaOps {
     val emb = Tables.embeddings(spark, dir)
     fullBeamFanoutModel(spark, dir)
       .rangeSearch(Knn.queriesFromPoints(emb, 10), RangeRadiusSq)
+      .select(col("query_id"), col("id"))
+      .orderBy(col("query_id"), col("id"))
+  }
+
+  /** SUB-VECTOR index for late-interaction serving — ColBERT's actual
+    * architecture: every corpus vector contributes [[graft.operators
+    * .Similarity.MaxSimGroups]] sub-vectors to a token-level MIPS index
+    * under synthetic ids vec_id·g+j. (A single-vector cosine shortlist is
+    * NOT a valid candidate generator here: on the isotropic fixture it
+    * covers only ~0.2-0.5 of the exact maxsim winners — sub-vector maxima
+    * are invisible to the full-vector dot — measured before this index
+    * replaced it.) Inner-product metric: maxsim sums raw sub-dots. */
+  private val subVecCache = TrieMap.empty[String, FanoutModel]
+
+  private def subVecModel(spark: SparkSession, dir: String): FanoutModel =
+    subVecCache.getOrElseUpdate(dir, {
+      val g = graft.operators.Similarity.MaxSimGroups
+      val subs = Tables.embeddings(spark, dir).select(
+          (col("vec_id") * g).as("base"),
+          posexplode(array((0 until g).map(j =>
+            graft.operators.Similarity.subVector(col("embedding"), j)): _*))
+            .as(Seq("j", "sv")))
+        .select((col("base") + col("j")).as("vec_id"), col("sv").as("embedding"))
+      VamanaFanout.fit(subs, defaultParams.copy(dim = 16, metric = "ip"), numShards = 4)
+    })
+
+  /** MaxSim served at scale — candidate generation by PER-SUB-VECTOR ANN
+    * (each query part q_i fetches its top-t sub-vector matches from the
+    * token-level index; the union of parent ids is the shortlist), then
+    * late-interaction rerank of the shortlist only. The exact maxsim
+    * scorer is a src×corpus cross join; this is its serving shape, and
+    * recall vs the exact maxsim top-k pins as the topkGate floor flag. */
+  def maxsimRerankGate(spark: SparkSession, dir: String, k: Int = 5,
+      perSubShortlist: Int = 50, recallFloor: Double = 0.8): DataFrame = {
+    val g = graft.operators.Similarity.MaxSimGroups
+    val emb = Tables.embeddings(spark, dir)
+    val subQ = emb.where(col("vec_id") < 10).select(
+        (col("vec_id") * g).as("base"),
+        posexplode(array((0 until g).map(i =>
+          graft.operators.Similarity.subVector(col("embedding"), i)): _*))
+          .as(Seq("i", "qv")))
+      .select((col("base") + col("i")).as("query_id"), col("qv").as("query_vec"))
+    val cand = subVecModel(spark, dir).search(subQ, perSubShortlist)
+      .select(floor(col("query_id") / g).cast("long").as("query_id"),
+        floor(col("id") / g).cast("long").as("id"))
+      .where(col("id") =!= col("query_id"))
+      .distinct()
+    graft.operators.Similarity.topkGate(
+      graft.operators.Similarity.maxSimTopK(spark, dir, 10, k)
+        .select(col("query_id"), col("id")),
+      graft.operators.Similarity.maxsimRerank(spark, dir, cand, k)
+        .select(col("query_id"), col("id")),
+      recallFloor)
+  }
+
+  /** FILTERED range search — unlike filtered top-k (where post-filtering
+    * can leave fewer than k results and forces the adaptive machinery),
+    * filtering a RANGE result is exact by construction: the filtered range
+    * set IS the range set intersected with the predicate, so a complete
+    * range answer + a distributed semi-join is provably the exact filtered
+    * answer — no overfetch, no escalation, no broadcast of the filter.
+    * Hash-checked at full beam against the documents-joined range oracle. */
+  def vamanaRangeFilteredGate(spark: SparkSession, dir: String,
+      lang: String = "en"): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val allowed = Tables.documents(spark, dir)
+      .where(col("lang") === lang).select(col("doc_id").as("id"))
+    fullBeamModel(spark, dir)
+      .rangeSearch(Knn.queriesFromPoints(emb, 10), RangeRadiusSq)
+      .join(allowed, "id")
       .select(col("query_id"), col("id"))
       .orderBy(col("query_id"), col("id"))
   }
