@@ -10,7 +10,7 @@ import graft.RegistrySqlParts._
 private[graft] object RegistryVector {
 
   private[graft] def entries: Seq[(String, QFn, Option[String])] = Seq(
-    simCosineTopK, simIpTopK, simJoinThreshold, simRangeSearchQ, maxsimTopKQ, matryoshkaSearchQ, matryoshkaGateQ, vamanaRangeSearchQ, vamanaRangeGateQ, vamanaRangeFanoutGateQ, vamanaRangeFilteredGateQ, maxsimRerankGateQ, bitextMiningQ, lshCosineGateQ, lshL2GateQ, ivfGateQ, pqGateQ, vamanaPqGateQ, vamanaPqSearchQ, vamanaPqFanoutQ, vamanaPqFanoutGateQ, vamanaPqFanoutFilteredGateQ, semdedupGateQ, prototypeGateQ, embedDimStatsQ, embedDimCovQ, sqQuantize, sqReport, bqQuantizeQ, bqSearchQ, bqRerankQ, embedNormalizeQ, hardNegativesQ, hardNegativesFanoutQ, hardNegativesFanoutGateQ, embedKmeansQ, embedKmeansGreedyQ, embedKmeansStatsQ, clusterSampleBalancedQ, clusterSilhouetteQ, clusterCuratedDocsQ, splitDriftQ, embedKmeansIncrementalQ, embedKmeansMinibatchQ)
+    simCosineTopK, simIpTopK, simJoinThreshold, simRangeSearchQ, maxsimTopKQ, matryoshkaSearchQ, matryoshkaGateQ, vamanaRangeSearchQ, vamanaRangeGateQ, vamanaRangeFanoutGateQ, vamanaRangeFilteredGateQ, maxsimRerankGateQ, bitextMiningQ, bitextAnnGateQ, lshCosineGateQ, lshL2GateQ, ivfGateQ, pqGateQ, vamanaPqGateQ, vamanaPqSearchQ, vamanaPqFanoutQ, vamanaPqFanoutGateQ, vamanaPqFanoutFilteredGateQ, semdedupGateQ, prototypeGateQ, embedDimStatsQ, embedDimCovQ, sqQuantize, sqReport, bqQuantizeQ, bqSearchQ, bqRerankQ, embedNormalizeQ, hardNegativesQ, hardNegativesFanoutQ, hardNegativesFanoutGateQ, embedKmeansQ, embedKmeansGreedyQ, embedKmeansStatsQ, clusterSampleBalancedQ, clusterSilhouetteQ, clusterCuratedDocsQ, splitDriftQ, embedKmeansIncrementalQ, embedKmeansMinibatchQ)
 
   // ---- range / multi-vector / truncated-prefix retrieval --------------------
 
@@ -159,6 +159,14 @@ private[graft] object RegistryVector {
       SELECT sc.query_id, sc.id FROM sc JOIN documents d ON sc.id = d.doc_id
       WHERE sc.dist <= 1.5 AND d.lang = 'en'
       ORDER BY sc.query_id, sc.id
+    """.trim))
+
+  private val bitextAnnGateQ: (String, QFn, Option[String]) = (
+    "bitext_ann_gate",
+    (s, d) => graft.vamana.VamanaOps.bitextAnnGate(s, d),
+    Some("""
+      SELECT count(*) AS n_queries, TRUE AS recall_ok
+      FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id WHERE d.lang = 'en'
     """.trim))
 
   private val bitextMiningQ: (String, QFn, Option[String]) = (

@@ -149,6 +149,41 @@ object ScaleBench {
         s""""range_100q_sec":${math.rint(rangeSec * 100) / 100},""" +
         s""""range_completeness":${math.rint(rangeCompleteness * 1e4) / 1e4}}""")
     }
+    // Matryoshka truncated-prefix serving at the same n (shard-free): the
+    // MRL-profile view (w_j = exp(-j/12)) of the synthetic corpus —
+    // exactness vs brute-force weighted kNN is the theorem check, the
+    // measured numbers are wall-time and the fetch ledger (how few full
+    // vectors an exact top-k actually reads when energy is compacted).
+    if (dim == graft.operators.Similarity.MrlWeights.length) {
+      import graft.operators.Similarity
+      val we = pts.select(col("vec_id"),
+        zip_with(col("embedding").cast("array<double>"),
+          typedLit(Similarity.MrlWeights.toSeq), (x, y) => x * y)
+          .cast("array<float>").as("wv")).cache()
+      we.count()
+      val tag = s"scalebench_mat_n$n"
+      val t5 = System.nanoTime()
+      val res = Similarity.matryoshkaSearchOf(spark, we, tag, 100, k).cache()
+      val resRows = res.count()
+      val matSec = (System.nanoTime() - t5) / 1e9
+      val wq = we.where(col("vec_id") < 100)
+        .select(col("vec_id").as("query_id"), col("wv").as("query_vec"))
+      val wTruth = Knn.knnExact(
+        we.select(col("vec_id"), col("wv").as("embedding")), wq, k)
+      val matHits = res.select(col("query_id"), col("id"))
+        .join(wTruth.select(col("query_id"), col("id")), Seq("query_id", "id")).count()
+      val ledger = Similarity.matryoshkaGateOf(spark, we, tag, 100, k)
+        .agg(min(col("n_required")), max(col("n_required")),
+          avg(col("fetch_frac"))).collect().head
+      println(
+        s"""{"matryoshka_n":$n,"dim":$dim,"prefix":16,"k":$k,"queries":100,""" +
+        s""""search_sec":${math.rint(matSec * 100) / 100},""" +
+        s""""result_rows":$resRows,"exact_hits":$matHits,""" +
+        s""""n_required_min":${ledger.getLong(0)},"n_required_max":${ledger.getLong(1)},""" +
+        s""""fetch_frac_avg":${math.rint(ledger.getDouble(2) * 1e6) / 1e6}}""")
+      res.unpersist(); we.unpersist()
+      Similarity.clearCaches()
+    }
     spark.stop()
   }
 }

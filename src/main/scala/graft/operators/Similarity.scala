@@ -233,10 +233,10 @@ object Similarity {
     * squares over a subset). NARROW by design — (query_id, id, pdist),
     * no vectors — so the cached frame is 3 scalars per (query, point): the
     * resident prefix-scores working set of the serving story. */
-  private def matPrefix(spark: SparkSession, dir: String, nQueries: Int): DataFrame =
-    cachedPairs(spark, dir, s"matryoshka:$nQueries") {
+  private def matPrefixOf(spark: SparkSession, we: DataFrame, tag: String,
+      nQueries: Int): DataFrame =
+    cachedPairs(spark, tag, s"matryoshka:$nQueries") {
       val p = MatryoshkaPrefix
-      val we = mrlView(spark, dir)
       val q = we.where(col("vec_id") < nQueries)
         .select(col("vec_id").as("query_id"), col("wv").as("qv"))
       we.select(col("vec_id").as("id"), col("wv").as("vec"))
@@ -244,6 +244,9 @@ object Similarity {
         .withColumn("pdist", l2sqNative(spark, slice(col("vec"), 1, p), slice(col("qv"), 1, p)))
         .select(col("query_id"), col("id"), col("pdist"))
     }
+
+  private def matPrefix(spark: SparkSession, dir: String, nQueries: Int): DataFrame =
+    matPrefixOf(spark, mrlView(spark, dir), dir, nQueries)
 
   /** Matryoshka (truncated-prefix) serving — EXACT kNN in the weighted
     * space via lower-bound pruning: rank everything on the 16-dim prefix
@@ -259,8 +262,15 @@ object Similarity {
     * oracle recomputes the full weighted kNN directly — the driver
     * hash-checks that the pruned search IS exact. */
   def matryoshkaSearch(spark: SparkSession, dir: String, nQueries: Int = 10,
-      k: Int = 10): DataFrame = {
-    val cand = matCandidates(spark, dir, nQueries, k)
+      k: Int = 10): DataFrame =
+    matryoshkaSearchOf(spark, mrlView(spark, dir), dir, nQueries, k)
+
+  /** General form over ANY (vec_id, wv) frame — e.g. a real MRL-trained
+    * corpus, or ScaleBench's energy-compacted synthetic sweep. `tag` keys
+    * the cached prefix frame (released by [[clearCaches]]). */
+  def matryoshkaSearchOf(spark: SparkSession, we: DataFrame, tag: String,
+      nQueries: Int, k: Int): DataFrame = {
+    val cand = matCandidatesOf(spark, we, tag, nQueries, k)
     val wFull = Window.partitionBy(col("query_id")).orderBy(col("dist").asc, col("id").asc)
     cand
       .withColumn("rank", row_number().over(wFull).cast("long"))
@@ -279,12 +289,15 @@ object Similarity {
     * unscanned lower bound the stop rule needs. Full vectors are joined in
     * only for the selected candidates (the fetch the gate's ledger counts). */
   private def matCandidates(spark: SparkSession, dir: String,
+      nQueries: Int, k: Int): DataFrame =
+    matCandidatesOf(spark, mrlView(spark, dir), dir, nQueries, k)
+
+  private def matCandidatesOf(spark: SparkSession, we: DataFrame, tag: String,
       nQueries: Int, k: Int): DataFrame = {
     import spark.implicits._
     import graft.functions.{Scored, TopKAggregator}
-    val pd = matPrefix(spark, dir, nQueries)
+    val pd = matPrefixOf(spark, we, tag, nQueries)
     val total = pd.groupBy(col("query_id")).count().agg(max("count")).head().getLong(0)
-    val we = mrlView(spark, dir)
     val q = we.where(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("wv").as("qv"))
     var m = 3 * k
@@ -330,10 +343,15 @@ object Similarity {
     * recomputable in SQL — the oracle re-derives the kth distances AND the
     * counts, so the ledger itself hash-checks. */
   def matryoshkaGate(spark: SparkSession, dir: String, nQueries: Int = 10,
-      k: Int = 10): DataFrame = {
-    val pd = matPrefix(spark, dir, nQueries)
+      k: Int = 10): DataFrame =
+    matryoshkaGateOf(spark, mrlView(spark, dir), dir, nQueries, k)
+
+  /** General-frame twin of [[matryoshkaGate]] (see [[matryoshkaSearchOf]]). */
+  def matryoshkaGateOf(spark: SparkSession, we: DataFrame, tag: String,
+      nQueries: Int, k: Int): DataFrame = {
+    val pd = matPrefixOf(spark, we, tag, nQueries)
     val total = pd.groupBy(col("query_id")).count().agg(max("count")).head().getLong(0)
-    val cand = matCandidates(spark, dir, nQueries, k)
+    val cand = matCandidatesOf(spark, we, tag, nQueries, k)
     val wD = Window.partitionBy(col("query_id")).orderBy(col("dist").asc, col("id").asc)
     val kth = cand.withColumn("r", row_number().over(wD)).where(col("r") === k)
       .select(col("query_id"), col("dist").as("dk"))

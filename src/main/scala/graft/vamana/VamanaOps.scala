@@ -59,6 +59,8 @@ object VamanaOps {
     fullBeamFanoutCache.clear()
     for ((_, f) <- subVecCache) f.unpersist()
     subVecCache.clear()
+    for ((_, f) <- langCosCache) f.unpersist()
+    langCosCache.clear()
     fullBeamCache.clear()
     FanoutModel.clearPinned()
   }
@@ -357,6 +359,55 @@ object VamanaOps {
       graft.operators.Similarity.maxsimRerank(spark, dir, cand, k)
         .select(col("query_id"), col("id")),
       recallFloor)
+  }
+
+  /** Per-language fitted cosine fanout models for the ANN-served bitext
+    * path — one index per language side, cached per (dataset, lang). */
+  private val langCosCache = TrieMap.empty[(String, String), FanoutModel]
+
+  private def langCosModel(spark: SparkSession, dir: String, lang: String): FanoutModel =
+    langCosCache.getOrElseUpdate((dir, lang), {
+      val ids = Tables.documents(spark, dir).where(col("lang") === lang)
+        .select(col("doc_id").as("vec_id"))
+      VamanaFanout.fit(Tables.embeddings(spark, dir).join(ids, "vec_id"),
+        defaultParams.copy(metric = "cos"), numShards = 2)
+    })
+
+  /** ANN-SERVED bitext mining — the scale path the exact `bitext_mining`
+    * form points at: every margin ingredient comes from the per-language
+    * cosine fanout indexes (forward — each src doc's candidate shortlist
+    * AND kNN sum from the TGT index; backward — each tgt doc's kNN sum
+    * from the SRC index), cosines recovered from the cos-metric reduction
+    * (dist = 2−2cos on normalized vectors), the ratio margin reranks the
+    * shortlist, and the gate pins best-pair agreement with the exact
+    * cross-join form as a floor flag. Nothing here touches an all-pairs
+    * join: two bounded ANN passes + pair-sized joins. */
+  def bitextAnnGate(spark: SparkSession, dir: String, srcLang: String = "en",
+      tgtLang: String = "de", kn: Int = 4, shortlist: Int = 16,
+      agreeFloor: Double = 0.8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val emb = Tables.embeddings(spark, dir)
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("lang"))
+    val withLang = emb.join(docs, col("vec_id") === col("doc_id"))
+    def side(lang: String) = withLang.where(col("lang") === lang)
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+    val fwd = langCosModel(spark, dir, tgtLang).search(side(srcLang), shortlist)
+      .withColumn("mcos", floor((lit(1.0) - col("dist") / 2) * 1e6).cast("long"))
+    val sx = fwd.where(col("rank") <= kn)
+      .groupBy(col("query_id")).agg(sum(col("mcos")).as("sx"))
+    val sy = langCosModel(spark, dir, srcLang).search(side(tgtLang), kn)
+      .withColumn("mcos", floor((lit(1.0) - col("dist") / 2) * 1e6).cast("long"))
+      .groupBy(col("query_id")).agg(sum(col("mcos")).as("sy"))
+      .withColumnRenamed("query_id", "id")
+    val wBest = Window.partitionBy(col("query_id")).orderBy(col("margin").desc, col("id").asc)
+    val best = fwd.select(col("query_id"), col("id"), col("mcos"))
+      .join(sx, "query_id").join(sy, "id")
+      .withColumn("margin", (col("mcos") * (2 * kn)) / (col("sx") + col("sy")))
+      .withColumn("rk", row_number().over(wBest)).where(col("rk") === 1)
+      .select(col("query_id"), col("id"))
+    val exact = graft.operators.Similarity.bitextMining(spark, dir, srcLang, tgtLang, kn)
+      .select(col("src_id").as("query_id"), col("tgt_id").as("id"))
+    graft.operators.Similarity.topkGate(exact, best, agreeFloor)
   }
 
   /** FILTERED range search — unlike filtered top-k (where post-filtering
