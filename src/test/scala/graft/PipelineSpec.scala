@@ -38,7 +38,9 @@ class PipelineSpec extends AnyFunSuite {
       "lsh_l2_gate" -> Similarity.lshL2Gate(spark, dir),
       "ivf_gate" -> Similarity.ivfGate(spark, dir),
       "pq_gate" -> Quantization.pqGate(spark, dir),
-      "semdedup_gate" -> Similarity.semdedupGate(spark, dir))
+      "semdedup_gate" -> Similarity.semdedupGate(spark, dir),
+      "maxsim_rerank_gate" -> graft.vamana.VamanaOps.maxsimRerankGate(spark, dir),
+      "bitext_ann_gate" -> graft.vamana.VamanaOps.bitextAnnGate(spark, dir))
     gates.foreach { case (name, df) =>
       val rows = df.collect()
       assert(rows.length == 1, s"$name: gate must be one row")

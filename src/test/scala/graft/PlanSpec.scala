@@ -264,4 +264,27 @@ class PlanSpec extends AnyFunSuite {
         s"per-cluster heap must combine map-side:\n$pc")
     }
   }
+
+  test("range search broadcasts the query side; radius filter applies in the scan stage") {
+    val p = plan(Similarity.rangeSearchExact(spark, dir))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"queries must broadcast (corpus scanned once, no shuffle before the filter):\n$p")
+    assert(!p.contains("CartesianProduct"), s"no cartesian in the range scan:\n$p")
+    assert(p.contains("l2sq_native"), s"radius scoring must ride the codegen kernel:\n$p")
+  }
+
+  test("maxsim scoring broadcasts the query side and rides the codegen dot kernel") {
+    val p = plan(Similarity.maxSimTopK(spark, dir))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"maxsim queries must broadcast:\n$p")
+    assert(p.contains("dot_native"), s"sub-dots must ride the codegen kernel:\n$p")
+  }
+
+  test("dataset diff is one full outer join on the id — no window, no extra exchange") {
+    val p = plan(CorpusPipeline.datasetDiff(spark, dir))
+    assert(p.contains("FullOuter"), s"diff must be a full outer join:\n$p")
+    assert(!p.contains("Window"), s"diff needs no rank window:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"diff must stay an equi-join on doc_id:\n$p")
+  }
 }
