@@ -10,7 +10,7 @@ import graft.RegistrySqlParts._
 private[graft] object RegistryDedup {
 
   private[graft] def entries: Seq[(String, QFn, Option[String])] = Seq(
-    dedupExact, dedupNgram, dedupMinhash, dedupSimhash, dedupEmbedding, dedupSurvivorsQ, dedupIncrementalQ, bloomDedupQ, dedupEmbSurvivorsQ, contaminationQ, dedupParagraphQ, dedupParagraphSurvivorsQ, dedupClusterStatsQ, dedupSoftWeightsQ, sourceOverlapQ, ngramNoveltyQ, chunkDedupQ, textSimTopKQ, decontaminateQ, substringDedupQ, lineDedupQ, sourcePagerankQ)
+    dedupExact, dedupNgram, dedupMinhash, dedupSimhash, dedupEmbedding, dedupSurvivorsQ, dedupIncrementalQ, bloomDedupQ, dedupEmbSurvivorsQ, contaminationQ, dedupParagraphQ, dedupParagraphSurvivorsQ, dedupClusterStatsQ, dedupSoftWeightsQ, sourceOverlapQ, ngramNoveltyQ, chunkDedupQ, textSimTopKQ, decontaminateQ, substringDedupQ, lineDedupQ, sourcePagerankQ, winnowFingerprintQ, winnowOverlapQ)
 
   // ---- dedup ----------------------------------------------------------------
 
@@ -522,5 +522,63 @@ private[graft] object RegistryDedup {
       SELECT source, rank AS rank_e12 FROM r10 ORDER BY rank_e12 DESC, source
     """.trim))
   }
+
+  // ---- winnowing (MOSS fingerprints) ----------------------------------------
+
+  /** Shared winnowing CTE chain ending in wfps(doc_id, fp, selpos) — the
+    * identical k-gram/window-min/rightmost-tie selection as
+    * [[Dedup.winnowFps]], gram hashes on the shared 60-bit md5 surrogate. */
+  private val winnowCtes: String = {
+    val k = Dedup.WinnowK
+    val w = Dedup.WinnowW
+    val gram = (0 until k).map(o => s"toks[i + $o]").mkString(" || ' ' || ")
+    s"""wt AS ($toksCte),
+      wel AS (SELECT doc_id, toks, len(toks) - ${k - 1} AS m FROM wt
+              WHERE len(toks) - ${k - 1} >= $w),
+      wg AS (SELECT doc_id, m, i AS pos,
+                    ('0x' || substr(md5($gram), 1, 15))::BIGINT AS h
+             FROM wel, unnest(range(1, m + 1)) r(i)),
+      wwd AS (SELECT doc_id, m, pos AS j,
+                     min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                                  ROWS BETWEEN CURRENT ROW AND ${w - 1} FOLLOWING) AS wmin
+              FROM wg),
+      wsel AS (SELECT ww.doc_id, ww.wmin AS fp, max(g.pos) AS selpos
+               FROM (SELECT doc_id, j, wmin FROM wwd WHERE j <= m - ${w - 1}) ww
+               JOIN wg g ON g.doc_id = ww.doc_id AND g.h = ww.wmin
+                         AND g.pos BETWEEN ww.j AND ww.j + ${w - 1}
+               GROUP BY ww.doc_id, ww.wmin, ww.j),
+      wfps AS (SELECT DISTINCT doc_id, fp, selpos FROM wsel)"""
+  }
+
+  private val winnowItemSql =
+    "lpad(CAST(selpos AS VARCHAR), 6, '0') || ':' || lpad(CAST(fp AS VARCHAR), 19, '0')"
+
+  private val winnowFingerprintQ: (String, QFn, Option[String]) = (
+    "winnow_fingerprint",
+    (s, d) => Dedup.winnowFingerprint(s, d),
+    Some(s"""
+      WITH $winnowCtes,
+      ng AS (SELECT doc_id, any_value(m)::BIGINT AS n_grams FROM wg GROUP BY doc_id),
+      dg AS (SELECT doc_id, count(*) AS n_fp,
+                    md5(string_agg($winnowItemSql, ',' ORDER BY $winnowItemSql)) AS fp_digest
+             FROM wfps GROUP BY doc_id)
+      SELECT doc_id, ng.n_grams, dg.n_fp, dg.fp_digest
+      FROM ng JOIN dg USING (doc_id) ORDER BY doc_id
+    """.trim))
+
+  private val winnowOverlapQ: (String, QFn, Option[String]) = (
+    "winnow_overlap",
+    (s, d) => Dedup.winnowOverlap(s, d),
+    Some(s"""
+      WITH $winnowCtes,
+      wdf AS (SELECT DISTINCT doc_id, fp FROM wfps),
+      wrare AS (SELECT fp FROM (SELECT fp, count(DISTINCT doc_id) AS df FROM wdf GROUP BY fp)
+                WHERE df <= ${Dedup.DefaultMaxShingleDf}),
+      wk AS (SELECT d.doc_id, d.fp FROM wdf d JOIN wrare USING (fp))
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
+      FROM wk a JOIN wk b ON a.fp = b.fp AND a.doc_id < b.doc_id
+      GROUP BY 1, 2 HAVING count(*) >= 2
+      ORDER BY id_a, id_b
+    """.trim))
 
 }

@@ -985,6 +985,100 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** Winnowing parameters (Schleimer, Wilkerson & Aiken, SIGMOD'03 — the
+    * MOSS fingerprinting rule): k-gram size and window width. The
+    * guarantee: any shared token run of at least k + w − 1 tokens shares
+    * at least one selected fingerprint — robust copy detection with a
+    * bounded, position-spread fingerprint density (≈ 2/(w+1) of grams),
+    * unlike taking every k-gram (too many) or every j-th (alignment-
+    * fragile). */
+  val WinnowK = 5
+  val WinnowW = 4
+
+  private val winnowCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  /** Selected fingerprints (doc_id, fp, selpos): per window of [[WinnowW]]
+    * consecutive k-gram hashes, the MINIMUM hash, ties to the RIGHTMOST
+    * position; distinct across overlapping windows. Scale shape: the
+    * per-doc window frame shuffles once by doc_id, and the rightmost-tie
+    * resolve is an equi-join on (doc_id, hash) — never a per-doc
+    * all-pairs. Hashes are the shared 60-bit md5 surrogate, so the oracle
+    * derives the identical values. */
+  private def winnowFps(spark: SparkSession, dir: String): DataFrame =
+    winnowCache.getOrElseUpdate((spark, dir), {
+      val w = WinnowW
+      val grams = winnowGrams(spark, dir)
+      val wWin = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id")).orderBy(col("pos")).rowsBetween(0, w - 1)
+      val wd = grams.withColumn("wmin", min(col("h")).over(wWin))
+        .where(col("pos") <= col("m") - (w - 1))
+        .select(col("doc_id"), col("pos").as("j"), col("wmin"))
+      wd.join(grams.select(col("doc_id"), col("pos"), col("h").as("wmin")),
+          Seq("doc_id", "wmin"))
+        .where(col("pos").between(col("j"), col("j") + (w - 1)))
+        .groupBy(col("doc_id"), col("j"), col("wmin"))
+        .agg(max(col("pos")).as("selpos"))
+        .select(col("doc_id"), col("wmin").as("fp"), col("selpos"))
+        .distinct()
+        .cache()
+    })
+
+  /** (doc_id, m, pos, h): the k-gram hash stream of every eligible doc
+    * (≥ k + w − 1 tokens, so at least one full window exists). */
+  private def winnowGrams(spark: SparkSession, dir: String): DataFrame = {
+    val k = WinnowK
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), split(lower(col("text")), "\\s+").as("toks"))
+      .withColumn("m", size(col("toks")) - (k - 1))
+      .where(col("m") >= WinnowW)
+      .select(col("doc_id"), col("m"),
+        posexplode(expr(s"transform(sequence(1, m), i -> array_join(slice(toks, i, $k), ' '))"))
+          .as(Seq("p0", "gram")))
+      .select(col("doc_id"), col("m"), (col("p0") + 1).as("pos"),
+        conv(substring(md5(col("gram")), 1, 15), 16, 10).cast("long").as("h"))
+  }
+
+  /** Per-doc winnowing fingerprint summary: gram count, selected-
+    * fingerprint count, and an order-canonical md5 digest of the whole
+    * (position, hash) fingerprint set — the compact doc identity MOSS
+    * compares. The digest string sorts by zero-padded "pos:fp" so both
+    * engines agree on the aggregation order byte-for-byte. */
+  def winnowFingerprint(spark: SparkSession, dir: String): DataFrame = {
+    val fps = winnowFps(spark, dir)
+    val item = concat(lpad(col("selpos").cast("string"), 6, "0"), lit(":"),
+      lpad(col("fp").cast("string"), 19, "0"))
+    val dig = fps.select(col("doc_id"), item.as("it"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_fp"),
+        md5(concat_ws(",", sort_array(collect_list(col("it"))))).as("fp_digest"))
+    val ng = winnowGrams(spark, dir).groupBy(col("doc_id"))
+      .agg(first(col("m")).cast("long").as("n_grams"))
+    ng.join(dig, "doc_id")
+      .select(col("doc_id"), col("n_grams"), col("n_fp"), col("fp_digest"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Winnowing copy-detection pairs: docs sharing ≥ `minShared` selected
+    * fingerprints (distinct hash values; the df cutoff drops boilerplate
+    * fingerprints shared corpus-wide — the same hot-key cap as the ngram
+    * pair join). By the winnowing theorem every verbatim overlap of
+    * ≥ k+w−1 tokens contributes at least one shared fingerprint. */
+  def winnowOverlap(spark: SparkSession, dir: String,
+      maxDf: Int = DefaultMaxShingleDf, minShared: Int = 2): DataFrame = {
+    val dfps = winnowFps(spark, dir).select(col("doc_id"), col("fp")).distinct()
+    val rare = dfps.groupBy(col("fp")).agg(countDistinct(col("doc_id")).as("df"))
+      .where(col("df") <= maxDf).select(col("fp"))
+    val keyed = dfps.join(rare, "fp")
+    keyed.select(col("fp"), col("doc_id").as("id_a"))
+      .join(keyed.select(col("fp"), col("doc_id").as("id_b")), "fp")
+      .where(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .where(col("n_shared") >= minShared)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   /** Unpersist + drop the per-dataset shingle/pair caches (tests and
     * long-lived multi-dataset services — the caches otherwise hold cached
     * frames, and their SparkSessions, for the life of the JVM). */
@@ -1003,6 +1097,8 @@ object Dedup {
     srcShingleCache.clear()
     for ((_, df) <- srcPairCache) scala.util.Try(df.unpersist())
     srcPairCache.clear()
+    for ((_, df) <- winnowCache) scala.util.Try(df.unpersist())
+    winnowCache.clear()
     pagerankCheckpoints.synchronized {
       pagerankCheckpoints.foreach(r => scala.util.Try(r.unpersist(false)))
       pagerankCheckpoints.clear()

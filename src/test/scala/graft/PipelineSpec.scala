@@ -1388,6 +1388,43 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("winnowing theorem on planted copies: shared runs >= k+w-1 tokens share fingerprints") {
+    import spark.implicits._
+    // planted corpus: two unrelated docs, an exact copy of doc 1, and a
+    // doc embedding an 8-token (= k+w-1) run from doc 2 inside fresh text
+    val run = "alpha bravo charlie delta echo foxtrot golf hotel"
+    val d1 = "the quick brown fox jumps over the lazy sleeping dog tonight again"
+    val d2 = s"unrelated prefix words here $run and some unrelated suffix words"
+    val d3 = s"completely different framing text $run closing with other unseen tokens"
+    val docs = Seq((1L, d1), (2L, d2), (3L, d3), (4L, d1),
+      (5L, "nothing in common with anything else whatsoever in this corpus today"))
+      .toDF("doc_id", "text")
+    val tmp = java.nio.file.Files.createTempDirectory("winnow_corpus").toString
+    docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    try {
+      val overlap = Dedup.winnowOverlap(spark, tmp, minShared = 1)
+        .select(col("id_a"), col("id_b"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(overlap.contains((1L, 4L)), s"exact copy must share fingerprints: $overlap")
+      assert(overlap.contains((2L, 3L)),
+        s"the k+w-1-token shared run must yield >= 1 shared fingerprint (theorem): $overlap")
+      assert(!overlap.contains((1L, 5L)) && !overlap.contains((1L, 2L)),
+        s"unrelated docs must not collide: $overlap")
+      // density sanity: expected selected fraction ~= 2/(w+1) of grams
+      val fp = Dedup.winnowFingerprint(spark, tmp).collect()
+        .map(r => r.getAs[Long]("doc_id") -> (r.getAs[Long]("n_grams"), r.getAs[Long]("n_fp")))
+        .toMap
+      assert(fp.keySet == Set(1L, 2L, 3L, 4L, 5L))
+      fp.values.foreach { case (m, nfp) =>
+        assert(nfp >= 1 && nfp <= m, s"fingerprint count $nfp out of range for $m grams")
+      }
+      assert(fp(1L) == fp(4L), "identical docs must produce identical summaries")
+    } finally {
+      graft.GraftCaches.clearAll()
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+    }
+  }
+
   test("matryoshka pruned search is EXACT and the fetch ledger shows real pruning") {
     // exactness theorem: the escalating lower-bound scan equals the full
     // weighted kNN (the oracle states the same; this asserts it in-JVM)
