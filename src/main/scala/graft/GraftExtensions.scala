@@ -31,11 +31,12 @@ object GraftExtensions {
 
   /** Arity-checked builder: a wrong-arity SQL call gets a clean error naming
     * the function and its signature, not an IndexOutOfBoundsException. */
-  private def binary(name: String, f: (Expression, Expression) => Expression)
+  private def binary(name: String, f: (Expression, Expression) => Expression,
+      sig: String = "array<float>, array<float>")
       : Seq[Expression] => Expression = { exprs =>
     if (exprs.length != 2)
       throw new IllegalArgumentException(
-        s"$name expects exactly 2 arguments (array<float>, array<float>); got ${exprs.length}")
+        s"$name expects exactly 2 arguments ($sig); got ${exprs.length}")
     f(exprs(0), exprs(1))
   }
 
@@ -60,6 +61,9 @@ object GraftExtensions {
     ("simhash_sig",
       new ExpressionInfo(classOf[SimhashSig].getName, "simhash_sig"),
       unary("simhash_sig", "array<string>", SimhashSig(_))),
+    ("jaro_winkler",
+      new ExpressionInfo(classOf[graft.functions.JaroWinkler].getName, "jaro_winkler"),
+      binary("jaro_winkler", graft.functions.JaroWinkler(_, _), "string, string")),
     ("zvalue_native",
       new ExpressionInfo(graft.functions.ZValueExpressions.getClass.getName, "zvalue_native"),
       { exprs =>

@@ -10,7 +10,7 @@ import graft.RegistrySqlParts._
 private[graft] object RegistryDedup {
 
   private[graft] def entries: Seq[(String, QFn, Option[String])] = Seq(
-    dedupExact, dedupNgram, dedupMinhash, dedupSimhash, dedupEmbedding, dedupSurvivorsQ, dedupIncrementalQ, bloomDedupQ, dedupEmbSurvivorsQ, contaminationQ, dedupParagraphQ, dedupParagraphSurvivorsQ, dedupClusterStatsQ, dedupSoftWeightsQ, sourceOverlapQ, ngramNoveltyQ, chunkDedupQ, textSimTopKQ, decontaminateQ, substringDedupQ, lineDedupQ, sourcePagerankQ, winnowFingerprintQ, winnowOverlapQ)
+    dedupExact, dedupNgram, dedupMinhash, dedupSimhash, dedupEmbedding, dedupSurvivorsQ, dedupIncrementalQ, bloomDedupQ, dedupEmbSurvivorsQ, contaminationQ, dedupParagraphQ, dedupParagraphSurvivorsQ, dedupClusterStatsQ, dedupSoftWeightsQ, sourceOverlapQ, ngramNoveltyQ, chunkDedupQ, textSimTopKQ, decontaminateQ, substringDedupQ, lineDedupQ, sourcePagerankQ, winnowFingerprintQ, winnowOverlapQ, dedupContainmentQ, fuzzyEntityMatchQ)
 
   // ---- dedup ----------------------------------------------------------------
 
@@ -76,6 +76,48 @@ private[graft] object RegistryDedup {
       ${ngramPairsCtes(Dedup.DefaultMaxShingleDf)}
       SELECT id_a, id_b, round(jaccard, 4) AS jaccard
       FROM pr WHERE jaccard >= 0.2 ORDER BY id_a, id_b
+    """.trim))
+
+  /** Subset-duplication twin of the jaccard pairs: shared / min(|A|,|B|).
+    * Same `ic`/`cnt` CTEs (and df cutoff), different final score — catches
+    * the short-doc-pasted-into-long-doc shape jaccard structurally misses. */
+  private val dedupContainmentQ: (String, QFn, Option[String]) = (
+    "dedup_containment",
+    (s, d) => Dedup.dedupContainment(s, d),
+    Some(s"""
+      WITH s AS ($shingledCte),
+      ${ngramPairsCtes(Dedup.DefaultMaxShingleDf)},
+      ct AS (SELECT id_a, id_b, ic.c AS shared,
+                    ic.c::DOUBLE / least(na.n, nb.n) AS containment
+             FROM ic JOIN cnt na ON id_a = na.doc_id JOIN cnt nb ON id_b = nb.doc_id)
+      SELECT id_a, id_b, shared, round(containment, 4) AS containment
+      FROM ct WHERE containment >= 0.6 ORDER BY id_a, id_b
+    """.trim))
+
+  /** Blocked fuzzy entity resolution over deterministically-mutated part
+    * names; DuckDB's `jaro_winkler_similarity` is the scoring oracle for the
+    * codegen'd [[graft.functions.JaroWinkler]] (semantics fuzz-verified:
+    * empty→0, window = max(l)/2−1, boost only when jaro > 0.7). */
+  private val fuzzyEntityMatchQ: (String, QFn, Option[String]) = (
+    "fuzzy_entity_match",
+    (s, d) => Dedup.fuzzyEntityMatch(s, d),
+    Some("""
+      WITH p AS (SELECT p_partkey, p_name FROM part),
+      v AS (SELECT (p_partkey + 10000000)::BIGINT AS variant_id,
+                   substr(p_name, 1, (p_partkey % 3 + 5)::INT - 1) ||
+                   substr(p_name, (p_partkey % 3 + 5)::INT + 1, 1000000) AS vname
+            FROM p WHERE p_partkey % 7 = 0 AND length(p_name) >= 8),
+      sc AS (SELECT variant_id, p_partkey, vname, p_name,
+                    jaro_winkler_similarity(vname, p_name) AS jw
+             FROM v JOIN p ON substr(vname, 1, 4) = substr(p_name, 1, 4)
+                          AND abs(length(vname) - length(p_name)) <= 2),
+      f AS (SELECT *, row_number() OVER (PARTITION BY variant_id
+                        ORDER BY jw DESC, p_partkey ASC) AS rk
+            FROM sc WHERE jw >= 0.9)
+      SELECT variant_id, p_partkey AS matched_key,
+             levenshtein(vname, p_name)::BIGINT AS edit_distance,
+             round(jw, 4) AS jw
+      FROM f WHERE rk = 1 ORDER BY variant_id
     """.trim))
 
   /** Paragraph-level near-dup spans: the document-level `s` CTE swapped for

@@ -129,7 +129,19 @@ object Dedup {
   /** The pair join over pre-keyed (doc_id, s: long) rows + per-doc shingle
     * counts (the registered query feeds the shared [[surrogates]] cache). */
   private def ngramJaccardPairsImpl(ex: DataFrame, counts: DataFrame,
-      threshold: Double, maxDf: Int): DataFrame = {
+      threshold: Double, maxDf: Int): DataFrame =
+    pairIntersections(ex, maxDf)
+      .join(counts.select(col("doc_id").as("id_a"), col("n").as("na")), "id_a")
+      .join(counts.select(col("doc_id").as("id_b"), col("n").as("nb")), "id_b")
+      .withColumn("jaccard", col("c").cast("double") / (col("na") + col("nb") - col("c")))
+      .where(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+      .orderBy(col("id_a"), col("id_b"))
+
+  /** Per-pair shared-shingle counts (id_a < id_b) over a pre-keyed
+    * (doc_id, s: long) frame — the inverted-index core that jaccard AND
+    * containment scoring both consume. */
+  private def pairIntersections(ex: DataFrame, maxDf: Int): DataFrame = {
     // document-frequency cutoff as a WINDOW over the pair join's own shuffle
     // key: the count-per-s partitions/sorts by s exactly as the sort-merge
     // self-join requires, so the cutoff adds no exchange and no extra
@@ -140,17 +152,92 @@ object Dedup {
         org.apache.spark.sql.expressions.Window.partitionBy(col("s"))))
       .where(col("df") <= maxDf)
       .drop("df")
-    val inter = exF.as("a").join(exF.as("b"),
+    exF.as("a").join(exF.as("b"),
         col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .agg(count(lit(1)).as("c"))
-    inter
+  }
+
+  /** Containment near-dup pairs: shared / min(|A|,|B|) ≥ threshold. Jaccard
+    * misses SUBSET duplication — a short doc pasted whole into a much longer
+    * one scores c/(na+nb-c) ≈ na/nb → below any usable jaccard bar, yet it
+    * is exactly the scraped-quote / template-expansion shape corpus cleaning
+    * must catch. Containment normalizes by the SMALLER side, so full
+    * inclusion scores 1.0 regardless of the size ratio. Same inverted-index
+    * pair join (shingle-surrogate equi-join, hot-shingle df cutoff, never
+    * all-pairs) — only the final score differs, so the 100 TB posture is
+    * identical to [[dedupNgramJaccard]]. Not served from the jaccard pair
+    * cache: that frame already dropped sub-threshold-jaccard pairs, and
+    * high-containment pairs of very unequal sizes live precisely there. */
+  def dedupContainment(spark: SparkSession, dir: String, threshold: Double = 0.6,
+      maxDf: Int = DefaultMaxShingleDf): DataFrame =
+    containmentImpl(surrogates(spark, dir),
+      shingled(spark, dir).select(col("doc_id"), size(col("sh")).as("n")),
+      threshold, maxDf)
+
+  /** Containment pairs over any (doc_id, sh: array<string>) frame — the
+    * spec surface, mirroring [[ngramJaccardPairs]]. */
+  def containmentPairs(d: DataFrame, threshold: Double, maxDf: Int): DataFrame =
+    containmentImpl(
+      d.select(col("doc_id"), explode(col("sh")).as("s"))
+        .select(col("doc_id"),
+          conv(substring(md5(col("s")), 1, 15), 16, 10).cast("long").as("s")),
+      d.select(col("doc_id"), size(col("sh")).as("n")),
+      threshold, maxDf)
+
+  private def containmentImpl(ex: DataFrame, counts: DataFrame,
+      threshold: Double, maxDf: Int): DataFrame = {
+    pairIntersections(ex, maxDf)
       .join(counts.select(col("doc_id").as("id_a"), col("n").as("na")), "id_a")
       .join(counts.select(col("doc_id").as("id_b"), col("n").as("nb")), "id_b")
-      .withColumn("jaccard", col("c").cast("double") / (col("na") + col("nb") - col("c")))
-      .where(col("jaccard") >= threshold)
-      .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+      .withColumn("containment", col("c").cast("double") / least(col("na"), col("nb")))
+      .where(col("containment") >= threshold)
+      .select(col("id_a"), col("id_b"), col("c").as("shared"),
+        round(col("containment"), 4).as("containment"))
       .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** Fuzzy entity resolution: blocked join + edit-distance scoring. Derives
+    * a deterministic "dirty" twin of every 7th part name (one character
+    * dropped at an id-derived position ≥ 5) and re-links each twin to its
+    * best catalog match — the record-linkage shape (typo'd product names,
+    * OCR'd titles, scraped entity strings) that exact and shingle dedup both
+    * miss because a 1-char edit changes every containing shingle.
+    *
+    * Scale posture: NEVER all-pairs. Candidates come from an equi-join on a
+    * compound blocking key (first 4 chars — the mutation position ≥ 5
+    * guarantees the prefix survives, the standard blocking bet) plus a
+    * ±2 length band as a join residual, so each comparison block is
+    * vocabulary-bounded, not corpus-bounded; at larger scale the block key
+    * widens (more prefix chars / phonetic keys) to hold block sizes flat.
+    * Scoring is the codegen'd [[graft.functions.JaroWinkler]] (DuckDB
+    * `jaro_winkler_similarity` parity, fuzz-verified) next to Spark's
+    * built-in `levenshtein`; best match per twin by (jw desc, key asc). */
+  def fuzzyEntityMatch(spark: SparkSession, dir: String, minJw: Double = 0.9): DataFrame = {
+    val p = Tables.part(spark, dir).select(col("p_partkey"), col("p_name"))
+    val dropPos = (col("p_partkey") % 3 + 5).cast("int")
+    val variants = p
+      .where(col("p_partkey") % 7 === 0 && length(col("p_name")) >= 8)
+      .select(
+        (col("p_partkey") + 10000000L).as("variant_id"),
+        concat(col("p_name").substr(lit(1), dropPos - 1),
+          col("p_name").substr(dropPos + 1, lit(1000000))).as("vname"))
+    val jw = graft.functions.EditDistanceExpressions
+      .jaroWinkler(spark, col("vname"), col("p_name"))
+    val scored = variants.join(p,
+        substring(col("vname"), 1, 4) === substring(col("p_name"), 1, 4) &&
+          abs(length(col("vname")) - length(col("p_name"))) <= 2)
+      .withColumn("jw", jw)
+      .where(col("jw") >= minJw)
+    scored
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("variant_id"))
+          .orderBy(col("jw").desc, col("p_partkey").asc)))
+      .where(col("rk") === 1)
+      .select(col("variant_id"), col("p_partkey").as("matched_key"),
+        levenshtein(col("vname"), col("p_name")).cast("long").as("edit_distance"),
+        round(col("jw"), 4).as("jw"))
+      .orderBy(col("variant_id"))
   }
 
   /** Paragraph ids pack (doc_id, para_idx) into one long: doc_id << 20 |
