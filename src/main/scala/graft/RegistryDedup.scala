@@ -10,7 +10,7 @@ import graft.RegistrySqlParts._
 private[graft] object RegistryDedup {
 
   private[graft] def entries: Seq[(String, QFn, Option[String])] = Seq(
-    dedupExact, dedupNgram, dedupMinhash, dedupSimhash, dedupEmbedding, dedupSurvivorsQ, dedupIncrementalQ, bloomDedupQ, dedupEmbSurvivorsQ, contaminationQ, dedupParagraphQ, dedupParagraphSurvivorsQ, dedupClusterStatsQ, dedupSoftWeightsQ, sourceOverlapQ, ngramNoveltyQ, chunkDedupQ, textSimTopKQ, decontaminateQ, substringDedupQ, lineDedupQ, sourcePagerankQ, winnowFingerprintQ, winnowOverlapQ, dedupContainmentQ, fuzzyEntityMatchQ)
+    dedupExact, dedupNgram, dedupMinhash, dedupSimhash, dedupEmbedding, dedupSurvivorsQ, dedupIncrementalQ, bloomDedupQ, dedupEmbSurvivorsQ, contaminationQ, dedupParagraphQ, dedupParagraphSurvivorsQ, dedupClusterStatsQ, dedupSoftWeightsQ, sourceOverlapQ, ngramNoveltyQ, chunkDedupQ, textSimTopKQ, decontaminateQ, substringDedupQ, lineDedupQ, sourcePagerankQ, winnowFingerprintQ, winnowOverlapQ, winnowRowformGateQ, dedupContainmentQ, fuzzyEntityMatchQ)
 
   // ---- dedup ----------------------------------------------------------------
 
@@ -595,10 +595,7 @@ private[graft] object RegistryDedup {
   private val winnowItemSql =
     "lpad(CAST(selpos AS VARCHAR), 6, '0') || ':' || lpad(CAST(fp AS VARCHAR), 19, '0')"
 
-  private val winnowFingerprintQ: (String, QFn, Option[String]) = (
-    "winnow_fingerprint",
-    (s, d) => Dedup.winnowFingerprint(s, d),
-    Some(s"""
+  private val winnowFingerprintSql: String = s"""
       WITH $winnowCtes,
       ng AS (SELECT doc_id, any_value(m)::BIGINT AS n_grams FROM wg GROUP BY doc_id),
       dg AS (SELECT doc_id, count(*) AS n_fp,
@@ -606,7 +603,22 @@ private[graft] object RegistryDedup {
              FROM wfps GROUP BY doc_id)
       SELECT doc_id, ng.n_grams, dg.n_fp, dg.fp_digest
       FROM ng JOIN dg USING (doc_id) ORDER BY doc_id
-    """.trim))
+    """.trim
+
+  private val winnowFingerprintQ: (String, QFn, Option[String]) = (
+    "winnow_fingerprint",
+    (s, d) => Dedup.winnowFingerprint(s, d),
+    Some(winnowFingerprintSql))
+
+  /** The SAME oracle as winnow_fingerprint, but the Spark side recomputes
+    * every digest through the shuffle-free per-row expression form
+    * ([[Dedup.winnowFpStructs]]) — a hash-checked proof that the streaming
+    * ingest path's fingerprints are bit-identical to the window-function
+    * derivation DuckDB mirrors. */
+  private val winnowRowformGateQ: (String, QFn, Option[String]) = (
+    "winnow_rowform_gate",
+    (s, d) => Dedup.winnowRowFingerprint(s, d),
+    Some(winnowFingerprintSql))
 
   private val winnowOverlapQ: (String, QFn, Option[String]) = (
     "winnow_overlap",

@@ -1146,6 +1146,82 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** The winnowing fingerprint set of ONE document as a pure
+    * higher-order-function Column — array of (fp, selpos) structs,
+    * bit-identical to the set [[winnowFps]] derives for the same text
+    * (spec + hash-gate asserted). The window-function batch form needs a
+    * per-doc shuffle (partitionBy doc_id) plus a rightmost-tie equi-join;
+    * this form is a NARROW projection — the whole fingerprinting pass runs
+    * shuffle-free, which is both the streaming-ingest requirement (no
+    * window functions on unbounded streams) and the cheaper batch plan.
+    * Caller must pre-filter to eligible docs (≥ k+w−1 tokens, i.e.
+    * m = tokens−k+1 ≥ w): `sequence(1, m−w+1)` needs a non-negative
+    * range. */
+  /** let-binding for HOF pipelines: evaluates `c` ONCE and exposes it to
+    * `f` as a lambda variable. Non-lambda subtrees embedded in a
+    * higher-order function's body are re-evaluated per element (no
+    * cross-lambda CSE), so chaining transforms directly turns an O(m)
+    * fingerprint pass into O(m²·k) md5 calls per row; routing each stage
+    * through a 1-element array + transform makes every back-reference a
+    * lambda-variable lookup. */
+  private def bindCol(c: Column)(f: Column => Column): Column =
+    element_at(transform(array(c), f), 1)
+
+  def winnowFpStructs(text: Column): Column = {
+    val k = WinnowK
+    val w = WinnowW
+    bindCol(split(lower(text), "\\s+")) { toks =>
+      val m = (size(toks) - (k - 1)).cast("int")
+      bindCol(transform(sequence(lit(1), m), i =>
+        conv(substring(md5(array_join(slice(toks, i, lit(k)), " ")), 1, 15), 16, 10)
+          .cast("long"))) { hs =>
+        array_distinct(transform(sequence(lit(1), size(hs) - (w - 1)), j => {
+          val win = slice(hs, j, lit(w))
+          val mn = array_min(win)
+          // rightmost position of the window minimum — the winnowing tie rule
+          val lastT = array_max(transform(sequence(lit(1), lit(w)), t =>
+            when(element_at(win, t) === mn, t).otherwise(lit(0))))
+          struct(mn.as("fp"), (j + lastT - lit(1)).as("selpos"))
+        }))
+      }
+    }
+  }
+
+  /** [[winnowFingerprint]] recomputed through the per-row expression form —
+    * same output schema and values, zero shuffles before the final sort.
+    * Registered as a hash-checked gate against the SAME DuckDB oracle as
+    * the window-function form, so the two derivations cannot drift. */
+  def winnowRowFingerprint(spark: SparkSession, dir: String): DataFrame = {
+    val k = WinnowK
+    val w = WinnowW
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"))
+      .withColumn("m", size(split(lower(col("text")), "\\s+")) - (k - 1))
+      .where(col("m") >= w)
+      .select(col("doc_id"), col("m").cast("long").as("n_grams"),
+        winnowFpStructs(col("text")).as("fps"))
+      .select(col("doc_id"), col("n_grams"),
+        size(col("fps")).cast("long").as("n_fp"),
+        md5(array_join(sort_array(transform(col("fps"), f =>
+          concat(lpad(f.getField("selpos").cast("string"), 6, "0"), lit(":"),
+            lpad(f.getField("fp").cast("string"), 19, "0")))), ",")).as("fp_digest"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Static (fp, src_id) fingerprint index of a corpus — the df-capped
+    * distinct winnow fingerprints [[winnowOverlap]] pairs on, exposed for
+    * the streaming ingest join (stream fingerprints vs this frozen index).
+    * Served from the shared [[winnowFps]] cache. */
+  def winnowCorpusIndex(spark: SparkSession, dir: String,
+      maxDf: Int = DefaultMaxShingleDf): DataFrame = {
+    val dfps = winnowFps(spark, dir)
+      .select(col("doc_id").as("src_id"), col("fp")).distinct()
+    val rare = dfps.groupBy(col("fp"))
+      .agg(countDistinct(col("src_id")).as("df"))
+      .where(col("df") <= maxDf).select(col("fp"))
+    dfps.join(rare, "fp")
+  }
+
   /** Winnowing copy-detection pairs: docs sharing ≥ `minShared` selected
     * fingerprints (distinct hash values; the df cutoff drops boilerplate
     * fingerprints shared corpus-wide — the same hot-key cap as the ngram

@@ -177,6 +177,44 @@ object StreamingOps {
       .dropDuplicatesWithinWatermark("content_hash")
       .select(col("doc_id"), col("ts"), col("content_hash"))
 
+  /** Ingest-side verbatim-copy detection — the streaming twin of
+    * [[graft.operators.Dedup.winnowOverlap]]: each arriving doc's MOSS
+    * winnowing fingerprints are computed by the shuffle-free per-row
+    * expression form ([[graft.operators.Dedup.winnowFpStructs]] —
+    * bit-identical to the batch window-function derivation, hash-gated by
+    * `winnow_rowform_gate`), exploded, and equi-joined stream-static
+    * against a frozen corpus fingerprint index
+    * ([[graft.operators.Dedup.winnowCorpusIndex]]). A watermarked windowed
+    * count per (arriving doc, corpus doc) then applies the same
+    * ≥ `minShared` bar as the batch pair join, so any arriving doc sharing
+    * a ≥ k+w−1-token verbatim run with an indexed doc is flagged at ingest
+    * (the winnowing guarantee). Scale shape: narrow fingerprinting, one
+    * shuffle on the fingerprint key against a df-capped index, state
+    * bounded by window×arrival volume — nothing corpus-sized on the
+    * stream side. */
+  def streamingWinnowMatches(docs: DataFrame, corpusIndex: DataFrame,
+      minShared: Long = 2, watermark: String = "10 minutes",
+      windowDur: String = "5 minutes"): DataFrame = {
+    val k = graft.operators.Dedup.WinnowK
+    val w = graft.operators.Dedup.WinnowW
+    // stream-static joins re-evaluate the static subplan every micro-batch
+    val idx = corpusIndex.cache()
+    docs
+      .select(col("doc_id").cast("long").as("doc_id"), col("ts"), col("text"))
+      .where(size(split(lower(col("text")), "\\s+")) - (k - 1) >= w)
+      .select(col("doc_id"), col("ts"),
+        explode(array_distinct(transform(
+          graft.operators.Dedup.winnowFpStructs(col("text")),
+          f => f.getField("fp")))).as("fp"))
+      .withWatermark("ts", watermark)
+      .join(idx, Seq("fp"))
+      .groupBy(window(col("ts"), windowDur), col("doc_id"), col("src_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .where(col("n_shared") >= minShared)
+      .select(col("window.start").as("win_start"), col("doc_id"),
+        col("src_id"), col("n_shared"))
+  }
+
   /** Ingest-side PERCEPTUAL dedup — [[streamingDedup]]'s media twin: each
     * arriving doc runs the SAME batch thumbnail + aHash pass
     * ([[graft.operators.Multimodal.withAhash]], bit-identity

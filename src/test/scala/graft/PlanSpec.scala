@@ -242,6 +242,19 @@ class PlanSpec extends AnyFunSuite {
     assert(!p2.contains("Join"), s"data card is one scan:\n$p2")
   }
 
+  test("winnow row-form fingerprinting is shuffle-free up to the output sort") {
+    // the window-function form pays a per-doc hashpartitioning exchange, a
+    // rightmost-tie self-join, and a groupBy; the per-row HOF form must be
+    // one narrow projection per doc — only the presentation orderBy sorts
+    val body = Dedup.winnowRowFingerprint(spark, dir)
+      .queryExecution.executedPlan.toString
+      .linesIterator.dropWhile(l => l.contains("Sort") || l.contains("Exchange range"))
+      .mkString("\n")
+    assert(!body.contains("Exchange hashpartitioning") && !body.contains("Join") &&
+      !body.contains("Window"),
+      s"row-form winnow must be a narrow expression pass:\n$body")
+  }
+
   test("kmeans assignment is scan-shaped; curated docs ranks without a Window") {
     // the assignment pass must be: parquet scan -> narrow codegen argmin
     // against broadcast centroid literals -> (range exchange only for the

@@ -871,6 +871,51 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("winnow row-form fingerprints are bit-identical to the batch window-function form") {
+    val dir = "/root/testdata/sf0.001"
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))
+    val batch = graft.operators.Dedup.winnowFingerprint(spark, dir).collect().map(key)
+    val row = graft.operators.Dedup.winnowRowFingerprint(spark, dir).collect().map(key)
+    assert(batch.nonEmpty, "no eligible docs in fixture")
+    assert(row.toSeq == batch.toSeq,
+      "per-row HOF winnow fingerprints diverged from the window-function derivation")
+  }
+
+  test("streaming winnow copy detection flags exactly the batch overlap pairs at ingest") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    val idx = graft.operators.Dedup.winnowCorpusIndex(spark, dir)
+    val input = MemoryStream[Doc]
+    val q = StreamingOps.streamingWinnowMatches(input.toDF(), idx)
+      .writeStream.format("memory").queryName("winnow_stream_out")
+      .outputMode("append").start()
+    try {
+      val docs = graft.core.Tables.documents(spark, dir)
+        .select("doc_id", "text").collect()
+        .map(r => Doc(r.getLong(0), ts(1), r.getString(1)))
+      input.addData(docs.toSeq)
+      // advancer must PASS the eligibility filter (≥ k+w−1 tokens) or the
+      // watermark never moves and no window finalizes
+      input.addData(Doc(-1, ts(60), "wmadv1 wmadv2 wmadv3 wmadv4 wmadv5 wmadv6 wmadv7 wmadv8 wmadv9"))
+      q.processAllAvailable()
+      val out = spark.table("winnow_stream_out")
+      // every replayed corpus doc flags itself against the index
+      assert(out.where(col("doc_id") === col("src_id")).count() > 0,
+        "no self-matches — the ingest join is broken")
+      val got = out.where(col("doc_id") =!= col("src_id"))
+        .select("doc_id", "src_id", "n_shared").collect()
+        .map(r => (math.min(r.getLong(0), r.getLong(1)),
+          math.max(r.getLong(0), r.getLong(1)), r.getLong(2))).toSet
+      val want = graft.operators.Dedup.winnowOverlap(spark, dir).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got == want,
+        s"stream/batch winnow overlap diverge: extra=${(got -- want).take(3)} missing=${(want -- got).take(3)}")
+    } finally q.stop()
+  }
+
   test("composed ingest pipeline (quality -> dedup -> window) matches batch survivor count") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
