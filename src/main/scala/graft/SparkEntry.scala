@@ -38,7 +38,7 @@ object SparkEntry {
     knnExactQ, knnExactAggQ, knnFilteredQ, medoidExactQ, argminNearestQ,
     vamanaFilteredQ,
     vamanaSearchQ, vamanaOverlapQ, vamanaRecallQ, vamanaStartQ, vamanaStartGateQ,
-    vamanaDescribeQ, vamanaDegreeQ,
+    vamanaDescribeQ, vamanaDegreeQ, vamanaConnectivityQ,
     vamanaFanoutQ, vamanaFanoutGateQ, vamanaFanoutFilteredQ, vamanaFanoutFilteredGateQ,
     vamanaAdaptivePostfilterGateQ,
     vamanaRoundtripQ, vamanaInsertQ, vamanaDeleteQ, vamanaInsertGateQ, vamanaDeleteGateQ,
@@ -283,6 +283,14 @@ object SparkEntry {
     "vamana_degree_check",
     (s, d) => graft.vamana.VamanaOps.vamanaDegreeCheck(s, d),
     Some("SELECT count(*)::BIGINT AS n_nodes, 32 AS r, TRUE AS ok FROM embeddings"))
+
+  /** The full-beam gates' structural premise (one weakly-connected
+    * component) stated as its own hash-checked fact; node count is the
+    * table count. */
+  private val vamanaConnectivityQ: (String, QFn, Option[String]) = (
+    "vamana_connectivity_gate",
+    (s, d) => graft.vamana.VamanaOps.vamanaConnectivityGate(s, d),
+    Some("SELECT count(*)::BIGINT AS n_nodes, TRUE AS single_component FROM embeddings"))
 
   private val vamanaFanoutQ: (String, QFn, Option[String]) = (
     "vamana_fanout_search",

@@ -10,7 +10,7 @@ import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import graft.streaming._
 
 /** Streaming-path throughput evidence — the batch queries have `Bench`;
-  * this drives the three ingest-side pipeline shapes through MemoryStream
+  * this drives the ingest-side pipeline shapes through MemoryStream
   * micro-batches against the noop sink and reports end-to-end rows/sec:
   *
   *  - `stream_ingest`: the COMPOSED corpus pass (quality/lang filter →
@@ -19,7 +19,10 @@ import graft.streaming._
   *  - `stream_perceptual`: media dedup at ingest (64-bit envelope
   *    fingerprint + within-watermark signature dedup);
   *  - `stream_cluster`: embedding cluster assignment against a broadcast
-  *    centroid matrix (stateless narrow projection — the ceiling).
+  *    centroid matrix (stateless narrow projection — the ceiling);
+  *  - `stream_winnow`: verbatim-copy detection at ingest (per-row winnow
+  *    fingerprints → stream-static join vs a standing corpus index →
+  *    watermarked windowed pair bar).
   *
   * Corpus is generated on the driver BEFORE the clock starts (MemoryStream
   * is driver-fed by design); event times spread across minutes so windows
@@ -73,6 +76,15 @@ object StreamBench {
     }
     run[Doc]("stream_ingest", docs, in => StreamingOps.streamingIngestPipeline(in.toDF()))
     run[Doc]("stream_perceptual", docs, in => StreamingOps.streamingPerceptualDedup(in.toDF()))
+
+    // winnow copy-detection at ingest: index the same corpus (materialized
+    // BEFORE the clock — a standing index is a pre-existing asset), then
+    // replay it; the ~10% planted duplicates guarantee real matches flow
+    val winnowIdx = graft.operators.Dedup
+      .winnowCorpusIndexOf(spark.createDataset(docs).toDF()).cache()
+    winnowIdx.count()
+    run[Doc]("stream_winnow", docs,
+      in => StreamingOps.streamingWinnowMatches(in.toDF(), winnowIdx))
 
     val centroids = Array.tabulate(8) { c =>
       val rng = new Random(c * 1234567L + 11L)

@@ -1222,6 +1222,27 @@ object Dedup {
     dfps.join(rare, "fp")
   }
 
+  /** [[winnowCorpusIndex]] over ANY (doc_id, text) frame, fingerprinted by
+    * the row-form expression — shuffle-free until the distinct, so building
+    * a fresh index from an ad-hoc corpus costs one narrow pass + one
+    * aggregate. The dir form stays tied to the shared [[winnowFps]] cache
+    * (and through it to the oracle-checked batch derivation); the spec
+    * asserts the two derivations are bit-identical. */
+  def winnowCorpusIndexOf(docs: DataFrame, maxDf: Int = DefaultMaxShingleDf): DataFrame = {
+    val k = WinnowK
+    val w = WinnowW
+    val dfps = docs
+      .where(size(split(lower(col("text")), "\\s+")) - (k - 1) >= w)
+      .select(col("doc_id").as("src_id"),
+        explode(array_distinct(transform(winnowFpStructs(col("text")),
+          f => f.getField("fp")))).as("fp"))
+      .distinct()
+    val rare = dfps.groupBy(col("fp"))
+      .agg(countDistinct(col("src_id")).as("df"))
+      .where(col("df") <= maxDf).select(col("fp"))
+    dfps.join(rare, "fp")
+  }
+
   /** Winnowing copy-detection pairs: docs sharing ≥ `minShared` selected
     * fingerprints (distinct hash values; the df cutoff drops boilerplate
     * fingerprints shared corpus-wide — the same hot-key cap as the ngram

@@ -671,6 +671,29 @@ object VamanaOps {
     degreeCheckOf(spark, model(spark, dir))
       .select(col("n_nodes"), col("r"), col("ok"))
 
+  /** Graph-connectivity gate — the structural premise behind EVERY
+    * full-beam exactness claim: "full beam expands the whole connected
+    * component" equals exact kNN only when the graph has ONE weakly-
+    * connected component, so a silent build regression that strands a
+    * satellite component would quietly turn the overlap gates'
+    * theorem into a partial statement. This states the premise directly:
+    * WCC over the model's adjacency frame (out-edges as undirected pairs)
+    * through the SAME min-label + pointer-jumping fixpoint pass the dedup
+    * survivor families use ([[graft.operators.Dedup.survivorsOf]]), then
+    * one row of oracle-recomputable facts: node count (= table count) and
+    * the single-component flag. Scale shape: the CC pass is keyed
+    * equi-joins to fixpoint over an n·R edge frame — the dedup posture,
+    * measured there to 1M docs. */
+  def vamanaConnectivityGate(spark: SparkSession, dir: String): DataFrame = {
+    val g = model(spark, dir).graphDF(spark)
+    val edges = g.select(col("id").as("id_a"), explode(col("neighbors")).as("id_b"))
+    val labels = graft.operators.Dedup.survivorsOf(spark, edges,
+      g.select(col("id").as("doc_id")))
+    labels.agg(count(lit(1)).as("n_nodes"),
+        countDistinct(col("canonical_id")).as("nc"))
+      .select(col("n_nodes"), (col("nc") === 1L).as("single_component"))
+  }
+
   /** The check itself aggregates the model's graph FRAME — `max(size(
     * neighbors))` over graphDF — so it works unchanged for beyond-broadcast
     * models that can never materialize `.index` on the driver. */

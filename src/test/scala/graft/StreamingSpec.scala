@@ -880,6 +880,15 @@ class StreamingSpec extends AnyFunSuite {
     assert(batch.nonEmpty, "no eligible docs in fixture")
     assert(row.toSeq == batch.toSeq,
       "per-row HOF winnow fingerprints diverged from the window-function derivation")
+    // both corpus-index derivations (cached window-form vs row-form over an
+    // ad-hoc frame) must expose the identical (fp, src_id) set
+    def idxKey(r: org.apache.spark.sql.Row) = (r.getLong(0), r.getLong(1))
+    val idxA = graft.operators.Dedup.winnowCorpusIndex(spark, dir)
+      .select("fp", "src_id").collect().map(idxKey).toSet
+    val idxB = graft.operators.Dedup.winnowCorpusIndexOf(
+        graft.core.Tables.documents(spark, dir).select("doc_id", "text"))
+      .select("fp", "src_id").collect().map(idxKey).toSet
+    assert(idxA == idxB, "corpus-index derivations diverged")
   }
 
   test("streaming winnow copy detection flags exactly the batch overlap pairs at ingest") {
