@@ -52,6 +52,82 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** MMR constants — λ and its complement as SEPARATE literals: `1 - 0.7`
+    * in binary doubles is 0.30000000000000004, so deriving the complement
+    * at runtime would diverge from an oracle that writes `0.3`. Both
+    * engines consume the same two literals. */
+  val MmrLambda = 0.7
+  val MmrLambdaComp = 0.3
+
+  /** MMR (Maximal Marginal Relevance, Carbonell & Goldstein SIGIR'98)
+    * diversity rerank — the retrieval post-pass every RAG / dedup-aware
+    * search stack wants: from each query's exact cosine top-`nCand`
+    * shortlist, greedily select `k` results maximizing
+    * λ·rel(q,c) − (1−λ)·max_{s∈S} sim(c,s), so near-duplicate hits can't
+    * crowd the result page. Candidate generation is the broadcast
+    * brute-force cosine (the oracle-checkable exact form — at corpus scale
+    * feed the Vamana/IVF shortlist instead, same contract); the greedy
+    * selection runs per query over the nCand-row group via
+    * `flatMapGroups` — genuinely sequential (each pick conditions the
+    * next), O(k·nCand·dim) per query, distributed ACROSS queries, nothing
+    * corpus-sized anywhere. All similarity arithmetic is the established
+    * engine-stable form (sequential double fold, then one divide), and the
+    * greedy argmax breaks score ties by ascending id — mirrored by the
+    * oracle's unrolled k-step CTE chain (the Lloyd/pagerank pattern). */
+  def mmrRerank(spark: SparkSession, dir: String, qMod: Long = 50, nCand: Int = 20,
+      k: Int = 5): DataFrame = {
+    import spark.implicits._
+    val lambda = MmrLambda
+    val comp = MmrLambdaComp
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"), normNative(spark, col("embedding")).as("nrm"))
+    val q = e.where(col("vec_id") % qMod === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"), col("nrm").as("qn"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("rel").desc, col("id").asc)
+    val cand = e.select(col("vec_id").as("id"), col("embedding").as("vec"), col("nrm").as("vn"))
+      .crossJoin(broadcast(q))
+      .where(col("id") =!= col("query_id"))
+      .withColumn("rel", dotNative(spark, col("vec"), col("qvec")) / (col("vn") * col("qn")))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= nCand)
+      .select(col("query_id"), col("id"), col("rel"), col("vec"))
+      .as[(Long, Long, Double, Array[Float])]
+    def dotD(a: Array[Float], b: Array[Float]): Double = {
+      var s = 0.0
+      var i = 0
+      while (i < a.length) { s += a(i).toDouble * b(i).toDouble; i += 1 }
+      s
+    }
+    val picked = cand.groupByKey(_._1).flatMapGroups { (qid, it) =>
+      val cs = it.map(t => (t._2, t._3, t._4)).toArray.sortBy(_._1)
+      def sim(a: Array[Float], b: Array[Float]): Double =
+        dotD(a, b) / (math.sqrt(dotD(a, a)) * math.sqrt(dotD(b, b)))
+      val chosen = scala.collection.mutable.LinkedHashMap.empty[Long, (Double, Double)]
+      while (chosen.size < k && chosen.size < cs.length) {
+        var bestId = -1L
+        var bestRel = 0.0
+        var bestScore = Double.NegativeInfinity
+        for ((id, rel, vec) <- cs if !chosen.contains(id)) {
+          val div =
+            if (chosen.isEmpty) 0.0
+            else cs.iterator.filter(c => chosen.contains(c._1)).map(c => sim(vec, c._3)).max
+          val score = lambda * rel - comp * div
+          if (score > bestScore || (score == bestScore && id < bestId)) {
+            bestScore = score; bestId = id; bestRel = rel
+          }
+        }
+        chosen.put(bestId, (bestRel, bestScore))
+      }
+      chosen.iterator.zipWithIndex.map { case ((id, (rel, sc)), i) =>
+        (qid, (i + 1).toLong, id, rel, sc)
+      }
+    }.toDF("query_id", "mmr_rank", "id", "rel", "score")
+    picked
+      .select(col("query_id"), col("mmr_rank"), col("id"),
+        round(col("rel"), 4).as("rel"), round(col("score"), 4).as("score"))
+      .orderBy(col("query_id"), col("mmr_rank"))
+  }
+
   /** Hard-negative mining — the contrastive-training data generator: for
     * each query vector, the k most cosine-similar vectors whose `label`
     * DIFFERS from the query's (near the anchor but of another class —

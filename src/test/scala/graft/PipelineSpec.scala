@@ -23,6 +23,47 @@ class PipelineSpec extends AnyFunSuite {
   private def pairSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
     df.select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
 
+  test("mmr rerank: rank-1 is the top-relevance hit, then diversity beats pure top-k") {
+    val mmr = Similarity.mmrRerank(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))
+    assert(mmr.nonEmpty && mmr.length % 5 == 0, s"expected k=5 rows per query, got ${mmr.length}")
+    val byQ = mmr.groupBy(_._1)
+    val emb = graft.core.Tables.embeddings(spark, dir)
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def dotD(a: Array[Float], b: Array[Float]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i).toDouble * b(i).toDouble; i += 1 }; s
+    }
+    def cos(a: Array[Float], b: Array[Float]): Double =
+      dotD(a, b) / (math.sqrt(dotD(a, a)) * math.sqrt(dotD(b, b)))
+    def maxPairSim(ids: Seq[Long]): Double =
+      (for (i <- ids.indices; j <- i + 1 until ids.length)
+        yield cos(emb(ids(i)), emb(ids(j)))).max
+    var diversityWins = 0
+    for ((qid, rows) <- byQ) {
+      val sorted = rows.sortBy(_._2)
+      // rank 1 must be the max-relevance candidate (score_1 = λ·rel)
+      assert(sorted.head._4 == rows.map(_._4).max,
+        s"q$qid rank-1 is not the relevance argmax")
+      // rel of later picks never exceeds rank-1's (candidates were top-20 by rel)
+      assert(sorted.tail.forall(_._4 <= sorted.head._4), s"q$qid rel ordering broken")
+      // diversity: the MMR set's max pairwise sim <= the pure top-5-by-rel set's
+      val q = emb(qid)
+      val topByRel = emb.toSeq.filter(_._1 != qid)
+        .map { case (id, v) => (id, cos(v, q)) }
+        .sortBy { case (id, c) => (-c, id) }.take(5).map(_._1)
+      val mmrIds = sorted.map(_._3).toSeq
+      if (mmrIds.toSet != topByRel.toSet) {
+        assert(maxPairSim(mmrIds) <= maxPairSim(topByRel) + 1e-12,
+          s"q$qid MMR set is LESS diverse than pure top-k")
+        diversityWins += 1
+      }
+    }
+    assert(diversityWins > 0,
+      "MMR never diverged from pure top-k — the diversity term is dead at this threshold")
+  }
+
   test("minhash pairs are a subset of exact ngram-jaccard pairs, recall >= 0.8") {
     spark.sparkContext.setLogLevel("WARN")
     val exact = pairSet(Dedup.dedupNgramJaccard(spark, dir))
