@@ -10,7 +10,7 @@ import graft.RegistrySqlParts._
 private[graft] object RegistryCorpus {
 
   private[graft] def entries: Seq[(String, QFn, Option[String])] = Seq(
-    sampleHashQ, pipelineCleanQ, sampleStratifiedQ, docChunksQ, packSequencesQ, sampleMixtureQ, corpusShuffleQ, lengthBucketsQ, pipelineFullQ, docChunksCdcQ, shardManifestQ, splitAssignQ, dsirWeightQ, corpusStatsQ, domainCapQ, epochUpsampleQ, tokenBudgetQ, datasetDiffQ)
+    sampleHashQ, pipelineCleanQ, sampleStratifiedQ, docChunksQ, packSequencesQ, sampleMixtureQ, corpusShuffleQ, lengthBucketsQ, pipelineFullQ, docChunksCdcQ, shardManifestQ, splitAssignQ, splitLeakageSafeQ, dsirWeightQ, corpusStatsQ, domainCapQ, epochUpsampleQ, tokenBudgetQ, datasetDiffQ)
 
   /** Buckets are md5-derived on both sides; the en-doc subset is DSIR's
     * target distribution stand-in. */
@@ -154,6 +154,45 @@ private[graft] object RegistryCorpus {
               ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 100 AS b
             FROM documents)
       GROUP BY split, lang ORDER BY split, lang
+    """.trim))
+
+  /** Cluster-atomic split: the recursive-CTE CC labels (the dedup_survivors
+    * oracle) feed the SAME 60-bit md5 bucket arithmetic as split_assign,
+    * taken over the canonical id; both leak counts are computed, not
+    * asserted. */
+  private val splitLeakageSafeQ: (String, QFn, Option[String]) = (
+    "split_leakage_safe",
+    (s, d) => CorpusPipeline.splitLeakageSafe(s, d),
+    Some(s"""
+      WITH RECURSIVE
+      s AS ($shingledCte),
+      ${RegistryDedup.ngramPairsCtes(graft.operators.Dedup.DefaultMaxShingleDf)},
+      e AS (SELECT id_a AS a, id_b AS b FROM pr WHERE jaccard >= 0.2
+            UNION ALL
+            SELECT id_b AS a, id_a AS b FROM pr WHERE jaccard >= 0.2),
+      reach AS (
+        SELECT doc_id AS id, doc_id AS r FROM documents
+        UNION
+        SELECT e.b AS id, reach.r FROM reach JOIN e ON e.a = reach.id),
+      lab AS (SELECT id AS doc_id, min(r) AS canonical_id FROM reach GROUP BY id),
+      a AS (SELECT doc_id, canonical_id,
+              CASE WHEN ('0x' || substr(md5(canonical_id::VARCHAR), 1, 15))::BIGINT % 100 < 90 THEN 'train'
+                   WHEN ('0x' || substr(md5(canonical_id::VARCHAR), 1, 15))::BIGINT % 100 < 95 THEN 'val'
+                   ELSE 'test' END AS split,
+              CASE WHEN ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 100 < 90 THEN 'train'
+                   WHEN ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 100 < 95 THEN 'val'
+                   ELSE 'test' END AS naive_split
+            FROM lab),
+      lk AS (SELECT coalesce(sum(CASE WHEN ns > 1 THEN 1 ELSE 0 END), 0)::BIGINT AS n_leaky_clusters,
+                    coalesce(sum(CASE WHEN nn > 1 THEN 1 ELSE 0 END), 0)::BIGINT AS n_leaky_naive
+             FROM (SELECT canonical_id, count(DISTINCT split) AS ns,
+                          count(DISTINCT naive_split) AS nn
+                   FROM a GROUP BY canonical_id))
+      SELECT split, count(*)::BIGINT AS n_docs,
+             count(DISTINCT canonical_id)::BIGINT AS n_clusters,
+             lk.n_leaky_clusters, lk.n_leaky_naive
+      FROM a, lk GROUP BY split, lk.n_leaky_clusters, lk.n_leaky_naive
+      ORDER BY split
     """.trim))
 
   private val shardManifestQ: (String, QFn, Option[String]) = (

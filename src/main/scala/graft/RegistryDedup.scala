@@ -28,7 +28,7 @@ private[graft] object RegistryDedup {
     * mirrors [[Dedup.ngramJaccardPairs]] exactly (intersection counted over
     * surviving shingles only; |A|/|B| stay full shingle counts). Ends in a
     * `pr(id_a, id_b, jaccard)` CTE. */
-  private def ngramPairsCtes(maxDf: Int): String =
+  private[graft] def ngramPairsCtes(maxDf: Int): String =
     s"""ex AS (SELECT doc_id, ('0x' || substr(md5(s), 1, 15))::BIGINT AS s
              FROM (SELECT doc_id, unnest(sh) AS s FROM s)),
       rare AS (SELECT s FROM (SELECT s, count(*) AS df FROM ex GROUP BY s) WHERE df <= $maxDf),

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
@@ -237,6 +237,41 @@ object CorpusPipeline {
       .agg(count(lit(1)).as("n_docs"),
         sum(length(col("text")).cast("long")).as("total_chars"))
       .orderBy(col("split"), col("lang"))
+  }
+
+  /** Leakage-safe train/val/test split: the split unit is the NEAR-DUP
+    * CLUSTER, not the document. Hashing doc ids independently (the
+    * [[splitAssign]] rule) lets two near-identical docs land in train and
+    * test — exactly the evaluation leak decontamination exists to prevent,
+    * but arising from WITHIN the corpus. Here every doc inherits its
+    * cluster's canonical id (the shared CC survivor labels,
+    * [[Dedup.dedupSurvivors]]) and the 60-bit md5 split hash is taken over
+    * THAT, so a cluster is atomic across splits by construction. Emits
+    * per-split doc/cluster counts plus two computed-NOT-asserted global
+    * facts: clusters straddling splits under this rule (must be 0) and
+    * under the naive doc-id rule (the leak count this op closes). Scale
+    * shape: the survivor labels are the dedup family's cached pass; the
+    * split itself is one narrow hash + two keyed aggregations. */
+  def splitLeakageSafe(spark: SparkSession, dir: String): DataFrame = {
+    def bucketOf(c: Column): Column =
+      conv(substring(md5(c.cast("string")), 1, 15), 16, 10).cast("long") % 100
+    def splitOf(b: Column): Column =
+      when(b < 90, "train").when(b < 95, "val").otherwise("test")
+    val base = Tables.documents(spark, dir).select(col("doc_id"))
+      .join(graft.operators.Dedup.dedupSurvivors(spark, dir)
+        .select(col("doc_id"), col("canonical_id")), "doc_id")
+      .withColumn("split", splitOf(bucketOf(col("canonical_id"))))
+      .withColumn("naive_split", splitOf(bucketOf(col("doc_id"))))
+    val leak = base.groupBy(col("canonical_id"))
+      .agg(countDistinct(col("split")).as("ns"),
+        countDistinct(col("naive_split")).as("nn"))
+      .agg(sum(when(col("ns") > 1, 1).otherwise(0)).cast("long").as("n_leaky_clusters"),
+        sum(when(col("nn") > 1, 1).otherwise(0)).cast("long").as("n_leaky_naive"))
+    base.groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("canonical_id")).as("n_clusters"))
+      .crossJoin(broadcast(leak))
+      .orderBy(col("split"))
   }
 
   /** Sharded training-output manifest (webdataset-style): deterministic
