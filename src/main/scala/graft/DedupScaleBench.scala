@@ -279,6 +279,72 @@ object DedupScaleBench {
         .count()
       mediaPairs.unpersist()
       sigs.unpersist()
+      // 9. winnow copy-detection at scale, BOTH halves: (a) the corpus
+      //    fingerprint index through the shuffle-free per-row expression
+      //    (the streaming-ingest derivation — one narrow pass + distinct +
+      //    df cap), (b) the overlap pair join over it. Planted-structure
+      //    recovery: adjacent chain members differ in ONE 6-token window,
+      //    so both flanks are verbatim runs ≥ k+w−1 tokens and the
+      //    winnowing theorem guarantees ≥1 fingerprint per flank — every
+      //    adjacent pair must surface at minShared=2.
+      val wdocs = syntheticDocs(spark, n).cache()
+      wdocs.count()
+      val ((winIdx, nFp), winIdxSec) = timed {
+        val ix = Dedup.winnowCorpusIndexOf(wdocs).cache()
+        (ix, ix.count())
+      }
+      val winPairs = winIdx.select(col("fp"), col("src_id").as("id_a"))
+        .join(winIdx.select(col("fp"), col("src_id").as("id_b")), "fp")
+        .where(col("id_a") < col("id_b"))
+        .groupBy(col("id_a"), col("id_b"))
+        .agg(count(lit(1)).as("n_shared"))
+        .where(col("n_shared") >= 2)
+        .cache()
+      val (nWinPairs, winPairSec) = timed(winPairs.count())
+      val winAdjFound = winPairs
+        .where(col("id_b") === col("id_a") + 1 &&
+          col("id_a") % ChainSpan < (ChainLen - 1))
+        .count()
+      val winAdjExpected = (ChainLen - 1).toLong * (n / ChainSpan)
+      winPairs.unpersist()
+      winIdx.unpersist()
+      // 10. blocked fuzzy ER at scale: every 7th doc's first 3 tokens form
+      //     a "name"; a 1-char-dropped variant must re-link through the
+      //     (prefix4, ±2 length band) blocking join + codegen Jaro-Winkler
+      //     — the comparison volume is block-bounded, never n × n/7.
+      val names = wdocs
+        .select(col("doc_id"),
+          array_join(slice(split(lower(col("text")), "\\s+"), 1, 3), " ").as("name"))
+        .where(length(col("name")) >= 8).cache()
+      names.count()
+      val variants = names.where(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 1000000000L).as("variant_id"), col("doc_id").as("src_id"),
+          concat(col("name").substr(lit(1), (col("doc_id") % 3 + 5).cast("int") - 1),
+            col("name").substr((col("doc_id") % 3 + 5).cast("int") + 1, lit(1000000)))
+            .as("vname"))
+      val (fuzzyStats, fuzzySec) = timed {
+        val jw = graft.functions.EditDistanceExpressions
+          .jaroWinkler(spark, col("vname"), col("name"))
+        val matched = variants.join(names,
+            substring(col("vname"), 1, 4) === substring(col("name"), 1, 4) &&
+              abs(length(col("vname")) - length(col("name"))) <= 2)
+          .withColumn("jw", jw)
+          .where(col("jw") >= 0.9)
+          .withColumn("rk", org.apache.spark.sql.functions.row_number().over(
+            org.apache.spark.sql.expressions.Window.partitionBy(col("variant_id"))
+              .orderBy(col("jw").desc, col("doc_id").asc)))
+          .where(col("rk") === 1).cache()
+        val nMatched = matched.count()
+        // recovery = the matched name EQUALS the mutation source's name
+        val ok = matched.join(
+            names.select(col("doc_id").as("src_id"), col("name").as("src_name")), "src_id")
+          .where(col("name") === col("src_name")).count()
+        matched.unpersist()
+        (nMatched, ok)
+      }
+      val nVariants = variants.count()
+      names.unpersist()
+      wdocs.unpersist()
 
       def r2(v: Double) = math.rint(v * 100) / 100
       println(
@@ -296,7 +362,12 @@ object DedupScaleBench {
         s""""pagerank_sec":${r2(prSec)},"pagerank_nodes":$m,"pagerank_top":$prTop,""" +
         s""""media_neardup_sec":${r2(mediaSec)},"media_pairs":$nMedia,""" +
         s""""media_planted":$plantedExpected,"media_planted_found":$plantedFound,""" +
-        s""""para_pair_sec":${r2(paraSec)},"para_pairs":$nPara}""")
+        s""""para_pair_sec":${r2(paraSec)},"para_pairs":$nPara,""" +
+        s""""winnow_index_sec":${r2(winIdxSec)},"winnow_fps":$nFp,""" +
+        s""""winnow_pair_sec":${r2(winPairSec)},"winnow_pairs":$nWinPairs,""" +
+        s""""winnow_adj_expected":$winAdjExpected,"winnow_adj_found":$winAdjFound,""" +
+        s""""fuzzy_sec":${r2(fuzzySec)},"fuzzy_variants":$nVariants,""" +
+        s""""fuzzy_matched":${fuzzyStats._1},"fuzzy_correct":${fuzzyStats._2}}""")
     }
     spark.stop()
   }

@@ -1199,7 +1199,7 @@ object Dedup {
       .withColumn("m", size(split(lower(col("text")), "\\s+")) - (k - 1))
       .where(col("m") >= w)
       .select(col("doc_id"), col("m").cast("long").as("n_grams"),
-        winnowFpStructs(col("text")).as("fps"))
+        graft.functions.WinnowExpressions.winnowFps(spark, col("text")).as("fps"))
       .select(col("doc_id"), col("n_grams"),
         size(col("fps")).cast("long").as("n_fp"),
         md5(array_join(sort_array(transform(col("fps"), f =>
@@ -1234,8 +1234,9 @@ object Dedup {
     val dfps = docs
       .where(size(split(lower(col("text")), "\\s+")) - (k - 1) >= w)
       .select(col("doc_id").as("src_id"),
-        explode(array_distinct(transform(winnowFpStructs(col("text")),
-          f => f.getField("fp")))).as("fp"))
+        explode(graft.functions.WinnowExpressions
+          .winnowFps(docs.sparkSession, col("text"))).as("f"))
+      .select(col("src_id"), col("f.fp").as("fp"))
       .distinct()
     val rare = dfps.groupBy(col("fp"))
       .agg(countDistinct(col("src_id")).as("df"))

@@ -203,8 +203,12 @@ object StreamingOps {
       .select(col("doc_id").cast("long").as("doc_id"), col("ts"), col("text"))
       .where(size(split(lower(col("text")), "\\s+")) - (k - 1) >= w)
       .select(col("doc_id"), col("ts"),
+        // the native kernel is the transform's INPUT (evaluated once per
+        // row); the lambda is a cheap per-element field access, and the
+        // per-row array_distinct keeps the op stateless — a stream-level
+        // dropDuplicates here would grow unbounded state
         explode(array_distinct(transform(
-          graft.operators.Dedup.winnowFpStructs(col("text")),
+          graft.functions.WinnowExpressions.winnowFps(docs.sparkSession, col("text")),
           f => f.getField("fp")))).as("fp"))
       .withWatermark("ts", watermark)
       .join(idx, Seq("fp"))

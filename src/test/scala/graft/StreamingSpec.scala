@@ -889,6 +889,18 @@ class StreamingSpec extends AnyFunSuite {
         graft.core.Tables.documents(spark, dir).select("doc_id", "text"))
       .select("fp", "src_id").collect().map(idxKey).toSet
     assert(idxA == idxB, "corpus-index derivations diverged")
+    // the native codegen kernel must equal the HOF derivation ELEMENT-FOR-
+    // ELEMENT (same values, same first-occurrence distinct order)
+    import org.apache.spark.sql.functions.{col, lower, size, split}
+    val eligible = graft.core.Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"))
+      .where(size(split(lower(col("text")), "\\s+")) - 4 >= 4)
+    val diverged = eligible.select(col("doc_id"),
+        graft.operators.Dedup.winnowFpStructs(col("text")).as("hof"),
+        graft.functions.WinnowExpressions.winnowFps(spark, col("text")).as("nat"))
+      .where(!(col("hof") === col("nat")))
+      .count()
+    assert(diverged == 0, "native winnow kernel diverged from the HOF derivation")
   }
 
   test("streaming winnow copy detection flags exactly the batch overlap pairs at ingest") {
