@@ -10,7 +10,7 @@ import graft.RegistrySqlParts._
 private[graft] object RegistryText {
 
   private[graft] def entries: Seq[(String, QFn, Option[String])] = Seq(
-    textStats, langId, tokenCount, docFingerprint, vocabTopKQ, lengthPctQ, percentileGateQ, tfIdfQ, repetitionScoreQ, bigramTopKQ, lmPerplexityQ, oovRateQ, boilerplateQ, piiRedactQ, qualityDecilesQ, tokenEntropyQ, bm25RetrievalQ, bpeMergesQ, bpeEncodeQ, cmsTopkQ, featureHashQ, classifierGateQ, langClassifierGateQ, hybridRetrievalQ, gopherRulesQ)
+    textStats, langId, tokenCount, docFingerprint, vocabTopKQ, lengthPctQ, percentileGateQ, tfIdfQ, repetitionScoreQ, bigramTopKQ, lmPerplexityQ, oovRateQ, boilerplateQ, piiRedactQ, qualityDecilesQ, tokenEntropyQ, bm25RetrievalQ, bm25PrfQ, bpeMergesQ, bpeEncodeQ, cmsTopkQ, featureHashQ, classifierGateQ, langClassifierGateQ, hybridRetrievalQ, gopherRulesQ)
 
   // ---- text analysis --------------------------------------------------------
 
@@ -283,6 +283,67 @@ private[graft] object RegistryText {
             FROM sc)
       SELECT qid::BIGINT AS qid, rank, doc_id, s4::DOUBLE AS score
       FROM r WHERE rank <= 5 ORDER BY qid, rank
+    """.trim))
+
+  /** RM3-lite pseudo-relevance feedback: pass-1 CTEs are bm25_retrieval's
+    * verbatim; expansion terms ride the exact decimal c×idf sum with
+    * term-asc ties; pass 2 re-runs the identical scoring over the
+    * unioned query set. */
+  private val bm25PrfQ: (String, QFn, Option[String]) = (
+    "bm25_prf",
+    (s, d) => TextAnalysis.bm25Prf(s, d),
+    Some("""
+      WITH t AS (SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS term FROM documents),
+      tc AS (SELECT doc_id, term, count(*) AS c FROM t WHERE term <> '' GROUP BY doc_id, term),
+      dl AS (SELECT doc_id, sum(c) AS n FROM tc GROUP BY doc_id),
+      st AS (SELECT count(*)::DOUBLE AS nd, sum(n)::DOUBLE / count(*) AS avgdl FROM dl),
+      dfs AS (SELECT term, count(*) AS df FROM tc GROUP BY term),
+      qt(qid, term) AS (VALUES (1, 'hash'), (1, 'join'),
+                               (2, 'vector'), (2, 'scan'), (2, 'fast'),
+                               (3, 'window'), (3, 'agg'), (3, 'merge')),
+      qi AS (SELECT qt.qid, qt.term,
+                    ln((st.nd - coalesce(dfs.df, 0) + 0.5) /
+                       (coalesce(dfs.df, 0) + 0.5) + 1.0) AS idf,
+                    st.avgdl
+             FROM qt LEFT JOIN dfs USING (term) CROSS JOIN st),
+      co AS (SELECT qi.qid, tc.doc_id,
+                    round(qi.idf * (tc.c * (1.2 + 1.0)) /
+                          (tc.c + 1.2 * (1.0 - 0.75 + 0.75 *
+                            (dl.n::DOUBLE / qi.avgdl))), 6)::DECIMAL(18,6) AS contrib
+             FROM tc JOIN qi USING (term) JOIN dl USING (doc_id)),
+      sc AS (SELECT qid, doc_id, round(sum(contrib), 4) AS s4 FROM co GROUP BY qid, doc_id),
+      r AS (SELECT qid, doc_id, s4,
+                   row_number() OVER (PARTITION BY qid ORDER BY s4 DESC, doc_id ASC) AS rank
+            FROM sc),
+      fb AS (SELECT qid, doc_id FROM r WHERE rank <= 3),
+      ti AS (SELECT term, ln((st.nd - df + 0.5) / (df + 0.5) + 1.0) AS tidf
+             FROM dfs CROSS JOIN st),
+      cd AS (SELECT fb.qid, tc.term,
+                    sum(round(tc.c * ti.tidf, 6)::DECIMAL(18,6)) AS tw
+             FROM fb JOIN tc USING (doc_id) JOIN ti USING (term)
+             LEFT JOIN qt ON qt.qid = fb.qid AND qt.term = tc.term
+             WHERE qt.term IS NULL
+             GROUP BY fb.qid, tc.term),
+      ex AS (SELECT qid, term FROM (
+               SELECT qid, term, row_number() OVER (PARTITION BY qid
+                 ORDER BY tw DESC, term ASC) AS rk FROM cd) WHERE rk <= 5),
+      qt2 AS (SELECT qid, term FROM qt UNION ALL SELECT qid, term FROM ex),
+      qi2 AS (SELECT qt2.qid, qt2.term,
+                     ln((st.nd - coalesce(dfs.df, 0) + 0.5) /
+                        (coalesce(dfs.df, 0) + 0.5) + 1.0) AS idf,
+                     st.avgdl
+              FROM qt2 LEFT JOIN dfs USING (term) CROSS JOIN st),
+      co2 AS (SELECT qi2.qid, tc.doc_id,
+                     round(qi2.idf * (tc.c * (1.2 + 1.0)) /
+                           (tc.c + 1.2 * (1.0 - 0.75 + 0.75 *
+                             (dl.n::DOUBLE / qi2.avgdl))), 6)::DECIMAL(18,6) AS contrib
+              FROM tc JOIN qi2 USING (term) JOIN dl USING (doc_id)),
+      sc2 AS (SELECT qid, doc_id, round(sum(contrib), 4) AS s4 FROM co2 GROUP BY qid, doc_id),
+      r2 AS (SELECT qid, doc_id, s4,
+                    row_number() OVER (PARTITION BY qid ORDER BY s4 DESC, doc_id ASC) AS rank
+             FROM sc2)
+      SELECT qid::BIGINT AS qid, rank, doc_id, s4::DOUBLE AS score
+      FROM r2 WHERE rank <= 5 ORDER BY qid, rank
     """.trim))
 
   /** Hybrid BM25 + cosine retrieval fused by reciprocal ranks; both legs

@@ -520,6 +520,82 @@ object TextAnalysis {
       .orderBy(col("qid"), col("rank"))
   }
 
+  /** BM25 with pseudo-relevance feedback — RM3-lite query expansion, the
+    * classic recall lever of lexical retrieval (Lavrenko-Croft relevance
+    * models; Lucene/Terrier's QueryExpansion default shape): pass 1 runs
+    * the [[bm25Retrieval]] scoring and keeps each query's top-`fbDocs`
+    * docs as pseudo-relevant; candidate expansion terms are the feedback
+    * docs' terms scored by the EXACT decimal sum of 6-dp-rounded c×idf
+    * over the feedback set (original query terms excluded, top-`fbTerms`
+    * by score desc / term asc); pass 2 re-scores with original ∪
+    * expansion terms — same rounded-decimal BM25 contract, so both passes
+    * and the term ranking are engine-stable. Scale shape: the candidate
+    * frame is bounded by fbDocs × doc-length per query (never the
+    * vocabulary), the expanded query side stays a broadcast dictionary
+    * frame, and both passes end in the bounded TopK heap. The shared
+    * memoized term-count frame feeds every stage — one corpus scan. */
+  def bm25Prf(spark: SparkSession, dir: String, k: Int = 5, fbDocs: Int = 3,
+      fbTerms: Int = 5, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    import spark.implicits._
+    import graft.functions.{Scored, TopKAggregator}
+    val tc = lexTermCounts(spark, dir)
+    val dl = tc.groupBy(col("doc_id")).agg(sum(col("c")).as("n"))
+    val stats = dl.agg(count(lit(1)).cast("double").as("nd"),
+      (sum(col("n")).cast("double") / count(lit(1))).as("avgdl"))
+    val dfs = tc.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val qt0 = Bm25Queries.flatMap { case (q, ts) => ts.map(t => (q, t)) }
+      .toDF("qid", "term")
+
+    def idfOf(qt: DataFrame): DataFrame = qt.join(dfs, Seq("term"), "left_outer")
+      .crossJoin(broadcast(stats))
+      .select(col("qid"), col("term"),
+        log((col("nd") - coalesce(col("df"), lit(0L)) + 0.5) /
+          (coalesce(col("df"), lit(0L)) + 0.5) + 1.0).as("idf"),
+        col("avgdl"))
+
+    def scoreOf(qi: DataFrame): DataFrame = tc.join(broadcast(qi), Seq("term"))
+      .join(dl, Seq("doc_id"))
+      .select(col("qid"), col("doc_id"),
+        round(col("idf") * (col("c") * lit(k1 + 1.0)) /
+          (col("c") + lit(k1) * (lit(1.0 - b) + lit(b) *
+            (col("n").cast("double") / col("avgdl")))), 6)
+          .cast("decimal(18,6)").as("contrib"))
+      .groupBy(col("qid"), col("doc_id"))
+      .agg(sum(col("contrib")).as("s"))
+
+    def heapTop(scored: DataFrame, n: Int): DataFrame = scored
+      .select(col("qid"), (-round(col("s"), 4).cast("double")).as("dist"),
+        col("doc_id").as("id"))
+      .as[(Long, Double, Long)].groupByKey(_._1)
+      .mapValues { case (_, d, id) => Scored(d, id) }
+      .agg(new TopKAggregator(n).toColumn.name("topk"))
+      .toDF("qid", "topk")
+
+    val fb = heapTop(scoreOf(idfOf(qt0)), fbDocs)
+      .select(col("qid"), explode(col("topk")).as("s"))
+      .select(col("qid"), col("s.id").as("doc_id"))
+    val termIdf = dfs.crossJoin(broadcast(stats))
+      .select(col("term"),
+        log((col("nd") - col("df") + 0.5) / (col("df") + 0.5) + 1.0).as("tidf"))
+    val exp = fb.join(tc, Seq("doc_id"))
+      .join(termIdf, Seq("term"))
+      .select(col("qid"), col("term"),
+        round(col("c") * col("tidf"), 6).cast("decimal(18,6)").as("w"))
+      .groupBy(col("qid"), col("term")).agg(sum(col("w")).as("tw"))
+      .join(qt0.withColumn("orig", lit(1)), Seq("qid", "term"), "left_outer")
+      .where(col("orig").isNull)
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("qid"))
+          .orderBy(col("tw").desc, col("term").asc)))
+      .where(col("rk") <= fbTerms)
+      .select(col("qid"), col("term"))
+    heapTop(scoreOf(idfOf(qt0.union(exp))), k)
+      .select(col("qid"), posexplode(col("topk")).as(Seq("r", "s")))
+      .select(col("qid"), (col("r") + 1).cast("long").as("rank"),
+        col("s.id").as("doc_id"), (-col("s.dist")).as("score"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
   /** HYBRID retrieval — the modern RAG-stack shape: a lexical BM25 leg and
     * an embedding-cosine leg fused by reciprocal-rank fusion
     * (rrf = Σ 1/(60 + rank), the Cormack/Clarke/Buettcher SIGIR'09 rule,

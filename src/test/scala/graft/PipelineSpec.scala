@@ -1004,6 +1004,28 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("bm25 prf: dense positive rankings that actually diverge from the unexpanded pass") {
+    val prf = TextAnalysis.bm25Prf(spark, dir).collect()
+    val plain = TextAnalysis.bm25Retrieval(spark, dir).collect()
+    def byQ(rows: Array[org.apache.spark.sql.Row]) =
+      rows.groupBy(_.getLong(0)).view.mapValues(
+        _.sortBy(_.getLong(1)).map(_.getAs[Long]("doc_id")).toSeq).toMap
+    val p = byQ(prf)
+    val o = byQ(plain)
+    assert(p.keySet == TextAnalysis.Bm25Queries.map(_._1).toSet,
+      "every query must survive expansion")
+    prf.groupBy(_.getLong(0)).foreach { case (qid, hits) =>
+      val sorted = hits.sortBy(_.getLong(1))
+      assert(sorted.map(_.getLong(1)).toSeq == (1L to sorted.length).toSeq,
+        s"query $qid: ranks dense from 1")
+      val scores = sorted.map(_.getAs[Double]("score"))
+      assert(scores.zip(scores.tail).forall { case (a, b) => a >= b } &&
+        scores.forall(_ > 0.0), s"query $qid: scores positive non-increasing")
+    }
+    assert(p.keys.exists(q => p(q) != o(q)),
+      "expansion never changed any ranking — PRF is vacuous on this corpus")
+  }
+
   test("substring dedup: planted shared span is counted, unique doc scores zero") {
     import spark.implicits._
     val shared = (0 until 12).map(i => s"copy$i").mkString(" ")
