@@ -92,40 +92,52 @@ object Similarity {
       .where(col("rank") <= nCand)
       .select(col("query_id"), col("id"), col("rel"), col("vec"))
       .as[(Long, Long, Double, Array[Float])]
+    mmrSelect(cand.toDF("query_id", "id", "rel", "vec"), k)
+      .select(col("query_id"), col("mmr_rank"), col("id"),
+        round(col("rel"), 4).as("rel"), round(col("score"), 4).as("score"))
+      .orderBy(col("query_id"), col("mmr_rank"))
+  }
+
+  /** The greedy MMR core over ANY candidate frame (query_id, id, rel,
+    * vec) — shared by the exact registered form and the ANN-served gate so
+    * the two can differ ONLY in the candidate set. Emits raw doubles. */
+  def mmrSelect(cand: DataFrame, k: Int): DataFrame = {
+    val spark = cand.sparkSession
+    import spark.implicits._
+    val lambda = MmrLambda
+    val comp = MmrLambdaComp
     def dotD(a: Array[Float], b: Array[Float]): Double = {
       var s = 0.0
       var i = 0
       while (i < a.length) { s += a(i).toDouble * b(i).toDouble; i += 1 }
       s
     }
-    val picked = cand.groupByKey(_._1).flatMapGroups { (qid, it) =>
-      val cs = it.map(t => (t._2, t._3, t._4)).toArray.sortBy(_._1)
-      def sim(a: Array[Float], b: Array[Float]): Double =
-        dotD(a, b) / (math.sqrt(dotD(a, a)) * math.sqrt(dotD(b, b)))
-      val chosen = scala.collection.mutable.LinkedHashMap.empty[Long, (Double, Double)]
-      while (chosen.size < k && chosen.size < cs.length) {
-        var bestId = -1L
-        var bestRel = 0.0
-        var bestScore = Double.NegativeInfinity
-        for ((id, rel, vec) <- cs if !chosen.contains(id)) {
-          val div =
-            if (chosen.isEmpty) 0.0
-            else cs.iterator.filter(c => chosen.contains(c._1)).map(c => sim(vec, c._3)).max
-          val score = lambda * rel - comp * div
-          if (score > bestScore || (score == bestScore && id < bestId)) {
-            bestScore = score; bestId = id; bestRel = rel
+    cand.select(col("query_id"), col("id"), col("rel"), col("vec"))
+      .as[(Long, Long, Double, Array[Float])]
+      .groupByKey(_._1).flatMapGroups { (qid, it) =>
+        val cs = it.map(t => (t._2, t._3, t._4)).toArray.sortBy(_._1)
+        def sim(a: Array[Float], b: Array[Float]): Double =
+          dotD(a, b) / (math.sqrt(dotD(a, a)) * math.sqrt(dotD(b, b)))
+        val chosen = scala.collection.mutable.LinkedHashMap.empty[Long, (Double, Double)]
+        while (chosen.size < k && chosen.size < cs.length) {
+          var bestId = -1L
+          var bestRel = 0.0
+          var bestScore = Double.NegativeInfinity
+          for ((id, rel, vec) <- cs if !chosen.contains(id)) {
+            val div =
+              if (chosen.isEmpty) 0.0
+              else cs.iterator.filter(c => chosen.contains(c._1)).map(c => sim(vec, c._3)).max
+            val score = lambda * rel - comp * div
+            if (score > bestScore || (score == bestScore && id < bestId)) {
+              bestScore = score; bestId = id; bestRel = rel
+            }
           }
+          chosen.put(bestId, (bestRel, bestScore))
         }
-        chosen.put(bestId, (bestRel, bestScore))
-      }
-      chosen.iterator.zipWithIndex.map { case ((id, (rel, sc)), i) =>
-        (qid, (i + 1).toLong, id, rel, sc)
-      }
-    }.toDF("query_id", "mmr_rank", "id", "rel", "score")
-    picked
-      .select(col("query_id"), col("mmr_rank"), col("id"),
-        round(col("rel"), 4).as("rel"), round(col("score"), 4).as("score"))
-      .orderBy(col("query_id"), col("mmr_rank"))
+        chosen.iterator.zipWithIndex.map { case ((id, (rel, sc)), i) =>
+          (qid, (i + 1).toLong, id, rel, sc)
+        }
+      }.toDF("query_id", "mmr_rank", "id", "rel", "score")
   }
 
   /** Hard-negative mining — the contrastive-training data generator: for

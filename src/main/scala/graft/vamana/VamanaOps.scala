@@ -410,6 +410,42 @@ object VamanaOps {
     graft.operators.Similarity.topkGate(exact, best, agreeFloor)
   }
 
+  /** ANN-SERVED MMR — the scale path of `mmr_rerank`: the candidate
+    * shortlist comes from the cosine fanout index instead of the exact
+    * brute-force pass, then the SAME greedy core
+    * ([[graft.operators.Similarity.mmrSelect]]) runs over it with rel
+    * recomputed by the exact cosine arithmetic — so the two forms differ
+    * ONLY in the candidate set, and the gate pins selected-set agreement
+    * with the exact form as a floor flag. The serving cost is one bounded
+    * ANN pass + a candidate-sized join; nothing corpus-sized. */
+  def mmrAnnGate(spark: SparkSession, dir: String, qMod: Long = 50,
+      nCand: Int = 20, k: Int = 5, agreeFloor: Double = 0.8): DataFrame = {
+    import graft.functions.NativeVectorFunctions.{dotNative, normNative}
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"), normNative(spark, col("embedding")).as("nrm"))
+    val queries = e.where(col("vec_id") % qMod === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"),
+        col("nrm").as("qn"))
+    // nCand+1 then drop the self-hit (cos=1 top-1): the shortlist depth
+    // stays nCand, matching the exact form's candidate count
+    val shortlist = fanoutCosModel(spark, dir)
+      .search(queries.select(col("query_id"), col("query_vec")), nCand + 1)
+      .where(col("id") =!= col("query_id"))
+      .select(col("query_id"), col("id"))
+    val cand = shortlist
+      .join(e.select(col("vec_id").as("id"), col("embedding").as("vec"),
+        col("nrm").as("vn")), "id")
+      .join(broadcast(queries), "query_id")
+      .select(col("query_id"), col("id"),
+        (dotNative(spark, col("vec"), col("query_vec")) / (col("vn") * col("qn"))).as("rel"),
+        col("vec"))
+    val annSel = graft.operators.Similarity.mmrSelect(cand, k)
+      .select(col("query_id"), col("id"))
+    val exactSel = graft.operators.Similarity.mmrRerank(spark, dir, qMod, nCand, k)
+      .select(col("query_id"), col("id"))
+    graft.operators.Similarity.topkGate(exactSel, annSel, agreeFloor)
+  }
+
   /** FILTERED range search — unlike filtered top-k (where post-filtering
     * can leave fewer than k results and forces the adaptive machinery),
     * filtering a RANGE result is exact by construction: the filtered range
