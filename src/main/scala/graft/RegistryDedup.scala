@@ -10,7 +10,7 @@ import graft.RegistrySqlParts._
 private[graft] object RegistryDedup {
 
   private[graft] def entries: Seq[(String, QFn, Option[String])] = Seq(
-    dedupExact, dedupNgram, dedupMinhash, dedupSimhash, dedupEmbedding, dedupSurvivorsQ, dedupIncrementalQ, bloomDedupQ, dedupEmbSurvivorsQ, contaminationQ, dedupParagraphQ, dedupParagraphSurvivorsQ, dedupClusterStatsQ, dedupSoftWeightsQ, sourceOverlapQ, ngramNoveltyQ, chunkDedupQ, textSimTopKQ, decontaminateQ, substringDedupQ, lineDedupQ, sourcePagerankQ, winnowFingerprintQ, winnowOverlapQ, winnowRowformGateQ, dedupContainmentQ, fuzzyEntityMatchQ)
+    dedupExact, dedupNgram, dedupMinhash, dedupSimhash, dedupEmbedding, dedupSurvivorsQ, dedupIncrementalQ, bloomDedupQ, dedupEmbSurvivorsQ, contaminationQ, dedupParagraphQ, dedupParagraphSurvivorsQ, dedupClusterStatsQ, dedupSoftWeightsQ, sourceOverlapQ, ngramNoveltyQ, chunkDedupQ, textSimTopKQ, decontaminateQ, substringDedupQ, lineDedupQ, sourcePagerankQ, winnowFingerprintQ, winnowOverlapQ, winnowRowformGateQ, dedupContainmentQ, fuzzyEntityMatchQ, softWeightSampleQ)
 
   // ---- dedup ----------------------------------------------------------------
 
@@ -391,6 +391,36 @@ private[graft] object RegistryDedup {
       SELECT lab.doc_id, lab.canonical_id, cs.cluster_size::BIGINT AS cluster_size,
              round(1.0::DOUBLE / cs.cluster_size, 4) AS weight
       FROM lab JOIN cs USING (canonical_id) ORDER BY lab.doc_id
+    """.trim))
+
+  /** A-ES weighted sampling from the soft-dedup weights: key =
+    * ln(u)·cluster_size (monotone log form of u^(1/w), w = 1/size),
+    * 6-dp-rounded before the rank, doc_id ties — ln is the only
+    * transcendental, the bm25-idf precedent. */
+  private val softWeightSampleQ: (String, QFn, Option[String]) = (
+    "soft_weight_sample",
+    (s, d) => Dedup.softWeightSample(s, d),
+    Some(s"""
+      WITH RECURSIVE
+      s AS ($shingledCte),
+      ${ngramPairsCtes(Dedup.DefaultMaxShingleDf)},
+      e AS (SELECT id_a AS a, id_b AS b FROM pr WHERE jaccard >= 0.2
+            UNION ALL
+            SELECT id_b AS a, id_a AS b FROM pr WHERE jaccard >= 0.2),
+      reach AS (
+        SELECT doc_id AS id, doc_id AS r FROM documents
+        UNION
+        SELECT e.b AS id, reach.r FROM reach JOIN e ON e.a = reach.id),
+      lab AS (SELECT id AS doc_id, min(r) AS canonical_id FROM reach GROUP BY id),
+      cs AS (SELECT canonical_id, count(*) AS cluster_size FROM lab GROUP BY canonical_id),
+      keyed AS (SELECT lab.doc_id, cs.cluster_size::BIGINT AS cluster_size,
+                       round(ln(('0x' || substr(md5(lab.doc_id::VARCHAR), 1, 15))::BIGINT::DOUBLE
+                               / 1152921504606846976.0) * cs.cluster_size, 6) AS skey
+                FROM lab JOIN cs USING (canonical_id)),
+      r AS (SELECT *, row_number() OVER (ORDER BY skey DESC, doc_id ASC) AS rank
+            FROM keyed)
+      SELECT rank, doc_id, cluster_size, skey
+      FROM r WHERE rank <= 100 ORDER BY rank
     """.trim))
 
   /** Window hashes mirror doc_chunks' slice convention (list_slice is

@@ -645,6 +645,38 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** Deterministic WEIGHTED sampling from the soft-dedup weights — the
+    * Efraimidis-Spirakis A-ES rule (keys u^(1/w), top-n), which is how a
+    * pipeline actually CONSUMES `dedup_soft_weights`: duplicate-heavy
+    * clusters are downweighted in expectation without dropping any doc
+    * outright. Determinism contract: u derives from the 60-bit md5
+    * id-hash (the sampling idiom every corpus op uses), and the ranking
+    * key is the monotone log form ln(u)·cluster_size, 6-dp-rounded BEFORE
+    * the rank with doc_id breaking rounding ties (the bm25/dsir boundary
+    * lesson — ln is the only transcendental, same as idf). One hash + one
+    * ln per doc over the cached CC labels; the top-n rides a rank window
+    * over n·partitions candidates, nothing corpus-sized on the driver. */
+  def softWeightSample(spark: SparkSession, dir: String, n: Int = 100): DataFrame = {
+    val labels = dedupSurvivors(spark, dir)
+      .select(col("doc_id"), col("canonical_id"))
+    val sizes = labels.groupBy(col("canonical_id"))
+      .agg(count(lit(1)).as("cluster_size"))
+    val u = conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
+      .cast("double") / lit(1152921504606846976.0) // 2^60
+    labels.join(sizes, "canonical_id")
+      .withColumn("skey", round(log(u) * col("cluster_size"), 6))
+      // global top-n via orderBy+limit → TakeOrderedAndProject (per-
+      // partition top-n + driver merge of n·partitions rows), NOT an
+      // unpartitioned rank window (which would single-partition the corpus)
+      .orderBy(col("skey").desc, col("doc_id").asc)
+      .limit(n)
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("skey").desc, col("doc_id").asc)).cast("long"))
+      .select(col("rank"), col("doc_id"), col("cluster_size"), col("skey"))
+      .orderBy(col("rank"))
+  }
+
   /** Connected components + min-label canonicalization over ANY verified
     * pair frame; `universe` (one doc_id per member) supplies the rows that
     * appear in no pair and keep themselves. */

@@ -242,6 +242,17 @@ class PlanSpec extends AnyFunSuite {
     assert(!p2.contains("Join"), s"data card is one scan:\n$p2")
   }
 
+  test("soft-weight sample takes its global top-n distributed, not via a rank window") {
+    val p = plan(Dedup.softWeightSample(spark, dir))
+    assert(p.contains("TakeOrderedAndProject"),
+      s"global top-n must plan as per-partition heaps + driver merge:\n$p")
+    // the only Window allowed is the n-row rank assignment AFTER the limit
+    val preLimit = p.linesIterator.dropWhile(l => !l.contains("TakeOrderedAndProject"))
+      .mkString("\n")
+    assert(!preLimit.contains("Window"),
+      s"no corpus-wide window below the top-n:\n$p")
+  }
+
   test("winnow row-form fingerprinting is shuffle-free up to the output sort") {
     // the window-function form pays a per-doc hashpartitioning exchange, a
     // rightmost-tie self-join, and a groupBy; the per-row HOF form must be
