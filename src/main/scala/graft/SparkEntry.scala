@@ -47,7 +47,8 @@ object SparkEntry {
     filteredRevenueQ, partRollupQ, segmentSetOpsQ, eventsHourlyQ, userFunnelQ,
     ordersByMonthQ, partTypeQ, acctbalStatsQ, approxDistinctQ, sessionizeBatchQ,
     partCubeQ, rollingRevenueQ, kmvDistinctQ, langPivotQ, priceDecilesQ,
-    soleFailedSupplierQ, idleRichCustomersQ, saltedRevenueQ, smallQuantityQ
+    soleFailedSupplierQ, idleRichCustomersQ, saltedRevenueQ, smallQuantityQ,
+    retentionCohortsQ, orderRetentionQ
   ) ++ PipelineRegistry.entries
 
   /** Q17-shape correlated scalar threshold, decorrelated; the compare is
@@ -649,6 +650,43 @@ object SparkEntry {
       EXCEPT
       SELECT o_custkey AS c_custkey FROM orders WHERE o_orderstatus = 'F'
       ORDER BY c_custkey
+    """.stripMargin.trim))
+
+  /** Weekly retention cohorts; age = exact epoch arithmetic between
+    * week-truncated timestamps (both engines are ISO Monday-start). */
+  private val retentionCohortsQ: (String, QFn, Option[String]) = (
+    "q25_retention_cohorts",
+    (s, d) => Relational.retentionCohorts(s, d),
+    Some("""
+      WITH e AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS week FROM events),
+      f AS (SELECT user_id, min(week) AS cohort_week FROM e GROUP BY user_id),
+      c AS (SELECT cohort_week,
+                   ((epoch(week) - epoch(cohort_week)) / 604800)::BIGINT AS age_weeks,
+                   count(DISTINCT e.user_id) AS n_users
+            FROM e JOIN f USING (user_id) GROUP BY 1, 2),
+      b AS (SELECT cohort_week, n_users AS cohort_size FROM c WHERE age_weeks = 0)
+      SELECT strftime(c.cohort_week, '%Y-%m-%d') AS cohort_week, c.age_weeks, c.n_users,
+             round(c.n_users::DOUBLE / b.cohort_size, 4) AS retention
+      FROM c JOIN b USING (cohort_week)
+      ORDER BY cohort_week, age_weeks
+    """.stripMargin.trim))
+
+  /** Multi-cohort yearly order retention (7 cohorts at sf0.01); age is a
+    * plain integer year difference. */
+  private val orderRetentionQ: (String, QFn, Option[String]) = (
+    "q26_order_retention",
+    (s, d) => Relational.orderRetentionCohorts(s, d),
+    Some("""
+      WITH o AS (SELECT DISTINCT o_custkey, year(o_orderdate)::BIGINT AS yr FROM orders),
+      f AS (SELECT o_custkey, min(yr) AS cohort_year FROM o GROUP BY 1),
+      c AS (SELECT cohort_year, yr - cohort_year AS age_years,
+                   count(DISTINCT o.o_custkey) AS n_customers
+            FROM o JOIN f USING (o_custkey) GROUP BY 1, 2),
+      b AS (SELECT cohort_year, n_customers AS cohort_size FROM c WHERE age_years = 0)
+      SELECT c.cohort_year, c.age_years, c.n_customers,
+             round(c.n_customers::DOUBLE / b.cohort_size, 4) AS retention
+      FROM c JOIN b USING (cohort_year)
+      ORDER BY cohort_year, age_years
     """.stripMargin.trim))
 
   private val eventsHourlyQ: (String, QFn, Option[String]) = (

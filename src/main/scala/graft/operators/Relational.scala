@@ -211,6 +211,58 @@ object Relational {
         sum(get_json_object(col("props"), "$.k").cast("long")).as("sum_k"))
       .orderBy(col("event_type"), col("hour"))
 
+  /** Weekly retention cohorts — the product-analytics staple next to the
+    * funnel (q10) and sessionization (q15): users grouped by first-event
+    * week, each later active week counted as (cohort, age) cell, retention
+    * = cell users / cohort size. Age rides exact epoch-second arithmetic
+    * between week-truncated timestamps (both engines' `date_trunc('week')`
+    * is ISO Monday-start; the difference is an exact multiple of 604800 —
+    * no calendar function whose convention could drift). Two keyed
+    * aggregations over (user, week)-distinct rows plus a cohort-sized
+    * broadcast join — nothing user-list-sized crosses the driver. */
+  def retentionCohorts(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .select(col("user_id"), date_trunc("week", col("ts")).as("week"))
+      .distinct()
+    val firstWeek = e.groupBy(col("user_id")).agg(min(col("week")).as("cohort_week"))
+    val cells = e.join(firstWeek, "user_id")
+      .groupBy(col("cohort_week"),
+        ((unix_timestamp(col("week")) - unix_timestamp(col("cohort_week"))) / 604800L)
+          .cast("long").as("age_weeks"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+    val base = cells.where(col("age_weeks") === 0)
+      .select(col("cohort_week"), col("n_users").as("cohort_size"))
+    cells.join(broadcast(base), "cohort_week")
+      .select(
+        date_format(col("cohort_week"), "yyyy-MM-dd").as("cohort_week"),
+        col("age_weeks"), col("n_users"),
+        round(col("n_users").cast("double") / col("cohort_size"), 4).as("retention"))
+      .orderBy(col("cohort_week"), col("age_weeks"))
+  }
+
+  /** Yearly ORDER retention — the multi-cohort form of
+    * [[retentionCohorts]] (the synthetic events table has every user
+    * active from day 1, so its weekly matrix is one near-flat cohort;
+    * orders span 1995-2001 with 7 first-order cohorts): customers
+    * cohorted by first-order year, age = plain integer year difference —
+    * no calendar arithmetic at all. Same two keyed aggregations over the
+    * (customer, year)-distinct frame. */
+  def orderRetentionCohorts(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .select(col("o_custkey"), year(col("o_orderdate")).cast("long").as("yr"))
+      .distinct()
+    val f = o.groupBy(col("o_custkey")).agg(min(col("yr")).as("cohort_year"))
+    val cells = o.join(f, "o_custkey")
+      .groupBy(col("cohort_year"), (col("yr") - col("cohort_year")).as("age_years"))
+      .agg(countDistinct(col("o_custkey")).as("n_customers"))
+    val base = cells.where(col("age_years") === 0)
+      .select(col("cohort_year"), col("n_customers").as("cohort_size"))
+    cells.join(broadcast(base), "cohort_year")
+      .select(col("cohort_year"), col("age_years"), col("n_customers"),
+        round(col("n_customers").cast("double") / col("cohort_size"), 4).as("retention"))
+      .orderBy(col("cohort_year"), col("age_years"))
+  }
+
   /** Date-function demo: orders bucketed by calendar month (year+month
     * extraction), order counts and revenue per month. */
   def ordersByMonth(spark: SparkSession, dir: String): DataFrame =
