@@ -29,6 +29,12 @@ private case class ClickState(ts: Long, value: Double)
 /** Candidate near-dup pair emitted by the streaming MinHash LSH. */
 case class CandidatePair(id_a: Long, id_b: Long, band: Int)
 
+/** One A-ES weighted-sample pick emitted at window close. */
+case class WeightedPick(win_start: Timestamp, rank: Int, doc_id: Long,
+    cluster_size: Long, skey: Double)
+
+private case class SampleState(entries: Seq[(Long, Long, Double)])
+
 /** One trending-token row emitted when its window closes. `est_count`
   * overestimates the true windowed count by at most `max_err`
   * (Space-Saving guarantee: est − err ≤ true ≤ est). */
@@ -155,6 +161,88 @@ object StreamingOps {
               }
             }
             state.update(TopkState(m))
+            state.setTimeoutTimestamp(
+              math.max(win + windowMs, state.getCurrentWatermarkMs() + 1))
+            Iterator.empty
+          }
+      }
+  }
+
+  /** Ingest-side fuzzy entity matching — the streaming serve half of
+    * [[graft.operators.Dedup.fuzzyEntityMatch]]: arriving dirty records
+    * block-join stream-static against the frozen catalog (same prefix-4
+    * key + ±2 length-band residual) and score through the SAME codegen
+    * Jaro-Winkler + levenshtein pair, so stream candidates are
+    * bit-identical to the batch blocked join's (spec-asserted). Stateless
+    * by design: every qualifying (arrival, catalog) candidate is emitted
+    * with its scores — the best-match rank is a consumer-side choice,
+    * because a per-arrival top-1 would need keyed state for no benefit at
+    * ingest. Catalog is cached (stream-static joins re-evaluate the
+    * static subplan every micro-batch). */
+  def streamingFuzzyMatch(arrivals: DataFrame, catalog: DataFrame,
+      minJw: Double = 0.9): DataFrame = {
+    val spark = arrivals.sparkSession
+    val cat = catalog
+      .select(col("key"), col("cname"), substring(col("cname"), 1, 4).as("blk"))
+      .cache()
+    arrivals
+      .select(col("id").cast("long").as("id"), col("ts"), col("name"))
+      .withColumn("blk", substring(col("name"), 1, 4))
+      .join(cat, Seq("blk"))
+      .where(abs(length(col("name")) - length(col("cname"))) <= 2)
+      .withColumn("jw", graft.functions.EditDistanceExpressions
+        .jaroWinkler(spark, col("name"), col("cname")))
+      .where(col("jw") >= minJw)
+      .select(col("id"), col("ts"), col("key").as("matched_key"),
+        levenshtein(col("name"), col("cname")).cast("long").as("edit_distance"),
+        col("jw"))
+  }
+
+  /** Ingest-side A-ES weighted sampling — the streaming twin of
+    * [[graft.operators.Dedup.softWeightSample]]: arriving docs join their
+    * cluster size from the frozen soft-dedup labels (stream-static), the
+    * ranking key is the IDENTICAL 6-dp-rounded ln(u)·cluster_size
+    * arithmetic, and a per-window bounded top-n state (n entries, pure
+    * set-top-n — arrival-order-INdependent, unlike Space-Saving) emits the
+    * ranked sample at window close by event-time timeout. With one window
+    * covering the batch rows, stream picks equal the batch top-n
+    * bit-for-bit (spec-asserted). */
+  def streamingWeightedSample(docs: DataFrame, clusterSizes: DataFrame,
+      n: Int = 100, windowMs: Long = 5L * 60 * 1000,
+      watermark: String = "10 minutes"): Dataset[WeightedPick] = {
+    import docs.sparkSession.implicits._
+    val sizes = clusterSizes.select(col("doc_id"), col("cluster_size")).cache()
+    val u = conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
+      .cast("double") / lit(1152921504606846976.0)
+    val keyed = docs
+      .withWatermark("ts", watermark)
+      .select(col("doc_id").cast("long").as("doc_id"), col("ts"))
+      .join(sizes, Seq("doc_id"))
+      .select(
+        (floor(unix_millis(col("ts")) / windowMs).cast("long") * windowMs).as("win"),
+        col("doc_id"), col("cluster_size").cast("long").as("cluster_size"),
+        round(log(u) * col("cluster_size"), 6).as("skey"), col("ts"))
+      .as[(Long, Long, Long, Double, Timestamp)]
+    keyed.groupByKey(_._1)
+      .flatMapGroupsWithState[SampleState, WeightedPick](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (win: Long, it: Iterator[(Long, Long, Long, Double, Timestamp)],
+            state: GroupState[SampleState]) =>
+          if (state.hasTimedOut) {
+            val st = state.get
+            state.remove()
+            st.entries.sortBy { case (id, _, k) => (-k, id) }
+              .take(n).zipWithIndex
+              .map { case ((id, cs, k), i) =>
+                WeightedPick(new Timestamp(win), i + 1, id, cs, k)
+              }.iterator
+          } else {
+            val prev = state.getOption.map(_.entries).getOrElse(Seq.empty)
+            val merged = (prev ++ it.map(t => (t._2, t._3, t._4)))
+              .distinct
+              .sortBy { case (id, _, k) => (-k, id) }
+              .take(n)
+            state.update(SampleState(merged))
             state.setTimeoutTimestamp(
               math.max(win + windowMs, state.getCurrentWatermarkMs() + 1))
             Iterator.empty

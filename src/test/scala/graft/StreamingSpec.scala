@@ -937,6 +937,73 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming fuzzy match covers every batch fuzzy-ER best match with identical scores") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    val p = graft.core.Tables.part(spark, dir).select(col("p_partkey"), col("p_name"))
+    val catalog = p.select(col("p_partkey").as("key"), col("p_name").as("cname"))
+    val dropPos = (col("p_partkey") % 3 + 5).cast("int")
+    val arrivals = p.where(col("p_partkey") % 7 === 0 && length(col("p_name")) >= 8)
+      .select((col("p_partkey") + 10000000L).as("id"),
+        concat(col("p_name").substr(lit(1), dropPos - 1),
+          col("p_name").substr(dropPos + 1, lit(1000000))).as("name"))
+      .collect().map(r => (r.getLong(0), ts(1), r.getString(1)))
+    val input = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val q = StreamingOps.streamingFuzzyMatch(
+        input.toDF().toDF("id", "ts", "name"), catalog)
+      .writeStream.format("memory").queryName("fuzzy_stream_out")
+      .outputMode("append").start()
+    try {
+      input.addData(arrivals.toSeq)
+      q.processAllAvailable()
+      val got = spark.table("fuzzy_stream_out")
+        .select(col("id"), col("matched_key"), col("edit_distance"), round(col("jw"), 4))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+      assert(got.nonEmpty, "no stream candidates")
+      // every batch best-match row must appear among the stream candidates
+      val batch = graft.operators.Dedup.fuzzyEntityMatch(spark, dir).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+      assert(batch.nonEmpty && batch.subsetOf(got),
+        s"batch best matches missing from stream candidates: ${(batch -- got).take(3)}")
+    } finally q.stop()
+  }
+
+  test("streaming weighted sample equals the batch A-ES top-n at window close") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    val sizes = graft.operators.Dedup.dedupSoftWeights(spark, dir)
+      .select(col("doc_id"), col("cluster_size"))
+    val input = MemoryStream[Doc]
+    val q = StreamingOps.streamingWeightedSample(input.toDF(), sizes, n = 50)
+      .writeStream.format("memory").queryName("wsample_out")
+      .outputMode("append").start()
+    try {
+      val docs = graft.core.Tables.documents(spark, dir)
+        .select("doc_id", "text").collect()
+        .map(r => Doc(r.getLong(0), ts(1), "x"))
+      // two batches to exercise the cross-batch state merge
+      val (a, b) = docs.splitAt(docs.length / 2)
+      input.addData(a.toSeq)
+      input.addData(b.toSeq)
+      input.addData(Doc(-999999, ts(60), "advance"))
+      q.processAllAvailable()
+      val got = spark.table("wsample_out")
+        .where(col("win_start") === ts(0))
+        .select("rank", "doc_id", "cluster_size", "skey").collect()
+        .map(r => (r.getInt(0).toLong, r.getLong(1), r.getLong(2), r.getDouble(3)))
+        .sortBy(_._1).toSeq
+      val want = graft.operators.Dedup.softWeightSample(spark, dir, n = 50).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+        .sortBy(_._1).toSeq
+      assert(got.nonEmpty && got == want,
+        s"stream/batch weighted sample diverge:\n${got.take(3)}\nvs\n${want.take(3)}")
+    } finally q.stop()
+  }
+
   test("composed ingest pipeline (quality -> dedup -> window) matches batch survivor count") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
