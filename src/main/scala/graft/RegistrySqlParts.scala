@@ -32,4 +32,40 @@ private[graft] object RegistrySqlParts {
 
   private[graft] val stopwordsList = TextAnalysis.StopwordsEn.map(w => s"'$w'").mkString("[", ",", "]")
 
+  /** Unrolled greedy MMR chain (the Lloyd/pagerank oracle pattern), shared
+    * by `mmr_rerank` and the composed `rag_retrieval`: expects CTEs
+    * `cand(query_id, id, rel, vec)` and
+    * `cs(query_id, ia, ib, sim)` upstream; produces s1..sk (per-step
+    * picks) and p1..pk (selected sets). λ and its complement are SEPARATE
+    * literals — `1 − 0.7` ≠ `0.3` in binary doubles. */
+  private[graft] def mmrChainSql(k: Int = 5): String = {
+    val L = Similarity.MmrLambda
+    val C = Similarity.MmrLambdaComp
+    val steps = (2 to k).map { t =>
+      s"""sc$t AS (SELECT c.query_id, c.id, c.rel, $L*c.rel - $C*max(cs.sim) AS score
+             FROM cand c
+             LEFT JOIN p${t - 1} px ON px.query_id = c.query_id AND px.id = c.id
+             JOIN cs ON cs.query_id = c.query_id AND cs.ia = c.id
+             JOIN p${t - 1} sel ON sel.query_id = cs.query_id AND sel.id = cs.ib
+             WHERE px.id IS NULL
+             GROUP BY c.query_id, c.id, c.rel),
+      s$t AS (SELECT query_id, id, rel, score FROM (
+                SELECT *, row_number() OVER (PARTITION BY query_id
+                  ORDER BY score DESC, id ASC) AS rn FROM sc$t) WHERE rn = 1),
+      p$t AS (SELECT query_id, id FROM p${t - 1}
+              UNION ALL SELECT query_id, id FROM s$t)"""
+    }.mkString(",\n      ")
+    s"""s1 AS (SELECT query_id, id, rel, $L*rel AS score FROM (
+               SELECT *, row_number() OVER (PARTITION BY query_id
+                 ORDER BY $L*rel DESC, id ASC) AS rn FROM cand) WHERE rn = 1),
+      p1 AS (SELECT query_id, id FROM s1),
+      $steps"""
+  }
+
+  /** UNION ALL emission of the k MMR picks with 4-dp-rounded scores. */
+  private[graft] def mmrEmitSql(k: Int = 5): String =
+    (1 to k).map(t =>
+      s"SELECT query_id, CAST($t AS BIGINT) AS mmr_rank, id, round(rel, 4) AS rel, round(score, 4) AS score FROM s$t")
+      .mkString("\n      UNION ALL ")
+
 }

@@ -10,7 +10,7 @@ import graft.RegistrySqlParts._
 private[graft] object RegistryText {
 
   private[graft] def entries: Seq[(String, QFn, Option[String])] = Seq(
-    textStats, langId, tokenCount, docFingerprint, vocabTopKQ, lengthPctQ, percentileGateQ, tfIdfQ, repetitionScoreQ, bigramTopKQ, lmPerplexityQ, oovRateQ, boilerplateQ, piiRedactQ, qualityDecilesQ, tokenEntropyQ, bm25RetrievalQ, bm25PrfQ, bpeMergesQ, bpeEncodeQ, cmsTopkQ, featureHashQ, classifierGateQ, langClassifierGateQ, hybridRetrievalQ, gopherRulesQ)
+    textStats, langId, tokenCount, docFingerprint, vocabTopKQ, lengthPctQ, percentileGateQ, tfIdfQ, repetitionScoreQ, bigramTopKQ, lmPerplexityQ, oovRateQ, boilerplateQ, piiRedactQ, qualityDecilesQ, tokenEntropyQ, bm25RetrievalQ, bm25PrfQ, bpeMergesQ, bpeEncodeQ, cmsTopkQ, featureHashQ, classifierGateQ, langClassifierGateQ, hybridRetrievalQ, ragRetrievalQ, gopherRulesQ)
 
   // ---- text analysis --------------------------------------------------------
 
@@ -349,11 +349,10 @@ private[graft] object RegistryText {
   /** Hybrid BM25 + cosine retrieval fused by reciprocal ranks; both legs
     * reuse their parent queries' determinism contracts (rounded-decimal
     * BM25 sums, raw-double cosine ranks). */
-  private val hybridRetrievalQ: (String, QFn, Option[String]) = (
-    "hybrid_retrieval",
-    (s, d) => TextAnalysis.hybridRetrieval(s, d),
-    Some(s"""
-      WITH t AS (SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS term FROM documents),
+  /** Hybrid fusion CTE chain ending in `r(qid, doc_id, lex_rank, vec_rank,
+    * rrf, rank)` — shared by hybrid_retrieval and the composed
+    * rag_retrieval so the fusion arithmetic cannot drift between them. */
+  private val hybridCtes: String = s"""t AS (SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS term FROM documents),
       tc AS (SELECT doc_id, term, count(*) AS c FROM t WHERE term <> '' GROUP BY doc_id, term),
       dl AS (SELECT doc_id, sum(c) AS n FROM tc GROUP BY doc_id),
       st AS (SELECT count(*)::DOUBLE AS nd, sum(n)::DOUBLE / count(*) AS avgdl FROM dl),
@@ -395,9 +394,38 @@ private[graft] object RegistryText {
                   ON lex.qid = vec.qid AND lex.doc_id = vec.doc_id),
       r AS (SELECT qid, doc_id, lex_rank, vec_rank, rrf,
                    row_number() OVER (PARTITION BY qid ORDER BY rrf DESC, doc_id ASC) AS rank
-            FROM fused)
+            FROM fused)"""
+
+  private val hybridRetrievalQ: (String, QFn, Option[String]) = (
+    "hybrid_retrieval",
+    (s, d) => TextAnalysis.hybridRetrieval(s, d),
+    Some(s"""
+      WITH $hybridCtes
       SELECT qid, rank::BIGINT AS rank, doc_id, round(rrf, 6) AS rrf, lex_rank, vec_rank
       FROM r WHERE rank <= 10 ORDER BY qid, rank
+    """.trim))
+
+  /** Composed RAG retrieval: hybrid top-10 → per-query min-max
+    * normalization of the fused score → the shared MMR greedy chain. */
+  private val ragRetrievalQ: (String, QFn, Option[String]) = (
+    "rag_retrieval",
+    (s, d) => TextAnalysis.ragRetrieval(s, d),
+    Some(s"""
+      WITH $hybridCtes,
+      hyb AS (SELECT qid, doc_id, round(rrf, 6) AS rrf FROM r WHERE rank <= 10),
+      bounds AS (SELECT qid, min(rrf) AS mn, max(rrf) AS mx FROM hyb GROUP BY qid),
+      cand AS (SELECT hyb.qid AS query_id, hyb.doc_id AS id,
+                      CASE WHEN b.mx > b.mn THEN (hyb.rrf - b.mn) / (b.mx - b.mn)
+                           ELSE 0.0 END AS rel,
+                      e.embedding AS vec
+               FROM hyb JOIN bounds b USING (qid) JOIN e ON e.vec_id = hyb.doc_id),
+      cs AS (SELECT a.query_id, a.id AS ia, b.id AS ib,
+                    ${dotSql("a.vec", "b.vec")} /
+                      (sqrt(${dotSql("a.vec", "a.vec")}) * sqrt(${dotSql("b.vec", "b.vec")})) AS sim
+             FROM cand a JOIN cand b ON a.query_id = b.query_id AND a.id <> b.id),
+      ${mmrChainSql()}
+      ${mmrEmitSql()}
+      ORDER BY query_id, mmr_rank
     """.trim))
 
   /** BPE merge training, oracle-mirrored by unrolling the k iterations as

@@ -202,29 +202,10 @@ private[graft] object RegistryVector {
     * selected set p{t−1}) and takes the row_number=1 pick with ascending-id
     * ties, exactly the Spark-side greedy loop. λ and its complement are the
     * same two literals on both engines (`1 − 0.7` ≠ `0.3` in doubles). */
-  private val mmrRerankQ: (String, QFn, Option[String]) = {
-    val L = Similarity.MmrLambda
-    val C = Similarity.MmrLambdaComp
-    val steps = (2 to 5).map { t =>
-      s"""sc$t AS (SELECT c.query_id, c.id, c.rel, $L*c.rel - $C*max(cs.sim) AS score
-             FROM cand c
-             LEFT JOIN p${t - 1} px ON px.query_id = c.query_id AND px.id = c.id
-             JOIN cs ON cs.query_id = c.query_id AND cs.ia = c.id
-             JOIN p${t - 1} sel ON sel.query_id = cs.query_id AND sel.id = cs.ib
-             WHERE px.id IS NULL
-             GROUP BY c.query_id, c.id, c.rel),
-      s$t AS (SELECT query_id, id, rel, score FROM (
-                SELECT *, row_number() OVER (PARTITION BY query_id
-                  ORDER BY score DESC, id ASC) AS rn FROM sc$t) WHERE rn = 1),
-      p$t AS (SELECT query_id, id FROM p${t - 1}
-              UNION ALL SELECT query_id, id FROM s$t)"""
-    }.mkString(",\n      ")
-    val emit = (1 to 5).map(t =>
-      s"SELECT query_id, CAST($t AS BIGINT) AS mmr_rank, id, round(rel, 4) AS rel, round(score, 4) AS score FROM s$t")
-      .mkString("\n      UNION ALL ")
-    ("mmr_rerank",
-      (s: org.apache.spark.sql.SparkSession, d: String) => Similarity.mmrRerank(s, d),
-      Some(s"""
+  private val mmrRerankQ: (String, QFn, Option[String]) = (
+    "mmr_rerank",
+    (s, d) => Similarity.mmrRerank(s, d),
+    Some(s"""
       WITH e AS (SELECT vec_id, embedding, sqrt(${dotSql("embedding", "embedding")}) AS nrm
                  FROM embeddings),
       q AS (SELECT vec_id AS query_id, embedding AS qvec, nrm AS qn FROM e WHERE vec_id % 50 = 0),
@@ -238,15 +219,10 @@ private[graft] object RegistryVector {
                     ${dotSql("a.vec", "b.vec")} /
                       (sqrt(${dotSql("a.vec", "a.vec")}) * sqrt(${dotSql("b.vec", "b.vec")})) AS sim
              FROM cand a JOIN cand b ON a.query_id = b.query_id AND a.id <> b.id),
-      s1 AS (SELECT query_id, id, rel, $L*rel AS score FROM (
-               SELECT *, row_number() OVER (PARTITION BY query_id
-                 ORDER BY $L*rel DESC, id ASC) AS rn FROM cand) WHERE rn = 1),
-      p1 AS (SELECT query_id, id FROM s1),
-      $steps
-      $emit
+      ${mmrChainSql()}
+      ${mmrEmitSql()}
       ORDER BY query_id, mmr_rank
     """.trim))
-  }
 
   /** Selected-set agreement of ANN-served MMR vs the exact form — the gate
     * pattern: n_queries is oracle-recomputable, the floor flag a literal. */

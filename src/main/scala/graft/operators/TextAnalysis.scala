@@ -661,6 +661,35 @@ object TextAnalysis {
       .orderBy(col("qid"), col("rank"))
   }
 
+  /** Composed RAG retrieval — the full modern retrieval stack as ONE
+    * declarative query: the hybrid BM25+cosine RRF fusion supplies each
+    * query's top-10 shortlist, fused scores are min-max normalized onto
+    * [0,1] PER QUERY (raw RRF lives in [0, 2/(kRrf+1)] ≈ 0.033 — three
+    * orders below cosine similarity, which would reduce MMR to pure
+    * farthest-point selection), and the shared greedy MMR core
+    * ([[graft.operators.Similarity.mmrSelect]]) picks the final
+    * diversity-aware context set. Every stage keeps its parent's
+    * determinism contract (decimal BM25, raw-double cosine ranks,
+    * 6-dp-rounded fusion terms, 0.7/0.3 literals), so the whole pipeline
+    * hash-matches an oracle that composes the stages' own SQL. Scale:
+    * the hybrid legs end in bounded heaps; everything past them is
+    * shortlist-sized. */
+  def ragRetrieval(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("qid"))
+    val cand = hybridRetrieval(spark, dir)
+      .withColumn("mn", min(col("rrf")).over(w))
+      .withColumn("mx", max(col("rrf")).over(w))
+      .withColumn("rel", when(col("mx") > col("mn"),
+        (col("rrf") - col("mn")) / (col("mx") - col("mn"))).otherwise(lit(0.0)))
+      .join(Tables.embeddings(spark, dir)
+        .select(col("vec_id").as("doc_id"), col("embedding").as("vec")), "doc_id")
+      .select(col("qid").as("query_id"), col("doc_id").as("id"), col("rel"), col("vec"))
+    graft.operators.Similarity.mmrSelect(cand, k)
+      .select(col("query_id"), col("mmr_rank"), col("id"),
+        round(col("rel"), 4).as("rel"), round(col("score"), 4).as("score"))
+      .orderBy(col("query_id"), col("mmr_rank"))
+  }
+
   /** Per-(doc, term) token counts — the shared base frame of the lexical
     * retrieval leg. MEMOIZED + persisted per (session, dir): one action
     * over `hybridRetrieval`/`lexScores`/`fitBm25QueryModel` otherwise

@@ -1027,6 +1027,24 @@ class PipelineSpec extends AnyFunSuite {
       "expansion never changed any ranking — PRF is vacuous on this corpus")
   }
 
+  test("rag retrieval: rank-1 is the hybrid winner; MMR diversifies at least one query") {
+    val rag = TextAnalysis.ragRetrieval(spark, dir).collect()
+      .groupBy(_.getLong(0)).view.mapValues(
+        _.sortBy(_.getLong(1)).map(_.getAs[Long]("id")).toSeq).toMap
+    val hyb = TextAnalysis.hybridRetrieval(spark, dir).collect()
+      .groupBy(_.getLong(0)).view.mapValues(
+        _.sortBy(_.getLong(1)).map(_.getAs[Long]("doc_id")).toSeq).toMap
+    assert(rag.keySet == hyb.keySet, "every hybrid query must survive the MMR stage")
+    rag.keys.foreach { q =>
+      assert(rag(q).head == hyb(q).head,
+        s"q$q: MMR rank-1 must be the fusion winner (rel=1 dominates an empty penalty)")
+      assert(rag(q).toSet.subsetOf(hyb(q).take(10).toSet),
+        s"q$q: MMR picks must come from the hybrid shortlist")
+    }
+    assert(rag.keys.exists(q => rag(q) != hyb(q).take(rag(q).length)),
+      "MMR never reordered any query - diversity stage is vacuous")
+  }
+
   test("substring dedup: planted shared span is counted, unique doc scores zero") {
     import spark.implicits._
     val shared = (0 until 12).map(i => s"copy$i").mkString(" ")
