@@ -61,6 +61,9 @@ object GraftExtensions {
     ("simhash_sig",
       new ExpressionInfo(classOf[SimhashSig].getName, "simhash_sig"),
       unary("simhash_sig", "array<string>", SimhashSig(_))),
+    ("winnow_fps",
+      new ExpressionInfo(classOf[graft.functions.WinnowFingerprints].getName, "winnow_fps"),
+      unary("winnow_fps", "string", graft.functions.WinnowFingerprints(_))),
     ("jaro_winkler",
       new ExpressionInfo(classOf[graft.functions.JaroWinkler].getName, "jaro_winkler"),
       binary("jaro_winkler", graft.functions.JaroWinkler(_, _), "string, string")),

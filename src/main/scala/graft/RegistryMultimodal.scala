@@ -10,7 +10,7 @@ import graft.RegistrySqlParts._
 private[graft] object RegistryMultimodal {
 
   private[graft] def entries: Seq[(String, QFn, Option[String])] = Seq(
-    mmGzipQ, mmJoin, mmBinaryStats, mmMediaFeatures, mmThumbnailQ, mmFrameSampleQ, mmAudioSampleQ, mmImageDecodeQ, mmAudioDecodeQ, mmImageAhashQ, mmAudioFingerprintQ, mmImageNearDupQ, mmAudioNearDupQ, mmAudioNearDupGateQ, mmVideoNearDupQ, mmVideoNearDupGateQ, mmNearDupIncrementalQ, mmNearDupSurvivorsQ, mmNearDupClusterStatsQ, mmSoftWeightsQ)
+    mmGzipQ, mmJoin, mmBinaryStats, mmMediaFeatures, mmThumbnailQ, mmFrameSampleQ, mmAudioSampleQ, mmImageDecodeQ, mmAudioDecodeQ, mmImageAhashQ, imagePhashQ, mmAudioFingerprintQ, mmImageNearDupQ, mmAudioNearDupQ, mmAudioNearDupGateQ, mmVideoNearDupQ, mmVideoNearDupGateQ, mmNearDupIncrementalQ, mmNearDupSurvivorsQ, mmNearDupClusterStatsQ, mmSoftWeightsQ)
 
   // (pq_quantize / pq_search ride pq_gate — see the seeded-generator note
   // above; the functions remain exercised by the gate and QuantizationSpec.)
@@ -215,6 +215,38 @@ private[graft] object RegistryMultimodal {
              c.n_same > 1 AS is_dup
       FROM h JOIN c USING (ahash) ORDER BY doc_id
     """.trim))
+
+  /** pHash: the same 8×8 grid CTEs, then an exact-integer 2D DCT through
+    * the SHARED fixed-point cosine table (emitted verbatim as a VALUES
+    * literal — both engines use identical integers regardless of libm),
+    * 63 AC coefficients thresholded at their rank-32 value. */
+  private val imagePhashQ: (String, QFn, Option[String]) = {
+    val ctab = (for (u <- 0 until 8; x <- 0 until 8)
+      yield s"($u, $x, ${Multimodal.DctTable(u)(x)})").mkString(", ")
+    ("mm_image_phash",
+      (s: org.apache.spark.sql.SparkSession, d: String) => Multimodal.imagePhash(s, d),
+      Some(s"""
+      WITH ${imgSigCtes("ahash")},
+      ctab(u, x, c) AS (VALUES $ctab),
+      f AS (SELECT g.doc_id, cx.u AS u, cy.u AS v,
+                   sum(g.gv::BIGINT * cx.c::BIGINT * cy.c::BIGINT) AS coef
+            FROM g JOIN ctab cx ON cx.x = g.p % 8
+                   JOIN ctab cy ON cy.x = g.p // 8
+            GROUP BY g.doc_id, cx.u, cy.u),
+      med AS (SELECT doc_id, coef AS m FROM (
+                SELECT doc_id, coef, row_number() OVER (PARTITION BY doc_id
+                  ORDER BY coef) AS rn
+                FROM f WHERE NOT (u = 0 AND v = 0)) WHERE rn = 32),
+      ph AS (SELECT f.doc_id,
+                    string_agg(CASE WHEN coef > m THEN '1' ELSE '0' END,
+                               '' ORDER BY u * 8 + v) AS phash
+             FROM f JOIN med USING (doc_id)
+             WHERE NOT (u = 0 AND v = 0) GROUP BY f.doc_id),
+      cnt AS (SELECT phash, count(*) AS n FROM ph GROUP BY phash)
+      SELECT ph.doc_id, ph.phash, cnt.n::BIGINT AS n_same_hash, cnt.n > 1 AS is_dup
+      FROM ph JOIN cnt USING (phash) ORDER BY doc_id
+    """.trim))
+  }
 
   /** Audio envelope fingerprint from the same u16 sample formula as
     * mm_audio_sample: 64 windows (sample i → window i*64//m), bit j =

@@ -526,6 +526,82 @@ object Multimodal {
       .orderBy(col("doc_id"))
   }
 
+  /** Fixed-point 8-point DCT-II cosine table for [[imagePhash]]:
+    * C[u][x] = round(cos(π(2x+1)u/16)·1e6), with every u≠0 row SUM-
+    * CORRECTED to exactly zero (the x=0 entry absorbs the ≤2-unit rounding
+    * residue). The correction is what makes the DCT's brightness-shift
+    * invariance EXACT in integer arithmetic: a uniform +k on every pixel
+    * moves each AC coefficient by k·(Σ_x C[u][x])·(Σ_y C[v][y]) = 0, so
+    * the pHash provably cannot change (spec-asserted) — with the raw
+    * rounded table the residue could flip a near-median bit. The table is
+    * emitted verbatim as the oracle's VALUES literal, so both engines
+    * share identical integers regardless of libm. */
+  private[graft] val DctTable: Array[Array[Long]] = {
+    val t = Array.tabulate(8, 8) { (u, x) =>
+      math.round(math.cos(math.Pi * (2 * x + 1) * u / 16.0) * 1e6)
+    }
+    for (u <- 1 until 8) t(u)(0) -= t(u).sum
+    t
+  }
+
+  /** Perceptual DCT hash (pHash) — the LOW-FREQUENCY twin of the mean-
+    * threshold aHash: 2D DCT-II of the same deterministic 8×8 luma grid
+    * through the fixed-point table, 63 AC coefficients thresholded at
+    * their EXACT integer median (rank-32 of the sorted 63). Everything is
+    * exact integer arithmetic — grid values are byte-triple sums, the
+    * cosine table is a shared literal — so the oracle recomputes the
+    * identical 63-bit signature. Same is_dup/count emission as
+    * `mm_image_ahash`. */
+  def imagePhash(spark: SparkSession, dir: String): DataFrame = {
+    val hashed = phashOf(Tables.documents(spark, dir).select(col("doc_id"), col("text")))
+    val counts = hashed.groupBy(col("phash")).agg(count(lit(1)).as("n_same_hash"))
+    hashed.join(counts, Seq("phash"))
+      .select(col("doc_id"), col("phash"), col("n_same_hash"),
+        (col("n_same_hash") > 1).as("is_dup"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** (doc_id, phash) over any (doc_id, text) frame — spec surface. Grid
+    * eligibility and cell addressing mirror the thumbnail formula (and the
+    * imgSigCtes oracle) exactly. */
+  private[graft] def phashOf(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val t = DctTable
+    docs.select(col("doc_id").cast("long"), col("text"))
+      .where(length(col("text")) >= 24 &&
+        octet_length(encode(col("text"), "utf-8")) === length(col("text")) &&
+        floor(floor(length(col("text")) / 3) / 8) <= lit(1048576))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        it.map { case (id, text) =>
+          val raw = text.getBytes("UTF-8")
+          val w = raw.length / 3 / 8
+          val gv = Array.tabulate(64) { p =>
+            val off = 3 * ((p / 8) * w + (p % 8) * w / 8)
+            (raw(off) & 255) + (raw(off + 1) & 255) + (raw(off + 2) & 255)
+          }
+          val coefs = Array.tabulate(8, 8) { (u, v) =>
+            var s = 0L
+            var p = 0
+            while (p < 64) {
+              s += gv(p).toLong * t(u)(p % 8) * t(v)(p / 8)
+              p += 1
+            }
+            s
+          }
+          val ac = (for (u <- 0 until 8; v <- 0 until 8 if u != 0 || v != 0)
+            yield coefs(u)(v)).sorted
+          val med = ac(31)
+          val bits = new StringBuilder(63)
+          for (u <- 0 until 8; v <- 0 until 8 if u != 0 || v != 0)
+            bits.append(if (coefs(u)(v) > med) '1' else '0')
+          (id, bits.toString)
+        }
+      }
+      .toDF("doc_id", "phash")
+  }
+
   /** (doc_id, ahash) — the signature pass [[imageAhash]] and
     * [[imageNearDup]] share. Reads the UNCACHED thumbnail pass by
     * measurement: this decode is cheap byte arithmetic, and at sf0.1 the

@@ -28,6 +28,27 @@ class MediaGateSpec extends AnyFunSuite {
     assert(row.getBoolean(3), "no mutant landed in the 1..3 near band — gate is vacuous")
   }
 
+  test("pHash is EXACTLY invariant under a uniform brightness shift; aHash-style structure holds") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // deterministic ASCII "image" bytes in 'A'..'x' so a +1 shift stays
+    // ASCII-eligible; 8 rows of 24*8 bytes → w=64 grid base
+    val base = (0 until 1536).map(i => ('A' + (i * 37 % 56)).toChar).mkString
+    val shifted = base.map(c => (c + 1).toChar).mkString
+    val docs = Seq((1L, base), (2L, shifted)).toDF("doc_id", "text")
+    val ph = Multimodal.phashOf(docs).collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(ph.size == 2, "both synthetic images must be grid-eligible")
+    assert(ph(1L).length == 63 && ph(1L).exists(_ == '1') && ph(1L).exists(_ == '0'),
+      "pHash must be a non-degenerate 63-bit signature")
+    // uniform +1 per byte = +3 per grid cell: every AC coefficient moves by
+    // 3·(Σ C_u)(Σ C_v) = 0 under the sum-corrected table — bit-for-bit equal
+    assert(ph(1L) == ph(2L), "brightness shift changed the pHash — table correction broken")
+    // sanity: the registered query shape is consistent with ahash's
+    val q = Multimodal.imagePhash(spark, "/root/testdata/sf0.001")
+    assert(q.columns.toSeq == Seq("doc_id", "phash", "n_same_hash", "is_dup"))
+    assert(q.count() > 0)
+  }
+
   test("audio planted near-dup gate recovers exact and near pairs") {
     spark.sparkContext.setLogLevel("WARN")
     checkGate(Multimodal.audioNearDupGate(spark, "/root/testdata/sf0.001"))
