@@ -48,7 +48,7 @@ object SparkEntry {
     ordersByMonthQ, partTypeQ, acctbalStatsQ, approxDistinctQ, sessionizeBatchQ,
     partCubeQ, rollingRevenueQ, kmvDistinctQ, langPivotQ, priceDecilesQ,
     soleFailedSupplierQ, idleRichCustomersQ, saltedRevenueQ, smallQuantityQ,
-    retentionCohortsQ, orderRetentionQ
+    retentionCohortsQ, orderRetentionQ, copurchaseQ
   ) ++ PipelineRegistry.entries
 
   /** Q17-shape correlated scalar threshold, decorrelated; the compare is
@@ -669,6 +669,21 @@ object SparkEntry {
              round(c.n_users::DOUBLE / b.cohort_size, 4) AS retention
       FROM c JOIN b USING (cohort_week)
       ORDER BY cohort_week, age_weeks
+    """.stripMargin.trim))
+
+  /** Market-basket co-purchase pairs; order-keyed self-join (fanout
+    * bounded by items-per-order), top-N with full deterministic ties. */
+  private val copurchaseQ: (String, QFn, Option[String]) = (
+    "q27_copurchase",
+    (s, d) => Relational.copurchasePairs(s, d),
+    Some("""
+      WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      pr AS (SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, count(*) AS n_orders
+             FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+                                AND a.l_partkey < b.l_partkey
+             GROUP BY 1, 2)
+      SELECT part_a, part_b, n_orders FROM pr
+      ORDER BY n_orders DESC, part_a, part_b LIMIT 20
     """.stripMargin.trim))
 
   /** Multi-cohort yearly order retention (7 cohorts at sf0.01); age is a

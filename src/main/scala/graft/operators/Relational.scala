@@ -211,6 +211,26 @@ object Relational {
         sum(get_json_object(col("props"), "$.k").cast("long")).as("sum_k"))
       .orderBy(col("event_type"), col("hour"))
 
+  /** Co-purchase pair mining — the market-basket staple: part pairs
+    * appearing in the same order, ranked by co-occurrence. The self-join
+    * key is the ORDER, whose item count is bounded by the schema (≤7
+    * lineitems in TPC-H-shaped data), so per-key fanout is C(7,2) — the
+    * pair explosion is linear in orders by construction, unlike a
+    * part-keyed join (the hot-shingle lesson, solved here by data shape
+    * rather than a cap). Global top-N rides orderBy+limit →
+    * TakeOrderedAndProject. */
+  def copurchasePairs(spark: SparkSession, dir: String, topN: Int = 20): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    li.as("a").join(li.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_partkey") < col("b.l_partkey"))
+      .groupBy(col("a.l_partkey").as("part_a"), col("b.l_partkey").as("part_b"))
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy(col("n_orders").desc, col("part_a").asc, col("part_b").asc)
+      .limit(topN)
+  }
+
   /** Weekly retention cohorts — the product-analytics staple next to the
     * funnel (q10) and sessionization (q15): users grouped by first-event
     * week, each later active week counted as (cohort, age) cell, retention
