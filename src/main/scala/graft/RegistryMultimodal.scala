@@ -10,7 +10,7 @@ import graft.RegistrySqlParts._
 private[graft] object RegistryMultimodal {
 
   private[graft] def entries: Seq[(String, QFn, Option[String])] = Seq(
-    mmGzipQ, mmJoin, mmBinaryStats, mmMediaFeatures, mmThumbnailQ, mmFrameSampleQ, mmAudioSampleQ, mmImageDecodeQ, mmAudioDecodeQ, mmImageAhashQ, imagePhashQ, mmAudioFingerprintQ, mmImageNearDupQ, mmAudioNearDupQ, mmAudioNearDupGateQ, mmVideoNearDupQ, mmVideoNearDupGateQ, mmNearDupIncrementalQ, mmNearDupSurvivorsQ, mmNearDupClusterStatsQ, mmSoftWeightsQ)
+    mmGzipQ, mmJoin, mmBinaryStats, mmMediaFeatures, mmThumbnailQ, mmFrameSampleQ, mmAudioSampleQ, mmImageDecodeQ, mmAudioDecodeQ, mmImageAhashQ, imagePhashQ, imagePhashNearDupQ, mmAudioFingerprintQ, mmImageNearDupQ, mmAudioNearDupQ, mmAudioNearDupGateQ, mmVideoNearDupQ, mmVideoNearDupGateQ, mmNearDupIncrementalQ, mmNearDupSurvivorsQ, mmNearDupClusterStatsQ, mmSoftWeightsQ)
 
   // (pq_quantize / pq_search ride pq_gate — see the seeded-generator note
   // above; the functions remain exercised by the gate and QuantizationSpec.)
@@ -220,13 +220,12 @@ private[graft] object RegistryMultimodal {
     * the SHARED fixed-point cosine table (emitted verbatim as a VALUES
     * literal — both engines use identical integers regardless of libm),
     * 63 AC coefficients thresholded at their rank-32 value. */
-  private val imagePhashQ: (String, QFn, Option[String]) = {
+  /** pHash CTE chain ending in `ph(doc_id, phash)` — shared by the
+    * signature query and its Hamming-ball near-dup twin. */
+  private val phashCtes: String = {
     val ctab = (for (u <- 0 until 8; x <- 0 until 8)
       yield s"($u, $x, ${Multimodal.DctTable(u)(x)})").mkString(", ")
-    ("mm_image_phash",
-      (s: org.apache.spark.sql.SparkSession, d: String) => Multimodal.imagePhash(s, d),
-      Some(s"""
-      WITH ${imgSigCtes("ahash")},
+    s"""${imgSigCtes("ahash")},
       ctab(u, x, c) AS (VALUES $ctab),
       f AS (SELECT g.doc_id, cx.u AS u, cy.u AS v,
                    sum(g.gv::BIGINT * cx.c::BIGINT * cy.c::BIGINT) AS coef
@@ -241,12 +240,34 @@ private[graft] object RegistryMultimodal {
                     string_agg(CASE WHEN coef > m THEN '1' ELSE '0' END,
                                '' ORDER BY u * 8 + v) AS phash
              FROM f JOIN med USING (doc_id)
-             WHERE NOT (u = 0 AND v = 0) GROUP BY f.doc_id),
+             WHERE NOT (u = 0 AND v = 0) GROUP BY f.doc_id)"""
+  }
+
+  private val imagePhashQ: (String, QFn, Option[String]) = (
+    "mm_image_phash",
+    (s, d) => Multimodal.imagePhash(s, d),
+    Some(s"""
+      WITH $phashCtes,
       cnt AS (SELECT phash, count(*) AS n FROM ph GROUP BY phash)
       SELECT ph.doc_id, ph.phash, cnt.n::BIGINT AS n_same_hash, cnt.n > 1 AS is_dup
       FROM ph JOIN cnt USING (phash) ORDER BY doc_id
     """.trim))
-  }
+
+  /** Hamming-ball near-dups over the 63-bit pHash through the SAME
+    * pigeonhole chunk join as the aHash family (chunks 15/15/15/18);
+    * brute-force pairwise Hamming as the completeness oracle. */
+  private val imagePhashNearDupQ: (String, QFn, Option[String]) = (
+    "mm_phash_neardup",
+    (s, d) => Multimodal.phashNearDup(s, d),
+    Some(s"""
+      WITH $phashCtes,
+      p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   list_sum(list_transform(range(1, CAST(len(a.phash)+1 AS BIGINT)),
+                     i -> CASE WHEN substr(a.phash, i::INT, 1) <> substr(b.phash, i::INT, 1)
+                          THEN 1 ELSE 0 END))::BIGINT AS hamming
+            FROM ph a JOIN ph b ON a.doc_id < b.doc_id)
+      SELECT id_a, id_b, hamming FROM p WHERE hamming <= 3 ORDER BY id_a, id_b
+    """.trim))
 
   /** Audio envelope fingerprint from the same u16 sample formula as
     * mm_audio_sample: 64 windows (sample i → window i*64//m), bit j =

@@ -661,6 +661,13 @@ object Multimodal {
   def imageNearDup(spark: SparkSession, dir: String): DataFrame =
     bitstringNearDupPairs(ahashFrame(spark, dir).select(col("doc_id"), col("ahash").as("bits")))
 
+  /** [[imageNearDup]]'s DCT twin over the 63-bit pHash — low-frequency
+    * perceptual near-dups through the same pigeonhole chunk machinery
+    * (quarter chunks 15/15/15/18 bits at this width). */
+  def phashNearDup(spark: SparkSession, dir: String): DataFrame =
+    bitstringNearDupPairs(phashOf(Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"))).select(col("doc_id"), col("phash").as("bits")))
+
   /** [[imageNearDup]]'s audio twin over the 64-bit PCM envelope
     * fingerprint ([[afpOfWav]]). */
   def audioNearDup(spark: SparkSession, dir: String): DataFrame =
