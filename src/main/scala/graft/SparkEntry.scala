@@ -42,7 +42,7 @@ object SparkEntry {
     vamanaFanoutQ, vamanaFanoutGateQ, vamanaFanoutFilteredQ, vamanaFanoutFilteredGateQ,
     vamanaAdaptivePostfilterGateQ,
     vamanaRoundtripQ, vamanaInsertQ, vamanaDeleteQ, vamanaInsertGateQ, vamanaDeleteGateQ,
-    vamanaPqInsertGateQ,
+    vamanaPqInsertGateQ, vamanaPqDeleteGateQ,
     pricingQ, regionRevenueQ, topOrdersQ, orderPriorityQ, localSupplierQ,
     filteredRevenueQ, partRollupQ, segmentSetOpsQ, eventsHourlyQ, userFunnelQ,
     ordersByMonthQ, partTypeQ, acctbalStatsQ, approxDistinctQ, sessionizeBatchQ,
@@ -520,6 +520,15 @@ object SparkEntry {
     * memo pre-insert, insert, serve full-beam under the same cacheKey —
     * self-find + exact-overlap flags are theorems unless the memo serves
     * stale codes. */
+  /** Delete twin of the PQ-insert gate: 10 surviving-corpus queries, the
+    * ghost and full-beam-exactness flags as literals. */
+  private val vamanaPqDeleteGateQ: (String, QFn, Option[String]) = (
+    "vamana_pq_delete_gate",
+    (s, d) => graft.vamana.VamanaOps.vamanaPqDeleteGate(s, d),
+    Some("""
+      SELECT CAST(10 AS BIGINT) AS n_queries, TRUE AS no_ghosts, TRUE AS overlap_exact_ok
+    """.trim))
+
   private val vamanaPqInsertGateQ: (String, QFn, Option[String]) = (
     "vamana_pq_insert_gate",
     (s, d) => graft.vamana.VamanaOps.vamanaPqInsertGate(s, d),

@@ -55,6 +55,8 @@ object VamanaOps {
     deleteCache.clear()
     for ((_, f) <- pqInsertCache) f.unpersist()
     pqInsertCache.clear()
+    for ((_, f) <- pqDeleteCache) f.unpersist()
+    pqDeleteCache.clear()
     for ((_, f) <- fullBeamFanoutCache) f.unpersist()
     fullBeamFanoutCache.clear()
     for ((_, f) <- subVecCache) f.unpersist()
@@ -176,6 +178,49 @@ object VamanaOps {
     self.crossJoin(overlap).select(
       col("nq").as("n_inserted"),
       (col("nself") === col("nq")).as("self_found"),
+      col("overlap_exact_ok"))
+  }
+
+  private val pqDeleteCache = TrieMap.empty[String, FanoutModel]
+
+  /** PQ-fanout DELETE gate — the mutation twin of [[vamanaPqInsertGate]]
+    * and the end-to-end exercise of the per-shard code memo's MEMBERSHIP
+    * FINGERPRINT: the memo is warmed on the full corpus under `key`, the
+    * tail 50 points are deleted, and the SAME key serves again — under
+    * the old size-only stale guard a shard whose cardinality happened to
+    * survive unchanged would silently serve the deleted points' codes
+    * positionally; the id-fold fingerprint forces the re-encode. Full-
+    * beam PQ search over the survivors must return ZERO deleted ids and
+    * the exact per-query kNN set (pool = whole component regardless of
+    * ADC scores — the full-beam theorem). */
+  def vamanaPqDeleteGate(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val maxId = emb.agg(max(col("vec_id").cast("long"))).head().getLong(0)
+    val cut = math.max(maxId - 49, (maxId + 1) / 2)
+    val key = s"$dir#pq_delete_gate"
+    val fm = pqDeleteCache.getOrElseUpdate(dir, {
+      val base = VamanaFanout.fit(emb, defaultParams, numShards = 4)
+      // warm the per-shard code memo on the PRE-delete membership
+      VamanaPq.searchFanoutModel(base, Knn.queriesFromPoints(emb, 5), key,
+        k, fullBeam = false).count()
+      base.delete((cut to maxId).toArray)
+    })
+    val surviving = emb.where(col("vec_id") < cut)
+    val q = Knn.queriesFromPoints(surviving, 10)
+    val res = VamanaPq.searchFanoutModel(fm, q, key, k, fullBeam = true)
+    val exact = Knn.knnExact(surviving, q, k).select(col("query_id"), col("id"))
+    val g = res.agg(countDistinct(col("query_id")).as("nq"),
+      count(when(col("id") >= cut, 1)).as("nghost"))
+    val perQ = exact.select(col("query_id")).distinct()
+      .join(exact.join(res.select(col("query_id"), col("id")), Seq("query_id", "id"))
+          .groupBy(col("query_id")).agg(count(lit(1)).as("ov")),
+        Seq("query_id"), "left")
+      .select(coalesce(col("ov"), lit(0L)).as("ov"))
+    val overlap = perQ.agg(
+      (count(when(col("ov") === k, 1)) === count(lit(1))).as("overlap_exact_ok"))
+    g.crossJoin(overlap).select(
+      col("nq").as("n_queries"),
+      (col("nghost") === 0).as("no_ghosts"),
       col("overlap_exact_ok"))
   }
 
