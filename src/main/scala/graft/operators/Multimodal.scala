@@ -564,42 +564,59 @@ object Multimodal {
   /** (doc_id, phash) over any (doc_id, text) frame — spec surface. Grid
     * eligibility and cell addressing mirror the thumbnail formula (and the
     * imgSigCtes oracle) exactly. */
+  /** The per-doc pHash kernel — ONE definition shared by the batch query
+    * and the streaming ingest path so the two cannot drift. */
+  private[graft] def phashOfText(text: String): String = {
+    val t = DctTable
+    val raw = text.getBytes("UTF-8")
+    val w = raw.length / 3 / 8
+    val gv = Array.tabulate(64) { p =>
+      val off = 3 * ((p / 8) * w + (p % 8) * w / 8)
+      (raw(off) & 255) + (raw(off + 1) & 255) + (raw(off + 2) & 255)
+    }
+    val coefs = Array.tabulate(8, 8) { (u, v) =>
+      var s = 0L
+      var p = 0
+      while (p < 64) {
+        s += gv(p).toLong * t(u)(p % 8) * t(v)(p / 8)
+        p += 1
+      }
+      s
+    }
+    val ac = (for (u <- 0 until 8; v <- 0 until 8 if u != 0 || v != 0)
+      yield coefs(u)(v)).sorted
+    val med = ac(31)
+    val bits = new StringBuilder(63)
+    for (u <- 0 until 8; v <- 0 until 8 if u != 0 || v != 0)
+      bits.append(if (coefs(u)(v) > med) '1' else '0')
+    bits.toString
+  }
+
+  /** The grid-eligibility predicate shared by every pHash consumer. */
+  private[graft] def phashEligible: Column =
+    length(col("text")) >= 24 &&
+      octet_length(encode(col("text"), "utf-8")) === length(col("text")) &&
+      floor(floor(length(col("text")) / 3) / 8) <= lit(1048576)
+
   private[graft] def phashOf(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val t = DctTable
     docs.select(col("doc_id").cast("long"), col("text"))
-      .where(length(col("text")) >= 24 &&
-        octet_length(encode(col("text"), "utf-8")) === length(col("text")) &&
-        floor(floor(length(col("text")) / 3) / 8) <= lit(1048576))
+      .where(phashEligible)
       .as[(Long, String)]
-      .mapPartitions { it =>
-        it.map { case (id, text) =>
-          val raw = text.getBytes("UTF-8")
-          val w = raw.length / 3 / 8
-          val gv = Array.tabulate(64) { p =>
-            val off = 3 * ((p / 8) * w + (p % 8) * w / 8)
-            (raw(off) & 255) + (raw(off + 1) & 255) + (raw(off + 2) & 255)
-          }
-          val coefs = Array.tabulate(8, 8) { (u, v) =>
-            var s = 0L
-            var p = 0
-            while (p < 64) {
-              s += gv(p).toLong * t(u)(p % 8) * t(v)(p / 8)
-              p += 1
-            }
-            s
-          }
-          val ac = (for (u <- 0 until 8; v <- 0 until 8 if u != 0 || v != 0)
-            yield coefs(u)(v)).sorted
-          val med = ac(31)
-          val bits = new StringBuilder(63)
-          for (u <- 0 until 8; v <- 0 until 8 if u != 0 || v != 0)
-            bits.append(if (coefs(u)(v) > med) '1' else '0')
-          (id, bits.toString)
-        }
-      }
+      .mapPartitions(it => it.map { case (id, text) => (id, phashOfText(text)) })
       .toDF("doc_id", "phash")
+  }
+
+  /** (doc_id, ts, phash) — the streaming-ingest shape. */
+  private[graft] def phashWithTs(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long"), col("ts"), col("text"))
+      .where(phashEligible)
+      .as[(Long, java.sql.Timestamp, String)]
+      .mapPartitions(it => it.map { case (id, ts, text) => (id, ts, phashOfText(text)) })
+      .toDF("doc_id", "ts", "phash")
   }
 
   /** (doc_id, ahash) — the signature pass [[imageAhash]] and

@@ -324,6 +324,20 @@ object StreamingOps {
       .dropDuplicatesWithinWatermark("ahash")
       .select(col("doc_id"), col("ts"), col("ahash"))
 
+  /** [[streamingPerceptualDedup]]'s DCT twin: arriving docs fingerprint
+    * through the ONE shared exact-integer pHash kernel
+    * ([[graft.operators.Multimodal.phashOfText]] — the same function the
+    * batch `mm_image_phash` executes), and later arrivals whose 63-bit
+    * signature collides within the watermark are dropped. Because the
+    * sum-corrected DCT table makes the signature exactly invariant under
+    * uniform brightness shifts, this catches re-encoded/brightness-tweaked
+    * copies exact dedup and aHash can miss at the same horizon cost. */
+  def streamingPhashDedup(docs: DataFrame, watermark: String = "10 minutes"): DataFrame =
+    graft.operators.Multimodal.phashWithTs(docs)
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("phash")
+      .select(col("doc_id"), col("ts"), col("phash"))
+
   /** [[streamingPerceptualDedup]]'s AUDIO twin: each arriving doc runs the
     * SAME canonical-WAV synth + 64-bit envelope fingerprint as the batch
     * queries ([[graft.operators.Multimodal.afpOfWav]], bit-identity

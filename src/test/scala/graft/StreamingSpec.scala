@@ -937,6 +937,38 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming phash dedup drops signature collisions; signatures bit-match the batch pass") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    val input = MemoryStream[Doc]
+    val q = StreamingOps.streamingPhashDedup(input.toDF())
+      .writeStream.format("memory").queryName("phash_stream_out")
+      .outputMode("append").start()
+    try {
+      val docs = graft.core.Tables.documents(spark, dir)
+        .select("doc_id", "text").collect()
+        .map(r => Doc(r.getLong(0), ts(1), r.getString(1)))
+      input.addData(docs.toSeq)
+      q.processAllAvailable()
+      val got = spark.table("phash_stream_out")
+        .select("doc_id", "phash").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      val batch = graft.operators.Multimodal.imagePhash(spark, dir)
+        .select(col("doc_id"), col("phash"), col("n_same_hash")).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      assert(batch.nonEmpty)
+      // every surviving stream row carries the batch signature bit-for-bit
+      got.foreach { case (id, sig) =>
+        assert(batch.find(_._1 == id).exists(_._2 == sig), s"doc $id signature drifted")
+      }
+      // one survivor per distinct signature (collisions dropped)
+      assert(got.size == batch.map(_._2).distinct.length,
+        "survivor count must equal distinct signature count")
+    } finally q.stop()
+  }
+
   test("streaming fuzzy match covers every batch fuzzy-ER best match with identical scores") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
