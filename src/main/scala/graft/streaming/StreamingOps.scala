@@ -599,6 +599,23 @@ object StreamingOps {
       .where(col("keep") === 1)
       .select(col("doc_id"), col("ts"))
 
+  /** Streaming TRAINED language identification — the multi-class twin of
+    * [[streamingClassifierFilter]] and the production first-filter shape
+    * (fastText-langid at ingest): the batch-fitted one-vs-rest stack
+    * ([[graft.operators.LangClassifier.fit]]) rides to the stream as
+    * K×(width+1) quantized weight literals, and every arriving doc gets
+    * its argmax language from the SAME stateless integer-margin expression
+    * the batch scorer uses ([[graft.operators.LangClassifier.predictExpr]])
+    * — stream and batch labels are bit-identical by construction
+    * (spec-asserted). Narrow stateless projection: no state store, no
+    * shuffle, composes upstream of [[streamingQualityFilter]] /
+    * [[streamingDedup]] in an ingest pipeline that routes each language to
+    * its own cleaning config. */
+  def streamingLangClassify(docs: DataFrame,
+      model: graft.operators.LangClassifier.LangModel): DataFrame =
+    docs.select(col("doc_id").cast("long").as("doc_id"), col("ts"),
+      graft.operators.LangClassifier.predictExpr(model, col("text")).as("pred_lang"))
+
   /** Streaming HYBRID-RETRIEVAL lexical leg — ingest-side "score every
     * arriving doc against the standing query set": the corpus statistics
     * (per-query term idf + avgdl) are fit OFFLINE by

@@ -809,6 +809,44 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming language classifier agrees bit-for-bit with the batch-trained stack") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val model = graft.operators.LangClassifier.fit(spark)
+    val input = MemoryStream[Doc]
+    val q = StreamingOps.streamingLangClassify(input.toDF(), model)
+      .writeStream.format("memory").queryName("lang_out")
+      .outputMode("append").start()
+    try {
+      // real corpus docs plus function-word probes the stack must separate
+      val probes = Seq(
+        Doc(9000001L, ts(1), "the a and of to is in that it for data table"),
+        Doc(9000002L, ts(1), "der die das und ist ein nicht mit auf sie row"),
+        Doc(9000003L, ts(1), "le les et est une dans ce pour pas vous query"),
+        Doc(9000004L, ts(1), "el la los y es un que por no se filter"),
+        Doc(9000005L, ts(1), "shi zai bu wo you he ren ta men scan"))
+      val corpus = graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
+        .select("doc_id", "text").collect()
+        .map(r => Doc(r.getLong(0), ts(1), r.getString(1)))
+      val all = corpus.toSeq ++ probes
+      // batch ground truth: the shared predictExpr over the identical rows
+      val batch = all.toDF()
+        .select(col("doc_id"),
+          graft.operators.LangClassifier.predictExpr(model, col("text")).as("pred_lang"))
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      input.addData(all)
+      q.processAllAvailable()
+      val streamed = spark.table("lang_out").collect()
+        .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("pred_lang")).toMap
+      assert(streamed == batch,
+        s"stream/batch diverge on ${streamed.count { case (k, v) => batch.get(k) != Some(v) }} docs")
+      // non-degenerate: the probes must land on >=3 distinct languages
+      assert(probes.map(p => streamed(p.doc_id)).distinct.size >= 3,
+        streamed.filter { case (k, _) => k >= 9000000L })
+    } finally q.stop()
+  }
+
   test("streaming lexical retrieval scores agree bit-for-bit with the batch BM25 leg") {
     import org.apache.spark.sql.functions.col
     import spark.implicits._
