@@ -10,7 +10,7 @@ import graft.RegistrySqlParts._
 private[graft] object RegistryText {
 
   private[graft] def entries: Seq[(String, QFn, Option[String])] = Seq(
-    textStats, langId, tokenCount, docFingerprint, vocabTopKQ, lengthPctQ, percentileGateQ, tfIdfQ, repetitionScoreQ, bigramTopKQ, lmPerplexityQ, oovRateQ, boilerplateQ, piiRedactQ, qualityDecilesQ, tokenEntropyQ, bm25RetrievalQ, bm25PrfQ, bpeMergesQ, bpeEncodeQ, cmsTopkQ, featureHashQ, classifierGateQ, langClassifierGateQ, hybridRetrievalQ, ragRetrievalQ, gopherRulesQ)
+    textStats, langId, tokenCount, docFingerprint, vocabTopKQ, lengthPctQ, lengthMadQ, percentileGateQ, tfIdfQ, repetitionScoreQ, bigramTopKQ, lmPerplexityQ, oovRateQ, boilerplateQ, piiRedactQ, qualityDecilesQ, tokenEntropyQ, bm25RetrievalQ, bm25PrfQ, bpeMergesQ, bpeEncodeQ, cmsTopkQ, featureHashQ, classifierGateQ, langClassifierGateQ, hybridRetrievalQ, ragRetrievalQ, gopherRulesQ)
 
   // ---- text analysis --------------------------------------------------------
 
@@ -136,6 +136,28 @@ private[graft] object RegistryText {
              (SELECT n_chars FROM r WHERE r = CAST(ceil(0.5  * (SELECT c FROM n)) AS BIGINT)) AS p50_chars,
              (SELECT n_chars FROM r WHERE r = CAST(ceil(0.9  * (SELECT c FROM n)) AS BIGINT)) AS p90_chars,
              (SELECT n_chars FROM r WHERE r = CAST(ceil(0.99 * (SELECT c FROM n)) AS BIGINT)) AS p99_chars
+    """.trim))
+
+  /** Robust per-language length-outlier filter: median/MAD are exact
+    * binary fractions (halves then quarters) from the interpolated
+    * quantile_cont(0.5) both engines share, so the 3·MAD flags are
+    * bit-deterministic with no rounding contract. */
+  private val lengthMadQ: (String, QFn, Option[String]) = (
+    "length_mad_outliers",
+    (s, d) => TextAnalysis.lengthMadOutliers(s, d),
+    Some("""
+      WITH d AS (SELECT lang, n_chars FROM documents),
+      med AS (SELECT lang, median(n_chars) AS m FROM d GROUP BY 1),
+      dev AS (SELECT d.lang, abs(d.n_chars - med.m) AS dv, med.m AS m
+              FROM d JOIN med USING (lang)),
+      mad AS (SELECT lang, median(dv) AS md FROM dev GROUP BY 1)
+      SELECT dev.lang,
+             count(*)::BIGINT AS n_docs,
+             any_value(dev.m)::DOUBLE AS med_chars,
+             any_value(mad.md)::DOUBLE AS mad_chars,
+             (count(*) FILTER (dev.dv > 3 * mad.md))::BIGINT AS n_outliers
+      FROM dev JOIN mad USING (lang)
+      GROUP BY 1 ORDER BY 1
     """.trim))
 
   /** q14's HLL-gate pattern applied to the percentile sketch. */

@@ -406,6 +406,54 @@ object TextAnalysis {
       .toDF("n_docs", "p50_chars", "p90_chars", "p99_chars")
   }
 
+  /** Per-language MAD length-outlier detection — the ROBUST curation
+    * filter next to [[lengthPercentiles]]: median + median-absolute-
+    * deviation are immune to the heavy tails that drag a mean±kσ rule
+    * around (one 10 MB doc shifts a mean, not a median), so the
+    * `dev > 3·MAD` bar is the length filter a production cleaning pass
+    * actually ships. One corpus scan builds the (lang, n_chars) VALUE
+    * histogram (column-pruned to two columns — n_chars is a stored
+    * column, text never leaves the scan); medians ride the interpolated
+    * quantile_cont(0.5) formula over the histogram in driver arithmetic
+    * (bounded by distinct lengths × languages, the [[lengthPercentiles]]
+    * scale argument), and every quantity is an exact binary fraction
+    * (halves from the median of integers, quarters from the MAD of
+    * halves), so both engines agree bit-for-bit with no rounding
+    * contract. */
+  def lengthMadOutliers(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val hist = Tables.documents(spark, dir)
+      .groupBy(col("lang"), col("n_chars")).agg(count(lit(1)).as("c"))
+      .as[(String, Long, Long)].collect()
+    // quantile_cont(0.5) over a sorted (value, count) histogram — DuckDB's
+    // median formula: h = 0.5*(n-1) zero-indexed, interpolate v[k]..v[k+1]
+    def contMedian(h: Seq[(Double, Long)]): Double = {
+      val s = h.sortBy(_._1)
+      val n = s.map(_._2).sum
+      val pos = 0.5 * (n - 1)
+      val k = math.floor(pos).toLong
+      def at(rank: Long): Double = {
+        var acc = 0L
+        for ((v, c) <- s) { acc += c; if (acc > rank) return v }
+        s.last._1
+      }
+      val lo = at(k)
+      if (pos == k) lo else lo + (at(k + 1) - lo) * (pos - k)
+    }
+    val rows = hist.groupBy(_._1).toSeq.map { case (lang, rs) =>
+      val vh = rs.map { case (_, v, c) => (v.toDouble, c) }.toSeq
+      val n = vh.map(_._2).sum
+      val med = contMedian(vh)
+      val devH = vh.groupBy { case (v, _) => math.abs(v - med) }
+        .map { case (dv, g) => (dv, g.map(_._2).sum) }.toSeq
+      val mad = contMedian(devH)
+      val outliers = devH.collect { case (dv, c) if dv > 3 * mad => c }.sum
+      (lang, n, med, mad, outliers)
+    }
+    rows.toDF("lang", "n_docs", "med_chars", "mad_chars", "n_outliers")
+      .orderBy(col("lang"))
+  }
+
   /** Hash-checked gate for the percentile SKETCH (`approx_percentile`,
     * the KLL/GK-family estimator every monitoring pipeline leans on at
     * 100 TB where exact ranks need a full sort): emits the exact
