@@ -40,18 +40,42 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
     def r4(v: Double): Double = math.round(v * 10000).toDouble / 10000
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      // one UNTIMED warm-up run per query (when medians are requested):
-      // whichever query first touches a shared cached frame or compiles a
-      // codegen template otherwise pays that one-time cost inside its own
-      // median, and the attribution wanders between rounds as the query
-      // set evolves. With the warm-up, medians are steady-state and stable
-      // across consecutive runs.
-      if (iters > 1) timeOnce(fn)
-      val ts = Array.fill(iters)(timeOnce(fn)).sorted
-      name -> r4(ts(ts.length / 2))
+    // cached-storage footprint (MB) across all persisted RDDs — recorded
+    // per query so a BENCH_FULL reader can see cache pressure next to the
+    // wall time instead of re-running isolated triage
+    def storageMb(): Double =
+      r4(spark.sparkContext.getRDDStorageInfo.map(_.memSize).sum / 1e6)
+    val results = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    val storage = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    val familyStorage = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    for ((family, entries) <- SparkEntry.families) {
+      for ((name, fn, _) <- entries) {
+        // one UNTIMED warm-up run per query (when medians are requested):
+        // whichever query first touches a shared cached frame or compiles a
+        // codegen template otherwise pays that one-time cost inside its own
+        // median, and the attribution wanders between rounds as the query
+        // set evolves. With the warm-up, medians are steady-state and stable
+        // across consecutive runs.
+        if (iters > 1) timeOnce(fn)
+        val ts = Array.fill(iters)(timeOnce(fn)).sorted
+        results(name) = r4(ts(ts.length / 2))
+        storage(name) = storageMb()
+      }
+      familyStorage(family) = storageMb()
+      // shed this family's resident memo caches (pair frames, thumbnails,
+      // fitted models, term counts, PQ codes) before the next family runs:
+      // with 200+ queries in one JVM the accumulated memos otherwise
+      // distort later heavy queries by >10× (round-12 `embed_dim_cov`
+      // charged 25.6 s vs a 1.7 s isolated steady state). Base table
+      // caches stay resident — they are every family's shared input.
+      GraftCaches.clearMemos()
+      System.gc()
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val st = storage.map { case (k, v) => s"\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val fs = familyStorage.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = r4(if (results.nonEmpty) results.values.sum else 0.0)
     // the full per-query map (~2.5 KB at 115 queries) OVERFLOWS the
@@ -61,7 +85,7 @@ object Bench {
     // stdout gets only a short total line the window can always hold.
     val loadEnd = loadAvg()
     val fullJson =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","iters":$iters,"loadavg_start":${r4(loadStart)},"loadavg_end":${r4(loadEnd)},"host_cpus":${Runtime.getRuntime.availableProcessors()}}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"storage_mb_after":$st,"family_storage_mb":$fs,"sf":"$sfDir","iters":$iters,"loadavg_start":${r4(loadStart)},"loadavg_end":${r4(loadEnd)},"host_cpus":${Runtime.getRuntime.availableProcessors()}}"""
     try {
       java.nio.file.Files.write(
         java.nio.file.Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",

@@ -9,8 +9,16 @@ package graft
   */
 object GraftCaches {
 
-  def clearAll(): Unit = {
-    core.Tables.clearCache()
+  /** Evict every session-scoped OPERATOR memo (pair frames, thumbnails,
+    * fitted models, term counts, winnow/PQ indexes) while keeping the base
+    * table cache and function registrations. This is the bench-harness
+    * shape: between query families the JVM sheds the previous family's
+    * resident memos — which otherwise accumulate across 200+ queries and
+    * distort heavy queries' wall-clock charges (round-12 `embed_dim_cov`:
+    * 25.6 s charged vs 1.7 s isolated) — while the warmed input tables
+    * stay resident so per-query attribution is unchanged. Memos rebuild on
+    * demand; each query's untimed warm-up run absorbs that. */
+  def clearMemos(): Unit = {
     operators.Dedup.clearCaches()
     operators.Multimodal.clearCaches()
     operators.TextAnalysis.clearCaches()
@@ -20,9 +28,18 @@ object GraftCaches {
     operators.LangClassifier.clearCaches()
     vamana.VamanaOps.clearCaches()
     vamana.VamanaPq.clearCaches()
+    streaming.StreamingOps.clearCaches()
+  }
+
+  def clearAll(): Unit = {
+    core.Tables.clearCache()
+    clearMemos()
     functions.NativeVectorFunctions.clearRegistry()
     functions.TextExpressions.clearRegistry()
     functions.MinhashSigs.clearRegistry()
     functions.SimhashSig.clearRegistry()
+    functions.WinnowExpressions.clearRegistry()
+    functions.EditDistanceExpressions.clearRegistry()
+    functions.PhashExpressions.clearRegistry()
   }
 }

@@ -64,6 +64,9 @@ object GraftExtensions {
     ("winnow_fps",
       new ExpressionInfo(classOf[graft.functions.WinnowFingerprints].getName, "winnow_fps"),
       unary("winnow_fps", "string", graft.functions.WinnowFingerprints(_))),
+    ("phash_native",
+      new ExpressionInfo(classOf[graft.functions.PhashNative].getName, "phash_native"),
+      unary("phash_native", "string", graft.functions.PhashNative(_))),
     ("jaro_winkler",
       new ExpressionInfo(classOf[graft.functions.JaroWinkler].getName, "jaro_winkler"),
       binary("jaro_winkler", graft.functions.JaroWinkler(_, _), "string, string")),

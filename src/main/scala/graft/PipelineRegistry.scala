@@ -12,9 +12,18 @@ object PipelineRegistry {
 
   private type QFn = (SparkSession, String) => DataFrame
 
-  def entries: Seq[(String, QFn, Option[String])] =
-    (RegistryDedup.entries ++ RegistryText.entries ++ RegistryCorpus.entries ++
-      RegistryMultimodal.entries ++ RegistryVector.entries ++
-      RegistryLayoutTemporal.entries)
-      .map { case (n, f, o) => (n, f: QFn, o) }
+  /** Family-labelled registry blocks — the bench evicts session-scoped memo
+    * caches between families so 200+ queries sharing one JVM can't let one
+    * family's resident memos (pair frames, thumbnails, term counts) distort
+    * another family's wall-clock charge (the round-12 `embed_dim_cov`
+    * 25.6 s-vs-1.7 s-isolated lesson). */
+  def families: Seq[(String, Seq[(String, QFn, Option[String])])] = Seq(
+    "dedup" -> RegistryDedup.entries.map { case (n, f, o) => (n, f: QFn, o) },
+    "text" -> RegistryText.entries.map { case (n, f, o) => (n, f: QFn, o) },
+    "corpus" -> RegistryCorpus.entries.map { case (n, f, o) => (n, f: QFn, o) },
+    "multimodal" -> RegistryMultimodal.entries.map { case (n, f, o) => (n, f: QFn, o) },
+    "vector" -> RegistryVector.entries.map { case (n, f, o) => (n, f: QFn, o) },
+    "layout_temporal" -> RegistryLayoutTemporal.entries.map { case (n, f, o) => (n, f: QFn, o) })
+
+  def entries: Seq[(String, QFn, Option[String])] = families.flatMap(_._2)
 }

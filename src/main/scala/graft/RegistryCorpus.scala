@@ -10,7 +10,70 @@ import graft.RegistrySqlParts._
 private[graft] object RegistryCorpus {
 
   private[graft] def entries: Seq[(String, QFn, Option[String])] = Seq(
-    sampleHashQ, pipelineCleanQ, sampleStratifiedQ, docChunksQ, packSequencesQ, sampleMixtureQ, corpusShuffleQ, lengthBucketsQ, pipelineFullQ, docChunksCdcQ, shardManifestQ, splitAssignQ, splitLeakageSafeQ, dsirWeightQ, corpusStatsQ, domainCapQ, epochUpsampleQ, tokenBudgetQ, datasetDiffQ)
+    sampleHashQ, pipelineCleanQ, sampleStratifiedQ, docChunksQ, packSequencesQ, sampleMixtureQ, corpusShuffleQ, lengthBucketsQ, pipelineFullQ, docChunksCdcQ, shardManifestQ, splitAssignQ, splitLeakageSafeQ, dsirWeightQ, corpusStatsQ, domainCapQ, epochUpsampleQ, tokenBudgetQ, datasetDiffQ, urlCanonicalDedupQ)
+
+  /** Web-pipeline stage zero: the raw URLs are a deterministic id-derived
+    * fixture (eight surface spellings per canonical page — case, default
+    * port, fragment, tracking params, `/./` segments), and the oracle
+    * replays BOTH the derivation and every canonicalization rule in SQL,
+    * so the canonical strings themselves hash-match, not just counts. */
+  private val urlCanonicalDedupQ: (String, QFn, Option[String]) = (
+    "url_canonical_dedup",
+    (s, d) => CorpusPipeline.urlCanonicalDedup(s, d),
+    Some("""
+      WITH raw AS (
+        SELECT doc_id,
+          CASE doc_id % 8
+            WHEN 0 THEN 'https://h' || (doc_id % 50)::VARCHAR || '.example.com/p' || (doc_id % 200)::VARCHAR
+            WHEN 1 THEN 'HTTPS://H' || (doc_id % 50)::VARCHAR || '.EXAMPLE.COM/p' || (doc_id % 200)::VARCHAR
+            WHEN 2 THEN 'https://h' || (doc_id % 50)::VARCHAR || '.example.com:443/p' || (doc_id % 200)::VARCHAR
+            WHEN 3 THEN 'https://h' || (doc_id % 50)::VARCHAR || '.example.com/p' || (doc_id % 200)::VARCHAR || '#sec2'
+            WHEN 4 THEN 'https://h' || (doc_id % 50)::VARCHAR || '.example.com/p' || (doc_id % 200)::VARCHAR || '?utm_source=feed&q=' || (doc_id % 3)::VARCHAR
+            WHEN 5 THEN 'https://h' || (doc_id % 50)::VARCHAR || '.example.com/./p' || (doc_id % 200)::VARCHAR
+            WHEN 6 THEN 'https://h' || (doc_id % 50)::VARCHAR || '.example.com/p' || (doc_id % 200)::VARCHAR || '?utm_campaign=x&utm_medium=cpc'
+            ELSE 'HTTPS://H' || (doc_id % 50)::VARCHAR || '.EXAMPLE.COM:443/./p' || (doc_id % 200)::VARCHAR || '?fbclid=abc#frag'
+          END AS raw_url
+        FROM documents),
+      c1 AS (
+        SELECT doc_id, regexp_replace(raw_url, '#.*$', '') AS nf FROM raw),
+      c2 AS (
+        SELECT doc_id,
+               lower(regexp_extract(nf, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+               regexp_replace(nf, '^[A-Za-z][A-Za-z0-9+.-]*://', '') AS rest
+        FROM c1),
+      c3 AS (
+        SELECT doc_id, scheme, rest,
+               regexp_extract(rest, '^([^/?]*)', 1) AS hostport,
+               regexp_replace(rest, '^[^/?]*', '') AS pathq
+        FROM c2),
+      c4 AS (
+        SELECT doc_id, scheme, pathq,
+               lower(regexp_extract(hostport, '^([^:]*)', 1)) AS host,
+               regexp_extract(hostport, ':([0-9]+)$', 1) AS port,
+               regexp_extract(pathq, '^([^?]*)', 1) AS path0,
+               CASE WHEN contains(pathq, '?') THEN regexp_replace(pathq, '^[^?]*\?', '') ELSE '' END AS q0
+        FROM c3),
+      c5 AS (
+        SELECT doc_id, scheme, host,
+               CASE WHEN port = '' OR (scheme = 'https' AND port = '443')
+                      OR (scheme = 'http' AND port = '80')
+                    THEN '' ELSE ':' || port END AS portpart,
+               replace(replace(CASE WHEN path0 = '' THEN '/' ELSE path0 END,
+                 '/./', '/'), '/./', '/') AS pathr,
+               coalesce(array_to_string(list_filter(string_split(q0, '&'),
+                 x -> NOT regexp_matches(x, '^(utm_|fbclid|gclid)') AND x <> ''), '&'), '') AS qk
+        FROM c4),
+      canon AS (
+        SELECT doc_id, host,
+               scheme || '://' || host || portpart || pathr ||
+                 CASE WHEN qk = '' THEN '' ELSE '?' || qk END AS curl
+        FROM c5)
+      SELECT host, count(*)::BIGINT AS n_raw,
+             count(DISTINCT curl)::BIGINT AS n_canonical,
+             (count(*) - count(DISTINCT curl))::BIGINT AS n_dup,
+             min(curl) AS sample_url
+      FROM canon GROUP BY host ORDER BY host
+    """.trim))
 
   /** Buckets are md5-derived on both sides; the en-doc subset is DSIR's
     * target distribution stand-in. */

@@ -26,6 +26,22 @@ private[graft] object RegistrySqlParts {
   private[graft] def dotSql(a: String, b: String): String =
     s"list_sum(list_transform(range(1, len($a)+1), i -> ($a[i]::DOUBLE) * ($b[i]::DOUBLE)))"
 
+  /** Sub-vector dot for the MaxSim late-interaction scorer: ⟨a_i, b_j⟩
+    * over the [[Similarity.MaxSimGroups]] contiguous slices. */
+  private[graft] def dotSubSql(a: String, ai: Int, b: String, bj: Int): String = {
+    val g = s"(len($a)//${Similarity.MaxSimGroups})"
+    s"list_sum(list_transform(range(0, $g), " +
+      s"t -> ($a[1 + $ai*$g + t]::DOUBLE) * ($b[1 + $bj*$g + t]::DOUBLE)))"
+  }
+
+  /** The full MaxSim score Σ_i max_j ⟨a_i, b_j⟩ as one SQL expression. */
+  private[graft] def maxSimSql(a: String, b: String): String =
+    (0 until Similarity.MaxSimGroups).map { i =>
+      (0 until Similarity.MaxSimGroups)
+        .map(j => dotSubSql(a, i, b, j))
+        .mkString("greatest(", ", ", ")")
+    }.mkString(" + ")
+
   private[graft] def l2Sql(a: String, b: String): String =
     s"list_sum(list_transform(range(1, len($a)+1), i -> " +
       s"(($a[i]::DOUBLE) - ($b[i]::DOUBLE)) * (($a[i]::DOUBLE) - ($b[i]::DOUBLE))))"

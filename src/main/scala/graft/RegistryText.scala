@@ -10,7 +10,7 @@ import graft.RegistrySqlParts._
 private[graft] object RegistryText {
 
   private[graft] def entries: Seq[(String, QFn, Option[String])] = Seq(
-    textStats, langId, tokenCount, docFingerprint, vocabTopKQ, lengthPctQ, lengthMadQ, percentileGateQ, tfIdfQ, repetitionScoreQ, bigramTopKQ, lmPerplexityQ, oovRateQ, boilerplateQ, piiRedactQ, qualityDecilesQ, tokenEntropyQ, bm25RetrievalQ, bm25PrfQ, bpeMergesQ, bpeEncodeQ, cmsTopkQ, featureHashQ, classifierGateQ, langClassifierGateQ, hybridRetrievalQ, ragRetrievalQ, gopherRulesQ)
+    textStats, langId, tokenCount, docFingerprint, vocabTopKQ, lengthPctQ, lengthMadQ, percentileGateQ, tfIdfQ, repetitionScoreQ, bigramTopKQ, lmPerplexityQ, oovRateQ, boilerplateQ, piiRedactQ, qualityDecilesQ, tokenEntropyQ, bm25RetrievalQ, bm25PrfQ, bpeMergesQ, bpeEncodeQ, cmsTopkQ, featureHashQ, classifierGateQ, langClassifierGateQ, hybridRetrievalQ, ragRetrievalQ, ragRerankQ, gopherRulesQ)
 
   // ---- text analysis --------------------------------------------------------
 
@@ -448,6 +448,43 @@ private[graft] object RegistryText {
       ${mmrChainSql()}
       ${mmrEmitSql()}
       ORDER BY query_id, mmr_rank
+    """.trim))
+
+  /** Cross-encoder-shaped final rerank of the composed RAG context set:
+    * the MMR picks (replayed through the same unrolled greedy chain) are
+    * re-scored by the MaxSim pairwise arithmetic and re-ranked. The
+    * oracle composes rag_retrieval's full CTE stack plus the shared
+    * 16-sub-dot MaxSim expression ([[RegistrySqlParts.maxSimSql]]). */
+  private val ragRerankQ: (String, QFn, Option[String]) = (
+    "rag_rerank",
+    (s, d) => TextAnalysis.ragRerank(s, d),
+    Some(s"""
+      WITH $hybridCtes,
+      hyb AS (SELECT qid, doc_id, round(rrf, 6) AS rrf FROM r WHERE rank <= 10),
+      bounds AS (SELECT qid, min(rrf) AS mn, max(rrf) AS mx FROM hyb GROUP BY qid),
+      cand AS (SELECT hyb.qid AS query_id, hyb.doc_id AS id,
+                      CASE WHEN b.mx > b.mn THEN (hyb.rrf - b.mn) / (b.mx - b.mn)
+                           ELSE 0.0 END AS rel,
+                      e.embedding AS vec
+               FROM hyb JOIN bounds b USING (qid) JOIN e ON e.vec_id = hyb.doc_id),
+      cs AS (SELECT a.query_id, a.id AS ia, b.id AS ib,
+                    ${dotSql("a.vec", "b.vec")} /
+                      (sqrt(${dotSql("a.vec", "a.vec")}) * sqrt(${dotSql("b.vec", "b.vec")})) AS sim
+             FROM cand a JOIN cand b ON a.query_id = b.query_id AND a.id <> b.id),
+      ${mmrChainSql()},
+      picks AS (${(1 to 5).map(t =>
+        s"SELECT query_id, CAST($t AS BIGINT) AS mmr_rank, id FROM s$t")
+        .mkString("\n        UNION ALL ")}),
+      ce AS (SELECT p.query_id, p.mmr_rank, p.id,
+                    ${maxSimSql("qe.embedding", "de.embedding")} AS ces
+             FROM picks p
+             JOIN e qe ON qe.vec_id = p.query_id
+             JOIN e de ON de.vec_id = p.id),
+      rr AS (SELECT query_id, mmr_rank, id, ces,
+                    row_number() OVER (PARTITION BY query_id ORDER BY ces DESC, id ASC) AS ce_rank
+             FROM ce)
+      SELECT query_id, ce_rank::BIGINT AS ce_rank, id, round(ces, 4) AS ce_score, mmr_rank
+      FROM rr ORDER BY query_id, ce_rank
     """.trim))
 
   /** BPE merge training, oracle-mirrored by unrolling the k iterations as

@@ -18,12 +18,10 @@ private[graft] object RegistryVector {
     * doc group `bj` of [[Similarity.MaxSimGroups]] equal contiguous
     * slices (g = len//groups, element t of a slice is 1 + group·g + t) —
     * ascending accumulation, the same operation sequence as the Spark
-    * `dotNative`-over-`slice` side. */
-  private def dotSubSql(a: String, ai: Int, b: String, bj: Int): String = {
-    val g = s"(len($a)//${Similarity.MaxSimGroups})"
-    s"list_sum(list_transform(range(0, $g), " +
-      s"t -> ($a[1 + $ai*$g + t]::DOUBLE) * ($b[1 + $bj*$g + t]::DOUBLE)))"
-  }
+    * `dotNative`-over-`slice` side. Shared with rag_rerank's oracle via
+    * [[RegistrySqlParts]]. */
+  private def dotSubSql(a: String, ai: Int, b: String, bj: Int): String =
+    RegistrySqlParts.dotSubSql(a, ai, b, bj)
 
   /** Prefix squared-L2 over the first `p` dimensions (the Matryoshka
     * ranking stage) — range-indexed, no list slicing. */

@@ -34,22 +34,28 @@ object SparkEntry {
 
   private type QFn = (SparkSession, String) => DataFrame
 
-  private def registry: Seq[(String, QFn, Option[String])] = Seq(
-    knnExactQ, knnExactAggQ, knnFilteredQ, medoidExactQ, argminNearestQ,
-    vamanaFilteredQ,
-    vamanaSearchQ, vamanaOverlapQ, vamanaRecallQ, vamanaStartQ, vamanaStartGateQ,
-    vamanaDescribeQ, vamanaDegreeQ, vamanaConnectivityQ,
-    vamanaFanoutQ, vamanaFanoutGateQ, vamanaFanoutFilteredQ, vamanaFanoutFilteredGateQ,
-    vamanaAdaptivePostfilterGateQ,
-    vamanaRoundtripQ, vamanaInsertQ, vamanaDeleteQ, vamanaInsertGateQ, vamanaDeleteGateQ,
-    vamanaPqInsertGateQ, vamanaPqDeleteGateQ,
-    pricingQ, regionRevenueQ, topOrdersQ, orderPriorityQ, localSupplierQ,
-    filteredRevenueQ, partRollupQ, segmentSetOpsQ, eventsHourlyQ, userFunnelQ,
-    ordersByMonthQ, partTypeQ, acctbalStatsQ, approxDistinctQ, sessionizeBatchQ,
-    partCubeQ, rollingRevenueQ, kmvDistinctQ, langPivotQ, priceDecilesQ,
-    soleFailedSupplierQ, idleRichCustomersQ, saltedRevenueQ, smallQuantityQ,
-    retentionCohortsQ, orderRetentionQ, copurchaseQ
-  ) ++ PipelineRegistry.entries
+  /** Family-labelled blocks — consumed by the bench's between-family memo
+    * eviction ([[Bench]]) and flattened into [[queries]]/[[oracleSql]]. */
+  private[graft] def families: Seq[(String, Seq[(String, QFn, Option[String])])] = Seq(
+    "vamana" -> Seq(
+      knnExactQ, knnExactAggQ, knnFilteredQ, medoidExactQ, argminNearestQ,
+      vamanaFilteredQ,
+      vamanaSearchQ, vamanaOverlapQ, vamanaRecallQ, vamanaStartQ, vamanaStartGateQ,
+      vamanaDescribeQ, vamanaDegreeQ, vamanaConnectivityQ,
+      vamanaFanoutQ, vamanaFanoutGateQ, vamanaFanoutFilteredQ, vamanaFanoutFilteredGateQ,
+      vamanaAdaptivePostfilterGateQ,
+      vamanaRoundtripQ, vamanaInsertQ, vamanaDeleteQ, vamanaInsertGateQ, vamanaDeleteGateQ,
+      vamanaPqInsertGateQ, vamanaPqDeleteGateQ),
+    "relational" -> Seq(
+      pricingQ, regionRevenueQ, topOrdersQ, orderPriorityQ, localSupplierQ,
+      filteredRevenueQ, partRollupQ, segmentSetOpsQ, eventsHourlyQ, userFunnelQ,
+      ordersByMonthQ, partTypeQ, acctbalStatsQ, approxDistinctQ, sessionizeBatchQ,
+      partCubeQ, rollingRevenueQ, kmvDistinctQ, langPivotQ, priceDecilesQ,
+      soleFailedSupplierQ, idleRichCustomersQ, saltedRevenueQ, smallQuantityQ,
+      retentionCohortsQ, orderRetentionQ, copurchaseQ)
+  ) ++ PipelineRegistry.families
+
+  private def registry: Seq[(String, QFn, Option[String])] = families.flatMap(_._2)
 
   /** Q17-shape correlated scalar threshold, decorrelated; the compare is
     * cross-multiplied decimal (no division) so the edge cases match. */

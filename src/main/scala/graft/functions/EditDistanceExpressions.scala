@@ -23,26 +23,30 @@ import org.apache.spark.unsafe.types.UTF8String
   * route can't express the two-pointer matching loop at all. The kernel is a
   * static Java-callable method so `doGenCode` stays inside whole-stage
   * codegen as a single static call — the same shape Spark's own
-  * `levenshtein` uses (`UTF8String.levenshteinDistance`). Operates on UTF-16
-  * code units; for the ASCII entity names it scores this matches DuckDB's
-  * codepoint semantics exactly.
+  * `levenshtein` uses (`UTF8String.levenshteinDistance`). Operates on
+  * Unicode CODE POINTS (not UTF-16 code units), so supplementary-plane
+  * input (emoji, rare CJK) matches DuckDB's codepoint semantics too, not
+  * just the BMP.
   */
 object JaroWinklerImpl {
 
   def compute(a: UTF8String, b: UTF8String): Double =
     computeStr(a.toString, b.toString)
 
-  def computeStr(s1: String, s2: String): Double = {
+  def computeStr(s1: String, s2: String): Double =
+    computeCp(s1.codePoints().toArray, s2.codePoints().toArray)
+
+  private def computeCp(s1: Array[Int], s2: Array[Int]): Double = {
     val j = jaro(s1, s2)
     if (j > 0.7) {
       var p = 0
       val pMax = math.min(4, math.min(s1.length, s2.length))
-      while (p < pMax && s1.charAt(p) == s2.charAt(p)) p += 1
+      while (p < pMax && s1(p) == s2(p)) p += 1
       j + p * 0.1 * (1.0 - j)
     } else j
   }
 
-  private def jaro(s1: String, s2: String): Double = {
+  private def jaro(s1: Array[Int], s2: Array[Int]): Double = {
     val l1 = s1.length
     val l2 = s2.length
     if (l1 == 0 || l2 == 0) return 0.0
@@ -57,7 +61,7 @@ object JaroWinklerImpl {
       var j = lo
       var found = false
       while (j <= hi && !found) {
-        if (!m2(j) && s1.charAt(i) == s2.charAt(j)) {
+        if (!m2(j) && s1(i) == s2(j)) {
           m1(i) = true; m2(j) = true; m += 1; found = true
         }
         j += 1
@@ -71,7 +75,7 @@ object JaroWinklerImpl {
     while (i < l1) {
       if (m1(i)) {
         while (!m2(k)) k += 1
-        if (s1.charAt(i) != s2.charAt(k)) t += 1
+        if (s1(i) != s2(k)) t += 1
         k += 1
       }
       i += 1

@@ -467,6 +467,98 @@ object CorpusPipeline {
     datasetDiffFrames(v1, v2)
   }
 
+  /** Canonical form of a raw URL — web-pipeline STAGE ZERO: every
+    * CommonCrawl-derived corpus dedups per canonical URL before any
+    * content hashing, because the same page arrives under dozens of
+    * surface spellings. Rules (each pure string arithmetic, so the DuckDB
+    * oracle replays them verbatim):
+    *
+    *   1. fragment stripped (`#...` never reaches the server);
+    *   2. scheme and host lowercased (RFC 3986 §6.2.2.1 — path stays
+    *      case-sensitive);
+    *   3. default ports dropped (`:443` for https, `:80` for http; any
+    *      other port is meaningful and kept);
+    *   4. `/./` path segments resolved (two replace passes — handles up
+    *      to three CONSECUTIVE `.` segments, the practical bound; a full
+    *      RFC 3986 §5.2.4 resolver would also need `..`);
+    *   5. tracking query params dropped (`utm_*`, `fbclid`, `gclid`),
+    *      OTHER params kept in original order — `?q=7` changes the page,
+    *      `?utm_source=feed` does not; an all-params-survive query keeps
+    *      its `?`, an all-tracking query loses it;
+    *   6. empty path → `/` (https://x.com and https://x.com/ are one
+    *      resource).
+    *
+    * Everything is a codegen'd string builtin except the param filter (a
+    * higher-order `filter` over the `&`-split — a handful of elements per
+    * row, not a hot loop). */
+  def canonicalizeUrl(url: Column): Column = {
+    val noFrag = regexp_replace(url, "#.*$", "")
+    val scheme = lower(regexp_extract(noFrag, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    val rest = regexp_replace(noFrag, "^[A-Za-z][A-Za-z0-9+.-]*://", "")
+    val hostport = regexp_extract(rest, "^([^/?]*)", 1)
+    val host = lower(regexp_extract(hostport, "^([^:]*)", 1))
+    val port = regexp_extract(hostport, ":([0-9]+)$", 1)
+    val portPart = when(port === "" ||
+        (scheme === "https" && port === "443") ||
+        (scheme === "http" && port === "80"), lit(""))
+      .otherwise(concat(lit(":"), port))
+    val pathq = regexp_replace(rest, "^[^/?]*", "")
+    val path0 = regexp_extract(pathq, "^([^?]*)", 1)
+    val path1 = when(path0 === "", lit("/")).otherwise(path0)
+    val pathR = replace(replace(path1, lit("/./"), lit("/")), lit("/./"), lit("/"))
+    val q0 = when(pathq.contains("?"),
+      regexp_replace(pathq, "^[^?]*\\?", "")).otherwise(lit(""))
+    val qKept = array_join(filter(split(q0, "&"),
+      x => !x.rlike("^(utm_|fbclid|gclid)") && x =!= ""), "&")
+    concat(scheme, lit("://"), host, portPart, pathR,
+      when(qKept === "", lit("")).otherwise(concat(lit("?"), qKept)))
+  }
+
+  /** Deterministic URL fixture over doc ids — the planted-fixture pattern
+    * (the testdata carries no URL column): eight surface spellings per
+    * canonical page, one per `doc_id % 8` class, each exercising a
+    * different [[canonicalizeUrl]] rule. The DuckDB oracle derives the
+    * identical strings, so the canonicalization arithmetic itself is
+    * hash-checked, not just the group counts. */
+  private[graft] def syntheticUrl(id: Column): Column = {
+    val h = concat(lit("h"), (id % 50).cast("string"), lit(".example.com"))
+    val hU = upper(h)
+    val p = concat(lit("/p"), (id % 200).cast("string"))
+    when(id % 8 === 0, concat(lit("https://"), h, p))
+      .when(id % 8 === 1, concat(lit("HTTPS://"), hU, p))
+      .when(id % 8 === 2, concat(lit("https://"), h, lit(":443"), p))
+      .when(id % 8 === 3, concat(lit("https://"), h, p, lit("#sec2")))
+      .when(id % 8 === 4, concat(lit("https://"), h, p,
+        lit("?utm_source=feed&q="), (id % 3).cast("string")))
+      .when(id % 8 === 5, concat(lit("https://"), h, lit("/."), p))
+      .when(id % 8 === 6, concat(lit("https://"), h, p,
+        lit("?utm_campaign=x&utm_medium=cpc")))
+      .otherwise(concat(lit("HTTPS://"), hU, lit(":443/."), p,
+        lit("?fbclid=abc#frag")))
+  }
+
+  /** Per-host URL dedup — the registered stage-zero query: canonicalize
+    * every raw URL, then per host report raw count, distinct canonical
+    * count, the dup surplus, and the lexicographic-min canonical URL (so
+    * the canonical STRINGS are hash-verified). Scale shape: one narrow
+    * per-row canonicalization pass (no UDF, no encoder), then a single
+    * groupBy(host) with map-side partial counts — at 100 TB the hosts are
+    * millions of keys, far below the shuffle's capacity, and the
+    * count(DISTINCT curl) expands to the standard two-phase plan keyed by
+    * (host, curl), both map-side combinable. */
+  def urlCanonicalDedup(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), syntheticUrl(col("doc_id")).as("raw_url"))
+      .withColumn("curl", canonicalizeUrl(col("raw_url")))
+      .withColumn("host", regexp_extract(col("curl"), "^[a-z]+://([^/:?]*)", 1))
+      .groupBy(col("host"))
+      .agg(count(lit(1)).as("n_raw"),
+        countDistinct(col("curl")).as("n_canonical"),
+        min(col("curl")).as("sample_url"))
+      .withColumn("n_dup", col("n_raw") - col("n_canonical"))
+      .select(col("host"), col("n_raw"), col("n_canonical"), col("n_dup"), col("sample_url"))
+      .orderBy(col("host"))
+
   /** The general two-snapshot diff [[datasetDiff]] demonstrates. */
   def datasetDiffFrames(v1: DataFrame, v2: DataFrame): DataFrame = {
     val a = v1.select(col("doc_id"), md5(col("text")).as("h1"))

@@ -561,11 +561,12 @@ object Multimodal {
       .orderBy(col("doc_id"))
   }
 
-  /** (doc_id, phash) over any (doc_id, text) frame — spec surface. Grid
-    * eligibility and cell addressing mirror the thumbnail formula (and the
-    * imgSigCtes oracle) exactly. */
-  /** The per-doc pHash kernel — ONE definition shared by the batch query
-    * and the streaming ingest path so the two cannot drift. */
+  /** The per-doc pHash arithmetic as plain Scala — the SPEC TWIN of the
+    * production kernel [[graft.functions.PhashImpl]] (a codegen expression;
+    * bit-identity across the full corpus is asserted in MediaGateSpec).
+    * Batch and streaming both serve from the expression ([[phashOf]] /
+    * [[phashWithTs]]); this form stays as the readable executable
+    * definition the imgSigCtes oracle mirrors. */
   private[graft] def phashOfText(text: String): String = {
     val t = DctTable
     val raw = text.getBytes("UTF-8")
@@ -600,23 +601,19 @@ object Multimodal {
 
   private[graft] def phashOf(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
-    import spark.implicits._
-    docs.select(col("doc_id").cast("long"), col("text"))
+    docs.select(col("doc_id").cast("long").as("doc_id"), col("text"))
       .where(phashEligible)
-      .as[(Long, String)]
-      .mapPartitions(it => it.map { case (id, text) => (id, phashOfText(text)) })
-      .toDF("doc_id", "phash")
+      .select(col("doc_id"),
+        graft.functions.PhashExpressions.phashNative(spark, col("text")).as("phash"))
   }
 
   /** (doc_id, ts, phash) — the streaming-ingest shape. */
   private[graft] def phashWithTs(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
-    import spark.implicits._
-    docs.select(col("doc_id").cast("long"), col("ts"), col("text"))
+    docs.select(col("doc_id").cast("long").as("doc_id"), col("ts"), col("text"))
       .where(phashEligible)
-      .as[(Long, java.sql.Timestamp, String)]
-      .mapPartitions(it => it.map { case (id, ts, text) => (id, ts, phashOfText(text)) })
-      .toDF("doc_id", "ts", "phash")
+      .select(col("doc_id"), col("ts"),
+        graft.functions.PhashExpressions.phashNative(spark, col("text")).as("phash"))
   }
 
   /** (doc_id, ahash) — the signature pass [[imageAhash]] and

@@ -119,7 +119,8 @@ object Similarity {
         def sim(a: Array[Float], b: Array[Float]): Double =
           dotD(a, b) / (math.sqrt(dotD(a, a)) * math.sqrt(dotD(b, b)))
         val chosen = scala.collection.mutable.LinkedHashMap.empty[Long, (Double, Double)]
-        while (chosen.size < k && chosen.size < cs.length) {
+        var exhausted = false
+        while (!exhausted && chosen.size < k && chosen.size < cs.length) {
           var bestId = -1L
           var bestRel = 0.0
           var bestScore = Double.NegativeInfinity
@@ -132,7 +133,11 @@ object Similarity {
               bestScore = score; bestId = id; bestRel = rel
             }
           }
-          chosen.put(bestId, (bestRel, bestScore))
+          // Every remaining candidate scored NaN (zero-norm embeddings make
+          // rel/sim NaN, and NaN comparisons are all false) → no pick was
+          // made; stop instead of overwriting the -1 key forever.
+          if (bestId == -1L) exhausted = true
+          else chosen.put(bestId, (bestRel, bestScore))
         }
         chosen.iterator.zipWithIndex.map { case ((id, (rel, sc)), i) =>
           (qid, (i + 1).toLong, id, rel, sc)
@@ -250,7 +255,7 @@ object Similarity {
     slice(c, g * i + 1, g)
   }
 
-  private def maxSimScore(spark: SparkSession, qvec: Column, vec: Column): Column =
+  private[graft] def maxSimScore(spark: SparkSession, qvec: Column, vec: Column): Column =
     (0 until MaxSimGroups).map { i =>
       greatest((0 until MaxSimGroups).map { j =>
         dotNative(spark, subVector(qvec, i), subVector(vec, j))

@@ -738,6 +738,38 @@ object TextAnalysis {
       .orderBy(col("query_id"), col("mmr_rank"))
   }
 
+  /** Cross-encoder-shaped FINAL rerank — the last stage of the modern
+    * retrieval stack [[ragRetrieval]] assembles: the MMR-selected context
+    * set is re-scored by a deterministic PAIRWISE scorer that examines
+    * query and document jointly — the MaxSim late-interaction arithmetic
+    * over token-level sub-vectors
+    * ([[graft.operators.Similarity.maxSimScore]]: Σ_i max_j ⟨q_i, d_j⟩) —
+    * exactly the slot a learned cross-encoder occupies in production
+    * (bi-encoder shortlist → cheap fusion → expensive pairwise head on
+    * the final handful). Scale shape: the pairwise kernel runs on
+    * queries×k rows ONLY (the whole point of staging — never on the
+    * corpus); the query-embedding side is a broadcast of nQueries rows.
+    * Determinism: raw-double MaxSim ranking with ascending-id tie-break,
+    * 4-dp-rounded emission — the maxsim_topk contract; the oracle replays
+    * the full composed stack plus the same 16-sub-dot expression. */
+  def ragRerank(spark: SparkSession, dir: String, k: Int = 5, nQueries: Int = 5): DataFrame = {
+    import graft.operators.Similarity
+    val picks = ragRetrieval(spark, dir, k)
+      .select(col("query_id"), col("mmr_rank"), col("id"))
+    val e = Tables.embeddings(spark, dir)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("ces").desc, col("id").asc)
+    picks
+      .join(e.select(col("vec_id").as("id"), col("embedding").as("vec")), "id")
+      .join(broadcast(e.where(col("vec_id") < nQueries)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))), "query_id")
+      .withColumn("ces", Similarity.maxSimScore(spark, col("qvec"), col("vec")))
+      .withColumn("ce_rank", row_number().over(w).cast("long"))
+      .select(col("query_id"), col("ce_rank"), col("id"),
+        round(col("ces"), 4).as("ce_score"), col("mmr_rank"))
+      .orderBy(col("query_id"), col("ce_rank"))
+  }
+
   /** Per-(doc, term) token counts — the shared base frame of the lexical
     * retrieval leg. MEMOIZED + persisted per (session, dir): one action
     * over `hybridRetrieval`/`lexScores`/`fitBm25QueryModel` otherwise

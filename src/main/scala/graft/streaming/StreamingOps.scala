@@ -57,6 +57,29 @@ private case class BucketState(ids: List[Long], newestMs: Long)
   */
 object StreamingOps {
 
+  /** Stream-static helper frames cached per stream construction (catalogs,
+    * corpus indexes, cluster sizes). Tracked here so a long-lived service
+    * that builds many streams can release them all via [[clearCaches]]
+    * (routed through [[graft.GraftCaches.clearAll]]) instead of
+    * accumulating orphaned storage blocks. */
+  private val pinnedCaches = new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]
+
+  private def pin(df: DataFrame): DataFrame = {
+    val cached = df.cache()
+    pinnedCaches.add(cached)
+    cached
+  }
+
+  /** Unpersist every tracked stream-static cache. Call between datasets /
+    * stream teardowns, not while a stream using one is still running. */
+  private[graft] def clearCaches(): Unit = {
+    var df = pinnedCaches.poll()
+    while (df != null) {
+      try df.unpersist() catch { case _: Exception => () }
+      df = pinnedCaches.poll()
+    }
+  }
+
   /** Exact microseconds since epoch (`unix_micros` semantics). getTime is
     * millisecond-truncated; the batch twins compare times in micros, so the
     * streaming state must too or sub-millisecond event times diverge. */
@@ -182,9 +205,8 @@ object StreamingOps {
   def streamingFuzzyMatch(arrivals: DataFrame, catalog: DataFrame,
       minJw: Double = 0.9): DataFrame = {
     val spark = arrivals.sparkSession
-    val cat = catalog
-      .select(col("key"), col("cname"), substring(col("cname"), 1, 4).as("blk"))
-      .cache()
+    val cat = pin(catalog
+      .select(col("key"), col("cname"), substring(col("cname"), 1, 4).as("blk")))
     arrivals
       .select(col("id").cast("long").as("id"), col("ts"), col("name"))
       .withColumn("blk", substring(col("name"), 1, 4))
@@ -211,7 +233,7 @@ object StreamingOps {
       n: Int = 100, windowMs: Long = 5L * 60 * 1000,
       watermark: String = "10 minutes"): Dataset[WeightedPick] = {
     import docs.sparkSession.implicits._
-    val sizes = clusterSizes.select(col("doc_id"), col("cluster_size")).cache()
+    val sizes = pin(clusterSizes.select(col("doc_id"), col("cluster_size")))
     val u = conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
       .cast("double") / lit(1152921504606846976.0)
     val keyed = docs
@@ -286,7 +308,7 @@ object StreamingOps {
     val k = graft.operators.Dedup.WinnowK
     val w = graft.operators.Dedup.WinnowW
     // stream-static joins re-evaluate the static subplan every micro-batch
-    val idx = corpusIndex.cache()
+    val idx = pin(corpusIndex)
     docs
       .select(col("doc_id").cast("long").as("doc_id"), col("ts"), col("text"))
       .where(size(split(lower(col("text")), "\\s+")) - (k - 1) >= w)
@@ -417,10 +439,9 @@ object StreamingOps {
     // stream-static joins re-evaluate the static subplan EVERY micro-batch;
     // the corpus aggregation is invariant, so cache it or each trigger pays
     // a full historical-corpus scan + shuffle for a handful of arrivals
-    val corpusHashes = corpus
+    val corpusHashes = pin(corpus
       .select(md5(norm).as("content_hash"), col("doc_id").as("dup_of"))
-      .groupBy(col("content_hash")).agg(min(col("dup_of")).as("dup_of"))
-      .cache()
+      .groupBy(col("content_hash")).agg(min(col("dup_of")).as("dup_of")))
     docs
       .select(col("doc_id").cast("long").as("doc_id"), col("ts"), md5(norm).as("content_hash"))
       .join(corpusHashes, Seq("content_hash"), "left_outer")

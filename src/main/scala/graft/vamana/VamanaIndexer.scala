@@ -630,6 +630,76 @@ final class FanoutModel private[vamana] (
     new FanoutModel(updated, params, numShardsFit, replicate2)
   }
 
+  /** Shard-size REBALANCE for long-running mutation streams: hash routing
+    * keeps expected sizes even, but a skewed insert stream (every batch
+    * replicated 2-of-s lands some shards hotter) or full-membership
+    * deletes can leave one shard far larger than its peers — and the
+    * full-beam serving cost of a shard is quadratic in its size, so one
+    * outsized shard dominates every query's tail latency. Each pass
+    * splits every shard larger than `maxRatio`× the mean into two
+    * LOCALITY-AWARE halves (2-means on the shard's own points, then a
+    * balanced median cut on the centroid margin — deterministic, no RNG,
+    * and guaranteed ⌈n/2⌉ halves where raw 2-means can split 90/10), and
+    * rebuilds each half's graph with the same kernel the fit used.
+    *
+    * Correctness is unconditional: search fans out over ALL shard rows
+    * and merges, so membership layout is invisible to it — the union of
+    * shard point sets is unchanged and the full-beam exactness theorem
+    * holds verbatim (spec-asserted). Only INSERT routes by key, mod
+    * [[numShardsFit]]: the split keeps one half under the original shard
+    * id (so fit-key routing still lands on a live row) and publishes the
+    * other under a fresh id beyond the fitted key space, which routing
+    * can never target. Per-shard PQ code memos re-encode automatically —
+    * the membership fingerprint ([[VamanaPq]]) sees the new id arrays.
+    * Scale shape: the driver sees only (shard, size) pairs; each split
+    * runs inside its shard's task, working set = one shard. */
+  /** Live per-shard point counts (one int per shard row — driver-trivial
+    * at any corpus size). The observable [[rebalance]] acts on. */
+  def shardSizes: Array[Int] =
+    shards.map { case (_, idx) => idx.size }(Encoders.scalaInt).collect().sorted
+
+  def rebalance(maxRatio: Double = 2.0, maxPasses: Int = 4): FanoutModel = {
+    require(maxRatio >= 1.0, "maxRatio < 1 would split forever")
+    val spark = shards.sparkSession
+    implicit val shardEnc: Encoder[(Int, LocalIndex)] =
+      Encoders.tuple(Encoders.scalaInt, Encoders.kryo[LocalIndex])
+    val sizeEnc: Encoder[(Int, Int)] =
+      Encoders.tuple(Encoders.scalaInt, Encoders.scalaInt)
+    val kp = params
+    var cur = shards
+    var pass = 0
+    var done = false
+    while (pass < maxPasses && !done) {
+      val sizes = cur.map { case (s, idx) => (s, idx.size) }(sizeEnc).collect()
+      val mean = sizes.map(_._2.toDouble).sum / sizes.length
+      val big = sizes.filter { case (_, n) => n > maxRatio * mean && n >= 2 }.map(_._1)
+      if (big.isEmpty) done = true
+      else {
+        val maxId = sizes.map(_._1).max
+        val freshIds = big.sorted.zipWithIndex
+          .map { case (s, i) => (s, maxId + 1 + i) }.toMap
+        val bcFresh = spark.sparkContext.broadcast(freshIds)
+        val next = cur.flatMap { case (s, idx) =>
+          bcFresh.value.get(s) match {
+            case None => Iterator.single((s, idx))
+            case Some(fresh) =>
+              val (a, b) = FanoutModel.splitMembership(idx)
+              Iterator(
+                (s, VamanaKernel.build(a.map(_._1), a.map(_._2),
+                  kp.copy(seed = kp.seed + s))),
+                (fresh, VamanaKernel.build(b.map(_._1), b.map(_._2),
+                  kp.copy(seed = kp.seed + fresh))))
+          }
+        }.cache()
+        next.count() // materialize; the old model stays independently usable
+        if (cur ne shards) cur.unpersist()
+        cur = next
+      }
+      pass += 1
+    }
+    if (cur eq shards) this else new FanoutModel(cur, params, numShardsFit, replicate2)
+  }
+
   /** Distributed delete: each shard drops its own members via
     * [[VamanaKernel.delete]] (eager hole-repair + compaction, zero
     * rebuilds); a shard whose entire membership is deleted disappears.
@@ -689,6 +759,62 @@ object FanoutModel {
   private[vamana] def clearPinned(): Unit = pinnedPools.synchronized {
     for (df <- pinnedPools) scala.util.Try(df.unpersist())
     pinnedPools.clear()
+  }
+
+  /** Deterministic locality-aware balanced split of one shard's
+    * membership for [[FanoutModel.rebalance]]: 2-means (seeded from point
+    * 0 and its farthest member — no RNG — then 3 Lloyd refinements), then
+    * a BALANCED MEDIAN CUT on the margin d²(p,c0) − d²(p,c1) with
+    * ascending-id tie-break: the ⌊n/2⌋ points most c0-side form one half.
+    * Locality of 2-means (graph quality of the rebuilt halves), size
+    * guarantee of the cut (raw 2-means can split 90/10 on skewed data —
+    * useless for a size rebalance). Each half is emitted sorted by id. */
+  private[vamana] def splitMembership(idx: LocalIndex)
+      : (Array[(Long, Array[Float])], Array[(Long, Array[Float])]) = {
+    val n = idx.size
+    val pts = idx.points
+    def d2(a: Array[Float], b: Array[Float]): Double = {
+      var s = 0.0
+      var i = 0
+      while (i < a.length) { val d = a(i).toDouble - b(i); s += d * d; i += 1 }
+      s
+    }
+    var c0 = pts(0)
+    var far = 0
+    var fd = -1.0
+    var i = 0
+    while (i < n) {
+      val d = d2(pts(i), c0)
+      if (d > fd) { fd = d; far = i }
+      i += 1
+    }
+    var c1 = pts(far)
+    var it = 0
+    while (it < 3) {
+      val s0 = new Array[Double](c0.length)
+      val s1 = new Array[Double](c0.length)
+      var n0 = 0
+      var n1 = 0
+      i = 0
+      while (i < n) {
+        val p = pts(i)
+        val toFirst = d2(p, c0) <= d2(p, c1)
+        val acc = if (toFirst) s0 else s1
+        var j = 0
+        while (j < p.length) { acc(j) += p(j); j += 1 }
+        if (toFirst) n0 += 1 else n1 += 1
+        i += 1
+      }
+      if (n0 > 0) c0 = s0.map(v => (v / n0).toFloat)
+      if (n1 > 0) c1 = s1.map(v => (v / n1).toFloat)
+      it += 1
+    }
+    val order = Array.range(0, n)
+      .sortBy(i => (d2(pts(i), c0) - d2(pts(i), c1), idx.ids(i)))
+    val half = n / 2
+    def toPairs(ix: Array[Int]) =
+      ix.map(i => (idx.ids(i), pts(i))).sortBy(_._1)
+    (toPairs(order.take(half)), toPairs(order.drop(half)))
   }
 
   /** S2 for the fanout path: reassemble each shard kernel inside one task,

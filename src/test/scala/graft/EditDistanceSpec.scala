@@ -53,6 +53,17 @@ class EditDistanceSpec extends AnyFunSuite {
     }
   }
 
+  test("supplementary-plane input scores by code point, not UTF-16 unit") {
+    // "a😀" vs "a🙂": 2 codepoints each, window 0, one positional match →
+    // jaro 2/3, no boost. A UTF-16-code-unit kernel sees 3 units, ALSO
+    // matches the shared high surrogate, and lands at 0.8222… — the
+    // divergence from DuckDB's codepoint semantics this fixture pins.
+    val got = JaroWinklerImpl.computeStr("a😀", "a🙂")
+    assert(got == 0.6666666666666666, s"non-BMP jw = $got, codepoint semantics say 2/3")
+    // identical non-BMP strings are still a perfect match
+    assert(JaroWinklerImpl.computeStr("😀b", "😀b") == 1.0)
+  }
+
   test("codegen'd expression path agrees bit-for-bit with the direct kernel") {
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._

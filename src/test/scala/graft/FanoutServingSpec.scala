@@ -360,6 +360,47 @@ class FanoutServingSpec extends AnyFunSuite {
     assert(row.getAs[Boolean]("search_identical"))
   }
 
+  test("rebalance: splits land within 2x of mean; full-beam exactness, PQ memo, and routing survive") {
+    import org.apache.spark.sql.functions.col
+    val emb = Tables.embeddings(spark, dir)
+    val model = VamanaFanout.fit(emb, params, numShards = 3)
+    // a run of inserted batches (fresh ids, hash-routed like production)
+    val ins = emb.where(col("vec_id") < 200)
+      .select((col("vec_id") + 100000L).as("vec_id"), col("embedding"))
+    val grown = model.insert(ins)
+    val q = queries(10)
+    val key = "rebalance_spec_" + System.nanoTime()
+    // populate the per-shard PQ memo under this key BEFORE the rebalance
+    val pqBefore = VamanaPq.searchFanoutModel(grown, q, key, 10, fullBeam = true)
+      .collect().map(_.toSeq).toSeq
+    val nBefore = grown.shardSizes
+    // hash routing keeps natural skew small, so force the split machinery
+    // with the tightest legal threshold: anything above the mean splits
+    val reb = grown.rebalance(maxRatio = 1.0, maxPasses = 2)
+    val sizes = reb.shardSizes
+    assert(sizes.length > nBefore.length, "no shard split — rebalance fixture vacuous")
+    val mean = sizes.map(_.toDouble).sum / sizes.length
+    assert(sizes.max <= 2.0 * mean, s"max shard ${sizes.max} > 2x mean $mean")
+    assert(reb.totalPoints == grown.totalPoints, "rebalance changed the membership union")
+    // exactness theorem: full-beam fanout over the rebalanced layout is exact kNN
+    val corpus = emb.select(col("vec_id"), col("embedding")).unionByName(ins)
+    val exact = Knn.knnExact(corpus, q, 10).select("query_id", "id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val full = reb.withFullBeamShards().search(q, 10).select("query_id", "id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(full == exact, s"missing ${exact -- full}, extra ${full -- exact}")
+    // SAME memo key: the membership fingerprint must force a re-encode for
+    // the split shards (original id now holds half the points; the fresh id
+    // is a cache miss) — full-beam PQ answers stay bit-identical
+    val pqAfter = VamanaPq.searchFanoutModel(reb, q, key, 10, fullBeam = true)
+      .collect().map(_.toSeq).toSeq
+    assert(pqAfter == pqBefore, "PQ serving diverged after rebalance — stale code memo")
+    // insert routing still lands on live rows (fit-key space unchanged)
+    val more = emb.where(col("vec_id") < 50)
+      .select((col("vec_id") + 200000L).as("vec_id"), col("embedding"))
+    assert(reb.insert(more).totalPoints == reb.totalPoints + 50)
+  }
+
   test("range search: fanout union at full beam equals the exact range set") {
     import org.apache.spark.sql.functions.col
     val emb = Tables.embeddings(spark, dir)

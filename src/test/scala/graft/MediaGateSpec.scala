@@ -49,6 +49,30 @@ class MediaGateSpec extends AnyFunSuite {
     assert(q.count() > 0)
   }
 
+  test("native phash_native expression is bit-identical to the Scala spec twin on the full corpus") {
+    import org.apache.spark.sql.functions.col
+    val docs = graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"), col("text"))
+    // production path (codegen expression) vs the encoder-route spec twin
+    val native = Multimodal.phashOf(docs).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(native.nonEmpty, "no eligible docs at sf0.001 — fixture broken")
+    val spark2 = spark
+    import spark2.implicits._
+    val twin = docs.select(col("doc_id").cast("long"), col("text"))
+      .where(Multimodal.phashEligible)
+      .as[(Long, String)].collect()
+      .map { case (id, t) => id -> Multimodal.phashOfText(t) }.toMap
+    assert(native.keySet == twin.keySet, "eligibility drifted between the two paths")
+    native.foreach { case (id, h) =>
+      assert(h == twin(id), s"doc $id: native pHash diverged from the spec twin")
+    }
+    // ineligible input through the raw SQL surface returns empty, not a crash
+    val short = graft.functions.PhashImpl.compute(
+      org.apache.spark.unsafe.types.UTF8String.fromString("tiny"))
+    assert(short.toString == "")
+  }
+
   test("audio planted near-dup gate recovers exact and near pairs") {
     spark.sparkContext.setLogLevel("WARN")
     checkGate(Multimodal.audioNearDupGate(spark, "/root/testdata/sf0.001"))

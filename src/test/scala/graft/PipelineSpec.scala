@@ -23,6 +23,83 @@ class PipelineSpec extends AnyFunSuite {
   private def pairSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
     df.select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
 
+  test("rag_rerank: pairwise MaxSim head genuinely reorders the MMR context set") {
+    val rr = TextAnalysis.ragRerank(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getLong(4)))
+    assert(rr.nonEmpty && rr.length % 5 == 0, s"expected k=5 rows per query, got ${rr.length}")
+    rr.groupBy(_._1).foreach { case (q, rows) =>
+      val byRank = rows.sortBy(_._2)
+      // contiguous ranks, non-increasing pairwise score
+      assert(byRank.map(_._2).toSeq == (1L to rows.length))
+      byRank.sliding(2).foreach { case Array(a, b) =>
+        assert(a._4 >= b._4, s"query $q: ce_score not non-increasing")
+      case _ => ()
+      }
+      // a rerank permutes the context set: distinct ids, and the carried
+      // mmr_rank column is exactly {1..k} (no member swapped in or out)
+      assert(byRank.map(_._3).distinct.length == byRank.length)
+      assert(byRank.map(_._5).sorted.toSeq == (1L to rows.length))
+    }
+    // the head must REORDER somewhere, or the composition is vacuous
+    assert(rr.exists { case (_, ceRank, _, _, mmrRank) => ceRank != mmrRank },
+      "ce_rank == mmr_rank everywhere — reranker is a no-op on this fixture")
+  }
+
+  test("canonicalizeUrl: adversarial URL forms land on their canonical spelling") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val cases = Seq(
+      // every rule at once: case, default port, ./ segments, tracking params, fragment
+      ("HTTPS://WWW.Example.COM:443/./a/./b?utm_source=x&id=9&gclid=z#frag",
+        "https://www.example.com/a/b?id=9"),
+      // non-default port survives
+      ("http://example.com:8080/x", "http://example.com:8080/x"),
+      // http default port dropped
+      ("http://Example.com:80/x", "http://example.com/x"),
+      // empty path → /
+      ("https://example.com", "https://example.com/"),
+      // query of only tracking params loses its '?'
+      ("https://example.com?utm_campaign=c", "https://example.com/"),
+      // path case is PRESERVED (RFC 3986: only scheme+host are case-insensitive)
+      ("https://example.com/CaseSensitive/Path", "https://example.com/CaseSensitive/Path"),
+      // consecutive ./ segments resolve (two replace passes cover /././)
+      ("https://example.com/././x", "https://example.com/x"),
+      ("https://example.com/a/./b/./c", "https://example.com/a/b/c"),
+      // surviving params keep their original order
+      ("https://example.com/s?b=2&utm_medium=m&a=1", "https://example.com/s?b=2&a=1"),
+      // trailing empty query
+      ("https://example.com/p?", "https://example.com/p"),
+      // fragment-only difference collapses
+      ("https://example.com/p#sec1", "https://example.com/p"))
+    val got = cases.map(_._1).toDF("raw")
+      .select(col("raw"), CorpusPipeline.canonicalizeUrl(col("raw")).as("curl"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    cases.foreach { case (raw, want) =>
+      assert(got(raw) == want, s"canonicalize('$raw') = '${got(raw)}', want '$want'")
+    }
+    // the registered query: every host resolves 8 spellings down to its
+    // canonical pages, so n_dup > 0 wherever a host holds ≥2 raw URLs
+    val q = CorpusPipeline.urlCanonicalDedup(spark, dir).collect()
+    assert(q.nonEmpty && q.forall(_.getLong(1) >= q.head.getLong(2)))
+    assert(q.exists(r => r.getLong(3) > 0), "fixture produced no URL dups — vacuous")
+  }
+
+  test("mmrSelect terminates when every candidate scores NaN (zero-norm vectors)") {
+    import spark.implicits._
+    // zero vectors → rel and pairwise sim are NaN → no greedy pick is ever
+    // made; the loop must break, not spin on the -1 sentinel forever.
+    val z = Array(0f, 0f)
+    val allNaN = Seq((1L, 10L, Double.NaN, z), (1L, 11L, Double.NaN, z))
+      .toDF("query_id", "id", "rel", "vec")
+    assert(Similarity.mmrSelect(allNaN, k = 2).count() == 0)
+    // a mixed group still picks the scorable candidate and then stops
+    val v = Array(1f, 0f)
+    val mixed = Seq((1L, 10L, 0.9, v), (1L, 11L, Double.NaN, z))
+      .toDF("query_id", "id", "rel", "vec")
+    val picks = Similarity.mmrSelect(mixed, k = 2).collect()
+    assert(picks.length == 1 && picks.head.getLong(2) == 10L)
+  }
+
   test("mmr rerank: rank-1 is the top-relevance hit, then diversity beats pure top-k") {
     val mmr = Similarity.mmrRerank(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))
