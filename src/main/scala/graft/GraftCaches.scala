@@ -41,5 +41,6 @@ object GraftCaches {
     functions.WinnowExpressions.clearRegistry()
     functions.EditDistanceExpressions.clearRegistry()
     functions.PhashExpressions.clearRegistry()
+    functions.LangExpressions.clearRegistry()
   }
 }

@@ -39,6 +39,10 @@ object StreamBench {
     val batchSize = args.lift(1).map(_.toInt).getOrElse(10000)
     val cpus = args.lift(2).map(_.toInt)
       .orElse(sys.env.get("SPARK_GRAFT_CPUS").map(_.toInt)).getOrElse(32)
+    // optional comma-list of bench names: the 100x sweep runs only the
+    // stateless ops (the stateful paths are micro-batch-commit bound and
+    // would spend an hour proving what the 10x point already shows)
+    val only: Option[Set[String]] = args.lift(3).map(_.split(",").toSet)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -53,6 +57,7 @@ object StreamBench {
 
     def run[T](name: String, rows: Seq[T], mk: MemoryStream[T] => org.apache.spark.sql.DataFrame)(
         implicit enc: org.apache.spark.sql.Encoder[T]): Unit = {
+      if (!only.forall(_.contains(name))) return
       val input = MemoryStream[T]
       val q = mk(input).writeStream.format("noop").outputMode("append").start()
       try {
@@ -76,6 +81,14 @@ object StreamBench {
     }
     run[Doc]("stream_ingest", docs, in => StreamingOps.streamingIngestPipeline(in.toDF()))
     run[Doc]("stream_perceptual", docs, in => StreamingOps.streamingPerceptualDedup(in.toDF()))
+    // DCT pHash dedup at ingest — same watermark-bounded state as the
+    // aHash twin, but the fingerprint pass is the codegen phash_native
+    run[Doc]("stream_phash", docs, in => StreamingOps.streamingPhashDedup(in.toDF()))
+    // trained language ID at ingest — stateless frozen-model projection;
+    // the model literals come from the one shared fit
+    lazy val langModel = graft.operators.LangClassifier.fit(spark)
+    run[Doc]("stream_langid", docs,
+      in => StreamingOps.streamingLangClassify(in.toDF(), langModel))
 
     // winnow copy-detection at ingest: index the same corpus (materialized
     // BEFORE the clock — a standing index is a pre-existing asset), then

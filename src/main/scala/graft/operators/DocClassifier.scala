@@ -219,10 +219,14 @@ object DocClassifier {
     * spec-asserted, the streamingQualityFilter pattern). */
   def keepExpr(m: Model, text: Column): Column = {
     val wq = m.weights.map(x => math.floor(x * Scale + 0.5).toLong)
-    val buckets = bucketsExpr(text, m.width)
-    when(size(buckets) > 0,
-      (marginQ(buckets, size(buckets).cast("long"), wq) >= 0).cast("int"))
-      .otherwise(lit(0))
+    // bind the bucket array once ([[Multimodal.bindOnce]]): the three
+    // references below (guard, count, margin aggregate) otherwise each
+    // re-run the whole split+md5 feature pass per row at ingest
+    Multimodal.bindOnce(bucketsExpr(text, m.width)) { buckets =>
+      when(size(buckets) > 0,
+        (marginQ(buckets, size(buckets).cast("long"), wq) >= 0).cast("int"))
+        .otherwise(lit(0))
+    }
   }
 
   /** Per-doc scores from the trained model over the held-out split — the

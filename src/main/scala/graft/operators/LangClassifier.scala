@@ -93,7 +93,7 @@ object LangClassifier {
     sb.toString
   }
 
-  private def seedCorpus(spark: SparkSession): DataFrame = {
+  private[graft] def seedCorpus(spark: SparkSession): DataFrame = {
     import spark.implicits._
     (0L until SeedDocs.toLong)
       .map(i => (i, Langs((i % 5).toInt), seedText(i)))
@@ -106,10 +106,17 @@ object LangClassifier {
     * morphology signal), md5-hashed into `width` buckets with a salt
     * distinct from the quality classifier's token space. */
   private[operators] def charBigramBuckets(text: Column, width: Int): Column =
-    array_sort(transform(
-      sequence(lit(1), greatest(length(text) - 1, lit(1))),
-      i => conv(substring(md5(concat(lit("lang:"), lower(text).substr(i, lit(2)))), 1, 15), 16, 10)
-        .cast("long") % lit(width.toLong)))
+    // lower(text) is BOUND once per row ([[Multimodal.bindOnce]]): an
+    // interpreted `transform` re-evaluates captured sub-expressions per
+    // element, so the inline form re-lowercased the WHOLE text for every
+    // bigram — O(len²) on the ingest hot path (stream_langid measured
+    // 312 rows/s before, the round-10 aHash lesson again)
+    Multimodal.bindOnce(lower(text)) { lt =>
+      array_sort(transform(
+        sequence(lit(1), greatest(length(lt) - 1, lit(1))),
+        i => conv(substring(md5(concat(lit("lang:"), lt.substr(i, lit(2)))), 1, 15), 16, 10)
+          .cast("long") % lit(width.toLong)))
+    }
 
   /** One fitted one-vs-rest stack: per-language quantized weight rows plus
     * the frozen evaluation facts the gate emits. */
@@ -118,7 +125,7 @@ object LangClassifier {
 
   private val fitCache = TrieMap.empty[SparkSession, LangModel]
 
-  def clearCaches(): Unit = fitCache.clear()
+  def clearCaches(): Unit = { fitCache.clear(); kernelCache.clear() }
 
   /** Multi-class argmax over the K integer micro-margins of quantized
     * one-vs-rest models — `greatest` over (margin, -classIndex) structs,
@@ -160,14 +167,37 @@ object LangClassifier {
   })
 
   /** Stateless language-prediction expression of a fitted stack over any
-    * text column — the ingest-side form ([[DocClassifier.keepExpr]]'s
-    * multi-class twin). */
+    * text column, in composed-builtin form — the executable SPEC TWIN of
+    * the production kernel [[predictNative]] (bit-identity spec-asserted).
+    * Stays as the readable definition the gate's fit-time accuracy pass
+    * also exercises. */
   def predictExpr(m: LangModel, text: Column): Column = {
     val wq = Langs.map(l =>
       (l, m.weights(l).map(x => math.floor(x * DocClassifier.Scale + 0.5).toLong)))
-    val buckets = charBigramBuckets(text, m.width)
-    argmaxExpr(wq, buckets, size(buckets).cast("long"))
+    // bind the bucket array once: each of the K one-vs-rest margins (and
+    // the count) otherwise re-runs the whole md5-bigram feature pass
+    Multimodal.bindOnce(charBigramBuckets(text, m.width)) { buckets =>
+      argmaxExpr(wq, buckets, size(buckets).cast("long"))
+    }
   }
+
+  /** One kernel per fitted model (models are themselves memoized per
+    * session, so identity keying is stable). */
+  private val kernelCache =
+    TrieMap.empty[LangModel, graft.functions.LangPredictKernel]
+
+  private def kernelOf(m: LangModel): graft.functions.LangPredictKernel =
+    kernelCache.getOrElseUpdate(m, new graft.functions.LangPredictKernel(
+      m.width, Langs.toArray,
+      Langs.map(l => m.weights(l)
+        .map(x => math.floor(x * DocClassifier.Scale + 0.5).toLong)).toArray))
+
+  /** The production form of [[predictExpr]]: one codegen kernel call per
+    * row ([[graft.functions.LangPredict]]) instead of ~180 interpreted
+    * md5 lambda steps + K interpreted margin aggregates — the ingest
+    * hot path (stream_langid: 2.3k → tens of k rows/s). */
+  def predictNative(spark: SparkSession, m: LangModel, text: Column): Column =
+    graft.functions.LangExpressions.langPredict(spark, kernelOf(m), text)
 
   /** Gate query (`lang_classifier_gate`): split counts recomputed by the
     * oracle from the md5 id arithmetic over the literal seed size, plus
@@ -195,7 +225,7 @@ object LangClassifier {
     seedCorpus(spark)
       .where(DocClassifier.splitBucket(col("doc_id")) >= 90)
       .select(col("doc_id"), col("lang"),
-        predictExpr(m, col("text")).as("pred"))
+        predictNative(spark, m, col("text")).as("pred"))
       .withColumn("correct", (col("pred") === col("lang")).cast("int"))
       .orderBy(col("doc_id"))
   }

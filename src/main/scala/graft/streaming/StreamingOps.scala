@@ -329,6 +329,23 @@ object StreamingOps {
         col("src_id"), col("n_shared"))
   }
 
+  /** Ingest-side URL dedup — web-pipeline STAGE ZERO at the stream: each
+    * arriving (doc_id, ts, url) row canonicalizes through the ONE shared
+    * column expression ([[graft.operators.CorpusPipeline.canonicalizeUrl]]
+    * — the same rules the batch `url_canonical_dedup` hash-checks against
+    * DuckDB, bit-identity spec-asserted), and later arrivals whose
+    * canonical URL collides within the watermark horizon are dropped —
+    * the same bounded-state shape as [[streamingDedup]], applied BEFORE
+    * any content fetch/hash so duplicate surface spellings never cost a
+    * download. Stateless canonicalization + horizon-bounded key state. */
+  def streamingUrlDedup(urls: DataFrame, watermark: String = "10 minutes"): DataFrame =
+    urls
+      .select(col("doc_id").cast("long").as("doc_id"), col("ts"),
+        graft.operators.CorpusPipeline.canonicalizeUrl(col("url")).as("curl"))
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("curl")
+      .select(col("doc_id"), col("ts"), col("curl"))
+
   /** Ingest-side PERCEPTUAL dedup — [[streamingDedup]]'s media twin: each
     * arriving doc runs the SAME batch thumbnail + aHash pass
     * ([[graft.operators.Multimodal.withAhash]], bit-identity
@@ -625,17 +642,18 @@ object StreamingOps {
     * (fastText-langid at ingest): the batch-fitted one-vs-rest stack
     * ([[graft.operators.LangClassifier.fit]]) rides to the stream as
     * K×(width+1) quantized weight literals, and every arriving doc gets
-    * its argmax language from the SAME stateless integer-margin expression
-    * the batch scorer uses ([[graft.operators.LangClassifier.predictExpr]])
-    * — stream and batch labels are bit-identical by construction
-    * (spec-asserted). Narrow stateless projection: no state store, no
-    * shuffle, composes upstream of [[streamingQualityFilter]] /
-    * [[streamingDedup]] in an ingest pipeline that routes each language to
-    * its own cleaning config. */
+    * its argmax language from the SAME integer-margin arithmetic the
+    * batch scorer uses, through the codegen kernel form
+    * ([[graft.operators.LangClassifier.predictNative]] — bit-identical to
+    * the composed spec twin, spec-asserted). Narrow stateless projection:
+    * no state store, no shuffle, composes upstream of
+    * [[streamingQualityFilter]] / [[streamingDedup]] in an ingest
+    * pipeline that routes each language to its own cleaning config. */
   def streamingLangClassify(docs: DataFrame,
       model: graft.operators.LangClassifier.LangModel): DataFrame =
     docs.select(col("doc_id").cast("long").as("doc_id"), col("ts"),
-      graft.operators.LangClassifier.predictExpr(model, col("text")).as("pred_lang"))
+      graft.operators.LangClassifier.predictNative(docs.sparkSession, model,
+        col("text")).as("pred_lang"))
 
   /** Streaming HYBRID-RETRIEVAL lexical leg — ingest-side "score every
     * arriving doc against the standing query set": the corpus statistics

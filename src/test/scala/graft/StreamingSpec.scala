@@ -975,6 +975,43 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming url dedup canonicalizes bit-identically to batch and drops collisions") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // three surface spellings of ONE page + one genuinely distinct page
+    val rows = Seq(
+      (1L, ts(1), "https://Example.com:443/a/./b?utm_source=x&id=9#frag"),
+      (2L, ts(2), "HTTPS://example.COM/a/b?id=9"),
+      (3L, ts(3), "https://example.com/a/b?id=9&gclid=z"),
+      (4L, ts(4), "https://example.com/a/b?id=10"))
+    val input = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val q = StreamingOps.streamingUrlDedup(input.toDF()
+        .toDF("doc_id", "ts", "url"))
+      .writeStream.format("memory").queryName("url_stream_out")
+      .outputMode("append").start()
+    try {
+      input.addData(rows)
+      q.processAllAvailable()
+      val got = spark.table("url_stream_out")
+        .select("doc_id", "curl").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      // batch twin: the same canonicalization expression over the same rows
+      val batch = rows.toDF("doc_id", "ts", "url")
+        .select(col("doc_id"),
+          graft.operators.CorpusPipeline.canonicalizeUrl(col("url")).as("curl"))
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(batch(1L) == "https://example.com/a/b?id=9")
+      assert(batch(1L) == batch(2L) && batch(2L) == batch(3L),
+        "the three spellings must canonicalize to one URL")
+      // first arrival of the triple survives; the distinct page survives
+      assert(got.keySet == Set(1L, 4L), s"survivors ${got.keySet}")
+      got.foreach { case (id, curl) =>
+        assert(curl == batch(id), s"doc $id stream canonical drifted from batch")
+      }
+    } finally q.stop()
+  }
+
   test("streaming phash dedup drops signature collisions; signatures bit-match the batch pass") {
     import org.apache.spark.sql.functions.col
     import spark.implicits._
