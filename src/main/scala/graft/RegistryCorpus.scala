@@ -10,7 +10,35 @@ import graft.RegistrySqlParts._
 private[graft] object RegistryCorpus {
 
   private[graft] def entries: Seq[(String, QFn, Option[String])] = Seq(
-    sampleHashQ, pipelineCleanQ, sampleStratifiedQ, docChunksQ, packSequencesQ, sampleMixtureQ, corpusShuffleQ, lengthBucketsQ, pipelineFullQ, docChunksCdcQ, shardManifestQ, splitAssignQ, splitLeakageSafeQ, dsirWeightQ, corpusStatsQ, domainCapQ, epochUpsampleQ, tokenBudgetQ, datasetDiffQ, urlCanonicalDedupQ)
+    sampleHashQ, pipelineCleanQ, sampleStratifiedQ, docChunksQ, packSequencesQ, sampleMixtureQ, corpusShuffleQ, lengthBucketsQ, pipelineFullQ, docChunksCdcQ, shardManifestQ, splitAssignQ, splitLeakageSafeQ, dsirWeightQ, corpusStatsQ, domainCapQ, epochUpsampleQ, tokenBudgetQ, datasetDiffQ, urlCanonicalDedupQ, decontamQ)
+
+  /** Benchmark n-gram decontamination: the oracle rebuilds the held-out
+    * benchmark slice (md5 doc-id bucket ≥ 90), both sides' distinct word
+    * 8-gram 60-bit surrogates, and the left-join hit counts — so the
+    * contamination flags hash-match row-for-row, not just in aggregate.
+    * Non-vacuous at sf0.01: the planted near-dup clusters straddle the
+    * id-hash boundary, so real contaminated train docs exist. */
+  private val decontamQ: (String, QFn, Option[String]) = (
+    "benchmark_decontam",
+    (s, d) => CorpusPipeline.decontaminate(s, d),
+    Some(s"""
+      WITH t AS (SELECT doc_id,
+             ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 100 AS bucket,
+             string_split_regex(lower(text), '\\s+') AS toks FROM documents),
+      g AS (SELECT doc_id, bucket,
+              unnest(list_distinct(list_transform(range(1, len(toks) - 6),
+                i -> ('0x' || substr(md5(list_aggregate(toks[i:i+7], 'string_agg', ' ')), 1, 15))::BIGINT))) AS s
+            FROM t WHERE len(toks) >= 8),
+      b AS (SELECT DISTINCT s FROM g WHERE bucket >= 90),
+      pd AS (SELECT g.doc_id, count(*)::BIGINT AS n_ngrams,
+               sum(CASE WHEN b.s IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_hits
+             FROM g LEFT JOIN b ON g.s = b.s WHERE g.bucket < 90 GROUP BY g.doc_id)
+      SELECT t.doc_id, coalesce(pd.n_ngrams, 0)::BIGINT AS n_ngrams,
+             coalesce(pd.n_hits, 0)::BIGINT AS n_hits,
+             (coalesce(pd.n_hits, 0) > 0)::INT AS contaminated
+      FROM t LEFT JOIN pd ON t.doc_id = pd.doc_id
+      WHERE t.bucket < 90 ORDER BY t.doc_id
+    """.trim))
 
   /** Web-pipeline stage zero: the raw URLs are a deterministic id-derived
     * fixture (eight surface spellings per canonical page — case, default

@@ -79,6 +79,22 @@ object StreamBench {
       }
       Doc(i.toLong, ts(i / 1000, rng.nextInt(60)), words)
     }
+    // web-pipeline STAGE ZERO at the stream: canonical-URL dedup before
+    // any content fetch — ~10% duplicate pages arrive under a different
+    // surface spelling (case-shuffled host, default port, tracking params,
+    // /./ segments) and must be dropped by canonical-key collision
+    val urls = (0 until n).map { i =>
+      val base = if (i % 10 == 9) (i - 1) else i
+      val raw =
+        if (i % 10 == 9)
+          s"HTTPS://Host${base % 997}.Example.com:443/a/./p$base?utm_source=x&id=$base#frag"
+        else
+          s"https://host${base % 997}.example.com/a/p$base?id=$base"
+      Doc(i.toLong, ts(i / 1000, i % 60), raw)
+    }
+    run[Doc]("stream_url", urls,
+      in => StreamingOps.streamingUrlDedup(in.toDF().toDF("doc_id", "ts", "url")))
+
     run[Doc]("stream_ingest", docs, in => StreamingOps.streamingIngestPipeline(in.toDF()))
     run[Doc]("stream_perceptual", docs, in => StreamingOps.streamingPerceptualDedup(in.toDF()))
     // DCT pHash dedup at ingest — same watermark-bounded state as the
@@ -98,6 +114,19 @@ object StreamBench {
     winnowIdx.count()
     run[Doc]("stream_winnow", docs,
       in => StreamingOps.streamingWinnowMatches(in.toDF(), winnowIdx))
+
+    // benchmark decontamination at ingest: the ~10% benchmark slice's
+    // n-gram index is a pre-existing asset (built before the clock); the
+    // planted duplicates guarantee real contamination flags flow
+    val benchIdx = spark.createDataset(docs.filter(_.doc_id % 100 >= 90)).toDF()
+      .select(org.apache.spark.sql.functions.explode(
+        graft.operators.CorpusPipeline.ngramSurrogates(
+          graft.operators.Dedup.tokens(org.apache.spark.sql.functions.col("text")),
+          graft.operators.CorpusPipeline.DecontamN)).as("s"))
+      .distinct().cache()
+    benchIdx.count()
+    run[Doc]("stream_decontam", docs.filter(_.doc_id % 100 < 90),
+      in => StreamingOps.streamingDecontamFlags(in.toDF(), benchIdx))
 
     val centroids = Array.tabulate(8) { c =>
       val rng = new Random(c * 1234567L + 11L)

@@ -537,6 +537,81 @@ object CorpusPipeline {
         lit("?fbclid=abc#frag")))
   }
 
+  /** Distinct word n-gram 60-bit surrogates of a token array, as ONE
+    * per-row expression — the decontamination feature pass, shared
+    * verbatim by the batch op and the streaming twin so their keys are
+    * bit-identical by construction. The `when` guard lives INSIDE the
+    * expression (Spark's `sequence` DESCENDS when stop < start, and the
+    * optimizer may evaluate a generator input before a caller's row
+    * filter — the [[Dedup.shingles]] lesson); `array_distinct` runs
+    * per-row so the downstream explode never needs a corpus-wide
+    * `.distinct()` shuffle. */
+  private[graft] def ngramSurrogates(toks: Column, n: Int): Column =
+    array_distinct(
+      when(size(toks) >= n,
+        transform(sequence(lit(1), size(toks) - (n - 1)),
+          i => conv(substring(md5(concat_ws(" ", slice(toks, i, lit(n)))), 1, 15), 16, 10)
+            .cast("long")))
+        .otherwise(array().cast("array<long>")))
+
+  /** The benchmark-side n-gram set for [[decontaminate]]: every distinct
+    * n-gram surrogate appearing in the held-out evaluation slice (md5
+    * doc-id bucket ≥ 90 — the planted-fixture stand-in for a real eval
+    * suite, the [[syntheticUrl]] pattern). At 100 TB this frame is
+    * EVAL-SET-sized (benchmarks are thousands of documents, not
+    * terabytes), which is the entire scale story: it broadcasts. */
+  private[graft] def benchmarkNgramIndex(spark: SparkSession, dir: String,
+      n: Int = DecontamN): DataFrame =
+    Tables.documents(spark, dir)
+      .where(conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
+        .cast("long") % 100 >= 90)
+      .select(explode(ngramSurrogates(Dedup.tokens(col("text")), n)).as("s"))
+      .distinct()
+
+  /** GPT-3 §C / Llama-style benchmark decontamination: a TRAINING doc is
+    * contaminated if it shares any length-`n` word n-gram with the
+    * evaluation benchmark (n = 8 here against ~30–120-token synthetic
+    * docs; production uses 13 against web pages — the knob is the
+    * argument). Distinct from [[splitLeakageSafe]], which closes
+    * WITHIN-corpus near-dup leaks by splitting on cluster ids: this op
+    * screens training text against a FOREIGN benchmark set by exact
+    * n-gram collision, the stage every serious LLM data pipeline runs
+    * before training. Emits every train doc with its distinct-gram count,
+    * benchmark-hit count, and the contaminated flag (docs under n tokens
+    * are trivially clean and survive the left join with zeros).
+    *
+    * Scale shape: the benchmark gram set is eval-set-sized → BROADCAST
+    * semi-side, so the train side is one narrow explode+md5 projection
+    * probed map-side with NO corpus shuffle; the only exchange is the
+    * per-doc count aggregation, keyed by doc_id with map-side partial
+    * combine. Both engines join on the same 60-bit surrogates, so the
+    * flags hash-match bit-for-bit. */
+  def decontaminate(spark: SparkSession, dir: String, n: Int = DecontamN): DataFrame = {
+    val bucket = conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
+      .cast("long") % 100
+    val train = Tables.documents(spark, dir).where(bucket < 90)
+    val hits = train
+      .select(col("doc_id"), explode(ngramSurrogates(Dedup.tokens(col("text")), n)).as("s"))
+      .join(broadcast(benchmarkNgramIndex(spark, dir, n).withColumn("hit", lit(1))),
+        Seq("s"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_ngrams"),
+        sum(coalesce(col("hit"), lit(0))).cast("long").as("n_hits"))
+    train.select(col("doc_id"))
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_ngrams"), lit(0L)).as("n_ngrams"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        (coalesce(col("n_hits"), lit(0L)) > 0).cast("int").as("contaminated"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Decontamination n-gram length for the synthetic corpus (docs are
+    * ~30–120 tokens; 8 keeps the planted near-dup straddlers hot while
+    * random co-occurrence stays at zero — production web pipelines use
+    * 13 per GPT-3 appendix C). */
+  val DecontamN = 8
+
   /** Per-host URL dedup — the registered stage-zero query: canonicalize
     * every raw URL, then per host report raw count, distinct canonical
     * count, the dup surplus, and the lexicographic-min canonical URL (so

@@ -346,6 +346,36 @@ object StreamingOps {
       .dropDuplicatesWithinWatermark("curl")
       .select(col("doc_id"), col("ts"), col("curl"))
 
+  /** Ingest-side benchmark decontamination — the streaming twin of
+    * [[graft.operators.CorpusPipeline.decontaminate]]: each arriving
+    * doc's distinct word n-gram surrogates come from the SAME per-row
+    * expression the batch op uses
+    * ([[graft.operators.CorpusPipeline.ngramSurrogates]] — bit-identical
+    * keys by construction), exploded and equi-joined stream-static
+    * against the frozen benchmark n-gram index
+    * ([[graft.operators.CorpusPipeline.benchmarkNgramIndex]] — eval-set
+    * sized, so the static side broadcasts). A watermarked windowed count
+    * per arriving doc emits (win_start, doc_id, n_hits) for every
+    * CONTAMINATED arrival — the flag stream a router drops before any
+    * training shard is written; clean docs produce no join rows and no
+    * state. Scale shape: narrow stateless fingerprinting, a map-side
+    * broadcast probe, state bounded by window × contaminated-arrival
+    * volume (normally ~0 — contamination is the rare case). */
+  def streamingDecontamFlags(docs: DataFrame, benchIndex: DataFrame,
+      watermark: String = "10 minutes", windowDur: String = "5 minutes"): DataFrame = {
+    val idx = pin(benchIndex)
+    docs
+      .select(col("doc_id").cast("long").as("doc_id"), col("ts"),
+        explode(graft.operators.CorpusPipeline.ngramSurrogates(
+          graft.operators.Dedup.tokens(col("text")),
+          graft.operators.CorpusPipeline.DecontamN)).as("s"))
+      .withWatermark("ts", watermark)
+      .join(idx, Seq("s"))
+      .groupBy(window(col("ts"), windowDur), col("doc_id"))
+      .agg(count(lit(1)).as("n_hits"))
+      .select(col("window.start").as("win_start"), col("doc_id"), col("n_hits"))
+  }
+
   /** Ingest-side PERCEPTUAL dedup — [[streamingDedup]]'s media twin: each
     * arriving doc runs the SAME batch thumbnail + aHash pass
     * ([[graft.operators.Multimodal.withAhash]], bit-identity

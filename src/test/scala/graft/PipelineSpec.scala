@@ -23,6 +23,32 @@ class PipelineSpec extends AnyFunSuite {
   private def pairSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
     df.select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
 
+  test("benchmark_decontam: non-vacuous flags, short docs trivially clean, hits bounded") {
+    import org.apache.spark.sql.functions._
+    val out = CorpusPipeline.decontaminate(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+    // covers exactly the train bucket (md5 id-hash < 90) — no benchmark doc leaks in
+    val trainIds = graft.core.Tables.documents(spark, dir)
+      .where(conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
+        .cast("long") % 100 < 90)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(out.map(_._1).toSet == trainIds)
+    out.foreach { case (id, nGrams, nHits, flag) =>
+      assert(nHits <= nGrams, s"doc $id: hits $nHits > grams $nGrams")
+      assert((flag == 1) == (nHits > 0))
+    }
+    // the planted near-dup clusters straddle the id-hash boundary → real contamination
+    assert(out.exists(_._4 == 1), "no contaminated train doc — fixture gone vacuous")
+    assert(out.count(_._4 == 1) < out.length / 10, "contamination should be the rare case")
+    // a doc under n tokens has no n-grams and must survive clean
+    val shortDocs = graft.core.Tables.documents(spark, dir)
+      .where(size(split(lower(col("text")), "\\s+")) < CorpusPipeline.DecontamN)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    out.filter(r => shortDocs.contains(r._1)).foreach { case (id, nGrams, nHits, flag) =>
+      assert(nGrams == 0 && nHits == 0 && flag == 0, s"short doc $id not trivially clean")
+    }
+  }
+
   test("rag_rerank: pairwise MaxSim head genuinely reorders the MMR context set") {
     val rr = TextAnalysis.ragRerank(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getLong(4)))

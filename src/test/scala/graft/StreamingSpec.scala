@@ -1012,6 +1012,47 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming decontam flags exactly the batch-contaminated docs with identical hit counts") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = "/root/testdata/sf0.01"
+    val bench = graft.operators.CorpusPipeline.benchmarkNgramIndex(spark, dir)
+    val batch = graft.operators.CorpusPipeline.decontaminate(spark, dir)
+      .where(col("contaminated") === 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(batch.nonEmpty, "fixture vacuous — no batch contamination to replay")
+    // replay the contaminated train docs + a handful of clean ones
+    val cleanIds = graft.operators.CorpusPipeline.decontaminate(spark, dir)
+      .where(col("contaminated") === 0).limit(5)
+      .collect().map(_.getLong(0)).toSet
+    val ids = batch.keySet ++ cleanIds
+    val rows = graft.core.Tables.documents(spark, dir)
+      .where(col("doc_id").isin(ids.toSeq: _*))
+      .select("doc_id", "text").collect()
+      .map(r => Doc(r.getLong(0), ts(1), r.getString(1)))
+    val input = MemoryStream[Doc]
+    val q = StreamingOps.streamingDecontamFlags(input.toDS().toDF(), bench)
+      .writeStream.format("memory").queryName("decontam_out")
+      .outputMode("append").start()
+    try {
+      input.addData(rows)
+      // advance the watermark past the window so append mode finalizes it;
+      // the advancer's grams are foreign to the benchmark → no extra flag
+      input.addData(Doc(-1L, ts(60),
+        "wmadv1 wmadv2 wmadv3 wmadv4 wmadv5 wmadv6 wmadv7 wmadv8 wmadv9"))
+      q.processAllAvailable()
+      val got = spark.table("decontam_out")
+        .select("doc_id", "n_hits").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got.keySet == batch.keySet,
+        s"stream flagged ${got.keySet}, batch flagged ${batch.keySet}")
+      got.foreach { case (id, n) =>
+        assert(n == batch(id), s"doc $id: stream hits $n vs batch ${batch(id)}")
+      }
+    } finally q.stop()
+  }
+
   test("streaming phash dedup drops signature collisions; signatures bit-match the batch pass") {
     import org.apache.spark.sql.functions.col
     import spark.implicits._
