@@ -10,7 +10,31 @@ import graft.RegistrySqlParts._
 private[graft] object RegistryCorpus {
 
   private[graft] def entries: Seq[(String, QFn, Option[String])] = Seq(
-    sampleHashQ, pipelineCleanQ, sampleStratifiedQ, docChunksQ, packSequencesQ, sampleMixtureQ, corpusShuffleQ, lengthBucketsQ, pipelineFullQ, docChunksCdcQ, shardManifestQ, splitAssignQ, splitLeakageSafeQ, dsirWeightQ, corpusStatsQ, domainCapQ, epochUpsampleQ, tokenBudgetQ, datasetDiffQ, urlCanonicalDedupQ, decontamQ)
+    sampleHashQ, pipelineCleanQ, sampleStratifiedQ, docChunksQ, packSequencesQ, sampleMixtureQ, corpusShuffleQ, lengthBucketsQ, pipelineFullQ, docChunksCdcQ, shardManifestQ, splitAssignQ, splitLeakageSafeQ, dsirWeightQ, corpusStatsQ, domainCapQ, epochUpsampleQ, tokenBudgetQ, datasetDiffQ, urlCanonicalDedupQ, decontamQ, sampleTemperatureQ)
+
+  /** Temperature resampling: the oracle replays the √p_l weights (IEEE
+    * sqrt is correctly rounded → identical doubles → identical floors),
+    * the HUGEINT rate division, and the 60-bit keep decision, so the kept
+    * doc set hash-matches exactly. */
+  private val sampleTemperatureQ: (String, QFn, Option[String]) = (
+    "sample_temperature",
+    (s, d) => CorpusPipeline.sampleTemperature(s, d),
+    Some("""
+      WITH per AS (SELECT lang, count(*)::BIGINT AS n_l FROM documents GROUP BY lang),
+      w AS (SELECT lang, n_l,
+              CAST(floor(sqrt((n_l * 1000000)::DOUBLE)) AS BIGINT) AS w_l FROM per),
+      tot AS (SELECT sum(n_l)::BIGINT AS n_total, sum(w_l)::BIGINT AS w_total FROM w),
+      r AS (SELECT lang, n_l,
+              least(1000000,
+                (((n_total::HUGEINT // 2) * w_l * 1000000)
+                 // (n_l::HUGEINT * w_total))::BIGINT) AS rate_micro
+            FROM w, tot)
+      SELECT d.doc_id, d.lang, r.n_l, r.rate_micro
+      FROM documents d JOIN r USING (lang)
+      WHERE ('0x' || substr(md5(d.doc_id::VARCHAR), 1, 15))::BIGINT::DOUBLE
+              / 1152921504606846976.0 < rate_micro / 1000000.0
+      ORDER BY d.doc_id
+    """.trim))
 
   /** Benchmark n-gram decontamination: the oracle rebuilds the held-out
     * benchmark slice (md5 doc-id bucket ≥ 90), both sides' distinct word

@@ -183,6 +183,41 @@ object CorpusPipeline {
       .select(col("doc_id"), col("source"), col("target_rate"))
       .orderBy(col("doc_id"))
 
+  /** Temperature-scaled language resampling — the XLM-R §3.1 / mT5 rule:
+    * sample languages with probability q_l ∝ p_l^α (α = 1/T; T = 2 here,
+    * so q_l ∝ √p_l), flattening the head language and boosting the tail
+    * so low-resource languages aren't drowned at training time. A target
+    * corpus of M = N div 2 docs gives per-language keep rates
+    * r_l = M·q_l/n_l, capped at 1 (rates > 1 are the upsampling regime —
+    * [[epochUpsample]]'s job). ALL cross-engine-sensitive arithmetic is
+    * integer or exactly-rounded: the temperature weight is
+    * w_l = floor(sqrt(n_l·10⁶)) — IEEE sqrt is correctly rounded, so
+    * both engines floor the SAME double (exact while n_l·10⁶ < 2⁵³,
+    * i.e. ~9·10⁹ docs per language — comfortably past any real corpus);
+    * w_l sums exactly as integers (no float fold-order hazard); the rate
+    * is one decimal(38) integral division; and the keep decision is the
+    * [[sampleByHash]] 60-bit id-hash against rate_micro/10⁶. One
+    * language-keyed aggregation (a handful of rows) broadcast back over
+    * the corpus — scan-speed at any size. */
+  def sampleTemperature(spark: SparkSession, dir: String): DataFrame = {
+    val per = Tables.documents(spark, dir)
+      .groupBy(col("lang")).agg(count(lit(1)).as("n_l"))
+      .withColumn("w_l",
+        floor(sqrt((col("n_l") * 1000000L).cast("double"))).cast("long"))
+    val tot = per.agg(sum(col("n_l")).cast("long").as("n_total"),
+      sum(col("w_l")).cast("long").as("w_total"))
+    val rates = per.crossJoin(broadcast(tot))
+      .withColumn("rate_micro", least(lit(1000000L),
+        expr("((CAST(n_total AS DECIMAL(38,0)) div 2) * w_l * 1000000) " +
+          "div (CAST(n_l AS DECIMAL(38,0)) * w_total)").cast("long")))
+      .select(col("lang"), col("n_l"), col("rate_micro"))
+    Tables.documents(spark, dir)
+      .join(broadcast(rates), "lang")
+      .where(idHashU < col("rate_micro").cast("double") / 1000000.0)
+      .select(col("doc_id"), col("lang"), col("n_l"), col("rate_micro"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Token-budget planning — the sizing pass before a training run: per
     * source, exact token mass, its mixture weight, and the slice of a
     * fixed token budget (10M here) allocated proportionally to the

@@ -23,6 +23,27 @@ class PipelineSpec extends AnyFunSuite {
   private def pairSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
     df.select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
 
+  test("sample_temperature: flattens the language head, boosts the tail, lands near target size") {
+    val out = CorpusPipeline.sampleTemperature(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val byLang = out.groupBy(_._2).map { case (l, rs) => (l, rs.head._3, rs.head._4) }.toSeq
+    // q ∝ √p: a bigger language must get a strictly smaller keep rate
+    byLang.combinations(2).foreach { case Seq((la, na, ra), (lb, nb, rb)) =>
+      if (na > nb) assert(ra < rb, s"$la (n=$na) rate $ra !< $lb (n=$nb) rate $rb")
+      if (na < nb) assert(ra > rb, s"$la (n=$na) rate $ra !> $lb (n=$nb) rate $rb")
+    case _ => ()
+    }
+    assert(byLang.forall(_._3 <= 1000000L))
+    // kept mass lands near the M = N/2 target (hash sampling is unbiased)
+    val n = graft.core.Tables.documents(spark, dir).count()
+    assert(math.abs(out.length - n / 2.0) < 0.1 * n,
+      s"kept ${out.length} docs vs target ${n / 2}")
+    // pure function of (doc_id, lang stats): rerun is bit-identical
+    val again = CorpusPipeline.sampleTemperature(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq == again.toSeq)
+  }
+
   test("benchmark_decontam: non-vacuous flags, short docs trivially clean, hits bounded") {
     import org.apache.spark.sql.functions._
     val out = CorpusPipeline.decontaminate(spark, dir).collect()
