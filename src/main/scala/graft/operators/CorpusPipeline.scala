@@ -199,20 +199,28 @@ object CorpusPipeline {
     * [[sampleByHash]] 60-bit id-hash against rate_micro/10⁶. One
     * language-keyed aggregation (a handful of rows) broadcast back over
     * the corpus — scan-speed at any size. */
-  def sampleTemperature(spark: SparkSession, dir: String): DataFrame = {
+  def temperatureRates(spark: SparkSession, dir: String): DataFrame = {
     val per = Tables.documents(spark, dir)
       .groupBy(col("lang")).agg(count(lit(1)).as("n_l"))
       .withColumn("w_l",
         floor(sqrt((col("n_l") * 1000000L).cast("double"))).cast("long"))
     val tot = per.agg(sum(col("n_l")).cast("long").as("n_total"),
       sum(col("w_l")).cast("long").as("w_total"))
-    val rates = per.crossJoin(broadcast(tot))
+    per.crossJoin(broadcast(tot))
       .withColumn("rate_micro", least(lit(1000000L),
         expr("((CAST(n_total AS DECIMAL(38,0)) div 2) * w_l * 1000000) " +
           "div (CAST(n_l AS DECIMAL(38,0)) * w_total)").cast("long")))
       .select(col("lang"), col("n_l"), col("rate_micro"))
+  }
+
+  /** The registered materialization of [[temperatureRates]]: broadcast
+    * the per-language rate table back over the corpus and keep each doc
+    * by the 60-bit id-hash decision — scan-speed at any size. The same
+    * frozen rate frame feeds
+    * [[graft.streaming.StreamingOps.streamingTemperatureSample]]. */
+  def sampleTemperature(spark: SparkSession, dir: String): DataFrame = {
     Tables.documents(spark, dir)
-      .join(broadcast(rates), "lang")
+      .join(broadcast(temperatureRates(spark, dir)), "lang")
       .where(idHashU < col("rate_micro").cast("double") / 1000000.0)
       .select(col("doc_id"), col("lang"), col("n_l"), col("rate_micro"))
       .orderBy(col("doc_id"))

@@ -346,6 +346,26 @@ object StreamingOps {
       .dropDuplicatesWithinWatermark("curl")
       .select(col("doc_id"), col("ts"), col("curl"))
 
+  /** Ingest-side temperature resampling — the streaming twin of
+    * [[graft.operators.CorpusPipeline.sampleTemperature]]: the
+    * batch-computed per-language keep rates (frozen corpus statistics —
+    * a handful of rows, the trained-model-as-literal pattern) ride to
+    * the stream as a broadcast stream-static join, and each arriving doc
+    * keeps or drops by the SAME 60-bit id-hash decision the batch op
+    * uses — a doc admitted at ingest is exactly the doc the batch pass
+    * would have kept (spec-asserted). Stateless narrow filter: no state
+    * store, no shuffle. */
+  def streamingTemperatureSample(docs: DataFrame, rates: DataFrame): DataFrame = {
+    val r = pin(rates.select(col("lang"), col("rate_micro")))
+    val hashU = conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
+      .cast("double") / 1152921504606846976.0
+    docs
+      .select(col("doc_id").cast("long").as("doc_id"), col("ts"), col("lang"))
+      .join(r, Seq("lang"))
+      .where(hashU < col("rate_micro").cast("double") / 1000000.0)
+      .select(col("doc_id"), col("ts"), col("lang"), col("rate_micro"))
+  }
+
   /** Ingest-side benchmark decontamination — the streaming twin of
     * [[graft.operators.CorpusPipeline.decontaminate]]: each arriving
     * doc's distinct word n-gram surrogates come from the SAME per-row

@@ -1012,6 +1012,32 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming temperature sample admits exactly the batch-kept docs") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = "/root/testdata/sf0.01"
+    val rates = graft.operators.CorpusPipeline.temperatureRates(spark, dir)
+    val want = graft.operators.CorpusPipeline.sampleTemperature(spark, dir)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val rows = graft.core.Tables.documents(spark, dir)
+      .select("doc_id", "lang").collect()
+      .map(r => (r.getLong(0), ts(1), r.getString(1)))
+    val input = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val q = StreamingOps.streamingTemperatureSample(
+        input.toDF().toDF("doc_id", "ts", "lang"), rates)
+      .writeStream.format("memory").queryName("temp_sample_out")
+      .outputMode("append").start()
+    try {
+      input.addData(rows)
+      q.processAllAvailable()
+      val got = spark.table("temp_sample_out")
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(got == want,
+        s"stream/batch keep sets diverge: extra=${(got -- want).take(3)} missing=${(want -- got).take(3)}")
+    } finally q.stop()
+  }
+
   test("streaming decontam flags exactly the batch-contaminated docs with identical hit counts") {
     import org.apache.spark.sql.functions.col
     import spark.implicits._
