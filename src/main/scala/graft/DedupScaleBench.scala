@@ -344,6 +344,36 @@ object DedupScaleBench {
       }
       val nVariants = variants.count()
       names.unpersist()
+      // 11. benchmark n-gram decontamination: 1% benchmark slice (an eval
+      //     suite is tiny relative to the corpus — the broadcast-side
+      //     premise), 8-gram collision screen over the remaining 99%.
+      //     Planted recovery: the shared 14-token boilerplate sentence
+      //     rides on 20% of docs, so the 1% bench slice certainly holds a
+      //     boiler doc at these sizes and EVERY train boiler doc must
+      //     flag — decontam_boiler_miss = 0 is the completeness check.
+      val (dcStats, dcSec) = timed {
+        val dc = graft.operators.CorpusPipeline.decontaminateOf(spark, wdocs,
+          benchLo = 990L, mod = 1000L).cache()
+        val flagged = dc.where(col("contaminated") === 1).count()
+        val boilerMiss = dc
+          .where(col("doc_id") % 5 === 0 && col("contaminated") === 0).count()
+        val total = dc.count()
+        dc.unpersist()
+        (flagged, boilerMiss, total)
+      }
+      // 12. URL canonicalization + per-host dedup over n synthetic surface
+      //     spellings — stage zero's scan-speed claim: pure codegen string
+      //     arithmetic into one host-keyed aggregation.
+      val (urlStats, urlSec) = timed {
+        val r = wdocs
+          .select(graft.operators.CorpusPipeline.syntheticUrl(col("doc_id")).as("raw"))
+          .withColumn("curl", graft.operators.CorpusPipeline.canonicalizeUrl(col("raw")))
+          .withColumn("host", regexp_extract(col("curl"), "^[a-z]+://([^/:?]*)", 1))
+          .groupBy(col("host"))
+          .agg(countDistinct(col("curl")).as("nc"))
+          .agg(count(lit(1)).as("hosts"), sum(col("nc")).as("canon")).head()
+        (r.getLong(0), r.getLong(1))
+      }
       wdocs.unpersist()
 
       def r2(v: Double) = math.rint(v * 100) / 100
@@ -367,7 +397,10 @@ object DedupScaleBench {
         s""""winnow_pair_sec":${r2(winPairSec)},"winnow_pairs":$nWinPairs,""" +
         s""""winnow_adj_expected":$winAdjExpected,"winnow_adj_found":$winAdjFound,""" +
         s""""fuzzy_sec":${r2(fuzzySec)},"fuzzy_variants":$nVariants,""" +
-        s""""fuzzy_matched":${fuzzyStats._1},"fuzzy_correct":${fuzzyStats._2}}""")
+        s""""fuzzy_matched":${fuzzyStats._1},"fuzzy_correct":${fuzzyStats._2},""" +
+        s""""decontam_sec":${r2(dcSec)},"decontam_train":${dcStats._3},""" +
+        s""""decontam_flagged":${dcStats._1},"decontam_boiler_miss":${dcStats._2},""" +
+        s""""url_sec":${r2(urlSec)},"url_hosts":${urlStats._1},"url_canon":${urlStats._2}}""")
     }
     spark.stop()
   }

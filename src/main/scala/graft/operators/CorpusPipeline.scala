@@ -629,14 +629,25 @@ object CorpusPipeline {
     * per-doc count aggregation, keyed by doc_id with map-side partial
     * combine. Both engines join on the same 60-bit surrogates, so the
     * flags hash-match bit-for-bit. */
-  def decontaminate(spark: SparkSession, dir: String, n: Int = DecontamN): DataFrame = {
+  def decontaminate(spark: SparkSession, dir: String, n: Int = DecontamN): DataFrame =
+    decontaminateOf(spark, Tables.documents(spark, dir), n)
+
+  /** [[decontaminate]] over an arbitrary (doc_id, text) frame with a
+    * configurable benchmark slice (`benchLo`/`mod` of the 60-bit id-hash)
+    * — the form DedupScaleBench sweeps with a realistic 1% bench
+    * fraction (an eval suite is tiny relative to the corpus, which is
+    * the broadcast-side premise). */
+  def decontaminateOf(spark: SparkSession, docs: DataFrame, n: Int = DecontamN,
+      benchLo: Long = 90, mod: Long = 100): DataFrame = {
     val bucket = conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
-      .cast("long") % 100
-    val train = Tables.documents(spark, dir).where(bucket < 90)
+      .cast("long") % mod
+    val train = docs.where(bucket < benchLo)
+    val benchIdx = docs.where(bucket >= benchLo)
+      .select(explode(ngramSurrogates(Dedup.tokens(col("text")), n)).as("s"))
+      .distinct()
     val hits = train
       .select(col("doc_id"), explode(ngramSurrogates(Dedup.tokens(col("text")), n)).as("s"))
-      .join(broadcast(benchmarkNgramIndex(spark, dir, n).withColumn("hit", lit(1))),
-        Seq("s"), "left")
+      .join(broadcast(benchIdx.withColumn("hit", lit(1))), Seq("s"), "left")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_ngrams"),
         sum(coalesce(col("hit"), lit(0))).cast("long").as("n_hits"))
