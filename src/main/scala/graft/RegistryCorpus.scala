@@ -10,7 +10,7 @@ import graft.RegistrySqlParts._
 private[graft] object RegistryCorpus {
 
   private[graft] def entries: Seq[(String, QFn, Option[String])] = Seq(
-    sampleHashQ, pipelineCleanQ, sampleStratifiedQ, docChunksQ, packSequencesQ, sampleMixtureQ, corpusShuffleQ, lengthBucketsQ, pipelineFullQ, docChunksCdcQ, shardManifestQ, splitAssignQ, splitLeakageSafeQ, dsirWeightQ, corpusStatsQ, domainCapQ, epochUpsampleQ, tokenBudgetQ, datasetDiffQ, urlCanonicalDedupQ, decontamQ, sampleTemperatureQ)
+    sampleHashQ, pipelineCleanQ, sampleStratifiedQ, docChunksQ, packSequencesQ, sampleMixtureQ, corpusShuffleQ, lengthBucketsQ, pipelineFullQ, docChunksCdcQ, shardManifestQ, splitAssignQ, splitLeakageSafeQ, dsirWeightQ, corpusStatsQ, domainCapQ, epochUpsampleQ, tokenBudgetQ, datasetDiffQ, urlCanonicalDedupQ, decontamQ, sampleTemperatureQ, pipelineWebQ)
 
   /** Temperature resampling: the oracle replays the √p_l weights (IEEE
     * sqrt is correctly rounded → identical doubles → identical floors),
@@ -36,6 +36,21 @@ private[graft] object RegistryCorpus {
       ORDER BY d.doc_id
     """.trim))
 
+  /** The decontamination CTE chain (t → grams → bench set → per-doc
+    * hits), shared verbatim by `benchmark_decontam` and the composed
+    * `pipeline_web` oracle so the two cannot drift. */
+  private val decontamCtes: String = s"""t AS (SELECT doc_id,
+             ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 100 AS bucket,
+             string_split_regex(lower(text), '\\s+') AS toks FROM documents),
+      g AS (SELECT doc_id, bucket,
+              unnest(list_distinct(list_transform(range(1, len(toks) - 6),
+                i -> ('0x' || substr(md5(list_aggregate(toks[i:i+7], 'string_agg', ' ')), 1, 15))::BIGINT))) AS s
+            FROM t WHERE len(toks) >= 8),
+      b AS (SELECT DISTINCT s FROM g WHERE bucket >= 90),
+      pd AS (SELECT g.doc_id, count(*)::BIGINT AS n_ngrams,
+               sum(CASE WHEN b.s IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_hits
+             FROM g LEFT JOIN b ON g.s = b.s WHERE g.bucket < 90 GROUP BY g.doc_id)"""
+
   /** Benchmark n-gram decontamination: the oracle rebuilds the held-out
     * benchmark slice (md5 doc-id bucket ≥ 90), both sides' distinct word
     * 8-gram 60-bit surrogates, and the left-join hit counts — so the
@@ -46,17 +61,7 @@ private[graft] object RegistryCorpus {
     "benchmark_decontam",
     (s, d) => CorpusPipeline.decontaminate(s, d),
     Some(s"""
-      WITH t AS (SELECT doc_id,
-             ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 100 AS bucket,
-             string_split_regex(lower(text), '\\s+') AS toks FROM documents),
-      g AS (SELECT doc_id, bucket,
-              unnest(list_distinct(list_transform(range(1, len(toks) - 6),
-                i -> ('0x' || substr(md5(list_aggregate(toks[i:i+7], 'string_agg', ' ')), 1, 15))::BIGINT))) AS s
-            FROM t WHERE len(toks) >= 8),
-      b AS (SELECT DISTINCT s FROM g WHERE bucket >= 90),
-      pd AS (SELECT g.doc_id, count(*)::BIGINT AS n_ngrams,
-               sum(CASE WHEN b.s IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_hits
-             FROM g LEFT JOIN b ON g.s = b.s WHERE g.bucket < 90 GROUP BY g.doc_id)
+      WITH $decontamCtes
       SELECT t.doc_id, coalesce(pd.n_ngrams, 0)::BIGINT AS n_ngrams,
              coalesce(pd.n_hits, 0)::BIGINT AS n_hits,
              (coalesce(pd.n_hits, 0) > 0)::INT AS contaminated
@@ -69,11 +74,10 @@ private[graft] object RegistryCorpus {
     * port, fragment, tracking params, `/./` segments), and the oracle
     * replays BOTH the derivation and every canonicalization rule in SQL,
     * so the canonical strings themselves hash-match, not just counts. */
-  private val urlCanonicalDedupQ: (String, QFn, Option[String]) = (
-    "url_canonical_dedup",
-    (s, d) => CorpusPipeline.urlCanonicalDedup(s, d),
-    Some("""
-      WITH raw AS (
+  /** The raw-URL fixture + canonicalization CTE chain (raw → canon),
+    * shared verbatim by `url_canonical_dedup` and the composed
+    * `pipeline_web` oracle so the two cannot drift. */
+  private val urlCanonCtes: String = """raw AS (
         SELECT doc_id,
           CASE doc_id % 8
             WHEN 0 THEN 'https://h' || (doc_id % 50)::VARCHAR || '.example.com/p' || (doc_id % 200)::VARCHAR
@@ -119,12 +123,51 @@ private[graft] object RegistryCorpus {
         SELECT doc_id, host,
                scheme || '://' || host || portpart || pathr ||
                  CASE WHEN qk = '' THEN '' ELSE '?' || qk END AS curl
-        FROM c5)
+        FROM c5)"""
+
+  private val urlCanonicalDedupQ: (String, QFn, Option[String]) = (
+    "url_canonical_dedup",
+    (s, d) => CorpusPipeline.urlCanonicalDedup(s, d),
+    Some(s"""
+      WITH $urlCanonCtes
       SELECT host, count(*)::BIGINT AS n_raw,
              count(DISTINCT curl)::BIGINT AS n_canonical,
              (count(*) - count(DISTINCT curl))::BIGINT AS n_dup,
              min(curl) AS sample_url
       FROM canon GROUP BY host ORDER BY host
+    """.trim))
+
+  /** The composed web pipeline: URL dedup → decontamination → temperature
+    * mix, each stage the shared CTE chain of its single-op oracle; the
+    * temperature rates are recomputed over the SURVIVOR set exactly as
+    * the Spark composition does. */
+  private val pipelineWebQ: (String, QFn, Option[String]) = (
+    "pipeline_web",
+    (s, d) => CorpusPipeline.pipelineWeb(s, d),
+    Some(s"""
+      WITH $urlCanonCtes,
+      urlk AS (SELECT min(doc_id) AS doc_id FROM canon GROUP BY curl),
+      $decontamCtes,
+      surv AS (SELECT d.doc_id, d.lang
+               FROM documents d
+               JOIN urlk ON d.doc_id = urlk.doc_id
+               JOIN t ON t.doc_id = d.doc_id
+               LEFT JOIN pd ON pd.doc_id = d.doc_id
+               WHERE t.bucket < 90 AND coalesce(pd.n_hits, 0) = 0),
+      per AS (SELECT lang, count(*)::BIGINT AS n_l FROM surv GROUP BY lang),
+      w AS (SELECT lang, n_l,
+              CAST(floor(sqrt((n_l * 1000000)::DOUBLE)) AS BIGINT) AS w_l FROM per),
+      tot AS (SELECT sum(n_l)::BIGINT AS n_total, sum(w_l)::BIGINT AS w_total FROM w),
+      r AS (SELECT lang,
+              least(1000000,
+                (((n_total::HUGEINT // 2) * w_l * 1000000)
+                 // (n_l::HUGEINT * w_total))::BIGINT) AS rate_micro
+            FROM w, tot)
+      SELECT s.doc_id, s.lang, r.rate_micro
+      FROM surv s JOIN r USING (lang)
+      WHERE ('0x' || substr(md5(s.doc_id::VARCHAR), 1, 15))::BIGINT::DOUBLE
+              / 1152921504606846976.0 < rate_micro / 1000000.0
+      ORDER BY s.doc_id
     """.trim))
 
   /** Buckets are md5-derived on both sides; the en-doc subset is DSIR's

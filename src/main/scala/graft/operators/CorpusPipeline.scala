@@ -199,8 +199,14 @@ object CorpusPipeline {
     * [[sampleByHash]] 60-bit id-hash against rate_micro/10⁶. One
     * language-keyed aggregation (a handful of rows) broadcast back over
     * the corpus — scan-speed at any size. */
-  def temperatureRates(spark: SparkSession, dir: String): DataFrame = {
-    val per = Tables.documents(spark, dir)
+  def temperatureRates(spark: SparkSession, dir: String): DataFrame =
+    temperatureRatesOf(Tables.documents(spark, dir))
+
+  /** [[temperatureRates]] over an arbitrary frame carrying `lang` — the
+    * composed pipeline computes its mix over the CLEANED survivor set
+    * (rates belong to the corpus you train on, not the raw crawl). */
+  def temperatureRatesOf(docs: DataFrame): DataFrame = {
+    val per = docs
       .groupBy(col("lang")).agg(count(lit(1)).as("n_l"))
       .withColumn("w_l",
         floor(sqrt((col("n_l") * 1000000L).cast("double"))).cast("long"))
@@ -223,6 +229,34 @@ object CorpusPipeline {
       .join(broadcast(temperatureRates(spark, dir)), "lang")
       .where(idHashU < col("rate_micro").cast("double") / 1000000.0)
       .select(col("doc_id"), col("lang"), col("n_l"), col("rate_micro"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** The WEB-CRAWL composition — stage zero to training mix in one plan,
+    * each stage the verified single-op machinery: (0) canonical-URL dedup
+    * ([[canonicalizeUrl]] over the [[syntheticUrl]] fixture, min doc id
+    * per canonical page survives — duplicate surface spellings never
+    * reach content processing); (1) benchmark n-gram decontamination
+    * ([[decontaminate]] — contaminated train docs and the benchmark
+    * slice itself both drop); (2) temperature resampling with rates
+    * computed over the CLEANED survivors ([[temperatureRatesOf]] — the
+    * mix belongs to the corpus you train on, not the raw crawl). Scale
+    * shape: three id-keyed semi-joins (URL survivors, clean set) plus the
+    * broadcast rate table — every stage is the single-op plan, nothing
+    * new shuffles. */
+  def pipelineWeb(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val urlKept = docs
+      .select(col("doc_id"), canonicalizeUrl(syntheticUrl(col("doc_id"))).as("curl"))
+      .groupBy(col("curl")).agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"))
+    val clean = decontaminate(spark, dir).where(col("contaminated") === 0)
+      .select(col("doc_id"))
+    val surv = docs.join(urlKept, "doc_id").join(clean, "doc_id")
+      .select(col("doc_id"), col("lang"))
+    surv.join(broadcast(temperatureRatesOf(surv)), "lang")
+      .where(idHashU < col("rate_micro").cast("double") / 1000000.0)
+      .select(col("doc_id"), col("lang"), col("rate_micro"))
       .orderBy(col("doc_id"))
   }
 
@@ -619,7 +653,11 @@ object CorpusPipeline {
     * WITHIN-corpus near-dup leaks by splitting on cluster ids: this op
     * screens training text against a FOREIGN benchmark set by exact
     * n-gram collision, the stage every serious LLM data pipeline runs
-    * before training. Emits every train doc with its distinct-gram count,
+    * before training. Complements [[Dedup.contaminationCheck]] (the
+    * pair-listing form: ≥3 shared word-3-grams through the inverted-index
+    * pair join) — this is the long-n-gram single-hit rule with doc-level
+    * verdicts and a broadcast-set probe, the shape that scales when the
+    * train side is the whole corpus. Emits every train doc with its distinct-gram count,
     * benchmark-hit count, and the contaminated flag (docs under n tokens
     * are trivially clean and survive the left join with zeros).
     *

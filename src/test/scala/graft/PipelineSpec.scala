@@ -23,6 +23,28 @@ class PipelineSpec extends AnyFunSuite {
   private def pairSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
     df.select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
 
+  test("pipeline_web: every stage bites and every survivor passes every stage") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.core.Tables.documents(spark, dir)
+    val n = docs.count()
+    val out = CorpusPipeline.pipelineWeb(spark, dir).collect().map(_.getLong(0)).toSet
+    // stage sets recomputed from the single ops
+    val urlKept = docs.select(col("doc_id"),
+        CorpusPipeline.canonicalizeUrl(CorpusPipeline.syntheticUrl(col("doc_id"))).as("curl"))
+      .groupBy("curl").agg(min(col("doc_id")).as("doc_id"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val clean = CorpusPipeline.decontaminate(spark, dir)
+      .where(col("contaminated") === 0).collect().map(_.getLong(0)).toSet
+    assert(out.subsetOf(urlKept), "a kept doc is not a canonical-URL survivor")
+    assert(out.subsetOf(clean), "a kept doc is contaminated or out of the train bucket")
+    // each stage genuinely removes docs on this corpus
+    assert(urlKept.size < n, "URL dedup removed nothing")
+    assert(clean.size < urlKept.size || (urlKept -- clean).nonEmpty,
+      "decontam+bench-slice removed nothing")
+    assert(out.size < (urlKept intersect clean).size, "temperature sampling removed nothing")
+    assert(out.nonEmpty)
+  }
+
   test("sample_temperature: flattens the language head, boosts the tail, lands near target size") {
     val out = CorpusPipeline.sampleTemperature(spark, dir).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
