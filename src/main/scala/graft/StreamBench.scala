@@ -128,6 +128,23 @@ object StreamBench {
     run[Doc]("stream_decontam", docs.filter(_.doc_id % 100 < 90),
       in => StreamingOps.streamingDecontamFlags(in.toDF(), benchIdx))
 
+    // temperature resampling at ingest: frozen per-lang rates (computed
+    // driver-side over the imbalanced synthetic lang mix) broadcast into
+    // the stateless keep/drop filter
+    val langOf: Long => String = id => s"l${(id % 10) match {
+      case x if x <= 5 => 0; case 6 | 7 => 1; case 8 => 2; case _ => 3 }}"
+    val langRows = docs.map(d => (d.doc_id, d.ts, langOf(d.doc_id)))
+    val langCounts = langRows.groupBy(_._3).view.mapValues(_.size.toLong).toMap
+    val nTot = langCounts.values.sum
+    val ws = langCounts.view.mapValues(c => math.floor(math.sqrt(c.toDouble * 1e6)).toLong).toMap
+    val wTot = ws.values.sum
+    val rateRows = langCounts.toSeq.map { case (l, c) =>
+      (l, c, math.min(1000000L, (nTot / 2) * ws(l) * 1000000L / (c * wTot))) }
+    val ratesDf = spark.createDataFrame(rateRows).toDF("lang", "n_l", "rate_micro")
+    run[(Long, Timestamp, String)]("stream_temperature", langRows,
+      in => StreamingOps.streamingTemperatureSample(
+        in.toDF().toDF("doc_id", "ts", "lang"), ratesDf))
+
     val centroids = Array.tabulate(8) { c =>
       val rng = new Random(c * 1234567L + 11L)
       Array.fill(64)((rng.nextInt(2000001) - 1000000).toLong)
