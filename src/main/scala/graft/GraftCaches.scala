@@ -42,5 +42,6 @@ object GraftCaches {
     functions.EditDistanceExpressions.clearRegistry()
     functions.PhashExpressions.clearRegistry()
     functions.LangExpressions.clearRegistry()
+    functions.NfcExpressions.clearRegistry()
   }
 }

@@ -67,6 +67,9 @@ object GraftExtensions {
     ("phash_native",
       new ExpressionInfo(classOf[graft.functions.PhashNative].getName, "phash_native"),
       unary("phash_native", "string", graft.functions.PhashNative(_))),
+    ("nfc_native",
+      new ExpressionInfo(classOf[graft.functions.NfcNormalize].getName, "nfc_native"),
+      unary("nfc_native", "string", graft.functions.NfcNormalize(_))),
     ("jaro_winkler",
       new ExpressionInfo(classOf[graft.functions.JaroWinkler].getName, "jaro_winkler"),
       binary("jaro_winkler", graft.functions.JaroWinkler(_, _), "string, string")),

@@ -10,7 +10,31 @@ import graft.RegistrySqlParts._
 private[graft] object RegistryText {
 
   private[graft] def entries: Seq[(String, QFn, Option[String])] = Seq(
-    textStats, langId, tokenCount, docFingerprint, vocabTopKQ, lengthPctQ, lengthMadQ, percentileGateQ, tfIdfQ, repetitionScoreQ, bigramTopKQ, lmPerplexityQ, oovRateQ, boilerplateQ, piiRedactQ, qualityDecilesQ, tokenEntropyQ, bm25RetrievalQ, bm25PrfQ, bpeMergesQ, bpeEncodeQ, cmsTopkQ, featureHashQ, classifierGateQ, langClassifierGateQ, hybridRetrievalQ, ragRetrievalQ, ragRerankQ, gopherRulesQ)
+    textStats, langId, tokenCount, docFingerprint, vocabTopKQ, lengthPctQ, lengthMadQ, percentileGateQ, tfIdfQ, repetitionScoreQ, bigramTopKQ, lmPerplexityQ, oovRateQ, boilerplateQ, piiRedactQ, qualityDecilesQ, tokenEntropyQ, bm25RetrievalQ, bm25PrfQ, bpeMergesQ, bpeEncodeQ, cmsTopkQ, featureHashQ, classifierGateQ, langClassifierGateQ, hybridRetrievalQ, ragRetrievalQ, ragRerankQ, gopherRulesQ, nfcDedupQ)
+
+  /** Unicode-NFC dedup: both engines implement the same Unicode
+    * composition standard (JDK Normalizer / utf8proc), so the normalized
+    * strings, lengths, change flags, and dup links all hash-match. The
+    * fixture pairs (2k, 2k+1) as composed/decomposed spellings of one
+    * logical string across three composition families. */
+  private val nfcDedupQ: (String, QFn, Option[String]) = (
+    "nfc_dedup",
+    (s, d) => TextAnalysis.nfcDedup(s, d),
+    Some("""
+      WITH raw AS (SELECT doc_id,
+             'caf' || CASE WHEN doc_id % 2 = 0 THEN
+                 CASE (doc_id // 2) % 3 WHEN 0 THEN chr(233) WHEN 1 THEN chr(246) ELSE chr(44033) END
+               ELSE
+                 CASE (doc_id // 2) % 3 WHEN 0 THEN 'e' || chr(769) WHEN 1 THEN 'o' || chr(776)
+                   ELSE chr(4352) || chr(4449) || chr(4520) END
+               END || ' page ' || (doc_id // 2)::VARCHAR AS raw
+           FROM documents),
+      n AS (SELECT doc_id, raw, nfc_normalize(raw) AS nfc FROM raw),
+      g AS (SELECT md5(nfc) AS h, min(doc_id) AS dup_of FROM n GROUP BY 1)
+      SELECT n.doc_id, length(n.raw)::BIGINT AS raw_len, length(n.nfc)::BIGINT AS nfc_len,
+             (n.raw <> n.nfc)::INT AS changed, g.dup_of
+      FROM n JOIN g ON md5(n.nfc) = g.h ORDER BY n.doc_id
+    """.trim))
 
   // ---- text analysis --------------------------------------------------------
 

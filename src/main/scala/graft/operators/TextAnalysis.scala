@@ -1183,6 +1183,47 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Unicode-normalization dedup — the text canonicalization stage a
+    * multilingual crawl runs BEFORE content hashing: the same visible
+    * string arrives precomposed (é = U+00E9) or decomposed
+    * (e + U+0301), and byte-keyed exact dedup silently misses the pair.
+    * The fixture derives both spellings deterministically from doc ids
+    * (the [[CorpusPipeline.syntheticUrl]] planted-fixture pattern — the
+    * corpus text is ASCII): docs (2k, 2k+1) carry the SAME logical
+    * string, the even one composed and the odd one decomposed, cycling
+    * through three composition families (Latin acute, Latin diaeresis,
+    * Hangul L+V+T jamo — the algorithmic-composition path). Each doc is
+    * normalized through the codegen `nfc_native` kernel
+    * ([[graft.functions.NfcExpressions]] — JDK Normalizer, the same
+    * Unicode standard DuckDB's utf8proc implements, so normalized
+    * strings agree cross-engine) and deduped on the normalized hash:
+    * every odd doc must resolve dup_of → its even twin. Scale shape: one
+    * narrow codegen projection (with an O(n) no-alloc `isNormalized`
+    * fast path for the dominant already-NFC case) plus the standard
+    * hash-groupBy dedup. */
+  def nfcDedup(spark: SparkSession, dir: String): DataFrame = {
+    val fam = expr("(doc_id div 2) % 3")
+    val composed = when(fam === 0, lit("\u00e9"))
+      .when(fam === 1, lit("\u00f6")).otherwise(lit("\uac01"))
+    val decomposed = when(fam === 0, lit("e\u0301"))
+      .when(fam === 1, lit("o\u0308")).otherwise(lit("\u1100\u1161\u11a8"))
+    val raw = concat(lit("caf"),
+      when(col("doc_id") % 2 === 0, composed).otherwise(decomposed),
+      lit(" page "), expr("CAST(doc_id div 2 AS STRING)"))
+    val base = Tables.documents(spark, dir)
+      .select(col("doc_id"), raw.as("raw"))
+      .withColumn("nfc", graft.functions.NfcExpressions.nfc(spark, col("raw")))
+    val groups = base
+      .groupBy(md5(col("nfc")).as("h")).agg(min(col("doc_id")).as("dup_of"))
+    base.join(groups, md5(col("nfc")) === col("h"))
+      .select(col("doc_id"),
+        length(col("raw")).cast("long").as("raw_len"),
+        length(col("nfc")).cast("long").as("nfc_len"),
+        (col("raw") =!= col("nfc")).cast("int").as("changed"),
+        col("dup_of"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Document fingerprint: bottom-5 sketch of md5'd word-3-gram shingles —
     * a fixed-size content signature (min-k sketch) whose overlap estimates
     * Jaccard similarity; joins on fingerprint find near-dups cheaply. */

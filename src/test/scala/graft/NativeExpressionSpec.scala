@@ -152,6 +152,36 @@ class NativeExpressionSpec extends AnyFunSuite {
     assert(a == b, "null shingles must be ignored, not NPE or perturb the signature")
   }
 
+  test("nfc_native composes decomposed forms, is idempotent, and fixture pairs resolve") {
+    import spark.implicits._
+    // (input, expected-NFC) pairs: Latin combining marks, Hangul jamo
+    // (algorithmic composition), non-BMP base + combining, already-NFC,
+    // empty — the Unicode edge set
+    val cases = Seq(
+      ("e\u0301", "\u00e9"),
+      ("o\u0308", "\u00f6"),
+      ("\u1100\u1161\u11a8", "\uac01"),
+      ("caf\u00e9 page 7", "caf\u00e9 page 7"),
+      ("\ud83d\ude00e\u0301", "\ud83d\ude00\u00e9"),
+      ("", ""))
+    val got = cases.map(_._1).toDF("s")
+      .select(graft.functions.NfcExpressions.nfc(spark, col("s")))
+      .collect().map(_.getString(0))
+    cases.zip(got).foreach { case ((in, want), g) =>
+      assert(g == want, s"nfc('${in.codePoints.toArray.mkString("+")}') wrong")
+      // idempotence: normalizing the output is a no-op
+      assert(java.text.Normalizer.isNormalized(g, java.text.Normalizer.Form.NFC))
+    }
+    // the registered query's structural invariant: every odd doc is the
+    // decomposed twin of doc-1 (changed, dup_of = even twin), evens clean
+    val rows = graft.operators.TextAnalysis.nfcDedup(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3), r.getLong(4)))
+    rows.foreach { case (id, rawLen, nfcLen, changed, dupOf) =>
+      if (id % 2 == 0) { assert(changed == 0 && dupOf == id && rawLen == nfcLen) }
+      else { assert(changed == 1 && dupOf == id - 1 && rawLen > nfcLen) }
+    }
+  }
+
   test("extension SQL builders reject wrong arity with an error naming the function") {
     import org.apache.spark.sql.catalyst.expressions.Literal
     for ((name, _, builder) <- GraftExtensions.functions) {
