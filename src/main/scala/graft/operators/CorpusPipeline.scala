@@ -245,6 +245,16 @@ object CorpusPipeline {
     * broadcast rate table — every stage is the single-op plan, nothing
     * new shuffles. */
   def pipelineWeb(spark: SparkSession, dir: String): DataFrame = {
+    val surv = webCleanSurvivors(spark, dir)
+    sampleFromSurvivors(surv)
+  }
+
+  /** The (doc_id, lang) frame surviving [[pipelineWeb]]'s stages 0–1 —
+    * URL-canonical dedup then decontamination — factored out so the
+    * STREAMING twin's frozen rate table
+    * ([[graft.streaming.StreamingOps.streamingWebIngest]]) is computed
+    * over exactly this frame, never a re-derivation that could drift. */
+  private[graft] def webCleanSurvivors(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
     val urlKept = docs
       .select(col("doc_id"), canonicalizeUrl(syntheticUrl(col("doc_id"))).as("curl"))
@@ -252,8 +262,13 @@ object CorpusPipeline {
       .select(col("doc_id"))
     val clean = decontaminate(spark, dir).where(col("contaminated") === 0)
       .select(col("doc_id"))
-    val surv = docs.join(urlKept, "doc_id").join(clean, "doc_id")
+    docs.join(urlKept, "doc_id").join(clean, "doc_id")
       .select(col("doc_id"), col("lang"))
+  }
+
+  /** [[pipelineWeb]]'s final stage over a survivor frame: temperature
+    * rates computed on the survivors, broadcast back, id-hash keep. */
+  private def sampleFromSurvivors(surv: DataFrame): DataFrame = {
     surv.join(broadcast(temperatureRatesOf(surv)), "lang")
       .where(idHashU < col("rate_micro").cast("double") / 1000000.0)
       .select(col("doc_id"), col("lang"), col("rate_micro"))

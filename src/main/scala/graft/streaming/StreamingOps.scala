@@ -904,6 +904,49 @@ object StreamingOps {
     * pre-aggregation. All state and gap arithmetic is in exact
     * microseconds (the batch twin's `unix_micros`), so sub-millisecond
     * event times don't diverge. */
+  /** The COMPOSED web-crawl ingest — the streaming twin of
+    * [[graft.operators.CorpusPipeline.pipelineWeb]], stage zero to
+    * training mix at the stream in ONE query: (0) canonical-URL dedup —
+    * the ONE shared canonicalization expression
+    * ([[graft.operators.CorpusPipeline.canonicalizeUrl]]) plus
+    * horizon-bounded first-wins key state, which matches the batch
+    * min-doc_id-per-page winner whenever arrivals follow id order (the
+    * crawl-frontier norm; divergence under reordering is the documented
+    * dedup-horizon trade); (1) benchmark decontamination as a STATELESS
+    * literal probe — the arriving doc's n-gram surrogates come from the
+    * SAME per-row expression the batch op uses (keys bit-identical by
+    * construction) and are tested with `arrays_overlap` against the
+    * frozen benchmark gram set carried as a LITERAL array (eval suites
+    * are thousands of documents, not terabytes — the batch op's
+    * broadcast premise taken one step further: no join, no shuffle, no
+    * state), and the benchmark id-slice itself drops exactly as in
+    * batch; (2) temperature resampling via the individually-spec'd
+    * [[streamingTemperatureSample]] against the FROZEN rate table the
+    * batch pipeline computed over its clean survivors
+    * (frozen-corpus-statistics pattern). One state store total (the URL
+    * horizon); everything after it is stateless narrow — the whole
+    * crawl-to-training-mix path runs at ingest, spec-asserted
+    * bit-identical to the batch keep set under id-ordered arrival. */
+  def streamingWebIngest(docs: DataFrame, benchGrams: Array[Long], rates: DataFrame,
+      benchLo: Long = 90, mod: Long = 100,
+      watermark: String = "10 minutes"): DataFrame = {
+    val bucket = conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
+      .cast("long") % mod
+    val surrogates = graft.operators.CorpusPipeline.ngramSurrogates(
+      graft.operators.Dedup.tokens(col("text")),
+      graft.operators.CorpusPipeline.DecontamN)
+    val deduped = docs
+      .select(col("doc_id").cast("long").as("doc_id"), col("ts"),
+        graft.operators.CorpusPipeline.canonicalizeUrl(col("url")).as("curl"),
+        col("text"), col("lang"))
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("curl")
+    deduped
+      .where(bucket < benchLo && !arrays_overlap(surrogates, typedlit(benchGrams)))
+      .select(col("doc_id"), col("ts"), col("lang"))
+      .transform(streamingTemperatureSample(_, rates))
+  }
+
   def streamingAsof(events: Dataset[Event], horizonMinutes: Int = 60): Dataset[AsofMatch] = {
     import events.sparkSession.implicits._
     val horizonMs = horizonMinutes * 60L * 1000L

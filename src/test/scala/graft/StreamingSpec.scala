@@ -1079,6 +1079,45 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming web ingest composes url dedup -> decontam -> temperature bit-identically to batch") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    val want = graft.operators.CorpusPipeline.pipelineWeb(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(want.nonEmpty, "fixture vacuous — batch web pipeline kept nothing")
+    // frozen inputs: the benchmark gram set as a literal, and the rate
+    // table computed over the batch pipeline's own clean survivors
+    val bench = graft.operators.CorpusPipeline.benchmarkNgramIndex(spark, dir)
+      .collect().map(_.getLong(0))
+    assert(bench.nonEmpty, "fixture vacuous — empty benchmark gram set")
+    val rates = graft.operators.CorpusPipeline.temperatureRatesOf(
+      graft.operators.CorpusPipeline.webCleanSurvivors(spark, dir))
+    // id-ordered arrival: the batch min-id-per-page winner arrives first,
+    // so streaming first-wins keeps exactly the batch URL survivors
+    val rows = graft.core.Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        graft.operators.CorpusPipeline.syntheticUrl(col("doc_id")).as("url"),
+        col("text"), col("lang"))
+      .orderBy(col("doc_id")).collect()
+      .map(r => (r.getLong(0), ts(1), r.getString(1), r.getString(2), r.getString(3)))
+    val input = MemoryStream[(Long, java.sql.Timestamp, String, String, String)]
+    val q = StreamingOps.streamingWebIngest(
+        input.toDF().toDF("doc_id", "ts", "url", "text", "lang"), bench, rates)
+      .writeStream.format("memory").queryName("web_ingest_out")
+      .outputMode("append").start()
+    try {
+      input.addData(rows.toSeq)
+      q.processAllAvailable()
+      val got = spark.table("web_ingest_out")
+        .select("doc_id", "lang", "rate_micro").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+      assert(got == want,
+        s"stream/batch web keep sets diverge: extra=${(got -- want).take(3)} missing=${(want -- got).take(3)}")
+    } finally q.stop()
+  }
+
   test("streaming phash dedup drops signature collisions; signatures bit-match the batch pass") {
     import org.apache.spark.sql.functions.col
     import spark.implicits._
