@@ -20,6 +20,7 @@ object GraftCaches {
     * demand; each query's untimed warm-up run absorbs that. */
   def clearMemos(): Unit = {
     operators.Dedup.clearCaches()
+    operators.CorpusPipeline.clearCaches()
     operators.Multimodal.clearCaches()
     operators.TextAnalysis.clearCaches()
     operators.Similarity.clearCaches()

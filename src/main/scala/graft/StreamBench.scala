@@ -145,6 +145,19 @@ object StreamBench {
       in => StreamingOps.streamingTemperatureSample(
         in.toDF().toDF("doc_id", "ts", "lang"), ratesDf))
 
+    // the COMPOSED web ingest — the three stages above in ONE query:
+    // canonical-URL first-wins state, stateless literal-probe
+    // decontamination, frozen-rate temperature sampling. One state store
+    // total; the throughput gap vs `stream_url` alone is the price of the
+    // whole crawl-to-training-mix path at ingest.
+    val benchGrams = benchIdx.collect().map(_.getLong(0))
+    val webRows = (0 until n).map { i =>
+      (docs(i).doc_id, docs(i).ts, urls(i).text, docs(i).text, langOf(docs(i).doc_id))
+    }
+    run[(Long, Timestamp, String, String, String)]("stream_web", webRows,
+      in => StreamingOps.streamingWebIngest(
+        in.toDF().toDF("doc_id", "ts", "url", "text", "lang"), benchGrams, ratesDf))
+
     val centroids = Array.tabulate(8) { c =>
       val rng = new Random(c * 1234567L + 11L)
       Array.fill(64)((rng.nextInt(2000001) - 1000000).toLong)

@@ -253,17 +253,39 @@ object CorpusPipeline {
     * URL-canonical dedup then decontamination — factored out so the
     * STREAMING twin's frozen rate table
     * ([[graft.streaming.StreamingOps.streamingWebIngest]]) is computed
-    * over exactly this frame, never a re-derivation that could drift. */
-  private[graft] def webCleanSurvivors(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
-    val urlKept = docs
-      .select(col("doc_id"), canonicalizeUrl(syntheticUrl(col("doc_id"))).as("curl"))
-      .groupBy(col("curl")).agg(min(col("doc_id")).as("doc_id"))
-      .select(col("doc_id"))
-    val clean = decontaminate(spark, dir).where(col("contaminated") === 0)
-      .select(col("doc_id"))
-    docs.join(urlKept, "doc_id").join(clean, "doc_id")
-      .select(col("doc_id"), col("lang"))
+    * over exactly this frame, never a re-derivation that could drift.
+    *
+    * MEMOIZED + persisted per (session, dir): the rates subquery and the
+    * main sampling frame both consume it, and without the persist the
+    * URL-dedup + decontamination subplan (two corpus n-gram explodes +
+    * a groupBy) executes TWICE — once under the broadcast boundary, once
+    * in the main join (Catalyst does not share subtrees across jobs;
+    * measured 4.7 s → ~half on the full bench). The cached frame is two
+    * narrow columns (doc_id, lang), corpus-row-bounded — the lexTermCounts
+    * shape, not a corpus blow-up. Cleared by [[clearCaches]]. */
+  private val webSurvCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), DataFrame]
+
+  private[graft] def webCleanSurvivors(spark: SparkSession, dir: String): DataFrame =
+    webSurvCache.getOrElseUpdate((spark, dir), {
+      val docs = Tables.documents(spark, dir)
+      val urlKept = docs
+        .select(col("doc_id"), canonicalizeUrl(syntheticUrl(col("doc_id"))).as("curl"))
+        .groupBy(col("curl")).agg(min(col("doc_id")).as("doc_id"))
+        .select(col("doc_id"))
+      val clean = decontaminate(spark, dir).where(col("contaminated") === 0)
+        .select(col("doc_id"))
+      docs.join(urlKept, "doc_id").join(clean, "doc_id")
+        .select(col("doc_id"), col("lang"))
+        .persist()
+    })
+
+  /** Unpersist + drop the per-dataset corpus-pipeline memos (the
+    * Dedup.clearCaches twin, reachable through
+    * [[graft.GraftCaches.clearMemos]]). */
+  def clearCaches(): Unit = {
+    for ((_, df) <- webSurvCache) scala.util.Try(df.unpersist())
+    webSurvCache.clear()
   }
 
   /** [[pipelineWeb]]'s final stage over a survivor frame: temperature

@@ -26,7 +26,7 @@ class CacheLifecycleSpec extends AnyFunSuite {
     // frames, pagerank checkpoints, media signature caches, fitted
     // k-means matrices
     val names = Seq("dedup_ngram_jaccard", "source_pagerank",
-      "mm_image_neardup", "embed_kmeans", "cluster_silhouette")
+      "mm_image_neardup", "embed_kmeans", "cluster_silhouette", "pipeline_web")
     def sweep(): Unit = {
       graft.core.Tables.cacheTables = true
       try names.foreach(n => SparkEntry.queries(n)(spark, dir).count())
