@@ -45,7 +45,7 @@ object SparkEntry {
       vamanaFanoutQ, vamanaFanoutGateQ, vamanaFanoutFilteredQ, vamanaFanoutFilteredGateQ,
       vamanaAdaptivePostfilterGateQ,
       vamanaRoundtripQ, vamanaInsertQ, vamanaDeleteQ, vamanaInsertGateQ, vamanaDeleteGateQ,
-      vamanaPqInsertGateQ, vamanaPqDeleteGateQ),
+      vamanaPqInsertGateQ, vamanaPqDeleteGateQ, vamanaMergeGateQ),
     "relational" -> Seq(
       pricingQ, regionRevenueQ, topOrdersQ, orderPriorityQ, localSupplierQ,
       filteredRevenueQ, partRollupQ, segmentSetOpsQ, eventsHourlyQ, userFunnelQ,
@@ -542,6 +542,16 @@ object SparkEntry {
       WITH m AS (SELECT max(vec_id) AS mx FROM embeddings)
       SELECT count(*) AS n_inserted, TRUE AS self_found, TRUE AS overlap_exact_ok
       FROM embeddings, m WHERE vec_id >= greatest(m.mx - 49, (m.mx + 1) // 2)
+    """.trim))
+
+  /** Index merge (DiskANN shard-graph merge — two daily builds fold into
+    * one serving index, no rebuild): full-beam exactness over the union +
+    * degree bound, flags as literals, count oracle-recomputed. */
+  private val vamanaMergeGateQ: (String, QFn, Option[String]) = (
+    "vamana_merge_gate",
+    (s, d) => graft.vamana.VamanaOps.vamanaMergeGate(s, d),
+    Some("""
+      SELECT CAST(10 AS BIGINT) AS n_queries, TRUE AS overlap_exact_ok, TRUE AS degree_ok
     """.trim))
 
   private val vamanaDeleteGateQ: (String, QFn, Option[String]) = (

@@ -988,6 +988,28 @@ final class VamanaModel private (
       new VamanaModel(VamanaKernel.insert(idx, batch.map(_._1), batch.map(_._2)), maxLocalPoints)
   }
 
+  /** Merge another fitted model into this one (DiskANN shard-graph merge
+    * — daily builds folding into the serving index without a rebuild;
+    * see [[VamanaKernel.merge]] for the algorithm and its provenance).
+    * Broadcast-scale models only: at fanout scale a merge IS a shard
+    * union — route new shards through [[FanoutModel.insert]] +
+    * [[FanoutModel.rebalance]] instead. Not defined for metric=ip: the
+    * two fits augmented with DIFFERENT max-norm constants, so their
+    * kernel spaces differ — refit. Copy-on-write: both inputs keep
+    * serving. */
+  def merge(other: VamanaModel): VamanaModel = {
+    val idx = localOpt.getOrElse(throw new IllegalStateException(
+      "merge is broadcast-scale; fanout models union shards via insert + rebalance"))
+    val oidx = other.localIndex.getOrElse(throw new IllegalStateException(
+      "merge is broadcast-scale; fanout models union shards via insert + rebalance"))
+    require(idx.params.metric != "ip" && oidx.params.metric != "ip",
+      "merge is not defined for metric=ip (per-fit norm augmentation); refit instead")
+    require(idx.size + oidx.size <= maxLocalPoints,
+      "merge would grow the local index beyond maxLocalPoints; refit with shards " +
+        "or serve via a fanout model")
+    new VamanaModel(VamanaKernel.merge(idx, oidx), maxLocalPoints)
+  }
+
   /** Delete by external id (FreshDiskANN semantics — the reference has no
     * delete at all): copy-on-write like [[insert]]; this model keeps
     * serving. Distributed models delete shard-locally and regenerate the

@@ -573,6 +573,72 @@ object VamanaKernel {
     new LocalIndex(ids, points, graph, index.medoid, p)
   }
 
+  /** DiskANN-style index MERGE — two independently BUILT indexes become
+    * one serving index with NO rebuild (the DiskANN paper's distributed
+    * build merges per-cluster shard graphs; FreshDiskANN's background
+    * merge is the long-running-maintenance form — daily builds folding
+    * into the serving index). Also absent in the reference, which can
+    * only rebuild from scratch.
+    *
+    * Id sets must be disjoint (the shard invariant). The larger side's
+    * arrays and medoid are kept verbatim; each node of the smaller side
+    * joins by one insert-style step whose robust-prune candidate pool is
+    * seeded with BOTH a greedy-search pool over the current merged graph
+    * (the cross-side edges) AND the node's own intra-side neighbor list
+    * (the build work the smaller index already paid — a plain re-insert
+    * loop discards it and re-derives strictly less local structure).
+    * Kept neighbors gain back-edges with prune-on-overflow exactly as in
+    * [[insert]]; later smaller-side nodes see earlier ones through the
+    * growing graph. buildCount unchanged (spec-gated); copy-on-write —
+    * BOTH inputs keep serving. Symmetric: merge(a, b) == merge(b, a) up
+    * to array order, enforced by the internal swap. */
+  def merge(a: LocalIndex, b: LocalIndex): LocalIndex = {
+    if (b.size > a.size) return merge(b, a)
+    val p = a.params
+    require(b.params.dim == p.dim,
+      s"dimension mismatch: ${p.dim} vs ${b.params.dim}")
+    require(b.params.metric == p.metric,
+      s"metric mismatch: ${p.metric} vs ${b.params.metric}")
+    val n0 = a.size
+    val n = n0 + b.size
+    val points = java.util.Arrays.copyOf(a.points, n)
+    val ids = java.util.Arrays.copyOf(a.ids, n)
+    val graph = java.util.Arrays.copyOf(a.graph, n)
+    val existing = mutable.HashSet.from(a.ids)
+    var i = 0
+    while (i < b.size) {
+      require(existing.add(b.ids(i)), s"id ${b.ids(i)} is indexed on both sides")
+      points(n0 + i) = b.points(i)
+      ids(n0 + i) = b.ids(i)
+      graph(n0 + i) = Array.empty
+      i += 1
+    }
+    i = 0
+    while (i < b.size) {
+      val pos = n0 + i
+      val (poolIds, poolDists) =
+        greedySearch(points, graph, a.medoid, b.points(i), math.max(p.beamWidth, p.efSearch))
+      val inPool = new java.util.HashSet[Integer](poolIds.length * 2)
+      poolIds.foreach(c => inPool.add(c))
+      val carried = b.graph(i).map(_ + n0).filter(c => !inPool.contains(c))
+      val candIds = poolIds ++ carried
+      val candDists = poolDists ++ carried.map(c => l2sq(b.points(i), points(c)))
+      graph(pos) = robustPrune(points, pos, candIds, candDists, p.alpha, p.maxDegree, p.paperPrune)
+      for (nb <- graph(pos)) {
+        val cur = graph(nb)
+        if (!cur.contains(pos)) {
+          val cand = cur :+ pos
+          graph(nb) =
+            if (cand.length <= p.maxDegree) cand
+            else robustPrune(points, nb, cand, cand.map(c => l2sq(points(nb), points(c))),
+              p.alpha, p.maxDegree, p.paperPrune)
+        }
+      }
+      i += 1
+    }
+    new LocalIndex(ids, points, graph, a.medoid, p)
+  }
+
   /** FreshDiskANN-style delete with eager consolidation — also absent in
     * the reference: every surviving in-neighbor of a deleted node is
     * repaired by re-pruning over (its own surviving neighbors) ∪ (the

@@ -53,6 +53,8 @@ object VamanaOps {
     insertCache.clear()
     for ((_, m) <- deleteCache) m.unpersist()
     deleteCache.clear()
+    for ((_, m) <- mergeCache) m.unpersist()
+    mergeCache.clear()
     for ((_, f) <- pqInsertCache) f.unpersist()
     pqInsertCache.clear()
     for ((_, f) <- pqDeleteCache) f.unpersist()
@@ -69,6 +71,7 @@ object VamanaOps {
 
   private val insertCache = TrieMap.empty[String, VamanaModel]
   private val deleteCache = TrieMap.empty[String, VamanaModel]
+  private val mergeCache = TrieMap.empty[String, VamanaModel]
   private val pqInsertCache = TrieMap.empty[String, FanoutModel]
 
   /** Delete-then-serve demo: drop the first 50 vectors from the fitted
@@ -133,6 +136,40 @@ object VamanaOps {
       col("nq").as("n_inserted"),
       (col("nself") === col("nq")).as("self_found"),
       (col("n_hit") >= col("n_exact") * recallFloor).as("recall_ok"))
+  }
+
+  /** Index-merge gate (`vamana_merge_gate`) — the remaining quarter of
+    * the maintenance lifecycle (insert / delete / rebalance / MERGE): fit
+    * two INDEPENDENT indexes on the even/odd id halves (two daily
+    * builds), merge them ([[VamanaKernel.merge]] via
+    * [[VamanaModel.merge]] — no rebuild), and serve the merged graph at
+    * FULL beam over the knn_exact 10-query fixture. On a connected
+    * merged graph full-beam greedy search is exhaustive, so every
+    * per-query overlap with exact kNN over the UNION must equal k — a
+    * theorem about the algorithm, not a measured constant (the
+    * vamana_search_overlap epistemics; the fixture carries no k-boundary
+    * distance ties). A merge that drops a point, leaves the halves
+    * disconnected, or corrupts an edge list surfaces as a vanished query
+    * row or a false flag → hash mismatch. degree_ok asserts every node
+    * still respects maxDegree after the back-edge prune-on-overflow. */
+  def vamanaMergeGate(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val merged = mergeCache.getOrElseUpdate(dir, {
+      val a = VamanaIndexer.fit(emb.where(col("vec_id") % 2 === 0), defaultParams)
+      val b = VamanaIndexer.fit(emb.where(col("vec_id") % 2 === 1), defaultParams)
+      val idx = a.merge(b).index
+      new VamanaModel(new LocalIndex(idx.ids, idx.points, idx.graph, idx.medoid,
+        idx.params.copy(efSearch = idx.size)))
+    })
+    val q = Knn.queriesFromPoints(emb, 10)
+    val ann = merged.search(q, k).select(col("query_id"), col("id"))
+    val exact = Knn.knnExact(emb, q, k).select(col("query_id"), col("id"))
+    val degOk = merged.index.graph.forall(_.length <= merged.index.params.maxDegree)
+    ann.join(exact, Seq("query_id", "id"))
+      .groupBy(col("query_id")).agg(count(lit(1)).as("ov"))
+      .agg(count(lit(1)).as("n_queries"),
+        (min(col("ov")) === k).as("overlap_exact_ok"))
+      .select(col("n_queries"), col("overlap_exact_ok"), lit(degOk).as("degree_ok"))
   }
 
   /** Mutation × PQ-serving composition gate (`vamana_pq_insert_gate`) —

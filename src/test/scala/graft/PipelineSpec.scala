@@ -228,7 +228,8 @@ class PipelineSpec extends AnyFunSuite {
       "semdedup_gate" -> Similarity.semdedupGate(spark, dir),
       "maxsim_rerank_gate" -> graft.vamana.VamanaOps.maxsimRerankGate(spark, dir),
       "bitext_ann_gate" -> graft.vamana.VamanaOps.bitextAnnGate(spark, dir),
-      "mmr_ann_gate" -> graft.vamana.VamanaOps.mmrAnnGate(spark, dir))
+      "mmr_ann_gate" -> graft.vamana.VamanaOps.mmrAnnGate(spark, dir),
+      "vamana_merge_gate" -> graft.vamana.VamanaOps.vamanaMergeGate(spark, dir))
     gates.foreach { case (name, df) =>
       val rows = df.collect()
       assert(rows.length == 1, s"$name: gate must be one row")

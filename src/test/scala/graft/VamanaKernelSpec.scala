@@ -164,6 +164,42 @@ class VamanaKernelSpec extends AnyFunSuite {
     }
   }
 
+  test("merge invariants over 15 random configurations: full-beam exactness, degrees, immutability, swap") {
+    val rng = new Random(13)
+    for (trial <- 1 to 15) {
+      val dim = 2 + rng.nextInt(8)
+      val nA = 40 + rng.nextInt(100)
+      val nB = 10 + rng.nextInt(nA - 10) // strictly smaller side (swap stays observable)
+      val params = VamanaParams(dim = dim, maxDegree = 12, beamWidth = 24,
+        alpha = 1.2f, efSearch = 48, seed = trial.toLong)
+      val all = randPoints(nA + nB, dim, seed = trial * 53L)
+      val a = VamanaKernel.build(Array.tabulate(nA)(_.toLong), all.take(nA), params)
+      val b = VamanaKernel.build(Array.tabulate(nB)(i => (nA + i).toLong), all.drop(nA), params)
+      val aGraph = a.graph.map(_.toSeq).toSeq
+      val bGraph = b.graph.map(_.toSeq).toSeq
+      val m = VamanaKernel.merge(a, b)
+      assert(m.size == nA + nB)
+      assert(VamanaKernel.healthCheck(m), s"trial $trial: degree > R after merge")
+      assert(a.graph.map(_.toSeq).toSeq == aGraph && b.graph.map(_.toSeq).toSeq == bGraph,
+        s"trial $trial: merge mutated a source graph")
+      // full beam = exact kNN over the UNION (the connected-graph theorem)
+      val full = new LocalIndex(m.ids, m.points, m.graph, m.medoid,
+        params.copy(efSearch = m.size))
+      val q = randPoints(8, dim, seed = trial * 101L)
+      for (v <- q) {
+        val truth = all.indices.sortBy(j => (VamanaKernel.l2sq(all(j), v), j)).take(5)
+          .map(_.toLong).toSet
+        val got = VamanaKernel.search(full, v, 5).map(_._1).toSet
+        assert(got == truth, s"trial $trial: full-beam merge not exact ($got vs $truth)")
+      }
+      // symmetric entry: passing the larger side second swaps internally
+      val m2 = VamanaKernel.merge(b, a)
+      assert(m2.ids.toSeq == m.ids.toSeq, s"trial $trial: merge(b, a) did not swap to merge(a, b)")
+      // duplicate ids must be rejected
+      intercept[IllegalArgumentException] { VamanaKernel.merge(a, a) }
+    }
+  }
+
   test("delete invariants over 20 random configurations: no ghosts, degrees, repair quality") {
     val rng = new Random(11)
     for (trial <- 1 to 20) {
