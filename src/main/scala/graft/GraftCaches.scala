@@ -44,5 +44,6 @@ object GraftCaches {
     functions.PhashExpressions.clearRegistry()
     functions.LangExpressions.clearRegistry()
     functions.NfcExpressions.clearRegistry()
+    functions.SetProbeExpressions.clearRegistry()
   }
 }

@@ -913,10 +913,15 @@ object StreamingOps {
     * min-doc_id-per-page winner whenever arrivals follow id order (the
     * crawl-frontier norm; divergence under reordering is the documented
     * dedup-horizon trade); (1) benchmark decontamination as a STATELESS
-    * literal probe — the arriving doc's n-gram surrogates come from the
-    * SAME per-row expression the batch op uses (keys bit-identical by
-    * construction) and are tested with `arrays_overlap` against the
-    * frozen benchmark gram set carried as a LITERAL array (eval suites
+    * frozen-set probe — the arriving doc's n-gram surrogates come from
+    * the SAME per-row expression the batch op uses (keys bit-identical
+    * by construction) and are probed against the frozen benchmark gram
+    * set through the codegen
+    * [[graft.functions.SetProbeExpressions.overlapsLongSet]] kernel:
+    * binary search over the sorted set riding the plan as ONE reference
+    * object — O(grams·log|set|) per row, where the naive
+    * `arrays_overlap(arr, lit(set))` iterates the FULL set per row
+    * (measured 965 rows/s at 500k arrivals over a ~1M-gram set; eval suites
     * are thousands of documents, not terabytes — the batch op's
     * broadcast premise taken one step further: no join, no shuffle, no
     * state), and the benchmark id-slice itself drops exactly as in
@@ -941,8 +946,10 @@ object StreamingOps {
         col("text"), col("lang"))
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("curl")
+    val contaminated = graft.functions.SetProbeExpressions
+      .overlapsLongSet(docs.sparkSession, surrogates, benchGrams)
     deduped
-      .where(bucket < benchLo && !arrays_overlap(surrogates, typedlit(benchGrams)))
+      .where(bucket < benchLo && !contaminated)
       .select(col("doc_id"), col("ts"), col("lang"))
       .transform(streamingTemperatureSample(_, rates))
   }

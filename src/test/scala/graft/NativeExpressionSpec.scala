@@ -212,6 +212,32 @@ class NativeExpressionSpec extends AnyFunSuite {
       s"Column ${r.getLong(0)} != SQL ${r.getLong(1)}"))
   }
 
+  test("overlaps_long_set agrees with arrays_overlap on every doc, incl. empty arrays") {
+    spark.sparkContext.setLogLevel("WARN")
+    // real surrogate arrays + the real benchmark gram set — the exact
+    // frozen-probe deployment shape of streamingWebIngest
+    val grams = graft.operators.CorpusPipeline.benchmarkNgramIndex(spark, dir)
+      .collect().map(_.getLong(0))
+    assert(grams.nonEmpty)
+    val surro = graft.operators.CorpusPipeline.ngramSurrogates(
+      graft.operators.Dedup.tokens(col("text")), graft.operators.CorpusPipeline.DecontamN)
+    val both = Tables.documents(spark, dir)
+      .select(
+        graft.functions.SetProbeExpressions.overlapsLongSet(spark, surro, grams).as("kernel"),
+        arrays_overlap(surro, typedlit(grams)).as("builtin"))
+      .collect()
+    assert(both.nonEmpty)
+    assert(both.exists(_.getBoolean(1)), "fixture vacuous — no overlap anywhere")
+    assert(both.exists(!_.getBoolean(1)), "fixture vacuous — everything overlaps")
+    both.foreach(r => assert(r.getBoolean(0) == r.getBoolean(1),
+      s"kernel ${r.getBoolean(0)} != arrays_overlap ${r.getBoolean(1)}"))
+    // short docs produce EMPTY surrogate arrays -> must be false, not null/true
+    val empty = spark.sql("SELECT 1").select(
+      graft.functions.SetProbeExpressions.overlapsLongSet(
+        spark, typedlit(Array.empty[Long]), grams).as("k")).head()
+    assert(!empty.getBoolean(0))
+  }
+
   test("minhash_sigs and simhash_sig are callable through the extensions registry") {
     import org.apache.spark.sql.catalyst.FunctionIdentifier
     for ((name, info, builder) <- GraftExtensions.functions
