@@ -10,7 +10,7 @@ import graft.RegistrySqlParts._
 private[graft] object RegistryCorpus {
 
   private[graft] def entries: Seq[(String, QFn, Option[String])] = Seq(
-    sampleHashQ, pipelineCleanQ, sampleStratifiedQ, docChunksQ, packSequencesQ, sampleMixtureQ, corpusShuffleQ, lengthBucketsQ, pipelineFullQ, docChunksCdcQ, shardManifestQ, splitAssignQ, splitLeakageSafeQ, dsirWeightQ, corpusStatsQ, domainCapQ, epochUpsampleQ, tokenBudgetQ, datasetDiffQ, urlCanonicalDedupQ, decontamQ, sampleTemperatureQ, pipelineWebQ)
+    sampleHashQ, pipelineCleanQ, sampleStratifiedQ, docChunksQ, packSequencesQ, sampleMixtureQ, corpusShuffleQ, lengthBucketsQ, pipelineFullQ, docChunksCdcQ, shardManifestQ, splitAssignQ, splitLeakageSafeQ, dsirWeightQ, corpusStatsQ, domainCapQ, epochUpsampleQ, tokenBudgetQ, datasetDiffQ, urlCanonicalDedupQ, decontamQ, sampleTemperatureQ, pipelineWebQ, shardCompactionQ)
 
   /** Temperature resampling: the oracle replays the √p_l weights (IEEE
     * sqrt is correctly rounded → identical doubles → identical floors),
@@ -351,6 +351,26 @@ private[graft] object RegistryCorpus {
              lk.n_leaky_clusters, lk.n_leaky_naive
       FROM a, lk GROUP BY split, lk.n_leaky_clusters, lk.n_leaky_naive
       ORDER BY split
+    """.trim))
+
+  /** File-compaction planning over the 256-file manifest: the oracle
+    * replays the running byte sum and the integral start-offset rule, so
+    * group spans, byte totals and fill ratios hash-match exactly. */
+  private val shardCompactionQ: (String, QFn, Option[String]) = (
+    "shard_compaction",
+    (s, d) => CorpusPipeline.shardCompaction(s, d),
+    Some("""
+      WITH f AS (
+        SELECT ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 256 AS file_id,
+               sum(n_chars)::BIGINT AS bytes
+        FROM documents GROUP BY file_id),
+      c AS (SELECT file_id, bytes,
+              sum(bytes) OVER (ORDER BY file_id)::BIGINT AS cum FROM f)
+      SELECT ((cum - bytes) // 8000)::BIGINT AS grp, count(*)::BIGINT AS n_files,
+             min(file_id) AS first_file, max(file_id) AS last_file,
+             sum(bytes)::BIGINT AS bytes,
+             round(sum(bytes)::DOUBLE / 8000, 4) AS fill
+      FROM c GROUP BY grp ORDER BY grp
     """.trim))
 
   private val shardManifestQ: (String, QFn, Option[String]) = (

@@ -10,7 +10,36 @@ import graft.RegistrySqlParts._
 private[graft] object RegistryLayoutTemporal {
 
   private[graft] def entries: Seq[(String, QFn, Option[String])] = Seq(
-    asofJoinQ, rangeJoinQ, formatRoundtripQ, bucketedRevenueQ, partitionedRevenueQ, zorderRevenueQ, gapfillHourlyQ)
+    asofJoinQ, rangeJoinQ, formatRoundtripQ, bucketedRevenueQ, partitionedRevenueQ, zorderRevenueQ, gapfillHourlyQ, skewReportQ)
+
+  /** Key-skew diagnostic: the oracle recomputes each audited column's
+    * exact key counts, the top-5 by (cnt DESC, key) and the two
+    * single-division ratios — shares and skew ratios hash-match. */
+  private val skewReportQ: (String, QFn, Option[String]) = (
+    "skew_report",
+    (s, d) => Formats.skewReport(s, d),
+    Some("""
+      WITH e AS (SELECT user_id::VARCHAR AS key_val, count(*)::BIGINT AS cnt FROM events GROUP BY key_val),
+      es AS (SELECT sum(cnt)::BIGINT AS total, count(*)::BIGINT AS n_keys FROM e),
+      et AS (SELECT 'events.user_id' AS table_col, key_val, cnt,
+               round(cnt::DOUBLE / total, 4) AS share,
+               round((cnt * n_keys)::DOUBLE / total, 4) AS skew_ratio
+             FROM e, es ORDER BY cnt DESC, key_val LIMIT 5),
+      l AS (SELECT l_partkey::VARCHAR AS key_val, count(*)::BIGINT AS cnt FROM lineitem GROUP BY key_val),
+      ls AS (SELECT sum(cnt)::BIGINT AS total, count(*)::BIGINT AS n_keys FROM l),
+      lt AS (SELECT 'lineitem.l_partkey' AS table_col, key_val, cnt,
+               round(cnt::DOUBLE / total, 4) AS share,
+               round((cnt * n_keys)::DOUBLE / total, 4) AS skew_ratio
+             FROM l, ls ORDER BY cnt DESC, key_val LIMIT 5),
+      dd AS (SELECT lang::VARCHAR AS key_val, count(*)::BIGINT AS cnt FROM documents GROUP BY key_val),
+      ds AS (SELECT sum(cnt)::BIGINT AS total, count(*)::BIGINT AS n_keys FROM dd),
+      dt AS (SELECT 'documents.lang' AS table_col, key_val, cnt,
+               round(cnt::DOUBLE / total, 4) AS share,
+               round((cnt * n_keys)::DOUBLE / total, 4) AS skew_ratio
+             FROM dd, ds ORDER BY cnt DESC, key_val LIMIT 5)
+      SELECT * FROM et UNION ALL SELECT * FROM lt UNION ALL SELECT * FROM dt
+      ORDER BY table_col, cnt DESC, key_val
+    """.trim))
 
   /** Date-partitioned layout vs the unpartitioned oracle: the partition
     * filter `date(ts) in [Jan 8, Jan 15)` is exactly `ts in [Jan 8 00:00,

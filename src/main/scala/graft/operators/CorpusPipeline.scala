@@ -408,6 +408,40 @@ object CorpusPipeline {
         sum(conv(substring(md5(col("text")), 1, 8), 16, 10).cast("long")).as("content_sum"))
       .orderBy(col("shard"))
 
+  /** File-compaction PLANNING — the small-files answer every 100 TB table
+    * needs (the Delta OPTIMIZE / Iceberg rewrite-data-files shape): given
+    * the shard manifest as the file inventory, coalesce CONTIGUOUS
+    * (id-ordered) undersized files into merge groups of ~`targetBytes`
+    * via the start-offset rule (group = start_byte div target over the
+    * running byte sum), emitting each group's file span, file count, byte
+    * total and fill ratio. Contiguity is the real-world constraint —
+    * compaction rewrites within a partition's sort order so data-skipping
+    * stats stay tight — and it is also what keeps the plan ONE window
+    * pass instead of NP-hard bin packing. Distinct from [[packSequences]]
+    * (token-level TRAINING sequences over the corpus): this is FILE-level
+    * layout maintenance over the MANIFEST — one row per file, so the
+    * global-order window is a metadata pass, not a corpus scan; at 100 TB
+    * "millions of files" is still a single-partition-trivial frame, and
+    * the byte arithmetic is integral division end-to-end (exact in both
+    * engines at any scale), with only the audit fill ratio a
+    * single-division double. */
+  def shardCompaction(spark: SparkSession, dir: String, nFiles: Int = 256,
+      targetBytes: Long = 8000L): DataFrame = {
+    val files = shardManifest(spark, dir, nFiles)
+      .select(col("shard").as("file_id"), col("total_chars").as("bytes"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("file_id"))
+    files
+      .withColumn("cum", sum(col("bytes")).over(w))
+      .withColumn("grp", expr(s"(cum - bytes) div $targetBytes"))
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).as("n_files"),
+        min(col("file_id")).as("first_file"),
+        max(col("file_id")).as("last_file"),
+        sum(col("bytes")).as("bytes"))
+      .withColumn("fill", round(col("bytes").cast("double") / targetBytes, 4))
+      .orderBy(col("grp"))
+  }
+
   /** The END-TO-END training-data prep pass — the composition a user of
     * this engine actually ships: clean (lang + quality + exact-dedup
     * survivorship) → mixture-weighted sampling → sequence packing of the

@@ -224,4 +224,34 @@ object Formats {
       deleteRecursively(base)
     }
   }
+
+  /** Key-skew diagnostic — the pre-join observability pass a 100 TB
+    * engine runs before choosing a strategy (q23's salted aggregation is
+    * the CURE; this is the DIAGNOSIS): for each audited join/grouping
+    * column, the top-5 heaviest keys with their share of the table and
+    * their skew ratio vs the mean key frequency (ratio ≫ 1 → salt or let
+    * AQE split that key's partitions). Exact integer counts; share and
+    * ratio are single-division doubles rounded 4dp with identical operand
+    * order in the oracle. Scale shape: one map-side-combined groupBy per
+    * column, then a global top-5 as TakeOrderedAndProject (per-partition
+    * heaps — never an unpartitioned rank window); the per-key frames are
+    * key-cardinality-bounded and the unioned output is 15 rows. */
+  def skewReport(spark: SparkSession, dir: String): DataFrame = {
+    def top5(df: DataFrame, keyCol: String, label: String): DataFrame = {
+      val counts = df
+        .groupBy(col(keyCol).cast("string").as("key_val"))
+        .agg(count(lit(1)).as("cnt"))
+      val stats = counts.agg(sum(col("cnt")).as("total"), count(lit(1)).as("n_keys"))
+      counts.orderBy(col("cnt").desc, col("key_val")).limit(5)
+        .crossJoin(broadcast(stats))
+        .select(lit(label).as("table_col"), col("key_val"), col("cnt"),
+          round(col("cnt").cast("double") / col("total"), 4).as("share"),
+          round((col("cnt") * col("n_keys")).cast("double") / col("total"), 4)
+            .as("skew_ratio"))
+    }
+    top5(Tables.events(spark, dir), "user_id", "events.user_id")
+      .unionAll(top5(Tables.lineitem(spark, dir), "l_partkey", "lineitem.l_partkey"))
+      .unionAll(top5(Tables.documents(spark, dir), "lang", "documents.lang"))
+      .orderBy(col("table_col"), col("cnt").desc, col("key_val"))
+  }
 }
