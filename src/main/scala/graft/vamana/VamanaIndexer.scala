@@ -700,6 +700,42 @@ final class FanoutModel private[vamana] (
     if (cur eq shards) this else new FanoutModel(cur, params, numShardsFit, replicate2)
   }
 
+  /** Distributed index MERGE — the fanout twin of [[VamanaKernel.merge]]
+    * (two independently fitted fanout models fold into one serving
+    * model): the other model's shard rows are re-keyed into fresh shard
+    * ids beyond this model's key space (the [[rebalance]] convention —
+    * insert routing, which goes mod [[numShardsFit]], can never target
+    * them) and UNIONED. Search fans out over ALL shard rows and merges
+    * per (query, id), so the union of shard point sets IS the merged
+    * index and the full-beam exactness theorem holds verbatim
+    * (spec-asserted) — no kernel work at all, the embarrassingly-parallel
+    * payoff of the fanout regime; follow with [[rebalance]] when the two
+    * fits' shard sizes differ wildly. Id sets must be disjoint (checked
+    * distributed — one semi-join over the id frames); future inserts
+    * route by THIS model's fitted key space. `ip` rejected: the two fits
+    * augmented different max norms. */
+  def merge(other: FanoutModel): FanoutModel = {
+    require(params.metric != "ip" && other.params.metric != "ip",
+      "merge is not defined for metric=ip (per-fit norm augmentation); refit instead")
+    require(params.dim == other.params.dim,
+      s"dimension mismatch: ${params.dim} vs ${other.params.dim}")
+    implicit val shardEnc: Encoder[(Int, LocalIndex)] =
+      Encoders.tuple(Encoders.scalaInt, Encoders.kryo[LocalIndex])
+    val idEnc = Encoders.scalaLong
+    val myIds = shards.flatMap { case (_, idx) => idx.ids.iterator }(idEnc).toDF("id")
+    val otherIds = other.shards.flatMap { case (_, idx) => idx.ids.iterator }(idEnc).toDF("id")
+    require(myIds.join(otherIds, "id").isEmpty,
+      "id sets overlap; merge requires disjoint indexes (dedup first, or delete one side's copies)")
+    val sizeEnc = Encoders.scalaInt
+    val myMax = shards.map(_._1)(sizeEnc).collect().max
+    val otherMin = other.shards.map(_._1)(sizeEnc).collect().min
+    val offset = myMax + 1 - otherMin
+    val rekeyed = other.shards.map { case (s, idx) => (s + offset, idx) }
+    val merged = shards.union(rekeyed).cache()
+    merged.count() // materialize; both inputs stay independently usable
+    new FanoutModel(merged, params, numShardsFit, replicate2)
+  }
+
   /** Distributed delete: each shard drops its own members via
     * [[VamanaKernel.delete]] (eager hole-repair + compaction, zero
     * rebuilds); a shard whose entire membership is deleted disappears.
@@ -997,17 +1033,30 @@ final class VamanaModel private (
     * two fits augmented with DIFFERENT max-norm constants, so their
     * kernel spaces differ — refit. Copy-on-write: both inputs keep
     * serving. */
-  def merge(other: VamanaModel): VamanaModel = {
-    val idx = localOpt.getOrElse(throw new IllegalStateException(
-      "merge is broadcast-scale; fanout models union shards via insert + rebalance"))
-    val oidx = other.localIndex.getOrElse(throw new IllegalStateException(
-      "merge is broadcast-scale; fanout models union shards via insert + rebalance"))
-    require(idx.params.metric != "ip" && oidx.params.metric != "ip",
-      "merge is not defined for metric=ip (per-fit norm augmentation); refit instead")
-    require(idx.size + oidx.size <= maxLocalPoints,
-      "merge would grow the local index beyond maxLocalPoints; refit with shards " +
-        "or serve via a fanout model")
-    new VamanaModel(VamanaKernel.merge(idx, oidx), maxLocalPoints)
+  def merge(other: VamanaModel): VamanaModel = (localOpt, other.localIndex) match {
+    case (Some(idx), Some(oidx)) =>
+      require(idx.params.metric != "ip" && oidx.params.metric != "ip",
+        "merge is not defined for metric=ip (per-fit norm augmentation); refit instead")
+      require(idx.size + oidx.size <= maxLocalPoints,
+        "merge would grow the local index beyond maxLocalPoints; refit with shards " +
+          "or serve via a fanout model")
+      new VamanaModel(VamanaKernel.merge(idx, oidx), maxLocalPoints)
+    case (None, None) =>
+      // fanout × fanout: shard-union merge + regenerated save-time frames
+      val f = fanoutOpt.get.merge(other.fanoutOpt.get)
+      val old = framesOpt.get
+      val oth = other.framesOpt.get
+      val spark = old.points.sparkSession
+      import spark.implicits._
+      val allPts = old.points.union(oth.points)
+        .select(col("id").cast("long"), col("vec").cast("array<float>"))
+        .as[(Long, Array[Float])]
+      val graph = VamanaIndexer.mergeShardGraph(f.shards, allPts, old.params)
+      VamanaModel.distributed(
+        ModelFrames(allPts.toDF("id", "vec"), graph.toDF("id", "neighbors"), old.params), f)
+    case _ => throw new IllegalStateException(
+      "merge requires both models in the same regime (both broadcast or both fanout); " +
+        "refit the smaller side, or insert its points instead")
   }
 
   /** Delete by external id (FreshDiskANN semantics — the reference has no

@@ -401,6 +401,34 @@ class FanoutServingSpec extends AnyFunSuite {
     assert(reb.insert(more).totalPoints == reb.totalPoints + 50)
   }
 
+  test("fanout merge: shard union serves exactly; duplicate ids rejected; sources intact") {
+    import org.apache.spark.sql.functions.col
+    val emb = Tables.embeddings(spark, dir)
+    val a = VamanaFanout.fit(emb.where(col("vec_id") % 2 === 0), params, numShards = 3)
+    val b = VamanaFanout.fit(emb.where(col("vec_id") % 2 === 1), params, numShards = 2)
+    val beforeBuilds = VamanaKernel.buildCount.get()
+    val m = a.merge(b)
+    assert(VamanaKernel.buildCount.get() == beforeBuilds,
+      "fanout merge must be a shard re-key + union — zero kernel builds")
+    assert(m.totalPoints == a.totalPoints + b.totalPoints, "merge changed the membership union")
+    assert(m.shardSizes.length == a.shardSizes.length + b.shardSizes.length)
+    // exactness theorem: full-beam fanout over the merged layout = exact kNN over the union
+    val q = queries(10)
+    val exact = Knn.knnExact(emb, q, 10).select("query_id", "id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val full = m.withFullBeamShards().search(q, 10).select("query_id", "id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(full == exact, s"missing ${exact -- full}, extra ${full -- exact}")
+    // both inputs keep serving (copy-on-write at the dataset level)
+    assert(a.search(q, 5).count() == 50 && b.search(q, 5).count() == 50)
+    // overlapping id sets must be rejected, not silently double-served
+    intercept[IllegalArgumentException] { a.merge(a) }
+    // insert routing still lands in the fitted key space
+    val more = emb.where(col("vec_id") < 50)
+      .select((col("vec_id") + 300000L).as("vec_id"), col("embedding"))
+    assert(m.insert(more).totalPoints == m.totalPoints + 50)
+  }
+
   test("range search: fanout union at full beam equals the exact range set") {
     import org.apache.spark.sql.functions.col
     val emb = Tables.embeddings(spark, dir)
