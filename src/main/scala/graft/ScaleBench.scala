@@ -149,6 +149,32 @@ object ScaleBench {
         s""""range_100q_sec":${math.rint(rangeSec * 100) / 100},""" +
         s""""range_completeness":${math.rint(rangeCompleteness * 1e4) / 1e4}}""")
     }
+    // Index MERGE at the same n: two INDEPENDENT fits (even/odd id halves
+    // — two daily builds) fold into one serving model. Fanout merge is a
+    // zero-build shard re-key + union (asserted via buildCount), so the
+    // merge cost is metadata plus one distributed disjointness semi-join;
+    // default-beam recall over the UNION is the serving check (full-beam
+    // exactness is the spec/gate's theorem territory).
+    {
+      val s = shardCounts.head
+      val fa = VamanaFanout.fit(pts.where(col("vec_id") % 2 === 0), params, numShards = s)
+      val fb = VamanaFanout.fit(pts.where(col("vec_id") % 2 === 1), params, numShards = s)
+      val builds0 = VamanaKernel.buildCount.get()
+      val t6 = System.nanoTime()
+      val fm = fa.merge(fb)
+      val mergeSec = (System.nanoTime() - t6) / 1e9
+      val zeroBuilds = VamanaKernel.buildCount.get() == builds0
+      val t7 = System.nanoTime()
+      val got = fm.search(queries, k).cache()
+      got.count()
+      val mSearchSec = (System.nanoTime() - t7) / 1e9
+      val mRecall = Knn.recallAt(k, got, truth)
+      got.unpersist(); fm.unpersist(); fa.unpersist(); fb.unpersist()
+      println(
+        s"""{"merge_n":$n,"dim":$dim,"shards_each":$s,"merge_sec":${math.rint(mergeSec * 100) / 100},""" +
+        s""""zero_builds":$zeroBuilds,"search_100q_sec":${math.rint(mSearchSec * 100) / 100},""" +
+        s""""recall_at_10":${math.rint(mRecall * 1e4) / 1e4}}""")
+    }
     // Matryoshka truncated-prefix serving at the same n (shard-free): the
     // MRL-profile view (w_j = exp(-j/12)) of the synthetic corpus —
     // exactness vs brute-force weighted kNN is the theorem check, the
