@@ -904,6 +904,28 @@ object StreamingOps {
     * pre-aggregation. All state and gap arithmetic is in exact
     * microseconds (the batch twin's `unix_micros`), so sub-millisecond
     * event times don't diverge. */
+  /** Ingest-side Unicode-normalization dedup — the streaming twin of
+    * [[graft.operators.TextAnalysis.nfcDedup]]'s production half: each
+    * arriving doc's text normalizes through the SAME codegen `nfc_native`
+    * kernel ([[graft.functions.NfcExpressions]] — bit-identical
+    * normalized strings by construction, spec-asserted), and later
+    * arrivals whose NFC-normalized content hash collides within the
+    * watermark horizon are dropped — so a precomposed page and its
+    * decomposed re-crawl dedup at ingest exactly as byte-identical pages
+    * do in [[streamingDedup]]. Stateless normalization (O(n) no-alloc
+    * fast path for already-NFC text, the dominant case) + the standard
+    * horizon-bounded key state. */
+  def streamingNfcDedup(docs: DataFrame, watermark: String = "10 minutes"): DataFrame = {
+    val spark = docs.sparkSession
+    docs
+      .select(col("doc_id").cast("long").as("doc_id"), col("ts"),
+        graft.functions.NfcExpressions.nfc(spark, col("text")).as("nfc"))
+      .withColumn("nfc_hash", md5(col("nfc")))
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("nfc_hash")
+      .select(col("doc_id"), col("ts"), col("nfc_hash"))
+  }
+
   /** The COMPOSED web-crawl ingest — the streaming twin of
     * [[graft.operators.CorpusPipeline.pipelineWeb]], stage zero to
     * training mix at the stream in ONE query: (0) canonical-URL dedup —

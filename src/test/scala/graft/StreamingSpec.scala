@@ -1079,6 +1079,38 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming nfc dedup drops decomposed re-spellings; hashes bit-match the batch kernel") {
+    import org.apache.spark.sql.functions.{col, md5}
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // composed page, its decomposed re-crawl (same visible string), a distinct page
+    val rows = Seq(
+      Doc(1L, ts(1), "caf\u00e9 menu page"),
+      Doc(2L, ts(2), "cafe\u0301 menu page"),
+      Doc(3L, ts(3), "caf\u00e9 menu page two"))
+    val input = MemoryStream[Doc]
+    val q = StreamingOps.streamingNfcDedup(input.toDF())
+      .writeStream.format("memory").queryName("nfc_stream_out")
+      .outputMode("append").start()
+    try {
+      input.addData(rows)
+      q.processAllAvailable()
+      val got = spark.table("nfc_stream_out")
+        .select("doc_id", "nfc_hash").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(got.keySet == Set(1L, 3L), s"survivors ${got.keySet}")
+      // batch twin: the same kernel over the same rows
+      val batch = rows.toDF()
+        .select(col("doc_id"),
+          md5(graft.functions.NfcExpressions.nfc(spark, col("text"))).as("h"))
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(batch(1L) == batch(2L), "decomposed spelling must normalize onto the composed hash")
+      got.foreach { case (id, h) =>
+        assert(h == batch(id), s"doc $id stream nfc hash drifted from batch")
+      }
+    } finally q.stop()
+  }
+
   test("streaming web ingest composes url dedup -> decontam -> temperature bit-identically to batch") {
     import org.apache.spark.sql.functions.col
     import spark.implicits._
