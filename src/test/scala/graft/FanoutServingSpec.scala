@@ -427,6 +427,18 @@ class FanoutServingSpec extends AnyFunSuite {
     val more = emb.where(col("vec_id") < 50)
       .select((col("vec_id") + 300000L).as("vec_id"), col("embedding"))
     assert(m.insert(more).totalPoints == m.totalPoints + 50)
+    // the re-keyed shard layout survives persistence
+    val dir2 = java.nio.file.Files.createTempDirectory("graft_merge_save_").toString
+    try {
+      m.save(dir2)
+      val back = FanoutModel.load(spark, dir2)
+      assert(back.totalPoints == m.totalPoints, "save/load after merge lost members")
+      val reGot = back.withFullBeamShards().search(q, 10).select("query_id", "id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(reGot == exact, "reloaded merged model lost full-beam exactness")
+    } finally {
+      scala.reflect.io.Directory(new java.io.File(dir2)).deleteRecursively()
+    }
   }
 
   test("range search: fanout union at full beam equals the exact range set") {
