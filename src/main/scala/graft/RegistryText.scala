@@ -10,7 +10,23 @@ import graft.RegistrySqlParts._
 private[graft] object RegistryText {
 
   private[graft] def entries: Seq[(String, QFn, Option[String])] = Seq(
-    textStats, langId, tokenCount, docFingerprint, vocabTopKQ, lengthPctQ, lengthMadQ, percentileGateQ, tfIdfQ, repetitionScoreQ, bigramTopKQ, lmPerplexityQ, oovRateQ, boilerplateQ, piiRedactQ, qualityDecilesQ, tokenEntropyQ, bm25RetrievalQ, bm25PrfQ, bpeMergesQ, bpeEncodeQ, cmsTopkQ, featureHashQ, classifierGateQ, langClassifierGateQ, hybridRetrievalQ, ragRetrievalQ, ragRerankQ, gopherRulesQ, nfcDedupQ)
+    textStats, langId, tokenCount, docFingerprint, vocabTopKQ, lengthPctQ, lengthMadQ, percentileGateQ, tfIdfQ, repetitionScoreQ, bigramTopKQ, lmPerplexityQ, oovRateQ, boilerplateQ, piiRedactQ, qualityDecilesQ, tokenEntropyQ, bm25RetrievalQ, bm25PrfQ, bpeMergesQ, bpeEncodeQ, cmsTopkQ, featureHashQ, classifierGateQ, langClassifierGateQ, hybridRetrievalQ, ragRetrievalQ, ragRerankQ, gopherRulesQ, nfcDedupQ, blocklistQ)
+
+  /** C4 "bad words" blocklist: the oracle recomputes each doc's token
+    * list and the md5-prefix membership rule, so hit counts and drop
+    * verdicts hash-match row-for-row. */
+  private val blocklistQ: (String, QFn, Option[String]) = (
+    "blocklist_filter",
+    (s, d) => TextAnalysis.blocklistFilter(s, d),
+    Some("""
+      WITH t AS (SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks
+             FROM documents)
+      SELECT doc_id, len(toks)::BIGINT AS n_tokens,
+             len(list_filter(toks, x -> substr(md5(x), 1, 2) = '00'))::BIGINT AS n_hits,
+             (len(list_filter(toks, x -> substr(md5(x), 1, 2) = '00')) > 0)::INT AS blocked
+      FROM t ORDER BY doc_id
+    """.trim))
 
   /** Unicode-NFC dedup: both engines implement the same Unicode
     * composition standard (JDK Normalizer / utf8proc), so the normalized

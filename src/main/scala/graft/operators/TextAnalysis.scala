@@ -1224,6 +1224,31 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Editorial-blocklist filter — the C4 "bad words" stage (Raffel et al.
+    * 2020 §2.2 drop any page containing a listed word; every public web
+    * corpus since runs a variant): each doc is scanned against a frozen
+    * word blocklist and emits its hit count and the drop verdict. The
+    * fixture list is the corpus's own tokens whose md5 starts with "00"
+    * (~1/256 of the vocabulary — deterministic, dictionary-sized, the
+    * planted-fixture stand-in for the real editorial list, and exactly
+    * replayable in DuckDB); membership-by-hash-rule lets the hot path be
+    * ONE per-token codegen predicate with no list shipped at all. A real
+    * deployment swaps the predicate for the frozen-set probe
+    * ([[graft.functions.SetProbeExpressions.overlapsLongSet]] over the
+    * list's 60-bit token surrogates — O(tokens·log|list|) per row, the
+    * streamingWebIngest decontamination pattern). Scale shape: one narrow
+    * scan, no join, no shuffle before the output sort. */
+  def blocklistFilter(spark: SparkSession, dir: String): DataFrame = {
+    val toks = filter(Dedup.tokens(col("text")), t => t =!= "")
+    val hits = filter(toks, t => substring(md5(t), 1, 2) === "00")
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        size(toks).cast("long").as("n_tokens"),
+        size(hits).cast("long").as("n_hits"),
+        (size(hits) > 0).cast("int").as("blocked"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Document fingerprint: bottom-5 sketch of md5'd word-3-gram shingles —
     * a fixed-size content signature (min-k sketch) whose overlap estimates
     * Jaccard similarity; joins on fingerprint find near-dups cheaply. */
