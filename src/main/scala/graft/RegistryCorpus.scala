@@ -10,7 +10,25 @@ import graft.RegistrySqlParts._
 private[graft] object RegistryCorpus {
 
   private[graft] def entries: Seq[(String, QFn, Option[String])] = Seq(
-    sampleHashQ, pipelineCleanQ, sampleStratifiedQ, docChunksQ, packSequencesQ, sampleMixtureQ, corpusShuffleQ, lengthBucketsQ, pipelineFullQ, docChunksCdcQ, shardManifestQ, splitAssignQ, splitLeakageSafeQ, dsirWeightQ, corpusStatsQ, domainCapQ, epochUpsampleQ, tokenBudgetQ, datasetDiffQ, urlCanonicalDedupQ, decontamQ, sampleTemperatureQ, pipelineWebQ, shardCompactionQ)
+    sampleHashQ, pipelineCleanQ, sampleStratifiedQ, docChunksQ, packSequencesQ, sampleMixtureQ, corpusShuffleQ, lengthBucketsQ, pipelineFullQ, docChunksCdcQ, shardManifestQ, splitAssignQ, splitLeakageSafeQ, dsirWeightQ, corpusStatsQ, domainCapQ, epochUpsampleQ, tokenBudgetQ, datasetDiffQ, urlCanonicalDedupQ, decontamQ, sampleTemperatureQ, pipelineWebQ, shardCompactionQ, sourceLangEntropyQ)
+
+  /** Per-source language-mix audit: the oracle recomputes the exact
+    * (source, lang) counts, the micro-nat entropy terms, and the dominant
+    * share, so every cell hash-matches. */
+  private val sourceLangEntropyQ: (String, QFn, Option[String]) = (
+    "source_lang_entropy",
+    (s, d) => CorpusPipeline.sourceLangEntropy(s, d),
+    Some("""
+      WITH sl AS (SELECT source, lang, count(*)::BIGINT AS c
+                  FROM documents GROUP BY source, lang),
+      t AS (SELECT source, sum(c)::BIGINT AS n FROM sl GROUP BY source)
+      SELECT sl.source, count(*)::BIGINT AS n_langs, max(n)::BIGINT AS n_docs,
+             sum(CAST(floor(-(c::DOUBLE / n) * ln(c::DOUBLE / n) * 1e6 + 0.5)
+                      AS BIGINT))::BIGINT AS entropy_unats,
+             round(max(c)::DOUBLE / max(n), 4) AS top_share
+      FROM sl JOIN t USING (source)
+      GROUP BY sl.source ORDER BY sl.source
+    """.trim))
 
   /** Temperature resampling: the oracle replays the √p_l weights (IEEE
     * sqrt is correctly rounded → identical doubles → identical floors),

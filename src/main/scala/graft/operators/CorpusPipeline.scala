@@ -408,6 +408,32 @@ object CorpusPipeline {
         sum(conv(substring(md5(col("text")), 1, 8), 16, 10).cast("long")).as("content_sum"))
       .orderBy(col("shard"))
 
+  /** Mixture-health diagnostic — per SOURCE, the language-distribution
+    * entropy (how multilingual each source really is) plus its language
+    * count and dominant-language share: the pre-mix audit that catches a
+    * "multilingual" source that is 99% one language before temperature
+    * sampling trusts its per-language counts. Arithmetic: per-(source,
+    * lang) counts are exact integers; each entropy term is the micro-nat
+    * long floor(-p·ln(p)·10⁶ + 0.5) (the token_entropy contract — ln the
+    * only transcendental, half-up rounding) summed exactly; the dominant
+    * share is a single-division double rounded 4dp. Scale shape: one
+    * (source, lang) aggregation — both cardinalities tiny at any corpus
+    * size — then a source-keyed rollup; nothing grows with the corpus
+    * beyond the first map-side-combined count. */
+  def sourceLangEntropy(spark: SparkSession, dir: String): DataFrame = {
+    val sl = Tables.documents(spark, dir)
+      .groupBy(col("source"), col("lang")).agg(count(lit(1)).as("c"))
+    val tot = sl.groupBy(col("source")).agg(sum(col("c")).as("n"))
+    val p = col("c").cast("double") / col("n")
+    sl.join(tot, "source")
+      .withColumn("term", floor(-p * log(p) * 1e6 + 0.5).cast("long"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_langs"), max(col("n")).as("n_docs"),
+        sum(col("term")).as("entropy_unats"),
+        round(max(col("c")).cast("double") / max(col("n")), 4).as("top_share"))
+      .orderBy(col("source"))
+  }
+
   /** File-compaction PLANNING — the small-files answer every 100 TB table
     * needs (the Delta OPTIMIZE / Iceberg rewrite-data-files shape): given
     * the shard manifest as the file inventory, coalesce CONTIGUOUS
