@@ -10,7 +10,7 @@ import graft.RegistrySqlParts._
 private[graft] object RegistryText {
 
   private[graft] def entries: Seq[(String, QFn, Option[String])] = Seq(
-    textStats, langId, tokenCount, docFingerprint, vocabTopKQ, lengthPctQ, lengthMadQ, percentileGateQ, tfIdfQ, repetitionScoreQ, bigramTopKQ, lmPerplexityQ, oovRateQ, boilerplateQ, piiRedactQ, qualityDecilesQ, tokenEntropyQ, bm25RetrievalQ, bm25PrfQ, bpeMergesQ, bpeEncodeQ, cmsTopkQ, featureHashQ, classifierGateQ, langClassifierGateQ, hybridRetrievalQ, ragRetrievalQ, ragRerankQ, gopherRulesQ, nfcDedupQ, blocklistQ)
+    textStats, langId, tokenCount, docFingerprint, vocabTopKQ, lengthPctQ, lengthMadQ, percentileGateQ, tfIdfQ, repetitionScoreQ, bigramTopKQ, lmPerplexityQ, oovRateQ, boilerplateQ, piiRedactQ, qualityDecilesQ, tokenEntropyQ, bm25RetrievalQ, bm25PrfQ, bpeMergesQ, bpeEncodeQ, cmsTopkQ, featureHashQ, classifierGateQ, langClassifierGateQ, hybridRetrievalQ, ragRetrievalQ, ragRerankQ, gopherRulesQ, nfcDedupQ, blocklistQ, bpeFertilityQ)
 
   /** C4 "bad words" blocklist: the oracle recomputes each doc's token
     * list and the md5-prefix membership rule, so hit counts and drop
@@ -558,6 +558,25 @@ private[graft] object RegistryText {
       SELECT doc_id, n_words, n_bpe_tokens,
              round(n_bpe_tokens::DOUBLE / n_words, 4) AS subtokens_per_word
       FROM enc ORDER BY doc_id""", finalIsCte = true)))
+
+  /** Per-language tokenizer fertility: the oracle replays the FULL BPE
+    * training chain (the bpe_encode CTEs verbatim) and then the
+    * lang-keyed rollup, so fertility and chars-per-token hash-match. */
+  private val bpeFertilityQ: (String, QFn, Option[String]) = (
+    "bpe_fertility",
+    (s, d) => TextAnalysis.bpeFertility(s, d),
+    Some(bpeOracleSql(5, """dw AS (SELECT lang, w
+            FROM (SELECT lang, unnest(string_split_regex(lower(text), '\s+')) AS w
+                  FROM documents)
+            WHERE w != ''),
+      f AS (SELECT lang, count(*)::BIGINT AS n_words,
+                   sum(len(string_split(trim(s5.s), ' ')))::BIGINT AS n_bpe_tokens,
+                   sum(len(dw.w))::BIGINT AS n_chars
+            FROM dw JOIN s5 ON dw.w = s5.w GROUP BY lang)
+      SELECT lang, n_words, n_bpe_tokens,
+             round(n_bpe_tokens::DOUBLE / n_words, 4) AS fertility,
+             round(n_chars::DOUBLE / n_bpe_tokens, 4) AS chars_per_token
+      FROM f ORDER BY lang""", finalIsCte = true)))
 
   /** The k-iteration BPE training chain as generated SQL: stage i counts
     * adjacent pairs over the distinct-word symbol state, argmaxes with the

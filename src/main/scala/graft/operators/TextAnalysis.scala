@@ -255,6 +255,33 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Tokenizer fertility audit — per LANGUAGE, BPE subtokens-per-word
+    * (fertility) and chars-per-subtoken over the whole corpus: the
+    * multilingual-equity check every tokenizer release ships (a language
+    * with high fertility pays more compute per word and fits less text
+    * per context window, which is why per-language fertility tables
+    * accompany every public vocabulary). Rides the ONE cached BPE
+    * training artifact ([[bpeTrainCached]] — shared with bpe_merges /
+    * bpe_encode, so the fertility audit costs one broadcast join + one
+    * lang-keyed aggregate, never a retrain). All counts exact integers;
+    * the two ratios are single-division doubles rounded 4dp. */
+  def bpeFertility(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    val seg = bpeTrainCached(spark, dir, k)._1
+      .select(col("w"), size(col("syms")).cast("long").as("n_sub"),
+        length(col("w")).cast("long").as("n_chars_w"))
+    Tables.documents(spark, dir)
+      .select(col("lang"), explode(toks(col("text"))).as("w"))
+      .where(col("w") =!= "")
+      .join(broadcast(seg), Seq("w"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_words"), sum(col("n_sub")).as("n_bpe_tokens"),
+        sum(col("n_chars_w")).as("n_chars"))
+      .select(col("lang"), col("n_words"), col("n_bpe_tokens"),
+        round(col("n_bpe_tokens").cast("double") / col("n_words"), 4).as("fertility"),
+        round(col("n_chars").cast("double") / col("n_bpe_tokens"), 4).as("chars_per_token"))
+      .orderBy(col("lang"))
+  }
+
   /** Corpus vocabulary: the k most frequent whitespace tokens with
     * deterministic tie-break (count desc, token asc) — the input to
     * vocabulary construction / BPE seeding. One explode + one keyed
