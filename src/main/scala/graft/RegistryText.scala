@@ -23,8 +23,8 @@ private[graft] object RegistryText {
                list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks
              FROM documents)
       SELECT doc_id, len(toks)::BIGINT AS n_tokens,
-             len(list_filter(toks, x -> substr(md5(x), 1, 2) = '00'))::BIGINT AS n_hits,
-             (len(list_filter(toks, x -> substr(md5(x), 1, 2) = '00')) > 0)::INT AS blocked
+             len(list_filter(toks, x -> substr(md5(x), 1, 2) = '0e'))::BIGINT AS n_hits,
+             (len(list_filter(toks, x -> substr(md5(x), 1, 2) = '0e')) > 0)::INT AS blocked
       FROM t ORDER BY doc_id
     """.trim))
 

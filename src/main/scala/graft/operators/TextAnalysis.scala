@@ -1255,10 +1255,15 @@ object TextAnalysis {
     * 2020 §2.2 drop any page containing a listed word; every public web
     * corpus since runs a variant): each doc is scanned against a frozen
     * word blocklist and emits its hit count and the drop verdict. The
-    * fixture list is the corpus's own tokens whose md5 starts with "00"
-    * (~1/256 of the vocabulary — deterministic, dictionary-sized, the
-    * planted-fixture stand-in for the real editorial list, and exactly
-    * replayable in DuckDB); membership-by-hash-rule lets the hot path be
+    * fixture list is the corpus's own tokens whose md5 starts with "0e"
+    * — deterministic, dictionary-sized, the planted-fixture stand-in for
+    * the real editorial list, exactly replayable in DuckDB, and chosen so
+    * the verdicts DISCRIMINATE on this corpus (the 31-token synthetic
+    * vocabulary puts common words in ~75% of docs; the "0e" bucket holds
+    * exactly the rare near-dup marker token, blocking 5% of docs at every
+    * scale — a prefix that caught a common word would block everything
+    * and one that caught nothing would be the vacuous-fixture trap);
+    * membership-by-hash-rule lets the hot path be
     * ONE per-token codegen predicate with no list shipped at all. A real
     * deployment swaps the predicate for the frozen-set probe
     * ([[graft.functions.SetProbeExpressions.overlapsLongSet]] over the
@@ -1267,7 +1272,7 @@ object TextAnalysis {
     * scan, no join, no shuffle before the output sort. */
   def blocklistFilter(spark: SparkSession, dir: String): DataFrame = {
     val toks = filter(Dedup.tokens(col("text")), t => t =!= "")
-    val hits = filter(toks, t => substring(md5(t), 1, 2) === "00")
+    val hits = filter(toks, t => substring(md5(t), 1, 2) === "0e")
     Tables.documents(spark, dir)
       .select(col("doc_id"),
         size(toks).cast("long").as("n_tokens"),

@@ -904,6 +904,26 @@ object StreamingOps {
     * pre-aggregation. All state and gap arithmetic is in exact
     * microseconds (the batch twin's `unix_micros`), so sub-millisecond
     * event times don't diverge. */
+  /** Ingest-side blocklist filter — the streaming twin of
+    * [[graft.operators.TextAnalysis.blocklistFilter]] (the C4 "bad
+    * words" stage at the stream): each arriving doc's tokens run the
+    * SAME membership rule the batch op uses (keys bit-identical by
+    * construction, spec-asserted), and docs with any hit are DROPPED
+    * before they cost a single downstream stage — the cheapest possible
+    * position for a verdict that needs no corpus state. Stateless narrow
+    * filter: no state store, no shuffle. A real editorial list deploys
+    * through [[graft.functions.SetProbeExpressions.overlapsLongSet]] in
+    * the same slot (the streamingWebIngest decontamination pattern). */
+  def streamingBlocklistFilter(docs: DataFrame): DataFrame = {
+    val toks = filter(graft.operators.Dedup.tokens(col("text")), t => t =!= "")
+    val hits = filter(toks, t => substring(md5(t), 1, 2) === "0e")
+    docs
+      .select(col("doc_id").cast("long").as("doc_id"), col("ts"),
+        size(toks).cast("long").as("n_tokens"), size(hits).cast("long").as("n_hits"))
+      .where(col("n_hits") === 0)
+      .select(col("doc_id"), col("ts"), col("n_tokens"))
+  }
+
   /** Ingest-side Unicode-normalization dedup — the streaming twin of
     * [[graft.operators.TextAnalysis.nfcDedup]]'s production half: each
     * arriving doc's text normalizes through the SAME codegen `nfc_native`

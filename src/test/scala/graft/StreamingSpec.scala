@@ -1079,6 +1079,34 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming blocklist filter admits exactly the batch-clean docs") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    val batch = graft.operators.TextAnalysis.blocklistFilter(spark, dir)
+      .select("doc_id", "blocked").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(batch.values.exists(_ == 1), "fixture vacuous — nothing blocked in batch")
+    assert(batch.values.exists(_ == 0), "fixture vacuous — everything blocked in batch")
+    val rows = graft.core.Tables.documents(spark, dir)
+      .select("doc_id", "text").collect()
+      .map(r => Doc(r.getLong(0), ts(1), r.getString(1)))
+    val input = MemoryStream[Doc]
+    val q = StreamingOps.streamingBlocklistFilter(input.toDF())
+      .writeStream.format("memory").queryName("blocklist_stream_out")
+      .outputMode("append").start()
+    try {
+      input.addData(rows)
+      q.processAllAvailable()
+      val got = spark.table("blocklist_stream_out")
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      val want = batch.filter(_._2 == 0).keySet
+      assert(got == want,
+        s"stream/batch admit sets diverge: extra=${(got -- want).take(3)} missing=${(want -- got).take(3)}")
+    } finally q.stop()
+  }
+
   test("streaming nfc dedup drops decomposed re-spellings; hashes bit-match the batch kernel") {
     import org.apache.spark.sql.functions.{col, md5}
     import spark.implicits._
