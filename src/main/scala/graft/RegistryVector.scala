@@ -10,7 +10,7 @@ import graft.RegistrySqlParts._
 private[graft] object RegistryVector {
 
   private[graft] def entries: Seq[(String, QFn, Option[String])] = Seq(
-    simCosineTopK, simIpTopK, simJoinThreshold, mmrRerankQ, mmrAnnGateQ, simRangeSearchQ, maxsimTopKQ, matryoshkaSearchQ, matryoshkaGateQ, vamanaRangeSearchQ, vamanaRangeGateQ, vamanaRangeFanoutGateQ, vamanaRangeFilteredGateQ, maxsimRerankGateQ, bitextMiningQ, bitextAnnGateQ, lshCosineGateQ, lshL2GateQ, ivfGateQ, pqGateQ, vamanaPqGateQ, vamanaPqSearchQ, vamanaPqFanoutQ, vamanaPqFanoutGateQ, vamanaPqFanoutFilteredGateQ, semdedupGateQ, prototypeGateQ, embedDimStatsQ, embedDimCovQ, sqQuantize, sqReport, bqQuantizeQ, bqSearchQ, bqRerankQ, embedNormalizeQ, hardNegativesQ, hardNegativesFanoutQ, hardNegativesFanoutGateQ, embedKmeansQ, embedKmeansGreedyQ, embedKmeansStatsQ, clusterSampleBalancedQ, clusterSilhouetteQ, clusterCuratedDocsQ, splitDriftQ, embedKmeansIncrementalQ, embedKmeansMinibatchQ)
+    simCosineTopK, simIpTopK, simJoinThreshold, mmrRerankQ, mmrAnnGateQ, simRangeSearchQ, maxsimTopKQ, matryoshkaSearchQ, matryoshkaGateQ, vamanaRangeSearchQ, vamanaRangeGateQ, vamanaRangeFanoutGateQ, vamanaRangeFilteredGateQ, maxsimRerankGateQ, bitextMiningQ, bitextAnnGateQ, lshCosineGateQ, lshL2GateQ, ivfGateQ, pqGateQ, vamanaPqGateQ, vamanaPqSearchQ, vamanaPqFanoutQ, vamanaPqFanoutGateQ, vamanaPqFanoutFilteredGateQ, semdedupGateQ, prototypeGateQ, embedDimStatsQ, embedDimCovQ, sqQuantize, sqReport, bqQuantizeQ, bqSearchQ, bqRerankQ, embedNormalizeQ, hardNegativesQ, hardNegativesFanoutQ, hardNegativesFanoutGateQ, embedKmeansQ, embedKmeansGreedyQ, embedKmeansStatsQ, clusterSampleBalancedQ, clusterSilhouetteQ, clusterCuratedDocsQ, splitDriftQ, embedKmeansIncrementalQ, embedKmeansMinibatchQ, embedNormOutliersQ)
 
   // ---- range / multi-vector / truncated-prefix retrieval --------------------
 
@@ -769,6 +769,36 @@ private[graft] object RegistryVector {
 
   /** Split-wise per-dim mean drift: the splitAssign hash rule + the shared
     * half-up micro quantizer, floor-div means, max pairwise |diff|. */
+  /** Embedding-norm MAD outliers: the oracle replays the norm-squared
+    * fold (the shared distance arithmetic), the planted straggler/dead
+    * mutations, and the interpolated median/MAD per label, so every cell
+    * — including the non-zero outlier counts — hash-matches. */
+  private val embedNormOutliersQ: (String, QFn, Option[String]) = (
+    "embed_norm_outliers",
+    (s, d) => Similarity.embedNormOutliers(s, d),
+    Some("""
+      WITH r AS (SELECT vec_id, label::BIGINT AS label,
+               list_sum(list_transform(range(1, len(embedding)+1),
+                 i -> (embedding[i]::DOUBLE) * (embedding[i]::DOUBLE))) AS raw
+             FROM embeddings),
+      v AS (SELECT label,
+               round(CASE WHEN vec_id % 29 = 0 THEN raw * 9.0
+                          WHEN vec_id % 31 = 0 THEN 0.0
+                          ELSE raw END, 4) AS n2
+            FROM r),
+      med AS (SELECT label, median(n2) AS m FROM v GROUP BY 1),
+      dev AS (SELECT v.label, abs(v.n2 - med.m) AS dv, med.m AS m
+              FROM v JOIN med USING (label)),
+      mad AS (SELECT label, median(dv) AS md FROM dev GROUP BY 1)
+      SELECT dev.label,
+             count(*)::BIGINT AS n_vecs,
+             any_value(dev.m)::DOUBLE AS med_norm2,
+             any_value(mad.md)::DOUBLE AS mad_norm2,
+             (count(*) FILTER (dev.dv > 3 * mad.md))::BIGINT AS n_outliers
+      FROM dev JOIN mad USING (label)
+      GROUP BY 1 ORDER BY 1
+    """.trim))
+
   private val splitDriftQ: (String, QFn, Option[String]) = (
     "split_drift",
     (s, d) => Similarity.splitDrift(s, d),

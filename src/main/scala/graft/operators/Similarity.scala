@@ -605,6 +605,49 @@ object Similarity {
       .orderBy(col("pos"))
   }
 
+  /** Embedding-norm outlier detection — the vector-space twin of the text
+    * length MAD filter ([[TextAnalysis.lengthMadOutliers]]): per LABEL
+    * (the curation stratum), the interpolated median + MAD of the squared
+    * norms and the count of vectors beyond the 3·MAD band. Broken
+    * embeddings — zero vectors, overflow artifacts, un-normalized
+    * stragglers from a mixed-encoder backfill — are exactly what poisons
+    * cosine dedup and ANN recall downstream, and a norm-band check
+    * catches them for one scan. The norm² fold is the ONE shared
+    * sequential-double contract ([[graft.functions.VectorFunctions.dot]],
+    * the arithmetic every hash-matched distance oracle rides), rounded
+    * 4dp on BOTH sides; the (label, norm²) histogram collects to the
+    * driver and the median/MAD interpolation runs in the shared
+    * [[TextAnalysis.madStats]] arithmetic. Histogram cardinality is
+    * bounded by 4dp quantization × labels — coarsen the rounding if a
+    * production value spread widens it. */
+  def embedNormOutliers(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    // The synthetic embeddings are uniformly healthy (norms concentrate
+    // tightly), so the detector would be VACUOUS on the raw table — the
+    // blocklist/media-gate lesson. Plant deterministic breakage in-query
+    // (the planted-mutation pattern): every 29th id is a ×3 un-normalized
+    // straggler (norm² ×9) and every 31st a dead zero vector — applied to
+    // the squared norm AFTER the fold, where a single double multiply is
+    // exact in both engines (scaling the float elements would round
+    // per-element differently than DuckDB's double promotion).
+    val raw = graft.functions.VectorFunctions.dot(col("embedding"), col("embedding"))
+    val n2 = round(
+      when(col("vec_id") % 29 === 0, raw * 9.0)
+        .when(col("vec_id") % 31 === 0, lit(0.0))
+        .otherwise(raw), 4)
+    val hist = Tables.embeddings(spark, dir)
+      .select(col("label").cast("long").as("label"), n2.as("n2"))
+      .groupBy(col("label"), col("n2")).agg(count(lit(1)).as("c"))
+      .as[(Long, Double, Long)].collect()
+    val rows = hist.groupBy(_._1).toSeq.map { case (label, rs) =>
+      val (n, med, mad, outliers) =
+        TextAnalysis.madStats(rs.map { case (_, v, c) => (v, c) }.toSeq)
+      (label, n, med, mad, outliers)
+    }
+    rows.toDF("label", "n_vecs", "med_norm2", "mad_norm2", "n_outliers")
+      .orderBy(col("label"))
+  }
+
   /** Per-dimension mean drift across the deterministic train/val/test
     * holdouts — the distribution-shift check a release runs before
     * trusting its eval numbers: the same 60-bit id-hash split rule as

@@ -452,33 +452,43 @@ object TextAnalysis {
     val hist = Tables.documents(spark, dir)
       .groupBy(col("lang"), col("n_chars")).agg(count(lit(1)).as("c"))
       .as[(String, Long, Long)].collect()
-    // quantile_cont(0.5) over a sorted (value, count) histogram — DuckDB's
-    // median formula: h = 0.5*(n-1) zero-indexed, interpolate v[k]..v[k+1]
-    def contMedian(h: Seq[(Double, Long)]): Double = {
-      val s = h.sortBy(_._1)
-      val n = s.map(_._2).sum
-      val pos = 0.5 * (n - 1)
-      val k = math.floor(pos).toLong
-      def at(rank: Long): Double = {
-        var acc = 0L
-        for ((v, c) <- s) { acc += c; if (acc > rank) return v }
-        s.last._1
-      }
-      val lo = at(k)
-      if (pos == k) lo else lo + (at(k + 1) - lo) * (pos - k)
-    }
     val rows = hist.groupBy(_._1).toSeq.map { case (lang, rs) =>
-      val vh = rs.map { case (_, v, c) => (v.toDouble, c) }.toSeq
-      val n = vh.map(_._2).sum
-      val med = contMedian(vh)
-      val devH = vh.groupBy { case (v, _) => math.abs(v - med) }
-        .map { case (dv, g) => (dv, g.map(_._2).sum) }.toSeq
-      val mad = contMedian(devH)
-      val outliers = devH.collect { case (dv, c) if dv > 3 * mad => c }.sum
+      val (n, med, mad, outliers) =
+        madStats(rs.map { case (_, v, c) => (v.toDouble, c) }.toSeq)
       (lang, n, med, mad, outliers)
     }
     rows.toDF("lang", "n_docs", "med_chars", "mad_chars", "n_outliers")
       .orderBy(col("lang"))
+  }
+
+  /** quantile_cont(0.5) over a sorted (value, count) histogram — DuckDB's
+    * median formula: h = 0.5*(n-1) zero-indexed, interpolate v[k]..v[k+1].
+    * Shared by [[lengthMadOutliers]] and the embedding-norm twin so both
+    * replicate the oracle's interpolation bit-for-bit. */
+  private[operators] def contMedian(h: Seq[(Double, Long)]): Double = {
+    val s = h.sortBy(_._1)
+    val n = s.map(_._2).sum
+    val pos = 0.5 * (n - 1)
+    val k = math.floor(pos).toLong
+    def at(rank: Long): Double = {
+      var acc = 0L
+      for ((v, c) <- s) { acc += c; if (acc > rank) return v }
+      s.last._1
+    }
+    val lo = at(k)
+    if (pos == k) lo else lo + (at(k + 1) - lo) * (pos - k)
+  }
+
+  /** (n, median, MAD, count beyond 3·MAD) over a value histogram — the
+    * robust-outlier driver arithmetic shared across the MAD family. */
+  private[operators] def madStats(vh: Seq[(Double, Long)]): (Long, Double, Double, Long) = {
+    val n = vh.map(_._2).sum
+    val med = contMedian(vh)
+    val devH = vh.groupBy { case (v, _) => math.abs(v - med) }
+      .map { case (dv, g) => (dv, g.map(_._2).sum) }.toSeq
+    val mad = contMedian(devH)
+    val outliers = devH.collect { case (dv, c) if dv > 3 * mad => c }.sum
+    (n, med, mad, outliers)
   }
 
   /** Hash-checked gate for the percentile SKETCH (`approx_percentile`,
