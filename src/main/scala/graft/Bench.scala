@@ -16,6 +16,19 @@ object Bench {
     def loadAvg(): Double =
       java.lang.management.ManagementFactory.getOperatingSystemMXBean.getSystemLoadAverage
     val loadStart = loadAvg()
+    val benchOut = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/BENCH_FULL.json")
+    // Previous round's per-query medians, read BEFORE this run overwrites
+    // the file: the regression gate below diffs against them so a per-query
+    // slowdown (round-13's substring_dedup went 0.85->5.99s) is flagged in
+    // the bench output itself instead of waiting for a human to diff rounds.
+    val prevQueries: Map[String, Double] = try {
+      val txt = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(benchOut)), java.nio.charset.StandardCharsets.UTF_8)
+      val qblock = txt.split("\"queries\":\\{", 2)
+      if (qblock.length < 2) Map.empty
+      else "\"([^\"]+)\":([0-9.]+)".r.findAllMatchIn(qblock(1).takeWhile(_ != '}'))
+        .map(m => m.group(1) -> m.group(2).toDouble).toMap
+    } catch { case _: Throwable => Map.empty }
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -84,16 +97,26 @@ object Bench {
     // goes to a FILE in the repo (the driver archives the repo), and
     // stdout gets only a short total line the window can always hold.
     val loadEnd = loadAvg()
+    // Regression gate: flag queries >2x slower than last round AND >0.5s
+    // absolute (both thresholds together filter sub-second JIT/GC noise).
+    // The block is advisory context for the next reader, not a hard fail —
+    // host-load differences (see loadavg fields) can still explain a hit.
+    val regressionEntries = results.toSeq.collect {
+      case (name, cur) if prevQueries.get(name).exists(p =>
+          p > 0 && cur > 2 * p && cur - p > 0.5) =>
+        val p = prevQueries(name)
+        s"\"$name\":{\"prev\":$p,\"cur\":$cur,\"ratio\":${r4(cur / p)}}"
+    }
+    val regressions = regressionEntries.mkString("{", ",", "}")
     val fullJson =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"storage_mb_after":$st,"family_storage_mb":$fs,"sf":"$sfDir","iters":$iters,"loadavg_start":${r4(loadStart)},"loadavg_end":${r4(loadEnd)},"host_cpus":${Runtime.getRuntime.availableProcessors()}}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"storage_mb_after":$st,"family_storage_mb":$fs,"regressions":$regressions,"sf":"$sfDir","iters":$iters,"loadavg_start":${r4(loadStart)},"loadavg_end":${r4(loadEnd)},"host_cpus":${Runtime.getRuntime.availableProcessors()}}"""
     try {
       java.nio.file.Files.write(
-        java.nio.file.Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
-          "/root/repo/BENCH_FULL.json")),
+        java.nio.file.Paths.get(benchOut),
         fullJson.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     } catch { case _: Throwable => () }
     val shortLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"sf":"$sfDir","iters":$iters,"loadavg":${r4(loadStart)},"queries_file":"BENCH_FULL.json"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"n_regressions":${regressionEntries.size},"sf":"$sfDir","iters":$iters,"loadavg":${r4(loadStart)},"queries_file":"BENCH_FULL.json"}"""
     spark.stop()
     // the short JSON goes out AFTER spark.stop(), as the process's final
     // stdout line: the driver parses a tail capture, and executor/log

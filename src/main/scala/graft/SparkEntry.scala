@@ -44,7 +44,7 @@ object SparkEntry {
       vamanaDescribeQ, vamanaDegreeQ, vamanaConnectivityQ,
       vamanaFanoutQ, vamanaFanoutGateQ, vamanaFanoutFilteredQ, vamanaFanoutFilteredGateQ,
       vamanaAdaptivePostfilterGateQ,
-      vamanaRoundtripQ, vamanaInsertQ, vamanaDeleteQ, vamanaInsertGateQ, vamanaDeleteGateQ,
+      vamanaRoundtripQ, vamanaBinaryGateQ, vamanaInsertQ, vamanaDeleteQ, vamanaInsertGateQ, vamanaDeleteGateQ,
       vamanaPqInsertGateQ, vamanaPqDeleteGateQ, vamanaMergeGateQ),
     "relational" -> Seq(
       pricingQ, regionRevenueQ, topOrdersQ, orderPriorityQ, localSupplierQ,
@@ -325,6 +325,19 @@ object SparkEntry {
       SELECT count(DISTINCT vec_id) AS n_queries, TRUE AS params_match,
              TRUE AS point_lookup_match, TRUE AS search_identical
       FROM embeddings WHERE vec_id < 10
+    """.trim))
+
+  /** Reference binary-file interop at runtime (see
+    * [[graft.vamana.VamanaOps.vamanaBinaryGate]]): every flag is an
+    * invariant of a correct layout implementation, so the oracle states
+    * them as literals over the source-table count — fully hash-checked. */
+  private val vamanaBinaryGateQ: (String, QFn, Option[String]) = (
+    "vamana_binary_gate",
+    (s, d) => graft.vamana.VamanaOps.vamanaBinaryGate(s, d),
+    Some("""
+      SELECT (SELECT count(*) FROM embeddings)::BIGINT AS n_points,
+             TRUE AS bytes_roundtrip, TRUE AS params_match,
+             TRUE AS payload_match, TRUE AS search_identical
     """.trim))
 
   private val sessionizeBatchQ: (String, QFn, Option[String]) = (

@@ -71,27 +71,47 @@ case class OverlapsLongSet(child: Expression, kernel: LongSetKernel)
     copy(child = newChild)
 }
 
-/** Session registration + Column factory (the LangExpressions shape:
-  * per-(session, kernel) createOrReplace — a running stream keeps its
-  * already-bound kernel; new plans get the current one). */
+/** Session registration + Column factory. The registered function NAME
+  * carries a content fingerprint of the set, so two streams in one session
+  * probing DIFFERENT frozen sets bind different names — a plan analyzed
+  * (started, or restarted from checkpoint) after another kernel's
+  * registration can never silently swap sets. Kernels are memoized per
+  * (session, set reference): a caller that re-invokes with the same array
+  * object (e.g. per micro-batch) skips the defensive clone + O(n log n)
+  * sort and the re-registration. */
 object SetProbeExpressions {
-  @volatile private var registered = Map.empty[SparkSession, LongSetKernel]
+  @volatile private var kernels =
+    Map.empty[(SparkSession, Array[Long]), (String, LongSetKernel)]
 
-  private def register(spark: SparkSession, kernel: LongSetKernel): Unit = synchronized {
-    if (!registered.get(spark).contains(kernel)) {
-      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-        "overlaps_long_set", exprs => OverlapsLongSet(exprs.head, kernel), "scala_udf")
-      registered += spark -> kernel
-    }
+  private[graft] def clearRegistry(): Unit = synchronized { kernels = Map.empty }
+
+  /** Order-independent 64-bit content hash over the sorted, dedup'd set
+    * plus its length — identical content from two different array objects
+    * yields the same name (the re-registration binds an equivalent
+    * kernel, harmless); distinct content yields distinct names. */
+  private def contentFingerprint(sorted: Array[Long]): String = {
+    var h = 1125899906842597L
+    var i = 0
+    while (i < sorted.length) { h = 31 * h + sorted(i); i += 1 }
+    java.lang.Long.toHexString(h) + "_" + sorted.length
   }
-
-  private[graft] def clearRegistry(): Unit = synchronized { registered = Map.empty }
 
   /** TRUE iff the array<long> column shares any element with the frozen
     * set — `arrays_overlap(arr, lit(set))` semantics at
     * O(|arr|·log|set|) per row instead of O(|set|). */
   def overlapsLongSet(spark: SparkSession, arr: Column, set: Array[Long]): Column = {
-    register(spark, new LongSetKernel(set))
-    call_function("overlaps_long_set", arr.cast("array<long>"))
+    val name = synchronized {
+      kernels.get((spark, set)) match {
+        case Some((n, _)) => n
+        case None =>
+          val kernel = new LongSetKernel(set)
+          val n = s"overlaps_long_set_${contentFingerprint(kernel.sorted)}"
+          spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+            n, exprs => OverlapsLongSet(exprs.head, kernel), "scala_udf")
+          kernels += (spark, set) -> ((n, kernel))
+          n
+      }
+    }
+    call_function(name, arr.cast("array<long>"))
   }
 }

@@ -323,13 +323,15 @@ object Dedup {
     * every w-token window at stride 1 and count, per doc, how many of its
     * windows recur in OTHER docs. dup_fraction ≈ the fraction of the doc
     * that is verbatim-copied text — the per-doc removal signal the paper
-    * thresholds on. Plan: one narrow window explode (w·tokens rows), one
-    * count-distinct-docs aggregation keyed by window hash, and one
-    * equi-join back on the hash. The duplicated-hash frame is
-    * corpus-proportional (NOT broadcast); the join key is a 128-bit hash,
-    * so fanout per key equals the true occurrence count — boilerplate-hot
-    * hashes are exactly the rows the signal exists to count. All counters
-    * are integers → order-independent aggregation. */
+    * thresholds on. Plan: ONE corpus scan (the stride-1 window explode is
+    * the dominant cost, so it must happen exactly once), a
+    * (doc_id, hash) pre-aggregate with map-side combine, a window count
+    * over the hash partition for the cross-doc document frequency, and a
+    * final per-doc aggregate — no self-join, no re-explode, no cached
+    * frame (caching the w·tokens exploded frame would not survive 100 TB;
+    * the window-over-pre-aggregate shape shuffles only one row per
+    * (doc, hash) pair). All counters are integers → order-independent
+    * aggregation. */
   def substringDedup(spark: SparkSession, dir: String, w: Int = 8): DataFrame =
     substringDedupOf(spark, Tables.documents(spark, dir), w)
 
@@ -341,19 +343,22 @@ object Dedup {
       .select(col("doc_id"), explode(transform(
         sequence(lit(1), size(col("tk")) - (w - 1)),
         st => md5(concat_ws(" ", slice(col("tk"), st, lit(w)))))).as("h"))
-    // windows seen in >= 2 distinct docs (cross-doc copies only: in-doc
-    // repetition is repetition_score's signal, not dedup's)
-    val dup = wins.groupBy(col("h"))
-      .agg(countDistinct(col("doc_id")).as("hdf"))
-      .where(col("hdf") >= 2)
-      .select(col("h"))
-    wins.join(dup, Seq("h"), "left_semi")
-      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_dup"))
-      .join(wins.groupBy(col("doc_id")).agg(count(lit(1)).as("n_windows")),
-        Seq("doc_id"), "right_outer")
-      .select(col("doc_id"), col("n_windows"),
-        coalesce(col("n_dup"), lit(0L)).as("n_dup_windows"),
-        round(coalesce(col("n_dup"), lit(0L)).cast("double") / col("n_windows"), 4)
+    // One row per (doc, hash) with the in-doc occurrence count; partial
+    // (map-side) aggregation collapses in-doc repeats before the shuffle.
+    val byDocHash = wins.groupBy(col("doc_id"), col("h")).agg(count(lit(1)).as("c"))
+    // Cross-doc document frequency: after the pre-aggregate each (doc, h)
+    // appears once, so count(*) over the h partition IS countDistinct(doc).
+    // A hot boilerplate hash contributes one row per containing doc — the
+    // window partition holds doc-count rows, never occurrence-count rows.
+    val withDf = byDocHash.withColumn("hdf",
+      count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy(col("h"))))
+    // Windows seen in >= 2 distinct docs are "duplicated" (cross-doc copies
+    // only: in-doc repetition is repetition_score's signal, not dedup's).
+    withDf.groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_windows"),
+        coalesce(sum(when(col("hdf") >= 2, col("c"))), lit(0L)).as("n_dup_windows"))
+      .select(col("doc_id"), col("n_windows"), col("n_dup_windows"),
+        round(col("n_dup_windows").cast("double") / col("n_windows"), 4)
           .as("dup_fraction"))
       .orderBy(col("doc_id"))
   }

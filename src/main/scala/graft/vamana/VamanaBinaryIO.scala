@@ -59,6 +59,8 @@ object VamanaBinaryIO {
       graph(i) = nbrs
       i += 1
     }
+    require(!buf.hasRemaining,
+      s"trailing bytes after graph section (${buf.remaining()} left) — layout drift")
     val params = VamanaParams(dim = dim, maxDegree = r, beamWidth = l, alpha = alpha,
       efSearch = efSearch, seed = seed, metric = "l2")
     new LocalIndex(ids, points, graph, medoid, params)

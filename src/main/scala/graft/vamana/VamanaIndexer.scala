@@ -717,6 +717,11 @@ final class FanoutModel private[vamana] (
   def merge(other: FanoutModel): FanoutModel = {
     require(params.metric != "ip" && other.params.metric != "ip",
       "merge is not defined for metric=ip (per-fit norm augmentation); refit instead")
+    require(params.metric == other.params.metric,
+      s"metric mismatch: ${params.metric} vs ${other.params.metric} — a cosine fit " +
+        "stores normalized kernel-space points, so unioning it with an l2 fit would " +
+        "serve the other side's differently-transformed points against queries " +
+        "prepared with this model's metric (mirrors VamanaKernel.merge's guard)")
     require(params.dim == other.params.dim,
       s"dimension mismatch: ${params.dim} vs ${other.params.dim}")
     implicit val shardEnc: Encoder[(Int, LocalIndex)] =

@@ -589,9 +589,14 @@ object VamanaKernel {
     * loop discards it and re-derives strictly less local structure).
     * Kept neighbors gain back-edges with prune-on-overflow exactly as in
     * [[insert]]; later smaller-side nodes see earlier ones through the
-    * growing graph. buildCount unchanged (spec-gated); copy-on-write —
-    * BOTH inputs keep serving. Symmetric: merge(a, b) == merge(b, a) up
-    * to array order, enforced by the internal swap. */
+    * growing graph, and a node whose turn comes AFTER back-edges have
+    * already accumulated on it seeds its candidate pool with those
+    * back-edges too (they are paid-for bidirectional structure — a plain
+    * overwrite would discard them). buildCount unchanged (spec-gated);
+    * copy-on-write — BOTH inputs keep serving. Symmetric: merge(a, b) ==
+    * merge(b, a) up to array order, enforced by the internal swap —
+    * PROVIDED both sides were fitted with identical params (the larger
+    * side's params and medoid win, so differing params break symmetry). */
   def merge(a: LocalIndex, b: LocalIndex): LocalIndex = {
     if (b.size > a.size) return merge(b, a)
     val p = a.params
@@ -620,7 +625,11 @@ object VamanaKernel {
         greedySearch(points, graph, a.medoid, b.points(i), math.max(p.beamWidth, p.efSearch))
       val inPool = new java.util.HashSet[Integer](poolIds.length * 2)
       poolIds.foreach(c => inPool.add(c))
-      val carried = b.graph(i).map(_ + n0).filter(c => !inPool.contains(c))
+      // union the intra-side neighbor list AND any back-edges earlier
+      // smaller-side inserts already accumulated on this node (graph(pos));
+      // overwriting would silently discard that bidirectional structure
+      val carried = (b.graph(i).map(_ + n0) ++ graph(pos)).distinct
+        .filter(c => c != pos && !inPool.contains(c))
       val candIds = poolIds ++ carried
       val candDists = poolDists ++ carried.map(c => l2sq(b.points(i), points(c)))
       graph(pos) = robustPrune(points, pos, candIds, candDists, p.alpha, p.maxDegree, p.paperPrune)

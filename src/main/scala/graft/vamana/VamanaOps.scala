@@ -736,6 +736,52 @@ object VamanaOps {
     }
   }
 
+  /** Reference single-file binary layout (SaveIndex / load-constructor,
+    * vamana.h:390-424 / 55-96) exercised AT RUNTIME over this dataset's
+    * fitted model: export → import → byte-identical re-export, identical
+    * graph/point/id payloads, identical search answers. The committed
+    * reference-WRITTEN fixture (BinaryFixtureSpec) pins the layout against
+    * the reference's own writer; this gate proves the round's fitted model
+    * survives the format both ways — together they close the interop
+    * claim with a hash-checked oracle. efSearch is deliberately
+    * re-supplied at import (the reference never writes it and loads it
+    * uninitialized — vamana.h:397-405, SURVEY.md A.1). */
+  def vamanaBinaryGate(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val idx = model(spark, dir).index
+    val tmp = java.nio.file.Files.createTempFile("graft_binary_gate_", ".bin")
+    val tmp2 = java.nio.file.Files.createTempFile("graft_binary_gate2_", ".bin")
+    try {
+      VamanaBinaryIO.exportIndex(idx, tmp.toString)
+      val imported = VamanaBinaryIO.importIndex(tmp.toString,
+        efSearch = idx.params.efSearch, seed = idx.params.seed)
+      VamanaBinaryIO.exportIndex(imported, tmp2.toString)
+      val bytesRoundtrip = java.util.Arrays.equals(
+        java.nio.file.Files.readAllBytes(tmp), java.nio.file.Files.readAllBytes(tmp2))
+      val paramsMatch = imported.params.dim == idx.params.dim &&
+        imported.params.maxDegree == idx.params.maxDegree &&
+        imported.params.beamWidth == idx.params.beamWidth &&
+        imported.params.alpha == idx.params.alpha &&
+        imported.medoid == idx.medoid
+      val payloadMatch = imported.size == idx.size && (0 until idx.size).forall(i =>
+        imported.ids(i) == idx.ids(i) &&
+          java.util.Arrays.equals(imported.points(i), idx.points(i)) &&
+          java.util.Arrays.equals(imported.graph(i), idx.graph(i)))
+      val qs = Knn.queriesFromPoints(Tables.embeddings(spark, dir), 10)
+        .select(col("query_id").cast("long"), col("query_vec").cast("array<float>"))
+        .as[(Long, Array[Float])].collect()
+      val searchIdentical = qs.forall { case (_, qv) =>
+        VamanaKernel.search(idx, qv, 10).toSeq == VamanaKernel.search(imported, qv, 10).toSeq
+      }
+      Seq((idx.size.toLong, bytesRoundtrip, paramsMatch, payloadMatch, searchIdentical))
+        .toDF("n_points", "bytes_roundtrip", "params_match", "payload_match",
+          "search_identical")
+    } finally {
+      java.nio.file.Files.deleteIfExists(tmp)
+      java.nio.file.Files.deleteIfExists(tmp2)
+    }
+  }
+
   /** Q2 surface (vamana.h:426-489): search with caller-supplied start
     * vectors — queries are vectors of ids 0..9, starts are vectors of ids
     * 100..109. Rows-only check (graph traversal). */

@@ -423,6 +423,15 @@ class FanoutServingSpec extends AnyFunSuite {
     assert(a.search(q, 5).count() == 50 && b.search(q, 5).count() == 50)
     // overlapping id sets must be rejected, not silently double-served
     intercept[IllegalArgumentException] { a.merge(a) }
+    // mixed-metric merge must be rejected: a cosine fit stores normalized
+    // kernel-space points, so the union would serve the other side's
+    // differently-transformed points against this model's query prep
+    val cos = VamanaFanout.fit(
+      emb.where(col("vec_id") % 2 === 1)
+        .select((col("vec_id") + 400000L).as("vec_id"), col("embedding")),
+      params.copy(metric = "cos"), numShards = 2)
+    val ex = intercept[IllegalArgumentException] { a.merge(cos) }
+    assert(ex.getMessage.contains("metric mismatch"), ex.getMessage)
     // insert routing still lands in the fitted key space
     val more = emb.where(col("vec_id") < 50)
       .select((col("vec_id") + 300000L).as("vec_id"), col("embedding"))

@@ -218,6 +218,19 @@ class PlanSpec extends AnyFunSuite {
     assert(hints.isEmpty, s"no forced broadcast of corpus-derived frames:\n$hints")
   }
 
+  test("substring dedup scans the corpus exactly once (single explode, no self-join)") {
+    // The stride-1 window explode is the operator's dominant cost; the
+    // round-13 regression (0.85s -> 5.99s at sf0.1) was this plan exploding
+    // the corpus three times. The df count comes from a window over the
+    // (doc, hash) pre-aggregate, so the whole operator is one scan.
+    val p = plan(Dedup.substringDedup(spark, dir))
+    val scans = p.linesIterator.count(l => l.contains("Scan parquet"))
+    assert(scans == 1, s"expected exactly one parquet scan, got $scans:\n$p")
+    val explodes = p.linesIterator.count(l => l.contains("Generate explode"))
+    assert(explodes == 1, s"expected exactly one explode, got $explodes:\n$p")
+    assert(!p.contains("Join"), s"no self-join in the single-scan plan:\n$p")
+  }
+
   test("mixture sampling and pii redaction are scan-shaped (no join, no pre-sort shuffle)") {
     val p1 = plan(CorpusPipeline.sampleMixture(spark, dir))
     assert(!p1.contains("Join"), s"rate must come from an expression, not a join:\n$p1")
