@@ -170,6 +170,10 @@ object TextAnalysis {
     bpeCache.clear()
     for ((_, df) <- lexTcCache) scala.util.Try(df.unpersist())
     lexTcCache.clear()
+    for ((_, df) <- lexDlCache) scala.util.Try(df.unpersist())
+    lexDlCache.clear()
+    for ((_, df) <- lexDfCache) scala.util.Try(df.unpersist())
+    lexDfCache.clear()
   }
 
   /** The shared training loop: returns (final segmented vocab
@@ -517,12 +521,9 @@ object TextAnalysis {
   def tfIdfTop(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
     val docs = Tables.documents(spark, dir)
     val nDocs = docs.count().toDouble
-    val tc = docs
-      .select(col("doc_id"), explode(toks(col("text"))).as("term"))
-      .where(col("term") =!= "")
-      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("c"))
-    val dl = tc.groupBy(col("doc_id")).agg(sum(col("c")).as("n"))
-    val dfs = tc.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val tc = lexTermCounts(spark, dir)
+    val dl = lexDocLens(spark, dir)
+    val dfs = lexTermDfs(spark, dir)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id")).orderBy(col("wt").desc, col("term").asc)
     tc.join(dl, "doc_id").join(dfs, "term")
@@ -560,16 +561,13 @@ object TextAnalysis {
       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     import spark.implicits._
     import graft.functions.{Scored, TopKAggregator}
-    val tc = Tables.documents(spark, dir)
-      .select(col("doc_id"), explode(toks(col("text"))).as("term"))
-      .where(col("term") =!= "")
-      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("c"))
-    val dl = tc.groupBy(col("doc_id")).agg(sum(col("c")).as("n"))
+    val tc = lexTermCounts(spark, dir)
+    val dl = lexDocLens(spark, dir)
     val stats = dl.agg(count(lit(1)).cast("double").as("nd"),
       (sum(col("n")).cast("double") / count(lit(1))).as("avgdl"))
     val qt = Bm25Queries.flatMap { case (q, ts) => ts.map(t => (q, t)) }
       .toDF("qid", "term")
-    val dfs = tc.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val dfs = lexTermDfs(spark, dir)
     // dictionary stats restricted to the literal query terms: a ≤|q| row
     // frame however large the corpus vocabulary is → always broadcastable
     val qi = qt.join(dfs, Seq("term"), "left_outer")
@@ -624,10 +622,10 @@ object TextAnalysis {
     import spark.implicits._
     import graft.functions.{Scored, TopKAggregator}
     val tc = lexTermCounts(spark, dir)
-    val dl = tc.groupBy(col("doc_id")).agg(sum(col("c")).as("n"))
+    val dl = lexDocLens(spark, dir)
     val stats = dl.agg(count(lit(1)).cast("double").as("nd"),
       (sum(col("n")).cast("double") / count(lit(1))).as("avgdl"))
-    val dfs = tc.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val dfs = lexTermDfs(spark, dir)
     val qt0 = Bm25Queries.flatMap { case (q, ts) => ts.map(t => (q, t)) }
       .toDF("qid", "term")
 
@@ -825,16 +823,37 @@ object TextAnalysis {
         .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("c"))
         .persist())
 
+  /** Doc lengths (doc_id, n) and term document frequencies (term, df) —
+    * the two corpus aggregates every lexical-retrieval stage re-derives
+    * from [[lexTermCounts]]. Memoized + persisted like their base frame:
+    * bm25/PRF/hybrid/RAG each fold them ~2-4×, and while recomputing from
+    * the cached tc is not a rescan, it is still a full shuffle per use at
+    * corpus scale. Cleared by [[clearCaches]]. */
+  private val lexDlCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), DataFrame]
+  private val lexDfCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), DataFrame]
+
+  private def lexDocLens(spark: SparkSession, dir: String): DataFrame =
+    lexDlCache.getOrElseUpdate((spark, dir),
+      lexTermCounts(spark, dir)
+        .groupBy(col("doc_id")).agg(sum(col("c")).as("n")).persist())
+
+  private def lexTermDfs(spark: SparkSession, dir: String): DataFrame =
+    lexDfCache.getOrElseUpdate((spark, dir),
+      lexTermCounts(spark, dir)
+        .groupBy(col("term")).agg(count(lit(1)).as("df")).persist())
+
   /** (qid, term, idf, avgdl) for the standing query set — the ONE BM25
     * query-side arithmetic, shared by the batch lexical leg and
     * [[fitBm25QueryModel]] so the frozen ingest model is the batch model
     * by construction. */
   private def lexQueryIdf(spark: SparkSession, dir: String, nQueries: Int,
       tc: DataFrame): DataFrame = {
-    val dl = tc.groupBy(col("doc_id")).agg(sum(col("c")).as("n"))
+    val dl = lexDocLens(spark, dir)
     val stats = dl.agg(count(lit(1)).cast("double").as("nd"),
       (sum(col("n")).cast("double") / count(lit(1))).as("avgdl"))
-    val dfs = tc.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val dfs = lexTermDfs(spark, dir)
     val qt = Tables.documents(spark, dir).where(col("doc_id") < nQueries)
       .select(col("doc_id").as("qid"), explode(toks(col("text"))).as("term"))
       .where(col("term") =!= "").distinct()
@@ -854,7 +873,7 @@ object TextAnalysis {
   private[graft] def lexScores(spark: SparkSession, dir: String, nQueries: Int = 5,
       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     val tc = lexTermCounts(spark, dir)
-    val dl = tc.groupBy(col("doc_id")).agg(sum(col("c")).as("n"))
+    val dl = lexDocLens(spark, dir)
     val qi = lexQueryIdf(spark, dir, nQueries, tc)
     tc.join(broadcast(qi), Seq("term"))
       .join(dl, Seq("doc_id"))

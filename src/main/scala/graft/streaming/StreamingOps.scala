@@ -961,7 +961,9 @@ object StreamingOps {
     * set through the codegen
     * [[graft.functions.SetProbeExpressions.overlapsLongSet]] kernel:
     * binary search over the sorted set riding the plan as ONE reference
-    * object — O(grams·log|set|) per row, where the naive
+    * object, registered under a content-fingerprinted function name so
+    * two concurrent streams probing DIFFERENT frozen sets can never bind
+    * each other's kernel at (re)start — O(grams·log|set|) per row, where the naive
     * `arrays_overlap(arr, lit(set))` iterates the FULL set per row
     * (measured 965 rows/s at 500k arrivals over a ~1M-gram set; eval suites
     * are thousands of documents, not terabytes — the batch op's

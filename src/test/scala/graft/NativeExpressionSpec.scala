@@ -238,6 +238,28 @@ class NativeExpressionSpec extends AnyFunSuite {
     assert(!empty.getBoolean(0))
   }
 
+  test("two frozen sets in one session bind independent kernels (no silent swap)") {
+    // the round-13 advice finding: one session-wide function name rebound to
+    // the latest kernel meant a plan analyzed after another registration
+    // silently probed the WRONG set. Names now carry a content fingerprint;
+    // both columns must answer from their OWN set even when built
+    // interleaved and evaluated in one plan.
+    val setA = Array(10L, 20L, 30L)
+    val setB = Array(40L, 50L, 60L)
+    val colA = graft.functions.SetProbeExpressions.overlapsLongSet(
+      spark, typedlit(Array(10L, 99L)), setA)
+    val colB = graft.functions.SetProbeExpressions.overlapsLongSet(
+      spark, typedlit(Array(10L, 99L)), setB)
+    val r = spark.sql("SELECT 1").select(colA.as("a"), colB.as("b")).head()
+    assert(r.getBoolean(0), "kernel A must see 10 in its own set")
+    assert(!r.getBoolean(1), "kernel B must NOT see 10 — it bound A's set (the swap bug)")
+    // same content from a DIFFERENT array object resolves to the same
+    // fingerprinted name and identical semantics
+    val colA2 = graft.functions.SetProbeExpressions.overlapsLongSet(
+      spark, typedlit(Array(10L, 99L)), Array(10L, 20L, 30L))
+    assert(spark.sql("SELECT 1").select(colA2.as("a")).head().getBoolean(0))
+  }
+
   test("minhash_sigs and simhash_sig are callable through the extensions registry") {
     import org.apache.spark.sql.catalyst.FunctionIdentifier
     for ((name, info, builder) <- GraftExtensions.functions
