@@ -2,6 +2,27 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 object Bench {
+
+  /** Extract the per-query medians map from a previous BENCH_FULL.json.
+    * Spec-tested: if this parse silently broke, the regression gate would
+    * report an empty diff forever. The queries map is flat `"name":secs`
+    * pairs (we write it ourselves), terminated by the first `}`. */
+  private[graft] def parsePrevQueries(txt: String): Map[String, Double] = {
+    val qblock = txt.split("\"queries\":\\{", 2)
+    if (qblock.length < 2) Map.empty
+    else "\"([^\"]+)\":([0-9.]+)".r.findAllMatchIn(qblock(1).takeWhile(_ != '}'))
+      .map(m => m.group(1) -> m.group(2).toDouble).toMap
+  }
+
+  /** Queries >2x slower than the previous round AND >0.5s absolute (both
+    * thresholds together filter sub-second JIT/GC noise). */
+  private[graft] def regressionsOf(prev: Map[String, Double],
+      cur: Iterable[(String, Double)]): Seq[(String, Double, Double)] =
+    cur.toSeq.collect {
+      case (name, c) if prev.get(name).exists(p => p > 0 && c > 2 * p && c - p > 0.5) =>
+        (name, prev(name), c)
+    }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -22,12 +43,8 @@ object Bench {
     // slowdown (round-13's substring_dedup went 0.85->5.99s) is flagged in
     // the bench output itself instead of waiting for a human to diff rounds.
     val prevQueries: Map[String, Double] = try {
-      val txt = new String(java.nio.file.Files.readAllBytes(
-        java.nio.file.Paths.get(benchOut)), java.nio.charset.StandardCharsets.UTF_8)
-      val qblock = txt.split("\"queries\":\\{", 2)
-      if (qblock.length < 2) Map.empty
-      else "\"([^\"]+)\":([0-9.]+)".r.findAllMatchIn(qblock(1).takeWhile(_ != '}'))
-        .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      parsePrevQueries(new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(benchOut)), java.nio.charset.StandardCharsets.UTF_8))
     } catch { case _: Throwable => Map.empty }
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -101,10 +118,8 @@ object Bench {
     // absolute (both thresholds together filter sub-second JIT/GC noise).
     // The block is advisory context for the next reader, not a hard fail —
     // host-load differences (see loadavg fields) can still explain a hit.
-    val regressionEntries = results.toSeq.collect {
-      case (name, cur) if prevQueries.get(name).exists(p =>
-          p > 0 && cur > 2 * p && cur - p > 0.5) =>
-        val p = prevQueries(name)
+    val regressionEntries = regressionsOf(prevQueries, results).map {
+      case (name, p, cur) =>
         s"\"$name\":{\"prev\":$p,\"cur\":$cur,\"ratio\":${r4(cur / p)}}"
     }
     val regressions = regressionEntries.mkString("{", ",", "}")

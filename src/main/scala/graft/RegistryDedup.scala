@@ -10,7 +10,7 @@ import graft.RegistrySqlParts._
 private[graft] object RegistryDedup {
 
   private[graft] def entries: Seq[(String, QFn, Option[String])] = Seq(
-    dedupExact, dedupNgram, dedupMinhash, dedupSimhash, dedupEmbedding, dedupSurvivorsQ, dedupIncrementalQ, bloomDedupQ, dedupEmbSurvivorsQ, contaminationQ, dedupParagraphQ, dedupParagraphSurvivorsQ, dedupClusterStatsQ, dedupSoftWeightsQ, sourceOverlapQ, ngramNoveltyQ, chunkDedupQ, textSimTopKQ, decontaminateQ, substringDedupQ, lineDedupQ, sourcePagerankQ, winnowFingerprintQ, winnowOverlapQ, winnowRowformGateQ, dedupContainmentQ, fuzzyEntityMatchQ, softWeightSampleQ)
+    dedupExact, dedupNgram, dedupMinhash, dedupSimhash, dedupEmbedding, dedupSurvivorsQ, dedupIncrementalQ, bloomDedupQ, dedupEmbSurvivorsQ, contaminationQ, dedupParagraphQ, dedupParagraphSurvivorsQ, dedupClusterStatsQ, dedupSoftWeightsQ, sourceOverlapQ, ngramNoveltyQ, chunkDedupQ, textSimTopKQ, decontaminateQ, substringDedupQ, substringDedupFrozenQ, lineDedupQ, sourcePagerankQ, winnowFingerprintQ, winnowOverlapQ, winnowRowformGateQ, dedupContainmentQ, fuzzyEntityMatchQ, softWeightSampleQ)
 
   // ---- dedup ----------------------------------------------------------------
 
@@ -431,6 +431,35 @@ private[graft] object RegistryDedup {
     Some("""
       WITH t AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS tk FROM documents),
       w AS (SELECT doc_id, md5(array_to_string(list_slice(tk, st, st + 7), ' ')) AS h
+            FROM (SELECT doc_id, tk, unnest(range(1, len(tk) - 8 + 2)) AS st
+                  FROM t WHERE len(tk) >= 8)),
+      hd AS (SELECT h FROM w GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+      nd AS (SELECT doc_id, count(*) AS n_dup FROM w JOIN hd USING (h) GROUP BY doc_id),
+      nw AS (SELECT doc_id, count(*) AS n_windows FROM w GROUP BY doc_id)
+      SELECT nw.doc_id, nw.n_windows::BIGINT AS n_windows,
+             coalesce(nd.n_dup, 0)::BIGINT AS n_dup_windows,
+             round(coalesce(nd.n_dup, 0)::DOUBLE / nw.n_windows, 4) AS dup_fraction
+      FROM nw LEFT JOIN nd USING (doc_id) ORDER BY doc_id
+    """.trim))
+
+  /** The FROZEN-index deployment of substring dedup: the corpus's
+    * duplicated-window set (computed like yesterday's offline index build)
+    * rides the plan as a sorted-array `hits_in_long_set` codegen kernel and
+    * every doc scores in a pure narrow pass — no explode, no aggregate, no
+    * shuffle; the incremental form a 100 TB pipeline actually serves. The
+    * oracle replays the SAME 60-bit long-surrogate truncation (the
+    * soft-weight-sample hex-prefix pattern), so the check is structurally
+    * exact even under surrogate collisions; a spec additionally asserts
+    * row-identity with the aggregate form and the streaming twin. */
+  private val substringDedupFrozenQ: (String, QFn, Option[String]) = (
+    "substring_dedup_frozen",
+    (s, d) => Dedup.substringDedupFrozenOf(
+        graft.core.Tables.documents(s, d), Dedup.duplicatedWindowSet(s, d), 8)
+      .orderBy(org.apache.spark.sql.functions.col("doc_id")),
+    Some("""
+      WITH t AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS tk FROM documents),
+      w AS (SELECT doc_id,
+                   ('0x' || substr(md5(array_to_string(list_slice(tk, st, st + 7), ' ')), 1, 15))::BIGINT AS h
             FROM (SELECT doc_id, tk, unnest(range(1, len(tk) - 8 + 2)) AS st
                   FROM t WHERE len(tk) >= 8)),
       hd AS (SELECT h FROM w GROUP BY h HAVING count(DISTINCT doc_id) >= 2),

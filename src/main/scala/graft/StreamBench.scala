@@ -128,6 +128,17 @@ object StreamBench {
     run[Doc]("stream_decontam", docs.filter(_.doc_id % 100 < 90),
       in => StreamingOps.streamingDecontamFlags(in.toDF(), benchIdx))
 
+    // span-duplication scoring at ingest: the corpus's duplicated-window
+    // index is the standing asset (the ~10% planted exact dups guarantee
+    // real duplicated windows); arrivals score through the stateless
+    // hits_in_long_set kernel — same frozen-probe shape as decontam but
+    // COUNTING, the per-doc verbatim-copy fraction at the stream
+    val dupWindows = graft.operators.Dedup
+      .duplicatedWindowIndexOf(spark.createDataset(docs).toDF())
+      .collect().map(_.getLong(0))
+    run[Doc]("stream_span_dedup", docs,
+      in => StreamingOps.streamingSpanDedup(in.toDF(), dupWindows))
+
     // temperature resampling at ingest: frozen per-lang rates (computed
     // driver-side over the imbalanced synthetic lang mix) broadcast into
     // the stateless keep/drop filter

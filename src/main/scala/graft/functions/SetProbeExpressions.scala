@@ -46,6 +46,19 @@ final class LongSetKernel(set: Array[Long]) extends Serializable {
     }
     false
   }
+
+  /** Number of array POSITIONS whose value is in the set (occurrences,
+    * not distinct values — the substring-dedup n_dup_windows contract). */
+  def hits(arr: ArrayData): Long = {
+    val n = arr.numElements()
+    var c = 0L
+    var i = 0
+    while (i < n) {
+      if (java.util.Arrays.binarySearch(sorted, arr.getLong(i)) >= 0) c += 1
+      i += 1
+    }
+    c
+  }
 }
 
 /** Codegen'd `overlaps_long_set(array<long>): boolean` over a frozen
@@ -65,6 +78,28 @@ case class OverlapsLongSet(child: Expression, kernel: LongSetKernel)
     val ref = ctx.addReferenceObj("longSetKernel", kernel,
       classOf[LongSetKernel].getName)
     nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.overlaps($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Codegen'd `hits_in_long_set(array<long>): long` — occurrence count of
+  * array elements present in the frozen kernel (the counting sibling of
+  * [[OverlapsLongSet]]; same reference-object plumbing). */
+case class HitsInLongSet(child: Expression, kernel: LongSetKernel)
+    extends UnaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def prettyName: String = "hits_in_long_set"
+
+  override def nullSafeEval(input: Any): Any =
+    kernel.hits(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("longSetKernel", kernel,
+      classOf[LongSetKernel].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.hits($c);")
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
@@ -96,22 +131,38 @@ object SetProbeExpressions {
     java.lang.Long.toHexString(h) + "_" + sorted.length
   }
 
+  /** Register (or reuse) the kernel's two fingerprinted functions; returns
+    * the fingerprint suffix both names share. */
+  private def ensureRegistered(spark: SparkSession, set: Array[Long]): String =
+    synchronized {
+      kernels.get((spark, set)) match {
+        case Some((fp, _)) => fp
+        case None =>
+          val kernel = new LongSetKernel(set)
+          val fp = contentFingerprint(kernel.sorted)
+          spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+            s"overlaps_long_set_$fp",
+            exprs => OverlapsLongSet(exprs.head, kernel), "scala_udf")
+          spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+            s"hits_in_long_set_$fp",
+            exprs => HitsInLongSet(exprs.head, kernel), "scala_udf")
+          kernels += (spark, set) -> ((fp, kernel))
+          fp
+      }
+    }
+
   /** TRUE iff the array<long> column shares any element with the frozen
     * set — `arrays_overlap(arr, lit(set))` semantics at
     * O(|arr|·log|set|) per row instead of O(|set|). */
-  def overlapsLongSet(spark: SparkSession, arr: Column, set: Array[Long]): Column = {
-    val name = synchronized {
-      kernels.get((spark, set)) match {
-        case Some((n, _)) => n
-        case None =>
-          val kernel = new LongSetKernel(set)
-          val n = s"overlaps_long_set_${contentFingerprint(kernel.sorted)}"
-          spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-            n, exprs => OverlapsLongSet(exprs.head, kernel), "scala_udf")
-          kernels += (spark, set) -> ((n, kernel))
-          n
-      }
-    }
-    call_function(name, arr.cast("array<long>"))
-  }
+  def overlapsLongSet(spark: SparkSession, arr: Column, set: Array[Long]): Column =
+    call_function(s"overlaps_long_set_${ensureRegistered(spark, set)}",
+      arr.cast("array<long>"))
+
+  /** Occurrence count of the array<long> column's elements in the frozen
+    * set — `size(filter(arr, x -> array_contains(lit(set), x)))` semantics
+    * at O(|arr|·log|set|) per row; the per-doc duplicated-window counter
+    * of the streaming span-dedup twin. */
+  def hitsInLongSet(spark: SparkSession, arr: Column, set: Array[Long]): Column =
+    call_function(s"hits_in_long_set_${ensureRegistered(spark, set)}",
+      arr.cast("array<long>"))
 }

@@ -363,6 +363,76 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** 60-bit long surrogates of every w-token stride-1 window of `text`,
+    * empty for docs shorter than w tokens — the per-row expression form of
+    * [[substringDedupOf]]'s window explode (same md5 stream truncated to
+    * the shared long-surrogate width), reused by the frozen-set probe
+    * forms below and the streaming twin so batch and stream derive
+    * identical keys by construction. */
+  def windowSurrogates(text: Column, w: Int): Column = {
+    val tk = tokens(text)
+    when(size(tk) >= w,
+      transform(sequence(lit(1), size(tk) - (w - 1)), st =>
+        conv(substring(md5(concat_ws(" ", slice(tk, st, lit(w)))), 1, 15), 16, 10)
+          .cast("long")))
+      .otherwise(array().cast("array<long>"))
+  }
+
+  /** The corpus's cross-doc duplicated-window set as distinct long
+    * surrogates — the FROZEN index a streaming ingest probes
+    * ([[graft.streaming.StreamingOps.streamingSpanDedup]]): one window
+    * explode + one keyed aggregate, the same single-scan shape as
+    * [[substringDedupOf]]. Corpus-proportional but far smaller than the
+    * window stream (only hashes seen in ≥2 docs survive); collect it only
+    * for the frozen-probe deployment, where it plays the benchGrams role. */
+  def duplicatedWindowIndex(spark: SparkSession, dir: String, w: Int = 8): DataFrame =
+    duplicatedWindowIndexOf(Tables.documents(spark, dir), w)
+
+  /** The collected standing index for the frozen-probe deployment —
+    * memoized per (session, dir, w) because it IS a standing asset
+    * (yesterday's offline build): without the memo every serving call
+    * would re-run the index build it exists to avoid. Cleared by
+    * [[clearCaches]]. */
+  private val dupWindowSetCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String, Int), Array[Long]]
+
+  def duplicatedWindowSet(spark: SparkSession, dir: String, w: Int = 8): Array[Long] =
+    dupWindowSetCache.getOrElseUpdate((spark, dir, w),
+      duplicatedWindowIndex(spark, dir, w).collect().map(_.getLong(0)))
+
+  /** Frame form over any (doc_id, text) — StreamBench builds its standing
+    * index from the synthetic corpus through this. */
+  def duplicatedWindowIndexOf(docs: DataFrame, w: Int = 8): DataFrame =
+    docs
+      .select(col("doc_id"), explode(windowSurrogates(col("text"), w)).as("h"))
+      .groupBy(col("h")).agg(countDistinct(col("doc_id")).as("hdf"))
+      .where(col("hdf") >= 2)
+      .select(col("h"))
+
+  /** [[substringDedupOf]] against a FROZEN duplicated-window set: a pure
+    * narrow projection — no explode, no aggregate, no shuffle (the
+    * [[graft.functions.SetProbeExpressions.hitsInLongSet]] kernel rides
+    * the plan as one sorted-array reference object). This is the batch
+    * twin of the streaming form; when `dupSet` is the corpus's own
+    * [[duplicatedWindowIndex]], the output matches [[substringDedup]]
+    * row-for-row (spec-asserted). At 100 TB this is the incremental
+    * deployment: yesterday's dup index frozen, today's docs scored at
+    * scan speed. */
+  def substringDedupFrozenOf(docs: DataFrame, dupSet: Array[Long], w: Int): DataFrame = {
+    val tk = tokens(col("text"))
+    // n_windows arithmetically from the token count so the md5 window
+    // transform is evaluated exactly once per row (inside the probe)
+    docs
+      .where(size(tk) >= w)
+      .select(col("doc_id"), (size(tk) - (w - 1)).cast("long").as("n_windows"),
+        graft.functions.SetProbeExpressions.hitsInLongSet(
+          docs.sparkSession, windowSurrogates(col("text"), w), dupSet)
+          .as("n_dup_windows"))
+      .select(col("doc_id"), col("n_windows"), col("n_dup_windows"),
+        round(col("n_dup_windows").cast("double") / col("n_windows"), 4)
+          .as("dup_fraction"))
+  }
+
   /** Intra-document repeated-span removal — the C4/CCNet "drop duplicated
     * lines within a page" cleaning rule, expressed over this corpus's
     * newline-free space-tokenized text as consecutive `w`-token chunks
@@ -1321,6 +1391,7 @@ object Dedup {
     srcPairCache.clear()
     for ((_, df) <- winnowCache) scala.util.Try(df.unpersist())
     winnowCache.clear()
+    dupWindowSetCache.clear()
     pagerankCheckpoints.synchronized {
       pagerankCheckpoints.foreach(r => scala.util.Try(r.unpersist(false)))
       pagerankCheckpoints.clear()

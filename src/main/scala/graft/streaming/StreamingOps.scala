@@ -924,6 +924,38 @@ object StreamingOps {
       .select(col("doc_id"), col("ts"), col("n_tokens"))
   }
 
+  /** Ingest-side span-duplication scoring — the streaming twin of
+    * [[graft.operators.Dedup.substringDedup]] in its frozen-index
+    * deployment: the corpus's cross-doc duplicated-window set
+    * ([[graft.operators.Dedup.duplicatedWindowIndex]], computed offline
+    * like yesterday's index build) is frozen into a
+    * [[graft.functions.SetProbeExpressions.hitsInLongSet]] kernel, and
+    * each arriving doc's stride-1 w-token window surrogates — derived by
+    * the SAME per-row expression the batch form uses
+    * ([[graft.operators.Dedup.windowSurrogates]], keys bit-identical by
+    * construction) — are counted against it: (n_windows, n_dup_windows,
+    * dup_fraction) per doc at ingest. Stateless narrow map — no state
+    * store, no shuffle, no join; O(windows·log|set|) per doc. Docs
+    * shorter than w tokens are dropped exactly as in batch. The batch
+    * agreement (stream == [[graft.operators.Dedup.substringDedupFrozenOf]]
+    * == the original [[graft.operators.Dedup.substringDedup]] on the
+    * fitting corpus) is spec-asserted three ways. */
+  def streamingSpanDedup(docs: DataFrame, dupWindows: Array[Long], w: Int = 8): DataFrame = {
+    val spark = docs.sparkSession
+    val tk = graft.operators.Dedup.tokens(col("text"))
+    docs
+      .select(col("doc_id").cast("long").as("doc_id"), col("ts"), col("text"))
+      .where(size(tk) >= w)
+      .select(col("doc_id"), col("ts"),
+        (size(tk) - (w - 1)).cast("long").as("n_windows"),
+        graft.functions.SetProbeExpressions.hitsInLongSet(
+          spark, graft.operators.Dedup.windowSurrogates(col("text"), w), dupWindows)
+          .as("n_dup_windows"))
+      .select(col("doc_id"), col("ts"), col("n_windows"), col("n_dup_windows"),
+        round(col("n_dup_windows").cast("double") / col("n_windows"), 4)
+          .as("dup_fraction"))
+  }
+
   /** Ingest-side Unicode-normalization dedup — the streaming twin of
     * [[graft.operators.TextAnalysis.nfcDedup]]'s production half: each
     * arriving doc's text normalizes through the SAME codegen `nfc_native`

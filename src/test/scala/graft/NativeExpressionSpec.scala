@@ -236,6 +236,15 @@ class NativeExpressionSpec extends AnyFunSuite {
       graft.functions.SetProbeExpressions.overlapsLongSet(
         spark, typedlit(Array.empty[Long]), grams).as("k")).head()
     assert(!empty.getBoolean(0))
+    // the counting sibling: occurrence count (repeats counted per position)
+    val hitBoth = Tables.documents(spark, dir)
+      .select(
+        graft.functions.SetProbeExpressions.hitsInLongSet(spark, surro, grams).as("kernel"),
+        size(filter(surro, x => array_contains(typedlit(grams), x))).as("builtin"))
+      .collect()
+    assert(hitBoth.exists(_.getInt(1) > 0), "fixture vacuous — zero hits everywhere")
+    hitBoth.foreach(r => assert(r.getLong(0) == r.getInt(1).toLong,
+      s"hits kernel ${r.getLong(0)} != filter-count ${r.getInt(1)}"))
   }
 
   test("two frozen sets in one session bind independent kernels (no silent swap)") {

@@ -1107,6 +1107,47 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming span dedup over the frozen dup-window index bit-matches the batch scores") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    // the frozen index: the corpus's own cross-doc duplicated windows
+    val dupSet = graft.operators.Dedup.duplicatedWindowIndex(spark, dir)
+      .collect().map(_.getLong(0))
+    assert(dupSet.nonEmpty, "fixture vacuous — no cross-doc duplicated windows")
+    // three-way identity target: the original aggregate form
+    val batch = graft.operators.Dedup.substringDedup(spark, dir)
+      .select("doc_id", "n_windows", "n_dup_windows", "dup_fraction").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(batch.values.exists(_._2 > 0), "fixture vacuous — no doc has dup windows")
+    // (1) the frozen BATCH form agrees with the aggregate form row-for-row
+    val frozen = graft.operators.Dedup.substringDedupFrozenOf(
+      graft.core.Tables.documents(spark, dir), dupSet, 8)
+      .select("doc_id", "n_windows", "n_dup_windows", "dup_fraction").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(frozen == batch,
+      s"frozen-form drift on ${(frozen.toSet diff batch.toSet).take(3)}")
+    // (2) the STREAM agrees with both
+    val rows = graft.core.Tables.documents(spark, dir)
+      .select("doc_id", "text").collect()
+      .map(r => Doc(r.getLong(0), ts(1), r.getString(1)))
+    val input = MemoryStream[Doc]
+    val q = StreamingOps.streamingSpanDedup(input.toDF(), dupSet)
+      .writeStream.format("memory").queryName("span_stream_out")
+      .outputMode("append").start()
+    try {
+      input.addData(rows)
+      q.processAllAvailable()
+      val got = spark.table("span_stream_out")
+        .select("doc_id", "n_windows", "n_dup_windows", "dup_fraction").collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+      assert(got == batch,
+        s"stream/batch drift: extra=${(got.toSet diff batch.toSet).take(3)} " +
+          s"missing=${(batch.toSet diff got.toSet).take(3)}")
+    } finally q.stop()
+  }
+
   test("streaming nfc dedup drops decomposed re-spellings; hashes bit-match the batch kernel") {
     import org.apache.spark.sql.functions.{col, md5}
     import spark.implicits._
