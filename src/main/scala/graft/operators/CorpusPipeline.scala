@@ -455,6 +455,11 @@ object CorpusPipeline {
       targetBytes: Long = 8000L): DataFrame = {
     val files = shardManifest(spark, dir, nFiles)
       .select(col("shard").as("file_id"), col("total_chars").as("bytes"))
+    // Unpartitioned Window is INTENTIONAL (Spark logs a single-partition
+    // warning): the running-byte cursor is inherently sequential over the
+    // FILE MANIFEST — metadata, one row per shard file, millions of rows at
+    // the extreme — never over data rows. A partitioned cumsum would break
+    // the bin-packing contiguity the operator exists to produce.
     val w = org.apache.spark.sql.expressions.Window.orderBy(col("file_id"))
     files
       .withColumn("cum", sum(col("bytes")).over(w))

@@ -108,6 +108,48 @@ class BinaryFixtureSpec extends AnyFunSuite {
     }
   }
 
+  test("export -> import -> export roundtrips byte-identically on 20 random indexes") {
+    // fuzz the LAYOUT, not just the one committed fixture: random n/dim/R,
+    // ragged degrees (including empty adjacency rows), extreme float
+    // payloads (negatives, subnormals via tiny values, exact powers of two)
+    val rng = new scala.util.Random(0xb17e5L)
+    for (trial <- 0 until 20) {
+      val n = 1 + rng.nextInt(50)
+      val dim = 1 + rng.nextInt(16)
+      val r = 1 + rng.nextInt(8)
+      val ids = Array.tabulate(n)(i => (rng.nextInt(Int.MaxValue).toLong * 2) % 0xFFFFFFFFL)
+      val points = Array.fill(n)(Array.fill(dim)(
+        (rng.nextFloat() - 0.5f) * math.pow(2.0, rng.nextInt(20) - 10).toFloat))
+      val graph = Array.fill(n)(Array.fill(rng.nextInt(r + 1))(rng.nextInt(n)))
+      val params = VamanaParams(dim = dim, maxDegree = r,
+        beamWidth = 1 + rng.nextInt(64), alpha = 1.0f + rng.nextFloat(),
+        efSearch = 8, seed = trial)
+      val idx = new LocalIndex(ids, points, graph, rng.nextInt(n), params)
+      val f1 = java.nio.file.Files.createTempFile(s"graft_binfuzz_${trial}_a", ".bin")
+      val f2 = java.nio.file.Files.createTempFile(s"graft_binfuzz_${trial}_b", ".bin")
+      try {
+        VamanaBinaryIO.exportIndex(idx, f1.toString)
+        val back = VamanaBinaryIO.importIndex(f1.toString,
+          efSearch = params.efSearch, seed = params.seed)
+        assert(back.size == n && back.medoid == idx.medoid, s"trial $trial header")
+        for (i <- 0 until n) {
+          assert(back.ids(i) == ids(i), s"trial $trial id $i")
+          // float compare as raw bits: NaN payloads and -0.0 must survive
+          assert(back.points(i).map(java.lang.Float.floatToRawIntBits).toSeq ==
+            points(i).map(java.lang.Float.floatToRawIntBits).toSeq, s"trial $trial vec $i")
+          assert(back.graph(i).toSeq == graph(i).toSeq, s"trial $trial adj $i")
+        }
+        VamanaBinaryIO.exportIndex(back, f2.toString)
+        assert(java.util.Arrays.equals(
+          java.nio.file.Files.readAllBytes(f1), java.nio.file.Files.readAllBytes(f2)),
+          s"trial $trial byte drift on re-export")
+      } finally {
+        java.nio.file.Files.deleteIfExists(f1)
+        java.nio.file.Files.deleteIfExists(f2)
+      }
+    }
+  }
+
   test("default-beam search on the imported graph meets the reference's own recall gate") {
     // main.go:131-148 gates recall >= 0.8 at ef=64-class settings; our beam
     // over the REFERENCE-built graph must clear the same bar.
