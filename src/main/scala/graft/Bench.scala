@@ -10,7 +10,7 @@ object Bench {
   private[graft] def parsePrevQueries(txt: String): Map[String, Double] = {
     val qblock = txt.split("\"queries\":\\{", 2)
     if (qblock.length < 2) Map.empty
-    else "\"([^\"]+)\":([0-9.]+)".r.findAllMatchIn(qblock(1).takeWhile(_ != '}'))
+    else "\"([^\"]+)\":([0-9.]+(?:[eE][+-]?[0-9]+)?)".r.findAllMatchIn(qblock(1).takeWhile(_ != '}'))
       .map(m => m.group(1) -> m.group(2).toDouble).toMap
   }
 

@@ -203,6 +203,42 @@ object DedupScaleBench {
       //     real cross-doc spans, so n_dup > 0 is structural
       val (nSs, ssSec) = timed(
         Dedup.substringDedupOf(spark, docs, w = 8).count())
+      // 5b2. FROZEN-probe serving at a realistic standing-index size: the
+      //     corpus's own cross-doc dup-window index collected once (the
+      //     offline build), then today's n docs scored through the
+      //     sorted-array binary-search kernel — batch form AND the
+      //     streaming twin under MemoryStream micro-batches. The index is
+      //     padded with DISJOINT synthetic surrogates to ≥1.2M entries
+      //     (decoys carry bit 62; real surrogates are 60-bit, so no decoy
+      //     can ever match a real window — hit counts are unchanged, only
+      //     the searched-array size grows to deployment scale).
+      val (frozenIdx, frozenIdxSec) = timed(
+        Dedup.duplicatedWindowIndexOf(docs, 8).collect().map(_.getLong(0)))
+      val FrozenTarget = 1200000
+      val dupSetPadded =
+        if (frozenIdx.length >= FrozenTarget) frozenIdx
+        else frozenIdx ++ Array.tabulate(FrozenTarget - frozenIdx.length)(
+          i => (1L << 62) | ((i * 0x9e3779b97f4a7c15L) >>> 4))
+      val (frozenHitDocs, frozenProbeSec) = timed(
+        Dedup.substringDedupFrozenOf(docs, dupSetPadded, 8)
+          .where(col("n_dup_windows") > 0).count())
+      val streamSpanSec = {
+        import spark.implicits._
+        implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+        val rows = docs.select(col("doc_id"), col("text")).collect()
+          .map(r => (r.getLong(0),
+            new java.sql.Timestamp(1700000000000L), r.getString(1))).toSeq
+        val input = org.apache.spark.sql.execution.streaming.runtime
+          .MemoryStream[(Long, java.sql.Timestamp, String)]
+        val q = graft.streaming.StreamingOps.streamingSpanDedup(
+            input.toDF().toDF("doc_id", "ts", "text"), dupSetPadded)
+          .writeStream.format("noop").start()
+        val t0 = System.nanoTime()
+        try {
+          rows.grouped(50000).foreach { b => input.addData(b); q.processAllAvailable() }
+          (System.nanoTime() - t0) / 1e9
+        } finally q.stop()
+      }
       // 5c. DSIR importance weights with a derived 25% "en" target slice —
       //     the model stays 1024 rows at every n (broadcast by construction)
       val docsL = docs.withColumn("lang",
@@ -386,6 +422,12 @@ object DedupScaleBench {
         s""""lm_sec":${r2(lmSec)},"lm_docs":$nLm,"oov_sec":${r2(oovSec)},"oov_docs":$nOov,""" +
         s""""boiler_sec":${r2(bpSec)},"boiler_docs":$nBp,""" +
         s""""substr_sec":${r2(ssSec)},"substr_docs":$nSs,""" +
+        s""""frozen_idx_sec":${r2(frozenIdxSec)},"frozen_real_windows":${frozenIdx.length},""" +
+        s""""frozen_set_size":${dupSetPadded.length},""" +
+        s""""frozen_probe_sec":${r2(frozenProbeSec)},"frozen_hit_docs":$frozenHitDocs,""" +
+        s""""frozen_probe_rows_per_sec":${math.rint(n / frozenProbeSec)},""" +
+        s""""stream_span_sec":${r2(streamSpanSec)},""" +
+        s""""stream_span_rows_per_sec":${math.rint(n / streamSpanSec)},""" +
         s""""dsir_sec":${r2(dsSec)},"dsir_docs":$nDs,""" +
         s""""bpe_sec":${r2(bpeSec)},"bpe_merges":$bpeRows,"bpe_vocab":$bpeVocab,""" +
         s""""cms_sec":${r2(cmsSec)},"cms_rows":$cmsRows,""" +

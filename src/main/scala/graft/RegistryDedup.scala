@@ -10,7 +10,7 @@ import graft.RegistrySqlParts._
 private[graft] object RegistryDedup {
 
   private[graft] def entries: Seq[(String, QFn, Option[String])] = Seq(
-    dedupExact, dedupNgram, dedupMinhash, dedupSimhash, dedupEmbedding, dedupSurvivorsQ, dedupIncrementalQ, bloomDedupQ, dedupEmbSurvivorsQ, contaminationQ, dedupParagraphQ, dedupParagraphSurvivorsQ, dedupClusterStatsQ, dedupSoftWeightsQ, sourceOverlapQ, ngramNoveltyQ, chunkDedupQ, textSimTopKQ, decontaminateQ, substringDedupQ, substringDedupFrozenQ, lineDedupQ, sourcePagerankQ, winnowFingerprintQ, winnowOverlapQ, winnowRowformGateQ, dedupContainmentQ, fuzzyEntityMatchQ, softWeightSampleQ)
+    dedupExact, dedupNgram, dedupMinhash, dedupSimhash, dedupEmbedding, dedupSurvivorsQ, dedupIncrementalQ, bloomDedupQ, dedupEmbSurvivorsQ, contaminationQ, dedupParagraphQ, dedupParagraphSurvivorsQ, dedupClusterStatsQ, dedupSoftWeightsQ, sourceOverlapQ, ngramNoveltyQ, chunkDedupQ, textSimTopKQ, decontaminateQ, substringDedupQ, substringDedupFrozenQ, substringDedupJoinQ, lineDedupQ, sourcePagerankQ, winnowFingerprintQ, winnowOverlapQ, winnowRowformGateQ, dedupContainmentQ, fuzzyEntityMatchQ, softWeightSampleQ)
 
   // ---- dedup ----------------------------------------------------------------
 
@@ -110,6 +110,7 @@ private[graft] object RegistryDedup {
       sc AS (SELECT variant_id, p_partkey, vname, p_name,
                     jaro_winkler_similarity(vname, p_name) AS jw
              FROM v JOIN p ON substr(vname, 1, 4) = substr(p_name, 1, 4)
+                          AND substr(vname, length(vname), 1) = substr(p_name, length(p_name), 1)
                           AND abs(length(vname) - length(p_name)) <= 2),
       f AS (SELECT *, row_number() OVER (PARTITION BY variant_id
                         ORDER BY jw DESC, p_partkey ASC) AS rk
@@ -453,8 +454,7 @@ private[graft] object RegistryDedup {
     * row-identity with the aggregate form and the streaming twin. */
   private val substringDedupFrozenQ: (String, QFn, Option[String]) = (
     "substring_dedup_frozen",
-    (s, d) => Dedup.substringDedupFrozenOf(
-        graft.core.Tables.documents(s, d), Dedup.duplicatedWindowSet(s, d), 8)
+    (s, d) => Dedup.substringDedupFrozen(s, d, 8)
       .orderBy(org.apache.spark.sql.functions.col("doc_id")),
     Some("""
       WITH t AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS tk FROM documents),
@@ -470,6 +470,21 @@ private[graft] object RegistryDedup {
              round(coalesce(nd.n_dup, 0)::DOUBLE / nw.n_windows, 4) AS dup_fraction
       FROM nw LEFT JOIN nd USING (doc_id) ORDER BY doc_id
     """.trim))
+
+  /** The over-budget FALLBACK of the frozen deployment: the standing
+    * dup-window index kept DISTRIBUTED (a DataFrame, never a driver
+    * array) and probed by explode + equi-join — the path
+    * [[graft.operators.Dedup.substringDedupFrozen]] takes when the index
+    * exceeds the driver-collect gate. Registered as its OWN query so the
+    * fallback plan gets the same oracle hash check as the probe plan it
+    * must be row-identical to (the oracle SQL is shared verbatim). */
+  private val substringDedupJoinQ: (String, QFn, Option[String]) = (
+    "substring_dedup_join",
+    (s, d) => Dedup.substringDedupFrozenJoinOf(
+        graft.core.Tables.documents(s, d),
+        Dedup.duplicatedWindowIndexStanding(s, d), 8)
+      .orderBy(org.apache.spark.sql.functions.col("doc_id")),
+    substringDedupFrozenQ._3)
 
   /** Intra-doc span dedup: the oracle reconstructs "first occurrence of
     * each distinct chunk, in order" via min(ordinality) + ordered

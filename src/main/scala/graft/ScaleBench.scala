@@ -58,6 +58,10 @@ object ScaleBench {
     val shardCounts = args.lift(2).map(_.split(",").map(_.toInt).toSeq).getOrElse(Seq(4, 8, 16))
     val cpus = args.lift(3).map(_.toInt)
       .orElse(sys.env.get("SPARK_GRAFT_CPUS").map(_.toInt)).getOrElse(32)
+    // "tailonly": build + top-k serve + tail-latency distribution only —
+    // re-measuring serving latency at a big n without re-paying the PQ /
+    // range / merge / matryoshka stages of the full sweep.
+    val tailOnly = args.lift(4).exists(_.equalsIgnoreCase("tailonly"))
     val k = 10
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -85,6 +89,32 @@ object ScaleBench {
       val searchSec = (System.nanoTime() - t1) / 1e9
       val recall = Knn.recallAt(k, got, truth)
       got.unpersist()
+      // Serving TAIL latency: the batched ms/query above amortizes job
+      // scheduling and shard work across 100 queries, but a deployment is
+      // judged on per-REQUEST latency — and the per-shard scatter-gather
+      // makes the tail (the slowest shard of the slowest request) the
+      // interesting number. Time each query as its own search call and
+      // report the order statistics.
+      val perQueryMs = (0 until 100).map { qid =>
+        val q1 = queries.where(col("query_id") === qid)
+        val tq = System.nanoTime()
+        fm.search(q1, k).count()
+        (System.nanoTime() - tq) / 1e6
+      }.sorted
+      def pct(p: Double) = math.rint(
+        perQueryMs(math.min(perQueryMs.length - 1,
+          math.ceil(p * perQueryMs.length).toInt - 1).max(0)) * 10) / 10
+      val (p50, p95, pMax) = (pct(0.50), pct(0.95),
+        math.rint(perQueryMs.last * 10) / 10)
+      if (tailOnly) {
+        fm.unpersist()
+        println(
+          s"""{"n":$n,"dim":$dim,"shards":$s,"cpus":$cpus,"R":32,"L":64,"ef":128,""" +
+          s""""build_sec":${math.rint(buildSec * 100) / 100},""" +
+          s""""search_100q_sec":${math.rint(searchSec * 100) / 100},""" +
+          s""""recall_at_10":${math.rint(recall * 1e4) / 1e4},""" +
+          s""""tail_p50_ms":$p50,"tail_p95_ms":$p95,"tail_max_ms":$pMax}""")
+      } else {
       // PQ-guided serving over the SAME fitted shards: traversal on m-byte
       // per-shard codes (DiskANN §3), exact rerank — the serving-memory
       // story at scale. The first call trains+encodes per shard AND runs a
@@ -147,8 +177,11 @@ object ScaleBench {
         s""""range_radius_sq":${math.rint(radiusSq * 1e4) / 1e4},""" +
         s""""range_truth_rows":$truthCount,"range_result_rows":$gotCount,""" +
         s""""range_100q_sec":${math.rint(rangeSec * 100) / 100},""" +
-        s""""range_completeness":${math.rint(rangeCompleteness * 1e4) / 1e4}}""")
+        s""""range_completeness":${math.rint(rangeCompleteness * 1e4) / 1e4},""" +
+        s""""tail_p50_ms":$p50,"tail_p95_ms":$p95,"tail_max_ms":$pMax}""")
+      }
     }
+    if (tailOnly) { spark.stop(); return }
     // Index MERGE at the same n: two INDEPENDENT fits (even/odd id halves
     // — two daily builds) fold into one serving model. Fanout merge is a
     // zero-build shard re-key + union (asserted via buildCount), so the

@@ -93,25 +93,65 @@ case class LangPredict(child: Expression, kernel: LangPredictKernel)
     copy(child = newChild)
 }
 
-/** Session registration + Column factory. Registration is per
-  * (session, kernel): a refit model re-registers (createOrReplace), so the
-  * SQL name always serves the CURRENT fitted stack of that session. */
+/** Session registration + Column factory. The registered function NAME
+  * carries a content fingerprint of the fitted stack (the
+  * [[SetProbeExpressions]] pattern), so two fitted stacks live in one
+  * session bind DIFFERENT names — a plan analyzed after a second model's
+  * registration can never silently score through the wrong weights, and a
+  * streaming plan restarted from checkpoint re-resolves to the same stack
+  * it was built against. Names are memoized per (session, kernel identity)
+  * through a weak-keyed session map so stopped sessions release their
+  * kernels. */
 object LangExpressions {
-  @volatile private var registered = Map.empty[SparkSession, LangPredictKernel]
+  private val sessions =
+    new java.util.WeakHashMap[SparkSession, java.util.WeakHashMap[LangPredictKernel, String]]()
 
-  def register(spark: SparkSession, kernel: LangPredictKernel): Unit = synchronized {
-    if (!registered.get(spark).contains(kernel)) {
+  /** MD5 over (width, langs, every weight row), hex — identical fitted
+    * stacks from two objects share one name; distinct stacks collide only
+    * under an MD5 collision. */
+  private def contentFingerprint(k: LangPredictKernel): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val buf = java.nio.ByteBuffer.allocate(8 * 1024)
+    def putLongs(xs: Array[Long]): Unit = {
+      var i = 0
+      while (i < xs.length) {
+        buf.clear()
+        val end = math.min(i + 1024, xs.length)
+        while (i < end) { buf.putLong(xs(i)); i += 1 }
+        md.update(buf.array(), 0, buf.position())
+      }
+    }
+    putLongs(Array(k.width.toLong, k.langs.length.toLong))
+    k.langs.foreach(l => md.update(l.getBytes(StandardCharsets.UTF_8)))
+    k.wq.foreach(putLongs)
+    md.digest().map("%02x".format(_)).mkString
+  }
+
+  /** Register (or reuse) the kernel's fingerprinted function; returns the
+    * full function name. */
+  def register(spark: SparkSession, kernel: LangPredictKernel): String = synchronized {
+    val byKernel = {
+      val existing = sessions.get(spark)
+      if (existing != null) existing
+      else {
+        val fresh = new java.util.WeakHashMap[LangPredictKernel, String]()
+        sessions.put(spark, fresh); fresh
+      }
+    }
+    val cached = byKernel.get(kernel)
+    if (cached != null) cached
+    else {
+      val name = s"lang_predict_native_${contentFingerprint(kernel)}"
       spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-        "lang_predict_native", exprs => LangPredict(exprs.head, kernel), "scala_udf")
-      registered += spark -> kernel
+        name, exprs => LangPredict(exprs.head, kernel), "scala_udf")
+      byKernel.put(kernel, name)
+      name
     }
   }
 
-  private[graft] def clearRegistry(): Unit = synchronized { registered = Map.empty }
+  private[graft] def clearRegistry(): Unit = synchronized { sessions.clear() }
 
   /** Language prediction of a text column through the frozen kernel. */
-  def langPredict(spark: SparkSession, kernel: LangPredictKernel, text: Column): Column = {
-    register(spark, kernel)
-    call_function("lang_predict_native", text.cast("string"))
-  }
+  def langPredict(spark: SparkSession, kernel: LangPredictKernel, text: Column): Column =
+    call_function(register(spark, kernel), text.cast("string"))
 }

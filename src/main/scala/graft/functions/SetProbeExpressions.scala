@@ -111,43 +111,72 @@ case class HitsInLongSet(child: Expression, kernel: LongSetKernel)
   * probing DIFFERENT frozen sets bind different names — a plan analyzed
   * (started, or restarted from checkpoint) after another kernel's
   * registration can never silently swap sets. Kernels are memoized per
-  * (session, set reference): a caller that re-invokes with the same array
-  * object (e.g. per micro-batch) skips the defensive clone + O(n log n)
-  * sort and the re-registration. */
+  * (session, content fingerprint): identical content reuses ONE kernel and
+  * one pair of registrations even from fresh array objects, and a
+  * weak-keyed reference fast path lets a caller that re-invokes with the
+  * same array object (e.g. per micro-batch) skip the defensive clone +
+  * O(n log n) sort. Both maps hang off the session through a
+  * `WeakHashMap`, so a stopped, dereferenced session releases its kernels
+  * and their sets instead of pinning them for the JVM lifetime. */
 object SetProbeExpressions {
-  @volatile private var kernels =
-    Map.empty[(SparkSession, Array[Long]), (String, LongSetKernel)]
+  /** Per-session memo state. `fpByRef` is a weak IDENTITY map (arrays only
+    * compare eq under `equals`, and WeakHashMap keys by equals), so cached
+    * arrays stay collectable; `byFp` pins one kernel per distinct content,
+    * which is exactly the set of live registered functions. */
+  private final class SessionKernels {
+    val fpByRef = new java.util.WeakHashMap[Array[Long], String]()
+    var byFp = Map.empty[String, LongSetKernel]
+  }
+  private val sessions = new java.util.WeakHashMap[SparkSession, SessionKernels]()
 
-  private[graft] def clearRegistry(): Unit = synchronized { kernels = Map.empty }
+  private[graft] def clearRegistry(): Unit = synchronized { sessions.clear() }
 
-  /** Order-independent 64-bit content hash over the sorted, dedup'd set
-    * plus its length — identical content from two different array objects
-    * yields the same name (the re-registration binds an equivalent
-    * kernel, harmless); distinct content yields distinct names. */
+  /** Content fingerprint over the sorted, dedup'd set: MD5 of the
+    * big-endian long stream (digested in bounded chunks — no
+    * 8·|set|-byte buffer), hex, plus the length. Identical content from
+    * two different array objects yields the same name and reuses the same
+    * kernel; distinct content yields distinct names except under an MD5
+    * collision — the multiplier-31 polynomial this replaced had trivially
+    * constructible collisions ({x, y} vs {x+1, y−31}) that would silently
+    * rebind a shared function name to the newer kernel. */
   private def contentFingerprint(sorted: Array[Long]): String = {
-    var h = 1125899906842597L
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val buf = java.nio.ByteBuffer.allocate(8 * 1024)
     var i = 0
-    while (i < sorted.length) { h = 31 * h + sorted(i); i += 1 }
-    java.lang.Long.toHexString(h) + "_" + sorted.length
+    while (i < sorted.length) {
+      buf.clear()
+      val end = math.min(i + 1024, sorted.length)
+      while (i < end) { buf.putLong(sorted(i)); i += 1 }
+      md.update(buf.array(), 0, buf.position())
+    }
+    md.digest().map("%02x".format(_)).mkString + "_" + sorted.length
   }
 
   /** Register (or reuse) the kernel's two fingerprinted functions; returns
     * the fingerprint suffix both names share. */
   private def ensureRegistered(spark: SparkSession, set: Array[Long]): String =
     synchronized {
-      kernels.get((spark, set)) match {
-        case Some((fp, _)) => fp
-        case None =>
-          val kernel = new LongSetKernel(set)
-          val fp = contentFingerprint(kernel.sorted)
+      val st = {
+        val existing = sessions.get(spark)
+        if (existing != null) existing
+        else { val fresh = new SessionKernels; sessions.put(spark, fresh); fresh }
+      }
+      val cached = st.fpByRef.get(set)
+      if (cached != null) cached
+      else {
+        val kernel = new LongSetKernel(set)
+        val fp = contentFingerprint(kernel.sorted)
+        if (!st.byFp.contains(fp)) {
           spark.sessionState.functionRegistry.createOrReplaceTempFunction(
             s"overlaps_long_set_$fp",
             exprs => OverlapsLongSet(exprs.head, kernel), "scala_udf")
           spark.sessionState.functionRegistry.createOrReplaceTempFunction(
             s"hits_in_long_set_$fp",
             exprs => HitsInLongSet(exprs.head, kernel), "scala_udf")
-          kernels += (spark, set) -> ((fp, kernel))
-          fp
+          st.byFp += fp -> kernel
+        }
+        st.fpByRef.put(set, fp)
+        fp
       }
     }
 

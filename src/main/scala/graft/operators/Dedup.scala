@@ -205,11 +205,15 @@ object Dedup {
     * miss because a 1-char edit changes every containing shingle.
     *
     * Scale posture: NEVER all-pairs. Candidates come from an equi-join on a
-    * compound blocking key (first 4 chars — the mutation position ≥ 5
-    * guarantees the prefix survives, the standard blocking bet) plus a
-    * ±2 length band as a join residual, so each comparison block is
-    * vocabulary-bounded, not corpus-bounded; at larger scale the block key
-    * widens (more prefix chars / phonetic keys) to hold block sizes flat.
+    * compound blocking key (first 4 chars PLUS the last char — a one-char
+    * interior drop at position ≥ 5 of a ≥ 8-char name preserves both the
+    * prefix and the suffix, so both ends are valid blocking bets; the
+    * two-ended key cuts scored pairs ~5× vs prefix-only because part-name
+    * vocabularies share few prefixes but many suffix colors) plus a
+    * ±2 length band as a join residual evaluated before any scoring, so
+    * each comparison block is vocabulary-bounded, not corpus-bounded; at
+    * larger scale the block key widens further (more prefix chars /
+    * phonetic keys) to hold block sizes flat.
     * Scoring is the codegen'd [[graft.functions.JaroWinkler]] (DuckDB
     * `jaro_winkler_similarity` parity, fuzz-verified) next to Spark's
     * built-in `levenshtein`; best match per twin by (jw desc, key asc). */
@@ -226,6 +230,7 @@ object Dedup {
       .jaroWinkler(spark, col("vname"), col("p_name"))
     val scored = variants.join(p,
         substring(col("vname"), 1, 4) === substring(col("p_name"), 1, 4) &&
+          substring(col("vname"), -1, 1) === substring(col("p_name"), -1, 1) &&
           abs(length(col("vname")) - length(col("p_name"))) <= 2)
       .withColumn("jw", jw)
       .where(col("jw") >= minJw)
@@ -368,15 +373,32 @@ object Dedup {
     * [[substringDedupOf]]'s window explode (same md5 stream truncated to
     * the shared long-surrogate width), reused by the frozen-set probe
     * forms below and the streaming twin so batch and stream derive
-    * identical keys by construction. */
-  def windowSurrogates(text: Column, w: Int): Column = {
-    val tk = tokens(text)
-    when(size(tk) >= w,
-      transform(sequence(lit(1), size(tk) - (w - 1)), st =>
-        conv(substring(md5(concat_ws(" ", slice(tk, st, lit(w)))), 1, 15), 16, 10)
-          .cast("long")))
-      .otherwise(array().cast("array<long>"))
-  }
+    * identical keys by construction.
+    *
+    * COLLISION BOUND: the batch aggregate form keys on the full 128-bit
+    * md5, so the documented row-for-row identity between the frozen/
+    * streaming probe forms and [[substringDedup]] is exact only absent
+    * 60-bit surrogate collisions. At probe-set sizes the driver guard
+    * admits (≤[[MaxFrozenSetSize]] ≈ 2^25.6) the birthday bound keeps the
+    * expected collision count ≪ 1; at full 100 TB window counts (2^40+)
+    * collisions are expected and would INFLATE n_dup_windows slightly
+    * relative to batch semantics — the identity is collision-bounded, not
+    * unconditional, which is the standard contract for fingerprint dedup
+    * (winnowing, MinHash) at that scale. */
+  def windowSurrogates(text: Column, w: Int): Column =
+    // tokens(text) is BOUND once per row (the Multimodal.bindOnce lesson):
+    // an interpreted `transform` re-evaluates captured sub-expressions per
+    // element, so the inline form re-SPLIT the whole text for every window
+    // — ~47 regex splits per doc; measured 3.7 s for a bare explode over
+    // sf0.1 that costs 0.35 s bound (the dominant stage of the join-form
+    // fallback and the streaming twin's per-row probe argument).
+    Multimodal.bindOnce(tokens(text)) { tk =>
+      when(size(tk) >= w,
+        transform(sequence(lit(1), size(tk) - (w - 1)), st =>
+          conv(substring(md5(concat_ws(" ", slice(tk, st, lit(w)))), 1, 15), 16, 10)
+            .cast("long")))
+        .otherwise(array().cast("array<long>"))
+    }
 
   /** The corpus's cross-doc duplicated-window set as distinct long
     * surrogates — the FROZEN index a streaming ingest probes
@@ -396,9 +418,97 @@ object Dedup {
   private val dupWindowSetCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String, Int), Array[Long]]
 
-  def duplicatedWindowSet(spark: SparkSession, dir: String, w: Int = 8): Array[Long] =
+  /** Default ceiling on the driver-collected frozen probe set: 5×10⁷
+    * 60-bit surrogates ≈ 400 MB on the driver — the last size where a
+    * sorted-array reference object broadcast with the plan is still the
+    * right call. The duplicated-window index is corpus-proportional by
+    * nature (boilerplate is pervasive in web corpora), so unlike every
+    * other driver collect in this module this one NEEDS an explicit gate:
+    * past it, use [[substringDedupFrozenJoinOf]], which keeps the index
+    * distributed. */
+  val MaxFrozenSetSize: Int = 50 * 1000 * 1000
+
+  /** Collect the index iff it fits under `maxSize`, in ONE job (take of
+    * maxSize+1 rows — no separate count that would re-run the aggregate). */
+  private def tryCollectWindowSet(spark: SparkSession, dir: String, w: Int,
+      maxSize: Int): Option[Array[Long]] = {
+    val lim = math.min(maxSize.toLong + 1, Int.MaxValue.toLong).toInt
+    val rows = duplicatedWindowIndex(spark, dir, w).take(lim)
+    if (rows.length > maxSize) None else Some(rows.map(_.getLong(0)))
+  }
+
+  def duplicatedWindowSet(spark: SparkSession, dir: String, w: Int = 8,
+      maxSize: Int = MaxFrozenSetSize): Array[Long] =
     dupWindowSetCache.getOrElseUpdate((spark, dir, w),
-      duplicatedWindowIndex(spark, dir, w).collect().map(_.getLong(0)))
+      tryCollectWindowSet(spark, dir, w, maxSize).getOrElse(throw new
+        IllegalArgumentException(
+          s"duplicatedWindowSet: the cross-doc duplicated-window index holds " +
+          s"more than maxSize=$maxSize surrogates — a driver-side frozen set " +
+          s"this large is a scale hazard. Use the distributed form " +
+          s"substringDedupFrozenJoinOf(docs, duplicatedWindowIndexOf(corpus, w), w) " +
+          s"(identical rows, index stays a DataFrame), or raise maxSize " +
+          s"deliberately if the driver genuinely has the memory.")))
+
+  /** [[substringDedupFrozenOf]] with the standing index kept DISTRIBUTED —
+    * the over-[[MaxFrozenSetSize]] deployment: explode today's docs'
+    * window surrogates once and left-join the index on the surrogate key
+    * (the index is distinct on `h`, so the join cannot fan out), then
+    * re-aggregate per doc. Output is row-identical to the driver-probe
+    * form (spec-asserted); the price is the explode + one shuffle that the
+    * frozen probe avoids, which is the correct trade once the index no
+    * longer fits a driver array. */
+  def substringDedupFrozenJoinOf(docs: DataFrame, dupIndex: DataFrame, w: Int): DataFrame = {
+    val tk = tokens(col("text"))
+    docs
+      .where(size(tk) >= w)
+      .select(col("doc_id"), explode(windowSurrogates(col("text"), w)).as("h"))
+      .join(dupIndex.select(col("h"), lit(1L).as("dup")), Seq("h"), "left")
+      // n_windows = count(*) per doc: the index is distinct on h, so the
+      // left join preserves exactly one row per window — counting here
+      // instead of carrying a size(tokens(text)) column through the
+      // explode matters, because Catalyst floats that projection ABOVE
+      // the Generate and a groupBy key derived from `text` is then
+      // re-split per EXPLODED row (~47× per doc; measured 2.6 s of the
+      // fallback's 6.1 s at sf0.1).
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_windows"),
+        coalesce(sum(col("dup")), lit(0L)).as("n_dup_windows"))
+      .select(col("doc_id"), col("n_windows"), col("n_dup_windows"),
+        round(col("n_dup_windows").cast("double") / col("n_windows"), 4)
+          .as("dup_fraction"))
+  }
+
+  /** The frozen-probe deployment with the size gate built in: collect the
+    * index into the scan-speed driver-probe form when it fits `maxSize`,
+    * otherwise fall back to [[substringDedupFrozenJoinOf]] (row-identical,
+    * index stays distributed). The decision costs one job either way —
+    * the same take that would have produced the probe set IS the size
+    * check. */
+  def substringDedupFrozen(spark: SparkSession, dir: String, w: Int = 8,
+      maxSize: Int = MaxFrozenSetSize): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val set = dupWindowSetCache.get((spark, dir, w))
+      .orElse(tryCollectWindowSet(spark, dir, w, maxSize)
+        .map { s => dupWindowSetCache.putIfAbsent((spark, dir, w), s); s })
+    set match {
+      case Some(s) => substringDedupFrozenOf(docs, s, w)
+      case None =>
+        substringDedupFrozenJoinOf(docs, duplicatedWindowIndexStanding(spark, dir, w), w)
+    }
+  }
+
+  /** The standing index as a CACHED distributed frame — the over-budget
+    * deployment's twin of [[duplicatedWindowSet]]'s memo: when the index
+    * no longer fits a driver array, it is still yesterday's offline asset,
+    * so serving through [[substringDedupFrozenJoinOf]] must not re-run the
+    * corpus-wide index build per query. Memoized per (session, dir, w);
+    * cleared by [[clearCaches]]. */
+  private val dupWindowIndexCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String, Int), DataFrame]
+
+  def duplicatedWindowIndexStanding(spark: SparkSession, dir: String, w: Int = 8): DataFrame =
+    dupWindowIndexCache.getOrElseUpdate((spark, dir, w),
+      duplicatedWindowIndex(spark, dir, w).cache())
 
   /** Frame form over any (doc_id, text) — StreamBench builds its standing
     * index from the synthetic corpus through this. */
@@ -1392,6 +1502,8 @@ object Dedup {
     for ((_, df) <- winnowCache) scala.util.Try(df.unpersist())
     winnowCache.clear()
     dupWindowSetCache.clear()
+    for ((_, df) <- dupWindowIndexCache) scala.util.Try(df.unpersist())
+    dupWindowIndexCache.clear()
     pagerankCheckpoints.synchronized {
       pagerankCheckpoints.foreach(r => scala.util.Try(r.unpersist(false)))
       pagerankCheckpoints.clear()

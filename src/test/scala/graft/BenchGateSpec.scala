@@ -18,6 +18,14 @@ class BenchGateSpec extends AnyFunSuite {
       "vamana_search" -> 0.1053))
   }
 
+  test("parsePrevQueries handles scientific-notation medians") {
+    // Scala renders doubles below 1e-3 as "1.0E-4"; truncating the exponent
+    // would read a 10000x-inflated baseline and fabricate/suppress flags.
+    val m = Bench.parsePrevQueries(
+      """{"queries":{"fast":1.0E-4,"slow":2.5e+1,"neg":3.1E-2,"mid":0.5}}""")
+    assert(m == Map("fast" -> 1.0e-4, "slow" -> 25.0, "neg" -> 0.031, "mid" -> 0.5))
+  }
+
   test("parsePrevQueries is empty on garbage, missing block, and empty file") {
     assert(Bench.parsePrevQueries("").isEmpty)
     assert(Bench.parsePrevQueries("not json at all").isEmpty)

@@ -101,4 +101,39 @@ class DedupScaleSpec extends AnyFunSuite {
     assert(graft.operators.CorpusPipeline.dsirWeightOf(spark, docsL, 1024, "en").count() == n)
     docs.unpersist()
   }
+
+  test("frozen-probe size gate: over-limit collect fails loudly; dispatcher falls back row-identically") {
+    // The duplicated-window index is corpus-proportional (boilerplate is
+    // pervasive in web corpora), so its driver collect is the one
+    // scale-killer-class collect in this module — it must be gated.
+    // w=5 keeps this test's memo key disjoint from the w=8 production path.
+    val dir = "/root/testdata/sf0.001"
+    val w = 5
+    val n = Dedup.duplicatedWindowIndex(spark, dir, w).count()
+    assert(n >= 2, "fixture vacuous — no cross-doc duplicated windows at w=5")
+
+    // (1) over-limit collect fails LOUDLY, naming the distributed alternative
+    val e = intercept[IllegalArgumentException] {
+      Dedup.duplicatedWindowSet(spark, dir, w, maxSize = 1)
+    }
+    assert(e.getMessage.contains("substringDedupFrozenJoinOf"),
+      s"gate error must name the distributed alternative, got: ${e.getMessage}")
+
+    // (2) the gated dispatcher under an impossible budget falls back to the
+    // distributed join form — row-identical to the driver-probe form AND to
+    // the original aggregate form
+    def toMap(df: org.apache.spark.sql.DataFrame) = df
+      .select("doc_id", "n_windows", "n_dup_windows", "dup_fraction").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    val viaJoin = toMap(Dedup.substringDedupFrozen(spark, dir, w, maxSize = 1))
+    val viaProbe = toMap(Dedup.substringDedupFrozen(spark, dir, w)) // fits: collected probe
+    val batch = toMap(Dedup.substringDedup(spark, dir, w))
+    assert(viaJoin.values.exists(_._2 > 0), "fixture vacuous — no doc has dup windows")
+    assert(viaJoin == viaProbe,
+      s"join-fallback drift vs probe on ${(viaJoin.toSet diff viaProbe.toSet).take(3)}")
+    assert(viaProbe == batch,
+      s"probe drift vs aggregate form on ${(viaProbe.toSet diff batch.toSet).take(3)}")
+    // the under-limit call memoized the standing set with the full index
+    assert(Dedup.duplicatedWindowSet(spark, dir, w).length == n)
+  }
 }

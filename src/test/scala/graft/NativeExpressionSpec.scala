@@ -269,6 +269,29 @@ class NativeExpressionSpec extends AnyFunSuite {
     assert(spark.sql("SELECT 1").select(colA2.as("a")).head().getBoolean(0))
   }
 
+  test("identical frozen-set content from fresh array objects reuses ONE registered kernel") {
+    // the round-14 advice finding: the memo keyed by array REFERENCE meant
+    // every fresh array object (even identical content) accumulated a
+    // kernel + registration for the JVM lifetime. Content-keyed now: the
+    // fingerprint is computed over the sorted dedup'd set, so permuted /
+    // repeated spellings of the same set are the same kernel.
+    val reg = spark.sessionState.functionRegistry
+    def probeNames = reg.listFunction().map(_.funcName)
+      .filter(_.startsWith("hits_in_long_set_")).toSet
+    val before = probeNames
+    graft.functions.SetProbeExpressions.hitsInLongSet(
+      spark, typedlit(Array(7L)), Array(7L, 11L, 13L))
+    graft.functions.SetProbeExpressions.hitsInLongSet(
+      spark, typedlit(Array(7L)), Array(13L, 7L, 11L, 7L)) // permuted + repeated
+    val added = probeNames -- before
+    assert(added.size == 1,
+      s"identical content must bind exactly one new kernel name, got $added")
+    // distinct content still binds a distinct name (no fingerprint merge)
+    graft.functions.SetProbeExpressions.hitsInLongSet(
+      spark, typedlit(Array(7L)), Array(7L, 11L, 14L))
+    assert((probeNames -- before).size == 2)
+  }
+
   test("minhash_sigs and simhash_sig are callable through the extensions registry") {
     import org.apache.spark.sql.catalyst.FunctionIdentifier
     for ((name, info, builder) <- GraftExtensions.functions
