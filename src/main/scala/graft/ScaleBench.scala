@@ -52,6 +52,12 @@ object ScaleBench {
       .toDF("query_id", "query_vec")
   }
 
+  /** Nearest-rank percentile (rounded to 0.1) over an ASCENDING-sorted
+    * sample — the tail-latency order statistic the serving rows report. */
+  private[graft] def percentile(sortedAsc: Seq[Double], p: Double): Double =
+    math.rint(sortedAsc(math.min(sortedAsc.length - 1,
+      math.max(0, math.ceil(p * sortedAsc.length).toInt - 1))) * 10) / 10
+
   def main(args: Array[String]): Unit = {
     val n = args.headOption.map(_.toLong).getOrElse(100000L)
     val dim = args.lift(1).map(_.toInt).getOrElse(64)
@@ -101,11 +107,8 @@ object ScaleBench {
         fm.search(q1, k).count()
         (System.nanoTime() - tq) / 1e6
       }.sorted
-      def pct(p: Double) = math.rint(
-        perQueryMs(math.min(perQueryMs.length - 1,
-          math.ceil(p * perQueryMs.length).toInt - 1).max(0)) * 10) / 10
-      val (p50, p95, pMax) = (pct(0.50), pct(0.95),
-        math.rint(perQueryMs.last * 10) / 10)
+      val (p50, p95, pMax) = (percentile(perQueryMs, 0.50),
+        percentile(perQueryMs, 0.95), math.rint(perQueryMs.last * 10) / 10)
       if (tailOnly) {
         fm.unpersist()
         println(

@@ -939,7 +939,10 @@ object StreamingOps {
     * shorter than w tokens are dropped exactly as in batch. The batch
     * agreement (stream == [[graft.operators.Dedup.substringDedupFrozenOf]]
     * == the original [[graft.operators.Dedup.substringDedup]] on the
-    * fitting corpus) is spec-asserted three ways. */
+    * fitting corpus) is spec-asserted three ways; against the full-md5
+    * aggregate form it is COLLISION-BOUNDED, not unconditional — see the
+    * 60-bit surrogate bound on
+    * [[graft.operators.Dedup.windowSurrogates]]. */
   def streamingSpanDedup(docs: DataFrame, dupWindows: Array[Long], w: Int = 8): DataFrame = {
     val spark = docs.sparkSession
     val tk = graft.operators.Dedup.tokens(col("text"))

@@ -42,6 +42,15 @@ class BenchGateSpec extends AnyFunSuite {
     assert(Bench.regressionsOf(prev, cur) == Seq(("a", 1.0, 2.6)))
   }
 
+  test("tail-latency percentile is nearest-rank over the sorted sample") {
+    val s100 = (1 to 100).map(_.toDouble)
+    assert(ScaleBench.percentile(s100, 0.50) == 50.0)
+    assert(ScaleBench.percentile(s100, 0.95) == 95.0)
+    assert(ScaleBench.percentile(s100, 1.00) == 100.0)
+    assert(ScaleBench.percentile(Seq(7.26), 0.95) == 7.3) // rounds to 0.1
+    assert(ScaleBench.percentile(Seq(1.0, 2.0), 0.01) == 1.0) // clamps low
+  }
+
   test("round-13's substring_dedup regression would have been flagged") {
     val prev = Bench.parsePrevQueries(
       """{"queries":{"substring_dedup":0.8469,"winnow_overlap":1.4416}}""")
