@@ -30,6 +30,8 @@ object QueryTime {
     if (sys.env.get("SPARK_GRAFT_EXPLAIN").contains("1"))
       println(fn(spark, sfDir).queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode))
+    if (sys.env.get("SPARK_GRAFT_SHOW").contains("1"))
+      fn(spark, sfDir).show(50, truncate = false)
     val ts = (0 to iters).map { i =>
       val t0 = System.nanoTime()
       val n = fn(spark, sfDir).count()

@@ -67,7 +67,11 @@ object ScaleBench {
     // "tailonly": build + top-k serve + tail-latency distribution only —
     // re-measuring serving latency at a big n without re-paying the PQ /
     // range / merge / matryoshka stages of the full sweep.
+    // "routed": the clustered (SPANN-style) layout instead — per shard
+    // count, fit VamanaRouted and report batched/tail latency + recall at
+    // an nprobe ladder, the hash-fanout tail row's counterpart.
     val tailOnly = args.lift(4).exists(_.equalsIgnoreCase("tailonly"))
+    val routedMode = args.lift(4).exists(_.equalsIgnoreCase("routed"))
     val k = 10
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -84,6 +88,42 @@ object ScaleBench {
     truth.count()
     val params = VamanaParams(dim = dim, maxDegree = 32, beamWidth = 64,
       alpha = 1.2f, efSearch = 128)
+
+    if (routedMode) {
+      for (s <- shardCounts) {
+        val t0 = System.nanoTime()
+        val rm = VamanaRouted.fit(pts, params, numShards = s)
+        val buildSec = (System.nanoTime() - t0) / 1e9
+        val repl = rm.describeRouting()
+          .agg(sum(col("n_points"))).head().getLong(0).toDouble / n
+        val ladder = (Seq(2, 4, 8).filter(_ < s) :+ s).distinct
+        for (nprobe <- ladder) {
+          val t1 = System.nanoTime()
+          val got = rm.searchRouted(queries, k, nprobe).cache()
+          got.count()
+          val batchSec = (System.nanoTime() - t1) / 1e9
+          val recall = Knn.recallAt(k, got, truth)
+          got.unpersist()
+          val perQueryMs = (0 until 100).map { qid =>
+            val q1 = queries.where(col("query_id") === qid)
+            val tq = System.nanoTime()
+            rm.searchRouted(q1, k, nprobe).count()
+            (System.nanoTime() - tq) / 1e6
+          }.sorted
+          println(
+            s"""{"routed_n":$n,"dim":$dim,"shards":$s,"nprobe":$nprobe,"cpus":$cpus,""" +
+            s""""build_sec":${math.rint(buildSec * 100) / 100},""" +
+            s""""replication":${math.rint(repl * 1000) / 1000},""" +
+            s""""search_100q_sec":${math.rint(batchSec * 100) / 100},""" +
+            s""""recall_at_10":${math.rint(recall * 1e4) / 1e4},""" +
+            s""""tail_p50_ms":${percentile(perQueryMs, 0.50)},""" +
+            s""""tail_p95_ms":${percentile(perQueryMs, 0.95)},""" +
+            s""""tail_max_ms":${math.rint(perQueryMs.last * 10) / 10}}""")
+        }
+        rm.unpersist()
+      }
+      spark.stop(); return
+    }
 
     for (s <- shardCounts) {
       val t0 = System.nanoTime()

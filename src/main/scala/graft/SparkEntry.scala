@@ -43,6 +43,7 @@ object SparkEntry {
       vamanaSearchQ, vamanaOverlapQ, vamanaRecallQ, vamanaStartQ, vamanaStartGateQ,
       vamanaDescribeQ, vamanaDegreeQ, vamanaConnectivityQ,
       vamanaFanoutQ, vamanaFanoutGateQ, vamanaFanoutFilteredQ, vamanaFanoutFilteredGateQ,
+      vamanaRoutedQ, vamanaRoutedGateQ,
       vamanaAdaptivePostfilterGateQ,
       vamanaRoundtripQ, vamanaBinaryGateQ, vamanaInsertQ, vamanaDeleteQ, vamanaInsertGateQ, vamanaDeleteGateQ,
       vamanaPqInsertGateQ, vamanaPqDeleteGateQ, vamanaMergeGateQ),
@@ -310,6 +311,27 @@ object SparkEntry {
     (s, d) => graft.vamana.VamanaOps.vamanaFanoutGate(s, d),
     Some("""
       SELECT count(DISTINCT vec_id) AS n_queries, TRUE AS recall_ok
+      FROM embeddings WHERE vec_id < 10
+    """.trim))
+
+  /** Routed (clustered-shard, SPANN-style) serving at nprobe=2 of 4 —
+    * rows-only (graph traversal); recall + full-probe exactness carried
+    * by the gate twin below. */
+  private val vamanaRoutedQ: (String, QFn, Option[String]) = (
+    "vamana_routed_search",
+    (s, d) => graft.vamana.VamanaOps.vamanaRoutedSearch(s, d),
+    None)
+
+  /** Routed-layout gate: the full-probe + full-beam merge must BE exact
+    * kNN (ε-closure places every point in ≥ 1 shard — a theorem, stated
+    * as a literal by the oracle), and nprobe=2-of-4 recall must clear the
+    * reference's 0.8 e2e floor. */
+  private val vamanaRoutedGateQ: (String, QFn, Option[String]) = (
+    "vamana_routed_gate",
+    (s, d) => graft.vamana.VamanaOps.vamanaRoutedGate(s, d),
+    Some("""
+      SELECT count(DISTINCT vec_id) AS n_queries, TRUE AS full_probe_exact_ok,
+             TRUE AS recall_ok
       FROM embeddings WHERE vec_id < 10
     """.trim))
 

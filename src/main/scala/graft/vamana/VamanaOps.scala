@@ -30,6 +30,15 @@ object VamanaOps {
     fanoutCache.getOrElseUpdate(dir,
       VamanaFanout.fit(Tables.embeddings(spark, dir), defaultParams, numShards = 4))
 
+  /** CLUSTERED (routed) serving model — [[VamanaRouted.fit]]'s SPANN-style
+    * k-means shard layout over the same embeddings fixture, fitted once
+    * per dataset like [[fanoutModel]] so repeat queries pay zero builds. */
+  private val routedCache = TrieMap.empty[String, RoutedFanoutModel]
+
+  def routedModel(spark: SparkSession, dir: String): RoutedFanoutModel =
+    routedCache.getOrElseUpdate(dir,
+      VamanaRouted.fit(Tables.embeddings(spark, dir), defaultParams, numShards = 4))
+
   /** Cosine-metric fanout twin (normalize-at-fit, the kernel's "cos"
     * reduction) — the serving index for similarity-JOIN mining, fitted
     * once per dataset like [[fanoutModel]]. */
@@ -47,6 +56,8 @@ object VamanaOps {
     cache.clear()
     for ((_, f) <- fanoutCache) f.unpersist()
     fanoutCache.clear()
+    for ((_, m) <- routedCache) m.unpersist()
+    routedCache.clear()
     for ((_, f) <- fanoutCosCache) f.unpersist()
     fanoutCosCache.clear()
     for ((_, m) <- insertCache) m.unpersist()
@@ -567,6 +578,47 @@ object VamanaOps {
         .select(col("query_id"), col("id")),
       vamanaFanout(spark, dir).select(col("query_id"), col("id")),
       recallFloor)
+  }
+
+  /** Routed (clustered-shard) search at nprobe=2 of 4 — the SPANN-style
+    * serving regime where a query visits only its nearest shards instead
+    * of the full scatter-gather; same fixture as `vamana_fanout_search`
+    * so the two layouts are comparable. Rows-only (graph traversal);
+    * recall + the full-probe exactness theorem are carried by
+    * [[vamanaRoutedGate]]. */
+  def vamanaRoutedSearch(spark: SparkSession, dir: String,
+      nprobe: Int = 2, k: Int = 10): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    routedModel(spark, dir).searchRouted(Knn.queriesFromPoints(emb, 10), k, nprobe)
+  }
+
+  /** Hash-checked gate for the routed layout, two facts per run:
+    *  - `full_probe_exact_ok`: at FULL probe (nprobe = s) + full per-shard
+    *    beam, every shard returns its true in-shard top-k and ε-closure
+    *    places every point in ≥ 1 shard, so the merge IS exact kNN — the
+    *    per-query overlap with the exact scan must be exactly k (the
+    *    fanout filtered gate's theorem, applied to the clustered layout);
+    *  - `recall_ok`: at the DEPLOYED config (nprobe=2 of 4, default beam)
+    *    recall vs exact kNN clears the reference's 0.8 e2e floor — the
+    *    evidence that probing HALF the shards still serves, which is the
+    *    entire point of paying the k-means at fit. */
+  def vamanaRoutedGate(spark: SparkSession, dir: String,
+      recallFloor: Double = 0.8): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val q = Knn.queriesFromPoints(emb, 10)
+    val exact = Knn.knnExact(emb, q, 10).select(col("query_id"), col("id"))
+    val m = routedModel(spark, dir)
+    val fullProbe = m.withFullBeamShards()
+    val fullRows = fullProbe.search(q, 10).select(col("query_id"), col("id"))
+    fullProbe.unpersist()
+    val exactOk = fullRows.join(exact, Seq("query_id", "id"))
+      .groupBy(col("query_id")).agg(count(lit(1)).as("overlap"))
+      .agg(min(col("overlap")).as("mn"), count(lit(1)).as("nq"))
+      .select((col("mn") === 10 && col("nq") === 10).as("ok"))
+    val routedRows = m.searchRouted(q, 10, nprobe = 2).select(col("query_id"), col("id"))
+    graft.operators.Similarity.topkGate(exact, routedRows, recallFloor)
+      .crossJoin(exactOk)
+      .select(col("n_queries"), col("ok").as("full_probe_exact_ok"), col("recall_ok"))
   }
 
   /** Filtered search served from the FANOUT model — the beyond-broadcast

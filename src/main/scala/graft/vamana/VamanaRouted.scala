@@ -1,0 +1,251 @@
+package graft.vamana
+
+import scala.util.hashing.MurmurHash3
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoder, Encoders}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** CLUSTERED (routed) shard layout for ANN serving — the SPANN posture
+  * (Chen et al., NeurIPS'21, "SPANN: Highly-efficient Billion-scale
+  * Approximate Nearest Neighbor Search"): points are partitioned by
+  * k-means centroid instead of id hash, each shard carries its own Vamana
+  * kernel, and a query probes only the `nprobe` shards whose centroids
+  * are nearest — so per-request cost is nprobe tasks instead of a full
+  * scatter-gather over every shard.
+  *
+  * Relationship to [[VamanaFanout]] (hash shards): hash sharding gives
+  * perfectly balanced shards and needs NO routing state, but every query
+  * must visit every shard (each shard is a uniform random sample of the
+  * corpus) — right for batched throughput, and the measured per-REQUEST
+  * tail at 10M/320 shards is ~0.55 s because one query still sweeps all
+  * shards (BASELINE_REPRO round-15 tail row). Clustered sharding spends a
+  * small fit-time k-means plus an ε-closure replication factor (≤ 2×) to
+  * make shards spatially COHERENT, after which nprobe ≪ s shards answer
+  * with high recall — the serving-tail lever a latency deployment wants.
+  * Both layouts serve from the same per-shard [[LocalIndex]] kernels.
+  *
+  * Routing state is ONE s×dim centroid array — driver/broadcast-sized at
+  * any corpus size (320 shards × 64 dims = 80 KB at the 10M-point
+  * config), never corpus-proportional.
+  *
+  * Boundary points: a point whose second-nearest centroid is within
+  * (1+ε)·d(nearest) is replicated into that second shard (SPANN's closure
+  * assignment, §4.2) — queries landing between two clusters find their
+  * cross-boundary neighbors without probing extra shards. Replication is
+  * bounded by 2× by construction (only the second-nearest can qualify).
+  */
+object VamanaRouted {
+
+  /** Deterministic Lloyd k-means over a driver-side sample (kernel space).
+    * Init = evenly spaced points of the hash-ordered sample (seed-stable,
+    * partitioning-independent); empty clusters reseed each iteration to
+    * the point farthest from its assigned centroid (deterministic ties by
+    * index), so the returned centroids are all distinct for any sample
+    * with ≥ k distinct points. Plain sequential Scala: the sample is
+    * bounded (default 50k × dim floats), so this is seconds, not a Spark
+    * job — routing quality needs a SKETCH of the density, not an exact
+    * global k-means (the exact-integer distributed k-means lives in
+    * [[graft.operators.Clustering]] for callers that want it). */
+  private[graft] def kmeans(sample: Array[Array[Float]], k: Int,
+      iters: Int): Array[Array[Float]] = {
+    require(sample.nonEmpty, "routed fit needs a non-empty sample")
+    val n = sample.length
+    val kk = math.min(k, n)
+    val dim = sample(0).length
+    var cents = Array.tabulate(kk)(i => sample(((i.toLong * n) / kk).toInt).clone())
+    var iter = 0
+    while (iter < iters) {
+      val sums = Array.fill(kk)(new Array[Double](dim))
+      val cnts = new Array[Long](kk)
+      // farthest assigned point overall — the deterministic reseed donor
+      var farD = -1f
+      var farI = 0
+      var i = 0
+      while (i < n) {
+        val v = sample(i)
+        var best = 0
+        var bd = Float.MaxValue
+        var c = 0
+        while (c < kk) {
+          val d = VamanaKernel.l2sq(v, cents(c))
+          if (d < bd) { bd = d; best = c }
+          c += 1
+        }
+        cnts(best) += 1
+        val s = sums(best)
+        var j = 0
+        while (j < dim) { s(j) += v(j); j += 1 }
+        if (bd > farD) { farD = bd; farI = i }
+        i += 1
+      }
+      cents = Array.tabulate(kk) { c =>
+        if (cnts(c) == 0) sample(farI).clone()
+        else {
+          val s = sums(c)
+          Array.tabulate(dim)(j => (s(j) / cnts(c)).toFloat)
+        }
+      }
+      iter += 1
+    }
+    cents
+  }
+
+  /** Fit the routed layout over (idCol: LONG, vecCol: array<float>):
+    * sample → k-means centroids → distributed ε-closure assignment → one
+    * Vamana kernel per shard (batch-synchronous parallel build, exactly
+    * [[VamanaFanout.fit]]'s per-shard recipe), materialized once. The
+    * corpus never reaches the driver — only the bounded sample does. */
+  def fit(
+      points: DataFrame,
+      params: VamanaParams,
+      numShards: Int,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      closureEps: Double = 0.15,
+      sampleSize: Int = 50000,
+      kmeansIters: Int = 10): RoutedFanoutModel = {
+    require(numShards >= 1, "numShards must be >= 1")
+    val spark = points.sparkSession
+    import spark.implicits._
+    val pts = points
+      .select(col(idCol).cast("long"), col(vecCol).cast("array<float>"))
+      .as[(Long, Array[Float])]
+    val (ptsT, kParams) = VamanaIndexer.metricTransform(pts, params)
+    val seed = params.seed
+    // deterministic bounded sample: top-sampleSize by id hash — a
+    // TakeOrderedAndProject (distributed top-N), never a full collect
+    val sample = ptsT
+      .map { case (id, v) => (MurmurHash3.productHash((id, seed)), v) }
+      .toDF("h", "v")
+      .orderBy(col("h"), col("v")(0))
+      .limit(sampleSize)
+      .select(col("v")).as[Array[Float]].collect()
+    val centroids = kmeans(sample, numShards, kmeansIters)
+    val bcC = spark.sparkContext.broadcast(centroids)
+    val eps2 = ((1.0 + closureEps) * (1.0 + closureEps)).toFloat
+    val assigned = ptsT.flatMap { case (id, vec) =>
+      val cs = bcC.value
+      var b1 = -1; var d1 = Float.MaxValue
+      var b2 = -1; var d2 = Float.MaxValue
+      var c = 0
+      while (c < cs.length) {
+        val d = VamanaKernel.l2sq(vec, cs(c))
+        if (d < d1) { b2 = b1; d2 = d1; b1 = c; d1 = d }
+        else if (d < d2) { b2 = c; d2 = d }
+        c += 1
+      }
+      if (b2 >= 0 && d2 <= eps2 * d1) Seq((b1, id, vec), (b2, id, vec))
+      else Seq((b1, id, vec))
+    }
+    val par = math.max(2, Runtime.getRuntime.availableProcessors() / math.max(1, centroids.length))
+    implicit val shardEnc: Encoder[(Int, LocalIndex)] =
+      Encoders.tuple(Encoders.scalaInt, Encoders.kryo[LocalIndex])
+    val shards = assigned
+      .groupByKey(_._1)
+      .mapGroups { (shard, it) =>
+        val arr = it.toArray.sortBy(_._2)
+        (shard, VamanaKernel.buildParallel(arr.map(_._2), arr.map(_._3),
+          kParams.copy(seed = seed + shard), par))
+      }.cache()
+    shards.count() // force the builds NOW, exactly once
+    new RoutedFanoutModel(shards, kParams, centroids)
+  }
+}
+
+/** The fitted routed layout: per-shard kernels (cached, distributed) plus
+  * the s×dim centroid routing table (driver-sized). */
+final class RoutedFanoutModel private[vamana] (
+    private[vamana] val shards: Dataset[(Int, LocalIndex)],
+    val params: VamanaParams,
+    private[graft] val centroids: Array[Array[Float]]) {
+
+  def numShards: Int = centroids.length
+
+  /** Full-probe search — identical result contract to
+    * [[FanoutModel.search]] (every shard answers, global merge). */
+  def search(
+      queries: DataFrame,
+      k: Int,
+      queryIdCol: String = "query_id",
+      queryVecCol: String = "query_vec"): DataFrame =
+    searchRouted(queries, k, nprobe = centroids.length, queryIdCol, queryVecCol)
+
+  /** Routed ANN top-k: each query visits only the `nprobe` shards whose
+    * centroids are nearest (squared-L2 in kernel space — the same space
+    * the shards were clustered in), then the standard min-dist merge +
+    * rank. Routing is computed on the driver over the already-bounded
+    * query batch: |queries|·s distances against an s×dim table — never a
+    * Spark job. Output shape matches [[FanoutModel.search]]. */
+  def searchRouted(
+      queries: DataFrame,
+      k: Int,
+      nprobe: Int,
+      queryIdCol: String = "query_id",
+      queryVecCol: String = "query_vec"): DataFrame = {
+    val spark = shards.sparkSession
+    import spark.implicits._
+    val metric = params.metric
+    val prepared = queries
+      .select(col(queryIdCol).cast("long"), col(queryVecCol).cast("array<float>"))
+      .as[(Long, Array[Float])].collect().sortBy(_._1)
+      .map { case (id, v) => (id, MetricReduction.prepareQuery(v, metric)) }
+    require(prepared.length <= 10000, "routed fanout broadcasts the query batch; keep it bounded")
+    val p = math.min(math.max(1, nprobe), centroids.length)
+    val routed: Map[Int, Array[(Long, Array[Float])]] = prepared
+      .flatMap { case (qid, qv) =>
+        centroids.indices
+          .map(si => (VamanaKernel.l2sq(qv, centroids(si)), si))
+          .sorted.take(p)
+          .map { case (_, si) => (si, (qid, qv)) }
+      }
+      .groupBy(_._1).map { case (si, xs) => (si, xs.map(_._2)) }
+    val bcR = spark.sparkContext.broadcast(routed)
+    val answers = shards.flatMap { case (sid, idx) =>
+      bcR.value.getOrElse(sid, Array.empty[(Long, Array[Float])]).iterator
+        .flatMap { case (qid, qvec) =>
+          VamanaKernel.search(idx, qvec, k).iterator
+            .map { case (id, dist) => (qid, id, dist.toDouble) }
+        }
+    }.toDF("query_id", "id", "dist")
+    // ε-closure replication may answer a point twice — merge before rank;
+    // rank on unrounded distances (FanoutModel.searchImpl's rationale)
+    val merged = answers.groupBy(col("query_id"), col("id")).agg(min(col("dist")).as("dist"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("dist").asc, col("id").asc)
+    merged
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("id"),
+        (expr("rint(dist * 10000)") / 1e4).as("dist"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** Routing/layout introspection: per-shard point count plus the global
+    * ε-closure replication factor (Σ shard sizes / distinct points) —
+    * the balance and redundancy facts a capacity planner reads. */
+  def describeRouting(): DataFrame = {
+    val spark = shards.sparkSession
+    import spark.implicits._
+    shards.map { case (sid, idx) => (sid, idx.size.toLong) }
+      .toDF("shard", "n_points")
+      .orderBy(col("shard"))
+  }
+
+  /** Same fitted shard graphs re-parameterized to beam = shard size — the
+    * full-beam exactness regime ([[FanoutModel.withFullBeamShards]]): at
+    * full probe + full beam every shard returns its true in-shard top-k,
+    * and since ε-closure places every point in ≥ 1 shard the global merge
+    * IS exact kNN — the routed gate's theorem. */
+  private[graft] def withFullBeamShards(): RoutedFanoutModel = {
+    implicit val shardEnc: Encoder[(Int, LocalIndex)] =
+      Encoders.tuple(Encoders.scalaInt, Encoders.kryo[LocalIndex])
+    val s2 = shards.map { case (s, idx) =>
+      (s, new LocalIndex(idx.ids, idx.points, idx.graph, idx.medoid,
+        idx.params.copy(efSearch = idx.size)))
+    }.cache()
+    s2.count()
+    new RoutedFanoutModel(s2, params, centroids)
+  }
+
+  def unpersist(): Unit = { val _ = shards.unpersist() }
+}

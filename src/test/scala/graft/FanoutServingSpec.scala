@@ -470,4 +470,47 @@ class FanoutServingSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(bcast == exact, "escalating-beam broadcast range must match exact at this scale")
   }
+
+  test("routed (clustered) layout: deterministic fit, bounded replication, full-probe exactness, routed recall") {
+    import org.apache.spark.sql.functions.col
+    val emb = Tables.embeddings(spark, dir)
+    val n = emb.count()
+    val q = queries(10)
+    // deterministic: two independent fits produce identical centroids
+    val m1 = VamanaRouted.fit(emb, params, numShards = 4)
+    val m2 = VamanaRouted.fit(emb, params, numShards = 4)
+    assert(m1.centroids.length == 4)
+    assert(m1.centroids.zip(m2.centroids).forall { case (a, b) => a.sameElements(b) },
+      "routed fit must be deterministic (seeded sample + seeded k-means)")
+    // ε-closure replication is bounded by 2x and covers every point >= once
+    val sizes = m1.describeRouting().collect().map(_.getLong(1))
+    val total = sizes.sum
+    assert(total >= n && total <= 2 * n,
+      s"closure replication out of bounds: $total assignments for $n points")
+    // full probe + full beam == exact kNN (the gate's theorem)
+    val exact = Knn.knnExact(emb, q, 10).select(col("query_id"), col("id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val full = m1.withFullBeamShards().search(q, 10).select(col("query_id"), col("id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(full == exact, "full-probe full-beam routed merge must equal exact kNN")
+    // routed at nprobe=2 of 4: every query answered with k rows, recall
+    // clears the e2e floor — probing half the shards must still serve
+    val routed = m1.searchRouted(q, 10, nprobe = 2)
+    assert(routed.groupBy(col("query_id")).count().collect()
+      .forall(_.getLong(1) == 10), "every query must return k rows at nprobe=2")
+    val hit = routed.select(col("query_id"), col("id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      .intersect(exact).size
+    assert(hit >= (exact.size * 0.8).toInt,
+      s"routed recall ${hit.toDouble / exact.size} below the 0.8 floor")
+    // nprobe=s routed equals the full-probe search entry point
+    val viaSearch = m1.search(q, 10).collect().map(_.toSeq).toSeq
+    val viaRouted = m1.searchRouted(q, 10, nprobe = 4).collect().map(_.toSeq).toSeq
+    assert(viaSearch == viaRouted, "search must be searchRouted at full nprobe")
+    m1.unpersist(); m2.unpersist()
+    // kmeans unit facts: k > sample size clamps; empty sample refuses
+    assert(VamanaRouted.kmeans(Array(Array(1f, 2f)), k = 5, iters = 3).length == 1)
+    assertThrows[IllegalArgumentException](
+      VamanaRouted.kmeans(Array.empty[Array[Float]], 2, 2))
+  }
 }
