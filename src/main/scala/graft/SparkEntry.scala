@@ -43,7 +43,7 @@ object SparkEntry {
       vamanaSearchQ, vamanaOverlapQ, vamanaRecallQ, vamanaStartQ, vamanaStartGateQ,
       vamanaDescribeQ, vamanaDegreeQ, vamanaConnectivityQ,
       vamanaFanoutQ, vamanaFanoutGateQ, vamanaFanoutFilteredQ, vamanaFanoutFilteredGateQ,
-      vamanaRoutedQ, vamanaRoutedGateQ,
+      vamanaRoutedQ, vamanaRoutedGateQ, vamanaPqRoutedGateQ,
       vamanaAdaptivePostfilterGateQ,
       vamanaRoundtripQ, vamanaBinaryGateQ, vamanaInsertQ, vamanaDeleteQ, vamanaInsertGateQ, vamanaDeleteGateQ,
       vamanaPqInsertGateQ, vamanaPqDeleteGateQ, vamanaMergeGateQ),
@@ -329,6 +329,18 @@ object SparkEntry {
   private val vamanaRoutedGateQ: (String, QFn, Option[String]) = (
     "vamana_routed_gate",
     (s, d) => graft.vamana.VamanaOps.vamanaRoutedGate(s, d),
+    Some("""
+      SELECT count(DISTINCT vec_id) AS n_queries, TRUE AS full_probe_exact_ok,
+             TRUE AS recall_ok
+      FROM embeddings WHERE vec_id < 10
+    """.trim))
+
+  /** PQ-scored routed serving — the (clustered routing × PQ memory) cell:
+    * full-probe + full-beam ADC traversal + exact rerank IS exact kNN
+    * (theorem, oracle literal), nprobe=2 recall clears the floor. */
+  private val vamanaPqRoutedGateQ: (String, QFn, Option[String]) = (
+    "vamana_pq_routed_gate",
+    (s, d) => graft.vamana.VamanaOps.vamanaPqRoutedGate(s, d),
     Some("""
       SELECT count(DISTINCT vec_id) AS n_queries, TRUE AS full_probe_exact_ok,
              TRUE AS recall_ok

@@ -621,6 +621,34 @@ object VamanaOps {
       .select(col("n_queries"), col("ok").as("full_probe_exact_ok"), col("recall_ok"))
   }
 
+  /** PQ-scored ROUTED serving gate — the (clustered routing × PQ memory)
+    * cell of the serving matrix, [[vamanaRoutedGate]]'s memory-bounded
+    * twin: at full probe + full beam the ADC traversal pools each shard's
+    * whole component and the exact rerank makes the merge exact kNN
+    * (flag 1); at the deployed config (nprobe=2 of 4, default beam, ADC
+    * scores) recall must clear the same 0.8 e2e floor (flag 2). */
+  def vamanaPqRoutedGate(spark: SparkSession, dir: String,
+      recallFloor: Double = 0.8): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val q = Knn.queriesFromPoints(emb, 10)
+    val exact = Knn.knnExact(emb, q, 10).select(col("query_id"), col("id"))
+    val m = routedModel(spark, dir)
+    val key = s"routed:$dir"
+    val full = VamanaPq.searchRoutedModel(m, q, key, 10,
+        nprobe = m.numShards, fullBeam = true)
+      .select(col("query_id"), col("id"))
+    val exactOk = full.join(exact, Seq("query_id", "id"))
+      .groupBy(col("query_id")).agg(count(lit(1)).as("overlap"))
+      .agg(min(col("overlap")).as("mn"), count(lit(1)).as("nq"))
+      .select((col("mn") === 10 && col("nq") === 10).as("ok"))
+    val routedRows = VamanaPq.searchRoutedModel(m, q, key, 10,
+        nprobe = 2, fullBeam = false)
+      .select(col("query_id"), col("id"))
+    graft.operators.Similarity.topkGate(exact, routedRows, recallFloor)
+      .crossJoin(exactOk)
+      .select(col("n_queries"), col("ok").as("full_probe_exact_ok"), col("recall_ok"))
+  }
+
   /** Filtered search served from the FANOUT model — the beyond-broadcast
     * regime for the vector-DB metadata predicate (same lang fixture as
     * `vamana_search_filtered`, so the two regimes are comparable).

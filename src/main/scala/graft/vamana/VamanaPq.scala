@@ -298,6 +298,74 @@ object VamanaPq {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** PQ-guided ROUTED serving — the serving-matrix cell (clustered
+    * routing × PQ memory): queries route to their `nprobe`
+    * nearest-centroid shards exactly as
+    * [[RoutedFanoutModel.searchRouted]], and each probed shard traverses
+    * on ADC lookups with exact rerank exactly as [[searchFanoutModel]] —
+    * per-request cost is nprobe ADC traversals, per-executor memory is
+    * m-byte codes. At full probe + full beam the pool is each shard's
+    * whole component, rerank is exact, and ε-closure covers every point,
+    * so the merge IS exact kNN (the routed gate's theorem composed with
+    * the PQ gate's). */
+  def searchRoutedModel(rm: RoutedFanoutModel, queriesDf: DataFrame, cacheKey: String,
+      k: Int, nprobe: Int, fullBeam: Boolean): DataFrame = {
+    val spark = rm.shards.sparkSession
+    import spark.implicits._
+    require(rm.params.metric == "l2",
+      "PQ-guided routed serving assumes the l2 (identity) reduction")
+    val queries = queriesDf
+      .select(col("query_id").cast("long"), col("query_vec").cast("array<float>"))
+      .as[(Long, Array[Float])].collect().sortBy(_._1)
+    val p = math.min(math.max(1, nprobe), rm.centroids.length)
+    val routed: Map[Int, Array[(Long, Array[Float])]] = queries
+      .flatMap { case (qid, qv) =>
+        rm.centroids.indices
+          .map(si => (VamanaKernel.l2sq(qv, rm.centroids(si)), si))
+          .sorted.take(p)
+          .map { case (_, si) => (si, (qid, qv)) }
+      }
+      .groupBy(_._1).map { case (si, xs) => (si, xs.map(_._2)) }
+    val bcR = spark.sparkContext.broadcast(routed)
+    val dirKey = cacheKey
+    val answers = rm.shards.flatMap { case (shard, idx) =>
+      val probes = bcR.value.getOrElse(shard, Array.empty[(Long, Array[Float])])
+      if (probes.isEmpty) Iterator.empty
+      else {
+        val (cb, codes) = shardPqState(dirKey, shard, idx)
+        val m = cb.m
+        probes.iterator.flatMap { case (qid, qv) =>
+          val lut = adcLut(qv, cb)
+          val score: Int => Float = { node =>
+            val row = codes(node)
+            var d = 0.0f
+            var s = 0
+            while (s < m) { d += lut(s)(row(s)); s += 1 }
+            d
+          }
+          val kk = math.min(k, idx.size)
+          val beamL = if (fullBeam) idx.size else math.max(idx.params.efSearch, kk)
+          val (poolIds, _) = VamanaKernel.greedySearchScored(score, idx.graph, idx.medoid, beamL)
+          poolIds
+            .map(pp => (idx.ids(pp), VamanaKernel.l2sq(idx.points(pp), qv).toDouble))
+            .sortBy { case (id, d) => (d, id) }
+            .take(kk)
+            .iterator
+            .map { case (id, d) => (qid, id, d) }
+        }
+      }
+    }.toDF("query_id", "id", "dist")
+    val mergedR = answers.groupBy(col("query_id"), col("id")).agg(min(col("dist")).as("dist"))
+    val wr = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("dist").asc, col("id").asc)
+    mergedR
+      .withColumn("rank", row_number().over(wr).cast("long"))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("id"),
+        (expr("rint(dist * 10000)") / 1e4).as("dist"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** FILTERED PQ-guided fanout search — the serving-matrix completion
     * (filtered × PQ-memory × beyond-broadcast): per shard, the greedy
     * traversal runs UNFILTERED on ADC scores (restricting the walk would

@@ -247,5 +247,71 @@ final class RoutedFanoutModel private[vamana] (
     new RoutedFanoutModel(s2, params, centroids)
   }
 
+  /** Persist the routed layout: per-shard rows in [[FanoutModel.save]]'s
+    * exact parquet shape (shard-partitioned, external-id neighbor lists)
+    * plus one `centroids` frame (shard → vector) — the routing table is
+    * part of the model, so a reloaded index serves routed queries without
+    * re-clustering. */
+  def save(path: String): Unit = {
+    val spark = shards.sparkSession
+    import spark.implicits._
+    shards.flatMap { case (shard, idx) =>
+      idx.ids.indices.iterator.map { pos =>
+        (shard, pos, idx.ids(pos), idx.points(pos), idx.graph(pos).map(idx.ids(_)),
+          idx.medoid, idx.params.seed)
+      }
+    }.toDF("shard", "pos", "id", "vec", "neighbors", "medoid_pos", "shard_seed")
+      .write.mode("overwrite").partitionBy("shard").parquet(s"$path/shards")
+    centroids.zipWithIndex.map { case (c, si) => (si, c) }.toSeq
+      .toDF("shard", "centroid")
+      .repartition(1).write.mode("overwrite").parquet(s"$path/centroids")
+    val p = params
+    Seq((p.dim, p.maxDegree, p.beamWidth, p.alpha.toDouble, p.efSearch, p.seed,
+      p.paperPrune, p.metric))
+      .toDF("dim", "max_degree", "beam_width", "alpha", "ef_search", "seed",
+        "paper_prune", "metric")
+      .repartition(1).write.mode("overwrite").parquet(s"$path/params")
+  }
+
   def unpersist(): Unit = { val _ = shards.unpersist() }
+}
+
+object RoutedFanoutModel {
+
+  /** Reload a [[RoutedFanoutModel.save]] checkpoint: shard kernels rebuilt
+    * from the frames (no graph builds — adjacency is persisted), routing
+    * table from the centroids frame. */
+  def load(spark: org.apache.spark.sql.SparkSession, path: String): RoutedFanoutModel = {
+    import spark.implicits._
+    val p = spark.read.parquet(s"$path/params").head()
+    val params = VamanaParams(
+      dim = p.getAs[Int]("dim"),
+      maxDegree = p.getAs[Int]("max_degree"),
+      beamWidth = p.getAs[Int]("beam_width"),
+      alpha = p.getAs[Double]("alpha").toFloat,
+      efSearch = p.getAs[Int]("ef_search"),
+      seed = p.getAs[Long]("seed"),
+      paperPrune = p.getAs[Boolean]("paper_prune"),
+      metric = p.getAs[String]("metric"))
+    val centroids = spark.read.parquet(s"$path/centroids")
+      .select(col("shard").cast("int"), col("centroid").cast("array<float>"))
+      .as[(Int, Array[Float])].collect().sortBy(_._1).map(_._2)
+    implicit val shardEnc: Encoder[(Int, LocalIndex)] =
+      Encoders.tuple(Encoders.scalaInt, Encoders.kryo[LocalIndex])
+    val rows = spark.read.parquet(s"$path/shards")
+      .select(col("shard").cast("int"), col("pos").cast("int"), col("id"),
+        col("vec").cast("array<float>"), col("neighbors"),
+        col("medoid_pos").cast("int"), col("shard_seed").cast("long"))
+      .as[(Int, Int, Long, Array[Float], Array[Long], Int, Long)]
+    val shards = rows.groupByKey(_._1).mapGroups { (shard, it) =>
+      val arr = it.toArray.sortBy(_._2)
+      val ids = arr.map(_._3)
+      val posOf = ids.zipWithIndex.toMap
+      val graph = arr.map(_._5.flatMap(posOf.get(_)))
+      (shard, new LocalIndex(ids, arr.map(_._4), graph, arr.head._6,
+        params.copy(seed = arr.head._7)))
+    }.cache()
+    shards.count() // materialize once, up front
+    new RoutedFanoutModel(shards, params, centroids)
+  }
 }

@@ -507,10 +507,42 @@ class FanoutServingSpec extends AnyFunSuite {
     val viaSearch = m1.search(q, 10).collect().map(_.toSeq).toSeq
     val viaRouted = m1.searchRouted(q, 10, nprobe = 4).collect().map(_.toSeq).toSeq
     assert(viaSearch == viaRouted, "search must be searchRouted at full nprobe")
+    // PQ-scored routed serving: full probe + full beam (ADC traversal,
+    // exact rerank) must ALSO be exact kNN — the memory-bounded twin
+    val pqFull = VamanaPq.searchRoutedModel(m1, q, "spec:routedpq", 10,
+        nprobe = 4, fullBeam = true)
+      .select(col("query_id"), col("id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pqFull == exact, "full-probe full-beam PQ-routed merge must equal exact kNN")
     m1.unpersist(); m2.unpersist()
     // kmeans unit facts: k > sample size clamps; empty sample refuses
     assert(VamanaRouted.kmeans(Array(Array(1f, 2f)), k = 5, iters = 3).length == 1)
     assertThrows[IllegalArgumentException](
       VamanaRouted.kmeans(Array.empty[Array[Float]], 2, 2))
+  }
+
+  test("routed save/load: reloaded model routes and searches identically with zero builds") {
+    import org.apache.spark.sql.functions.col
+    val emb = Tables.embeddings(spark, dir)
+    val q = queries(10)
+    val m = VamanaRouted.fit(emb, params, numShards = 4)
+    val want = m.searchRouted(q, 10, nprobe = 2).collect().map(_.toSeq).toSeq
+    val path = java.nio.file.Files.createTempDirectory("routed_ckpt").toString
+    try {
+      m.save(path)
+      val before = VamanaKernel.buildCount.get()
+      val back = RoutedFanoutModel.load(spark, path)
+      assert(VamanaKernel.buildCount.get() == before,
+        "load must rebuild kernels from persisted adjacency, not re-run graph builds")
+      assert(back.numShards == m.numShards)
+      assert(back.centroids.zip(m.centroids).forall { case (a, b) => a.sameElements(b) },
+        "routing table must roundtrip bit-exactly")
+      val got = back.searchRouted(q, 10, nprobe = 2).collect().map(_.toSeq).toSeq
+      assert(got == want, "reloaded routed model must answer identically")
+      back.unpersist()
+    } finally {
+      m.unpersist()
+      scala.reflect.io.Directory(new java.io.File(path)).deleteRecursively()
+    }
   }
 }
