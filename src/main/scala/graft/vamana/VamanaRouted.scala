@@ -91,6 +91,27 @@ object VamanaRouted {
     cents
   }
 
+  /** ε-closure shard assignment of one point: its nearest centroid,
+    * plus the second-nearest when that one is within the (1+ε) distance
+    * band — the ONE routing rule shared by fit and insert, so inserted
+    * points land exactly where the fit would have put them. */
+  private[vamana] def closureAssign(cs: Array[Array[Float]], vec: Array[Float],
+      eps2: Float): Seq[Int] = {
+    var b1 = -1; var d1 = Float.MaxValue
+    var b2 = -1; var d2 = Float.MaxValue
+    var c = 0
+    while (c < cs.length) {
+      val d = VamanaKernel.l2sq(vec, cs(c))
+      if (d < d1) { b2 = b1; d2 = d1; b1 = c; d1 = d }
+      else if (d < d2) { b2 = c; d2 = d }
+      c += 1
+    }
+    if (b2 >= 0 && d2 <= eps2 * d1) Seq(b1, b2) else Seq(b1)
+  }
+
+  private[vamana] def eps2Of(closureEps: Double): Float =
+    ((1.0 + closureEps) * (1.0 + closureEps)).toFloat
+
   /** Fit the routed layout over (idCol: LONG, vecCol: array<float>):
     * sample → k-means centroids → distributed ε-closure assignment → one
     * Vamana kernel per shard (batch-synchronous parallel build, exactly
@@ -123,20 +144,9 @@ object VamanaRouted {
       .select(col("v")).as[Array[Float]].collect()
     val centroids = kmeans(sample, numShards, kmeansIters)
     val bcC = spark.sparkContext.broadcast(centroids)
-    val eps2 = ((1.0 + closureEps) * (1.0 + closureEps)).toFloat
+    val eps2 = eps2Of(closureEps)
     val assigned = ptsT.flatMap { case (id, vec) =>
-      val cs = bcC.value
-      var b1 = -1; var d1 = Float.MaxValue
-      var b2 = -1; var d2 = Float.MaxValue
-      var c = 0
-      while (c < cs.length) {
-        val d = VamanaKernel.l2sq(vec, cs(c))
-        if (d < d1) { b2 = b1; d2 = d1; b1 = c; d1 = d }
-        else if (d < d2) { b2 = c; d2 = d }
-        c += 1
-      }
-      if (b2 >= 0 && d2 <= eps2 * d1) Seq((b1, id, vec), (b2, id, vec))
-      else Seq((b1, id, vec))
+      closureAssign(bcC.value, vec, eps2).map(s => (s, id, vec))
     }
     val par = math.max(2, Runtime.getRuntime.availableProcessors() / math.max(1, centroids.length))
     implicit val shardEnc: Encoder[(Int, LocalIndex)] =
@@ -245,6 +255,70 @@ final class RoutedFanoutModel private[vamana] (
     }.cache()
     s2.count()
     new RoutedFanoutModel(s2, params, centroids)
+  }
+
+  /** Shard-local incremental INSERT — [[FanoutModel.insert]]'s recipe on
+    * the clustered layout: each new point routes by the SAME ε-closure
+    * rule the fit used ([[VamanaRouted.closureAssign]], so a point
+    * inserted today lands exactly where a refit would put it), and joins
+    * its shard's graph via the copy-on-write kernel insert; untouched
+    * shards pass through with ZERO graph builds. Centroids are NOT
+    * refreshed: the routing table is part of the fitted model (the SPANN
+    * posture — refit when [[describeRouting]] shows the stream has
+    * drifted the sizes; a vanished shard row is rebuilt from its batch). */
+  def insert(newPoints: DataFrame, idCol: String = "vec_id",
+      vecCol: String = "embedding", closureEps: Double = 0.15): RoutedFanoutModel = {
+    val spark = shards.sparkSession
+    import spark.implicits._
+    val kp = params
+    val cents = centroids
+    val pts = newPoints
+      .select(col(idCol).cast("long"), col(vecCol).cast("array<float>"))
+      .as[(Long, Array[Float])]
+    val (ptsT, _) = VamanaIndexer.metricTransform(pts, params)
+    val bcC = spark.sparkContext.broadcast(cents)
+    val eps2 = VamanaRouted.eps2Of(closureEps)
+    val assigned = ptsT.flatMap { case (id, vec) =>
+      VamanaRouted.closureAssign(bcC.value, vec, eps2).map(s => (s, id, vec))
+    }.groupByKey(_._1)
+    implicit val shardEnc: Encoder[(Int, LocalIndex)] =
+      Encoders.tuple(Encoders.scalaInt, Encoders.kryo[LocalIndex])
+    val updated = shards.groupByKey(_._1)
+      .cogroup(assigned) { (shard, idxIt, newIt) =>
+        val batch = newIt.toArray.sortBy(_._2)
+        val idxs = idxIt.toArray
+        if (idxs.isEmpty) {
+          if (batch.isEmpty) Iterator.empty
+          else Iterator.single((shard, VamanaKernel.build(
+            batch.map(_._2), batch.map(_._3), kp.copy(seed = kp.seed + shard))))
+        } else idxs.iterator.map { case (_, idx) =>
+          (shard,
+            if (batch.isEmpty) idx
+            else VamanaKernel.insert(idx, batch.map(_._2), batch.map(_._3)))
+        }
+      }.cache()
+    updated.count() // materialize once; the old model stays independently usable
+    new RoutedFanoutModel(updated, params, centroids)
+  }
+
+  /** Shard-local DELETE — [[FanoutModel.delete]]'s recipe: each shard
+    * repairs its own graph around the removed ids (in-neighbor re-prune +
+    * compaction); a fully-emptied shard row disappears, but the routing
+    * table keeps its centroid so a later insert recreates it. */
+  def delete(deleteIds: Array[Long]): RoutedFanoutModel = {
+    val spark = shards.sparkSession
+    implicit val shardEnc: Encoder[(Int, LocalIndex)] =
+      Encoders.tuple(Encoders.scalaInt, Encoders.kryo[LocalIndex])
+    val bc = spark.sparkContext.broadcast(deleteIds)
+    val updated = shards.flatMap { case (shard, idx) =>
+      val delSet = bc.value.toSet
+      val n = idx.ids.count(delSet.contains)
+      if (n == idx.size) Iterator.empty
+      else if (n == 0) Iterator.single((shard, idx))
+      else Iterator.single((shard, VamanaKernel.delete(idx, bc.value)))
+    }.cache()
+    updated.count()
+    new RoutedFanoutModel(updated, params, centroids)
   }
 
   /** Persist the routed layout: per-shard rows in [[FanoutModel.save]]'s

@@ -521,6 +521,50 @@ class FanoutServingSpec extends AnyFunSuite {
       VamanaRouted.kmeans(Array.empty[Array[Float]], 2, 2))
   }
 
+  test("routed insert/delete: fit-rule routing, zero rebuilds, no ghosts, exactness preserved") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, dir)
+    val n = emb.count()
+    val base = VamanaRouted.fit(emb.where(col("vec_id") < n - 20), params, numShards = 4)
+    val batch = emb.where(col("vec_id") >= n - 20)
+    // INSERT: copy-on-write kernel inserts only — zero graph builds
+    val builds0 = VamanaKernel.buildCount.get()
+    val grown = base.insert(batch)
+    assert(VamanaKernel.buildCount.get() == builds0,
+      "insert must extend fitted shard graphs, not rebuild them")
+    // every inserted point finds ITSELF at full probe + full beam
+    val selfQ = batch.select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+    val self = grown.withFullBeamShards().search(selfQ, 1)
+      .where(col("rank") === 1).select(col("query_id"), col("id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(self.length == 20 && self.forall { case (q, id) => q == id },
+      "an inserted point must be its own nearest neighbor")
+    // the union model stays EXACT at full probe + full beam
+    val q = queries(10)
+    val exactAll = Knn.knnExact(emb, q, 10).select(col("query_id"), col("id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val gotAll = grown.withFullBeamShards().search(q, 10).select(col("query_id"), col("id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(gotAll == exactAll, "post-insert full-probe full-beam must equal exact kNN")
+    // the base model is independently intact (copy-on-write)
+    assert(base.describeRouting().agg(org.apache.spark.sql.functions.sum(col("n_points")))
+      .head().getLong(0) <= 2 * (n - 20))
+    // DELETE: removed ids never surface; survivors stay exact
+    val delIds = (0L until 20L).toArray
+    val shrunk = grown.delete(delIds)
+    val ghost = shrunk.withFullBeamShards().search(q, 10)
+      .where(col("id").isInCollection(delIds.toSeq)).count()
+    assert(ghost == 0, "deleted ids surfaced in search results")
+    val exactSurv = Knn.knnExact(emb.where(col("vec_id") >= 20), q, 10)
+      .select(col("query_id"), col("id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val gotSurv = shrunk.withFullBeamShards().search(q, 10).select(col("query_id"), col("id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(gotSurv == exactSurv, "post-delete full-probe full-beam must equal exact kNN over survivors")
+    base.unpersist(); grown.unpersist(); shrunk.unpersist()
+  }
+
   test("routed save/load: reloaded model routes and searches identically with zero builds") {
     import org.apache.spark.sql.functions.col
     val emb = Tables.embeddings(spark, dir)
