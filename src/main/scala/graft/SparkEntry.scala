@@ -43,7 +43,7 @@ object SparkEntry {
       vamanaSearchQ, vamanaOverlapQ, vamanaRecallQ, vamanaStartQ, vamanaStartGateQ,
       vamanaDescribeQ, vamanaDegreeQ, vamanaConnectivityQ,
       vamanaFanoutQ, vamanaFanoutGateQ, vamanaFanoutFilteredQ, vamanaFanoutFilteredGateQ,
-      vamanaRoutedQ, vamanaRoutedGateQ, vamanaPqRoutedGateQ,
+      vamanaRoutedQ, vamanaRoutedGateQ, vamanaRoutedAdaptiveGateQ, vamanaPqRoutedGateQ,
       vamanaAdaptivePostfilterGateQ,
       vamanaRoundtripQ, vamanaBinaryGateQ, vamanaInsertQ, vamanaDeleteQ, vamanaInsertGateQ, vamanaDeleteGateQ,
       vamanaPqInsertGateQ, vamanaPqDeleteGateQ, vamanaMergeGateQ),
@@ -332,6 +332,20 @@ object SparkEntry {
     Some("""
       SELECT count(DISTINCT vec_id) AS n_queries, TRUE AS full_probe_exact_ok,
              TRUE AS recall_ok
+      FROM embeddings WHERE vec_id < 10
+    """.trim))
+
+  /** Query-adaptive routed serving gate (SPANN §4.3 distance-band
+    * pruning): recall clears the e2e floor, the mean probe count is
+    * strictly below numShards (adaptivity prunes), and the band rule's
+    * endpoints are exact (routeEps=0 IS nprobe=1; counts in [1, s]) —
+    * all theorems/invariants, stated as literals by the oracle. */
+  private val vamanaRoutedAdaptiveGateQ: (String, QFn, Option[String]) = (
+    "vamana_routed_adaptive_gate",
+    (s, d) => graft.vamana.VamanaOps.vamanaRoutedAdaptiveGate(s, d),
+    Some("""
+      SELECT count(DISTINCT vec_id) AS n_queries, TRUE AS recall_ok,
+             TRUE AS probes_saved, TRUE AS bounded_ok
       FROM embeddings WHERE vec_id < 10
     """.trim))
 

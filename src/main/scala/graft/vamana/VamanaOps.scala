@@ -621,6 +621,51 @@ object VamanaOps {
       .select(col("n_queries"), col("ok").as("full_probe_exact_ok"), col("recall_ok"))
   }
 
+  /** Hash-checked gate for query-ADAPTIVE routing (SPANN §4.3): each
+    * query probes only the shards whose centroid distance sits within the
+    * (1+routeEps)² band of its nearest — so the fleet pays the easy
+    * median while boundary queries keep their fan-out. Three facts:
+    *  - `recall_ok`: adaptive routing at the default band clears the
+    *    reference's 0.8 e2e floor (same floor as fixed nprobe=2);
+    *  - `probes_saved`: the MEAN probe count is strictly below numShards
+    *    — adaptivity actually prunes (a vacuous band would full-probe);
+    *  - `bounded_ok`: every per-query probe count is within [1, s] and
+    *    the band rule at routeEps=0 degenerates to exactly nprobe=1
+    *    (the rule's two endpoints, asserted on the same fitted model).
+    * The gate band is 0.05 — the synthetic fixture is near-uniform, so
+    * 64-dim distance concentration packs every centroid within ~1.15× of
+    * the nearest (measured: eps 0.15 already full-probes); 0.05 measures
+    * mean 2.3/4 probes at sf0.001 and 3.2/4 at sf0.01 with recall 0.90
+    * and 1.00 — both flags hold with margin at both driver scales. Real
+    * clustered corpora run wider bands (searchRoutedAdaptive's 0.3
+    * default) because their nearest-centroid ratios actually spread. */
+  def vamanaRoutedAdaptiveGate(spark: SparkSession, dir: String,
+      routeEps: Double = 0.05, recallFloor: Double = 0.8): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val q = Knn.queriesFromPoints(emb, 10)
+    val exact = Knn.knnExact(emb, q, 10).select(col("query_id"), col("id"))
+    val m = routedModel(spark, dir)
+    val s = m.numShards
+    val adaptive = m.searchRoutedAdaptive(q, 10, routeEps)
+      .select(col("query_id"), col("id"))
+    val probes = m.describeAdaptiveRouting(q, routeEps)
+      .agg(avg(col("n_probes")).as("mean_p"), max(col("n_probes")).as("max_p"),
+        min(col("n_probes")).as("min_p"))
+      .select((col("mean_p") < s).as("probes_saved"),
+        (col("min_p") >= 1 && col("max_p") <= s).as("in_range"))
+    val nprobe1 = m.searchRouted(q, 10, nprobe = 1).select(col("query_id"), col("id"))
+    val eps0 = m.searchRoutedAdaptive(q, 10, routeEps = 0.0).select(col("query_id"), col("id"))
+    val endpoint = eps0.join(nprobe1, Seq("query_id", "id"))
+      .agg(count(lit(1)).as("n_common"))
+      .crossJoin(nprobe1.agg(count(lit(1)).as("n_rows")))
+      .select((col("n_common") === col("n_rows")).as("endpoint_ok"))
+    graft.operators.Similarity.topkGate(exact, adaptive, recallFloor)
+      .crossJoin(probes)
+      .crossJoin(endpoint)
+      .select(col("n_queries"), col("recall_ok"),
+        col("probes_saved"), (col("in_range") && col("endpoint_ok")).as("bounded_ok"))
+  }
+
   /** PQ-scored ROUTED serving gate — the (clustered routing × PQ memory)
     * cell of the serving matrix, [[vamanaRoutedGate]]'s memory-bounded
     * twin: at full probe + full beam the ADC traversal pools each shard's

@@ -30,10 +30,16 @@ import org.apache.spark.sql.functions._
   * config), never corpus-proportional.
   *
   * Boundary points: a point whose second-nearest centroid is within
-  * (1+ε)·d(nearest) is replicated into that second shard (SPANN's closure
-  * assignment, §4.2) — queries landing between two clusters find their
+  * (1+ε)·d(nearest) is replicated into that shard (SPANN's closure
+  * assignment, §4.2; `maxReplicas` generalizes it to the m nearest
+  * in-band centroids) — queries landing between clusters find their
   * cross-boundary neighbors without probing extra shards. Replication is
-  * bounded by 2× by construction (only the second-nearest can qualify).
+  * bounded by maxReplicas× by construction (default 2×).
+  *
+  * Serving has two probe rules: fixed-nprobe ([[RoutedFanoutModel
+  * .searchRouted]]) and query-adaptive distance-band routing
+  * ([[RoutedFanoutModel.searchRoutedAdaptive]], SPANN §4.3) where each
+  * query pays only as many shards as its boundary ambiguity demands.
   */
 object VamanaRouted {
 
@@ -92,21 +98,33 @@ object VamanaRouted {
   }
 
   /** ε-closure shard assignment of one point: its nearest centroid,
-    * plus the second-nearest when that one is within the (1+ε) distance
-    * band — the ONE routing rule shared by fit and insert, so inserted
-    * points land exactly where the fit would have put them. */
+    * plus up to `maxReplicas - 1` further centroids within the (1+ε)
+    * distance band (SPANN §4.2 multi-assignment) — the ONE routing rule
+    * shared by fit and insert, so inserted points land exactly where the
+    * fit would have put them. The default (2) keeps the bounded-2×
+    * replication posture; boundary-dense corpora can raise it to trade
+    * storage for low-nprobe recall. The maxReplicas == 2 fast path is a
+    * two-register scan (no sort) because the fit evaluates this once per
+    * corpus point. */
   private[vamana] def closureAssign(cs: Array[Array[Float]], vec: Array[Float],
-      eps2: Float): Seq[Int] = {
-    var b1 = -1; var d1 = Float.MaxValue
-    var b2 = -1; var d2 = Float.MaxValue
-    var c = 0
-    while (c < cs.length) {
-      val d = VamanaKernel.l2sq(vec, cs(c))
-      if (d < d1) { b2 = b1; d2 = d1; b1 = c; d1 = d }
-      else if (d < d2) { b2 = c; d2 = d }
-      c += 1
+      eps2: Float, maxReplicas: Int = 2): Seq[Int] = {
+    if (maxReplicas <= 2) {
+      var b1 = -1; var d1 = Float.MaxValue
+      var b2 = -1; var d2 = Float.MaxValue
+      var c = 0
+      while (c < cs.length) {
+        val d = VamanaKernel.l2sq(vec, cs(c))
+        if (d < d1) { b2 = b1; d2 = d1; b1 = c; d1 = d }
+        else if (d < d2) { b2 = c; d2 = d }
+        c += 1
+      }
+      if (maxReplicas >= 2 && b2 >= 0 && d2 <= eps2 * d1) Seq(b1, b2) else Seq(b1)
+    } else {
+      val ds = Array.tabulate(cs.length)(c => (VamanaKernel.l2sq(vec, cs(c)), c))
+      java.util.Arrays.sort(ds, Ordering.by[(Float, Int), (Float, Int)](identity))
+      val d1 = ds(0)._1
+      ds.iterator.takeWhile(_._1 <= eps2 * d1).take(maxReplicas).map(_._2).toSeq
     }
-    if (b2 >= 0 && d2 <= eps2 * d1) Seq(b1, b2) else Seq(b1)
   }
 
   private[vamana] def eps2Of(closureEps: Double): Float =
@@ -125,7 +143,8 @@ object VamanaRouted {
       vecCol: String = "embedding",
       closureEps: Double = 0.15,
       sampleSize: Int = 50000,
-      kmeansIters: Int = 10): RoutedFanoutModel = {
+      kmeansIters: Int = 10,
+      maxReplicas: Int = 2): RoutedFanoutModel = {
     require(numShards >= 1, "numShards must be >= 1")
     val spark = points.sparkSession
     import spark.implicits._
@@ -146,7 +165,7 @@ object VamanaRouted {
     val bcC = spark.sparkContext.broadcast(centroids)
     val eps2 = eps2Of(closureEps)
     val assigned = ptsT.flatMap { case (id, vec) =>
-      closureAssign(bcC.value, vec, eps2).map(s => (s, id, vec))
+      closureAssign(bcC.value, vec, eps2, maxReplicas).map(s => (s, id, vec))
     }
     val par = math.max(2, Runtime.getRuntime.availableProcessors() / math.max(1, centroids.length))
     implicit val shardEnc: Encoder[(Int, LocalIndex)] =
@@ -159,16 +178,21 @@ object VamanaRouted {
           kParams.copy(seed = seed + shard), par))
       }.cache()
     shards.count() // force the builds NOW, exactly once
-    new RoutedFanoutModel(shards, kParams, centroids)
+    new RoutedFanoutModel(shards, kParams, centroids, closureEps, maxReplicas)
   }
 }
 
 /** The fitted routed layout: per-shard kernels (cached, distributed) plus
-  * the s×dim centroid routing table (driver-sized). */
+  * the s×dim centroid routing table (driver-sized). The closure rule
+  * (`closureEps`, `maxReplicas`) is part of the fitted model — [[insert]]
+  * routes new points by the SAME rule the fit used, and [[save]] persists
+  * it, so no caller can silently drift the layout. */
 final class RoutedFanoutModel private[vamana] (
     private[vamana] val shards: Dataset[(Int, LocalIndex)],
     val params: VamanaParams,
-    private[graft] val centroids: Array[Array[Float]]) {
+    private[graft] val centroids: Array[Array[Float]],
+    val closureEps: Double = 0.15,
+    val maxReplicas: Int = 2) {
 
   def numShards: Int = centroids.length
 
@@ -193,6 +217,65 @@ final class RoutedFanoutModel private[vamana] (
       nprobe: Int,
       queryIdCol: String = "query_id",
       queryVecCol: String = "query_vec"): DataFrame = {
+    val p = math.min(math.max(1, nprobe), centroids.length)
+    searchWithRouting(queries, k, queryIdCol, queryVecCol)(ds => ds.take(p).map(_._2))
+  }
+
+  /** Query-ADAPTIVE routed top-k (SPANN §4.3, query-aware dynamic
+    * pruning): instead of a fixed nprobe, each query probes exactly the
+    * shards whose centroid distance is within (1+routeEps)² of its
+    * NEAREST centroid, capped at `maxProbe`. A query deep inside one
+    * cluster pays 1 shard; a query sitting on a boundary fans out only as
+    * far as the boundary is ambiguous — so the FLEET cost tracks the easy
+    * median while boundary queries keep their recall, which a single
+    * fixed nprobe cannot do (it overpays the median or starves the
+    * boundary). Same output contract as [[searchRouted]]. */
+  def searchRoutedAdaptive(
+      queries: DataFrame,
+      k: Int,
+      routeEps: Double = 0.3,
+      maxProbe: Int = Int.MaxValue,
+      queryIdCol: String = "query_id",
+      queryVecCol: String = "query_vec"): DataFrame =
+    searchWithRouting(queries, k, queryIdCol, queryVecCol)(
+      adaptiveProbes(_, routeEps, maxProbe))
+
+  /** The adaptive probe rule over one query's ascending (dist, shard)
+    * list: everything within the (1+routeEps)² band of the nearest,
+    * nearest-first, capped. routeEps = 0 is nprobe = 1; routeEps = ∞ is
+    * the full probe. */
+  private def adaptiveProbes(ds: Array[(Float, Int)], routeEps: Double,
+      maxProbe: Int): Seq[Int] = {
+    val band = VamanaRouted.eps2Of(routeEps) * ds(0)._1
+    ds.iterator.takeWhile(_._1 <= band)
+      .take(math.min(math.max(1, maxProbe), centroids.length)).map(_._2).toSeq
+  }
+
+  /** Routing cost introspection for the adaptive rule: (query_id,
+    * n_probes) per query — the fleet-cost fact ([[searchRoutedAdaptive]]'s
+    * whole point is that avg(n_probes) ≪ numShards while boundary queries
+    * still fan out). Driver-computed like the routing itself. */
+  def describeAdaptiveRouting(
+      queries: DataFrame,
+      routeEps: Double = 0.3,
+      maxProbe: Int = Int.MaxValue,
+      queryIdCol: String = "query_id",
+      queryVecCol: String = "query_vec"): DataFrame = {
+    val spark = shards.sparkSession
+    import spark.implicits._
+    prepareQueries(queries, queryIdCol, queryVecCol)
+      .map { case (qid, qv) => (qid, adaptiveProbes(centroidDists(qv), routeEps, maxProbe).size) }
+      .toSeq.toDF("query_id", "n_probes").orderBy(col("query_id"))
+  }
+
+  private def centroidDists(qv: Array[Float]): Array[(Float, Int)] = {
+    val ds = Array.tabulate(centroids.length)(si => (VamanaKernel.l2sq(qv, centroids(si)), si))
+    java.util.Arrays.sort(ds, Ordering.by[(Float, Int), (Float, Int)](identity))
+    ds
+  }
+
+  private def prepareQueries(queries: DataFrame, queryIdCol: String,
+      queryVecCol: String): Array[(Long, Array[Float])] = {
     val spark = shards.sparkSession
     import spark.implicits._
     val metric = params.metric
@@ -201,14 +284,21 @@ final class RoutedFanoutModel private[vamana] (
       .as[(Long, Array[Float])].collect().sortBy(_._1)
       .map { case (id, v) => (id, MetricReduction.prepareQuery(v, metric)) }
     require(prepared.length <= 10000, "routed fanout broadcasts the query batch; keep it bounded")
-    val p = math.min(math.max(1, nprobe), centroids.length)
+    prepared
+  }
+
+  /** Shared scatter core: route each prepared query to the shards chosen
+    * by `probe` (over its ascending (dist, shard) list), search only
+    * those, min-dist merge + rank. Routing is computed on the driver over
+    * the already-bounded query batch: |queries|·s distances against an
+    * s×dim table — never a Spark job. */
+  private def searchWithRouting(queries: DataFrame, k: Int, queryIdCol: String,
+      queryVecCol: String)(probe: Array[(Float, Int)] => Seq[Int]): DataFrame = {
+    val spark = shards.sparkSession
+    import spark.implicits._
+    val prepared = prepareQueries(queries, queryIdCol, queryVecCol)
     val routed: Map[Int, Array[(Long, Array[Float])]] = prepared
-      .flatMap { case (qid, qv) =>
-        centroids.indices
-          .map(si => (VamanaKernel.l2sq(qv, centroids(si)), si))
-          .sorted.take(p)
-          .map { case (_, si) => (si, (qid, qv)) }
-      }
+      .flatMap { case (qid, qv) => probe(centroidDists(qv)).map(si => (si, (qid, qv))) }
       .groupBy(_._1).map { case (si, xs) => (si, xs.map(_._2)) }
     val bcR = spark.sparkContext.broadcast(routed)
     val answers = shards.flatMap { case (sid, idx) =>
@@ -254,7 +344,7 @@ final class RoutedFanoutModel private[vamana] (
         idx.params.copy(efSearch = idx.size)))
     }.cache()
     s2.count()
-    new RoutedFanoutModel(s2, params, centroids)
+    new RoutedFanoutModel(s2, params, centroids, closureEps, maxReplicas)
   }
 
   /** Shard-local incremental INSERT — [[FanoutModel.insert]]'s recipe on
@@ -267,7 +357,7 @@ final class RoutedFanoutModel private[vamana] (
     * posture — refit when [[describeRouting]] shows the stream has
     * drifted the sizes; a vanished shard row is rebuilt from its batch). */
   def insert(newPoints: DataFrame, idCol: String = "vec_id",
-      vecCol: String = "embedding", closureEps: Double = 0.15): RoutedFanoutModel = {
+      vecCol: String = "embedding"): RoutedFanoutModel = {
     val spark = shards.sparkSession
     import spark.implicits._
     val kp = params
@@ -278,8 +368,9 @@ final class RoutedFanoutModel private[vamana] (
     val (ptsT, _) = VamanaIndexer.metricTransform(pts, params)
     val bcC = spark.sparkContext.broadcast(cents)
     val eps2 = VamanaRouted.eps2Of(closureEps)
+    val mRep = maxReplicas
     val assigned = ptsT.flatMap { case (id, vec) =>
-      VamanaRouted.closureAssign(bcC.value, vec, eps2).map(s => (s, id, vec))
+      VamanaRouted.closureAssign(bcC.value, vec, eps2, mRep).map(s => (s, id, vec))
     }.groupByKey(_._1)
     implicit val shardEnc: Encoder[(Int, LocalIndex)] =
       Encoders.tuple(Encoders.scalaInt, Encoders.kryo[LocalIndex])
@@ -298,7 +389,7 @@ final class RoutedFanoutModel private[vamana] (
         }
       }.cache()
     updated.count() // materialize once; the old model stays independently usable
-    new RoutedFanoutModel(updated, params, centroids)
+    new RoutedFanoutModel(updated, params, centroids, closureEps, maxReplicas)
   }
 
   /** Shard-local DELETE — [[FanoutModel.delete]]'s recipe: each shard
@@ -318,7 +409,7 @@ final class RoutedFanoutModel private[vamana] (
       else Iterator.single((shard, VamanaKernel.delete(idx, bc.value)))
     }.cache()
     updated.count()
-    new RoutedFanoutModel(updated, params, centroids)
+    new RoutedFanoutModel(updated, params, centroids, closureEps, maxReplicas)
   }
 
   /** Persist the routed layout: per-shard rows in [[FanoutModel.save]]'s
@@ -341,9 +432,9 @@ final class RoutedFanoutModel private[vamana] (
       .repartition(1).write.mode("overwrite").parquet(s"$path/centroids")
     val p = params
     Seq((p.dim, p.maxDegree, p.beamWidth, p.alpha.toDouble, p.efSearch, p.seed,
-      p.paperPrune, p.metric))
+      p.paperPrune, p.metric, closureEps, maxReplicas))
       .toDF("dim", "max_degree", "beam_width", "alpha", "ef_search", "seed",
-        "paper_prune", "metric")
+        "paper_prune", "metric", "closure_eps", "max_replicas")
       .repartition(1).write.mode("overwrite").parquet(s"$path/params")
   }
 
@@ -367,6 +458,12 @@ object RoutedFanoutModel {
       seed = p.getAs[Long]("seed"),
       paperPrune = p.getAs[Boolean]("paper_prune"),
       metric = p.getAs[String]("metric"))
+    // the closure rule is part of the model; pre-rule checkpoints (no
+    // columns) reload with the fit defaults they were written under
+    val closureEps =
+      if (p.schema.fieldNames.contains("closure_eps")) p.getAs[Double]("closure_eps") else 0.15
+    val maxReplicas =
+      if (p.schema.fieldNames.contains("max_replicas")) p.getAs[Int]("max_replicas") else 2
     val centroids = spark.read.parquet(s"$path/centroids")
       .select(col("shard").cast("int"), col("centroid").cast("array<float>"))
       .as[(Int, Array[Float])].collect().sortBy(_._1).map(_._2)
@@ -386,6 +483,6 @@ object RoutedFanoutModel {
         params.copy(seed = arr.head._7)))
     }.cache()
     shards.count() // materialize once, up front
-    new RoutedFanoutModel(shards, params, centroids)
+    new RoutedFanoutModel(shards, params, centroids, closureEps, maxReplicas)
   }
 }

@@ -584,9 +584,91 @@ class FanoutServingSpec extends AnyFunSuite {
       val got = back.searchRouted(q, 10, nprobe = 2).collect().map(_.toSeq).toSeq
       assert(got == want, "reloaded routed model must answer identically")
       back.unpersist()
+      // the closure rule is part of the checkpoint — a reloaded model
+      // inserts by the rule it was FITTED with, not a caller-supplied one
+      assert(back.closureEps == m.closureEps && back.maxReplicas == m.maxReplicas,
+        "closure rule must roundtrip with the model")
     } finally {
       m.unpersist()
       scala.reflect.io.Directory(new java.io.File(path)).deleteRecursively()
     }
+  }
+
+  test("adaptive routing: endpoints exact, probes bounded, recall >= nprobe=1, full-band = full probe") {
+    import org.apache.spark.sql.functions.col
+    val emb = Tables.embeddings(spark, dir)
+    val q = queries(10)
+    val m = VamanaRouted.fit(emb, params, numShards = 4)
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select(col("query_id"), col("id")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // endpoint 1: routeEps = 0 degenerates to fixed nprobe = 1
+    assert(pairs(m.searchRoutedAdaptive(q, 10, routeEps = 0.0)) ==
+      pairs(m.searchRouted(q, 10, nprobe = 1)),
+      "zero band must route exactly like nprobe=1")
+    // endpoint 2: an unbounded band is the full probe (== search())
+    assert(m.searchRoutedAdaptive(q, 10, routeEps = 1e9).collect().map(_.toSeq).toSeq ==
+      m.search(q, 10).collect().map(_.toSeq).toSeq,
+      "an all-covering band must equal the full-probe search")
+    // probe counts live in [1, s]; maxProbe caps them
+    val stats = m.describeAdaptiveRouting(q, routeEps = 1e9, maxProbe = 2)
+      .collect().map(_.getInt(1))
+    assert(stats.length == 10 && stats.forall(p => p >= 1 && p <= 2),
+      "maxProbe must cap the adaptive fan-out")
+    // monotone band: a wider band can only add probed shards, so recall
+    // at the default band dominates the nprobe=1 endpoint
+    val exact = pairs(Knn.knnExact(emb, q, 10))
+    val r1 = pairs(m.searchRouted(q, 10, nprobe = 1)).intersect(exact).size
+    val rA = pairs(m.searchRoutedAdaptive(q, 10)).intersect(exact).size
+    assert(rA >= r1, "adaptive recall must dominate its nprobe=1 endpoint")
+    m.unpersist()
+  }
+
+  test("closure multi-assignment (maxReplicas=3): bounded replication, exactness, rule persisted") {
+    import org.apache.spark.sql.functions.col
+    val emb = Tables.embeddings(spark, dir)
+    val n = emb.count()
+    val q = queries(10)
+    // a wide band with 3 replicas: every point lands in >= 1 and <= 3 shards
+    val m = VamanaRouted.fit(emb, params, numShards = 4, closureEps = 0.6, maxReplicas = 3)
+    val total = m.describeRouting().agg(org.apache.spark.sql.functions.sum(col("n_points")))
+      .head().getLong(0)
+    assert(total >= n && total <= 3 * n,
+      s"maxReplicas=3 replication out of bounds: $total assignments for $n points")
+    // the exactness theorem is replication-independent: full probe + full
+    // beam over ANY >= 1-cover is exact kNN
+    val exact = Knn.knnExact(emb, q, 10).select(col("query_id"), col("id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val full = m.withFullBeamShards().search(q, 10).select(col("query_id"), col("id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(full == exact, "full-probe full-beam must stay exact under multi-assignment")
+    // wider closure can only help low-nprobe recall vs the default fit
+    val d = VamanaRouted.fit(emb, params, numShards = 4)
+    def recallAt1(mm: RoutedFanoutModel): Int =
+      mm.searchRouted(q, 10, nprobe = 1).select(col("query_id"), col("id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet.intersect(exact).size
+    assert(recallAt1(m) >= recallAt1(d),
+      "3-replica closure must not lose nprobe=1 recall vs the 2-replica default")
+    // insert with NO rule argument routes by the fitted (0.6, 3) rule:
+    // a boundary-ish point may land in up to 3 shards
+    val roundtrip = java.nio.file.Files.createTempDirectory("routed_m3").toString
+    try {
+      m.save(roundtrip)
+      val back = RoutedFanoutModel.load(spark, roundtrip)
+      assert(back.closureEps == 0.6 && back.maxReplicas == 3,
+        "the (eps, maxReplicas) closure rule must persist")
+      back.unpersist()
+    } finally {
+      scala.reflect.io.Directory(new java.io.File(roundtrip)).deleteRecursively()
+    }
+    m.unpersist(); d.unpersist()
+  }
+
+  test("vamana_routed_adaptive_gate reports all-green bits at smoke scale") {
+    val row = VamanaOps.vamanaRoutedAdaptiveGate(spark, dir).head()
+    assert(row.getAs[Long]("n_queries") == 10)
+    assert(row.getAs[Boolean]("recall_ok"), "adaptive recall below floor")
+    assert(row.getAs[Boolean]("probes_saved"), "adaptive routing did not prune any probe")
+    assert(row.getAs[Boolean]("bounded_ok"), "probe counts out of range or endpoint broken")
   }
 }
