@@ -37,4 +37,10 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 224 queries' whole-stage-codegen classes overflow the JIT code cache
+  // default (240m) once CodeGenerator.cache is sized to the suite — the
+  // JIT then silently disables compilation mid-run (measured: rotating
+  // 6-28x per-query inflation). One JVM hosting hundreds of standing
+  // generated plans needs both caches sized together.
+  "-XX:ReservedCodeCacheSize=512m",
 )

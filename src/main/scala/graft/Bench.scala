@@ -50,6 +50,16 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
+      // The generated-class cache (CodeGenerator.cache) holds 100 entries by
+      // default; a JVM cycling through 220+ distinct plans evicts and
+      // re-janino-compiles the biggest codegen stages EVERY run — measured
+      // 6-28x inflation on the five largest whole-stage classes (rag_rerank
+      // 1.9->11.6s, sim_range_search 0.09->2.4s) once the suite crossed the
+      // threshold, while the same queries run warm in isolation. A serving
+      // JVM hosting many standing queries needs this sized to its plan
+      // count. Static conf: effective because this is the JVM's first
+      // session.
+      .config("spark.sql.codegen.cache.maxEntries", "2000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     graft.core.Tables.cacheTables = true

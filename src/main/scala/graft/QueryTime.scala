@@ -21,6 +21,9 @@ object QueryTime {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
+      // 220+ distinct plans in one JVM overflow the 100-entry generated-
+      // class cache (see Bench.scala) — size it to the suite
+      .config("spark.sql.codegen.cache.maxEntries", "2000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     graft.core.Tables.cacheTables = true
