@@ -567,6 +567,56 @@ object StreamingOps {
       .toDF("query_id", "ts", "rank", "id", "dist")
   }
 
+  /** ROUTED online ANN serving — [[streamingVectorSearch]]'s clustered-
+    * layout twin, closing the serving matrix's streaming row: each
+    * arriving query routes by the SAME adaptive band rule as the batch
+    * path ([[graft.vamana.VamanaRouted.adaptiveProbeShards]] — the
+    * function object is shared, not re-derived), searches only its
+    * in-band shard kernels from the broadcast [[graft.vamana
+    * .RoutedLocalServing]] (built via the guarded
+    * `RoutedFanoutModel.localServing`), and merges with the batch
+    * min-dist/ties-by-id rule and the same 1e-4 rounding — so stream
+    * results are bit-identical to `searchRoutedAdaptive` over the same
+    * rows, spec-asserted. Stateless for the streaming engine; per-row
+    * cost is the probe-count-bounded set of graph traversals, which is
+    * exactly what adaptivity buys at the stream: easy queries pay one
+    * shard, boundary queries fan out, nobody pays the full scatter. */
+  def streamingRoutedSearch(queries: DataFrame,
+      serving: graft.vamana.RoutedLocalServing, k: Int = 10,
+      routeEps: Double = 0.3, maxProbe: Int = Int.MaxValue): DataFrame = {
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(serving)
+    queries
+      .select(col("vec_id").cast("long"), col("ts"), col("embedding").cast("array<float>"))
+      .as[(Long, Timestamp, Array[Float])]
+      .flatMap { case (qid, t, qvec) =>
+        val sv = bc.value
+        val byShard = sv.shards.toMap
+        val q = graft.vamana.MetricReduction.prepareQuery(qvec, sv.metric)
+        val ds = graft.vamana.VamanaRouted.sortedCentroidDists(sv.centroids, q)
+        val probed = graft.vamana.VamanaRouted
+          .adaptiveProbeShards(ds, routeEps, maxProbe, sv.centroids.length)
+        // batch merge semantics verbatim: min dist per id (ε-closure may
+        // answer a replica twice), rank on unrounded doubles, ties by id,
+        // round only in the emitted row
+        val merged = scala.collection.mutable.HashMap.empty[Long, Double]
+        probed.foreach { si =>
+          byShard.get(si).foreach { idx =>
+            graft.vamana.VamanaKernel.search(idx, q, k).foreach { case (id, dist) =>
+              val d = dist.toDouble
+              merged.updateWith(id)(prev => Some(prev.fold(d)(math.min(_, d))))
+            }
+          }
+        }
+        merged.toArray.sortBy { case (id, d) => (d, id) }.iterator.take(k).zipWithIndex
+          .map { case ((id, d), r) =>
+            (qid, t, (r + 1).toLong, id, math.rint(d * 1e4) / 1e4)
+          }
+      }
+      .toDF("query_id", "ts", "rank", "id", "dist")
+  }
+
   /** Online RANGE (radius) serving — [[streamingVectorSearch]]'s
     * set-valued twin: each arriving query emits EVERY stored point within
     * squared-L2 `radiusSq`, via the same escalating-beam kernel as the

@@ -130,6 +130,28 @@ object VamanaRouted {
   private[vamana] def eps2Of(closureEps: Double): Float =
     ((1.0 + closureEps) * (1.0 + closureEps)).toFloat
 
+  /** Ascending (distance², shard) routing list for one prepared query —
+    * the shared precursor of both probe rules. */
+  private[graft] def sortedCentroidDists(centroids: Array[Array[Float]],
+      qv: Array[Float]): Array[(Float, Int)] = {
+    val ds = Array.tabulate(centroids.length)(si => (VamanaKernel.l2sq(qv, centroids(si)), si))
+    java.util.Arrays.sort(ds, Ordering.by[(Float, Int), (Float, Int)](identity))
+    ds
+  }
+
+  /** The ONE adaptive probe rule (SPANN §4.3) shared by batch
+    * ([[RoutedFanoutModel.searchRoutedAdaptive]]) and streaming
+    * ([[graft.streaming.StreamingOps.streamingRoutedSearch]]) serving:
+    * everything within the (1+routeEps)² band of the nearest centroid,
+    * nearest-first, capped at maxProbe. routeEps = 0 is nprobe = 1; an
+    * unbounded band is the full probe. */
+  private[graft] def adaptiveProbeShards(ds: Array[(Float, Int)], routeEps: Double,
+      maxProbe: Int, numShards: Int): Seq[Int] = {
+    val band = eps2Of(routeEps) * ds(0)._1
+    ds.iterator.takeWhile(_._1 <= band)
+      .take(math.min(math.max(1, maxProbe), numShards)).map(_._2).toSeq
+  }
+
   /** Fit the routed layout over (idCol: LONG, vecCol: array<float>):
     * sample → k-means centroids → distributed ε-closure assignment → one
     * Vamana kernel per shard (batch-synchronous parallel build, exactly
@@ -241,15 +263,11 @@ final class RoutedFanoutModel private[vamana] (
       adaptiveProbes(_, routeEps, maxProbe))
 
   /** The adaptive probe rule over one query's ascending (dist, shard)
-    * list: everything within the (1+routeEps)² band of the nearest,
-    * nearest-first, capped. routeEps = 0 is nprobe = 1; routeEps = ∞ is
-    * the full probe. */
+    * list — [[VamanaRouted.adaptiveProbeShards]], the function the
+    * streaming twin shares. */
   private def adaptiveProbes(ds: Array[(Float, Int)], routeEps: Double,
-      maxProbe: Int): Seq[Int] = {
-    val band = VamanaRouted.eps2Of(routeEps) * ds(0)._1
-    ds.iterator.takeWhile(_._1 <= band)
-      .take(math.min(math.max(1, maxProbe), centroids.length)).map(_._2).toSeq
-  }
+      maxProbe: Int): Seq[Int] =
+    VamanaRouted.adaptiveProbeShards(ds, routeEps, maxProbe, centroids.length)
 
   /** Routing cost introspection for the adaptive rule: (query_id,
     * n_probes) per query — the fleet-cost fact ([[searchRoutedAdaptive]]'s
@@ -268,10 +286,23 @@ final class RoutedFanoutModel private[vamana] (
       .toSeq.toDF("query_id", "n_probes").orderBy(col("query_id"))
   }
 
-  private def centroidDists(qv: Array[Float]): Array[(Float, Int)] = {
-    val ds = Array.tabulate(centroids.length)(si => (VamanaKernel.l2sq(qv, centroids(si)), si))
-    java.util.Arrays.sort(ds, Ordering.by[(Float, Int), (Float, Int)](identity))
-    ds
+  private def centroidDists(qv: Array[Float]): Array[(Float, Int)] =
+    VamanaRouted.sortedCentroidDists(centroids, qv)
+
+  /** Collect the fitted layout into one broadcastable serving object for
+    * the STREAMING twin ([[graft.streaming.StreamingOps
+    * .streamingRoutedSearch]]) — guarded: the collect is corpus-
+    * proportional, so it refuses beyond `maxLocalPoints` replicated
+    * points with a pointer at the distributed serving path instead of
+    * OOMing the driver. */
+  def localServing(maxLocalPoints: Long = 2000000L): RoutedLocalServing = {
+    val total = describeRouting()
+      .agg(sum(col("n_points"))).head().getLong(0)
+    require(total <= maxLocalPoints,
+      s"localServing collects every shard kernel to the driver: $total replicated points " +
+        s"exceed maxLocalPoints=$maxLocalPoints — serve with searchRouted/searchRoutedAdaptive " +
+        "(distributed, shards never leave executors) instead, or raise the guard deliberately")
+    RoutedLocalServing(shards.collect().sortBy(_._1), centroids, params.metric)
   }
 
   private def prepareQueries(queries: DataFrame, queryIdCol: String,
@@ -440,6 +471,16 @@ final class RoutedFanoutModel private[vamana] (
 
   def unpersist(): Unit = { val _ = shards.unpersist() }
 }
+
+/** A routed layout collected for single-process serving: the per-shard
+  * kernels, the routing table, and the metric the queries must be
+  * prepared in — everything [[graft.streaming.StreamingOps
+  * .streamingRoutedSearch]] broadcasts. Built only through the guarded
+  * [[RoutedFanoutModel.localServing]]. */
+final case class RoutedLocalServing(
+    shards: Array[(Int, LocalIndex)],
+    centroids: Array[Array[Float]],
+    metric: String) extends Serializable
 
 object RoutedFanoutModel {
 

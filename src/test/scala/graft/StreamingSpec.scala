@@ -225,6 +225,41 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming routed search is bit-identical to batch adaptive routing; the collect is guarded") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    val m = graft.vamana.VamanaOps.routedModel(spark, dir)
+    val emb = graft.core.Tables.embeddings(spark, dir)
+    val eps = 0.05 // the band that measurably prunes on the near-uniform fixture
+    val batch = m.searchRoutedAdaptive(graft.operators.Knn.queriesFromPoints(emb, 10), 10, eps)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+    // the serving object is corpus-proportional: a too-small guard refuses
+    // with a pointer at the distributed path instead of collecting
+    val guarded = intercept[IllegalArgumentException](m.localServing(maxLocalPoints = 10))
+    assert(guarded.getMessage.contains("searchRoutedAdaptive"),
+      "the guard must name the distributed alternative")
+    val serving = m.localServing()
+    val rows = emb.where("vec_id < 10")
+      .select("vec_id", "embedding").as[(Long, Array[Float])].collect()
+    val input = MemoryStream[EmbRow]
+    val q = StreamingOps.streamingRoutedSearch(input.toDF(), serving, 10, eps)
+      .writeStream.format("memory").queryName("routedsearch_out")
+      .outputMode("append").start()
+    try {
+      val (first, rest) = rows.splitAt(rows.length / 2)
+      input.addData(first.map { case (id, v) => EmbRow(id, ts(60 + (id % 5).toInt), v) }.toSeq)
+      q.processAllAvailable()
+      input.addData(rest.map { case (id, v) => EmbRow(id, ts(70 + (id % 5).toInt), v) }.toSeq)
+      q.processAllAvailable()
+      val got = spark.table("routedsearch_out").collect()
+        .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("rank")) ->
+          (r.getAs[Long]("id"), r.getAs[Double]("dist"))).toMap
+      assert(got == batch,
+        s"stream/batch routed drift: ${got.toSeq.sortBy(_._1).take(3)} vs ${batch.toSeq.sortBy(_._1).take(3)}")
+    } finally q.stop()
+  }
+
   test("streaming PQ vector search is bit-identical to the batch PQ search") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
