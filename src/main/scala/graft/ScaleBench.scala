@@ -120,6 +120,35 @@ object ScaleBench {
             s""""tail_p95_ms":${percentile(perQueryMs, 0.95)},""" +
             s""""tail_max_ms":${math.rint(perQueryMs.last * 10) / 10}}""")
         }
+        // query-ADAPTIVE routing ladder (SPANN §4.3): each query pays
+        // only its boundary ambiguity — report the realized probe
+        // distribution next to recall so the fixed-nprobe rows above
+        // price what adaptivity buys at the same fitted layout.
+        for (eps <- Seq(0.02, 0.05, 0.1)) {
+          val pr = rm.describeAdaptiveRouting(queries, eps)
+            .agg(avg(col("n_probes")), max(col("n_probes"))).head()
+          val (meanP, maxP) = (pr.getDouble(0), pr.getInt(1))
+          val t1 = System.nanoTime()
+          val got = rm.searchRoutedAdaptive(queries, k, eps).cache()
+          got.count()
+          val batchSec = (System.nanoTime() - t1) / 1e9
+          val recall = Knn.recallAt(k, got, truth)
+          got.unpersist()
+          val perQueryMs = (0 until 100).map { qid =>
+            val q1 = queries.where(col("query_id") === qid)
+            val tq = System.nanoTime()
+            rm.searchRoutedAdaptive(q1, k, eps).count()
+            (System.nanoTime() - tq) / 1e6
+          }.sorted
+          println(
+            s"""{"routed_n":$n,"dim":$dim,"shards":$s,"route_eps":$eps,"cpus":$cpus,""" +
+            s""""mean_probes":${math.rint(meanP * 100) / 100},"max_probes":$maxP,""" +
+            s""""search_100q_sec":${math.rint(batchSec * 100) / 100},""" +
+            s""""recall_at_10":${math.rint(recall * 1e4) / 1e4},""" +
+            s""""tail_p50_ms":${percentile(perQueryMs, 0.50)},""" +
+            s""""tail_p95_ms":${percentile(perQueryMs, 0.95)},""" +
+            s""""tail_max_ms":${math.rint(perQueryMs.last * 10) / 10}}""")
+        }
         rm.unpersist()
       }
       spark.stop(); return

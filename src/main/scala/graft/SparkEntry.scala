@@ -43,7 +43,8 @@ object SparkEntry {
       vamanaSearchQ, vamanaOverlapQ, vamanaRecallQ, vamanaStartQ, vamanaStartGateQ,
       vamanaDescribeQ, vamanaDegreeQ, vamanaConnectivityQ,
       vamanaFanoutQ, vamanaFanoutGateQ, vamanaFanoutFilteredQ, vamanaFanoutFilteredGateQ,
-      vamanaRoutedQ, vamanaRoutedGateQ, vamanaRoutedAdaptiveGateQ, vamanaPqRoutedGateQ,
+      vamanaRoutedQ, vamanaRoutedGateQ, vamanaRoutedAdaptiveGateQ, vamanaRoutedFilteredGateQ,
+      vamanaPqRoutedGateQ,
       vamanaAdaptivePostfilterGateQ,
       vamanaRoundtripQ, vamanaBinaryGateQ, vamanaInsertQ, vamanaDeleteQ, vamanaInsertGateQ, vamanaDeleteGateQ,
       vamanaPqInsertGateQ, vamanaPqDeleteGateQ, vamanaMergeGateQ),
@@ -333,6 +334,20 @@ object SparkEntry {
       SELECT count(DISTINCT vec_id) AS n_queries, TRUE AS full_probe_exact_ok,
              TRUE AS recall_ok
       FROM embeddings WHERE vec_id < 10
+    """.trim))
+
+  /** Filtered search on the routed layout — the clustered-routing ×
+    * metadata-predicate serving-matrix cell: at full probe + full beam
+    * the merge is exact filtered kNN (the fanout filtered gate's theorem
+    * on the ε-closure cover), so per-query overlap = min(k, n_allowed),
+    * stated by the oracle from the documents table. */
+  private val vamanaRoutedFilteredGateQ: (String, QFn, Option[String]) = (
+    "vamana_routed_filtered_gate",
+    (s, d) => graft.vamana.VamanaOps.vamanaRoutedFilteredGate(s, d),
+    Some("""
+      SELECT vec_id AS query_id,
+             LEAST(10, (SELECT count(*) FROM documents WHERE lang = 'en'))::BIGINT AS overlap
+      FROM embeddings WHERE vec_id < 10 ORDER BY query_id
     """.trim))
 
   /** Query-adaptive routed serving gate (SPANN §4.3 distance-band

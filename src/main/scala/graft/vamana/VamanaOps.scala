@@ -621,6 +621,36 @@ object VamanaOps {
       .select(col("n_queries"), col("ok").as("full_probe_exact_ok"), col("recall_ok"))
   }
 
+  /** FILTERED search on the ROUTED layout — the (clustered routing ×
+    * metadata predicate) serving-matrix cell, [[vamanaFanoutFilteredGate]]'s
+    * theorem on the ε-closure cover: at full probe + full beam each shard's
+    * predicate-aware traversal returns its true in-shard allowed top-k and
+    * every allowed point lives in ≥ 1 shard, so the merge IS exact
+    * filtered kNN — per-query overlap with the exact filtered scan equals
+    * min(k, n_allowed), which the DuckDB oracle states from the documents
+    * table. The deployed config (nprobe=2 of 4, default beam) is exercised
+    * by the spec, which also checks allowed-only membership. */
+  def vamanaRoutedFilteredGate(spark: SparkSession, dir: String,
+      lang: String = "en"): DataFrame = {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, dir)
+    val q = Knn.queriesFromPoints(emb, 10)
+    val allowedDf = Tables.documents(spark, dir).where(col("lang") === lang)
+      .select(col("doc_id"))
+    val allowedIds = allowedDf.as[Long].collect()
+    val ann = routedModel(spark, dir)
+      .searchRoutedFiltered(q, allowedIds, 10, nprobe = 4, fullBeam = true)
+      .select(col("query_id"), col("id"))
+    val exact = Knn.knnExact(
+        emb.join(allowedDf.withColumnRenamed("doc_id", "vec_id"), "vec_id"), q, 10)
+      .select(col("query_id"), col("id"))
+    ann.join(exact, Seq("query_id", "id"))
+      .groupBy(col("query_id"))
+      .agg(count(lit(1)).as("overlap"))
+      .select(col("query_id"), col("overlap"))
+      .orderBy(col("query_id"))
+  }
+
   /** Hash-checked gate for query-ADAPTIVE routing (SPANN §4.3): each
     * query probes only the shards whose centroid distance sits within the
     * (1+routeEps)² band of its nearest — so the fleet pays the easy

@@ -240,7 +240,8 @@ final class RoutedFanoutModel private[vamana] (
       queryIdCol: String = "query_id",
       queryVecCol: String = "query_vec"): DataFrame = {
     val p = math.min(math.max(1, nprobe), centroids.length)
-    searchWithRouting(queries, k, queryIdCol, queryVecCol)(ds => ds.take(p).map(_._2))
+    searchWithRouting(queries, k, queryIdCol, queryVecCol)(ds => ds.take(p).map(_._2))(
+      (idx, qv) => VamanaKernel.search(idx, qv, k))
   }
 
   /** Query-ADAPTIVE routed top-k (SPANN §4.3, query-aware dynamic
@@ -260,7 +261,7 @@ final class RoutedFanoutModel private[vamana] (
       queryIdCol: String = "query_id",
       queryVecCol: String = "query_vec"): DataFrame =
     searchWithRouting(queries, k, queryIdCol, queryVecCol)(
-      adaptiveProbes(_, routeEps, maxProbe))
+      adaptiveProbes(_, routeEps, maxProbe))((idx, qv) => VamanaKernel.search(idx, qv, k))
 
   /** The adaptive probe rule over one query's ascending (dist, shard)
     * list — [[VamanaRouted.adaptiveProbeShards]], the function the
@@ -318,15 +319,52 @@ final class RoutedFanoutModel private[vamana] (
     prepared
   }
 
+  /** FILTERED routed search — the (clustered routing × metadata
+    * predicate) serving-matrix cell: route by fixed nprobe, then each
+    * probed shard runs the predicate-aware traversal
+    * ([[VamanaKernel.searchFiltered]], the fanout filtered path's kernel)
+    * so only allowed ids fill the result pool. At full probe + full beam
+    * the merge IS exact filtered kNN: ε-closure covers every allowed
+    * point in ≥ 1 shard and each shard returns its true in-shard allowed
+    * top-k — [[graft.vamana.VamanaOps.vamanaFanoutFilteredGate]]'s
+    * theorem on the clustered cover, hash-checked by
+    * `vamana_routed_filtered_gate`. The allowed set broadcasts sorted
+    * (binary-search predicate); corpus-sized filters belong on the
+    * fanout model's adaptive DataFrame path, which post-filters instead. */
+  def searchRoutedFiltered(
+      queries: DataFrame,
+      allowedIds: Array[Long],
+      k: Int,
+      nprobe: Int,
+      queryIdCol: String = "query_id",
+      queryVecCol: String = "query_vec",
+      fullBeam: Boolean = false): DataFrame = {
+    require(allowedIds.length <= 5000000,
+      "routed filtered search broadcasts the allowed set; beyond that use " +
+        "FanoutModel.searchFiltered(DataFrame) whose adaptive branch post-filters")
+    val spark = shards.sparkSession
+    val sorted = { val a = allowedIds.clone(); java.util.Arrays.sort(a); a }
+    val bcA = spark.sparkContext.broadcast(sorted)
+    val p = math.min(math.max(1, nprobe), centroids.length)
+    searchWithRouting(queries, k, queryIdCol, queryVecCol)(
+      ds => ds.take(p).map(_._2)) { (idx, qvec) =>
+      val ids = bcA.value
+      val pred = (id: Long) => java.util.Arrays.binarySearch(ids, id) >= 0
+      VamanaKernel.searchFiltered(idx, qvec, k, pred, if (fullBeam) idx.size else 0)
+    }
+  }
+
   /** Shared scatter core: route each prepared query to the shards chosen
-    * by `probe` (over its ascending (dist, shard) list), search only
-    * those, min-dist merge + rank. Routing is computed on the driver over
-    * the already-bounded query batch: |queries|·s distances against an
-    * s×dim table — never a Spark job. */
+    * by `probe` (over its ascending (dist, shard) list), run `kernelSearch`
+    * only on those shards, min-dist merge + rank. Routing is computed on
+    * the driver over the already-bounded query batch: |queries|·s
+    * distances against an s×dim table — never a Spark job. */
   private def searchWithRouting(queries: DataFrame, k: Int, queryIdCol: String,
-      queryVecCol: String)(probe: Array[(Float, Int)] => Seq[Int]): DataFrame = {
+      queryVecCol: String)(probe: Array[(Float, Int)] => Seq[Int])(
+      kernelSearch: (LocalIndex, Array[Float]) => Array[(Long, Float)]): DataFrame = {
     val spark = shards.sparkSession
     import spark.implicits._
+    val search = kernelSearch
     val prepared = prepareQueries(queries, queryIdCol, queryVecCol)
     val routed: Map[Int, Array[(Long, Array[Float])]] = prepared
       .flatMap { case (qid, qv) => probe(centroidDists(qv)).map(si => (si, (qid, qv))) }
@@ -335,7 +373,7 @@ final class RoutedFanoutModel private[vamana] (
     val answers = shards.flatMap { case (sid, idx) =>
       bcR.value.getOrElse(sid, Array.empty[(Long, Array[Float])]).iterator
         .flatMap { case (qid, qvec) =>
-          VamanaKernel.search(idx, qvec, k).iterator
+          search(idx, qvec).iterator
             .map { case (id, dist) => (qid, id, dist.toDouble) }
         }
     }.toDF("query_id", "id", "dist")

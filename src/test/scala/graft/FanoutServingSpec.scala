@@ -664,6 +664,38 @@ class FanoutServingSpec extends AnyFunSuite {
     m.unpersist(); d.unpersist()
   }
 
+  test("routed filtered search: full beam exact over allowed set, results always pass the predicate") {
+    import org.apache.spark.sql.functions.col
+    val emb = Tables.embeddings(spark, dir)
+    val n = emb.count()
+    val q = queries(10)
+    val m = VamanaRouted.fit(emb, params, numShards = 4)
+    // allowed = every third id — mid-selectivity, same fixture shape as
+    // the fanout filtered spec so the two layouts are comparable
+    val allowedIds = (0L until n).filter(_ % 3 == 0).toArray
+    val allowedSet = allowedIds.toSet
+    // full probe + full beam == exact filtered kNN (the gate's theorem)
+    val full = m.searchRoutedFiltered(q, allowedIds, 10, nprobe = 4, fullBeam = true)
+    val fullRows = full.select(col("query_id"), col("id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(fullRows.forall { case (_, id) => allowedSet.contains(id) },
+      "a filtered result must satisfy the predicate")
+    val exact = graft.operators.Knn.knnExact(
+        emb.where(col("vec_id") % 3 === 0), q, 10)
+      .select(col("query_id"), col("id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(fullRows.toSet == exact,
+      "full-probe full-beam routed filtered merge must equal exact filtered kNN")
+    // deployed config: every query still returns k allowed rows at nprobe=2
+    val routed = m.searchRoutedFiltered(q, allowedIds, 10, nprobe = 2)
+    val counts = routed.groupBy(col("query_id")).count().collect().map(_.getLong(1))
+    assert(counts.length == 10 && counts.forall(_ == 10),
+      "every query must return k rows at nprobe=2")
+    assert(routed.select(col("id")).collect().map(_.getLong(0)).forall(allowedSet.contains),
+      "nprobe=2 filtered results must satisfy the predicate")
+    m.unpersist()
+  }
+
   test("vamana_routed_adaptive_gate reports all-green bits at smoke scale") {
     val row = VamanaOps.vamanaRoutedAdaptiveGate(spark, dir).head()
     assert(row.getAs[Long]("n_queries") == 10)
