@@ -366,13 +366,15 @@ object SparkEntry {
 
   /** PQ-scored routed serving — the (clustered routing × PQ memory) cell:
     * full-probe + full-beam ADC traversal + exact rerank IS exact kNN
-    * (theorem, oracle literal), nprobe=2 recall clears the floor. */
+    * (theorem, oracle literal), nprobe=2 recall clears the floor, and the
+    * adaptive band rule over ADC scores (the PQ × adaptive cell) clears
+    * the same floor. */
   private val vamanaPqRoutedGateQ: (String, QFn, Option[String]) = (
     "vamana_pq_routed_gate",
     (s, d) => graft.vamana.VamanaOps.vamanaPqRoutedGate(s, d),
     Some("""
       SELECT count(DISTINCT vec_id) AS n_queries, TRUE AS full_probe_exact_ok,
-             TRUE AS recall_ok
+             TRUE AS recall_ok, TRUE AS adaptive_recall_ok
       FROM embeddings WHERE vec_id < 10
     """.trim))
 

@@ -181,6 +181,23 @@ object StreamBench {
     run[EmbRow]("stream_cluster", emb,
       in => StreamingOps.streamingClusterAssign(in.toDF(), centroids))
 
+    // ONLINE ANN serving from the clustered layout: a standing 200k-point,
+    // 16-shard routed index rides to executors once (the guarded
+    // localServing collect), arriving query vectors route by the adaptive
+    // band rule and traverse only their in-band shard graphs — the
+    // retrieval-service shape where the nightly batch refreshes the index
+    // the stream serves from. Fit cost is the standing index's, excluded.
+    if (only.forall(_.contains("stream_routed_search"))) {
+      val servingPts = ScaleBench.syntheticPoints(spark, 200000, 64).repartition(cpus)
+      val rm = graft.vamana.VamanaRouted.fit(servingPts,
+        graft.vamana.VamanaParams(dim = 64, maxDegree = 32, beamWidth = 64,
+          alpha = 1.2f, efSearch = 128), numShards = 16)
+      val serving = rm.localServing(maxLocalPoints = 1000000)
+      rm.unpersist()
+      run[EmbRow]("stream_routed_search", emb,
+        in => StreamingOps.streamingRoutedSearch(in.toDF(), serving, 10, routeEps = 0.05))
+    }
+
     spark.stop()
   }
 }

@@ -719,9 +719,20 @@ object VamanaOps {
     val routedRows = VamanaPq.searchRoutedModel(m, q, key, 10,
         nprobe = 2, fullBeam = false)
       .select(col("query_id"), col("id"))
+    // third flag: ADC traversal under the adaptive band rule (the
+    // PQ-memory × adaptive-routing cell; band = the measured 0.05 that
+    // prunes on this fixture, cap = full) must clear the same floor
+    val adaptiveRows = VamanaPq.searchRoutedModel(m, q, key, 10,
+        nprobe = m.numShards, fullBeam = false, routeEps = Some(0.05))
+      .select(col("query_id"), col("id"))
+    val adaptiveOk = graft.operators.Similarity
+      .topkGate(exact, adaptiveRows, recallFloor)
+      .select(col("recall_ok").as("adaptive_recall_ok"))
     graft.operators.Similarity.topkGate(exact, routedRows, recallFloor)
       .crossJoin(exactOk)
-      .select(col("n_queries"), col("ok").as("full_probe_exact_ok"), col("recall_ok"))
+      .crossJoin(adaptiveOk)
+      .select(col("n_queries"), col("ok").as("full_probe_exact_ok"), col("recall_ok"),
+        col("adaptive_recall_ok"))
   }
 
   /** Filtered search served from the FANOUT model — the beyond-broadcast

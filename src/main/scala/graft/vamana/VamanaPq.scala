@@ -309,7 +309,8 @@ object VamanaPq {
     * so the merge IS exact kNN (the routed gate's theorem composed with
     * the PQ gate's). */
   def searchRoutedModel(rm: RoutedFanoutModel, queriesDf: DataFrame, cacheKey: String,
-      k: Int, nprobe: Int, fullBeam: Boolean): DataFrame = {
+      k: Int, nprobe: Int, fullBeam: Boolean,
+      routeEps: Option[Double] = None): DataFrame = {
     val spark = rm.shards.sparkSession
     import spark.implicits._
     require(rm.params.metric == "l2",
@@ -318,12 +319,17 @@ object VamanaPq {
       .select(col("query_id").cast("long"), col("query_vec").cast("array<float>"))
       .as[(Long, Array[Float])].collect().sortBy(_._1)
     val p = math.min(math.max(1, nprobe), rm.centroids.length)
+    // probe rule: fixed nprobe, or — with routeEps — the SAME adaptive
+    // band rule as the raw-vector path (nprobe then acts as maxProbe),
+    // completing the (PQ memory x adaptive routing) serving-matrix cell
     val routed: Map[Int, Array[(Long, Array[Float])]] = queries
       .flatMap { case (qid, qv) =>
-        rm.centroids.indices
-          .map(si => (VamanaKernel.l2sq(qv, rm.centroids(si)), si))
-          .sorted.take(p)
-          .map { case (_, si) => (si, (qid, qv)) }
+        val ds = VamanaRouted.sortedCentroidDists(rm.centroids, qv)
+        val sel = routeEps match {
+          case Some(eps) => VamanaRouted.adaptiveProbeShards(ds, eps, nprobe, rm.centroids.length)
+          case None => ds.take(p).map(_._2).toSeq
+        }
+        sel.map(si => (si, (qid, qv)))
       }
       .groupBy(_._1).map { case (si, xs) => (si, xs.map(_._2)) }
     val bcR = spark.sparkContext.broadcast(routed)

@@ -514,6 +514,15 @@ class FanoutServingSpec extends AnyFunSuite {
       .select(col("query_id"), col("id"))
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pqFull == exact, "full-probe full-beam PQ-routed merge must equal exact kNN")
+    // the PQ × adaptive cell: an all-covering band IS the full probe
+    val pqAdaptive = VamanaPq.searchRoutedModel(m1, q, "spec:routedpq", 10,
+        nprobe = 4, fullBeam = true, routeEps = Some(1e9))
+      .collect().map(_.toSeq).toSeq
+    val pqFixed = VamanaPq.searchRoutedModel(m1, q, "spec:routedpq", 10,
+        nprobe = 4, fullBeam = true)
+      .collect().map(_.toSeq).toSeq
+    assert(pqAdaptive == pqFixed,
+      "an all-covering adaptive band must equal the fixed full probe on ADC scores")
     m1.unpersist(); m2.unpersist()
     // kmeans unit facts: k > sample size clamps; empty sample refuses
     assert(VamanaRouted.kmeans(Array(Array(1f, 2f)), k = 5, iters = 3).length == 1)
