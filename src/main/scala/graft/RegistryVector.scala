@@ -10,7 +10,7 @@ import graft.RegistrySqlParts._
 private[graft] object RegistryVector {
 
   private[graft] def entries: Seq[(String, QFn, Option[String])] = Seq(
-    simCosineTopK, simIpTopK, simJoinThreshold, mmrRerankQ, mmrAnnGateQ, simRangeSearchQ, maxsimTopKQ, matryoshkaSearchQ, matryoshkaGateQ, vamanaRangeSearchQ, vamanaRangeGateQ, vamanaRangeFanoutGateQ, vamanaRangeFilteredGateQ, maxsimRerankGateQ, bitextMiningQ, bitextAnnGateQ, lshCosineGateQ, lshL2GateQ, ivfGateQ, pqGateQ, vamanaPqGateQ, vamanaPqSearchQ, vamanaPqFanoutQ, vamanaPqFanoutGateQ, vamanaPqFanoutFilteredGateQ, semdedupGateQ, prototypeGateQ, embedDimStatsQ, embedDimCovQ, sqQuantize, sqReport, bqQuantizeQ, bqSearchQ, bqRerankQ, embedNormalizeQ, hardNegativesQ, hardNegativesFanoutQ, hardNegativesFanoutGateQ, embedKmeansQ, embedKmeansGreedyQ, embedKmeansStatsQ, clusterSampleBalancedQ, clusterSilhouetteQ, clusterCuratedDocsQ, splitDriftQ, embedKmeansIncrementalQ, embedKmeansMinibatchQ, embedNormOutliersQ)
+    simCosineTopK, simIpTopK, simJoinThreshold, mmrRerankQ, mmrAnnGateQ, simRangeSearchQ, maxsimTopKQ, matryoshkaSearchQ, matryoshkaGateQ, vamanaRangeSearchQ, vamanaRangeGateQ, vamanaRangeFanoutGateQ, vamanaRoutedRangeGateQ, vamanaRangeFilteredGateQ, maxsimRerankGateQ, bitextMiningQ, bitextAnnGateQ, lshCosineGateQ, lshL2GateQ, ivfGateQ, pqGateQ, vamanaPqGateQ, vamanaPqSearchQ, vamanaPqFanoutQ, vamanaPqFanoutGateQ, vamanaPqFanoutFilteredGateQ, semdedupGateQ, prototypeGateQ, embedDimStatsQ, embedDimCovQ, sqQuantize, sqReport, bqQuantizeQ, bqSearchQ, bqRerankQ, embedNormalizeQ, hardNegativesQ, hardNegativesFanoutQ, hardNegativesFanoutGateQ, embedKmeansQ, embedKmeansGreedyQ, embedKmeansStatsQ, clusterSampleBalancedQ, clusterSilhouetteQ, clusterCuratedDocsQ, splitDriftQ, embedKmeansIncrementalQ, embedKmeansMinibatchQ, embedNormOutliersQ)
 
   // ---- range / multi-vector / truncated-prefix retrieval --------------------
 
@@ -137,6 +137,14 @@ private[graft] object RegistryVector {
   private val vamanaRangeFanoutGateQ: (String, QFn, Option[String]) = (
     "vamana_range_fanout_gate",
     (s, d) => graft.vamana.VamanaOps.vamanaRangeFanoutGate(s, d),
+    Some(rangeIdsOracle))
+
+  /** Ball-pruned routed range search: pruning is lossless (triangle
+    * inequality), so the deployed pruned config must EQUAL the exact
+    * range scan — the same oracle as the broadcast and fanout regimes. */
+  private val vamanaRoutedRangeGateQ: (String, QFn, Option[String]) = (
+    "vamana_routed_range_gate",
+    (s, d) => graft.vamana.VamanaOps.vamanaRoutedRangeGate(s, d),
     Some(rangeIdsOracle))
 
   private val maxsimRerankGateQ: (String, QFn, Option[String]) = (

@@ -403,6 +403,22 @@ object VamanaOps {
       .orderBy(col("query_id"), col("id"))
   }
 
+  /** Routed RANGE search gate — the one routed serving form where pruning
+    * is EXACT: ball-bound shard pruning (triangle inequality — probe s
+    * iff √d(q,c_s) ≤ √r + √R_s) provably contains every shard holding an
+    * in-radius point, so full-beam + pruning equals the exact range scan,
+    * hash-checked against the same DuckDB range oracle as the broadcast
+    * and hash-fanout regimes. Pruning effectiveness is spec-checked (the
+    * gate would pass vacuously at full probe). */
+  def vamanaRoutedRangeGate(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val m = routedModel(spark, dir).withFullBeamShards()
+    val out = m.rangeSearch(Knn.queriesFromPoints(emb, 10), RangeRadiusSq)
+      .select(col("query_id"), col("id"))
+      .orderBy(col("query_id"), col("id"))
+    out
+  }
+
   /** SUB-VECTOR index for late-interaction serving — ColBERT's actual
     * architecture: every corpus vector contributes [[graft.operators
     * .Similarity.MaxSimGroups]] sub-vectors to a token-level MIPS index

@@ -319,6 +319,91 @@ final class RoutedFanoutModel private[vamana] (
     prepared
   }
 
+  /** Squared ball radius per shard — max point-to-centroid squared
+    * distance of the shard's fitted points, the exact-prune bound for
+    * [[rangeSearch]]. One distributed pass over the cached kernels,
+    * memoized on the model (s floats on the driver). */
+  private lazy val shardRadiiSq: Map[Int, Float] = {
+    val cents = centroids
+    shards.map { case (s, idx) =>
+      var m = 0f
+      var i = 0
+      while (i < idx.size) {
+        val d = VamanaKernel.l2sq(idx.points(i), cents(s))
+        if (d > m) m = d
+        i += 1
+      }
+      (s, m)
+    }(Encoders.tuple(Encoders.scalaInt, Encoders.scalaFloat)).collect().toMap
+  }
+
+  /** The ball-prune probe set for one query: shards whose centroid ball
+    * intersects the query ball — √d(q,c_s) ≤ √r + √R_s. Lossless by the
+    * triangle inequality: any point within L2 radius √r of q is within
+    * √R_s of its shard's centroid, so d(q,c_s) ≤ √r + √R_s for at least
+    * one shard holding it. */
+  private def rangeProbeShards(qv: Array[Float], radiusSq: Double,
+      radii: Map[Int, Float]): Seq[Int] =
+    centroids.indices.filter { s =>
+      radii.get(s).exists { r2 =>
+        math.sqrt(VamanaKernel.l2sq(qv, centroids(s)).toDouble) <=
+          math.sqrt(radiusSq) + math.sqrt(r2.toDouble)
+      }
+    }
+
+  /** Probe counts of the ball-prune rule per query (query_id, n_probes) —
+    * the introspection that proves range pruning PRUNES (top-k routing's
+    * [[describeAdaptiveRouting]] twin). */
+  def describeRangeRouting(queries: DataFrame, radiusSq: Double,
+      queryIdCol: String = "query_id",
+      queryVecCol: String = "query_vec"): DataFrame = {
+    val spark = shards.sparkSession
+    import spark.implicits._
+    val radii = shardRadiiSq
+    prepareQueries(queries, queryIdCol, queryVecCol)
+      .map { case (qid, qv) => (qid, rangeProbeShards(qv, radiusSq, radii).size) }
+      .toSeq.toDF("query_id", "n_probes").orderBy(col("query_id"))
+  }
+
+  /** RANGE (radius) search on the routed layout with EXACT ball-bound
+    * pruning — unlike top-k routing (approximate: the true k-th neighbor
+    * may hide in an unprobed shard), range pruning is LOSSLESS: the probe
+    * set provably contains every shard holding an in-radius point, so
+    * pruning never changes the answer and the full-beam result equals the
+    * exact range scan WITH pruning on — `vamana_routed_range_gate`'s
+    * hash-checked claim. Per-shard kernel, merge, and output contract are
+    * [[FanoutModel.rangeSearch]]'s (replicated answers dedup through the
+    * min-dist merge). */
+  def rangeSearch(
+      queries: DataFrame,
+      radiusSq: Double,
+      queryIdCol: String = "query_id",
+      queryVecCol: String = "query_vec"): DataFrame = {
+    require(params.metric == "l2", "range radius is a squared-L2 bound; fit with metric=l2")
+    val spark = shards.sparkSession
+    import spark.implicits._
+    val prepared = prepareQueries(queries, queryIdCol, queryVecCol)
+    val radii = shardRadiiSq
+    val routed: Map[Int, Array[(Long, Array[Float])]] = prepared
+      .flatMap { case (qid, qv) =>
+        rangeProbeShards(qv, radiusSq, radii).map(si => (si, (qid, qv)))
+      }
+      .groupBy(_._1).map { case (si, xs) => (si, xs.map(_._2)) }
+    val bcR = spark.sparkContext.broadcast(routed)
+    val r = radiusSq.toFloat
+    val answers = shards.flatMap { case (sid, idx) =>
+      bcR.value.getOrElse(sid, Array.empty[(Long, Array[Float])]).iterator
+        .flatMap { case (qid, qvec) =>
+          VamanaKernel.rangeSearch(idx, qvec, r).iterator.map {
+            case (id, dist) => (qid, id, dist.toDouble)
+          }
+        }
+    }.toDF("query_id", "id", "dist")
+    answers.groupBy(col("query_id"), col("id")).agg(min(col("dist")).as("dist"))
+      .select(col("query_id"), col("id"), (expr("rint(dist * 10000)") / 1e4).as("dist"))
+      .orderBy(col("query_id"), col("id"))
+  }
+
   /** FILTERED routed search — the (clustered routing × metadata
     * predicate) serving-matrix cell: route by fixed nprobe, then each
     * probed shard runs the predicate-aware traversal

@@ -705,6 +705,30 @@ class FanoutServingSpec extends AnyFunSuite {
     m.unpersist()
   }
 
+  test("routed range search: ball pruning is lossless AND actually prunes") {
+    import org.apache.spark.sql.functions.col
+    val emb = Tables.embeddings(spark, dir)
+    val q = queries(10)
+    val m = VamanaRouted.fit(emb, params, numShards = 4).withFullBeamShards()
+    val radiusSq = VamanaOps.RangeRadiusSq
+    // lossless: pruned + full-beam equals the full-probe fanout range set
+    val fanout = VamanaFanout.fit(emb, params, numShards = 3).withFullBeamShards()
+    val want = fanout.rangeSearch(q, radiusSq).collect().map(_.toSeq).toSeq
+    val got = m.rangeSearch(q, radiusSq).collect().map(_.toSeq).toSeq
+    assert(got == want, "ball-pruned routed range must equal the exact range scan")
+    // the prune bound is tight enough to bite somewhere: with a radius far
+    // below the inter-centroid scale at least one query must skip a shard
+    val probes = m.describeRangeRouting(q, radiusSq = 1e-4).collect().map(_.getInt(1))
+    assert(probes.length == 10 && probes.forall(p => p >= 0 && p <= 4))
+    assert(probes.exists(_ < 4),
+      s"a tiny query ball must prune at least one shard somewhere: ${probes.mkString(",")}")
+    // and a huge radius probes everything — the bound is an intersection
+    // test, not a heuristic
+    val all = m.describeRangeRouting(q, radiusSq = 1e9).collect().map(_.getInt(1))
+    assert(all.forall(_ == 4), "an all-covering query ball must probe every shard")
+    m.unpersist(); fanout.unpersist()
+  }
+
   test("vamana_routed_adaptive_gate reports all-green bits at smoke scale") {
     val row = VamanaOps.vamanaRoutedAdaptiveGate(spark, dir).head()
     assert(row.getAs[Long]("n_queries") == 10)
