@@ -412,11 +412,10 @@ object VamanaOps {
     * gate would pass vacuously at full probe). */
   def vamanaRoutedRangeGate(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
-    val m = routedModel(spark, dir).withFullBeamShards()
-    val out = m.rangeSearch(Knn.queriesFromPoints(emb, 10), RangeRadiusSq)
+    routedModel(spark, dir).withFullBeamShards()
+      .rangeSearch(Knn.queriesFromPoints(emb, 10), RangeRadiusSq)
       .select(col("query_id"), col("id"))
       .orderBy(col("query_id"), col("id"))
-    out
   }
 
   /** SUB-VECTOR index for late-interaction serving — ColBERT's actual

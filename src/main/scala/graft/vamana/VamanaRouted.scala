@@ -36,10 +36,14 @@ import org.apache.spark.sql.functions._
   * cross-boundary neighbors without probing extra shards. Replication is
   * bounded by maxReplicas× by construction (default 2×).
   *
-  * Serving has two probe rules: fixed-nprobe ([[RoutedFanoutModel
-  * .searchRouted]]) and query-adaptive distance-band routing
-  * ([[RoutedFanoutModel.searchRoutedAdaptive]], SPANN §4.3) where each
-  * query pays only as many shards as its boundary ambiguity demands.
+  * Serving forms: fixed-nprobe ([[RoutedFanoutModel.searchRouted]]),
+  * query-adaptive distance-band routing ([[RoutedFanoutModel
+  * .searchRoutedAdaptive]], SPANN §4.3 — each query pays only as many
+  * shards as its boundary ambiguity demands), metadata-filtered
+  * ([[RoutedFanoutModel.searchRoutedFiltered]]), lossless ball-pruned
+  * range ([[RoutedFanoutModel.rangeSearch]]), and the streaming twin
+  * ([[graft.streaming.StreamingOps.streamingRoutedSearch]]) over the
+  * guarded [[RoutedFanoutModel.localServing]] collect.
   */
 object VamanaRouted {
 
