@@ -17,11 +17,33 @@ object Bench {
   /** Queries >2x slower than the previous round AND >0.5s absolute (both
     * thresholds together filter sub-second JIT/GC noise). */
   private[graft] def regressionsOf(prev: Map[String, Double],
-      cur: Iterable[(String, Double)]): Seq[(String, Double, Double)] =
+      cur: Iterable[(String, Double)], ratio: Double = 2.0,
+      abs: Double = 0.5): Seq[(String, Double, Double)] =
     cur.toSeq.collect {
-      case (name, c) if prev.get(name).exists(p => p > 0 && c > 2 * p && c - p > 0.5) =>
+      case (name, c) if prev.get(name).exists(p => p > 0 && c > ratio * p && c - p > abs) =>
         (name, prev(name), c)
     }
+
+  /** Per-query MIN across baseline sources. The gate diffs against both the
+    * previous run's BENCH_FULL.json AND the last COMMITTED one: a regression
+    * introduced early in a round otherwise gets baked into the file by the
+    * next run and the end-of-round diff sees "no change" (round-15's
+    * dedup_minhash 2.4x slipped exactly this way). Being >2x slower than
+    * EITHER recorded state is worth flagging; the min is that rule. */
+  private[graft] def baselineOf(sources: Seq[Map[String, Double]]): Map[String, Double] =
+    sources.flatten.groupMapReduce(_._1)(_._2)(math.min)
+
+  /** Last committed content of `benchOut` (empty map when not in git, file
+    * untracked, or git absent — the gate then falls back to prev-run only). */
+  private[graft] def committedQueries(benchOut: String): Map[String, Double] =
+    try {
+      val p = java.nio.file.Paths.get(benchOut).toAbsolutePath
+      val proc = new ProcessBuilder("git", "-C", p.getParent.toString,
+        "show", s"HEAD:${p.getFileName}").redirectErrorStream(false).start()
+      val out = new String(proc.getInputStream.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8)
+      if (proc.waitFor() == 0) parsePrevQueries(out) else Map.empty
+    } catch { case _: Throwable => Map.empty }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -42,10 +64,13 @@ object Bench {
     // the file: the regression gate below diffs against them so a per-query
     // slowdown (round-13's substring_dedup went 0.85->5.99s) is flagged in
     // the bench output itself instead of waiting for a human to diff rounds.
-    val prevQueries: Map[String, Double] = try {
-      parsePrevQueries(new String(java.nio.file.Files.readAllBytes(
-        java.nio.file.Paths.get(benchOut)), java.nio.charset.StandardCharsets.UTF_8))
-    } catch { case _: Throwable => Map.empty }
+    val committedBaseline = committedQueries(benchOut)
+    val prevQueries: Map[String, Double] = baselineOf(Seq(
+      try {
+        parsePrevQueries(new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(benchOut)), java.nio.charset.StandardCharsets.UTF_8))
+      } catch { case _: Throwable => Map.empty },
+      committedBaseline))
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -133,8 +158,18 @@ object Bench {
         s"\"$name\":{\"prev\":$p,\"cur\":$cur,\"ratio\":${r4(cur / p)}}"
     }
     val regressions = regressionEntries.mkString("{", ",", "}")
+    // Softer cross-ROUND drift tier, diffed against the committed snapshot
+    // only: a 1.5-2x creep repeated over rounds compounds invisibly under
+    // the 2x gate (round-15's dedup_minhash landed at 1.76x vs committed —
+    // under the flag, over what a reader wants surfaced).
+    val driftEntries = regressionsOf(committedBaseline, results, ratio = 1.5, abs = 0.4)
+      .filterNot { case (n, _, _) => regressionEntries.exists(_.contains("\"" + n + "\"")) }
+      .map { case (name, p, cur) =>
+        s"\"$name\":{\"committed\":$p,\"cur\":$cur,\"ratio\":${r4(cur / p)}}"
+      }
+    val drifts = driftEntries.mkString("{", ",", "}")
     val fullJson =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"storage_mb_after":$st,"family_storage_mb":$fs,"regressions":$regressions,"sf":"$sfDir","iters":$iters,"loadavg_start":${r4(loadStart)},"loadavg_end":${r4(loadEnd)},"host_cpus":${Runtime.getRuntime.availableProcessors()}}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"storage_mb_after":$st,"family_storage_mb":$fs,"regressions":$regressions,"drifts_vs_committed":$drifts,"sf":"$sfDir","iters":$iters,"loadavg_start":${r4(loadStart)},"loadavg_end":${r4(loadEnd)},"host_cpus":${Runtime.getRuntime.availableProcessors()}}"""
     try {
       java.nio.file.Files.write(
         java.nio.file.Paths.get(benchOut),

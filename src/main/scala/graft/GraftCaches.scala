@@ -26,6 +26,7 @@ object GraftCaches {
     operators.Similarity.clearCaches()
     operators.Clustering.clearCaches()
     operators.DocClassifier.clearCaches()
+    operators.Formats.clearCaches()
     operators.LangClassifier.clearCaches()
     vamana.VamanaOps.clearCaches()
     vamana.VamanaPq.clearCaches()

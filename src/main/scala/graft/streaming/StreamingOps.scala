@@ -592,7 +592,7 @@ object StreamingOps {
       .as[(Long, Timestamp, Array[Float])]
       .flatMap { case (qid, t, qvec) =>
         val sv = bc.value
-        val byShard = sv.shards.toMap
+        val byShard = sv.shardMap
         val q = graft.vamana.MetricReduction.prepareQuery(qvec, sv.metric)
         val ds = graft.vamana.VamanaRouted.sortedCentroidDists(sv.centroids, q)
         val probed = graft.vamana.VamanaRouted

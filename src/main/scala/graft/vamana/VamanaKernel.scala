@@ -187,6 +187,27 @@ object VamanaKernel {
       query: Array[Float],
       beamL: Int): (Array[Int], Array[Float], Long) = {
     val n = points.length
+    // FULL-BEAM regime (beamL >= n): the beam can never evict, so graph
+    // traversal would score every REACHABLE node at O(n) distance cost —
+    // make it every node, period, at the same cost. This removes the
+    // connectivity hypothesis from every full-beam exactness theorem:
+    // duplicate-dense shards (e.g. a hot region of near-identical vectors
+    // after a rebalance split) can build graphs whose degree-capped pruned
+    // adjacency strands distant points, and the exactness gates must not
+    // inherit that failure mode.
+    if (beamL >= n) {
+      // skip null slots: insert() searches mid-batch against a grown array
+      // whose not-yet-filled tail is null (those slots are unreachable by
+      // graph traversal too, so the regimes agree)
+      val ids = new mutable.ArrayBuffer[Int](n)
+      val dists = new mutable.ArrayBuffer[Float](n)
+      var i = 0
+      while (i < n) {
+        if (points(i) != null) { ids += i; dists += l2sq(points(i), query) }
+        i += 1
+      }
+      return (ids.toArray, dists.toArray, ids.length.toLong)
+    }
     // beam: fixed-size sorted arrays of (dist, node), ascending by dist
     val beamIds = new Array[Int](beamL + 1)
     val beamDists = new Array[Float](beamL + 1)
@@ -250,10 +271,11 @@ object VamanaKernel {
     * skeleton the DiskANN disk design needs: beam ordering and eviction run
     * on `score(node)` (e.g. an ADC lookup over PQ codes) while the caller
     * reranks the returned pool with exact distances afterwards. The
-    * full-beam exactness theorem survives any scoring function: with
-    * `beamL >= n` the beam never evicts, so the pool is the whole connected
-    * component no matter how nodes are scored, and an EXACT rerank of that
-    * pool is exact kNN — the invariant `vamana_pq_gate` hash-checks. Kept
+    * full-beam exactness theorem survives any scoring function: at
+    * `beamL >= n` the traversal short-circuits to an exhaustive scan (same
+    * O(n) scoring cost, no connectivity hypothesis), so the pool is the
+    * WHOLE shard no matter how nodes are scored, and an EXACT rerank of
+    * that pool is exact kNN — the invariant `vamana_pq_gate` hash-checks. Kept
     * separate from the l2sq hot path so serving search stays monomorphic. */
   def greedySearchScored(
       score: Int => Float,
@@ -261,6 +283,15 @@ object VamanaKernel {
       start: Int,
       beamL: Int): (Array[Int], Array[Float]) = {
     val n = graph.length
+    // full-beam regime: exhaustive score, exactly as in greedySearchCounted
+    // — the PQ full-beam gates' theorem must not depend on connectivity
+    if (beamL >= n) {
+      val ids = new Array[Int](n)
+      val dists = new Array[Float](n)
+      var i = 0
+      while (i < n) { ids(i) = i; dists(i) = score(i); i += 1 }
+      return (ids, dists)
+    }
     val beamIds = new Array[Int](beamL + 1)
     val beamDists = new Array[Float](beamL + 1)
     var beamSize = 0

@@ -72,6 +72,8 @@ object VamanaOps {
     pqDeleteCache.clear()
     for ((_, f) <- fullBeamFanoutCache) f.unpersist()
     fullBeamFanoutCache.clear()
+    for ((_, f) <- fullBeamRoutedCache) f.unpersist()
+    fullBeamRoutedCache.clear()
     for ((_, f) <- subVecCache) f.unpersist()
     subVecCache.clear()
     for ((_, f) <- langCosCache) f.unpersist()
@@ -390,6 +392,15 @@ object VamanaOps {
   private def fullBeamFanoutModel(spark: SparkSession, dir: String): FanoutModel =
     fullBeamFanoutCache.getOrElseUpdate(dir, fanoutModel(spark, dir).withFullBeamShards())
 
+  /** Full-beam routed twin, memoized per dataset like [[fullBeamFanoutModel]]
+    * — [[vamanaRoutedRangeGate]] is re-invoked every Bench iteration and a
+    * fresh `withFullBeamShards()` per call would both leak cached kernel
+    * copies and re-pay the shard-radii collect each time. */
+  private val fullBeamRoutedCache = TrieMap.empty[String, RoutedFanoutModel]
+
+  private def fullBeamRoutedModel(spark: SparkSession, dir: String): RoutedFanoutModel =
+    fullBeamRoutedCache.getOrElseUpdate(dir, routedModel(spark, dir).withFullBeamShards())
+
   /** [[vamanaRangeGate]]'s theorem on the SHARDED serving regime: radius
     * membership is a global predicate, so per-shard complete answers
     * union to the exact global range set (no rank merge to disagree
@@ -412,7 +423,7 @@ object VamanaOps {
     * gate would pass vacuously at full probe). */
   def vamanaRoutedRangeGate(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
-    routedModel(spark, dir).withFullBeamShards()
+    fullBeamRoutedModel(spark, dir)
       .rangeSearch(Knn.queriesFromPoints(emb, 10), RangeRadiusSq)
       .select(col("query_id"), col("id"))
       .orderBy(col("query_id"), col("id"))

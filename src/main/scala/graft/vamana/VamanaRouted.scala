@@ -151,9 +151,15 @@ object VamanaRouted {
     * unbounded band is the full probe. */
   private[graft] def adaptiveProbeShards(ds: Array[(Float, Int)], routeEps: Double,
       maxProbe: Int, numShards: Int): Seq[Int] = {
-    val band = eps2Of(routeEps) * ds(0)._1
-    ds.iterator.takeWhile(_._1 <= band)
-      .take(math.min(math.max(1, maxProbe), numShards)).map(_._2).toSeq
+    // routeEps = 0 must equal nprobe = 1 EXACTLY (the asserted endpoint):
+    // takeWhile(<= band) would admit shards whose centroid distance ties
+    // the nearest, diverging from searchRouted's strict take(1).
+    if (routeEps <= 0.0) Seq(ds(0)._2)
+    else {
+      val band = eps2Of(routeEps) * ds(0)._1
+      ds.iterator.takeWhile(_._1 <= band)
+        .take(math.min(math.max(1, maxProbe), numShards)).map(_._2).toSeq
+    }
   }
 
   /** Fit the routed layout over (idCol: LONG, vecCol: array<float>):
@@ -350,8 +356,11 @@ final class RoutedFanoutModel private[vamana] (
       radii: Map[Int, Float]): Seq[Int] =
     centroids.indices.filter { s =>
       radii.get(s).exists { r2 =>
+        // relative ε so a point EXACTLY on the radius/ball boundary can't
+        // be lost to ulp rounding of the float centroid distance — the
+        // bound must stay lossless, and a hair of over-probing is free
         math.sqrt(VamanaKernel.l2sq(qv, centroids(s)).toDouble) <=
-          math.sqrt(radiusSq) + math.sqrt(r2.toDouble)
+          (math.sqrt(radiusSq) + math.sqrt(r2.toDouble)) * (1.0 + 1e-6)
       }
     }
 
@@ -476,6 +485,100 @@ final class RoutedFanoutModel private[vamana] (
       .select(col("query_id"), col("rank"), col("id"),
         (expr("rint(dist * 10000)") / 1e4).as("dist"))
       .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** Live per-shard point counts (one int per shard row — driver-trivial
+    * at any corpus size). The observable [[rebalance]] acts on. */
+  def shardSizes: Array[Int] =
+    shards.map { case (_, idx) => idx.size }(Encoders.scalaInt).collect().sorted
+
+  /** Σ shard sizes — REPLICATED point count (ε-closure counts a boundary
+    * point once per hosting shard), the capacity number. */
+  def totalPoints: Long =
+    shards.map { case (_, idx) => idx.size.toLong }(Encoders.scalaLong)
+      .reduce(_ + _)
+
+  /** Shard-size REBALANCE for long-running insert streams on the CLUSTERED
+    * layout. Hash fanout's skew is accidental (replication parity); routed
+    * skew is STRUCTURAL — [[insert]] routes every new point to its nearest
+    * fitted centroid, so a hot data region grows one shard without bound
+    * while the routing table stays frozen. Each pass splits every shard
+    * larger than `maxRatio`× the mean into two locality-aware halves
+    * ([[FanoutModel.splitMembership]]'s deterministic 2-means median cut),
+    * rebuilds each half's graph with the fit's kernel, and — the routed
+    * twist — REFRESHES THE ROUTING TABLE: the split shard's centroid slot
+    * is replaced by half A's own mean and half B publishes a fresh slot
+    * appended past the old table, so future inserts and query routing see
+    * the split as two first-class clusters, not a stale ball. (Contrast
+    * [[FanoutModel.rebalance]], where fresh ids are deliberately
+    * unroutable — hash routing can't learn new targets; centroid routing
+    * can, and must, or the hot region just re-fills the same slot.)
+    *
+    * Correctness is unconditional: membership union is unchanged (a split
+    * partitions one shard's point set), so ε-closure's "every point in
+    * ≥ 1 shard" cover survives and the full-probe/full-beam exactness
+    * theorem holds verbatim; [[rangeSearch]]'s ball radii are lazy per
+    * model and recompute against the refreshed table. Untouched shards
+    * pass through with zero kernel builds (spec-gated via buildCount).
+    * Scale shape: the driver sees (shard, size) ints plus the refreshed
+    * s×dim table; each split runs inside its shard's task. */
+  def rebalance(maxRatio: Double = 2.0, maxPasses: Int = 4): RoutedFanoutModel = {
+    require(maxRatio >= 1.0, "maxRatio < 1 would split forever")
+    val spark = shards.sparkSession
+    implicit val shardEnc: Encoder[(Int, LocalIndex)] =
+      Encoders.tuple(Encoders.scalaInt, Encoders.kryo[LocalIndex])
+    val sizeEnc: Encoder[(Int, Int)] =
+      Encoders.tuple(Encoders.scalaInt, Encoders.scalaInt)
+    val centEnc: Encoder[(Int, Array[Float])] =
+      Encoders.tuple(Encoders.scalaInt, Encoders.kryo[Array[Float]])
+    val kp = params
+    var curShards = shards
+    var curCents = centroids
+    var pass = 0
+    var done = false
+    while (pass < maxPasses && !done) {
+      val sizes = curShards.map { case (s, idx) => (s, idx.size) }(sizeEnc).collect()
+      val mean = sizes.map(_._2.toDouble).sum / sizes.length
+      val big = sizes.filter { case (_, n) => n > maxRatio * mean && n >= 2 }.map(_._1)
+      if (big.isEmpty) done = true
+      else {
+        // fresh slots appended past the current table, k-th split
+        // (ascending old id) -> slot base+k; every shard id stays a valid
+        // centroid index, the routed invariant
+        val base = curCents.length
+        val freshIds = big.sorted.zipWithIndex.map { case (s, i) => (s, base + i) }.toMap
+        val bcFresh = spark.sparkContext.broadcast(freshIds)
+        val next = curShards.flatMap { case (s, idx) =>
+          bcFresh.value.get(s) match {
+            case None => Iterator.single((s, idx))
+            case Some(fresh) =>
+              val (a, b) = FanoutModel.splitMembership(idx)
+              Iterator(
+                (s, VamanaKernel.build(a.map(_._1), a.map(_._2),
+                  kp.copy(seed = kp.seed + s))),
+                (fresh, VamanaKernel.build(b.map(_._1), b.map(_._2),
+                  kp.copy(seed = kp.seed + fresh))))
+          }
+        }.cache()
+        next.count() // materialize; the old model stays independently usable
+        // routing-table refresh: each half routes by its OWN kernel-space
+        // mean — a tiny (2·|splits|)×dim collect off the already-built rows
+        val affected = freshIds.flatMap { case (s, f) => Seq(s, f) }.toSet
+        val bcAff = spark.sparkContext.broadcast(affected)
+        val newCents = next
+          .filter(r => bcAff.value.contains(r._1))
+          .map { case (s, idx) => (s, RoutedFanoutModel.meanVec(idx.points)) }(centEnc)
+          .collect().toMap
+        curCents = Array.tabulate(base + big.length) { i =>
+          newCents.getOrElse(i, curCents(i))
+        }
+        if (curShards ne shards) curShards.unpersist()
+        curShards = next
+      }
+      pass += 1
+    }
+    if (curShards eq shards) this
+    else new RoutedFanoutModel(curShards, params, curCents, closureEps, maxReplicas)
   }
 
   /** Routing/layout introspection: per-shard point count plus the global
@@ -607,9 +710,28 @@ final class RoutedFanoutModel private[vamana] (
 final case class RoutedLocalServing(
     shards: Array[(Int, LocalIndex)],
     centroids: Array[Array[Float]],
-    metric: String) extends Serializable
+    metric: String) extends Serializable {
+  /** Shard-id lookup built once per deserialized copy (per executor), not
+    * per served row — the streaming hot path probes it for every query. */
+  @transient lazy val shardMap: Map[Int, LocalIndex] = shards.toMap
+}
 
 object RoutedFanoutModel {
+
+  /** Kernel-space mean of a shard's points — its refreshed routing
+    * centroid after a [[RoutedFanoutModel.rebalance]] split. */
+  private[vamana] def meanVec(pts: Array[Array[Float]]): Array[Float] = {
+    val dim = pts(0).length
+    val s = new Array[Double](dim)
+    var i = 0
+    while (i < pts.length) {
+      val p = pts(i)
+      var j = 0
+      while (j < dim) { s(j) += p(j); j += 1 }
+      i += 1
+    }
+    Array.tabulate(dim)(j => (s(j) / pts.length).toFloat)
+  }
 
   /** Reload a [[RoutedFanoutModel.save]] checkpoint: shard kernels rebuilt
     * from the frames (no graph builds — adjacency is persisted), routing

@@ -51,6 +51,43 @@ class BenchGateSpec extends AnyFunSuite {
     assert(ScaleBench.percentile(Seq(1.0, 2.0), 0.01) == 1.0) // clamps low
   }
 
+  test("early-round regression is caught via the committed-snapshot baseline") {
+    // Round-15 sequence: committed BENCH_FULL has dedup_minhash at 0.726s;
+    // a mid-round run regresses it to 1.2s and OVERWRITES the file; the
+    // end-of-round run lands at 1.277s. Diffing prev-run only sees
+    // 1.2 -> 1.277 (no flag); the min-merged baseline keeps 0.726 and flags.
+    val committed = Map("dedup_minhash" -> 0.726)
+    val prevRun = Map("dedup_minhash" -> 1.2)
+    val cur = Seq("dedup_minhash" -> 1.277)
+    assert(Bench.regressionsOf(prevRun, cur).isEmpty) // the blind spot
+    val merged = Bench.baselineOf(Seq(prevRun, committed))
+    assert(merged == Map("dedup_minhash" -> 0.726))
+    // 1.277 < 2 * 0.726 — the hard 2x rule alone still misses a 1.76x creep;
+    // the softer drift tier (1.5x AND 0.4s vs COMMITTED only) catches it
+    assert(Bench.regressionsOf(committed, cur, ratio = 1.5, abs = 0.4)
+      == Seq(("dedup_minhash", 0.726, 1.277)))
+    // and the hard tier still fires on a clean 2x against the merged baseline
+    assert(Bench.regressionsOf(merged, Seq("dedup_minhash" -> 1.5))
+      == Seq(("dedup_minhash", 0.726, 1.5)))
+  }
+
+  test("baselineOf merges per-query minima across sources") {
+    val a = Map("x" -> 1.0, "y" -> 0.2)
+    val b = Map("x" -> 0.4, "z" -> 3.0)
+    assert(Bench.baselineOf(Seq(a, b)) == Map("x" -> 0.4, "y" -> 0.2, "z" -> 3.0))
+    assert(Bench.baselineOf(Seq(Map.empty, a)) == a) // missing source is a no-op
+    assert(Bench.baselineOf(Nil).isEmpty)
+  }
+
+  test("committedQueries reads HEAD's BENCH_FULL.json and degrades to empty") {
+    // the real repo has a committed BENCH_FULL.json — the parse must yield
+    // the same keys the live file has (both written by the same code)
+    val fromGit = Bench.committedQueries("/root/repo/BENCH_FULL.json")
+    assert(fromGit.nonEmpty && fromGit.values.forall(_ >= 0))
+    // untracked path -> empty, never a throw
+    assert(Bench.committedQueries("/tmp/definitely_not_tracked.json").isEmpty)
+  }
+
   test("round-13's substring_dedup regression would have been flagged") {
     val prev = Bench.parsePrevQueries(
       """{"queries":{"substring_dedup":0.8469,"winnow_overlap":1.4416}}""")

@@ -574,6 +574,70 @@ class FanoutServingSpec extends AnyFunSuite {
     base.unpersist(); grown.unpersist(); shrunk.unpersist()
   }
 
+  test("routed rebalance: skewed-insert shard splits, refreshed routing table, exactness preserved") {
+    import org.apache.spark.sql.functions.{col, lit, transform => atransform}
+    val emb = Tables.embeddings(spark, dir)
+    val n = emb.count()
+    val base = VamanaRouted.fit(emb, params, numShards = 4)
+    // routed skew is STRUCTURAL: near-copies of ONE hot vector all route to
+    // its centroid. 60 copies of v0, each scaled by a distinct factor so
+    // vectors (and distances) stay unique — one shard balloons, the rest
+    // don't move, which is exactly the drift insert() cannot fix alone.
+    val v0 = emb.where(col("vec_id") === 0).select(col("embedding"))
+    val hot = spark.range(600).crossJoin(v0).select(
+      (col("id") + 100000L).as("vec_id"),
+      atransform(col("embedding"),
+        x => x * (lit(1.0f) + col("id").cast("float") * lit(1e-5f))).as("embedding"))
+    val grown = base.insert(hot)
+    val nBefore = grown.shardSizes
+    val meanBefore = nBefore.map(_.toDouble).sum / nBefore.length
+    assert(nBefore.max > 1.5 * meanBefore,
+      s"fixture vacuous: no skew (max ${nBefore.max}, mean $meanBefore)")
+    val builds0 = VamanaKernel.buildCount.get()
+    val reb = grown.rebalance(maxRatio = 1.5, maxPasses = 3)
+    val sizes = reb.shardSizes
+    assert(sizes.length > nBefore.length, "no shard split — rebalance fixture vacuous")
+    // untouched shards' kernels pass through: exactly 2 builds per split
+    assert(VamanaKernel.buildCount.get() - builds0 == 2L * (sizes.length - nBefore.length),
+      "rebalance must rebuild ONLY the split halves")
+    val mean = sizes.map(_.toDouble).sum / sizes.length
+    assert(sizes.max <= 2.0 * mean, s"max shard ${sizes.max} > 2x mean $mean")
+    assert(reb.totalPoints == grown.totalPoints, "rebalance changed the membership union")
+    // the ROUTED twist vs hash-fanout rebalance: fresh shards are first-class
+    // routing targets — the table grew with the layout
+    assert(reb.numShards == sizes.length,
+      s"routing table (${reb.numShards}) out of sync with shard rows (${sizes.length})")
+    // exactness theorem survives: full probe + full beam == exact kNN over the union
+    val q = queries(10)
+    val corpus = emb.select(col("vec_id"), col("embedding")).unionByName(hot)
+    val exact = Knn.knnExact(corpus, q, 10).select(col("query_id"), col("id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val full = reb.withFullBeamShards().search(q, 10).select(col("query_id"), col("id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(full == exact, s"missing ${exact -- full}, extra ${full -- exact}")
+    // ball-pruned range search recomputes radii against the refreshed table
+    // and stays lossless: pruned + full-beam == the full-scatter range scan
+    // over the union corpus (hash fanout at full beam — the exact regime)
+    val rq = queries(5)
+    val radiusSq = VamanaOps.RangeRadiusSq
+    val exactRange = VamanaFanout.fit(corpus, params, numShards = 3)
+      .withFullBeamShards().rangeSearch(rq, radiusSq)
+      .collect().map(_.toSeq).toSeq
+    val prunedRange = reb.withFullBeamShards().rangeSearch(rq, radiusSq)
+      .collect().map(_.toSeq).toSeq
+    assert(prunedRange == exactRange,
+      "ball-pruned routed range after rebalance must equal the exact range scan")
+    // inserts keep routing — into the REFRESHED table (every batch point
+    // lands in >= 1 live shard, bounded by the closure's maxReplicas)
+    val more = emb.where(col("vec_id") < 5).select(
+      (col("vec_id") + 900000L).as("vec_id"), col("embedding"))
+    val after = reb.insert(more)
+    val delta = after.totalPoints - reb.totalPoints
+    assert(delta >= 5 && delta <= 5L * reb.maxReplicas,
+      s"post-rebalance insert added $delta rows for 5 points")
+    base.unpersist(); grown.unpersist(); reb.unpersist(); after.unpersist()
+  }
+
   test("routed save/load: reloaded model routes and searches identically with zero builds") {
     import org.apache.spark.sql.functions.col
     val emb = Tables.embeddings(spark, dir)

@@ -317,6 +317,30 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("dot_native"), s"sub-dots must ride the codegen kernel:\n$p")
   }
 
+  test("routed serving plans are shard scatter + merge only — no corpus join, no cartesian") {
+    // every routed serving form scatters the bounded query batch to the
+    // cached shard kernels (flatMap over the shard dataset) and merges;
+    // a BroadcastNestedLoopJoin or CartesianProduct anywhere in these
+    // plans would mean the corpus entered a join — the exact shape the
+    // clustered layout exists to avoid. (The routed GATES additionally
+    // embed knn-exact oracles whose BNLJ broadcasts the 10-query batch,
+    // which is the correct direction and asserted by the knnExact test.)
+    import graft.vamana.VamanaOps
+    val emb = Tables.embeddings(spark, dir)
+    val q = Knn.queriesFromPoints(emb, 10)
+    val m = VamanaOps.routedModel(spark, dir)
+    for ((name, df) <- Seq(
+        "searchRouted" -> m.searchRouted(q, 10, nprobe = 2),
+        "searchRoutedAdaptive" -> m.searchRoutedAdaptive(q, 10),
+        "searchRoutedFiltered" -> m.searchRoutedFiltered(q, Array(1L, 2L, 3L), 10, 2),
+        "rangeSearch" -> m.rangeSearch(q, VamanaOps.RangeRadiusSq))) {
+      val p = plan(df)
+      assert(!p.contains("CartesianProduct"), s"$name: cartesian over the corpus:\n$p")
+      assert(!p.contains("BroadcastNestedLoopJoin"),
+        s"$name: serving must scatter to shard kernels, never join the corpus:\n$p")
+    }
+  }
+
   test("dataset diff is one full outer join on the id — no window, no extra exchange") {
     val p = plan(CorpusPipeline.datasetDiff(spark, dir))
     assert(p.contains("FullOuter"), s"diff must be a full outer join:\n$p")
