@@ -43,7 +43,7 @@ object SparkEntry {
       vamanaSearchQ, vamanaOverlapQ, vamanaRecallQ, vamanaStartQ, vamanaStartGateQ,
       vamanaDescribeQ, vamanaDegreeQ, vamanaConnectivityQ,
       vamanaFanoutQ, vamanaFanoutGateQ, vamanaFanoutFilteredQ, vamanaFanoutFilteredGateQ,
-      vamanaRoutedQ, vamanaRoutedGateQ, vamanaRoutedAdaptiveGateQ, vamanaRoutedFilteredGateQ,
+      vamanaRoutedQ, vamanaRoutedGateQ, vamanaRoutedAdaptiveGateQ, vamanaRoutedFilteredGateQ, vamanaRoutedRebalanceGateQ,
       vamanaPqRoutedGateQ,
       vamanaAdaptivePostfilterGateQ,
       vamanaRoundtripQ, vamanaBinaryGateQ, vamanaInsertQ, vamanaDeleteQ, vamanaInsertGateQ, vamanaDeleteGateQ,
@@ -348,6 +348,21 @@ object SparkEntry {
       SELECT vec_id AS query_id,
              LEAST(10, (SELECT count(*) FROM documents WHERE lang = 'en'))::BIGINT AS overlap
       FROM embeddings WHERE vec_id < 10 ORDER BY query_id
+    """.trim))
+
+  /** Routed REBALANCE gate: skewed-insert fixture splits (split_happened),
+    * sizes land within 2x of mean, the routing table grows with the layout
+    * (table_synced — the refresh hash rebalance cannot do), and full probe
+    * + full beam over the rebalanced layout still equals exact kNN over
+    * base ∪ inserts (the membership-union/ε-closure invariant) — all
+    * implementation theorems, stated as literals by the oracle. */
+  private val vamanaRoutedRebalanceGateQ: (String, QFn, Option[String]) = (
+    "vamana_routed_rebalance_gate",
+    (s, d) => graft.vamana.VamanaOps.vamanaRoutedRebalanceGate(s, d),
+    Some("""
+      SELECT count(DISTINCT vec_id) AS n_queries, TRUE AS split_happened,
+             TRUE AS sizes_ok, TRUE AS table_synced, TRUE AS overlap_exact_ok
+      FROM embeddings WHERE vec_id < 10
     """.trim))
 
   /** Query-adaptive routed serving gate (SPANN §4.3 distance-band

@@ -74,6 +74,8 @@ object VamanaOps {
     fullBeamFanoutCache.clear()
     for ((_, f) <- fullBeamRoutedCache) f.unpersist()
     fullBeamRoutedCache.clear()
+    for ((_, (m, _, _)) <- routedRebalanceCache) m.unpersist()
+    routedRebalanceCache.clear()
     for ((_, f) <- subVecCache) f.unpersist()
     subVecCache.clear()
     for ((_, f) <- langCosCache) f.unpersist()
@@ -720,6 +722,60 @@ object VamanaOps {
       .crossJoin(endpoint)
       .select(col("n_queries"), col("recall_ok"),
         col("probes_saved"), (col("in_range") && col("endpoint_ok")).as("bounded_ok"))
+  }
+
+  /** Rebalance gate (`vamana_routed_rebalance_gate`) — the routed
+    * maintenance lifecycle's fourth quarter (insert / delete / merge /
+    * REBALANCE) end-to-end in the registry, not just in specs. Fixture:
+    * a bounded 4-shard routed fit over the first ≤1000 embeddings, grown
+    * by 600 near-copies of vector 0 (distinct 1e-5 scale steps — no
+    * distance ties) — routed skew is STRUCTURAL, every copy routes to
+    * v0's centroid — then [[RoutedFanoutModel.rebalance]]. Flags, all
+    * theorems about the implementation (oracle pins them as literals):
+    *  - `split_happened`: the skewed shard actually split (a vacuous
+    *    fixture would pass the rest trivially);
+    *  - `sizes_ok`: post-rebalance max shard ≤ 2× the mean;
+    *  - `table_synced`: the routing table grew with the layout — every
+    *    shard row owns a first-class centroid slot (the refresh
+    *    [[FanoutModel.rebalance]] cannot do is the routed one's point);
+    *  - `overlap_exact_ok`: full probe + full beam over the REBALANCED
+    *    layout still equals exact kNN over base ∪ copies per query — the
+    *    membership-union/ε-closure invariant survived the splits.
+    * Constant cost at every sf (the fixture is size-bounded). */
+  private val routedRebalanceCache =
+    TrieMap.empty[String, (RoutedFanoutModel, DataFrame, Int)]
+
+  def vamanaRoutedRebalanceGate(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    val (fb, corpus, shardsBefore) = routedRebalanceCache.getOrElseUpdate(dir, {
+      val emb = Tables.embeddings(spark, dir).where(col("vec_id") < 1000)
+        .select(col("vec_id"), col("embedding"))
+      val base = VamanaRouted.fit(emb, defaultParams, numShards = 4)
+      val v0 = emb.where(col("vec_id") === 0).select(col("embedding"))
+      val hot = spark.range(600).crossJoin(v0).select(
+        (col("id") + 10000000L).as("vec_id"),
+        org.apache.spark.sql.functions.transform(col("embedding"),
+          x => x * (lit(1.0f) + col("id").cast("float") * lit(1e-5f))).as("embedding"))
+      val grown = base.insert(hot)
+      val reb = grown.rebalance(maxRatio = 1.5, maxPasses = 3)
+      val full = reb.withFullBeamShards()
+      base.unpersist(); grown.unpersist()
+      if (reb.numShards > base.numShards) reb.unpersist() // rebalance split: reb != grown
+      (full, emb.unionByName(hot), base.numShards)
+    })
+    val emb = corpus.where(col("vec_id") < 1000)
+    val q = Knn.queriesFromPoints(emb, 10)
+    val sizes = fb.shardSizes
+    val mean = sizes.map(_.toDouble).sum / sizes.length
+    val ann = fb.search(q, k).select(col("query_id"), col("id"))
+    val exact = Knn.knnExact(corpus, q, k).select(col("query_id"), col("id"))
+    ann.join(exact, Seq("query_id", "id"))
+      .groupBy(col("query_id")).agg(count(lit(1)).as("ov"))
+      .agg(count(lit(1)).as("n_queries"), (min(col("ov")) === k).as("ok"))
+      .select(col("n_queries"),
+        lit(fb.numShards > shardsBefore).as("split_happened"),
+        lit(sizes.max <= 2.0 * mean).as("sizes_ok"),
+        lit(fb.numShards == sizes.length).as("table_synced"),
+        col("ok").as("overlap_exact_ok"))
   }
 
   /** PQ-scored ROUTED serving gate — the (clustered routing × PQ memory)

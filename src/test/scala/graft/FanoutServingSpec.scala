@@ -800,4 +800,14 @@ class FanoutServingSpec extends AnyFunSuite {
     assert(row.getAs[Boolean]("probes_saved"), "adaptive routing did not prune any probe")
     assert(row.getAs[Boolean]("bounded_ok"), "probe counts out of range or endpoint broken")
   }
+
+  test("vamana_routed_rebalance_gate reports all-green bits at smoke scale") {
+    val row = VamanaOps.vamanaRoutedRebalanceGate(spark, dir).head()
+    assert(row.getAs[Long]("n_queries") == 10)
+    assert(row.getAs[Boolean]("split_happened"), "skew fixture did not split — gate vacuous")
+    assert(row.getAs[Boolean]("sizes_ok"), "post-rebalance shard sizes exceed 2x mean")
+    assert(row.getAs[Boolean]("table_synced"), "routing table out of sync with shard rows")
+    assert(row.getAs[Boolean]("overlap_exact_ok"),
+      "full-probe full-beam after rebalance diverged from exact kNN")
+  }
 }
