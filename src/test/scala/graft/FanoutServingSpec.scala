@@ -635,6 +635,16 @@ class FanoutServingSpec extends AnyFunSuite {
     val delta = after.totalPoints - reb.totalPoints
     assert(delta >= 5 && delta <= 5L * reb.maxReplicas,
       s"post-rebalance insert added $delta rows for 5 points")
+    // the GROWN routing table roundtrips: a rebalanced model's checkpoint
+    // carries the fresh slots and answers identically after reload
+    val path = java.nio.file.Files.createTempDirectory("routed_reb_ckpt").toString
+    reb.save(path)
+    val back = RoutedFanoutModel.load(spark, path)
+    assert(back.numShards == reb.numShards, "fresh centroid slots lost in save/load")
+    val wantR = reb.searchRouted(q, 10, nprobe = 2).collect().map(_.toSeq).toSeq
+    val gotR = back.searchRouted(q, 10, nprobe = 2).collect().map(_.toSeq).toSeq
+    assert(gotR == wantR, "reloaded rebalanced model must answer identically")
+    back.unpersist()
     base.unpersist(); grown.unpersist(); reb.unpersist(); after.unpersist()
   }
 
