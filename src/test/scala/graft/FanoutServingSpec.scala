@@ -635,6 +635,20 @@ class FanoutServingSpec extends AnyFunSuite {
     val delta = after.totalPoints - reb.totalPoints
     assert(delta >= 5 && delta <= 5L * reb.maxReplicas,
       s"post-rebalance insert added $delta rows for 5 points")
+    // PQ serving composes with the rebalance under the SAME memo key: the
+    // membership fingerprint must re-encode the split shards (the original
+    // id holds different points now; the fresh id is a cache miss) and the
+    // full-probe + full-beam PQ merge must still equal exact kNN
+    val pqKey = "routed_rebalance_spec_" + System.nanoTime()
+    VamanaPq.searchRoutedModel(grown, q, pqKey, 10,
+      nprobe = grown.numShards, fullBeam = true).count() // warm the memo pre-split
+    val pqAfter = VamanaPq.searchRoutedModel(reb, q, pqKey, 10,
+        nprobe = reb.numShards, fullBeam = true)
+      .select(col("query_id"), col("id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pqAfter == exact,
+      s"PQ-routed serving diverged after rebalance — stale code memo: " +
+        s"missing ${exact -- pqAfter}, extra ${pqAfter -- exact}")
     // the GROWN routing table roundtrips: a rebalanced model's checkpoint
     // carries the fresh slots and answers identically after reload
     val path = java.nio.file.Files.createTempDirectory("routed_reb_ckpt").toString
