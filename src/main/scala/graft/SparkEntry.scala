@@ -43,7 +43,7 @@ object SparkEntry {
       vamanaSearchQ, vamanaOverlapQ, vamanaRecallQ, vamanaStartQ, vamanaStartGateQ,
       vamanaDescribeQ, vamanaDegreeQ, vamanaConnectivityQ,
       vamanaFanoutQ, vamanaFanoutGateQ, vamanaFanoutFilteredQ, vamanaFanoutFilteredGateQ,
-      vamanaRoutedQ, vamanaRoutedGateQ, vamanaRoutedAdaptiveGateQ, vamanaRoutedFilteredGateQ, vamanaRoutedRebalanceGateQ,
+      vamanaRoutedQ, vamanaRoutedGateQ, vamanaRoutedAdaptiveGateQ, vamanaRoutedFilteredGateQ, vamanaRoutedRebalanceGateQ, vamanaRoutedMergeGateQ,
       vamanaPqRoutedGateQ,
       vamanaAdaptivePostfilterGateQ,
       vamanaRoundtripQ, vamanaBinaryGateQ, vamanaInsertQ, vamanaDeleteQ, vamanaInsertGateQ, vamanaDeleteGateQ,
@@ -348,6 +348,20 @@ object SparkEntry {
       SELECT vec_id AS query_id,
              LEAST(10, (SELECT count(*) FROM documents WHERE lang = 'en'))::BIGINT AS overlap
       FROM embeddings WHERE vec_id < 10 ORDER BY query_id
+    """.trim))
+
+  /** Routed MERGE gate: two independent routed fits union with ZERO
+    * kernel builds and a CONCATENATED routing table (both fits' clusters
+    * stay first-class targets); full probe + full beam over the merged
+    * layout equals exact kNN over the union — theorems as oracle
+    * literals, the hash-merge gate's pattern on the clustered layout. */
+  private val vamanaRoutedMergeGateQ: (String, QFn, Option[String]) = (
+    "vamana_routed_merge_gate",
+    (s, d) => graft.vamana.VamanaOps.vamanaRoutedMergeGate(s, d),
+    Some("""
+      SELECT count(DISTINCT vec_id) AS n_queries, TRUE AS overlap_exact_ok,
+             TRUE AS zero_builds, TRUE AS table_synced
+      FROM embeddings WHERE vec_id < 10
     """.trim))
 
   /** Routed REBALANCE gate: skewed-insert fixture splits (split_happened),

@@ -76,6 +76,8 @@ object VamanaOps {
     fullBeamRoutedCache.clear()
     for ((_, (m, _, _)) <- routedRebalanceCache) m.unpersist()
     routedRebalanceCache.clear()
+    for ((_, (m, _)) <- routedMergeCache) m.unpersist()
+    routedMergeCache.clear()
     for ((_, f) <- subVecCache) f.unpersist()
     subVecCache.clear()
     for ((_, f) <- langCosCache) f.unpersist()
@@ -722,6 +724,42 @@ object VamanaOps {
       .crossJoin(endpoint)
       .select(col("n_queries"), col("recall_ok"),
         col("probes_saved"), (col("in_range") && col("endpoint_ok")).as("bounded_ok"))
+  }
+
+  /** Routed MERGE gate (`vamana_routed_merge_gate`) — the clustered
+    * layout's fourth lifecycle quarter in the registry: two INDEPENDENT
+    * routed fits on the even/odd id halves (two daily builds) fold by
+    * [[RoutedFanoutModel.merge]] — shard rows re-keyed + unioned, centroid
+    * tables CONCATENATED so both fits' clusters stay first-class routing
+    * targets, zero kernel builds (flagged via buildCount). At full probe
+    * + full beam the union of the two ε-closure covers is a cover of the
+    * union corpus, so per-query overlap with exact kNN must equal k
+    * (theorem; oracle literal), and the routing table must cover every
+    * shard row (table_synced). */
+  private val routedMergeCache = TrieMap.empty[String, (RoutedFanoutModel, Boolean)]
+
+  def vamanaRoutedMergeGate(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val (merged, zeroBuilds) = routedMergeCache.getOrElseUpdate(dir, {
+      val a = VamanaRouted.fit(emb.where(col("vec_id") % 2 === 0), defaultParams, numShards = 2)
+      val b = VamanaRouted.fit(emb.where(col("vec_id") % 2 === 1), defaultParams, numShards = 2)
+      val builds0 = VamanaKernel.buildCount.get()
+      val m = a.merge(b)
+      val zb = VamanaKernel.buildCount.get() == builds0
+      val full = m.withFullBeamShards()
+      a.unpersist(); b.unpersist(); m.unpersist()
+      (full, zb)
+    })
+    val q = Knn.queriesFromPoints(emb, 10)
+    val ann = merged.search(q, k).select(col("query_id"), col("id"))
+    val exact = Knn.knnExact(emb, q, k).select(col("query_id"), col("id"))
+    ann.join(exact, Seq("query_id", "id"))
+      .groupBy(col("query_id")).agg(count(lit(1)).as("ov"))
+      .agg(count(lit(1)).as("n_queries"), (min(col("ov")) === k).as("ok"))
+      .select(col("n_queries"),
+        col("ok").as("overlap_exact_ok"),
+        lit(zeroBuilds).as("zero_builds"),
+        lit(merged.numShards == merged.shardSizes.length).as("table_synced"))
   }
 
   /** Rebalance gate (`vamana_routed_rebalance_gate`) — the routed

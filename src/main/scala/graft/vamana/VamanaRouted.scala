@@ -653,6 +653,44 @@ final class RoutedFanoutModel private[vamana] (
     new RoutedFanoutModel(updated, params, centroids, closureEps, maxReplicas)
   }
 
+  /** Distributed routed MERGE — [[FanoutModel.merge]]'s clustered twin,
+    * completing the maintenance lifecycle (insert / delete / rebalance /
+    * MERGE) on the routed layout: the other model's shard rows re-key
+    * past this table (s → s + numShards) and UNION, and — the routed
+    * difference — the CENTROID TABLES CONCATENATE, so the merged model
+    * routes queries and inserts across both fits' clusters as first-class
+    * targets (hash merge's re-keyed shards are deliberately unroutable;
+    * centroid routing learns them for free). Zero kernel builds. At full
+    * probe + full beam the union of the two ε-closure covers is a cover
+    * of the union corpus, so exactness holds verbatim; at low nprobe the
+    * routing rule is geometry-correct across both tables (a query probes
+    * whichever fit's centroids are actually nearest). Id sets must be
+    * disjoint (one distributed semi-join); the surviving closure rule for
+    * future inserts is THIS model's. `ip` rejected: the two fits
+    * augmented different max norms (mirrors [[FanoutModel.merge]]). */
+  def merge(other: RoutedFanoutModel): RoutedFanoutModel = {
+    require(params.metric != "ip" && other.params.metric != "ip",
+      "merge is not defined for metric=ip (per-fit norm augmentation); refit instead")
+    require(params.metric == other.params.metric,
+      s"metric mismatch: ${params.metric} vs ${other.params.metric} — differently " +
+        "transformed kernel spaces cannot serve one query preparation")
+    require(params.dim == other.params.dim,
+      s"dimension mismatch: ${params.dim} vs ${other.params.dim}")
+    implicit val shardEnc: Encoder[(Int, LocalIndex)] =
+      Encoders.tuple(Encoders.scalaInt, Encoders.kryo[LocalIndex])
+    val idEnc = Encoders.scalaLong
+    val myIds = shards.flatMap { case (_, idx) => idx.ids.iterator }(idEnc).toDF("id")
+    val otherIds = other.shards.flatMap { case (_, idx) => idx.ids.iterator }(idEnc).toDF("id")
+    require(myIds.join(otherIds, "id").isEmpty,
+      "id sets overlap; merge requires disjoint indexes (dedup first, or delete one side's copies)")
+    val offset = centroids.length
+    val rekeyed = other.shards.map { case (s, idx) => (s + offset, idx) }
+    val merged = shards.union(rekeyed).cache()
+    merged.count() // materialize; both inputs stay independently usable
+    new RoutedFanoutModel(merged, params, centroids ++ other.centroids,
+      closureEps, maxReplicas)
+  }
+
   /** Shard-local DELETE — [[FanoutModel.delete]]'s recipe: each shard
     * repairs its own graph around the removed ids (in-neighbor re-prune +
     * compaction); a fully-emptied shard row disappears, but the routing

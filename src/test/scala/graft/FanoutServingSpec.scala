@@ -825,6 +825,54 @@ class FanoutServingSpec extends AnyFunSuite {
     assert(row.getAs[Boolean]("bounded_ok"), "probe counts out of range or endpoint broken")
   }
 
+  test("routed merge: zero builds, concatenated routing table, union serves exactly") {
+    import org.apache.spark.sql.functions.col
+    val emb = Tables.embeddings(spark, dir)
+    val a = VamanaRouted.fit(emb.where(col("vec_id") % 2 === 0), params, numShards = 3)
+    val b = VamanaRouted.fit(emb.where(col("vec_id") % 2 === 1), params, numShards = 2)
+    val beforeBuilds = VamanaKernel.buildCount.get()
+    val m = a.merge(b)
+    assert(VamanaKernel.buildCount.get() == beforeBuilds,
+      "routed merge must be a shard re-key + union — zero kernel builds")
+    assert(m.numShards == a.numShards + b.numShards,
+      "routing tables must concatenate — both fits' clusters stay routable")
+    assert(m.totalPoints == a.totalPoints + b.totalPoints, "merge changed the membership union")
+    // exactness theorem: union of the two closure covers is a cover of the union
+    val q = queries(10)
+    val exact = Knn.knnExact(emb, q, 10).select(col("query_id"), col("id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val full = m.withFullBeamShards().search(q, 10).select(col("query_id"), col("id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(full == exact, s"missing ${exact -- full}, extra ${full -- exact}")
+    // low-nprobe routing is geometry-correct ACROSS the concatenated table:
+    // a query probes whichever fit's centroids are actually nearest, so
+    // deployed-config recall clears the same floor as a single fit
+    val routed = m.searchRouted(q, 10, nprobe = 2).select(col("query_id"), col("id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val hit = routed.count(exact.contains)
+    assert(hit.toDouble / exact.size >= 0.8,
+      s"merged routed recall ${hit.toDouble / exact.size} below the 0.8 floor")
+    // duplicate ids rejected; sources intact
+    intercept[IllegalArgumentException] { a.merge(a) }
+    assert(a.totalPoints + b.totalPoints == m.totalPoints)
+    // inserts route into the merged table under THIS model's closure rule
+    val more = emb.where(col("vec_id") < 5).select(
+      (col("vec_id") + 800000L).as("vec_id"), col("embedding"))
+    val grown = m.insert(more)
+    assert(grown.totalPoints >= m.totalPoints + 5 &&
+      grown.totalPoints <= m.totalPoints + 5L * m.maxReplicas)
+    a.unpersist(); b.unpersist(); m.unpersist(); grown.unpersist()
+  }
+
+  test("vamana_routed_merge_gate reports all-green bits at smoke scale") {
+    val row = VamanaOps.vamanaRoutedMergeGate(spark, dir).head()
+    assert(row.getAs[Long]("n_queries") == 10)
+    assert(row.getAs[Boolean]("overlap_exact_ok"),
+      "full-probe full-beam over the merged routed layout diverged from exact kNN")
+    assert(row.getAs[Boolean]("zero_builds"), "routed merge ran kernel builds")
+    assert(row.getAs[Boolean]("table_synced"), "routing table out of sync after merge")
+  }
+
   test("vamana_routed_rebalance_gate reports all-green bits at smoke scale") {
     val row = VamanaOps.vamanaRoutedRebalanceGate(spark, dir).head()
     assert(row.getAs[Long]("n_queries") == 10)
