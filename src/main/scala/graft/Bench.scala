@@ -38,11 +38,24 @@ object Bench {
   private[graft] def committedQueries(benchOut: String): Map[String, Double] =
     try {
       val p = java.nio.file.Paths.get(benchOut).toAbsolutePath
-      val proc = new ProcessBuilder("git", "-C", p.getParent.toString,
-        "show", s"HEAD:${p.getFileName}").redirectErrorStream(false).start()
-      val out = new String(proc.getInputStream.readAllBytes(),
-        java.nio.charset.StandardCharsets.UTF_8)
-      if (proc.waitFor() == 0) parsePrevQueries(out) else Map.empty
+      def git(args: String*): (Int, String) = {
+        val proc = new ProcessBuilder(
+          (Seq("git", "-C", p.getParent.toString) ++ args): _*)
+          .redirectErrorStream(false).start()
+        val out = new String(proc.getInputStream.readAllBytes(),
+          java.nio.charset.StandardCharsets.UTF_8)
+        (proc.waitFor(), out)
+      }
+      // benchOut may sit below the repo root — HEAD:<path> needs the
+      // repo-RELATIVE path, not the bare file name (a bare name only works
+      // when the file sits at the root; anywhere else `git show` fails and
+      // the committed baseline silently degrades to empty)
+      val (rcPrefix, prefix) = git("rev-parse", "--show-prefix")
+      if (rcPrefix != 0) Map.empty
+      else {
+        val (rc, out) = git("show", s"HEAD:${prefix.trim}${p.getFileName}")
+        if (rc == 0) parsePrevQueries(out) else Map.empty
+      }
     } catch { case _: Throwable => Map.empty }
 
   def main(args: Array[String]): Unit = {
@@ -65,6 +78,11 @@ object Bench {
     // slowdown (round-13's substring_dedup went 0.85->5.99s) is flagged in
     // the bench output itself instead of waiting for a human to diff rounds.
     val committedBaseline = committedQueries(benchOut)
+    // an empty committed baseline silently disables the drift tier — say so
+    // (stderr, so the driver's stdout tail-parse never sees it)
+    if (committedBaseline.isEmpty)
+      System.err.println(s"[bench] no committed baseline readable for $benchOut" +
+        " — drifts_vs_committed is disabled this run")
     val prevQueries: Map[String, Double] = baselineOf(Seq(
       try {
         parsePrevQueries(new String(java.nio.file.Files.readAllBytes(
@@ -153,7 +171,9 @@ object Bench {
     // absolute (both thresholds together filter sub-second JIT/GC noise).
     // The block is advisory context for the next reader, not a hard fail —
     // host-load differences (see loadavg fields) can still explain a hit.
-    val regressionEntries = regressionsOf(prevQueries, results).map {
+    val hardRegressions = regressionsOf(prevQueries, results)
+    val hardRegressionNames = hardRegressions.map(_._1).toSet
+    val regressionEntries = hardRegressions.map {
       case (name, p, cur) =>
         s"\"$name\":{\"prev\":$p,\"cur\":$cur,\"ratio\":${r4(cur / p)}}"
     }
@@ -161,9 +181,11 @@ object Bench {
     // Softer cross-ROUND drift tier, diffed against the committed snapshot
     // only: a 1.5-2x creep repeated over rounds compounds invisibly under
     // the 2x gate (round-15's dedup_minhash landed at 1.76x vs committed —
-    // under the flag, over what a reader wants surfaced).
+    // under the flag, over what a reader wants surfaced). Dedup against the
+    // hard tier by NAME (substring-matching the serialized JSON would
+    // wrongly suppress a query whose name collides with a key literal).
     val driftEntries = regressionsOf(committedBaseline, results, ratio = 1.5, abs = 0.4)
-      .filterNot { case (n, _, _) => regressionEntries.exists(_.contains("\"" + n + "\"")) }
+      .filterNot { case (n, _, _) => hardRegressionNames.contains(n) }
       .map { case (name, p, cur) =>
         s"\"$name\":{\"committed\":$p,\"cur\":$cur,\"ratio\":${r4(cur / p)}}"
       }

@@ -149,6 +149,39 @@ object ScaleBench {
             s""""tail_p95_ms":${percentile(perQueryMs, 0.95)},""" +
             s""""tail_max_ms":${math.rint(perQueryMs.last * 10) / 10}}""")
         }
+        // RECALL-TARGETED calibration (the INVERSE knob — the question a
+        // deployment actually asks: "what band do I run for 0.8 / 0.9?"):
+        // bisect the smallest eps reaching each target vs FULL SCATTER at
+        // the same beam (routing loss only — beam loss is the kernel's
+        // knob), then price the chosen band: realized probe distribution,
+        // end-to-end recall vs exact (includes beam loss, the number the
+        // eps→recall ladder above reports), and per-request tail.
+        for (target <- Seq(0.8, 0.9)) {
+          val t1 = System.nanoTime()
+          val cal = rm.calibrateEps(queries, k, target)
+          val calSec = (System.nanoTime() - t1) / 1e9
+          val got = rm.searchRoutedAdaptive(queries, k, cal.eps).cache()
+          got.count()
+          val recallVsExact = Knn.recallAt(k, got, truth)
+          got.unpersist()
+          val perQueryMs = (0 until 100).map { qid =>
+            val q1 = queries.where(col("query_id") === qid)
+            val tq = System.nanoTime()
+            rm.searchRoutedAdaptive(q1, k, cal.eps).count()
+            (System.nanoTime() - tq) / 1e6
+          }.sorted
+          println(
+            s"""{"routed_n":$n,"dim":$dim,"shards":$s,"target_recall":$target,"cpus":$cpus,""" +
+            s""""calibrated_eps":${math.rint(cal.eps * 1e4) / 1e4},""" +
+            s""""target_met":${cal.targetMet},""" +
+            s""""recall_vs_scatter":${math.rint(cal.recall * 1e4) / 1e4},""" +
+            s""""recall_at_10":${math.rint(recallVsExact * 1e4) / 1e4},""" +
+            s""""mean_probes":${math.rint(cal.meanProbes * 100) / 100},""" +
+            s""""p95_probes":${cal.p95Probes},""" +
+            s""""calibrate_sec":${math.rint(calSec * 100) / 100},""" +
+            s""""tail_p50_ms":${percentile(perQueryMs, 0.50)},""" +
+            s""""tail_p95_ms":${percentile(perQueryMs, 0.95)}}""")
+        }
         rm.unpersist()
       }
       spark.stop(); return

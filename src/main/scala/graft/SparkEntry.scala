@@ -41,9 +41,9 @@ object SparkEntry {
       knnExactQ, knnExactAggQ, knnFilteredQ, medoidExactQ, argminNearestQ,
       vamanaFilteredQ,
       vamanaSearchQ, vamanaOverlapQ, vamanaRecallQ, vamanaStartQ, vamanaStartGateQ,
-      vamanaDescribeQ, vamanaDegreeQ, vamanaConnectivityQ,
+      vamanaDescribeQ, vamanaDegreeQ, vamanaConnectivityQ, vamanaStatsQ,
       vamanaFanoutQ, vamanaFanoutGateQ, vamanaFanoutFilteredQ, vamanaFanoutFilteredGateQ,
-      vamanaRoutedQ, vamanaRoutedGateQ, vamanaRoutedAdaptiveGateQ, vamanaRoutedFilteredGateQ, vamanaRoutedRebalanceGateQ, vamanaRoutedMergeGateQ,
+      vamanaRoutedQ, vamanaRoutedGateQ, vamanaRoutedAdaptiveGateQ, vamanaRoutedFilteredGateQ, vamanaRoutedRebalanceGateQ, vamanaRoutedMergeGateQ, vamanaRoutedCalibrateGateQ,
       vamanaPqRoutedGateQ,
       vamanaAdaptivePostfilterGateQ,
       vamanaRoundtripQ, vamanaBinaryGateQ, vamanaInsertQ, vamanaDeleteQ, vamanaInsertGateQ, vamanaDeleteGateQ,
@@ -301,6 +301,22 @@ object SparkEntry {
     (s, d) => graft.vamana.VamanaOps.vamanaConnectivityGate(s, d),
     Some("SELECT count(*)::BIGINT AS n_nodes, TRUE AS single_component FROM embeddings"))
 
+  /** M3 search stats — the one API the reference stubs (go_api:163-171
+    * returns 0.0, `TODO: implement`), implemented and gated: the raw
+    * per-query hop/comp counts are engine-private (graph-dependent), so
+    * the registered row states their INVARIANTS — hops ≤ comps, comps ∈
+    * [k, n], full-beam comps = n (the exhaustive-scan theorem), and the
+    * deployed beam expands strictly fewer nodes than the full one. */
+  private val vamanaStatsQ: (String, QFn, Option[String]) = (
+    "vamana_stats",
+    (s, d) => graft.vamana.VamanaOps.vamanaStats(s, d),
+    Some("""
+      SELECT count(DISTINCT vec_id) AS n_queries, TRUE AS hops_le_comps,
+             TRUE AS comps_bounded, TRUE AS full_beam_comps_exact,
+             TRUE AS default_prunes
+      FROM embeddings WHERE vec_id < 10
+    """.trim))
+
   private val vamanaFanoutQ: (String, QFn, Option[String]) = (
     "vamana_fanout_search",
     (s, d) => graft.vamana.VamanaOps.vamanaFanout(s, d),
@@ -390,6 +406,20 @@ object SparkEntry {
     Some("""
       SELECT count(DISTINCT vec_id) AS n_queries, TRUE AS recall_ok,
              TRUE AS probes_saved, TRUE AS bounded_ok
+      FROM embeddings WHERE vec_id < 10
+    """.trim))
+
+  /** Recall-targeted band calibration (the inverse of the eps → recall
+    * pricing table): bisect the smallest adaptive routeEps reaching 0.9
+    * recall vs full scatter; target_met / monotone_ok are theorems of the
+    * calibration (uncapped band degenerates to full probe; a half-band's
+    * pool is a subset), probes_bounded an invariant — oracle literals. */
+  private val vamanaRoutedCalibrateGateQ: (String, QFn, Option[String]) = (
+    "vamana_routed_calibrate_gate",
+    (s, d) => graft.vamana.VamanaOps.vamanaRoutedCalibrateGate(s, d),
+    Some("""
+      SELECT count(DISTINCT vec_id) AS n_queries, TRUE AS target_met,
+             TRUE AS monotone_ok, TRUE AS probes_bounded
       FROM embeddings WHERE vec_id < 10
     """.trim))
 

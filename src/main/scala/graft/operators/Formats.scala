@@ -211,23 +211,42 @@ object Formats {
     * until [[clearCaches]] (wired into GraftCaches.clearMemos). */
   private val bucketedCache = scala.collection.concurrent.TrieMap
     .empty[(String, Int), (SparkSession, String, String, java.nio.file.Path)]
+  private val bucketedLock = new Object
 
   private[graft] def withBucketedJoin[T](spark: SparkSession, dir: String,
       buckets: Int)(f: DataFrame => T): T = {
-    val (_, liT, ordT, _) = bucketedCache.getOrElseUpdate((dir, buckets), {
-      // unique per layout: the shared Verify/Bench session must not collide
-      val tag = java.util.UUID.randomUUID().toString.replace("-", "").take(8)
-      val base = java.nio.file.Files.createTempDirectory("graft_bucketed_")
-      val li = s"graft_li_$tag"
-      val ord = s"graft_ord_$tag"
-      Tables.lineitem(spark, dir).select(col("l_orderkey"), col("l_extendedprice"))
-        .write.mode("overwrite").option("path", s"$base/li")
-        .bucketBy(buckets, "l_orderkey").sortBy("l_orderkey").saveAsTable(li)
-      Tables.orders(spark, dir).select(col("o_orderkey"), col("o_orderpriority"))
-        .write.mode("overwrite").option("path", s"$base/ord")
-        .bucketBy(buckets, "o_orderkey").sortBy("o_orderkey").saveAsTable(ord)
-      (spark, li, ord, base)
-    })
+    // single-builder lock: a racing getOrElseUpdate would write both table
+    // pairs and orphan the losing tuple's temp dir + catalog entries
+    val (liT, ordT) = bucketedLock.synchronized {
+      val valid = bucketedCache.get((dir, buckets)).filter {
+        case (s, li, ord, _) =>
+          // a hit built by a recreated session can name catalog tables THIS
+          // session doesn't know — validate on hit, rebuild on miss
+          (s eq spark) || (spark.catalog.tableExists(li) && spark.catalog.tableExists(ord))
+      }
+      valid match {
+        case Some((_, li, ord, _)) => (li, ord)
+        case None =>
+          bucketedCache.remove((dir, buckets)).foreach { case (_, li0, ord0, base0) =>
+            scala.util.Try(spark.sql(s"DROP TABLE IF EXISTS $li0"))
+            scala.util.Try(spark.sql(s"DROP TABLE IF EXISTS $ord0"))
+            scala.util.Try(deleteRecursively(base0))
+          }
+          // unique per layout: the shared Verify/Bench session must not collide
+          val tag = java.util.UUID.randomUUID().toString.replace("-", "").take(8)
+          val base = java.nio.file.Files.createTempDirectory("graft_bucketed_")
+          val li = s"graft_li_$tag"
+          val ord = s"graft_ord_$tag"
+          Tables.lineitem(spark, dir).select(col("l_orderkey"), col("l_extendedprice"))
+            .write.mode("overwrite").option("path", s"$base/li")
+            .bucketBy(buckets, "l_orderkey").sortBy("l_orderkey").saveAsTable(li)
+          Tables.orders(spark, dir).select(col("o_orderkey"), col("o_orderpriority"))
+            .write.mode("overwrite").option("path", s"$base/ord")
+            .bucketBy(buckets, "o_orderkey").sortBy("o_orderkey").saveAsTable(ord)
+          bucketedCache.put((dir, buckets), (spark, li, ord, base))
+          (li, ord)
+      }
+    }
     f(spark.table(liT).hint("merge")
       .join(spark.table(ordT), col("l_orderkey") === col("o_orderkey")))
   }

@@ -617,6 +617,57 @@ object StreamingOps {
       .toDF("query_id", "ts", "rank", "id", "dist")
   }
 
+  /** Driver-side fold state for [[streamingRoutedInsert]]: the latest
+    * routed model, advanced one micro-batch at a time inside foreachBatch
+    * (which runs on the driver — the model handle is driver state by
+    * construction, never serialized to executors; the shard kernels stay
+    * distributed). Intermediate models unpersist as they are superseded;
+    * the caller's `initial` is never touched. */
+  final class RoutedIngest private[streaming] (
+      initial: graft.vamana.RoutedFanoutModel,
+      autoMaintain: Boolean, maxRatio: Double, maxPasses: Int,
+      idCol: String, vecCol: String) {
+    @volatile private var cur: graft.vamana.RoutedFanoutModel = initial
+    /** The latest folded model — stable between micro-batches (foreachBatch
+      * is serial per query), safe to serve from at any point. */
+    def model: graft.vamana.RoutedFanoutModel = cur
+    private[streaming] def fold(batch: DataFrame, batchId: Long): Unit = synchronized {
+      if (!batch.isEmpty) {
+        val next = cur.insert(batch, idCol, vecCol, autoMaintain, maxRatio, maxPasses)
+        if (cur ne initial) cur.unpersist()
+        cur = next
+      }
+    }
+  }
+
+  /** STREAMING INGEST for the routed layout — the arrival mode a 100 TB
+    * vector corpus actually has (documents embed and land continuously;
+    * nightly refits are the fallback, not the posture). foreachBatch →
+    * [[graft.vamana.RoutedFanoutModel.insert]]: each micro-batch routes
+    * by the SAME fitted ε-closure rule as the fit (closureAssign is part
+    * of the model), joins its shard's graph copy-on-write, and — the
+    * closed loop [[graft.vamana.RoutedFanoutModel.maintain]] provides —
+    * `autoMaintain` splits any shard the batch grew past maxRatio × mean
+    * and teaches the routing table the new slots, so a hot-region stream
+    * cannot silently degrade tail latency between human checks. The fold
+    * is deterministic per batch sequence (insert sorts each batch by id),
+    * so a stream delivering the same micro-batches produces a model
+    * bit-identical to folding those frames in batch mode — spec-asserted
+    * (ids + distances + shard layout). Composes with the serving twins:
+    * [[streamingRoutedSearch]] reads `handle.model.localServing()` after
+    * any batch boundary. Returns the started query plus the model handle. */
+  def streamingRoutedInsert(arrivals: DataFrame,
+      initial: graft.vamana.RoutedFanoutModel,
+      autoMaintain: Boolean = true, maxRatio: Double = 2.0, maxPasses: Int = 4,
+      idCol: String = "vec_id", vecCol: String = "embedding")
+      : (org.apache.spark.sql.streaming.StreamingQuery, RoutedIngest) = {
+    val handle = new RoutedIngest(initial, autoMaintain, maxRatio, maxPasses, idCol, vecCol)
+    val fold: (Dataset[org.apache.spark.sql.Row], Long) => Unit =
+      (b, id) => handle.fold(b, id)
+    val q = arrivals.writeStream.foreachBatch(fold).start()
+    (q, handle)
+  }
+
   /** Online RANGE (radius) serving — [[streamingVectorSearch]]'s
     * set-valued twin: each arriving query emits EVERY stored point within
     * squared-L2 `radiusSq`, via the same escalating-beam kernel as the

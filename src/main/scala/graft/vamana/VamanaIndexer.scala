@@ -1114,6 +1114,41 @@ final class VamanaModel private (
         .toDF("query_id", "rank", "id", "dist")
   }
 
+  /** M3 search-stats observability (the surface the reference stubs at
+    * 0.0 — go_api:163-171): per query, the hop count (neighbor lists the
+    * beam expanded — the IO driver on a disk-resident graph) and the
+    * distance-computation count (unique nodes scored — the CPU driver),
+    * from the SAME traversal [[search]] runs ([[VamanaKernel
+    * .searchCounted]] shares the kernel, so the stats describe exactly
+    * the serving path, not an instrumented twin). This is the
+    * capacity-planning observable a serving operator reads first: avg
+    * comps × corpus scaling says when to shard, avg hops says what a
+    * disk layout would pay per query. Broadcast-scale models only — a
+    * fanout model's per-shard stats are the per-shard kernels' numbers. */
+  def searchStats(
+      queries: DataFrame,
+      k: Int,
+      queryIdCol: String = "query_id",
+      queryVecCol: String = "query_vec",
+      beamOverride: Int = 0): DataFrame = {
+    val idx = localOpt.getOrElse(throw new IllegalStateException(
+      "searchStats reads the broadcast kernel; distributed models report per shard"))
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(idx)
+    val bo = beamOverride
+    queries
+      .select(col(queryIdCol).cast("long"), col(queryVecCol).cast("array<float>"))
+      .as[(Long, Array[Float])]
+      .map { case (qid, qvec) =>
+        val q = MetricReduction.prepareQuery(qvec, bc.value.params.metric)
+        val (_, hops, comps) = VamanaKernel.searchCounted(bc.value, q, k, bo)
+        (qid, hops, comps)
+      }
+      .toDF("query_id", "n_hops", "n_comps")
+      .orderBy(col("query_id"))
+  }
+
   /** Range (radius) query: every stored point within squared-L2 `radiusSq`
     * of each query — [[VamanaKernel.rangeSearch]]'s escalating-beam
     * traversal per partition against the broadcast index (no shuffle);

@@ -831,6 +831,31 @@ object VamanaKernel {
       .map(i => (index.ids(poolIds(i)), poolDists(i)))
   }
 
+  /** [[search]] + the M3 serving observables the reference STUBS at 0.0
+    * (go_api:163-171 `GetSearchStats` returns `TODO: implement`): per
+    * query, `hops` = nodes the beam EXPANDED (neighbor lists walked — the
+    * latency driver on disk-resident graphs, one IO per hop in the
+    * DiskANN layout) and `comps` = unique nodes SCORED (distance
+    * computations — the CPU driver). Same traversal as [[search]]
+    * ([[greedySearchCounted]] shares the kernel), so the returned top-k
+    * is bit-identical to the untracked path. `beamOverride` follows
+    * [[searchFiltered]]'s convention (0 = the fitted efSearch); at
+    * beamL ≥ n the full-beam regime scores every node exactly once, so
+    * comps = n — the theorem `vamana_stats` pins. */
+  def searchCounted(index: LocalIndex, query: Array[Float], k: Int,
+      beamOverride: Int = 0): (Array[(Long, Float)], Long, Long) = {
+    val kk = math.min(k, index.size)
+    val beamL = math.max(
+      if (beamOverride > 0) beamOverride else index.params.efSearch, kk)
+    val (poolIds, poolDists, comps) =
+      greedySearchCounted(index.points, index.graph, index.medoid, query, beamL)
+    val res = poolIds.indices.toArray
+      .sortBy(i => (poolDists(i), index.ids(poolIds(i))))
+      .take(kk)
+      .map(i => (index.ids(poolIds(i)), poolDists(i)))
+    (res, poolIds.length.toLong, comps)
+  }
+
   /** Degree invariant over ALL nodes (fixes the reference's dead 10-node
     * healthCheck, vamana.h:705-720). */
   def healthCheck(index: LocalIndex): Boolean =

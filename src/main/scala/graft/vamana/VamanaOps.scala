@@ -83,6 +83,7 @@ object VamanaOps {
     for ((_, f) <- langCosCache) f.unpersist()
     langCosCache.clear()
     fullBeamCache.clear()
+    calibrateCache.clear()
     FanoutModel.clearPinned()
   }
 
@@ -772,7 +773,13 @@ object VamanaOps {
     * theorems about the implementation (oracle pins them as literals):
     *  - `split_happened`: the skewed shard actually split (a vacuous
     *    fixture would pass the rest trivially);
-    *  - `sizes_ok`: post-rebalance max shard ≤ 2× the mean;
+    *  - `sizes_ok`: post-rebalance max shard ≤ 2× the mean. The rebalance
+    *    below REQUESTS maxRatio 1.5, but the gate asserts the looser 2×
+    *    deliberately: maxPasses bounds the work, so a pass that improves
+    *    the layout without fully converging to the requested ratio is
+    *    acceptable maintenance, not a correctness failure — the hash gate
+    *    pins "skew actually repaired" with headroom for a non-converged
+    *    final pass (maxPasses splits, then no re-check);
     *  - `table_synced`: the routing table grew with the layout — every
     *    shard row owns a first-class centroid slot (the refresh
     *    [[FanoutModel.rebalance]] cannot do is the routed one's point);
@@ -814,6 +821,47 @@ object VamanaOps {
         lit(sizes.max <= 2.0 * mean).as("sizes_ok"),
         lit(fb.numShards == sizes.length).as("table_synced"),
         col("ok").as("overlap_exact_ok"))
+  }
+
+  /** Calibration gate (`vamana_routed_calibrate_gate`) — the inverse-knob
+    * surface ([[RoutedFanoutModel.calibrateEps]]) end-to-end in the
+    * registry: bisect the smallest adaptive band reaching recall 0.9 vs
+    * full scatter on the 10-query fixture, then state the facts that are
+    * THEOREMS of the calibration (oracle literals):
+    *  - `target_met`: with an uncapped probe budget the band at epsHi
+    *    degenerates to the full probe, whose recall vs full scatter is
+    *    identically 1.0 ≥ any target — bisection always lands;
+    *  - `monotone_ok`: a HALF-band's probe set is a subset of the chosen
+    *    band's per query, so its candidate pool is a subset and its
+    *    recall cannot exceed the chosen band's — the superset argument
+    *    bisection rests on, measured directly;
+    *  - `probes_bounded`: mean and p95 probe counts in [1, numShards].
+    * The calibration (bisection passes over the bounded sample) is
+    * memoized per dataset like the fitted models. */
+  private val calibrateCache = TrieMap.empty[String, (EpsCalibration, Double)]
+
+  def vamanaRoutedCalibrateGate(spark: SparkSession, dir: String,
+      target: Double = 0.9, k: Int = 10): DataFrame = {
+    import spark.implicits._
+    val m = routedModel(spark, dir)
+    val (cal, halfRecall) = calibrateCache.getOrElseUpdate(dir, {
+      val emb = Tables.embeddings(spark, dir)
+      val q = Knn.queriesFromPoints(emb, 10)
+      val c = m.calibrateEps(q, k, target)
+      val fullRows = m.searchRouted(q, k, nprobe = m.numShards)
+        .select(col("query_id"), col("id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val half = m.searchRoutedAdaptive(q, k, c.eps / 2)
+        .select(col("query_id"), col("id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      (c, if (fullRows.isEmpty) 1.0
+          else half.count(fullRows.contains).toDouble / fullRows.size)
+    })
+    val s = m.numShards
+    Seq((cal.nQueries.toLong, cal.targetMet, halfRecall <= cal.recall + 1e-9,
+      cal.meanProbes >= 1.0 && cal.meanProbes <= s &&
+        cal.p95Probes >= 1 && cal.p95Probes <= s))
+      .toDF("n_queries", "target_met", "monotone_ok", "probes_bounded")
   }
 
   /** PQ-scored ROUTED serving gate — the (clustered routing × PQ memory)
@@ -1211,6 +1259,48 @@ object VamanaOps {
         .select(col("query_id"), col("r").as("rank"), col("id"), col("dist"))
         .orderBy(col("query_id"), col("rank"))
     }
+  }
+
+  /** M3 search stats (`vamana_stats`) — the one reference API the
+    * reference itself left stubbed (go_api:163-171 returns avg hops /
+    * distance computations as 0.0 with `TODO: implement`), surfaced as a
+    * hash-checked one-row gate over the knn_exact 10-query fixture. The
+    * raw per-query numbers ([[VamanaModel.searchStats]]) are
+    * deterministic but engine-private (they depend on the fitted graph),
+    * so the gate emits the INVARIANTS the oracle can state as literals:
+    *  - `hops_le_comps`: every expanded node was scored first — the
+    *    traversal can't walk a neighbor list it never ranked;
+    *  - `comps_bounded`: k ≤ comps ≤ n per query — the seen-set can
+    *    neither dedup below the answer size nor score a node twice;
+    *  - `full_beam_comps_exact`: at beam = n the traversal scores EVERY
+    *    node exactly once (the exhaustive-scan regime every full-beam
+    *    exactness gate rests on), so comps = n for all queries;
+    *  - `default_prunes`: Σ default-beam HOPS < Σ full-beam hops — the
+    *    beam actually bounds the walk at the deployed config (hops, not
+    *    comps: on a small dense fixture a 128-wide beam can legitimately
+    *    SCORE every node while still expanding only ~beam of them; a
+    *    regression that degenerates the beam to a full scan flips this
+    *    bit at any scale).
+    * The raw averages stay on the API surface for capacity planning;
+    * VamanaModelSpec asserts the measured magnitudes. */
+  def vamanaStats(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val q = Knn.queriesFromPoints(emb, 10)
+    val m = model(spark, dir)
+    val n = m.index.size.toLong
+    val deflt = m.searchStats(q, k)
+    val full = m.searchStats(q, k, beamOverride = m.index.size)
+      .select(col("query_id"), col("n_hops").as("fb_hops"),
+        col("n_comps").as("fb_comps"))
+    deflt.join(full, "query_id")
+      .agg(count(lit(1)).as("n_queries"),
+        (count(when(col("n_hops") <= col("n_comps"), 1)) === count(lit(1)))
+          .as("hops_le_comps"),
+        (count(when(col("n_comps") >= k && col("n_comps") <= n, 1)) === count(lit(1)))
+          .as("comps_bounded"),
+        (count(when(col("fb_comps") === n, 1)) === count(lit(1)))
+          .as("full_beam_comps_exact"),
+        (sum(col("n_hops")) < sum(col("fb_hops"))).as("default_prunes"))
   }
 
   /** One-row report: recall@10 of the ANN search vs exact kNN over the first

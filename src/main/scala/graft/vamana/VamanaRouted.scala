@@ -581,6 +581,81 @@ final class RoutedFanoutModel private[vamana] (
     else new RoutedFanoutModel(curShards, params, curCents, closureEps, maxReplicas)
   }
 
+  /** RECALL-TARGETED band calibration — the INVERSE of the eps → recall
+    * pricing table (BASELINE_REPRO's 10M rows price eps ∈ {0.02, 0.05,
+    * 0.1} at measured recalls; a deployment starts from the other end:
+    * "I need 0.9 — what band do I run?"). Bisects the smallest routeEps
+    * whose recall@k on a held-out query sample reaches `targetRecall`,
+    * measured against the FULL-SCATTER result at the SAME per-shard beam:
+    * eps controls only ROUTING loss — which shards answer — while beam
+    * loss belongs to the kernel's own knob, so full scatter is the exact
+    * ceiling any band can reach and the measured recall isolates what eps
+    * costs. Bisection is valid because per-query candidate pools GROW
+    * with eps (a wider band probes a superset of shards): any full-
+    * scatter top-k member present in the narrower pool is present in the
+    * wider one and still ranks, so per-query overlap is monotone in eps.
+    * Cost: one full-scatter pass + ~log2((hi-lo)/tol) adaptive passes
+    * over the bounded sample — calibration is a fit-time activity, priced
+    * in sample queries, never a corpus pass. Returns (eps, measured
+    * recall, mean/p95 probe counts) — the capacity facts next to the
+    * knob value, because the POINT of the band is probes ≪ numShards. */
+  def calibrateEps(queries: DataFrame, k: Int, targetRecall: Double,
+      epsHi: Double = 1.0, tol: Double = 0.01,
+      maxProbe: Int = Int.MaxValue,
+      queryIdCol: String = "query_id",
+      queryVecCol: String = "query_vec"): EpsCalibration = {
+    require(targetRecall > 0 && targetRecall <= 1.0, "targetRecall in (0, 1]")
+    val fullRows = searchRouted(queries, k, nprobe = centroids.length,
+        queryIdCol, queryVecCol)
+      .select(col("query_id"), col("id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recallAt(eps: Double): Double = {
+      val got = searchRoutedAdaptive(queries, k, eps, maxProbe, queryIdCol, queryVecCol)
+        .select(col("query_id"), col("id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      if (fullRows.isEmpty) 1.0
+      else got.count(fullRows.contains).toDouble / fullRows.size
+    }
+    var lo = 0.0
+    var hi = epsHi
+    // hi might not reach the target on a pathological sample (maxProbe cap)
+    // — report the endpoint honestly instead of looping
+    var hiRecall = recallAt(hi)
+    if (hiRecall >= targetRecall) {
+      while (hi - lo > tol) {
+        val mid = (lo + hi) / 2
+        if (recallAt(mid) >= targetRecall) hi = mid else lo = mid
+      }
+      hiRecall = recallAt(hi)
+    }
+    val probes = describeAdaptiveRouting(queries, hi, maxProbe, queryIdCol, queryVecCol)
+      .select(col("n_probes")).collect().map(_.getInt(0)).sorted
+    val p95 = probes((math.ceil(probes.length * 0.95) - 1).toInt.max(0))
+    EpsCalibration(hi, hiRecall, hiRecall >= targetRecall,
+      probes.map(_.toDouble).sum / probes.length, p95, probes.length)
+  }
+
+  /** Size-triggered MAINTENANCE — the rebalance predicate as a cheap
+    * post-mutation check: one (shard, size) collect (ints — driver-trivial
+    * at any corpus size), and [[rebalance]] runs ONLY when the layout
+    * actually drifted (max shard > maxRatio × mean). This is what turns
+    * rebalance from a human-triggered repair ("watch [[describeRouting]]
+    * for drift") into a closed loop: [[insert]]'s `autoMaintain` and the
+    * streaming ingest twin ([[graft.streaming.StreamingOps
+    * .streamingRoutedInsert]]) call it after every batch, so hot-region
+    * growth — which is STRUCTURAL under centroid routing, every new point
+    * in a hot region lands on the same shard — is corrected inside the
+    * ingest path instead of degrading tail latency until someone reads a
+    * dashboard. Returns `this` (no new model, no builds) when balanced. */
+  def maintain(maxRatio: Double = 2.0, maxPasses: Int = 4): RoutedFanoutModel = {
+    val sizes = shardSizes
+    if (sizes.isEmpty) this
+    else {
+      val mean = sizes.map(_.toDouble).sum / sizes.length
+      if (sizes.max <= maxRatio * mean) this else rebalance(maxRatio, maxPasses)
+    }
+  }
+
   /** Routing/layout introspection: per-shard point count plus the global
     * ε-closure replication factor (Σ shard sizes / distinct points) —
     * the balance and redundancy facts a capacity planner reads. */
@@ -614,11 +689,27 @@ final class RoutedFanoutModel private[vamana] (
     * inserted today lands exactly where a refit would put it), and joins
     * its shard's graph via the copy-on-write kernel insert; untouched
     * shards pass through with ZERO graph builds. Centroids are NOT
-    * refreshed: the routing table is part of the fitted model (the SPANN
-    * posture — refit when [[describeRouting]] shows the stream has
-    * drifted the sizes; a vanished shard row is rebuilt from its batch). */
+    * refreshed by the insert itself (the routing table is part of the
+    * fitted model — the SPANN posture; a vanished shard row is rebuilt
+    * from its batch), but `autoMaintain = true` runs [[maintain]] after
+    * the batch: when the grown layout crosses maintainRatio × mean the
+    * oversized shards split and the table learns the new slots, so a hot
+    * insert stream cannot silently grow one shard without bound between
+    * human checks — the closed-loop posture a long-running ingest wants. */
   def insert(newPoints: DataFrame, idCol: String = "vec_id",
-      vecCol: String = "embedding"): RoutedFanoutModel = {
+      vecCol: String = "embedding", autoMaintain: Boolean = false,
+      maintainRatio: Double = 2.0, maintainPasses: Int = 4): RoutedFanoutModel = {
+    val grown = insertBatch(newPoints, idCol, vecCol)
+    if (!autoMaintain) grown
+    else {
+      val kept = grown.maintain(maintainRatio, maintainPasses)
+      if (kept ne grown) grown.unpersist()
+      kept
+    }
+  }
+
+  private def insertBatch(newPoints: DataFrame, idCol: String,
+      vecCol: String): RoutedFanoutModel = {
     val spark = shards.sparkSession
     import spark.implicits._
     val kp = params
@@ -665,9 +756,15 @@ final class RoutedFanoutModel private[vamana] (
     * of the union corpus, so exactness holds verbatim; at low nprobe the
     * routing rule is geometry-correct across both tables (a query probes
     * whichever fit's centroids are actually nearest). Id sets must be
-    * disjoint (one distributed semi-join); the surviving closure rule for
-    * future inserts is THIS model's. `ip` rejected: the two fits
-    * augmented different max norms (mirrors [[FanoutModel.merge]]). */
+    * disjoint (one distributed semi-join). The CLOSURE RULE (closureEps,
+    * maxReplicas) must MATCH: future inserts route under the merged
+    * model's single rule, and adopting this side's rule over a
+    * differently-fit other side would replicate its region under
+    * parameters neither fit validated. The merged model's graph params
+    * (beam, degree, alpha) are this side's — they only set SERVING
+    * defaults; each shard kernel keeps the params it was built with.
+    * `ip` rejected: the two fits augmented different max norms (mirrors
+    * [[FanoutModel.merge]]). */
   def merge(other: RoutedFanoutModel): RoutedFanoutModel = {
     require(params.metric != "ip" && other.params.metric != "ip",
       "merge is not defined for metric=ip (per-fit norm augmentation); refit instead")
@@ -676,6 +773,10 @@ final class RoutedFanoutModel private[vamana] (
         "transformed kernel spaces cannot serve one query preparation")
     require(params.dim == other.params.dim,
       s"dimension mismatch: ${params.dim} vs ${other.params.dim}")
+    require(closureEps == other.closureEps && maxReplicas == other.maxReplicas,
+      s"closure-rule mismatch: ($closureEps, $maxReplicas) vs " +
+        s"(${other.closureEps}, ${other.maxReplicas}) — future inserts route under " +
+        "ONE rule; merge layouts fitted under the same closure assignment")
     implicit val shardEnc: Encoder[(Int, LocalIndex)] =
       Encoders.tuple(Encoders.scalaInt, Encoders.kryo[LocalIndex])
     val idEnc = Encoders.scalaLong
@@ -739,6 +840,19 @@ final class RoutedFanoutModel private[vamana] (
 
   def unpersist(): Unit = { val _ = shards.unpersist() }
 }
+
+/** Result of [[RoutedFanoutModel.calibrateEps]]: the chosen band, its
+  * measured recall vs full scatter on the calibration sample, whether the
+  * target was reachable under the probe cap, and the probe-count facts
+  * (mean + p95) that price the band — the number a capacity planner
+  * multiplies by per-shard latency. */
+final case class EpsCalibration(
+    eps: Double,
+    recall: Double,
+    targetMet: Boolean,
+    meanProbes: Double,
+    p95Probes: Int,
+    nQueries: Int)
 
 /** A routed layout collected for single-process serving: the per-shard
   * kernels, the routing table, and the metric the queries must be

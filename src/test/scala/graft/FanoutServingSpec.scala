@@ -580,7 +580,7 @@ class FanoutServingSpec extends AnyFunSuite {
     val n = emb.count()
     val base = VamanaRouted.fit(emb, params, numShards = 4)
     // routed skew is STRUCTURAL: near-copies of ONE hot vector all route to
-    // its centroid. 60 copies of v0, each scaled by a distinct factor so
+    // its centroid. 600 copies of v0, each scaled by a distinct factor so
     // vectors (and distances) stay unique — one shard balloons, the rest
     // don't move, which is exactly the drift insert() cannot fix alone.
     val v0 = emb.where(col("vec_id") === 0).select(col("embedding"))
@@ -855,6 +855,15 @@ class FanoutServingSpec extends AnyFunSuite {
     // duplicate ids rejected; sources intact
     intercept[IllegalArgumentException] { a.merge(a) }
     assert(a.totalPoints + b.totalPoints == m.totalPoints)
+    // mismatched closure rules rejected: the merged model routes future
+    // inserts under ONE rule, so silently adopting this side's would
+    // replicate the other fit's region under parameters it never validated
+    val wider = VamanaRouted.fit(emb.where(col("vec_id") % 2 === 1)
+        .select((col("vec_id") + 900000L).as("vec_id"), col("embedding")),
+      params, numShards = 2, closureEps = 0.5)
+    val exMismatch = intercept[IllegalArgumentException] { a.merge(wider) }
+    assert(exMismatch.getMessage.contains("closure-rule mismatch"))
+    wider.unpersist()
     // inserts route into the merged table under THIS model's closure rule
     val more = emb.where(col("vec_id") < 5).select(
       (col("vec_id") + 800000L).as("vec_id"), col("embedding"))
@@ -862,6 +871,78 @@ class FanoutServingSpec extends AnyFunSuite {
     assert(grown.totalPoints >= m.totalPoints + 5 &&
       grown.totalPoints <= m.totalPoints + 5L * m.maxReplicas)
     a.unpersist(); b.unpersist(); m.unpersist(); grown.unpersist()
+  }
+
+  test("calibrateEps: bisected band meets the target, is monotone, and prices its probes") {
+    import org.apache.spark.sql.functions.col
+    val emb = Tables.embeddings(spark, dir)
+    val m = VamanaRouted.fit(emb, params, numShards = 4)
+    val q = queries(10)
+    val cal = m.calibrateEps(q, 10, targetRecall = 0.9)
+    assert(cal.targetMet, "uncapped bisection must always land (full probe = recall 1.0)")
+    assert(cal.recall >= 0.9, s"calibrated recall ${cal.recall} below the requested 0.9")
+    assert(cal.eps >= 0.0 && cal.eps <= 1.0)
+    assert(cal.nQueries == 10)
+    assert(cal.meanProbes >= 1.0 && cal.meanProbes <= m.numShards)
+    assert(cal.p95Probes >= 1 && cal.p95Probes <= m.numShards)
+    // the superset/monotonicity premise bisection rests on, measured: a
+    // half-band probes a subset per query, so its recall can't exceed
+    val fullRows = m.searchRouted(q, 10, nprobe = m.numShards)
+      .select(col("query_id"), col("id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def rec(eps: Double): Double = {
+      val got = m.searchRoutedAdaptive(q, 10, eps).select(col("query_id"), col("id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      got.count(fullRows.contains).toDouble / fullRows.size
+    }
+    assert(rec(cal.eps / 2) <= rec(cal.eps) + 1e-9, "recall must be monotone in the band")
+    // a probe CAP that forbids the needed fanout reports targetMet=false
+    // honestly instead of looping or lying
+    val capped = m.calibrateEps(q, 10, targetRecall = 1.0, maxProbe = 1)
+    assert(capped.meanProbes <= 1.0 + 1e-9)
+    if (!capped.targetMet) assert(capped.recall < 1.0)
+    m.unpersist()
+  }
+
+  test("insert autoMaintain: hot batch splits inside the insert path, calm batch doesn't") {
+    import org.apache.spark.sql.functions.{col, lit, transform => atransform}
+    val emb = Tables.embeddings(spark, dir)
+    val base = VamanaRouted.fit(emb, params, numShards = 4)
+    // calm batch well under the ratio: maintain must be a no-op — no split,
+    // no kernel builds beyond the batch's own shard-local inserts (zero:
+    // kernel insert is copy-on-write, not a build)
+    val calm = emb.where(col("vec_id") < 4)
+      .select((col("vec_id") + 300000L).as("vec_id"), col("embedding"))
+    val builds0 = VamanaKernel.buildCount.get()
+    val g1 = base.insert(calm, autoMaintain = true, maintainRatio = 2.0)
+    assert(g1.numShards == base.numShards, "a calm batch must not split")
+    assert(VamanaKernel.buildCount.get() == builds0, "calm maintain must build nothing")
+    // hot batch (the rebalance spec's structural-skew fixture): the split
+    // now happens INSIDE the insert path — no human reads describeRouting
+    val v0 = emb.where(col("vec_id") === 0).select(col("embedding"))
+    val hot = spark.range(600).crossJoin(v0).select(
+      (col("id") + 200000L).as("vec_id"),
+      atransform(col("embedding"),
+        x => x * (lit(1.0f) + col("id").cast("float") * lit(1e-5f))).as("embedding"))
+    val b1 = VamanaKernel.buildCount.get()
+    val g2 = g1.insert(hot, autoMaintain = true, maintainRatio = 1.5, maintainPasses = 3)
+    val splits = g2.numShards - g1.numShards
+    assert(splits >= 1, "hot batch crossed the ratio but nothing split")
+    assert(VamanaKernel.buildCount.get() - b1 == 2L * splits,
+      "auto-maintain must rebuild ONLY the split halves")
+    assert(g2.numShards == g2.shardSizes.length,
+      "routing table out of sync with shard rows after in-path split")
+    // exactness invariant survives the in-path split: full probe + full
+    // beam over the maintained layout == exact kNN over base ∪ batches
+    val q = queries(10)
+    val corpus = emb.select(col("vec_id"), col("embedding"))
+      .unionByName(calm).unionByName(hot)
+    val exact = Knn.knnExact(corpus, q, 10).select(col("query_id"), col("id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val full = g2.withFullBeamShards().search(q, 10).select(col("query_id"), col("id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(full == exact, s"missing ${exact -- full}, extra ${full -- exact}")
+    base.unpersist(); g1.unpersist(); g2.unpersist()
   }
 
   test("vamana_routed_merge_gate reports all-green bits at smoke scale") {

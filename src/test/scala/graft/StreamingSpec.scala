@@ -260,6 +260,70 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming routed ingest folds batches bit-identically to batch inserts; hot stream auto-splits") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, lit, transform => atransform}
+    implicit val sqlCtx = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    val emb = graft.core.Tables.embeddings(spark, dir)
+    val params = graft.vamana.VamanaOps.defaultParams
+    val base = graft.vamana.VamanaRouted.fit(
+      emb.where(col("vec_id") < 400), params, numShards = 3)
+    val batchA = emb.where(col("vec_id") >= 400 && col("vec_id") < 450)
+    val batchB = emb.where(col("vec_id") >= 450)
+    // batch-mode fold of the same two frames, in the same order
+    val g1 = base.insert(batchA)
+    val expected = g1.insert(batchB)
+    val rowsOf = (df: org.apache.spark.sql.DataFrame) => df
+      .select("vec_id", "embedding").as[(Long, Array[Float])].collect()
+    val input = MemoryStream[EmbRow]
+    val (q, handle) = StreamingOps.streamingRoutedInsert(
+      input.toDF(), base, autoMaintain = false)
+    try {
+      input.addData(rowsOf(batchA).map { case (id, v) => EmbRow(id, ts(60), v) }.toSeq)
+      q.processAllAvailable()
+      input.addData(rowsOf(batchB).map { case (id, v) => EmbRow(id, ts(61), v) }.toSeq)
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = handle.model
+    assert(streamed ne base, "stream delivered batches but the model never advanced")
+    // bit-identity: same shard layout, same membership, same answers
+    // (ids + dists) at the deployed config over the knn fixture
+    assert(streamed.shardSizes.toSeq == expected.shardSizes.toSeq,
+      "streamed fold landed points on different shards than the batch fold")
+    assert(streamed.totalPoints == expected.totalPoints)
+    val qs = graft.operators.Knn.queriesFromPoints(emb, 10)
+    val key = (df: org.apache.spark.sql.DataFrame) => df.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+    assert(key(streamed.searchRouted(qs, 10, nprobe = 2)) ==
+      key(expected.searchRouted(qs, 10, nprobe = 2)),
+      "streamed model answers differ from the batch-folded model")
+    // hot stream with autoMaintain: the split happens inside the ingest
+    // path — the arrival mode where unrepaired skew actually accrues.
+    // Same fixture as the batch autoMaintain spec (4 shards over the full
+    // table), where the 600 near-copies deterministically cross 1.5× mean.
+    val base2 = graft.vamana.VamanaRouted.fit(emb, params, numShards = 4)
+    val v0 = emb.where(col("vec_id") === 0).select(col("embedding"))
+    val hot = spark.range(600).crossJoin(v0).select(
+      (col("id") + 500000L).as("vec_id"),
+      atransform(col("embedding"),
+        x => x * (lit(1.0f) + col("id").cast("float") * lit(1e-5f))).as("embedding"))
+      .as[(Long, Array[Float])].collect()
+    val input2 = MemoryStream[EmbRow]
+    val (q2, handle2) = StreamingOps.streamingRoutedInsert(
+      input2.toDF(), base2, autoMaintain = true, maxRatio = 1.5, maxPasses = 3)
+    try {
+      input2.addData(hot.map { case (id, v) => EmbRow(id, ts(62), v) }.toSeq)
+      q2.processAllAvailable()
+    } finally q2.stop()
+    assert(handle2.model.numShards > base2.numShards,
+      "hot stream crossed the ratio but the ingest path never split")
+    assert(handle2.model.numShards == handle2.model.shardSizes.length,
+      "routing table out of sync after the in-stream split")
+    g1.unpersist(); expected.unpersist(); streamed.unpersist()
+    handle2.model.unpersist(); base.unpersist(); base2.unpersist()
+  }
+
   test("streaming PQ vector search is bit-identical to the batch PQ search") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -101,6 +101,47 @@ class VamanaModelSpec extends AnyFunSuite {
     assert(r >= 0.8, s"fanout recall@10 = $r below the 0.8 gate")
   }
 
+  test("searchStats: hops/comps invariants, full-beam exhaustiveness, deployed beam prunes") {
+    import org.apache.spark.sql.functions.col
+    val model = VamanaIndexer.fit(Tables.embeddings(spark, dir), params)
+    val n = model.index.size
+    val q = perturbedQueries(10).cache()
+    val deflt = model.searchStats(q, 10).collect()
+    assert(deflt.length == 10)
+    deflt.foreach { r =>
+      val hops = r.getAs[Long]("n_hops")
+      val comps = r.getAs[Long]("n_comps")
+      assert(hops >= 1 && hops <= comps, s"hops $hops vs comps $comps")
+      assert(comps >= 10 && comps <= n, s"comps $comps out of [k, n=$n]")
+    }
+    // full-beam regime: every node scored exactly once (the exhaustive-scan
+    // theorem behind all full-beam exactness gates), hops = n too
+    val full = model.searchStats(q, 10, beamOverride = n).collect()
+    full.foreach { r =>
+      assert(r.getAs[Long]("n_comps") == n, "full beam must score every node")
+      assert(r.getAs[Long]("n_hops") == n)
+    }
+    // the deployed beam expands strictly fewer nodes than the full one —
+    // the bit that catches a beam degenerating to a full scan
+    val sumHops = deflt.map(_.getAs[Long]("n_hops")).sum
+    assert(sumHops < 10L * n, s"deployed beam expanded $sumHops of ${10L * n} nodes")
+    // the stats path serves the SAME answers as the untracked search
+    val a = model.search(q, 10).select(col("query_id"), col("rank"), col("id"))
+      .collect().map(_.toSeq).toSeq
+    val statsRes = {
+      val idx = model.index
+      val qs = q.select(col("query_id").cast("long"), col("query_vec").cast("array<float>"))
+        .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).sortBy(_._1)
+      qs.flatMap { case (qid, qv) =>
+        VamanaKernel.searchCounted(idx, qv, 10)._1.zipWithIndex.map {
+          case ((id, _), r) => Seq(qid, (r + 1).toLong, id)
+        }
+      }.toSeq
+    }
+    assert(a.sortBy(_.toString) == statsRes.sortBy(_.toString),
+      "searchCounted must return the identical top-k to search")
+  }
+
   test("searchWithStartPoint matches Q2 semantics (start vector resolved by scan)") {
     import spark.implicits._
     val model = VamanaIndexer.fit(Tables.embeddings(spark, dir), params)
