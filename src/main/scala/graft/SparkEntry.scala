@@ -41,7 +41,7 @@ object SparkEntry {
       knnExactQ, knnExactAggQ, knnFilteredQ, medoidExactQ, argminNearestQ,
       vamanaFilteredQ,
       vamanaSearchQ, vamanaOverlapQ, vamanaRecallQ, vamanaStartQ, vamanaStartGateQ,
-      vamanaDescribeQ, vamanaDegreeQ, vamanaConnectivityQ, vamanaStatsQ,
+      vamanaDescribeQ, vamanaDegreeQ, vamanaConnectivityQ, vamanaStatsQ, vamanaFanoutStatsQ,
       vamanaFanoutQ, vamanaFanoutGateQ, vamanaFanoutFilteredQ, vamanaFanoutFilteredGateQ,
       vamanaRoutedQ, vamanaRoutedGateQ, vamanaRoutedAdaptiveGateQ, vamanaRoutedFilteredGateQ, vamanaRoutedRebalanceGateQ, vamanaRoutedMergeGateQ, vamanaRoutedCalibrateGateQ,
       vamanaPqRoutedGateQ,
@@ -315,6 +315,20 @@ object SparkEntry {
              TRUE AS comps_bounded, TRUE AS full_beam_comps_exact,
              TRUE AS default_prunes
       FROM embeddings WHERE vec_id < 10
+    """.trim))
+
+  /** M3 stats on the sharded layout — the one stats value the oracle can
+    * state as a NUMBER: at full beam each hash shard scores exactly its
+    * own partition of the corpus, so Σ-over-shards comps per query equals
+    * the table count (hash layout = no replication). */
+  private val vamanaFanoutStatsQ: (String, QFn, Option[String]) = (
+    "vamana_fanout_stats",
+    (s, d) => graft.vamana.VamanaOps.vamanaFanoutStats(s, d),
+    Some("""
+      SELECT vec_id AS query_id,
+             (SELECT count(*) FROM embeddings)::BIGINT AS fb_comps,
+             TRUE AS hops_le_comps, TRUE AS comps_bounded
+      FROM embeddings WHERE vec_id < 10 ORDER BY query_id
     """.trim))
 
   private val vamanaFanoutQ: (String, QFn, Option[String]) = (

@@ -219,10 +219,12 @@ object Formats {
     // pairs and orphan the losing tuple's temp dir + catalog entries
     val (liT, ordT) = bucketedLock.synchronized {
       val valid = bucketedCache.get((dir, buckets)).filter {
-        case (s, li, ord, _) =>
-          // a hit built by a recreated session can name catalog tables THIS
-          // session doesn't know — validate on hit, rebuild on miss
-          (s eq spark) || (spark.catalog.tableExists(li) && spark.catalog.tableExists(ord))
+        case (_, li, ord, _) =>
+          // a hit built by a recreated session (or whose tables were
+          // dropped externally) names catalog tables THIS session doesn't
+          // know — validate every hit, rebuild on miss (two catalog
+          // lookups, no data touched)
+          spark.catalog.tableExists(li) && spark.catalog.tableExists(ord)
       }
       valid match {
         case Some((_, li, ord, _)) => (li, ord)

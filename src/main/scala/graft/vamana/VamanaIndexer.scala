@@ -420,6 +420,44 @@ final class FanoutModel private[vamana] (
     *    filter passes nearly everything or nearly nothing, and only the
     *    nearly-everything case reaches this branch (approximate:
     *    recall-bounded by the overfetch, documented, never an abort). */
+  /** M3 search-stats on the SHARDED layout — [[VamanaModel.searchStats]]'s
+    * scatter-gather twin: every probed shard's kernel reports its own
+    * (hops, comps) per query and the frame aggregates the two numbers a
+    * fleet planner needs — TOTAL work (Σ over shards: the CPU bill the
+    * whole fleet pays per query) and the CRITICAL PATH (max over shards:
+    * what bounds latency when shards answer in parallel). Stats come from
+    * [[VamanaKernel.searchCounted]] — the serving traversal itself, not an
+    * instrumented twin. At full beam each shard scores exactly its own
+    * point set, and hash sharding partitions the corpus (no replication),
+    * so the per-query total is EXACTLY the corpus size — the theorem
+    * `vamana_fanout_stats`' oracle states from the table count. */
+  def searchStats(queries: DataFrame, k: Int, fullBeam: Boolean = false,
+      queryIdCol: String = "query_id",
+      queryVecCol: String = "query_vec"): DataFrame = {
+    val spark = shards.sparkSession
+    import spark.implicits._
+    val metric = params.metric
+    val prepared = queries
+      .select(col(queryIdCol).cast("long"), col(queryVecCol).cast("array<float>"))
+      .as[(Long, Array[Float])].collect().sortBy(_._1)
+      .map { case (id, v) => (id, MetricReduction.prepareQuery(v, metric)) }
+    require(prepared.length <= 10000, "fanout broadcasts the query batch; keep it bounded")
+    val bcQ = spark.sparkContext.broadcast(prepared)
+    val fb = fullBeam
+    val kk = k
+    shards.flatMap { case (_, idx) =>
+      bcQ.value.iterator.map { case (qid, qvec) =>
+        val (_, hops, comps) =
+          VamanaKernel.searchCounted(idx, qvec, kk, if (fb) idx.size else 0)
+        (qid, hops, comps)
+      }
+    }.toDF("query_id", "hops", "comps")
+      .groupBy(col("query_id"))
+      .agg(sum(col("hops")).as("total_hops"), sum(col("comps")).as("total_comps"),
+        max(col("hops")).as("max_shard_hops"), max(col("comps")).as("max_shard_comps"))
+      .orderBy(col("query_id"))
+  }
+
   def searchFiltered(queries: DataFrame, allowed: DataFrame, k: Int,
       fullBeam: Boolean): DataFrame =
     adaptiveFiltered(queries, allowed, deny = false, k, fullBeam)

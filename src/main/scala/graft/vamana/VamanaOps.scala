@@ -1303,6 +1303,31 @@ object VamanaOps {
         (sum(col("n_hops")) < sum(col("fb_hops"))).as("default_prunes"))
   }
 
+  /** M3 stats on the SHARDED layout (`vamana_fanout_stats`) — the one
+    * serving observable whose full-beam value the oracle can state as a
+    * NUMBER, not just a flag: hash sharding partitions the corpus (no
+    * replication) and a full-beam traversal scores exactly its shard's
+    * point set, so every query's Σ-over-shards distance computations at
+    * full beam equals the TABLE COUNT — per-query rows hash-checked
+    * against `count(*) FROM embeddings`. The default-beam invariants ride
+    * along as flags (hops ≤ comps summed and on the critical path;
+    * totals within [k, n]). */
+  def vamanaFanoutStats(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val q = Knn.queriesFromPoints(emb, 10)
+    val m = fanoutModel(spark, dir)
+    val n = emb.count()
+    val deflt = m.searchStats(q, k)
+    val full = m.searchStats(q, k, fullBeam = true)
+      .select(col("query_id"), col("total_comps").as("fb_comps"))
+    deflt.join(full, "query_id")
+      .select(col("query_id"), col("fb_comps"),
+        (col("total_hops") <= col("total_comps") &&
+          col("max_shard_hops") <= col("max_shard_comps")).as("hops_le_comps"),
+        (col("total_comps") >= k && col("total_comps") <= n).as("comps_bounded"))
+      .orderBy(col("query_id"))
+  }
+
   /** One-row report: recall@10 of the ANN search vs exact kNN over the first
     * 50 stored vectors — the reference drivers' e2e metric (main.go:107-129)
     * as an engine operator. Emitted as (k, raw recall, floor flag); the

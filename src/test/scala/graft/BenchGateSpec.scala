@@ -88,6 +88,36 @@ class BenchGateSpec extends AnyFunSuite {
     assert(Bench.committedQueries("/tmp/definitely_not_tracked.json").isEmpty)
   }
 
+  test("committedQueries resolves repo-relative paths for NESTED bench files") {
+    // HEAD:<bare file name> only works at the repo root; a benchOut nested
+    // below it needs the rev-parse --show-prefix resolution (a wrong path
+    // silently degrades the committed baseline to empty — the failure
+    // mode this pins)
+    val dir = java.nio.file.Files.createTempDirectory("graft_benchgit_").toFile
+    def git(args: String*): Int =
+      new ProcessBuilder(("git" +: "-C" +: dir.getAbsolutePath +: args): _*)
+        .start().waitFor()
+    try {
+      git("init", "-q")
+      git("config", "user.email", "bench@test")
+      git("config", "user.name", "bench test")
+      val nested = new java.io.File(dir, "sub/deep")
+      assert(nested.mkdirs())
+      val f = new java.io.File(nested, "BENCH_FULL.json")
+      java.nio.file.Files.write(f.toPath,
+        """{"metric":"total","queries":{"q1":1.5,"q2":0.25}}""".getBytes)
+      git("add", ".")
+      git("commit", "-q", "-m", "nested bench fixture")
+      assert(Bench.committedQueries(f.getAbsolutePath) == Map("q1" -> 1.5, "q2" -> 0.25))
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete(): Unit
+      }
+      rm(dir)
+    }
+  }
+
   test("round-13's substring_dedup regression would have been flagged") {
     val prev = Bench.parsePrevQueries(
       """{"queries":{"substring_dedup":0.8469,"winnow_overlap":1.4416}}""")

@@ -46,4 +46,20 @@ class CacheLifecycleSpec extends AnyFunSuite {
       s"persistent storage grows across clearAll cycles: " +
         s"$afterFirst -> $afterSecond -> $afterThird")
   }
+
+  test("bucketed layout cache validates catalog hits and rebuilds after a lost catalog") {
+    val dir = "/root/testdata/sf0.001"
+    val expected = graft.operators.Formats.bucketedRevenue(spark, dir)
+      .collect().map(_.toSeq).toSeq
+    // simulate a session restart that lost the catalog entries while the
+    // JVM-wide memo survived: a stale hit would name tables this session
+    // doesn't know and throw at spark.table(); the validated hit rebuilds
+    spark.catalog.listTables().collect()
+      .filter(t => t.name.startsWith("graft_li_") || t.name.startsWith("graft_ord_"))
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS ${t.name}"))
+    val again = graft.operators.Formats.bucketedRevenue(spark, dir)
+      .collect().map(_.toSeq).toSeq
+    assert(again == expected, "rebuilt bucketed layout must serve identical rows")
+    graft.operators.Formats.clearCaches()
+  }
 }

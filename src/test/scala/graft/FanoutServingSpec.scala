@@ -603,6 +603,15 @@ class FanoutServingSpec extends AnyFunSuite {
     val mean = sizes.map(_.toDouble).sum / sizes.length
     assert(sizes.max <= 2.0 * mean, s"max shard ${sizes.max} > 2x mean $mean")
     assert(reb.totalPoints == grown.totalPoints, "rebalance changed the membership union")
+    // a GENEROUS pass budget must converge to the REQUESTED ratio — the
+    // maxPasses=3 run above may legally stop one pass short (the gate's
+    // 2x bound prices that headroom); this pins the converged contract
+    val reb10 = grown.rebalance(maxRatio = 1.5, maxPasses = 10)
+    val s10 = reb10.shardSizes
+    val m10 = s10.map(_.toDouble).sum / s10.length
+    assert(s10.max <= 1.5 * m10,
+      s"10-pass rebalance left max ${s10.max} above 1.5x mean $m10")
+    if (reb10 ne grown) reb10.unpersist()
     // the ROUTED twist vs hash-fanout rebalance: fresh shards are first-class
     // routing targets — the table grew with the layout
     assert(reb.numShards == sizes.length,
@@ -871,6 +880,30 @@ class FanoutServingSpec extends AnyFunSuite {
     assert(grown.totalPoints >= m.totalPoints + 5 &&
       grown.totalPoints <= m.totalPoints + 5L * m.maxReplicas)
     a.unpersist(); b.unpersist(); m.unpersist(); grown.unpersist()
+  }
+
+  test("fanout searchStats: totals bound the critical path; full-beam total = corpus size") {
+    val emb = Tables.embeddings(spark, dir)
+    val n = emb.count()
+    val m = VamanaFanout.fit(emb, params, numShards = 4)
+    val q = queries(10)
+    val deflt = m.searchStats(q, 10).collect()
+    assert(deflt.length == 10)
+    deflt.foreach { r =>
+      assert(r.getAs[Long]("total_hops") <= r.getAs[Long]("total_comps"))
+      assert(r.getAs[Long]("max_shard_hops") <= r.getAs[Long]("max_shard_comps"))
+      assert(r.getAs[Long]("max_shard_comps") <= r.getAs[Long]("total_comps"))
+      val tc = r.getAs[Long]("total_comps")
+      assert(tc >= 10 && tc <= n, s"total comps $tc out of [k, n=$n]")
+    }
+    // hash sharding partitions the corpus, and full beam scores each
+    // shard's whole point set — so the per-query total is EXACTLY n
+    val full = m.searchStats(q, 10, fullBeam = true).collect()
+    full.foreach { r =>
+      assert(r.getAs[Long]("total_comps") == n,
+        "full-beam total comps must equal the corpus size on a hash layout")
+    }
+    m.unpersist()
   }
 
   test("calibrateEps: bisected band meets the target, is monotone, and prices its probes") {
