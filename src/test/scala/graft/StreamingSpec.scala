@@ -298,6 +298,32 @@ class StreamingSpec extends AnyFunSuite {
     assert(key(streamed.searchRouted(qs, 10, nprobe = 2)) ==
       key(expected.searchRouted(qs, 10, nprobe = 2)),
       "streamed model answers differ from the batch-folded model")
+    // the composition the ingest handle advertises: serve the FOLDED model
+    // through the streaming search twin (localServing after a batch
+    // boundary) — results must be bit-identical to the batch adaptive
+    // search over the batch-folded model (the two models were proven
+    // identical above, so any drift here is in the serving composition)
+    val serving = streamed.localServing()
+    val qRows = emb.where(col("vec_id") < 5)
+      .select("vec_id", "embedding").as[(Long, Array[Float])].collect()
+    val sIn = MemoryStream[EmbRow]
+    val sq = StreamingOps.streamingRoutedSearch(sIn.toDF(), serving, 10, routeEps = 0.05)
+      .writeStream.format("memory").queryName("ingest_then_serve")
+      .outputMode("append").start()
+    try {
+      sIn.addData(qRows.map { case (id, v) => EmbRow(id, ts(63), v) }.toSeq)
+      sq.processAllAvailable()
+    } finally sq.stop()
+    val got = spark.table("ingest_then_serve").collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("rank")) ->
+        (r.getAs[Long]("id"), r.getAs[Double]("dist"))).toMap
+    val want = expected.searchRoutedAdaptive(
+        emb.where(col("vec_id") < 5)
+          .select(col("vec_id").as("query_id"), col("embedding").as("query_vec")),
+        10, routeEps = 0.05)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+    assert(got == want, "ingest-then-serve drifted from the batch-folded model's adaptive search")
+
     // hot stream with autoMaintain: the split happens inside the ingest
     // path — the arrival mode where unrepaired skew actually accrues.
     // Same fixture as the batch autoMaintain spec (4 shards over the full
