@@ -23,6 +23,7 @@ object GraftCaches {
     operators.CorpusPipeline.clearCaches()
     operators.Multimodal.clearCaches()
     operators.TextAnalysis.clearCaches()
+    operators.SparseRetrieval.clearCaches()
     operators.Similarity.clearCaches()
     operators.Clustering.clearCaches()
     operators.DocClassifier.clearCaches()

@@ -23,6 +23,7 @@ object PipelineRegistry {
     "corpus" -> RegistryCorpus.entries.map { case (n, f, o) => (n, f: QFn, o) },
     "multimodal" -> RegistryMultimodal.entries.map { case (n, f, o) => (n, f: QFn, o) },
     "vector" -> RegistryVector.entries.map { case (n, f, o) => (n, f: QFn, o) },
+    "sparse" -> RegistrySparse.entries.map { case (n, f, o) => (n, f: QFn, o) },
     "layout_temporal" -> RegistryLayoutTemporal.entries.map { case (n, f, o) => (n, f: QFn, o) })
 
   def entries: Seq[(String, QFn, Option[String])] = families.flatMap(_._2)

@@ -815,7 +815,7 @@ object TextAnalysis {
   private val lexTcCache = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String), DataFrame]
 
-  private def lexTermCounts(spark: SparkSession, dir: String): DataFrame =
+  private[graft] def lexTermCounts(spark: SparkSession, dir: String): DataFrame =
     lexTcCache.getOrElseUpdate((spark, dir),
       Tables.documents(spark, dir)
         .select(col("doc_id"), explode(toks(col("text"))).as("term"))
@@ -834,12 +834,12 @@ object TextAnalysis {
   private val lexDfCache = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String), DataFrame]
 
-  private def lexDocLens(spark: SparkSession, dir: String): DataFrame =
+  private[graft] def lexDocLens(spark: SparkSession, dir: String): DataFrame =
     lexDlCache.getOrElseUpdate((spark, dir),
       lexTermCounts(spark, dir)
         .groupBy(col("doc_id")).agg(sum(col("c")).as("n")).persist())
 
-  private def lexTermDfs(spark: SparkSession, dir: String): DataFrame =
+  private[graft] def lexTermDfs(spark: SparkSession, dir: String): DataFrame =
     lexDfCache.getOrElseUpdate((spark, dir),
       lexTermCounts(spark, dir)
         .groupBy(col("term")).agg(count(lit(1)).as("df")).persist())

@@ -806,6 +806,45 @@ object StreamingOps {
       graft.operators.LangClassifier.predictNative(docs.sparkSession, model,
         col("text")).as("pred_lang"))
 
+  /** Streaming learned-sparse ENCODE — the ingest-side twin of
+    * [[graft.operators.SparseRetrieval.sparseEncode]]: every arriving doc
+    * is turned into its pruned posting rows (doc_id, rank, term, w)
+    * STATELESSLY. The frozen [[graft.operators.SparseRetrieval.SparseModel]]
+    * dictionary rides to the stream as ONE map literal (model-vocabulary-
+    * bounded — the SPLADE deployment shape, like the classifier/langid
+    * frozen models), and the whole encode is per-row higher-order array
+    * arithmetic: distinct in-dictionary terms → the batch impact formula
+    * over the row's own tf — (1+ln(tf))·ln((N+1)/(df+1)), rounded 6 dp,
+    * the identical expression shapes — → in-row sort by (w desc, term asc)
+    * → top-m slice. Same rounding, same tie order, same kept set: stream
+    * and batch postings are bit-identical (spec-asserted). No state store,
+    * no shuffle — a 100 TB arrival stream encodes at scan speed and the
+    * postings sink feeds the same inverted-index serving the batch index
+    * uses. */
+  def streamingSparseEncode(docs: DataFrame,
+      model: graft.operators.SparseRetrieval.SparseModel,
+      m: Int = graft.operators.SparseRetrieval.PruneM): DataFrame = {
+    val tk = filter(graft.operators.TextAnalysis.toks(col("text")), t => t =!= "")
+    val dfMap = map(model.dfs.toSeq.sortBy(_._1)
+      .flatMap { case (t, d) => Seq(lit(t), lit(d)) }: _*)
+    val ndP1 = model.nd + 1.0
+    val scored = transform(
+      filter(array_distinct(col("tk")), t => element_at(dfMap, t).isNotNull),
+      t => struct(
+        round((lit(1.0) + log(size(filter(col("tk"), e => e === t)))) *
+          log(lit(ndP1) / (element_at(dfMap, t) + lit(1.0))), 6).as("w"),
+        t.as("term")))
+    val kept = slice(array_sort(filter(scored, s => s("w") > 0),
+      (l, r) => when(l("w") > r("w"), -1).when(l("w") < r("w"), 1)
+        .when(l("term") < r("term"), -1).when(l("term") > r("term"), 1)
+        .otherwise(0)), 1, m)
+    docs.select(col("doc_id").cast("long").as("doc_id"), col("ts"), col("text"))
+      .withColumn("tk", tk)
+      .select(col("doc_id"), col("ts"), posexplode(kept).as(Seq("p", "s")))
+      .select(col("doc_id"), col("ts"), (col("p") + 1).cast("long").as("rank"),
+        col("s.term").as("term"), col("s.w").as("w"))
+  }
+
   /** Streaming HYBRID-RETRIEVAL lexical leg — ingest-side "score every
     * arriving doc against the standing query set": the corpus statistics
     * (per-query term idf + avgdl) are fit OFFLINE by

@@ -205,6 +205,18 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Window"), s"ranking must be heap-aggregated, not windowed:\n$p")
   }
 
+  test("sparse serving broadcasts the query dictionary; every window is keyed; ranks are heap-aggregated") {
+    SparseRetrieval.clearCaches() // force the un-cached end-to-end plan
+    val p = plan(SparseRetrieval.sparseTopk(spark, dir))
+    assert(p.contains("BroadcastHashJoin"), s"query dictionary must broadcast:\n$p")
+    // the ONLY window is the encode's per-doc pruning — keyed by doc_id, a
+    // hash shuffle; an unkeyed window (or a per-qid rank window) would
+    // serialize the corpus through one task at scale
+    val winLines = p.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    assert(winLines.nonEmpty, s"expected the doc-keyed pruning window:\n$p")
+    assert(winLines.forall(_.contains("doc_id")), s"every window must be doc-keyed:\n$p")
+  }
+
   test("dsir broadcasts the bucket model; the dup-span frame join stays a shuffle join") {
     val p1 = plan(CorpusPipeline.dsirWeight(spark, dir))
     assert(p1.contains("BroadcastHashJoin"), s"1024-row model must broadcast:\n$p1")

@@ -1000,6 +1000,35 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming sparse encode emits the batch pruned index bit-for-bit") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    val model = graft.operators.SparseRetrieval.fitSparseModel(spark, dir)
+    assert(model.nd > 0 && model.dfs.nonEmpty)
+    val input = MemoryStream[Doc]
+    val q = StreamingOps.streamingSparseEncode(input.toDF(), model)
+      .writeStream.format("memory").queryName("sparse_enc_out")
+      .outputMode("append").start()
+    try {
+      val docs = graft.core.Tables.documents(spark, dir)
+        .select("doc_id", "text").collect()
+        .map(r => Doc(r.getLong(0), ts(1), r.getString(1)))
+      input.addData(docs.toSeq)
+      q.processAllAvailable()
+      val streamed = spark.table("sparse_enc_out")
+        .select(col("doc_id"), col("rank"), col("term"), col("w")).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getDouble(3))).toSet
+      val batch = graft.operators.SparseRetrieval.sparseEncode(spark, dir).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getDouble(3))).toSet
+      assert(streamed.nonEmpty, "no postings emitted")
+      assert(streamed == batch,
+        s"stream/batch sparse postings diverge: extra=${(streamed -- batch).take(3)} " +
+          s"missing=${(batch -- streamed).take(3)}")
+    } finally q.stop()
+  }
+
   test("streaming windowed retrieval top-k matches the batch per-query top-k at window close") {
     import org.apache.spark.sql.functions.col
     import spark.implicits._
