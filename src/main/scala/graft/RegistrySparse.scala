@@ -10,7 +10,8 @@ import graft.RegistrySqlParts._
 private[graft] object RegistrySparse {
 
   private[graft] def entries: Seq[(String, QFn, Option[String])] = Seq(
-    sparseEncodeQ, sparseIndexStatsQ, sparseTopkQ, sparseChampionGateQ)
+    sparseEncodeQ, sparseIndexStatsQ, sparseTopkQ, sparseChampionGateQ,
+    trimodalFusionQ)
 
   /** Shared CTE chain — the encoder both engines agree on: whitespace
     * tokens (the BM25 leg's tokenization), impact = (1+ln(tf))·ln((N+1)/
@@ -120,5 +121,82 @@ private[graft] object RegistrySparse {
       LEFT JOIN tf ON grid.qid = tf.qid
       LEFT JOIN tch ON grid.qid = tch.qid AND grid.cval = tch.cval
       ORDER BY qid, c
+    """.trim))
+
+  /** Tri-modal RRF: the hybrid_retrieval lex/vec CTEs verbatim (same
+    * query-by-example ids < 5), plus the sparse query-by-example leg over
+    * the pruned index; rrf terms rounded 6 dp and summed as
+    * DECIMAL(18,6) so the three-way sum is exact and order-free. */
+  private val trimodalFusionQ: (String, QFn, Option[String]) = (
+    "trimodal_fusion",
+    (s, d) => SparseRetrieval.trimodalFusion(s, d),
+    Some(s"""
+      WITH t AS (SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS term FROM documents),
+      tc AS (SELECT doc_id, term, count(*) AS c FROM t WHERE term <> '' GROUP BY doc_id, term),
+      dl AS (SELECT doc_id, sum(c) AS n FROM tc GROUP BY doc_id),
+      st AS (SELECT count(*)::DOUBLE AS nd, sum(n)::DOUBLE / count(*) AS avgdl FROM dl),
+      dfs AS (SELECT term, count(*) AS df FROM tc GROUP BY term),
+      qt AS (SELECT DISTINCT doc_id AS qid, term FROM t WHERE term <> '' AND doc_id < 5),
+      qi AS (SELECT qt.qid, qt.term,
+                    ln((st.nd - coalesce(dfs.df, 0) + 0.5) /
+                       (coalesce(dfs.df, 0) + 0.5) + 1.0) AS idf,
+                    st.avgdl
+             FROM qt LEFT JOIN dfs USING (term) CROSS JOIN st),
+      co AS (SELECT qi.qid, tc.doc_id,
+                    round(qi.idf * (tc.c * (1.2 + 1.0)) /
+                          (tc.c + 1.2 * (1.0 - 0.75 + 0.75 *
+                            (dl.n::DOUBLE / qi.avgdl))), 6)::DECIMAL(18,6) AS contrib
+             FROM tc JOIN qi USING (term) JOIN dl USING (doc_id)
+             WHERE tc.doc_id <> qi.qid),
+      lsc AS (SELECT qid, doc_id, round(sum(contrib), 4) AS s4 FROM co GROUP BY qid, doc_id),
+      lex AS (SELECT qid, doc_id, lrank FROM (
+                SELECT qid, doc_id,
+                       row_number() OVER (PARTITION BY qid ORDER BY s4 DESC, doc_id ASC) AS lrank
+                FROM lsc) WHERE lrank <= 10),
+      e AS (SELECT vec_id, embedding, sqrt(${dotSql("embedding", "embedding")}) AS nrm
+            FROM embeddings),
+      qv AS (SELECT vec_id AS qid, embedding AS qvec, nrm AS qn FROM e WHERE vec_id < 5),
+      vs AS (SELECT qv.qid, e.vec_id AS doc_id,
+                    ${dotSql("e.embedding", "qv.qvec")} / (e.nrm * qv.qn) AS cos
+             FROM e CROSS JOIN qv WHERE e.vec_id <> qv.qid),
+      vec AS (SELECT qid, doc_id, vrank FROM (
+                SELECT qid, doc_id,
+                       row_number() OVER (PARTITION BY qid ORDER BY cos DESC, doc_id ASC) AS vrank
+                FROM vs) WHERE vrank <= 10),
+      w AS (SELECT doc_id, term, w FROM (
+              SELECT tc.doc_id, tc.term,
+                     round((1.0 + ln(tc.c)) * ln((st.nd + 1.0) / (dfs.df + 1.0)), 6) AS w
+              FROM tc JOIN dfs USING (term) CROSS JOIN st)
+            WHERE w > 0),
+      pruned AS (SELECT doc_id, term, w FROM (
+                   SELECT doc_id, term, w,
+                          row_number() OVER (PARTITION BY doc_id ORDER BY w DESC, term ASC) AS r
+                   FROM w)
+                 WHERE r <= 8),
+      qsp AS (SELECT doc_id AS qid, term, w AS wq FROM pruned WHERE doc_id < 5),
+      co3 AS (SELECT qsp.qid, pruned.doc_id,
+                     round(qsp.wq * pruned.w, 6)::DECIMAL(18,6) AS contrib
+              FROM pruned JOIN qsp USING (term)
+              WHERE pruned.doc_id <> qsp.qid),
+      sc3 AS (SELECT qid, doc_id, round(sum(contrib), 4) AS s4 FROM co3 GROUP BY qid, doc_id),
+      sp AS (SELECT qid, doc_id, sprank FROM (
+               SELECT qid, doc_id,
+                      row_number() OVER (PARTITION BY qid ORDER BY s4 DESC, doc_id ASC) AS sprank
+               FROM sc3) WHERE sprank <= 10),
+      legs AS (SELECT qid, doc_id, 0 AS leg, lrank AS rnk FROM lex
+               UNION ALL SELECT qid, doc_id, 1, vrank FROM vec
+               UNION ALL SELECT qid, doc_id, 2, sprank FROM sp),
+      fused AS (SELECT qid, doc_id,
+                       sum(round(1.0 / (60 + rnk), 6)::DECIMAL(18,6)) AS rrfd,
+                       coalesce(max(CASE WHEN leg = 0 THEN rnk END), -1)::BIGINT AS lex_rank,
+                       coalesce(max(CASE WHEN leg = 1 THEN rnk END), -1)::BIGINT AS vec_rank,
+                       coalesce(max(CASE WHEN leg = 2 THEN rnk END), -1)::BIGINT AS sparse_rank
+                FROM legs GROUP BY qid, doc_id),
+      r3 AS (SELECT qid, doc_id, rrfd, lex_rank, vec_rank, sparse_rank,
+                    row_number() OVER (PARTITION BY qid ORDER BY rrfd DESC, doc_id ASC) AS rank
+             FROM fused)
+      SELECT qid::BIGINT AS qid, rank, doc_id, rrfd::DOUBLE AS rrf,
+             lex_rank, vec_rank, sparse_rank
+      FROM r3 WHERE rank <= 10 ORDER BY qid, rank
     """.trim))
 }

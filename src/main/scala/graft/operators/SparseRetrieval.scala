@@ -58,6 +58,46 @@ object SparseRetrieval {
     TextAnalysis.lexDocLens(spark, dir)
       .agg(count(lit(1)).cast("double").as("nd"))
 
+  /** THE document impact expression — the one scoring head both the
+    * dir-memoized path and the generic/scale path share so the encoder
+    * cannot fork. */
+  private[graft] def impactOf(c: org.apache.spark.sql.Column,
+      nd: org.apache.spark.sql.Column, df: org.apache.spark.sql.Column) =
+    round((lit(1.0) + log(c)) * log((nd + 1.0) / (df + 1.0)), 6)
+
+  /** The query-side weight head (query tf = 1 → idf only). */
+  private[graft] def queryWeightOf(nd: org.apache.spark.sql.Column,
+      df: org.apache.spark.sql.Column) =
+    round(log((nd + 1.0) / (coalesce(df, lit(0L)) + 1.0)), 6)
+
+  /** Generic per-(doc, term) counts of an arbitrary docs frame — the
+    * scale-bench entry point; the registry path reuses the BM25 leg's
+    * memoized frame instead. */
+  private[graft] def termCountsOf(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), explode(TextAnalysis.toks(col("text"))).as("term"))
+      .where(col("term") =!= "")
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("c"))
+
+  /** Generic positive-impact postings from a term-count frame. */
+  private[graft] def fullPostingsOf(tc: DataFrame): DataFrame = {
+    val dfs = tc.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val stats = tc.select(col("doc_id")).distinct()
+      .agg(count(lit(1)).cast("double").as("nd"))
+    tc.join(dfs, Seq("term"))
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"), col("term"),
+        impactOf(col("c"), col("nd"), col("df")).as("w"))
+      .where(col("w") > 0)
+  }
+
+  /** Generic document-side pruning: top-m per doc by (w desc, term asc),
+    * rank exposed as `r`. */
+  private[graft] def prunedPostingsOf(full: DataFrame, m: Int): DataFrame = {
+    val win = Window.partitionBy(col("doc_id"))
+      .orderBy(col("w").desc, col("term").asc)
+    full.withColumn("r", row_number().over(win)).where(col("r") <= m)
+  }
+
   /** All positive-impact postings (doc_id, term, w) BEFORE document-side
     * pruning — the "full" side of the stats/mass accounting. */
   private def fullPostings(spark: SparkSession, dir: String): DataFrame = {
@@ -66,8 +106,7 @@ object SparseRetrieval {
     tc.join(dfs, Seq("term"))
       .crossJoin(broadcast(docCount(spark, dir)))
       .select(col("doc_id"), col("term"),
-        round((lit(1.0) + log(col("c"))) *
-          log((col("nd") + 1.0) / (col("df") + 1.0)), 6).as("w"))
+        impactOf(col("c"), col("nd"), col("df")).as("w"))
       .where(col("w") > 0)
   }
 
@@ -75,14 +114,8 @@ object SparseRetrieval {
     * (w desc, term asc) — rank exposed as `r` so the encode query can show
     * the kept order. */
   private[graft] def prunedPostings(spark: SparkSession, dir: String): DataFrame =
-    postingsCache.getOrElseUpdate((spark, dir), {
-      val win = Window.partitionBy(col("doc_id"))
-        .orderBy(col("w").desc, col("term").asc)
-      fullPostings(spark, dir)
-        .withColumn("r", row_number().over(win))
-        .where(col("r") <= PruneM)
-        .persist()
-    })
+    postingsCache.getOrElseUpdate((spark, dir),
+      prunedPostingsOf(fullPostings(spark, dir), PruneM).persist())
 
   /** Query-side term weights for the standing literal query set:
     * wq = ln((N+1)/(df+1)) — the idf head of the document impact (query
@@ -95,8 +128,22 @@ object SparseRetrieval {
     qt.join(TextAnalysis.lexTermDfs(spark, dir), Seq("term"), "left_outer")
       .crossJoin(broadcast(docCount(spark, dir)))
       .select(col("qid"), col("term"),
-        round(log((col("nd") + 1.0) / (coalesce(col("df"), lit(0L)) + 1.0)), 6)
-          .as("wq"))
+        queryWeightOf(col("nd"), col("df")).as("wq"))
+  }
+
+  /** Generic query weights for an arbitrary corpus — the scale-bench
+    * twin of [[queryWeights]], same weight head. */
+  private[graft] def queryWeightsOf(spark: SparkSession,
+      queries: Seq[(Long, Seq[String])], tc: DataFrame): DataFrame = {
+    import spark.implicits._
+    val qt = queries.flatMap { case (q, ts) => ts.map(t => (q, t)) }.toDF("qid", "term")
+    val dfs = tc.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val stats = tc.select(col("doc_id")).distinct()
+      .agg(count(lit(1)).cast("double").as("nd"))
+    qt.join(dfs, Seq("term"), "left_outer")
+      .crossJoin(broadcast(stats))
+      .select(col("qid"), col("term"),
+        queryWeightOf(col("nd"), col("df")).as("wq"))
   }
 
   /** The encoded index itself: (doc_id, rank, term, w) — every kept
@@ -140,7 +187,7 @@ object SparseRetrieval {
   def sparseTopk(spark: SparkSession, dir: String, k: Int = 5): DataFrame =
     topkOver(spark, prunedPostings(spark, dir), queryWeights(spark, dir), k)
 
-  private def topkOver(spark: SparkSession, postings: DataFrame,
+  private[graft] def topkOver(spark: SparkSession, postings: DataFrame,
       qw: DataFrame, k: Int): DataFrame = {
     import spark.implicits._
     import graft.functions.{Scored, TopKAggregator}
@@ -201,6 +248,65 @@ object SparseRetrieval {
           coalesce(col("tc"), lit(0L)).as("touched_champion"))
     }.reduce(_ unionAll _)
       .orderBy(col("qid"), col("c"))
+  }
+
+  /** Sparse query-by-example scored frame: the query doc's OWN pruned
+    * impact vector (its top-m encode) against the pruned index — the
+    * learned-sparse analogue of "embed the query with the same encoder".
+    * Self-hit excluded; (qid, dist = −score, id) for the shared heap. */
+  private def sparseQbeScored(spark: SparkSession, dir: String,
+      nQueries: Int): DataFrame = {
+    val pruned = prunedPostings(spark, dir)
+    val qsp = pruned.where(col("doc_id") < nQueries)
+      .select(col("doc_id").as("qid"), col("term"), col("w").as("wq"))
+    pruned.join(broadcast(qsp), Seq("term"))
+      .where(col("doc_id") =!= col("qid"))
+      .select(col("qid"), col("doc_id"),
+        round(col("wq") * col("w"), 6).cast("decimal(18,6)").as("contrib"))
+      .groupBy(col("qid"), col("doc_id"))
+      .agg(sum(col("contrib")).as("s"))
+      .select(col("qid"), (-round(col("s"), 4).cast("double")).as("dist"),
+        col("doc_id").as("id"))
+  }
+
+  /** Tri-modal reciprocal-rank fusion — the full retrieval-stack combiner
+    * over all three modalities this engine serves: the lexical BM25 leg,
+    * the dense cosine leg (both the hybrid_retrieval legs, same shared
+    * code), and the learned-sparse leg (query-by-example over the pruned
+    * inverted index). Each leg ends in the bounded TopK heap; the fusion
+    * is rrf = Σ_legs 1/(60 + rank) with each term rounded to 6 dp and the
+    * sum carried as DECIMAL(18,6) (exact, order-free — a three-way double
+    * sum would be association-sensitive across engines); final ranks
+    * break ties by doc_id. The fused frame is ≤ 3k rows per query by
+    * construction — the only corpus-scale work is the three legs
+    * themselves, each already scale-shaped. */
+  def trimodalFusion(spark: SparkSession, dir: String, nQueries: Int = 5,
+      k: Int = 10, kRrf: Int = 60): DataFrame = {
+    val lex = TextAnalysis.rankHeapTopK(
+      TextAnalysis.lexScores(spark, dir, nQueries)
+        .select(col("qid"), col("dist"), col("id")), k, "lex_rank")
+    val vec = TextAnalysis.rankHeapTopK(
+      TextAnalysis.vecCosineScored(spark, dir, nQueries), k, "vec_rank")
+    val sp = TextAnalysis.rankHeapTopK(
+      sparseQbeScored(spark, dir, nQueries), k, "sparse_rank")
+    def term(c: org.apache.spark.sql.Column) =
+      coalesce(round(lit(1.0) / (lit(kRrf) + c), 6), lit(0.0)).cast("decimal(18,6)")
+    val fused = lex
+      .join(vec, Seq("qid", "doc_id"), "full_outer")
+      .join(sp, Seq("qid", "doc_id"), "full_outer")
+      .select(col("qid"), col("doc_id"),
+        coalesce(col("lex_rank"), lit(-1L)).as("lex_rank"),
+        coalesce(col("vec_rank"), lit(-1L)).as("vec_rank"),
+        coalesce(col("sparse_rank"), lit(-1L)).as("sparse_rank"),
+        (term(col("lex_rank")) + term(col("vec_rank")) + term(col("sparse_rank")))
+          .as("rrfd"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("rrfd").desc, col("doc_id").asc)
+    fused.withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("doc_id"),
+        col("rrfd").cast("double").as("rrf"),
+        col("lex_rank"), col("vec_rank"), col("sparse_rank"))
+      .orderBy(col("qid"), col("rank"))
   }
 
   /** Frozen encoder model for the streaming ingest twin: corpus size plus

@@ -694,39 +694,52 @@ object TextAnalysis {
     * partition per query cross the shuffle, never a corpus rank window),
     * and the fusion join + final rank window run over two ≤ nQueries·k
     * row frames — driver-trivial at any corpus size. */
-  def hybridRetrieval(spark: SparkSession, dir: String, nQueries: Int = 5,
-      k: Int = 10, kRrf: Int = 60, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+  /** Per-qid top-k ranks through the bounded heap — (qid, rankName,
+    * doc_id) from a (qid, dist, id) scored frame. Shared by the hybrid
+    * legs and [[SparseRetrieval.trimodalFusion]] so every leg's ranking
+    * rides the same k-bounded aggregation, never a corpus-wide window. */
+  private[graft] def rankHeapTopK(scored: DataFrame, k: Int,
+      rankName: String): DataFrame = {
+    val spark = scored.sparkSession
     import spark.implicits._
     import graft.functions.{Scored, TopKAggregator}
+    scored.as[(Long, Double, Long)]
+      .groupByKey(_._1)
+      .mapValues { case (_, dist, id) => Scored(dist, id) }
+      .agg(new TopKAggregator(k).toColumn.name("topk"))
+      .toDF("qid", "topk")
+      .select(col("qid"), posexplode(col("topk")).as(Seq("r", "s")))
+      .select(col("qid"), (col("r") + 1).cast("long").as(rankName),
+        col("s.id").as("doc_id"))
+  }
+
+  /** The dense query-by-example leg: exact cosine of every corpus vector
+    * against the broadcast first-nQueries query embeddings, self-hit
+    * excluded — (qid, dist = −cos, id). One definition serving
+    * [[hybridRetrieval]] and the tri-modal fusion. */
+  private[graft] def vecCosineScored(spark: SparkSession, dir: String,
+      nQueries: Int): DataFrame = {
     import graft.functions.NativeVectorFunctions.{dotNative, normNative}
-
-    def heapTopK(scored: DataFrame, rankName: String): DataFrame =
-      scored.as[(Long, Double, Long)]
-        .groupByKey(_._1)
-        .mapValues { case (_, dist, id) => Scored(dist, id) }
-        .agg(new TopKAggregator(k).toColumn.name("topk"))
-        .toDF("qid", "topk")
-        .select(col("qid"), posexplode(col("topk")).as(Seq("r", "s")))
-        .select(col("qid"), (col("r") + 1).cast("long").as(rankName),
-          col("s.id").as("doc_id"))
-
-    // ---- lexical leg: BM25 with the query doc's distinct tokens --------
-    val lex = heapTopK(lexScores(spark, dir, nQueries, k1, b)
-      .select(col("qid"), col("dist"), col("id")), "lex_rank")
-
-    // ---- vector leg: exact cosine over the broadcast query embeddings --
     val e = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding"), normNative(spark, col("embedding")).as("nrm"))
     val qv = e.where(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("qvec"), col("nrm").as("qn"))
-    val vecScored = e
-      .select(col("vec_id").as("id"), col("embedding").as("vec"), col("nrm").as("vn"))
+    e.select(col("vec_id").as("id"), col("embedding").as("vec"), col("nrm").as("vn"))
       .crossJoin(broadcast(qv))
       .where(col("id") =!= col("query_id"))
-      .select(col("query_id"),
+      .select(col("query_id").as("qid"),
         (-(dotNative(spark, col("vec"), col("qvec")) / (col("vn") * col("qn")))).as("dist"),
         col("id"))
-    val vec = heapTopK(vecScored, "vec_rank")
+  }
+
+  def hybridRetrieval(spark: SparkSession, dir: String, nQueries: Int = 5,
+      k: Int = 10, kRrf: Int = 60, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    // ---- lexical leg: BM25 with the query doc's distinct tokens --------
+    val lex = rankHeapTopK(lexScores(spark, dir, nQueries, k1, b)
+      .select(col("qid"), col("dist"), col("id")), k, "lex_rank")
+
+    // ---- vector leg: exact cosine over the broadcast query embeddings --
+    val vec = rankHeapTopK(vecCosineScored(spark, dir, nQueries), k, "vec_rank")
 
     // ---- reciprocal-rank fusion ---------------------------------------
     val fused = lex.join(vec, Seq("qid", "doc_id"), "full_outer")

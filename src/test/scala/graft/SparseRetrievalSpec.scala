@@ -79,6 +79,32 @@ class SparseRetrievalSpec extends AnyFunSuite {
     assert(heap == windowed, "TopKAggregator ranking diverges from the window-sort ranking")
   }
 
+  test("trimodal_fusion: rrf recomputes from the emitted ranks; all three legs contribute") {
+    val rows = SparseRetrieval.trimodalFusion(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+    assert(rows.nonEmpty)
+    // exactly k rows per query: each leg alone supplies 10 distinct candidates
+    rows.groupBy(_._1).foreach { case (qid, qr) =>
+      assert(qr.length == 10, s"qid=$qid emitted ${qr.length} rows")
+      assert(qr.map(_._2).sorted.sameElements(1L to 10L), s"qid=$qid ranks not dense")
+    }
+    // the emitted rrf is exactly the decimal sum of the per-leg 6-dp terms
+    rows.foreach { case (qid, _, doc, rrf, lr, vr, sr) =>
+      def term(x: Long): BigDecimal =
+        if (x > 0) BigDecimal(1.0 / (60 + x)).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        else BigDecimal(0)
+      val expect = (term(lr) + term(vr) + term(sr)).doubleValue
+      assert(math.abs(rrf - expect) < 1e-9,
+        s"qid=$qid doc=$doc rrf=$rrf != recomputed $expect from ranks ($lr,$vr,$sr)")
+      assert(lr > 0 || vr > 0 || sr > 0, "a fused row with no leg rank")
+    }
+    // every modality surfaces in the fused top-10 somewhere on this corpus
+    assert(rows.exists(_._5 > 0), "lexical leg never contributes")
+    assert(rows.exists(_._6 > 0), "dense leg never contributes")
+    assert(rows.exists(_._7 > 0), "sparse leg never contributes")
+  }
+
   test("sparse_champion_gate: the pricing curve is bounded, monotone in work, and bites") {
     val rows = SparseRetrieval.sparseChampionGate(spark, dir).collect()
       .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("c"), r.getAs[Long]("overlap"),
