@@ -106,6 +106,14 @@ object StreamBench {
     run[Doc]("stream_langid", docs,
       in => StreamingOps.streamingLangClassify(in.toDF(), langModel))
 
+    // learned-sparse encode at ingest: the frozen dictionary is fit from
+    // the same corpus BEFORE the clock (a standing model is a pre-existing
+    // asset); the encode itself is a stateless per-row projection
+    lazy val sparseModel = graft.operators.SparseRetrieval.fitSparseModelOf(
+      graft.operators.SparseRetrieval.termCountsOf(spark.createDataset(docs).toDF()))
+    run[Doc]("stream_sparse", docs,
+      in => StreamingOps.streamingSparseEncode(in.toDF(), sparseModel))
+
     // winnow copy-detection at ingest: index the same corpus (materialized
     // BEFORE the clock — a standing index is a pre-existing asset), then
     // replay it; the ~10% planted duplicates guarantee real matches flow

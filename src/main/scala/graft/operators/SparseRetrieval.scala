@@ -320,7 +320,18 @@ object SparseRetrieval {
 
   def fitSparseModel(spark: SparkSession, dir: String): SparseModel = {
     val nd = TextAnalysis.lexDocLens(spark, dir).count().toDouble
-    val rows = TextAnalysis.lexTermDfs(spark, dir).collect()
+    fitFromDfs(TextAnalysis.lexTermDfs(spark, dir), nd)
+  }
+
+  /** Generic fit from any docs-frame term counts — the scale/stream-bench
+    * entry point (the dir path reuses the memoized BM25 frames instead). */
+  def fitSparseModelOf(tc: DataFrame): SparseModel = {
+    val nd = tc.select(col("doc_id")).distinct().count().toDouble
+    fitFromDfs(tc.groupBy(col("term")).agg(count(lit(1)).as("df")), nd)
+  }
+
+  private def fitFromDfs(dfs: DataFrame, nd: Double): SparseModel = {
+    val rows = dfs.collect()
     require(rows.length <= 200000,
       s"sparse dictionary has ${rows.length} terms — a learned-sparse model " +
         "vocabulary is fixed and small; refusing a corpus-sized collect")

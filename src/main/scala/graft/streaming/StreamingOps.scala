@@ -810,39 +810,50 @@ object StreamingOps {
     * [[graft.operators.SparseRetrieval.sparseEncode]]: every arriving doc
     * is turned into its pruned posting rows (doc_id, rank, term, w)
     * STATELESSLY. The frozen [[graft.operators.SparseRetrieval.SparseModel]]
-    * dictionary rides to the stream as ONE map literal (model-vocabulary-
-    * bounded — the SPLADE deployment shape, like the classifier/langid
-    * frozen models), and the whole encode is per-row higher-order array
-    * arithmetic: distinct in-dictionary terms → the batch impact formula
-    * over the row's own tf — (1+ln(tf))·ln((N+1)/(df+1)), rounded 6 dp,
-    * the identical expression shapes — → in-row sort by (w desc, term asc)
-    * → top-m slice. Same rounding, same tie order, same kept set: stream
-    * and batch postings are bit-identical (spec-asserted). No state store,
-    * no shuffle — a 100 TB arrival stream encodes at scan speed and the
-    * postings sink feeds the same inverted-index serving the batch index
-    * uses. */
+    * dictionary is model-vocabulary-bounded (the SPLADE deployment shape)
+    * and rides as a BROADCAST hash map probed by a typed per-row kernel —
+    * the first cut shipped it as one MapType literal and probed with
+    * `element_at`, but Spark's map-literal lookup is a LINEAR scan of the
+    * entry array, O(|V|) per probe ≈ 2.7M string compares per row at a
+    * 45k-term dictionary (measured: the 50k-doc StreamBench point did not
+    * finish in 10 minutes; the hash-probe kernel serves it in seconds).
+    * The kernel replays the batch arithmetic exactly: same tokenization
+    * (locale-independent lowercase + \\s+ split, empties dropped), impact
+    * (1+ln tf)·ln((N+1)/(df+1)) via the same Math.log, the same
+    * BigDecimal HALF_UP 6-dp rounding Spark's `round` applies, in-row
+    * sort by (w desc, term asc), top-m — stream and batch postings are
+    * bit-identical (spec-asserted). No state store, no shuffle: a 100 TB
+    * arrival stream encodes at scan speed and the postings sink feeds the
+    * same inverted-index serving the batch index uses. */
   def streamingSparseEncode(docs: DataFrame,
       model: graft.operators.SparseRetrieval.SparseModel,
       m: Int = graft.operators.SparseRetrieval.PruneM): DataFrame = {
-    val tk = filter(graft.operators.TextAnalysis.toks(col("text")), t => t =!= "")
-    val dfMap = map(model.dfs.toSeq.sortBy(_._1)
-      .flatMap { case (t, d) => Seq(lit(t), lit(d)) }: _*)
-    val ndP1 = model.nd + 1.0
-    val scored = transform(
-      filter(array_distinct(col("tk")), t => element_at(dfMap, t).isNotNull),
-      t => struct(
-        round((lit(1.0) + log(size(filter(col("tk"), e => e === t)))) *
-          log(lit(ndP1) / (element_at(dfMap, t) + lit(1.0))), 6).as("w"),
-        t.as("term")))
-    val kept = slice(array_sort(filter(scored, s => s("w") > 0),
-      (l, r) => when(l("w") > r("w"), -1).when(l("w") < r("w"), 1)
-        .when(l("term") < r("term"), -1).when(l("term") > r("term"), 1)
-        .otherwise(0)), 1, m)
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(model)
     docs.select(col("doc_id").cast("long").as("doc_id"), col("ts"), col("text"))
-      .withColumn("tk", tk)
-      .select(col("doc_id"), col("ts"), posexplode(kept).as(Seq("p", "s")))
-      .select(col("doc_id"), col("ts"), (col("p") + 1).cast("long").as("rank"),
-        col("s.term").as("term"), col("s.w").as("w"))
+      .as[(Long, Timestamp, String)]
+      .flatMap { case (id, ts, text) =>
+        val mdl = bc.value
+        val nd1 = mdl.nd + 1.0
+        val tf = scala.collection.mutable.HashMap.empty[String, Int]
+        text.toLowerCase(java.util.Locale.ROOT).split("\\s+").foreach { t =>
+          if (t.nonEmpty) tf.update(t, tf.getOrElse(t, 0) + 1)
+        }
+        val kept = tf.iterator.flatMap { case (t, c) =>
+          mdl.dfs.get(t).flatMap { df =>
+            val w = BigDecimal((1.0 + math.log(c)) * math.log(nd1 / (df + 1.0)))
+              .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+            if (w > 0) Some((w, t)) else None
+          }
+        }.toArray
+          .sortBy { case (w, t) => (-w, t) }
+          .take(m)
+        kept.iterator.zipWithIndex.map { case ((w, t), i) =>
+          (id, ts, (i + 1).toLong, t, w)
+        }
+      }
+      .toDF("doc_id", "ts", "rank", "term", "w")
   }
 
   /** Streaming HYBRID-RETRIEVAL lexical leg — ingest-side "score every
