@@ -837,9 +837,13 @@ object StreamingOps {
         val mdl = bc.value
         val nd1 = mdl.nd + 1.0
         val tf = scala.collection.mutable.HashMap.empty[String, Int]
-        text.toLowerCase(java.util.Locale.ROOT).split("\\s+").foreach { t =>
-          if (t.nonEmpty) tf.update(t, tf.getOrElse(t, 0) + 1)
-        }
+        // Spark's OWN lowercase (UTF8String), not String.toLowerCase: the
+        // batch side tokenizes through lower(), and locale-sensitive
+        // codepoints must fold identically on both paths by construction
+        org.apache.spark.unsafe.types.UTF8String.fromString(text)
+          .toLowerCase.toString.split("\\s+").foreach { t =>
+            if (t.nonEmpty) tf.update(t, tf.getOrElse(t, 0) + 1)
+          }
         val kept = tf.iterator.flatMap { case (t, c) =>
           mdl.dfs.get(t).flatMap { df =>
             val w = BigDecimal((1.0 + math.log(c)) * math.log(nd1 / (df + 1.0)))

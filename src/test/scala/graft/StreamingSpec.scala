@@ -1029,6 +1029,46 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming sparse encode bit-matches batch on a seeded unicode-mixed random corpus") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // seeded corpus with case-folding and whitespace edge cases: mixed
+    // case, accented/greek/cyrillic terms, repeated + leading whitespace
+    val rng = new scala.util.Random(0xC0FFEE)
+    val vocab = Vector("Alpha", "beta", "GAMMA", "Δelta", "épsilon", "ZЕТА",
+      "ligatureﬁx", "İstanbul", "straße", "w1", "w2", "w3")
+    val docs = (0L until 200L).map { id =>
+      val n = 3 + rng.nextInt(20)
+      val body = Seq.fill(n)(vocab(rng.nextInt(vocab.length)))
+        .mkString(if (rng.nextBoolean()) " " else "  \t ")
+      Doc(id, ts(1), (if (id % 7 == 0) "  " else "") + body)
+    }
+    val batchDocs = spark.createDataset(docs).toDF().select(col("doc_id"), col("text"))
+    val tc = graft.operators.SparseRetrieval.termCountsOf(batchDocs)
+    val model = graft.operators.SparseRetrieval.fitSparseModelOf(tc)
+    val batch = graft.operators.SparseRetrieval
+      .prunedPostingsOf(graft.operators.SparseRetrieval.fullPostingsOf(tc),
+        graft.operators.SparseRetrieval.PruneM)
+      .select(col("doc_id"), col("r").cast("long").as("rank"), col("term"), col("w"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getDouble(3))).toSet
+    val input = MemoryStream[Doc]
+    val q = StreamingOps.streamingSparseEncode(input.toDF(), model)
+      .writeStream.format("memory").queryName("sparse_uni_out")
+      .outputMode("append").start()
+    try {
+      input.addData(docs)
+      q.processAllAvailable()
+      val streamed = spark.table("sparse_uni_out")
+        .select(col("doc_id"), col("rank"), col("term"), col("w")).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getDouble(3))).toSet
+      assert(streamed.nonEmpty, "no postings emitted")
+      assert(streamed == batch,
+        s"unicode corpus diverges: extra=${(streamed -- batch).take(3)} " +
+          s"missing=${(batch -- streamed).take(3)}")
+    } finally q.stop()
+  }
+
   test("streaming windowed retrieval top-k matches the batch per-query top-k at window close") {
     import org.apache.spark.sql.functions.col
     import spark.implicits._
