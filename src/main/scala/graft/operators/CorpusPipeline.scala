@@ -62,14 +62,21 @@ object CorpusPipeline {
     val feats = uni.unionByName(bi)
       .select(col("doc_id"), col("lang"),
         (conv(substring(md5(col("f")), 1, 8), 16, 10).cast("long") % buckets).as("b"))
-    val dc = feats.groupBy(col("doc_id"), col("b")).agg(count(lit(1)).as("c"))
-    val raw = feats.groupBy(col("b")).agg(count(lit(1)).as("cr"))
-    val tgt = feats.where(col("lang") === targetLang)
-      .groupBy(col("b")).agg(count(lit(1)).as("ct"))
-    val totals = feats.agg(count(lit(1)).as("tr"),
-      count(when(col("lang") === targetLang, 1)).as("tt"))
-    val model = raw.join(tgt, Seq("b"), "left_outer")
-      .crossJoin(broadcast(totals))
+    // ONE aggregation over the exploded features; every downstream frame is
+    // a re-aggregation of this (doc, lang, bucket)-grained frame, so the
+    // consumers share a single identical exchange subtree and Spark's
+    // ReusedExchange turns what was 4 tokenize+md5 passes over the corpus
+    // (8 parquet scans in the physical plan) into 1. The raw/target bucket
+    // counts fold into one conditional aggregation (a `where lang = target`
+    // branch would push the filter below the shared exchange and break the
+    // reuse); all derived counts are integer sums of integer counts — exact.
+    val dcl = feats.groupBy(col("doc_id"), col("lang"), col("b"))
+      .agg(count(lit(1)).as("c"))
+    val dc = dcl.select(col("doc_id"), col("b"), col("c"))
+    val bl = dcl.groupBy(col("b")).agg(sum(col("c")).as("cr"),
+      sum(when(col("lang") === targetLang, col("c")).otherwise(lit(0L))).as("ct"))
+    val totals = bl.agg(sum(col("cr")).as("tr"), sum(col("ct")).as("tt"))
+    val model = bl.crossJoin(broadcast(totals))
       .select(col("b"),
         round(log(((coalesce(col("ct"), lit(0L)) + 1.0) / (col("tt") + lit(buckets))) /
                   ((col("cr") + 1.0) / (col("tr") + lit(buckets)))), 6)

@@ -29,9 +29,18 @@ object Formats {
       // only — no native hadoop in this container): gzip is the
       // non-splittable web-corpus default (one task per file — at 100 TB
       // size the files, not the splits), bzip2 the splittable exception
-      val rows = Seq(("csv", "csv", None), ("json", "json", None),
+      // The five format roundtrips are independent write+read-back jobs on
+      // the same input; run them CONCURRENTLY (guide §2.6 — Spark's
+      // scheduler overlaps jobs, the next job's tasks back-fill the tail of
+      // the previous one). Futures, not .par: an explicit pool bounds the
+      // in-flight jobs and survives .par's fork-join quirks under sbt.
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(5)
+      implicit val ec: scala.concurrent.ExecutionContext =
+        scala.concurrent.ExecutionContext.fromExecutorService(pool)
+      val rowFutures = Seq(("csv", "csv", None), ("json", "json", None),
         ("orc", "orc", None), ("json_gzip", "json", Some("gzip")),
         ("csv_bzip2", "csv", Some("bzip2"))).map { case (label, fmt, codec) =>
+        scala.concurrent.Future {
         val path = s"$basePath/$label"
         val w0 = docs.write.mode("overwrite").format(fmt)
         val w = codec.fold(w0)(c => w0.option("compression", c))
@@ -65,7 +74,13 @@ object Formats {
           sum(conv(substring(md5(col("text")), 1, 8), 16, 10).cast("long")).as("text_sum"))
           .head()
         (label, agg.getLong(0), agg.getLong(1), agg.getLong(2))
+        }
       }
+      val rows =
+        try scala.concurrent.Await.result(
+          scala.concurrent.Future.sequence(rowFutures),
+          scala.concurrent.duration.Duration(600, "s"))
+        finally pool.shutdown()
       rows.toDF("format", "n_docs", "total_chars", "text_sum").orderBy(col("format"))
     } finally {
       deleteRecursively(basePath)

@@ -220,12 +220,24 @@ object Relational {
     * rather than a cap). Global top-N rides orderBy+limit →
     * TakeOrderedAndProject. */
   def copurchasePairs(spark: SparkSession, dir: String, topN: Int = 20): DataFrame = {
-    val li = Tables.lineitem(spark, dir)
-      .select(col("l_orderkey"), col("l_partkey")).distinct()
-    li.as("a").join(li.as("b"),
-        col("a.l_orderkey") === col("b.l_orderkey") &&
-          col("a.l_partkey") < col("b.l_partkey"))
-      .groupBy(col("a.l_partkey").as("part_a"), col("b.l_partkey").as("part_b"))
+    // One exchange, no join: collect each order's distinct part set (fanout
+    // bounded by items-per-order), expand the i<j pairs from the sorted
+    // array in codegen, and count. The previous shape — distinct + keyed
+    // self-join — shuffled the lineitem projection three times (distinct,
+    // then each join side) and rebuilt the same pairs through a join;
+    // the pair set and counts are identical (sorted array ⇒ part_a <
+    // part_b, collect_set ⇒ the same distinct (order, part) grain).
+    val ps = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_partkey"))
+      .groupBy(col("l_orderkey"))
+      .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
+      .where(size(col("ps")) >= 2)
+    ps.select(explode(flatten(transform(
+        sequence(lit(0), size(col("ps")) - 2),
+        i => transform(sequence(i + 1, size(col("ps")) - 1),
+          j => struct(element_at(col("ps"), i + 1).as("part_a"),
+            element_at(col("ps"), j + 1).as("part_b")))))).as("pr"))
+      .groupBy(col("pr.part_a").as("part_a"), col("pr.part_b").as("part_b"))
       .agg(count(lit(1)).as("n_orders"))
       .orderBy(col("n_orders").desc, col("part_a").asc, col("part_b").asc)
       .limit(topN)

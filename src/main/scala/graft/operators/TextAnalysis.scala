@@ -391,13 +391,21 @@ object TextAnalysis {
   /** Frame form over any (doc_id, text) corpus. */
   def cmsHeavyHittersOf(spark: SparkSession, docs: DataFrame, k: Int = 20,
       rows: Int = 4, width: Int = 1024): DataFrame = {
-    val tok = docs
+    // Aggregate token occurrences to vocabulary grain FIRST: the 4 md5
+    // bucket hashes then run once per DISTINCT token (vocab-sized) instead
+    // of once per occurrence (corpus-sized), and the sketch and the exact
+    // top-k share the same (token → count) exchange subtree (ReusedExchange
+    // — one corpus scan instead of two). Cell counts are integer sums of
+    // integer counts grouped by the identical md5 buckets — exact.
+    val tcnt = docs
       .select(explode(toks(col("text"))).as("token"))
       .where(col("token") =!= "")
-    val cells = tok
-      .select(explode(cmsCells(col("token"), rows, width)).as("rb"))
-      .groupBy(col("rb.r").as("r"), col("rb.b").as("b")).agg(count(lit(1)).as("cnt"))
-    val exact = tok.groupBy(col("token")).agg(count(lit(1)).as("exact_cnt"))
+      .groupBy(col("token")).agg(count(lit(1)).as("exact_cnt"))
+    val cells = tcnt
+      .select(col("exact_cnt"), explode(cmsCells(col("token"), rows, width)).as("rb"))
+      .groupBy(col("rb.r").as("r"), col("rb.b").as("b"))
+      .agg(sum(col("exact_cnt")).as("cnt"))
+    val exact = tcnt
       .orderBy(col("exact_cnt").desc, col("token").asc)
       .limit(k)
     // estimate = min over the d row counters; the probe side is k rows ->
