@@ -273,6 +273,17 @@ object CorpusPipeline {
   private val webSurvCache = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String), DataFrame]
 
+  /** Per-invocation pinned RDDs (packSequences' two-pass input) — tracked
+    * so [[clearCaches]] releases them, the Multimodal `pinned` pattern. */
+  private val pinnedRdds =
+    scala.collection.mutable.ListBuffer.empty[org.apache.spark.rdd.RDD[_]]
+
+  private def pinnedRdd[T](r: org.apache.spark.rdd.RDD[T]): org.apache.spark.rdd.RDD[T] =
+    pinnedRdds.synchronized {
+      pinnedRdds += r
+      r.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
+
   private[graft] def webCleanSurvivors(spark: SparkSession, dir: String): DataFrame =
     webSurvCache.getOrElseUpdate((spark, dir), {
       val docs = Tables.documents(spark, dir)
@@ -293,6 +304,10 @@ object CorpusPipeline {
   def clearCaches(): Unit = {
     for ((_, df) <- webSurvCache) scala.util.Try(df.unpersist())
     webSurvCache.clear()
+    pinnedRdds.synchronized {
+      pinnedRdds.foreach(r => scala.util.Try(r.unpersist(blocking = false)))
+      pinnedRdds.clear()
+    }
   }
 
   /** [[pipelineWeb]]'s final stage over a survivor frame: temperature
@@ -590,12 +605,16 @@ object CorpusPipeline {
   def packSequencesOf(spark: SparkSession, toks: DataFrame, budget: Long): DataFrame = {
     import spark.implicits._
     val parts = math.max(1, toks.rdd.getNumPartitions)
-    // deterministic lineage (range partition + in-partition sort), so two
-    // passes over it agree without caching the rows anywhere
-    val sorted = toks
+    // the prefix sum is two passes by nature (per-partition totals, then
+    // the offsets); PIN the sorted (doc_id, n_tokens) rows for the second
+    // pass — without it the whole UPSTREAM (for pipeline_full: the
+    // cleanCorpus scan + survivorship join + mixture filter) executes once
+    // per pass. Two longs per surviving doc — the lexTermCounts size
+    // class; released by [[clearCaches]] (the Multimodal pinned pattern).
+    val sorted = pinnedRdd(toks
       .repartitionByRange(parts, col("doc_id"))
       .sortWithinPartitions(col("doc_id"))
-      .as[(Long, Long)].rdd
+      .as[(Long, Long)].rdd)
     val partTotals = sorted
       .mapPartitionsWithIndex { case (i, it) => Iterator((i, it.map(_._2).sum)) }
       .collect().sortBy(_._1).map(_._2)

@@ -558,17 +558,18 @@ object TextAnalysis {
     * is a fixed double expression over INTEGER count statistics, rounded
     * to 6 dp and summed as DECIMAL(18,6) (the lm_perplexity contract —
     * order-independent across partitionings and engines); ranks then sort
-    * on the exact decimal sum. Ranking rides the bounded
-    * [[graft.functions.TopKAggregator]] heap — k rows per partition per
-    * query cross the shuffle, never a corpus-wide rank window — so the
-    * plan is: doc-side explode + one term-count aggregation (the only
-    * corpus-wide shuffles), a broadcast join against the literal query
-    * set's dictionary stats, and a k-bounded heap aggregation. Holds at
-    * any corpus size; the query set is config-bounded by construction. */
+    * on the exact decimal sum. Ranking is a rank-limited window — Spark
+    * ≥3.5 plants a Partial WindowGroupLimit below the exchange, so k rows
+    * per partition per query cross the shuffle (the same bounded-heap
+    * shape as [[graft.functions.TopKAggregator]], which this replaced,
+    * without the per-row object/Kryo boundary) — so the plan is: doc-side
+    * explode + one term-count aggregation (the only corpus-wide
+    * shuffles), a broadcast join against the literal query set's
+    * dictionary stats, and a k-bounded rank window. Holds at any corpus
+    * size; the query set is config-bounded by construction. */
   def bm25Retrieval(spark: SparkSession, dir: String, k: Int = 5,
       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     import spark.implicits._
-    import graft.functions.{Scored, TopKAggregator}
     val tc = lexTermCounts(spark, dir)
     val dl = lexDocLens(spark, dir)
     val stats = dl.agg(count(lit(1)).cast("double").as("nd"),
@@ -597,17 +598,15 @@ object TextAnalysis {
     // boundary lesson: a 10⁻⁶-multiple sum hits the .00005 double-rounding
     // boundary on ~1% of docs) — both engines then rank the same rounded
     // value with doc_id breaking the extra ties rounding introduces
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("dist").asc, col("id").asc)
     scored
       .select(col("qid"), (-round(col("s"), 4).cast("double")).as("dist"),
         col("doc_id").as("id"))
-      .as[(Long, Double, Long)]
-      .groupByKey(_._1)
-      .mapValues { case (_, dist, id) => Scored(dist, id) }
-      .agg(new TopKAggregator(k).toColumn.name("topk"))
-      .toDF("qid", "topk")
-      .select(col("qid"), posexplode(col("topk")).as(Seq("r", "s")))
-      .select(col("qid"), (col("r") + 1).cast("long").as("rank"),
-        col("s.id").as("doc_id"), (-col("s.dist")).as("score"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("id").as("doc_id"),
+        (-col("dist")).as("score"))
       .orderBy(col("qid"), col("rank"))
   }
 
@@ -623,12 +622,11 @@ object TextAnalysis {
     * and the term ranking are engine-stable. Scale shape: the candidate
     * frame is bounded by fbDocs × doc-length per query (never the
     * vocabulary), the expanded query side stays a broadcast dictionary
-    * frame, and both passes end in the bounded TopK heap. The shared
+    * frame, and both passes end in the k-bounded rank window. The shared
     * memoized term-count frame feeds every stage — one corpus scan. */
   def bm25Prf(spark: SparkSession, dir: String, k: Int = 5, fbDocs: Int = 3,
       fbTerms: Int = 5, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     import spark.implicits._
-    import graft.functions.{Scored, TopKAggregator}
     val tc = lexTermCounts(spark, dir)
     val dl = lexDocLens(spark, dir)
     val stats = dl.agg(count(lit(1)).cast("double").as("nd"),
@@ -654,17 +652,21 @@ object TextAnalysis {
       .groupBy(col("qid"), col("doc_id"))
       .agg(sum(col("contrib")).as("s"))
 
-    def heapTop(scored: DataFrame, n: Int): DataFrame = scored
-      .select(col("qid"), (-round(col("s"), 4).cast("double")).as("dist"),
-        col("doc_id").as("id"))
-      .as[(Long, Double, Long)].groupByKey(_._1)
-      .mapValues { case (_, d, id) => Scored(d, id) }
-      .agg(new TopKAggregator(n).toColumn.name("topk"))
-      .toDF("qid", "topk")
+    // row_number ≤ n — bounded pre-shuffle via Partial WindowGroupLimit
+    // (see rankHeapTopK), identical ordering contract to the typed heap it
+    // replaces: ascending (dist, id) = descending (score, -id).
+    def heapTop(scored: DataFrame, n: Int): DataFrame = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("qid")).orderBy(col("dist").asc, col("id").asc)
+      scored
+        .select(col("qid"), (-round(col("s"), 4).cast("double")).as("dist"),
+          col("doc_id").as("id"))
+        .withColumn("r", row_number().over(w))
+        .where(col("r") <= n)
+    }
 
     val fb = heapTop(scoreOf(idfOf(qt0)), fbDocs)
-      .select(col("qid"), explode(col("topk")).as("s"))
-      .select(col("qid"), col("s.id").as("doc_id"))
+      .select(col("qid"), col("id").as("doc_id"))
     val termIdf = dfs.crossJoin(broadcast(stats))
       .select(col("term"),
         log((col("nd") - col("df") + 0.5) / (col("df") + 0.5) + 1.0).as("tidf"))
@@ -681,9 +683,8 @@ object TextAnalysis {
       .where(col("rk") <= fbTerms)
       .select(col("qid"), col("term"))
     heapTop(scoreOf(idfOf(qt0.union(exp))), k)
-      .select(col("qid"), posexplode(col("topk")).as(Seq("r", "s")))
-      .select(col("qid"), (col("r") + 1).cast("long").as("rank"),
-        col("s.id").as("doc_id"), (-col("s.dist")).as("score"))
+      .select(col("qid"), col("r").cast("long").as("rank"),
+        col("id").as("doc_id"), (-col("dist")).as("score"))
       .orderBy(col("qid"), col("rank"))
   }
 
@@ -708,17 +709,18 @@ object TextAnalysis {
     * rides the same k-bounded aggregation, never a corpus-wide window. */
   private[graft] def rankHeapTopK(scored: DataFrame, k: Int,
       rankName: String): DataFrame = {
-    val spark = scored.sparkSession
-    import spark.implicits._
-    import graft.functions.{Scored, TopKAggregator}
-    scored.as[(Long, Double, Long)]
-      .groupByKey(_._1)
-      .mapValues { case (_, dist, id) => Scored(dist, id) }
-      .agg(new TopKAggregator(k).toColumn.name("topk"))
-      .toDF("qid", "topk")
-      .select(col("qid"), posexplode(col("topk")).as(Seq("r", "s")))
-      .select(col("qid"), (col("r") + 1).cast("long").as(rankName),
-        col("s.id").as("doc_id"))
+    // row_number ≤ k — SAME bounded pre-shuffle shape as the typed
+    // TopKAggregator it replaces (Spark ≥3.5 plants a Partial
+    // WindowGroupLimit below the exchange for rank-limit filters, so the
+    // shuffle still carries ≤ partitions·q·k rows), minus the
+    // per-row object conversion + Kryo heap buffers of the groupByKey
+    // path. Output contract unchanged: TopKAggregator was documented (and
+    // spec'd) identical to row_number OVER (ORDER BY dist, id) <= k.
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("dist").asc, col("id").asc)
+    scored.withColumn(rankName, row_number().over(w).cast("long"))
+      .where(col(rankName) <= k)
+      .select(col("qid"), col(rankName), col("id").as("doc_id"))
   }
 
   /** The dense query-by-example leg: exact cosine of every corpus vector
@@ -1008,8 +1010,15 @@ object TextAnalysis {
         i => struct(element_at(col("tk"), i).as("w1"), element_at(col("tk"), i + 1).as("w2"))))
         .as("b"))
       .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
-    val cb = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cb"))
-    val cu = bg.groupBy(col("w1")).agg(count(lit(1)).as("cu"))
+    // ONE aggregation of the bigram explode to (doc, w1, w2) grain; the
+    // model counts and the scoring stream are re-aggregations of it, so
+    // the three consumers share a single exchange subtree (AQE stage
+    // reuse) instead of re-running the tokenize+explode per consumer —
+    // the dsir_weight lesson. Integer sums of integer counts — exact.
+    val cbd = bg.groupBy(col("doc_id"), col("w1"), col("w2"))
+      .agg(count(lit(1)).as("c"))
+    val cb = cbd.groupBy(col("w1"), col("w2")).agg(sum(col("c")).as("cb"))
+    val cu = cbd.groupBy(col("w1")).agg(sum(col("c")).as("cu"))
     val vf = docs.select(explode(col("tk")).as("w")).agg(countDistinct(col("w")).as("vsz"))
     // fold context counts + vocab size into ONE score table keyed by the
     // bigram; the bigram stream then pays ONE model join, not two
@@ -1025,10 +1034,13 @@ object TextAnalysis {
       .select(col("w1"), col("w2"),
         round(log((col("cb") + 1).cast("double") / (col("cu") + col("vsz")).cast("double")), 6)
           .cast("decimal(18,6)").as("logp"))
-    bg
+    cbd
       .join(if (broadcastModel) broadcast(st) else st, Seq("w1", "w2"))
       .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_bigrams"), sum(col("logp")).as("slp"))
+      // Σ over instances of logp = Σ over distinct (doc,w1,w2) of c·logp —
+      // decimal-exact, and the model join now carries the distinct-bigram
+      // stream instead of every instance
+      .agg(sum(col("c")).as("n_bigrams"), sum(col("c") * col("logp")).as("slp"))
       .select(col("doc_id"), col("n_bigrams"),
         round(col("slp").cast("double") / col("n_bigrams"), 4).as("avg_logp"))
       .withColumn("ppl", round(exp(-col("avg_logp")), 4))
