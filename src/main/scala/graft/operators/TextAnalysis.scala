@@ -1089,15 +1089,21 @@ object TextAnalysis {
     * corpus and belongs in the pair-join machinery instead. */
   def boilerplateScoreOf(spark: SparkSession, documents: DataFrame,
       dfCutoff: Long): DataFrame = {
-    val sh = documents
+    // (doc, shingle)-grain aggregation first: the df model and the per-doc
+    // probe both re-aggregate it (shared exchange, one tokenize+shingle
+    // explode instead of two), and the hot-set join probes distinct
+    // doc-shingles instead of instances. Integer sums of counts — exact.
+    val g = documents
       .select(col("doc_id"), Dedup.tokens(col("text")).as("toks"))
       .where(size(col("toks")) >= 3)
       .select(col("doc_id"), explode(Dedup.shingles(col("toks"))).as("sh"))
-    val hot = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+      .groupBy(col("doc_id"), col("sh")).agg(count(lit(1)).as("c"))
+    val hot = g.groupBy(col("sh")).agg(sum(col("c")).as("df"))
       .where(col("df") > dfCutoff).select(col("sh"), lit(1).as("hot"))
-    sh.join(broadcast(hot), Seq("sh"), "left_outer")
+    g.join(broadcast(hot), Seq("sh"), "left_outer")
       .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_shingles"), count(col("hot")).as("n_boiler"))
+      .agg(sum(col("c")).as("n_shingles"),
+        sum(when(col("hot").isNotNull, col("c")).otherwise(lit(0L))).as("n_boiler"))
       .select(col("doc_id"), col("n_shingles"), col("n_boiler"),
         round(col("n_boiler").cast("double") / col("n_shingles"), 4).as("boiler_ratio"))
       .orderBy(col("doc_id"))

@@ -196,13 +196,16 @@ class PlanSpec extends AnyFunSuite {
     assert(p2.contains("BroadcastHashJoin"), s"hot-shingle join must broadcast:\n$p2")
   }
 
-  test("bm25 broadcasts the query-term stats and ranks with no Window operator") {
+  test("bm25 broadcasts the query-term stats and ranks through a group-limited window") {
     val p = plan(TextAnalysis.bm25Retrieval(spark, dir))
     assert(p.contains("BroadcastHashJoin"), s"query-term model join must broadcast:\n$p")
-    // the rank comes from the bounded TopKAggregator heap — a per-qid
-    // Window over all scored docs would serialize a query's whole corpus
-    // posting list through one task at scale
-    assert(!p.contains("Window"), s"ranking must be heap-aggregated, not windowed:\n$p")
+    // the rank is a row_number ≤ k window — bounded ONLY because Spark
+    // plants a WindowGroupLimit below the exchange (k rows per partition
+    // per qid cross the shuffle, the TopKAggregator-heap shape). A plain
+    // Window without the group limit would serialize a query's whole
+    // corpus posting list through one task at scale, so pin the limit.
+    assert(p.contains("WindowGroupLimit"),
+      s"ranking must be a group-limited window (bounded pre-shuffle):\n$p")
   }
 
   test("sparse serving broadcasts the query dictionary; every window is keyed; ranks are heap-aggregated") {
