@@ -1320,15 +1320,27 @@ final class VamanaModel private (
     * Local models coalesce to one file; distributed models write straight
     * from the frames — `pos` is assigned by a distributed range sort +
     * zipWithIndex, never a single-task global window. */
-  def save(spark: SparkSession, path: String): Unit = localOpt match {
-    case Some(_) =>
-      pointsDF(spark).repartition(1).write.mode("overwrite").parquet(s"$path/points")
-      graphDF(spark).repartition(1).write.mode("overwrite").parquet(s"$path/graph")
-      describe(spark).repartition(1).write.mode("overwrite").parquet(s"$path/params")
-    case None =>
-      pointsDF(spark).write.mode("overwrite").parquet(s"$path/points")
-      graphDF(spark).write.mode("overwrite").parquet(s"$path/graph")
-      describe(spark).repartition(1).write.mode("overwrite").parquet(s"$path/params")
+  def save(spark: SparkSession, path: String): Unit = {
+    // three independent write jobs (points / graph / params) — run them
+    // concurrently so the single-task legs overlap instead of serializing
+    // (the format_roundtrip lesson, guide §2.6)
+    val legs: Seq[() => Unit] = localOpt match {
+      case Some(_) => Seq(
+        () => pointsDF(spark).repartition(1).write.mode("overwrite").parquet(s"$path/points"),
+        () => graphDF(spark).repartition(1).write.mode("overwrite").parquet(s"$path/graph"),
+        () => describe(spark).repartition(1).write.mode("overwrite").parquet(s"$path/params"))
+      case None => Seq(
+        () => pointsDF(spark).write.mode("overwrite").parquet(s"$path/points"),
+        () => graphDF(spark).write.mode("overwrite").parquet(s"$path/graph"),
+        () => describe(spark).repartition(1).write.mode("overwrite").parquet(s"$path/params"))
+    }
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(legs.size)
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutorService(pool)
+    try scala.concurrent.Await.result(
+      scala.concurrent.Future.sequence(legs.map(l => scala.concurrent.Future(l()))),
+      scala.concurrent.duration.Duration(600, "s"))
+    finally pool.shutdown()
   }
 }
 
