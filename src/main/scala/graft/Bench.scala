@@ -192,13 +192,27 @@ object Bench {
     val drifts = driftEntries.mkString("{", ",", "}")
     val fullJson =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"storage_mb_after":$st,"family_storage_mb":$fs,"regressions":$regressions,"drifts_vs_committed":$drifts,"sf":"$sfDir","iters":$iters,"loadavg_start":${r4(loadStart)},"loadavg_end":${r4(loadEnd)},"host_cpus":${Runtime.getRuntime.availableProcessors()}}"""
-    try {
-      java.nio.file.Files.write(
-        java.nio.file.Paths.get(benchOut),
-        fullJson.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    } catch { case _: Throwable => () }
+    // Write the per-query map to BOTH the mutable default file AND a
+    // cpu-suffixed twin (BENCH_FULL_c32.json / BENCH_FULL_c8.json): the
+    // driver benches twice per round (32-core, then 8-core for scaling),
+    // and both runs writing the ONE file left the 32-core per-query map
+    // unrecoverable (PERF_r17 got n_common=0 and an empty scaling block
+    // because the 8-core run overwrote it). The suffixed file survives the
+    // second run; the short stdout line points at it.
+    val benchOutCpu = {
+      val dot = benchOut.lastIndexOf('.')
+      if (dot > benchOut.lastIndexOf('/')) benchOut.substring(0, dot) + s"_c$cpus" + benchOut.substring(dot)
+      else benchOut + s"_c$cpus"
+    }
+    for (path <- Seq(benchOut, benchOutCpu)) {
+      try {
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(path),
+          fullJson.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      } catch { case _: Throwable => () }
+    }
     val shortLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"n_regressions":${regressionEntries.size},"sf":"$sfDir","iters":$iters,"loadavg":${r4(loadStart)},"queries_file":"BENCH_FULL.json"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"n_regressions":${regressionEntries.size},"sf":"$sfDir","iters":$iters,"loadavg":${r4(loadStart)},"queries_file":"${benchOutCpu.split('/').last}"}"""
     spark.stop()
     // the short JSON goes out AFTER spark.stop(), as the process's final
     // stdout line: the driver parses a tail capture, and executor/log

@@ -284,6 +284,16 @@ object CorpusPipeline {
       r.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     }
 
+  /** Pinned pack-sequences inputs MEMOIZED by canonicalized input lineage
+    * (the webSurvCache pattern): repeated packs of the same frame in one
+    * session previously pinned a fresh MEMORY_AND_DISK copy per invocation
+    * with no reuse — N bench iterations held N identical copies until
+    * family-end eviction. One pin per distinct input; [[clearCaches]]
+    * releases them with the rest of the memos. */
+  private val pinnedSortCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, org.apache.spark.sql.catalyst.plans.logical.LogicalPlan),
+      org.apache.spark.rdd.RDD[(Long, Long)]]
+
   private[graft] def webCleanSurvivors(spark: SparkSession, dir: String): DataFrame =
     webSurvCache.getOrElseUpdate((spark, dir), {
       val docs = Tables.documents(spark, dir)
@@ -308,6 +318,7 @@ object CorpusPipeline {
       pinnedRdds.foreach(r => scala.util.Try(r.unpersist(blocking = false)))
       pinnedRdds.clear()
     }
+    pinnedSortCache.clear()
   }
 
   /** [[pipelineWeb]]'s final stage over a survivor frame: temperature
@@ -611,10 +622,12 @@ object CorpusPipeline {
     // cleanCorpus scan + survivorship join + mixture filter) executes once
     // per pass. Two longs per surviving doc — the lexTermCounts size
     // class; released by [[clearCaches]] (the Multimodal pinned pattern).
-    val sorted = pinnedRdd(toks
-      .repartitionByRange(parts, col("doc_id"))
-      .sortWithinPartitions(col("doc_id"))
-      .as[(Long, Long)].rdd)
+    val sorted = pinnedSortCache.getOrElseUpdate(
+      (spark, toks.queryExecution.analyzed.canonicalized),
+      pinnedRdd(toks
+        .repartitionByRange(parts, col("doc_id"))
+        .sortWithinPartitions(col("doc_id"))
+        .as[(Long, Long)].rdd))
     val partTotals = sorted
       .mapPartitionsWithIndex { case (i, it) => Iterator((i, it.map(_._2).sum)) }
       .collect().sortBy(_._1).map(_._2)

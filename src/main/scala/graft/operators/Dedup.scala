@@ -138,15 +138,42 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
       .orderBy(col("id_a"), col("id_b"))
 
+  /** i<j pairs of a SORTED id array as (id_a, id_b) structs — the
+    * q27_copurchase "dejoin" kernel generalized: expanding the posting
+    * list of one key into its pairs in codegen replaces a keyed self-join
+    * (which shuffles the exploded frame twice — or, when the planner picks
+    * a broadcast, recomputes the df window on both sides) with a single
+    * keyed aggregation. Guarded total: an ids array shorter than 2 yields
+    * an empty pair array (Spark's `sequence(0, -1)` DESCENDS — the
+    * [[shingles]] lesson — so the bound must be enforced inside the
+    * expression, not only by a caller's filter). */
+  private def sortedPairs(ids: Column): Column =
+    when(size(ids) >= 2,
+      flatten(transform(
+        sequence(lit(0), size(ids) - 2),
+        i => transform(sequence(i + 1, size(ids) - 1),
+          j => struct(element_at(ids, i + 1).as("id_a"),
+            element_at(ids, j + 1).as("id_b"))))))
+      // empty pair array of the MATCHING element type, derived from `ids`
+      // itself (a literal array().cast(...) would pin id_a/id_b to one
+      // type and break the generic spec surfaces)
+      .otherwise(transform(slice(ids, 1, 0),
+        x => struct(x.as("id_a"), x.as("id_b"))))
+
   /** Per-pair shared-shingle counts (id_a < id_b) over a pre-keyed
     * (doc_id, s: long) frame — the inverted-index core that jaccard AND
-    * containment scoring both consume. */
+    * containment scoring both consume.
+    *
+    * Shape note (r18 A/B, guide §1.1): the posting-list "dejoin"
+    * (groupBy(s) + sorted collect_set + codegen i<j expansion — the shape
+    * that pays off in [[winnowOverlap]]/[[sourcePairs]]) was measured HERE
+    * at 1.18 → 1.85 s isolated (dedup_containment, sf0.1/32c, 5-iter
+    * medians): on shingle posting lists the collect_set array buffers +
+    * per-list C(n,2) array materialization cost more than the broadcast
+    * self-join they replace. The window form stays: the df cutoff rides
+    * the join's own shuffle key, so it adds no exchange when the planner
+    * picks SMJ, and the pair join stays a keyed equi-join at any scale. */
   private def pairIntersections(ex: DataFrame, maxDf: Int): DataFrame = {
-    // document-frequency cutoff as a WINDOW over the pair join's own shuffle
-    // key: the count-per-s partitions/sorts by s exactly as the sort-merge
-    // self-join requires, so the cutoff adds no exchange and no extra
-    // aggregate pass (the round-2 shape — a df aggregate + an inner join —
-    // recomputed the exploded md5 frame and cost ~2.4 s of pure tax)
     val exF = ex
       .withColumn("df", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("s"))))
@@ -292,9 +319,24 @@ object Dedup {
           shingles(col("ptoks")).as("sh"))
         .cache())
 
+  /** Verified paragraph pair set, cached per (session, dir, threshold,
+    * paraTokens, maxDf) — the [[ngramPairsCache]] twin at paragraph grain
+    * (r18): [[dedupParagraph]] AND [[dedupParagraphSurvivors]] both
+    * consume these pairs, and without the memo the paragraph explode +
+    * md5 + pair join re-ran per query (twice per plan where the planner
+    * broadcasts the self-join's b side). Cleared by [[clearCaches]]. */
+  private val paraPairsCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String, Double, Int, Int), DataFrame]
+
+  private def paraPairs(spark: SparkSession, dir: String, threshold: Double,
+      paraTokens: Int, maxDf: Int): DataFrame =
+    paraPairsCache.getOrElseUpdate((spark, dir, threshold, paraTokens, maxDf),
+      ngramJaccardPairs(paraShingled(spark, dir, paraTokens), threshold, maxDf)
+        .cache())
+
   def dedupParagraph(spark: SparkSession, dir: String, threshold: Double = 0.5,
       paraTokens: Int = 32, maxDf: Int = DefaultMaxShingleDf): DataFrame = {
-    ngramJaccardPairs(paraShingled(spark, dir, paraTokens), threshold, maxDf)
+    paraPairs(spark, dir, threshold, paraTokens, maxDf)
       .groupBy(col("id_b")).agg(min(col("id_a")).as("dup_of"))
       .select(shiftright(col("id_b"), 20).as("doc_id"),
         (col("id_b") % ParaShift).as("para_idx"),
@@ -310,7 +352,8 @@ object Dedup {
   def dedupParagraphSurvivors(spark: SparkSession, dir: String, threshold: Double = 0.5,
       paraTokens: Int = 32, maxDf: Int = DefaultMaxShingleDf): DataFrame = {
     val paras = paraShingled(spark, dir, paraTokens)
-    val pairs = ngramJaccardPairs(paras, threshold, maxDf).select(col("id_a"), col("id_b"))
+    val pairs = paraPairs(spark, dir, threshold, paraTokens, maxDf)
+      .select(col("id_a"), col("id_b"))
     survivorsOf(spark, pairs, paras.select(col("doc_id")))
       .select(
         shiftright(col("doc_id"), 20).as("doc_id"),
@@ -965,6 +1008,8 @@ object Dedup {
     * `benchStart` stands in for the held-out set's id range. */
   def contaminationCheck(spark: SparkSession, dir: String, benchStart: Long = 450,
       minShared: Int = 3, maxDf: Int = DefaultMaxShingleDf): DataFrame = {
+    // (r18 A/B: the posting-list dejoin measured 0.80 → 1.05 s isolated
+    // here — same verdict as [[pairIntersections]]; the join form stays.)
     val ex = surrogates(spark, dir)
       .withColumn("df", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("s"))))
@@ -1025,11 +1070,16 @@ object Dedup {
 
   private def sourcePairs(spark: SparkSession, dir: String): DataFrame =
     srcPairCache.getOrElseUpdate((spark, dir), {
-      val srcSh = sourceShingles(spark, dir)
-      srcSh.as("a").join(srcSh.as("b"),
-          col("a.s") === col("b.s") && col("a.source") < col("b.source"))
-        .select(col("a.source").as("source_a"), col("b.source").as("source_b"))
-        .groupBy(col("source_a"), col("source_b"))
+      // posting-list dejoin (the [[pairIntersections]] shape): per-shingle
+      // sorted source set + codegen i<j expansion — one exchange instead
+      // of the self-join's two probe passes; fanout per key is bounded by
+      // the source count, so no size cutoff is needed
+      sourceShingles(spark, dir)
+        .groupBy(col("s"))
+        .agg(sort_array(collect_set(col("source"))).as("ids"))
+        .where(size(col("ids")) >= 2)
+        .select(explode(sortedPairs(col("ids"))).as("pr"))
+        .groupBy(col("pr.id_a").as("source_a"), col("pr.id_b").as("source_b"))
         .agg(count(lit(1)).as("n_shared"))
         .cache()
     })
@@ -1217,6 +1267,8 @@ object Dedup {
     * the cached 60-bit surrogate to find first owners, one broadcast-safe
     * keyed count per doc; integers throughout, so order-independent. */
   def ngramNovelty(spark: SparkSession, dir: String): DataFrame = {
+    // (r18 A/B: the posting-list dejoin measured flat isolated and slower
+    // in suite context — the join form stays; see OPTIMIZATION_r18.md.)
     val ex = surrogates(spark, dir)
     val firstOwner = ex.groupBy(col("s")).agg(min(col("doc_id")).as("first_doc"))
     ex.join(firstOwner, "s")
@@ -1468,14 +1520,19 @@ object Dedup {
     * ≥ k+w−1 tokens contributes at least one shared fingerprint. */
   def winnowOverlap(spark: SparkSession, dir: String,
       maxDf: Int = DefaultMaxShingleDf, minShared: Int = 2): DataFrame = {
-    val dfps = winnowFps(spark, dir).select(col("doc_id"), col("fp")).distinct()
-    val rare = dfps.groupBy(col("fp")).agg(countDistinct(col("doc_id")).as("df"))
-      .where(col("df") <= maxDf).select(col("fp"))
-    val keyed = dfps.join(rare, "fp")
-    keyed.select(col("fp"), col("doc_id").as("id_a"))
-      .join(keyed.select(col("fp"), col("doc_id").as("id_b")), "fp")
-      .where(col("id_a") < col("id_b"))
-      .groupBy(col("id_a"), col("id_b"))
+    // Posting-list dejoin (guide §2.3/§2.4, the [[pairIntersections]]
+    // shape): one aggregation to (fp → sorted doc set), df cutoff as a
+    // size filter (over distinct (doc_id, fp) rows size(collect_set) IS
+    // the old countDistinct), i<j pairs expanded in codegen. Replaces
+    // three passes over the fingerprint frame (df aggregate + two join
+    // probes) and the pair self-join with one exchange on fp + the pair
+    // count's exchange — identical pair multiset, so n_shared matches.
+    winnowFps(spark, dir).select(col("doc_id"), col("fp")).distinct()
+      .groupBy(col("fp"))
+      .agg(sort_array(collect_set(col("doc_id"))).as("ids"))
+      .where(size(col("ids")).between(2, maxDf))
+      .select(explode(sortedPairs(col("ids"))).as("pr"))
+      .groupBy(col("pr.id_a").as("id_a"), col("pr.id_b").as("id_b"))
       .agg(count(lit(1)).as("n_shared"))
       .where(col("n_shared") >= minShared)
       .orderBy(col("id_a"), col("id_b"))
@@ -1493,6 +1550,8 @@ object Dedup {
     ngramPairsCache.clear()
     for ((_, df) <- paraShingleCache) scala.util.Try(df.unpersist())
     paraShingleCache.clear()
+    for ((_, df) <- paraPairsCache) scala.util.Try(df.unpersist())
+    paraPairsCache.clear()
     for ((_, df) <- survivorsCache) scala.util.Try(df.unpersist())
     survivorsCache.clear()
     for ((_, df) <- srcShingleCache) scala.util.Try(df.unpersist())
@@ -1540,6 +1599,8 @@ object Dedup {
   def textSimTopK(spark: SparkSession, dir: String, qMod: Long = 100, k: Int = 5,
       maxDf: Int = DefaultMaxShingleDf): DataFrame = {
     val counts = shingled(spark, dir).select(col("doc_id"), size(col("sh")).as("n"))
+    // (r18 A/B: the posting-list dejoin measured 0.80 → 0.90 s isolated
+    // here — same verdict as [[pairIntersections]]; the join form stays.)
     val exF = surrogates(spark, dir)
       .withColumn("df", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("s"))))

@@ -37,10 +37,17 @@ object Formats {
       val pool = java.util.concurrent.Executors.newFixedThreadPool(5)
       implicit val ec: scala.concurrent.ExecutionContext =
         scala.concurrent.ExecutionContext.fromExecutorService(pool)
+      // one cancellable job group over all five legs: if one fails, the
+      // others are cancelled and the pool DRAINED before the outer finally
+      // deletes basePath — otherwise the delete races the still-running
+      // jobs and their secondary task failures mask the root error
+      val groupId = s"format-roundtrip-${java.util.UUID.randomUUID()}"
       val rowFutures = Seq(("csv", "csv", None), ("json", "json", None),
         ("orc", "orc", None), ("json_gzip", "json", Some("gzip")),
         ("csv_bzip2", "csv", Some("bzip2"))).map { case (label, fmt, codec) =>
         scala.concurrent.Future {
+        spark.sparkContext.setJobGroup(groupId, s"format roundtrip $label",
+          interruptOnCancel = true)
         val path = s"$basePath/$label"
         val w0 = docs.write.mode("overwrite").format(fmt)
         val w = codec.fold(w0)(c => w0.option("compression", c))
@@ -80,7 +87,14 @@ object Formats {
         try scala.concurrent.Await.result(
           scala.concurrent.Future.sequence(rowFutures),
           scala.concurrent.duration.Duration(600, "s"))
-        finally pool.shutdown()
+        catch {
+          case t: Throwable =>
+            scala.util.Try(spark.sparkContext.cancelJobGroup(groupId))
+            throw t
+        } finally {
+          pool.shutdown()
+          pool.awaitTermination(120, java.util.concurrent.TimeUnit.SECONDS)
+        }
       rows.toDF("format", "n_docs", "total_chars", "text_sum").orderBy(col("format"))
     } finally {
       deleteRecursively(basePath)
@@ -143,21 +157,36 @@ object Formats {
     }
 
   /** Write the date-partitioned events layout under a temp path, hand the
-    * week-filtered read-back frame to `f`, then delete the files. The
-    * filter is on the PARTITION column only, so it prunes directories
-    * instead of scanning rows. */
+    * week-filtered read-back frame to `f`. The filter is on the PARTITION
+    * column only, so it prunes directories instead of scanning rows.
+    * Layout MEMOIZED per dataset (the [[withBucketedJoin]] rationale,
+    * r18): partitioning's whole point is that the write pre-pays the
+    * layout ONCE and later reads prune against it — re-writing all ~30
+    * date directories on every invocation measured the pre-pay 4× per
+    * bench run instead of the pruned read the query demonstrates. Files
+    * live until [[clearCaches]]. */
+  private val partitionedCache = scala.collection.concurrent.TrieMap
+    .empty[String, java.nio.file.Path]
+  private val partitionedLock = new Object
+
   private[graft] def withPartitionedEvents[T](spark: SparkSession, dir: String)
       (f: DataFrame => T): T = {
-    val base = java.nio.file.Files.createTempDirectory("graft_partitioned_")
-    try {
-      Tables.events(spark, dir)
-        .withColumn("event_date", to_date(col("ts")))
-        .write.mode("overwrite").partitionBy("event_date").parquet(s"$base/events")
-      f(spark.read.parquet(s"$base/events")
-        .where(col("event_date") >= lit("2024-01-08") && col("event_date") < lit("2024-01-15")))
-    } finally {
-      deleteRecursively(base)
+    val base = partitionedLock.synchronized {
+      partitionedCache.get(dir)
+        .filter(p => java.nio.file.Files.exists(p.resolve("events"))) match {
+        case Some(p) => p
+        case None =>
+          partitionedCache.remove(dir).foreach(p => scala.util.Try(deleteRecursively(p)))
+          val b = java.nio.file.Files.createTempDirectory("graft_partitioned_")
+          Tables.events(spark, dir)
+            .withColumn("event_date", to_date(col("ts")))
+            .write.mode("overwrite").partitionBy("event_date").parquet(s"$b/events")
+          partitionedCache.put(dir, b)
+          b
+      }
     }
+    f(spark.read.parquet(s"$base/events")
+      .where(col("event_date") >= lit("2024-01-08") && col("event_date") < lit("2024-01-15")))
   }
 
   /** 16-bit Morton (Z-order) interleave of two long keys — bit i of `x`
@@ -197,22 +226,35 @@ object Formats {
     * box-filtered read (l_partkey ∈ [100,200) × l_suppkey ∈ [10,60) —
     * both predicates reach the scan as PushedFilters over the clustered
     * layout), then delete the files. */
+  /** Layout MEMOIZED per dataset like [[withPartitionedEvents]] — the
+    * z-order range shuffle + rewrite is the one-time pre-pay the box scan
+    * amortizes; files live until [[clearCaches]]. */
+  private val zorderCache = scala.collection.concurrent.TrieMap
+    .empty[String, java.nio.file.Path]
+  private val zorderLock = new Object
+
   private[graft] def withZorderedLineitem[T](spark: SparkSession, dir: String)
       (f: DataFrame => T): T = {
-    val base = java.nio.file.Files.createTempDirectory("graft_zorder_")
-    try {
-      Tables.lineitem(spark, dir)
-        .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"), col("l_extendedprice"))
-        .withColumn("z", zValue(col("l_partkey") % 65536, col("l_suppkey") % 65536))
-        .repartitionByRange(8, col("z"))
-        .sortWithinPartitions(col("z"))
-        .write.mode("overwrite").parquet(s"$base/li")
-      f(spark.read.parquet(s"$base/li")
-        .where(col("l_partkey") >= 100 && col("l_partkey") < 200 &&
-          col("l_suppkey") >= 10 && col("l_suppkey") < 60))
-    } finally {
-      deleteRecursively(base)
+    val base = zorderLock.synchronized {
+      zorderCache.get(dir)
+        .filter(p => java.nio.file.Files.exists(p.resolve("li"))) match {
+        case Some(p) => p
+        case None =>
+          zorderCache.remove(dir).foreach(p => scala.util.Try(deleteRecursively(p)))
+          val b = java.nio.file.Files.createTempDirectory("graft_zorder_")
+          Tables.lineitem(spark, dir)
+            .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"), col("l_extendedprice"))
+            .withColumn("z", zValue(col("l_partkey") % 65536, col("l_suppkey") % 65536))
+            .repartitionByRange(8, col("z"))
+            .sortWithinPartitions(col("z"))
+            .write.mode("overwrite").parquet(s"$b/li")
+          zorderCache.put(dir, b)
+          b
+      }
     }
+    f(spark.read.parquet(s"$base/li")
+      .where(col("l_partkey") >= 100 && col("l_partkey") < 200 &&
+        col("l_suppkey") >= 10 && col("l_suppkey") < 60))
   }
 
   /** Create the bucketed twin tables under a temp path, hand the
@@ -268,7 +310,8 @@ object Formats {
       .join(spark.table(ordT), col("l_orderkey") === col("o_orderkey")))
   }
 
-  /** Drop the memoized bucketed catalog tables and delete their files. */
+  /** Drop the memoized bucketed catalog tables and the memoized
+    * partitioned/z-ordered layouts, deleting their files. */
   def clearCaches(): Unit = {
     for ((_, (spark, liT, ordT, base)) <- bucketedCache) {
       scala.util.Try(spark.sql(s"DROP TABLE IF EXISTS $liT"))
@@ -276,6 +319,10 @@ object Formats {
       scala.util.Try(deleteRecursively(base))
     }
     bucketedCache.clear()
+    for ((_, base) <- partitionedCache) scala.util.Try(deleteRecursively(base))
+    partitionedCache.clear()
+    for ((_, base) <- zorderCache) scala.util.Try(deleteRecursively(base))
+    zorderCache.clear()
   }
 
   /** Key-skew diagnostic — the pre-join observability pass a 100 TB

@@ -82,16 +82,38 @@ object Knn {
       .orderBy(col("query_id"), col("rank"))
   }
 
-  /** Medoid: argmin_i Σ_j l2sq(i, j) — the reference's exact O(n²·dim)
-    * aggregation (vamana.h:656-692). Kept exact for the oracle; the scalable
-    * path used inside the index build is [[centroidNearest]].
-    */
+  /** Medoid: argmin_i Σ_j l2sq(i, j) — the reference's exact aggregation
+    * (vamana.h:656-692), computed WITHOUT the O(n²·dim) cross join via the
+    * algebraic identity Σ_j ‖a−b_j‖² = n·‖a‖² − 2·a·S + T where S = Σ_j b_j
+    * and T = Σ_j ‖b_j‖² (exact over the same float-widened-to-double
+    * inputs; guide §1.2 step 1 — change the algorithm, not the constant).
+    * Two passes: one aggregation for (n, T) and the per-dimension sum
+    * vector S (dim·partitions partial rows — the centroidNearest shape),
+    * then one broadcast-scored scan + global top-1. O(n·dim) at ANY corpus
+    * size where the cross join was quadratic. FP note: all arithmetic is
+    * double (S deliberately does NOT ride the float-cast dot kernel — a
+    * float-rounded S would inject ~1e-3 absolute error against the 2-dp
+    * rounding; the double form sits at ~1e-7), and the oracle still
+    * computes the literal cross-join sum, so the identity is hash-checked
+    * against the pairwise form on every SF. */
   def medoidExact(points: DataFrame, idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val a = points.select(col(idCol).as("id_a"), col(vecCol).as("vec_a"))
-    val b = points.select(col(idCol).as("id_b"), col(vecCol).as("vec_b"))
-    a.crossJoin(b)
-      .groupBy(col("id_a"))
-      .agg(sum(l2n(points.sparkSession, col("vec_a"), col("vec_b"))).as("total_dist"))
+    val spark = points.sparkSession
+    import graft.functions.NativeVectorFunctions.dotNative
+    val withSq = points.select(col(idCol).as("id_a"),
+      col(vecCol).cast("array<double>").as("va"),
+      dotNative(spark, col(vecCol), col(vecCol)).as("sq"))
+    val nt = withSq.agg(count(lit(1)).cast("double").as("n"), sum(col("sq")).as("t"))
+    val svec = points
+      .select(posexplode(col(vecCol).cast("array<double>")).as(Seq("pos", "x")))
+      .groupBy(col("pos")).agg(sum(col("x")).as("sx"))
+      .orderBy(col("pos"))
+      .agg(collect_list(col("sx")).as("svec"))
+    withSq.crossJoin(broadcast(nt)).crossJoin(broadcast(svec))
+      .select(col("id_a"),
+        (col("n") * col("sq")
+          - lit(2.0) * aggregate(zip_with(col("va"), col("svec"), (x, y) => x * y),
+              lit(0.0), (acc, z) => acc + z)
+          + col("t")).as("total_dist"))
       .orderBy(col("total_dist").asc, col("id_a").asc)
       .limit(1)
       .select(col("id_a").as("medoid_id"), round(col("total_dist"), 2).as("total_dist"))

@@ -618,16 +618,49 @@ object Multimodal {
   }
 
   /** (doc_id, ahash) — the signature pass [[imageAhash]] and
-    * [[imageNearDup]] share. Reads the UNCACHED thumbnail pass by
-    * measurement: this decode is cheap byte arithmetic, and at sf0.1 the
-    * cached InMemoryRelation read (decompress + string copy under the
-    * interpreted higher-order hash expression) costs MORE than just
-    * re-decoding (2.0 s vs 1.25 s steady) — the thumbnail cache stays for
-    * consumers where a real entropy-coded codec would dominate. */
-  private def ahashFrame(spark: SparkSession, dir: String): DataFrame =
-    withAhash(thumbnailsWithTs(Tables.documents(spark, dir)
-        .withColumn("ts", lit(null).cast("timestamp"))))
-      .select(col("doc_id"), col("ahash"))
+    * [[imageNearDup]] share. ONE fused per-partition kernel (guide §4.2,
+    * the embed_dim_cov pattern): decode, 8×8 nearest-neighbor resample and
+    * the aHash threshold all run as primitive byte/int arithmetic inside a
+    * single mapPartitions — no comma-joined thumb string built then
+    * re-split, no interpreted higher-order hash expression. Bit-identity
+    * with the expression form ([[withAhash]] over [[thumbnailsWithTs]],
+    * which the STREAMING path still serves) is spec-asserted
+    * (StreamingSpec's stream/batch signature gate + the kernel-vs-
+    * expression property spec), so the two derivations cannot drift.
+    * Same eligibility filters, so the row set is unchanged. */
+  private def ahashFrame(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select(col("doc_id").cast("long"), col("text"))
+      .where(length(col("text")) >= 24 &&
+        octet_length(encode(col("text"), "utf-8")) === length(col("text")) &&
+        floor(floor(length(col("text")) / 3) / 8) <= lit(1048576))
+      .as[(Long, String)]
+      .mapPartitions { it => it.map { case (id, text) => (id, ahashOfText(text)) } }
+      .toDF("doc_id", "ahash")
+  }
+
+  /** The fused decode→8×8 resample→aHash arithmetic of [[ahashFrame]] as
+    * plain Scala over one eligible doc's text — byte-for-byte the
+    * [[thumbnailsWithTs]] P6 synthesis (w = bytes/3/8 pixels × 8 rows,
+    * nearest-neighbor sample at sy=i, sx=⌊j·w/8⌋) followed by
+    * [[ahashExpr]]'s integer mean threshold (bit p = g_p·64 ≥ Σg). */
+  private[graft] def ahashOfText(text: String): String = {
+    val raw = text.getBytes("UTF-8")
+    val w = raw.length / 3 / 8
+    val gs = new Array[Int](64)
+    var total = 0
+    var p = 0
+    while (p < 64) {
+      val base = ((p / 8) * w + (p % 8) * w / 8) * 3
+      val g = (raw(base) & 255) + (raw(base + 1) & 255) + (raw(base + 2) & 255)
+      gs(p) = g; total += g; p += 1
+    }
+    val sb = new java.lang.StringBuilder(64)
+    p = 0
+    while (p < 64) { sb.append(if (gs(p) * 64 >= total) '1' else '0'); p += 1 }
+    sb.toString
+  }
 
   /** Appends the 64-bit aHash bit-string column to any frame carrying an
     * 8×8 `thumb` (comma-joined RGB ints) — the ONE definition of the

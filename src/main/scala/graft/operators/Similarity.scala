@@ -708,7 +708,12 @@ object Similarity {
     val maxSafeVm = 1L << 21
     val flushEvery = 1L << 21
     val parts = Tables.embeddings(spark, dir)
-      .select(col("embedding"))
+      // repo-conventional cast + null filter: the previous explode form
+      // silently emitted nothing for null embeddings and tolerated a
+      // wider parquet float type; the kernel would NPE — keep the
+      // operator total over the same inputs
+      .select(col("embedding").cast("array<float>").as("embedding"))
+      .where(col("embedding").isNotNull)
       .as[Array[Float]]
       .mapPartitions { it =>
         if (!it.hasNext) Iterator.empty
@@ -778,13 +783,27 @@ object Similarity {
           }
           flush()
           val rowCount = n
-          Iterator.tabulate(big.length)(p => (p, rowCount, big(p).toString))
+          val dim = d
+          Iterator.tabulate(big.length)(p => (p, rowCount, big(p).toString, dim))
         }
       }
-    val sums = parts.toDF("pidx", "pn", "spp")
-      .select(col("pidx"), col("pn"), col("spp").cast("decimal(38,0)").as("spd"))
+    val sums = parts.toDF("pidx", "pn", "spp", "dd")
+      .select(col("pidx"), col("pn"), col("spp").cast("decimal(38,0)").as("spd"),
+        col("dd"))
       .groupBy(col("pidx"))
-      .agg(sum(col("pn")).as("n"), sum(col("spd")).as("sp"))
+      // dmn/dmx: cross-PARTITION dim guard — the kernel's require only
+      // checks rows within one partition against its own first row; if
+      // partitions started with different dims their triangles would merge
+      // silently here. A corrupted cell has contributions from ≥2 dims, so
+      // per-cell min≠max flags exactly those; the raise_error below makes
+      // ragged input fail loudly instead of emitting wrong sums.
+      .agg(sum(col("pn")).as("n"), sum(col("spd")).as("sp"),
+        min(col("dd")).as("dmn"), max(col("dd")).as("dmx"))
+      .select(col("pidx"), col("n"),
+        when(col("dmn") === col("dmx"), col("sp"))
+          .otherwise(raise_error(concat(lit("embed_dim_cov: mixed embedding dims across partitions ("),
+            col("dmn").cast("string"), lit(" vs "), col("dmx").cast("string"), lit(")"))))
+          .as("sp"))
     // n_pairs = d(d-1)/2 recovers d exactly (8·np+1 is a perfect square and
     // sqrt of a sub-2^26 perfect square is exact in double); pidx(i,j) =
     // i·(d-1) − i(i−1)/2 + (j−i−1) mirrors the flatten's canonical order.

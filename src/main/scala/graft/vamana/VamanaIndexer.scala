@@ -1337,10 +1337,27 @@ final class VamanaModel private (
     val pool = java.util.concurrent.Executors.newFixedThreadPool(legs.size)
     implicit val ec: scala.concurrent.ExecutionContext =
       scala.concurrent.ExecutionContext.fromExecutorService(pool)
+    // No wall-clock timeout (a fixed 600 s Await would throw at scale while
+    // the write jobs keep mutating the checkpoint dir in the background);
+    // instead each leg runs under one cancellable job group — if any leg
+    // fails, the others are cancelled and the pool is drained BEFORE the
+    // exception propagates, so the caller never sees a half-written dir
+    // with live writers.
+    val groupId = s"vamana-save-${java.util.UUID.randomUUID()}"
     try scala.concurrent.Await.result(
-      scala.concurrent.Future.sequence(legs.map(l => scala.concurrent.Future(l()))),
-      scala.concurrent.duration.Duration(600, "s"))
-    finally pool.shutdown()
+      scala.concurrent.Future.sequence(legs.map(l => scala.concurrent.Future {
+        spark.sparkContext.setJobGroup(groupId, s"vamana save $path", interruptOnCancel = true)
+        try l() finally spark.sparkContext.clearJobGroup()
+      })),
+      scala.concurrent.duration.Duration.Inf)
+    catch {
+      case t: Throwable =>
+        scala.util.Try(spark.sparkContext.cancelJobGroup(groupId))
+        throw t
+    } finally {
+      pool.shutdown()
+      pool.awaitTermination(120, java.util.concurrent.TimeUnit.SECONDS)
+    }
   }
 }
 

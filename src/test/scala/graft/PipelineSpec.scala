@@ -363,6 +363,27 @@ class PipelineSpec extends AnyFunSuite {
       s"centrality must drive the prune (dropped mean id $meanDroppedId vs kept $meanKeptId)")
   }
 
+  test("medoid: algebraic one-pass form matches the pairwise cross-join sum") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.NativeVectorFunctions.{l2sqNative => l2n}
+    val e = graft.core.Tables.embeddings(spark, dir)
+    // the shipped algebraic form (n·‖a‖² − 2·a·S + T)
+    val fast = operators.Knn.medoidExact(e).collect().head
+    // the literal pairwise definition it replaced (the oracle's own shape)
+    val a = e.select(col("vec_id").as("id_a"), col("embedding").as("vec_a"))
+    val b = e.select(col("vec_id").as("id_b"), col("embedding").as("vec_b"))
+    val slow = a.crossJoin(b)
+      .groupBy(col("id_a"))
+      .agg(sum(l2n(spark, col("vec_a"), col("vec_b"))).as("total_dist"))
+      .orderBy(col("total_dist").asc, col("id_a").asc)
+      .limit(1)
+      .select(col("id_a").as("medoid_id"), round(col("total_dist"), 2).as("total_dist"))
+      .collect().head
+    assert(fast.getLong(0) == slow.getLong(0), s"medoid id drift: $fast vs $slow")
+    assert(math.abs(fast.getDouble(1) - slow.getDouble(1)) <= 0.01,
+      s"medoid total drift: $fast vs $slow")
+  }
+
   test("ivf search recall@5 >= 0.6 vs exact L2 top-5") {
     val ivf = Similarity.ivfSearch(spark, dir)
       .select("query_id", "id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
@@ -1317,6 +1338,28 @@ class PipelineSpec extends AnyFunSuite {
       paths.sortBy(-_.getNameCount)
         .foreach(p => scala.util.Try(java.nio.file.Files.deleteIfExists(p)))
     }
+  }
+
+  test("image ahash: fused kernel bit-matches the expression form over varied texts") {
+    import spark.implicits._
+    // the batch kernel (ahashOfText inside mapPartitions) must stay
+    // bit-identical to the expression derivation the STREAMING path serves
+    // (thumbnailsWithTs + withAhash) — varied lengths, ramps, repeats,
+    // and non-multiple-of-24 tails exercise the resample offsets
+    val rnd = new scala.util.Random(42)
+    val texts = (0 until 40).map { i =>
+      val n = 24 + rnd.nextInt(400)
+      new String(Array.fill(n)((32 + rnd.nextInt(95)).toChar))
+    } ++ Seq("a" * 24, "az" * 100, ('a' to 'z').mkString * 5)
+    val docs = texts.zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      .withColumn("ts", org.apache.spark.sql.functions.lit(null).cast("timestamp"))
+    val viaExpr = Multimodal.withAhash(Multimodal.thumbnailsWithTs(docs))
+      .select("doc_id", "ahash").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val viaKernel = texts.zipWithIndex
+      .map { case (t, i) => i.toLong -> Multimodal.ahashOfText(t) }.toMap
+    assert(viaExpr == viaKernel, "kernel/expression aHash drift")
   }
 
   test("media neardup: planted Hamming 1-3 neighbors recovered; complete vs brute force") {
